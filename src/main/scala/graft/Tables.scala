@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Scale notes (100 TB design stance): every loader is a plain parquet scan
+  * so Catalyst's column pruning + predicate pushdown reach the file source;
+  * no caching or collect here. Dimension tables (`region`, `nation`,
+  * `supplier`, `part`, `customer` at small SF) are broadcast-joined by the
+  * queries; fact tables (`lineitem`, `orders`, `events`) shuffle on join
+  * keys only when the join is fact-to-fact.
+  */
+object Tables {
+  val star: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val aux: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = star ++ aux
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    // rejects. Read nanos as long and rescale to micros (the values are
+    // micro-aligned; DuckDB — the oracle — does the same ns→us read).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        // integer division: `/` on longs is double division and loses
+        // precision at 10^18 nanos — `div` truncates exactly like DuckDB.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` works too. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

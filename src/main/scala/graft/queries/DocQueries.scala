@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import QueryDsl._
+
+/** [NS] LLM-training-data pipeline operators over `documents`: exact and
+  * near-duplicate detection (hash, n-gram Jaccard, MinHash+LSH, SimHash),
+  * text quality/language/token analysis, document fingerprinting.
+  *
+  * Scale stance: every pipeline is one-or-two shuffles on bounded keys.
+  * The quadratic candidate generation (shared-ngram join) exists only as
+  * the small-data oracle twin; the 100 TB path is MinHash LSH (band join:
+  * candidates grow ~linearly with real near-dup density, 826 pairs on 5k
+  * docs here vs 1.1M from the naive shared-ngram join).
+  */
+object DocQueries {
+
+  /** Spark: distinct word n-grams (shingles) per doc: doc_id, gram. */
+  private def shingles(df: DataFrame, n: Int): DataFrame = {
+    val words = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*))
+    df.select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
+  }
+
+  /** SQL twin: per-doc distinct trigram table expression. */
+  private val shinglesSql: String =
+    """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)"""
+
+  /** SURVEY §2.8 D5 — exact dedup by content hash: md5 groups, keep the
+    * min doc_id (one shuffle on the 128-bit hash; at 100 TB this is the
+    * cheapest dedup and runs first to shrink later stages). */
+  val q22ExactDedup = Q(
+    "q22_exact_dedup",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .groupBy(md5($"text").as("content_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"n_copies", $"content_hash")
+        .orderBy($"keep_id")
+    },
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+      md5(text) AS content_hash
+      FROM documents GROUP BY md5(text) ORDER BY keep_id"""),
+    doc = "SURVEY §2.8 D5 exact dedup (content hash)")
+
+  /** SURVEY §2.8 D5 — n-gram Jaccard near-dup: distinct word-trigram sets,
+    * candidate pairs via shared-gram equi-join, Jaccard >= 0.5. Jaccard is
+    * an int/int division → bit-identical doubles in both engines. */
+  val q23NgramJaccard = Q(
+    "q23_ngram_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val tg = shingles(Tables.documents(s, d), 3)
+      val sz = tg.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val pairs = tg.as("a")
+        .join(tg.as("b"),
+          $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(sz.as("sa"), $"doc_a" === $"sa.doc_id")
+        .join(sz.as("sb"), $"doc_b" === $"sb.doc_id")
+        .select($"doc_a", $"doc_b", $"shared",
+          ($"shared".cast("double") /
+            ($"sa.n" + $"sb.n" - $"shared")).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""WITH tg AS ($shinglesSql),
+      sz AS (SELECT doc_id, count(*) AS n FROM tg GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM tg a JOIN tg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared,
+        CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+      FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+      ORDER BY doc_a, doc_b"""),
+    doc = "SURVEY §2.8 D5 n-gram Jaccard (oracle twin of the LSH path)")
+
+  /** SURVEY §2.8 D5 — MinHash + LSH banding: k=8 signature components
+    * h_i = min(md5(i || ':' || gram)), 4 bands × 2 rows, candidates = doc
+    * pairs sharing a band. The 100 TB near-dup path: signature build is one
+    * groupBy(doc) pass; the band join touches only colliding buckets. */
+  val q24MinhashLsh = Q(
+    "q24_minhash_lsh",
+    (s, d) => {
+      import s.implicits._
+      val tg = shingles(Tables.documents(s, d), 3)
+      val sigCols = (0 until 8).map(i =>
+        min(md5(concat(lit(s"$i:"), $"gram"))).as(s"s$i"))
+      val sig = tg.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bands = sig.select($"doc_id", explode(array(
+        (0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("v"))): _*
+      )).as("bd")).select($"doc_id", $"bd.band".as("band"), $"bd.v".as("v"))
+      bands.as("x")
+        .join(bands.as("y"),
+          $"x.band" === $"y.band" && $"x.v" === $"y.v" &&
+            $"x.doc_id" < $"y.doc_id")
+        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+        .distinct()
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""WITH tg AS ($shinglesSql),
+      sig AS (SELECT doc_id,
+        min(md5('0:' || gram)) AS s0, min(md5('1:' || gram)) AS s1,
+        min(md5('2:' || gram)) AS s2, min(md5('3:' || gram)) AS s3,
+        min(md5('4:' || gram)) AS s4, min(md5('5:' || gram)) AS s5,
+        min(md5('6:' || gram)) AS s6, min(md5('7:' || gram)) AS s7
+        FROM tg GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, md5(s0 || s1) AS v FROM sig UNION ALL
+        SELECT doc_id, 1, md5(s2 || s3) FROM sig UNION ALL
+        SELECT doc_id, 2, md5(s4 || s5) FROM sig UNION ALL
+        SELECT doc_id, 3, md5(s6 || s7) FROM sig)
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+      ORDER BY doc_a, doc_b"""),
+    doc = "SURVEY §2.8 D5 MinHash+LSH banding (scale path for near-dup)")
+
+  /** SURVEY §2.8 D5 — SimHash: 32-bit signature from per-word md5 nibbles;
+    * bit_j = sign(sum over distinct words of ±1). Exact-signature collision
+    * groups = near-dup buckets. */
+  val q25Simhash = Q(
+    "q25_simhash",
+    (s, d) => {
+      import s.implicits._
+      val words = Tables.documents(s, d)
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
+        .withColumn("h", md5($"w"))
+      val bits = words.select($"doc_id", $"h",
+        explode(sequence(lit(0), lit(31))).as("j"))
+        .withColumn("nib",
+          conv(substring($"h", floor($"j" / 4).cast("int") + 1, lit(1)),
+            16, 10).cast("long"))
+        .withColumn("bit",
+          floor($"nib" / pow(lit(2.0), (lit(3) - $"j" % 4).cast("double")))
+            .cast("long") % 2)
+        .withColumn("wgt", when($"bit" === 1, 1).otherwise(-1))
+      bits.groupBy($"doc_id", $"j").agg(sum($"wgt").as("s"))
+        .withColumn("ch", when($"s" >= 0, "1").otherwise("0"))
+        .groupBy($"doc_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct($"j", $"ch"))), _.getField("ch")),
+          "").as("simhash"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH words AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents),
+      bits AS (
+        SELECT doc_id, j,
+          CASE WHEN (strpos('0123456789abcdef', h[(j // 4) + 1]) - 1)
+            // CAST(pow(2, 3 - (j % 4)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS wgt
+        FROM (SELECT doc_id, md5(w) AS h FROM words), unnest(range(0, 32)) AS t(j)),
+      sums AS (SELECT doc_id, j, sum(wgt) AS s FROM bits GROUP BY doc_id, j)
+      SELECT doc_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+        ORDER BY j) AS simhash
+      FROM sums GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "SURVEY §2.8 D5 SimHash signature")
+
+  /** [NS] text analysis — heuristic language ID: stopword-hit scoring per
+    * language over the token set, argmax with fixed tie order. */
+  val q26LangId = Q(
+    "q26_lang_id",
+    (s, d) => {
+      import s.implicits._
+      val stop = Map(
+        "en" -> Seq("the", "a", "of", "and", "to"),
+        "de" -> Seq("der", "die", "das", "und", "ein"),
+        "fr" -> Seq("le", "la", "les", "et", "un"),
+        "es" -> Seq("el", "la", "los", "y", "un"))
+      def score(lang: String): Column = {
+        val words = split(col("text"), " ")
+        size(filter(words, w => w.isInCollection(stop(lang)))).cast("long")
+      }
+      Tables.documents(s, d)
+        .withColumn("s_en", score("en")).withColumn("s_de", score("de"))
+        .withColumn("s_fr", score("fr")).withColumn("s_es", score("es"))
+        .withColumn("predicted",
+          when($"s_en" >= $"s_de" && $"s_en" >= $"s_fr" && $"s_en" >= $"s_es", "en")
+            .when($"s_de" >= $"s_fr" && $"s_de" >= $"s_es", "de")
+            .when($"s_fr" >= $"s_es", "fr").otherwise("es"))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"predicted")
+    },
+    Some("""WITH scored AS (
+        SELECT lang,
+          len(list_filter(l, w -> w IN ('the','a','of','and','to'))) AS s_en,
+          len(list_filter(l, w -> w IN ('der','die','das','und','ein'))) AS s_de,
+          len(list_filter(l, w -> w IN ('le','la','les','et','un'))) AS s_fr,
+          len(list_filter(l, w -> w IN ('el','la','los','y','un'))) AS s_es
+        FROM (SELECT lang, string_split(text, ' ') AS l FROM documents))
+      SELECT lang,
+        CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS predicted,
+        count(*) AS n
+      FROM scored GROUP BY 1, 2 ORDER BY lang, predicted"""),
+    doc = "[NS] text analysis: n-gram/stopword language ID heuristic")
+
+  /** [NS] text analysis — quality scoring: word count, mean word length,
+    * stopword ratio per doc, aggregated per source (exact-sum scaled). */
+  val q27QualityScore = Q(
+    "q27_quality_score",
+    (s, d) => {
+      import s.implicits._
+      val words = split($"text", " ")
+      val nWords = size(words).cast("long")
+      val sumLen = aggregate(transform(words, w => length(w).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val nStop = size(filter(words,
+        w => w.isInCollection(Seq("the", "a", "of", "and", "to")))).cast("long")
+      Tables.documents(s, d)
+        .withColumn("n_words", nWords)
+        .withColumn("awl", sumLen.cast("double") / nWords)
+        .withColumn("stop_ratio", nStop.cast("double") / nWords)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_words").as("total_words"),
+          exactSum($"awl", 6).as("sum_avg_word_len"),
+          exactSum($"stop_ratio", 6).as("sum_stop_ratio"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH m AS (
+        SELECT source, len(l) AS n_words,
+          CAST(list_sum(list_transform(l, w -> strlen(w))) AS DOUBLE) / len(l) AS awl,
+          CAST(len(list_filter(l, w -> w IN ('the','a','of','and','to')))
+            AS DOUBLE) / len(l) AS stop_ratio
+        FROM (SELECT source, string_split(text, ' ') AS l FROM documents))
+      SELECT source, count(*) AS n_docs, sum(n_words) AS total_words,
+        ${exactSumSql("awl", 6)} AS sum_avg_word_len,
+        ${exactSumSql("stop_ratio", 6)} AS sum_stop_ratio
+      FROM m GROUP BY source ORDER BY source"""),
+    doc = "[NS] text analysis: quality scoring")
+
+  /** [NS] text analysis — token counting: whitespace tokens and a BPE-ish
+    * regex segmentation (letter runs / digit runs / other), per lang. */
+  val q28TokenCount = Q(
+    "q28_token_count",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("n_ws", size(split($"text", " ")).cast("long"))
+        .withColumn("n_bpe",
+          size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_ws").as("sum_ws_tokens"),
+          sum($"n_bpe").as("sum_bpe_tokens"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+      sum(len(string_split(text, ' '))) AS sum_ws_tokens,
+      sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+        AS sum_bpe_tokens
+      FROM documents GROUP BY lang ORDER BY lang"""),
+    doc = "[NS] text analysis: token counting (whitespace + BPE-ish regex)")
+
+  /** [NS] text analysis — document fingerprint: md5 of the sorted distinct
+    * token set (OpenRefine-style key collision fingerprint); collision
+    * groups are bag-of-words duplicates. */
+  val q29Fingerprint = Q(
+    "q29_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("fp",
+          md5(array_join(array_sort(array_distinct(split($"text", " "))), " ")))
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .select($"keep_id", $"n_docs", $"fp")
+        .orderBy($"keep_id")
+    },
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
+      md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      FROM documents
+      GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      ORDER BY keep_id"""),
+    doc = "[NS] text analysis: set-of-words fingerprint")
+
+  val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
+    q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint)
+}

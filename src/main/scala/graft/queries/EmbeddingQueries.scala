@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import QueryDsl._
+
+/** [NS] similarity search over `embeddings` (ARRAY<FLOAT>, 64-dim):
+  * brute-force cosine top-k (baseline), all-pairs similarity join,
+  * sign-bucket LSH candidates, and IVF-style centroid assignment (the
+  * scale paths).
+  *
+  * Scale stance: the query vector / centroid set is always the broadcast
+  * side; vectors are cast float→double elementwise (bit-exact in both
+  * engines) and dot products folded sequentially so scores are
+  * deterministic. Brute force is O(N·d) per query — fine fanned out over
+  * executors for one query; LSH bucketing / IVF pruning cut the candidate
+  * set when N is 10^9+.
+  */
+object EmbeddingQueries {
+
+  /** embedding column cast to ARRAY<DOUBLE> (exact widening). */
+  private def vecD(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays (deterministic order:
+    * left-to-right, matching the SQL twin's list_sum over zipped products —
+    * both engines reduce pairwise in index order). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** SQL twins (DuckDB lambdas). */
+  private val dotSql =
+    "list_sum(list_transform(range(1, len(%1$s) + 1), i -> %1$s[i] * %2$s[i]))"
+  private def cosSql(a: String, b: String): String = {
+    val d = String.format(dotSql, a, b)
+    val na = String.format(dotSql, a, a)
+    val nb = String.format(dotSql, b, b)
+    s"($d) / (sqrt($na) * sqrt($nb))"
+  }
+
+  /** [NS] — brute-force cosine top-k: neighbors of the min-id vector.
+    * Query vector is a 1-row broadcast; ranking on the rounded score with
+    * vec_id tie-break keeps the result total-ordered. */
+  val q30CosineTopk = Q(
+    "q30_cosine_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", vecD($"embedding").as("v"), $"label")
+      val q = e.orderBy($"vec_id").limit(1)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .withColumn("cos", round(cosine($"v", $"qv"), 6))
+        .select($"vec_id", $"label", $"cos")
+        .orderBy($"cos".desc, $"vec_id".asc)
+        .limit(10)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e ORDER BY vec_id LIMIT 1)
+      SELECT vec_id, label, round(${cosSql("v", "qv")}, 6) AS cos
+      FROM e, q WHERE vec_id <> q_id
+      ORDER BY cos DESC, vec_id ASC LIMIT 10"""),
+    doc = "[NS] ANN baseline: brute-force cosine top-k, broadcast query")
+
+  /** [NS] — all-pairs similarity join above a threshold (embedding-cosine
+    * near-dup dedup). Brute-force oracle twin of the LSH variant below. */
+  val q31SimilarityJoin = Q(
+    "q31_similarity_join",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", vecD($"embedding").as("v"))
+      e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+          round(cosine($"a.v", $"b.v"), 6).as("cos"))
+        .filter($"cos" >= 0.3)
+        .orderBy($"vec_a", $"vec_b")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(${cosSql("a.v", "b.v")}, 6) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.3
+      ORDER BY vec_a, vec_b"""),
+    doc = "[NS] embedding-cosine near-dup (brute-force twin of LSH)")
+
+  /** [NS] — sign-bucket LSH: bucket = sign bits of the first 8 dims (a
+    * coordinate-hyperplane LSH family). Same-bucket candidates + cosine
+    * verify ≥ 0.2. At scale: one shuffle on the 8-bit bucket key, pairs
+    * only within buckets (256-way partition of the quadratic space). */
+  val q32LshBuckets = Q(
+    "q32_lsh_buckets",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", vecD($"embedding").as("v"))
+        .withColumn("bucket", concat(
+          (1 to 8).map(i =>
+            when(element_at($"v", i) >= 0.0, "1").otherwise("0")): _*))
+      e.as("a")
+        .join(e.as("b"),
+          $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+          $"a.bucket".as("bucket"),
+          round(cosine($"a.v", $"b.v"), 6).as("cos"))
+        .filter($"cos" >= 0.2)
+        .orderBy($"vec_a", $"vec_b")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+        round(${cosSql("a.v", "b.v")}, 6) AS cos
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.2
+      ORDER BY vec_a, vec_b"""),
+    doc = "[NS] LSH-bucketed similarity (sign-bit hyperplane family)")
+
+  /** [NS] — IVF-style assignment: the 8 min-id vectors act as centroids;
+    * every vector is assigned to its max-cosine centroid (broadcast
+    * centroids, one pass). Output: cluster sizes + exact score sums. */
+  val q33IvfAssign = Q(
+    "q33_ivf_assign",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", vecD($"embedding").as("v"))
+      val cents = e.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), $"v".as("cv"))
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("cos", round(cosine($"v", $"cv"), 6))
+      val best = scored.groupBy($"vec_id")
+        .agg(max(struct($"cos", (-$"c_id").as("neg_c"))).as("m"))
+        .select($"vec_id", (-$"m.neg_c").as("centroid"), $"m.cos".as("cos"))
+      best.groupBy($"centroid")
+        .agg(count(lit(1)).as("n_vecs"), exactSum($"cos", 6).as("sum_cos"))
+        .orderBy($"centroid")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      scored AS (SELECT e.vec_id, c.c_id,
+        round(${cosSql("e.v", "c.cv")}, 6) AS cos FROM e, c),
+      best AS (SELECT vec_id,
+        first(c_id ORDER BY cos DESC, c_id ASC) AS centroid,
+        max(cos) AS cos
+        FROM scored GROUP BY vec_id)
+      SELECT centroid, count(*) AS n_vecs,
+        ${exactSumSql("cos", 6)} AS sum_cos
+      FROM best GROUP BY centroid ORDER BY centroid"""),
+    doc = "[NS] IVF partition assignment (broadcast centroids)")
+
+  val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
+    q33IvfAssign)
+}

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import QueryDsl._
+
+/** Queries over the `events` table — the Spark-native re-expression of the
+  * reference's watch-history pipeline (SURVEY §2.9, E3) plus the [NS]
+  * time-window analytics. Batch forms here (oracle-checkable); the
+  * streaming forms live in graft.streaming and are exercised by ScalaTest.
+  */
+object EventQueries {
+
+  /** SURVEY §2.8 D2 — event dedup on (user_id, event_type): keep the
+    * earliest event per key, exactly the history-dedup shape
+    * (cmds/archive.py:340). Expressed as min-aggregation so it is
+    * order-insensitive (a groupBy dedup scales: one shuffle on the key). */
+  val q15EventDedup = Q(
+    "q15_event_dedup",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id", $"event_type")
+        .agg(min($"ts").as("first_ts"), min($"event_id").as("min_event_id"),
+          count(lit(1)).as("n_dups"))
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""SELECT user_id, event_type, min(ts) AS first_ts,
+      min(event_id) AS min_event_id, count(*) AS n_dups
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type"""),
+    doc = "ref: cmds/archive.py:340-344 (history dedup D2)")
+
+  /** SURVEY §2.7 F7 — date/time functions: extract parts + truncate, the
+    * reference's timestamp-parsing family re-expressed on TimestampType. */
+  val q16DateFuncs = Q(
+    "q16_date_funcs",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select(
+          year($"ts").cast("long").as("y"),
+          month($"ts").cast("long").as("m"),
+          dayofmonth($"ts").cast("long").as("day"),
+          hour($"ts").cast("long").as("h"))
+        .groupBy($"y", $"m", $"day")
+        .agg(count(lit(1)).as("n"), min($"h").as("min_hour"),
+          max($"h").as("max_hour"))
+        .orderBy($"y", $"m", $"day")
+    },
+    Some("""SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+      CAST(day(ts) AS BIGINT) AS day, count(*) AS n,
+      min(CAST(hour(ts) AS BIGINT)) AS min_hour,
+      max(CAST(hour(ts) AS BIGINT)) AS max_hour
+      FROM events GROUP BY 1, 2, 3 ORDER BY y, m, day"""),
+    doc = "ref: cmds/archive.py:112,277-278 (date parsing F7)")
+
+  /** SURVEY §2.7 F15 — JSON extraction from the `props` column
+    * (get_json_object ≍ DuckDB json_extract_string), aggregated. */
+  val q17JsonExtract = Q(
+    "q17_json_extract",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count($"k").as("n_k"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type,
+      sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+    doc = "ref: cmds/archive.py:323 (JSON decode F15)")
+
+  /** SURVEY §2.6 [NS] — analytic window lag(): inter-event gap seconds per
+    * user, averaged (gaps are exact micros → exact doubles). */
+  val q18WindowLag = Q(
+    "q18_window_lag",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("gap_us",
+          (unix_micros($"ts") - unix_micros($"prev_ts")))
+        .groupBy($"user_id")
+        .agg(count($"gap_us").as("n_gaps"), sum($"gap_us").as("sum_gap_us"),
+          max($"gap_us").as("max_gap_us"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, count(gap_us) AS n_gaps, sum(gap_us) AS sum_gap_us,
+      max(gap_us) AS max_gap_us FROM (
+        SELECT user_id, CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+          (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS BIGINT) AS gap_us
+        FROM events) t
+      GROUP BY user_id ORDER BY user_id"""),
+    doc = "SURVEY §2.6 [NS] lag/lead analytics")
+
+  /** SURVEY §2.9 [NS] — sessionization: a >30-minute gap starts a new
+    * session; count sessions + events per user. Pure window algebra
+    * (lag → boundary flag → running sum), shuffles once on user_id. */
+  val q19Sessionize = Q(
+    "q19_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_ts".isNull ||
+            (unix_micros($"ts") - unix_micros($"prev_ts")) > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum($"new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id")
+        .agg(max($"sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+      FROM (
+        SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id
+          ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM (
+          SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts, 1) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC) IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id
+                ORDER BY ts ASC, event_id ASC)) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+          FROM events) a) b
+      GROUP BY user_id ORDER BY user_id"""),
+    doc = "SURVEY §2.9 [NS] session windows (batch form)")
+
+  /** SURVEY §2.9 [NS] — tumbling 10-minute window aggregation (batch form of
+    * the streaming windowed agg; bucket = floor(epoch/600)). */
+  val q20TumblingWindow = Q(
+    "q20_tumbling_window",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("bucket",
+          timestamp_seconds(floor(unix_micros($"ts") / lit(600000000L)) * 600))
+        .groupBy($"bucket", $"event_type")
+        .agg(count(lit(1)).as("n"), exactSum($"value", 2).as("sum_value"))
+        .orderBy($"bucket", $"event_type")
+    },
+    Some(s"""SELECT make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS bucket,
+      event_type, count(*) AS n, ${exactSumSql("value", 2)} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY bucket, event_type"""),
+    doc = "SURVEY §2.9 [NS] tumbling window (batch twin of streaming agg)")
+
+  /** SURVEY §2.3 [NS] — as-of join: for each error event, the latest
+    * preceding click by the same user. Spark lacks ASOF JOIN; composed as
+    * union + window last() — one shuffle on user_id, no range cross-join
+    * (the union trick scales where a theta-join would explode). */
+  val q21AsofJoin = Q(
+    "q21_asof_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val errors = ev.filter($"event_type" === "error")
+        .select($"user_id", $"ts", $"event_id", lit(0).as("is_click"),
+          lit(null).cast("timestamp").as("click_ts_src"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id", lit(1).as("is_click"),
+          $"ts".as("click_ts_src"))
+      // clicks sort before errors at identical ts (is_click desc) so an
+      // error at the exact same timestamp sees that click (ASOF <=).
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"is_click".desc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      errors.unionByName(clicks)
+        .withColumn("last_click_ts",
+          last($"click_ts_src", ignoreNulls = true).over(w))
+        .filter($"is_click" === 0)
+        .select($"user_id", $"ts".as("error_ts"), $"event_id", $"last_click_ts")
+        .orderBy($"user_id", $"error_ts", $"event_id")
+    },
+    Some("""SELECT e.user_id, e.ts AS error_ts, e.event_id,
+        (SELECT max(c.ts) FROM events c
+          WHERE c.event_type = 'click' AND c.user_id = e.user_id
+            AND c.ts <= e.ts) AS last_click_ts
+      FROM events e WHERE e.event_type = 'error'
+      ORDER BY e.user_id, error_ts, e.event_id"""),
+    doc = "SURVEY §2.3 [NS] as-of join via union+window (no range explosion)")
+
+  val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
+    q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin)
+}

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's t2 gate: run graft.Verify, then compare
+every query's parquet dump against its DuckDB oracle (dev tool only — the
+engine itself has no Python dependency).
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+"""
+import json, math, subprocess, sys
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main():
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    ok = fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql)
+            ecols = [d[0] for d in exp.description]
+            erows = exp.fetchall()
+            got = con.execute(
+                f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+            gcols = [d[0] for d in got.description]
+            grows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            fail += 1
+            continue
+        if sorted(ecols) != sorted(gcols):
+            print(f"FAIL {name}: cols oracle={sorted(ecols)} spark={sorted(gcols)}")
+            fail += 1
+            continue
+        eidx = [ecols.index(c) for c in sorted(ecols)]
+        gidx = [gcols.index(c) for c in sorted(gcols)]
+        e = sorted(tuple(norm(r[i]) for i in eidx) for r in erows)
+        g = sorted(tuple(norm(r[i]) for i in gidx) for r in grows)
+        if len(e) != len(g):
+            print(f"FAIL {name}: rows oracle={len(e)} spark={len(g)}")
+            fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(e, g) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(e)} rows differ; first: "
+                  f"oracle={bad[0][0]} spark={bad[0][1]}")
+            fail += 1
+        else:
+            print(f"ok   {name} ({len(e)} rows)")
+            ok += 1
+    print(f"== {ok} ok, {fail} fail, {len(oracle)} total")
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    if "--no-verify" not in sys.argv:
+        r = subprocess.run(
+            ["sbt", f"runMain graft.Verify {SFDIR} {OUT}"],
+            cwd="/root/repo", capture_output=True, text=True)
+        tail = "\n".join((r.stdout + r.stderr).splitlines()[-15:])
+        if r.returncode != 0:
+            print(tail)
+            sys.exit(2)
+        for line in (r.stdout + r.stderr).splitlines():
+            if "[verify]" in line:
+                print(line)
+    main()
