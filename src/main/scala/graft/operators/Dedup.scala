@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2.8 D1-D5):
+  * exact content-hash dedup, n-gram Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * Scale notes:
+  *  - exact: one shuffle on a 128-bit hash; always run first.
+  *  - minhashLsh: signature = single groupBy(doc) pass over exploded
+  *    shingles (k aggregate columns, map-side partial agg); candidate
+  *    generation joins only colliding band buckets — linear in real
+  *    near-dup density instead of quadratic in corpus size.
+  *  - ngramJaccardPairs: exact verifier; the shared-gram join is
+  *    quadratic per bucket, so at scale feed it LSH candidates, not the
+  *    whole corpus.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles per document: (idCol, gram). */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*))
+    df.select(col(idCol), explode(array_distinct(grams)).as("gram"))
+  }
+
+  /** D5 exact — content-hash groups: (keep_id, n_copies, content_hash);
+    * survivor = min id per hash. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("content_hash"))
+
+  /** D5 — per-doc MinHash signature: k components, h_i = min over shingles
+    * of md5(i ++ ":" ++ gram). One shuffle (groupBy id). */
+  def minhashSignature(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val sigCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("gram")))).as(s"s$i"))
+    sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** D5 — LSH banding over a signature: (idCol, band, v) with
+    * v = md5(concat of the band's rows). */
+  def lshBands(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    sig.select(col(idCol), explode(array(
+      (0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("", (0 until rows).map(r =>
+            col(s"s${b * rows + r}")): _*)).as("v"))): _*
+    )).as("bd")).select(col(idCol), col("bd.band").as("band"),
+      col("bd.v").as("v"))
+  }
+
+  /** D5 — MinHash+LSH candidate pairs (doc_a < doc_b, distinct). */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val sig = minhashSignature(sh, idCol, k)
+    val bds = lshBands(sig, idCol, k, bands)
+    val a = bds.select(col(idCol).as("doc_a"), col("band"), col("v"))
+    val b = bds.select(col(idCol).as("doc_b"), col("band"), col("v"))
+    a.join(b, Seq("band", "v")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** D5 — exact n-gram Jaccard for candidate/all pairs ≥ `minJaccard`:
+    * (doc_a, doc_b, shared, jaccard). Jaccard is an int/int division →
+    * deterministic double. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val tg = shingles(df, idCol, textCol, shingleN)
+    val sz = tg.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val ta = tg.select(col(idCol).as("doc_a"), col("gram"))
+    val tb = tg.select(col(idCol).as("doc_b"), col("gram"))
+    val pairs = ta.join(tb, Seq("gram")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sz.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col(idCol).as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** D5 — 32-bit SimHash signature per doc from distinct-word md5 nibbles:
+    * (idCol, simhash: "0/1" string, msb first). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .withColumn("h", md5(col("w")))
+    words.select(col(idCol), col("h"),
+      explode(sequence(lit(0), lit(31))).as("j"))
+      .withColumn("nib",
+        conv(substring(col("h"), floor(col("j") / 4).cast("int") + 1, lit(1)),
+          16, 10).cast("long"))
+      .withColumn("bit",
+        floor(col("nib") / pow(lit(2.0), (lit(3) - col("j") % 4).cast("double")))
+          .cast("long") % 2)
+      .withColumn("wgt", when(col("bit") === 1, 1).otherwise(-1))
+      .groupBy(col(idCol), col("j")).agg(sum(col("wgt")).as("s"))
+      .withColumn("ch", when(col("s") >= 0, "1").otherwise("0"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("j"), col("ch")))),
+          _.getField("ch")), "").as("simhash"))
+  }
+}

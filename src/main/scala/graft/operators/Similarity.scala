@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (ARRAY<FLOAT> → double math):
+  * brute-force cosine (baseline), sign-bucket LSH, IVF-style centroid
+  * assignment (the scale paths). See SURVEY §7 [NS].
+  *
+  * Determinism contract: vectors are widened float→double (exact) and dot
+  * products folded sequentially left-to-right, so scores are reproducible
+  * across partitionings and match the DuckDB oracle bit-for-bit after
+  * round(…, 6).
+  */
+object Similarity {
+
+  /** Cast ARRAY<FLOAT> → ARRAY<DOUBLE> (exact widening). */
+  def vecD(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential-fold dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k of `queryVec` (a 1-row DataFrame with column
+    * `qv`) over `df(vecCol)`; broadcast query, TakeOrderedAndProject plan.
+    * Output: (idCol, cos) — rounded to 6 before ranking so order is
+    * engine-independent; ties broken on id. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryVec: DataFrame, k: Int): DataFrame =
+    df.crossJoin(broadcast(queryVec))
+      .withColumn("cos", round(cosine(vecD(col(vecCol)), col("qv")), 6))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Sign-bit bucket of the first `bits` dimensions — a coordinate-
+    * hyperplane LSH family. Same-bucket vectors are ANN candidates. */
+  def signBucket(vec: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(vec, i) >= 0.0, "1").otherwise("0")): _*)
+
+  /** LSH-bucketed similarity join: same-bucket pairs with cosine ≥
+    * `minCos`. One shuffle on the bucket key; quadratic only within
+    * buckets (2^bits-way partition of the pair space). */
+  def lshSimilarityJoin(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, minCos: Double): DataFrame = {
+    val e = df.select(col(idCol), vecD(col(vecCol)).as("v"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val a = e.select(col(idCol).as("vec_a"), col("v").as("va"), col("bucket"))
+    val b = e.select(col(idCol).as("vec_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos"))
+  }
+
+  /** IVF-style assignment: nearest (max-cosine) centroid per vector.
+    * `centroids` = (c_id, cv ARRAY<DOUBLE>), broadcast. Ties → smaller
+    * c_id. Output: (idCol, centroid, cos). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val scored = df.select(col(idCol), vecD(col(vecCol)).as("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos", round(cosine(col("v"), col("cv")), 6))
+    scored.groupBy(col(idCol))
+      .agg(max(struct(col("cos"), (-col("c_id")).as("neg_c"))).as("m"))
+      .select(col(idCol), (-col("m.neg_c")).as("centroid"),
+        col("m.cos").as("cos"))
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Dedup
 import QueryDsl._
 
 /** [NS] LLM-training-data pipeline operators over `documents`: exact and
@@ -17,15 +18,6 @@ import QueryDsl._
   */
 object DocQueries {
 
-  /** Spark: distinct word n-grams (shingles) per doc: doc_id, gram. */
-  private def shingles(df: DataFrame, n: Int): DataFrame = {
-    val words = split(col("text"), " ")
-    val grams = transform(
-      sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*))
-    df.select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
-  }
-
   /** SQL twin: per-doc distinct trigram table expression. */
   private val shinglesSql: String =
     """SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
@@ -37,14 +29,9 @@ object DocQueries {
     * cheapest dedup and runs first to shrink later stages). */
   val q22ExactDedup = Q(
     "q22_exact_dedup",
-    (s, d) => {
-      import s.implicits._
-      Tables.documents(s, d)
-        .groupBy(md5($"text").as("content_hash"))
-        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-        .select($"keep_id", $"n_copies", $"content_hash")
-        .orderBy($"keep_id")
-    },
+    (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("keep_id")),
     Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
       md5(text) AS content_hash
       FROM documents GROUP BY md5(text) ORDER BY keep_id"""),
@@ -55,24 +42,10 @@ object DocQueries {
     * an int/int division → bit-identical doubles in both engines. */
   val q23NgramJaccard = Q(
     "q23_ngram_jaccard",
-    (s, d) => {
-      import s.implicits._
-      val tg = shingles(Tables.documents(s, d), 3)
-      val sz = tg.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val pairs = tg.as("a")
-        .join(tg.as("b"),
-          $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .agg(count(lit(1)).as("shared"))
-      pairs
-        .join(sz.as("sa"), $"doc_a" === $"sa.doc_id")
-        .join(sz.as("sb"), $"doc_b" === $"sb.doc_id")
-        .select($"doc_a", $"doc_b", $"shared",
-          ($"shared".cast("double") /
-            ($"sa.n" + $"sb.n" - $"shared")).as("jaccard"))
-        .filter($"jaccard" >= 0.5)
-        .orderBy($"doc_a", $"doc_b")
-    },
+    (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""WITH tg AS ($shinglesSql),
       sz AS (SELECT doc_id, count(*) AS n FROM tg GROUP BY doc_id),
       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -91,25 +64,10 @@ object DocQueries {
     * groupBy(doc) pass; the band join touches only colliding buckets. */
   val q24MinhashLsh = Q(
     "q24_minhash_lsh",
-    (s, d) => {
-      import s.implicits._
-      val tg = shingles(Tables.documents(s, d), 3)
-      val sigCols = (0 until 8).map(i =>
-        min(md5(concat(lit(s"$i:"), $"gram"))).as(s"s$i"))
-      val sig = tg.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bands = sig.select($"doc_id", explode(array(
-        (0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            md5(concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}"))).as("v"))): _*
-      )).as("bd")).select($"doc_id", $"bd.band".as("band"), $"bd.v".as("v"))
-      bands.as("x")
-        .join(bands.as("y"),
-          $"x.band" === $"y.band" && $"x.v" === $"y.v" &&
-            $"x.doc_id" < $"y.doc_id")
-        .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-        .distinct()
-        .orderBy($"doc_a", $"doc_b")
-    },
+    (s, d) =>
+      Dedup.minhashLshCandidates(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4)
+        .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""WITH tg AS ($shinglesSql),
       sig AS (SELECT doc_id,
         min(md5('0:' || gram)) AS s0, min(md5('1:' || gram)) AS s1,
@@ -133,28 +91,9 @@ object DocQueries {
     * groups = near-dup buckets. */
   val q25Simhash = Q(
     "q25_simhash",
-    (s, d) => {
-      import s.implicits._
-      val words = Tables.documents(s, d)
-        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("w"))
-        .withColumn("h", md5($"w"))
-      val bits = words.select($"doc_id", $"h",
-        explode(sequence(lit(0), lit(31))).as("j"))
-        .withColumn("nib",
-          conv(substring($"h", floor($"j" / 4).cast("int") + 1, lit(1)),
-            16, 10).cast("long"))
-        .withColumn("bit",
-          floor($"nib" / pow(lit(2.0), (lit(3) - $"j" % 4).cast("double")))
-            .cast("long") % 2)
-        .withColumn("wgt", when($"bit" === 1, 1).otherwise(-1))
-      bits.groupBy($"doc_id", $"j").agg(sum($"wgt").as("s"))
-        .withColumn("ch", when($"s" >= 0, "1").otherwise("0"))
-        .groupBy($"doc_id")
-        .agg(array_join(
-          transform(array_sort(collect_list(struct($"j", $"ch"))), _.getField("ch")),
-          "").as("simhash"))
-        .orderBy($"doc_id")
-    },
+    (s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
     Some("""WITH words AS (
         SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
         FROM documents),

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Similarity
 import QueryDsl._
 
 /** [NS] similarity search over `embeddings` (ARRAY<FLOAT>, 64-dim):
@@ -19,19 +20,7 @@ import QueryDsl._
   */
 object EmbeddingQueries {
 
-  /** embedding column cast to ARRAY<DOUBLE> (exact widening). */
-  private def vecD(c: Column): Column = transform(c, _.cast("double"))
-
-  /** Sequential-fold dot product of two double arrays (deterministic order:
-    * left-to-right, matching the SQL twin's list_sum over zipped products —
-    * both engines reduce pairwise in index order). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  import Similarity.{vecD, cosine}
 
   /** SQL twins (DuckDB lambdas). */
   private val dotSql =
@@ -98,18 +87,8 @@ object EmbeddingQueries {
     "q32_lsh_buckets",
     (s, d) => {
       import s.implicits._
-      val e = Tables.embeddings(s, d)
-        .select($"vec_id", vecD($"embedding").as("v"))
-        .withColumn("bucket", concat(
-          (1 to 8).map(i =>
-            when(element_at($"v", i) >= 0.0, "1").otherwise("0")): _*))
-      e.as("a")
-        .join(e.as("b"),
-          $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-          $"a.bucket".as("bucket"),
-          round(cosine($"a.v", $"b.v"), 6).as("cos"))
-        .filter($"cos" >= 0.2)
+      Similarity.lshSimilarityJoin(Tables.embeddings(s, d), "vec_id",
+          "embedding", bits = 8, minCos = 0.2)
         .orderBy($"vec_a", $"vec_b")
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -137,14 +116,9 @@ object EmbeddingQueries {
     (s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d)
-        .select($"vec_id", vecD($"embedding").as("v"))
       val cents = e.orderBy($"vec_id").limit(8)
-        .select($"vec_id".as("c_id"), $"v".as("cv"))
-      val scored = e.crossJoin(broadcast(cents))
-        .withColumn("cos", round(cosine($"v", $"cv"), 6))
-      val best = scored.groupBy($"vec_id")
-        .agg(max(struct($"cos", (-$"c_id").as("neg_c"))).as("m"))
-        .select($"vec_id", (-$"m.neg_c").as("centroid"), $"m.cos".as("cos"))
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val best = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
       best.groupBy($"centroid")
         .agg(count(lit(1)).as("n_vecs"), exactSum($"cos", 6).as("sum_cos"))
         .orderBy($"centroid")

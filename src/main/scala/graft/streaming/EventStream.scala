@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** [NS] streaming analytics over event feeds (SURVEY §2.9): tumbling /
+  * sliding / session windows with watermarks, plus a custom stateful
+  * per-key sessionizer via flatMapGroupsWithState.
+  *
+  * All transforms take a DataFrame with (ts TIMESTAMP, user_id LONG,
+  * event_type STRING, value DOUBLE) and work on both batch and streaming
+  * inputs (unified API); watermarks only apply when streaming.
+  */
+object EventStream {
+
+  /** Tumbling window count/sum per event_type. */
+  def tumbling(events: DataFrame, width: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Sliding window (width, slide) event counts. */
+  def sliding(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** Session window (gap-based) per user. */
+  def session(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  /** Per-user running state for the custom stateful path. */
+  case class UserAgg(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom stateful aggregation via flatMapGroupsWithState (SURVEY §2.9
+    * [NS]): running per-user totals emitted on every update — the shape
+    * used when built-in windows can't express the state machine. */
+  def statefulTotals(events: Dataset[(Long, Double)])(
+      implicit spark: SparkSession): Dataset[UserAgg] = {
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { case (_, v) => n += 1; s += v }
+          val next = UserAgg(uid, n, s)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

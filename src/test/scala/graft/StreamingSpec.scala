@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.{EventStream, HistoryPipeline}
+
+/** SURVEY §2.9 — streaming semantics: watch-history dedup within
+  * watermark, windowed aggregation, custom stateful totals; MemoryStream
+  * driven, processAllAvailable for deterministic assertions. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("E3 history batch: extract+validate+dedup (cmds/archive.py:317-352)") {
+    import spark.implicits._
+    val raw = Seq(
+      ("https://www.youtube.com/watch?v=dQw4w9WgXcQ", "2024-01-01T10:00:00Z"),
+      ("https://www.youtube.com/watch?v=dQw4w9WgXcQ", "2024-01-01T10:00:00Z"), // dup
+      ("https://www.youtube.com/watch?v=dQw4w9WgXcQ", "2024-01-01T11:00:00Z"), // same vid, later
+      ("https://www.youtube.com/watch?v=bad", "2024-01-01T10:00:00Z"),         // invalid id
+      (null.asInstanceOf[String], "2024-01-01T10:00:00Z")                      // unavailable
+    ).toDF("titleUrl", "time")
+    assert(HistoryPipeline.batch(raw).count() === 2)
+    val counts = HistoryPipeline.unavailableCount(raw).collect()(0)
+    assert(counts.getAs[Long]("n_unavailable") === 1L)
+    assert(counts.getAs[Long]("n_total") === 5L)
+  }
+
+  test("E3 history stream: dropDuplicatesWithinWatermark over MemoryStream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val raw = mem.toDF().toDF("titleUrl", "time")
+    val q = HistoryPipeline.stream(raw).writeStream
+      .format("memory").queryName("hist_out").outputMode("append").start()
+    try {
+      mem.addData(
+        ("https://www.youtube.com/watch?v=dQw4w9WgXcQ", "2024-01-01T10:00:00Z"),
+        ("https://www.youtube.com/watch?v=dQw4w9WgXcQ", "2024-01-01T10:00:00Z"))
+      q.processAllAvailable()
+      // duplicate arriving in a later micro-batch is still dropped
+      mem.addData(
+        ("https://www.youtube.com/watch?v=dQw4w9WgXcQ", "2024-01-01T10:00:00Z"),
+        ("https://www.youtube.com/watch?v=aaaaaaaaaaa", "2024-01-01T10:05:00Z"))
+      q.processAllAvailable()
+      val rows = spark.table("hist_out").collect()
+      assert(rows.length === 2)
+    } finally q.stop()
+  }
+
+  test("tumbling window agg over MemoryStream with watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.tumbling(events, "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("tumb_out")
+      .outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData(
+        (ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+        (ts("2024-01-01 00:05:00"), 2L, "click", 2.0),
+        (ts("2024-01-01 00:11:00"), 1L, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumb_out")
+        .select("window_start", "event_type", "n").collect()
+      val m = rows.map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(m(("2024-01-01 00:00:00.0", "click")) === 2L)
+      assert(m(("2024-01-01 00:10:00.0", "view")) === 1L)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running totals across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val ss = spark
+    val mem = MemoryStream[(Long, Double)]
+    val out = EventStream.statefulTotals(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("state_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3.0))
+      q.processAllAvailable()
+      val last = spark.table("state_out")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("sum_value").as("s"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(last(1L) === ((3L, 6.0)))
+      assert(last(2L) === ((1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("batch/stream parity: session windows on testdata events") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val sess = EventStream.session(ev)
+    assert(sess.count() > 0)
+  }
+}
