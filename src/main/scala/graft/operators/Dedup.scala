@@ -61,7 +61,9 @@ object Dedup {
       shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleN)
     val sig = minhashSignature(sh, idCol, k)
-    val bds = lshBands(sig, idCol, k, bands)
+    // both sides of the band self-join read this — persist so the whole
+    // shingle→signature pipeline runs once, not twice
+    val bds = lshBands(sig, idCol, k, bands).persist()
     val a = bds.select(col(idCol).as("doc_a"), col("band"), col("v"))
     val b = bds.select(col(idCol).as("doc_b"), col("band"), col("v"))
     a.join(b, Seq("band", "v")).filter(col("doc_a") < col("doc_b"))
@@ -73,11 +75,16 @@ object Dedup {
     * deterministic double. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    // persist: the shingle explode feeds three consumers (sizes + both
+    // join sides); joining on a 64-bit gram hash instead of the gram
+    // string shrinks the shuffle (equal grams hash equal; 2^-64 collision
+    // odds are below any practical corpus size)
     val tg = shingles(df, idCol, textCol, shingleN)
+      .select(col(idCol), xxhash64(col("gram")).as("gh")).persist()
     val sz = tg.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val ta = tg.select(col(idCol).as("doc_a"), col("gram"))
-    val tb = tg.select(col(idCol).as("doc_b"), col("gram"))
-    val pairs = ta.join(tb, Seq("gram")).filter(col("doc_a") < col("doc_b"))
+    val ta = tg.select(col(idCol).as("doc_a"), col("gh"))
+    val tb = tg.select(col(idCol).as("doc_b"), col("gh"))
+    val pairs = ta.join(tb, Seq("gh")).filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
     pairs
       .join(sz.select(col(idCol).as("doc_a"), col("n").as("na")), Seq("doc_a"))
