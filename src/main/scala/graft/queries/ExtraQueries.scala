@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import QueryDsl._
+
+/** Coverage extensions: cube, ranking window functions, sliding windows
+  * in batch form, the SQL surface (same text runs on Spark SQL and the
+  * DuckDB oracle), and HLL approximate distinct (rows-only check —
+  * approximation is engine-specific by design).
+  */
+object ExtraQueries {
+
+  /** SURVEY §2.5 [NS] — full cube over (region, segment). */
+  val q42Cube = Q(
+    "q42_cube",
+    (s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .cube($"r_name", $"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          grouping($"r_name").cast("long").as("g_r"),
+          grouping($"c_mktsegment").cast("long").as("g_m"))
+        .orderBy($"g_r", $"g_m", $"r_name", $"c_mktsegment")
+    },
+    Some("""SELECT r_name, c_mktsegment, count(*) AS n,
+        CAST(GROUPING(r_name) AS BIGINT) AS g_r,
+        CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_m
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY CUBE (r_name, c_mktsegment)
+      ORDER BY g_r, g_m, r_name, c_mktsegment"""),
+    doc = "SURVEY §2.5 [NS] cube/grouping sets")
+
+  /** SURVEY §2.6 [NS] — dense_rank + ntile buckets per order status. */
+  val q43RankFuncs = Q(
+    "q43_rank_funcs",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      Tables.orders(s, d)
+        .withColumn("dr", dense_rank().over(w).cast("long"))
+        .withColumn("tile", ntile(4).over(w).cast("long"))
+        .groupBy($"o_orderstatus", $"tile")
+        .agg(count(lit(1)).as("n"), min($"dr").as("min_rank"),
+          max($"dr").as("max_rank"),
+          exactSum($"o_totalprice", 2).as("sum_price"))
+        .orderBy($"o_orderstatus", $"tile")
+    },
+    Some(s"""SELECT o_orderstatus, tile, count(*) AS n,
+      min(dr) AS min_rank, max(dr) AS max_rank,
+      ${exactSumSql("o_totalprice", 2)} AS sum_price
+      FROM (
+        SELECT o_orderstatus, o_totalprice,
+          CAST(dense_rank() OVER w AS BIGINT) AS dr,
+          CAST(ntile(4) OVER w AS BIGINT) AS tile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+          ORDER BY o_totalprice DESC, o_orderkey ASC)) t
+      GROUP BY o_orderstatus, tile ORDER BY o_orderstatus, tile"""),
+    doc = "SURVEY §2.6 [NS] dense_rank/ntile")
+
+  /** SURVEY §2.9 [NS] — sliding window (10 min width, 5 min slide) in
+    * batch form via the native window() generator: each event lands in
+    * exactly two windows; counts per window start. */
+  val q44SlidingWindow = Q(
+    "q44_sliding_window",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select($"w.start".as("window_start"), $"event_type", $"n")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""SELECT make_timestamp(ws) AS window_start, event_type,
+        count(*) AS n
+      FROM (SELECT unnest(ARRAY[
+          (epoch_us(ts) // 300000000) * 300000000 - 300000000,
+          (epoch_us(ts) // 300000000) * 300000000]) AS ws, event_type
+        FROM events) t
+      GROUP BY ws, event_type ORDER BY window_start, event_type"""),
+    doc = "SURVEY §2.9 [NS] sliding windows (batch twin)")
+
+  /** The SQL surface: the catalog registers every table as a view and the
+    * SAME SQL text runs on Spark SQL and on the DuckDB oracle (§1.4
+    * "both the DataFrame and spark.sql surfaces work"). */
+  private val sharedSql =
+    """SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers,
+      sum(round(l_extendedprice * (1.0 - l_discount) * 10000.0)) / 10000.0
+        AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""
+
+  val q45SqlSurface = Q(
+    "q45_sql_surface",
+    (s, d) => { Tables.registerAll(s, d); s.sql(sharedSql) },
+    Some(sharedSql),
+    doc = "catalog + spark.sql surface; identical text on both engines")
+
+  /** SURVEY §2.5 A5 — approx_count_distinct (HLL±5%). Approximation is
+    * engine-specific → no SQL oracle (rows-only check); exactness is
+    * asserted in ScalaTest against the true distinct count. */
+  val q46HllDistinct = Q(
+    "q46_hll_distinct",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+    None,
+    doc = "SURVEY §2.5 A5 HLL approx distinct (no oracle: approximate)")
+
+  val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
+    q45SqlSurface, q46HllDistinct)
+}

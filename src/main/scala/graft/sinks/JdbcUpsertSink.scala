@@ -1,0 +1,134 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLException}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.StructType
+
+/** The sink of record (north star: Structured Streaming + JDBC): the
+  * reference's write semantics executed transactionally against a JDBC
+  * database, per micro-batch.
+  *
+  * Semantics mapped from the reference:
+  *  - W3 append, W1 INSERT OR IGNORE, W2 guarded insert-else-update
+  *    (try INSERT; on key violation fall back to UPDATE only when the
+  *    guard passes — exactly cmds/archive.py:152-175 with the
+  *    IntegrityError catch at :160).
+  *  - W7 transaction batching: one commit per partition per micro-batch
+  *    (the reference commits per logical unit, cmds/archive.py:134,195).
+  *  - Exactly-once: upserts are keyed on the PK, so micro-batch replays
+  *    (after failure) are idempotent — the same guarantee the reference
+  *    gets from SQLite PK constraints.
+  *
+  * Scale: executors open one connection per partition and use
+  * PreparedStatement batches of `batchSize`; no driver-side collect. The
+  * connection count is bounded by shuffle partitions — size accordingly.
+  */
+final case class JdbcUpsertSink(
+    url: String,
+    table: String,
+    keyCols: Seq[String],
+    batchSize: Int = 500) extends Serializable {
+
+  private def connect(): Connection = DriverManager.getConnection(url)
+
+  /** Run DDL (CREATE TABLE ...) on the sink DB. */
+  def execDdl(ddl: String): Unit = {
+    val c = connect()
+    try { c.createStatement().execute(ddl) } finally c.close()
+  }
+
+  def queryCount(where: String = "1=1"): Long = {
+    val c = connect()
+    try {
+      val rs = c.createStatement()
+        .executeQuery(s"SELECT count(*) FROM $table WHERE $where")
+      rs.next(); rs.getLong(1)
+    } finally c.close()
+  }
+
+  private def setParams(ps: PreparedStatement, row: Row, cols: Seq[String],
+      schema: StructType, offset: Int = 0): Unit =
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val v = row.get(row.fieldIndex(c))
+      ps.setObject(offset + i + 1, v match {
+        case t: java.sql.Timestamp => t
+        case other => other
+      })
+    }
+
+  /** W1 — INSERT OR IGNORE: try each insert, swallow key violations. */
+  def insertIfAbsent(df: DataFrame): Unit = upsert(df, guard = _ => false)
+
+  /** W3 — plain append (fails on key violation, like the reference's
+    * unguarded inserts). */
+  def append(df: DataFrame): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames.toSeq
+    val insertSql = s"INSERT INTO $table (${cols.mkString(",")}) VALUES " +
+      s"(${cols.map(_ => "?").mkString(",")})"
+    val u = url; val bs = batchSize
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val c = DriverManager.getConnection(u)
+      c.setAutoCommit(false)
+      try {
+        val ps = c.prepareStatement(insertSql)
+        var n = 0
+        rows.foreach { r =>
+          setParams(ps, r, cols, schema); ps.addBatch(); n += 1
+          if (n % bs == 0) ps.executeBatch()
+        }
+        ps.executeBatch()
+        c.commit() // W7: one transaction per partition
+      } catch { case e: Throwable => c.rollback(); throw e }
+      finally c.close()
+    }
+  }
+
+  /** W2 — guarded upsert: INSERT; on PK violation, UPDATE `setCols` only
+    * when `guard(row)` holds (never-downgrade, cmds/archive.py:162).
+    * Default guard accepts every row (plain upsert). */
+  def upsert(df: DataFrame, guard: Row => Boolean = _ => true,
+      setColsOpt: Option[Seq[String]] = None): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames.toSeq
+    val keys = keyCols
+    val setCols = setColsOpt.getOrElse(cols.filterNot(keys.contains))
+    val insertSql = s"INSERT INTO $table (${cols.mkString(",")}) VALUES " +
+      s"(${cols.map(_ => "?").mkString(",")})"
+    val updateSql =
+      if (setCols.isEmpty) "VALUES 1" // placeholder; never executed
+      else s"UPDATE $table SET " +
+        setCols.map(c => s"$c = ?").mkString(", ") +
+        " WHERE " + keys.map(k => s"$k = ?").mkString(" AND ")
+    val u = url
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val c = DriverManager.getConnection(u)
+      c.setAutoCommit(false)
+      try {
+        val ins = c.prepareStatement(insertSql)
+        val upd = c.prepareStatement(updateSql)
+        rows.foreach { r =>
+          setParams(ins, r, cols, schema)
+          try ins.executeUpdate()
+          catch {
+            case _: SQLException => // key exists (IntegrityError analogue)
+              // all-key tables have nothing to update → dup is a no-op
+              if (setCols.nonEmpty && guard(r)) {
+                setParams(upd, r, setCols, schema)
+                setParams(upd, r, keys, schema, offset = setCols.length)
+                upd.executeUpdate()
+              } // else: keep the existing row (never downgrade)
+          }
+        }
+        c.commit() // W7
+      } catch { case e: Throwable => c.rollback(); throw e }
+      finally c.close()
+    }
+  }
+
+  /** Streaming hookup: `stream.writeStream.foreachBatch(sink.foreachBatch(...))`
+    * — each epoch is one idempotent keyed upsert (exactly-once on replay). */
+  def foreachBatch(guard: Row => Boolean = _ => true)
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => upsert(batch, guard)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.{BlobFileSink, JdbcUpsertSink}
+import graft.streaming.HistoryPipeline
+
+/** Sink semantics against an embedded Derby JDBC database (the sink of
+  * record) and the blob file sink — W1/W2/W3/W7, D4, exactly-once. */
+class SinkSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshSink(name: String, ddl: String, keys: Seq[String]) = {
+    val sink = JdbcUpsertSink(s"jdbc:derby:memory:$name;create=true",
+      name, keys)
+    sink.execDdl(ddl)
+    sink
+  }
+
+  test("W3 append + W7 partition transactions") {
+    import spark.implicits._
+    val sink = freshSink("t_append",
+      "CREATE TABLE t_append (k VARCHAR(10) PRIMARY KEY, v INT)", Seq("k"))
+    sink.append(Seq(("a", 1), ("b", 2)).toDF("k", "v").repartition(2))
+    assert(sink.queryCount() === 2)
+  }
+
+  test("W2 guarded upsert: insert new, update only when guard holds") {
+    import spark.implicits._
+    val sink = freshSink("t_upsert",
+      "CREATE TABLE t_upsert (k VARCHAR(10) PRIMARY KEY, v INT)", Seq("k"))
+    sink.append(Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    // v=NULL fails the guard → 'b' keeps 2; 'c' is new → insert
+    val batch = Seq(("a", 10: Integer), ("b", null.asInstanceOf[Integer]),
+      ("c", 3: Integer)).toDF("k", "v")
+    sink.upsert(batch, guard = (r: Row) => !r.isNullAt(r.fieldIndex("v")))
+    assert(sink.queryCount() === 3)
+    assert(sink.queryCount("k = 'a' AND v = 10") === 1)
+    assert(sink.queryCount("k = 'b' AND v = 2") === 1) // never downgraded
+  }
+
+  test("W1 insertIfAbsent ignores existing keys") {
+    import spark.implicits._
+    val sink = freshSink("t_ignore",
+      "CREATE TABLE t_ignore (k VARCHAR(10) PRIMARY KEY, v INT)", Seq("k"))
+    sink.append(Seq(("a", 1)).toDF("k", "v"))
+    sink.insertIfAbsent(Seq(("a", 99), ("b", 2)).toDF("k", "v"))
+    assert(sink.queryCount() === 2)
+    assert(sink.queryCount("k = 'a' AND v = 1") === 1)
+  }
+
+  test("exactly-once: replaying the same micro-batch is a no-op") {
+    import spark.implicits._
+    val sink = freshSink("t_replay",
+      "CREATE TABLE t_replay (k VARCHAR(10) PRIMARY KEY, v INT)", Seq("k"))
+    val batch = Seq(("a", 1), ("b", 2)).toDF("k", "v")
+    sink.upsert(batch)
+    sink.upsert(batch) // replay after simulated failure
+    assert(sink.queryCount() === 2)
+  }
+
+  test("streaming foreachBatch: history pipeline → Derby, idempotent across epochs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sink = freshSink("t_hist",
+      "CREATE TABLE t_hist (video VARCHAR(11), watched TIMESTAMP, " +
+        "PRIMARY KEY (video, watched))", Seq("video", "watched"))
+    val mem = MemoryStream[(String, String)]
+    val q = HistoryPipeline.stream(mem.toDF().toDF("titleUrl", "time"))
+      .writeStream.outputMode("append")
+      .foreachBatch(sink.foreachBatch())
+      .start()
+    try {
+      mem.addData(
+        ("https://www.youtube.com/watch?v=dQw4w9WgXcQ", "2024-01-01T10:00:00Z"),
+        ("https://www.youtube.com/watch?v=dQw4w9WgXcQ", "2024-01-01T10:00:00Z"))
+      q.processAllAvailable()
+      mem.addData( // same key again in a later epoch → PK-idempotent
+        ("https://www.youtube.com/watch?v=dQw4w9WgXcQ", "2024-01-01T10:00:00Z"))
+      q.processAllAvailable()
+      assert(sink.queryCount() === 1)
+    } finally q.stop()
+  }
+
+  test("S10 blob dump: writes once, skips on re-run (D4)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_blobs").toString
+    val blobs = Seq(("v1", "abc".getBytes, "webp"), ("v2", "xy".getBytes, "jpg"))
+      .toDF("id", "payload", "ext")
+    assert(BlobFileSink.dump(blobs, dir) === ((2L, 0L)))
+    assert(BlobFileSink.dump(blobs, dir) === ((0L, 2L))) // idempotent
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "v1.webp"))) === "abc")
+  }
+}

@@ -7,18 +7,20 @@ Usage: python3 tools/check.py [sfdir] [outdir]
 """
 import json, math, subprocess, sys
 
-SFDIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+_pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+SFDIR = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.01"
+OUT = _pos[1] if len(_pos) > 1 else "/tmp/graft_verify"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+    # wrap so rows with NULLs sort (None first) and compare exactly
+    if v is None:
+        return (0, "")
+    if isinstance(v, float) and math.isnan(v):
+        return (1, "NaN")
+    return (1, v)
 
 
 def main():
