@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** D5 — the two Jaccard implementations (count-join vs PPJoin prefix
+  * filter) must be semantically identical; plus LSH recall vs the exact
+  * pairs. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select("doc_a", "doc_b", "shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("prefix-filtered Jaccard ≡ count-join Jaccard (lossless filter)") {
+    val docs = Tables.documents(spark, sf)
+    val a = pairSet(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+    val b = pairSet(Dedup.ngramJaccardPairsPrefixFiltered(docs, "doc_id", "text"))
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
+
+  test("MinHash LSH candidates cover most true near-dup pairs (recall)") {
+    val docs = Tables.documents(spark, sf)
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.7).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val recall = truth.count(cand.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"LSH recall $recall over ${truth.size} true pairs")
+  }
+
+  test("simhash signatures: identical docs collide, length 32") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L).length === 32)
+    assert(sigs(1L) !== sigs(3L))
+  }
+}

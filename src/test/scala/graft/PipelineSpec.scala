@@ -34,6 +34,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(members(1).getAs[String]("video") === "dQw4w9WgXcQ") // scrubbed
   }
 
+  test("S4/S6 document sources: multiLine Takeout JSON + yt-dlp JSONL") {
+    val json = Files.createTempFile("takeout", ".json")
+    Files.writeString(json,
+      """[
+        |  {"titleUrl": "https://www.youtube.com/watch?v=dQw4w9WgXcQ",
+        |   "time": "2024-01-01T10:00:00Z"},
+        |  {"time": "2024-01-01T11:00:00Z"}
+        |]""".stripMargin)
+    val hist = graft.sources.Sources.takeoutHistoryJson(spark, json.toString)
+    assert(hist.count() === 2)
+    assert(hist.schema.fieldNames.toSeq === Seq("titleUrl", "time"))
+    val jsonl = Files.createTempFile("ytdlp", ".jsonl")
+    Files.writeString(jsonl,
+      """{"id":"vid00000001","fulltitle":"T1","tags":["a"],"comments":[]}""" + "\n")
+    val info = graft.sources.Sources.ytdlpJsonl(spark, jsonl.toString)
+    assert(info.count() === 1)
+    assert(info.schema === Schemas.ytdlpInfo)
+  }
+
+  test("§2.10 config gates from spark conf") {
+    spark.conf.set("spark.graft.thumbnails", "false")
+    try {
+      val c = Config.fromSpark(spark)
+      assert(!c.thumbnails && c.comments)
+    } finally spark.conf.unset("spark.graft.thumbnails")
+  }
+
   test("S7 withRetry: succeeds on 3rd attempt, None when exhausted") {
     val n = new AtomicInteger(0)
     val r = Retry.withRetry(attempts = 3, backoffMs = 0, sleep = _ => ())(() => {
