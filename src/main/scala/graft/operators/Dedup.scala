@@ -18,15 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles per document: (idCol, gram). */
+  /** Distinct word n-gram shingles per document: (idCol, gram). Native
+    * expression (graft.functions.WordShingles) — the composed
+    * transform/array_distinct form pays interpreted lambdas per gram. */
   def shingles(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val words = split(col(textCol), " ")
-    val grams = transform(
-      sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*))
-    df.select(col(idCol), explode(array_distinct(grams)).as("gram"))
-  }
+      n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.ShingleExpression.wordShingles(col(textCol), n))
+        .as("gram"))
 
   /** D5 exact — content-hash groups: (keep_id, n_copies, content_hash);
     * survivor = min id per hash. */
