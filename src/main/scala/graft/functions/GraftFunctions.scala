@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Registration of graft's native Catalyst expressions on the SQL surface
+  * (SURVEY §2.10 extensibility): `graft_dot(a, b)` and
+  * `graft_shingles(text, n)` become callable from spark.sql.
+  *
+  * Two hookups:
+  *  - [[GraftExtensions]] for session construction
+  *    (`SparkSession.builder().withExtensions(new GraftExtensions)` or
+  *    `--conf spark.sql.extensions=graft.functions.GraftExtensions`);
+  *  - [[GraftFunctions.register]] for an already-built session.
+  */
+object GraftFunctions {
+
+  private def shingleBuilder(args: Seq[Expression]): Expression = {
+    val n = args(1) match {
+      case Literal(v: Int, _) => v
+      case other => other.eval().asInstanceOf[Number].intValue()
+    }
+    WordShingles(args(0), n)
+  }
+
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      shingleBuilder _))
+
+  /** Register on an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = Bridge.functionRegistry(spark)
+    descriptions.foreach { case (ident, info, builder) =>
+      reg.registerFunction(ident, info, builder)
+    }
+  }
+}
+
+/** spark.sql.extensions entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(e.injectFunction)
+}

@@ -27,6 +27,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(DoubleType, _) => true
+      case org.apache.spark.sql.types.NullType => true // NULL literal
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess

@@ -50,12 +50,17 @@ object Similarity {
     * buckets (2^bits-way partition of the pair space). */
   def lshSimilarityJoin(df: DataFrame, idCol: String, vecCol: String,
       bits: Int, minCos: Double): DataFrame = {
+    // norms computed once per row, not per pair (bit-identical hoisting)
     val e = df.select(col(idCol), vecD(col(vecCol)).as("v"))
       .withColumn("bucket", signBucket(col("v"), bits))
-    val a = e.select(col(idCol).as("vec_a"), col("v").as("va"), col("bucket"))
-    val b = e.select(col(idCol).as("vec_b"), col("v").as("vb"), col("bucket"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = e.select(col(idCol).as("vec_a"), col("v").as("va"),
+      col("bucket"), col("nrm").as("na"))
+    val b = e.select(col(idCol).as("vec_b"), col("v").as("vb"),
+      col("bucket"), col("nrm").as("nb"))
     a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos"))
   }

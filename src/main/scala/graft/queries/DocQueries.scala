@@ -120,8 +120,11 @@ object DocQueries {
         "fr" -> Seq("le", "la", "les", "et", "un"),
         "es" -> Seq("el", "la", "los", "y", "un"))
       def score(lang: String): Column = {
+        // distinct stopword hits via array_intersect — a native collection
+        // expression on both engines (no interpreted per-word lambda)
         val words = split(col("text"), " ")
-        size(filter(words, w => w.isInCollection(stop(lang)))).cast("long")
+        size(array_intersect(words,
+          array(stop(lang).map(lit): _*))).cast("long")
       }
       Tables.documents(s, d)
         .withColumn("s_en", score("en")).withColumn("s_de", score("de"))
@@ -136,10 +139,10 @@ object DocQueries {
     },
     Some("""WITH scored AS (
         SELECT lang,
-          len(list_filter(l, w -> w IN ('the','a','of','and','to'))) AS s_en,
-          len(list_filter(l, w -> w IN ('der','die','das','und','ein'))) AS s_de,
-          len(list_filter(l, w -> w IN ('le','la','les','et','un'))) AS s_fr,
-          len(list_filter(l, w -> w IN ('el','la','los','y','un'))) AS s_es
+          len(list_intersect(l, ['the','a','of','and','to'])) AS s_en,
+          len(list_intersect(l, ['der','die','das','und','ein'])) AS s_de,
+          len(list_intersect(l, ['le','la','les','et','un'])) AS s_fr,
+          len(list_intersect(l, ['el','la','los','y','un'])) AS s_es
         FROM (SELECT lang, string_split(text, ' ') AS l FROM documents))
       SELECT lang,
         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'

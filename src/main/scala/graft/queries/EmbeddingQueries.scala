@@ -63,11 +63,16 @@ object EmbeddingQueries {
     "q31_similarity_join",
     (s, d) => {
       import s.implicits._
+      // norms hoisted out of the pair loop: same double arithmetic
+      // (dot/(sqrt(na)*sqrt(nb))), computed once per row instead of per
+      // pair — 3x less work under the quadratic join, bit-identical.
       val e = Tables.embeddings(s, d)
         .select($"vec_id", vecD($"embedding").as("v"))
+        .withColumn("nrm", sqrt(Similarity.dot($"v", $"v")))
       e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-          round(cosine($"a.v", $"b.v"), 6).as("cos"))
+          round(Similarity.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"), 6)
+            .as("cos"))
         .filter($"cos" >= 0.3)
         .orderBy($"vec_a", $"vec_b")
     },
