@@ -1,0 +1,75 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.operators.{Dedup, Integrity, Upsert}
+
+/** SURVEY §5.3 — property-based invariants: upsert idempotence, cascade
+  * soundness (no orphans), replace-by-key completeness, dedup accounting.
+  * Few-but-large property runs (Spark jobs are the cost). */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val kvBatch: Gen[List[(String, String)]] =
+    Gen.listOfN(12, Gen.zip(
+      Gen.oneOf((1 to 6).map("k" + _)), Gen.alphaStr.map(_.take(4))))
+
+  property("W1 insertIfAbsent is idempotent: f(f(base,b),b) == f(base,b)") =
+    forAll(kvBatch, kvBatch) { (baseRows, batchRows) =>
+      val base = baseRows.toDF("k", "v").dropDuplicates("k")
+      val batch = batchRows.toDF("k", "v")
+      val once = Upsert.insertIfAbsent(base, batch, Seq("k"), Some("v"))
+      val twice = Upsert.insertIfAbsent(once, batch, Seq("k"), Some("v"))
+      val a = once.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val b = twice.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      a == b
+    }
+
+  private val edges: Gen[List[(String, Option[String])]] = for {
+    n <- Gen.choose(4, 10)
+  } yield (1 to n).map { i =>
+    // parent is always a lower id → acyclic forest
+    val parent = if (i == 1) None else Some("c" + (1 + (i * 7) % (i - 1)))
+    ("c" + i, parent)
+  }.toList
+
+  property("J3 cascadeRecursive leaves no orphans (every survivor's parent survives)") =
+    forAll(edges) { es =>
+      val df = es.map { case (id, p) => (id, p.orNull) }
+        .toDF("comment_id", "parent")
+      val deleted = Integrity.cascadeRecursive(df, "comment_id", "parent",
+        Seq("c1").toDF("comment_id"))
+        .as[String].collect().toSet
+      val survivors = es.map(_._1).filterNot(deleted.contains).toSet
+      es.forall { case (id, p) =>
+        !survivors.contains(id) || p.forall(survivors.contains)
+      } && deleted.contains("c1")
+    }
+
+  property("W4 replaceByKey: incoming wins, other keys untouched") =
+    forAll(kvBatch, kvBatch) { (baseRows, replRows) =>
+      val base = baseRows.toDF("k", "v").dropDuplicates("k")
+      val repl = replRows.toDF("k", "v").dropDuplicates("k")
+      val out = Upsert.replaceByKey(base, repl, Seq("k"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val baseM = base.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val replM = repl.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      (baseM.keySet ++ replM.keySet) == out.keySet &&
+        replM.forall { case (k, v) => out(k) == v } &&
+        (baseM -- replM.keySet).forall { case (k, v) => out(k) == v }
+    }
+
+  property("D5 exactGroups partitions the corpus: sum(n_copies) == row count") =
+    forAll(Gen.listOfN(10, Gen.oneOf("alpha", "beta", "gamma", "delta"))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+      groups.map(_.getAs[Long]("n_copies")).sum == texts.length &&
+        groups.length == texts.distinct.length
+    }
+}
