@@ -123,6 +123,47 @@ object ExtraQueries {
     None,
     doc = "SURVEY §2.5 A5 HLL approx distinct (no oracle: approximate)")
 
+  /** SURVEY §4 / 100 TB — salted two-phase aggregation: identical result
+    * to the plain groupBy (the oracle IS the plain groupBy), but the hot
+    * key's partial work spreads across 16 reducers. Sums ride the
+    * scaled-integer trick so partial-then-final double sums stay exact. */
+  val q47SaltedAgg = Q(
+    "q47_salted_agg",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .withColumn("qty_c", round($"l_quantity" * 100, 0))
+      graft.operators.Skew.saltedSumCount(li, "l_returnflag", Seq("qty_c"))
+        .select($"l_returnflag", (col("sum_qty_c") / 100.0).as("sum_qty"),
+          col("n"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      sum(round(l_quantity * 100)) / 100.0 AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    doc = "SURVEY §4 skew: salted agg ≡ plain agg (oracle is the plain form)")
+
+  /** SURVEY §2.5 [NS] — exact continuous percentiles (median/p90) per
+    * status; interpolation on money doubles rounded to 4. */
+  val q48Percentiles = Q(
+    "q48_percentiles",
+    (s, d) => {
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+      round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+      count(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+    doc = "SURVEY §2.5 [NS] exact percentiles (sort-based)")
+
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
-    q45SqlSurface, q46HllDistinct)
+    q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles)
 }
