@@ -43,8 +43,11 @@ object GraftFunctions {
   }
 }
 
-/** spark.sql.extensions entry point. */
+/** spark.sql.extensions entry point: functions + the dot-fusion
+  * optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => DotFusionRule)
+  }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.DotFusionRule
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** SURVEY §4 — the dot-fusion optimizer rule rewrites the declarative
+  * aggregate(zip_with(...)) pattern into the native graft_dot and
+  * preserves results. Applied directly to the analyzed plan here (the
+  * extension-injected path needs a fresh session; builder wiring is
+  * covered by GraftExtensions). */
+class DotFusionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("fuses the composed dot pattern and preserves the value") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("dot"))
+    val before = df.queryExecution.analyzed
+    val after = DotFusionRule(before)
+    assert(!before.toString.contains("graft_dot"))
+    assert(after.toString.contains("graft_dot"),
+      s"rule did not fire on:\n$before")
+    assert(df.collect()(0).getDouble(0) === 32.0)
+  }
+
+  test("does not fire on non-double or non-zero-seed folds") {
+    import spark.implicits._
+    val sum = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(1.0), (acc, x) => acc + x).as("notdot")) // seed 1.0 ≠ 0.0
+    val plan = DotFusionRule(sum.queryExecution.analyzed)
+    assert(!plan.toString.contains("graft_dot"))
+  }
+}
