@@ -232,6 +232,38 @@ object DocQueries {
       ORDER BY keep_id"""),
     doc = "[NS] text analysis: set-of-words fingerprint")
 
+  /** [NS] text analysis — rolling-hash fingerprint (winnowing style,
+    * Schleimer et al. SIGMOD'03 — public algorithm): hash every 8-char
+    * sliding window, keep the k=4 minimal hashes as the document
+    * fingerprint. Shared windows between near-identical docs yield shared
+    * minima, so fingerprint collisions flag overlapping content. */
+  val q49Winnowing = Q(
+    "q49_winnowing",
+    (s, d) => {
+      import s.implicits._
+      val w = 8
+      val windows = transform(
+        sequence(lit(1), greatest(length($"text") - (w - 1), lit(1))),
+        i => md5(substring($"text", i, lit(w))))
+      Tables.documents(s, d)
+        .withColumn("fp",
+          array_join(slice(array_sort(array_distinct(windows)), 1, 4), "|"))
+        .groupBy($"fp")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .select($"keep_id", $"n_docs", $"fp")
+        .orderBy($"keep_id")
+    },
+    Some("""WITH f AS (
+        SELECT doc_id, array_to_string(
+          list_sort(list_distinct(list_transform(
+            range(1, greatest(strlen(text) - 7, 1) + 1),
+            i -> md5(substr(text, i, 8)))))[1:4], '|') AS fp
+        FROM documents)
+      SELECT min(doc_id) AS keep_id, count(*) AS n_docs, fp
+      FROM f GROUP BY fp ORDER BY keep_id"""),
+    doc = "[NS] rolling-hash winnowing fingerprint (min-k window hashes)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
-    q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint)
+    q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
+    q49Winnowing)
 }
