@@ -80,6 +80,54 @@ object Multimodal {
       })
   }
 
+  /** Resized-media row: payload replaced by the (stub-)resized bytes. */
+  case class ResizedMedia(id: Long, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** Sampled frame: one row per extracted frame. */
+  case class Frame(id: Long, frame_idx: Int, offset_ms: Long,
+      payload: Array[Byte])
+
+  /** Resize pass: (id, payload) → target box, aspect preserved. The codec
+    * is the stub (real impl: scale pixels); the plumbing — partition-
+    * batched transform, metadata recompute, byte output — is real. */
+  def resize(df: DataFrame, maxW: Int, maxH: Int)(
+      implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        val (_, w, h) = decodeStub(bytes)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val (nw, nh) = (math.max(1, (w * scale).toInt),
+          math.max(1, (h * scale).toInt))
+        // STUB: real impl re-encodes pixels; fake keeps a size-scaled slice
+        val outLen = math.max(1, (bytes.length * scale * scale).toInt)
+        ResizedMedia(id, nw, nh, bytes.take(outLen))
+      })
+  }
+
+  /** Frame sampling (video-style): every `everyMs` up to `maxFrames` per
+    * payload — one output row per frame, exploded executor-side (no
+    * driver fan-out). STUB decodes a deterministic slice per frame. */
+  def sampleFrames(df: DataFrame, everyMs: Long = 1000, maxFrames: Int = 8)(
+      implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val durationMs = 500L + (math.abs(
+          java.util.Arrays.hashCode(bytes)) % 10000) // STUB duration probe
+        val n = math.min(maxFrames, (durationMs / everyMs + 1).toInt)
+        (0 until n).map { i =>
+          val off = i * everyMs
+          val start = (off % math.max(1, bytes.length)).toInt
+          Frame(id, i, off, bytes.slice(start,
+            math.min(bytes.length, start + 16))) // STUB frame bytes
+        }
+      }
+  }
+
   /** Size-bounded repartition for blob processing: target ~`targetMB` of
     * payload per partition so decoder memory stays bounded regardless of
     * row count — the knob that matters at 100 TB (row-count partitioning

@@ -241,13 +241,9 @@ object DocQueries {
     "q49_winnowing",
     (s, d) => {
       import s.implicits._
-      val w = 8
-      val windows = transform(
-        sequence(lit(1), greatest(length($"text") - (w - 1), lit(1))),
-        i => md5(substring($"text", i, lit(w))))
       Tables.documents(s, d)
         .withColumn("fp",
-          array_join(slice(array_sort(array_distinct(windows)), 1, 4), "|"))
+          graft.functions.WinnowExpression.winnowFingerprint($"text", 8, 4))
         .groupBy($"fp")
         .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
         .select($"keep_id", $"n_docs", $"fp")

@@ -39,6 +39,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(top(0).getDouble(1) <= 1.000001)
   }
 
+  test("resize: bounds dimensions, preserves aspect, deterministic") {
+    implicit val s = spark
+    val out = Multimodal.resize(blobs, 128, 128).collect()
+    assert(out.length === 50)
+    out.foreach { r =>
+      assert(r.width <= 128 && r.height <= 128)
+      assert(r.payload.nonEmpty)
+    }
+    val again = Multimodal.resize(blobs, 128, 128).collect()
+    assert(out.map(r => (r.id, r.width, r.height)).toSet ===
+      again.map(r => (r.id, r.width, r.height)).toSet)
+  }
+
+  test("sampleFrames: bounded fan-out with monotone offsets per id") {
+    implicit val s = spark
+    val frames = Multimodal.sampleFrames(blobs, everyMs = 1000, maxFrames = 4)
+      .collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.id).foreach { case (_, fs) =>
+      assert(fs.length <= 4)
+      assert(fs.sortBy(_.frame_idx).map(_.offset_ms).toSeq ===
+        fs.map(_.frame_idx.toLong * 1000).sorted.toSeq)
+    }
+  }
+
   test("repartitionByBytes bounds partition count by payload volume") {
     val df = Multimodal.repartitionByBytes(blobs, totalBytes = 512L * 1024 * 1024,
       targetMB = 128)
