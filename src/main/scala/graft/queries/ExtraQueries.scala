@@ -164,6 +164,30 @@ object ExtraQueries {
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
     doc = "SURVEY §2.5 [NS] exact percentiles (sort-based)")
 
+  /** SURVEY §2.5 [NS] — pivot: event counts per user day, event types as
+    * columns (Spark plans PivotFirst; the oracle is the equivalent
+    * conditional aggregation — identical result relation). */
+  val q49Pivot = Q(
+    "q50_pivot",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id,
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+    doc = "SURVEY §2.5 [NS] pivot (PivotFirst ≡ conditional agg oracle)")
+
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
-    q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles)
+    q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q49Pivot)
 }
