@@ -49,6 +49,26 @@ object EventStream {
   /** Per-user running state for the custom stateful path. */
   case class UserAgg(user_id: Long, n_events: Long, sum_value: Double)
 
+  /** mapGroupsWithState form: one output row per key per trigger — the
+    * latest watch position per user (the reference's "most recent state"
+    * reads). Exactly-one-row-per-key semantics vs flatMap's zero-or-more. */
+  def latestPerUser(events: Dataset[(Long, Double)])(
+      implicit spark: SparkSession): Dataset[UserAgg] = {
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserAgg, UserAgg](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          var n = prev.n_events
+          var last = prev.sum_value
+          rows.foreach { case (_, v) => n += 1; last = v }
+          val next = UserAgg(uid, n, last) // sum_value reused as "latest"
+          state.update(next)
+          next
+      }
+  }
+
   /** Custom stateful aggregation via flatMapGroupsWithState (SURVEY §2.9
     * [NS]): running per-user totals emitted on every update — the shape
     * used when built-in windows can't express the state machine. */

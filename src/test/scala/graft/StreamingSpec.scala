@@ -92,6 +92,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState: one row per key per trigger, latest value wins") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val ss = spark
+    val mem = MemoryStream[(Long, Double)]
+    val q = EventStream.latestPerUser(mem.toDS()).writeStream
+      .format("memory").queryName("latest_out").outputMode("update").start()
+    try {
+      mem.addData((1L, 1.0), (1L, 9.0), (2L, 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, 4.0))
+      q.processAllAvailable()
+      val last = spark.table("latest_out").groupBy("user_id")
+        .agg(max("n_events").as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last === Map(1L -> 3L, 2L -> 1L))
+      // latest value for user 1 after second batch is 4.0
+      val u1 = spark.table("latest_out")
+        .filter($"user_id" === 1L && $"n_events" === 3L)
+        .collect()(0).getAs[Double]("sum_value")
+      assert(u1 === 4.0)
+    } finally q.stop()
+  }
+
   test("batch/stream parity: session windows on testdata events") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val sess = EventStream.session(ev)
