@@ -181,7 +181,8 @@ object DocQueries {
           CAST(len(list_filter(l, w -> w IN ('the','a','of','and','to')))
             AS DOUBLE) / len(l) AS stop_ratio
         FROM (SELECT source, string_split(text, ' ') AS l FROM documents))
-      SELECT source, count(*) AS n_docs, sum(n_words) AS total_words,
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_words) AS BIGINT) AS total_words,
         ${exactSumSql("awl", 6)} AS sum_avg_word_len,
         ${exactSumSql("stop_ratio", 6)} AS sum_stop_ratio
       FROM m GROUP BY source ORDER BY source"""),
@@ -204,9 +205,9 @@ object DocQueries {
         .orderBy($"lang")
     },
     Some("""SELECT lang, count(*) AS n_docs,
-      sum(len(string_split(text, ' '))) AS sum_ws_tokens,
-      sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
-        AS sum_bpe_tokens
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws_tokens,
+      CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+        AS BIGINT) AS sum_bpe_tokens
       FROM documents GROUP BY lang ORDER BY lang"""),
     doc = "[NS] text analysis: token counting (whitespace + BPE-ish regex)")
 

@@ -71,7 +71,7 @@ object EventQueries {
         .orderBy($"event_type")
     },
     Some("""SELECT event_type,
-      sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
       FROM events GROUP BY event_type ORDER BY event_type"""),
     doc = "ref: cmds/archive.py:323 (JSON decode F15)")
@@ -92,7 +92,8 @@ object EventQueries {
           max($"gap_us").as("max_gap_us"))
         .orderBy($"user_id")
     },
-    Some("""SELECT user_id, count(gap_us) AS n_gaps, sum(gap_us) AS sum_gap_us,
+    Some("""SELECT user_id, count(gap_us) AS n_gaps,
+      CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
       max(gap_us) AS max_gap_us FROM (
         SELECT user_id, CAST(epoch_us(ts) - epoch_us(lag(ts, 1) OVER
           (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS BIGINT) AS gap_us
@@ -120,7 +121,8 @@ object EventQueries {
         .agg(max($"sess_id").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy($"user_id")
     },
-    Some("""SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+    Some("""SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+      count(*) AS n_events
       FROM (
         SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id
           ORDER BY ts ASC, event_id ASC

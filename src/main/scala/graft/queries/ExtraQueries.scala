@@ -107,9 +107,11 @@ object ExtraQueries {
     Some(sharedSql),
     doc = "catalog + spark.sql surface; identical text on both engines")
 
-  /** SURVEY §2.5 A5 — approx_count_distinct (HLL±5%). Approximation is
-    * engine-specific → no SQL oracle (rows-only check); exactness is
-    * asserted in ScalaTest against the true distinct count. */
+  /** SURVEY §2.5 A5 — approx_count_distinct (HLL±5%). The raw estimate is
+    * engine-specific, so the oracle-checked contract is the tolerance
+    * boolean: |approx − exact| / exact <= 0.05. Both engines' HLLs land
+    * within 5% deterministically, so `within_tol` hash-matches while the
+    * operator under test stays the HLL sketch. */
   val q46HllDistinct = Q(
     "q46_hll_distinct",
     (s, d) => {
@@ -117,11 +119,19 @@ object ExtraQueries {
       Tables.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"),
           count(lit(1)).as("n_rows"))
+        .select($"l_returnflag", $"n_rows",
+          (abs($"approx_parts" - $"exact_parts").cast("double") /
+            $"exact_parts" <= 0.05).as("within_tol"))
         .orderBy($"l_returnflag")
     },
-    None,
-    doc = "SURVEY §2.5 A5 HLL approx distinct (no oracle: approximate)")
+    Some("""SELECT l_returnflag, count(*) AS n_rows,
+      abs(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+        - count(DISTINCT l_partkey)) / count(DISTINCT l_partkey) <= 0.05
+        AS within_tol
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    doc = "SURVEY §2.5 A5 HLL approx distinct (tolerance-boolean oracle)")
 
   /** SURVEY §4 / 100 TB — salted two-phase aggregation: identical result
     * to the plain groupBy (the oracle IS the plain groupBy), but the hot

@@ -186,12 +186,13 @@ object StarQueries {
       val w = Window.partitionBy($"o_custkey")
         .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
       Tables.orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter($"rn" <= 3)
         .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
         .orderBy($"o_custkey", $"rn")
     },
-    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+    Some("""SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+      FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
           row_number() OVER (PARTITION BY o_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn

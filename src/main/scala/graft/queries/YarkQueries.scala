@@ -50,9 +50,9 @@ object YarkQueries {
           regexp_extract(url, 'v=([0-9A-Za-z_-]{11})', 1) AS extracted
         FROM u)
       SELECT base_url, count(*) AS n,
-        sum(CASE WHEN length(extracted) = 11
+        CAST(sum(CASE WHEN length(extracted) = 11
           AND regexp_matches(extracted, '^[0-9A-Za-z_-]{11}$')
-          THEN 1 ELSE 0 END) AS n_valid,
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
         count(DISTINCT extracted) AS n_ids
       FROM r GROUP BY base_url ORDER BY base_url"""),
     doc = "ref: utils.py:19-24 (F1), cmds/archive.py:88,334 (F2/F10)")
@@ -290,7 +290,7 @@ object YarkQueries {
         .orderBy($"source")
     },
     Some("""SELECT source, count(*) AS n_blobs,
-      sum(CAST(strlen(text) AS BIGINT)) AS total_bytes,
+      CAST(sum(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS total_bytes,
       max(CAST(strlen(text) AS BIGINT)) AS max_bytes,
       count(DISTINCT md5(text)) AS n_distinct_sigs
       FROM documents GROUP BY source ORDER BY source"""),

@@ -56,7 +56,24 @@ def main():
             print(f"FAIL {name}: rows oracle={len(e)} spark={len(g)}")
             fail += 1
             continue
+        # arrow-type diff: the driver's hash is type-sensitive (DuckDB
+        # HUGEINT sums vs Spark BIGINT was round-1's only failure class)
+        tdiff = []
+        try:
+            import pyarrow.parquet as pq
+            import glob as _glob
+            easch = con.execute(sql).arrow().schema
+            gasch = pq.read_schema(
+                _glob.glob(f"{OUT}/{name}/*.parquet")[0])
+            for c in sorted(ecols):
+                et, gt = easch.field(c).type, gasch.field(c).type
+                if str(et) != str(gt):
+                    tdiff.append(f"{c}: oracle={et} spark={gt}")
+        except Exception as e2:
+            tdiff.append(f"(type check error: {e2})")
         bad = [(a, b) for a, b in zip(e, g) if a != b]
+        if tdiff:
+            print(f"TYPE {name}: " + "; ".join(tdiff))
         if bad:
             print(f"FAIL {name}: {len(bad)}/{len(e)} rows differ; first: "
                   f"oracle={bad[0][0]} spark={bad[0][1]}")
