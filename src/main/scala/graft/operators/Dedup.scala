@@ -34,38 +34,51 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col("content_hash"))
 
-  /** D5 — per-doc MinHash signature: k components, h_i = min over shingles
-    * of md5(i ++ ":" ++ gram). One shuffle (groupBy id). */
+  /** D5 — per-doc MinHash signature: k numeric components. Components
+    * 2i and 2i+1 are the two 60-bit halves (hex chars 1-15 and 17-31) of
+    * md5(i ":" gram), each min-aggregated over the doc's shingles.
+    * Numeric longs instead of md5 hex strings: 8-byte agg state and
+    * shuffle rows instead of 32-char strings, and half the md5 calls
+    * (two components per digest). One shuffle (groupBy id). */
   def minhashSignature(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val sigCols = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("gram")))).as(s"s$i"))
+    require(k % 2 == 0, s"k must be even (two components per digest): $k")
+    val sigCols = (0 until k / 2).flatMap { i =>
+      val h = md5(concat(lit(s"$i:"), col("gram")))
+      Seq(
+        min(conv(substring(h, 1, 15), 16, 10).cast("long")).as(s"s${2 * i}"),
+        min(conv(substring(h, 17, 15), 16, 10).cast("long")).as(s"s${2 * i + 1}"))
+    }
     sh.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** D5 — LSH banding over a signature: (idCol, band, v) with
-    * v = md5(concat of the band's rows). */
+  /** D5 — LSH banding over a numeric signature: (idCol, band, v0..v{r-1})
+    * where the band value IS the band's signature rows — a multi-column
+    * long equi-join needs no re-hash and stays 8 bytes per component. */
   def lshBands(sig: DataFrame, idCol: String, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    sig.select(col(idCol), explode(array(
-      (0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws("", (0 until rows).map(r =>
-            col(s"s${b * rows + r}")): _*)).as("v"))): _*
-    )).as("bd")).select(col(idCol), col("bd.band").as("band"),
-      col("bd.v").as("v"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band") +: (0 until rows).map(r =>
+        col(s"s${b * rows + r}").as(s"v$r")): _*)
+    }
+    sig.select(col(idCol), explode(array(bandStructs: _*)).as("bd"))
+      .select(col(idCol) +: col("bd.band").as("band") +:
+        (0 until rows).map(r => col(s"bd.v$r").as(s"v$r")): _*)
   }
 
   /** D5 — MinHash+LSH candidate pairs (doc_a < doc_b, distinct). */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN)
-    val sig = minhashSignature(sh, idCol, k)
-    // both sides of the band self-join read this — persist so the whole
-    // shingle→signature pipeline runs once, not twice
-    val bds = lshBands(sig, idCol, k, bands).persist()
-    val a = bds.select(col(idCol).as("doc_a"), col("band"), col("v"))
-    val b = bds.select(col(idCol).as("doc_b"), col("band"), col("v"))
-    a.join(b, Seq("band", "v")).filter(col("doc_a") < col("doc_b"))
+    val rows = k / bands
+    // both sides of the band self-join read the band table; eager
+    // localCheckpoint materializes it ONCE before the join (a lazy
+    // persist lets both branches race to compute every partition twice)
+    val bds = lshBands(minhashSignature(
+      shingles(df, idCol, textCol, shingleN), idCol, k), idCol, k, bands)
+      .localCheckpoint()
+    val keyCols = "band" +: (0 until rows).map(r => s"v$r")
+    val a = bds.withColumnRenamed(idCol, "doc_a")
+    val b = bds.withColumnRenamed(idCol, "doc_b")
+    a.join(b, keyCols).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
@@ -75,13 +88,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     // Count-join form: candidates via shared-gram equi-join, shared counts
-    // by aggregation. Persisted single shingle pass; grams travel as
-    // 64-bit hashes (equal grams hash equal; 2^-64 collision odds).
-    // Measured faster than the prefix-filtered variant on dense/small-
-    // vocabulary corpora; see ngramJaccardPairsPrefixFiltered for the
-    // sparse-vocabulary scale path (identical output).
+    // by aggregation. Single eagerly-materialized shingle pass (three
+    // consumers); grams travel as 64-bit hashes (equal grams hash equal;
+    // 2^-64 collision odds). Measured faster than the prefix-filtered
+    // variant on dense/small-vocabulary corpora; see
+    // ngramJaccardPairsPrefixFiltered for the sparse-vocabulary scale
+    // path (identical output).
     val tg = shingles(df, idCol, textCol, shingleN)
-      .select(col(idCol), xxhash64(col("gram")).as("gh")).persist()
+      .select(col(idCol), xxhash64(col("gram")).as("gh")).localCheckpoint()
     val sz = tg.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val ta = tg.select(col(idCol).as("doc_a"), col("gh"))
     val tb = tg.select(col(idCol).as("doc_b"), col("gh"))
@@ -110,7 +124,7 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tg = shingles(df, idCol, textCol, shingleN)
-      .select(col(idCol), xxhash64(col("gram")).as("gh")).persist()
+      .select(col(idCol), xxhash64(col("gram")).as("gh")).localCheckpoint()
     val dfreq = tg.groupBy(col("gh")).agg(count(lit(1)).as("df"))
     val ranked = tg.join(dfreq, Seq("gh"))
       .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))

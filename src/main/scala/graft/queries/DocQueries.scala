@@ -58,8 +58,9 @@ object DocQueries {
       ORDER BY doc_a, doc_b"""),
     doc = "SURVEY §2.8 D5 n-gram Jaccard (oracle twin of the LSH path)")
 
-  /** SURVEY §2.8 D5 — MinHash + LSH banding: k=8 signature components
-    * h_i = min(md5(i || ':' || gram)), 4 bands × 2 rows, candidates = doc
+  /** SURVEY §2.8 D5 — MinHash + LSH banding: k=8 numeric signature
+    * components (components 2i/2i+1 = the 60-bit halves of
+    * md5(i ':' gram), min-aggregated), 4 bands × 2 rows, candidates = doc
     * pairs sharing a band. The 100 TB near-dup path: signature build is one
     * groupBy(doc) pass; the band join touches only colliding buckets. */
   val q24MinhashLsh = Q(
@@ -70,19 +71,24 @@ object DocQueries {
         .orderBy(col("doc_a"), col("doc_b")),
     Some(s"""WITH tg AS ($shinglesSql),
       sig AS (SELECT doc_id,
-        min(md5('0:' || gram)) AS s0, min(md5('1:' || gram)) AS s1,
-        min(md5('2:' || gram)) AS s2, min(md5('3:' || gram)) AS s3,
-        min(md5('4:' || gram)) AS s4, min(md5('5:' || gram)) AS s5,
-        min(md5('6:' || gram)) AS s6, min(md5('7:' || gram)) AS s7
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
         FROM tg GROUP BY doc_id),
       bands AS (
-        SELECT doc_id, 0 AS band, md5(s0 || s1) AS v FROM sig UNION ALL
-        SELECT doc_id, 1, md5(s2 || s3) FROM sig UNION ALL
-        SELECT doc_id, 2, md5(s4 || s5) FROM sig UNION ALL
-        SELECT doc_id, 3, md5(s6 || s7) FROM sig)
+        SELECT doc_id, 0 AS band, s0 AS v0, s1 AS v1 FROM sig UNION ALL
+        SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        SELECT doc_id, 3, s6, s7 FROM sig)
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y
-        ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id
+        ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+          AND x.doc_id < y.doc_id
       ORDER BY doc_a, doc_b"""),
     doc = "SURVEY §2.8 D5 MinHash+LSH banding (scale path for near-dup)")
 

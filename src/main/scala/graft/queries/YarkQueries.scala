@@ -118,25 +118,33 @@ object YarkQueries {
     "q37_cascade_delete",
     (s, d) => {
       import s.implicits._
+      // Deleted-key sets materialize ONCE (eager localCheckpoint) — they
+      // feed both the next cascade level and the surviving-count
+      // anti-join, and recomputing them re-runs the whole upstream chain.
+      // Each set is the deleted region's slice of its table, so
+      // broadcasting it into the anti-join keeps every base table to a
+      // single unshuffled scan. (At true 100 TB the delOrders set can
+      // outgrow a broadcast; there the anti-join falls back to a shuffle
+      // on the key — drop the hint, semantics unchanged.)
       val delRegion = Tables.region(s, d)
         .agg(min($"r_regionkey").as("rk"))
       val delNation = Tables.nation(s, d)
         .join(broadcast(delRegion), $"n_regionkey" === $"rk", "left_semi")
-        .select($"n_nationkey")
+        .select($"n_nationkey".as("del_nkey")).localCheckpoint()
       val delCust = Tables.customer(s, d)
-        .join(broadcast(delNation), $"c_nationkey" === $"n_nationkey", "left_semi")
-        .select($"c_custkey")
+        .join(broadcast(delNation), $"c_nationkey" === $"del_nkey", "left_semi")
+        .select($"c_custkey".as("del_ckey")).localCheckpoint()
       val delOrders = Tables.orders(s, d)
-        .join(broadcast(delCust), $"o_custkey" === $"c_custkey", "left_semi")
-        .select($"o_orderkey")
+        .join(broadcast(delCust), $"o_custkey" === $"del_ckey", "left_semi")
+        .select($"o_orderkey".as("del_okey")).localCheckpoint()
       val survNation = Tables.nation(s, d)
-        .join(broadcast(delRegion), $"n_regionkey" === $"rk", "left_anti")
+        .join(broadcast(delNation), $"n_nationkey" === $"del_nkey", "left_anti")
       val survCust = Tables.customer(s, d)
-        .join(broadcast(delNation), $"c_nationkey" === $"n_nationkey", "left_anti")
+        .join(broadcast(delNation), $"c_nationkey" === $"del_nkey", "left_anti")
       val survOrders = Tables.orders(s, d)
-        .join(broadcast(delCust), $"o_custkey" === $"c_custkey", "left_anti")
+        .join(broadcast(delCust), $"o_custkey" === $"del_ckey", "left_anti")
       val survLine = Tables.lineitem(s, d)
-        .join(delOrders, $"l_orderkey" === $"o_orderkey", "left_anti")
+        .join(broadcast(delOrders), $"l_orderkey" === $"del_okey", "left_anti")
       survNation.agg(count(lit(1)).as("n_nation"))
         .crossJoin(survCust.agg(count(lit(1)).as("n_customer")))
         .crossJoin(survOrders.agg(count(lit(1)).as("n_orders")))
