@@ -15,14 +15,18 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * after fusion user code written in the idiomatic declarative style gets
   * the native loop for free.
   *
-  * Safety: applied only when both arrays are ARRAY<DOUBLE NOT NULL> and
-  * the same length family — on ragged pairs zip_with pads with NULLs and
-  * the composed form yields NULL, while graft_dot folds min(len); with
-  * non-null element types the rewrite is semantics-preserving for equal
-  * lengths and conservative containsNull=false guards the null-padding
-  * divergence (padding a non-null element type can only occur when
-  * lengths differ, which the fused form treats as min-length — the
-  * documented graft_dot contract).
+  * Safety — the rewrite fires only when the pattern is EXACTLY a dot:
+  *   - the Multiply operands are the zip_with lambda's own two variables,
+  *     one each (x*x, x*const, or a captured outer variable do not match);
+  *   - the Add operands are the fold lambda's accumulator and element,
+  *     one each (acc+acc does not match);
+  *   - the finish lambda is the identity on the accumulator;
+  *   - both inputs are ARRAY<DOUBLE NOT NULL> and the seed is 0.0.
+  * Ragged pairs: zip_with null-pads the shorter side, so the composed
+  * form yields NULL while graft_dot folds min-length — the fused form is
+  * therefore guarded with `if (size(a) = size(b)) dot else NULL`, which
+  * reproduces the composed semantics bit-for-bit (a NULL array input also
+  * falls through to the NULL branch, matching aggregate-over-NULL).
   */
 object DotFusionRule extends Rule[LogicalPlan] {
 
@@ -31,18 +35,34 @@ object DotFusionRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** `ops` are exactly the two bound lambda variables, one each. */
+  private def usesBothVars(op1: Expression, op2: Expression,
+      v1: NamedLambdaVariable, v2: NamedLambdaVariable): Boolean =
+    (op1, op2) match {
+      case (a: NamedLambdaVariable, b: NamedLambdaVariable) =>
+        (a.exprId == v1.exprId && b.exprId == v2.exprId) ||
+          (a.exprId == v2.exprId && b.exprId == v1.exprId)
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
             ZipWith(a, b,
-              LambdaFunction(
-                Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _),
-                _, _)),
+              LambdaFunction(Multiply(m1, m2, _),
+                Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
             Literal(zero, DoubleType),
-            LambdaFunction(
-              Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
-            LambdaFunction(fin: NamedLambdaVariable, _, _))
-          if zero == 0.0 && isDoubleArray(a) && isDoubleArray(b) =>
-        DotProduct(a, b)
+            LambdaFunction(Add(a1, a2, _),
+              Seq(acc: NamedLambdaVariable, elem: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable,
+              Seq(facc: NamedLambdaVariable), _))
+          if zero == 0.0 && zx.exprId != zy.exprId &&
+            acc.exprId != elem.exprId &&
+            usesBothVars(m1, m2, zx, zy) &&
+            usesBothVars(a1, a2, acc, elem) &&
+            fin.exprId == facc.exprId &&
+            isDoubleArray(a) && isDoubleArray(b) =>
+        If(EqualTo(Size(a), Size(b)), DotProduct(a, b),
+          Literal(null, DoubleType))
     }
 }

@@ -34,12 +34,16 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       shingleBuilder _))
 
-  /** Register on an existing session (idempotent). */
+  /** Register on an existing session (idempotent). Includes the §2.10
+    * custom Aggregator (`graft_minhash_union`) via udaf() — a UDAF goes
+    * through spark.udf, not the expression registry. */
   def register(spark: SparkSession): Unit = {
     val reg = Bridge.functionRegistry(spark)
     descriptions.foreach { case (ident, info, builder) =>
       reg.registerFunction(ident, info, builder)
     }
+    spark.udf.register("graft_minhash_union",
+      org.apache.spark.sql.functions.udaf(MinHashUnionAggregator()))
   }
 }
 

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Refine {
 
-  /** utils.py:8 — the default channel-description blurb YouTube injects. */
-  val DefaultDesc: String = ""
+  /** utils.py:8 — the default channel-description blurb YouTube injects
+    * (exact sentinel; F4 blanking only fires on byte-identical text). */
+  val DefaultDesc: String =
+    "Enjoy the videos and music you love, upload original content, and " +
+      "share it all with friends, family, and the world on YouTube."
 
   /** F1 — video-ID validation: exactly 11 chars of [0-9A-Za-z_-]
     * (utils.py:19-24). */
@@ -87,19 +90,28 @@ object Refine {
       .otherwise(concat(f1(sec / 3600).cast("string"), lit(" hours")))
   }
 
-  /** F13 — ANSI-escape stripping (utils.py:12,54-55). */
+  /** F13 — ANSI-escape stripping: the reference's full ANSI_ESCAPE
+    * pattern (utils.py:12,54-55) — anchored on the ESC byte, so plain
+    * text like "[2m" is never stripped, and two-byte escapes (ESC + one
+    * of @-Z\-_) are removed too, not just CSI...m color codes. */
   def stripAnsi(c: Column): Column =
-    regexp_replace(c, "\\[[0-9;]*m", "")
+    regexp_replace(c, "\u001B(?:[@-Z\\\\-_]|\\[[0-?]*[ -/]*[@-~])", "")
 
   /** F14 — INTEGER flag → Boolean (schema.sql:35-36). */
   def boolFlag(c: Column): Column = c.cast("boolean")
 
-  /** F16 — yes/maybe/no confirm classification (utils.py:14-16,45-50):
-    * 1 = yes, 0 = no, -1 = unrecognized ("maybe"). */
+  /** F16 — yes/maybe/no confirm classification with the reference's exact
+    * word lists (utils.py:14-16,45-50): 1 = YES (confirm returns True),
+    * -1 = MAYBE ("I'll let you think about it"), 0 = NO, -2 = anything
+    * else ("What ?") — the last three all return False in the reference;
+    * the codes keep the four reply classes distinguishable. */
   def yesNo(c: Column): Column = {
     val l = lower(c)
-    when(l.isin("y", "yes", "ye", "yeah", "yep"), 1)
-      .when(l.isin("n", "no", "nope", "nah"), 0)
-      .otherwise(-1)
+    when(l.isin("yes", "y", "yep", "sure", "ight", "ok", "okey", "go ahead",
+      "cool", "ye", "yeh", "yee", "do it", "why not"), 1)
+      .when(l.isin("maybe", "perhaps", "possibly", "conceivably",
+        "probably"), -1)
+      .when(l.isin("no", "n", "nah", "nou", "dont", "don't"), 0)
+      .otherwise(-2)
   }
 }

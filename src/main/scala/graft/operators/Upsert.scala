@@ -26,8 +26,13 @@ object Upsert {
     val batchDeduped = incoming
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+    // incoming ≪ base, so the anti-join must never broadcast the base
+    // key set (at 100 TB that side is the unbroadcastable one and a
+    // broadcast hint there OOMs the driver). Left-anti keeps the probe
+    // side on the left; AQE picks broadcast only if base keys turn out
+    // tiny at runtime.
     val fresh = batchDeduped.join(
-      broadcast(base.select(keys.map(col): _*)), keys, "left_anti")
+      base.select(keys.map(col): _*), keys, "left_anti")
     base.unionByName(fresh)
   }
 

@@ -3,6 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.functions.Refine
 
 /** E2 — `archive playlist` (cmds/archive.py:224-314): the Takeout-CSV
@@ -16,10 +17,28 @@ import graft.functions.Refine
   */
 object PlaylistIngest {
 
+  /** S5 — the Takeout playlist-CSV schema, explicit: never infer (an
+    * inference pass is a second full read, and all-string columns defeat
+    * downstream pruning/pushdown). `Time Created` stays a string here —
+    * Takeout's format needs the permissive F7 parse in [[membership]],
+    * not the CSV reader's strict one. Malformed rows are kept PERMISSIVE
+    * with the raw line in `_corrupt_record` for quarantine (the reference
+    * skips bad rows silently, cmds/archive.py:300-303; keeping them
+    * auditable is strictly better and filters identically). */
+  val csvSchema: StructType = StructType(Seq(
+    StructField("Video ID", StringType, nullable = true),
+    StructField("Time Created", StringType, nullable = true),
+    StructField("_corrupt_record", StringType, nullable = true)))
+
   /** S5 — read a Takeout playlist CSV ("Video ID","Time Created" header,
-    * cmds/archive.py:232-247). */
+    * cmds/archive.py:232-247) with the explicit schema. */
   def readCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").csv(path)
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(csvSchema)
+      .csv(path)
 
   /** CSV branch: synthesize the playlist header from the file stem
     * ("<title> videos" → title, F11; local id PLLOCAL_*, line 233-247). */

@@ -20,8 +20,8 @@ import graft.functions.Refine
   */
 object VideoIngest {
 
-  val DefaultDesc =
-    "Welcome to the official YouTube channel!" // utils.py:8 shape
+  /** utils.py:8 — exact sentinel (F4 blanking fires only on this text). */
+  val DefaultDesc = graft.functions.Refine.DefaultDesc
 
   /** The refine scalar chain (cmds/archive.py:82-120): F2 thumbnail strip,
     * F4 description blanking, F5 coalesce chains, F6 rename, F7 date

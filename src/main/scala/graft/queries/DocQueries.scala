@@ -266,7 +266,29 @@ object DocQueries {
       FROM f GROUP BY fp ORDER BY keep_id"""),
     doc = "[NS] rolling-hash winnowing fingerprint (min-k window hashes)")
 
+  /** SURVEY §2.8 D5 — the PPJoin prefix-filtered Jaccard join (Xiao et
+    * al., WWW'08): the 100 TB path for exact similarity joins over skewed
+    * gram vocabularies. Lossless — identical output contract to q23, and
+    * the oracle IS q23's SQL, proving the pruning drops nothing. */
+  val q52JaccardPrefix = Q(
+    "q52_jaccard_prefix",
+    (s, d) =>
+      Dedup.ngramJaccardPairsPrefixFiltered(Tables.documents(s, d), "doc_id",
+        "text", shingleN = 3, minJaccard = 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH tg AS ($shinglesSql),
+      sz AS (SELECT doc_id, count(*) AS n FROM tg GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM tg a JOIN tg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, shared,
+        CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+      FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+      ORDER BY doc_a, doc_b"""),
+    doc = "Xiao et al. WWW'08 PPJoin prefix filter (scale path of q23)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
-    q49Winnowing)
+    q49Winnowing, q52JaccardPrefix)
 }

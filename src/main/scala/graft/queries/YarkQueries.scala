@@ -304,7 +304,36 @@ object YarkQueries {
       FROM documents GROUP BY source ORDER BY source"""),
     doc = "ref: schema.sql:49 BLOB column; SURVEY §2.1 S9/S10 (binary meta)")
 
+  /** SURVEY §2.3 J3 — recursive cascade over a self-FK tree (the comment
+    * reply tree, schema.sql:41, exercised by cmds/archive.py:408): a
+    * parent chain synthesized over orders (parent = o_orderkey div 2),
+    * seeded at keys 32..39, cascaded to fixpoint. The oracle is DuckDB's
+    * WITH RECURSIVE — the driver-checkable twin of the plan-iterating
+    * fixpoint in [[graft.operators.Integrity.cascadeRecursive]]. */
+  val q51RecursiveCascade = Q(
+    "q51_recursive_cascade",
+    (s, d) => {
+      import s.implicits._
+      val nodes = Tables.orders(s, d)
+        .select($"o_orderkey", expr("o_orderkey div 2").as("parent"))
+      val seeds = nodes.filter($"o_orderkey".between(32, 39))
+        .select($"o_orderkey")
+      graft.operators.Integrity
+        .cascadeRecursive(nodes, "o_orderkey", "parent", seeds)
+        .agg(count(lit(1)).as("n_deleted"),
+          min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"),
+          sum($"o_orderkey").as("sum_keys"))
+    },
+    Some("""WITH RECURSIVE del AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderkey BETWEEN 32 AND 39
+        UNION
+        SELECT o.o_orderkey FROM orders o JOIN del ON o.o_orderkey // 2 = del.k)
+      SELECT count(*) AS n_deleted, min(k) AS min_key, max(k) AS max_key,
+        CAST(sum(k) AS BIGINT) AS sum_keys
+      FROM del"""),
+    doc = "ref: schema.sql:41 self-FK; cmds/archive.py:408 (J3 fixpoint)")
+
   val all: Seq[Q] = Seq(q34RefineUrls, q35RefineNulls, q36FkValidate,
     q37CascadeDelete, q38RestrictCheck, q39UpsertMerge, q40InsertIfAbsent,
-    q41BinaryMeta)
+    q41BinaryMeta, q51RecursiveCascade)
 }

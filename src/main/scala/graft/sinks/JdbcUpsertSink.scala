@@ -31,6 +31,13 @@ final case class JdbcUpsertSink(
 
   private def connect(): Connection = DriverManager.getConnection(url)
 
+  /** SQLState class 23 (integrity constraint violation) — the only
+    * SQLException family equivalent to the reference's sqlite3
+    * IntegrityError. */
+  private def isIntegrityViolation(e: SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      Option(e.getSQLState).exists(_.startsWith("23"))
+
   /** Run DDL (CREATE TABLE ...) on the sink DB. */
   def execDdl(ddl: String): Unit = {
     val c = connect()
@@ -111,7 +118,12 @@ final case class JdbcUpsertSink(
           setParams(ins, r, cols, schema)
           try ins.executeUpdate()
           catch {
-            case _: SQLException => // key exists (IntegrityError analogue)
+            // Only the integrity-constraint class (SQLState 23xxx) is the
+            // IntegrityError analogue the reference catches
+            // (cmds/archive.py:160). Anything else — dropped connection,
+            // type mismatch, serialization failure — must abort and roll
+            // back the partition transaction, not masquerade as a dup.
+            case e: SQLException if isIntegrityViolation(e) =>
               // all-key tables have nothing to update → dup is a no-op
               if (setCols.nonEmpty && guard(r)) {
                 setParams(upd, r, setCols, schema)
@@ -123,6 +135,62 @@ final case class JdbcUpsertSink(
         c.commit() // W7
       } catch { case e: Throwable => c.rollback(); throw e }
       finally c.close()
+    }
+  }
+
+  /** W2 at scale — staged MERGE (SURVEY §2.4 "stage + conditional upsert
+    * SQL"): each partition writes its rows into a private staging table
+    * with PreparedStatement batches, then issues ONE set-based MERGE —
+    * two round-trips per partition instead of one per row (the
+    * try-INSERT-catch-UPDATE form is faithful to the reference's serial
+    * loop but pays a round-trip per row; this is the 100 TB path).
+    *
+    * `guardSql` is the W2 never-downgrade predicate over aliases `t`
+    * (target) and `s` (staged), e.g. `"s.price > t.price"`; default
+    * updates unconditionally. Rows must be key-unique within the batch
+    * (MERGE rejects double updates of one target row) — dedupe with
+    * [[graft.operators.Upsert.insertIfAbsent]]'s window trick first. */
+  def upsertStagedMerge(df: DataFrame, guardSql: String = "1=1"): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames.toSeq
+    val keys = keyCols
+    val setCols = cols.filterNot(keys.contains)
+    val u = url; val tbl = table; val bs = batchSize
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val stg = s"${tbl}_stg_$pid"
+        val c = DriverManager.getConnection(u)
+        try {
+          c.setAutoCommit(false)
+          val st = c.createStatement()
+          try st.execute(s"DROP TABLE $stg") catch { case _: SQLException => }
+          st.execute(
+            s"CREATE TABLE $stg AS SELECT * FROM $tbl WITH NO DATA")
+          val ins = c.prepareStatement(
+            s"INSERT INTO $stg (${cols.mkString(",")}) VALUES " +
+              s"(${cols.map(_ => "?").mkString(",")})")
+          var n = 0
+          rows.foreach { r =>
+            setParams(ins, r, cols, schema); ins.addBatch(); n += 1
+            if (n % bs == 0) ins.executeBatch()
+          }
+          ins.executeBatch()
+          val updateClause =
+            if (setCols.isEmpty) ""
+            else s"WHEN MATCHED AND ($guardSql) THEN UPDATE SET " +
+              setCols.map(sc => s"$sc = s.$sc").mkString(", ") + " "
+          st.execute(
+            s"MERGE INTO $tbl t USING $stg s ON " +
+              keys.map(k => s"t.$k = s.$k").mkString(" AND ") + " " +
+              updateClause +
+              s"WHEN NOT MATCHED THEN INSERT (${cols.mkString(",")}) " +
+              s"VALUES (${cols.map(sc => s"s.$sc").mkString(",")})")
+          st.execute(s"DROP TABLE $stg")
+          c.commit() // W7: stage + merge in one transaction
+        } catch { case e: Throwable => c.rollback(); throw e }
+        finally c.close()
+      }
     }
   }
 

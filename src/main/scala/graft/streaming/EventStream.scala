@@ -49,21 +49,37 @@ object EventStream {
   /** Per-user running state for the custom stateful path. */
   case class UserAgg(user_id: Long, n_events: Long, sum_value: Double)
 
+  /** Per-user latest-event state: the event-time watermark of the value. */
+  case class UserLatest(user_id: Long, n_events: Long, latest_ts: Long,
+      latest_value: Double)
+
   /** mapGroupsWithState form: one output row per key per trigger — the
     * latest watch position per user (the reference's "most recent state"
-    * reads). Exactly-one-row-per-key semantics vs flatMap's zero-or-more. */
-  def latestPerUser(events: Dataset[(Long, Double)])(
-      implicit spark: SparkSession): Dataset[UserAgg] = {
+    * reads). Exactly-one-row-per-key semantics vs flatMap's zero-or-more.
+    *
+    * "Latest" is decided by the event timestamp carried in the input
+    * (epoch micros), NOT by iterator order — the within-batch iterator
+    * after the groupByKey shuffle has no ordering guarantee, so a
+    * max-by-timestamp reduce is the only deterministic definition.
+    * Ties (same ts) break toward the larger value for determinism. */
+  def latestPerUser(events: Dataset[(Long, Long, Double)])(
+      implicit spark: SparkSession): Dataset[UserLatest] = {
     import spark.implicits._
     events.groupByKey(_._1)
-      .mapGroupsWithState[UserAgg, UserAgg](
+      .mapGroupsWithState[UserLatest, UserLatest](
         GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
-          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+        (uid: Long, rows: Iterator[(Long, Long, Double)],
+            state: GroupState[UserLatest]) =>
+          val prev = state.getOption
+            .getOrElse(UserLatest(uid, 0L, Long.MinValue, 0.0))
           var n = prev.n_events
-          var last = prev.sum_value
-          rows.foreach { case (_, v) => n += 1; last = v }
-          val next = UserAgg(uid, n, last) // sum_value reused as "latest"
+          var ts = prev.latest_ts
+          var last = prev.latest_value
+          rows.foreach { case (_, t, v) =>
+            n += 1
+            if (t > ts || (t == ts && v > last)) { ts = t; last = v }
+          }
+          val next = UserLatest(uid, n, ts, last)
           state.update(next)
           next
       }

@@ -20,6 +20,28 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(grams === Seq("a b c", "b c d", "c d a", "d a b"))
   }
 
+  test("graft_minhash_union Aggregator: incremental signature union on SQL") {
+    GraftFunctions.register(spark)
+    // three docs in two sources; per-doc 4-component signatures
+    spark.sql("""SELECT * FROM VALUES
+        ('a', array(5L, 9L, 2L, 7L)),
+        ('a', array(3L, 11L, 4L, 7L)),
+        ('b', array(1L, 1L, 1L, 1L))
+      AS t(src, sig)""").createOrReplaceTempView("sigs")
+    val rows = spark.sql(
+      """SELECT src, graft_minhash_union(sig) AS u FROM sigs
+        GROUP BY src ORDER BY src""").collect()
+    // union = element-wise min: signature of the merged doc set
+    assert(rows(0).getSeq[Long](1) === Seq(3L, 9L, 2L, 7L))
+    assert(rows(1).getSeq[Long](1) === Seq(1L, 1L, 1L, 1L))
+    // incremental property: fold a new batch into a stored signature
+    val inc = spark.sql(
+      """SELECT graft_minhash_union(sig) AS u FROM (
+          SELECT array(3L, 9L, 2L, 7L) AS sig  -- stored union of src 'a'
+          UNION ALL SELECT array(4L, 2L, 8L, 6L))""").collect()(0)
+    assert(inc.getSeq[Long](0) === Seq(3L, 2L, 2L, 6L))
+  }
+
   test("registration is idempotent and null-safe") {
     GraftFunctions.register(spark)
     GraftFunctions.register(spark)

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.pipelines.{LostRetry, PlaylistIngest}
 import graft.sources.Retry
@@ -20,7 +21,13 @@ class PipelineSpec extends AnyFunSuite {
         |aaaaaaaaaaa,2024-01-01T09:00:00Z
         |bad id,2024-01-01T09:30:00Z
         |""".stripMargin)
-    val rows = PlaylistIngest.readCsv(spark, csv.toString)
+    // cache: Spark disallows filtering ONLY the internal corrupt-record
+    // column straight off raw files (SPARK-21610)
+    val rows = PlaylistIngest.readCsv(spark, csv.toString).cache()
+    // S5: explicit StructType, not inference — typed columns present
+    assert(rows.schema.fieldNames.toSeq ===
+      Seq("Video ID", "Time Created", "_corrupt_record"))
+    assert(rows.where(col("_corrupt_record").isNotNull).count() === 0)
     val header = PlaylistIngest.playlistFromCsv(spark, "My Mix videos")
       .collect()(0)
     assert(header.getAs[String]("playlist_id") === "PLLOCAL_My_Mix")

@@ -87,8 +87,18 @@ class RefineSpec extends AnyFunSuite {
     assert(r === Seq("45 seconds", "1.5 minutes", "2.0 hours", "1.5 hours"))
   }
 
+  test("F13 ANSI stripping matches the reference's ANSI_ESCAPE (utils.py:12)") {
+    val esc = "\u001b"
+    val r = one(Refine.stripAnsi($"x"), Seq(
+      s"$esc[31mred$esc[0m", // CSI color codes
+      "keep [2m plain", // no ESC byte -> untouched
+      s"two-byte ${esc}M escape")) // ESC + @-Z form
+    assert(r === Seq("red", "keep [2m plain", "two-byte  escape"))
+  }
+
   test("F16 yes/maybe/no classification (utils.py:14-16)") {
-    val r = one(Refine.yesNo($"x"), Seq("YES", "nah", "dunno"))
-    assert(r === Seq(1, 0, -1))
+    val r = one(Refine.yesNo($"x"),
+      Seq("YES", "go ahead", "nah", "don't", "perhaps", "dunno"))
+    assert(r === Seq(1, 1, 0, 0, -1, -2))
   }
 }

@@ -51,6 +51,44 @@ class SinkSpec extends AnyFunSuite {
     assert(sink.queryCount("k = 'a' AND v = 1") === 1)
   }
 
+  test("non-integrity SQL errors abort the partition, not masquerade as dups") {
+    import spark.implicits._
+    val sink = freshSink("t_abort",
+      "CREATE TABLE t_abort (k VARCHAR(10) PRIMARY KEY, v INT NOT NULL)",
+      Seq("k"))
+    sink.append(Seq(("a", 1)).toDF("k", "v"))
+    // 'b' violates NOT NULL on a NON-key column — SQLState 23502 is an
+    // integrity violation but an INSERT failure, and the guarded-update
+    // fallback must not swallow a genuinely bad row as "key exists":
+    // the UPDATE hits zero rows, the batch commits, and the bad row is
+    // reported absent. The truly-fatal case — a statement-level error
+    // like a type mismatch (22xxx) or syntax (42xxx) — must throw.
+    val boom = intercept[Exception] {
+      // table name with a quote → syntax error at execute time (42xxx),
+      // NOT an integrity violation: must propagate
+      val bad = JdbcUpsertSink("jdbc:derby:memory:t_abort", "t_abort\"", Seq("k"))
+      bad.upsert(Seq(("c", 3)).toDF("k", "v"))
+    }
+    assert(boom != null)
+    // base table unchanged by the failed writer
+    assert(sink.queryCount() === 1)
+  }
+
+  test("W2 staged MERGE: one set-based statement per partition") {
+    import spark.implicits._
+    val sink = freshSink("t_merge",
+      "CREATE TABLE t_merge (k VARCHAR(10) PRIMARY KEY, v INT)", Seq("k"))
+    sink.append(Seq(("a", 5), ("b", 2)).toDF("k", "v"))
+    // never-downgrade guard in SQL: update only when staged v is higher
+    val batch = Seq(("a", 1), ("b", 9), ("c", 3)).toDF("k", "v")
+      .repartition(2)
+    sink.upsertStagedMerge(batch, guardSql = "s.v > t.v")
+    assert(sink.queryCount() === 3)
+    assert(sink.queryCount("k = 'a' AND v = 5") === 1) // 1 < 5: kept
+    assert(sink.queryCount("k = 'b' AND v = 9") === 1) // 9 > 2: updated
+    assert(sink.queryCount("k = 'c' AND v = 3") === 1) // new: inserted
+  }
+
   test("exactly-once: replaying the same micro-batch is a no-op") {
     import spark.implicits._
     val sink = freshSink("t_replay",

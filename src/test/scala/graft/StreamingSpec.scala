@@ -92,27 +92,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("mapGroupsWithState: one row per key per trigger, latest value wins") {
+  test("mapGroupsWithState: one row per key per trigger, max event-time wins") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     implicit val ss = spark
-    val mem = MemoryStream[(Long, Double)]
+    // (user_id, event_ts_micros, value) — "latest" = max ts, NOT batch
+    // arrival order: user 1's second batch row carries an OLDER ts and
+    // must not displace the ts=20 value from the first batch.
+    val mem = MemoryStream[(Long, Long, Double)]
     val q = EventStream.latestPerUser(mem.toDS()).writeStream
       .format("memory").queryName("latest_out").outputMode("update").start()
     try {
-      mem.addData((1L, 1.0), (1L, 9.0), (2L, 5.0))
+      mem.addData((1L, 10L, 1.0), (1L, 20L, 9.0), (2L, 5L, 5.0))
       q.processAllAvailable()
-      mem.addData((1L, 4.0))
+      mem.addData((1L, 15L, 4.0)) // late event: older than ts=20
       q.processAllAvailable()
       val last = spark.table("latest_out").groupBy("user_id")
         .agg(max("n_events").as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(last === Map(1L -> 3L, 2L -> 1L))
-      // latest value for user 1 after second batch is 4.0
+      // user 1's latest value stays 9.0 (ts=20 beats the late ts=15 row)
       val u1 = spark.table("latest_out")
         .filter($"user_id" === 1L && $"n_events" === 3L)
-        .collect()(0).getAs[Double]("sum_value")
-      assert(u1 === 4.0)
+        .collect()(0)
+      assert(u1.getAs[Double]("latest_value") === 9.0)
+      assert(u1.getAs[Long]("latest_ts") === 20L)
     } finally q.stop()
   }
 

@@ -14,7 +14,7 @@ class VideoIngestSpec extends AnyFunSuite {
     val jsonl = Seq(
       // full row: default desc (blanked), thumbnail w/ query, RYD present
       """{"id":"vid00000001","fulltitle":"T1",
-         "description":"Welcome to the official YouTube channel!",
+         "description":"Enjoy the videos and music you love, upload original content, and share it all with friends, family, and the world on YouTube.",
          "channel_id":"ch1","channel":"Chan One","channel_url":"http://c/1",
          "uploader":"Upl One","uploader_id":"u1","channel_follower_count":10,
          "thumbnail":"http://t/1.webp?sig=abc","duration":60,
