@@ -43,7 +43,10 @@ object Cli {
         VideoIngest.tags(info).write.mode("overwrite").parquet(s"$out/tags")
         VideoIngest.videoTags(info).write.mode("overwrite")
           .parquet(s"$out/video_tags")
-        s"archived ${videos.count()} videos to $out"
+        // count from the WRITTEN parquet (footer metadata only) — a
+        // count() on the plan would re-run the whole ingest pipeline
+        val nVideos = spark.read.parquet(s"$out/videos").count()
+        s"archived $nVideos videos to $out"
       }),
     Command("archive", "playlist",
       "archive playlist <takeout.csv> <outDir> — ingest a Takeout playlist (E2)",
@@ -56,7 +59,8 @@ object Cli {
         val members = PlaylistIngest.membership(rows, pid)
         header.write.mode("overwrite").parquet(s"$out/playlists")
         members.write.mode("overwrite").parquet(s"$out/playlist_videos")
-        s"archived playlist $pid with ${members.count()} videos to $out"
+        val nMembers = spark.read.parquet(s"$out/playlist_videos").count()
+        s"archived playlist $pid with $nMembers videos to $out"
       }),
     Command("archive", "history",
       "archive history <takeout.json> <outDir> — ingest watch history (E3)",
@@ -66,7 +70,8 @@ object Cli {
         val hist = HistoryPipeline.batch(raw)
         hist.write.mode("overwrite").parquet(s"$out/history")
         val counts = HistoryPipeline.unavailableCount(raw).collect()(0)
-        s"archived ${hist.count()} events " +
+        val nEvents = spark.read.parquet(s"$out/history").count()
+        s"archived $nEvents events " +
           s"(${counts.getAs[Long]("n_unavailable")} unavailable) to $out"
       }),
     Command("config", "get", "config get <key>",

@@ -55,24 +55,31 @@ object Integrity {
     * plan stacks (important for deep threads at scale). */
   def cascadeRecursive(table: DataFrame, pk: String, parentCol: String,
       seedKeys: DataFrame, maxDepth: Int = 100): DataFrame = {
-    // synthetic column names avoid self-join attribute ambiguity
+    // synthetic column names avoid self-join attribute ambiguity; the
+    // edge projection is probed once per round, so pin it (memory,
+    // spilling to disk) instead of re-running the scan each level —
+    // unpinned after the fixpoint
     val edges = table.select(col(pk).as("_k"), col(parentCol).as("_p"))
-    var deleted = seedKeys.select(col(pk).as("_k")).distinct()
-      .localCheckpoint(true)
-    var frontier = deleted
-    var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
-      val next = edges
-        .join(broadcast(frontier.select(col("_k").as("_p"))), Seq("_p"),
-          "left_semi")
-        .select("_k")
-        .join(deleted, Seq("_k"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var deleted = seedKeys.select(col(pk).as("_k")).distinct()
         .localCheckpoint(true)
-      frontier = next
-      if (!next.isEmpty) deleted = deleted.unionByName(next).localCheckpoint(true)
-      depth += 1
-    }
-    deleted.select(col("_k").as(pk))
+      var frontier = deleted
+      var depth = 0
+      while (depth < maxDepth && !frontier.isEmpty) {
+        val next = edges
+          .join(broadcast(frontier.select(col("_k").as("_p"))), Seq("_p"),
+            "left_semi")
+          .select("_k")
+          .join(deleted, Seq("_k"), "left_anti")
+          .localCheckpoint(true)
+        frontier = next
+        if (!next.isEmpty)
+          deleted = deleted.unionByName(next).localCheckpoint(true)
+        depth += 1
+      }
+      deleted.select(col("_k").as(pk))
+    } finally edges.unpersist(blocking = false)
   }
 
   /** W5 composite — delete a video with its cascades (schema.sql:25,39,41;

@@ -78,4 +78,33 @@ object Similarity {
       .select(col(idCol), (-col("m.neg_c")).as("centroid"),
         col("m.cos").as("cos"))
   }
+
+  /** IVF top-k search — the ANN scale path over [[cosineTopK]]: assign
+    * every vector to its nearest centroid (the index), pick the `nProbe`
+    * centroids nearest the query, and rank exactly ONLY inside the probed
+    * clusters. With nlist centroids the exact-dot work drops to
+    * ~nProbe/nlist of brute force; centroids and query stay broadcast, so
+    * the only shuffle is the assignment groupBy. `queryVec` = 1 row
+    * (q_id, qv ARRAY<DOUBLE>); the query point itself is excluded.
+    * Output: all non-vector df columns + cos, top-k total-ordered. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryVec: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val probed = centroids.crossJoin(broadcast(queryVec))
+      .withColumn("qc", round(cosine(col("cv"), col("qv")), 6))
+      .orderBy(col("qc").desc, col("c_id").asc)
+      .limit(nProbe)
+      .select(col("c_id"))
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+      .select(col(idCol), col("centroid"))
+    val passThrough = df.columns.filterNot(_ == vecCol).map(col(_))
+    df.join(assigned, Seq(idCol))
+      .join(broadcast(probed), col("centroid") === col("c_id"), "left_semi")
+      .crossJoin(broadcast(queryVec))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("cos", round(cosine(vecD(col(vecCol)), col("qv")), 6))
+      .select(passThrough :+ col("cos"): _*)
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

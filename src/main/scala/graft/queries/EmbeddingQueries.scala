@@ -141,6 +141,41 @@ object EmbeddingQueries {
       FROM best GROUP BY centroid ORDER BY centroid"""),
     doc = "[NS] IVF partition assignment (broadcast centroids)")
 
+  /** [NS] — IVF top-k search, the ANN scale path: the 8 min-id vectors
+    * are centroids, the max-id vector is the query; probe the 2 nearest
+    * clusters and rank exactly only inside them (~4× fewer exact dots
+    * here; nProbe/nlist of brute force in general). The recall/speed
+    * trade is IVF's contract — the oracle mirrors the same pruning, so
+    * the result is deterministic, not approximate-vs-exact. */
+  val q53IvfTopk = Q(
+    "q53_ivf_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val qv = e.orderBy($"vec_id".desc).limit(1)
+        .select($"vec_id".as("q_id"), vecD($"embedding").as("qv"))
+      Similarity.ivfTopK(e, "vec_id", "embedding", cents, qv,
+        k = 10, nProbe = 2)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        FROM embeddings),
+      c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e ORDER BY vec_id DESC LIMIT 1),
+      assigned AS (SELECT e.vec_id,
+          first(c.c_id ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC,
+            c.c_id ASC) AS centroid
+        FROM e, c GROUP BY e.vec_id),
+      probed AS (SELECT c_id FROM c, q
+        ORDER BY round(${cosSql("cv", "qv")}, 6) DESC, c_id ASC LIMIT 2)
+      SELECT e.vec_id, e.label, round(${cosSql("e.v", "qv")}, 6) AS cos
+      FROM e JOIN assigned ON e.vec_id = assigned.vec_id, q
+      WHERE assigned.centroid IN (SELECT c_id FROM probed)
+        AND e.vec_id <> q.q_id
+      ORDER BY cos DESC, e.vec_id ASC LIMIT 10"""),
+    doc = "[NS] IVF ANN search: probe nearest clusters, exact rank within")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
-    q33IvfAssign)
+    q33IvfAssign, q53IvfTopk)
 }
