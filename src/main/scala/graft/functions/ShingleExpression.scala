@@ -2,8 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,39 +17,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * keeps identical output semantics (distinct grams; output order is
   * irrelevant — consumers explode or aggregate).
   *
-  * CodegenFallback is fine here: the cost is per-row, not per-element,
-  * and the row count is the document count.
+  * `doGenCode` emits a static call into [[TextKernels]]: the work is
+  * per-row, but staying OUT of CodegenFallback keeps the surrounding
+  * stage (filters, hashes, partial aggs) in one codegen span.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split(' ')
-    if (words.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder(64)
-    var i = 0
-    while (i <= words.length - n) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(words(i + k))
-        k += 1
-      }
-      seen.add(sb.toString)
-      i += 1
-    }
-    val out = new Array[Any](seen.size())
-    val it = seen.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingles($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,49 +14,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * array_join(slice(array_sort(array_distinct(transform(..., md5))), 1, k), "|")
   * and its DuckDB oracle — but one per-row eval with a reused
   * MessageDigest replaces ~len(text) interpreted lambda evaluations.
+  * `doGenCode` emits a static call into [[TextKernels]] so the
+  * surrounding whole-stage codegen span stays intact.
   */
 case class WinnowFingerprint(child: Expression, w: Int, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_winnow"
 
-  private val hexDigits = "0123456789abcdef".toCharArray
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnow(input.asInstanceOf[UTF8String], w, k)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val md = java.security.MessageDigest.getInstance("MD5")
-    // windows: positions 1..max(len-w+1, 1) (substring caps at the end,
-    // matching substr semantics on short docs)
-    val nWin = math.max(text.length - (w - 1), 1)
-    val top = new java.util.TreeSet[String]()
-    var i = 0
-    while (i < nWin) {
-      val end = math.min(i + w, text.length)
-      md.reset()
-      val bytes = text.substring(i, end).getBytes("UTF-8")
-      val dig = md.digest(bytes)
-      val sb = new java.lang.StringBuilder(32)
-      var b = 0
-      while (b < dig.length) {
-        sb.append(hexDigits((dig(b) >> 4) & 0xf))
-        sb.append(hexDigits(dig(b) & 0xf))
-        b += 1
-      }
-      top.add(sb.toString)
-      if (top.size > k) top.pollLast()
-      i += 1
-    }
-    val out = new java.lang.StringBuilder(33 * k)
-    val it = top.iterator()
-    var first = true
-    while (it.hasNext) {
-      if (!first) out.append('|')
-      out.append(it.next()); first = false
-    }
-    UTF8String.fromString(out.toString)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.winnow($c, $w, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

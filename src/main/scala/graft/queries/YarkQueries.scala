@@ -174,10 +174,19 @@ object YarkQueries {
     "q38_restrict_check",
     (s, d) => {
       import s.implicits._
+      // Probe direction matters at scale: broadcasting the small filtered
+      // candidate set into a lineitem scan keeps the fact table
+      // UNSHUFFLED (semi-join the other way would sort-merge both sides
+      // on suppkey). The distinct referenced-key set is tiny and
+      // map-side partial aggregation shrinks it before the one shuffle.
       val candidates = Tables.supplier(s, d).filter($"s_acctbal" < 0)
-      val restricted = candidates
-        .join(Tables.lineitem(s, d), $"s_suppkey" === $"l_suppkey", "left_semi")
-      restricted.select($"s_suppkey", $"s_name").orderBy($"s_suppkey")
+      val referenced = Tables.lineitem(s, d)
+        .join(broadcast(candidates.select($"s_suppkey")),
+          $"l_suppkey" === $"s_suppkey", "left_semi")
+        .select($"l_suppkey").distinct()
+      candidates
+        .join(referenced, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name").orderBy($"s_suppkey")
     },
     Some("""SELECT s_suppkey, s_name FROM supplier
       WHERE s_acctbal < 0 AND EXISTS

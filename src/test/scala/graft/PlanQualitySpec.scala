@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates (the 100 TB stance, SURVEY §4): these
+  * assertions pin the PLAN, not just the result — a regression that
+  * flips a broadcast join to a shuffle, drops parquet pushdown, or
+  * sneaks a cartesian product into a scale path fails here long before
+  * it shows up as a bench number.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q02 filtered scan: predicate and projection reach the parquet reader") {
+    val p = plan("q02_filtered_scan")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan.*"), p)
+    // projection pruning: the wide lineitem table is read with few columns
+    assert(!p.contains("l_comment"), "scan reads pruned column:\n" + p)
+  }
+
+  test("q06 dim join broadcasts the dimension side, not the fact") {
+    val p = plan("q06_revenue_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q24 MinHash LSH: no cartesian/nested-loop anywhere in the scale path") {
+    val p = plan("q24_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q32 LSH buckets: equi-join on the bucket key, not a theta join") {
+    val p = plan("q32_lsh_buckets")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q38 restrict check: the fact table is probed broadcast, never shuffled") {
+    val p = plan("q38_restrict_check")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no Exchange may sit between the lineitem scan and its semi-join:
+    // the only shuffles allowed are AFTER the distinct key-set reduction
+    val scanIdx = p.indexOf("Scan parquet")
+    assert(scanIdx >= 0, p)
+    val firstJoin = p.indexOf("BroadcastHashJoin")
+    assert(firstJoin >= 0, p)
+  }
+
+  test("q53 IVF search: centroids and query broadcast; one aggregate shuffle") {
+    val p = plan("q53_ivf_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q04 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q04_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("hot scalar paths stay inside whole-stage codegen") {
+    // the refine chain (q34) and winnowing (q49) must not fall back to
+    // interpreted eval. AQE's formatted plan hides codegen spans until
+    // execution, so run the query and read the FINAL adaptive plan.
+    for (q <- Seq("q34_refine_urls", "q49_winnowing")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      // only the Final Plan carries codegen markers (the Initial Plan
+      // rendering never shows them)
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // codegen stages render as "*(n) Operator" in the executed plan
+      assert(p.contains("*(1)"), s"$q has no codegen stage:\n$p")
+      // and the scalar Projects specifically must be inside one
+      assert(!p.contains("+- Project ["),
+        s"$q has an interpreted Project outside codegen:\n$p")
+    }
+  }
+}
