@@ -32,7 +32,17 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter (profiling aid), and a repeat
+    // count to separate real cost from local-mode scheduling noise.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    val results = (1 to reps).flatMap(r => selected.map { case (n, f) =>
+      (if (reps > 1) s"$n#$r" else n) -> f
+    }).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -82,6 +82,45 @@ object Integrity {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** J3 at scale — the same fixpoint via POINTER DOUBLING (path doubling
+    * over the parent functional graph, the classic PRAM transitive-closure
+    * technique): round i knows, for every node, its 2^i-th ancestor and
+    * whether a seed occurs in the first 2^i chain nodes; one self-join
+    * squares the horizon. ceil(log2(depth)) rounds instead of depth.
+    *
+    * Trade-off vs [[cascadeRecursive]] (level-wise): doubling self-joins
+    * the FULL node table each round (two shuffles/round × log D rounds) —
+    * wins on deep chains; level-wise does D rounds of small broadcast
+    * frontier probes against a pinned edge table — wins on shallow wide
+    * trees (typical comment threads). Identical output (FixpointSpec).
+    */
+  def cascadeRecursiveDoubling(table: DataFrame, pk: String, parentCol: String,
+      seedKeys: DataFrame, maxDepth: Int = 100): DataFrame = {
+    val seeds = seedKeys.select(col(pk).as("_k")).distinct()
+      .withColumn("_seed", lit(true))
+    // state: (_k, _ptr = 2^i-th ancestor | null past chain end,
+    //         _hit = seed among first 2^i chain nodes)
+    var state = table.select(col(pk).as("_k"), col(parentCol).as("_ptr"))
+      .join(seeds, Seq("_k"), "left")
+      .select(col("_k"), col("_ptr"),
+        coalesce(col("_seed"), lit(false)).as("_hit"))
+      .localCheckpoint(true)
+    var span = 1L
+    var live = true
+    while (live && span < maxDepth) {
+      val j = state.select(col("_k").as("_jk"), col("_ptr").as("_jptr"),
+        col("_hit").as("_jhit"))
+      state = state.join(j, state("_ptr") === j("_jk"), "left")
+        .select(col("_k"), col("_jptr").as("_ptr"),
+          (col("_hit") || coalesce(col("_jhit"), lit(false))).as("_hit"))
+        .localCheckpoint(true)
+      span *= 2
+      // done when nothing can still flip: every row is hit or chain-ended
+      live = !state.filter(col("_ptr").isNotNull && !col("_hit")).isEmpty
+    }
+    state.filter(col("_hit")).select(col("_k").as(pk))
+  }
+
   /** W5 composite — delete a video with its cascades (schema.sql:25,39,41;
     * exercised by Unarchive, cmds/archive.py:408). Returns the surviving
     * (comments, videoTags) pair; comment replies cascade recursively. */

@@ -65,6 +65,23 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos"))
   }
 
+  /** D5 [NS] — embedding-cosine near-dup dedup: drop every vector that
+    * has a same-LSH-bucket neighbor with cosine ≥ `minCos` and a SMALLER
+    * id (the min-id convention every dedup family here shares: exact,
+    * MinHash, SimHash). Survivors = corpus minus dropped.
+    *
+    * Scale: candidate pairs come from [[lshSimilarityJoin]] — one shuffle
+    * on the bucket key, pairwise work only within buckets — and the drop
+    * set is a distinct projection of the pair table, broadcast into a
+    * single anti-join against the corpus. No quadratic stage anywhere.
+    */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, minCos: Double): DataFrame = {
+    val dropped = lshSimilarityJoin(df, idCol, vecCol, bits, minCos)
+      .select(col("vec_b").as("_drop")).distinct()
+    df.join(broadcast(dropped), col(idCol) === col("_drop"), "left_anti")
+  }
+
   /** IVF-style assignment: nearest (max-cosine) centroid per vector.
     * `centroids` = (c_id, cv ARRAY<DOUBLE>), broadcast. Ties → smaller
     * c_id. Output: (idCol, centroid, cos). */

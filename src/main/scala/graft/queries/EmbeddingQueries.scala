@@ -176,6 +176,37 @@ object EmbeddingQueries {
       ORDER BY cos DESC, e.vec_id ASC LIMIT 10"""),
     doc = "[NS] IVF ANN search: probe nearest clusters, exact rank within")
 
+  /** [NS] — embedding-cosine near-dup DEDUP (the brief's fifth dedup
+    * family): LSH-bucketed candidate pairs at cos ≥ 0.2, drop the larger
+    * id of every pair, survivors out. Same min-id-survivor convention as
+    * exact/MinHash/SimHash dedup; no quadratic stage. */
+  val q54EmbedDedup = Q(
+    "q54_embed_dedup",
+    (s, d) => {
+      import s.implicits._
+      Similarity.embeddingDedup(Tables.embeddings(s, d), "vec_id",
+          "embedding", bits = 8, minCos = 0.2)
+        .select($"vec_id", $"label")
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
+        (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      dropped AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.2)
+      SELECT vec_id, label FROM e
+      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY vec_id"""),
+    doc = "[NS] embedding-cosine near-dup dedup (LSH candidates, min-id survivor)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
-    q33IvfAssign, q53IvfTopk)
+    q33IvfAssign, q53IvfTopk, q54EmbedDedup)
 }

@@ -342,7 +342,34 @@ object YarkQueries {
       FROM del"""),
     doc = "ref: schema.sql:41 self-FK; cmds/archive.py:408 (J3 fixpoint)")
 
+  /** J3 scale variant — the SAME recursive cascade computed by pointer
+    * doubling (log-depth self-join rounds instead of depth frontier
+    * rounds; Integrity.cascadeRecursiveDoubling). Identical oracle to
+    * q51: both strategies must produce the same deleted set. */
+  val q55CascadeDoubling = Q(
+    "q55_cascade_doubling",
+    (s, d) => {
+      import s.implicits._
+      val nodes = Tables.orders(s, d)
+        .select($"o_orderkey", expr("o_orderkey div 2").as("parent"))
+      val seeds = nodes.filter($"o_orderkey".between(32, 39))
+        .select($"o_orderkey")
+      graft.operators.Integrity
+        .cascadeRecursiveDoubling(nodes, "o_orderkey", "parent", seeds)
+        .agg(count(lit(1)).as("n_deleted"),
+          min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"),
+          sum($"o_orderkey").as("sum_keys"))
+    },
+    Some("""WITH RECURSIVE del AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderkey BETWEEN 32 AND 39
+        UNION
+        SELECT o.o_orderkey FROM orders o JOIN del ON o.o_orderkey // 2 = del.k)
+      SELECT count(*) AS n_deleted, min(k) AS min_key, max(k) AS max_key,
+        CAST(sum(k) AS BIGINT) AS sum_keys
+      FROM del"""),
+    doc = "ref: schema.sql:41 self-FK; J3 via pointer doubling (log-depth)")
+
   val all: Seq[Q] = Seq(q34RefineUrls, q35RefineNulls, q36FkValidate,
     q37CascadeDelete, q38RestrictCheck, q39UpsertMerge, q40InsertIfAbsent,
-    q41BinaryMeta, q51RecursiveCascade)
+    q41BinaryMeta, q51RecursiveCascade, q55CascadeDoubling)
 }

@@ -47,6 +47,36 @@ class IntegritySpec extends AnyFunSuite {
     assert(deleted === Array("c1", "c2", "c3", "c4"))
   }
 
+  test("J3 pointer-doubling cascade matches the level-wise fixpoint") {
+    // deterministic pseudo-random parent forest: 500 nodes, parent of n
+    // is some earlier node or a root (no cycles); seeds = two subtree
+    // roots. Both strategies must return the identical deleted set.
+    val rows = (1 to 500).map { n =>
+      val p = if (n % 7 == 1) null.asInstanceOf[String]
+      else "n" + (((n * 2654435761L) % n).toInt.abs.max(1).min(n - 1))
+      ("n" + n, p)
+    }
+    val df = rows.toDF("comment_id", "parent")
+    val seeds = Seq("n1", "n8").toDF("comment_id")
+    val a = Integrity.cascadeRecursive(df, "comment_id", "parent", seeds)
+      .as[String].collect().sorted
+    val b = Integrity.cascadeRecursiveDoubling(df, "comment_id", "parent", seeds)
+      .as[String].collect().sorted
+    assert(a.nonEmpty && (a sameElements b),
+      s"level-wise ${a.length} vs doubling ${b.length}")
+  }
+
+  test("J3 doubling handles deep chains within log rounds (4-deep)") {
+    val comments = Seq(
+      ("c1", null.asInstanceOf[String]), ("c2", "c1"), ("c3", "c2"),
+      ("c4", "c3"), ("c5", null.asInstanceOf[String]), ("c6", "c5")
+    ).toDF("comment_id", "parent")
+    val deleted = Integrity.cascadeRecursiveDoubling(comments, "comment_id",
+      "parent", Seq("c1").toDF("comment_id"))
+      .as[String].collect().sorted
+    assert(deleted === Array("c1", "c2", "c3", "c4"))
+  }
+
   test("W5 unarchiveVideo cascades comments (incl. replies) and tags") {
     val comments = Seq(
       ("c1", "v1", null.asInstanceOf[String]), // root comment on v1
