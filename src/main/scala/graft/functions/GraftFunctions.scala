@@ -32,7 +32,15 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
-      shingleBuilder _))
+      shingleBuilder _),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash32(args(0))),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
+      (args: Seq[Expression]) => WinnowFingerprint(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an existing session (idempotent). Includes the §2.10
     * custom Aggregator (`graft_minhash_union`) via udaf() — a UDAF goes

@@ -52,6 +52,40 @@ object TextKernels {
     UTF8String.fromString(out.toString)
   }
 
+  /** 32-bit SimHash over the DISTINCT space-separated words: bit j of
+    * each word's signature is bit (31−j) of the first four md5 digest
+    * bytes (== the j-th binary digit of the first 8 hex chars MSB-first,
+    * exactly the nibble math of the SQL form this replaces); the output
+    * char j is '1' iff the ±1 vote sum over words is ≥ 0.
+    *
+    * split(" ", -1) matches Spark's `split` (trailing empties kept).
+    */
+  def simhash32(input: UTF8String): UTF8String = {
+    val seen = new java.util.HashSet[String]()
+    val words = input.toString.split(" ", -1)
+    val acc = new Array[Int](32)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < words.length) {
+      if (seen.add(words(i))) {
+        md.reset()
+        val dig = md.digest(words(i).getBytes("UTF-8"))
+        val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        var j = 0
+        while (j < 32) {
+          acc(j) += (if (((v >> (31 - j)) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(32)
+    var j = 0
+    while (j < 32) { sb.append(if (acc(j) >= 0) '1' else '0'); j += 1 }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Distinct word n-gram shingles of a space-separated text. */
   def shingles(input: UTF8String, n: Int): ArrayData = {
     val words = input.toString.split(' ')

@@ -152,26 +152,11 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** D5 — 32-bit SimHash signature per doc from distinct-word md5 nibbles:
-    * (idCol, simhash: "0/1" string, msb first). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = df.select(col(idCol),
-      explode(array_distinct(split(col(textCol), " "))).as("w"))
-      .withColumn("h", md5(col("w")))
-    words.select(col(idCol), col("h"),
-      explode(sequence(lit(0), lit(31))).as("j"))
-      .withColumn("nib",
-        conv(substring(col("h"), floor(col("j") / 4).cast("int") + 1, lit(1)),
-          16, 10).cast("long"))
-      .withColumn("bit",
-        floor(col("nib") / pow(lit(2.0), (lit(3) - col("j") % 4).cast("double")))
-          .cast("long") % 2)
-      .withColumn("wgt", when(col("bit") === 1, 1).otherwise(-1))
-      .groupBy(col(idCol), col("j")).agg(sum(col("wgt")).as("s"))
-      .withColumn("ch", when(col("s") >= 0, "1").otherwise("0"))
-      .groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("j"), col("ch")))),
-          _.getField("ch")), "").as("simhash"))
-  }
+  /** D5 — 32-bit SimHash signature per doc from distinct-word md5 bits:
+    * (idCol, simhash: "0/1" string, msb first). One per-row codegen'd
+    * eval (graft.functions.SimHash32) — the former SQL pipeline exploded
+    * 32 bit-rows per word through two shuffles for the same output. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHashExpression.simhash32(col(textCol)).as("simhash"))
 }

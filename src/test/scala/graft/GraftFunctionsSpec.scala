@@ -20,6 +20,22 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(grams === Seq("a b c", "b c d", "c d a", "d a b"))
   }
 
+  test("graft_simhash and graft_winnow work on the SQL surface") {
+    GraftFunctions.register(spark)
+    val sh = spark.sql("SELECT graft_simhash('the quick brown fox') AS s")
+      .collect()(0).getString(0)
+    assert(sh.length === 32 && sh.forall(c => c == '0' || c == '1'))
+    // identical words → identical signature; distinct-word dedup means
+    // repetition does not move any vote
+    val same = spark.sql(
+      "SELECT graft_simhash('fox quick the brown the') AS s")
+      .collect()(0).getString(0)
+    assert(same === sh)
+    val fp = spark.sql("SELECT graft_winnow('abcdefghij', 4, 3) AS f")
+      .collect()(0).getString(0)
+    assert(fp.split('|').length === 3 && fp.matches("[0-9a-f|]+"))
+  }
+
   test("graft_minhash_union Aggregator: incremental signature union on SQL") {
     GraftFunctions.register(spark)
     // three docs in two sources; per-doc 4-component signatures

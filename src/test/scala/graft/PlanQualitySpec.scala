@@ -67,6 +67,58 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("partitioned writes prune partitions at the scan (PartitionFilters)") {
+    // date-partitioned layout — the 100 TB layout for the events feed:
+    // a day filter must prune directories, not read-and-filter
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val oneDay = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("day") === "2024-01-02")
+    val p = oneDay.queryExecution.explainString(FormattedMode)
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
+      s"day filter did not reach PartitionFilters:\n$p")
+    assert(oneDay.count() > 0)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // InjectRuntimeFilter: with the size thresholds lowered, a selective
+    // dim filter should inject bloom_filter_might_contain on the fact
+    // scan — the shuffle-reduction mechanism for fact-fact joins at
+    // scale where the dim side is too big to broadcast.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // the fact side is "large" relative to test data
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      // disable broadcast so the join is a genuine shuffle join (the
+      // bloom filter is pointless under a broadcast join)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") ===
+          "1-URGENT")
+      val joined = li.join(ord,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("hot scalar paths stay inside whole-stage codegen") {
     // the refine chain (q34) and winnowing (q49) must not fall back to
     // interpreted eval. AQE's formatted plan hides codegen spans until
