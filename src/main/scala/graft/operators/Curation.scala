@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [NS] Training-data curation operators — the pipeline stages between
+  * raw corpus and training shards that the reference's domain (archived
+  * media + documents) needs at scale:
+  *
+  *   - deterministic hash splits (train/val/test assignment that is
+  *     stable across runs, engines, and repartitionings — never
+  *     rand()-based, which is neither reproducible nor oracle-checkable),
+  *   - fixed-size overlapping chunking (sequence-packing pre-step),
+  *   - cross-corpus decontamination (test docs sharing n-gram evidence
+  *     with any training doc — the benchmark-leakage check).
+  *
+  * Scale notes per operator inline.
+  */
+object Curation {
+
+  /** Deterministic bucket 0..buckets-1 from the md5 of the id — uniform,
+    * engine-portable (DuckDB twin: CAST('0x'||substr(md5(id),1,8) AS
+    * BIGINT) % buckets), and stable under repartitioning. Per-row
+    * codegen'd arithmetic; no shuffle. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Split assignment by hash bucket: [0,trainPct) → train,
+    * [trainPct, trainPct+valPct) → val, rest → test. */
+  def assignSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    df.withColumn("bucket", hashBucket(col(idCol), 100))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("bucket")
+
+  /** Fixed-size character chunks with stride (overlap = size − stride):
+    * one row per (doc, chunk_idx). The offsets array is tiny (len/stride
+    * ints), so explode cost is the output size — no shuffle; chunking
+    * composes with a later repartition to pack shards. Empty docs yield
+    * no chunks. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size > 0, s"size/stride must be positive")
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol),
+        posexplode(sequence(lit(0), length(col(textCol)) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "off")))
+      .select(col(idCol), col("chunk_idx"),
+        substring(col(textCol), col("off") + 1, lit(size)).as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+
+  /** Decontamination: test docs that share ≥ `minShared` distinct word
+    * `n`-grams with at least one train doc. Output one row per flagged
+    * test doc: (test_doc, n_partners, max_shared).
+    *
+    * Scale shape: grams travel as 64-bit hashes; `dfMax` drops grams
+    * that occur in more than that many TRAIN docs before the join —
+    * boilerplate/stopword grams are exactly the skew head that would
+    * otherwise make the gram join quadratic (same motivation as PPJoin's
+    * prefix filter; common grams carry no leakage signal). The remaining
+    * join is linear in true cross-corpus overlap. */
+  def crossCorpusLeakage(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      minShared: Int = 3, dfMax: Long = 100): DataFrame = {
+    val tg = Dedup.shingles(train, idCol, textCol, n)
+      .select(col(idCol).as("t_doc"), xxhash64(col("gram")).as("gh"))
+    val rare = tg.groupBy(col("gh"))
+      .agg(count(lit(1)).as("tdf"))
+      .filter(col("tdf") <= dfMax)
+      .select(col("gh"))
+    val sg = Dedup.shingles(test, idCol, textCol, n)
+      .select(col(idCol).as("test_doc"), xxhash64(col("gram")).as("gh"))
+    sg.join(rare, Seq("gh"), "left_semi")
+      .join(tg, Seq("gh"))
+      .groupBy(col("test_doc"), col("t_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .groupBy(col("test_doc"))
+      .agg(count(lit(1)).as("n_partners"), max(col("shared")).as("max_shared"))
+  }
+}

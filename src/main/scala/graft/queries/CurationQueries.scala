@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Curation
+
+/** [NS] training-data curation over `documents` (operators.Curation):
+  * deterministic hash splits, sequence chunking, cross-corpus
+  * decontamination. All outputs are exactly reproducible — split
+  * assignment and chunk boundaries derive from md5/arithmetic, never
+  * rand() — which is what makes them oracle-checkable AND what a real
+  * pipeline needs to re-shard 100 TB without reshuffling labels.
+  */
+object CurationQueries {
+
+  /** Distinct word 5-gram shingles per doc in DuckDB (mirror of
+    * Dedup.shingles n=5). */
+  private def fiveGramSql(where: String): String =
+    s"""SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 3),
+      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4]))) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE $where)"""
+
+  /** [NS] — deterministic train/val/test split (80/10/10 by md5 bucket):
+    * stable under repartitioning and across engines; per-split × lang
+    * counts. */
+  val q56HashSplit = Q(
+    "q56_hash_split",
+    (s, d) => {
+      import s.implicits._
+      Curation.assignSplit(Tables.documents(s, d), "doc_id")
+        .groupBy($"split", $"lang").agg(count(lit(1)).as("n"))
+        .orderBy($"split", $"lang")
+    },
+    Some("""SELECT CASE
+        WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 100 < 80
+          THEN 'train'
+        WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 100 < 90
+          THEN 'val'
+        ELSE 'test' END AS split,
+        lang, count(*) AS n
+      FROM documents GROUP BY 1, 2 ORDER BY split, lang"""),
+    doc = "[NS] curation: deterministic hash split (train/val/test)")
+
+  /** [NS] — fixed-size overlapping chunking (size 200, stride 100): the
+    * sequence-packing pre-step. Chunk identity via md5 keeps the output
+    * narrow. */
+  val q57Chunking = Q(
+    "q57_chunking",
+    (s, d) => {
+      import s.implicits._
+      Curation.chunk(Tables.documents(s, d), "doc_id", "text",
+          size = 200, stride = 100)
+        .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+          $"chunk_len", md5($"chunk").as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""SELECT doc_id, t.off // 100 AS chunk_idx,
+        CAST(length(substr(text, t.off + 1, 200)) AS BIGINT) AS chunk_len,
+        md5(substr(text, t.off + 1, 200)) AS chunk_hash
+      FROM documents, unnest(generate_series(0, length(text) - 1, 100)) AS t(off)
+      WHERE length(text) > 0
+      ORDER BY doc_id, chunk_idx"""),
+    doc = "[NS] curation: fixed-size chunking with stride (packing pre-step)")
+
+  /** [NS] — decontamination: odd-id docs ("test") sharing ≥3 distinct
+    * word 5-grams with any even-id doc ("train"); boilerplate grams
+    * (train df > 100) dropped before the join — the skew head carries no
+    * leakage signal. */
+  val q58Decontam = Q(
+    "q58_decontam",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Curation.crossCorpusLeakage(
+          docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1),
+          "doc_id", "text", n = 5, minShared = 3, dfMax = 100)
+        .orderBy($"test_doc")
+    },
+    Some(s"""WITH tg AS (${fiveGramSql("doc_id % 2 = 0")}),
+      sg AS (${fiveGramSql("doc_id % 2 = 1")}),
+      rare AS (SELECT gram FROM tg GROUP BY gram HAVING count(*) <= 100),
+      shared AS (SELECT s.doc_id AS test_doc, t.doc_id AS t_doc,
+          count(*) AS shared
+        FROM sg s JOIN rare r ON s.gram = r.gram JOIN tg t ON s.gram = t.gram
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT test_doc, count(*) AS n_partners, max(shared) AS max_shared
+      FROM shared GROUP BY test_doc ORDER BY test_doc"""),
+    doc = "[NS] curation: cross-corpus n-gram decontamination")
+
+  val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam)
+}

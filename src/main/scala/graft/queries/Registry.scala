@@ -49,7 +49,8 @@ object QueryDsl {
 object Registry {
   lazy val all: Seq[Q] =
     StarQueries.all ++ EventQueries.all ++ DocQueries.all ++
-      EmbeddingQueries.all ++ YarkQueries.all ++ ExtraQueries.all
+      EmbeddingQueries.all ++ YarkQueries.all ++ ExtraQueries.all ++
+      CurationQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+/** [NS] training-data curation: deterministic splits, chunking,
+  * decontamination. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("assignSplit is deterministic, total, and ~80/10/10") {
+    val df = (1L to 10000L).toDF("id")
+    val splits = Curation.assignSplit(df, "id")
+    val counts = splits.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 10000L)
+    assert(counts("train") > 7500 && counts("train") < 8500, counts)
+    assert(counts("val") > 700 && counts("val") < 1300, counts)
+    assert(counts("test") > 700 && counts("test") < 1300, counts)
+    // repartitioning must not move a single row between splits
+    val again = Curation.assignSplit(df.repartition(13), "id")
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+  }
+
+  test("chunk covers the text with the given stride; empty docs drop out") {
+    val df = Seq((1L, "a" * 250), (2L, "b" * 100), (3L, "")).toDF("id", "text")
+    val ch = Curation.chunk(df, "id", "text", size = 200, stride = 100)
+      .select($"id", $"chunk_idx", $"chunk_len").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(ch === Array((1L, 0, 200L), (1L, 1, 150L), (1L, 2, 50L),
+      (2L, 0, 100L)))
+    // overlap reconstruction: consecutive chunks share size-stride chars
+    val c1 = Curation.chunk(df.filter($"id" === 1), "id", "text", 200, 100)
+      .orderBy("chunk_idx").select("chunk").as[String].collect()
+    assert(c1(0).substring(100) === c1(1).substring(0, 100))
+  }
+
+  test("crossCorpusLeakage flags planted overlap, ignores boilerplate") {
+    val boiler = "the quick brown fox jumps over the lazy dog again"
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, boiler), (4L, boiler), (6L, boiler)
+    ).toDF("doc_id", "text")
+    val test0 = Seq(
+      // shares a 7-word run with doc 0 → 3 distinct 5-grams
+      (1L, "alpha beta gamma delta epsilon zeta eta xx yy zz"),
+      (3L, "totally different words with no overlap at all here"),
+      (5L, boiler) // overlaps only boilerplate (df > dfMax) → not flagged
+    ).toDF("doc_id", "text")
+    val flagged = Curation.crossCorpusLeakage(train, test0, "doc_id", "text",
+        n = 5, minShared = 3, dfMax = 2)
+      .select("test_doc").as[Long].collect()
+    assert(flagged === Array(1L))
+  }
+}
