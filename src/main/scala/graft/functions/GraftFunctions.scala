@@ -36,6 +36,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash32(args(0))),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
       (args: Seq[Expression]) => WinnowFingerprint(args(0),

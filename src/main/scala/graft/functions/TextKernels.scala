@@ -86,6 +86,58 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** k-component MinHash signature straight from the text: components
+    * 2i and 2i+1 are the 60-bit halves (hex nibbles 0-14 and 16-30) of
+    * md5(i ":" gram), min'd over the distinct word n-gram shingles —
+    * bit-identical to min-aggregating the SQL form over exploded
+    * shingles (Dedup.minhashSignature / the q24 oracle), but one per-row
+    * eval with NO explode+groupBy shuffle. Returns null when the doc has
+    * fewer than n words (no grams — such docs cannot be candidates,
+    * matching the agg form which simply never sees them). */
+  def minhash(input: UTF8String, n: Int, k: Int): ArrayData = {
+    val words = input.toString.split(' ')
+    if (words.length < n) return null
+    val half = k / 2
+    val acc = Array.fill(k)(Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var w = 0
+      while (w < n) {
+        if (w > 0) sb.append(' ')
+        sb.append(words(i + w))
+        w += 1
+      }
+      val gram = sb.toString
+      if (seen.add(gram)) {
+        var c = 0
+        while (c < half) {
+          md.reset()
+          md.update((c + ":").getBytes("UTF-8"))
+          val dig = md.digest(gram.getBytes("UTF-8"))
+          var v1 = 0L; var v2 = 0L
+          var x = 0
+          while (x < 15) {
+            val n1 = if (x % 2 == 0) (dig(x / 2) >> 4) & 0xf else dig(x / 2) & 0xf
+            v1 = (v1 << 4) | n1
+            val y = x + 16
+            val n2 = if (y % 2 == 0) (dig(y / 2) >> 4) & 0xf else dig(y / 2) & 0xf
+            v2 = (v2 << 4) | n2
+            x += 1
+          }
+          if (v1 < acc(2 * c)) acc(2 * c) = v1
+          if (v2 < acc(2 * c + 1)) acc(2 * c + 1) = v2
+          c += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(acc.map(v => v: Any))
+  }
+
   /** Distinct word n-gram shingles of a space-separated text. */
   def shingles(input: UTF8String, n: Int): ArrayData = {
     val words = input.toString.split(' ')

@@ -65,16 +65,24 @@ object Dedup {
         (0 until rows).map(r => col(s"bd.v$r").as(s"v$r")): _*)
   }
 
-  /** D5 — MinHash+LSH candidate pairs (doc_a < doc_b, distinct). */
+  /** D5 — MinHash+LSH candidate pairs (doc_a < doc_b, distinct).
+    *
+    * Signature build is the native per-row expression (graft_minhash):
+    * zero shuffles before the band self-join — the only exchange in the
+    * whole operator is on the band key. */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
     val rows = k / bands
+    val sig = df.select(col(idCol),
+      graft.functions.MinHashExpression
+        .minhashSignature(col(textCol), shingleN, k).as("_sig"))
+      .filter(col("_sig").isNotNull)
+      .select(col(idCol) +: (0 until k).map(i =>
+        element_at(col("_sig"), i + 1).as(s"s$i")): _*)
     // both sides of the band self-join read the band table; eager
     // localCheckpoint materializes it ONCE before the join (a lazy
     // persist lets both branches race to compute every partition twice)
-    val bds = lshBands(minhashSignature(
-      shingles(df, idCol, textCol, shingleN), idCol, k), idCol, k, bands)
-      .localCheckpoint()
+    val bds = lshBands(sig, idCol, k, bands).localCheckpoint()
     val keyCols = "band" +: (0 until rows).map(r => s"v$r")
     val a = bds.withColumnRenamed(idCol, "doc_a")
     val b = bds.withColumnRenamed(idCol, "doc_b")

@@ -34,6 +34,12 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val fp = spark.sql("SELECT graft_winnow('abcdefghij', 4, 3) AS f")
       .collect()(0).getString(0)
     assert(fp.split('|').length === 3 && fp.matches("[0-9a-f|]+"))
+    // graft_minhash: k longs for >= n words, NULL below n words
+    val mh = spark.sql("SELECT graft_minhash('a b c d e', 3, 8) AS m")
+      .collect()(0).getSeq[Long](0)
+    assert(mh.length === 8)
+    val short = spark.sql("SELECT graft_minhash('a b', 3, 8) AS m").collect()(0)
+    assert(short.isNullAt(0))
   }
 
   test("graft_minhash_union Aggregator: incremental signature union on SQL") {
