@@ -39,8 +39,35 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Map-side hashed shingle set: xxhash64 (seed 42) of each distinct word
+  * n-gram as ARRAY<LONG> — same values as xxhash64 over the exploded
+  * grams, with no explode. The form every pair-join consumer wants: the
+  * per-doc gram set is carried as one narrow array column. */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernels.shingleHashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleExpression {
   /** Distinct word n-grams of `text` as ARRAY<STRING>. */
   def wordShingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** xxhash64 of the distinct word n-grams as ARRAY<LONG>. */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    Bridge.column(WordShingleHashes(Bridge.expression(text), n))
 }

@@ -138,6 +138,36 @@ object TextKernels {
     new GenericArrayData(acc.map(v => v: Any))
   }
 
+  /** xxhash64 (seed 42, Spark's default — identical values to
+    * xxhash64(gram) over exploded shingles) of each DISTINCT word n-gram:
+    * the map-side form of shingles→explode→xxhash64, so per-doc gram
+    * sets exist as arrays with no shuffle. */
+  def shingleHashes(input: UTF8String, n: Int): ArrayData = {
+    val words = input.toString.split(' ')
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(u, 42L))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word n-gram shingles of a space-separated text. */
   def shingles(input: UTF8String, n: Int): ArrayData = {
     val words = input.toString.split(' ')

@@ -67,14 +67,16 @@ object Curation {
   def crossCorpusLeakage(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, n: Int = 5,
       minShared: Int = 3, dfMax: Long = 100): DataFrame = {
-    val tg = Dedup.shingles(train, idCol, textCol, n)
-      .select(col(idCol).as("t_doc"), xxhash64(col("gram")).as("gh"))
+    val tg = train.select(col(idCol).as("t_doc"),
+      explode(graft.functions.ShingleExpression
+        .wordShingleHashes(col(textCol), n)).as("gh"))
     val rare = tg.groupBy(col("gh"))
       .agg(count(lit(1)).as("tdf"))
       .filter(col("tdf") <= dfMax)
       .select(col("gh"))
-    val sg = Dedup.shingles(test, idCol, textCol, n)
-      .select(col(idCol).as("test_doc"), xxhash64(col("gram")).as("gh"))
+    val sg = test.select(col(idCol).as("test_doc"),
+      explode(graft.functions.ShingleExpression
+        .wordShingleHashes(col(textCol), n)).as("gh"))
     sg.join(rare, Seq("gh"), "left_semi")
       .join(tg, Seq("gh"))
       .groupBy(col("test_doc"), col("t_doc"))
