@@ -54,6 +54,24 @@ object Curation {
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
 
+  /** Write training shards: every row lands in shard
+    * `hashBucket(id, shards)` — membership is a pure function of the id,
+    * so re-running the writer (or re-sharding on a bigger cluster) never
+    * moves an example between shards, and a reader can locate one doc's
+    * shard without an index. Layout: `dir/shard=K/part-*.parquet`
+    * (directory-partitioned → partition-pruned point reads);
+    * `maxRecordsPerFile` bounds file sizes inside a shard so one skewed
+    * shard cannot produce a 100 GB file. */
+  def writeShards(df: DataFrame, idCol: String, dir: String,
+      shards: Int, maxRecordsPerFile: Long = 0L): Unit = {
+    val out = df.withColumn("shard", hashBucket(col(idCol), shards))
+      .repartition(col("shard"))
+    val w = out.write.mode("overwrite").partitionBy("shard")
+    (if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile)
+    else w).parquet(dir)
+  }
+
   /** Decontamination: test docs that share ≥ `minShared` distinct word
     * `n`-grams with at least one train doc. Output one row per flagged
     * test doc: (test_doc, n_partners, max_shared).

@@ -198,6 +198,35 @@ object ExtraQueries {
       FROM events GROUP BY user_id ORDER BY user_id"""),
     doc = "SURVEY §2.5 [NS] pivot (PivotFirst ≡ conditional agg oracle)")
 
+  /** SURVEY §2.6 [NS] — RANGE frame spec: 7-day rolling spend per
+    * customer, keyed on days-since-epoch so the frame is value-based
+    * (peers with the same date aggregate together — the semantics
+    * rowsBetween cannot express). Money summed with the scaled-integer
+    * trick inside the frame for engine-exact doubles. */
+  val q59RangeWindow = Q(
+    "q59_range_window",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy(datediff($"o_orderdate", lit("1992-01-01")))
+        .rangeBetween(-6, Window.currentRow)
+      Tables.orders(s, d)
+        .filter($"o_custkey" < 100)
+        .withColumn("spend_7d",
+          sum(round($"o_totalprice" * 100, 0)).over(w) / 100)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"spend_7d")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        sum(round(o_totalprice * 100)) OVER (
+          PARTITION BY o_custkey
+          ORDER BY date_diff('day', DATE '1992-01-01', o_orderdate)
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100 AS spend_7d
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey"""),
+    doc = "SURVEY §2.6 [NS] RANGE frame (value-based rolling window)")
+
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
-    q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q49Pivot)
+    q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q49Pivot,
+    q59RangeWindow)
 }

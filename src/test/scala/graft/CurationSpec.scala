@@ -39,6 +39,33 @@ class CurationSpec extends AnyFunSuite {
     assert(c1(0).substring(100) === c1(1).substring(0, 100))
   }
 
+  test("writeShards: membership is a pure function of the id; files bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val df = (1L to 5000L).toDF("id").withColumn("payload", md5($"id".cast("string")))
+    Curation.writeShards(df, "id", dir, shards = 8, maxRecordsPerFile = 200)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 5000)
+    // every row sits in the shard its id hashes to
+    val misplaced = back.filter(
+      $"shard" =!= Curation.hashBucket($"id", 8)).count()
+    assert(misplaced === 0)
+    // all shards materialized as directories; files bounded by the cap
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length === 8)
+    val biggest = shardDirs.flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => spark.read.parquet(f.getPath).count()).max
+    assert(biggest <= 200)
+    // re-writing is idempotent: same membership, same counts per shard
+    val counts1 = back.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Curation.writeShards(df, "id", dir, shards = 8, maxRecordsPerFile = 200)
+    val counts2 = spark.read.parquet(dir).groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts1 === counts2)
+  }
+
   test("crossCorpusLeakage flags planted overlap, ignores boilerplate") {
     val boiler = "the quick brown fox jumps over the lazy dog again"
     val train = Seq(

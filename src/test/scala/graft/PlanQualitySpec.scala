@@ -119,6 +119,43 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // complement to operators.Skew's explicit salting: AQE's runtime
+    // re-plan must split a hot key's partition without code changes —
+    // thresholds lowered so the 190k-row key counts as skew at test size
+    import org.apache.spark.sql.functions.{col, when}
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(0, 200000)
+        .select(when(col("id") < 190000, 0L).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 1000)
+        .select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      // execute THIS dataset's queryExecution (count() would plan its own)
+      assert(j.collect().length > 0)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("hot scalar paths stay inside whole-stage codegen") {
     // the refine chain (q34) and winnowing (q49) must not fall back to
     // interpreted eval. AQE's formatted plan hides codegen spans until
