@@ -21,15 +21,18 @@ object TextKernels {
   def winnow(input: UTF8String, w: Int, k: Int): UTF8String = {
     val text = input.toString
     val md = java.security.MessageDigest.getInstance("MD5")
-    // windows: positions 1..max(len-w+1, 1) (substring caps at the end,
-    // matching substr semantics on short docs)
-    val nWin = math.max(text.length - (w - 1), 1)
+    // windows: positions 1..max(len-w+1, 1) in CODEPOINTS (SQL substring
+    // counts codepoints, not UTF-16 units — astral chars must not shift
+    // the windows), capped at the end for short docs
+    val cpLen = text.codePointCount(0, text.length)
+    val nWin = math.max(cpLen - (w - 1), 1)
     val top = new java.util.TreeSet[String]()
     var i = 0
+    var from = 0 // UTF-16 index of codepoint i, advanced incrementally
     while (i < nWin) {
-      val end = math.min(i + w, text.length)
+      val end = text.offsetByCodePoints(from, math.min(w, cpLen - i))
       md.reset()
-      val bytes = text.substring(i, end).getBytes("UTF-8")
+      val bytes = text.substring(from, end).getBytes("UTF-8")
       val dig = md.digest(bytes)
       val sb = new java.lang.StringBuilder(32)
       var b = 0
@@ -41,6 +44,7 @@ object TextKernels {
       top.add(sb.toString)
       if (top.size > k) top.pollLast()
       i += 1
+      if (i < nWin) from = text.offsetByCodePoints(from, 1)
     }
     val out = new java.lang.StringBuilder(33 * k)
     val it = top.iterator()
@@ -95,7 +99,7 @@ object TextKernels {
     * fewer than n words (no grams — such docs cannot be candidates,
     * matching the agg form which simply never sees them). */
   def minhash(input: UTF8String, n: Int, k: Int): ArrayData = {
-    val words = input.toString.split(' ')
+    val words = input.toString.split(" ", -1)
     if (words.length < n) return null
     val half = k / 2
     val acc = Array.fill(k)(Long.MaxValue)
@@ -143,7 +147,7 @@ object TextKernels {
     * the map-side form of shingles→explode→xxhash64, so per-doc gram
     * sets exist as arrays with no shuffle. */
   def shingleHashes(input: UTF8String, n: Int): ArrayData = {
-    val words = input.toString.split(' ')
+    val words = input.toString.split(" ", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[Long]()
     val sb = new java.lang.StringBuilder(64)
@@ -170,7 +174,7 @@ object TextKernels {
 
   /** Distinct word n-gram shingles of a space-separated text. */
   def shingles(input: UTF8String, n: Int): ArrayData = {
-    val words = input.toString.split(' ')
+    val words = input.toString.split(" ", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     val sb = new java.lang.StringBuilder(64)
