@@ -226,7 +226,41 @@ object ExtraQueries {
       ORDER BY o_custkey, o_orderkey"""),
     doc = "SURVEY §2.6 [NS] RANGE frame (value-based rolling window)")
 
+  /** SURVEY §2.5 A5 [NS] — approximate percentile sketch vs exact, as a
+    * tolerance-boolean contract (the q46 HLL pattern): each engine's
+    * sketch differs, but both must land within 5% of the exact median /
+    * p90, so both deterministically output true. The sketch is the scale
+    * path (mergeable partial state); the exact form is the oracle twin. */
+  val q60ApproxPercentiles = Q(
+    "q60_approx_percentiles",
+    (s, d) => {
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+            .as("ap50"),
+          percentile_approx($"l_extendedprice", lit(0.9), lit(1000))
+            .as("ap90"),
+          expr("percentile(l_extendedprice, 0.5)").as("ex50"),
+          expr("percentile(l_extendedprice, 0.9)").as("ex90"),
+          count(lit(1)).as("n_rows"))
+        .select($"l_returnflag", $"n_rows",
+          (abs($"ap50" - $"ex50") / $"ex50" <= 0.05).as("p50_within_tol"),
+          (abs($"ap90" - $"ex90") / $"ex90" <= 0.05).as("p90_within_tol"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n_rows,
+        abs(approx_quantile(l_extendedprice, 0.5)
+          - quantile_cont(l_extendedprice, 0.5))
+          / quantile_cont(l_extendedprice, 0.5) <= 0.05 AS p50_within_tol,
+        abs(approx_quantile(l_extendedprice, 0.9)
+          - quantile_cont(l_extendedprice, 0.9))
+          / quantile_cont(l_extendedprice, 0.9) <= 0.05 AS p90_within_tol
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+    doc = "SURVEY §2.5 A5 [NS] approx percentile sketch (tolerance-boolean)")
+
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
     q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q49Pivot,
-    q59RangeWindow)
+    q59RangeWindow, q60ApproxPercentiles)
 }
