@@ -18,13 +18,28 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object GraftFunctions {
 
-  private def shingleBuilder(args: Seq[Expression]): Expression = {
-    val n = args(1) match {
+  /** Extract a constant Int argument or fail with a message naming the
+    * function — non-foldable args (columns) and wrong arity must raise a
+    * clear analysis error, not an NPE at eval time. */
+  private def constInt(fn: String, args: Seq[Expression], i: Int): Int = {
+    require(args.length > i,
+      s"$fn expects at least ${i + 1} arguments, got ${args.length}")
+    args(i) match {
       case Literal(v: Int, _) => v
-      case other => other.eval().asInstanceOf[Number].intValue()
+      case e if e.foldable =>
+        e.eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"$fn argument ${i + 1} must be a constant integer, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn argument ${i + 1} must be a constant integer literal, " +
+          s"got non-foldable expression $other")
     }
-    WordShingles(args(0), n)
   }
+
+  private def shingleBuilder(args: Seq[Expression]): Expression =
+    WordShingles(args(0), constInt("graft_shingles", args, 1))
 
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
@@ -39,13 +54,13 @@ object GraftFunctions {
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (args: Seq[Expression]) => MinHashSignature(args(0),
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue())),
+        constInt("graft_minhash", args, 1),
+        constInt("graft_minhash", args, 2))),
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
       (args: Seq[Expression]) => WinnowFingerprint(args(0),
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue())))
+        constInt("graft_winnow", args, 1),
+        constInt("graft_winnow", args, 2))))
 
   /** Register on an existing session (idempotent). Includes the §2.10
     * custom Aggregator (`graft_minhash_union`) via udaf() — a UDAF goes

@@ -85,9 +85,12 @@ object Curation {
   def crossCorpusLeakage(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, n: Int = 5,
       minShared: Int = 3, dfMax: Long = 100): DataFrame = {
+    // materialized once: both the rare-gram aggregate and the pair join
+    // read it (a lazy plan would re-run the whole train-side shingling)
     val tg = train.select(col(idCol).as("t_doc"),
       explode(graft.functions.ShingleExpression
         .wordShingleHashes(col(textCol), n)).as("gh"))
+      .localCheckpoint()
     val rare = tg.groupBy(col("gh"))
       .agg(count(lit(1)).as("tdf"))
       .filter(col("tdf") <= dfMax)

@@ -92,12 +92,16 @@ object Integrity {
     * the FULL node table each round (two shuffles/round × log D rounds) —
     * wins on deep chains; level-wise does D rounds of small broadcast
     * frontier probes against a pinned edge table — wins on shallow wide
-    * trees (typical comment threads). Identical output (FixpointSpec).
+    * trees (typical comment threads). Identical output (IntegritySpec),
+    * including seed keys with no row in `table` (deleted by definition,
+    * exactly as the level-wise form returns them). Depth cap: covers at
+    * least `maxDepth`, rounded up to the next power of two.
     */
   def cascadeRecursiveDoubling(table: DataFrame, pk: String, parentCol: String,
       seedKeys: DataFrame, maxDepth: Int = 100): DataFrame = {
-    val seeds = seedKeys.select(col(pk).as("_k")).distinct()
-      .withColumn("_seed", lit(true))
+    val seedSet = seedKeys.select(col(pk).as("_k")).distinct()
+      .localCheckpoint(true)
+    val seeds = seedSet.withColumn("_seed", lit(true))
     // state: (_k, _ptr = 2^i-th ancestor | null past chain end,
     //         _hit = seed among first 2^i chain nodes)
     var state = table.select(col(pk).as("_k"), col(parentCol).as("_ptr"))
@@ -118,7 +122,11 @@ object Integrity {
       // done when nothing can still flip: every row is hit or chain-ended
       live = !state.filter(col("_ptr").isNotNull && !col("_hit")).isEmpty
     }
-    state.filter(col("_hit")).select(col("_k").as(pk))
+    // union the seed set itself: a seed with no row in `table` is still
+    // deleted (the level-wise form starts `deleted` from the seeds)
+    state.filter(col("_hit")).select(col("_k"))
+      .unionByName(seedSet).distinct()
+      .select(col("_k").as(pk))
   }
 
   /** W5 composite — delete a video with its cascades (schema.sql:25,39,41;

@@ -72,14 +72,16 @@ object Similarity {
     *
     * Scale: candidate pairs come from [[lshSimilarityJoin]] — one shuffle
     * on the bucket key, pairwise work only within buckets — and the drop
-    * set is a distinct projection of the pair table, broadcast into a
-    * single anti-join against the corpus. No quadratic stage anywhere.
+    * set is a distinct projection of the pair table anti-joined against
+    * the corpus. No quadratic stage anywhere. No broadcast hint: the
+    * drop set scales with the corpus' near-dup count (unbounded at
+    * 100 TB), so AQE must pick the join side from runtime stats.
     */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
       bits: Int, minCos: Double): DataFrame = {
     val dropped = lshSimilarityJoin(df, idCol, vecCol, bits, minCos)
       .select(col("vec_b").as("_drop")).distinct()
-    df.join(broadcast(dropped), col(idCol) === col("_drop"), "left_anti")
+    df.join(dropped, col(idCol) === col("_drop"), "left_anti")
   }
 
   /** IVF-style assignment: nearest (max-cosine) centroid per vector.

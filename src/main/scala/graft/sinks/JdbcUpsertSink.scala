@@ -33,10 +33,16 @@ final case class JdbcUpsertSink(
 
   /** SQLState class 23 (integrity constraint violation) — the only
     * SQLException family equivalent to the reference's sqlite3
-    * IntegrityError. */
+    * IntegrityError. Some drivers (notably sqlite-jdbc, the reference's
+    * own DB) report constraint violations with a NULL SQLState; for those
+    * only, fall back to the vendor message. Everything else rethrows. */
   private def isIntegrityViolation(e: SQLException): Boolean =
     e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
-      Option(e.getSQLState).exists(_.startsWith("23"))
+      (Option(e.getSQLState) match {
+        case Some(state) => state.startsWith("23")
+        case None => Option(e.getMessage).exists(m =>
+          m.toLowerCase.matches(".*(constraint|unique|duplicate).*"))
+      })
 
   /** Run DDL (CREATE TABLE ...) on the sink DB. */
   def execDdl(ddl: String): Unit = {
@@ -158,13 +164,20 @@ final case class JdbcUpsertSink(
     val u = url; val tbl = table; val bs = batchSize
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val stg = s"${tbl}_stg_$pid"
+        // staging name must be unique per task ATTEMPT, not per partition:
+        // a speculative duplicate or retry of the same partition must not
+        // race another attempt's staging table
+        val tc = org.apache.spark.TaskContext.get()
+        val stg = s"${tbl}_stg_${tc.partitionId()}_${tc.taskAttemptId()}"
         val c = DriverManager.getConnection(u)
         try {
+          // leftover-table cleanup runs in autocommit: a failed DROP must
+          // not poison the upcoming transaction (PostgreSQL aborts the tx
+          // on any statement error; only Derby tolerates it)
+          try c.createStatement().execute(s"DROP TABLE $stg")
+          catch { case _: SQLException => }
           c.setAutoCommit(false)
           val st = c.createStatement()
-          try st.execute(s"DROP TABLE $stg") catch { case _: SQLException => }
           st.execute(
             s"CREATE TABLE $stg AS SELECT * FROM $tbl WITH NO DATA")
           val ins = c.prepareStatement(

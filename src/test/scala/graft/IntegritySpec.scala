@@ -52,17 +52,20 @@ class IntegritySpec extends AnyFunSuite {
     // is some earlier node or a root (no cycles); seeds = two subtree
     // roots. Both strategies must return the identical deleted set.
     val rows = (1 to 500).map { n =>
+      // parent index must not be a multiple of n (n*k % n == 0 always) —
+      // mix the bits first so depths/branching actually vary
       val p = if (n % 7 == 1) null.asInstanceOf[String]
-      else "n" + (((n * 2654435761L) % n).toInt.abs.max(1).min(n - 1))
+      else "n" + ((((n * 2654435761L) >>> 13) % n).toInt.abs.max(1).min(n - 1))
       ("n" + n, p)
     }
     val df = rows.toDF("comment_id", "parent")
-    val seeds = Seq("n1", "n8").toDF("comment_id")
+    // n999 is a dangling seed (no row in the table): still deleted
+    val seeds = Seq("n1", "n8", "n999").toDF("comment_id")
     val a = Integrity.cascadeRecursive(df, "comment_id", "parent", seeds)
       .as[String].collect().sorted
     val b = Integrity.cascadeRecursiveDoubling(df, "comment_id", "parent", seeds)
       .as[String].collect().sorted
-    assert(a.nonEmpty && (a sameElements b),
+    assert(a.nonEmpty && a.contains("n999") && (a sameElements b),
       s"level-wise ${a.length} vs doubling ${b.length}")
   }
 

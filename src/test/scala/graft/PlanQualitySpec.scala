@@ -45,14 +45,22 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("q38 restrict check: the fact table is probed broadcast, never shuffled") {
-    val p = plan("q38_restrict_check")
-    assert(p.contains("BroadcastHashJoin"), p)
-    // no Exchange may sit between the lineitem scan and its semi-join:
-    // the only shuffles allowed are AFTER the distinct key-set reduction
-    val scanIdx = p.indexOf("Scan parquet")
-    assert(scanIdx >= 0, p)
-    val firstJoin = p.indexOf("BroadcastHashJoin")
-    assert(firstJoin >= 0, p)
+    // use the tree rendering (parents print above children): no shuffle
+    // Exchange may sit between the first BroadcastHashJoin (the lineitem
+    // probe) and the lineitem scan below it — the only shuffles allowed
+    // are AFTER the distinct key-set reduction
+    val p = SparkEntry.queries("q38_restrict_check")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val liScan = p.indexOf("lineitem.parquet")
+    assert(liScan >= 0, p)
+    // the probe join is the nearest BroadcastHashJoin ABOVE the scan in
+    // the tree rendering; the distinct's Exchange sits above that join
+    // (after the probe in dataflow), which is allowed
+    val probeJoin = p.lastIndexOf("BroadcastHashJoin", liScan)
+    assert(probeJoin >= 0, p)
+    val between = p.substring(probeJoin, liScan)
+    assert(!between.contains("Exchange hashpartitioning"),
+      s"shuffle between the lineitem scan and its probe join:\n$p")
   }
 
   test("q53 IVF search: centroids and query broadcast; one aggregate shuffle") {

@@ -68,15 +68,23 @@ def main():
             for c in sorted(ecols):
                 et, gt = easch.field(c).type, gasch.field(c).type
                 if str(et) != str(gt):
-                    tdiff.append(f"{c}: oracle={et} spark={gt}")
+                    # timestamp unit (us vs ns) is the one diff the
+                    # driver's hasher normalizes; everything else (e.g.
+                    # HUGEINT vs BIGINT) breaks the type-sensitive hash
+                    both_ts = str(et).startswith("timestamp") and \
+                        str(gt).startswith("timestamp")
+                    tdiff.append((f"{c}: oracle={et} spark={gt}", both_ts))
         except Exception as e2:
-            tdiff.append(f"(type check error: {e2})")
+            tdiff.append((f"(type check error: {e2})", False))
         bad = [(a, b) for a, b in zip(e, g) if a != b]
+        hard_tdiff = [t for t, tolerated in tdiff if not tolerated]
         if tdiff:
-            print(f"TYPE {name}: " + "; ".join(tdiff))
-        if bad:
-            print(f"FAIL {name}: {len(bad)}/{len(e)} rows differ; first: "
-                  f"oracle={bad[0][0]} spark={bad[0][1]}")
+            print(f"TYPE {name}: " + "; ".join(t for t, _ in tdiff))
+        if bad or hard_tdiff:
+            why = (f"{len(bad)}/{len(e)} rows differ; first: "
+                   f"oracle={bad[0][0]} spark={bad[0][1]}" if bad
+                   else "hash-breaking type diff: " + "; ".join(hard_tdiff))
+            print(f"FAIL {name}: {why}")
             fail += 1
         else:
             print(f"ok   {name} ({len(e)} rows)")
