@@ -48,6 +48,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       shingleBuilder _),
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName,
+        "graft_shingle_hashes"),
+      (args: Seq[Expression]) => WordShingleHashes(args(0),
+        constInt("graft_shingle_hashes", args, 1))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash32(args(0))),

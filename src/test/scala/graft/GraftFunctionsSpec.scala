@@ -40,6 +40,14 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(mh.length === 8)
     val short = spark.sql("SELECT graft_minhash('a b', 3, 8) AS m").collect()(0)
     assert(short.isNullAt(0))
+    // graft_shingle_hashes == xxhash64 of each gram
+    val gh = spark.sql(
+      "SELECT graft_shingle_hashes('a b c d', 2) AS g").collect()(0)
+      .getSeq[Long](0)
+    val exp = spark.sql(
+      "SELECT transform(graft_shingles('a b c d', 2), g -> xxhash64(g)) AS g")
+      .collect()(0).getSeq[Long](0)
+    assert(gh === exp)
   }
 
   test("graft_minhash_union Aggregator: incremental signature union on SQL") {
