@@ -369,7 +369,69 @@ object YarkQueries {
       FROM del"""),
     doc = "ref: schema.sql:41 self-FK; J3 via pointer doubling (log-depth)")
 
+  /** SURVEY §2.7 F3/F12/F13/F16 — the scalar quirks previously covered
+    * only by ScalaTest, oracle-checked on synthesized inputs: file
+    * extension extraction (split('.')[-1].split('?')[0]), sec→min→hr
+    * duration formatting with floor-to-1-decimal, ANSI escape stripping
+    * (anchored on ESC — plain "[2m" survives), and the yes/maybe/no
+    * reply classification with the reference's exact word lists. */
+  val q61RefineScalars = Q(
+    "q61_refine_scalars",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.Refine
+      val replies = array(Seq("yes", "nah", "maybe", "what", "ok", "dont",
+        "probably", "go ahead").map(lit): _*)
+      val exts = array(Seq("jpg", "webp", "png").map(lit): _*)
+      Tables.events(s, d)
+        .filter($"event_id" < 200)
+        .withColumn("fname",
+          concat(lit("clip_"), ($"event_id" % 50).cast("string"), lit("."),
+            element_at(exts, ($"event_id" % 3 + 1).cast("int")),
+            when($"event_id" % 3 === 0,
+              concat(lit("?t="), $"user_id".cast("string")))
+              .otherwise(lit(""))))
+        .withColumn("sec", ($"event_id" * 37) % 7200)
+        .withColumn("colored",
+          concat(lit("\u001B[31m"), $"fname", lit("\u001B[0m ok [2m")))
+        .select($"event_id",
+          Refine.fileExt($"fname").as("ext"),
+          Refine.fmtDuration($"sec").as("dur"),
+          Refine.stripAnsi($"colored").as("clean"),
+          Refine.yesNo(element_at(replies, ($"event_id" % 8 + 1).cast("int")))
+            .as("reply_code"))
+        .orderBy($"event_id")
+    },
+    Some("""WITH base AS (
+        SELECT event_id,
+          'clip_' || CAST(event_id % 50 AS VARCHAR) || '.' ||
+            (['jpg','webp','png'])[(event_id % 3) + 1] ||
+            CASE WHEN event_id % 3 = 0
+              THEN '?t=' || CAST(user_id AS VARCHAR) ELSE '' END AS fname,
+          (event_id * 37) % 7200 AS sec,
+          (['yes','nah','maybe','what','ok','dont','probably','go ahead'])
+            [(event_id % 8) + 1] AS reply
+        FROM events WHERE event_id < 200)
+      SELECT event_id,
+        split_part(split_part(fname, '.', -1), '?', 1) AS ext,
+        CASE WHEN sec < 60 THEN CAST(sec AS VARCHAR) || ' seconds'
+          WHEN sec < 3600
+            THEN CAST(floor(sec / 60 * 10) / 10 AS VARCHAR) || ' minutes'
+          ELSE CAST(floor(sec / 3600 * 10) / 10 AS VARCHAR) || ' hours'
+          END AS dur,
+        regexp_replace(
+          chr(27) || '[31m' || fname || chr(27) || '[0m ok [2m',
+          '\x1B(?:[@-Z\\-_]|\[[0-?]*[ -/]*[@-~])', '', 'g') AS clean,
+        CASE WHEN reply IN ('yes','y','yep','sure','ight','ok','okey',
+            'go ahead','cool','ye','yeh','yee','do it','why not') THEN 1
+          WHEN reply IN ('maybe','perhaps','possibly','conceivably',
+            'probably') THEN -1
+          WHEN reply IN ('no','n','nah','nou','dont','don''t') THEN 0
+          ELSE -2 END AS reply_code
+      FROM base ORDER BY event_id"""),
+    doc = "SURVEY §2.7 F3/F12/F13/F16 scalar quirks (oracle-checked)")
+
   val all: Seq[Q] = Seq(q34RefineUrls, q35RefineNulls, q36FkValidate,
     q37CascadeDelete, q38RestrictCheck, q39UpsertMerge, q40InsertIfAbsent,
-    q41BinaryMeta, q51RecursiveCascade, q55CascadeDoubling)
+    q41BinaryMeta, q51RecursiveCascade, q55CascadeDoubling, q61RefineScalars)
 }
