@@ -431,7 +431,66 @@ object YarkQueries {
       FROM base ORDER BY event_id"""),
     doc = "SURVEY §2.7 F3/F12/F13/F16 scalar quirks (oracle-checked)")
 
+  /** SURVEY §2.3 J5 — pre-insert author backfill (cmds/archive.py:180-181):
+    * referenced authors (orders.o_custkey as the FK) missing from the
+    * simulated user registry (every 3rd customer) are found by anti-join
+    * and union-inserted before the child insert can satisfy its FK. */
+  val q62AuthorBackfill = Q(
+    "q62_author_backfill",
+    (s, d) => {
+      import s.implicits._
+      val users = Tables.customer(s, d)
+        .filter($"c_custkey" % 3 === 0).select($"c_custkey")
+      val referenced = Tables.orders(s, d).select($"o_custkey").distinct()
+      val missing = referenced
+        .join(users, $"o_custkey" === $"c_custkey", "left_anti")
+      val after = users.unionByName(missing.select($"o_custkey".as("c_custkey")))
+      users.agg(count(lit(1)).as("n_existing"))
+        .crossJoin(missing.agg(count(lit(1)).as("n_backfilled")))
+        .crossJoin(after.agg(count(lit(1)).as("n_after")))
+    },
+    Some("""WITH users AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0),
+      referenced AS (SELECT DISTINCT o_custkey FROM orders),
+      missing AS (SELECT o_custkey FROM referenced
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM users))
+      SELECT (SELECT count(*) FROM users) AS n_existing,
+        (SELECT count(*) FROM missing) AS n_backfilled,
+        (SELECT count(*) FROM users) + (SELECT count(*) FROM missing) AS n_after"""),
+    doc = "ref: cmds/archive.py:180-181 (J5 anti-join backfill + union-insert)")
+
+  /** SURVEY §2.4 W4 — delete-then-insert replace (playlist replace,
+    * cmds/archive.py:289-294) as DataFrame algebra: base rows whose key
+    * matches incoming are dropped, incoming appended. Exact-sum checksum
+    * proves value-level equality, not just counts. */
+  val q63ReplaceByKey = Q(
+    "q63_replace_by_key",
+    (s, d) => {
+      import s.implicits._
+      val base = Tables.supplier(s, d)
+        .select($"s_suppkey", $"s_name", $"s_acctbal")
+      val incoming = base.filter($"s_suppkey" % 10 === 0)
+        .select($"s_suppkey", concat(lit("R_"), $"s_name").as("s_name"),
+          lit(0.0).as("s_acctbal"))
+      graft.operators.Upsert.replaceByKey(base, incoming, Seq("s_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          exactSum($"s_acctbal", 2).as("sum_bal"),
+          count(when($"s_name".startsWith("R_"), 1)).as("n_replaced"))
+    },
+    Some("""WITH base AS (SELECT s_suppkey, s_name, s_acctbal FROM supplier),
+      incoming AS (SELECT s_suppkey, 'R_' || s_name AS s_name,
+          0.0 AS s_acctbal FROM base WHERE s_suppkey % 10 = 0),
+      replaced AS (
+        SELECT * FROM base
+        WHERE s_suppkey NOT IN (SELECT s_suppkey FROM incoming)
+        UNION ALL SELECT * FROM incoming)
+      SELECT count(*) AS n, """ + exactSumSql("s_acctbal", 2) + """ AS sum_bal,
+        CAST(sum(CASE WHEN s_name LIKE 'R\_%' ESCAPE '\' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_replaced
+      FROM replaced"""),
+    doc = "ref: cmds/archive.py:289-294 (W4 delete-then-insert replace)")
+
   val all: Seq[Q] = Seq(q34RefineUrls, q35RefineNulls, q36FkValidate,
     q37CascadeDelete, q38RestrictCheck, q39UpsertMerge, q40InsertIfAbsent,
-    q41BinaryMeta, q51RecursiveCascade, q55CascadeDoubling, q61RefineScalars)
+    q41BinaryMeta, q51RecursiveCascade, q55CascadeDoubling, q61RefineScalars,
+    q62AuthorBackfill, q63ReplaceByKey)
 }
