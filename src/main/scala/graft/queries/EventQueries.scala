@@ -191,6 +191,41 @@ object EventQueries {
       ORDER BY e.user_id, error_ts, e.event_id"""),
     doc = "SURVEY §2.3 [NS] as-of join via union+window (no range explosion)")
 
+  /** SURVEY §2.3 [NS] — RANGE join (click → purchase within 1 h, same
+    * user) via time-bucketing: the inequality becomes an equi-join on
+    * (user, bucket) — no BroadcastNestedLoopJoin, no per-key quadratic
+    * blowup (Temporal.rangeJoin). The oracle states the same join as a
+    * plain BETWEEN inequality. */
+  val q64RangeJoin = Q(
+    "q64_range_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", unix_micros($"ts").as("c_us"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", unix_micros($"ts").as("p_us"))
+      graft.operators.Temporal
+        .rangeJoin(clicks, purchases, "user_id", "c_us", "p_us",
+          lowerUs = 0L, upperUs = 3600L * 1000 * 1000)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min($"p_us" - $"c_us").as("min_gap_us"),
+          max($"p_us" - $"c_us").as("max_gap_us"))
+        .orderBy($"user_id")
+    },
+    Some("""SELECT c.user_id, count(*) AS n_pairs,
+        min(epoch_us(p.ts) - epoch_us(c.ts)) AS min_gap_us,
+        max(epoch_us(p.ts) - epoch_us(c.ts)) AS max_gap_us
+      FROM events c JOIN events p
+        ON p.user_id = c.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND epoch_us(p.ts) >= epoch_us(c.ts)
+        AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+      GROUP BY c.user_id ORDER BY c.user_id"""),
+    doc = "SURVEY §2.3 [NS] range join via time-bucketed equi-join")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
-    q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin)
+    q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
+    q64RangeJoin)
 }

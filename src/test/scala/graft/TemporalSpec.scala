@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Temporal
+
+/** SURVEY §2.3 [NS] — range join by time-bucketing: exact inequality
+  * semantics, including windows that straddle bucket boundaries, with an
+  * equi-join plan (never a nested-loop). */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rangeJoin matches the brute-force inequality join exactly") {
+    // timestamps chosen to straddle bucket boundaries (width = 100):
+    // pairs at distance 0, 99, 100, 101 test both inclusive ends
+    val left = Seq((1L, 0L), (1L, 95L), (2L, 250L), (3L, 10L))
+      .toDF("k", "lt")
+    val right = Seq((1L, 0L), (1L, 99L), (1L, 195L), (1L, 196L),
+      (2L, 350L), (2L, 351L), (9L, 10L)).toDF("k", "rt")
+    val got = Temporal.rangeJoin(left, right, "k", "lt", "rt", 0L, 100L)
+      .select("k", "lt", "rt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = left.join(right, Seq("k"))
+      .filter($"rt" >= $"lt" && $"rt" <= $"lt" + 100)
+      .select("k", "lt", "rt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === brute)
+    // (1,95)->(1,195) crosses the bucket border and is in-window;
+    // (1,95)->(1,196) is outside by 1µs
+    assert(got.contains((1L, 95L, 195L)) && !got.contains((1L, 95L, 196L)))
+  }
+
+  test("rangeJoin plans as an equi-join, not a nested loop") {
+    val left = spark.range(1000)
+      .select(($"id" % 7).as("k"), ($"id" * 13).as("lt"))
+    val right = spark.range(1000)
+      .select(($"id" % 7).as("k"), ($"id" * 17).as("rt"))
+    val j = Temporal.rangeJoin(left, right, "k", "lt", "rt", 0L, 500L)
+    val p = j.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+}
