@@ -46,6 +46,28 @@ object EventStream {
         col("session_window.end").as("sess_end"), col("user_id"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join (the streaming twin of
+    * operators.Temporal.rangeJoin / q64): pairs each left event with the
+    * right events of the same user within `window` AFTER it. Watermarks
+    * on BOTH sides plus the event-time range condition bound the join
+    * state — Spark evicts buffered rows once they fall behind
+    * watermark − window, which is what makes an unbounded stream-stream
+    * join feasible at all. Works unchanged on batch inputs (the
+    * watermark is a no-op there).
+    *
+    * Inputs need (ts TIMESTAMP, user_id LONG); output one row per
+    * in-window pair. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"""l.user_id = r.user_id AND
+          r.ts >= l.ts AND r.ts <= l.ts + interval $window"""))
+      .select(col("l.user_id").as("user_id"), col("l.ts").as("left_ts"),
+        col("r.ts").as("right_ts"))
+  }
+
   /** Per-user running state for the custom stateful path. */
   case class UserAgg(user_id: Long, n_events: Long, sum_value: Double)
 

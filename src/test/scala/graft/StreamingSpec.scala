@@ -125,4 +125,42 @@ class StreamingSpec extends AnyFunSuite {
     val sess = EventStream.session(ev)
     assert(sess.count() > 0)
   }
+
+  test("stream-stream interval join pairs in-window events across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    val j = EventStream.intervalJoin(
+      clicks.toDF().toDF("ts", "user_id"),
+      buys.toDF().toDF("ts", "user_id"), window = "1 hour")
+    val q = j.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:00:00"), 2L))
+      q.processAllAvailable()
+      // purchase arrives in a LATER batch: still joins (state buffering)
+      buys.addData((ts("2024-01-01 10:30:00"), 1L), // in window for u1
+        (ts("2024-01-01 11:30:00"), 2L))            // outside u2's window
+      q.processAllAvailable()
+      val rows = spark.table("ij_out")
+        .select("user_id").as[Long].collect()
+      assert(rows.toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
+  test("intervalJoin batch twin equals the q64 range-join semantics") {
+    import spark.implicits._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter($"event_type" === "click").select($"ts", $"user_id")
+    val buys = ev.filter($"event_type" === "purchase").select($"ts", $"user_id")
+    val viaInterval = EventStream.intervalJoin(clicks, buys).count()
+    val viaBuckets = graft.operators.Temporal.rangeJoin(
+      clicks.select($"user_id", unix_micros($"ts").as("c_us")),
+      buys.select($"user_id", unix_micros($"ts").as("p_us")),
+      "user_id", "c_us", "p_us", 0L, 3600L * 1000 * 1000).count()
+    assert(viaInterval === viaBuckets && viaInterval > 0)
+  }
 }
