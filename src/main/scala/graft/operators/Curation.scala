@@ -37,6 +37,15 @@ object Curation {
           .otherwise("test"))
       .drop("bucket")
 
+  /** Deterministic weighted sampling — mixture weighting: keep a row iff
+    * its hash bucket falls below `ratePct` (a 0–100 Column, typically
+    * derived per source). Join-free, shuffle-free, reproducible across
+    * runs and engines: re-weighting a 100 TB mixture re-reads, never
+    * re-shuffles, and a row's fate never depends on partitioning. */
+  def sampleByHash(df: DataFrame, idCol: String,
+      ratePct: Column): DataFrame =
+    df.filter(hashBucket(col(idCol), 100) < ratePct)
+
   /** Fixed-size character chunks with stride (overlap = size − stride):
     * one row per (doc, chunk_idx). The offsets array is tiny (len/stride
     * ints), so explode cost is the output size — no shuffle; chunking

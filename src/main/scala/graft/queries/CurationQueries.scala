@@ -88,5 +88,36 @@ object CurationQueries {
       FROM shared GROUP BY test_doc ORDER BY test_doc"""),
     doc = "[NS] curation: cross-corpus n-gram decontamination")
 
-  val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam)
+  /** [NS] — mixture weighting: each source keeps a deterministic
+    * hash-derived fraction (25/50/75/100% cycling by source index) — the
+    * corpus-mixture re-weighting step of a training pipeline, with
+    * per-source kept/total counts as the contract. */
+  val q65MixtureSample = Q(
+    "q65_mixture_sample",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val rate = (substring($"source", 4, 10).cast("int") % 4 + 1) * 25
+      val kept = Curation.sampleByHash(docs.withColumn("rate", rate),
+        "doc_id", $"rate")
+      docs.withColumn("rate", rate)
+        .join(kept.select($"doc_id".as("kept_id")),
+          $"doc_id" === $"kept_id", "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          count($"kept_id").as("n_kept"),
+          first($"rate").as("rate_pct"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source, count(*) AS n_total,
+        count(CASE WHEN
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 100
+            < 25 * ((CAST(substr(source, 4) AS INT) % 4) + 1)
+          THEN 1 END) AS n_kept,
+        25 * ((CAST(substr(source, 4) AS INT) % 4) + 1) AS rate_pct
+      FROM documents GROUP BY source ORDER BY source"""),
+    doc = "[NS] curation: deterministic per-source mixture sampling")
+
+  val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
+    q65MixtureSample)
 }

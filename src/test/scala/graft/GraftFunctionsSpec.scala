@@ -72,6 +72,18 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(inc.getSeq[Long](0) === Seq(3L, 2L, 2L, 6L))
   }
 
+  test("constant-arg builders reject columns and wrong arity with clear errors") {
+    GraftFunctions.register(spark)
+    val colArg = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(text, doc_id, 8) FROM VALUES ('a b c', 3) AS t(text, doc_id)").collect()
+    }
+    assert(colArg.getMessage.contains("graft_minhash"), colArg.getMessage)
+    val arity = intercept[Exception] {
+      spark.sql("SELECT graft_winnow('abc')").collect()
+    }
+    assert(arity.getMessage.contains("graft_winnow"), arity.getMessage)
+  }
+
   test("registration is idempotent and null-safe") {
     GraftFunctions.register(spark)
     GraftFunctions.register(spark)
