@@ -18,6 +18,13 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object GraftFunctions {
 
+  /** First argument with an arity check naming the function — `args(0)`
+    * on an empty list would otherwise throw a bare IndexOutOfBounds. */
+  private def arg0(fn: String, args: Seq[Expression]): Expression = {
+    require(args.nonEmpty, s"$fn expects at least 1 argument, got 0")
+    args.head
+  }
+
   /** Extract a constant Int argument or fail with a message naming the
     * function — non-foldable args (columns) and wrong arity must raise a
     * clear analysis error, not an NPE at eval time. */
@@ -39,31 +46,35 @@ object GraftFunctions {
   }
 
   private def shingleBuilder(args: Seq[Expression]): Expression =
-    WordShingles(args(0), constInt("graft_shingles", args, 1))
+    WordShingles(arg0("graft_shingles", args), constInt("graft_shingles", args, 1))
 
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_dot expects 2 arguments, got ${args.length}")
+        DotProduct(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       shingleBuilder _),
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[WordShingleHashes].getName,
         "graft_shingle_hashes"),
-      (args: Seq[Expression]) => WordShingleHashes(args(0),
+      (args: Seq[Expression]) => WordShingleHashes(arg0("graft_shingle_hashes", args),
         constInt("graft_shingle_hashes", args, 1))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimHash32(args(0))),
+      (args: Seq[Expression]) => SimHash32(arg0("graft_simhash", args))),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
-      (args: Seq[Expression]) => MinHashSignature(args(0),
+      (args: Seq[Expression]) => MinHashSignature(arg0("graft_minhash", args),
         constInt("graft_minhash", args, 1),
         constInt("graft_minhash", args, 2))),
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
-      (args: Seq[Expression]) => WinnowFingerprint(args(0),
+      (args: Seq[Expression]) => WinnowFingerprint(arg0("graft_winnow", args),
         constInt("graft_winnow", args, 1),
         constInt("graft_winnow", args, 2))))
 

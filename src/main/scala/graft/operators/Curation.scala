@@ -94,12 +94,14 @@ object Curation {
   def crossCorpusLeakage(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, n: Int = 5,
       minShared: Int = 3, dfMax: Long = 100): DataFrame = {
-    // materialized once: both the rare-gram aggregate and the pair join
-    // read it (a lazy plan would re-run the whole train-side shingling)
+    // persist, not localCheckpoint: both the rare-gram aggregate and the
+    // pair join read the train shingles (a bare plan would run the
+    // shingling twice), but lazy persist keeps plan construction free of
+    // side effects and stays recomputable on executor loss
     val tg = train.select(col(idCol).as("t_doc"),
       explode(graft.functions.ShingleExpression
         .wordShingleHashes(col(textCol), n)).as("gh"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = tg.groupBy(col("gh"))
       .agg(count(lit(1)).as("tdf"))
       .filter(col("tdf") <= dfMax)

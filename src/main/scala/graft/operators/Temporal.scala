@@ -27,8 +27,9 @@ object Temporal {
     * split across buckets by construction. */
   def rangeJoin(left: DataFrame, right: DataFrame, key: String,
       lts: String, rts: String, lowerUs: Long, upperUs: Long): DataFrame = {
-    require(upperUs > lowerUs, s"empty window [$lowerUs, $upperUs]")
-    val width = upperUs - lowerUs
+    require(upperUs >= lowerUs, s"empty window [$lowerUs, $upperUs]")
+    // a point window [x, x] is valid — bucket width floors at 1
+    val width = math.max(upperUs - lowerUs, 1L)
     val r = right.withColumn("_rb", floor(col(rts) / width))
     val l = left
       .withColumn("_lb0", floor((col(lts) + lowerUs) / width))

@@ -97,15 +97,13 @@ object CurationQueries {
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val rate = (substring($"source", 4, 10).cast("int") % 4 + 1) * 25
-      val kept = Curation.sampleByHash(docs.withColumn("rate", rate),
-        "doc_id", $"rate")
-      docs.withColumn("rate", rate)
-        .join(kept.select($"doc_id".as("kept_id")),
-          $"doc_id" === $"kept_id", "left")
-        .groupBy($"source")
+        .withColumn("rate", (substring($"source", 4, 10).cast("int") % 4 + 1) * 25)
+      // one scan: kept = conditional count with the operator's own
+      // predicate (sampleByHash itself is unit-tested in CurationSpec)
+      docs.groupBy($"source")
         .agg(count(lit(1)).as("n_total"),
-          count($"kept_id").as("n_kept"),
+          count(when(Curation.hashBucket($"doc_id", 100) < $"rate", 1))
+            .as("n_kept"),
           first($"rate").as("rate_pct"))
         .orderBy($"source")
     },

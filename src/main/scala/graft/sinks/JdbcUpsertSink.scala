@@ -40,8 +40,9 @@ final case class JdbcUpsertSink(
     e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
       (Option(e.getSQLState) match {
         case Some(state) => state.startsWith("23")
-        case None => Option(e.getMessage).exists(m =>
-          m.toLowerCase.matches(".*(constraint|unique|duplicate).*"))
+        case None =>
+          val m = Option(e.getMessage).getOrElse("").toLowerCase
+          Seq("constraint", "unique", "duplicate").exists(m.contains)
       })
 
   /** Run DDL (CREATE TABLE ...) on the sink DB. */
@@ -168,14 +169,25 @@ final case class JdbcUpsertSink(
         // a speculative duplicate or retry of the same partition must not
         // race another attempt's staging table
         val tc = org.apache.spark.TaskContext.get()
-        val stg = s"${tbl}_stg_${tc.partitionId()}_${tc.taskAttemptId()}"
+        val prefix = s"${tbl}_stg_${tc.partitionId()}_"
+        val stg = s"$prefix${tc.taskAttemptId()}"
         val c = DriverManager.getConnection(u)
         try {
-          // leftover-table cleanup runs in autocommit: a failed DROP must
-          // not poison the upcoming transaction (PostgreSQL aborts the tx
-          // on any statement error; only Derby tolerates it)
-          try c.createStatement().execute(s"DROP TABLE $stg")
-          catch { case _: SQLException => }
+          // leftover cleanup runs in autocommit (a failed DROP must not
+          // poison the upcoming transaction — PostgreSQL aborts the tx on
+          // any statement error) and sweeps EVERY prior attempt's table
+          // for this partition via metadata, not just this attempt's name:
+          // on DBs with non-transactional DDL a failed attempt's table
+          // would otherwise be orphaned forever.
+          try {
+            val rs = c.getMetaData.getTables(null, null, prefix + "%", null)
+            val leftovers = Iterator.continually(rs)
+              .takeWhile(_.next()).map(_.getString("TABLE_NAME")).toList
+            leftovers.foreach { t =>
+              try c.createStatement().execute(s"DROP TABLE $t")
+              catch { case _: SQLException => }
+            }
+          } catch { case _: SQLException => }
           c.setAutoCommit(false)
           val st = c.createStatement()
           st.execute(

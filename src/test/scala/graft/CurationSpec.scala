@@ -39,6 +39,21 @@ class CurationSpec extends AnyFunSuite {
     assert(c1(0).substring(100) === c1(1).substring(0, 100))
   }
 
+  test("sampleByHash: deterministic, rate-proportional, repartition-stable") {
+    val df = (1L to 10000L).toDF("id")
+      .withColumn("rate", lit(30))
+    val kept = Curation.sampleByHash(df, "id", $"rate")
+    val n = kept.count()
+    assert(n > 2500 && n < 3500, n) // ~30%
+    // same rows regardless of partitioning
+    val again = Curation.sampleByHash(df.repartition(17), "id", $"rate")
+    assert(again.select("id").as[Long].collect().sorted
+      === kept.select("id").as[Long].collect().sorted)
+    // rate 0 keeps nothing; rate 100 keeps everything
+    assert(Curation.sampleByHash(df, "id", lit(0)).count() === 0)
+    assert(Curation.sampleByHash(df, "id", lit(100)).count() === 10000)
+  }
+
   test("writeShards: membership is a pure function of the id; files bounded") {
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
     val df = (1L to 5000L).toDF("id").withColumn("payload", md5($"id".cast("string")))

@@ -51,13 +51,18 @@ class PlanQualitySpec extends AnyFunSuite {
     // are AFTER the distinct key-set reduction
     val p = SparkEntry.queries("q38_restrict_check")(spark, sf)
       .queryExecution.executedPlan.toString
+    // exactly one lineitem scan (no accidental double-read), and its
+    // nearest enclosing join above it in the tree must be the LeftSemi
+    // probe with no shuffle Exchange in between; the distinct's Exchange
+    // sits above that join (after the probe in dataflow) — allowed
     val liScan = p.indexOf("lineitem.parquet")
-    assert(liScan >= 0, p)
-    // the probe join is the nearest BroadcastHashJoin ABOVE the scan in
-    // the tree rendering; the distinct's Exchange sits above that join
-    // (after the probe in dataflow), which is allowed
+    assert(liScan >= 0 && p.indexOf("lineitem.parquet", liScan + 1) < 0,
+      s"expected exactly one lineitem scan:\n$p")
     val probeJoin = p.lastIndexOf("BroadcastHashJoin", liScan)
     assert(probeJoin >= 0, p)
+    val joinLine = p.substring(probeJoin, p.indexOf('\n', probeJoin))
+    assert(joinLine.contains("LeftSemi"),
+      s"nearest join above the lineitem scan is not the semi probe:\n$p")
     val between = p.substring(probeJoin, liScan)
     assert(!between.contains("Exchange hashpartitioning"),
       s"shuffle between the lineitem scan and its probe join:\n$p")

@@ -31,6 +31,15 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.contains((1L, 95L, 195L)) && !got.contains((1L, 95L, 196L)))
   }
 
+  test("rangeJoin supports a point window [x, x]") {
+    val left = Seq((1L, 100L), (1L, 50L)).toDF("k", "lt")
+    val right = Seq((1L, 100L), (1L, 101L)).toDF("k", "rt")
+    val got = Temporal.rangeJoin(left, right, "k", "lt", "rt", 0L, 0L)
+      .select("lt", "rt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((100L, 100L)))
+  }
+
   test("rangeJoin plans as an equi-join, not a nested loop") {
     val left = spark.range(1000)
       .select(($"id" % 7).as("k"), ($"id" * 13).as("lt"))

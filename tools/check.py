@@ -68,12 +68,15 @@ def main():
             for c in sorted(ecols):
                 et, gt = easch.field(c).type, gasch.field(c).type
                 if str(et) != str(gt):
-                    # timestamp unit (us vs ns) is the one diff the
-                    # driver's hasher normalizes; everything else (e.g.
-                    # HUGEINT vs BIGINT) breaks the type-sensitive hash
-                    both_ts = str(et).startswith("timestamp") and \
-                        str(gt).startswith("timestamp")
-                    tdiff.append((f"{c}: oracle={et} spark={gt}", both_ts))
+                    # timestamp UNIT (us vs ns, tz-naive both sides) is
+                    # the one diff the driver's hasher normalizes;
+                    # everything else (HUGEINT vs BIGINT, tz-aware vs
+                    # naive) breaks the type-sensitive hash
+                    import re as _re
+                    unit_only = bool(
+                        _re.fullmatch(r"timestamp\[(s|ms|us|ns)\]", str(et))
+                        and _re.fullmatch(r"timestamp\[(s|ms|us|ns)\]", str(gt)))
+                    tdiff.append((f"{c}: oracle={et} spark={gt}", unit_only))
         except Exception as e2:
             tdiff.append((f"(type check error: {e2})", False))
         bad = [(a, b) for a, b in zip(e, g) if a != b]
