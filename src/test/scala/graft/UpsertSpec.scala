@@ -10,6 +10,19 @@ class UpsertSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("W1 insertIfAbsent never force-broadcasts the base key set") {
+    // at 100 TB the base side is the unbroadcastable one; the plan must
+    // carry no broadcast HINT on it (AQE may still pick broadcast from
+    // runtime stats — the point is the operator doesn't force it)
+    val base = spark.range(10000).select($"id".cast("string").as("user_id"),
+      lit("u").as("username"))
+    val incoming = Seq(("x", "new")).toDF("user_id", "username")
+    val out = Upsert.insertIfAbsent(base, incoming, Seq("user_id"))
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("resolvedhint"),
+      s"broadcast hint found in insertIfAbsent plan:\n$optimized")
+  }
+
   test("W1 insertIfAbsent: first-in-batch wins, existing keys ignored") {
     val base = Seq(("u1", "old")).toDF("user_id", "username")
     val incoming = Seq(
