@@ -81,6 +81,24 @@ object Curation {
     else w).parquet(dir)
   }
 
+  /** PII redaction for training text: emails, URLs, and phone numbers
+    * replaced by placeholder tokens. Patterns are deliberately
+    * RE2-compatible (no backreferences/lookaround) so the same regexes
+    * run in Spark (java.util.regex) and DuckDB (RE2) identically; order
+    * matters — emails before URLs would otherwise leave `mailto:` bodies
+    * half-redacted, so URLs go first. Pure per-row codegen'd
+    * regexp_replace chain: no shuffle, stays in whole-stage codegen. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** Decontamination: test docs that share ≥ `minShared` distinct word
     * `n`-grams with at least one train doc. Output one row per flagged
     * test doc: (test_doc, n_partners, max_shared).

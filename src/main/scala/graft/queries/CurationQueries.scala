@@ -116,6 +116,60 @@ object CurationQueries {
       FROM documents GROUP BY source ORDER BY source"""),
     doc = "[NS] curation: deterministic per-source mixture sampling")
 
+  /** [NS] — PII redaction over synthesized text: emails/URLs/phones →
+    * placeholder tokens; per-doc-bucket counts of each token plus an md5
+    * checksum over the redacted text prove byte-exact replacement. */
+  val q66Redaction = Q(
+    "q66_redaction",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .withColumn("pii_text", concat(
+          lit("contact user"), $"doc_id", lit("@example.com or visit "),
+          lit("https://ex.com/d/"), $"doc_id", lit(" or call "),
+          lit("555-"), lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+          lit(" re: "), $"text"))
+        .withColumn("clean", Curation.redactPii($"pii_text"))
+      docs.groupBy(($"doc_id" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum((length($"clean") -
+            length(regexp_replace($"clean", "<EMAIL>", ""))) / 7)
+            .cast("bigint").as("n_email_tokens"),
+          sum((length($"clean") -
+            length(regexp_replace($"clean", "<URL>", ""))) / 5)
+            .cast("bigint").as("n_url_tokens"),
+          sum((length($"clean") -
+            length(regexp_replace($"clean", "<PHONE>", ""))) / 7)
+            .cast("bigint").as("n_phone_tokens"),
+          md5(concat_ws("|", sort_array(collect_list(md5($"clean")))))
+            .as("content_hash"))
+        .orderBy($"bucket")
+    },
+    Some("""WITH r AS (SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or visit '
+                || 'https://ex.com/d/' || CAST(doc_id AS VARCHAR) || ' or call '
+                || '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' re: ' || text,
+              'https?://[^ ]+', '<URL>', 'g'),
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS clean
+      FROM documents)
+      SELECT doc_id % 10 AS bucket, count(*) AS n,
+        CAST(sum((length(clean) - length(replace(clean, '<EMAIL>', ''))) / 7)
+          AS BIGINT) AS n_email_tokens,
+        CAST(sum((length(clean) - length(replace(clean, '<URL>', ''))) / 5)
+          AS BIGINT) AS n_url_tokens,
+        CAST(sum((length(clean) - length(replace(clean, '<PHONE>', ''))) / 7)
+          AS BIGINT) AS n_phone_tokens,
+        md5(string_agg(md5(clean), '|' ORDER BY md5(clean))) AS content_hash
+      FROM r GROUP BY 1 ORDER BY bucket"""),
+    doc = "[NS] curation: PII redaction (RE2-safe patterns, byte-exact)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
-    q65MixtureSample)
+    q65MixtureSample, q66Redaction)
 }

@@ -81,6 +81,19 @@ class CurationSpec extends AnyFunSuite {
     assert(counts1 === counts2)
   }
 
+  test("redactPii replaces emails, URLs, and phones; plain text untouched") {
+    val rows = Seq(
+      "mail me at a.b+c@ex-ample.co.uk now",
+      "see https://x.io/p?q=1&r=2 and http://y.z/",
+      "call 555-123-4567 or 555 987 6543",
+      "nothing to redact here @ all, 12-34-56 stays").toDF("t")
+    val got = rows.select(Curation.redactPii($"t")).as[String].collect()
+    assert(got(0) === "mail me at <EMAIL> now")
+    assert(got(1) === "see <URL> and <URL>")
+    assert(got(2) === "call <PHONE> or <PHONE>")
+    assert(got(3) === "nothing to redact here @ all, 12-34-56 stays")
+  }
+
   test("crossCorpusLeakage flags planted overlap, ignores boilerplate") {
     val boiler = "the quick brown fox jumps over the lazy dog again"
     val train = Seq(
