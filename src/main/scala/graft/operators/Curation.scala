@@ -81,6 +81,29 @@ object Curation {
     else w).parquet(dir)
   }
 
+  /** Sequence packing — the step after [[chunk]]: assign chunks to
+    * fixed-budget packs (context windows) by cumulative length. Packing
+    * is greedy-by-running-sum WITHIN a hash shard, so it parallelizes
+    * shard-wise (a global greedy pack would serialize the corpus through
+    * one partition); pack ids are `<shard>_<seq>` and deterministic —
+    * same corpus, same packs, any cluster size. A chunk longer than
+    * `ctxLen` still lands in exactly one pack (approximation shared by
+    * real packing pipelines; exact bin packing is NP-hard and
+    * order-destroying). */
+  def packChunks(chunks: DataFrame, idCol: String, idxCol: String,
+      lenCol: String, ctxLen: Int, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_shard"))
+      .orderBy(col(idCol), col(idxCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("_shard", hashBucket(col(idCol), shards))
+      .withColumn("_cum", sum(col(lenCol)).over(w))
+      .withColumn("pack_id", concat_ws("_", col("_shard"),
+        floor((col("_cum") - 1) / ctxLen).cast("long")))
+      .drop("_shard", "_cum")
+  }
+
   /** PII redaction for training text: emails, URLs, and phone numbers
     * replaced by placeholder tokens. Patterns are deliberately
     * RE2-compatible (no backreferences/lookaround) so the same regexes

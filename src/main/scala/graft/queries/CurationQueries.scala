@@ -170,6 +170,44 @@ object CurationQueries {
       FROM r GROUP BY 1 ORDER BY bucket"""),
     doc = "[NS] curation: PII redaction (RE2-safe patterns, byte-exact)")
 
+  /** [NS] — sequence packing: q57's chunks greedily packed into
+    * 400-char context budgets within 8 hash shards; per-pack chunk
+    * counts and exact lengths are the contract. */
+  val q67Packing = Q(
+    "q67_packing",
+    (s, d) => {
+      import s.implicits._
+      val chunks = Curation.chunk(Tables.documents(s, d), "doc_id", "text",
+        size = 200, stride = 100)
+      Curation.packChunks(chunks, "doc_id", "chunk_idx", "chunk_len",
+          ctxLen = 400, shards = 8)
+        .groupBy($"pack_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum($"chunk_len").cast("bigint").as("pack_len"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"pack_id")
+    },
+    Some("""WITH chunks AS (
+        SELECT doc_id, t.off // 100 AS chunk_idx,
+          CAST(length(substr(text, t.off + 1, 200)) AS BIGINT) AS chunk_len
+        FROM documents,
+          unnest(generate_series(0, length(text) - 1, 100)) AS t(off)
+        WHERE length(text) > 0),
+      sh AS (SELECT *,
+          CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 8
+            AS shard
+        FROM chunks),
+      c AS (SELECT *, sum(chunk_len) OVER (PARTITION BY shard
+          ORDER BY doc_id, chunk_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM sh)
+      SELECT CAST(shard AS VARCHAR) || '_' ||
+          CAST(CAST(floor((cum - 1) / 400) AS BIGINT) AS VARCHAR) AS pack_id,
+        count(*) AS n_chunks, CAST(sum(chunk_len) AS BIGINT) AS pack_len,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1 ORDER BY pack_id"""),
+    doc = "[NS] curation: shard-parallel sequence packing (greedy cumsum)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
-    q65MixtureSample, q66Redaction)
+    q65MixtureSample, q66Redaction, q67Packing)
 }

@@ -81,6 +81,27 @@ class CurationSpec extends AnyFunSuite {
     assert(counts1 === counts2)
   }
 
+  test("packChunks: packs respect the budget; assignment is deterministic") {
+    val chunks = Seq(
+      (1L, 0, 150L), (1L, 1, 150L), (2L, 0, 150L), (3L, 0, 90L),
+      (4L, 0, 150L), (5L, 0, 150L), (6L, 0, 150L)
+    ).toDF("doc_id", "chunk_idx", "chunk_len")
+    val packed = Curation.packChunks(chunks, "doc_id", "chunk_idx",
+      "chunk_len", ctxLen = 300, shards = 1)
+    val byPack = packed.groupBy("pack_id")
+      .agg(sum($"chunk_len").as("len"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // greedy cumsum: no pack exceeds budget + one chunk's length
+    assert(byPack.forall(_._2 <= 300 + 150), byPack.toSeq)
+    assert(byPack.map(_._3).sum === 7)
+    // same input partitioned differently → identical packs
+    val again = Curation.packChunks(chunks.repartition(5), "doc_id",
+      "chunk_idx", "chunk_len", ctxLen = 300, shards = 1)
+      .select("doc_id", "chunk_idx", "pack_id").collect().toSet
+    assert(again === packed.select("doc_id", "chunk_idx", "pack_id")
+      .collect().toSet)
+  }
+
   test("redactPii replaces emails, URLs, and phones; plain text untouched") {
     val rows = Seq(
       "mail me at a.b+c@ex-ample.co.uk now",
