@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,9 +12,13 @@ import org.apache.spark.sql.functions._
   * BinaryType columns with typed metadata, processed batch-at-a-time in
   * executor partitions (the Scala analogue of mapInPandas batches).
   *
-  * The codec itself is STUBBED — no image/audio libraries exist in this
-  * environment — with a deterministic fake decoder, clearly marked below.
-  * Everything around it is real and load-bearing: schema, partition-size
+  * Image decode is REAL: `javax.imageio` ships with the JDK (PNG, JPEG,
+  * GIF, BMP, TIFF, WBMP) and needs no display — header-only probes for
+  * metadata, full pixel decode only where resize/features require it.
+  * Payloads ImageIO cannot read (webp, video containers, arbitrary
+  * bytes) fall back to the deterministic stub below, clearly marked, so
+  * the operators stay total functions over untrusted blob columns.
+  * Everything around the codec is load-bearing: schema, partition-size
   * control (blobs never enter wide shuffles; operate on (id, payload) and
   * join scalars back), batch shape, and typed output.
   *
@@ -18,17 +27,69 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Decoded-media metadata row. */
+  /** Decoded-media metadata row. `decoded=false` marks stub-fallback rows
+    * (format not readable by the JDK's ImageIO, e.g. webp). */
   case class MediaMeta(id: Long, n_bytes: Long, format: String,
-      width: Int, height: Int)
+      width: Int, height: Int, decoded: Boolean)
 
   /** Fixed-size feature row (embedding-like). */
   case class MediaFeature(id: Long, feature: Array[Float])
 
   // ======================================================================
-  // STUB — deterministic fake codec. Replace with a real decoder (e.g.
-  // javax.imageio / ffmpeg bindings) when the runtime has codecs. The
-  // fake derives all outputs from the payload bytes so tests are stable.
+  // Real codec — JDK ImageIO. All entry points return Option; None routes
+  // to the stub fallback so unreadable payloads never throw on executors.
+  // ======================================================================
+
+  /** Header-only probe: format name + dimensions WITHOUT decoding pixels
+    * (reader.getWidth reads the header frame only) — the cheap path for
+    * metadata scans over 100 TB of blobs. */
+  private[operators] def probeImage(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    ImageIO.setUseCache(false) // no temp-file cache on executors
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (in == null || !readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None
+    } finally if (in != null) in.close()
+  }
+
+  /** Full pixel decode; None when ImageIO has no codec for the payload. */
+  private[operators] def readImage(bytes: Array[Byte]): Option[BufferedImage] =
+    try {
+      ImageIO.setUseCache(false)
+      Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Scale pixels into (w, h) with bilinear filtering; TYPE_INT_RGB keeps
+    * the result re-encodable by every JDK writer (no alpha surprises). */
+  private[operators] def scaleImage(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  private[operators] def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ======================================================================
+  // STUB — deterministic fallback for payloads the JDK cannot decode
+  // (webp images, audio/video containers, junk bytes). Derives all
+  // outputs from the payload bytes so behavior is stable and testable.
   // ======================================================================
   private[operators] def decodeStub(bytes: Array[Byte]): (String, Int, Int) = {
     val h = java.util.Arrays.hashCode(bytes)
@@ -52,32 +113,65 @@ object Multimodal {
   // ======================================================================
 
   /** Decode pass: (id, payload BINARY) → MediaMeta, partition-at-a-time.
-    * mapPartitions (not per-row UDF) so a real codec can amortize init
-    * (decoder contexts, native buffers) across the batch — the same reason
-    * mapInPandas batches exist. */
+    * mapPartitions (not per-row UDF) so codec init (ImageIO registry warm,
+    * cache-off flag) amortizes across the batch — the same reason
+    * mapInPandas batches exist. The probe reads headers only: a metadata
+    * scan never pays full pixel decode. */
   def decodeMeta(df: DataFrame)(implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
     df.select(col("id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real impl: init decoder once per partition here
+        ImageIO.setUseCache(false) // once per partition
         rows.map { case (id, bytes) =>
-          val (fmt, w, h) = decodeStub(bytes)
-          MediaMeta(id, bytes.length.toLong, fmt, w, h)
+          probeImage(bytes) match {
+            case Some((fmt, w, h)) =>
+              MediaMeta(id, bytes.length.toLong, fmt, w, h, decoded = true)
+            case None =>
+              val (fmt, w, h) = decodeStub(bytes)
+              MediaMeta(id, bytes.length.toLong, fmt, w, h, decoded = false)
+          }
         }
       }
   }
 
+  /** Real image feature: mean-luminance grid (gridW×gridH cells, row-major,
+    * scaled to [-1, 1]) — the classic tiny-thumbnail perceptual signature,
+    * directly usable by the Similarity operators. */
+  private[operators] def luminanceGrid(img: BufferedImage, dim: Int): Array[Float] = {
+    val gw = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+    val gh = math.max(1, math.ceil(dim.toDouble / gw).toInt)
+    val small = scaleImage(img, gw, gh)
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      val rgb = small.getRGB(i % gw, i / gw)
+      val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      out(i) = (lum / 127.5 - 1.0).toFloat
+      i += 1
+    }
+    out
+  }
+
   /** Feature-extraction pass: (id, payload) → fixed-dim float vector,
-    * ready for the Similarity operators. */
+    * ready for the Similarity operators. Decodable images get the real
+    * luminance-grid signature; everything else the stub. */
   def extractFeatures(df: DataFrame, dim: Int = 16)(
       implicit spark: SparkSession): Dataset[MediaFeature] = {
     import spark.implicits._
     df.select(col("id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(rows => rows.map { case (id, bytes) =>
-        MediaFeature(id, featureStub(bytes, dim))
-      })
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val feat = readImage(bytes) match {
+            case Some(img) => luminanceGrid(img, dim)
+            case None      => featureStub(bytes, dim)
+          }
+          MediaFeature(id, feat)
+        }
+      }
   }
 
   /** Resized-media row: payload replaced by the (stub-)resized bytes. */
@@ -88,23 +182,42 @@ object Multimodal {
   case class Frame(id: Long, frame_idx: Int, offset_ms: Long,
       payload: Array[Byte])
 
-  /** Resize pass: (id, payload) → target box, aspect preserved. The codec
-    * is the stub (real impl: scale pixels); the plumbing — partition-
-    * batched transform, metadata recompute, byte output — is real. */
+  /** Resize pass: (id, payload) → target box, aspect preserved. Decodable
+    * images take the real path — Graphics2D bilinear scale, PNG re-encode;
+    * images already inside the box pass through byte-identical (idempotent
+    * re-runs don't recompress). Unreadable payloads fall back to the stub
+    * (deterministic size-scaled slice). */
   def resize(df: DataFrame, maxW: Int, maxH: Int)(
       implicit spark: SparkSession): Dataset[ResizedMedia] = {
     import spark.implicits._
     df.select(col("id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(rows => rows.map { case (id, bytes) =>
-        val (_, w, h) = decodeStub(bytes)
-        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-        val (nw, nh) = (math.max(1, (w * scale).toInt),
-          math.max(1, (h * scale).toInt))
-        // STUB: real impl re-encodes pixels; fake keeps a size-scaled slice
-        val outLen = math.max(1, (bytes.length * scale * scale).toInt)
-        ResizedMedia(id, nw, nh, bytes.take(outLen))
-      })
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          readImage(bytes) match {
+            case Some(img) =>
+              val (w, h) = (img.getWidth, img.getHeight)
+              val scale = math.min(1.0,
+                math.min(maxW.toDouble / w, maxH.toDouble / h))
+              if (scale >= 1.0) ResizedMedia(id, w, h, bytes)
+              else {
+                val (nw, nh) = (math.max(1, (w * scale).toInt),
+                  math.max(1, (h * scale).toInt))
+                ResizedMedia(id, nw, nh, encodePng(scaleImage(img, nw, nh)))
+              }
+            case None =>
+              val (_, w, h) = decodeStub(bytes)
+              val scale = math.min(1.0,
+                math.min(maxW.toDouble / w, maxH.toDouble / h))
+              val (nw, nh) = (math.max(1, (w * scale).toInt),
+                math.max(1, (h * scale).toInt))
+              // STUB fallback: keep a size-scaled slice of the bytes
+              val outLen = math.max(1, (bytes.length * scale * scale).toInt)
+              ResizedMedia(id, nw, nh, bytes.take(outLen))
+          }
+        }
+      }
   }
 
   /** Frame sampling (video-style): every `everyMs` up to `maxFrames` per

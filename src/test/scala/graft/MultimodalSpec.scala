@@ -1,11 +1,16 @@
 package graft
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Multimodal, Similarity}
 
-/** [NS] multimodal plumbing: binary columns, partition-batched decode
-  * (stubbed codec), feature extraction feeding similarity ops. */
+/** [NS] multimodal plumbing: binary columns, partition-batched REAL image
+  * decode (JDK ImageIO) with a deterministic stub fallback for unreadable
+  * payloads, feature extraction feeding similarity ops. */
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -16,16 +21,83 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
   }
 
-  test("decodeMeta: typed output, byte counts exact, deterministic stub") {
+  /** Synthesize a real image driver-side: gradient fill so resampling has
+    * signal, encoded with the JDK's own writers. */
+  private def imageBytes(w: Int, h: Int, fmt: String,
+      rgb: (Int, Int) => Int = (x, y) => ((x * 7) ^ (y * 13)) & 0xffffff): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb(x, y))
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  private lazy val imageBlobs = {
+    import spark.implicits._
+    Seq(
+      (1L, imageBytes(400, 200, "png")),
+      (2L, imageBytes(64, 48, "jpeg")),
+      (3L, imageBytes(100, 300, "png")),
+      (4L, "definitely not an image".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+  }
+
+  test("decodeMeta: real ImageIO decode — true formats and dimensions") {
+    implicit val s = spark
+    val meta = Multimodal.decodeMeta(imageBlobs).collect().map(m => m.id -> m).toMap
+    assert(meta(1L).format === "png" && meta(1L).width === 400 &&
+      meta(1L).height === 200 && meta(1L).decoded)
+    assert(meta(2L).format === "jpeg" && meta(2L).width === 64 &&
+      meta(2L).height === 48 && meta(2L).decoded)
+    assert(meta(3L).width === 100 && meta(3L).height === 300)
+    // unreadable payload routes to the deterministic stub fallback
+    assert(!meta(4L).decoded)
+    assert(meta(4L).n_bytes === "definitely not an image".getBytes("UTF-8").length)
+  }
+
+  test("decodeMeta: typed output, byte counts exact, deterministic fallback") {
     implicit val s = spark
     val meta = Multimodal.decodeMeta(blobs)
     assert(meta.count() === 50)
     val r = meta.filter(_.id == 0L).collect()(0)
     assert(r.n_bytes > 0)
+    assert(!r.decoded) // text bytes are not an image — stub fallback
     assert(Seq("jpeg", "png", "webp").contains(r.format))
     // deterministic across runs
     val again = Multimodal.decodeMeta(blobs).filter(_.id == 0L).collect()(0)
     assert(r === again)
+  }
+
+  test("resize: real pixel scale — aspect preserved, output decodes to claimed dims") {
+    implicit val s = spark
+    val out = Multimodal.resize(imageBlobs, 128, 128).collect()
+      .map(r => r.id -> r).toMap
+    // 400x200 → bounded by width: 128x64
+    assert(out(1L).width === 128 && out(1L).height === 64)
+    // 100x300 → bounded by height: 42x128
+    assert(out(3L).width === 42 && out(3L).height === 128)
+    // the resized payload is a real PNG of exactly the claimed dimensions
+    val reread = ImageIO.read(new ByteArrayInputStream(out(1L).payload))
+    assert(reread.getWidth === 128 && reread.getHeight === 64)
+    // already inside the box → byte-identical passthrough (no recompress)
+    assert(out(2L).width === 64 && out(2L).height === 48)
+    assert(out(2L).payload.toSeq === imageBytes(64, 48, "jpeg").toSeq)
+  }
+
+  test("extractFeatures: real luminance grid on images, stub on junk") {
+    implicit val s = spark
+    // uniform mid-gray image → every grid cell ≈ 0 after [-1,1] scaling
+    import spark.implicits._
+    val gray = Seq((1L, imageBytes(32, 32, "png", (_, _) => 0x808080)))
+      .toDF("id", "payload")
+    val feat = Multimodal.extractFeatures(gray, dim = 16).collect()(0).feature
+    assert(feat.length === 16)
+    assert(feat.forall(v => math.abs(v) < 0.02))
+    // junk payload still yields a deterministic fixed-dim vector
+    val junk = Multimodal.extractFeatures(imageBlobs.filter($"id" === 4L),
+      dim = 16).collect()(0).feature
+    assert(junk.length === 16)
+    assert(junk.forall(v => v >= -1.0f && v <= 1.0f))
   }
 
   test("extractFeatures: fixed-dim vectors usable by Similarity.cosineTopK") {
