@@ -72,6 +72,14 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinHashSignature(arg0("graft_minhash", args),
         constInt("graft_minhash", args, 1),
         constInt("graft_minhash", args, 2))),
+    (FunctionIdentifier("graft_sorted_isect"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "graft_sorted_isect"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_sorted_isect expects 2 arguments, got ${args.length}")
+        SortedIntersectSize(args(0), args(1))
+      }),
     (FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
       (args: Seq[Expression]) => WinnowFingerprint(arg0("graft_winnow", args),

@@ -69,8 +69,79 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED ARRAY<BIGINT> set encodings by linear
+  * merge — the verification kernel for prefix-filtered set-similarity
+  * joins. `size(array_intersect(a, b))` builds a hash set per row (boxing
+  * every element); on a candidate-pair stream that allocation dominates.
+  * The merge is a branch-per-element loop over primitive longs inside
+  * whole-stage codegen.
+  *
+  * Contract: both inputs ascending-sorted, duplicate-free (what
+  * `sort_array` over a distinct-element set produces). Equals
+  * `size(array_intersect(a, b))` on such inputs (KernelEquivalenceSpec).
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case org.apache.spark.sql.types.NullType => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sorted_isect needs ARRAY<BIGINT> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sorted_isect"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        int $i = 0; int $j = 0; long $c = 0L;
+        while ($i < $a.numElements() && $j < $b.numElements()) {
+          final long $xv = $a.getLong($i);
+          final long $yv = $b.getLong($j);
+          if ($xv < $yv) $i++;
+          else if ($xv > $yv) $j++;
+          else { $c++; $i++; $j++; }
+        }
+        ${ev.value} = $c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. Inputs must be ARRAY<DOUBLE>. */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for [[SortedIntersectSize]]. Inputs: sorted ARRAY<BIGINT>. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectSize(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -140,30 +140,62 @@ object Dedup {
   def ngramJaccardPairsPrefixFiltered(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // per-doc gram sets map-side; the exploded view feeds document
-    // frequency + prefix ranking, the array view feeds verification —
-    // no collect_set re-aggregation anywhere
+    // frequency, the array view feeds verification — no collect_set
+    // re-aggregation anywhere. ghs ascending-sorted so verification is a
+    // linear primitive merge (graft_sorted_isect), not a per-pair hash set.
     val base = hashedShingleSets(df, idCol, textCol, shingleN)
+      .withColumn("ghs", sort_array(col("ghs")))
       .localCheckpoint()
-    val tg = base.select(col(idCol), col("n"), explode(col("ghs")).as("gh"))
-    val dfreq = tg.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    val ranked = tg.join(dfreq, Seq("gh"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col(idCol))
-        .orderBy(col("df").asc, col("gh").asc)))
-    val prefix = ranked.filter(
-      col("rk") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-    val cand = prefix.select(col(idCol).as("doc_a"), col("gh"))
-      .join(prefix.select(col(idCol).as("doc_b"), col("gh")), Seq("gh"))
+    import org.apache.spark.sql.expressions.Window
+    // document frequency WITHOUT a dfreq aggregate + join back: one
+    // explicit repartition on the gram hash, then a count window whose
+    // ClusteredDistribution(gh) the repartition already satisfies — no
+    // second exchange, no sort-merge join of two exploded-gram sides.
+    // Each doc's rarity-ordered prefix comes from a per-group
+    // sort_array+slice (bounded by the doc's own gram count), NOT a
+    // row_number window — no partition-wide sort, map-side combine.
+    val tg = base.select(col(idCol), explode(col("ghs")).as("gh"))
+      .repartition(col("gh"))
+    val prefix = tg
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("gh"))))
+        .as("ordered"), count(lit(1)).as("n"))
+      .withColumn("lp",
+        (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("long"))
+      .select(col(idCol), col("n"), col("lp"),
+        explode(slice(col("ordered"), lit(1), col("lp").cast("int"))).as("pg"))
+      .select(col(idCol), col("n"), col("lp"), col("pg.gh").as("gh"))
+    // candidate pairs with PPJoin-style pruning BEFORE touching the full
+    // gram arrays: the pair aggregation replaces the former distinct
+    // (same shuffle), and two filters drop pairs that cannot reach the
+    // threshold — length compatibility (t·max ≤ min) and the overlap
+    // upper bound pshared + (na−lpa) + (nb−lpb) vs the required overlap
+    // ⌈t/(1+t)·(na+nb)⌉ (a shared gram outside both prefixes must sit in
+    // one of the suffixes)
+    val cand = prefix
+      .select(col(idCol).as("doc_a"), col("gh"),
+        col("n").as("na"), col("lp").as("lpa"))
+      .join(prefix.select(col(idCol).as("doc_b"), col("gh"),
+        col("n").as("nb"), col("lp").as("lpb")), Seq("gh"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        col("lpa"), col("lpb"))
+      .agg(count(lit(1)).as("pshared"))
+      .filter(least(col("na"), col("nb")) >=
+        ceil(lit(minJaccard) * greatest(col("na"), col("nb"))))
+      .filter(col("pshared") + (col("na") - col("lpa")) +
+        (col("nb") - col("lpb")) >=
+        ceil(lit(minJaccard) / (lit(1.0) + lit(minJaccard)) *
+          (col("na") + col("nb"))))
     cand
-      .join(base.select(col(idCol).as("doc_a"), col("ghs").as("ga"),
-        col("n").as("na")), Seq("doc_a"))
-      .join(base.select(col(idCol).as("doc_b"), col("ghs").as("gb"),
-        col("n").as("nb")), Seq("doc_b"))
-      .withColumn("shared", size(array_intersect(col("ga"), col("gb")))
-        .cast("long"))
+      .join(base.select(col(idCol).as("doc_a"), col("ghs").as("ga")),
+        Seq("doc_a"))
+      .join(base.select(col(idCol).as("doc_b"), col("ghs").as("gb")),
+        Seq("doc_b"))
+      .withColumn("shared", graft.functions.VectorExpressions
+        .sortedIntersectSize(col("ga"), col("gb")))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
           .as("jaccard"))

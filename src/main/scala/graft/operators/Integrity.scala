@@ -62,24 +62,35 @@ object Integrity {
     val edges = table.select(col(pk).as("_k"), col(parentCol).as("_p"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var deleted = seedKeys.select(col(pk).as("_k")).distinct()
-        .localCheckpoint(true)
+      var (deleted, seedN) =
+        materializeCounted(seedKeys.select(col(pk).as("_k")).distinct())
       var frontier = deleted
+      var frontierN = seedN
       var depth = 0
-      while (depth < maxDepth && !frontier.isEmpty) {
-        val next = edges
+      while (depth < maxDepth && frontierN > 0) {
+        val (next, n) = materializeCounted(edges
           .join(broadcast(frontier.select(col("_k").as("_p"))), Seq("_p"),
             "left_semi")
           .select("_k")
-          .join(deleted, Seq("_k"), "left_anti")
-          .localCheckpoint(true)
+          .join(deleted, Seq("_k"), "left_anti"))
         frontier = next
-        if (!next.isEmpty)
+        frontierN = n
+        if (n > 0)
           deleted = deleted.unionByName(next).localCheckpoint(true)
         depth += 1
       }
       deleted.select(col("_k").as(pk))
     } finally edges.unpersist(blocking = false)
+  }
+
+  /** Eager localCheckpoint that also returns the row count, captured via
+    * `observe` from the SAME action the checkpoint runs — one driver-
+    * synchronous job per fixpoint level instead of checkpoint + isEmpty
+    * (the per-level driver round-trips dominate deep cascades, not data). */
+  private def materializeCounted(df: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val chk = df.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+    (chk, obs.get("n").asInstanceOf[Long])
   }
 
   /** J3 at scale — the same fixpoint via POINTER DOUBLING (path doubling

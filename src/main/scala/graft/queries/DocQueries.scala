@@ -288,7 +288,44 @@ object DocQueries {
       ORDER BY doc_a, doc_b"""),
     doc = "Xiao et al. WWW'08 PPJoin prefix filter (scale path of q23)")
 
+  /** SURVEY §2.10 custom-Aggregator surface — per-source corpus MinHash
+    * signature via `graft_minhash_union` (the mergeable-sketch union,
+    * [[graft.functions.MinHashUnionAggregator]]) over per-doc
+    * `graft_minhash` signatures, both called from SQL. Element-wise min of
+    * per-doc signatures == min over all the source's grams, which is what
+    * the oracle computes flat — so this proves the Aggregator's
+    * partial-agg merge lossless end-to-end. Scale: per-row codegen'd
+    * signature, then one map-side-combining shuffle of 64-byte sketches. */
+  val q68MinhashUnion = Q(
+    "q68_minhash_union",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select($"source", expr("graft_minhash(text, 3, 8)").as("sig"))
+        .filter($"sig".isNotNull) // gram-less docs contribute nothing
+        .groupBy($"source")
+        .agg(expr("graft_minhash_union(sig)").as("u"))
+        .select($"source" +: (0 until 8).map(i =>
+          element_at($"u", i + 1).as(s"s$i")): _*)
+        .orderBy($"source")
+    },
+    Some(s"""WITH tg AS ($shinglesSql),
+      g AS (SELECT d.source, t.gram FROM tg t
+        JOIN documents d ON d.doc_id = t.doc_id)
+      SELECT source,
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
+      FROM g GROUP BY source ORDER BY source"""),
+    doc = "SURVEY §2.10 Aggregator extensibility (graft_minhash_union corpus sketch)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
-    q49Winnowing, q52JaccardPrefix)
+    q49Winnowing, q52JaccardPrefix, q68MinhashUnion)
 }

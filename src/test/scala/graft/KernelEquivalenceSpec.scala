@@ -114,4 +114,19 @@ object KernelEquivalenceSpec extends Properties("graft-kernels") {
         .collect()(0).getString(0)
       native == composed
     }
+
+  property("graft_sorted_isect == size(array_intersect) on sorted sets") =
+    forAll(Gen.listOf(Gen.choose(-50L, 50L)), Gen.listOf(Gen.choose(-50L, 50L))) {
+      (a, b) =>
+        val sa = a.distinct.sorted
+        val sb = b.distinct.sorted
+        val row = Seq((sa, sb)).toDF("a", "b")
+          .select(
+            graft.functions.VectorExpressions
+              .sortedIntersectSize(col("a"), col("b")).as("native"),
+            size(array_intersect(col("a"), col("b"))).cast("long")
+              .as("composed"))
+          .collect()(0)
+        row.getLong(0) == row.getLong(1)
+    }
 }
