@@ -58,8 +58,13 @@ object Cli {
         val pid = header.collect()(0).getAs[String]("playlist_id")
         val members = PlaylistIngest.membership(rows, pid)
         header.write.mode("overwrite").parquet(s"$out/playlists")
-        members.write.mode("overwrite").parquet(s"$out/playlist_videos")
-        val nMembers = spark.read.parquet(s"$out/playlist_videos").count()
+        // row count captured from the write action itself (observe), not
+        // a second read-back job over the output
+        val obs = org.apache.spark.sql.Observation()
+        members.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$out/playlist_videos")
+        val nMembers = obs.get("n").asInstanceOf[Long]
         s"archived playlist $pid with $nMembers videos to $out"
       }),
     Command("archive", "history",
@@ -68,9 +73,12 @@ object Cli {
         val Seq(path, out) = args.take(2)
         val raw = Sources.takeoutHistoryJson(spark, path)
         val hist = HistoryPipeline.batch(raw)
-        hist.write.mode("overwrite").parquet(s"$out/history")
+        val obs = org.apache.spark.sql.Observation()
+        hist.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$out/history")
         val counts = HistoryPipeline.unavailableCount(raw).collect()(0)
-        val nEvents = spark.read.parquet(s"$out/history").count()
+        val nEvents = obs.get("n").asInstanceOf[Long]
         s"archived $nEvents events " +
           s"(${counts.getAs[Long]("n_unavailable")} unavailable) to $out"
       }),

@@ -135,27 +135,32 @@ object Curation {
   def crossCorpusLeakage(train: DataFrame, test: DataFrame,
       idCol: String, textCol: String, n: Int = 5,
       minShared: Int = 3, dfMax: Long = 100): DataFrame = {
-    // persist, not localCheckpoint: both the rare-gram aggregate and the
-    // pair join read the train shingles (a bare plan would run the
-    // shingling twice), but lazy persist keeps plan construction free of
-    // side effects and stays recomputable on executor loss
+    // persist, not bare plan: both the rare-gram aggregate and the pair
+    // join read the train shingles (an unpinned plan would run the
+    // shingling twice). The pin is scoped to this call: the (small —
+    // flagged docs only) result is materialized eagerly, then the shingle
+    // blocks are released in `finally` — no MEMORY_AND_DISK blocks leak
+    // into a long-lived session (same pattern as Integrity's cascades).
     val tg = train.select(col(idCol).as("t_doc"),
       explode(graft.functions.ShingleExpression
         .wordShingleHashes(col(textCol), n)).as("gh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = tg.groupBy(col("gh"))
-      .agg(count(lit(1)).as("tdf"))
-      .filter(col("tdf") <= dfMax)
-      .select(col("gh"))
-    val sg = test.select(col(idCol).as("test_doc"),
-      explode(graft.functions.ShingleExpression
-        .wordShingleHashes(col(textCol), n)).as("gh"))
-    sg.join(rare, Seq("gh"), "left_semi")
-      .join(tg, Seq("gh"))
-      .groupBy(col("test_doc"), col("t_doc"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
-      .groupBy(col("test_doc"))
-      .agg(count(lit(1)).as("n_partners"), max(col("shared")).as("max_shared"))
+    try {
+      val rare = tg.groupBy(col("gh"))
+        .agg(count(lit(1)).as("tdf"))
+        .filter(col("tdf") <= dfMax)
+        .select(col("gh"))
+      val sg = test.select(col(idCol).as("test_doc"),
+        explode(graft.functions.ShingleExpression
+          .wordShingleHashes(col(textCol), n)).as("gh"))
+      sg.join(rare, Seq("gh"), "left_semi")
+        .join(tg, Seq("gh"))
+        .groupBy(col("test_doc"), col("t_doc"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+        .groupBy(col("test_doc"))
+        .agg(count(lit(1)).as("n_partners"), max(col("shared")).as("max_shared"))
+        .localCheckpoint(true)
+    } finally tg.unpersist(blocking = false)
   }
 }

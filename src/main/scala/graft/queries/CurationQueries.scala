@@ -117,8 +117,11 @@ object CurationQueries {
     doc = "[NS] curation: deterministic per-source mixture sampling")
 
   /** [NS] — PII redaction over synthesized text: emails/URLs/phones →
-    * placeholder tokens; per-doc-bucket counts of each token plus an md5
-    * checksum over the redacted text prove byte-exact replacement. */
+    * placeholder tokens; per-doc-bucket counts of each token plus an
+    * order-independent XOR digest of per-doc md5 prefixes prove byte-exact
+    * replacement. bit_xor keeps the aggregate state one long per group —
+    * no per-group array, no overflow — so the contract itself survives
+    * 100× group sizes (a collect_list checksum would not). */
   val q66Redaction = Q(
     "q66_redaction",
     (s, d) => {
@@ -142,8 +145,8 @@ object CurationQueries {
           sum((length($"clean") -
             length(regexp_replace($"clean", "<PHONE>", ""))) / 7)
             .cast("bigint").as("n_phone_tokens"),
-          md5(concat_ws("|", sort_array(collect_list(md5($"clean")))))
-            .as("content_hash"))
+          expr("bit_xor(cast(conv(substring(md5(clean), 1, 15), 16, 10) AS BIGINT))")
+            .as("content_xor"))
         .orderBy($"bucket")
     },
     Some("""WITH r AS (SELECT doc_id,
@@ -166,7 +169,7 @@ object CurationQueries {
           AS BIGINT) AS n_url_tokens,
         CAST(sum((length(clean) - length(replace(clean, '<PHONE>', ''))) / 7)
           AS BIGINT) AS n_phone_tokens,
-        md5(string_agg(md5(clean), '|' ORDER BY md5(clean))) AS content_hash
+        bit_xor(CAST('0x' || substr(md5(clean), 1, 15) AS BIGINT)) AS content_xor
       FROM r GROUP BY 1 ORDER BY bucket"""),
     doc = "[NS] curation: PII redaction (RE2-safe patterns, byte-exact)")
 

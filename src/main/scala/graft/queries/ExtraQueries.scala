@@ -177,7 +177,7 @@ object ExtraQueries {
   /** SURVEY §2.5 [NS] — pivot: event counts per user day, event types as
     * columns (Spark plans PivotFirst; the oracle is the equivalent
     * conditional aggregation — identical result relation). */
-  val q49Pivot = Q(
+  val q50Pivot = Q(
     "q50_pivot",
     (s, d) => {
       import s.implicits._
@@ -261,6 +261,6 @@ object ExtraQueries {
     doc = "SURVEY §2.5 A5 [NS] approx percentile sketch (tolerance-boolean)")
 
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
-    q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q49Pivot,
+    q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q50Pivot,
     q59RangeWindow, q60ApproxPercentiles)
 }

@@ -127,9 +127,16 @@ class CurationSpec extends AnyFunSuite {
       (3L, "totally different words with no overlap at all here"),
       (5L, boiler) // overlaps only boilerplate (df > dfMax) → not flagged
     ).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val flagged = Curation.crossCorpusLeakage(train, test0, "doc_id", "text",
         n = 5, minShared = 3, dfMax = 2)
       .select("test_doc").as[Long].collect()
     assert(flagged === Array(1L))
+    // the call-scoped shingle pin must not leak into the session: the only
+    // block entry the call may add is the returned result's own
+    // localCheckpoint; a dangling train-shingle persist would be a second
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).size <= 1,
+      s"leaked persisted RDDs beyond the result checkpoint: ${after -- before}")
   }
 }
