@@ -224,4 +224,13 @@ final case class JdbcUpsertSink(
   def foreachBatch(guard: Row => Boolean = _ => true)
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) => upsert(batch, guard)
+
+  /** Streaming hookup for the set-based scale path: each epoch runs the
+    * staged MERGE (one transaction per partition). Replayed epochs are
+    * idempotent — MERGE keyed on the PK re-matches instead of duplicating.
+    * Rows must be key-unique within an epoch (watermarked dedup upstream
+    * guarantees this for the history pipeline). */
+  def foreachBatchStagedMerge(guardSql: String = "1=1")
+      : (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => upsertStagedMerge(batch, guardSql)
 }

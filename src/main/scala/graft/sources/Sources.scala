@@ -23,4 +23,10 @@ object Sources {
   /** S6 — yt-dlp info JSONL (one document per line). */
   def ytdlpJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.ytdlpInfo).json(path)
+
+  /** S4 streaming twin — watch-history events as JSONL files landing in a
+    * directory (the file-source form of the history ingest; new files are
+    * discovered per micro-batch, offsets tracked in the checkpoint). */
+  def takeoutHistoryStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Schemas.takeoutHistory).json(dir)
 }
