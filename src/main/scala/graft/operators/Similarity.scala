@@ -98,6 +98,44 @@ object Similarity {
         col("m.cos").as("cos"))
   }
 
+  /** Lloyd's k-means over an embedding column, Spark-first: per iteration
+    * one broadcast of the k×d centroid table (assignment = broadcast
+    * cross-join + argmax, [[ivfAssign]]) and ONE shuffle (the per-
+    * (centroid, dim) mean) — the classic MLlib shape, no driver-side loop
+    * over data. Returns the final centroid table (c_id, cv).
+    *
+    * Determinism contract (oracle-matchable): init = the k min-id vectors;
+    * the mean is computed over 1e6-scaled integer components
+    * (sum exact in any order, then two IEEE divisions) so centroids are
+    * bit-identical across engines and partitionings; assignment rounds
+    * cosine to 6 with min-id tie-break. Empty clusters drop out (both
+    * engines agree). Centroids localCheckpoint per iteration: k rows, and
+    * the plan would otherwise nest `iters` deep. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): DataFrame = {
+    val e = df.select(col(idCol), vecD(col(vecCol)).as("v"))
+      .localCheckpoint() // read once per iteration, not re-scanned
+    var cents = e.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("c_id"), col("v").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(e, idCol, "v", cents)
+        .select(col(idCol), col("centroid"))
+        .join(e, Seq(idCol))
+      cents = assigned
+        .select(col("centroid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("centroid"), col("i"))
+        .agg((sum(round(col("x") * 1e6).cast("long")).cast("double") /
+          count(lit(1)) / 1e6).as("nx"))
+        .groupBy(col("centroid"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("nx")))),
+          _.getField("nx")).as("cv"))
+        .select(col("centroid").as("c_id"), col("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** IVF top-k search — the ANN scale path over [[cosineTopK]]: assign
     * every vector to its nearest centroid (the index), pick the `nProbe`
     * centroids nearest the query, and rank exactly ONLY inside the probed

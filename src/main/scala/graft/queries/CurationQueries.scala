@@ -211,6 +211,34 @@ object CurationQueries {
       FROM c GROUP BY 1 ORDER BY pack_id"""),
     doc = "[NS] curation: shard-parallel sequence packing (greedy cumsum)")
 
+  /** [NS] — stratified EXACT sampling: exactly `n` docs per source
+    * stratum, chosen by hash order (md5 of the id, doc_id tie-break) so
+    * the sample is deterministic, reproducible under repartitioning, and
+    * independent of input order — the companion to q65's rate-based
+    * mixture sampling when downstream needs fixed per-stratum counts.
+    * Scale: one shuffle on the stratum key; the rank-≤-n filter plans as
+    * WindowGroupLimit (Spark pushes the per-group limit below the sort, so
+    * no stratum is ever fully sorted). */
+  val q71StratifiedSample = Q(
+    "q71_stratified_sample",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source")
+        .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"source", $"rk".cast("long").as("rk"), $"doc_id")
+        .orderBy($"source", $"rk")
+    },
+    Some("""SELECT source, rk, doc_id FROM (
+        SELECT source, doc_id, row_number() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 5 ORDER BY source, rk"""),
+    doc = "[NS] curation: deterministic stratified exact sampling (n per stratum)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
-    q65MixtureSample, q66Redaction, q67Packing)
+    q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample)
 }

@@ -288,6 +288,59 @@ object DocQueries {
       ORDER BY doc_a, doc_b"""),
     doc = "Xiao et al. WWW'08 PPJoin prefix filter (scale path of q23)")
 
+  /** [NS] text analysis — repetition metrics (Gopher-style quality
+    * rules): per doc, the fraction of words taken by the single most
+    * frequent word and the duplicate word-bigram fraction — the two
+    * signals that catch boilerplate/keyword-stuffed documents that pure
+    * length/stopword scores (q27) miss. Ratios are int/int divisions →
+    * bit-identical doubles in both engines. Scale: one explode + two
+    * combining aggregations on doc_id (word counts), one per-row native
+    * expression (distinct bigrams via graft_shingles) — no joins between
+    * docs. */
+  val q70Repetition = Q(
+    "q70_repetition",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val words = split($"text", " ")
+      val wordStats = docs
+        .select($"doc_id", explode(words).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").as("max_cnt"), sum($"c").as("n_words"))
+      docs.select($"doc_id", $"text").join(wordStats, Seq("doc_id"))
+        .withColumn("n_distinct_bigrams",
+          size(graft.functions.ShingleExpression.wordShingles($"text", 2))
+            .cast("long"))
+        .withColumn("n_bigrams", $"n_words" - 1)
+        .filter($"n_words" >= 2)
+        .select($"doc_id", $"n_words", $"max_cnt",
+          round($"max_cnt".cast("double") / $"n_words", 6)
+            .as("top_word_frac"),
+          $"n_bigrams", $"n_distinct_bigrams",
+          round(($"n_bigrams" - $"n_distinct_bigrams").cast("double") /
+            $"n_bigrams", 6).as("dup_bigram_frac"))
+        .orderBy($"doc_id")
+        .limit(200)
+    },
+    Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+      ws AS (SELECT doc_id, max(c) AS max_cnt,
+        CAST(sum(c) AS BIGINT) AS n_words FROM wc GROUP BY doc_id),
+      bg AS (SELECT doc_id,
+        CAST(len(list_distinct(list_transform(range(1, len(l)),
+          i -> l[i] || ' ' || l[i+1]))) AS BIGINT) AS n_distinct_bigrams
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+      SELECT ws.doc_id, n_words, max_cnt,
+        round(CAST(max_cnt AS DOUBLE) / n_words, 6) AS top_word_frac,
+        n_words - 1 AS n_bigrams, n_distinct_bigrams,
+        round(CAST(n_words - 1 - n_distinct_bigrams AS DOUBLE) /
+          (n_words - 1), 6) AS dup_bigram_frac
+      FROM ws JOIN bg ON bg.doc_id = ws.doc_id
+      WHERE n_words >= 2 ORDER BY ws.doc_id LIMIT 200"""),
+    doc = "[NS] Gopher-style repetition quality signals (Rae et al. 2021)")
+
   /** SURVEY §2.10 custom-Aggregator surface — per-source corpus MinHash
     * signature via `graft_minhash_union` (the mergeable-sketch union,
     * [[graft.functions.MinHashUnionAggregator]]) over per-doc
@@ -327,5 +380,5 @@ object DocQueries {
 
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
-    q49Winnowing, q52JaccardPrefix, q68MinhashUnion)
+    q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition)
 }

@@ -141,6 +141,56 @@ object EmbeddingQueries {
       FROM best GROUP BY centroid ORDER BY centroid"""),
     doc = "[NS] IVF partition assignment (broadcast centroids)")
 
+  /** One k-means iteration as SQL CTEs: score against centroids `cPrev`,
+    * argmax-assign, recompute per-(centroid, dim) means over 1e6-scaled
+    * integers (exact in any order), rebuild centroid lists as `c$idx`. */
+  private def kmeansIterSql(cPrev: String, idx: Int): String =
+    s"""s$idx AS (SELECT e.vec_id, c.c_id,
+        round(${cosSql("e.v", "c.cv")}, 6) AS cos FROM e, $cPrev c),
+      a$idx AS (SELECT vec_id, first(c_id ORDER BY cos DESC, c_id ASC)
+        AS centroid FROM s$idx GROUP BY vec_id),
+      m$idx AS (SELECT a.centroid, d.i,
+          CAST(sum(CAST(round(e.v[d.i] * 1e6) AS BIGINT)) AS DOUBLE)
+            / count(*) / 1e6 AS nx
+        FROM a$idx a JOIN e ON e.vec_id = a.vec_id, dims d
+        GROUP BY a.centroid, d.i),
+      c$idx AS (SELECT centroid AS c_id, list(nx ORDER BY i) AS cv
+        FROM m$idx GROUP BY centroid)"""
+
+  /** [NS] — Lloyd's k-means (k=8, 2 iterations) over the embeddings:
+    * min-id init, broadcast-centroid assignment, exact scaled-integer
+    * means (see [[graft.operators.Similarity.kmeans]] for the determinism
+    * contract). Output = q33-style final-assignment summary. The oracle
+    * unrolls both iterations as CTE chains — iterative ML on Spark vs
+    * set-based SQL, same bits. */
+  val q69Kmeans = Q(
+    "q69_kmeans",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+        .groupBy($"centroid")
+        .agg(count(lit(1)).as("n_vecs"), exactSum($"cos", 6).as("sum_cos"))
+        .orderBy($"centroid")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      dims AS (SELECT unnest(range(1,
+        (SELECT len(v) FROM e LIMIT 1) + 1)) AS i),
+      c0 AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      ${kmeansIterSql("c0", 1)},
+      ${kmeansIterSql("c1", 2)},
+      sf AS (SELECT e.vec_id, c.c_id,
+        round(${cosSql("e.v", "c.cv")}, 6) AS cos FROM e, c2 c),
+      af AS (SELECT vec_id,
+        first(c_id ORDER BY cos DESC, c_id ASC) AS centroid,
+        max(cos) AS cos FROM sf GROUP BY vec_id)
+      SELECT centroid, count(*) AS n_vecs,
+        ${exactSumSql("cos", 6)} AS sum_cos
+      FROM af GROUP BY centroid ORDER BY centroid"""),
+    doc = "[NS] Lloyd's k-means, broadcast centroids + one shuffle per iteration")
+
   /** [NS] — IVF top-k search, the ANN scale path: the 8 min-id vectors
     * are centroids, the max-id vector is the query; probe the 2 nearest
     * clusters and rank exactly only inside them (~4× fewer exact dots
@@ -208,5 +258,5 @@ object EmbeddingQueries {
     doc = "[NS] embedding-cosine near-dup dedup (LSH candidates, min-id survivor)")
 
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
-    q33IvfAssign, q53IvfTopk, q54EmbedDedup)
+    q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans)
 }

@@ -75,6 +75,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q71 stratified sample: per-group limit pushed below the sort " +
+      "(WindowGroupLimit), no stratum fully sorted") {
+    val p = plan("q71_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q04 top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q04_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
