@@ -202,6 +202,57 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** D5 closure — connected components over an undirected near-dup pair
+    * list by HASH-MIN label propagation: every node starts labeled with
+    * itself; each round a node takes the minimum label in its closed
+    * neighborhood; fixpoint when no label changes. The component
+    * representative (min doc id, transitively) is the dedup survivor —
+    * pairwise min-id survivors under-merge when near-dup relations chain
+    * (a~b, b~c but a!~c), this closes them.
+    *
+    * Scale shape: per round ONE shuffle (neighbor-label groupBy-min with
+    * map-side combine) and one driver-synchronous job whose changed-label
+    * count rides the same action (observe + eager checkpoint, as in the
+    * cascade fixpoint). Rounds = component diameter — small for near-dup
+    * clusters (dup groups are dense); use pointer-doubling-style
+    * shortcutting only if diameters grow. Labels checkpoint per round so
+    * plans stay flat.
+    *
+    * Input: (aCol, bCol) pairs. Output: (node, rep). */
+  def connectedComponents(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
+    val edges = fwd.unionByName(
+        fwd.select(col("_b").as("_a"), col("_a").as("_b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("_a").as("_n")).distinct()
+        .select(col("_n"), col("_n").as("_lbl"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 100) {
+        val nbrMin = edges
+          .join(labels, edges("_b") === labels("_n"))
+          .select(edges("_a").as("_n"), col("_lbl"))
+          .unionByName(labels)
+          .groupBy(col("_n")).agg(min(col("_lbl")).as("_lbl2"))
+        val merged = nbrMin.join(labels, Seq("_n"))
+        val obs = org.apache.spark.sql.Observation()
+        val next = merged
+          .observe(obs, coalesce(sum(when(col("_lbl2") < col("_lbl"), 1L)
+            .otherwise(0L)), lit(0L)).as("changed"))
+          .select(col("_n"), col("_lbl2").as("_lbl"))
+          .localCheckpoint(true)
+        changed = obs.get("changed").asInstanceOf[Long]
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("_n").as("node"), col("_lbl").as("rep"))
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** D5 — 32-bit SimHash signature per doc from distinct-word md5 bits:
     * (idCol, simhash: "0/1" string, msb first). One per-row codegen'd
     * eval (graft.functions.SimHash32) — the former SQL pipeline exploded

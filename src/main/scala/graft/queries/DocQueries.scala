@@ -378,7 +378,58 @@ object DocQueries {
       FROM g GROUP BY source ORDER BY source"""),
     doc = "SURVEY §2.10 Aggregator extensibility (graft_minhash_union corpus sketch)")
 
+  /** D5 closure — near-dup CLUSTERS from q24's candidate pairs via
+    * connected components (hash-min label propagation — see
+    * [[graft.operators.Dedup.connectedComponents]]). Pairwise survivors
+    * under-merge when similarity chains (a~b~c without a~c); the
+    * component representative is the true transitive dedup survivor. The
+    * oracle computes the same closure with WITH RECURSIVE reachability —
+    * the iterating Spark fixpoint vs set-based recursion, same bits. */
+  val q72DedupComponents = Q(
+    "q72_dedup_components",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashLshCandidates(Tables.documents(s, d),
+        "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy($"rep")
+        .agg(count(lit(1)).as("n_docs"), max($"node").as("max_doc"))
+        .orderBy($"rep")
+    },
+    Some(s"""WITH RECURSIVE tg AS ($shinglesSql),
+      sig AS (SELECT doc_id,
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
+        FROM tg GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, s0 AS v0, s1 AS v1 FROM sig UNION ALL
+        SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        SELECT doc_id, 3, s6, s7 FROM sig),
+      pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+          AND x.doc_id < y.doc_id),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+      labels AS (SELECT src AS node, min(dst) AS rep
+        FROM reach GROUP BY src)
+      SELECT rep, count(*) AS n_docs, max(node) AS max_doc
+      FROM labels GROUP BY rep ORDER BY rep"""),
+    doc = "[NS] transitive near-dup clusters (hash-min connected components)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
-    q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition)
+    q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
+    q72DedupComponents)
 }

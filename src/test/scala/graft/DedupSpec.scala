@@ -34,6 +34,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall over ${truth.size} true pairs")
   }
 
+  test("connectedComponents: chains close transitively, components split") {
+    import spark.implicits._
+    // 1-2, 2-3, 3-4 chain (diameter 3 forces multiple propagation rounds);
+    // 10-11 separate; pair order/direction must not matter
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val reps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash signatures: identical docs collide, length 32") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
