@@ -220,23 +220,62 @@ object Multimodal {
       }
   }
 
-  /** Frame sampling (video-style): every `everyMs` up to `maxFrames` per
-    * payload — one output row per frame, exploded executor-side (no
-    * driver fan-out). STUB decodes a deterministic slice per frame. */
+  /** Decode a multi-frame payload (animated GIF — the one multi-frame
+    * container the JDK reads) into at most `maxFrames` evenly-strided
+    * frames, re-encoded as PNG. None when the payload is not a readable
+    * multi-frame image. */
+  private[operators] def readFrames(bytes: Array[Byte],
+      maxFrames: Int): Option[Seq[Array[Byte]]] = {
+    ImageIO.setUseCache(false)
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (in == null || !readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val n = r.getNumImages(true)
+          if (n < 2) None // single image: not a frame stream
+          else {
+            val stride = math.max(1, math.ceil(n.toDouble / maxFrames).toInt)
+            Some((0 until n by stride).take(maxFrames).map(i =>
+              encodePng(scaleImage(r.read(i), r.getWidth(i), r.getHeight(i)))))
+          }
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None
+    } finally if (in != null) in.close()
+  }
+
+  /** Frame sampling (video-style): up to `maxFrames` per payload, one
+    * output row per frame, exploded executor-side (no driver fan-out).
+    * REAL for multi-frame images the JDK decodes (animated GIF): evenly-
+    * strided frames, `offset_ms` = frame index × `everyMs` (GIF per-frame
+    * delays are not exposed uniformly, so the sampling clock is the
+    * caller's). True video containers (mp4 etc.) have no JDK codec and
+    * fall back to the deterministic STUB slice. */
   def sampleFrames(df: DataFrame, everyMs: Long = 1000, maxFrames: Int = 8)(
       implicit spark: SparkSession): Dataset[Frame] = {
     import spark.implicits._
     df.select(col("id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val durationMs = 500L + (math.abs(
-          java.util.Arrays.hashCode(bytes)) % 10000) // STUB duration probe
-        val n = math.min(maxFrames, (durationMs / everyMs + 1).toInt)
-        (0 until n).map { i =>
-          val off = i * everyMs
-          val start = (off % math.max(1, bytes.length)).toInt
-          Frame(id, i, off, bytes.slice(start,
-            math.min(bytes.length, start + 16))) // STUB frame bytes
+        readFrames(bytes, maxFrames) match {
+          case Some(frames) =>
+            frames.zipWithIndex.map { case (png, i) =>
+              Frame(id, i, i * everyMs, png)
+            }
+          case None =>
+            val durationMs = 500L + (math.abs(
+              java.util.Arrays.hashCode(bytes)) % 10000) // STUB duration probe
+            val n = math.min(maxFrames, (durationMs / everyMs + 1).toInt)
+            (0 until n).map { i =>
+              val off = i * everyMs
+              val start = (off % math.max(1, bytes.length)).toInt
+              Frame(id, i, off, bytes.slice(start,
+                math.min(bytes.length, start + 16))) // STUB frame bytes
+            }
         }
       }
   }

@@ -124,6 +124,40 @@ class MultimodalSpec extends AnyFunSuite {
       again.map(r => (r.id, r.width, r.height)).toSet)
   }
 
+  /** Multi-frame animated GIF via the JDK's own writer. */
+  private def animatedGif(frames: Int, w: Int, h: Int): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (f <- 0 until frames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until w; y <- 0 until h)
+          img.setRGB(x, y, (f * 40) << 16 | (x * 8) << 8 | (y * 8))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  test("sampleFrames: real frames from an animated GIF, stub for junk") {
+    implicit val s = spark
+    import spark.implicits._
+    val media = Seq((1L, animatedGif(6, 20, 20))).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(media, everyMs = 500, maxFrames = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 3)
+    assert(frames.map(_.offset_ms).toSeq === Seq(0L, 500L, 1000L))
+    // every sampled frame is a real decodable image of the GIF's dims
+    frames.foreach { f =>
+      val img = ImageIO.read(new ByteArrayInputStream(f.payload))
+      assert(img.getWidth === 20 && img.getHeight === 20)
+    }
+  }
+
   test("sampleFrames: bounded fan-out with monotone offsets per id") {
     implicit val s = spark
     val frames = Multimodal.sampleFrames(blobs, everyMs = 1000, maxFrames = 4)
