@@ -156,8 +156,15 @@ final case class JdbcUpsertSink(
     * (target) and `s` (staged), e.g. `"s.price > t.price"`; default
     * updates unconditionally. Rows must be key-unique within the batch
     * (MERGE rejects double updates of one target row) — dedupe with
-    * [[graft.operators.Upsert.insertIfAbsent]]'s window trick first. */
-  def upsertStagedMerge(df: DataFrame, guardSql: String = "1=1"): Unit = {
+    * [[graft.operators.Upsert.insertIfAbsent]]'s window trick first.
+    *
+    * `setExprs` overrides the UPDATE expression per column (default
+    * `s.col`): accumulating merges (`"n" -> "t.n + s.n"`) and sketch
+    * unions (`"s0" -> "CASE WHEN s.s0 < t.s0 THEN s.s0 ELSE t.s0 END"`,
+    * the element-wise-min MinHash fold) become single set-based MERGE
+    * statements — the JDBC twin of a mergeable-sketch Aggregator. */
+  def upsertStagedMerge(df: DataFrame, guardSql: String = "1=1",
+      setExprs: Map[String, String] = Map.empty): Unit = {
     val schema = df.schema
     val cols = schema.fieldNames.toSeq
     val keys = keyCols
@@ -204,7 +211,9 @@ final case class JdbcUpsertSink(
           val updateClause =
             if (setCols.isEmpty) ""
             else s"WHEN MATCHED AND ($guardSql) THEN UPDATE SET " +
-              setCols.map(sc => s"$sc = s.$sc").mkString(", ") + " "
+              setCols.map(sc =>
+                s"$sc = ${setExprs.getOrElse(sc, s"s.$sc")}")
+                .mkString(", ") + " "
           st.execute(
             s"MERGE INTO $tbl t USING $stg s ON " +
               keys.map(k => s"t.$k = s.$k").mkString(" AND ") + " " +
@@ -230,7 +239,8 @@ final case class JdbcUpsertSink(
     * idempotent — MERGE keyed on the PK re-matches instead of duplicating.
     * Rows must be key-unique within an epoch (watermarked dedup upstream
     * guarantees this for the history pipeline). */
-  def foreachBatchStagedMerge(guardSql: String = "1=1")
+  def foreachBatchStagedMerge(guardSql: String = "1=1",
+      setExprs: Map[String, String] = Map.empty)
       : (DataFrame, Long) => Unit =
-    (batch: DataFrame, _: Long) => upsertStagedMerge(batch, guardSql)
+    (batch: DataFrame, _: Long) => upsertStagedMerge(batch, guardSql, setExprs)
 }

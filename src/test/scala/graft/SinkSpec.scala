@@ -89,6 +89,25 @@ class SinkSpec extends AnyFunSuite {
     assert(sink.queryCount("k = 'c' AND v = 3") === 1) // new: inserted
   }
 
+  test("staged MERGE with custom SET expressions: counters accumulate, " +
+      "sketch components fold by min") {
+    import spark.implicits._
+    val sink = freshSink("t_accum",
+      "CREATE TABLE t_accum (k VARCHAR(10) PRIMARY KEY, n BIGINT, s0 BIGINT)",
+      Seq("k"))
+    sink.upsertStagedMerge(Seq(("a", 2L, 50L), ("b", 1L, 70L))
+      .toDF("k", "n", "s0"))
+    sink.upsertStagedMerge(
+      Seq(("a", 3L, 90L), ("c", 1L, 10L)).toDF("k", "n", "s0"),
+      setExprs = Map(
+        "n" -> "t.n + s.n",
+        "s0" -> "CASE WHEN s.s0 < t.s0 THEN s.s0 ELSE t.s0 END"))
+    assert(sink.queryCount() === 3)
+    assert(sink.queryCount("k = 'a' AND n = 5 AND s0 = 50") === 1) // 2+3, min(50,90)
+    assert(sink.queryCount("k = 'b' AND n = 1 AND s0 = 70") === 1) // untouched
+    assert(sink.queryCount("k = 'c' AND n = 1 AND s0 = 10") === 1) // inserted
+  }
+
   test("exactly-once: replaying the same micro-batch is a no-op") {
     import spark.implicits._
     val sink = freshSink("t_replay",

@@ -102,6 +102,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.queryCount("video = 'dQw4w9WgXcQ'") === 1)
   }
 
+  test("incremental corpus dedup sketch: per-epoch minhash-union MERGEs " +
+      "into Derby by element-wise min — no old docs revisited") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val sink = graft.sinks.JdbcUpsertSink(
+      "jdbc:derby:memory:inc_sig;create=true", "corpus_sig", Seq("source"))
+    sink.execDdl("""CREATE TABLE corpus_sig (
+      source VARCHAR(10) PRIMARY KEY,
+      s0 BIGINT, s1 BIGINT, s2 BIGINT, s3 BIGINT)""")
+    val minFold = (0 until 4).map(i =>
+      s"s$i" -> s"CASE WHEN s.s$i < t.s$i THEN s.s$i ELSE t.s$i END").toMap
+
+    val mem = MemoryStream[(String, String)]
+    val q = mem.toDF().toDF("source", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sigs = batch
+          .select(col("source"), expr("graft_minhash(text, 2, 4)").as("sig"))
+          .filter(col("sig").isNotNull)
+          .groupBy(col("source"))
+          .agg(expr("graft_minhash_union(sig)").as("u"))
+          .select(col("source") +: (0 until 4).map(i =>
+            element_at(col("u"), i + 1).as(s"s$i")): _*)
+        sink.upsertStagedMerge(sigs, setExprs = minFold)
+      }
+      .start()
+    try {
+      mem.addData(("web", "aa bb cc dd"), ("web", "ee ff gg"),
+        ("books", "hh ii jj"))
+      q.processAllAvailable()
+      val afterEpoch1 = sink.queryCount("source = 'web'")
+      assert(afterEpoch1 === 1)
+      mem.addData(("web", "kk ll mm nn"))
+      q.processAllAvailable()
+      // the stored signature must equal the from-scratch union over ALL
+      // docs, though epoch 2 only saw the new one
+      val expected = spark
+        .createDataset(Seq(("web", "aa bb cc dd"), ("web", "ee ff gg"),
+          ("web", "kk ll mm nn")))
+        .toDF("source", "text")
+        .selectExpr("graft_minhash_union(graft_minhash(text, 2, 4)) AS u")
+        .collect()(0).getSeq[Long](0)
+      for (i <- 0 until 4)
+        assert(sink.queryCount(s"source = 'web' AND s$i = ${expected(i)}") === 1,
+          s"component s$i diverged from the from-scratch union")
+    } finally q.stop()
+  }
+
   test("tumbling window agg over MemoryStream with watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
