@@ -239,6 +239,42 @@ object CurationQueries {
       WHERE rk <= 5 ORDER BY source, rk"""),
     doc = "[NS] curation: deterministic stratified exact sampling (n per stratum)")
 
+  /** [NS] — token-budget selection: per source, take documents in
+    * deterministic hash order until a token budget is exhausted (running
+    * word-count sum ≤ budget) — how a training mixture is actually built
+    * when the unit is tokens, not documents (q65 rates / q71 counts).
+    * Reproducible under repartitioning: hash order + doc_id tie-break.
+    * Scale: one shuffle on the stratum; for strata far above the budget,
+    * pre-prune with a hash-prefix filter sized to ~2× the budget before
+    * the exact cumulative window, so no stratum is fully sorted. */
+  val q73TokenBudget = Q(
+    "q73_token_budget",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source")
+        .orderBy(md5($"doc_id".cast("string").cast("binary")), $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("tok", size(split($"text", " ")).cast("long"))
+        .withColumn("cum", sum($"tok").over(w))
+        .filter($"cum" <= 2000)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"),
+          max($"cum").as("max_cum"))
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (SELECT source, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+      c AS (SELECT source, tok, CAST(sum(tok) OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(tok) AS BIGINT) AS n_tokens, max(cum) AS max_cum
+      FROM c WHERE cum <= 2000 GROUP BY source ORDER BY source"""),
+    doc = "[NS] curation: per-source token-budget mixture selection")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
-    q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample)
+    q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
+    q73TokenBudget)
 }

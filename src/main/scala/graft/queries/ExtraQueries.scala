@@ -260,7 +260,39 @@ object ExtraQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
     doc = "SURVEY §2.5 A5 [NS] approx percentile sketch (tolerance-boolean)")
 
+  /** SURVEY §2.6 [NS] — distribution-position windows (percent_rank /
+    * cume_dist) as a per-stratum quality gate: keep the top half of each
+    * source by document length. Both functions are integer-ratio doubles
+    * ((rank−1)/(n−1), rows≤cur/n) over a unique ordering, so the gate is
+    * bit-deterministic across engines and partitionings — the windowed
+    * form of "filter to the pXX+ of each stratum" that a curation
+    * pipeline applies before expensive scoring. */
+  val q74PercentGate = Q(
+    "q74_percent_gate",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy($"n_chars".desc, $"doc_id".asc)
+      Tables.documents(s, d)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .filter($"pr" < 0.5)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_kept"), min($"n_chars").as("min_chars"),
+          round(max($"pr"), 6).as("max_pr"), round(max($"cd"), 6).as("max_cd"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source, count(*) AS n_kept, min(n_chars) AS min_chars,
+        round(max(pr), 6) AS max_pr, round(max(cd), 6) AS max_cd
+      FROM (
+        SELECT source, n_chars,
+          percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC))
+      WHERE pr < 0.5 GROUP BY source ORDER BY source"""),
+    doc = "SURVEY §2.6 [NS] percent_rank/cume_dist stratum quality gate")
+
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
     q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q50Pivot,
-    q59RangeWindow, q60ApproxPercentiles)
+    q59RangeWindow, q60ApproxPercentiles, q74PercentGate)
 }
