@@ -25,7 +25,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm vectors (all-zero embeddings — they happen in real corpora)
+    * score 0 against everything instead of tripping ANSI DIVIDE_BY_ZERO;
+    * the oracle twins never produce them, so parity is unaffected. */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den === 0.0, lit(0.0)).otherwise(dot(a, b) / den)
+  }
 
   /** Brute-force cosine top-k of `queryVec` (a 1-row DataFrame with column
     * `qv`) over `df(vecCol)`; broadcast query, TakeOrderedAndProject plan.
@@ -60,7 +66,8 @@ object Similarity {
       col("bucket"), col("nrm").as("nb"))
     a.join(b, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
       .withColumn("cos",
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        round(when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
       .filter(col("cos") >= minCos)
       .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos"))
   }

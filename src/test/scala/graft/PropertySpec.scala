@@ -72,4 +72,45 @@ object PropertySpec extends Properties("graft") {
       groups.map(_.getAs[Long]("n_copies")).sum == texts.length &&
         groups.length == texts.distinct.length
     }
+
+  private val randomPairs: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 14)
+    pairs <- Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 11L), Gen.choose(0L, 11L)))
+  } yield pairs.filter { case (a, b) => a != b }.map {
+    case (a, b) => (math.min(a, b), math.max(a, b))
+  }
+
+  property("D5 connectedComponents == reference union-find closure on random graphs") =
+    forAll(randomPairs) { pairs =>
+      pairs.isEmpty || {
+        // driver-side union-find as the independent reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        val got = Dedup.connectedComponents(
+            pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }
+
+  property("[NS] kmeans centroids invariant under repartitioning") =
+    forAll(Gen.choose(2, 5), Gen.choose(1, 7)) { (k, parts) =>
+      val vecs = (0L until 20L).map(i =>
+        (i, Array(i % 7 * 1.5f, (i % 3).toFloat, (i % 5) / 2.0f)))
+      val df = vecs.toDF("vec_id", "embedding")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Similarity.kmeans(d, "vec_id", "embedding", k, 2)
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+      run(df) == run(df.repartition(parts))
+    }
 }
