@@ -130,7 +130,13 @@ object Integrity {
           (col("_hit") || coalesce(col("_jhit"), lit(false))).as("_hit"))
         .localCheckpoint(true)
       span *= 2
-      // done when nothing can still flip: every row is hit or chain-ended
+      // done when nothing can still flip: every row is hit or chain-ended.
+      // Deliberately a separate isEmpty, NOT an observe() on the checkpoint:
+      // state is the FULL node table, and a CollectMetrics pass over it per
+      // round costs more than this early-exiting probe (measured; the
+      // observe trick pays off only on small frontier tables — see
+      // cascadeRecursive / connectedComponents, where the counted set is
+      // the frontier/labels, not the corpus).
       live = !state.filter(col("_ptr").isNotNull && !col("_hit")).isEmpty
     }
     // union the seed set itself: a seed with no row in `table` is still
