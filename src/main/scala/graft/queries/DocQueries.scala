@@ -428,8 +428,46 @@ object DocQueries {
       FROM labels GROUP BY rep ORDER BY rep"""),
     doc = "[NS] transitive near-dup clusters (hash-min connected components)")
 
+  /** SURVEY §2.7 [NS] — fuzzy lexicon lookup by edit distance: each doc's
+    * leading word matched to its nearest lexicon term (levenshtein argmin,
+    * term tie-break) — the string-similarity join pattern for vocabulary
+    * normalization, broadcast lexicon side, integer distances so the
+    * match is bit-deterministic. */
+  val q76FuzzyLookup = Q(
+    "q76_fuzzy_lookup",
+    (s, d) => {
+      import s.implicits._
+      val lex = Seq("the", "quick", "brown", "fox", "jumps").toDF("term")
+      Tables.documents(s, d)
+        .select($"doc_id", element_at(split($"text", " "), 1).as("w"))
+        .filter(length($"w") > 0)
+        .crossJoin(broadcast(lex))
+        .withColumn("dist", levenshtein($"w", $"term").cast("long"))
+        .groupBy($"doc_id")
+        .agg(min(struct($"dist", $"term")).as("m"))
+        .select($"doc_id", $"m.term".as("best_term"), $"m.dist".as("dist"))
+        .groupBy($"best_term")
+        .agg(count(lit(1)).as("n_docs"), sum($"dist").as("sum_dist"))
+        .orderBy($"best_term")
+    },
+    Some("""WITH lex AS (SELECT * FROM (VALUES ('the'), ('quick'),
+        ('brown'), ('fox'), ('jumps')) AS t(term)),
+      w AS (SELECT doc_id, string_split(text, ' ')[1] AS w FROM documents
+        WHERE len(string_split(text, ' ')[1]) > 0),
+      scored AS (SELECT doc_id,
+          CAST(levenshtein(w.w, lex.term) AS BIGINT) AS dist, term
+        FROM w, lex),
+      best AS (SELECT doc_id,
+          first(term ORDER BY dist, term) AS best_term,
+          min(dist) AS dist
+        FROM scored GROUP BY doc_id)
+      SELECT best_term, count(*) AS n_docs,
+        CAST(sum(dist) AS BIGINT) AS sum_dist
+      FROM best GROUP BY best_term ORDER BY best_term"""),
+    doc = "SURVEY §2.7 [NS] edit-distance fuzzy lexicon match (broadcast side)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
-    q72DedupComponents)
+    q72DedupComponents, q76FuzzyLookup)
 }

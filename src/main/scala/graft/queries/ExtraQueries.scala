@@ -292,7 +292,46 @@ object ExtraQueries {
       WHERE pr < 0.5 GROUP BY source ORDER BY source"""),
     doc = "SURVEY §2.6 [NS] percent_rank/cume_dist stratum quality gate")
 
+  /** [NS] — time-series gap filling: densify per-priority daily order
+    * counts over the full calendar (generated date sequence × priorities,
+    * zero-filled gaps) — the resample-then-aggregate shape every
+    * time-series pipeline needs before rolling math. Scale: the calendar
+    * is generated (days, tiny) and broadcast against the distinct-key
+    * side; the fact table is touched once by the count aggregate. */
+  val q75GapFill = Q(
+    "q75_gap_fill",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .select($"o_orderpriority".as("prio"), $"o_orderdate".as("dt"))
+      val cal = o.agg(min($"dt").as("lo"), max($"dt").as("hi"))
+        .select(explode(sequence($"lo", $"hi")).as("dt"))
+      val grid = o.select($"prio").distinct().crossJoin(broadcast(cal))
+      val counts = o.groupBy($"prio", $"dt").agg(count(lit(1)).as("n"))
+      grid.join(counts, Seq("prio", "dt"), "left")
+        .na.fill(0L, Seq("n"))
+        .groupBy($"prio")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when($"n" === 0, 1L).otherwise(0L)).as("n_gap_days"),
+          sum($"n").as("n_orders"))
+        .orderBy($"prio")
+    },
+    Some("""WITH o AS (SELECT o_orderpriority AS prio, o_orderdate AS dt
+        FROM orders),
+      cal AS (SELECT CAST(unnest(generate_series(
+          (SELECT min(dt) FROM o), (SELECT max(dt) FROM o),
+          INTERVAL 1 DAY)) AS DATE) AS dt),
+      grid AS (SELECT prio, dt FROM (SELECT DISTINCT prio FROM o), cal),
+      counts AS (SELECT prio, dt, count(*) AS n FROM o GROUP BY prio, dt)
+      SELECT g.prio, count(*) AS n_days,
+        CAST(sum(CASE WHEN coalesce(c.n, 0) = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_gap_days,
+        CAST(sum(coalesce(c.n, 0)) AS BIGINT) AS n_orders
+      FROM grid g LEFT JOIN counts c ON c.prio = g.prio AND c.dt = g.dt
+      GROUP BY g.prio ORDER BY g.prio"""),
+    doc = "[NS] calendar densification / gap filling (generated dim broadcast)")
+
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
     q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q50Pivot,
-    q59RangeWindow, q60ApproxPercentiles, q74PercentGate)
+    q59RangeWindow, q60ApproxPercentiles, q74PercentGate, q75GapFill)
 }
