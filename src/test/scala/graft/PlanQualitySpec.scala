@@ -81,6 +81,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q73 token budget: window and final aggregate share one exchange " +
+      "on the stratum key") {
+    val p = plan("q73_token_budget")
+    // the cumsum window partitions by source; the groupBy(source) after it
+    // must reuse that clustering, not shuffle again (the one remaining
+    // rangepartitioning exchange is the final tiny ORDER BY)
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly 1 hash Exchange:\n$p")
+  }
+
+  test("q75 gap fill: generated calendar broadcasts; facts shuffle only " +
+      "for their aggregate") {
+    val p = plan("q75_gap_fill")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q76 fuzzy lookup: lexicon side broadcast, no cartesian product") {
+    val p = plan("q76_fuzzy_lookup")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q04 top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q04_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
