@@ -225,7 +225,49 @@ object EventQueries {
       GROUP BY c.user_id ORDER BY c.user_id"""),
     doc = "SURVEY §2.3 [NS] range join via time-bucketed equi-join")
 
+  /** [NS] — ordered funnel: users who viewed, then clicked AFTER their
+    * first view, then purchased AFTER that first qualifying click —
+    * per-stage user counts. Each stage is one combining aggregate plus an
+    * equi-join on user_id against the (small) prior-stage table; the
+    * ordering constraint is a plain predicate, no window and no
+    * per-user event sorting anywhere. */
+  val q77Funnel = Q(
+    "q77_funnel",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
+      val t1 = e.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t1"))
+      val t2 = e.filter($"event_type" === "click")
+        .join(t1, Seq("user_id")).filter($"ts" > $"t1")
+        .groupBy($"user_id").agg(min($"ts").as("t2"))
+      val t3 = e.filter($"event_type" === "purchase")
+        .join(t2, Seq("user_id")).filter($"ts" > $"t2")
+        .groupBy($"user_id").agg(min($"ts").as("t3"))
+      t1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+        .unionByName(t2.agg(count(lit(1)).as("n_users"))
+          .withColumn("stage", lit("2_click")))
+        .unionByName(t3.agg(count(lit(1)).as("n_users"))
+          .withColumn("stage", lit("3_purchase")))
+        .select($"stage", $"n_users")
+        .orderBy($"stage")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, ts FROM events),
+      t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id),
+      t2 AS (SELECT e.user_id, min(ts) AS t2 FROM e
+        JOIN t1 ON t1.user_id = e.user_id
+        WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+      t3 AS (SELECT e.user_id, min(ts) AS t3 FROM e
+        JOIN t2 ON t2.user_id = e.user_id
+        WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+      SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+      UNION ALL SELECT '2_click', count(*) FROM t2
+      UNION ALL SELECT '3_purchase', count(*) FROM t3
+      ORDER BY stage"""),
+    doc = "[NS] ordered funnel analysis (stage aggregates + predicates, no windows)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
-    q64RangeJoin)
+    q64RangeJoin, q77Funnel)
 }
