@@ -218,9 +218,14 @@ object Dedup {
     * shortcutting only if diameters grow. Labels checkpoint per round so
     * plans stay flat.
     *
-    * Input: (aCol, bCol) pairs. Output: (node, rep). */
+    * Input: (aCol, bCol) pairs. Output: (node, rep). `maxRounds` caps
+    * pathological diameters (a chain of length > maxRounds would return
+    * with some labels not yet folded to the true component min — raise the
+    * cap, or pre-shortcut with pointer doubling, for adversarial graphs;
+    * convergence is exact whenever the fixpoint is reached, which the
+    * changed-count detects). */
   def connectedComponents(pairs: DataFrame, aCol: String,
-      bCol: String): DataFrame = {
+      bCol: String, maxRounds: Int = 100): DataFrame = {
     val fwd = pairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
     val edges = fwd.unionByName(
         fwd.select(col("_b").as("_a"), col("_a").as("_b")))
@@ -232,7 +237,7 @@ object Dedup {
         .localCheckpoint(true)
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 100) {
+      while (changed > 0 && rounds < maxRounds) {
         val nbrMin = edges
           .join(labels, edges("_b") === labels("_n"))
           .select(edges("_a").as("_n"), col("_lbl"))

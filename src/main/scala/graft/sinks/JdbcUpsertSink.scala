@@ -169,6 +169,10 @@ final case class JdbcUpsertSink(
     val cols = schema.fieldNames.toSeq
     val keys = keyCols
     val setCols = cols.filterNot(keys.contains)
+    val unknown = setExprs.keySet -- setCols
+    require(unknown.isEmpty,
+      s"setExprs for non-updatable columns (not in the batch, or key " +
+        s"columns, which MERGE cannot update): ${unknown.mkString(", ")}")
     val u = url; val tbl = table; val bs = batchSize
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {

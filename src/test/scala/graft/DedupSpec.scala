@@ -46,6 +46,19 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents: maxRounds caps propagation; default converges") {
+    import spark.implicits._
+    // path 1-2-3-4-5: hash-min needs diameter-1 rounds to fold node 5 to 1
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val capped = Dedup.connectedComponents(path, "doc_a", "doc_b", maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(5L) === 4L) // one round: label moved one hop, not to the min
+    val full = Dedup.connectedComponents(path, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full.values.toSet === Set(1L))
+  }
+
   test("simhash signatures: identical docs collide, length 32") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))

@@ -108,6 +108,21 @@ class SinkSpec extends AnyFunSuite {
     assert(sink.queryCount("k = 'c' AND n = 1 AND s0 = 10") === 1) // inserted
   }
 
+  test("staged MERGE rejects setExprs for key or unknown columns") {
+    import spark.implicits._
+    val sink = freshSink("t_badset",
+      "CREATE TABLE t_badset (k VARCHAR(10) PRIMARY KEY, n BIGINT)", Seq("k"))
+    val batch = Seq(("a", 1L)).toDF("k", "n")
+    val keyErr = intercept[IllegalArgumentException] {
+      sink.upsertStagedMerge(batch, setExprs = Map("k" -> "s.k"))
+    }
+    assert(keyErr.getMessage.contains("k"))
+    val unknownErr = intercept[IllegalArgumentException] {
+      sink.upsertStagedMerge(batch, setExprs = Map("nope" -> "1"))
+    }
+    assert(unknownErr.getMessage.contains("nope"))
+  }
+
   test("exactly-once: replaying the same micro-batch is a no-op") {
     import spark.implicits._
     val sink = freshSink("t_replay",
