@@ -258,6 +258,64 @@ object Dedup {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** D5 closure, high-diameter scale path: hash-min propagation PLUS a
+    * pointer-doubling hop per round (label := label-of-label), so rounds
+    * grow with log2(diameter) instead of diameter — the classic
+    * path-doubling trick (Shiloach–Vishkin style; see also Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14).
+    *
+    * Per round: the neighbor-min shuffle of [[connectedComponents]] plus
+    * one extra self-join shuffle for the label composition — 2 shuffles
+    * per round × O(log d) rounds vs 1 × O(d). For near-dup clusters
+    * (dense, shallow) plain hash-min wins; for chain-shaped or
+    * adversarial graphs this variant is the one that terminates. Same
+    * convergence detection (changed-count rides the eager checkpoint
+    * action), same output contract: (node, rep). */
+  def connectedComponentsDoubling(pairs: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int = 50): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
+    val edges = fwd.unionByName(
+        fwd.select(col("_b").as("_a"), col("_a").as("_b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("_a").as("_n")).distinct()
+        .select(col("_n"), col("_n").as("_lbl"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < maxRounds) {
+        // candidate = min(own label, neighbors' labels), old label kept
+        // alongside for the change count
+        val cand = edges
+          .join(labels, edges("_b") === labels("_n"))
+          .select(edges("_a").as("_n"), col("_lbl"))
+          .unionByName(labels)
+          .groupBy(col("_n"))
+          .agg(min(col("_lbl")).as("_m"))
+          .join(labels, Seq("_n"))
+        // pointer doubling: follow the candidate one more hop (the
+        // candidate's own current label) before adopting it
+        val byLabel = labels
+          .select(col("_n").as("_p"), col("_lbl").as("_plbl"))
+        val obs = org.apache.spark.sql.Observation()
+        val next = cand
+          .join(byLabel, cand("_m") === byLabel("_p"), "left")
+          .select(col("_n"), col("_lbl"),
+            least(col("_m"), coalesce(col("_plbl"), col("_m")))
+              .as("_lbl2"))
+          .observe(obs, coalesce(sum(when(col("_lbl2") < col("_lbl"), 1L)
+            .otherwise(0L)), lit(0L)).as("changed"))
+          .select(col("_n"), col("_lbl2").as("_lbl"))
+          .localCheckpoint(true)
+        changed = obs.get("changed").asInstanceOf[Long]
+        labels = next
+        rounds += 1
+      }
+      labels.select(col("_n").as("node"), col("_lbl").as("rep"))
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** D5 — 32-bit SimHash signature per doc from distinct-word md5 bits:
     * (idCol, simhash: "0/1" string, msb first). One per-row codegen'd
     * eval (graft.functions.SimHash32) — the former SQL pipeline exploded

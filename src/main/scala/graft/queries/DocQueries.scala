@@ -466,8 +466,74 @@ object DocQueries {
       FROM best GROUP BY best_term ORDER BY best_term"""),
     doc = "SURVEY §2.7 [NS] edit-distance fuzzy lexicon match (broadcast side)")
 
+  /** [NS] — bigram collocation mining with integer-exact lift: PMI's
+    * log is transcendental (never bit-stable across engines), but its
+    * ORDER is fully determined by the rational c_ab·N / (c_a·c_b) — so
+    * score in scaled integer division and rank on exact counts. One
+    * explode + three count aggregates; the left/right marginals join
+    * back on word keys (small: vocabulary-sized), and the grand total is
+    * a 1-row broadcast cross join, not a driver collect. */
+  val q81Collocations = Q(
+    "q81_collocations",
+    (s, d) => {
+      import s.implicits._
+      val bi = Tables.documents(s, d)
+        .select(split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), " +
+            "i -> struct(w[i] AS a, w[i+1] AS b))")).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+      val cab = bi.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
+      val ca = bi.groupBy($"a").agg(count(lit(1)).as("c_a"))
+      val cb = bi.groupBy($"b").agg(count(lit(1)).as("c_b"))
+      val tot = bi.agg(count(lit(1)).as("n_total"))
+      cab.join(ca, Seq("a")).join(cb, Seq("b"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lift_ppm",
+          expr("(c_ab * 1000000 * n_total) div (c_a * c_b)"))
+        .select(concat($"a", lit(" "), $"b").as("bigram"),
+          $"c_ab", $"c_a", $"c_b", $"lift_ppm")
+        .orderBy($"c_ab".desc, $"bigram")
+        .limit(20)
+    },
+    Some("""WITH wd AS (SELECT string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      bi AS (SELECT w[i] AS a, w[i + 1] AS b
+        FROM wd, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+      cab AS (SELECT a, b, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+      ca AS (SELECT a, count(*) AS c_a FROM bi GROUP BY 1),
+      cb AS (SELECT b, count(*) AS c_b FROM bi GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM bi)
+      SELECT a || ' ' || b AS bigram, c_ab, c_a, c_b,
+        (c_ab * 1000000 * n_total) // (c_a * c_b) AS lift_ppm
+      FROM cab JOIN ca USING (a) JOIN cb USING (b), tot
+      ORDER BY c_ab DESC, bigram LIMIT 20"""),
+    doc = "[NS] bigram collocation lift, integer-exact (PMI order w/o logs)")
+
+  /** D5 closure, high-diameter scale path: the SAME clusters as q72 but
+    * via hash-min + pointer doubling
+    * ([[graft.operators.Dedup.connectedComponentsDoubling]]) — rounds
+    * grow with log2(diameter), not diameter. The oracle IS q72's
+    * `WITH RECURSIVE` SQL: a green row proves the doubling variant is
+    * bit-identical to plain propagation, the same twin pattern that
+    * certifies q52's PPJoin against q23's oracle. */
+  val q78CcDoubling = Q(
+    "q78_cc_doubling",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashLshCandidates(Tables.documents(s, d),
+        "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+      Dedup.connectedComponentsDoubling(pairs, "doc_a", "doc_b")
+        .groupBy($"rep")
+        .agg(count(lit(1)).as("n_docs"), max($"node").as("max_doc"))
+        .orderBy($"rep")
+    },
+    q72DedupComponents.oracle,
+    doc = "[NS] near-dup clusters via pointer-doubling CC (log-round twin of q72)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
-    q72DedupComponents, q76FuzzyLookup)
+    q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations)
 }

@@ -267,7 +267,131 @@ object EventQueries {
       ORDER BY stage"""),
     doc = "[NS] ordered funnel analysis (stage aggregates + predicates, no windows)")
 
+  /** [NS] — weekly cohort retention: users grouped by first-seen week,
+    * distinct actives per (cohort, weeks-since) cell — the standard
+    * retention matrix. Two shuffles (per-user min, then the cell
+    * distinct-count); the cohort side is per-user-small so AQE broadcasts
+    * the join back. date_trunc('week') is Monday-anchored in both
+    * engines, and the offset is integral day arithmetic — no float. */
+  val q79CohortRetention = Q(
+    "q79_cohort_retention",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"user_id", to_date(date_trunc("week", $"ts")).as("wk"))
+      val cohort = e.groupBy($"user_id")
+        .agg(min($"wk").as("cohort_week"))
+      e.join(cohort, Seq("user_id"))
+        .withColumn("week_off", expr("datediff(wk, cohort_week) div 7"))
+        .groupBy($"cohort_week", $"week_off")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_week", $"week_off")
+    },
+    Some("""WITH e AS (SELECT user_id,
+        CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      c AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id)
+      SELECT cohort_week,
+        date_diff('day', cohort_week, wk) // 7 AS week_off,
+        count(DISTINCT e.user_id) AS n_users
+      FROM e JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort_week, week_off"""),
+    doc = "[NS] weekly cohort retention matrix (first-seen week × offset)")
+
+  /** [NS] — SCD type-2 interval build (gaps-and-islands): consecutive
+    * same-type runs per user collapse into effective-dated rows
+    * [valid_from, valid_to) with valid_to = next island's start (NULL =
+    * current). The change-flag + running-sum island id is the
+    * order-insensitive distributed form: both windows partition by
+    * user_id, so one shuffle covers marking, numbering, and the
+    * island aggregate. */
+  val q80Scd2Islands = Q(
+    "q80_scd2_islands",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val spans = Tables.events(s, d)
+        .filter($"user_id" <= 5)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("chg",
+          when(lag($"event_type", 1).over(w) <=> $"event_type", 0L)
+            .otherwise(1L))
+        .withColumn("island", sum($"chg").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"island", $"event_type")
+        .agg(min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
+      spans
+        .withColumn("valid_to", lead($"valid_from", 1).over(
+          Window.partitionBy($"user_id").orderBy($"valid_from")))
+        .select($"user_id", $"event_type", $"valid_from", $"valid_to",
+          $"n_events")
+        .orderBy($"user_id", $"valid_from")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, ts, event_id
+        FROM events WHERE user_id <= 5),
+      m AS (SELECT *, CASE WHEN lag(event_type) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id)
+          IS NOT DISTINCT FROM event_type THEN 0 ELSE 1 END AS chg FROM e),
+      i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS island FROM m),
+      sp AS (SELECT user_id, island, event_type, min(ts) AS valid_from,
+          count(*) AS n_events FROM i GROUP BY 1, 2, 3)
+      SELECT user_id, event_type, valid_from,
+        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+          AS valid_to,
+        n_events
+      FROM sp ORDER BY user_id, valid_from"""),
+    doc = "[NS] SCD2 effective-dated intervals via gaps-and-islands")
+
+  /** [NS] — distributed-EXACT z-score outlier detection: flag events
+    * beyond 2σ of their event_type's mean WITHOUT any float variance —
+    * `(n·x − S)² > k²·(n·SS − S²)` over scaled-integer values, widened to
+    * decimal(38,0) (HUGEINT on the oracle side) so the squares never
+    * overflow at 100× group sizes. The float path can't oracle-match
+    * (partial-agg order changes the double variance in the last ulp);
+    * this one is bit-exact under any partitioning. Stats per type are
+    * 5 rows → broadcast back onto the fact side. */
+  val q82Outliers = Q(
+    "q82_outliers",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"event_type",
+          round($"value" * 100, 0).cast("long").as("v100"))
+      val stats = e.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v100").as("s"),
+          sum($"v100" * $"v100").as("ss"))
+      val dev = ($"n" * $"v100" - $"s").cast("decimal(38,0)")
+      val spread = $"n".cast("decimal(38,0)") * $"ss" -
+        $"s".cast("decimal(38,0)") * $"s"
+      e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("is_out", dev * dev > lit(4) * spread)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(when($"is_out", 1)).as("n_outliers"),
+          sum(when($"is_out", $"v100")).as("outlier_v100_sum"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH e AS (SELECT event_type,
+        CAST(round(value * 100) AS BIGINT) AS v100 FROM events),
+      st AS (SELECT event_type, count(*) AS n,
+          CAST(sum(v100) AS BIGINT) AS s,
+          CAST(sum(v100 * v100) AS BIGINT) AS ss
+        FROM e GROUP BY 1),
+      j AS (SELECT e.event_type, v100, n, s, ss
+        FROM e JOIN st USING (event_type)),
+      o AS (SELECT *,
+          CAST(n * v100 - s AS HUGEINT) * CAST(n * v100 - s AS HUGEINT)
+            > 4 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+          AS is_out FROM j)
+      SELECT event_type, count(*) AS n_events,
+        count(CASE WHEN is_out THEN 1 END) AS n_outliers,
+        CAST(sum(CASE WHEN is_out THEN v100 END) AS BIGINT)
+          AS outlier_v100_sum
+      FROM o GROUP BY 1 ORDER BY event_type"""),
+    doc = "[NS] exact integer-arithmetic z-score outlier detection (2σ)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
-    q64RangeJoin, q77Funnel)
+    q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
+    q82Outliers)
 }

@@ -59,6 +59,25 @@ class DedupSpec extends AnyFunSuite {
     assert(full.values.toSet === Set(1L))
   }
 
+  test("connectedComponentsDoubling: log-round convergence on a long path") {
+    import spark.implicits._
+    // path 1..33 (diameter 32): hash-min needs 32 rounds; doubling needs
+    // ~log2(32). Cap both at 10 — only the doubling variant converges.
+    val path = (1L until 33L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val plain = Dedup.connectedComponents(path, "doc_a", "doc_b",
+      maxRounds = 10).collect().map(r => r.getLong(1)).toSet
+    assert(plain.size > 1) // capped: not yet folded to one label
+    val doubled = Dedup.connectedComponentsDoubling(path, "doc_a", "doc_b",
+      maxRounds = 10).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(doubled.size === 33)
+    assert(doubled.values.toSet === Set(1L))
+    // split components stay split
+    val two = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val reps = Dedup.connectedComponentsDoubling(two, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash signatures: identical docs collide, length 32") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
