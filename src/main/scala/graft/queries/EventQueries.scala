@@ -300,30 +300,34 @@ object EventQueries {
   /** [NS] — SCD type-2 interval build (gaps-and-islands): consecutive
     * same-type runs per user collapse into effective-dated rows
     * [valid_from, valid_to) with valid_to = next island's start (NULL =
-    * current). The change-flag + running-sum island id is the
-    * order-insensitive distributed form: both windows partition by
-    * user_id, so one shuffle covers marking, numbering, and the
-    * island aggregate. */
+    * current). Single-shuffle form: every window partitions by user_id,
+    * and island rows come from FILTERING to change points (an island's
+    * span is start-row ts → next start's ts; its size is the row-number
+    * gap) — no island groupBy, so the whole query is ONE exchange on
+    * user_id plus the final tiny sort (pinned in PlanQualitySpec). */
   val q80Scd2Islands = Q(
     "q80_scd2_islands",
     (s, d) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      val spans = Tables.events(s, d)
+      Tables.events(s, d)
         .filter($"user_id" <= 5)
         .select($"user_id", $"event_type", $"ts", $"event_id")
         .withColumn("chg",
           when(lag($"event_type", 1).over(w) <=> $"event_type", 0L)
             .otherwise(1L))
-        .withColumn("island", sum($"chg").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy($"user_id", $"island", $"event_type")
-        .agg(min($"ts").as("valid_from"), count(lit(1)).as("n_events"))
-      spans
-        .withColumn("valid_to", lead($"valid_from", 1).over(
-          Window.partitionBy($"user_id").orderBy($"valid_from")))
-        .select($"user_id", $"event_type", $"valid_from", $"valid_to",
-          $"n_events")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n_user",
+          count(lit(1)).over(Window.partitionBy($"user_id")))
+        .filter($"chg" === 1L)
+        .withColumn("valid_to", lead($"ts", 1).over(
+          Window.partitionBy($"user_id").orderBy($"rn")))
+        .withColumn("n_events",
+          coalesce(lead($"rn", 1).over(
+              Window.partitionBy($"user_id").orderBy($"rn")),
+            $"n_user" + 1L) - $"rn")
+        .select($"user_id", $"event_type", $"ts".as("valid_from"),
+          $"valid_to", $"n_events")
         .orderBy($"user_id", $"valid_from")
     },
     Some("""WITH e AS (SELECT user_id, event_type, ts, event_id

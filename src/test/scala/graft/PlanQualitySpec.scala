@@ -104,6 +104,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q80 SCD2 islands: every window shares one exchange on user_id") {
+    val p = plan("q80_scd2_islands")
+    // chg/rn/count/lead all partition by user_id; the island reduction is
+    // a filter, not a groupBy — so exactly one hash Exchange in the plan
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly 1 hash Exchange:\n$p")
+  }
+
+  test("q82 outliers: 5-row stats broadcast back onto the fact side") {
+    val p = plan("q82_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q81 collocations: marginals hash-join; only the 1-row total " +
+      "rides a broadcast loop join") {
+    val p = plan("q81_collocations")
+    assert(!p.contains("CartesianProduct"), p)
+    // tree line form ("... Cross BuildRight"): formatted mode prints each
+    // operator again in the details section, so count tree entries only
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size == 1,
+      s"expected exactly the 1-row-total BNLJ:\n$p")
+  }
+
+  test("q79 cohort retention: no cartesian; cohort join is an equi-join") {
+    val p = plan("q79_cohort_retention")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q04 top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q04_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
