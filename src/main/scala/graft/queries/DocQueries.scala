@@ -511,6 +511,54 @@ object DocQueries {
       ORDER BY c_ab DESC, bigram LIMIT 20"""),
     doc = "[NS] bigram collocation lift, integer-exact (PMI order w/o logs)")
 
+  /** [NS] — TF-IDF top terms per source in integer-exact arithmetic:
+    * idf's log never bit-matches across engines, but top-k ORDER only
+    * needs the rational tf·N/df — scaled integer division, word
+    * tie-break. Explode once, two count aggregates (term frequency per
+    * source, document frequency global), 1-row doc count broadcast; the
+    * per-source top-3 plans as WindowGroupLimit so no source's term list
+    * is fully sorted. */
+  val q83TfidfTerms = Q(
+    "q83_tfidf_terms",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val words = docs
+        .select($"doc_id", $"source",
+          explode(split($"text", " ")).as("word"))
+        .filter(length($"word") > 0)
+      val tf = words.groupBy($"source", $"word")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = words.select($"doc_id", $"word").distinct()
+        .groupBy($"word").agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"source")
+        .orderBy($"score".desc, $"word")
+      tf.join(dfreq, Seq("word"))
+        .crossJoin(broadcast(nd))
+        .withColumn("score", expr("(tf * 1000000 * n_docs) div df"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3)
+        .select($"source", $"rk", $"word", $"tf", $"df", $"score")
+        .orderBy($"source", $"rk")
+    },
+    Some("""WITH w AS (SELECT doc_id, source,
+        unnest(string_split(text, ' ')) AS word FROM documents),
+      ww AS (SELECT * FROM w WHERE len(word) > 0),
+      tf AS (SELECT source, word, count(*) AS tf FROM ww GROUP BY 1, 2),
+      dfreq AS (SELECT word, count(*) AS df FROM
+        (SELECT DISTINCT doc_id, word FROM ww) GROUP BY 1),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT source, word, tf, df,
+          (tf * 1000000 * n_docs) // df AS score
+        FROM tf JOIN dfreq USING (word), nd),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY score DESC, word) AS rk FROM sc)
+      SELECT source, rk, word, tf, df, score FROM r
+      WHERE rk <= 3 ORDER BY source, rk"""),
+    doc = "[NS] per-source TF-IDF top terms, integer-exact ranking")
+
   /** D5 closure, high-diameter scale path: the SAME clusters as q72 but
     * via hash-min + pointer doubling
     * ([[graft.operators.Dedup.connectedComponentsDoubling]]) — rounds
@@ -535,5 +583,6 @@ object DocQueries {
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
-    q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations)
+    q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations,
+    q83TfidfTerms)
 }

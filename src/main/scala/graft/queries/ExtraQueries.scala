@@ -331,7 +331,54 @@ object ExtraQueries {
       GROUP BY g.prio ORDER BY g.prio"""),
     doc = "[NS] calendar densification / gap filling (generated dim broadcast)")
 
+  /** [NS] — snapshot reconciliation (CDC derivation): full-outer join of
+    * two table versions on the key, rows classified added / removed /
+    * changed / unchanged — how an incremental corpus update is derived
+    * when the upstream can't emit a changelog. Snapshots are synthesized
+    * deterministically from `orders` (drops on key mod, price bump on
+    * mod-13) so the diff is oracle-checkable. Scale: one shuffle per
+    * side on the key into a sort-merge full-outer — no broadcast (both
+    * sides are table-sized), no cartesian; the classification is a
+    * per-row case over the merged pair. */
+  val q84SnapshotDiff = Q(
+    "q84_snapshot_diff",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .select($"o_orderkey".as("k"),
+          round($"o_totalprice" * 100, 0).cast("long").as("p100"))
+      val prev = o.filter($"k" % 97 =!= 0)
+        .select($"k", $"p100".as("p_old"))
+      val curr = o.filter($"k" % 89 =!= 0)
+        .select($"k",
+          when($"k" % 13 === 0, $"p100" + 100L).otherwise($"p100")
+            .as("p_new"))
+      prev.join(curr, Seq("k"), "full_outer")
+        .withColumn("status",
+          when($"p_old".isNull, "added")
+            .when($"p_new".isNull, "removed")
+            .when($"p_old" =!= $"p_new", "changed")
+            .otherwise("unchanged"))
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n"), sum($"k").as("key_sum"))
+        .orderBy($"status")
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS k,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS p100 FROM orders),
+      prev AS (SELECT k, p100 AS p_old FROM o WHERE k % 97 <> 0),
+      curr AS (SELECT k, CASE WHEN k % 13 = 0 THEN p100 + 100
+          ELSE p100 END AS p_new FROM o WHERE k % 89 <> 0)
+      SELECT CASE WHEN p_old IS NULL THEN 'added'
+          WHEN p_new IS NULL THEN 'removed'
+          WHEN p_old <> p_new THEN 'changed'
+          ELSE 'unchanged' END AS status,
+        count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+      FROM prev FULL JOIN curr USING (k)
+      GROUP BY 1 ORDER BY status"""),
+    doc = "[NS] snapshot diff / CDC derivation (full-outer reconcile)")
+
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
     q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q50Pivot,
-    q59RangeWindow, q60ApproxPercentiles, q74PercentGate, q75GapFill)
+    q59RangeWindow, q60ApproxPercentiles, q74PercentGate, q75GapFill,
+    q84SnapshotDiff)
 }

@@ -134,6 +134,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q83 tfidf: per-source top-k pushed below the sort (WindowGroupLimit)") {
+    val p = plan("q83_tfidf_terms")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q84 snapshot diff: sort-merge full outer, no broadcast of " +
+      "table-sized sides") {
+    val p = plan("q84_snapshot_diff")
+    assert(p.contains("SortMergeJoin FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q04 top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q04_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
