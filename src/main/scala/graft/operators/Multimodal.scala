@@ -4,6 +4,8 @@ import java.awt.RenderingHints
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream,
+  AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -278,6 +280,159 @@ object Multimodal {
             }
         }
       }
+  }
+
+  // ======================================================================
+  // Real audio codec — javax.sound.sampled (also JDK-builtin: WAV, AIFF,
+  // AU). Same total-function contract as the image path: readable
+  // payloads decode for real, everything else routes to the stub.
+  // ======================================================================
+
+  /** Decoded-audio metadata row. `decoded=false` marks stub-fallback rows
+    * (container javax.sound cannot read, e.g. mp3/ogg). */
+  case class AudioMeta(id: Long, n_bytes: Long, container: String,
+      sample_rate: Int, channels: Int, n_frames: Long, decoded: Boolean)
+
+  /** Header-only audio probe: container type, rate, channels, frame count
+    * without decoding samples — the metadata-scan path. */
+  private[operators] def probeAudio(
+      bytes: Array[Byte]): Option[(String, Int, Int, Long)] =
+    try {
+      val aff = AudioSystem.getAudioFileFormat(new ByteArrayInputStream(bytes))
+      val f = aff.getFormat
+      Some((aff.getType.toString.toLowerCase, f.getSampleRate.toInt,
+        f.getChannels, aff.getFrameLength.toLong))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Full sample decode to channel-averaged doubles in [-1, 1]; converts
+    * through 16-bit signed little-endian PCM for non-PCM encodings. None
+    * when javax.sound has no codec for the payload. */
+  private[operators] def pcmMono(bytes: Array[Byte]): Option[Array[Double]] =
+    try {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      val target = new AudioFormat(f.getSampleRate, 16, f.getChannels,
+        true, false)
+      val pcm =
+        if (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && !f.isBigEndian) ais
+        else AudioSystem.getAudioInputStream(target, ais)
+      val raw = pcm.readAllBytes()
+      val ch = target.getChannels
+      val n = raw.length / 2 / ch
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val lo = raw(2 * (i * ch + c)) & 0xff
+          val hi = raw(2 * (i * ch + c) + 1)
+          acc += ((hi << 8) | lo).toShort / 32768.0
+          c += 1
+        }
+        out(i) = acc / ch
+        i += 1
+      }
+      Some(out)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real audio feature: per-segment RMS energy over `dim` equal spans —
+    * the audio analogue of [[luminanceGrid]], directly usable by the
+    * Similarity operators. */
+  private[operators] def rmsGrid(samples: Array[Double],
+      dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (samples.isEmpty) return out
+    var s = 0
+    while (s < dim) {
+      val lo = (s.toLong * samples.length / dim).toInt
+      val hi = math.max(lo + 1, ((s + 1).toLong * samples.length / dim).toInt)
+      var acc = 0.0
+      var i = lo
+      while (i < hi) { acc += samples(i) * samples(i); i += 1 }
+      out(s) = math.sqrt(acc / (hi - lo)).toFloat
+      s += 1
+    }
+    out
+  }
+
+  /** Deterministic audio-meta stub for payloads javax.sound cannot read. */
+  private[operators] def audioStub(bytes: Array[Byte]): (String, Int, Int, Long) = {
+    val h = java.util.Arrays.hashCode(bytes)
+    val container = Seq("mp3", "ogg", "flac")(math.floorMod(h, 3))
+    val rate = Seq(8000, 16000, 44100)(math.floorMod(h >> 3, 3))
+    val ch = 1 + math.floorMod(h >> 7, 2)
+    val frames = 1000L + math.floorMod(h >> 9, 100000)
+    (container, rate, ch, frames)
+  }
+
+  /** Audio decode pass: (id, payload BINARY) → AudioMeta, partition-at-a-
+    * time, header probe only (sample data never touched). */
+  def decodeAudioMeta(df: DataFrame)(
+      implicit spark: SparkSession): Dataset[AudioMeta] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          probeAudio(bytes) match {
+            case Some((container, rate, ch, frames)) =>
+              AudioMeta(id, bytes.length.toLong, container, rate, ch,
+                frames, decoded = true)
+            case None =>
+              val (container, rate, ch, frames) = audioStub(bytes)
+              AudioMeta(id, bytes.length.toLong, container, rate, ch,
+                frames, decoded = false)
+          }
+        }
+      }
+  }
+
+  /** Audio feature pass: (id, payload) → `dim` RMS-energy floats; real
+    * decode where javax.sound can read the container, stub otherwise. */
+  def extractAudioFeatures(df: DataFrame, dim: Int = 16)(
+      implicit spark: SparkSession): Dataset[MediaFeature] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val feat = pcmMono(bytes) match {
+            case Some(samples) => rmsGrid(samples, dim)
+            case None          => featureStub(bytes, dim)
+          }
+          MediaFeature(id, feat)
+        }
+      }
+  }
+
+  /** Deterministic WAV fixture: 16-bit signed little-endian PCM sine at
+    * `freqHz`, written through the JDK's own WAVE writer — a REAL RIFF
+    * container (44-byte canonical header + nFrames·channels·2 data
+    * bytes), used by specs and the oracle query to prove the decoder
+    * round-trips true parameters. */
+  def synthWavBytes(sampleRate: Int, channels: Int, nFrames: Int,
+      freqHz: Double = 440.0, amplitude: Double = 0.5): Array[Byte] = {
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames) {
+      val v = (amplitude * math.sin(2 * math.Pi * freqHz * i / sampleRate) *
+        32767).toInt
+      var c = 0
+      while (c < channels) {
+        data(2 * (i * channels + c)) = (v & 0xff).toByte
+        data(2 * (i * channels + c) + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt,
+      nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Size-bounded repartition for blob processing: target ~`targetMB` of

@@ -489,8 +489,50 @@ object YarkQueries {
       FROM replaced"""),
     doc = "ref: cmds/archive.py:289-294 (W4 delete-then-insert replace)")
 
+  /** SURVEY §2.1 S9 [NS multimodal] — REAL audio decode round-trip: WAV
+    * containers synthesized per doc (16-bit PCM sine, doc_id-derived
+    * channel count and frame length, written by the JDK's own WAVE
+    * writer), then header-probed back via javax.sound. The oracle knows
+    * nothing about audio — it recomputes every expected value (channels,
+    * frames, exact container byte size = 44 + frames·ch·2) from doc_id
+    * arithmetic, so a green row proves the decoder reads TRUE parameters
+    * out of a real RIFF container, not echoes of a stub. Blobs stay in
+    * executor partitions; only scalar metadata is shuffled. */
+  val q85AudioMeta = Q(
+    "q85_audio_meta",
+    (s, d) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val media = Tables.documents(s, d).select($"doc_id").as[Long]
+        .mapPartitions(_.map { id =>
+          val ch = 1 + (id % 2).toInt
+          val frames = (400 + (id % 50) * 40).toInt
+          (id, graft.operators.Multimodal.synthWavBytes(8000, ch, frames))
+        }).toDF("id", "payload")
+      graft.operators.Multimodal.decodeAudioMeta(media)
+        .groupBy($"channels")
+        .agg(count(lit(1)).as("n"),
+          count(when($"decoded" && $"container" === "wave" &&
+            $"sample_rate" === 8000, 1)).as("n_decoded"),
+          sum($"n_frames").as("total_frames"),
+          min($"n_frames").as("min_frames"),
+          max($"n_frames").as("max_frames"),
+          sum($"n_bytes").as("total_bytes"))
+        .orderBy($"channels")
+    },
+    Some("""WITH m AS (SELECT 1 + doc_id % 2 AS channels,
+        400 + (doc_id % 50) * 40 AS n_frames FROM documents)
+      SELECT CAST(channels AS INT) AS channels, count(*) AS n,
+        count(*) AS n_decoded,
+        CAST(sum(n_frames) AS BIGINT) AS total_frames,
+        CAST(min(n_frames) AS BIGINT) AS min_frames,
+        CAST(max(n_frames) AS BIGINT) AS max_frames,
+        CAST(sum(44 + n_frames * channels * 2) AS BIGINT) AS total_bytes
+      FROM m GROUP BY 1 ORDER BY channels"""),
+    doc = "[NS] real WAV decode (javax.sound) vs arithmetic oracle (S9 audio)")
+
   val all: Seq[Q] = Seq(q34RefineUrls, q35RefineNulls, q36FkValidate,
     q37CascadeDelete, q38RestrictCheck, q39UpsertMerge, q40InsertIfAbsent,
     q41BinaryMeta, q51RecursiveCascade, q55CascadeDoubling, q61RefineScalars,
-    q62AuthorBackfill, q63ReplaceByKey)
+    q62AuthorBackfill, q63ReplaceByKey, q85AudioMeta)
 }

@@ -175,4 +175,46 @@ class MultimodalSpec extends AnyFunSuite {
       targetMB = 128)
     assert(df.rdd.getNumPartitions === 4)
   }
+
+  test("decodeAudioMeta: real javax.sound probe — true WAV parameters") {
+    import spark.implicits._
+    implicit val s = spark
+    val wavs = Seq(
+      (1L, Multimodal.synthWavBytes(8000, 1, 4000)),
+      (2L, Multimodal.synthWavBytes(44100, 2, 22050)),
+      (3L, "definitely not audio".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val metas = Multimodal.decodeAudioMeta(wavs).collect()
+      .map(m => m.id -> m).toMap
+    assert(metas(1L).decoded && metas(1L).container === "wave")
+    assert(metas(1L).sample_rate === 8000 && metas(1L).channels === 1)
+    assert(metas(1L).n_frames === 4000L)
+    assert(metas(2L).sample_rate === 44100 && metas(2L).channels === 2)
+    assert(metas(2L).n_frames === 22050L)
+    // canonical RIFF container: 44-byte header + frames * ch * 2
+    assert(metas(1L).n_bytes === 44L + 4000 * 1 * 2)
+    assert(metas(2L).n_bytes === 44L + 22050 * 2 * 2)
+    assert(!metas(3L).decoded) // junk routes to the stub, never throws
+  }
+
+  test("extractAudioFeatures: RMS grid — silence is zero, sine is the " +
+      "known RMS, junk falls back to the stub") {
+    import spark.implicits._
+    implicit val s = spark
+    val wavs = Seq(
+      (1L, Multimodal.synthWavBytes(8000, 1, 8000, amplitude = 0.0)),
+      (2L, Multimodal.synthWavBytes(8000, 1, 8000, freqHz = 440,
+        amplitude = 0.5)),
+      (3L, Array[Byte](1, 2, 3))
+    ).toDF("id", "payload")
+    val feats = Multimodal.extractAudioFeatures(wavs, dim = 8).collect()
+      .map(f => f.id -> f.feature).toMap
+    assert(feats.values.forall(_.length === 8))
+    assert(feats(1L).forall(v => math.abs(v) < 1e-6), "silence must be 0")
+    // sine RMS = amplitude / sqrt(2) ≈ 0.3536; generous tolerance for
+    // 16-bit quantization and segment boundaries
+    assert(feats(2L).forall(v => math.abs(v - 0.3536f) < 0.01),
+      feats(2L).mkString(","))
+    assert(feats(3L).exists(v => v != 0.0f)) // stub features, deterministic
+  }
 }
