@@ -331,6 +331,56 @@ object ExtraQueries {
       GROUP BY g.prio ORDER BY g.prio"""),
     doc = "[NS] calendar densification / gap filling (generated dim broadcast)")
 
+  /** [NS] — MERGEABLE sketch maintenance: per-source DataSketches HLL
+    * sketches unioned into a global estimate — the incremental shape
+    * (per-shard sketches fold without rescanning the corpus; the union
+    * is associative, so map-side partial aggregation applies). Contract
+    * is q46's tolerance boolean: the merged estimate must land within 5%
+    * of the exact global distinct, which both engines' HLLs satisfy
+    * deterministically. */
+  val q86SketchUnion = Q(
+    "q86_sketch_union",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select($"source", md5($"text").as("sig"))
+      val perSource = docs.groupBy($"source")
+        .agg(expr("hll_sketch_agg(sig, 12)").as("sk"))
+      val mergedEst = perSource.agg(count(lit(1)).as("n_sources"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = docs.agg(countDistinct($"sig").as("exact_global"))
+      mergedEst.crossJoin(exact)
+        .select($"n_sources", $"exact_global",
+          (abs($"est" - $"exact_global").cast("double") /
+            $"exact_global" <= 0.05).as("within_tol"))
+    },
+    Some("""WITH dd AS (SELECT source, md5(text) AS sig FROM documents)
+      SELECT (SELECT count(DISTINCT source) FROM dd) AS n_sources,
+        (SELECT count(DISTINCT sig) FROM dd) AS exact_global,
+        abs(CAST((SELECT approx_count_distinct(sig) FROM dd) AS DOUBLE)
+            - (SELECT count(DISTINCT sig) FROM dd))
+          / (SELECT count(DISTINCT sig) FROM dd) <= 0.05 AS within_tol"""),
+    doc = "[NS] mergeable HLL sketch union (incremental distinct maintenance)")
+
+  private val groupingSetsSql = """SELECT l_returnflag, l_linestatus,
+      count(*) AS n, sum(round(l_quantity * 100.0)) / 100.0 AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY GROUPING(l_returnflag), GROUPING(l_linestatus),
+      l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  /** SURVEY §2.5 A5 — GROUPING SETS, the general form behind q11's rollup
+    * and q42's cube: explicit per-dimension marginals + grand total in
+    * one pass (Spark expands to a single Expand + hash aggregate — one
+    * shuffle, not one scan per set). Identical SQL text on both engines;
+    * NULLS FIRST pinned because the engines' ASC null order defaults
+    * differ. */
+  val q87GroupingSets = Q(
+    "q87_grouping_sets",
+    (s, d) => { Tables.registerAll(s, d); s.sql(groupingSetsSql) },
+    Some(groupingSetsSql),
+    doc = "SURVEY §2.5 A5 GROUPING SETS (shared SQL text)")
+
   /** [NS] — snapshot reconciliation (CDC derivation): full-outer join of
     * two table versions on the key, rows classified added / removed /
     * changed / unchanged — how an incremental corpus update is derived
@@ -380,5 +430,5 @@ object ExtraQueries {
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
     q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q50Pivot,
     q59RangeWindow, q60ApproxPercentiles, q74PercentGate, q75GapFill,
-    q84SnapshotDiff)
+    q84SnapshotDiff, q86SketchUnion, q87GroupingSets)
 }
