@@ -163,4 +163,32 @@ object Curation {
         .localCheckpoint(true)
     } finally tg.unpersist(blocking = false)
   }
+
+  /** [NS] — distributed-EXACT z-score outlier flags over an integral
+    * value column: marks rows where |x − μ| > k·σ of their group WITHOUT
+    * float variance, via `(n·x − S)² > k²·(n·SS − S²)` (both sides the
+    * n²-scaled squares, so the comparison is pure integer arithmetic).
+    * Float variance is partial-aggregation-order-dependent in the last
+    * ulp; this is bit-stable under any partitioning — and the per-value
+    * squares are widened to decimal(38,0) BEFORE summation, so neither
+    * S nor SS overflows a long even at ~10¹¹ rows per group (a long
+    * sum(v²) dies at ~4·10¹¹ rows of 2-decimal money values).
+    *
+    * Adds `is_out` to the input rows. `broadcastStats=true` (default)
+    * broadcasts the per-group stats — right when groups are few; switch
+    * off for high-cardinality keys and it's a plain shuffle join. */
+  def exactOutliers(df: DataFrame, keyCol: String, valCol: String,
+      k: Int = 2, broadcastStats: Boolean = true): DataFrame = {
+    val v = col(valCol)
+    val stats = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("_n"),
+      sum(v.cast("decimal(38,0)")).as("_s"),
+      sum(v.cast("decimal(38,0)") * v).as("_ss")) // widen BEFORE the square
+    val dev = col("_n").cast("decimal(38,0)") * v - col("_s")
+    val spread = col("_n").cast("decimal(38,0)") * col("_ss") -
+      col("_s") * col("_s")
+    df.join(if (broadcastStats) broadcast(stats) else stats, Seq(keyCol))
+      .withColumn("is_out", dev * dev > lit(k.toLong * k) * spread)
+      .drop("_n", "_s", "_ss")
+  }
 }

@@ -348,12 +348,12 @@ object EventQueries {
 
   /** [NS] — distributed-EXACT z-score outlier detection: flag events
     * beyond 2σ of their event_type's mean WITHOUT any float variance —
-    * `(n·x − S)² > k²·(n·SS − S²)` over scaled-integer values, widened to
-    * decimal(38,0) (HUGEINT on the oracle side) so the squares never
-    * overflow at 100× group sizes. The float path can't oracle-match
-    * (partial-agg order changes the double variance in the last ulp);
-    * this one is bit-exact under any partitioning. Stats per type are
-    * 5 rows → broadcast back onto the fact side. */
+    * [[graft.operators.Curation.exactOutliers]] (`(n·x − S)² >
+    * k²·(n·SS − S²)` in decimal(38,0); HUGEINT on the oracle side). The
+    * float path can't oracle-match (partial-agg order changes the double
+    * variance in the last ulp); this one is bit-exact under any
+    * partitioning, and PropertySpec pins it against a BigInt reference.
+    * Stats per type are 5 rows → broadcast back onto the fact side. */
   val q82Outliers = Q(
     "q82_outliers",
     (s, d) => {
@@ -361,14 +361,7 @@ object EventQueries {
       val e = Tables.events(s, d)
         .select($"event_type",
           round($"value" * 100, 0).cast("long").as("v100"))
-      val stats = e.groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), sum($"v100").as("s"),
-          sum($"v100" * $"v100").as("ss"))
-      val dev = ($"n" * $"v100" - $"s").cast("decimal(38,0)")
-      val spread = $"n".cast("decimal(38,0)") * $"ss" -
-        $"s".cast("decimal(38,0)") * $"s"
-      e.join(broadcast(stats), Seq("event_type"))
-        .withColumn("is_out", dev * dev > lit(4) * spread)
+      graft.operators.Curation.exactOutliers(e, "event_type", "v100", k = 2)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n_events"),
           count(when($"is_out", 1)).as("n_outliers"),

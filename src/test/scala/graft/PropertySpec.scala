@@ -102,6 +102,30 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  // magnitudes far past sf0.1 (±1e9 ≈ ±$10M money values) with duplicates:
+  // pins the decimal-widened path where long sums of squares would overflow
+  private val outlierVals: Gen[List[Long]] = for {
+    base <- Gen.nonEmptyListOf(Gen.choose(-1000000000L, 1000000000L))
+    rep <- Gen.choose(1, 4)
+  } yield List.fill(rep)(base).flatten.take(60)
+
+  property("[NS] exactOutliers matches a BigInt reference (incl. negatives)") =
+    forAll(outlierVals, Gen.choose(1, 3)) { (vals, k) =>
+      val n = BigInt(vals.size)
+      val s = vals.map(BigInt(_)).sum
+      val ss = vals.map(v => BigInt(v) * v).sum
+      val expected = vals.zipWithIndex.map { case (x, i) =>
+        val dev = n * x - s
+        (i.toLong, dev * dev > k * k * (n * ss - s * s))
+      }.toMap
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+        .toDF("i", "grp", "v")
+      val got = graft.operators.Curation.exactOutliers(df, "grp", "v", k)
+        .collect().map(r => r.getAs[Long]("i") -> r.getAs[Boolean]("is_out"))
+        .toMap
+      got == expected
+    }
+
   property("[NS] kmeans centroids invariant under repartitioning") =
     forAll(Gen.choose(2, 5), Gen.choose(1, 7)) { (k, parts) =>
       val vecs = (0L until 20L).map(i =>
