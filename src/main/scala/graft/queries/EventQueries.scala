@@ -387,8 +387,84 @@ object EventQueries {
       FROM o GROUP BY 1 ORDER BY event_type"""),
     doc = "[NS] exact integer-arithmetic z-score outlier detection (2σ)")
 
+  /** SURVEY §2.5 A5 [NS] — equal-width histogram: binned value
+    * distribution per event type, bin = scaled-integer division
+    * (v100 div 2500 = 25.00-wide bins, clamped to [0,19]) so bin edges
+    * are EXACT — float `floor(value/25)` can mis-bin boundary values by
+    * one ulp and break the oracle hash. One shuffle on (type, bin); bin
+    * ids are data-independent, so assignment composes map-side with
+    * streaming ingestion. */
+  val q88Histogram = Q(
+    "q88_histogram",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"event_type",
+          least(greatest(expr(
+            "cast(round(value * 100) as bigint) div 2500"), lit(0L)),
+            lit(19L)).as("bin"))
+        .groupBy($"event_type", $"bin")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"event_type", $"bin")
+    },
+    Some("""SELECT event_type,
+        least(greatest(CAST(round(value * 100) AS BIGINT) // 2500, 0), 19)
+          AS bin,
+        count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY event_type, bin"""),
+    doc = "SURVEY §2.5 A5 [NS] equal-width histogram (exact integer bins)")
+
+  /** [NS] — exact correlation gate: is |pearson(value, hour-of-day)| >
+    * 1/4 per event type, decided WITHOUT float correlation — compare
+    * r²'s integer rational: `16·(n·Sxy − Sx·Sy)² > (n·Sxx − Sx²)·
+    * (n·Syy − Sy²)` over scaled-integer values in decimal(38,0) (HUGEINT
+    * oracle side), so the verdict is bit-stable under any partitioning
+    * (float corr() differs in the last ulp between engines and between
+    * partial-agg orders). Sign reported separately from sign(n·Sxy −
+    * Sx·Sy), also exact. */
+  val q89CorrGate = Q(
+    "q89_corr_gate",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .select($"event_type",
+          round($"value" * 100, 0).cast("long").as("x"),
+          hour($"ts").cast("long").as("y"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val cov = dec($"n") * $"sxy" - $"sx" * $"sy"
+      val varx = dec($"n") * $"sxx" - $"sx" * $"sx"
+      val vary = dec($"n") * $"syy" - $"sy" * $"sy"
+      e.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec($"x")).as("sx"), sum(dec($"y")).as("sy"),
+          sum(dec($"x") * $"x").as("sxx"), sum(dec($"y") * $"y").as("syy"),
+          sum(dec($"x") * $"y").as("sxy"))
+        .select($"event_type", $"n",
+          (lit(16) * cov * cov > varx * vary).as("corr_gt_quarter"),
+          when(cov > 0, 1L).when(cov < 0, -1L).otherwise(0L)
+            .as("corr_sign"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH e AS (SELECT event_type,
+        CAST(round(value * 100) AS BIGINT) AS x,
+        CAST(hour(ts) AS BIGINT) AS y FROM events),
+      st AS (SELECT event_type, count(*) AS n,
+          CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+          CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+          CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM e GROUP BY 1)
+      SELECT event_type, n,
+        16 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+          > (n * sxx - sx * sx) * (n * syy - sy * sy) AS corr_gt_quarter,
+        CAST(CASE WHEN n * sxy - sx * sy > 0 THEN 1
+          WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)
+          AS corr_sign
+      FROM st ORDER BY event_type"""),
+    doc = "[NS] exact integer-rational correlation gate (|r| > 1/4, no float corr)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
-    q82Outliers)
+    q82Outliers, q88Histogram, q89CorrGate)
 }
