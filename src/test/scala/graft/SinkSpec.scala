@@ -108,6 +108,29 @@ class SinkSpec extends AnyFunSuite {
     assert(sink.queryCount("k = 'c' AND n = 1 AND s0 = 10") === 1) // inserted
   }
 
+  test("staged MERGE accumulates exact variance stats across epochs " +
+      "(incremental exactOutliers: (n,S,SS) is a mergeable triple)") {
+    import spark.implicits._
+    val sink = freshSink("t_stats",
+      "CREATE TABLE t_stats (k VARCHAR(10) PRIMARY KEY, " +
+        "n BIGINT, s BIGINT, ss BIGINT)", Seq("k"))
+    def stats(vals: Seq[Long]) =
+      (vals.size.toLong, vals.sum, vals.map(v => v * v).sum)
+    val (e1, e2) = (Seq(3L, 5L, 7L), Seq(11L, 13L))
+    val (n1, s1, ss1) = stats(e1)
+    sink.upsertStagedMerge(Seq(("a", n1, s1, ss1)).toDF("k", "n", "s", "ss"))
+    val (n2, s2, ss2) = stats(e2)
+    sink.upsertStagedMerge(
+      Seq(("a", n2, s2, ss2)).toDF("k", "n", "s", "ss"),
+      setExprs = Map("n" -> "t.n + s.n", "s" -> "t.s + s.s",
+        "ss" -> "t.ss + s.ss"))
+    // folded stats == stats of the union: the z-score gate computed from
+    // the sink equals a from-scratch recomputation, no corpus rescan
+    val (nu, su, ssu) = stats(e1 ++ e2)
+    assert(sink.queryCount(s"k = 'a' AND n = $nu AND s = $su AND ss = $ssu")
+      === 1)
+  }
+
   test("staged MERGE rejects setExprs for key or unknown columns") {
     import spark.implicits._
     val sink = freshSink("t_badset",
