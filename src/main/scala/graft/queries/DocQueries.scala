@@ -378,6 +378,61 @@ object DocQueries {
       FROM g GROUP BY source ORDER BY source"""),
     doc = "SURVEY §2.10 Aggregator extensibility (graft_minhash_union corpus sketch)")
 
+  /** [NS] — cross-source corpus similarity from the q68 union sketches:
+    * pairwise MinHash component-match counts between per-source
+    * signatures (the constant-size proxy for corpus Jaccard — compare
+    * 64-byte sketches, never corpora). The signatures are
+    * DETERMINISTIC, so unlike most sketch estimates this contract is
+    * exact, not tolerance-boolean. The pair join runs over one
+    * aggregated row per source — broadcast-trivial at any corpus size;
+    * the interpreted zip_with is fine here because the pair table is
+    * sources², not documents². */
+  val q90SourceSimilarity = Q(
+    "q90_source_similarity",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val sigs = Tables.documents(s, d)
+        .select($"source", expr("graft_minhash(text, 3, 8)").as("sig"))
+        .filter($"sig".isNotNull)
+        .groupBy($"source").agg(expr("graft_minhash_union(sig)").as("u"))
+      val a = sigs.select($"source".as("src_a"), $"u".as("ua"))
+      val b = sigs.select($"source".as("src_b"), $"u".as("ub"))
+      a.join(b, $"src_a" < $"src_b")
+        .withColumn("n_match", expr("""aggregate(
+            zip_with(ua, ub, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),
+            0L, (acc, v) -> acc + v)"""))
+        .select($"src_a", $"src_b", $"n_match",
+          expr("(n_match * 100) div 8").as("est_overlap_pct"))
+        .orderBy($"src_a", $"src_b")
+    },
+    Some(s"""WITH tg AS ($shinglesSql),
+      g AS (SELECT d.source, t.gram FROM tg t
+        JOIN documents d ON d.doc_id = t.doc_id),
+      sig AS (SELECT source,
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
+        FROM g GROUP BY source),
+      pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+        CAST((CASE WHEN a.s0 = b.s0 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.s1 = b.s1 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.s2 = b.s2 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.s3 = b.s3 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.s4 = b.s4 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.s5 = b.s5 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.s6 = b.s6 THEN 1 ELSE 0 END)
+          + (CASE WHEN a.s7 = b.s7 THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        FROM sig a JOIN sig b ON a.source < b.source)
+      SELECT src_a, src_b, n_match, (n_match * 100) // 8 AS est_overlap_pct
+      FROM pairs ORDER BY src_a, src_b"""),
+    doc = "[NS] cross-source sketch similarity (exact: deterministic signatures)")
+
   /** D5 closure — near-dup CLUSTERS from q24's candidate pairs via
     * connected components (hash-min label propagation — see
     * [[graft.operators.Dedup.connectedComponents]]). Pairwise survivors
@@ -584,5 +639,5 @@ object DocQueries {
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
     q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations,
-    q83TfidfTerms)
+    q83TfidfTerms, q90SourceSimilarity)
 }
