@@ -274,7 +274,43 @@ object CurationQueries {
       FROM c WHERE cum <= 2000 GROUP BY source ORDER BY source"""),
     doc = "[NS] curation: per-source token-budget mixture selection")
 
+  /** [NS] — chunk REASSEMBLY, the inverse of q57: non-overlapping chunks
+    * ordered by index and concatenated back, then checked byte-lossless
+    * against the original via md5 — the round-trip contract a chunking
+    * pipeline owes its corpus. Per-group state is one document's chunks
+    * (bounded by doc size), never corpus-wide; ordering rides
+    * sort_array(struct(idx, chunk)), not input order, so the rebuild is
+    * partitioning-independent. */
+  val q92ChunkRebuild = Q(
+    "q92_chunk_rebuild",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val rebuilt = Curation
+        .chunk(docs, "doc_id", "text", size = 100, stride = 100)
+        .groupBy($"doc_id")
+        .agg(expr("""array_join(
+            transform(array_sort(collect_list(struct(chunk_idx, chunk))),
+              x -> x.chunk), '')""").as("rebuilt"))
+      rebuilt
+        .join(docs.select($"doc_id", md5($"text").as("h0")), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(md5($"rebuilt") === $"h0", 1)).as("n_lossless"))
+    },
+    Some("""WITH chunks AS (SELECT doc_id, t.off // 100 AS chunk_idx,
+          substr(text, t.off + 1, 100) AS chunk
+        FROM documents,
+          unnest(generate_series(0, length(text) - 1, 100)) AS t(off)
+        WHERE length(text) > 0),
+      r AS (SELECT doc_id, string_agg(chunk, '' ORDER BY chunk_idx)
+          AS rebuilt FROM chunks GROUP BY doc_id)
+      SELECT count(*) AS n_docs,
+        count(CASE WHEN md5(r.rebuilt) = md5(d.text) THEN 1 END)
+          AS n_lossless
+      FROM r JOIN documents d USING (doc_id)"""),
+    doc = "[NS] curation: lossless chunk->reassemble round-trip contract")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
-    q73TokenBudget)
+    q73TokenBudget, q92ChunkRebuild)
 }

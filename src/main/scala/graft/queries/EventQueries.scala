@@ -463,8 +463,49 @@ object EventQueries {
       FROM st ORDER BY event_type"""),
     doc = "[NS] exact integer-rational correlation gate (|r| > 1/4, no float corr)")
 
+  /** SURVEY §2.5 A5 [NS] — exact discrete order statistics WITHOUT a full
+    * sort of the fact table: aggregate to (type, value, count) first,
+    * then a cumulative-count window over the (small) distinct-value list
+    * picks p50/p90 as TRUE data values (percentile_disc semantics:
+    * min v with cum ≥ ceil(p·n), all integer arithmetic), plus the mode
+    * with a deterministic smallest-value tie-break. The raw table is
+    * touched by ONE hash aggregate; no window ever sees a fact-sized
+    * partition — the way order statistics stay exact at 100 TB. */
+  val q91OrderStats = Q(
+    "q91_order_stats",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select($"event_type", round($"value" * 100, 0).cast("long").as("v"))
+        .groupBy($"event_type", $"v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(w))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+        .groupBy($"event_type")
+        .agg(min(when($"cum" >= expr("(n + 1) div 2"), $"v")).as("p50"),
+          min(when($"cum" >= expr("(9 * n + 9) div 10"), $"v")).as("p90"),
+          max(struct($"c", (-$"v").as("nv"))).as("m"))
+        .select($"event_type", $"p50", $"p90",
+          (-$"m.nv").as("mode_v"), $"m.c".as("mode_count"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH e AS (SELECT event_type,
+        CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      c AS (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2),
+      cc AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY v
+          ROWS UNBOUNDED PRECEDING) AS cum,
+        sum(c) OVER (PARTITION BY event_type) AS n FROM c)
+      SELECT event_type,
+        min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS p50,
+        min(CASE WHEN cum >= (9 * n + 9) // 10 THEN v END) AS p90,
+        first(v ORDER BY c DESC, v) AS mode_v,
+        max(c) AS mode_count
+      FROM cc GROUP BY event_type ORDER BY event_type"""),
+    doc = "SURVEY §2.5 A5 [NS] exact percentile_disc + mode over value counts")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
-    q82Outliers, q88Histogram, q89CorrGate)
+    q82Outliers, q88Histogram, q89CorrGate, q91OrderStats)
 }
