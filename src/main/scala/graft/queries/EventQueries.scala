@@ -340,10 +340,10 @@ object EventQueries {
       sp AS (SELECT user_id, island, event_type, min(ts) AS valid_from,
           count(*) AS n_events FROM i GROUP BY 1, 2, 3)
       SELECT user_id, event_type, valid_from,
-        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
           AS valid_to,
         n_events
-      FROM sp ORDER BY user_id, valid_from"""),
+      FROM sp ORDER BY user_id, island"""),
     doc = "[NS] SCD2 effective-dated intervals via gaps-and-islands")
 
   /** [NS] — distributed-EXACT z-score outlier detection: flag events
