@@ -147,6 +147,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q91 order stats: cumulative window sorts the distinct-value " +
+      "list, never the fact table") {
+    val p = plan("q91_order_stats")
+    // the only operators under the window must be the (type, v) hash
+    // aggregate — i.e. the Sort's child chain contains HashAggregate
+    // before any parquet scan line
+    val sortIdx = p.indexOf("(1) Scan parquet")
+    assert(sortIdx >= 0, p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // two hash exchanges: (type, v) aggregate + type window/aggregate
+    assert("hashpartitioning".r.findAllIn(p).size <= 2,
+      s"expected at most 2 hash Exchanges:\n$p")
+  }
+
+  test("q92 chunk rebuild: no cartesian, equi-join on doc_id only") {
+    val p = plan("q92_chunk_rebuild")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q04 top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("q04_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
