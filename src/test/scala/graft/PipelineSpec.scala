@@ -109,4 +109,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(m("v2") === (("recovered", "recovered title")))
     assert(m("v3") === (("lost", null)))
   }
+
+  test("schema drift: mergeSchema reads old+new shards together; " +
+      "allowMissingColumns unions heterogeneous batches") {
+    import spark.implicits._
+    // a corpus written over months gains columns; old shards must stay
+    // readable next to new ones without a rewrite
+    val dir = Files.createTempDirectory("graft_drift").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/old")
+    Seq((2L, "b", 9L)).toDF("id", "v", "extra").write.parquet(s"$dir/new")
+    val merged = spark.read.option("mergeSchema", true)
+      .parquet(s"$dir/old", s"$dir/new")
+    assert(merged.columns.sorted === Array("extra", "id", "v"))
+    assert(merged.count() === 2)
+    assert(merged.filter(col("extra").isNull).count() === 1) // backfilled
+    // DataFrame-level twin for in-flight heterogeneous micro-batches
+    val u = Seq((1L, "a")).toDF("id", "v")
+      .unionByName(Seq((2L, "b", 9L)).toDF("id", "v", "extra"),
+        allowMissingColumns = true)
+    assert(u.columns.length === 3 && u.count() === 2)
+  }
 }
