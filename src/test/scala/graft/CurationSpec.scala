@@ -139,4 +139,19 @@ class CurationSpec extends AnyFunSuite {
     assert((after -- before).size <= 1,
       s"leaked persisted RDDs beyond the result checkpoint: ${after -- before}")
   }
+
+  test("exactOutliers: degenerate groups — empty input, singleton, " +
+      "constant values never flag") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("grp", "v")
+    assert(Curation.exactOutliers(empty, "grp", "v").count() === 0)
+    // singleton: dev = n·x − S = 0 and spread = 0, so 0 > 0 is false
+    val single = Seq(("a", 42L)).toDF("grp", "v")
+    assert(Curation.exactOutliers(single, "grp", "v")
+      .collect().map(_.getAs[Boolean]("is_out")).toSeq === Seq(false))
+    // constant group: zero variance, no row may flag (strict inequality)
+    val const = Seq.fill(5)(("c", -7L)).toDF("grp", "v")
+    assert(Curation.exactOutliers(const, "grp", "v")
+      .collect().forall(!_.getAs[Boolean]("is_out")))
+  }
 }

@@ -78,6 +78,20 @@ class DedupSpec extends AnyFunSuite {
     assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: empty edge sets and self-loops degrade " +
+      "gracefully in both variants") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() === 0)
+    assert(Dedup.connectedComponentsDoubling(empty, "doc_a", "doc_b")
+      .count() === 0)
+    val self = Seq((7L, 7L)).toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(self, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((7L, 7L)))
+    assert(Dedup.connectedComponentsDoubling(self, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((7L, 7L)))
+  }
+
   test("simhash signatures: identical docs collide, length 32") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
