@@ -524,10 +524,12 @@ object DocQueries {
   /** [NS] — bigram collocation mining with integer-exact lift: PMI's
     * log is transcendental (never bit-stable across engines), but its
     * ORDER is fully determined by the rational c_ab·N / (c_a·c_b) — so
-    * score in scaled integer division and rank on exact counts. One
-    * explode + three count aggregates; the left/right marginals join
-    * back on word keys (small: vocabulary-sized), and the grand total is
-    * a 1-row broadcast cross join, not a driver collect. */
+    * score in scaled integer division and rank on exact counts. The
+    * corpus pays ONE explode + one (a,b) count — the marginals and the
+    * grand total all derive from that vocabulary²-sized table (eagerly
+    * checkpointed so the explode never re-runs), joined back on word
+    * keys; the total is a 1-row broadcast cross join, not a driver
+    * collect. */
   val q81Collocations = Q(
     "q81_collocations",
     (s, d) => {
@@ -540,9 +542,10 @@ object DocQueries {
             "i -> struct(w[i] AS a, w[i+1] AS b))")).as("p"))
         .select($"p.a".as("a"), $"p.b".as("b"))
       val cab = bi.groupBy($"a", $"b").agg(count(lit(1)).as("c_ab"))
-      val ca = bi.groupBy($"a").agg(count(lit(1)).as("c_a"))
-      val cb = bi.groupBy($"b").agg(count(lit(1)).as("c_b"))
-      val tot = bi.agg(count(lit(1)).as("n_total"))
+        .localCheckpoint(true)
+      val ca = cab.groupBy($"a").agg(sum($"c_ab").as("c_a"))
+      val cb = cab.groupBy($"b").agg(sum($"c_ab").as("c_b"))
+      val tot = cab.agg(sum($"c_ab").as("n_total"))
       cab.join(ca, Seq("a")).join(cb, Seq("b"))
         .crossJoin(broadcast(tot))
         .withColumn("lift_ppm",
@@ -569,24 +572,29 @@ object DocQueries {
   /** [NS] — TF-IDF top terms per source in integer-exact arithmetic:
     * idf's log never bit-matches across engines, but top-k ORDER only
     * needs the rational tf·N/df — scaled integer division, word
-    * tie-break. Explode once, two count aggregates (term frequency per
-    * source, document frequency global), 1-row doc count broadcast; the
-    * per-source top-3 plans as WindowGroupLimit so no source's term list
-    * is fully sorted. */
+    * tie-break. The corpus pays ONE explode into a per-(doc, word) count
+    * (checkpointed); term frequency per source AND document frequency
+    * both derive from it (df = its per-word row count — each row IS a
+    * distinct (doc, word) pair), so no second explode and no separate
+    * distinct shuffle. 1-row doc count broadcast; the per-source top-3
+    * plans as WindowGroupLimit so no source's term list is fully
+    * sorted. */
   val q83TfidfTerms = Q(
     "q83_tfidf_terms",
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val words = docs
+      val base = docs
         .select($"doc_id", $"source",
           explode(split($"text", " ")).as("word"))
         .filter(length($"word") > 0)
-      val tf = words.groupBy($"source", $"word")
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = words.select($"doc_id", $"word").distinct()
-        .groupBy($"word").agg(count(lit(1)).as("df"))
+        .groupBy($"doc_id", $"source", $"word")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val tf = base.groupBy($"source", $"word")
+        .agg(sum($"c").as("tf"))
+      val dfreq = base.groupBy($"word").agg(count(lit(1)).as("df"))
       val nd = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy($"source")
         .orderBy($"score".desc, $"word")
