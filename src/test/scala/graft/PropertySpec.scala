@@ -95,10 +95,13 @@ object PropertySpec extends Properties("graft") {
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
         val expected = parent.keys.map(x => x -> find(x)).toMap
-        val got = Dedup.connectedComponents(
-            pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        val df = pairs.toDF("doc_a", "doc_b")
+        val got = Dedup.connectedComponents(df, "doc_a", "doc_b")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        got == expected
+        val gotDoubling = Dedup
+          .connectedComponentsDoubling(df, "doc_a", "doc_b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected && gotDoubling == expected
       }
     }
 
