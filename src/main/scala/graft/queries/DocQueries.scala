@@ -114,6 +114,59 @@ object DocQueries {
       FROM sums GROUP BY doc_id ORDER BY doc_id"""),
     doc = "SURVEY §2.8 D5 SimHash signature")
 
+  /** SURVEY §2.8 D5 [NS] — SimHash NEAR-dup pairs within Hamming
+    * distance 3, completing q25 (exact-signature collisions only): split
+    * the 32-bit signature into 4 8-bit bands — by pigeonhole any pair
+    * within distance 3 shares at least one exact band — equi-join on
+    * (band, key) for candidates, then verify with true bit_count XOR
+    * distance. The oracle brute-forces all pairs (the quadratic twin, as
+    * q23 is to q52), so a green row proves the banding loses nothing.
+    * Scale: candidates ride an equi-join, never an all-pairs product. */
+  val q93SimhashHamming = Q(
+    "q93_simhash_hamming",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+      val bands = sigs.select($"doc_id", $"simhash",
+        posexplode(array((0 until 4).map(b =>
+          substring($"simhash", b * 8 + 1, 8)): _*))
+          .as(Seq("band", "key")))
+      bands.alias("x")
+        .join(bands.alias("y"), col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+        .distinct()
+        .withColumn("hamming", expr("""bit_count(
+            cast(conv(sa, 2, 10) as bigint) ^
+            cast(conv(sb, 2, 10) as bigint))""").cast("long"))
+        .filter($"hamming" <= 3)
+        .select($"doc_a", $"doc_b", $"hamming")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH words AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents),
+      bits AS (
+        SELECT doc_id, j,
+          CASE WHEN (strpos('0123456789abcdef', h[(j // 4) + 1]) - 1)
+            // CAST(pow(2, 3 - (j % 4)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1
+            END AS wgt
+        FROM (SELECT doc_id, md5(w) AS h FROM words),
+          unnest(range(0, 32)) AS t(j)),
+      sums AS (SELECT doc_id, j, sum(wgt) AS s FROM bits GROUP BY doc_id, j),
+      v AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0
+          THEN (CAST(1 AS BIGINT) << (31 - j)) ELSE 0 END) AS BIGINT) AS val
+        FROM sums GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.val, b.val)) AS BIGINT) AS hamming
+      FROM v a JOIN v b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.val, b.val)) <= 3
+      ORDER BY doc_a, doc_b"""),
+    doc = "SURVEY §2.8 D5 [NS] SimHash Hamming-banded near-dup (lossless vs brute force)")
+
   /** [NS] text analysis — heuristic language ID: stopword-hit scoring per
     * language over the token set, argmax with fixed tie order. */
   val q26LangId = Q(
@@ -647,5 +700,5 @@ object DocQueries {
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
     q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations,
-    q83TfidfTerms, q90SourceSimilarity)
+    q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming)
 }
