@@ -84,7 +84,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[WinnowFingerprint].getName, "graft_winnow"),
       (args: Seq[Expression]) => WinnowFingerprint(arg0("graft_winnow", args),
         constInt("graft_winnow", args, 1),
-        constInt("graft_winnow", args, 2))))
+        constInt("graft_winnow", args, 2))),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => NfcNormalize(arg0("graft_nfc", args))))
 
   /** Register on an existing session (idempotent). Includes the §2.10
     * custom Aggregator (`graft_minhash_union`) via udaf() — a UDAF goes

@@ -64,6 +64,20 @@ object TextKernels {
     *
     * split(" ", -1) matches Spark's `split` (trailing empties kept).
     */
+  /** Unicode NFC normalization (UAX #15, via the JDK's Normalizer) — the
+    * standard pre-tokenization canonicalization (decomposed e + combining
+    * acute → precomposed é, etc.). Fast path: already-NFC input (all
+    * ASCII corpora) returns the SAME UTF8String, zero allocation. DuckDB's
+    * utf8proc `nfc_normalize` produces identical bytes, which is what
+    * makes the oracle contract byte-exact. */
+  def nfc(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+      input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   def simhash32(input: UTF8String): UTF8String = {
     val seen = new java.util.HashSet[String]()
     val words = input.toString.split(" ", -1)

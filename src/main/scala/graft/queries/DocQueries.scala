@@ -175,6 +175,44 @@ object DocQueries {
       ORDER BY doc_a, doc_b"""),
     doc = "SURVEY §2.8 D5 [NS] SimHash Hamming-banded near-dup (lossless vs brute force)")
 
+  /** SURVEY §2.10 [NS] — Unicode NFC normalization (native codegen'd
+    * `graft_nfc`; Spark has no built-in normalizer): each doc gets a
+    * suffix in PREcomposed (é = U+00E9) or DEcomposed (e + U+0301) form
+    * by id parity; after NFC both buckets must be byte-identical to the
+    * precomposed spelling. The oracle runs DuckDB's utf8proc
+    * `nfc_normalize` — a green row means two independent UAX #15
+    * implementations agree byte-for-byte (md5 digests over the
+    * normalized text, order-independent xor fold). */
+  val q94NfcNormalize = Q(
+    "q94_nfc_normalize",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .withColumn("suffix",
+          when($"doc_id" % 2 === 0, lit(" caf\u00e9"))
+            .otherwise(lit(" cafe\u0301")))
+        .withColumn("clean", expr("graft_nfc(concat(text, suffix))"))
+        .groupBy(($"doc_id" % 2).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          count(when($"clean" === concat($"text", lit(" caf\u00e9")), 1))
+            .as("n_composed"),
+          expr("bit_xor(cast(conv(substring(md5(clean), 1, 15), 16, 10) AS BIGINT))")
+            .as("content_xor"))
+        .orderBy($"bucket")
+    },
+    Some("""WITH r AS (SELECT doc_id, text,
+        nfc_normalize(text || CASE WHEN doc_id % 2 = 0
+          THEN ' caf' || chr(233) ELSE ' cafe' || chr(769) END) AS clean
+      FROM documents)
+      SELECT doc_id % 2 AS bucket, count(*) AS n,
+        count(CASE WHEN clean = text || ' caf' || chr(233) THEN 1 END)
+          AS n_composed,
+        bit_xor(CAST('0x' || substr(md5(clean), 1, 15) AS BIGINT))
+          AS content_xor
+      FROM r GROUP BY 1 ORDER BY bucket"""),
+    doc = "SURVEY §2.10 [NS] native NFC normalization vs DuckDB utf8proc (byte-exact)")
+
   /** [NS] text analysis — heuristic language ID: stopword-hit scoring per
     * language over the token set, argmax with fixed tie order. */
   val q26LangId = Q(
@@ -708,5 +746,5 @@ object DocQueries {
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
     q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations,
-    q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming)
+    q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize)
 }

@@ -84,6 +84,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(arity.getMessage.contains("graft_winnow"), arity.getMessage)
   }
 
+  test("graft_nfc: composes decomposed forms, identity on NFC input, " +
+      "matches java.text.Normalizer on adversarial unicode") {
+    GraftFunctions.register(spark)
+    // decomposed e + combining acute -> precomposed e-acute
+    val r = spark.sql("SELECT graft_nfc('cafe\\u0301') AS c").collect()(0)
+    assert(r.getString(0) === "caf\u00e9")
+    // already-NFC (incl. plain ASCII) passes through unchanged
+    assert(spark.sql("SELECT graft_nfc('plain ascii') AS c")
+      .collect()(0).getString(0) === "plain ascii")
+    // adversarial: Hangul jamo composition, astral chars, combining
+    // marks that do and don't compose, empty string
+    val cases = Seq("\u1100\u1161",        // jamo -> precomposed syllable
+      "\ud83d\ude00 A\u030a",             // astral emoji + A + ring
+      "A\u0301\u0316", "")                 // above+below marks, empty
+    cases.foreach { s0 =>
+      val got = spark.createDataset(Seq(s0))(spark.implicits.newStringEncoder)
+        .toDF("t").selectExpr("graft_nfc(t) AS c").collect()(0).getString(0)
+      val want = java.text.Normalizer
+        .normalize(s0, java.text.Normalizer.Form.NFC)
+      assert(got === want, s"input codepoints: ${s0.map(_.toInt)}")
+    }
+    assert(spark.sql("SELECT graft_nfc(CAST(NULL AS STRING)) AS c")
+      .collect()(0).isNullAt(0))
+  }
+
   test("registration is idempotent and null-safe") {
     GraftFunctions.register(spark)
     GraftFunctions.register(spark)
