@@ -427,8 +427,81 @@ object ExtraQueries {
       GROUP BY 1 ORDER BY status"""),
     doc = "[NS] snapshot diff / CDC derivation (full-outer reconcile)")
 
+  /** [NS] — CDC round-trip, closing q84's loop: apply the derived
+    * changelog (delete removed/changed keys, insert added/changed rows)
+    * back onto the OLD snapshot and prove the result reconstructs the
+    * NEW snapshot exactly — count plus an order-independent xor digest
+    * over (key, value) rows, computed identically for both sides. The
+    * contract a changelog consumer relies on: diff-then-apply is
+    * lossless. Anti-join + union, one shuffle each — no row-at-a-time
+    * apply loop. */
+  val q95CdcApply = Q(
+    "q95_cdc_apply",
+    (s, d) => {
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .select($"o_orderkey".as("k"),
+          round($"o_totalprice" * 100, 0).cast("long").as("p100"))
+      val prev = o.filter($"k" % 97 =!= 0)
+        .select($"k", $"p100".as("p_old"))
+      val curr = o.filter($"k" % 89 =!= 0)
+        .select($"k",
+          when($"k" % 13 === 0, $"p100" + 100L).otherwise($"p100")
+            .as("p_new"))
+      val diff = prev.join(curr, Seq("k"), "full_outer")
+        .withColumn("status",
+          when($"p_old".isNull, "added")
+            .when($"p_new".isNull, "removed")
+            .when($"p_old" =!= $"p_new", "changed")
+            .otherwise("unchanged"))
+        .localCheckpoint(true)
+      val applied = prev
+        .join(diff.filter($"status".isin("removed", "changed"))
+          .select($"k"), Seq("k"), "left_anti")
+        .unionByName(diff.filter($"status".isin("added", "changed"))
+          .select($"k", $"p_new".as("p_old")))
+      val digest = (df: org.apache.spark.sql.DataFrame) => df
+        .select($"k", col(df.columns(1)).as("p"))
+        .agg(count(lit(1)).as("n"),
+          expr("""bit_xor(cast(conv(substring(
+            md5(concat(cast(k AS string), ':', cast(p AS string))),
+            1, 15), 16, 10) AS BIGINT))""").as("x"))
+      digest(curr).alias("c").crossJoin(digest(applied).alias("a"))
+        .select(col("c.n").as("n_curr"), col("a.n").as("n_applied"),
+          (col("c.n") === col("a.n") && col("c.x") <=> col("a.x"))
+            .as("roundtrip_exact"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS k,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS p100 FROM orders),
+      prev AS (SELECT k, p100 AS p_old FROM o WHERE k % 97 <> 0),
+      curr AS (SELECT k, CASE WHEN k % 13 = 0 THEN p100 + 100
+          ELSE p100 END AS p_new FROM o WHERE k % 89 <> 0),
+      diff AS (SELECT k, p_old, p_new,
+          CASE WHEN p_old IS NULL THEN 'added'
+            WHEN p_new IS NULL THEN 'removed'
+            WHEN p_old <> p_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+        FROM prev FULL JOIN curr USING (k)),
+      applied AS (
+        SELECT k, p_old FROM prev
+        WHERE k NOT IN (SELECT k FROM diff
+          WHERE status IN ('removed', 'changed'))
+        UNION ALL
+        SELECT k, p_new FROM diff WHERE status IN ('added', 'changed')),
+      dc AS (SELECT count(*) AS n, bit_xor(CAST('0x' || substr(
+          md5(CAST(k AS VARCHAR) || ':' || CAST(p_new AS VARCHAR)),
+          1, 15) AS BIGINT)) AS x FROM curr),
+      da AS (SELECT count(*) AS n, bit_xor(CAST('0x' || substr(
+          md5(CAST(k AS VARCHAR) || ':' || CAST(p_old AS VARCHAR)),
+          1, 15) AS BIGINT)) AS x FROM applied)
+      SELECT dc.n AS n_curr, da.n AS n_applied,
+        (dc.n = da.n AND dc.x IS NOT DISTINCT FROM da.x)
+          AS roundtrip_exact
+      FROM dc, da"""),
+    doc = "[NS] CDC apply round-trip: diff-then-apply reconstructs the snapshot")
+
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
     q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q50Pivot,
     q59RangeWindow, q60ApproxPercentiles, q74PercentGate, q75GapFill,
-    q84SnapshotDiff, q86SketchUnion, q87GroupingSets)
+    q84SnapshotDiff, q86SketchUnion, q87GroupingSets, q95CdcApply)
 }
