@@ -104,6 +104,48 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** 64-bit SimHash over the DISTINCT space-separated words, as a signed
+    * long: bit j (MSB-first, j = 0..63) of each word's vector is bit
+    * (63−j) of the first EIGHT md5 digest bytes — the natural widening of
+    * [[simhash32]], whose 32 bits are exactly this signature's upper half
+    * (same first four digest bytes, same vote rule; pinned in
+    * KernelEquivalenceSpec). Bit (63−j) of the result is set iff the ±1
+    * vote sum over words at position j is ≥ 0.
+    *
+    * A long, not a bit-string: Hamming banding at scale wants integer
+    * band keys (`(sig >>> s) & 0xffff` — 16-bit bands, lossless for
+    * Hamming ≤ 3 by pigeonhole) and `bit_count(a ^ b)` verification, with
+    * 8-byte shuffle rows instead of 64-char strings. 32-bit signatures
+    * make band keys 8-bit → dense corpora collide every bucket (the q93
+    * round-3 bound); 16-bit keys restore selectivity.
+    */
+  def simhash64(input: UTF8String): Long = {
+    val seen = new java.util.HashSet[String]()
+    val words = input.toString.split(" ", -1)
+    val acc = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < words.length) {
+      if (seen.add(words(i))) {
+        md.reset()
+        val dig = md.digest(words(i).getBytes("UTF-8"))
+        var v = 0L
+        var b = 0
+        while (b < 8) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+        var j = 0
+        while (j < 64) {
+          acc(j) += (if (((v >>> (63 - j)) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) >= 0) sig |= (1L << (63 - j)); j += 1 }
+    sig
+  }
+
   /** k-component MinHash signature straight from the text: components
     * 2i and 2i+1 are the 60-bit halves (hex nibbles 0-14 and 16-30) of
     * md5(i ":" gram), min'd over the distinct word n-gram shingles —

@@ -164,6 +164,42 @@ object Curation {
     } finally tg.unpersist(blocking = false)
   }
 
+  /** [NS] — fuzzy lexicon normalization: nearest lexicon term per row by
+    * levenshtein argmin (smaller term on distance ties, so the match is
+    * bit-deterministic), as PURE per-row expression work — the lexicon
+    * rides the plan as an array literal, so there is no join and no
+    * shuffle anywhere, strictly better than the broadcast-crossJoin +
+    * groupBy-argmin form it replaces (which paid a full exchange to
+    * re-group the exploded candidates). Two-stage pruning before the
+    * expensive levenshtein: the length band |len(w) − len(term)| ≤
+    * maxDist is a lossless lower bound on edit distance, then the true
+    * distance is checked against maxDist.
+    *
+    * Adds (best_term, dist) to the input rows; both NULL when no term is
+    * within maxDist (lexicon miss — rows are kept, never dropped).
+    *
+    * Scale: per-row, zero exchanges, any corpus size. The lexicon is a
+    * plan literal — right for the normalization-vocabulary sizes this
+    * exists for (≤ a few thousand terms); a 100k+ term lexicon should
+    * switch to a broadcast-join variant instead of a literal plan node. */
+  def fuzzyNormalize(df: DataFrame, wordCol: String, lexicon: Seq[String],
+      maxDist: Int): DataFrame = {
+    require(lexicon.nonEmpty, "fuzzyNormalize needs a non-empty lexicon")
+    val w = col(wordCol)
+    val best = array_min(
+      filter(
+        transform(
+          filter(array(lexicon.map(lit): _*),
+            t => abs(length(t) - length(w)) <= maxDist),
+          t => struct(levenshtein(w, t).cast("long").as("dist"),
+            t.as("term"))),
+        s => s.getField("dist") <= maxDist))
+    df.withColumn("_best", best)
+      .withColumn("best_term", col("_best.term"))
+      .withColumn("dist", col("_best.dist"))
+      .drop("_best")
+  }
+
   /** [NS] — distributed-EXACT z-score outlier flags over an integral
     * value column: marks rows where |x − μ| > k·σ of their group WITHOUT
     * float variance, via `(n·x − S)² > k²·(n·SS − S²)` (both sides the

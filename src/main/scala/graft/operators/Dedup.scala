@@ -323,4 +323,49 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       graft.functions.SimHashExpression.simhash32(col(textCol)).as("simhash"))
+
+  /** D5 — 64-bit SimHash signature as a signed long (idCol, simhash64):
+    * the Hamming-matching scale form. 32-bit signatures band into 8-bit
+    * keys (256 values — dense corpora collide every bucket); 64 bits band
+    * into 4×16-bit keys, lossless for Hamming ≤ 3 by pigeonhole and
+    * selective even on dense sketches. Upper half == [[simhash]]'s bits. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHashExpression.simhash64(col(textCol)).as("simhash64"))
+
+  /** D5 — SimHash near-dup pairs within Hamming distance `maxDist` (< 4):
+    * (doc_a, doc_b, hamming), doc_a < doc_b. Candidates via 4×16-bit band
+    * equi-join on the 64-bit signature — any pair within distance 3 has
+    * at least one of its ≤3 differing bits-free bands exact (pigeonhole
+    * over 4 bands), so banding is lossless; verification is
+    * `bit_count(a ^ b)`. The only exchange is the (band, key) join;
+    * signatures travel as single longs. */
+  def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4,
+      s"4 bands are only lossless for Hamming <= 3, got $maxDist")
+    val sigs = simhash64(df, idCol, textCol)
+    // both sides of the band self-join read this; materialize ONCE (the
+    // signature kernel is the expensive map stage — an unpinned plan
+    // computes it per side, same rationale as minhashLshCandidates)
+    val bands = sigs.select(col(idCol), col("simhash64"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"shiftrightunsigned(simhash64, ${48 - 16 * b}) & 65535")): _*))
+        .as(Seq("band", "key")))
+      .localCheckpoint()
+    // verification (a per-row bit_count, codegen'd) runs BEFORE the
+    // distinct: a pair colliding in several bands is verified that many
+    // times for a few cycles each, but the dedup exchange then carries
+    // only true matches (≤ 4× the result) instead of every band
+    // collision — on dense sketches that's orders of magnitude less data
+    bands.alias("x")
+      .join(bands.alias("y"), col("x.band") === col("y.band") &&
+        col("x.key") === col("y.key") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"),
+        expr("cast(bit_count(x.simhash64 ^ y.simhash64) as bigint)")
+          .as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
 }

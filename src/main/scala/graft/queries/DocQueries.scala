@@ -115,65 +115,45 @@ object DocQueries {
     doc = "SURVEY §2.8 D5 SimHash signature")
 
   /** SURVEY §2.8 D5 [NS] — SimHash NEAR-dup pairs within Hamming
-    * distance 3, completing q25 (exact-signature collisions only): split
-    * the 32-bit signature into 4 8-bit bands — by pigeonhole any pair
-    * within distance 3 shares at least one exact band — equi-join on
-    * (band, key) for candidates, then verify with true bit_count XOR
-    * distance. The oracle brute-forces all pairs (the quadratic twin, as
-    * q23 is to q52), so a green row proves the banding loses nothing.
-    * Scale: candidates ride an equi-join, never an all-pairs product —
-    * on REALISTIC signature distributions, where 8-bit band keys spread.
-    * This synthetic corpus's ~40-word vocabulary makes signatures
-    * pathologically dense (band buckets approach all-pairs), so the
-    * registered query runs on a quarter subset; the losslessness proof
-    * is unaffected, and production deployments with dense sketches
-    * should widen bands or pre-split buckets the same way. */
+    * distance 3, completing q25 (exact-signature collisions only): the
+    * 64-bit signature splits into 4 16-bit bands — by pigeonhole any
+    * pair within distance 3 shares at least one exact band — equi-join
+    * on (band, key) for candidates, then verify with true
+    * `bit_count(a ^ b)`. The oracle brute-forces ALL pairs bit-by-bit
+    * (the quadratic twin, as q23 is to q52), so a green row proves the
+    * banding loses nothing — now over the FULL fixture: round 3 ran a
+    * ¼ subset because 32-bit signatures band into 8-bit keys (256
+    * values) that collide massively on this corpus's dense sketches;
+    * 16-bit keys (65 536 values) restore selectivity, which is exactly
+    * the production fix for dense-sketch corpora. Signatures travel as
+    * single longs (8-byte shuffle rows, integer band keys). */
   val q93SimhashHamming = Q(
     "q93_simhash_hamming",
     (s, d) => {
       import s.implicits._
-      val sigs = Dedup.simhash(
-        Tables.documents(s, d).filter($"doc_id" % 4 === 0),
-        "doc_id", "text")
-      val bands = sigs.select($"doc_id", $"simhash",
-        posexplode(array((0 until 4).map(b =>
-          substring($"simhash", b * 8 + 1, 8)): _*))
-          .as(Seq("band", "key")))
-      bands.alias("x")
-        .join(bands.alias("y"), col("x.band") === col("y.band") &&
-          col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.simhash").as("sa"), col("y.simhash").as("sb"))
-        .distinct()
-        .withColumn("hamming", expr("""bit_count(
-            cast(conv(sa, 2, 10) as bigint) ^
-            cast(conv(sb, 2, 10) as bigint))""").cast("long"))
-        .filter($"hamming" <= 3)
-        .select($"doc_a", $"doc_b", $"hamming")
+      Dedup.simhashHammingPairs(Tables.documents(s, d), "doc_id", "text")
         .orderBy($"doc_a", $"doc_b")
     },
     Some("""WITH words AS (
         SELECT DISTINCT doc_id,
           unnest(list_distinct(string_split(text, ' '))) AS w
-        FROM documents WHERE doc_id % 4 = 0),
+        FROM documents),
       bits AS (
         SELECT doc_id, j,
           CASE WHEN (strpos('0123456789abcdef', h[(j // 4) + 1]) - 1)
             // CAST(pow(2, 3 - (j % 4)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1
             END AS wgt
         FROM (SELECT doc_id, md5(w) AS h FROM words),
-          unnest(range(0, 32)) AS t(j)),
-      sums AS (SELECT doc_id, j, sum(wgt) AS s FROM bits GROUP BY doc_id, j),
-      v AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0
-          THEN (CAST(1 AS BIGINT) << (31 - j)) ELSE 0 END) AS BIGINT) AS val
-        FROM sums GROUP BY doc_id)
+          unnest(range(0, 64)) AS t(j)),
+      sums AS (SELECT doc_id, j, sum(wgt) AS s FROM bits GROUP BY doc_id, j)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        CAST(bit_count(xor(a.val, b.val)) AS BIGINT) AS hamming
-      FROM v a JOIN v b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.val, b.val)) <= 3
+        CAST(count(CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 END)
+          AS BIGINT) AS hamming
+      FROM sums a JOIN sums b ON a.j = b.j AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 END) <= 3
       ORDER BY doc_a, doc_b"""),
-    doc = "SURVEY §2.8 D5 [NS] SimHash Hamming-banded near-dup (lossless vs brute force)")
+    doc = "SURVEY §2.8 D5 [NS] SimHash Hamming-banded near-dup (lossless vs brute force, full fixture)")
 
   /** SURVEY §2.10 [NS] — Unicode NFC normalization (native codegen'd
     * `graft_nfc`; Spark has no built-in normalizer): each doc gets a
@@ -583,31 +563,33 @@ object DocQueries {
     doc = "[NS] transitive near-dup clusters (hash-min connected components)")
 
   /** SURVEY §2.7 [NS] — fuzzy lexicon lookup by edit distance: each doc's
-    * leading word matched to its nearest lexicon term (levenshtein argmin,
-    * term tie-break) — the string-similarity join pattern for vocabulary
-    * normalization, broadcast lexicon side, integer distances so the
-    * match is bit-deterministic. */
+    * leading word matched to its nearest lexicon term
+    * ([[graft.operators.Curation.fuzzyNormalize]] — levenshtein argmin,
+    * term tie-break, length-band prefilter) — the string-similarity
+    * pattern for vocabulary normalization. Per-row expression work, zero
+    * joins/shuffles before the final 5-group aggregate; the first word
+    * comes from `substring_index` (O(first word)), not a full-text
+    * `split` (O(document) array allocation per row — round 3's single
+    * largest query cost). maxDist = 8 never binds on this fixture (first
+    * words are ≤ 8 chars, terms ≤ 5, so every distance ≤ 8), keeping the
+    * oracle's unbounded-argmin form exact. */
   val q76FuzzyLookup = Q(
     "q76_fuzzy_lookup",
     (s, d) => {
       import s.implicits._
-      val lex = Seq("the", "quick", "brown", "fox", "jumps").toDF("term")
-      Tables.documents(s, d)
-        .select($"doc_id", element_at(split($"text", " "), 1).as("w"))
+      val docs = Tables.documents(s, d)
+        .select($"doc_id", substring_index($"text", " ", 1).as("w"))
         .filter(length($"w") > 0)
-        .crossJoin(broadcast(lex))
-        .withColumn("dist", levenshtein($"w", $"term").cast("long"))
-        .groupBy($"doc_id")
-        .agg(min(struct($"dist", $"term")).as("m"))
-        .select($"doc_id", $"m.term".as("best_term"), $"m.dist".as("dist"))
+      graft.operators.Curation.fuzzyNormalize(docs, "w",
+          Seq("the", "quick", "brown", "fox", "jumps"), maxDist = 8)
         .groupBy($"best_term")
         .agg(count(lit(1)).as("n_docs"), sum($"dist").as("sum_dist"))
         .orderBy($"best_term")
     },
     Some("""WITH lex AS (SELECT * FROM (VALUES ('the'), ('quick'),
         ('brown'), ('fox'), ('jumps')) AS t(term)),
-      w AS (SELECT doc_id, string_split(text, ' ')[1] AS w FROM documents
-        WHERE len(string_split(text, ' ')[1]) > 0),
+      w AS (SELECT doc_id, split_part(text, ' ', 1) AS w FROM documents
+        WHERE len(split_part(text, ' ', 1)) > 0),
       scored AS (SELECT doc_id,
           CAST(levenshtein(w.w, lex.term) AS BIGINT) AS dist, term
         FROM w, lex),
@@ -618,7 +600,7 @@ object DocQueries {
       SELECT best_term, count(*) AS n_docs,
         CAST(sum(dist) AS BIGINT) AS sum_dist
       FROM best GROUP BY best_term ORDER BY best_term"""),
-    doc = "SURVEY §2.7 [NS] edit-distance fuzzy lexicon match (broadcast side)")
+    doc = "SURVEY §2.7 [NS] edit-distance fuzzy lexicon match (per-row argmin)")
 
   /** [NS] — bigram collocation mining with integer-exact lift: PMI's
     * log is transcendental (never bit-stable across engines), but its

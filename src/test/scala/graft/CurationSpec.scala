@@ -102,6 +102,53 @@ class CurationSpec extends AnyFunSuite {
       .collect().toSet)
   }
 
+  test("fuzzyNormalize: argmin with term tie-break, empty word, lexicon " +
+      "miss keeps the row with nulls") {
+    val lex = Seq("cat", "car", "dog")
+    val df = Seq(
+      (1L, "cat"),   // exact hit, dist 0
+      (2L, "cap"),   // dist 1 to BOTH cat and car → tie → "car" (term order)
+      (3L, ""),      // empty word: levenshtein("", t) = len(t) → "car"/"cat" tie at 3 → "car"
+      (4L, "elephant") // nothing within maxDist → miss
+    ).toDF("id", "w")
+    val out = Curation.fuzzyNormalize(df, "w", lex, maxDist = 3)
+      .select("id", "best_term", "dist").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) === (Some("cat"), Some(0L)))
+    assert(out(2L) === (Some("car"), Some(1L)))
+    assert(out(3L) === (Some("car"), Some(3L)))
+    assert(out(4L) === (None, None)) // row kept, both columns null
+    assert(out.size === 4)
+  }
+
+  test("fuzzyNormalize: length-band prefilter is lossless for dist ≤ maxDist") {
+    // |len(w) − len(t)| ≤ dist always, so banding can only drop terms that
+    // could never win under maxDist — argmin must equal the unfiltered one
+    val lex = Seq("a", "ab", "abc", "abcd", "abcde", "xyzzy", "q")
+    val words = Seq("a", "abe", "abcdef", "zz", "xyzy", "qq").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+    val df = words.toDF("id", "w")
+    val banded = Curation.fuzzyNormalize(df, "w", lex, maxDist = 2)
+      .select("id", "best_term", "dist").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    // reference: plain JVM argmin with the same (dist, term) ordering
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    words.foreach { case (id, w) =>
+      val cands = lex.map(t => (lev(w, t), t)).filter(_._1 <= 2)
+      val expect =
+        if (cands.isEmpty) (None, None)
+        else { val m = cands.min; (Some(m._2), Some(m._1.toLong)) }
+      assert(banded(id) === expect, s"word $w")
+    }
+  }
+
   test("redactPii replaces emails, URLs, and phones; plain text untouched") {
     val rows = Seq(
       "mail me at a.b+c@ex-ample.co.uk now",

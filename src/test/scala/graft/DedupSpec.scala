@@ -92,6 +92,23 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((7L, 7L)))
   }
 
+  test("simhashHammingPairs ≡ brute-force bit_count pairs (lossless banding)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val banded = Dedup.simhashHammingPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sigs = Dedup.simhash64(docs, "doc_id", "text")
+    val brute = sigs.alias("x")
+      .join(sigs.alias("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("cast(bit_count(x.simhash64 ^ y.simhash64) as bigint)").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    assert(banded === brute)
+  }
+
   test("simhash signatures: identical docs collide, length 32") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))

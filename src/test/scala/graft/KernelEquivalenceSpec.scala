@@ -115,6 +115,40 @@ object KernelEquivalenceSpec extends Properties("graft-kernels") {
       native == composed
     }
 
+  property("graft_simhash64 upper half == graft_simhash (same digest prefix)") =
+    forAll(nastyText) { text =>
+      // bits 0..31 of both signatures come from the first four md5 bytes
+      // with the same vote rule, so the 64-bit long's upper half must be
+      // exactly the 32-bit signature's bit string
+      val row = df1(text).select(
+        graft.functions.SimHashExpression.simhash64(col("text")).as("s64"),
+        graft.functions.SimHashExpression.simhash32(col("text")).as("s32"))
+        .collect()(0)
+      val upper = row.getLong(0) >>> 32
+      val s32 = java.lang.Long.parseLong(row.getString(1), 2)
+      upper == s32
+    }
+
+  property("graft_simhash64 == per-bit vote over the first 8 digest bytes") =
+    forAll(nastyText) { text =>
+      val native = df1(text).select(
+        graft.functions.SimHashExpression.simhash64(col("text")))
+        .collect()(0).getLong(0)
+      // reference: JVM-side recompute with independent byte math
+      val words = text.split(" ", -1).distinct
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val acc = new Array[Int](64)
+      words.foreach { w =>
+        val dig = md.digest(w.getBytes("UTF-8"))
+        val v = java.nio.ByteBuffer.wrap(dig, 0, 8).getLong
+        (0 until 64).foreach(j =>
+          acc(j) += (if (((v >>> (63 - j)) & 1L) == 1L) 1 else -1))
+      }
+      val expected = (0 until 64).foldLeft(0L)((s, j) =>
+        if (acc(j) >= 0) s | (1L << (63 - j)) else s)
+      native == expected
+    }
+
   property("graft_sorted_isect == size(array_intersect) on sorted sets") =
     forAll(Gen.listOf(Gen.choose(-50L, 50L)), Gen.listOf(Gen.choose(-50L, 50L))) {
       (a, b) =>
