@@ -57,7 +57,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout gets truncated in long driver logs (round 3 lost q01-q33's
+    // timings to a clipped tail) — persist the same JSON line to a fixed
+    // path so per-query timings survive regardless of log capture
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

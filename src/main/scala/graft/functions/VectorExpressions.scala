@@ -84,14 +84,20 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull inputs are rejected outright: the merge loop reads
+    // primitive getLong, so a null element would silently corrupt the
+    // count instead of failing — the documented null-free contract is
+    // enforced at analysis time, not trusted
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case ArrayType(org.apache.spark.sql.types.LongType, containsNull) =>
+        !containsNull
       case org.apache.spark.sql.types.NullType => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_sorted_isect needs ARRAY<BIGINT> inputs, got " +
+      s"graft_sorted_isect needs null-element-free ARRAY<BIGINT> inputs " +
+        s"(containsNull=false), got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
   override def dataType: DataType = org.apache.spark.sql.types.LongType

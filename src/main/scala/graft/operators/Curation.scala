@@ -210,6 +210,16 @@ object Curation {
     * S nor SS overflows a long even at ~10¹¹ rows per group (a long
     * sum(v²) dies at ~4·10¹¹ rows of 2-decimal money values).
     *
+    * True range bound: the COMPARED quantities dev² and k²·(n·SS − S²)
+    * are both ≈ (n·max|x|)², and decimal(38,0) holds ~10³⁸ — so the
+    * operator is exact while n·max|x| ≲ 10¹⁹ (e.g. 10¹¹ rows of 10⁸-
+    * scaled values). Beyond that the products overflow to NULL under
+    * non-ANSI Spark, which would silently count every row as
+    * not-an-outlier — so a NULL comparison on a non-NULL value RAISES
+    * instead (pre-scale the value column or shard groups to proceed).
+    * NULL input values keep a NULL flag, matching SQL comparison
+    * semantics.
+    *
     * Adds `is_out` to the input rows. `broadcastStats=true` (default)
     * broadcasts the per-group stats — right when groups are few; switch
     * off for high-cardinality keys and it's a plain shuffle join. */
@@ -223,8 +233,15 @@ object Curation {
     val dev = col("_n").cast("decimal(38,0)") * v - col("_s")
     val spread = col("_n").cast("decimal(38,0)") * col("_ss") -
       col("_s") * col("_s")
+    val cmp = dev * dev > lit(k.toLong * k) * spread
     df.join(if (broadcastStats) broadcast(stats) else stats, Seq(keyCol))
-      .withColumn("is_out", dev * dev > lit(k.toLong * k) * spread)
+      .withColumn("is_out",
+        when(v.isNull, lit(null).cast("boolean"))
+          .when(cmp.isNotNull, cmp)
+          .otherwise(expr("raise_error('exactOutliers: decimal(38,0) " +
+            "overflow — n*max|x| exceeds ~1e19 for this group; " +
+            "pre-scale the value column or shard the group')")
+            .cast("boolean")))
       .drop("_n", "_s", "_ss")
   }
 }

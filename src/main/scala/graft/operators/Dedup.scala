@@ -224,39 +224,95 @@ object Dedup {
     * cap, or pre-shortcut with pointer doubling, for adversarial graphs;
     * convergence is exact whenever the fixpoint is reached, which the
     * changed-count detects). */
-  def connectedComponents(pairs: DataFrame, aCol: String,
-      bCol: String, maxRounds: Int = 100): DataFrame = {
+  /** One hash-min round: labels′ = min over the closed neighborhood,
+    * changed-count riding the caller's Observation (one driver job per
+    * round — the eager checkpoint is the only action). */
+  private def hashMinNext(edges: DataFrame, labels: DataFrame,
+      obs: org.apache.spark.sql.Observation): DataFrame =
+    edges
+      .join(labels, edges("_b") === labels("_n"))
+      .select(edges("_a").as("_n"), col("_lbl"))
+      .unionByName(labels)
+      .groupBy(col("_n")).agg(min(col("_lbl")).as("_lbl2"))
+      .join(labels, Seq("_n"))
+      .observe(obs, coalesce(sum(when(col("_lbl2") < col("_lbl"), 1L)
+        .otherwise(0L)), lit(0L)).as("changed"))
+      .select(col("_n"), col("_lbl2").as("_lbl"))
+      .localCheckpoint(true)
+
+  /** One hash-min + pointer-doubling round: the candidate min label is
+    * followed one more hop (its own current label) before adoption —
+    * one extra self-join shuffle buys O(log d) total rounds. */
+  private def doublingNext(edges: DataFrame, labels: DataFrame,
+      obs: org.apache.spark.sql.Observation): DataFrame = {
+    val cand = edges
+      .join(labels, edges("_b") === labels("_n"))
+      .select(edges("_a").as("_n"), col("_lbl"))
+      .unionByName(labels)
+      .groupBy(col("_n"))
+      .agg(min(col("_lbl")).as("_m"))
+      .join(labels, Seq("_n"))
+    val byLabel = labels
+      .select(col("_n").as("_p"), col("_lbl").as("_plbl"))
+    cand
+      .join(byLabel, cand("_m") === byLabel("_p"), "left")
+      .select(col("_n"), col("_lbl"),
+        least(col("_m"), coalesce(col("_plbl"), col("_m")))
+          .as("_lbl2"))
+      .observe(obs, coalesce(sum(when(col("_lbl2") < col("_lbl"), 1L)
+        .otherwise(0L)), lit(0L)).as("changed"))
+      .select(col("_n"), col("_lbl2").as("_lbl"))
+      .localCheckpoint(true)
+  }
+
+  /** Symmetrized, deduped edge list + identity labels for the fixpoint
+    * loops. The edge table is read every round → persisted; callers
+    * unpersist in `finally`. */
+  private def edgesAndInit(pairs: DataFrame, aCol: String,
+      bCol: String): (DataFrame, DataFrame) = {
     val fwd = pairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
     val edges = fwd.unionByName(
         fwd.select(col("_b").as("_a"), col("_a").as("_b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val init = edges.select(col("_a").as("_n")).distinct()
+      .select(col("_n"), col("_n").as("_lbl"))
+      .localCheckpoint(true)
+    (edges, init)
+  }
+
+  def connectedComponents(pairs: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int = 100): DataFrame = {
+    val (edges, init) = edgesAndInit(pairs, aCol, bCol)
     try {
-      var labels = edges.select(col("_a").as("_n")).distinct()
-        .select(col("_n"), col("_n").as("_lbl"))
-        .localCheckpoint(true)
+      var labels = init
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < maxRounds) {
-        val nbrMin = edges
-          .join(labels, edges("_b") === labels("_n"))
-          .select(edges("_a").as("_n"), col("_lbl"))
-          .unionByName(labels)
-          .groupBy(col("_n")).agg(min(col("_lbl")).as("_lbl2"))
-        val merged = nbrMin.join(labels, Seq("_n"))
         val obs = org.apache.spark.sql.Observation()
-        val next = merged
-          .observe(obs, coalesce(sum(when(col("_lbl2") < col("_lbl"), 1L)
-            .otherwise(0L)), lit(0L)).as("changed"))
-          .select(col("_n"), col("_lbl2").as("_lbl"))
-          .localCheckpoint(true)
+        labels = hashMinNext(edges, labels, obs)
         changed = obs.get("changed").asInstanceOf[Long]
-        labels = next
         rounds += 1
       }
+      warnIfUnconverged("connectedComponents", changed, maxRounds)
       labels.select(col("_n").as("node"), col("_lbl").as("rep"))
     } finally edges.unpersist(blocking = false)
   }
+
+  /** Loud signal when a fixpoint loop exits on the round cap instead of
+    * convergence: the returned labels are then NOT representatives (an
+    * adversarial high-diameter graph under-merges with no other symptom —
+    * survivor selection would silently keep near-dups). Callers who need
+    * hard guarantees should treat the warning as an error and re-run with
+    * a higher cap or the doubling/hybrid variant. */
+  private def warnIfUnconverged(op: String, changed: Long,
+      maxRounds: Int): Unit =
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$op: maxRounds=$maxRounds hit with $changed labels still " +
+          "changing — labels are NOT a fixed point (components may be " +
+          "under-merged); raise maxRounds or use " +
+          "connectedComponentsHybrid for chain-shaped graphs")
 
   /** D5 closure, high-diameter scale path: hash-min propagation PLUS a
     * pointer-doubling hop per round (label := label-of-label), so rounds
@@ -273,45 +329,71 @@ object Dedup {
     * action), same output contract: (node, rep). */
   def connectedComponentsDoubling(pairs: DataFrame, aCol: String,
       bCol: String, maxRounds: Int = 50): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
-    val edges = fwd.unionByName(
-        fwd.select(col("_b").as("_a"), col("_a").as("_b")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (edges, init) = edgesAndInit(pairs, aCol, bCol)
     try {
-      var labels = edges.select(col("_a").as("_n")).distinct()
-        .select(col("_n"), col("_n").as("_lbl"))
-        .localCheckpoint(true)
+      var labels = init
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < maxRounds) {
-        // candidate = min(own label, neighbors' labels), old label kept
-        // alongside for the change count
-        val cand = edges
-          .join(labels, edges("_b") === labels("_n"))
-          .select(edges("_a").as("_n"), col("_lbl"))
-          .unionByName(labels)
-          .groupBy(col("_n"))
-          .agg(min(col("_lbl")).as("_m"))
-          .join(labels, Seq("_n"))
-        // pointer doubling: follow the candidate one more hop (the
-        // candidate's own current label) before adopting it
-        val byLabel = labels
-          .select(col("_n").as("_p"), col("_lbl").as("_plbl"))
         val obs = org.apache.spark.sql.Observation()
-        val next = cand
-          .join(byLabel, cand("_m") === byLabel("_p"), "left")
-          .select(col("_n"), col("_lbl"),
-            least(col("_m"), coalesce(col("_plbl"), col("_m")))
-              .as("_lbl2"))
-          .observe(obs, coalesce(sum(when(col("_lbl2") < col("_lbl"), 1L)
-            .otherwise(0L)), lit(0L)).as("changed"))
-          .select(col("_n"), col("_lbl2").as("_lbl"))
-          .localCheckpoint(true)
+        labels = doublingNext(edges, labels, obs)
         changed = obs.get("changed").asInstanceOf[Long]
-        labels = next
         rounds += 1
       }
+      warnIfUnconverged("connectedComponentsDoubling", changed, maxRounds)
+      labels.select(col("_n").as("node"), col("_lbl").as("rep"))
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** D5 closure, ONE entry point for both graph shapes: start with plain
+    * hash-min (1 shuffle/round — optimal for the dense, shallow clusters
+    * near-dup graphs actually are) and AUTO-ESCALATE to pointer doubling
+    * when the changed-count decay stalls — the signature of a chain-
+    * shaped/adversarial graph, where hash-min's per-round progress is a
+    * constant trickle (each chain advances its min label one hop per
+    * round) instead of the geometric collapse dense components show.
+    *
+    * Stall rule: `stallRounds` consecutive hash-min rounds where the
+    * changed-count fails to drop by ≥ 25% (changed·4 ≥ prev·3). Dense
+    * dup clusters converge in ≤ diameter ≈ 2–4 rounds and never trip it;
+    * a chain trips it after `stallRounds`+1 rounds and finishes in
+    * O(log d) doubling rounds. Costs nothing when hash-min wins, bounds
+    * rounds at ~stall + log₂(d) when it doesn't. Same contract:
+    * (node, rep), exact on convergence, warning on cap. */
+  def connectedComponentsHybrid(pairs: DataFrame, aCol: String,
+      bCol: String, maxRounds: Int = 100,
+      stallRounds: Int = 3): DataFrame = {
+    val (edges, init) = edgesAndInit(pairs, aCol, bCol)
+    try {
+      var labels = init
+      var changed = 1L
+      var prev = Long.MaxValue
+      var rounds = 0
+      var stall = 0
+      var doubling = false
+      while (changed > 0 && rounds < maxRounds) {
+        val obs = org.apache.spark.sql.Observation()
+        labels =
+          if (doubling) doublingNext(edges, labels, obs)
+          else hashMinNext(edges, labels, obs)
+        changed = obs.get("changed").asInstanceOf[Long]
+        if (!doubling && changed > 0) {
+          // prev == MaxValue marks round 1 (no decay to measure yet);
+          // prev*3 would also overflow there
+          if (prev != Long.MaxValue && changed * 4 >= prev * 3) stall += 1
+          else stall = 0
+          if (stall >= stallRounds) {
+            doubling = true
+            org.slf4j.LoggerFactory.getLogger(getClass).info(
+              s"connectedComponentsHybrid: changed-count stalled at " +
+                s"$changed for $stall rounds (round $rounds) — " +
+                "escalating to pointer doubling")
+          }
+        }
+        prev = changed
+        rounds += 1
+      }
+      warnIfUnconverged("connectedComponentsHybrid", changed, maxRounds)
       labels.select(col("_n").as("node"), col("_lbl").as("rep"))
     } finally edges.unpersist(blocking = false)
   }

@@ -289,6 +289,9 @@ object CurationQueries {
       val rebuilt = Curation
         .chunk(docs, "doc_id", "text", size = 100, stride = 100)
         .groupBy($"doc_id")
+        // collect_list state here is bounded by ONE document's own chunk
+        // count (the group key is doc_id) — never corpus-wide; inherent
+        // to lossless rebuild, not an unbounded-state risk
         .agg(expr("""array_join(
             transform(array_sort(collect_list(struct(chunk_idx, chunk))),
               x -> x.chunk), '')""").as("rebuilt"))

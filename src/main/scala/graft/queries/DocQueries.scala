@@ -724,9 +724,34 @@ object DocQueries {
     q72DedupComponents.oracle,
     doc = "[NS] near-dup clusters via pointer-doubling CC (log-round twin of q72)")
 
+  /** D5 closure, the ONE auto-adaptive entry point: same clusters as
+    * q72/q78 via [[graft.operators.Dedup.connectedComponentsHybrid]] —
+    * hash-min rounds (1 shuffle each, right for dense dup clusters) that
+    * AUTO-ESCALATE to pointer doubling when the changed-count decay
+    * stalls (chain-shaped graphs). Oracle IS q72's `WITH RECURSIVE` SQL,
+    * the third member of the twin family; stallRounds = 1 makes the
+    * escalated phase actually run on this fixture, so the green row
+    * certifies the mixed hash-min→doubling label sequence, not just
+    * whichever single variant happened to finish first. */
+  val q97CcHybrid = Q(
+    "q97_cc_hybrid",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashLshCandidates(Tables.documents(s, d),
+        "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+      Dedup.connectedComponentsHybrid(pairs, "doc_a", "doc_b",
+          stallRounds = 1)
+        .groupBy($"rep")
+        .agg(count(lit(1)).as("n_docs"), max($"node").as("max_doc"))
+        .orderBy($"rep")
+    },
+    q72DedupComponents.oracle,
+    doc = "[NS] near-dup clusters via auto-escalating hybrid CC (twin of q72/q78)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
     q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations,
-    q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize)
+    q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize,
+    q97CcHybrid)
 }

@@ -227,30 +227,19 @@ object EventQueries {
 
   /** [NS] — ordered funnel: users who viewed, then clicked AFTER their
     * first view, then purchased AFTER that first qualifying click —
-    * per-stage user counts. Each stage is one combining aggregate plus an
-    * equi-join on user_id against the (small) prior-stage table; the
-    * ordering constraint is a plain predicate, no window and no
-    * per-user event sorting anywhere. */
+    * per-stage user counts via
+    * [[graft.streaming.EventStream.funnelStages]] (each stage one
+    * combining aggregate + an equi-join on user_id against the small
+    * prior-stage table; ordering is a plain predicate — no window, no
+    * per-user event sorting). The streaming twin
+    * ([[graft.streaming.EventStream.funnelStateful]]) is asserted equal
+    * to this batch form in StreamingSpec. */
   val q77Funnel = Q(
     "q77_funnel",
     (s, d) => {
       import s.implicits._
-      val e = Tables.events(s, d).select($"user_id", $"event_type", $"ts")
-      val t1 = e.filter($"event_type" === "view")
-        .groupBy($"user_id").agg(min($"ts").as("t1"))
-      val t2 = e.filter($"event_type" === "click")
-        .join(t1, Seq("user_id")).filter($"ts" > $"t1")
-        .groupBy($"user_id").agg(min($"ts").as("t2"))
-      val t3 = e.filter($"event_type" === "purchase")
-        .join(t2, Seq("user_id")).filter($"ts" > $"t2")
-        .groupBy($"user_id").agg(min($"ts").as("t3"))
-      t1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
-        .unionByName(t2.agg(count(lit(1)).as("n_users"))
-          .withColumn("stage", lit("2_click")))
-        .unionByName(t3.agg(count(lit(1)).as("n_users"))
-          .withColumn("stage", lit("3_purchase")))
-        .select($"stage", $"n_users")
-        .orderBy($"stage")
+      graft.streaming.EventStream.funnelStages(
+        Tables.events(s, d).select($"user_id", $"event_type", $"ts"))
     },
     Some("""WITH e AS (SELECT user_id, event_type, ts FROM events),
       t1 AS (SELECT user_id, min(ts) AS t1 FROM e
@@ -328,7 +317,11 @@ object EventQueries {
             $"n_user" + 1L) - $"rn")
         .select($"user_id", $"event_type", $"ts".as("valid_from"),
           $"valid_to", $"n_events")
-        .orderBy($"user_id", $"valid_from")
+        // event_type tie-break: two islands of one user CAN share a
+        // valid_from (equal ts, different event_id) — without it the
+        // engines' orders diverge on such data and the driver's
+        // order-sensitive hash breaks (mirrored in the oracle's ORDER BY)
+        .orderBy($"user_id", $"valid_from", $"event_type")
     },
     Some("""WITH e AS (SELECT user_id, event_type, ts, event_id
         FROM events WHERE user_id <= 5),
@@ -343,7 +336,7 @@ object EventQueries {
         lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
           AS valid_to,
         n_events
-      FROM sp ORDER BY user_id, island"""),
+      FROM sp ORDER BY user_id, valid_from, event_type"""),
     doc = "[NS] SCD2 effective-dated intervals via gaps-and-islands")
 
   /** [NS] — distributed-EXACT z-score outlier detection: flag events

@@ -68,6 +68,97 @@ object EventStream {
         col("r.ts").as("right_ts"))
   }
 
+  /** The three funnel-stage tables of the ordered view→click→purchase
+    * funnel: per user, t1 = first view, t2 = first click strictly after
+    * t1, t3 = first purchase strictly after t2. Each stage is one
+    * combining aggregate plus an equi-join on user_id against the (small)
+    * prior-stage table; the ordering constraint is a plain predicate —
+    * no window, no per-user event sort anywhere. */
+  private def funnelTimes(e: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    (t1, t2, t3)
+  }
+
+  /** Batch funnel — per-stage user counts (q77's operator home). */
+  def funnelStages(e: DataFrame): DataFrame = {
+    val (t1, t2, t3) = funnelTimes(e)
+    t1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionByName(t2.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit("2_click")))
+      .unionByName(t3.agg(count(lit(1)).as("n_users"))
+        .withColumn("stage", lit("3_purchase")))
+      .select(col("stage"), col("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  /** Batch funnel — per-user qualifying times (user_id, t1, t2, t3;
+    * t2/t3 NULL where the user never reached the stage). The granular
+    * form the streaming twin is asserted against. */
+  def funnelUserTimes(e: DataFrame): DataFrame = {
+    val (t1, t2, t3) = funnelTimes(e)
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+  }
+
+  /** Per-user funnel state: earliest qualifying timestamp per stage
+    * (epoch micros) — three optional longs, BOUNDED regardless of how
+    * many events a user produces. */
+  case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+  /** Emitted per touched user per trigger; fields are monotone (a set
+    * stage never unsets), so the latest row per user is the final state. */
+  case class FunnelUser(user_id: Long, t1: Option[Long], t2: Option[Long],
+      t3: Option[Long])
+
+  /** [NS] — STREAMING twin of [[funnelStages]]/q77 via
+    * flatMapGroupsWithState: the multi-stage stateful funnel the
+    * windowed/join streaming surface can't express. Input rows are
+    * (user_id, ts epoch-micros, event_type).
+    *
+    * Within a micro-batch the user's rows are replayed in ascending-ts
+    * order (the post-shuffle iterator has NO order guarantee), so the
+    * state machine — t1 := first view; t2 := first click > t1;
+    * t3 := first purchase > t2, all strict — lands exactly on the batch
+    * definition for any within-batch arrival disorder. Across batches
+    * the state carries forward; equality with the batch form holds under
+    * event-time-ordered batch boundaries (the watermark contract), since
+    * a stage decided from batch N's events is never re-opened by a
+    * LATER-arriving EARLIER event — the price every bounded-state
+    * streaming funnel pays. The in-batch sort buffers ONE user's
+    * one-batch events, not corpus-wide state. */
+  def funnelStateful(events: Dataset[(Long, Long, String)])(
+      implicit spark: SparkSession): Dataset[FunnelUser] = {
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelUser](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, String)],
+            state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts, et) =>
+            et match {
+              case "view" =>
+                if (st.t1.isEmpty) st = st.copy(t1 = Some(ts))
+              case "click" =>
+                if (st.t2.isEmpty && st.t1.exists(ts > _))
+                  st = st.copy(t2 = Some(ts))
+              case "purchase" =>
+                if (st.t3.isEmpty && st.t2.exists(ts > _))
+                  st = st.copy(t3 = Some(ts))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          Iterator(FunnelUser(uid, st.t1, st.t2, st.t3))
+      }
+  }
+
   /** Per-user running state for the custom stateful path. */
   case class UserAgg(user_id: Long, n_events: Long, sum_value: Double)
 

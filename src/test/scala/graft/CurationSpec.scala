@@ -201,4 +201,32 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.exactOutliers(const, "grp", "v")
       .collect().forall(!_.getAs[Boolean]("is_out")))
   }
+
+  test("exactOutliers: decimal overflow RAISES instead of silently " +
+      "nulling the flag; null inputs keep a null flag") {
+    import spark.implicits._
+    // n·max|x| ≈ 4·10¹⁸ per value → dev² ≈ 10³⁸⁺ overflows decimal(38,0).
+    // Under ANSI (Spark 4 default) the arithmetic itself raises; under
+    // non-ANSI the products go NULL and the operator's own raise_error
+    // guard fires — either way the caller gets an ERROR, never a silent
+    // is_out = NULL counted as not-outlier
+    val big = Seq(("g", Long.MaxValue / 2), ("g", Long.MaxValue / 3),
+      ("g", 7L), ("g", -Long.MaxValue / 2)).toDF("grp", "v")
+    val ex = intercept[Exception] {
+      Curation.exactOutliers(big, "grp", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null &&
+      (m.contains("overflow") || m.contains("Decimal(38") ||
+        m.contains("NUMERIC_VALUE_OUT_OF_RANGE"))), ex)
+    // a NULL value is a null flag, not an error (SQL comparison semantics)
+    val withNull = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None))
+      .toDF("grp", "v")
+    val flags = Curation.exactOutliers(withNull, "grp", "v")
+      .select("v", "is_out").collect()
+      .map(r => Option(r.get(0)) -> Option(r.get(1))).toMap
+    assert(flags(None) === None)
+    assert(flags(Some(1L)).isDefined && flags(Some(2L)).isDefined)
+  }
 }

@@ -78,6 +78,26 @@ class DedupSpec extends AnyFunSuite {
     assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponentsHybrid: escalates on chains within the round " +
+      "budget, stays cheap on dense clusters") {
+    import spark.implicits._
+    // path 1..65 (diameter 64): plain hash-min needs 64 rounds; the
+    // hybrid must detect the constant changed-count trickle and finish
+    // in stall-detection + O(log d) rounds — well under a cap of 20
+    val path = (1L until 65L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val hybrid = Dedup.connectedComponentsHybrid(path, "doc_a", "doc_b",
+      maxRounds = 20).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hybrid.size === 65)
+    assert(hybrid.values.toSet === Set(1L))
+    // a dense clique converges in hash-min's first rounds without ever
+    // escalating (nothing to assert about internals — just exactness)
+    val clique = (for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b))
+      .toDF("doc_a", "doc_b")
+    val dense = Dedup.connectedComponentsHybrid(clique, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dense === (1L to 6L).map(_ -> 1L).toMap)
+  }
+
   test("connected components: empty edge sets and self-loops degrade " +
       "gracefully in both variants") {
     import spark.implicits._

@@ -101,7 +101,12 @@ object PropertySpec extends Properties("graft") {
         val gotDoubling = Dedup
           .connectedComponentsDoubling(df, "doc_a", "doc_b")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        got == expected && gotDoubling == expected
+        // hybrid with an aggressive stall trigger so random graphs also
+        // exercise the escalated (doubling) phase, not just hash-min
+        val gotHybrid = Dedup
+          .connectedComponentsHybrid(df, "doc_a", "doc_b", stallRounds = 1)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected && gotDoubling == expected && gotHybrid == expected
       }
     }
 

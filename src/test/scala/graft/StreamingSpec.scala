@@ -223,6 +223,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel ≡ batch funnel (q77) on the real events fixture, " +
+      "fed across event-time-ordered micro-batches with in-batch disorder") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val ss = spark
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"event_type", $"ts")
+    // batch truth: per-user stage times + stage counts (q77's exact form)
+    val batchTimes = EventStream.funnelUserTimes(ev)
+      .select($"user_id",
+        unix_micros($"t1").as("t1"), unix_micros($"t2").as("t2"),
+        unix_micros($"t3").as("t3"))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3))))).toMap
+    val batchStages = EventStream.funnelStages(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // the same 1000 events as (user, micros, type): split at the event-time
+    // median into two batches (the ordered-boundary contract), then
+    // deterministically scramble WITHIN each batch — in-batch disorder is
+    // what the sorted replay must absorb
+    val tuples = ev.select($"user_id", unix_micros($"ts"), $"event_type")
+      .as[(Long, Long, String)].collect().sortBy(_._2)
+    val (first, second) = tuples.splitAt(tuples.length / 2)
+    val rnd = new scala.util.Random(42)
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = EventStream.funnelStateful(mem.toDS()).writeStream
+      .format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      mem.addData(rnd.shuffle(first.toSeq): _*)
+      q.processAllAvailable()
+      mem.addData(rnd.shuffle(second.toSeq): _*)
+      q.processAllAvailable()
+      // stage fields are monotone → final state per user = max over rows
+      val streamed = spark.table("funnel_out")
+        .groupBy("user_id")
+        .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+        .collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3))))).toMap
+      // per-user equality (stronger than count equality)
+      val reached = streamed.filter(_._2._1.isDefined)
+      assert(reached === batchTimes)
+      // and the derived stage counts equal q77's output exactly
+      val counts = Map(
+        "1_view" -> reached.count(_._2._1.isDefined).toLong,
+        "2_click" -> reached.count(_._2._2.isDefined).toLong,
+        "3_purchase" -> reached.count(_._2._3.isDefined).toLong)
+      assert(counts === batchStages)
+      // 1000 events over 15 users: every user converts at this SF — the
+      // monotone-funnel invariant is the meaningful sanity bound
+      assert(counts("1_view") >= counts("2_click") &&
+        counts("2_click") >= counts("3_purchase"))
+      assert(counts("1_view") === 15L)
+    } finally q.stop()
+  }
+
   test("batch/stream parity: session windows on testdata events") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val sess = EventStream.session(ev)
