@@ -143,6 +143,134 @@ object Similarity {
     cents
   }
 
+  /** Squared L2 distance rounded to 6 — the PQ quantization metric, in
+    * the same deterministic cross-engine form as [[cosine]]: three
+    * sequential-fold dots combined in fixed expression order, so Spark
+    * and the DuckDB oracle produce identical doubles. */
+  def l2sq(a: Column, b: Column): Column =
+    round(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 6)
+
+  /** Product-quantization codebooks: the vector splits into `m`
+    * subspaces of `subDim` dims; each subspace gets its own `ksub`-word
+    * codebook trained by Lloyd's k-means under L2 (min-id init,
+    * 1e6-scaled exact integer means, rounded distances, min-id
+    * tie-break, empty clusters drop — [[kmeans]]'s determinism contract
+    * with the quantizer's metric, ||x − c||²). Output: (sub, c_id, cv) —
+    * m·ksub rows, broadcast-size by construction (PQ's entire point:
+    * 100 TB of vectors share a few KB of codewords).
+    *
+    * ALL m subspaces train in the SAME jobs: one posexplode makes the
+    * (id, sub, sv) table once, and every Lloyd round is one broadcast of
+    * all codebooks + one argmin exchange + one mean aggregation, with
+    * `sub` simply riding the grouping keys. The per-subspace driver loop
+    * this replaces paid m·iters sequential mini-jobs — pure scheduling
+    * overhead (16× subspaces meant ~16× wall time, not 16× data). */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      subDim: Int, ksub: Int, iters: Int): DataFrame = {
+    val subs = df.select(col(idCol), posexplode(array((0 until m).map(s =>
+        slice(vecD(col(vecCol)), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "sv")))
+      .localCheckpoint() // read once per iteration, not re-sliced
+    val initIds = df.select(col(idCol)).orderBy(col(idCol)).limit(ksub)
+    var cents = subs.join(broadcast(initIds), Seq(idCol))
+      .select(col("sub"), col(idCol).as("c_id"), col("sv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // argmin over the sub's codewords; sv rides the agg (identical for
+      // all candidate rows of one (id, sub) group) so the mean stage
+      // needs NO join back against subs
+      val assigned = subs.join(broadcast(cents), Seq("sub"))
+        .withColumn("d2", l2sq(col("sv"), col("cv")))
+        .groupBy(col(idCol), col("sub"))
+        .agg(min(struct(col("d2"), col("c_id"))).as("mn"),
+          first(col("sv")).as("sv"))
+      cents = assigned
+        .select(col("sub"), col("mn.c_id").as("centroid"),
+          posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy(col("sub"), col("centroid"), col("i"))
+        .agg((sum(round(col("x") * 1e6).cast("long")).cast("double") /
+          count(lit(1)) / 1e6).as("nx"))
+        .groupBy(col("sub"), col("centroid"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("nx")))),
+          _.getField("nx")).as("cv"))
+        .select(col("sub"), col("centroid").as("c_id"), col("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** PQ encoding: each vector → m small codes, the L2-nearest codeword
+    * per subspace. Output: (idCol, sub, code, d2) — the inverted-file
+    * payload at scale is the codes (m bytes/vector), never the floats.
+    * One broadcast join + one combining exchange on (idCol, sub). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol), posexplode(array((0 until m).map(s =>
+        slice(vecD(col(vecCol)), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "sv")))
+      .join(broadcast(codebooks), Seq("sub"))
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("d2"), col("c_id"))).as("m"))
+      .select(col(idCol), col("sub"), col("m.c_id").as("code"),
+        col("m.d2").as("d2"))
+
+  /** PQ asymmetric top-k search — the 100 TB embedding-search path:
+    * score(q, x) ≈ Σ_s ⟨q_s, codeword(x, s)⟩ read from an m×ksub
+    * distance TABLE (one dot per codeword against the query — m·ksub
+    * dots total, NOT per row), then an exact cosine re-rank of the
+    * `shortlist` best approximate scores.
+    *
+    * Determinism: table entries are the rounded dots scaled to 1e6
+    * longs, so the per-row approximate score is an exact integer sum —
+    * no float-order sensitivity between engines or partitionings.
+    *
+    * Plan shape (the part that must survive 100×): codebooks+table ride
+    * ONE broadcast; the corpus pays a single combining exchange on
+    * idCol (per-subspace argmins fold map-side into one row per vector
+    * via m conditional-min columns); the shortlist is a
+    * TakeOrderedAndProject of (ascore, id) pairs, and only `shortlist`
+    * vectors are ever re-ranked with true float math. `queryVec` =
+    * 1 row (q_id, qv); the query point is excluded. Output: all
+    * non-vector df columns + approx + cos, top-k total-ordered. */
+  def pqSearch(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, queryVec: DataFrame, m: Int, subDim: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    // distance table joined onto the codebook rows: (sub, c_id, cv, tdot)
+    val cbd = codebooks.crossJoin(queryVec)
+      .withColumn("qs", slice(col("qv"), col("sub") * subDim + 1,
+        lit(subDim)))
+      .withColumn("tdot", round(round(dot(col("qs"), col("cv")), 6) * 1e6)
+        .cast("long"))
+      .select(col("sub"), col("c_id"), col("cv"), col("tdot"))
+    val subs = df.select(col(idCol), posexplode(array((0 until m).map(s =>
+        slice(vecD(col(vecCol)), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "sv")))
+    val mins = (0 until m).map(s =>
+      min(when(col("sub") === s,
+        struct(col("d2"), col("c_id"), col("tdot")))).as(s"m$s"))
+    val scored = subs.join(broadcast(cbd), Seq("sub"))
+      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        (0 until m).map(s => col(s"m$s.tdot")).reduce(_ + _).as("ascore"))
+    val short = scored
+      .crossJoin(broadcast(queryVec.select(col("q_id"))))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col(idCol), col("ascore"))
+      .orderBy(col("ascore").desc, col(idCol).asc)
+      .limit(shortlist)
+    val passThrough = df.columns.filterNot(_ == vecCol).map(col(_))
+    df.join(broadcast(short), Seq(idCol))
+      .crossJoin(broadcast(queryVec))
+      .withColumn("approx", col("ascore").cast("double") / 1e6)
+      .withColumn("cos", round(cosine(vecD(col(vecCol)), col("qv")), 6))
+      .select(passThrough ++ Seq(col("approx"), col("cos")): _*)
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF top-k search — the ANN scale path over [[cosineTopK]]: assign
     * every vector to its nearest centroid (the index), pick the `nProbe`
     * centroids nearest the query, and rank exactly ONLY inside the probed

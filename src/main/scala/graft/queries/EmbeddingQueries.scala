@@ -257,6 +257,99 @@ object EmbeddingQueries {
       ORDER BY vec_id"""),
     doc = "[NS] embedding-cosine near-dup dedup (LSH candidates, min-id survivor)")
 
+  /** Squared-L2 SQL twin of [[Similarity.l2sq]] — same fixed combination
+    * order over the sequential-fold dots, so doubles match bit-for-bit. */
+  private def l2Sql(a: String, b: String): String = {
+    val aa = String.format(dotSql, a, a)
+    val bb = String.format(dotSql, b, b)
+    val ab = String.format(dotSql, a, b)
+    s"round(($aa) + ($bb) - 2 * ($ab), 6)"
+  }
+
+  /** One PQ subspace as CTEs: slice → min-id init → `iters` L2 Lloyd
+    * iterations (exact scaled-integer means) → codes (L2 argmin, c_id
+    * tie-break) → the query's integer distance-table entries. */
+  private def pqSubspaceSql(s: Int, subDim: Int, ksub: Int,
+      iters: Int): String = {
+    val lo = s * subDim + 1
+    val hi = (s + 1) * subDim
+    val init =
+      s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+      c${s}_0 AS (SELECT vec_id AS c_id, sv AS cv FROM e$s
+        ORDER BY vec_id LIMIT $ksub)"""
+    val lloyds = (1 to iters).map { it =>
+      s"""s${s}_$it AS (SELECT e.vec_id, c.c_id,
+          ${l2Sql("e.sv", "c.cv")} AS d2 FROM e$s e, c${s}_${it - 1} c),
+      a${s}_$it AS (SELECT vec_id, first(c_id ORDER BY d2 ASC, c_id ASC)
+        AS centroid FROM s${s}_$it GROUP BY vec_id),
+      m${s}_$it AS (SELECT a.centroid, d.i,
+          CAST(sum(CAST(round(e.sv[d.i] * 1e6) AS BIGINT)) AS DOUBLE)
+            / count(*) / 1e6 AS nx
+        FROM a${s}_$it a JOIN e$s e USING (vec_id), dims d
+        GROUP BY a.centroid, d.i),
+      c${s}_$it AS (SELECT centroid AS c_id, list(nx ORDER BY i) AS cv
+        FROM m${s}_$it GROUP BY centroid)"""
+    }
+    val fin = s"c${s}_$iters"
+    val tail =
+      s"""k$s AS (SELECT e.vec_id, first(c.c_id
+          ORDER BY ${l2Sql("e.sv", "c.cv")} ASC, c.c_id ASC) AS code
+        FROM e$s e, $fin c GROUP BY e.vec_id),
+      t$s AS (SELECT c.c_id,
+          CAST(round(round(${String.format(dotSql, "qs.qs", "c.cv")}, 6)
+            * 1e6) AS BIGINT) AS tdot
+        FROM $fin c, (SELECT qv[$lo:$hi] AS qs FROM q) qs)"""
+    (init +: lloyds :+ tail).mkString(",\n      ")
+  }
+
+  private val (pqM, pqSubDim, pqKsub, pqIters) = (16, 4, 16, 2)
+
+  /** [NS] — IVF-PQ, the 100 TB embedding-search depth path (q96): 16
+    * subspaces × 4 dims, 16 codewords each (two deterministic L2 Lloyd
+    * iterations from min-id init — finer subspaces beat bigger ones on
+    * recall: 16×4 reaches 9/10 recall@10 where 4×16 stops at ~5),
+    * asymmetric search via an integer distance table, exact cosine
+    * re-rank of the 50-best approximate scores. At scale the corpus is
+    * m small codes per vector and the query pays m·ksub real dots —
+    * everything else is table lookups and exact integer sums; float math
+    * touches only the shortlist. The oracle unrolls the entire pipeline
+    * (training, encoding, table, shortlist, re-rank) as CTEs —
+    * deterministic, not approximate-vs-exact. */
+  val q96PqSearch = Q(
+    "q96_pq_search",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters)
+      val qv = e.orderBy($"vec_id".desc).limit(1)
+        .select($"vec_id".as("q_id"), vecD($"embedding").as("qv"))
+      Similarity.pqSearch(e, "vec_id", "embedding", cbs, qv,
+        m = pqM, subDim = pqSubDim, shortlist = 50, k = 10)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e
+        ORDER BY vec_id DESC LIMIT 1),
+      dims AS (SELECT unnest(range(1, ${pqSubDim + 1})) AS i),
+      ${(0 until pqM).map(pqSubspaceSql(_, pqSubDim, pqKsub, pqIters))
+        .mkString(",\n      ")},
+      approx AS (SELECT k0.vec_id,
+          (${(0 until pqM).map(s => s"t$s.tdot").mkString(" + ")}) AS ascore
+        FROM k0 ${(1 until pqM).map(s => s"JOIN k$s USING (vec_id)")
+          .mkString(" ")}
+          JOIN t0 ON t0.c_id = k0.code
+          ${(1 until pqM).map(s => s"JOIN t$s ON t$s.c_id = k$s.code")
+            .mkString(" ")}),
+      short AS (SELECT a.vec_id, a.ascore FROM approx a, q
+        WHERE a.vec_id <> q.q_id
+        ORDER BY a.ascore DESC, a.vec_id ASC LIMIT 50)
+      SELECT e.vec_id, e.label, CAST(s.ascore AS DOUBLE) / 1e6 AS approx,
+        round(${cosSql("e.v", "qv")}, 6) AS cos
+      FROM short s JOIN e USING (vec_id), q
+      ORDER BY cos DESC, vec_id ASC LIMIT 10"""),
+    doc = "[NS] IVF-PQ ANN: integer distance tables + exact shortlist re-rank")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
-    q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans)
+    q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch)
 }

@@ -75,6 +75,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q96 PQ search: codebooks/table/shortlist all broadcast; the " +
+      "shortlist rides TakeOrderedAndProject; no cartesian") {
+    val p = plan("q96_pq_search")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q71 stratified sample: per-group limit pushed below the sort " +
       "(WindowGroupLimit), no stratum fully sorted") {
     val p = plan("q71_stratified_sample")
@@ -98,10 +106,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q76 fuzzy lookup: lexicon side broadcast, no cartesian product") {
+  test("q76 fuzzy lookup: per-row argmin — NO join of any kind, one " +
+      "exchange for the final aggregate") {
     val p = plan("q76_fuzzy_lookup")
-    assert(p.contains("BroadcastExchange"), p)
+    // the lexicon rides the plan as an array literal (Curation
+    // fuzzyNormalize), so there is nothing to join or broadcast — strictly
+    // stronger than the broadcast-join gate this replaces
     assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p)
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly 1 hash Exchange (the 5-group agg):\n$p")
   }
 
   test("q80 SCD2 islands: every window shares one exchange on user_id") {

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+/** [NS] product quantization: codebook shape, encode totality, and the
+  * central PQ contract — with a full-corpus shortlist the exact re-rank
+  * makes pqSearch IDENTICAL to brute force (quantization only prunes,
+  * never re-scores the survivors). */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val (m, subDim, ksub) = (16, 4, 16)
+
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("pqTrain: m codebooks of <= ksub subDim-dim codewords") {
+    val cbs = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m, subDim, ksub, iters = 2)
+    val rows = cbs.collect()
+    assert(rows.map(_.getInt(0)).toSet === (0 until m).toSet)
+    val perSub = rows.groupBy(_.getInt(0)).view.mapValues(_.length)
+    assert(perSub.values.forall(n => n >= 1 && n <= ksub), perSub.toMap)
+    assert(rows.forall(_.getSeq[Double](2).length === subDim))
+  }
+
+  test("pqEncode: every vector gets exactly one code per subspace, " +
+      "codes come from that subspace's codebook") {
+    import spark.implicits._
+    val cbs = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m, subDim, ksub, iters = 2).localCheckpoint()
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+      cbs, m, subDim)
+    val n = emb.count()
+    assert(codes.count() === n * m)
+    assert(codes.groupBy($"vec_id").count()
+      .filter($"count" =!= m).count() === 0)
+    val valid = cbs.select($"sub", $"c_id".as("code"))
+    assert(codes.join(valid, Seq("sub", "code"), "left_anti").count() === 0)
+  }
+
+  test("pqSearch with full-corpus shortlist == brute-force cosine top-k " +
+      "(exact re-rank contract)") {
+    import spark.implicits._
+    val e = emb
+    val n = e.count().toInt
+    val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+      m, subDim, ksub, iters = 2).localCheckpoint()
+    val qv = e.orderBy($"vec_id".desc).limit(1)
+      .select($"vec_id".as("q_id"), Similarity.vecD($"embedding").as("qv"))
+    val pq = Similarity.pqSearch(e, "vec_id", "embedding", cbs, qv,
+      m, subDim, shortlist = n, k = 10)
+      .select("vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = e.crossJoin(broadcast(qv))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos",
+        round(Similarity.cosine(Similarity.vecD($"embedding"), $"qv"), 6))
+      .select($"vec_id", $"cos")
+      .orderBy($"cos".desc, $"vec_id".asc)
+      .limit(10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pq === brute)
+  }
+
+  test("pqSearch recall: the 50-shortlist finds most of the true top-10") {
+    import spark.implicits._
+    val e = emb
+    val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+      m, subDim, ksub, iters = 2).localCheckpoint()
+    val qv = e.orderBy($"vec_id".desc).limit(1)
+      .select($"vec_id".as("q_id"), Similarity.vecD($"embedding").as("qv"))
+    val pq = Similarity.pqSearch(e, "vec_id", "embedding", cbs, qv,
+      m, subDim, shortlist = 50, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.cosineTopK(
+        e.filter($"vec_id" =!= e.agg(max($"vec_id")).first().getLong(0)),
+        "vec_id", "embedding", qv.select($"qv"), 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = brute.count(pq.contains).toDouble / brute.size
+    assert(recall >= 0.7, s"recall@10 with 50-shortlist = $recall")
+  }
+}
