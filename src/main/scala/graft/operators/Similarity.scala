@@ -143,6 +143,45 @@ object Similarity {
     cents
   }
 
+  /** D5 [NS] — SEMANTIC dedup (SemDedup; Abbas et al. 2023, public
+    * technique): k-means-cluster the embedding space, then near-dup only
+    * WITHIN clusters — same-cluster pairs with cosine ≥ `minCos` drop
+    * the larger id (the shared min-id-survivor convention). Versus
+    * [[embeddingDedup]]'s hyperplane LSH buckets: clusters adapt to the
+    * corpus's actual density (random sign-bit cuts don't), and the pair
+    * space is partitioned by the same index the corpus already maintains
+    * for IVF search, so dedup and ANN share one clustering.
+    *
+    * Scale: k-means is broadcast + one shuffle per iteration; the pair
+    * stage is an equi-join on the centroid key — quadratic only within a
+    * cluster, bounded by raising k with corpus size (k ∝ √N keeps
+    * per-cluster work flat). Survivors = anti-join; no broadcast hint on
+    * the drop set (unbounded at scale — AQE picks the side). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, minCos: Double): DataFrame = {
+    val cents = kmeans(df, idCol, vecCol, k, iters)
+    val assigned = ivfAssign(df, idCol, vecCol, cents)
+      .select(col(idCol), col("centroid"))
+    // both sides of the centroid self-join read this; materialize once
+    // (an unpinned plan re-runs the whole k-means per side)
+    val e = df.select(col(idCol), vecD(col(vecCol)).as("v"))
+      .join(assigned, Seq(idCol))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .localCheckpoint()
+    val a = e.select(col(idCol).as("_ia"), col("v").as("va"),
+      col("centroid"), col("nrm").as("na"))
+    val b = e.select(col(idCol).as("_ib"), col("v").as("vb"),
+      col("centroid"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("centroid"))
+      .filter(col("_ia") < col("_ib"))
+      .withColumn("cos",
+        round(when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
+      .filter(col("cos") >= minCos)
+      .select(col("_ib").as("_drop")).distinct()
+    df.join(dropped, col(idCol) === col("_drop"), "left_anti")
+  }
+
   /** Squared L2 distance rounded to 6 — the PQ quantization metric, in
     * the same deterministic cross-engine form as [[cosine]]: three
     * sequential-fold dots combined in fixed expression order, so Spark

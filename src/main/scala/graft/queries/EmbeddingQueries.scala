@@ -350,6 +350,45 @@ object EmbeddingQueries {
       ORDER BY cos DESC, vec_id ASC LIMIT 10"""),
     doc = "[NS] IVF-PQ ANN: integer distance tables + exact shortlist re-rank")
 
+  /** D5 [NS] — SEMANTIC dedup (q98): k-means clusters (k=8, 2 Lloyd
+    * iterations — the exact q69 training), then near-dup only within
+    * clusters at cosine ≥ 0.2, larger id drops. The cluster-scoped
+    * complement of q54's hyperplane-LSH dedup: clusters track corpus
+    * density, and dedup shares the IVF index the corpus already keeps.
+    * The oracle reuses q69's unrolled k-means CTEs, then mirrors the
+    * in-cluster pair drop. */
+  val q98SemanticDedup = Q(
+    "q98_semantic_dedup",
+    (s, d) => {
+      import s.implicits._
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 8, iters = 2, minCos = 0.2)
+        .select($"vec_id", $"label")
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        FROM embeddings),
+      dims AS (SELECT unnest(range(1,
+        (SELECT len(v) FROM e LIMIT 1) + 1)) AS i),
+      c0 AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      ${kmeansIterSql("c0", 1)},
+      ${kmeansIterSql("c1", 2)},
+      sf AS (SELECT e.vec_id, c.c_id,
+        round(${cosSql("e.v", "c.cv")}, 6) AS cos FROM e, c2 c),
+      af AS (SELECT vec_id,
+        first(c_id ORDER BY cos DESC, c_id ASC) AS centroid
+        FROM sf GROUP BY vec_id),
+      ee AS (SELECT e.vec_id, e.v, af.centroid FROM e
+        JOIN af USING (vec_id)),
+      dropped AS (SELECT DISTINCT b.vec_id FROM ee a JOIN ee b
+        ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+        WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.2)
+      SELECT vec_id, label FROM e
+      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY vec_id"""),
+    doc = "[NS] SemDedup: cluster-scoped embedding near-dup, min-id survivor")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
-    q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch)
+    q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
+    q98SemanticDedup)
 }

@@ -64,6 +64,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq === brute)
   }
 
+  test("semanticDedup: no surviving same-cluster pair above the " +
+      "threshold; every dropped id has a smaller same-cluster witness") {
+    import spark.implicits._
+    val e = emb
+    val minCos = 0.2
+    val survivors = Similarity.semanticDedup(e, "vec_id", "embedding",
+      k = 8, iters = 2, minCos = minCos)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors.nonEmpty && survivors.size < e.count())
+    // recompute the same clustering and all in-cluster cosines
+    val cents = Similarity.kmeans(e, "vec_id", "embedding", k = 8, iters = 2)
+    val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+      .select($"vec_id", $"centroid")
+    val ee = e.select($"vec_id", Similarity.vecD($"embedding").as("v"))
+      .join(assigned, Seq("vec_id")).localCheckpoint()
+    val pairs = ee.alias("a").join(ee.alias("b"),
+        col("a.centroid") === col("b.centroid") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter($"cos" >= minCos)
+      .select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // (1) the larger side of every above-threshold pair is dropped
+    pairs.foreach { case (_, ib) =>
+      assert(!survivors.contains(ib), s"$ib survives with a smaller witness")
+    }
+    // (2) everything dropped IS the larger side of some pair
+    val droppedExpected = pairs.map(_._2).toSet
+    val dropped = e.select("vec_id").as[Long].collect().toSet -- survivors
+    assert(dropped === droppedExpected)
+  }
+
   test("pqSearch recall: the 50-shortlist finds most of the true top-10") {
     import spark.implicits._
     val e = emb
