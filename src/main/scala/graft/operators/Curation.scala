@@ -164,6 +164,48 @@ object Curation {
     } finally tg.unpersist(blocking = false)
   }
 
+  /** [NS] — duplicate-SPAN removal (the C4/Dolma intra-corpus op:
+    * repeated boilerplate spans are cut from every place but their first
+    * occurrence, while the surrounding document survives): each doc
+    * splits into consecutive `n`-word segments (last one partial); a
+    * segment is kept iff its GLOBAL first occurrence — smallest
+    * (doc, seg_idx) lexicographically — is this one; kept segments
+    * reassemble in order. Docs whose every segment is boilerplate
+    * disappear (nothing left to keep), which is the desired outcome.
+    *
+    * Output: (idCol, clean_text, n_kept). Scale shape: one explode
+    * (corpus segments), ONE dedup shuffle grouped on the segment's
+    * 64-bit xxhash (8-byte keys, 2⁻⁶⁴ collision odds — the PPJoin
+    * stance), one join back, and a per-doc reassembly whose
+    * collect_list state is bounded by ONE document's own segments
+    * (q92's rebuild bound). */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"segment width must be positive: $n")
+    val segs = df
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, (size(split($textCol, ' ')) - 1) div $n),
+            i -> concat_ws(' ', slice(split($textCol, ' '), i * $n + 1, $n)))"""))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("h", xxhash64(col("seg")))
+      .localCheckpoint() // both the firsts aggregate and the join read it
+    val firsts = segs
+      .groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("f"))
+      .select(col("h"), col(s"f.$idCol").as("_fdoc"),
+        col("f.seg_idx").as("_fidx"))
+    segs.join(firsts, Seq("h"))
+      .filter(col(idCol) === col("_fdoc") && col("seg_idx") === col("_fidx"))
+      .groupBy(col(idCol))
+      // bounded state: one document's own kept segments, never corpus-wide
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg)"))
+          .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** [NS] — fuzzy lexicon normalization: nearest lexicon term per row by
     * levenshtein argmin (smaller term on distance ties, so the match is
     * bit-deterministic), as PURE per-row expression work — the lexicon

@@ -313,7 +313,40 @@ object CurationQueries {
       FROM r JOIN documents d USING (doc_id)"""),
     doc = "[NS] curation: lossless chunk->reassemble round-trip contract")
 
+  /** [NS] — duplicate-span removal (q99): consecutive 10-word segments,
+    * global first occurrence wins — smallest (doc, idx) — docs rebuilt
+    * from their surviving segments ([[Curation.dedupSpans]]; the
+    * C4/Dolma boilerplate cut). Output hashes each rebuilt doc so the
+    * green row certifies the REASSEMBLY, not just the counts. */
+  val q99SpanDedup = Q(
+    "q99_span_dedup",
+    (s, d) => {
+      import s.implicits._
+      Curation.dedupSpans(Tables.documents(s, d), "doc_id", "text", n = 10)
+        .select($"doc_id", $"n_kept", md5($"clean_text").as("content_hash"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH segs AS (
+        SELECT doc_id, i AS seg_idx,
+          array_to_string(list_slice(string_split(text, ' '),
+            i * 10 + 1, i * 10 + 10), ' ') AS seg
+        FROM documents,
+          unnest(range(0,
+            ((len(string_split(text, ' ')) - 1) // 10) + 1)) AS t(i)
+        WHERE length(text) > 0),
+      firsts AS (SELECT seg,
+          first(doc_id ORDER BY doc_id, seg_idx) AS f_doc,
+          first(seg_idx ORDER BY doc_id, seg_idx) AS f_idx
+        FROM segs GROUP BY seg),
+      kept AS (SELECT s.doc_id, s.seg_idx, s.seg FROM segs s
+        JOIN firsts f ON s.seg = f.seg
+          AND s.doc_id = f.f_doc AND s.seg_idx = f.f_idx)
+      SELECT doc_id, count(*) AS n_kept,
+        md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS content_hash
+      FROM kept GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "[NS] C4/Dolma-style duplicate-span removal with per-doc rebuild")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
-    q73TokenBudget, q92ChunkRebuild)
+    q73TokenBudget, q92ChunkRebuild, q99SpanDedup)
 }

@@ -149,6 +149,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSpans: global first occurrence wins, within-doc repeats cut, " +
+      "all-boilerplate docs vanish, partial tail segments kept") {
+    val docs = Seq(
+      (1L, "a b c d"),      // segs (n=2): "a b", "c d" — both first
+      (2L, "a b x y"),      // "a b" is doc 1's → cut; keeps "x y"
+      (3L, "p q p q"),      // within-doc repeat → keeps first "p q"
+      (4L, "a b c d"),      // everything already seen → doc vanishes
+      (5L, "x y z")         // "x y" is doc 2's → cut; partial tail "z" kept
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupSpans(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(
+      1L -> (("a b c d", 2L)),
+      2L -> (("x y", 1L)),
+      3L -> (("p q", 1L)),
+      5L -> (("z", 1L))))
+  }
+
   test("redactPii replaces emails, URLs, and phones; plain text untouched") {
     val rows = Seq(
       "mail me at a.b+c@ex-ample.co.uk now",
