@@ -37,6 +37,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .groupBy($"rep").agg(count(lit(1)).as("n")).filter($"n" > 1)
     assert(shared.isEmpty, "two survivors share a near-dup cluster")
 
+    // 1b. duplicate-SPAN removal over the survivors (the C4/Dolma
+    // boilerplate cut composes after doc-level dedup): rebuilt text only
+    // ever shrinks, every kept doc still has content, and the op is
+    // idempotent — a second pass changes nothing (all segments are
+    // already first occurrences of themselves)
+    val cleaned = Curation.dedupSpans(survivors, "doc_id", "text", n = 10)
+      .withColumnRenamed("clean_text", "text")
+      .localCheckpoint(true)
+    assert(cleaned.count() > 0)
+    assert(cleaned.join(survivors.select($"doc_id",
+        length($"text").as("l0")), Seq("doc_id"))
+      .filter(length($"text") > $"l0").isEmpty,
+      "span removal must never grow a document")
+    val twice = Curation.dedupSpans(cleaned, "doc_id", "text", n = 10)
+      .withColumnRenamed("clean_text", "text")
+    assert(twice.select($"doc_id", md5($"text").as("h")).sort("doc_id")
+      .collect().toSeq ===
+      cleaned.select($"doc_id", md5($"text").as("h")).sort("doc_id")
+        .collect().toSeq,
+      "dedupSpans must be idempotent")
+
     // 2. deterministic split partitions the survivors exactly
     val split = Curation.assignSplit(survivors, "doc_id")
     val bySplit = split.groupBy($"split").agg(count(lit(1)).as("n"))
