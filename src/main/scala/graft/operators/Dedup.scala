@@ -267,7 +267,10 @@ object Dedup {
 
   /** Symmetrized, deduped edge list + identity labels for the fixpoint
     * loops. The edge table is read every round → persisted; callers
-    * unpersist in `finally`. */
+    * unpersist in `finally`. (Measured, not assumed: pre-partitioning
+    * edges on the join key is a LOSS here — AQE broadcasts the
+    * label side of the per-round join, so edges never shuffle and the
+    * upfront repartition is pure overhead.) */
   private def edgesAndInit(pairs: DataFrame, aCol: String,
       bCol: String): (DataFrame, DataFrame) = {
     val fwd = pairs.select(col(aCol).as("_a"), col(bCol).as("_b"))
