@@ -189,6 +189,15 @@ object Similarity {
   def l2sq(a: Column, b: Column): Column =
     round(dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b), 6)
 
+  /** [[l2sq]] with the self-dots HOISTED: ‖a‖² is constant per input row
+    * and ‖b‖² per codeword, so a candidate join that scores k codewords
+    * per row pays k cross-term dots instead of 3k — same expression tree
+    * shape (sum then subtract, then one round), bitwise-identical
+    * doubles. */
+  private def l2sqHoisted(a2: Column, b2: Column, a: Column,
+      b: Column): Column =
+    round(a2 + b2 - lit(2.0) * dot(a, b), 6)
+
   /** Product-quantization codebooks: the vector splits into `m`
     * subspaces of `subDim` dims; each subspace gets its own `ksub`-word
     * codebook trained by Lloyd's k-means under L2 (min-id init,
@@ -206,20 +215,25 @@ object Similarity {
     * overhead (16× subspaces meant ~16× wall time, not 16× data). */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
       subDim: Int, ksub: Int, iters: Int): DataFrame = {
+    // self-dots hoisted: ‖sv‖² once per (row, sub), ‖cv‖² once per
+    // codeword — every candidate pairing pays only the cross-term dot
     val subs = df.select(col(idCol), posexplode(array((0 until m).map(s =>
         slice(vecD(col(vecCol)), s * subDim + 1, subDim)): _*))
         .as(Seq("sub", "sv")))
+      .withColumn("sv2", dot(col("sv"), col("sv")))
       .localCheckpoint() // read once per iteration, not re-sliced
     val initIds = df.select(col(idCol)).orderBy(col(idCol)).limit(ksub)
     var cents = subs.join(broadcast(initIds), Seq(idCol))
-      .select(col("sub"), col(idCol).as("c_id"), col("sv").as("cv"))
+      .select(col("sub"), col(idCol).as("c_id"), col("sv").as("cv"),
+        col("sv2").as("cv2"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       // argmin over the sub's codewords; sv rides the agg (identical for
       // all candidate rows of one (id, sub) group) so the mean stage
       // needs NO join back against subs
       val assigned = subs.join(broadcast(cents), Seq("sub"))
-        .withColumn("d2", l2sq(col("sv"), col("cv")))
+        .withColumn("d2",
+          l2sqHoisted(col("sv2"), col("cv2"), col("sv"), col("cv")))
         .groupBy(col(idCol), col("sub"))
         .agg(min(struct(col("d2"), col("c_id"))).as("mn"),
           first(col("sv")).as("sv"))
@@ -232,10 +246,11 @@ object Similarity {
         .groupBy(col("sub"), col("centroid"))
         .agg(transform(array_sort(collect_list(struct(col("i"), col("nx")))),
           _.getField("nx")).as("cv"))
-        .select(col("sub"), col("centroid").as("c_id"), col("cv"))
+        .select(col("sub"), col("centroid").as("c_id"), col("cv"),
+          dot(col("cv"), col("cv")).as("cv2"))
         .localCheckpoint(true)
     }
-    cents
+    cents.select(col("sub"), col("c_id"), col("cv"))
   }
 
   /** PQ encoding: each vector → m small codes, the L2-nearest codeword
@@ -247,8 +262,11 @@ object Similarity {
     df.select(col(idCol), posexplode(array((0 until m).map(s =>
         slice(vecD(col(vecCol)), s * subDim + 1, subDim)): _*))
         .as(Seq("sub", "sv")))
-      .join(broadcast(codebooks), Seq("sub"))
-      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .withColumn("sv2", dot(col("sv"), col("sv")))
+      .join(broadcast(codebooks
+        .withColumn("cv2", dot(col("cv"), col("cv")))), Seq("sub"))
+      .withColumn("d2",
+        l2sqHoisted(col("sv2"), col("cv2"), col("sv"), col("cv")))
       .groupBy(col(idCol), col("sub"))
       .agg(min(struct(col("d2"), col("c_id"))).as("m"))
       .select(col(idCol), col("sub"), col("m.c_id").as("code"),
@@ -281,15 +299,18 @@ object Similarity {
         lit(subDim)))
       .withColumn("tdot", round(round(dot(col("qs"), col("cv")), 6) * 1e6)
         .cast("long"))
-      .select(col("sub"), col("c_id"), col("cv"), col("tdot"))
+      .withColumn("cv2", dot(col("cv"), col("cv")))
+      .select(col("sub"), col("c_id"), col("cv"), col("cv2"), col("tdot"))
     val subs = df.select(col(idCol), posexplode(array((0 until m).map(s =>
         slice(vecD(col(vecCol)), s * subDim + 1, subDim)): _*))
         .as(Seq("sub", "sv")))
+      .withColumn("sv2", dot(col("sv"), col("sv")))
     val mins = (0 until m).map(s =>
       min(when(col("sub") === s,
         struct(col("d2"), col("c_id"), col("tdot")))).as(s"m$s"))
     val scored = subs.join(broadcast(cbd), Seq("sub"))
-      .withColumn("d2", l2sq(col("sv"), col("cv")))
+      .withColumn("d2",
+        l2sqHoisted(col("sv2"), col("cv2"), col("sv"), col("cv")))
       .groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),

@@ -64,6 +64,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq === brute)
   }
 
+  test("encode d2 == the public unhoisted l2sq bitwise; pqTrain is " +
+      "invariant under repartitioning") {
+    import spark.implicits._
+    val e = emb
+    val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+      m, subDim, ksub, iters = 2).localCheckpoint()
+    // recompute every code's distance with the 3-dot public metric and
+    // demand bit equality with the hoisted form the encoder used
+    val subs = e.select($"vec_id", posexplode(array((0 until m).map(s =>
+        expr(s"slice(cast(embedding as array<double>), " +
+          s"${s * subDim + 1}, $subDim)")): _*)).as(Seq("sub", "sv")))
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cbs, m, subDim)
+    val mismatches = codes
+      .join(subs, Seq("vec_id", "sub"))
+      .join(cbs.select($"sub", $"c_id".as("code"), $"cv"), Seq("sub", "code"))
+      .filter(Similarity.l2sq($"sv", $"cv") =!= $"d2")
+      .count()
+    assert(mismatches === 0L)
+    // exact scaled-integer means: training must not depend on partitioning
+    val again = Similarity.pqTrain(e.repartition(13), "vec_id", "embedding",
+      m, subDim, ksub, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Double](2).toList)).toSet
+    val ref = cbs.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getSeq[Double](2).toList)).toSet
+    assert(again === ref)
+  }
+
   test("semanticDedup: no surviving same-cluster pair above the " +
       "threshold; every dropped id has a smaller same-cluster witness") {
     import spark.implicits._
