@@ -159,6 +159,64 @@ object EventStream {
       }
   }
 
+  /** First-sight key state: event time (epoch ms) of the first
+    * occurrence — one long per live key. */
+  case class FirstSeen(firstMs: Long)
+
+  /** [NS] — streaming FIRST-SIGHT dedup with watermark-driven state
+    * EVICTION: emit a key's first occurrence, suppress duplicates for
+    * `ttlMs` of EVENT time after that first sight, then let the state
+    * die via `GroupStateTimeout.EventTimeTimeout` — the bounded-state
+    * contract an unbounded keyspace demands (keep-forever state, which
+    * `dropDuplicates` on a stream implies, OOMs a 100 TB pipeline; a
+    * TTL is the standard trade: a duplicate arriving after eviction
+    * re-emits, exactly like re-archiving after retention).
+    *
+    * Eviction is deterministic in event time: timeout fires once the
+    * watermark passes firstSight + ttl (clamped above the current
+    * watermark as the API requires) and the key is absent from the
+    * trigger. Duplicates do NOT extend the TTL (fixed window after
+    * first sight, not sliding). Input: (keyCol, tsCol TIMESTAMP);
+    * output: (key, first_ts), append-mode. */
+  def firstSightDedup(events: DataFrame, keyCol: String, tsCol: String,
+      watermark: String, ttlMs: Long)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FirstSeen, (String, java.sql.Timestamp)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[FirstSeen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            // duplicate within the TTL window — suppressed, but the
+            // timeout MUST be re-armed: Spark clears a group's timeout
+            // on every invocation, so a duplicate would otherwise make
+            // the state immortal. Re-arm from the ORIGINAL first sight
+            // (fixed window, duplicates don't slide it).
+            state.setTimeoutTimestamp(math.max(
+              state.get.firstMs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          } else {
+            // earliest event time in the batch, NOT iterator order (the
+            // post-shuffle iterator has no ordering guarantee)
+            val first = rows.minBy(_._2.getTime)
+            state.update(FirstSeen(first._2.getTime))
+            state.setTimeoutTimestamp(math.max(
+              first._2.getTime + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator((key, first._2))
+          }
+      }.toDF("key", "first_ts")
+  }
+
   /** Per-user running state for the custom stateful path. */
   case class UserAgg(user_id: Long, n_events: Long, sum_value: Double)
 

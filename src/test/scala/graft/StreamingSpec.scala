@@ -281,6 +281,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("firstSightDedup: duplicates suppressed within the TTL, state " +
+      "EVICTED once the watermark passes first-sight + TTL, key re-emits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val ss = spark
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    // TTL = 30 min of EVENT time; watermark delay 0 for determinism
+    val out = EventStream.firstSightDedup(
+      mem.toDF().toDF("key", "ts"), "key", "ts",
+      watermark = "0 seconds", ttlMs = 30 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("fsd_out")
+      .outputMode("append").start()
+    try {
+      // b1: first sights emit; in-batch duplicate suppressed
+      mem.addData(("a", ts("2024-01-01 10:00:00")),
+        ("b", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // b2: cross-batch duplicate within TTL suppressed; watermark → 11:00
+      mem.addData(("a", ts("2024-01-01 10:02:00")),
+        ("adv", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // b3: no data for "a"; watermark (11:00) has passed a's timeout
+      // (10:30) → the trigger evicts its state
+      mem.addData(("adv2", ts("2024-01-01 11:10:00")))
+      q.processAllAvailable()
+      // b4: "a" after eviction is a fresh first sight → re-emitted
+      mem.addData(("a", ts("2024-01-01 11:20:00")))
+      q.processAllAvailable()
+      val got = spark.table("fsd_out").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString)).toSet
+      assert(got === Set(
+        ("a", "2024-01-01 10:00:00.0"),
+        ("b", "2024-01-01 10:00:00.0"),
+        ("adv", "2024-01-01 11:00:00.0"),
+        ("adv2", "2024-01-01 11:10:00.0"),
+        ("a", "2024-01-01 11:20:00.0")))
+    } finally q.stop()
+  }
+
   test("batch/stream parity: session windows on testdata events") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val sess = EventStream.session(ev)
