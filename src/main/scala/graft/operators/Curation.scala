@@ -227,6 +227,7 @@ object Curation {
   def fuzzyNormalize(df: DataFrame, wordCol: String, lexicon: Seq[String],
       maxDist: Int): DataFrame = {
     require(lexicon.nonEmpty, "fuzzyNormalize needs a non-empty lexicon")
+    require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
     val w = col(wordCol)
     val best = array_min(
       filter(

@@ -427,7 +427,7 @@ object Dedup {
     * signatures travel as single longs. */
   def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
-    require(maxDist < 4,
+    require(maxDist >= 0 && maxDist < 4,
       s"4 bands are only lossless for Hamming <= 3, got $maxDist")
     val sigs = simhash64(df, idCol, textCol)
     // both sides of the band self-join read this; materialize ONCE (the

@@ -215,6 +215,10 @@ object Similarity {
     * overhead (16× subspaces meant ~16× wall time, not 16× data). */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
       subDim: Int, ksub: Int, iters: Int): DataFrame = {
+    require(m > 0 && subDim > 0 && ksub > 0 && iters >= 0,
+      s"pqTrain: m=$m subDim=$subDim ksub=$ksub iters=$iters " +
+        "(m·subDim must equal the vector dimension; a short final slice " +
+        "silently quantizes a truncated subspace)")
     // self-dots hoisted: ‖sv‖² once per (row, sub), ‖cv‖² once per
     // codeword — every candidate pairing pays only the cross-term dot
     val subs = df.select(col(idCol), posexplode(array((0 until m).map(s =>

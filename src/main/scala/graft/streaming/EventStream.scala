@@ -181,6 +181,7 @@ object EventStream {
   def firstSightDedup(events: DataFrame, keyCol: String, tsCol: String,
       watermark: String, ttlMs: Long)(
       implicit spark: SparkSession): DataFrame = {
+    require(ttlMs > 0, s"ttlMs must be positive: $ttlMs")
     import spark.implicits._
     events
       .withWatermark(tsCol, watermark)
