@@ -388,7 +388,41 @@ object EmbeddingQueries {
       ORDER BY vec_id"""),
     doc = "[NS] SemDedup: cluster-scoped embedding near-dup, min-id survivor")
 
+  /** [NS] — PQ code distribution (q100): per-(subspace, codeword)
+    * population counts after encoding the corpus — the quantizer-balance
+    * diagnostic every PQ index needs (a codeword swallowing most of a
+    * subspace means that subspace's distance table carries no signal;
+    * re-train or split). Also the oracle certification of
+    * [[Similarity.pqEncode]] itself — q96's search uses the fused
+    * single-exchange path, so the standalone encoder gets its own
+    * cross-engine proof here (same training CTEs, then the per-doc
+    * argmin codes aggregated). */
+  val q100PqCodes = Q(
+    "q100_pq_codes",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters)
+      Similarity.pqEncode(e, "vec_id", "embedding", cbs, pqM, pqSubDim)
+        .groupBy($"sub", $"code")
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy($"sub", $"code")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e
+        ORDER BY vec_id DESC LIMIT 1),
+      dims AS (SELECT unnest(range(1, ${pqSubDim + 1})) AS i),
+      ${(0 until pqM).map(pqSubspaceSql(_, pqSubDim, pqKsub, pqIters))
+        .mkString(",\n      ")},
+      codes AS (${(0 until pqM).map(s =>
+        s"SELECT $s AS sub, code FROM k$s").mkString("\n        UNION ALL ")})
+      SELECT sub, code, count(*) AS n_vecs
+      FROM codes GROUP BY sub, code ORDER BY sub, code"""),
+    doc = "[NS] PQ codeword population balance (oracle-certifies pqEncode)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
-    q98SemanticDedup)
+    q98SemanticDedup, q100PqCodes)
 }
