@@ -93,12 +93,22 @@ object Similarity {
 
   /** IVF-style assignment: nearest (max-cosine) centroid per vector.
     * `centroids` = (c_id, cv ARRAY<DOUBLE>), broadcast. Ties → smaller
-    * c_id. Output: (idCol, centroid, cos). */
+    * c_id. Output: (idCol, centroid, cos).
+    *
+    * Self-dots hoisted out of the candidate product: ‖v‖ once per row
+    * and ‖cv‖ once per centroid instead of per (row, centroid) pairing —
+    * with k centroids that's 3k dots per row down to k. The division
+    * tree (dot / (√a · √b), zero-norm → 0) is unchanged, so the doubles
+    * stay bitwise identical to [[cosine]] and every oracle. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
+    val den = col("nv") * col("ncv")
     val scored = df.select(col(idCol), vecD(col(vecCol)).as("v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cos", round(cosine(col("v"), col("cv")), 6))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .crossJoin(broadcast(
+        centroids.withColumn("ncv", sqrt(dot(col("cv"), col("cv"))))))
+      .withColumn("cos", round(when(den === 0.0, lit(0.0))
+        .otherwise(dot(col("v"), col("cv")) / den), 6))
     scored.groupBy(col(idCol))
       .agg(max(struct(col("cos"), (-col("c_id")).as("neg_c"))).as("m"))
       .select(col(idCol), (-col("m.neg_c")).as("centroid"),
