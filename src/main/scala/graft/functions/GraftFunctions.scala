@@ -90,8 +90,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => NfcNormalize(arg0("graft_nfc", args))))
 
   /** Register on an existing session (idempotent). Includes the §2.10
-    * custom Aggregator (`graft_minhash_union`) via udaf() — a UDAF goes
-    * through spark.udf, not the expression registry. */
+    * custom Aggregators (`graft_minhash_union`, `graft_top3`) via
+    * udaf() — a UDAF goes through spark.udf, not the expression
+    * registry. `graft_top3(score, id)` is the fixed-arity SQL surface of
+    * [[TopKAggregator]]; other k values go through
+    * `functions.udaf(TopKAggregator(k))` on the Scala side. */
   def register(spark: SparkSession): Unit = {
     val reg = Bridge.functionRegistry(spark)
     descriptions.foreach { case (ident, info, builder) =>
@@ -99,6 +102,8 @@ object GraftFunctions {
     }
     spark.udf.register("graft_minhash_union",
       org.apache.spark.sql.functions.udaf(MinHashUnionAggregator()))
+    spark.udf.register("graft_top3",
+      org.apache.spark.sql.functions.udaf(TopKAggregator(3)))
   }
 }
 

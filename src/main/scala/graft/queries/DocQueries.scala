@@ -748,10 +748,40 @@ object DocQueries {
     q72DedupComponents.oracle,
     doc = "[NS] near-dup clusters via auto-escalating hybrid CC (twin of q72/q78)")
 
+  /** SURVEY §2.10's second custom Aggregator behind an oracle (q101):
+    * grouped top-k via [[graft.functions.TopKAggregator]] — per-source
+    * top-3 docs by token count (id tie-break). The aggregation state is
+    * O(k) per group and folds map-side, so a group's full extent never
+    * sorts anywhere — the window form the ORACLE uses must sort each
+    * whole group; a green row proves the bounded-heap fold equals it. */
+  val q101TopkAgg = Q(
+    "q101_topk_agg",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select($"source", $"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+        .groupBy($"source")
+        .agg(expr("graft_top3(n_tokens, doc_id)").as("t"))
+        .select($"source", posexplode($"t").as(Seq("i", "p")))
+        .select($"source", ($"i" + 1).cast("long").as("rk"),
+          $"p._2".as("doc_id"), $"p._1".as("n_tokens"))
+        .orderBy($"source", $"rk")
+    },
+    Some("""WITH t AS (SELECT source, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        row_number() OVER (PARTITION BY source
+          ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rk
+      FROM documents)
+      SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_tokens FROM t
+      WHERE rk <= 3 ORDER BY source, rk"""),
+    doc = "SURVEY §2.10 Aggregator: bounded mergeable top-k vs the window oracle")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
     q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations,
     q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize,
-    q97CcHybrid)
+    q97CcHybrid, q101TopkAgg)
 }

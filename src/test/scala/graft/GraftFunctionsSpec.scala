@@ -109,6 +109,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .collect()(0).isNullAt(0))
   }
 
+  test("graft_top3: equals the window form — ties break on id, short " +
+      "groups return all rows, result invariant under repartitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    // group a: 5 rows with a score tie at the k-boundary (two 30s);
+    // group b: fewer rows than k
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 50L),
+      ("a", 5L, 20L),
+      ("b", 6L, 7L), ("b", 7L, 7L)).toDF("g", "id", "score")
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"g").agg(expr("graft_top3(score, id)").as("t"))
+      .select($"g", posexplode($"t").as(Seq("i", "p")))
+      .select($"g", $"i", $"p._2".as("id"), $"p._1".as("score"))
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val got = run(rows)
+    assert(got === Set(
+      ("a", 0, 4L, 50L), ("a", 1, 2L, 30L), ("a", 2, 3L, 30L),
+      ("b", 0, 6L, 7L), ("b", 1, 7L, 7L)))
+    // partitioning must not change anything (mergeable partial buffers)
+    assert(run(rows.repartition(7)) === got)
+  }
+
   test("registration is idempotent and null-safe") {
     GraftFunctions.register(spark)
     GraftFunctions.register(spark)
