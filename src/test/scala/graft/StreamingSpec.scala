@@ -281,6 +281,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel contract: an event arriving in a LATER batch " +
+      "with an EARLIER timestamp cannot reopen a decided stage") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val ss = spark
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = EventStream.funnelStateful(mem.toDS()).writeStream
+      .format("memory").queryName("funnel_late").outputMode("append").start()
+    try {
+      // b1: the user's click arrives first (no view yet) → no t2
+      mem.addData((1L, 2000L, "click"))
+      q.processAllAvailable()
+      // b2: the view that PRECEDES the click in event time arrives late.
+      // Batch semantics would now say t2 = 2000 (click after first view);
+      // the bounded-state stream already discarded that click — the
+      // documented price of not buffering every event forever. t1 is set,
+      // t2 stays empty.
+      mem.addData((1L, 1000L, "view"))
+      q.processAllAvailable()
+      val last = spark.table("funnel_late")
+        .groupBy("user_id").agg(max("t1").as("t1"), max("t2").as("t2"))
+        .collect()(0)
+      assert(Option(last.get(1)) === Some(1000L)) // t1 from the late view
+      assert(Option(last.get(2)) === None)        // click NOT resurrected
+      // a NEW click after the view still progresses the funnel
+      mem.addData((1L, 3000L, "click"))
+      q.processAllAvailable()
+      val t2 = spark.table("funnel_late")
+        .agg(max("t2")).collect()(0)
+      assert(Option(t2.get(0)) === Some(3000L))
+    } finally q.stop()
+  }
+
   test("firstSightDedup: duplicates suppressed within the TTL, state " +
       "EVICTED once the watermark passes first-sight + TTL, key re-emits") {
     import spark.implicits._
