@@ -176,7 +176,7 @@ object TextKernels {
         var c = 0
         while (c < half) {
           md.reset()
-          md.update((c + ":").getBytes("UTF-8"))
+          md.update(s"$c:".getBytes("UTF-8"))
           val dig = md.digest(gram.getBytes("UTF-8"))
           var v1 = 0L; var v2 = 0L
           var x = 0

@@ -340,7 +340,7 @@ object Similarity {
       .crossJoin(broadcast(queryVec))
       .withColumn("approx", col("ascore").cast("double") / 1e6)
       .withColumn("cos", round(cosine(vecD(col(vecCol)), col("qv")), 6))
-      .select(passThrough ++ Seq(col("approx"), col("cos")): _*)
+      .select((passThrough ++ Seq(col("approx"), col("cos"))).toIndexedSeq: _*)
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -369,7 +369,7 @@ object Similarity {
       .crossJoin(broadcast(queryVec))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("cos", round(cosine(vecD(col(vecCol)), col("qv")), 6))
-      .select(passThrough :+ col("cos"): _*)
+      .select((passThrough :+ col("cos")).toIndexedSeq: _*)
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }

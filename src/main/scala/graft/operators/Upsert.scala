@@ -60,7 +60,7 @@ object Upsert {
         .otherwise(joined(c))
         .as(c)
     }
-    joined.select(merged: _*)
+    joined.select(merged.toIndexedSeq: _*)
   }
 
   /** Column reference helper for [[guardedUpsert]] guards: the incoming
