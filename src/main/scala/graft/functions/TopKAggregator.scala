@@ -24,8 +24,14 @@ final case class TopKAggregator(k: Int)
     extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
   require(k > 0, s"k must be positive: $k")
 
-  private def ord: Ordering[(Long, Long)] =
-    Ordering.by { case (s, id) => (-s, id) }
+  // explicit comparator, NOT Ordering.by(-score): negating Long.MinValue
+  // overflows back to Long.MinValue and would rank the worst score first
+  private def ord: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    override def compare(x: (Long, Long), y: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(y._1, x._1) // score DESC
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2) // id ASC
+    }
+  }
 
   override def zero: Seq[(Long, Long)] = Vector.empty
 

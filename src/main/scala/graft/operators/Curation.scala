@@ -185,8 +185,8 @@ object Curation {
     val segs = df
       .filter(length(col(textCol)) > 0)
       .select(col(idCol), posexplode(expr(
-        s"""transform(sequence(0, (size(split($textCol, ' ')) - 1) div $n),
-            i -> concat_ws(' ', slice(split($textCol, ' '), i * $n + 1, $n)))"""))
+        s"""transform(sequence(0, (size(split(`$textCol`, ' ')) - 1) div $n),
+            i -> concat_ws(' ', slice(split(`$textCol`, ' '), i * $n + 1, $n)))"""))
         .as(Seq("seg_idx", "seg")))
       .withColumn("h", xxhash64(col("seg")))
       .localCheckpoint() // both the firsts aggregate and the join read it

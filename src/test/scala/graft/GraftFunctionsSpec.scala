@@ -132,6 +132,11 @@ class GraftFunctionsSpec extends AnyFunSuite {
       ("b", 0, 6L, 7L), ("b", 1, 7L, 7L)))
     // partitioning must not change anything (mergeable partial buffers)
     assert(run(rows.repartition(7)) === got)
+    // Long.MinValue score must rank WORST, not best (negation overflow)
+    val extreme = Seq(("x", 1L, Long.MinValue), ("x", 2L, 0L))
+      .toDF("g", "id", "score")
+    assert(run(extreme) === Set(
+      ("x", 0, 2L, 0L), ("x", 1, 1L, Long.MinValue)))
   }
 
   test("registration is idempotent and null-safe") {
