@@ -36,38 +36,59 @@ object Bench {
     }
 
     // Optional comma-separated query filter (profiling aid), and a repeat
-    // count to separate real cost from local-mode scheduling noise.
+    // count: with SPARK_GRAFT_BENCH_N > 1 every query runs N times inside
+    // this one SparkSession (JVM startup excluded) and the reported time is
+    // the per-query MEDIAN — single-run timings of iterative queries (CC
+    // doubling, cascades) swing ±50% on local-mode scheduling noise.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val n = sys.env.get("SPARK_GRAFT_BENCH_N")
+      .orElse(sys.env.get("SPARK_GRAFT_REPS"))
+      .map(_.toInt).getOrElse(1).max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (nm, _) => only.forall(_.contains(nm)) }
 
-    val results = (1 to reps).flatMap(r => selected.map { case (n, f) =>
-      (if (reps > 1) s"$n#$r" else n) -> f
-    }).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries persist intermediates (self-join inputs); drop them so
-      // later timings don't pay eviction/recompute for earlier caches
-      spark.catalog.clearCache()
-      name -> dt
+    val runs: Map[String, Vector[Double]] = (1 to n).flatMap { _ =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries persist intermediates (self-join inputs); drop them so
+        // later timings don't pay eviction/recompute for earlier caches
+        spark.catalog.clearCache()
+        name -> dt
+      }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toVector }
+
+    def median(v: Vector[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val perQuery = selected.map { case (name, _) => name -> median(runs(name)) }
+    val qs = perQuery.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = perQuery.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n":$n}"""
     println(json)
     // stdout gets truncated in long driver logs (round 3 lost q01-q33's
-    // timings to a clipped tail) — persist the same JSON line to a fixed
-    // path so per-query timings survive regardless of log capture
+    // timings to a clipped tail) — persist the JSON plus per-run stats to a
+    // fixed path so timings survive regardless of log capture
+    val stats = selected.map { case (name, _) =>
+      val v = runs(name)
+      "\"" + name + "\":{\"median\":" + median(v) + ",\"min\":" + v.min +
+        ",\"runs\":" + v.mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    val durable = json.dropRight(1) + s""","stats":$stats}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), json + "\n")
+      java.nio.file.Paths.get("bench_out.json"), durable + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
     spark.stop()
+    // FINAL stdout line, after Spark shutdown so no executor log can trail
+    // it: a grep-able marker carrying the same JSON map. The driver's parse
+    // of the plain line above has failed on truncated tails every round.
+    println("BENCH_JSON:" + json)
   }
 }

@@ -84,20 +84,20 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    // containsNull inputs are rejected outright: the merge loop reads
-    // primitive getLong, so a null element would silently corrupt the
-    // count instead of failing — the documented null-free contract is
-    // enforced at analysis time, not trusted
+    // containsNull=true TYPES are accepted — Spark frequently types
+    // null-free arrays as containsNull=true (transform/lambda outputs),
+    // and rejecting the type failed working pipelines at analysis time.
+    // The null-free CONTRACT is still enforced: an ACTUAL null element
+    // raises at runtime (see the isNullAt guards below) instead of the
+    // merge loop silently reading 0 from primitive getLong.
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(org.apache.spark.sql.types.LongType, containsNull) =>
-        !containsNull
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
       case org.apache.spark.sql.types.NullType => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_sorted_isect needs null-element-free ARRAY<BIGINT> inputs " +
-        s"(containsNull=false), got " +
+      s"graft_sorted_isect needs ARRAY<BIGINT> inputs, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -109,6 +109,8 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0L
     while (i < x.numElements() && j < y.numElements()) {
+      if (x.isNullAt(i) || y.isNullAt(j))
+        SortedIntersectSize.nullElementError()
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv < yv) i += 1
       else if (xv > yv) j += 1
@@ -124,9 +126,15 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      // sorted inputs place nulls first (sort_array), so a violating null
+      // is hit on the first iteration — the guard branch predicts
+      // perfectly on contract-clean data
       s"""
         int $i = 0; int $j = 0; long $c = 0L;
         while ($i < $a.numElements() && $j < $b.numElements()) {
+          if ($a.isNullAt($i) || $b.isNullAt($j)) {
+            graft.functions.SortedIntersectSize.nullElementError();
+          }
           final long $xv = $a.getLong($i);
           final long $yv = $b.getLong($j);
           if ($xv < $yv) $i++;
@@ -140,6 +148,15 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectSize {
+  /** Called from both interpreted eval and generated Java (via the
+    * static forwarder this companion produces on the class). */
+  def nullElementError(): Nothing =
+    throw new IllegalArgumentException(
+      "graft_sorted_isect: null element in input array — inputs must be " +
+        "sorted, duplicate-free, null-element-free ARRAY<BIGINT>")
 }
 
 object VectorExpressions {

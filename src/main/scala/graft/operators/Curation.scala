@@ -174,29 +174,32 @@ object Curation {
     * disappear (nothing left to keep), which is the desired outcome.
     *
     * Output: (idCol, clean_text, n_kept). Scale shape: one explode
-    * (corpus segments), ONE dedup shuffle grouped on the segment's
-    * 64-bit xxhash (8-byte keys, 2⁻⁶⁴ collision odds — the PPJoin
-    * stance), one join back, and a per-doc reassembly whose
-    * collect_list state is bounded by ONE document's own segments
-    * (q92's rebuild bound). */
+    * (corpus segments), ONE combining dedup shuffle grouped on
+    * (xxhash, seg) — the kept occurrence IS the group's min(struct),
+    * so it falls straight out of the aggregate with no join-back, no
+    * second read of the segment table, and no corpus-text
+    * materialization anywhere (the previous join-back form had to
+    * localCheckpoint every segment to executor-local storage — not
+    * recomputable on executor loss and double the corpus footprint).
+    * Grouping on the segment TEXT alongside its hash keeps equality
+    * exact — a 64-bit collision cannot silently drop a non-duplicate
+    * span — while the leading 8-byte hash keeps group compares cheap;
+    * min(struct) folds map-side, so duplicate-heavy corpora shuffle a
+    * fraction of their occurrence count. Reassembly state stays
+    * bounded by ONE document's own segments (q92's rebuild bound). */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n > 0, s"segment width must be positive: $n")
-    val segs = df
-      .filter(length(col(textCol)) > 0)
+    df.filter(length(col(textCol)) > 0)
       .select(col(idCol), posexplode(expr(
         s"""transform(sequence(0, (size(split(`$textCol`, ' ')) - 1) div $n),
             i -> concat_ws(' ', slice(split(`$textCol`, ' '), i * $n + 1, $n)))"""))
         .as(Seq("seg_idx", "seg")))
       .withColumn("h", xxhash64(col("seg")))
-      .localCheckpoint() // both the firsts aggregate and the join read it
-    val firsts = segs
-      .groupBy(col("h"))
+      .groupBy(col("h"), col("seg"))
       .agg(min(struct(col(idCol), col("seg_idx"))).as("f"))
-      .select(col("h"), col(s"f.$idCol").as("_fdoc"),
-        col("f.seg_idx").as("_fidx"))
-    segs.join(firsts, Seq("h"))
-      .filter(col(idCol) === col("_fdoc") && col("seg_idx") === col("_fidx"))
+      .select(col(s"f.$idCol").as(idCol), col("f.seg_idx").as("seg_idx"),
+        col("seg"))
       .groupBy(col(idCol))
       // bounded state: one document's own kept segments, never corpus-wide
       .agg(
@@ -228,6 +231,12 @@ object Curation {
       maxDist: Int): DataFrame = {
     require(lexicon.nonEmpty, "fuzzyNormalize needs a non-empty lexicon")
     require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
+    // withColumn silently REPLACES same-named columns — refuse up front
+    // rather than quietly clobbering caller data
+    val taken = Seq("_best", "best_term", "dist").filter(df.columns.contains)
+    require(taken.isEmpty,
+      s"fuzzyNormalize writes columns (best_term, dist); input already " +
+        s"has ${taken.mkString(", ")} — rename them first")
     val w = col(wordCol)
     val best = array_min(
       filter(

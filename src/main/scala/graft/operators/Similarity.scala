@@ -130,27 +130,34 @@ object Similarity {
     * the plan would otherwise nest `iters` deep. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int): DataFrame = {
+    // persist, not localCheckpoint: the vector corpus is re-read every
+    // iteration but persist keeps the lineage (executor loss = recompute,
+    // not job failure) and the blocks are released in `finally` — the
+    // per-iteration cents are eager k-row checkpoints, so the returned
+    // table no longer reads e
     val e = df.select(col(idCol), vecD(col(vecCol)).as("v"))
-      .localCheckpoint() // read once per iteration, not re-scanned
-    var cents = e.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).as("c_id"), col("v").as("cv"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val assigned = ivfAssign(e, idCol, "v", cents)
-        .select(col(idCol), col("centroid"))
-        .join(e, Seq(idCol))
-      cents = assigned
-        .select(col("centroid"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("centroid"), col("i"))
-        .agg((sum(round(col("x") * 1e6).cast("long")).cast("double") /
-          count(lit(1)) / 1e6).as("nx"))
-        .groupBy(col("centroid"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("nx")))),
-          _.getField("nx")).as("cv"))
-        .select(col("centroid").as("c_id"), col("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = e.orderBy(col(idCol)).limit(k)
+        .select(col(idCol).as("c_id"), col("v").as("cv"))
         .localCheckpoint(true)
-    }
-    cents
+      for (_ <- 1 to iters) {
+        val assigned = ivfAssign(e, idCol, "v", cents)
+          .select(col(idCol), col("centroid"))
+          .join(e, Seq(idCol))
+        cents = assigned
+          .select(col("centroid"), posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy(col("centroid"), col("i"))
+          .agg((sum(round(col("x") * 1e6).cast("long")).cast("double") /
+            count(lit(1)) / 1e6).as("nx"))
+          .groupBy(col("centroid"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("nx")))),
+            _.getField("nx")).as("cv"))
+          .select(col("centroid").as("c_id"), col("cv"))
+          .localCheckpoint(true)
+      }
+      cents
+    } finally e.unpersist(blocking = false)
   }
 
   /** D5 [NS] — SEMANTIC dedup (SemDedup; Abbas et al. 2023, public
@@ -172,24 +179,30 @@ object Similarity {
     val cents = kmeans(df, idCol, vecCol, k, iters)
     val assigned = ivfAssign(df, idCol, vecCol, cents)
       .select(col(idCol), col("centroid"))
-    // both sides of the centroid self-join read this; materialize once
-    // (an unpinned plan re-runs the whole k-means per side)
+    // both sides of the centroid self-join read this; pin it once with
+    // persist (lineage kept — recoverable on executor loss, unlike a
+    // localCheckpoint of the full vector corpus) and release it in
+    // `finally` after the SMALL drop set (ids only) is eagerly
+    // materialized — the crossCorpusLeakage pattern
     val e = df.select(col(idCol), vecD(col(vecCol)).as("v"))
       .join(assigned, Seq(idCol))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .localCheckpoint()
-    val a = e.select(col(idCol).as("_ia"), col("v").as("va"),
-      col("centroid"), col("nrm").as("na"))
-    val b = e.select(col(idCol).as("_ib"), col("v").as("vb"),
-      col("centroid"), col("nrm").as("nb"))
-    val dropped = a.join(b, Seq("centroid"))
-      .filter(col("_ia") < col("_ib"))
-      .withColumn("cos",
-        round(when(col("na") * col("nb") === 0.0, 0.0)
-          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
-      .filter(col("cos") >= minCos)
-      .select(col("_ib").as("_drop")).distinct()
-    df.join(dropped, col(idCol) === col("_drop"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val a = e.select(col(idCol).as("_ia"), col("v").as("va"),
+        col("centroid"), col("nrm").as("na"))
+      val b = e.select(col(idCol).as("_ib"), col("v").as("vb"),
+        col("centroid"), col("nrm").as("nb"))
+      val dropped = a.join(b, Seq("centroid"))
+        .filter(col("_ia") < col("_ib"))
+        .withColumn("cos",
+          round(when(col("na") * col("nb") === 0.0, 0.0)
+            .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
+        .filter(col("cos") >= minCos)
+        .select(col("_ib").as("_drop")).distinct()
+        .localCheckpoint(true)
+      df.join(dropped, col(idCol) === col("_drop"), "left_anti")
+    } finally e.unpersist(blocking = false)
   }
 
   /** Squared L2 distance rounded to 6 — the PQ quantization metric, in
@@ -207,6 +220,17 @@ object Similarity {
   private def l2sqHoisted(a2: Column, b2: Column, a: Column,
       b: Column): Column =
     round(a2 + b2 - lit(2.0) * dot(a, b), 6)
+
+  /** `vec`, verified at RUNTIME to have exactly m·subDim elements: a
+    * mis-sized vector RAISES instead of being silently quantized over
+    * short/empty slices (slice past the array end yields truncated
+    * subspaces — exactly the failure the pqTrain require message warns
+    * about but cannot see at plan time, since the dimension lives in the
+    * data, not the schema). O(1) per row (array length compare). */
+  private def dimChecked(vec: Column, m: Int, subDim: Int): Column =
+    when(size(vec) === m * subDim, vec).otherwise(raise_error(
+      concat(lit("PQ: vector dimension "), size(vec).cast("string"),
+        lit(s" != m*subDim = ${m * subDim}"))))
 
   /** Product-quantization codebooks: the vector splits into `m`
     * subspaces of `subDim` dims; each subspace gets its own `ksub`-word
@@ -230,41 +254,50 @@ object Similarity {
         "(m·subDim must equal the vector dimension; a short final slice " +
         "silently quantizes a truncated subspace)")
     // self-dots hoisted: ‖sv‖² once per (row, sub), ‖cv‖² once per
-    // codeword — every candidate pairing pays only the cross-term dot
+    // codeword — every candidate pairing pays only the cross-term dot.
+    // persist, not localCheckpoint: the subvector corpus is read once
+    // per iteration, and persist keeps the LINEAGE — an executor loss
+    // recomputes the lost blocks instead of failing the job (checkpoint
+    // blocks are executor-local with no recompute path). Released in
+    // `finally`: every per-iteration `cents` is an EAGER k-row
+    // checkpoint, so nothing returned still reads subs.
     val subs = df.select(col(idCol), posexplode(array((0 until m).map(s =>
-        slice(vecD(col(vecCol)), s * subDim + 1, subDim)): _*))
+        slice(dimChecked(vecD(col(vecCol)), m, subDim),
+          s * subDim + 1, subDim)): _*))
         .as(Seq("sub", "sv")))
       .withColumn("sv2", dot(col("sv"), col("sv")))
-      .localCheckpoint() // read once per iteration, not re-sliced
-    val initIds = df.select(col(idCol)).orderBy(col(idCol)).limit(ksub)
-    var cents = subs.join(broadcast(initIds), Seq(idCol))
-      .select(col("sub"), col(idCol).as("c_id"), col("sv").as("cv"),
-        col("sv2").as("cv2"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      // argmin over the sub's codewords; sv rides the agg (identical for
-      // all candidate rows of one (id, sub) group) so the mean stage
-      // needs NO join back against subs
-      val assigned = subs.join(broadcast(cents), Seq("sub"))
-        .withColumn("d2",
-          l2sqHoisted(col("sv2"), col("cv2"), col("sv"), col("cv")))
-        .groupBy(col(idCol), col("sub"))
-        .agg(min(struct(col("d2"), col("c_id"))).as("mn"),
-          first(col("sv")).as("sv"))
-      cents = assigned
-        .select(col("sub"), col("mn.c_id").as("centroid"),
-          posexplode(col("sv")).as(Seq("i", "x")))
-        .groupBy(col("sub"), col("centroid"), col("i"))
-        .agg((sum(round(col("x") * 1e6).cast("long")).cast("double") /
-          count(lit(1)) / 1e6).as("nx"))
-        .groupBy(col("sub"), col("centroid"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("nx")))),
-          _.getField("nx")).as("cv"))
-        .select(col("sub"), col("centroid").as("c_id"), col("cv"),
-          dot(col("cv"), col("cv")).as("cv2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val initIds = df.select(col(idCol)).orderBy(col(idCol)).limit(ksub)
+      var cents = subs.join(broadcast(initIds), Seq(idCol))
+        .select(col("sub"), col(idCol).as("c_id"), col("sv").as("cv"),
+          col("sv2").as("cv2"))
         .localCheckpoint(true)
-    }
-    cents.select(col("sub"), col("c_id"), col("cv"))
+      for (_ <- 1 to iters) {
+        // argmin over the sub's codewords; sv rides the agg (identical for
+        // all candidate rows of one (id, sub) group) so the mean stage
+        // needs NO join back against subs
+        val assigned = subs.join(broadcast(cents), Seq("sub"))
+          .withColumn("d2",
+            l2sqHoisted(col("sv2"), col("cv2"), col("sv"), col("cv")))
+          .groupBy(col(idCol), col("sub"))
+          .agg(min(struct(col("d2"), col("c_id"))).as("mn"),
+            first(col("sv")).as("sv"))
+        cents = assigned
+          .select(col("sub"), col("mn.c_id").as("centroid"),
+            posexplode(col("sv")).as(Seq("i", "x")))
+          .groupBy(col("sub"), col("centroid"), col("i"))
+          .agg((sum(round(col("x") * 1e6).cast("long")).cast("double") /
+            count(lit(1)) / 1e6).as("nx"))
+          .groupBy(col("sub"), col("centroid"))
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("nx")))),
+            _.getField("nx")).as("cv"))
+          .select(col("sub"), col("centroid").as("c_id"), col("cv"),
+            dot(col("cv"), col("cv")).as("cv2"))
+          .localCheckpoint(true)
+      }
+      cents.select(col("sub"), col("c_id"), col("cv"))
+    } finally subs.unpersist(blocking = false)
   }
 
   /** PQ encoding: each vector → m small codes, the L2-nearest codeword
@@ -274,7 +307,8 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, m: Int, subDim: Int): DataFrame =
     df.select(col(idCol), posexplode(array((0 until m).map(s =>
-        slice(vecD(col(vecCol)), s * subDim + 1, subDim)): _*))
+        slice(dimChecked(vecD(col(vecCol)), m, subDim),
+          s * subDim + 1, subDim)): _*))
         .as(Seq("sub", "sv")))
       .withColumn("sv2", dot(col("sv"), col("sv")))
       .join(broadcast(codebooks
@@ -316,7 +350,8 @@ object Similarity {
       .withColumn("cv2", dot(col("cv"), col("cv")))
       .select(col("sub"), col("c_id"), col("cv"), col("cv2"), col("tdot"))
     val subs = df.select(col(idCol), posexplode(array((0 until m).map(s =>
-        slice(vecD(col(vecCol)), s * subDim + 1, subDim)): _*))
+        slice(dimChecked(vecD(col(vecCol)), m, subDim),
+          s * subDim + 1, subDim)): _*))
         .as(Seq("sub", "sv")))
       .withColumn("sv2", dot(col("sv"), col("sv")))
     val mins = (0 until m).map(s =>
@@ -343,6 +378,47 @@ object Similarity {
       .select((passThrough ++ Seq(col("approx"), col("cos"))).toIndexedSeq: _*)
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** IVF × PQ composition — the standard ANN serving layout at 100 TB:
+    * [[ivfTopK]]'s list pruning bounds WHICH vectors are scored (only
+    * the `nProbe` clusters nearest the query) and [[pqSearch]]'s
+    * asymmetric distance table bounds HOW each one is scored (integer
+    * table lookups; float math only on the shortlist re-rank). Flat PQ
+    * scans every vector's codes — fine per-probe, wrong corpus-wide;
+    * plain IVF ranks the probed lists with full-precision floats —
+    * fine at toy scale, unaffordable when one list is a billion
+    * vectors. Composed: the corpus is restricted to the probed lists
+    * BEFORE the subspace explode and distance-table join, so PQ work
+    * (and, on an IVF-partitioned layout, the scan itself — see
+    * BucketingSpec's partition-pruning gate) is ~nProbe/nlist of the
+    * corpus.
+    *
+    * Everything small rides broadcasts: centroids (via [[ivfAssign]]),
+    * the probed-list ids, the codebooks + distance table, the
+    * shortlist. The corpus pays the assignment exchange plus
+    * [[pqSearch]]'s one combining exchange on the PROBED SUBSET only.
+    * Training stays global ([[pqTrain]] on the full corpus — codebooks
+    * must not depend on the query); per-vector codes are
+    * query-independent, so restricting before encoding changes nothing
+    * but the work. `queryVec` = 1 row (q_id, qv); output: all
+    * non-vector df columns + approx + cos, top-k total-ordered. */
+  def ivfPqSearch(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, codebooks: DataFrame, queryVec: DataFrame,
+      m: Int, subDim: Int, nProbe: Int, shortlist: Int,
+      k: Int): DataFrame = {
+    val probed = centroids.crossJoin(broadcast(queryVec))
+      .withColumn("qc", round(cosine(col("cv"), col("qv")), 6))
+      .orderBy(col("qc").desc, col("c_id").asc)
+      .limit(nProbe)
+      .select(col("c_id"))
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+      .select(col(idCol), col("centroid"))
+    val probedCorpus = df.join(assigned, Seq(idCol))
+      .join(broadcast(probed), col("centroid") === col("c_id"), "left_semi")
+      .drop("centroid")
+    pqSearch(probedCorpus, idCol, vecCol, codebooks, queryVec,
+      m, subDim, shortlist, k)
   }
 
   /** IVF top-k search — the ANN scale path over [[cosineTopK]]: assign

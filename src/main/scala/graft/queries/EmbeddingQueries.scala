@@ -422,7 +422,66 @@ object EmbeddingQueries {
       FROM codes GROUP BY sub, code ORDER BY sub, code"""),
     doc = "[NS] PQ codeword population balance (oracle-certifies pqEncode)")
 
+  /** [NS] — IVF list-pruning COMPOSED with PQ scoring (q102), the
+    * standard ANN serving layout: q53's probe step bounds WHICH vectors
+    * are scored (the 2 of 8 lists nearest the query), q96's integer
+    * distance table bounds HOW (codes + table lookups; floats only on
+    * the shortlist re-rank). Flat PQ (q96) scans every vector's codes;
+    * plain IVF (q53) ranks probed lists with full floats; this is both
+    * prunings at once — ~nProbe/nlist of the corpus pays the PQ
+    * exchange, and nothing outside the probed lists is scored at all
+    * (plan-pinned in PlanQualitySpec). Training stays global (codebooks
+    * are query-independent); the oracle unrolls probe + training +
+    * encoding + table + restricted shortlist + re-rank as CTEs —
+    * deterministic, not approximate-vs-exact. */
+  val q102IvfPqSearch = Q(
+    "q102_ivfpq_search",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters)
+      val qv = e.orderBy($"vec_id".desc).limit(1)
+        .select($"vec_id".as("q_id"), vecD($"embedding").as("qv"))
+      Similarity.ivfPqSearch(e, "vec_id", "embedding", cents, cbs, qv,
+        m = pqM, subDim = pqSubDim, nProbe = 2, shortlist = 50, k = 10)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e
+        ORDER BY vec_id DESC LIMIT 1),
+      dims AS (SELECT unnest(range(1, ${pqSubDim + 1})) AS i),
+      c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      assigned AS (SELECT e.vec_id,
+          first(c.c_id ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC,
+            c.c_id ASC) AS centroid
+        FROM e, c GROUP BY e.vec_id),
+      probed AS (SELECT c_id FROM c, q
+        ORDER BY round(${cosSql("cv", "qv")}, 6) DESC, c_id ASC LIMIT 2),
+      pr AS (SELECT vec_id FROM assigned
+        WHERE centroid IN (SELECT c_id FROM probed)),
+      ${(0 until pqM).map(pqSubspaceSql(_, pqSubDim, pqKsub, pqIters))
+        .mkString(",\n      ")},
+      approx AS (SELECT k0.vec_id,
+          (${(0 until pqM).map(s => s"t$s.tdot").mkString(" + ")}) AS ascore
+        FROM k0 ${(1 until pqM).map(s => s"JOIN k$s USING (vec_id)")
+          .mkString(" ")}
+          JOIN t0 ON t0.c_id = k0.code
+          ${(1 until pqM).map(s => s"JOIN t$s ON t$s.c_id = k$s.code")
+            .mkString(" ")}),
+      short AS (SELECT a.vec_id, a.ascore FROM approx a, q
+        WHERE a.vec_id <> q.q_id
+          AND a.vec_id IN (SELECT vec_id FROM pr)
+        ORDER BY a.ascore DESC, a.vec_id ASC LIMIT 50)
+      SELECT e.vec_id, e.label, CAST(s.ascore AS DOUBLE) / 1e6 AS approx,
+        round(${cosSql("e.v", "qv")}, 6) AS cos
+      FROM short s JOIN e USING (vec_id), q
+      ORDER BY cos DESC, vec_id ASC LIMIT 10"""),
+    doc = "[NS] IVF-pruned PQ search: probe lists, PQ-score only those, exact re-rank")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
-    q98SemanticDedup, q100PqCodes)
+    q98SemanticDedup, q100PqCodes, q102IvfPqSearch)
 }

@@ -317,11 +317,14 @@ object EventQueries {
             $"n_user" + 1L) - $"rn")
         .select($"user_id", $"event_type", $"ts".as("valid_from"),
           $"valid_to", $"n_events")
-        // event_type tie-break: two islands of one user CAN share a
-        // valid_from (equal ts, different event_id) — without it the
-        // engines' orders diverge on such data and the driver's
-        // order-sensitive hash breaks (mirrored in the oracle's ORDER BY)
-        .orderBy($"user_id", $"valid_from", $"event_type")
+        // TOTAL order: two islands of one user CAN share a valid_from
+        // (equal ts, different event_id) and even the same event_type —
+        // so the sort covers EVERY output column (nulls-last pinned on
+        // the nullable valid_to, mirrored in the oracle's ORDER BY).
+        // Rows equal on all five keys are identical, so the driver's
+        // order-sensitive hash cannot diverge on any data.
+        .orderBy($"user_id", $"valid_from", $"event_type", $"n_events",
+          $"valid_to".asc_nulls_last)
     },
     Some("""WITH e AS (SELECT user_id, event_type, ts, event_id
         FROM events WHERE user_id <= 5),
@@ -336,7 +339,8 @@ object EventQueries {
         lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
           AS valid_to,
         n_events
-      FROM sp ORDER BY user_id, valid_from, event_type"""),
+      FROM sp ORDER BY user_id, valid_from, event_type, n_events,
+        valid_to NULLS LAST"""),
     doc = "[NS] SCD2 effective-dated intervals via gaps-and-islands")
 
   /** [NS] — distributed-EXACT z-score outlier detection: flag events

@@ -149,6 +149,15 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzyNormalize refuses inputs that already carry its output " +
+      "columns instead of silently clobbering them") {
+    val df = Seq((1L, "cat", "precious")).toDF("id", "w", "dist")
+    val e = intercept[IllegalArgumentException] {
+      Curation.fuzzyNormalize(df, "w", Seq("cat"), maxDist = 1)
+    }
+    assert(e.getMessage.contains("dist"))
+  }
+
   test("dedupSpans: global first occurrence wins, within-doc repeats cut, " +
       "all-boilerplate docs vanish, partial tail segments kept") {
     val docs = Seq(

@@ -163,4 +163,37 @@ object KernelEquivalenceSpec extends Properties("graft-kernels") {
           .collect()(0)
         row.getLong(0) == row.getLong(1)
     }
+
+  // containsNull=true TYPES must analyze (transform/lambda outputs are
+  // typed that way even when null-free); the null-free CONTRACT moves to
+  // runtime — an actual null element raises instead of corrupting the count
+  property("graft_sorted_isect accepts containsNull=true null-free input") =
+    forAll(Gen.listOf(Gen.choose(-50L, 50L))) { a =>
+      val sa = a.distinct.sorted
+      val row = Seq(Tuple1(sa)).toDF("raw")
+        // transform(x -> x) retypes the array containsNull=true
+        .select(transform(col("raw"), x => x).as("a"))
+        .select(graft.functions.VectorExpressions
+          .sortedIntersectSize(col("a"), col("a")).as("native"))
+        .collect()(0)
+      row.getLong(0) == sa.size.toLong
+    }
+
+  property("graft_sorted_isect raises on an actual null element") =
+    forAll(Gen.choose(-50L, 50L)) { v =>
+      val df = Seq(Tuple1(Seq[java.lang.Long](null, v)))
+        .toDF("a")
+        .select(col("a").cast("array<long>").as("a"))
+      try {
+        df.select(graft.functions.VectorExpressions
+          .sortedIntersectSize(col("a"), col("a"))).collect()
+        false
+      } catch {
+        case e: Throwable =>
+          var c: Throwable = e
+          while (c.getCause != null && !c.getMessage.contains("null element"))
+            c = c.getCause
+          c.getMessage.contains("null element")
+      }
+    }
 }

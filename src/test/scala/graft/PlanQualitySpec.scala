@@ -101,6 +101,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q102 IVF-PQ: the probed-list semi join bounds BOTH reads of the " +
+      "corpus (scoring explode and re-rank), everything small broadcast") {
+    val p = SparkEntry.queries("q102_ivfpq_search")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    // exactly ONE subspace explode (the PQ scoring pass)...
+    assert("Generate".r.findAllIn(p).size == 1,
+      s"expected exactly 1 Generate (subspace posexplode):\n$p")
+    // ...and the probed-cluster LeftSemi restriction present on BOTH
+    // corpus subtrees — dropping it from the scoring side (reverting to
+    // a flat-PQ full scan) leaves only the re-rank's copy and fails here
+    assert("LeftSemi".r.findAllIn(p).size == 2,
+      s"expected the probed-list semi join under scoring AND re-rank:\n$p")
+    // the explode consumes the RESTRICTED corpus: its subtree (printed
+    // directly below it, depth-first) carries a LeftSemi before any
+    // other Generate could appear (there is only one)
+    val gen = p.indexOf("Generate")
+    assert(p.indexOf("LeftSemi", gen) > gen,
+      s"no probed-list restriction below the subspace explode:\n$p")
+  }
+
   test("q71 stratified sample: per-group limit pushed below the sort " +
       "(WindowGroupLimit), no stratum fully sorted") {
     val p = plan("q71_stratified_sample")

@@ -25,6 +25,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(_.getSeq[Double](2).length === subDim))
   }
 
+  test("PQ raises at runtime when m*subDim != the vector dimension " +
+      "(slice would silently quantize truncated subspaces)") {
+    // embeddings are 64-dim; 16*3 = 48 is a plausible-looking mis-config
+    val cbs = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m, subDim, ksub, iters = 1).localCheckpoint(true)
+    val e = intercept[Exception] {
+      Similarity.pqEncode(emb, "vec_id", "embedding", cbs, m, 3).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("m*subDim")), e)
+  }
+
   test("pqEncode: every vector gets exactly one code per subspace, " +
       "codes come from that subspace's codebook") {
     import spark.implicits._
@@ -62,6 +75,34 @@ class SimilaritySpec extends AnyFunSuite {
       .limit(10).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(pq === brute)
+  }
+
+  test("ivfPqSearch with a full-probed-set shortlist == ivfTopK: the PQ " +
+      "stage scores EXACTLY the probed lists, re-rank is exact") {
+    import spark.implicits._
+    val e = emb
+    val n = e.count().toInt
+    val cents = e.orderBy($"vec_id").limit(8)
+      .select($"vec_id".as("c_id"), Similarity.vecD($"embedding").as("cv"))
+      .localCheckpoint(true)
+    val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+      m, subDim, ksub, iters = 2).localCheckpoint(true)
+    val qv = e.orderBy($"vec_id".desc).limit(1)
+      .select($"vec_id".as("q_id"), Similarity.vecD($"embedding").as("qv"))
+      .localCheckpoint(true)
+    // shortlist >= corpus: every PQ-scored vector reaches the exact
+    // re-rank, so the output must equal plain IVF search — any vector
+    // scored from an UNPROBED list (flat-PQ regression) or any probed
+    // vector NOT scored would break the equality
+    val ivfpq = Similarity.ivfPqSearch(e, "vec_id", "embedding", cents,
+        cbs, qv, m, subDim, nProbe = 2, shortlist = n, k = 10)
+      .select("vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", cents, qv,
+        k = 10, nProbe = 2)
+      .select("vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfpq === ivf)
   }
 
   test("encode d2 == the public unhoisted l2sq bitwise; pqTrain is " +
