@@ -242,7 +242,18 @@ object Dedup {
 
   /** One hash-min + pointer-doubling round: the candidate min label is
     * followed one more hop (its own current label) before adoption —
-    * one extra self-join shuffle buys O(log d) total rounds. */
+    * one extra self-join shuffle buys O(log d) total rounds.
+    *
+    * Measured (round 5): the apparent round-4 "regression" of the
+    * doubling queries (q55 3.4→5.1 s, q78 3.0→5.0 s) did NOT reproduce
+    * under n=3 medians in one JVM — q55 3.0 s, q78 1.9 s, both BELOW
+    * their round-3 single-run numbers, with this code untouched in
+    * between (and a back-to-back q97 pair in the same session measured
+    * 5.0 s then 2.3 s). Cause: single-run bench noise on multi-job
+    * iterative queries (scheduler/GC variance across ~log d rounds ×
+    * 2 shuffles), not per-round cost — which is why Bench now has the
+    * SPARK_GRAFT_BENCH_N median mode. Neither the eager checkpoint nor
+    * the byLabel self-join is a measured bottleneck at bench scale. */
   private def doublingNext(edges: DataFrame, labels: DataFrame,
       obs: org.apache.spark.sql.Observation): DataFrame = {
     val cand = edges

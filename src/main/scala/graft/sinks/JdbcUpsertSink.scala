@@ -232,6 +232,49 @@ final case class JdbcUpsertSink(
     }
   }
 
+  /** W5 tombstone path — targeted DELETE by key: PreparedStatement
+    * batches, one transaction per partition, idempotent (deleting an
+    * absent key is a no-op, so micro-batch replays after failure are
+    * harmless). `df` needs only the key columns. */
+  def deleteByKeys(df: DataFrame): Unit = {
+    val schema = df.schema
+    val keys = keyCols
+    val delSql = s"DELETE FROM $table WHERE " +
+      keys.map(k => s"$k = ?").mkString(" AND ")
+    val u = url; val bs = batchSize
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val c = DriverManager.getConnection(u)
+      c.setAutoCommit(false)
+      try {
+        val ps = c.prepareStatement(delSql)
+        var n = 0
+        rows.foreach { r =>
+          setParams(ps, r, keys, schema); ps.addBatch(); n += 1
+          if (n % bs == 0) ps.executeBatch()
+        }
+        ps.executeBatch()
+        c.commit() // W7: one transaction per partition
+      } catch { case e: Throwable => c.rollback(); throw e }
+      finally c.close()
+    }
+  }
+
+  /** Streaming CDC apply — the consumer side of q95's changelog: each
+    * micro-batch carries (`opCol`, key cols, value cols); `'D'` rows
+    * DELETE by key, everything else staged-MERGEs (insert-or-update).
+    * Exactly-once across checkpoint restarts for the same reason the
+    * plain MERGE hookup is: a replayed epoch re-deletes absent keys
+    * (no-op) and re-matches the MERGE. Contract: at most ONE op per key
+    * per epoch (standard CDC compaction — an uncompacted
+    * delete-then-insert of one key inside one epoch would apply in
+    * arbitrary relative order across partitions). */
+  def foreachBatchCdc(opCol: String = "op"): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) => {
+      deleteByKeys(batch.filter(batch(opCol) === "D")
+        .select(keyCols.map(batch(_)): _*))
+      upsertStagedMerge(batch.filter(batch(opCol) =!= "D").drop(opCol))
+    }
+
   /** Streaming hookup: `stream.writeStream.foreachBatch(sink.foreachBatch(...))`
     * — each epoch is one idempotent keyed upsert (exactly-once on replay). */
   def foreachBatch(guard: Row => Boolean = _ => true)

@@ -102,6 +102,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.queryCount("video = 'dQw4w9WgXcQ'") === 1)
   }
 
+  test("streaming CDC loop: q95's changelog through a file stream + " +
+      "foreachBatchCdc with a mid-stream checkpoint restart " +
+      "reconstructs the NEW snapshot exactly") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sinks.JdbcUpsertSink
+    import spark.implicits._
+
+    // the exact q95 fixture: OLD snapshot, NEW snapshot, derived changelog
+    val sf = "/root/testdata/sf0.001"
+    val o = Tables.orders(spark, sf)
+      .select($"o_orderkey".as("k"),
+        round($"o_totalprice" * 100, 0).cast("long").as("p100"))
+    val prev = o.filter($"k" % 97 =!= 0).select($"k", $"p100".as("p"))
+    val curr = o.filter($"k" % 89 =!= 0)
+      .select($"k", when($"k" % 13 === 0, $"p100" + 100L)
+        .otherwise($"p100").as("p"))
+    val changelog = prev.select($"k", $"p".as("p_old"))
+      .join(curr.select($"k", $"p".as("p_new")), Seq("k"), "full_outer")
+      .withColumn("op",
+        when($"p_new".isNull, "D")
+          .when($"p_old".isNull || $"p_old" =!= $"p_new", "U"))
+      .filter($"op".isNotNull)
+      .select($"k", $"op", $"p_new".as("p"))
+      .orderBy($"k").collect()
+    assert(changelog.length > 10, "fixture degenerate: changelog too small")
+
+    val sink = JdbcUpsertSink("jdbc:derby:memory:cdc_apply;create=true",
+      "snapshot", Seq("k"))
+    sink.execDdl("CREATE TABLE snapshot (k BIGINT PRIMARY KEY, p BIGINT)")
+    sink.append(prev) // seed with the OLD snapshot
+
+    val dir = Files.createTempDirectory("cdc_src").toString
+    val ckpt = Files.createTempDirectory("cdc_ckpt").toString
+    def jline(r: org.apache.spark.sql.Row): String =
+      if (r.getString(1) == "D") s"""{"k":${r.getLong(0)},"op":"D"}"""
+      else s"""{"k":${r.getLong(0)},"op":"U","p":${r.getLong(2)}}"""
+    def writeJsonl(name: String,
+        rows: Seq[org.apache.spark.sql.Row]): Unit =
+      Files.write(Paths.get(dir, name),
+        rows.map(jline).mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("k LONG, op STRING, p LONG")
+        .json(dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(sink.foreachBatchCdc("op"))
+        .start()
+      q.awaitTermination()
+    }
+
+    // first half of the changelog, then a FULL query restart from the
+    // same checkpoint; the second file re-delivers the tail of the first
+    // (CDC at-least-once) — deletes of absent keys no-op, upserts
+    // re-match, so the restart + replay must not corrupt the snapshot
+    val (half1, half2) = changelog.toSeq.splitAt(changelog.length / 2)
+    writeJsonl("epoch1.json", half1)
+    runOnce()
+    writeJsonl("epoch2.json", half2 ++ half1.takeRight(3))
+    runOnce()
+
+    val c = java.sql.DriverManager.getConnection(
+      "jdbc:derby:memory:cdc_apply")
+    val got = try {
+      val rs = c.createStatement().executeQuery("SELECT k, p FROM snapshot")
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getLong(2))).toVector.sorted
+    } finally c.close()
+    val want = curr.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toVector.sorted
+    assert(got === want) // the batch q95 contract, closed over streaming
+  }
+
   test("incremental corpus dedup sketch: per-epoch minhash-union MERGEs " +
       "into Derby by element-wise min — no old docs revisited") {
     import spark.implicits._
