@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Synthesize a one-off 10x documents+embeddings fixture for the scale
+probe (tools/scale10/, NOT /root/testdata -- the driver contract stays
+untouched).
+
+Design: 10 DISJOINT copies of the sf0.1 workload, so linear scaling is
+the correct expectation for every bucketed family:
+
+- documents: shard j offsets doc_id by j*1_000_000 and suffixes every
+  whitespace token with "_j". Intra-shard duplicate/near-dup structure
+  is EXACTLY the original (consistent token renaming preserves shingle
+  equality within a shard); cross-shard shingle overlap is zero, so the
+  duplicate density per row -- the thing that drives LSH/PPJoin/SimHash
+  candidate counts -- stays constant at 10x rows.
+- embeddings: shard j applies a seeded SIGNED PERMUTATION of the 64
+  dims (an orthogonal transform): intra-shard dot products and norms
+  are bit-preserved, cross-shard cosines are scrambled noise. vec_id
+  offsets as above, label copied.
+
+Deterministic (seed derived per shard). Run once:
+    python3 tools/gen_scale10.py
+"""
+import random
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OUT = "tools/scale10"
+SHARDS = 10
+OFF = 1_000_000
+
+con = duckdb.connect()
+
+import os
+os.makedirs(OUT, exist_ok=True)
+
+# documents: token-suffix remap per shard (pure SQL: suffix every token)
+doc_parts = []
+for j in range(SHARDS):
+    doc_parts.append(f"""
+      SELECT doc_id + {j * OFF} AS doc_id,
+        array_to_string(list_transform(string_split(text, ' '),
+          t -> t || '_{j}'), ' ') AS text,
+        lang, source, n_chars
+      FROM read_parquet('{SRC}/documents.parquet')""")
+con.execute(f"""
+  COPY ({' UNION ALL '.join(doc_parts)})
+  TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
+
+# embeddings: signed dim-permutation per shard
+emb_parts = []
+for j in range(SHARDS):
+    rng = random.Random(42 + j)
+    perm = list(range(1, 65))
+    if j > 0:  # shard 0 keeps the identity (the 1x corpus embeds as-is)
+        rng.shuffle(perm)
+    signs = [1.0 if j == 0 or rng.random() < 0.5 else -1.0
+             for _ in range(64)]
+    elems = ", ".join(
+        f"embedding[{perm[i]}] * {signs[i]}" for i in range(64))
+    emb_parts.append(f"""
+      SELECT vec_id + {j * OFF} AS vec_id,
+        [{elems}]::FLOAT[] AS embedding, label
+      FROM read_parquet('{SRC}/embeddings.parquet')""")
+con.execute(f"""
+  COPY ({' UNION ALL '.join(emb_parts)})
+  TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
+
+for t in ("documents", "embeddings"):
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')"
+    ).fetchone()[0]
+    print(f"{t}: {n} rows")
