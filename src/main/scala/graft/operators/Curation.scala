@@ -252,6 +252,23 @@ object Curation {
       .drop("_best")
   }
 
+  /** [NS] — trained-filter scoring gate: a linear model w·x + b over
+    * per-row INTEGER features — the shape of a fasttext-style quality
+    * filter applied at ingest scale. Weights ride the plan as literals:
+    * no join, no broadcast, no shuffle, pure codegen'd integer
+    * arithmetic, so the SAME rows pass on every engine and partitioning.
+    * (A float sigmoid would put threshold-adjacent rows at the mercy of
+    * libm's last ulps; the sigmoid is monotone, so thresholding the raw
+    * linear score is the identical gate, exactly.) */
+  def linearModelScore(features: Seq[Column], weights: Seq[Long],
+      bias: Long): Column = {
+    require(features.nonEmpty && features.length == weights.length,
+      s"linearModelScore: ${features.length} features vs " +
+        s"${weights.length} weights")
+    features.zip(weights).map { case (f, w) => f.cast("long") * lit(w) }
+      .reduce(_ + _) + lit(bias)
+  }
+
   /** [NS] — distributed-EXACT z-score outlier flags over an integral
     * value column: marks rows where |x − μ| > k·σ of their group WITHOUT
     * float variance, via `(n·x − S)² > k²·(n·SS − S²)` (both sides the

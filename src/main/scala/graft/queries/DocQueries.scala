@@ -778,10 +778,49 @@ object DocQueries {
       WHERE rk <= 3 ORDER BY source, rk"""),
     doc = "SURVEY §2.10 Aggregator: bounded mergeable top-k vs the window oracle")
 
+  /** [NS] — model-gate filtering, the stage after q27's heuristics in a
+    * real curation pipeline: a (fixed, "trained") linear quality model
+    * over integer text features gates documents at ingest; output =
+    * per-lang survivor counts + exact sums. Weights are plan literals
+    * ([[graft.operators.Curation.linearModelScore]]): no join/shuffle in
+    * the gate, and integer math means the SAME rows pass on both
+    * engines — no sigmoid-threshold float hazard (the sigmoid is
+    * monotone, so the linear threshold is the identical gate). Weights
+    * chosen so no fixture row scores exactly 0 at any SF (verified in
+    * DuckDB: 416/84, 419/81, 4141/859 pass/fail at sf0.001/0.01/0.1). */
+  val q103ModelGate = Q(
+    "q103_model_gate",
+    (s, d) => {
+      import s.implicits._
+      val nTokens = size(split($"text", " ")).cast("long")
+      val nPunct = (length($"text") -
+        length(regexp_replace($"text", "[.,!?;:]", ""))).cast("long")
+      Tables.documents(s, d)
+        .withColumn("score", graft.operators.Curation.linearModelScore(
+          Seq($"n_chars", nTokens, nPunct), Seq(2L, 25L, -35L), -900L))
+        .filter($"score" > 0)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_pass"), sum($"score").as("sum_score"),
+          sum($"n_chars").as("sum_chars"))
+        .orderBy($"lang")
+    },
+    Some("""WITH f AS (SELECT lang, n_chars,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+          AS BIGINT) AS n_punct
+      FROM documents),
+      sc AS (SELECT lang, n_chars,
+        2*n_chars + 25*n_tokens - 35*n_punct - 900 AS score FROM f)
+      SELECT lang, count(*) AS n_pass,
+        CAST(sum(score) AS BIGINT) AS sum_score,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM sc WHERE score > 0 GROUP BY lang ORDER BY lang"""),
+    doc = "[NS] linear model-scoring gate (fasttext-style quality filter shape)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
     q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations,
     q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize,
-    q97CcHybrid, q101TopkAgg)
+    q97CcHybrid, q101TopkAgg, q103ModelGate)
 }

@@ -149,6 +149,18 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("linearModelScore: exact integer w·x + b, mismatched shapes refused") {
+    val df = Seq((1L, 10L, 3L), (2L, 0L, 7L)).toDF("id", "f1", "f2")
+    val out = df.withColumn("s", Curation.linearModelScore(
+        Seq(col("f1"), col("f2")), Seq(2L, -5L), 4L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out === Map(1L -> (2 * 10 - 5 * 3 + 4).toLong,
+      2L -> (2 * 0 - 5 * 7 + 4).toLong))
+    intercept[IllegalArgumentException] {
+      Curation.linearModelScore(Seq(col("f1")), Seq(1L, 2L), 0L)
+    }
+  }
+
   test("fuzzyNormalize refuses inputs that already carry its output " +
       "columns instead of silently clobbering them") {
     val df = Seq((1L, "cat", "precious")).toDF("id", "w", "dist")

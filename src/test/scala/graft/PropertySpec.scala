@@ -134,6 +134,40 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  // docs over a tiny vocab so cross-doc segment collisions are common —
+  // exactly what the global-first-occurrence rule must arbitrate
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    nDocs <- Gen.choose(2, 8)
+    docs <- Gen.listOfN(nDocs, Gen.choose(0, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("[NS] dedupSpans matches a JVM first-occurrence reference") =
+    forAll(corpusGen, Gen.choose(1, 3)) { (docs, n) =>
+      // reference: global first occurrence by (doc_id, seg_idx), kept
+      // segments reassembled in order — independent re-derivation of the
+      // C4/Dolma cut over the same segmentation
+      val segs = docs.filter(_._2.nonEmpty).flatMap { case (id, t) =>
+        t.split(" ", -1).grouped(n).zipWithIndex
+          .map { case (ws, i) => (id, i.toLong, ws.mkString(" ")) }
+      }
+      val firsts = segs.groupBy(_._3).map { case (seg, occ) =>
+        seg -> occ.map(o => (o._1, o._2)).min
+      }
+      val expected = segs
+        .filter(s => firsts(s._3) == ((s._1, s._2)))
+        .groupBy(_._1)
+        .map { case (id, kept) =>
+          id -> ((kept.sortBy(_._2).map(_._3).mkString(" "),
+            kept.size.toLong))
+        }
+      val got = graft.operators.Curation
+        .dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      got == expected
+    }
+
   property("[NS] kmeans centroids invariant under repartitioning") =
     forAll(Gen.choose(2, 5), Gen.choose(1, 7)) { (k, parts) =>
       val vecs = (0L until 20L).map(i =>
