@@ -252,6 +252,48 @@ object Curation {
       .drop("_best")
   }
 
+  /** [NS] — OOV-rate gate, the exact-arithmetic stand-in for
+    * LM-perplexity filtering (the CCNet-style curation stage): a probe
+    * document is flagged when more than `maxOovPct`% of its DISTINCT
+    * word bigrams are absent from the reference corpus's frequent-gram
+    * vocabulary — gibberish and out-of-domain text rate high, fluent
+    * in-domain text low. (True perplexity needs ln(); libm last-ulp
+    * differences across engines make a float threshold unverifiable —
+    * this gate is all integer cross-multiplications, so the SAME docs
+    * flag everywhere.) The vocabulary floor is RELATIVE, df·vocabDenom
+    * ≥ |reference| — an absolute document-frequency floor is
+    * meaningless across corpus sizes.
+    *
+    * Scale shape: grams travel as 64-bit hashes; the vocab is one
+    * combining aggregate over the reference plus a 1-row broadcast of
+    * its size; the probe pays one explode + one equi-join on the 8-byte
+    * key + one groupBy(doc). No broadcast hint on the vocab — it scales
+    * with the reference, AQE picks the side. Docs with fewer than 2
+    * words have no bigrams and are absent from the output (nothing to
+    * rate). Output: (idCol, n_grams, n_oov, oov_flag). */
+  def oovGate(reference: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String, vocabDenom: Int = 13,
+      maxOovPct: Int = 93): DataFrame = {
+    require(vocabDenom > 0 && maxOovPct >= 0,
+      s"oovGate: vocabDenom=$vocabDenom maxOovPct=$maxOovPct")
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(graft.functions.ShingleExpression
+        .wordShingleHashes(col(textCol), 2)).as("gh"))
+    val nRef = reference.select(count(lit(1)).as("_nref"))
+    val vocab = grams(reference)
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nRef)) // 1-row corpus size rides the plan
+      .filter(col("df") * vocabDenom >= col("_nref"))
+      .select(col("gh"), lit(1L).as("_known"))
+    grams(probe)
+      .join(vocab, Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("_known").isNull, 1)).as("n_oov"))
+      .withColumn("oov_flag",
+        col("n_oov") * 100 > lit(maxOovPct.toLong) * col("n_grams"))
+  }
+
   /** [NS] — trained-filter scoring gate: a linear model w·x + b over
     * per-row INTEGER features — the shape of a fasttext-style quality
     * filter applied at ingest scale. Weights ride the plan as literals:

@@ -346,7 +346,52 @@ object CurationQueries {
       FROM kept GROUP BY doc_id ORDER BY doc_id"""),
     doc = "[NS] C4/Dolma-style duplicate-span removal with per-doc rebuild")
 
+  /** [NS] — OOV-rate gate (q104): probe docs (hash-split 20%) rated
+    * against the train split's frequent-bigram vocabulary; flagged when
+    * > 93% of a doc's distinct bigrams are out-of-vocabulary
+    * ([[Curation.oovGate]] — the exact-integer stand-in for perplexity
+    * filtering; ln() cannot be made bit-identical across engines).
+    * Vocab floor is relative (df·13 ≥ |train|), so the query's meaning
+    * survives any corpus size. Params tuned in DuckDB: 61/59 of 105
+    * probe docs flag at sf0.001/sf0.01 with ZERO boundary rows
+    * (n_oov·100 = 93·n_grams) at any SF — the integer compare can't
+    * tie-break differently between engines. */
+  val q104OovGate = Q(
+    "q104_oov_gate",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val b = Curation.hashBucket($"doc_id", 100)
+      Curation.oovGate(docs.filter(b < 80), docs.filter(b >= 80),
+          "doc_id", "text", vocabDenom = 13, maxOovPct = 93)
+        .filter($"oov_flag")
+        .select($"doc_id", $"n_grams", $"n_oov")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, text,
+        CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) % 100 AS b
+      FROM documents),
+      rc AS (SELECT count(*) AS n_ref FROM d WHERE b < 80),
+      refg AS (SELECT doc_id,
+          unnest(list_distinct(list_transform(range(1, len(l)),
+            i -> l[i] || ' ' || l[i+1]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+          FROM d WHERE b < 80)),
+      vocab AS (SELECT gram FROM refg, rc GROUP BY gram, rc.n_ref
+        HAVING count(*) * 13 >= rc.n_ref),
+      pg AS (SELECT doc_id,
+          unnest(list_distinct(list_transform(range(1, len(l)),
+            i -> l[i] || ' ' || l[i+1]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS l
+          FROM d WHERE b >= 80)),
+      j AS (SELECT pg.doc_id, count(*) AS n_grams,
+          count(CASE WHEN v.gram IS NULL THEN 1 END) AS n_oov
+        FROM pg LEFT JOIN vocab v USING (gram) GROUP BY pg.doc_id)
+      SELECT doc_id, n_grams, n_oov FROM j
+      WHERE n_oov * 100 > 93 * n_grams ORDER BY doc_id"""),
+    doc = "[NS] OOV-rate gate vs reference vocab (perplexity-filter stand-in)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
-    q73TokenBudget, q92ChunkRebuild, q99SpanDedup)
+    q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate)
 }

@@ -149,6 +149,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("oovGate: relative vocab floor, exact integer threshold, " +
+      "gram-less docs absent") {
+    val ref = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b e"))
+      .toDF("doc_id", "text")
+    // vocab at denom=1: df >= |ref|=3 -> only "a b" (df 3) survives
+    val probe = Seq((10L, "a b x"), (11L, "z")).toDF("doc_id", "text")
+    def run(pct: Int) = Curation.oovGate(ref, probe, "doc_id", "text",
+        vocabDenom = 1, maxOovPct = pct)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // doc 10: bigrams {a b, b x} -> 1 OOV of 2; doc 11: no bigram -> absent
+    val at40 = run(40)
+    assert(at40 === Map(10L -> ((2L, 1L, true)))) // 100 > 80
+    val at50 = run(50)
+    assert(at50 === Map(10L -> ((2L, 1L, false)))) // 100 > 100 is false
+  }
+
   test("linearModelScore: exact integer w·x + b, mismatched shapes refused") {
     val df = Seq((1L, 10L, 3L), (2L, 0L, 7L)).toDF("id", "f1", "f2")
     val out = df.withColumn("s", Curation.linearModelScore(
