@@ -429,24 +429,24 @@ object Dedup {
     df.select(col(idCol),
       graft.functions.SimHashExpression.simhash64(col(textCol)).as("simhash64"))
 
-  /** D5 — SimHash near-dup pairs within Hamming distance `maxDist` (< 4):
-    * (doc_a, doc_b, hamming), doc_a < doc_b. Candidates via 4×16-bit band
-    * equi-join on the 64-bit signature — any pair within distance 3 has
-    * at least one of its ≤3 differing bits-free bands exact (pigeonhole
-    * over 4 bands), so banding is lossless; verification is
-    * `bit_count(a ^ b)`. The only exchange is the (band, key) join;
-    * signatures travel as single longs. */
-  def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
+  /** D5 — banded Hamming-pair join over ANY 64-bit signature column
+    * (SimHash text sketches, perceptual image hashes): (doc_a, doc_b,
+    * hamming), doc_a < doc_b, Hamming ≤ `maxDist` (< 4). Candidates via
+    * 4×16-bit band equi-join — any pair within distance 3 has at least
+    * one differing-bits-free band exact (pigeonhole over 4 bands), so
+    * banding is lossless; verification is `bit_count(a ^ b)`. The only
+    * exchange is the (band, key) join; signatures travel as single
+    * longs. */
+  def hammingPairs64(sigs: DataFrame, idCol: String, sigCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 4,
       s"4 bands are only lossless for Hamming <= 3, got $maxDist")
-    val sigs = simhash64(df, idCol, textCol)
     // both sides of the band self-join read this; materialize ONCE (the
     // signature kernel is the expensive map stage — an unpinned plan
     // computes it per side, same rationale as minhashLshCandidates)
-    val bands = sigs.select(col(idCol), col("simhash64"),
+    val bands = sigs.select(col(idCol), col(sigCol),
       posexplode(array((0 until 4).map(b =>
-        expr(s"shiftrightunsigned(simhash64, ${48 - 16 * b}) & 65535")): _*))
+        expr(s"shiftrightunsigned(`$sigCol`, ${48 - 16 * b}) & 65535")): _*))
         .as(Seq("band", "key")))
       .localCheckpoint()
     // verification (a per-row bit_count, codegen'd) runs BEFORE the
@@ -459,9 +459,16 @@ object Dedup {
         col("x.key") === col("y.key") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"),
-        expr("cast(bit_count(x.simhash64 ^ y.simhash64) as bigint)")
+        expr(s"cast(bit_count(x.`$sigCol` ^ y.`$sigCol`) as bigint)")
           .as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** D5 — SimHash near-dup pairs within Hamming distance `maxDist` (< 4):
+    * the 64-bit text signature fed through [[hammingPairs64]]. */
+  def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame =
+    hammingPairs64(simhash64(df, idCol, textCol), idCol, "simhash64",
+      maxDist)
 }

@@ -176,6 +176,75 @@ object Multimodal {
       }
   }
 
+  /** Perceptual-hash row. `decoded=false` marks stub-fallback rows. */
+  case class MediaHash(id: Long, phash: Long, decoded: Boolean)
+
+  /** 64-bit average-hash (aHash, the classic public perceptual
+    * signature): pixels → 8×8 INTEGER block means (each cell averages
+    * its own pixels — no float resampling filter, so the hash is exact
+    * and engine/JVM-independent) → one bit per cell, set when the
+    * cell's mean luminance (ITU-R 601 integer weights, truncating
+    * division) exceeds the global mean. Robust to re-encode/resize
+    * blur, which byte-level exact dedup (D4) cannot see. */
+  private[operators] def averageHash(img: BufferedImage): Long = {
+    val gw = 8; val gh = 8
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](gw * gh)
+    val counts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(gh - 1, (y.toLong * gh / h).toInt)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(gw - 1, (x.toLong * gw / w).toInt)
+        val rgb = img.getRGB(x, y)
+        sums(cy * gw + cx) += 299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        counts(cy * gw + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // truncating integer means bound every compared value by 255_000 —
+    // no overflow at any image size (a cross-multiplication of raw sums
+    // would overflow past ~40 MP)
+    val means = Array.tabulate(gw * gh)(c =>
+      if (counts(c) == 0) 0L else sums(c) / counts(c))
+    val global = means.sum / (gw * gh)
+    var bits = 0L
+    var c = 0
+    while (c < gw * gh) {
+      if (means(c) > global) bits |= (1L << (63 - c))
+      c += 1
+    }
+    bits
+  }
+
+  /** Perceptual-hash pass: (id, payload BINARY) → 64-bit aHash,
+    * partition-at-a-time (codec init amortized). Unreadable payloads get
+    * a stable byte-derived stub hash, flagged `decoded=false` — exact
+    * byte copies of an undecodable blob still collide (D4 semantics),
+    * but no perceptual claim is made for them. Downstream: feed to
+    * [[Dedup.hammingPairs64]] for banded near-dup pairs — image dedup
+    * rides the same lossless 4×16-bit band join as SimHash text dedup,
+    * one exchange, signatures as single longs. */
+  def perceptualHash(df: DataFrame)(
+      implicit spark: SparkSession): Dataset[MediaHash] = {
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          readImage(bytes) match {
+            case Some(img) => MediaHash(id, averageHash(img), decoded = true)
+            case None => MediaHash(id,
+              java.util.Arrays.hashCode(bytes).toLong, decoded = false)
+          }
+        }
+      }
+  }
+
   /** Resized-media row: payload replaced by the (stub-)resized bytes. */
   case class ResizedMedia(id: Long, width: Int, height: Int,
       payload: Array[Byte])

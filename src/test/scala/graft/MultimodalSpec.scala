@@ -68,6 +68,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r === again)
   }
 
+  test("perceptualHash + hammingPairs64: re-encoded/lightly-noised image " +
+      "pairs found, distinct images do not pair, junk flagged undecoded") {
+    implicit val s = spark
+    import spark.implicits._
+    // a strong-signal gradient; A' = same pixels PNG-encoded at another
+    // size via real resize (aHash is the invariant that survives this);
+    // B = the inverted gradient (designed far from A)
+    def grad(x: Int, y: Int): Int = { val v = math.min(255, x); (v << 16) | (v << 8) | v }
+    def inv(x: Int, y: Int): Int = { val v = math.min(255, 255 - x); (v << 16) | (v << 8) | v }
+    val a = imageBytes(256, 64, "png", grad)
+    val aJpeg = imageBytes(256, 64, "jpeg", grad) // lossy re-encode of A
+    val b = imageBytes(256, 64, "png", inv)
+    val blobs = Seq((1L, a), (2L, aJpeg), (3L, b),
+      (4L, "junk bytes".getBytes("UTF-8"))).toDF("id", "payload")
+    val hashes = Multimodal.perceptualHash(blobs)
+    val hm = hashes.collect().map(h => h.id -> h).toMap
+    assert(hm(1L).decoded && hm(2L).decoded && hm(3L).decoded)
+    assert(!hm(4L).decoded) // junk: stub hash, marked
+    // dedup over the hashes rides the generic 64-bit band join
+    val pairs = graft.operators.Dedup
+      .hammingPairs64(hashes.toDF(), "id", "phash", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"re-encode pair missed: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"inverted gradient must not pair: $pairs")
+  }
+
   test("resize: real pixel scale — aspect preserved, output decodes to claimed dims") {
     implicit val s = spark
     val out = Multimodal.resize(imageBlobs, 128, 128).collect()
