@@ -91,6 +91,40 @@ object Similarity {
     df.join(dropped, col(idCol) === col("_drop"), "left_anti")
   }
 
+  /** [NS] — hard-negative mining for contrastive training: for each
+    * anchor (rows passing `anchorFilter`, a predicate over df's own
+    * columns), the `k` most-similar SAME-LSH-BUCKET vectors carrying a
+    * DIFFERENT label — the high-similarity wrong-class examples a
+    * metric-learning pipeline pairs against its positives. Candidates
+    * ride the sign-bucket equi-join (one shuffle; pairwise work only
+    * within buckets — an anchor×corpus brute force never materializes),
+    * and the per-anchor top-k is a rank window that plans as
+    * WindowGroupLimit, so no anchor's candidate list is fully sorted.
+    * Rounded cosine + neg-id tie-break keep the selection total-ordered
+    * across engines and partitionings. Output: (anchor, neg, cos, rk). */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, bits: Int, k: Int,
+      anchorFilter: Column = lit(true)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(idCol), vecD(col(vecCol)).as("v"), col(labelCol))
+      .withColumn("bucket", signBucket(col("v"), bits))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = e.filter(anchorFilter).select(col(idCol).as("anchor"),
+      col("v").as("va"), col(labelCol).as("_la"), col("bucket"),
+      col("nrm").as("na"))
+    val b = e.select(col(idCol).as("neg"), col("v").as("vb"),
+      col(labelCol).as("_lb"), col("bucket"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(col("cos").desc, col("neg").asc)
+    a.join(b, Seq("bucket")).filter(col("_la") =!= col("_lb"))
+      .withColumn("cos",
+        round(when(col("na") * col("nb") === 0.0, 0.0)
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("anchor"), col("neg"), col("cos"), col("rk"))
+  }
+
   /** IVF-style assignment: nearest (max-cosine) centroid per vector.
     * `centroids` = (c_id, cv ARRAY<DOUBLE>), broadcast. Ties → smaller
     * c_id. Output: (idCol, centroid, cos).

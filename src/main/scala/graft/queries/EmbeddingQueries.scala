@@ -481,7 +481,43 @@ object EmbeddingQueries {
       ORDER BY cos DESC, vec_id ASC LIMIT 10"""),
     doc = "[NS] IVF-pruned PQ search: probe lists, PQ-score only those, exact re-rank")
 
+  /** [NS] — hard-negative mining (q105): per anchor (every 10th vector),
+    * the 2 most-similar same-LSH-bucket vectors with a different label —
+    * the contrastive-training sampling stage
+    * ([[Similarity.hardNegatives]]). One bucket-key shuffle, per-anchor
+    * top-k via WindowGroupLimit (plan-pinned); rounded cosine + id
+    * tie-break make the selection deterministic, so the oracle mirrors
+    * it exactly. */
+  val q105HardNegatives = Q(
+    "q105_hard_negatives",
+    (s, d) => {
+      import s.implicits._
+      Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", bits = 8, k = 2,
+          anchorFilter = $"vec_id" % 10 === 0)
+        .orderBy($"anchor", $"rk")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label,
+        (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      p AS (SELECT a.vec_id AS anchor, b.vec_id AS neg,
+          round(${cosSql("a.v", "b.v")}, 6) AS cos
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.label <> b.label
+        WHERE a.vec_id % 10 = 0),
+      r AS (SELECT *, row_number() OVER (PARTITION BY anchor
+          ORDER BY cos DESC, neg ASC) AS rk FROM p)
+      SELECT anchor, neg, cos, rk FROM r WHERE rk <= 2
+      ORDER BY anchor, rk"""),
+    doc = "[NS] contrastive hard-negative mining (bucketed, per-anchor top-k)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
-    q98SemanticDedup, q100PqCodes, q102IvfPqSearch)
+    q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives)
 }

@@ -124,6 +124,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no probed-list restriction below the subspace explode:\n$p")
   }
 
+  test("q105 hard negatives: bucket equi-join (no cartesian), per-anchor " +
+      "top-k pushed below the sort (WindowGroupLimit)") {
+    val p = plan("q105_hard_negatives")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q71 stratified sample: per-group limit pushed below the sort " +
       "(WindowGroupLimit), no stratum fully sorted") {
     val p = plan("q71_stratified_sample")
