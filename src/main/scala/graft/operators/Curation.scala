@@ -252,6 +252,43 @@ object Curation {
       .drop("_best")
   }
 
+  /** [NS] — vocabulary build, half of the id-ification step between
+    * curation and training: the `size` most frequent whitespace tokens
+    * (count desc, token asc — fully deterministic), ids 1..size by that
+    * rank. Scale shape: the frequency aggregate combines map-side; the
+    * top-V cut is a TakeOrderedAndProject; the single-partition rank
+    * window then runs over those V rows ONLY, never the corpus — the
+    * vocab is broadcast-size BY CONSTRUCTION, like PQ codebooks.
+    * Output: (tok, id). */
+  def buildVocab(df: DataFrame, textCol: String, size: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(size > 0, s"vocab size must be positive: $size")
+    df.select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(size)
+      .withColumn("id", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+      .select(col("tok"), col("id"))
+  }
+
+  /** [NS] — token-id encoding against a [[buildVocab]] table: every doc
+    * becomes its id sequence (document order preserved; OOV → 0). One
+    * explode + one equi-join against the broadcast vocab + one
+    * combining groupBy whose collect state is bounded by a document's
+    * OWN token count (q92's rebuild bound). Output:
+    * (idCol, n_tokens, n_oov, ids ARRAY<BIGINT>). */
+  def encodeTokens(df: DataFrame, vocab: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("id").isNull, 1)).as("n_oov"),
+        expr("transform(array_sort(collect_list(struct(pos, tid))), " +
+          "x -> x.tid)").as("ids"))
+
   /** [NS] — OOV-rate gate, the exact-arithmetic stand-in for
     * LM-perplexity filtering (the CCNet-style curation stage): a probe
     * document is flagged when more than `maxOovPct`% of its DISTINCT

@@ -391,7 +391,42 @@ object CurationQueries {
       WHERE n_oov * 100 > 93 * n_grams ORDER BY doc_id"""),
     doc = "[NS] OOV-rate gate vs reference vocab (perplexity-filter stand-in)")
 
+  /** [NS] — vocabulary build + token-id encoding (q106), the
+    * id-ification step before training: top-20 token vocab (count desc,
+    * token asc), every doc encoded to its id sequence (OOV → 0,
+    * document order preserved), certified per doc by an md5 over the
+    * comma-joined ids — sequence ORDER is part of the contract, not
+    * just the multiset ([[Curation.buildVocab]]/[[Curation.encodeTokens]]).
+    * V=20 of the fixture's 31 distinct tokens keeps OOV rows real. */
+  val q106TokenIds = Q(
+    "q106_token_ids",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val vocab = Curation.buildVocab(docs, "text", size = 20)
+      Curation.encodeTokens(docs, vocab, "doc_id", "text")
+        .select($"doc_id", $"n_tokens", $"n_oov",
+          md5(concat_ws(",", expr("transform(ids, x -> cast(x as string))")))
+            .as("ids_hash"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, t.pos, l[t.pos] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        unnest(generate_series(1, len(l))) AS t(pos)),
+      vocab AS (SELECT tok,
+          row_number() OVER (ORDER BY count(*) DESC, tok) AS id
+        FROM toks GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 20),
+      enc AS (SELECT toks.doc_id, toks.pos, coalesce(v.id, 0) AS tid,
+          v.id AS vid
+        FROM toks LEFT JOIN vocab v USING (tok))
+      SELECT doc_id, count(*) AS n_tokens,
+        count(CASE WHEN vid IS NULL THEN 1 END) AS n_oov,
+        md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS ids_hash
+      FROM enc GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "[NS] vocab build + token-id encoding (order-certified id sequences)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
-    q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate)
+    q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
+    q106TokenIds)
 }
