@@ -42,9 +42,14 @@ object Bench {
     // doubling, cascades) swing ±50% on local-mode scheduling noise.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Default N=3: the official gate artifact is produced with no env vars
+    // set, and five rounds of n=1 runs have over-stated cost up to 7× on
+    // machine contention (round-5 verdict: q72 read 17.3 s vs a 2.4 s n=3
+    // median). 3 interleaved passes ≈ 3×100 s at sf0.1 — inside the driver
+    // budget; the env var can still lower it for quick local iteration.
     val n = sys.env.get("SPARK_GRAFT_BENCH_N")
       .orElse(sys.env.get("SPARK_GRAFT_REPS"))
-      .map(_.toInt).getOrElse(1).max(1)
+      .map(_.toInt).getOrElse(3).max(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (nm, _) => only.forall(_.contains(nm)) }
 
@@ -87,8 +92,15 @@ object Bench {
     }
     spark.stop()
     // FINAL stdout line, after Spark shutdown so no executor log can trail
-    // it: a grep-able marker carrying the same JSON map. The driver's parse
-    // of the plain line above has failed on truncated tails every round.
-    println("BENCH_JSON:" + json)
+    // it: a grep-able marker carrying a COMPACT copy of the JSON. The
+    // driver's tail capture keeps only the last ~2.9 KB of stdout; the
+    // round-5 full-precision line was ~3.5 KB and the marker got clipped.
+    // So: timings rounded to 3 decimals, redundant "metric"/"sf" dropped
+    // (full precision lives in bench_out.json and the plain line above).
+    def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val compactQs = perQuery.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n,"queries":$compactQs}""")
   }
 }
