@@ -344,8 +344,23 @@ object Curation {
     require(features.nonEmpty && features.length == weights.length,
       s"linearModelScore: ${features.length} features vs " +
         s"${weights.length} weights")
-    features.zip(weights).map { case (f, w) => f.cast("long") * lit(w) }
+    // Multiply-accumulate in decimal(38,0): a long w·x or running sum
+    // that overflows wraps SILENTLY in non-ANSI deployments and can flip
+    // the gate's sign for extreme feature values (round-5 ADVICE).
+    // decimal(38,0) holds any sum of long×long products for realistic
+    // widths (each product ≤ ~1.7e38 / n terms away from the cap); the
+    // final cast back to long raises under ANSI, and the explicit range
+    // check below makes the overflow loud in non-ANSI mode too (where an
+    // out-of-range decimal→long cast would yield NULL, silently failing
+    // the row instead of erroring).
+    val acc = features.zip(weights)
+      .map { case (f, w) => f.cast("decimal(38,0)") * lit(w) }
       .reduce(_ + _) + lit(bias)
+    when(acc.between(lit(Long.MinValue), lit(Long.MaxValue)),
+        acc.cast("long"))
+      .otherwise(raise_error(concat(
+        lit("linearModelScore overflow: score "), acc.cast("string"),
+        lit(" exceeds long range"))).cast("long"))
   }
 
   /** [NS] — distributed-EXACT z-score outlier flags over an integral

@@ -220,14 +220,31 @@ object Multimodal {
     bits
   }
 
+  /** FNV-1a 64-bit over raw bytes — full-width stub hash for payloads no
+    * codec can read. Full 64 bits matter: the earlier 32-bit
+    * `Arrays.hashCode` stub sign-extended, so every stub shared its upper
+    * two 16-bit bands — distinct junk blobs with near 32-bit hashCodes
+    * emitted false "near-dup" pairs AND the constant bands formed a
+    * skewed hot key in the band join (round-5 ADVICE). */
+  private def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** Perceptual-hash pass: (id, payload BINARY) → 64-bit aHash,
     * partition-at-a-time (codec init amortized). Unreadable payloads get
-    * a stable byte-derived stub hash, flagged `decoded=false` — exact
-    * byte copies of an undecodable blob still collide (D4 semantics),
-    * but no perceptual claim is made for them. Downstream: feed to
-    * [[Dedup.hammingPairs64]] for banded near-dup pairs — image dedup
-    * rides the same lossless 4×16-bit band join as SimHash text dedup,
-    * one exchange, signatures as single longs. */
+    * a stable FULL-WIDTH byte-derived stub hash ([[fnv64]]), flagged
+    * `decoded=false` — exact byte copies of an undecodable blob still
+    * collide (D4 semantics), but no perceptual claim is made for them:
+    * two distinct junk blobs land 64 independent bits apart, so they do
+    * not band-collide. Downstream: filter `decoded` before feeding
+    * [[Dedup.hammingPairs64]] (near-Hamming on a byte hash is
+    * meaningless); the exact-dup check for undecodables is equality of
+    * the stub hash, not band proximity. Image dedup rides the same
+    * lossless 4×16-bit band join as SimHash text dedup, one exchange,
+    * signatures as single longs. */
   def perceptualHash(df: DataFrame)(
       implicit spark: SparkSession): Dataset[MediaHash] = {
     import spark.implicits._
@@ -238,8 +255,7 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           readImage(bytes) match {
             case Some(img) => MediaHash(id, averageHash(img), decoded = true)
-            case None => MediaHash(id,
-              java.util.Arrays.hashCode(bytes).toLong, decoded = false)
+            case None => MediaHash(id, fnv64(bytes), decoded = false)
           }
         }
       }

@@ -106,10 +106,17 @@ object Similarity {
       labelCol: String, bits: Int, k: Int,
       anchorFilter: Column = lit(true)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = df.select(col(idCol), vecD(col(vecCol)).as("v"), col(labelCol))
-      .withColumn("bucket", signBucket(col("v"), bits))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val a = e.filter(anchorFilter).select(col(idCol).as("anchor"),
+    // anchorFilter is applied to df BEFORE the projection so it may
+    // reference ANY input column, as documented — filtering after the
+    // three-column projection failed analysis for predicates over other
+    // columns (round-5 ADVICE). Bucket/norm are recomputed on the anchor
+    // side: per-row arithmetic, no extra exchange.
+    def proj(d: DataFrame) =
+      d.select(col(idCol), vecD(col(vecCol)).as("v"), col(labelCol))
+        .withColumn("bucket", signBucket(col("v"), bits))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val e = proj(df)
+    val a = proj(df.filter(anchorFilter)).select(col(idCol).as("anchor"),
       col("v").as("va"), col(labelCol).as("_la"), col("bucket"),
       col("nrm").as("na"))
     val b = e.select(col(idCol).as("neg"), col("v").as("vb"),

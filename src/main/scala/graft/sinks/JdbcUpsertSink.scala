@@ -267,12 +267,23 @@ final case class JdbcUpsertSink(
     * (no-op) and re-matches the MERGE. Contract: at most ONE op per key
     * per epoch (standard CDC compaction — an uncompacted
     * delete-then-insert of one key inside one epoch would apply in
-    * arbitrary relative order across partitions). */
+    * arbitrary relative order across partitions). A NULL `opCol` fails
+    * the epoch loudly: under three-valued logic `null === 'D'` AND
+    * `null =!= 'D'` are both null, so a null-op row would otherwise be
+    * neither deleted nor merged — silent data loss on malformed
+    * changelog input (round-5 ADVICE). */
   def foreachBatchCdc(opCol: String = "op"): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) => {
-      deleteByKeys(batch.filter(batch(opCol) === "D")
-        .select(keyCols.map(batch(_)): _*))
-      upsertStagedMerge(batch.filter(batch(opCol) =!= "D").drop(opCol))
+      import org.apache.spark.sql.functions.{concat_ws, lit, raise_error, when}
+      val op = when(batch(opCol).isNull,
+          raise_error(concat_ws("", lit("foreachBatchCdc: NULL "),
+            lit(opCol), lit(" column in changelog epoch — row is neither "),
+            lit("a delete nor an upsert"))).cast("string"))
+        .otherwise(batch(opCol))
+      val checked = batch.withColumn(opCol, op)
+      deleteByKeys(checked.filter(checked(opCol) === "D")
+        .select(keyCols.map(checked(_)): _*))
+      upsertStagedMerge(checked.filter(checked(opCol) =!= "D").drop(opCol))
     }
 
   /** Streaming hookup: `stream.writeStream.foreachBatch(sink.foreachBatch(...))`

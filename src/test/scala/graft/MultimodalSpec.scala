@@ -81,14 +81,24 @@ class MultimodalSpec extends AnyFunSuite {
     val aJpeg = imageBytes(256, 64, "jpeg", grad) // lossy re-encode of A
     val b = imageBytes(256, 64, "png", inv)
     val blobs = Seq((1L, a), (2L, aJpeg), (3L, b),
-      (4L, "junk bytes".getBytes("UTF-8"))).toDF("id", "payload")
+      (4L, "junk bytes".getBytes("UTF-8")),
+      (5L, "different junk".getBytes("UTF-8"))).toDF("id", "payload")
     val hashes = Multimodal.perceptualHash(blobs)
     val hm = hashes.collect().map(h => h.id -> h).toMap
     assert(hm(1L).decoded && hm(2L).decoded && hm(3L).decoded)
-    assert(!hm(4L).decoded) // junk: stub hash, marked
-    // dedup over the hashes rides the generic 64-bit band join
+    assert(!hm(4L).decoded && !hm(5L).decoded) // junk: stub hash, marked
+    // full-width stub: distinct junk blobs land far apart in all four
+    // 16-bit bands (the old 32-bit stub shared its upper two bands)
+    assert((0 until 4).forall { b =>
+      ((hm(4L).phash >>> (b * 16)) & 0xffffL) !=
+        ((hm(5L).phash >>> (b * 16)) & 0xffffL)
+    }, f"junk stubs share a band: ${hm(4L).phash}%016x ${hm(5L).phash}%016x")
+    // dedup over the hashes rides the generic 64-bit band join —
+    // decoded=false rows are filtered first per the perceptualHash
+    // contract (near-Hamming on a byte hash is meaningless)
     val pairs = graft.operators.Dedup
-      .hammingPairs64(hashes.toDF(), "id", "phash", maxDist = 3)
+      .hammingPairs64(hashes.filter(_.decoded).toDF(), "id", "phash",
+        maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)), s"re-encode pair missed: $pairs")
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
