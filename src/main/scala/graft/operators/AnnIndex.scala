@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN index LIFECYCLE — train once, persist, serve many.
+  *
+  * [[Similarity.ivfPqSearch]] composes the right 100 TB plan shapes but
+  * re-trains centroids and PQ codebooks inside every query; at corpus
+  * scale, training is an offline pipeline stage and serving must read a
+  * STORED index (the reference's skip-if-archived probe,
+  * `cmds/archive.py:126-129`, is the same precomputed-state-reused shape).
+  * This object splits the two:
+  *
+  *  - [[build]] / [[buildIfAbsent]]: one-time index construction — IVF
+  *    centroids, per-subspace PQ codebooks ([[Similarity.pqTrain]]), and
+  *    per-vector codes ([[Similarity.pqEncode]]) written to parquet, the
+  *    codes HIVE-PARTITIONED BY CENTROID (the IVF-partitioned layout
+  *    BucketingSpec proves prunes directories: a probe that touches 2 of
+  *    8 lists never opens the other 6). A `_graft_index_meta.json`
+  *    fingerprint (corpus dir + geometry + format version) makes rebuilds
+  *    idempotent and lets repeated invocations skip training entirely.
+  *  - [[serve]]: answers a query from the stored tables ONLY — zero Lloyd
+  *    iterations, zero k-means jobs in the plan. The probe step collects
+  *    the nProbe nearest list ids (an O(nlist) driver read — the
+  *    driver-known probe set is what parameterizes the scan, the same
+  *    access pattern BucketingSpec pins); the codes scan is then
+  *    restricted to the probed `centroid=` partitions by a STATIC
+  *    partition filter before its single combining exchange; codebooks
+  *    joined with the query into the integer distance table ride one
+  *    broadcast, and the float re-rank touches `shortlist` corpus rows
+  *    via a broadcast join. Identical results to
+  *    [[Similarity.ivfPqSearch]] at the same geometry by construction:
+  *    stored codes are the same (d², c_id) argmins and the distance
+  *    table is built by the same rounded-dot expression.
+  *
+  * Scale notes: the index tables are tiny relative to the corpus
+  * (centroids: nlist rows; codebooks: m·ksub rows; codes: m small ints
+  * per vector — the floats stay out of the index). At 100 TB only the
+  * codes table is large, and it is exactly the table the centroid
+  * partitioning prunes to ~nProbe/nlist per query.
+  */
+object AnnIndex {
+
+  import Similarity.{cosine, vecD}
+
+  /** Bump when the on-disk layout or training semantics change — stale
+    * indexes with a different version are rebuilt, not served. */
+  private val FormatVersion = 1
+
+  def centroidsPath(dir: String) = s"$dir/centroids"
+  def codebooksPath(dir: String) = s"$dir/codebooks"
+  def codesPath(dir: String)     = s"$dir/codes"
+  private def metaPath(dir: String) = s"$dir/_graft_index_meta.json"
+
+  /** Per-corpus index location: one directory per corpus tag, so indexes
+    * for different scale factors never overwrite each other (a bench run
+    * at sf0.1 between a verify run and its oracle replay must not clobber
+    * the sf0.01 index). */
+  def defaultDir(corpusTag: String): String =
+    "/tmp/graft_ann_index/" + corpusTag.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def fingerprint(corpus: String, m: Int, subDim: Int, ksub: Int,
+      iters: Int, nlist: Int): String =
+    s"""{"version":$FormatVersion,"corpus":"$corpus","m":$m,""" +
+      s""""subDim":$subDim,"ksub":$ksub,"iters":$iters,"nlist":$nlist}"""
+
+  /** Train + persist the index. `centroids` = (c_id, cv ARRAY<DOUBLE>),
+    * the IVF coarse quantizer (caller-chosen: [[Similarity.kmeans]]
+    * output or any deterministic seed set). Three writes:
+    * centroids, codebooks (sub, c_id, cv), and codes
+    * (idCol, sub, code) partitioned by `centroid`. */
+  def build(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, m: Int, subDim: Int, ksub: Int, iters: Int,
+      dir: String): Unit = {
+    centroids.coalesce(1).write.mode("overwrite")
+      .parquet(centroidsPath(dir))
+    val cbs = Similarity.pqTrain(df, idCol, vecCol, m, subDim, ksub, iters)
+    cbs.coalesce(1).write.mode("overwrite").parquet(codebooksPath(dir))
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
+      .select(col(idCol), col("centroid"))
+    Similarity.pqEncode(df, idCol, vecCol, cbs, m, subDim)
+      .select(col(idCol), col("sub"), col("code"))
+      .join(assigned, Seq(idCol))
+      .write.mode("overwrite").partitionBy("centroid")
+      .parquet(codesPath(dir))
+  }
+
+  /** [[build]] unless a fingerprint-matching index is already on disk —
+    * the train-once half of the lifecycle: the first call of a round
+    * trains, every later call (bench repeats, re-verification, more
+    * queries against the same corpus) skips straight to serving. */
+  def buildIfAbsent(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, m: Int, subDim: Int, ksub: Int, iters: Int,
+      dir: String, corpusTag: String): Unit = {
+    val fp = fingerprint(corpusTag, m, subDim, ksub, iters, -1)
+    val meta = java.nio.file.Paths.get(metaPath(dir))
+    val fresh = java.nio.file.Files.exists(meta) &&
+      java.nio.file.Files.readString(meta) == fp
+    if (!fresh) {
+      build(df, idCol, vecCol, centroids, m, subDim, ksub, iters, dir)
+      java.nio.file.Files.createDirectories(meta.getParent)
+      java.nio.file.Files.writeString(meta, fp)
+    }
+  }
+
+  /** Serve an IVF-PQ top-k query from the STORED index. `corpus` is the
+    * raw vector table, touched only for the shortlist re-rank (broadcast
+    * semi restriction — at scale this is `shortlist` point reads, not a
+    * scan). No training job exists in this plan: centroids, codebooks
+    * and codes are parquet scans. Output matches
+    * [[Similarity.ivfPqSearch]] row-for-row at the same geometry. */
+  def serve(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, queryVec: DataFrame, m: Int,
+      subDim: Int, nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    // The index format is ours and versioned — serving reads with
+    // EXPLICIT schemas. At scale this skips per-query footer reads for
+    // inference, and it pins the partition column's type (long) so the
+    // probe filter below stays a partition filter (no cast demotion).
+    val vec = ArrayType(DoubleType)
+    val cents = spark.read.schema(StructType(Seq(
+        StructField("c_id", LongType), StructField("cv", vec))))
+      .parquet(centroidsPath(dir))
+    val cbs = spark.read.schema(StructType(Seq(
+        StructField("sub", IntegerType), StructField("c_id", LongType),
+        StructField("cv", vec))))
+      .parquet(codebooksPath(dir))
+    val codes = spark.read.schema(StructType(Seq(
+        StructField(idCol, LongType), StructField("sub", IntegerType),
+        StructField("code", LongType), StructField("centroid", LongType))))
+      .parquet(codesPath(dir))
+
+    // probe: the nProbe lists nearest the query, COLLECTED to the driver
+    // (nlist rows — thousands at 100 TB) so the probe set parameterizes
+    // the codes scan as a STATIC partition filter. This is the serving
+    // access pattern BucketingSpec pins behaviorally: unprobed
+    // `centroid=` directories are pruned at planning time and never
+    // opened, without relying on dynamic-partition-pruning heuristics.
+    val probeIds: Array[Long] = cents.crossJoin(broadcast(queryVec))
+      .withColumn("qc", round(cosine(col("cv"), col("qv")), 6))
+      .orderBy(col("qc").desc, col("c_id").asc)
+      .limit(nProbe)
+      .select(col("c_id").cast("long"))
+      .collect().map(_.getLong(0))
+
+    // integer distance table: m·ksub rounded dots against the query's
+    // subspace slices — the ONE place float math meets the codebooks
+    val tbl = cbs.crossJoin(broadcast(queryVec))
+      .withColumn("qs", slice(col("qv"), col("sub") * subDim + 1,
+        lit(subDim)))
+      .withColumn("tdot", round(round(Similarity.dot(col("qs"), col("cv")),
+        6) * 1e6).cast("long"))
+      .select(col("sub"), col("c_id").as("code"), col("tdot"))
+
+    // score the stored codes of the probed lists only: the centroid
+    // predicate prunes partitions statically (PartitionFilters on the
+    // scan — unprobed directories never opened), then the distance-table
+    // broadcast join and ONE combining exchange on id
+    val scored = codes
+      .filter(col("centroid").isin(probeIds: _*))
+      .join(broadcast(tbl), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tdot")).as("ascore"))
+
+    val short = scored.crossJoin(broadcast(queryVec.select(col("q_id"))))
+      .filter(col(idCol) =!= col("q_id"))
+      .select(col(idCol), col("ascore"))
+      .orderBy(col("ascore").desc, col(idCol).asc)
+      .limit(shortlist)
+
+    val passThrough = corpus.columns.filterNot(_ == vecCol).map(col(_))
+    corpus.join(broadcast(short), Seq(idCol))
+      .crossJoin(broadcast(queryVec))
+      .withColumn("approx", col("ascore").cast("double") / 1e6)
+      .withColumn("cos", round(cosine(vecD(col(vecCol)), col("qv")), 6))
+      .select((passThrough ++ Seq(col("approx"), col("cos"))).toIndexedSeq: _*)
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -434,21 +434,17 @@ object EmbeddingQueries {
     * are query-independent); the oracle unrolls probe + training +
     * encoding + table + restricted shortlist + re-rank as CTEs —
     * deterministic, not approximate-vs-exact. */
-  val q102IvfPqSearch = Q(
-    "q102_ivfpq_search",
-    (s, d) => {
-      import s.implicits._
-      val e = Tables.embeddings(s, d)
-      val cents = e.orderBy($"vec_id").limit(8)
-        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
-      val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
-        m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters)
-      val qv = e.orderBy($"vec_id".desc).limit(1)
-        .select($"vec_id".as("q_id"), vecD($"embedding").as("qv"))
-      Similarity.ivfPqSearch(e, "vec_id", "embedding", cents, cbs, qv,
-        m = pqM, subDim = pqSubDim, nProbe = 2, shortlist = 50, k = 10)
-    },
-    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+  /** q102/q107's shared oracle: probe + training + encoding + distance
+    * table + restricted shortlist + re-rank unrolled from the BASE
+    * tables. q107 deliberately reuses it unchanged: recomputing the
+    * whole index from scratch in SQL is a STRICTLY stronger check on the
+    * stored-index serving path than reading the stored parquet back in
+    * DuckDB would be — corrupt stored codes would self-consistently pass
+    * a read-back oracle (the same wrong shortlist on both sides) but
+    * cannot match a from-scratch recomputation; it also keeps the oracle
+    * free of absolute /tmp paths and scale-factor coupling. */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
         FROM embeddings),
       q AS (SELECT vec_id AS q_id, v AS qv FROM e
         ORDER BY vec_id DESC LIMIT 1),
@@ -478,8 +474,56 @@ object EmbeddingQueries {
       SELECT e.vec_id, e.label, CAST(s.ascore AS DOUBLE) / 1e6 AS approx,
         round(${cosSql("e.v", "qv")}, 6) AS cos
       FROM short s JOIN e USING (vec_id), q
-      ORDER BY cos DESC, vec_id ASC LIMIT 10"""),
+      ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+
+  val q102IvfPqSearch = Q(
+    "q102_ivfpq_search",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters)
+      val qv = e.orderBy($"vec_id".desc).limit(1)
+        .select($"vec_id".as("q_id"), vecD($"embedding").as("qv"))
+      Similarity.ivfPqSearch(e, "vec_id", "embedding", cents, cbs, qv,
+        m = pqM, subDim = pqSubDim, nProbe = 2, shortlist = 50, k = 10)
+    },
+    Some(ivfPqOracleSql),
     doc = "[NS] IVF-pruned PQ search: probe lists, PQ-score only those, exact re-rank")
+
+  /** [NS] — ANN index LIFECYCLE (q107): the train-once / persist /
+    * serve-many half that q102 lacks. The first invocation per corpus
+    * trains the q102 geometry and persists centroids + codebooks +
+    * centroid-partitioned codes to parquet
+    * ([[graft.operators.AnnIndex.buildIfAbsent]] — fingerprinted, so
+    * bench repeats and re-verification SKIP training entirely); the
+    * returned frame is [[graft.operators.AnnIndex.serve]], whose plan
+    * reads ONLY the stored index — zero Lloyd iterations, no subspace
+    * explode, a static partition filter on the probed lists, one
+    * distance-table broadcast, float math on the shortlist re-rank alone
+    * (plan-pinned in PlanQualitySpec; result equality with the in-query
+    * q102 path is pinned in AnnIndexSpec). Same geometry as q102, so the
+    * shared from-scratch oracle certifies build+serve end-to-end. */
+  val q107IndexServe = Q(
+    "q107_index_serve",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val dir = graft.operators.AnnIndex.defaultDir(d)
+      graft.operators.AnnIndex.buildIfAbsent(e, "vec_id", "embedding",
+        cents, m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters,
+        dir = dir, corpusTag = d)
+      val qv = e.orderBy($"vec_id".desc).limit(1)
+        .select($"vec_id".as("q_id"), vecD($"embedding").as("qv"))
+      graft.operators.AnnIndex.serve(s, dir, e, "vec_id", "embedding", qv,
+        m = pqM, subDim = pqSubDim, nProbe = 2, shortlist = 50, k = 10)
+    },
+    Some(ivfPqOracleSql),
+    doc = "[NS] ANN lifecycle: serve IVF-PQ from a persisted index (no in-query training)")
 
   /** [NS] — hard-negative mining (q105): per anchor (every 10th vector),
     * the 2 most-similar same-LSH-bucket vectors with a different label —
@@ -519,5 +563,6 @@ object EmbeddingQueries {
 
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
-    q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives)
+    q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
+    q107IndexServe)
 }

@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnIndex, Similarity}
+
+/** ANN index lifecycle (q107): train once / persist / serve many.
+  * Pins (1) result equality between the stored-index serving path and
+  * the in-query [[Similarity.ivfPqSearch]], (2) that a fingerprint-fresh
+  * index is NOT retrained, (3) that serving's partition pruning is
+  * behavioral — a poisoned unprobed partition is never opened. */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  private val (m, subDim, ksub, iters) = (16, 4, 16, 2)
+
+  private def fixture() = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val cents = e.orderBy($"vec_id").limit(8)
+      .select($"vec_id".as("c_id"), Similarity.vecD($"embedding").as("cv"))
+    val qv = e.orderBy($"vec_id".desc).limit(1)
+      .select($"vec_id".as("q_id"), Similarity.vecD($"embedding").as("qv"))
+    (e, cents, qv)
+  }
+
+  test("serve from stored index == in-query ivfPqSearch, row for row") {
+    val (e, cents, qv) = fixture()
+    val dir = Files.createTempDirectory("graft_annidx_eq").toString
+    AnnIndex.build(e, "vec_id", "embedding", cents, m, subDim, ksub,
+      iters, dir)
+    val served = AnnIndex.serve(spark, dir, e, "vec_id", "embedding", qv,
+      m, subDim, nProbe = 2, shortlist = 50, k = 10).collect().toSeq
+    val inQuery = Similarity.ivfPqSearch(e, "vec_id", "embedding", cents,
+      Similarity.pqTrain(e, "vec_id", "embedding", m, subDim, ksub, iters),
+      qv, m, subDim, nProbe = 2, shortlist = 50, k = 10).collect().toSeq
+    assert(served === inQuery)
+  }
+
+  test("buildIfAbsent: fingerprint-fresh index is served, not retrained") {
+    val (e, cents, _) = fixture()
+    val dir = Files.createTempDirectory("graft_annidx_fresh").toString
+    AnnIndex.buildIfAbsent(e, "vec_id", "embedding", cents, m, subDim,
+      ksub, iters, dir, corpusTag = sf)
+    def mtimes = Files.walk(Paths.get(dir)).toArray.toSeq
+      .map(_.toString).filter(_.endsWith(".parquet")).sorted
+      .map(p => p -> Files.getLastModifiedTime(Paths.get(p)).toMillis)
+    val before = mtimes
+    assert(before.nonEmpty)
+    AnnIndex.buildIfAbsent(e, "vec_id", "embedding", cents, m, subDim,
+      ksub, iters, dir, corpusTag = sf)
+    assert(mtimes === before, "second buildIfAbsent rewrote the index")
+    // a DIFFERENT corpus tag (e.g. another scale factor) does rebuild
+    AnnIndex.buildIfAbsent(e, "vec_id", "embedding", cents, m, subDim,
+      ksub, iters, dir, corpusTag = sf + "-other")
+    assert(mtimes !== before, "stale-fingerprint index was not rebuilt")
+  }
+
+  test("serving scan prunes unprobed partitions behaviorally " +
+      "(poison file never opened)") {
+    import spark.implicits._
+    val (e, cents, qv) = fixture()
+    val dir = Files.createTempDirectory("graft_annidx_poison").toString
+    AnnIndex.build(e, "vec_id", "embedding", cents, m, subDim, ksub,
+      iters, dir)
+    // the probe set at this geometry (mirrors serve's probe step)
+    val probed = cents.crossJoin(broadcast(qv))
+      .withColumn("qc", round(Similarity.cosine($"cv", $"qv"), 6))
+      .orderBy($"qc".desc, $"c_id".asc).limit(2)
+      .select($"c_id").collect().map(_.getLong(0)).toSeq
+    val lists = spark.read.parquet(AnnIndex.codesPath(dir))
+      .select($"centroid".cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val unprobed = lists.filterNot(probed.contains)
+    assert(unprobed.nonEmpty, "fixture degenerate: every list probed")
+    Files.write(Paths.get(AnnIndex.codesPath(dir),
+      s"centroid=${unprobed.head}", "part-99999-poison.snappy.parquet"),
+      "not a parquet file".getBytes)
+    val served = AnnIndex.serve(spark, dir, e, "vec_id", "embedding", qv,
+      m, subDim, nProbe = 2, shortlist = 50, k = 10)
+    assert(served.count() === 10) // poison partition never opened
+  }
+}

@@ -124,6 +124,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no probed-list restriction below the subspace explode:\n$p")
   }
 
+  test("q107 index serve: the serving plan reads the STORED index only — " +
+      "no training, static partition pruning, one shuffle") {
+    val p = plan("q107_index_serve")
+    // reads the persisted index, not retrained intermediates
+    assert(p.contains("graft_ann_index"), p)
+    // zero Lloyd iterations / no PQ encode: training and encoding both
+    // posexplode the corpus into subspaces — a serving plan with ANY
+    // Generate has smuggled training back in
+    assert(!p.contains("Generate"), s"subspace explode in serving plan:\n$p")
+    // the probe set prunes the codes scan at PLANNING time
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*centroid[^\\]]*IN.*"),
+      s"probe filter did not reach PartitionFilters:\n$p")
+    // one combining shuffle (the per-vector score aggregation); all else
+    // rides broadcasts
+    assert("(?<!Broadcast)Exchange \\(".r.findAllIn(p).size == 1,
+      s"expected exactly 1 shuffle exchange in serving plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q105 hard negatives: bucket equi-join (no cartesian), per-anchor " +
       "top-k pushed below the sort (WindowGroupLimit)") {
     val p = plan("q105_hard_negatives")
