@@ -220,6 +220,48 @@ object Multimodal {
     bits
   }
 
+  /** Deterministic synthetic pixel — the q108 fixture contract, shared
+    * verbatim with the DuckDB oracle: the base image is a per-channel
+    * linear ramp keyed by the EVEN floor of the id, and odd ids perturb
+    * the red channel of the top-left 8×16 region by `50·((id/2) mod 4)`
+    * (clamped) — so sibling pairs land at Hamming 0–5 from their even
+    * base depending on id: exact dups, near-dups inside the band join's
+    * ≤3 contract, and two pairs just OUTSIDE it that the verification
+    * step must drop. */
+  private[operators] def synthPixel(id: Long, x: Int, y: Int): Int = {
+    val base = id - (id % 2)
+    val r0 = ((x * 7 + y * 13 + base * 31) % 256).toInt
+    val g = ((x * 11 + y * 5 + base * 17) % 256).toInt
+    val b = ((x * 3 + y * 19 + base * 23) % 256).toInt
+    val r = if (id % 2 == 1 && x < 8 && y < 16)
+      math.min(255, r0 + 50 * ((id / 2) % 4).toInt) else r0
+    (r << 16) | (g << 8) | b
+  }
+
+  /** q108's Spark half: run the REAL [[averageHash]] — block assignment,
+    * truncating integer means, strict-greater threshold, bit packing —
+    * over arithmetically generated pixels ([[synthPixel]]), no codec in
+    * the path. This is what promotes the perceptual-hash math from
+    * spec-only (MultimodalSpec's JPEG re-encode pairs, which DuckDB
+    * cannot decode) to a full oracle-checked CORRECTNESS row: the oracle
+    * recomputes the same integer cell/global means in SQL and
+    * brute-forces pair Hamming distances bit-by-bit, so a green row
+    * proves hash math AND banding losslessness end-to-end. */
+  def syntheticAHash(ids: DataFrame, w: Int, h: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col("id").cast("long")).as[Long].map { id =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, synthPixel(id, x, y)); x += 1 }
+        y += 1
+      }
+      (id, averageHash(img))
+    }.toDF("id", "phash")
+  }
+
   /** FNV-1a 64-bit over raw bytes — full-width stub hash for payloads no
     * codec can read. Full 64 bits matter: the earlier 32-bit
     * `Arrays.hashCode` stub sign-extended, so every stub shared its upper

@@ -817,10 +817,57 @@ object DocQueries {
       FROM sc WHERE score > 0 GROUP BY lang ORDER BY lang"""),
     doc = "[NS] linear model-scoring gate (fasttext-style quality filter shape)")
 
+  /** [NS] — perceptual-hash near-dup pairs, oracle-checked (q108): the
+    * REAL [[graft.operators.Multimodal.averageHash]] integer path (block
+    * means, truncating divisions, strict-greater threshold) runs over an
+    * arithmetically generated pixel grid — no codec, so DuckDB can
+    * recompute the same cells — then pairs ride the generic
+    * [[Dedup.hammingPairs64]] band join. The fixture (synthPixel) places
+    * sibling images at Hamming 0, 1, 2, 3 AND at 4–5, so the green row
+    * proves both the hash math and that band verification keeps exactly
+    * the ≤3 set. The oracle brute-forces all pairs bit-by-bit (the
+    * quadratic twin, as q93's is to its banding) — bit packing itself is
+    * order-invariant under Hamming and is pinned on real JPEGs in
+    * MultimodalSpec. */
+  val q108PhashPairs = Q(
+    "q108_phash_pairs",
+    (s, d) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val ids = Tables.documents(s, d)
+        .select($"doc_id".as("id")).filter($"id" < 20)
+      val hashes = graft.operators.Multimodal.syntheticAHash(ids, 32, 32)
+      Dedup.hammingPairs64(hashes, "id", "phash", maxDist = 3)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 20),
+      px AS (SELECT id, x, y,
+          CASE WHEN id % 2 = 1 AND x < 8 AND y < 16
+            THEN least(255, (x*7 + y*13 + (id - id%2)*31) % 256
+              + 50*((id//2)%4))
+            ELSE (x*7 + y*13 + (id - id%2)*31) % 256 END AS r,
+          (x*11 + y*5 + (id - id%2)*17) % 256 AS g,
+          (x*3 + y*19 + (id - id%2)*23) % 256 AS b
+        FROM ids, range(0,32) t1(x), range(0,32) t2(y)),
+      cells AS (SELECT id, x//4 AS cx, y//4 AS cy,
+          sum(299*r + 587*g + 114*b) // count(*) AS cmean
+        FROM px GROUP BY id, x//4, y//4),
+      gmeans AS (SELECT id, sum(cmean) // 64 AS gm FROM cells GROUP BY id),
+      cbits AS (SELECT c.id, cy*8+cx AS c,
+          CASE WHEN cmean > gm THEN 1 ELSE 0 END AS bit
+        FROM cells c JOIN gmeans USING (id))
+      SELECT a.id AS doc_a, b.id AS doc_b,
+        CAST(count(CASE WHEN a.bit <> b.bit THEN 1 END) AS BIGINT) AS hamming
+      FROM cbits a JOIN cbits b ON a.c = b.c AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING count(CASE WHEN a.bit <> b.bit THEN 1 END) <= 3
+      ORDER BY doc_a, doc_b"""),
+    doc = "[NS] perceptual aHash near-dup pairs over a synthetic grid (oracle-checks the hash + banding math)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
     q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations,
     q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize,
-    q97CcHybrid, q101TopkAgg, q103ModelGate)
+    q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs)
 }
