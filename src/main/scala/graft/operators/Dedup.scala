@@ -471,4 +471,44 @@ object Dedup {
       maxDist: Int = 3): DataFrame =
     hammingPairs64(simhash64(df, idCol, textCol), idCol, "simhash64",
       maxDist)
+
+  /** [NS] — batch twin of the STREAMING first-sight near-dup gate
+    * ([[graft.streaming.EventStream.bandFirstSight]]): a doc is admitted
+    * iff it is the (tsCol, id)-first CLAIMANT of every one of its four
+    * SimHash 16-bit band keys. Claims are per-band and unconditional —
+    * a rejected doc's fresh bands are still claimed, which is what makes
+    * the rule non-recursive (admission never feeds back into claims) and
+    * therefore expressible as one aggregation: claim(band, key) =
+    * min(ts, id) over carriers. Any doc within Hamming ≤ 3 of an earlier
+    * doc shares ≥ 1 exact band (pigeonhole) and is rejected; band-
+    * collision false positives are the documented price of a
+    * verification-free gate (the gate exists to bound INGEST cost — the
+    * full pair verification is [[simhashHammingPairs]]).
+    *
+    * Scale shape: one shuffle on (band, key) for the claim argmin, one
+    * on id for the conjunction; signatures ride as longs and the band
+    * table is pinned once ([[hammingPairs64]]'s rationale). Equals the
+    * streaming form under event-time-ordered batch boundaries with
+    * unique (or co-batched) timestamps and no TTL eviction inside the
+    * window — the funnel's exact contract. Output: admitted (id, ts). */
+  def nearDupGateBatch(df: DataFrame, idCol: String, textCol: String,
+      tsCol: String): DataFrame = {
+    val bands = df.select(col(idCol).cast("long").as("id"),
+        col(tsCol).as("ts"),
+        graft.functions.SimHashExpression.simhash64(col(textCol))
+          .as("sig"))
+      .select(col("id"), col("ts"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftrightunsigned(sig, ${48 - 16 * b}) & 65535")): _*))
+          .as(Seq("band", "key")))
+      .localCheckpoint()
+    val claims = bands.groupBy(col("band"), col("key"))
+      .agg(min(struct(col("ts"), col("id"))).as("w"))
+    bands.join(claims, Seq("band", "key"))
+      .filter(col("w.id") === col("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bands"), min(col("ts")).as("ts"))
+      .filter(col("n_bands") === 4)
+      .select(col("id"), col("ts"))
+  }
 }

@@ -864,10 +864,52 @@ object DocQueries {
       ORDER BY doc_a, doc_b"""),
     doc = "[NS] perceptual aHash near-dup pairs over a synthetic grid (oracle-checks the hash + banding math)")
 
+  /** [NS] — first-sight NEAR-dup ingest gate, batch twin (q109): a doc
+    * is admitted iff it is the first claimant of ALL FOUR of its SimHash
+    * band keys ([[Dedup.nearDupGateBatch]]; arrival order = doc_id here).
+    * This is the batch-domain anchor for the STREAMING gate
+    * ([[graft.streaming.EventStream.bandFirstSight]]) — StreamingSpec
+    * proves the streamed form equal to this one across disordered
+    * micro-batches and a checkpoint restart, and this row proves the
+    * shared claim/conjunction semantics against DuckDB. Claims are
+    * per-band and unconditional, so the rule is one aggregation, not a
+    * sequential scan — the property that makes the gate both
+    * oracle-expressible and shuffle-bounded at 100 TB. */
+  val q109NearDupGate = Q(
+    "q109_neardup_gate",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Dedup.nearDupGateBatch(
+          Tables.documents(s, d), "doc_id", "text", tsCol = "doc_id")
+        .select($"id".as("doc_id"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH words AS (SELECT DISTINCT doc_id,
+          unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+      bits AS (SELECT doc_id, j,
+          CASE WHEN (strpos('0123456789abcdef', h[(j // 4) + 1]) - 1)
+            // CAST(pow(2, 3 - (j % 4)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1
+            END AS wgt
+        FROM (SELECT doc_id, md5(w) AS h FROM words),
+          unnest(range(0, 64)) AS t(j)),
+      sums AS (SELECT doc_id, j, sum(wgt) AS s FROM bits GROUP BY doc_id, j),
+      bk AS (SELECT doc_id, j // 16 AS band,
+          string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+            ORDER BY j) AS key
+        FROM sums GROUP BY doc_id, j // 16),
+      claims AS (SELECT band, key, min(doc_id) AS winner
+        FROM bk GROUP BY band, key)
+      SELECT bk.doc_id FROM bk JOIN claims USING (band, key)
+      WHERE claims.winner = bk.doc_id
+      GROUP BY bk.doc_id HAVING count(*) = 4
+      ORDER BY doc_id"""),
+    doc = "[NS] first-sight near-dup ingest gate (per-band claims, conjunctive admission)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
     q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations,
     q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize,
-    q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs)
+    q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs,
+    q109NearDupGate)
 }

@@ -276,4 +276,86 @@ object EventStream {
           Iterator(next)
       }
   }
+
+  /** Per-(band, key) claim state: event time + id of the first holder. */
+  case class BandClaimState(firstMs: Long, firstId: Long)
+
+  /** [NS] — STREAMING first-sight NEAR-dup gate, the ingest shape of a
+    * training-data pipeline: each arriving document's 64-bit SimHash
+    * splits into the same 4×16-bit band keys as [[graft.operators.Dedup
+    * .hammingPairs64]], and every (band, key) keeps first-holder state
+    * with [[firstSightDedup]]'s TTL eviction contract (event-time
+    * timeout, fixed window from first sight, duplicates re-arm but never
+    * slide it). The operator emits one CLAIM row (band, key, id,
+    * first_ts) per key per TTL window — a document is ADMITTED iff it
+    * claims all four of its bands, which
+    * [[admittedClaims]] computes in the batch domain of a foreachBatch
+    * (a doc's four band rows always share its micro-batch, so the
+    * conjunction never spans triggers; chaining a streaming aggregation
+    * after flatMapGroupsWithState is unsupported anyway). Claims are
+    * unconditional — a rejected doc still claims its fresh bands — so
+    * admission never feeds back into state and the gate equals
+    * [[graft.operators.Dedup.nearDupGateBatch]] under event-time-ordered
+    * batch boundaries (unique or co-batched timestamps, no eviction
+    * inside the window): any doc within Hamming ≤ 3 of an admitted
+    * earlier doc shares ≥ 1 band by pigeonhole and is rejected at the
+    * cost of ZERO pair comparisons — band-collision false rejects are
+    * the documented price of a verification-free ingest gate.
+    *
+    * State is one (long, long) per live band key — bounded by TTL, not
+    * by corpus size; the only exchange is the groupByKey on (band, key).
+    * Input: (idCol, textCol, tsCol TIMESTAMP); output claims,
+    * append-mode. */
+  def bandFirstSight(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String, ttlMs: Long)(
+      implicit spark: SparkSession): DataFrame = {
+    require(ttlMs > 0, s"ttlMs must be positive: $ttlMs")
+    import spark.implicits._
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        graft.functions.SimHashExpression.simhash64(col(textCol))
+          .as("sig"))
+      .select(col("id"), col("ts"),
+        posexplode(array((0 until 4).map(b =>
+          expr(s"shiftrightunsigned(sig, ${48 - 16 * b}) & 65535")): _*))
+          .as(Seq("band", "key")))
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[BandClaimState,
+        (Int, Long, Long, java.sql.Timestamp)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, key), rows: Iterator[(Long, java.sql.Timestamp, Int, Long)],
+            state: GroupState[BandClaimState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            // key already claimed in this TTL window — suppress, re-arm
+            // from the ORIGINAL first sight (same rationale as
+            // firstSightDedup: Spark clears the timeout per invocation)
+            state.setTimeoutTimestamp(math.max(
+              state.get.firstMs + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          } else {
+            // (event-time, id)-first row of the batch, not iterator order
+            val first = rows.minBy(r => (r._2.getTime, r._1))
+            state.update(BandClaimState(first._2.getTime, first._1))
+            state.setTimeoutTimestamp(math.max(
+              first._2.getTime + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator((band, key, first._1, first._2))
+          }
+      }.toDF("band", "key", "id", "first_ts")
+  }
+
+  /** The admission conjunction over [[bandFirstSight]]'s claims — run
+    * inside foreachBatch (batch domain): a doc is admitted iff it holds
+    * all 4 of its band claims. Output: (id, ts). */
+  def admittedClaims(claims: DataFrame): DataFrame =
+    claims.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bands"), min(col("first_ts")).as("ts"))
+      .filter(col("n_bands") === 4)
+      .select(col("id"), col("ts"))
 }

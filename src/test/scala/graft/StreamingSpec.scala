@@ -472,4 +472,102 @@ class StreamingSpec extends AnyFunSuite {
       "user_id", "c_us", "p_us", 0L, 3600L * 1000 * 1000).count()
     assert(viaInterval === viaBuckets && viaInterval > 0)
   }
+
+  test("streaming near-dup gate ≡ batch gate (q109) on the documents " +
+      "fixture: disordered micro-batches, checkpoint restart, " +
+      "re-delivered tail") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val ss = spark
+
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text",
+        to_timestamp($"doc_id" + lit(1700000000L)).as("ts"))
+    // batch truth: the q109 gate over the same (ts, id) arrival order
+    val batchAdmitted = graft.operators.Dedup
+      .nearDupGateBatch(docs, "doc_id", "text", "ts")
+      .select($"id").as[Long].collect().toSet
+
+    // two event-time-ordered epochs, deterministically scrambled WITHIN
+    // each (in-batch disorder is what the per-batch (ts, id) argmin must
+    // absorb); epoch 2 re-delivers epoch 1's tail (at-least-once)
+    val rows = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (ep1, ep2) = rows.splitAt(rows.length / 2)
+    val rnd = new scala.util.Random(7)
+    def jline(r: (Long, String)): String = {
+      val esc = r._2.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t")
+      s"""{"doc_id":${r._1},"text":"$esc"}"""
+    }
+    val dir = Files.createTempDirectory("ndg_src").toString
+    val ckpt = Files.createTempDirectory("ndg_ckpt").toString
+    val admitted = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema("doc_id LONG, text STRING")
+        .json(dir)
+        .withColumn("ts", to_timestamp($"doc_id" + lit(1700000000L)))
+      val claims = EventStream.bandFirstSight(in, "doc_id", "text", "ts",
+        watermark = "0 seconds", ttlMs = 10L * 24 * 3600 * 1000)
+      val q = claims.writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          EventStream.admittedClaims(batch).select($"id").as[Long]
+            .collect().foreach(id => admitted.put(id, id))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    Files.write(Paths.get(dir, "epoch1.json"),
+      rnd.shuffle(ep1.toSeq).map(jline).mkString("\n").getBytes("UTF-8"))
+    runOnce() // full stop: state lives only in the checkpoint now
+    Files.write(Paths.get(dir, "epoch2.json"),
+      (rnd.shuffle(ep2.toSeq) ++ ep1.takeRight(5)).map(jline)
+        .mkString("\n").getBytes("UTF-8"))
+    runOnce() // restart: restored claim state must suppress re-delivery
+    val streamedAdmitted =
+      admitted.keySet().toArray.map(_.asInstanceOf[Long]).toSet
+    assert(streamedAdmitted === batchAdmitted)
+  }
+
+  test("streaming near-dup gate: exact dup rejected within TTL, " +
+      "re-admitted after watermark-driven eviction") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val ss = spark
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val claims = EventStream.bandFirstSight(
+      mem.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      watermark = "0 seconds", ttlMs = 30 * 60 * 1000L)
+    val q = claims.writeStream.format("memory").queryName("ndg_ttl")
+      .outputMode("append").start()
+    def admittedIds(): Set[Long] =
+      EventStream.admittedClaims(spark.table("ndg_ttl"))
+        .select($"id").as[Long].collect().toSet
+    try {
+      // b1: doc 1 admitted; doc 2 = EXACT text → all 4 bands held → out
+      mem.addData((1L, "alpha beta gamma delta", ts("2024-01-01 10:00:00")),
+        (2L, "alpha beta gamma delta", ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      assert(admittedIds() === Set(1L))
+      // b2: unrelated doc admitted alongside; watermark → 11:00
+      mem.addData((3L, "the quick brown fox jumps over the lazy dog",
+        ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      assert(admittedIds() === Set(1L, 3L))
+      // b3: advance watermark past doc 1's TTL (10:30) → state evicted
+      mem.addData((4L, "completely different words here entirely",
+        ts("2024-01-01 11:10:00")))
+      q.processAllAvailable()
+      // b4: the same text AFTER eviction is a fresh first sight again
+      mem.addData((5L, "alpha beta gamma delta", ts("2024-01-01 11:20:00")))
+      q.processAllAvailable()
+      assert(admittedIds().contains(5L))
+    } finally q.stop()
+  }
 }
