@@ -296,18 +296,22 @@ object Similarity {
         "silently quantizes a truncated subspace)")
     // self-dots hoisted: ‖sv‖² once per (row, sub), ‖cv‖² once per
     // codeword — every candidate pairing pays only the cross-term dot.
-    // persist, not localCheckpoint: the subvector corpus is read once
-    // per iteration, and persist keeps the LINEAGE — an executor loss
-    // recomputes the lost blocks instead of failing the job (checkpoint
-    // blocks are executor-local with no recompute path). Released in
-    // `finally`: every per-iteration `cents` is an EAGER k-row
-    // checkpoint, so nothing returned still reads subs.
+    // localCheckpoint, measured against persist(MEMORY_AND_DISK) at the
+    // gate config (local[32], sf0.1, SPARK_GRAFT_ONLY=q96, n=5 medians):
+    // localCheckpoint 3.46 s (runs 3.29–3.72 steady-state) vs persist
+    // 3.68 s (3.49–3.86) — persist's lineage-carrying first action pays
+    // recompute scheduling every iteration, a consistent ~6% tax. The
+    // recoverability trade is now priced: persist survives executor loss
+    // (checkpoint blocks have no recompute path and fail the job), and a
+    // deployment that values that over 6% should flip this back.
+    // Released in `finally`: every per-iteration `cents` is an EAGER
+    // k-row checkpoint, so nothing returned still reads subs.
     val subs = df.select(col(idCol), posexplode(array((0 until m).map(s =>
         slice(dimChecked(vecD(col(vecCol)), m, subDim),
           s * subDim + 1, subDim)): _*))
         .as(Seq("sub", "sv")))
       .withColumn("sv2", dot(col("sv"), col("sv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     try {
       val initIds = df.select(col(idCol)).orderBy(col(idCol)).limit(ksub)
       var cents = subs.join(broadcast(initIds), Seq(idCol))
