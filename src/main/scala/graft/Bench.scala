@@ -93,14 +93,22 @@ object Bench {
     spark.stop()
     // FINAL stdout line, after Spark shutdown so no executor log can trail
     // it: a grep-able marker carrying a COMPACT copy of the JSON. The
-    // driver's tail capture keeps only the last ~2.9 KB of stdout; the
-    // round-5 full-precision line was ~3.5 KB and the marker got clipped.
-    // So: timings rounded to 3 decimals, redundant "metric"/"sf" dropped
-    // (full precision lives in bench_out.json and the plain line above).
+    // driver's tail capture keeps EXACTLY the last 2000 bytes of stdout
+    // (measured: BENCH_r05.json's "tail" is len 2000) — the round-5
+    // full-precision line was ~3.5 KB and the marker got clipped, and even
+    // 3-decimal timings with full query names are ~2.8 KB at 109 queries.
+    // So the marker uses the unique qNN prefix as the key ("q24":1.234 —
+    // full names + precision live in bench_out.json and the plain line
+    // above), and if a future query count pushes the line past 1900 bytes
+    // it degrades to the total alone rather than risk a clipped marker.
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    val compactQs = perQuery.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    val compactQs = perQuery.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+    }.mkString("{", ",", "}")
+    val marker =
+      s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n,"queries":$compactQs}"""
     println(
-      s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n,"queries":$compactQs}""")
+      if (marker.length <= 1900) marker
+      else s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n}""")
   }
 }

@@ -170,7 +170,7 @@ object Similarity {
     * engines agree). Centroids localCheckpoint per iteration: k rows, and
     * the plan would otherwise nest `iters` deep. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iters: Int): DataFrame = {
+      iters: Int, init: Option[DataFrame] = None): DataFrame = {
     // persist, not localCheckpoint: the vector corpus is re-read every
     // iteration but persist keeps the lineage (executor loss = recompute,
     // not job failure) and the blocks are released in `finally` — the
@@ -179,8 +179,16 @@ object Similarity {
     val e = df.select(col(idCol), vecD(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var cents = e.orderBy(col(idCol)).limit(k)
-        .select(col(idCol).as("c_id"), col("v").as("cv"))
+      // `init` (c_id, cv) overrides the min-id seed set: when ids
+      // correlate with content (sharded / time-ordered corpora, e.g. the
+      // scale10 fixture) the k smallest ids all land in one region and
+      // the coarse quantizer never recovers — a stratified seed (see
+      // [[stratifiedSeeds]]) is the deployment-side fix. The DEFAULT stays
+      // min-id: it is the deterministic contract the q69/q98 oracles
+      // replay in SQL.
+      var cents = init.getOrElse(
+          e.orderBy(col(idCol)).limit(k)
+            .select(col(idCol).as("c_id"), col("v").as("cv")))
         .localCheckpoint(true)
       for (_ <- 1 to iters) {
         val assigned = ivfAssign(e, idCol, "v", cents)
@@ -199,6 +207,24 @@ object Similarity {
       }
       cents
     } finally e.unpersist(blocking = false)
+  }
+
+  /** Deterministic stratified seed set for [[kmeans]]'s `init`: rank the
+    * corpus by id, cut into k equal-frequency tiles, take each tile's
+    * min-id vector — k seeds spread across the id range instead of the k
+    * smallest ids. Only the ID column passes through the global ntile
+    * sort (narrow rows; at true corpus scale swap the exact ntile for a
+    * deterministic hash-bucket stratum — same spread, no global sort);
+    * the k wide seed vectors come back via one broadcast semi-join. */
+  def stratifiedSeeds(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val seedIds = df.select(col(idCol))
+      .withColumn("t", ntile(k).over(w))
+      .groupBy(col("t")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(broadcast(seedIds), Seq(idCol))
+      .select(col(idCol).as("c_id"), vecD(col(vecCol)).as("cv"))
   }
 
   /** D5 [NS] — SEMANTIC dedup (SemDedup; Abbas et al. 2023, public

@@ -561,8 +561,50 @@ object EmbeddingQueries {
       ORDER BY anchor, rk"""),
     doc = "[NS] contrastive hard-negative mining (bucketed, per-anchor top-k)")
 
+  /** [NS] — k-means with a STRATIFIED seed set (q110): the `init`
+    * override of [[Similarity.kmeans]] fed by
+    * [[Similarity.stratifiedSeeds]] — id-rank ntile(k) tiles, each
+    * tile's min-id vector. On corpora where ids correlate with content
+    * (sharded ingest, time-ordered crawls) the default min-id seeds all
+    * land in one region; stratified seeding spreads them at the cost of
+    * one narrow (id-only) global window. Same determinism contract as
+    * q69 (exact scaled-integer means), so the oracle unrolls the
+    * identical Lloyd CTEs from an ntile-derived c0. */
+  val q110StratifiedKmeans = Q(
+    "q110_stratified_kmeans",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val seeds = Similarity.stratifiedSeeds(e, "vec_id", "embedding", 8)
+      val cents = Similarity.kmeans(e, "vec_id", "embedding", k = 8,
+        iters = 2, init = Some(seeds))
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+        .groupBy($"centroid")
+        .agg(count(lit(1)).as("n_vecs"), exactSum($"cos", 6).as("sum_cos"))
+        .orderBy($"centroid")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      dims AS (SELECT unnest(range(1,
+        (SELECT len(v) FROM e LIMIT 1) + 1)) AS i),
+      c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id IN (
+        SELECT min(vec_id) FROM (
+          SELECT vec_id, ntile(8) OVER (ORDER BY vec_id) AS t FROM e)
+        GROUP BY t)),
+      ${kmeansIterSql("c0", 1)},
+      ${kmeansIterSql("c1", 2)},
+      sf AS (SELECT e.vec_id, c.c_id,
+        round(${cosSql("e.v", "c.cv")}, 6) AS cos FROM e, c2 c),
+      af AS (SELECT vec_id,
+        first(c_id ORDER BY cos DESC, c_id ASC) AS centroid,
+        max(cos) AS cos FROM sf GROUP BY vec_id)
+      SELECT centroid, count(*) AS n_vecs,
+        ${exactSumSql("cos", 6)} AS sum_cos
+      FROM af GROUP BY centroid ORDER BY centroid"""),
+    doc = "[NS] k-means with stratified seeds (kmeans init override, oracle-unrolled)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
-    q107IndexServe)
+    q107IndexServe, q110StratifiedKmeans)
 }

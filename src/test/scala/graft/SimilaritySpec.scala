@@ -183,4 +183,38 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = brute.count(pq.contains).toDouble / brute.size
     assert(recall >= 0.7, s"recall@10 with 50-shortlist = $recall")
   }
+
+  test("ivfPqSearch recall floor: the COMPOSED path (probe + PQ + re-rank) " +
+      "keeps recall@10 >= 0.7 at the documented half-probe operating point") {
+    import spark.implicits._
+    // The composed-path analogue of the pqSearch recall test — this is the
+    // end-to-end quantity a deployment tunes. The fixture embeddings are
+    // near-random (best query cosine ~0.44 vs a ~0.16 noise p90), so no
+    // space partition separates "neighbors" well: the measured scale10
+    // curve (graft.RecallProbe, recorded in ARCHITECTURE.md) crosses 0.7
+    // at the half-probe point, and that is the operating point this floor
+    // pins — quarter-probe measures 0.58-0.63 mean on both fixtures.
+    val e = emb.localCheckpoint()
+    val cents = Similarity.kmeans(e, "vec_id", "embedding",
+      k = 16, iters = 2).localCheckpoint(true)
+    val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+      m, subDim, ksub, iters = 2).localCheckpoint(true)
+    val qids = e.select($"vec_id").orderBy($"vec_id".desc)
+      .limit(3).as[Long].collect()
+    val recalls = qids.map { qid =>
+      val qv = e.filter($"vec_id" === qid)
+        .select($"vec_id".as("q_id"), Similarity.vecD($"embedding").as("qv"))
+        .localCheckpoint(true)
+      val got = Similarity.ivfPqSearch(e, "vec_id", "embedding", cents,
+          cbs, qv, m, subDim, nProbe = 8, shortlist = 100, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      val brute = Similarity.cosineTopK(e.filter($"vec_id" =!= qid),
+          "vec_id", "embedding", qv.select($"qv"), 10)
+        .select("vec_id").as[Long].collect().toSet
+      brute.count(got.contains).toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.7,
+      s"composed recall@10 (nProbe=8/16, shortlist=100) = ${recalls.toList}")
+  }
 }
