@@ -511,4 +511,80 @@ object Dedup {
       .filter(col("n_bands") === 4)
       .select(col("id"), col("ts"))
   }
+
+  /** D5 [NS] — INCREMENTAL dedup of a new batch against a standing
+    * ARCHIVE: the batch-ingest twin of the streaming q109 gate, and the
+    * shape that makes near-dup affordable at 100 TB — a nightly batch
+    * must never re-shuffle the archive, only probe it. The archive is
+    * touched as two append-only DERIVED tables a production pipeline
+    * stores next to the corpus (exactly like the stored ANN index):
+    * its distinct content hashes and its distinct MinHash band keys.
+    * Both are aggregates, so archive text never crosses an exchange.
+    *
+    * Admission layers, all deterministic:
+    *  1. within-batch exact — keep the min-id copy of each content hash;
+    *  2. archive exact — md5 present in the archive hash set → drop;
+    *  3. archive near — ANY of the doc's `bands` band keys present in
+    *     the archive band table → drop (the LSH contract: ≥ 1 shared
+    *     band = duplicate candidate);
+    *  4. within-batch near — among survivors, a doc is admitted iff it
+    *     is the min-id CLAIMANT of every band key it emits (the same
+    *     non-recursive first-sight claim rule as [[nearDupGateBatch]]:
+    *     a rejected doc's bands still claim, so admission never feeds
+    *     back into claims and one aggregation suffices).
+    * Docs too short to shingle have no signature and cannot near-dup:
+    * they pass 3–4 subject to the exact layers only.
+    *
+    * Scale shape: the batch pays one groupBy(id) signature pass plus
+    * shuffles on (hash) and (band keys); the archive side ships only
+    * `distinct` hash/band aggregates (broadcast-size once the batch is
+    * small relative to the corpus — and at worst an equi-join on the
+    * band key). Output: admitted incoming rows, original columns. */
+  def dedupIncremental(archive: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val keyCols = "band" +: (0 until rows).map(r => s"v$r")
+    def bandTable(df: DataFrame): DataFrame = lshBands(
+      df.select(col(idCol),
+          graft.functions.MinHashExpression
+            .minhashSignature(col(textCol), shingleN, k).as("_sig"))
+        .filter(col("_sig").isNotNull)
+        .select(col(idCol) +: (0 until k).map(i =>
+          element_at(col("_sig"), i + 1).as(s"s$i")): _*),
+      idCol, k, bands)
+
+    // 1. within-batch exact: min-id claimant per content hash
+    val withH = incoming.withColumn("_h", md5(col(textCol)))
+    val exactWinners = withH.groupBy(col("_h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val inc0 = withH.join(exactWinners, Seq(idCol), "left_semi")
+    // 2. archive exact: distinct hash set only — no archive text moves
+    val inc1 = inc0.join(
+      archive.select(md5(col(textCol)).as("_h")).distinct(),
+      Seq("_h"), "left_anti")
+    // 3. archive near: distinct band-key table only
+    val iBands = bandTable(inc1).localCheckpoint()
+    val archiveHit = iBands.join(
+        bandTable(archive).select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi")
+      .select(col(idCol)).distinct()
+    val inc2 = inc1.join(archiveHit, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    // 4. within-batch near: first-sight band claims over the survivors
+    val iB2 = iBands.join(inc2.select(col(idCol)), Seq(idCol), "left_semi")
+    val claims = iB2.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("_w"))
+    val wonAll = iB2.join(claims, keyCols)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nb"),
+        count(when(col("_w") === col(idCol), 1)).as("_nw"))
+      .filter(col("_nb") === col("_nw"))
+      .select(col(idCol))
+    val noSig = inc2.select(col(idCol))
+      .join(iBands.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+    inc2.join(wonAll.union(noSig), Seq(idCol), "left_semi")
+      .select(incoming.columns.map(col).toIndexedSeq: _*)
+  }
 }

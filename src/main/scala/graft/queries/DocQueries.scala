@@ -905,11 +905,79 @@ object DocQueries {
       ORDER BY doc_id"""),
     doc = "[NS] first-sight near-dup ingest gate (per-band claims, conjunctive admission)")
 
+  /** SQL twin of [[shinglesSql]] over an arbitrary (doc_id, text) rel. */
+  private def shinglesSqlFrom(rel: String): String =
+    s"""SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
+      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM $rel)"""
+
+  /** SQL twin of the k=8 MinHash signature over a trigram rel (q24's
+    * construction: components 2i/2i+1 = the 60-bit md5 halves). */
+  private def minhashSigSqlFrom(tgRel: String): String =
+    "SELECT doc_id,\n" + (0 until 4).flatMap { i =>
+      Seq(
+        s"min(CAST('0x' || substr(md5('$i:' || gram), 1, 15) AS BIGINT)) AS s${2 * i}",
+        s"min(CAST('0x' || substr(md5('$i:' || gram), 17, 15) AS BIGINT)) AS s${2 * i + 1}")
+    }.mkString(",\n") + s"\nFROM $tgRel GROUP BY doc_id"
+
+  /** SQL twin of [[Dedup.lshBands]] at k=8 / 4 bands over a sig rel. */
+  private def lshBandsSqlFrom(sigRel: String): String =
+    (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, s${2 * b} AS v0, s${2 * b + 1} AS v1 FROM $sigRel")
+      .mkString(" UNION ALL ")
+
+  /** D5 [NS] — incremental batch-vs-archive dedup (q111): the documents
+    * table split deterministically into an ARCHIVE (doc_id % 5 != 0) and
+    * an incoming BATCH (doc_id % 5 = 0); admit batch docs through
+    * [[Dedup.dedupIncremental]]'s four layers (batch exact, archive
+    * exact, archive band hit, within-batch first-sight band claim). The
+    * oracle replays all four layers from q24's signature construction. */
+  val q111DedupIncremental = Q(
+    "q111_dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dedupIncremental(
+          archive = docs.filter(col("doc_id") % 5 =!= 0),
+          incoming = docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      arc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      inc0 AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS w FROM inc)
+        WHERE doc_id = w),
+      inc1 AS (SELECT doc_id, text FROM inc0
+        WHERE md5(text) NOT IN (SELECT md5(text) FROM arc)),
+      tgI AS (${shinglesSqlFrom("inc1")}),
+      sigI AS (${minhashSigSqlFrom("tgI")}),
+      bI AS (${lshBandsSqlFrom("sigI")}),
+      tgA AS (${shinglesSqlFrom("arc")}),
+      sigA AS (${minhashSigSqlFrom("tgA")}),
+      bA AS (${lshBandsSqlFrom("sigA")}),
+      hit AS (SELECT DISTINCT i.doc_id FROM bI i JOIN bA a
+        ON i.band = a.band AND i.v0 = a.v0 AND i.v1 = a.v1),
+      inc2 AS (SELECT doc_id FROM inc1
+        WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+      ib2 AS (SELECT * FROM bI WHERE doc_id IN (SELECT doc_id FROM inc2)),
+      cl AS (SELECT band, v0, v1, min(doc_id) AS w FROM ib2 GROUP BY 1, 2, 3),
+      st AS (SELECT i.doc_id, count(*) AS nb,
+          sum(CASE WHEN c.w = i.doc_id THEN 1 ELSE 0 END) AS nw
+        FROM ib2 i JOIN cl c
+          ON i.band = c.band AND i.v0 = c.v0 AND i.v1 = c.v1
+        GROUP BY i.doc_id),
+      ok AS (SELECT doc_id FROM st WHERE nb = nw
+        UNION SELECT doc_id FROM inc2
+          WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM bI))
+      SELECT doc_id FROM inc2 WHERE doc_id IN (SELECT doc_id FROM ok)
+      ORDER BY doc_id"""),
+    doc = "[NS] incremental batch-vs-archive near-dup dedup (probe-only archive)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
     q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations,
     q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize,
     q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs,
-    q109NearDupGate)
+    q109NearDupGate, q111DedupIncremental)
 }

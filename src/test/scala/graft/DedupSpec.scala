@@ -139,4 +139,33 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(1L).length === 32)
     assert(sigs(1L) !== sigs(3L))
   }
+
+  test("dedupIncremental: each admission layer behaves on a constructed " +
+      "archive/batch split") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val archive = Seq(
+      (1L, base),                       // exact twin of batch doc 10
+      (2L, "completely unrelated words about spark catalyst planning")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                      // layer 2: exact dup of archive
+      (11L, base + " extra"),           // layer 3: near-dup of archive (shares bands)
+      (12L, "novel sentences that resemble nothing stored before today ok"),
+      (13L, "novel sentences that resemble nothing stored before today ok"),
+      // 13 = exact twin of 12 → layer 1 drops it (min-id 12 survives)
+      (14L, "novel sentences that resemble nothing stored before now ok"),
+      // 14 shares most trigrams with 12 → within-batch band claim
+      // (layer 4) admits only the min-id carrier 12
+      (15L, "ab")                       // too short to shingle: no signature
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.dedupIncremental(archive, incoming, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!admitted.contains(10L), "archive exact dup must drop")
+    assert(!admitted.contains(11L), "archive near dup must drop")
+    assert(admitted.contains(12L), "first novel doc must survive")
+    assert(!admitted.contains(13L), "within-batch exact twin must drop")
+    assert(!admitted.contains(14L), "within-batch near twin must drop")
+    assert(admitted.contains(15L), "unshingleable doc passes the near layers")
+  }
 }
