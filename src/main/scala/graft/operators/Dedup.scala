@@ -543,32 +543,50 @@ object Dedup {
   def dedupIncremental(archive: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 8,
       bands: Int = 4): DataFrame = {
+    val keyCols = "band" +: (0 until k / bands).map(r => s"v$r")
+    dedupIncrementalProbe(
+      archive.select(md5(col(textCol)).as("_h")).distinct(),
+      bandTable(archive, idCol, textCol, shingleN, k, bands)
+        .select(keyCols.map(col): _*).distinct(),
+      incoming, idCol, textCol, shingleN, k, bands)
+  }
+
+  /** The per-doc MinHash band-key table (idCol, band, v0..v{rows-1}) —
+    * the near-dup probe unit shared by [[dedupIncremental]] and the
+    * stored [[DedupIndex]]. Docs too short to shingle emit no rows. */
+  def bandTable(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int): DataFrame = lshBands(
+    df.select(col(idCol),
+        graft.functions.MinHashExpression
+          .minhashSignature(col(textCol), shingleN, k).as("_sig"))
+      .filter(col("_sig").isNotNull)
+      .select(col(idCol) +: (0 until k).map(i =>
+        element_at(col("_sig"), i + 1).as(s"s$i")): _*),
+    idCol, k, bands)
+
+  /** [[dedupIncremental]]'s core against PRE-DERIVED archive state: a
+    * hash set (`_h`) and a band-key set (band, v0..) — either computed
+    * from archive text (the one-shot form above) or read back from the
+    * stored [[DedupIndex]] (the serve-many form). Duplicate keys in
+    * either probe table are harmless: both probes are semi-joins. */
+  def dedupIncrementalProbe(archiveHashes: DataFrame,
+      archiveBands: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, k: Int = 8,
+      bands: Int = 4): DataFrame = {
     val rows = k / bands
     val keyCols = "band" +: (0 until rows).map(r => s"v$r")
-    def bandTable(df: DataFrame): DataFrame = lshBands(
-      df.select(col(idCol),
-          graft.functions.MinHashExpression
-            .minhashSignature(col(textCol), shingleN, k).as("_sig"))
-        .filter(col("_sig").isNotNull)
-        .select(col(idCol) +: (0 until k).map(i =>
-          element_at(col("_sig"), i + 1).as(s"s$i")): _*),
-      idCol, k, bands)
-
     // 1. within-batch exact: min-id claimant per content hash
     val withH = incoming.withColumn("_h", md5(col(textCol)))
     val exactWinners = withH.groupBy(col("_h"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val inc0 = withH.join(exactWinners, Seq(idCol), "left_semi")
-    // 2. archive exact: distinct hash set only — no archive text moves
-    val inc1 = inc0.join(
-      archive.select(md5(col(textCol)).as("_h")).distinct(),
-      Seq("_h"), "left_anti")
-    // 3. archive near: distinct band-key table only
-    val iBands = bandTable(inc1).localCheckpoint()
-    val archiveHit = iBands.join(
-        bandTable(archive).select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_semi")
+    // 2. archive exact: hash-set probe only — no archive text moves
+    val inc1 = inc0.join(archiveHashes, Seq("_h"), "left_anti")
+    // 3. archive near: band-key probe
+    val iBands = bandTable(inc1, idCol, textCol, shingleN, k, bands)
+      .localCheckpoint()
+    val archiveHit = iBands.join(archiveBands, keyCols, "left_semi")
       .select(col(idCol)).distinct()
     val inc2 = inc1.join(archiveHit, Seq(idCol), "left_anti")
       .localCheckpoint()

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DEDUP index lifecycle — derive once, persist, probe every batch.
+  *
+  * [[Dedup.dedupIncremental]] composes the right shapes but re-derives
+  * the archive's hash set and band-key table on every call; at corpus
+  * scale those are append-only DERIVED TABLES a pipeline stores next to
+  * the corpus (the same train-once/serve-many split [[AnnIndex]] makes
+  * for ANN search, and the same precomputed-state-reused shape as the
+  * reference's skip-if-archived probe, `cmds/archive.py:126-129`).
+  *
+  *  - [[build]] / [[buildIfAbsent]]: one-time derivation — the archive's
+  *    distinct content hashes and distinct MinHash band keys written to
+  *    parquet, with a `_graft_dedup_meta.json` fingerprint (corpus tag +
+  *    shingle/signature geometry + format version) making rebuilds
+  *    idempotent and letting repeated invocations skip derivation.
+  *  - [[gate]]: admit a new batch through
+  *    [[Dedup.dedupIncrementalProbe]]'s four layers, with layers 2–3
+  *    probing the STORED tables (explicit schemas — no footer inference
+  *    per query). No archive text is read anywhere in the plan.
+  *  - [[append]]: after a gated batch is committed to the corpus, add
+  *    its admitted docs' hashes and band keys (mode=append — duplicate
+  *    keys across files are harmless because both probes are
+  *    semi-joins; compact with a periodic `distinct` rewrite when file
+  *    count matters).
+  *
+  * Scale notes: both tables are aggregates over the corpus — the hash
+  * set is one 32-char string per distinct document, the band table
+  * `bands` longs per doc. Probing is an equi-join on those keys; the
+  * batch, not the archive, pays every exchange.
+  */
+object DedupIndex {
+
+  /** Bump when the layout or derivation semantics change. */
+  private val FormatVersion = 1
+
+  def hashesPath(dir: String) = s"$dir/hashes"
+  def bandsPath(dir: String)  = s"$dir/bands"
+  private def metaPath(dir: String) = s"$dir/_graft_dedup_meta.json"
+
+  /** Per-corpus index location (same convention as [[AnnIndex]]). */
+  def defaultDir(corpusTag: String): String =
+    "/tmp/graft_dedup_index/" + corpusTag.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def fingerprint(corpus: String, shingleN: Int, k: Int,
+      bands: Int): String =
+    s"""{"version":$FormatVersion,"corpus":"$corpus","shingleN":$shingleN,""" +
+      s""""k":$k,"bands":$bands}"""
+
+  /** Derive + persist the archive's hash set and band-key table. */
+  def build(archive: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, dir: String): Unit = {
+    archive.select(md5(col(textCol)).as("_h")).distinct()
+      .write.mode("overwrite").parquet(hashesPath(dir))
+    val keyCols = "band" +: (0 until k / bands).map(r => s"v$r")
+    Dedup.bandTable(archive, idCol, textCol, shingleN, k, bands)
+      .select(keyCols.map(col): _*).distinct()
+      .write.mode("overwrite").parquet(bandsPath(dir))
+  }
+
+  /** [[build]] unless a fingerprint-matching index is on disk. */
+  def buildIfAbsent(archive: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, dir: String,
+      corpusTag: String): Unit = {
+    val fp = fingerprint(corpusTag, shingleN, k, bands)
+    val meta = java.nio.file.Paths.get(metaPath(dir))
+    val fresh = java.nio.file.Files.exists(meta) &&
+      java.nio.file.Files.readString(meta) == fp
+    if (!fresh) {
+      build(archive, idCol, textCol, shingleN, k, bands, dir)
+      java.nio.file.Files.createDirectories(meta.getParent)
+      java.nio.file.Files.writeString(meta, fp)
+    }
+  }
+
+  private def readStored(spark: SparkSession, dir: String, k: Int,
+      bands: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val hashes = spark.read.schema(StructType(Seq(
+        StructField("_h", StringType))))
+      .parquet(hashesPath(dir))
+    val bandSchema = StructType(StructField("band", IntegerType) +:
+      (0 until k / bands).map(r => StructField(s"v$r", LongType)))
+    (hashes, spark.read.schema(bandSchema).parquet(bandsPath(dir)))
+  }
+
+  /** Admit `incoming` against the STORED index: the four
+    * [[Dedup.dedupIncrementalProbe]] layers with the archive sides read
+    * from parquet. Identical results to [[Dedup.dedupIncremental]] over
+    * the corpus the index was built from, by construction. */
+  def gate(spark: SparkSession, dir: String, incoming: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val (hashes, bandKeys) = readStored(spark, dir, k, bands)
+    Dedup.dedupIncrementalProbe(hashes, bandKeys, incoming, idCol,
+      textCol, shingleN, k, bands)
+  }
+
+  /** Fold a committed batch's keys into the index (append-only; probes
+    * tolerate duplicate keys, so this needs no read-modify-write). */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, dir: String): Unit = {
+    batch.select(md5(col(textCol)).as("_h")).distinct()
+      .write.mode("append").parquet(hashesPath(dir))
+    val keyCols = "band" +: (0 until k / bands).map(r => s"v$r")
+    Dedup.bandTable(batch, idCol, textCol, shingleN, k, bands)
+      .select(keyCols.map(col): _*).distinct()
+      .write.mode("append").parquet(bandsPath(dir))
+  }
+}

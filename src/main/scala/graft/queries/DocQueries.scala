@@ -973,11 +973,36 @@ object DocQueries {
       ORDER BY doc_id"""),
     doc = "[NS] incremental batch-vs-archive near-dup dedup (probe-only archive)")
 
+  /** D5 [NS] — dedup-index LIFECYCLE (q112): q111's semantics served
+    * from the STORED index ([[graft.operators.DedupIndex]]) — the first
+    * invocation per corpus derives and persists the archive's hash set
+    * and band-key table; the gate itself reads archive state from
+    * parquet only (no archive text anywhere in the plan). Same
+    * from-scratch oracle as q111: recomputing the whole index in SQL is
+    * a strictly stronger check on the stored-probe path than reading the
+    * stored parquet back would be (corrupt stored keys would
+    * self-consistently pass a read-back oracle but cannot match a
+    * recomputation — q107's oracle argument, applied to dedup). */
+  val q112DedupIndexGate = Q(
+    "q112_dedup_index_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.operators.DedupIndex.defaultDir(d)
+      graft.operators.DedupIndex.buildIfAbsent(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, dir = dir, corpusTag = d)
+      graft.operators.DedupIndex.gate(s, dir,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    q111DedupIncremental.oracle,
+    doc = "[NS] dedup lifecycle: gate a batch from the persisted hash/band index")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
     q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations,
     q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize,
     q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs,
-    q109NearDupGate, q111DedupIncremental)
+    q109NearDupGate, q111DedupIncremental, q112DedupIndexGate)
 }

@@ -168,4 +168,42 @@ class DedupSpec extends AnyFunSuite {
     assert(!admitted.contains(14L), "within-batch near twin must drop")
     assert(admitted.contains(15L), "unshingleable doc passes the near layers")
   }
+
+  test("DedupIndex lifecycle: stored gate == one-shot form; append folds " +
+      "an admitted batch in so its twins are dropped next batch") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    val archive = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated words about spark catalyst planning")
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "fresh material nothing in the archive has ever mentioned yet")
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      // near-twin of ADMITTED batch1 doc 11 — only the appended index
+      // can know about it
+      (20L, "fresh material nothing in the archive has ever mentioned now"),
+      (21L, "a third topic entirely with its own distinct vocabulary here")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_idx").toString
+    DedupIndex.build(archive, "doc_id", "text", 3, 8, 4, dir)
+
+    val stored = DedupIndex.gate(spark, dir, batch1, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val oneShot = Dedup.dedupIncremental(archive, batch1, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored === oneShot)
+    assert(stored === Set(11L), "10 is an archive exact dup; 11 is fresh")
+
+    val admitted1 = batch1.filter($"doc_id" === 11L)
+    DedupIndex.append(admitted1, "doc_id", "text", 3, 8, 4, dir)
+    val second = DedupIndex.gate(spark, dir, batch2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!second.contains(20L),
+      "near-twin of an appended batch-1 doc must drop")
+    assert(second.contains(21L), "genuinely new doc must survive")
+  }
 }
