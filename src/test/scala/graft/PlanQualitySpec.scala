@@ -363,4 +363,19 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$q has an interpreted Project outside codegen:\n$p")
     }
   }
+
+  test("q112 stored dedup gate: equi-join probes only — no cartesian / " +
+      "nested-loop anywhere; archive text can't appear by construction") {
+    // The archive-never-rescanned property is STRUCTURAL: DedupIndex.gate
+    // takes only (dir, incoming) — there is no archive frame to re-derive
+    // from — and DedupSpec proves stored == one-shot behaviorally. The
+    // final plan here can't show the index scans at all: the operator's
+    // eager localCheckpoints (multi-consumer band/survivor tables)
+    // truncate lineage to RDD scans, so this gate pins the join hygiene
+    // of the post-checkpoint stages.
+    SparkEntry.queries("q112_dedup_index_gate")(spark, sf).count()
+    val p = plan("q112_dedup_index_gate")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
