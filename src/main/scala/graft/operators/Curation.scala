@@ -407,4 +407,73 @@ object Curation {
             .cast("boolean")))
       .drop("_n", "_s", "_ss")
   }
+
+  /** [NS] — BPE tokenizer training, the first `rounds` merge rules
+    * (Sennrich et al. 2016, public technique). The scale insight BPE
+    * inherits from its original formulation: after ONE corpus pass
+    * builds the (word, freq) VOCABULARY, every merge round runs on the
+    * vocab — corpus size stops mattering. Per round: adjacent-symbol
+    * pair counts (freq-weighted, one map-side-combining shuffle on the
+    * pair key), a 1-row argmax (count desc, then lexicographic —
+    * deterministic), and a greedy left-to-right merge APPLY over each
+    * word's symbol positions. Greedy semantics match the reference BPE:
+    * in a run of overlapping matches (only possible when left==right,
+    * e.g. pair (a,a) in "aaaa") merges land on alternating positions
+    * from the run's start — expressed set-based via a cumulative match
+    * count and run-parity, so Spark and the SQL oracle share the exact
+    * construction instead of a sequential fold.
+    *
+    * Windows partition by WORD (per-word arrays are tiny), so the apply
+    * step is embarrassingly parallel; per-round `localCheckpoint`
+    * truncates the iterative lineage (the codebase's fixpoint
+    * convention). No end-of-word marker: merges never cross words here,
+    * and the marker only matters for detokenization — documented
+    * simplification. Output: (merge_rank, left_sym, right_sym,
+    * pair_count), `rounds` rows. */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // initial positions: one row per (word, i, single-char symbol).
+    // Java's zero-width split leaves a trailing "" element (it matches at
+    // end-of-input with limit -1) — strip it or the empty symbol pairs up
+    // in later rounds; DuckDB's string_split(w, '') never emits one.
+    var pos = vocab.select(col("w"), col("freq"),
+        posexplode(filter(split(col("w"), "(?!^)"), _ =!= ""))
+          .as(Seq("i", "sym")))
+      .localCheckpoint()
+    val wn = Window.partitionBy(col("w")).orderBy(col("i"))
+    var rules: DataFrame = null
+    for (r <- 1 to rounds) {
+      val withNext = pos.withColumn("ns", lead(col("sym"), 1).over(wn))
+      val best = withNext.filter(col("ns").isNotNull)
+        .groupBy(col("sym").as("a"), col("ns").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .localCheckpoint(true)
+      val rule = best.select(lit(r).as("merge_rank"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("cnt").as("pair_count"))
+      rules = if (rules == null) rule else rules.unionAll(rule)
+      // apply greedily: run-parity over the cumulative match count
+      val m = withNext.crossJoin(broadcast(best))
+        .withColumn("mt", col("sym") === col("a") && col("ns") === col("b"))
+        .withColumn("c",
+          sum(when(col("mt"), 1).otherwise(0)).over(wn))
+        .withColumn("grp", when(col("mt"), col("i") - col("c")))
+        .withColumn("mg", when(col("mt"),
+          (col("c") - min(col("c")).over(
+            Window.partitionBy(col("w"), col("grp")))) % 2 === 0)
+          .otherwise(lit(false)))
+        .withColumn("cons", coalesce(lag(col("mg"), 1).over(wn), lit(false)))
+      pos = m.filter(!col("cons"))
+        .select(col("w"), col("freq"),
+          (row_number().over(wn) - 1).as("i"),
+          when(col("mg"), concat(col("sym"), col("ns")))
+            .otherwise(col("sym")).as("sym"))
+        .localCheckpoint()
+    }
+    rules.orderBy(col("merge_rank"))
+  }
 }

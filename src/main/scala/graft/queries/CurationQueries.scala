@@ -425,8 +425,60 @@ object CurationQueries {
       FROM enc GROUP BY doc_id ORDER BY doc_id"""),
     doc = "[NS] vocab build + token-id encoding (order-certified id sequences)")
 
+  /** One unrolled BPE round in SQL: pair counts over `inRel`'s symbol
+    * positions, the deterministic 1-row argmax `best$r`, and the greedy
+    * run-parity apply producing `p$r` — the exact construction
+    * [[Curation.bpeMerges]] runs (cumulative match count `c`, run key
+    * `i - c`, merge iff the in-run parity is even, consume the follower). */
+  private def bpeRoundSql(inRel: String, r: Int): String =
+    s"""x$r AS (SELECT p.*, lead(sym) OVER (PARTITION BY w ORDER BY i) AS ns
+        FROM $inRel p),
+      best$r AS (SELECT sym AS a, ns AS b, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM x$r WHERE ns IS NOT NULL
+        GROUP BY sym, ns ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+      m$r AS (SELECT x.*, (x.sym = (SELECT a FROM best$r)
+          AND x.ns = (SELECT b FROM best$r)) AS mt FROM x$r x),
+      c$r AS (SELECT *, sum(CASE WHEN mt THEN 1 ELSE 0 END)
+          OVER (PARTITION BY w ORDER BY i) AS c FROM m$r),
+      g$r AS (SELECT *, CASE WHEN mt THEN i - c END AS grp FROM c$r),
+      r$r AS (SELECT *, CASE WHEN mt
+          THEN (c - min(c) OVER (PARTITION BY w, grp)) % 2 = 0
+          ELSE false END AS mg FROM g$r),
+      k$r AS (SELECT *, coalesce(lag(mg) OVER (PARTITION BY w ORDER BY i),
+          false) AS cons FROM r$r),
+      p$r AS (SELECT w, freq,
+          row_number() OVER (PARTITION BY w ORDER BY i) - 1 AS i,
+          CASE WHEN mg THEN sym || ns ELSE sym END AS sym
+        FROM k$r WHERE NOT cons)"""
+
+  /** [NS] — BPE tokenizer training (q113): the first two merge rules
+    * over the corpus vocabulary ([[Curation.bpeMerges]]). The oracle
+    * unrolls both rounds with the same set-based greedy-apply (run
+    * parity over the cumulative match count), so the merge RULES and
+    * their counts are certified — and because round 2's counts depend on
+    * round 1's rebuilt symbol sequences, a wrong apply step cannot pass. */
+  val q113BpeMerges = Q(
+    "q113_bpe_merges",
+    (s, d) => Curation.bpeMerges(Tables.documents(s, d), "text", rounds = 2),
+    Some(s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      vocab AS (SELECT w, count(*) AS freq FROM words
+        WHERE len(w) > 0 GROUP BY w),
+      p0 AS (SELECT w, freq, unnest(range(1, len(l) + 1)) - 1 AS i,
+          unnest(l) AS sym
+        FROM (SELECT w, freq, string_split(w, '') AS l FROM vocab)),
+      ${bpeRoundSql("p0", 1)},
+      ${bpeRoundSql("p1", 2)}
+      SELECT merge_rank, left_sym, right_sym, pair_count FROM (
+        SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym,
+          cnt AS pair_count FROM best1
+        UNION ALL
+        SELECT 2, a, b, cnt FROM best2)
+      ORDER BY merge_rank"""),
+    doc = "[NS] BPE tokenizer training: first 2 merge rules, vocab-sized iteration")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
-    q106TokenIds)
+    q106TokenIds, q113BpeMerges)
 }

@@ -301,4 +301,17 @@ class CurationSpec extends AnyFunSuite {
     assert(flags(None) === None)
     assert(flags(Some(1L)).isDefined && flags(Some(2L)).isDefined)
   }
+
+  test("bpeMerges: greedy run-parity apply — overlapping matches merge " +
+      "at alternating positions, round 2 sees round 1's rebuilt symbols") {
+    // vocab: "aaaa" ×2, "bb" ×1. Round 1: (a,a) count 3·2=6 beats (b,b) 1;
+    // greedy apply turns "aaaa" into [aa, aa] (positions 0-1 and 2-3 — a
+    // sequential fold and the run-parity rule agree). Round 2: (aa,aa)
+    // count 2 beats (b,b) 1 — only correct if the apply actually rebuilt.
+    val docs = Seq((1L, "aaaa aaaa bb")).toDF("doc_id", "text")
+    val rules = Curation.bpeMerges(docs, "text", rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(rules.toSeq === Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
+  }
 }
