@@ -430,7 +430,31 @@ object Curation {
     * and the marker only matters for detokenization — documented
     * simplification. Output: (merge_rank, left_sym, right_sym,
     * pair_count), `rounds` rows. */
-  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    bpeCore(df, textCol, rounds)._1
+
+  /** [NS] — BPE ENCODE, the serving half of [[bpeMerges]]: tokenize the
+    * corpus under the first `rounds` trained merges and return per-doc
+    * token counts — the quantity every packing/budget stage downstream
+    * consumes. Work stays vocab-sized: the merges rebuild per-WORD
+    * symbol sequences once, then each doc pays one explode + one
+    * equi-join against the (word → n_sym) table and a count aggregation.
+    * Token counts depend on every greedy apply round, so an oracle match
+    * here certifies the full encode path, not just the rule ranks. */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val perWord = bpeCore(df, textCol, rounds)._2
+      .groupBy(col("w")).agg(count(lit(1)).as("n_sym"))
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(perWord, Seq("w"))
+      .groupBy(col(idCol)).agg(sum(col("n_sym")).as("n_tokens"))
+  }
+
+  /** Shared trainer: returns (merge rules, final per-word symbol
+    * positions). See [[bpeMerges]] for semantics and scale notes. */
+  private def bpeCore(df: DataFrame, textCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val vocab = df.select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
@@ -474,6 +498,6 @@ object Curation {
             .otherwise(col("sym")).as("sym"))
         .localCheckpoint()
     }
-    rules.orderBy(col("merge_rank"))
+    (rules.orderBy(col("merge_rank")), pos)
   }
 }

@@ -477,8 +477,35 @@ object CurationQueries {
       ORDER BY merge_rank"""),
     doc = "[NS] BPE tokenizer training: first 2 merge rules, vocab-sized iteration")
 
+  /** [NS] — BPE encode (q114): per-doc token counts under q113's two
+    * trained merges ([[Curation.bpeTokenCounts]]). The oracle reuses the
+    * unrolled training CTEs and tokenizes from the post-merge symbol
+    * table — counts shift if ANY greedy apply round misplaces a merge,
+    * so this certifies the encode path end-to-end. */
+  val q114BpeTokens = Q(
+    "q114_bpe_tokens",
+    (s, d) => Curation.bpeTokenCounts(Tables.documents(s, d), "doc_id",
+        "text", rounds = 2)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      vocab AS (SELECT w, count(*) AS freq FROM words
+        WHERE len(w) > 0 GROUP BY w),
+      p0 AS (SELECT w, freq, unnest(range(1, len(l) + 1)) - 1 AS i,
+          unnest(l) AS sym
+        FROM (SELECT w, freq, string_split(w, '') AS l FROM vocab)),
+      ${bpeRoundSql("p0", 1)},
+      ${bpeRoundSql("p1", 2)},
+      ws AS (SELECT w, count(*) AS n_sym FROM p2 GROUP BY w),
+      dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+      FROM dw JOIN ws USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "[NS] BPE encode: per-doc token counts from the trained merges")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
-    q106TokenIds, q113BpeMerges)
+    q106TokenIds, q113BpeMerges, q114BpeTokens)
 }

@@ -314,4 +314,12 @@ class CurationSpec extends AnyFunSuite {
         r.getLong(3)))
     assert(rules.toSeq === Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
   }
+
+  test("bpeTokenCounts: doc token count reflects both merge rounds") {
+    // after (a,a) then (aa,aa): "aaaa" encodes to 1 token, "bb" stays 2
+    val docs = Seq((1L, "aaaa aaaa bb")).toDF("doc_id", "text")
+    val counts = Curation.bpeTokenCounts(docs, "doc_id", "text", rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(counts.toSeq === Seq((1L, 4L)))
+  }
 }
