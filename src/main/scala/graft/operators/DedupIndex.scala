@@ -99,6 +99,29 @@ object DedupIndex {
       textCol, shingleN, k, bands)
   }
 
+  /** Streaming hookup — the durable-ingest twin of
+    * [[graft.streaming.EventStream.bandFirstSight]]: per micro-batch,
+    * [[gate]] the batch against the STORED index, COMMIT admitted rows
+    * via the caller-supplied sink, then [[append]] their keys so later
+    * batches — and later runs — reject their twins. Commit-before-append
+    * makes replays safe with an idempotent keyed sink: a replayed epoch
+    * re-merges the same rows (PK-idempotent) and re-appends the same
+    * keys (semi-join probes tolerate duplicates); append-before-commit
+    * would lose the batch to a crash between the two. TTL-less by
+    * design — the index IS the state, durable and unbounded, where
+    * bandFirstSight bounds in-memory state by time. */
+  def foreachBatchIngest(spark: SparkSession, dir: String, idCol: String,
+      textCol: String, shingleN: Int = 3, k: Int = 8, bands: Int = 4)(
+      commit: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      // one eager materialization: commit and append must see the SAME
+      // admitted set (a lazy plan could re-read the index mid-epoch)
+      val admitted = gate(spark, dir, batch, idCol, textCol, shingleN,
+        k, bands).localCheckpoint()
+      commit(admitted)
+      append(admitted, idCol, textCol, shingleN, k, bands, dir)
+    }
+
   /** Fold a committed batch's keys into the index (append-only; probes
     * tolerate duplicate keys, so this needs no read-modify-write). */
   def append(batch: DataFrame, idCol: String, textCol: String,

@@ -570,4 +570,68 @@ class StreamingSpec extends AnyFunSuite {
       assert(admittedIds().contains(5L))
     } finally q.stop()
   }
+
+  test("stored-index streaming ingest: foreachBatchIngest gates each " +
+      "epoch against the durable index and appends admitted keys — " +
+      "cross-epoch twins rejected without TTL state") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.operators.{Dedup, DedupIndex}
+    import spark.implicits._
+
+    val srcDir = Files.createTempDirectory("ing_src").toString
+    val ckpt = Files.createTempDirectory("ing_ckpt").toString
+    val idxDir = Files.createTempDirectory("ing_idx").toString
+    val archive = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(archive, "doc_id", "text", 3, 8, 4, idxDir)
+
+    val committed = scala.collection.mutable.ArrayBuffer[Long]()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(DedupIndex.foreachBatchIngest(spark, idxDir,
+          "doc_id", "text") { adm =>
+          committed ++= adm.select("doc_id").as[Long].collect()
+        })
+        .start()
+      q.awaitTermination()
+    }
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text"}"""
+
+    Files.write(Paths.get(srcDir, "b1.json"), Seq(
+      doc(10L, "the quick brown fox jumps over the lazy dog again and again"),
+      doc(11L, "fresh material nothing in the archive has ever mentioned yet"),
+      doc(12L, "fresh material nothing in the archive has ever mentioned yet")
+    ).mkString("\n").getBytes("UTF-8"))
+    runOnce()
+    assert(committed.toSet === Set(11L),
+      "archive twin and in-epoch exact twin must both drop")
+
+    // epoch 2, after full query restart: a near-twin of the doc ADMITTED
+    // in epoch 1 — only the appended index can reject it (no TTL state
+    // survives the restart); plus a genuinely new doc
+    Files.write(Paths.get(srcDir, "b2.json"), Seq(
+      doc(20L, "fresh material nothing in the archive has ever mentioned now"),
+      doc(21L, "a third topic entirely with its own distinct vocabulary here")
+    ).mkString("\n").getBytes("UTF-8"))
+    runOnce()
+    assert(committed.toSet === Set(11L, 21L),
+      s"near-twin of an admitted doc must drop across epochs: $committed")
+
+    // the durable index now equals one built from archive + admissions:
+    // a batch gate over it rejects twins of everything committed so far
+    val probe = Seq(
+      (30L, "a third topic entirely with its own distinct vocabulary here"))
+      .toDF("doc_id", "text")
+    val g = DedupIndex.gate(spark, idxDir, probe, "doc_id", "text")
+    assert(g.count() === 0L)
+  }
 }
