@@ -998,11 +998,67 @@ object DocQueries {
     q111DedupIncremental.oracle,
     doc = "[NS] dedup lifecycle: gate a batch from the persisted hash/band index")
 
+  /** D5 [NS] — Bloom-filter near-dup gate (q115): the archive's band
+    * keys folded into an 8192-bit filter ([[graft.functions
+    * .BloomFilterAggregator]] — mergeable, broadcast as ONE row), each
+    * batch doc flagged `maybe_near` by shuffle-free bit probes and
+    * `confirmed` by the exact band join over ONLY the maybe rows
+    * ([[graft.operators.Bloom.gateNearDups]]). The oracle reproduces the
+    * exact bit placement (positions are md5 slices mod m — no bitset
+    * needed in SQL: "all k bits set" ≡ "all k positions in the archive's
+    * position set"), so false positives hash-match too: the filter's
+    * FP behavior is deterministic, not statistical, once m/k are fixed.
+    * At sf0.01 the fill ratio is ≈0.44, so the maybe set is real work
+    * saved (most clean docs never reach the join) with visible FPs
+    * (maybe ∧ ¬confirmed rows) proving the probe isn't a tautology. */
+  val q115BloomGate = Q(
+    "q115_bloom_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Bloom.gateNearDups(
+          archive = docs.filter(col("doc_id") % 5 =!= 0),
+          batch = docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", mBits = 8192, bloomK = 3)
+        .select(col("doc_id"), col("maybe_near"), col("confirmed"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      arc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      tgA AS (${shinglesSqlFrom("arc")}),
+      sigA AS (${minhashSigSqlFrom("tgA")}),
+      bA AS (${lshBandsSqlFrom("sigA")}),
+      kA AS (SELECT DISTINCT band || ':' || v0 || ':' || v1 AS bk FROM bA),
+      posA AS (SELECT DISTINCT
+          CAST('0x' || substr(md5(bk), 1 + 8*j, 8) AS BIGINT) % 8192 AS p
+        FROM kA, unnest([0, 1, 2]) AS t(j)),
+      tgI AS (${shinglesSqlFrom("inc")}),
+      sigI AS (${minhashSigSqlFrom("tgI")}),
+      bI AS (${lshBandsSqlFrom("sigI")}),
+      kI AS (SELECT doc_id, band || ':' || v0 || ':' || v1 AS bk FROM bI),
+      pI AS (SELECT doc_id, bk,
+          CAST('0x' || substr(md5(bk), 1 + 8*j, 8) AS BIGINT) % 8192 AS p
+        FROM kI, unnest([0, 1, 2]) AS t(j)),
+      mk AS (SELECT doc_id, bk,
+          bool_and(p IN (SELECT p FROM posA)) AS allset
+        FROM pI GROUP BY doc_id, bk),
+      md AS (SELECT doc_id, bool_or(allset) AS maybe_near FROM mk
+        GROUP BY doc_id),
+      conf AS (SELECT DISTINCT i.doc_id FROM kI i
+        WHERE i.bk IN (SELECT bk FROM kA)
+          AND i.doc_id IN (SELECT doc_id FROM md WHERE maybe_near))
+      SELECT inc.doc_id, coalesce(md.maybe_near, false) AS maybe_near,
+        (conf.doc_id IS NOT NULL) AS confirmed
+      FROM inc LEFT JOIN md USING (doc_id)
+        LEFT JOIN conf ON conf.doc_id = inc.doc_id
+      ORDER BY inc.doc_id"""),
+    doc = "[NS] Bloom-filter near-dup gate (broadcast bitmap, join only the maybe set)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
     q72DedupComponents, q76FuzzyLookup, q78CcDoubling, q81Collocations,
     q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize,
     q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs,
-    q109NearDupGate, q111DedupIncremental, q112DedupIndexGate)
+    q109NearDupGate, q111DedupIncremental, q112DedupIndexGate,
+    q115BloomGate)
 }
