@@ -605,4 +605,36 @@ object Dedup {
     inc2.join(wonAll.union(noSig), Seq(idCol), "left_semi")
       .select(incoming.columns.map(col).toIndexedSeq: _*)
   }
+
+  /** D5 closure — canonical document selection: collapse each transitive
+    * near-dup cluster to its single BEST member (highest `scoreCol`,
+    * id-ascending tie-break); rows in no pair survive as their own
+    * cluster of one. This is the keep-best end shape of a dedup pass —
+    * q72 names the clusters, this picks who lives.
+    *
+    * Scale: the closure is [[connectedComponentsHybrid]] (1 shuffle per
+    * round, O(log d) on chains); the selection itself is ONE shuffle on
+    * the component key feeding two window functions over the same
+    * partition spec (rank + cluster size share the exchange). Cluster
+    * populations are near-dup groups — bounded and small by nature — so
+    * no component key can skew a 1000-executor run.
+    *
+    * Returns the surviving rows of `df` plus `n_dups` (cluster size the
+    * survivor represents). */
+  def keepBest(df: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: Column, aCol: String = "doc_a",
+      bCol: String = "doc_b"): DataFrame = {
+    val cc = connectedComponentsHybrid(pairs, aCol, bCol)
+    val scored = df.withColumn("_score", scoreCol)
+      .join(cc.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .withColumn("_comp", coalesce(col("rep"), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_comp"))
+    val ranked = scored
+      .withColumn("_rn", row_number().over(
+        w.orderBy(col("_score").desc, col(idCol).asc)))
+      .withColumn("n_dups", count(lit(1)).over(w))
+    ranked.filter(col("_rn") === 1)
+      .select(df.columns.map(col).toIndexedSeq :+ col("n_dups"): _*)
+  }
 }

@@ -1053,6 +1053,68 @@ object DocQueries {
       ORDER BY inc.doc_id"""),
     doc = "[NS] Bloom-filter near-dup gate (broadcast bitmap, join only the maybe set)")
 
+  /** D5 closure — canonical keep-best selection (q116): q72 names the
+    * transitive near-dup clusters; this picks the survivor — the
+    * longest doc per cluster, id-ascending tie-break
+    * ([[graft.operators.Dedup.keepBest]]). Untouched docs ride through
+    * as singleton clusters, so the output IS the deduplicated corpus
+    * (with `n_dups` recording how many docs each survivor stands for).
+    * The oracle reuses q72's WITH RECURSIVE closure and picks the same
+    * winner with an ordered first(); aggregating on `n_dups > 1` rows
+    * keeps the interesting surface (real clusters) while total counts
+    * pin the singleton passthrough. */
+  val q116KeepBest = Q(
+    "q116_keep_best",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4)
+      Dedup.keepBest(docs.select($"doc_id", $"text"), pairs, "doc_id",
+          length($"text").cast("long"))
+        .select($"doc_id", $"n_dups", length($"text").cast("long").as("len"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE tg AS ($shinglesSql),
+      sig AS (SELECT doc_id,
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
+        FROM tg GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, s0 AS v0, s1 AS v1 FROM sig UNION ALL
+        SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        SELECT doc_id, 3, s6, s7 FROM sig),
+      pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+          AND x.doc_id < y.doc_id),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+      labels AS (SELECT src AS node, min(dst) AS rep
+        FROM reach GROUP BY src),
+      scored AS (SELECT d.doc_id,
+          CAST(length(d.text) AS BIGINT) AS len,
+          coalesce(l.rep, d.doc_id) AS comp
+        FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+      win AS (SELECT comp,
+          first(doc_id ORDER BY len DESC, doc_id) AS doc_id,
+          first(len ORDER BY len DESC, doc_id) AS len,
+          count(*) AS n_dups
+        FROM scored GROUP BY comp)
+      SELECT doc_id, n_dups, len FROM win ORDER BY doc_id"""),
+    doc = "[NS] canonical keep-best selection over near-dup clusters")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -1060,5 +1122,5 @@ object DocQueries {
     q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize,
     q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs,
     q109NearDupGate, q111DedupIncremental, q112DedupIndexGate,
-    q115BloomGate)
+    q115BloomGate, q116KeepBest)
 }

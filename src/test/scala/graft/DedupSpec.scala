@@ -206,4 +206,22 @@ class DedupSpec extends AnyFunSuite {
       "near-twin of an appended batch-1 doc must drop")
     assert(second.contains(21L), "genuinely new doc must survive")
   }
+
+  test("keepBest: one survivor per transitive cluster, best score wins, " +
+      "singletons ride through") {
+    import spark.implicits._
+    // cluster {1,2,3} via chain 1-2, 2-3; cluster {10,11}; 99 untouched
+    val docs = Seq(
+      (1L, "short"), (2L, "the longest text of them all"), (3L, "mid text"),
+      (10L, "same len"), (11L, "same ln2"), (99L, "alone")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.keepBest(docs, pairs, "doc_id",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+      .select("doc_id", "n_dups")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      2L -> 3L,   // longest of {1,2,3}
+      10L -> 2L,  // tie on length 8 → lower id
+      99L -> 1L)) // singleton survives as its own cluster
+  }
 }
