@@ -504,8 +504,42 @@ object CurationQueries {
       GROUP BY doc_id ORDER BY doc_id"""),
     doc = "[NS] BPE encode: per-doc token counts from the trained merges")
 
+  /** [NS] — content-defined chunking (q117): every doc cut where the
+    * trailing 8-gram's md5 slice has its low 5 bits zero (expected
+    * chunk ≈ 32 chars), [[Curation.cdcChunks]]. Per-chunk rows check
+    * every boundary AND every chunk's content hash — the oracle
+    * reproduces the identical cut set from the same md5 arithmetic, so
+    * a single drifted boundary breaks the hash compare. The chunk_hash
+    * column is the storage-dedup key: identical regions across docs
+    * land on identical hashes regardless of their offsets. */
+  val q117CdcChunks = Q(
+    "q117_cdc_chunks",
+    (s, d) => {
+      import s.implicits._
+      Curation.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+          w = 8, maskBits = 5)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, length(text) AS l
+        FROM documents WHERE length(text) > 0),
+      cuts AS (SELECT doc_id, i FROM d, unnest(range(8, l + 1)) AS t(i)
+        WHERE i < l AND CAST('0x' || substr(md5(substr(text, i - 7, 8)),
+          1, 8) AS BIGINT) % 32 = 0),
+      cl AS (SELECT doc_id, list_sort(list(i)) AS cs FROM cuts
+        GROUP BY doc_id),
+      b AS (SELECT d.doc_id, d.text, d.l, coalesce(cl.cs, []) AS cs
+        FROM d LEFT JOIN cl USING (doc_id)),
+      ch AS (SELECT doc_id, text, CAST(u.j AS BIGINT) AS chunk_idx,
+          list_prepend(0, cs)[u.j + 1] AS st,
+          list_append(cs, l)[u.j + 1] AS en
+        FROM b, unnest(range(0, len(cs) + 1)) AS u(j))
+      SELECT doc_id, chunk_idx, CAST(en - st AS BIGINT) AS chunk_len,
+        md5(substr(text, st + 1, en - st)) AS chunk_hash
+      FROM ch ORDER BY doc_id, chunk_idx"""),
+    doc = "[NS] content-defined chunking (rsync/LBFS cut rule, chunk-hash dedup keys)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
-    q106TokenIds, q113BpeMerges, q114BpeTokens)
+    q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks)
 }

@@ -322,4 +322,49 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(counts.toSeq === Seq((1L, 4L)))
   }
+
+  test("cdcChunks: boundaries match the md5 cut rule; chunks tile the doc") {
+    import spark.implicits._
+    val text = (1 to 400).map(i => ('a' + i % 26).toChar).mkString
+    val out = Curation.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", w = 8, maskBits = 4)
+      .orderBy("chunk_idx").collect()
+    // Scala reference: same md5-slice cut rule
+    def h(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val cuts = (8 to text.length)
+      .filter(i => i < text.length && h(text.substring(i - 8, i)) % 16 == 0)
+    val bounds = (0 +: cuts) zip (cuts :+ text.length)
+    assert(out.length === bounds.length && bounds.length > 1)
+    out.zip(bounds).foreach { case (r, (s, e)) =>
+      assert(r.getLong(2) === (e - s).toLong)
+    }
+    assert(out.map(_.getLong(2)).sum === text.length.toLong,
+      "chunks must tile the doc exactly")
+  }
+
+  test("cdcChunks: content-defined shift invariance — a prefix edit " +
+      "leaves the shared tail's chunk hashes intact (fixed-size chunking " +
+      "would shift every boundary)") {
+    import spark.implicits._
+    // seeded: deterministic across runs, aperiodic so the tail has real
+    // 8-gram variety (a periodic tail can dodge every cut)
+    val rnd = new scala.util.Random(42)
+    val tail400 = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val a = "common head " + tail400
+    val b = "EDITED-PREFIX-OF-DIFFERENT-LENGTH " + tail400
+    val chunks = Curation.cdcChunks(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text",
+        w = 8, maskBits = 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(3)).toSet).toMap
+    val shared = chunks(1L).intersect(chunks(2L))
+    // the 400-char shared tail at maskBits=4 (expected chunk ≈ 16 chars)
+    // re-synchronizes after the edit: many identical chunk hashes survive
+    assert(shared.size >= 5,
+      s"only ${shared.size} shared chunk hashes after a prefix edit")
+  }
 }
