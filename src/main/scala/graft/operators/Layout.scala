@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** [NS] Multi-dimensional data layout — Z-order (Morton) keys.
+  *
+  * A 100 TB table is pruned or it is scanned; min/max zone pruning only
+  * works on the column the data is SORTED by. Sorting by a Z-order key
+  * interleaves the bits of several dimensions so that rows close in the
+  * curve are close in EVERY dimension — one sort buys row-group/file
+  * pruning for range predicates on each participating column (the
+  * technique behind Delta/Iceberg Z-ORDER clustering; public algorithm,
+  * Morton 1966). The key is pure per-row bit arithmetic: unrolled
+  * shift/mask/add over built-in expressions, fully codegen'd, no UDF,
+  * no shuffle — the curve changes WHERE rows land (via the later sort),
+  * not how many move.
+  *
+  * Bit budget: `bits` low bits per dimension, interleaved round-robin
+  * (bit i of dim d lands at position i·n + d); n·bits ≤ 62 keeps the
+  * key in a positive long. Dimensions must be pre-masked/shifted into
+  * [0, 2^bits) by the caller — that normalization (e.g. `& 65535`, or
+  * epoch-day offsets) is part of the layout contract and stays visible
+  * at the call site. */
+object Layout {
+
+  def zorder(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty, "zorder needs at least one dimension")
+    require(bits >= 1 && bits * dims.size <= 62,
+      s"bit budget ${bits}×${dims.size} exceeds a positive long")
+    val n = dims.size
+    val terms = for {
+      (c, d) <- dims.zipWithIndex
+      i <- 0 until bits
+    } yield shiftright(c.cast("long"), i).bitwiseAND(lit(1L)) *
+      lit(1L << (i * n + d))
+    terms.reduce(_ + _)
+  }
+
+  /** The two-dimension form (the common custkey × date case). */
+  def zorder2(x: Column, y: Column, bits: Int = 16): Column =
+    zorder(Seq(x, y), bits)
+}

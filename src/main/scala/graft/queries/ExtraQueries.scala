@@ -500,8 +500,58 @@ object ExtraQueries {
       FROM dc, da"""),
     doc = "[NS] CDC apply round-trip: diff-then-apply reconstructs the snapshot")
 
+  /** SQL twin of [[graft.operators.Layout.zorder]] over two dims at 16
+    * bits: the identical unrolled shift/mask/add, generated so both
+    * engines compute the same 32-term sum. */
+  private def zorder2Sql(x: String, y: String): String =
+    (0 until 16).flatMap { i =>
+      Seq(s"((($x) >> $i) & 1) * ${1L << (2 * i)}",
+        s"((($y) >> $i) & 1) * ${1L << (2 * i + 1)}")
+    }.mkString("(", " + ", ")")
+
+  /** [NS] — Z-order layout audit (q118): every order keyed by the
+    * Morton interleave of (custkey & 65535, epoch-day & 65535)
+    * ([[graft.operators.Layout.zorder]]), then the curve's 2^18-aligned
+    * tiles (512×512 in dim units) summarized with per-tile min/max of
+    * BOTH dims. The
+    * min/max spans are the pruning statistics a zone map would hold:
+    * each bucket covers a narrow range of customer AND date
+    * simultaneously — one sort key, two prunable predicates — which is
+    * the entire point of Z-ordering a 100 TB fact table. Bit-exact
+    * across engines (integer shifts only), so the oracle certifies
+    * every interleaved bit. */
+  val q118ZorderLayout = Q(
+    "q118_zorder_layout",
+    (s, d) => {
+      import s.implicits._
+      // dims normalized to span from 0 (part of the layout contract:
+      // un-offset dims waste high bits and collapse the curve's prefix)
+      val x = col("o_custkey").bitwiseAND(lit(65535L))
+      val y = datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).cast("long").bitwiseAND(lit(65535L))
+      Tables.orders(s, d)
+        .select(graft.operators.Layout.zorder2(x, y).as("z"),
+          x.as("xd"), y.as("yd"))
+        .groupBy(shiftright($"z", 18).as("z_bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min($"xd").as("min_cust"), max($"xd").as("max_cust"),
+          min($"yd").as("min_day"), max($"yd").as("max_day"))
+        .orderBy($"z_bucket")
+    },
+    Some(s"""WITH dxy AS (SELECT (o_custkey & 65535) AS x,
+        (date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+          & 65535) AS y
+      FROM orders),
+      z AS (SELECT x, y, ${zorder2Sql("x", "y")} AS zk FROM dxy)
+      SELECT zk >> 18 AS z_bucket, count(*) AS n_orders,
+        min(x) AS min_cust, max(x) AS max_cust,
+        min(y) AS min_day, max(y) AS max_day
+      FROM z GROUP BY z_bucket ORDER BY z_bucket"""),
+    doc = "[NS] Z-order (Morton) layout keys + zone-map audit of both dims")
+
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
     q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q50Pivot,
     q59RangeWindow, q60ApproxPercentiles, q74PercentGate, q75GapFill,
-    q84SnapshotDiff, q86SketchUnion, q87GroupingSets, q95CdcApply)
+    q84SnapshotDiff, q86SketchUnion, q87GroupingSets, q95CdcApply,
+    q118ZorderLayout)
 }

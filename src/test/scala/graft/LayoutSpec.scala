@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Layout
+
+/** Z-order keys: bit-exact vs a Scala reference interleave, and the
+  * tile-locality property that makes the curve prunable in every
+  * participating dimension. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def refZ(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1)
+    }
+
+  test("zorder2 matches the reference interleave (edges + seeded values)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L),
+      (1L, 2L)) ++ (1 to 200).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.zorder2($"x", $"y").as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === refZ(x, y, 16), s"($x,$y)")
+    }
+  }
+
+  test("tile locality: a 2^k-aligned tile shares the z-prefix — one sort " +
+      "key prunes both dimensions") {
+    // all points inside the tile [x0, x0+2^k) × [y0, y0+2^k) (aligned)
+    // agree on z >> 2k; a point outside in EITHER dim does not
+    val k = 4
+    val (x0, y0) = (0xab00L, 0x3c40L) // 2^k-aligned corners
+    val inTile = for (dx <- 0 until (1 << k); dy <- Seq(0, (1 << k) - 1))
+      yield refZ(x0 + dx, y0 + dy, 16) >> (2 * k)
+    assert(inTile.distinct.size === 1)
+    val prefix = inTile.head
+    assert(refZ(x0 + (1 << k), y0, 16) >> (2 * k) !== prefix)
+    assert(refZ(x0, y0 + (1 << k), 16) >> (2 * k) !== prefix)
+  }
+}
