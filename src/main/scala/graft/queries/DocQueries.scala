@@ -1115,6 +1115,39 @@ object DocQueries {
       SELECT doc_id, n_dups, len FROM win ORDER BY doc_id"""),
     doc = "[NS] canonical keep-best selection over near-dup clusters")
 
+  /** §2.10 [NS] — Misra–Gries heavy hitters (q119): the corpus's top-20
+    * tokens from a BOUNDED sketch ([[graft.functions
+    * .MisraGriesAggregator]], capacity 64) — O(capacity) state per map
+    * task, mergeable combine, no full-width count shuffle. The fixture
+    * has ~31 distinct tokens < capacity, so the sketch runs in its
+    * exact regime (no decrement ever fires) and the oracle is the plain
+    * GROUP BY count — checking the whole reduce/merge path bit-for-bit.
+    * The approximate regime's under-count bound (≤ N/(capacity+1),
+    * never over) is pinned adversarially in HeavyHittersSpec, where an
+    * oracle can't follow (estimates there are merge-order-dependent by
+    * construction). */
+  val q119HeavyHitters = Q(
+    "q119_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val mg = udaf(graft.functions.MisraGriesAggregator(64))
+      Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("token"))
+        .filter(length($"token") > 0)
+        .agg(mg($"token").as("m"))
+        .select(explode(map_entries($"m")).as("e"))
+        .select($"e.key".as("token"), $"e.value".as("est_count"))
+        .orderBy($"est_count".desc, $"token".asc)
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      c AS (SELECT token, CAST(count(*) AS BIGINT) AS est_count FROM toks
+        WHERE length(token) > 0 GROUP BY token)
+      SELECT token, est_count FROM c
+      ORDER BY est_count DESC, token LIMIT 20"""),
+    doc = "[NS] Misra-Gries heavy hitters (bounded mergeable frequency sketch)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -1122,5 +1155,5 @@ object DocQueries {
     q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize,
     q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs,
     q109NearDupGate, q111DedupIncremental, q112DedupIndexGate,
-    q115BloomGate, q116KeepBest)
+    q115BloomGate, q116KeepBest, q119HeavyHitters)
 }
