@@ -90,7 +90,8 @@ object GraftFunctions {
       (args: Seq[Expression]) => NfcNormalize(arg0("graft_nfc", args))))
 
   /** Register on an existing session (idempotent). Includes the §2.10
-    * custom Aggregators (`graft_minhash_union`, `graft_top3`) via
+    * custom Aggregators (`graft_minhash_union`, `graft_top3`,
+    * `graft_bloom8k`, `graft_heavy64`) via
     * udaf() — a UDAF goes through spark.udf, not the expression
     * registry. `graft_top3(score, id)` is the fixed-arity SQL surface of
     * [[TopKAggregator]]; other k values go through
@@ -104,6 +105,12 @@ object GraftFunctions {
       org.apache.spark.sql.functions.udaf(MinHashUnionAggregator()))
     spark.udf.register("graft_top3",
       org.apache.spark.sql.functions.udaf(TopKAggregator(3)))
+    // fixed-geometry SQL surfaces of the sketch Aggregators; other
+    // sizes go through functions.udaf(...) on the Scala side
+    spark.udf.register("graft_bloom8k",
+      org.apache.spark.sql.functions.udaf(BloomFilterAggregator(8192)))
+    spark.udf.register("graft_heavy64",
+      org.apache.spark.sql.functions.udaf(MisraGriesAggregator(64)))
   }
 }
 

@@ -228,6 +228,39 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Content-defined-chunking cut positions: cut after codepoint i
+    * (1-based, i in [w, len)) iff the first four md5 bytes of the
+    * trailing w-gram, read as an unsigned 32-bit MSB-first value, have
+    * their low `maskBits` bits zero. Bit-identical to the SQL
+    * composition `cast(conv(substring(md5(substring(t, i-w+1, w)), 1,
+    * 8), 16, 10) as bigint) % 2^maskBits = 0` — the first 8 hex chars
+    * ARE the first 4 digest bytes — but one per-row JVM pass instead of
+    * an interpreted higher-order filter re-slicing the string per
+    * position (the q117 sf0.1 cost was 19.8 s in the HOF form; the
+    * kernel stays inside whole-stage codegen). Windows count CODEPOINTS,
+    * matching SQL substring/length semantics on non-ASCII text. */
+  def cdcCuts(input: UTF8String, w: Int, maskBits: Int): ArrayData = {
+    val text = input.toString
+    val cpLen = text.codePointCount(0, text.length)
+    if (cpLen < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mask = (1L << maskBits) - 1L
+    val cuts = new java.util.ArrayList[Any]()
+    var i = w      // candidate cut = end of the gram, codepoints 1-based
+    var from = 0   // UTF-16 index of codepoint (i - w)
+    while (i < cpLen) {
+      val end = text.offsetByCodePoints(from, w)
+      md.reset()
+      val dig = md.digest(text.substring(from, end).getBytes("UTF-8"))
+      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      if ((h & mask) == 0L) cuts.add(i)
+      from = text.offsetByCodePoints(from, 1)
+      i += 1
+    }
+    new GenericArrayData(cuts.toArray)
+  }
+
   /** Distinct word n-gram shingles of a space-separated text. */
   def shingles(input: UTF8String, n: Int): ArrayData = {
     val words = input.toString.split(" ", -1)

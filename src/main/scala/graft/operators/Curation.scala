@@ -511,11 +511,14 @@ object Curation {
     * for an archive of re-crawled/re-encoded payloads.
     *
     * One row per (doc, chunk_idx) with the chunk's length and md5.
-    * Per-row expression work, no shuffle, no UDF; the gram hash is the
-    * engine-portable md5-slice ([[hashBucket]] convention) so a SQL
-    * oracle reproduces every boundary bit-exactly. Cost is O(len·w) md5
-    * bytes per doc — at 100 TB swap the gram probe for a rolling Gear
-    * hash in a native expression (same cut set contract); the chunk
+    * Per-row expression work, no shuffle, no UDF; the cut scan is the
+    * native codegen'd [[graft.functions.CdcExpression.cdcCuts]] kernel
+    * (the interpreted HOF composition it replaced cost 19.8 s at sf0.1;
+    * the kernel is bit-identical — KernelEquivalenceSpec), and the gram
+    * hash is the engine-portable md5-slice ([[hashBucket]] convention)
+    * so a SQL oracle reproduces every boundary bit-exactly. Cost is
+    * O(len·w) md5 bytes per doc — a rolling Gear hash could shave the
+    * constant further but would break engine portability; the chunk
     * table, not the chunker, is the scale product: dedup is then a
     * groupBy(chunk_hash) over rows that never carry the corpus text.
     * A boundary landing exactly at end-of-doc merges with the natural
@@ -525,15 +528,10 @@ object Curation {
       w: Int = 8, maskBits: Int = 5): DataFrame = {
     require(w >= 1 && maskBits >= 1 && maskBits <= 30,
       s"bad CDC geometry: w=$w maskBits=$maskBits")
-    val mod = 1 << maskBits
     val t = textCol
     df.filter(length(col(t)) > 0)
-      .withColumn("_cs", expr(
-        s"""CASE WHEN length($t) >= $w THEN
-              filter(sequence($w, length($t)), i -> i < length($t) AND
-                cast(conv(substring(md5(substring($t, i - ${w - 1}, $w)),
-                  1, 8), 16, 10) as bigint) % $mod = 0)
-            ELSE array() END"""))
+      .withColumn("_cs",
+        graft.functions.CdcExpression.cdcCuts(col(t), w, maskBits))
       .withColumn("_se", expr(
         s"zip_with(concat(array(0), _cs), concat(_cs, array(length($t))), " +
           "(s, e) -> struct(s AS s, e AS e))"))

@@ -72,6 +72,38 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(inc.getSeq[Long](0) === Seq(3L, 2L, 2L, 6L))
   }
 
+  test("graft_bloom8k / graft_heavy64: sketch Aggregators on the SQL surface") {
+    GraftFunctions.register(spark)
+    // bloom: words sized for 8192 bits; member probes pass via the same
+    // md5-position arithmetic the Scala side uses
+    val bloomRow = spark.sql(
+      """SELECT graft_bloom8k(transform(sequence(0, 2), j ->
+          cast(conv(substring(md5(k), 1 + 8*j, 8), 16, 10) as bigint) % 8192))
+            AS bloom
+        FROM VALUES ('x'), ('y'), ('z') AS t(k)""").collect()(0)
+    assert(bloomRow.getSeq[Long](0).length === 8192 / 64)
+    spark.sql("SELECT * FROM VALUES ('x'), ('q') AS t(k)")
+      .createOrReplaceTempView("bloom_probe_keys")
+    val probes = spark.sql(
+      """WITH b AS (SELECT graft_bloom8k(transform(sequence(0, 2), j ->
+            cast(conv(substring(md5(k), 1 + 8*j, 8), 16, 10) as bigint) % 8192))
+              AS bloom
+          FROM VALUES ('x'), ('y'), ('z') AS t(k))
+        SELECT k, forall(transform(sequence(0, 2), j ->
+            cast(conv(substring(md5(k), 1 + 8*j, 8), 16, 10) as bigint) % 8192),
+          p -> (shiftright(element_at(b.bloom, cast(shiftright(p, 6) as int) + 1),
+                cast(p & 63 as int)) & 1) = 1) AS hit
+        FROM bloom_probe_keys, b ORDER BY k""").collect()
+    assert(probes.find(_.getString(0) == "x").get.getBoolean(1),
+      "member must probe true")
+    // heavy hitters: exact regime on SQL
+    val m = spark.sql(
+      """SELECT graft_heavy64(t) AS m FROM VALUES
+        ('a'), ('a'), ('b') AS v(t)""").collect()(0)
+      .getMap[String, Long](0)
+    assert(m === Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("constant-arg builders reject columns and wrong arity with clear errors") {
     GraftFunctions.register(spark)
     val colArg = intercept[Exception] {

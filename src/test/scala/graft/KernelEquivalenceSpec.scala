@@ -196,4 +196,20 @@ object KernelEquivalenceSpec extends Properties("graft-kernels") {
           c.getMessage.contains("null element")
       }
     }
+
+  property("graft_cdc_cuts == the HOF md5-slice filter (codepoints)") =
+    forAll(nastyText, Gen.choose(2, 6), Gen.choose(1, 6)) { (text, w, bits) =>
+      val native = df1(text).select(
+        graft.functions.CdcExpression.cdcCuts(col("text"), w, bits))
+        .collect()(0).getSeq[Int](0)
+      val mod = 1 << bits
+      val composed = df1(text).selectExpr(
+        s"""CASE WHEN length(text) >= $w THEN
+              filter(sequence($w, length(text)), i -> i < length(text) AND
+                cast(conv(substring(md5(substring(text, i - ${w - 1}, $w)),
+                  1, 8), 16, 10) as bigint) % $mod = 0)
+            ELSE array() END""")
+        .collect()(0).getSeq[Int](0)
+      native.toList == composed.toList
+    }
 }

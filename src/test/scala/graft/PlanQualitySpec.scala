@@ -378,4 +378,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q115 bloom gate: the 1-row bitmap broadcasts (probe is a " +
+      "broadcast nested-loop against a SINGLE row, not a shuffle), and " +
+      "the exact confirm join runs only behind the maybe_present filter") {
+    val p = plan("q115_bloom_gate")
+    // the bitmap rides a BroadcastExchange; the 1-row cross join is the
+    // one sanctioned BNLJ shape (broadcast singleton — same rule as the
+    // corpus-total joins elsewhere)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the confirm semi-join's probe side is the maybe-filtered slice:
+    // maybe_present must appear as a Filter condition, not only as output
+    assert(p.matches("(?s).*Condition.*maybe_present.*"),
+      "maybe filter missing from the confirm path:\n" + p)
+    // band-key work stays equi-join: no sort-merge on the tiny key sets
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q118 z-order audit: pure per-row arithmetic — the only exchange " +
+      "is the final tile aggregate; no join of any kind") {
+    val p = plan("q118_zorder_layout")
+    Seq("Join", "CartesianProduct").foreach(bad =>
+      assert(!p.contains(bad), s"unexpected $bad:\n$p"))
+    // one hash aggregate pair (partial + final) over the z-bucket
+    assert(p.contains("HashAggregate"), p)
+  }
 }
