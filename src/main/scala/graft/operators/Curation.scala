@@ -501,6 +501,27 @@ object Curation {
     (rules.orderBy(col("merge_rank")), pos)
   }
 
+  /** [NS] — epoch expansion: materialize the training-mixture recipe
+    * (LLaMA-style "source X seen N times per epoch") as actual rows —
+    * each doc repeated `epochs` times with an `epoch_idx`, plus `ord`,
+    * a deterministic md5 global order key over (id, epoch). Sorting by
+    * `ord` IS the training shuffle: reproducible across runs, engines,
+    * and partitionings (never rand()), interleaving epochs and sources
+    * uniformly. Scale: the explode is output-sized with no shuffle; the
+    * one sort is the point (write shards sorted by `ord` and training
+    * order is frozen into the layout — re-sharding 100 TB never
+    * re-rolls the curriculum). Rows with epochs < 1 are dropped
+    * (weight-0 sources leave the mixture). */
+  def epochExpand(df: DataFrame, idCol: String,
+      epochs: Column): DataFrame =
+    df.withColumn("_n", epochs.cast("int"))
+      .filter(col("_n") >= 1)
+      .withColumn("epoch_idx", explode(sequence(lit(1), col("_n"))))
+      .withColumn("epoch_idx", col("epoch_idx").cast("long"))
+      .withColumn("ord", md5(concat_ws(":",
+        col(idCol).cast("string"), col("epoch_idx").cast("string"))))
+      .drop("_n")
+
   /** [NS] — content-defined chunking (CDC): cut a document where the
     * hash of the trailing `w`-gram has its low `maskBits` bits zero
     * (expected chunk length 2^maskBits chars), the rsync/LBFS boundary

@@ -538,8 +538,80 @@ object CurationQueries {
       FROM ch ORDER BY doc_id, chunk_idx"""),
     doc = "[NS] content-defined chunking (rsync/LBFS cut rule, chunk-hash dedup keys)")
 
+  /** [NS] — epoch expansion + frozen training order (q120): each
+    * source's epoch count derives from its md5 bucket (1–4 — the
+    * engine-portable stand-in for a mixture recipe table), docs
+    * materialize once per epoch, and the output is the TRAINING ORDER
+    * itself: sorted by the deterministic md5 `ord` key
+    * ([[Curation.epochExpand]]). The oracle replays expansion and
+    * ordering; a single out-of-place row breaks the hash. */
+  val q120EpochExpand = Q(
+    "q120_epoch_expand",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Curation.epochExpand(docs.select($"doc_id", $"source"), "doc_id",
+          Curation.hashBucket($"source", 4) + lit(1))
+        .select($"ord", $"doc_id", $"epoch_idx")
+        .orderBy($"ord")
+    },
+    Some("""WITH w AS (SELECT doc_id,
+        1 + CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 4 AS n
+      FROM documents),
+      e AS (SELECT doc_id, CAST(t.e AS BIGINT) AS epoch_idx
+        FROM w, unnest(range(1, n + 1)) AS t(e))
+      SELECT md5(doc_id || ':' || epoch_idx) AS ord, doc_id, epoch_idx
+      FROM e ORDER BY ord"""),
+    doc = "[NS] epoch expansion + deterministic global training order")
+
+  /** [NS] — n-gram diversity audit (q121): per-source trigram
+    * type-token ratio — total trigram occurrences vs the source's
+    * distinct-trigram vocabulary, scored in exact integer percent. The
+    * downstream use is mixture weighting: low-diversity sources
+    * (boilerplate, templated spam) get down-weighted before
+    * [[Curation.epochExpand]] materializes the recipe. Distinct grams
+    * ride the native shingle kernel (per-doc distinct, no explode of
+    * repeats); totals are per-row arithmetic — the only shuffles are
+    * the two per-source aggregates. */
+  val q121NgramDiversity = Q(
+    "q121_ngram_diversity",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val tot = docs
+        .withColumn("_nw", size(split($"text", " ")))
+        .groupBy($"source")
+        .agg(sum(greatest($"_nw" - 2, lit(0))).as("n_grams"))
+      val dist = docs
+        .select($"source", explode(graft.functions.ShingleExpression
+          .wordShingles($"text", 3)).as("gram"))
+        .groupBy($"source")
+        .agg(countDistinct($"gram").as("n_distinct"))
+      tot.join(dist, Seq("source"))
+        .select($"source", $"n_grams", $"n_distinct",
+          expr("(n_distinct * 100) div n_grams").as("diversity_pct"))
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS l
+        FROM documents),
+      tot AS (SELECT source,
+          CAST(sum(greatest(len(l) - 2, 0)) AS BIGINT) AS n_grams
+        FROM t GROUP BY source),
+      g AS (SELECT source,
+          unnest(list_distinct(list_transform(range(1, len(l) - 1),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+        FROM t),
+      d AS (SELECT source,
+          CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
+        FROM g GROUP BY source)
+      SELECT source, n_grams, n_distinct,
+        n_distinct * 100 // n_grams AS diversity_pct
+      FROM tot JOIN d USING (source) ORDER BY source"""),
+    doc = "[NS] per-source trigram diversity (type-token ratio, exact integers)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
-    q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks)
+    q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,
+    q120EpochExpand, q121NgramDiversity)
 }

@@ -367,4 +367,20 @@ class CurationSpec extends AnyFunSuite {
     assert(shared.size >= 5,
       s"only ${shared.size} shared chunk hashes after a prefix edit")
   }
+
+  test("epochExpand: w copies per row, weight-0 rows leave the mixture, " +
+      "ord is unique and deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, 3), (2L, 1), (3L, 0)).toDF("doc_id", "w")
+    val out = Curation.epochExpand(df, "doc_id", $"w")
+      .select("doc_id", "epoch_idx", "ord").collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byDoc === Map(1L -> 3, 2L -> 1)) // doc 3 dropped
+    assert(out.map(_.getString(2)).distinct.length === out.length,
+      "ord keys must be unique")
+    // deterministic: same expansion twice gives the same order keys
+    val again = Curation.epochExpand(df, "doc_id", $"w")
+      .select("ord").collect().map(_.getString(0)).sorted
+    assert(again === out.map(_.getString(2)).sorted)
+  }
 }
