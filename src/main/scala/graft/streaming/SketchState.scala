@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [NS] Durable mergeable-sketch state for streaming — the heavy-hitter
+  * twin of [[graft.operators.DedupIndex.foreachBatchIngest]]'s durable
+  * index: each micro-batch's tokens fold into a stored Misra–Gries
+  * summary, so "what's trending across the whole stream" is answerable
+  * at any epoch from O(capacity) rows.
+  *
+  * Replay safety is VERSIONED, not transactional: epoch b writes its
+  * merged state to `dir/v<b>/`, always deriving from the newest version
+  * with id < b. Structured Streaming's only re-delivery is the last
+  * epoch with the SAME batchId, so a replayed epoch re-derives from the
+  * same predecessor and overwrites its own version — idempotent by
+  * construction, no double-merge, no commit marker needed (the
+  * predecessor version is never touched). The same pattern versions any
+  * mergeable sketch (HLL registers, MinHash unions, Bloom words).
+  *
+  * The merge itself is relational over ≤ 2·capacity rows (union →
+  * sum → subtract the (capacity+1)-th largest, the Agarwal'12 combine —
+  * exactly [[graft.functions.MisraGriesAggregator.merge]]'s rule), so
+  * nothing here collects to the driver; per-epoch cost is the batch
+  * aggregation (map-side partials via the Aggregator) plus a
+  * capacity-row write.
+  */
+object SketchState {
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v")) name.drop(1).toLongOption else None
+
+  /** Newest committed version id strictly below `beforeBatch` (-1 = none). */
+  def latestVersion(spark: SparkSession, dir: String,
+      beforeBatch: Long = Long.MaxValue): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => versionOf(s.getPath.getName))
+      .filter(_ < beforeBatch)
+      .sorted.lastOption.getOrElse(-1L)
+  }
+
+  /** The stored sketch rows (token, cnt) at the newest version < beforeBatch. */
+  def readState(spark: SparkSession, dir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val v = latestVersion(spark, dir, beforeBatch)
+    if (v < 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("token",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(s"$dir/v$v")
+  }
+
+  /** foreachBatch hook: fold each epoch's `tokenCol` values into the
+    * stored summary under the versioned-replay protocol above. */
+  def foreachBatchHeavyHitters(spark: SparkSession, dir: String,
+      tokenCol: String, capacity: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val mg = udaf(graft.functions.MisraGriesAggregator(capacity))
+      val batchSketch = batch
+        .agg(mg(col(tokenCol)).as("m"))
+        .select(explode(map_entries(col("m"))).as("e"))
+        .select(col("e.key").as("token"), col("e.value").as("cnt"))
+      val prev = readState(spark, dir, beforeBatch = batchId)
+      val summed = prev.unionByName(batchSketch)
+        .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+      // Agarwal'12 combine: if over capacity, subtract the
+      // (capacity+1)-th largest count and keep positives
+      val trimmed = summed
+        .withColumn("_rk", row_number().over(org.apache.spark.sql
+          .expressions.Window.orderBy(col("cnt").desc, col("token"))))
+        .withColumn("_cut", max(when(col("_rk") === capacity + 1,
+          col("cnt")).otherwise(lit(0L)))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))))
+        .withColumn("cnt", col("cnt") - col("_cut"))
+        .filter(col("cnt") > 0)
+        .select(col("token"), col("cnt"))
+      trimmed.coalesce(1).write.mode("overwrite").parquet(s"$dir/v$batchId")
+    }
+}

@@ -634,4 +634,52 @@ class StreamingSpec extends AnyFunSuite {
     val g = DedupIndex.gate(spark, idxDir, probe, "doc_id", "text")
     assert(g.count() === 0L)
   }
+
+  test("durable heavy-hitter state: epochs fold into the versioned " +
+      "sketch; a replayed epoch does not double-count; exact-regime " +
+      "state equals the batch-mode counts") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.SketchState
+    import spark.implicits._
+
+    val srcDir = Files.createTempDirectory("hh_src").toString
+    val ckpt = Files.createTempDirectory("hh_ckpt").toString
+    val stDir = Files.createTempDirectory("hh_state").toString
+    val epochs = Seq(
+      Seq.fill(5)("alpha") ++ Seq.fill(2)("beta"),
+      Seq.fill(3)("beta") ++ Seq("gamma"),
+      Seq.fill(4)("alpha") ++ Seq("delta"))
+    val hook = SketchState.foreachBatchHeavyHitters(spark, stDir,
+      "token", capacity = 16)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("token", StringType))))
+        .json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(hook)
+        .start()
+      q.awaitTermination()
+    }
+    epochs.zipWithIndex.foreach { case (toks, i) =>
+      Files.write(java.nio.file.Paths.get(srcDir, s"b$i.json"),
+        toks.map(t => s"""{"token":"$t"}""").mkString("\n").getBytes("UTF-8"))
+      runOnce() // full stop/start between epochs: state must be durable
+    }
+    def state(): Map[String, Long] =
+      SketchState.readState(spark, stDir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = epochs.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    assert(state() === truth, "exact regime must equal batch-mode counts")
+
+    // replay: re-run the LAST epoch with its original batchId (the one
+    // re-delivery Structured Streaming can make) — versioned derivation
+    // must overwrite v2 from v1, not double-merge
+    val lastId = SketchState.latestVersion(spark, stDir)
+    hook(epochs.last.toDF("token"), lastId)
+    assert(state() === truth, "replayed epoch must not double-count")
+  }
 }
