@@ -501,6 +501,26 @@ object Curation {
     (rules.orderBy(col("merge_rank")), pos)
   }
 
+  /** [NS] — inverted-index build: token → document-frequency + the
+    * SORTED posting list of doc ids, the retrieval-side artifact of a
+    * corpus (BM25 serving, decontamination probes, and the q104-style
+    * vocab gates all read this shape). One explode of per-doc DISTINCT
+    * tokens + one groupBy(token) — posting lists come from
+    * sort_array(collect_list(..)) inside the aggregate, so the corpus
+    * text crosses the wire once as (token, id) pairs and never again.
+    * Per-token state is the posting list itself: at 100 TB the heavy
+    * tail (stopword-class tokens with corpus-sized lists) is the known
+    * skew risk — cap or drop df > threshold tokens upstream (they carry
+    * no retrieval signal; the threshold is the caller's contract). */
+  def invertedIndex(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("_id"),
+        explode(array_distinct(split(col(textCol), " "))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("_id"))).as("postings"))
+
   /** [NS] — epoch expansion: materialize the training-mixture recipe
     * (LLaMA-style "source X seen N times per epoch") as actual rows —
     * each doc repeated `epochs` times with an `epoch_idx`, plus `ord`,

@@ -609,9 +609,34 @@ object CurationQueries {
       FROM tot JOIN d USING (source) ORDER BY source"""),
     doc = "[NS] per-source trigram diversity (type-token ratio, exact integers)")
 
+  /** [NS] — inverted-index build (q122): the corpus's posting lists
+    * ([[Curation.invertedIndex]]), certified per token by df and an md5
+    * over the comma-joined SORTED doc ids — list ORDER is part of the
+    * contract (sorted postings are what intersection-based retrieval
+    * and `graft_sorted_isect` consume). */
+  val q122Postings = Q(
+    "q122_postings",
+    (s, d) => {
+      import s.implicits._
+      Curation.invertedIndex(Tables.documents(s, d), "doc_id", "text")
+        .select($"token", $"df",
+          md5(concat_ws(",", expr(
+            "transform(postings, x -> cast(x as string))"))).as("postings_hash"))
+        .orderBy($"token")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents)
+      SELECT token, CAST(count(*) AS BIGINT) AS df,
+        md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id))
+          AS postings_hash
+      FROM t WHERE length(token) > 0
+      GROUP BY token ORDER BY token"""),
+    doc = "[NS] inverted-index build (sorted posting lists, md5-certified)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,
-    q120EpochExpand, q121NgramDiversity)
+    q120EpochExpand, q121NgramDiversity, q122Postings)
 }
