@@ -521,6 +521,24 @@ object Curation {
       .agg(count(lit(1)).as("df"),
         sort_array(collect_list(col("_id"))).as("postings"))
 
+  /** [NS] — POSITIONAL inverted index: token → (doc, position) posting
+    * pairs, the phrase-query/proximity-scoring extension of
+    * [[invertedIndex]] (adjacent positions = phrase hit; |Δpos| = the
+    * proximity feature). Positions are 1-based token offsets within the
+    * doc's space-split sequence — one posexplode, one groupBy(token);
+    * repeated tokens emit every position (that is the point: term
+    * frequency AND layout survive). Same skew contract as
+    * [[invertedIndex]], amplified by within-doc tf — cap df upstream. */
+  def positionalIndex(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("_p", "token")))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(struct(col("_id"), (col("_p") + 1)
+          .cast("long").as("_pos")))).as("postings"))
+
   /** [NS] — epoch expansion: materialize the training-mixture recipe
     * (LLaMA-style "source X seen N times per epoch") as actual rows —
     * each doc repeated `epochs` times with an `epoch_idx`, plus `ord`,
@@ -576,8 +594,12 @@ object Curation {
       .withColumn("_se", expr(
         s"zip_with(concat(array(0), _cs), concat(_cs, array(length($t))), " +
           "(s, e) -> struct(s AS s, e AS e))"))
+      // outer posexplode: _se always has >= 1 element (a doc is at least
+      // one chunk), and the outer form keeps the optimizer from inferring
+      // a size(..)>0 pre-filter that would re-evaluate the cut kernel
+      // twice more per row in the scan pipeline
       .select(col(idCol), col(t),
-        posexplode(col("_se")).as(Seq("chunk_idx", "_b")))
+        posexplode_outer(col("_se")).as(Seq("chunk_idx", "_b")))
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
         (col("_b.e") - col("_b.s")).cast("long").as("chunk_len"),
         expr(s"md5(substring($t, _b.s + 1, _b.e - _b.s))").as("chunk_hash"))

@@ -634,9 +634,37 @@ object CurationQueries {
       GROUP BY token ORDER BY token"""),
     doc = "[NS] inverted-index build (sorted posting lists, md5-certified)")
 
+  /** [NS] — positional inverted index (q123): q122 extended with
+    * within-doc token positions ([[Curation.positionalIndex]]) — tf
+    * replaces df, and the certified list is the full (doc, pos) pair
+    * sequence in (doc, pos) order, the phrase-query serving shape.
+    * Positions count ORIGINAL split offsets (1-based), so empty tokens
+    * from double spaces shift neighbors identically in both engines. */
+  val q123PositionalIndex = Q(
+    "q123_positional_index",
+    (s, d) => {
+      import s.implicits._
+      Curation.positionalIndex(Tables.documents(s, d), "doc_id", "text")
+        .select($"token", $"tf",
+          md5(concat_ws(",", expr(
+            "transform(postings, e -> concat(cast(e._id as string), ':', cast(e._pos as string)))")))
+            .as("postings_hash"))
+        .orderBy($"token")
+    },
+    Some("""WITH t AS (SELECT doc_id, t.pos AS pos, l[t.pos] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        unnest(generate_series(1, len(l))) AS t(pos))
+      SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        md5(string_agg(doc_id || ':' || pos, ',' ORDER BY doc_id, pos))
+          AS postings_hash
+      FROM t WHERE length(token) > 0
+      GROUP BY token ORDER BY token"""),
+    doc = "[NS] positional inverted index (phrase-capable, order-certified)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,
-    q120EpochExpand, q121NgramDiversity, q122Postings)
+    q120EpochExpand, q121NgramDiversity, q122Postings,
+    q123PositionalIndex)
 }

@@ -404,4 +404,34 @@ class PlanQualitySpec extends AnyFunSuite {
     // one hash aggregate pair (partial + final) over the z-bucket
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q117 CDC chunking: the native cut kernel runs ONCE per row — no " +
+      "join, no interpreted HOF filter, no optimizer-inferred generate " +
+      "pre-filter re-evaluating the kernel") {
+    val p = plan("q117_cdc_chunks")
+    Seq("Join", "CartesianProduct", "ArrayFilter").foreach(bad =>
+      assert(!p.contains(bad), s"unexpected $bad:\n$p"))
+    val kernelCalls = "graft_cdc_cuts".r.findAllIn(p).size
+    assert(kernelCalls == 1,
+      s"cut kernel must appear exactly once (one eval per row), got $kernelCalls:\n$p")
+  }
+
+  test("q120 epoch expansion: explode + per-row keys — the only sort is " +
+      "the deterministic training order; no join, no aggregate") {
+    val p = plan("q120_epoch_expand")
+    Seq("Join", "CartesianProduct", "HashAggregate").foreach(bad =>
+      assert(!p.contains(bad), s"unexpected $bad:\n$p"))
+    assert(p.contains("Generate"), p) // the epoch explode
+  }
+
+  test("q122/q123 postings: exactly one aggregate exchange (token " +
+      "groupBy); the corpus text never shuffles twice") {
+    Seq("q122_postings", "q123_positional_index").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      val shuffles = "hashpartitioning".r.findAllIn(p).size
+      assert(shuffles == 1,
+        s"$q expected exactly 1 hash exchange, got $shuffles:\n$p")
+    }
+  }
 }
