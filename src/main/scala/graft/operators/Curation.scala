@@ -539,6 +539,105 @@ object Curation {
         sort_array(collect_list(struct(col("_id"), (col("_p") + 1)
           .cast("long").as("_pos")))).as("postings"))
 
+  /** [NS] — exact phrase search: documents containing `phrase` as
+    * CONSECUTIVE tokens, with hit count and first match position — the
+    * serving query the positional index ([[positionalIndex]]) exists
+    * for, here run straight off the corpus in one pass. The trick is
+    * anchor alignment: token occurrence (doc, p) matching phrase slot i
+    * votes for anchor p−i, and a genuine phrase hit is an anchor that
+    * collects ALL |phrase| distinct slots. Repeated phrase terms are
+    * handled by letting one token occurrence vote for every slot that
+    * term occupies (the explode over its slot set).
+    *
+    * Plan shape: ONE posexplode filtered to the phrase's terms at the
+    * generator (the corpus never materializes as (doc, pos, token) for
+    * non-phrase tokens), one groupBy(doc, anchor) over votes, one
+    * groupBy(doc) over anchors — no join, no union, no window. At
+    * 100 TB the vote table is |phrase| × the phrase terms' postings,
+    * the same data a positional-index probe would read. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    val slotsOf: Map[String, Seq[Int]] =
+      phrase.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // token → the array of phrase slots that term occupies (when-chain:
+    // the phrase is a plan literal, exactly like the BM25 term set)
+    val slotArr = slotsOf.foldLeft(lit(null).cast("array<int>")) {
+      case (acc, (t, is)) =>
+        when(col("token") === t, array(is.map(lit(_)): _*)).otherwise(acc)
+    }
+    df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("_p", "token")))
+      .filter(col("token").isin(phrase.distinct: _*))
+      .select(col(idCol), col("_p"), explode(slotArr).as("slot"))
+      .groupBy(col(idCol), (col("_p") - col("slot")).cast("long").as("anchor"))
+      .agg(countDistinct(col("slot")).as("ns"))
+      .filter(col("ns") === phrase.length)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        (min(col("anchor")) + 1).as("first_pos"))
+  }
+
+  /** [NS] — BM25 top-k retrieval, log-free integer-exact variant: score
+    * each document against a small bag of query `terms` and return the
+    * `k` best. Classic BM25 (Robertson k1=1.2, b=0.75) with two
+    * substitutions that make every score an exact integer (the q83
+    * "order without logs" convention — ln() never bit-matches across
+    * engines, so parity demands rational arithmetic):
+    *
+    *   idf_pm    = (10^4 · (2·(N−df)+1)) div (2·df+1)
+    *               — the Robertson fraction (N−df+0.5)/(df+0.5) in
+    *               fixed-point, WITHOUT the outer log. Same sign and
+    *               same df-monotonicity; rare terms weigh steeper than
+    *               log-BM25, which is the documented trade.
+    *   tfc_ppm   = (10^6 · 44·tf·L) div (20·tf·L + 6·L + 18·dl·N)
+    *               — tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    *               k1=6/5, b=3/4, avgdl=L/N cleared to one integer
+    *               fraction (multiply num+den by 20·N·avgdl = 20·L).
+    *   score     = Σ_terms (idf_pm · tfc_ppm) div 10^4   [scale 10^6]
+    *
+    * Magnitude contract (documented like linearModelScore): the largest
+    * intermediate is 10^6·44·tf·L ≤ 4.4e7·tf·L — safe to corpora of
+    * ~10^9 total tokens with tf ≤ 10^2; beyond that re-scale to
+    * decimal(38) in BOTH engines.
+    *
+    * Plan shape at 100 TB: `terms` is a plan literal (isin filter pushed
+    * to the scan side of the explode); doc length dl is PER-ROW
+    * arithmetic (size of the non-empty split — no explode, no shuffle);
+    * (L, N) is a 1-row broadcast; tf and df both derive from ONE
+    * filtered explode (df = distinct-doc count per term rides the same
+    * aggregate); the ranked result is a TakeOrderedAndProject of ≤ N
+    * scored docs, never a global sort of the corpus. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    val dl = df.select(col(idCol),
+      size(filter(words, w => length(w) > 0)).cast("long").as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("_L"),
+      count(lit(1)).as("_N"))
+    // tf AND df both read this ≤ N·|terms|-row table; eager checkpoint so
+    // the corpus explode runs once, not once per consumer (q83's pattern)
+    val hits = df.select(col(idCol), explode(words).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfreq = hits.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    hits.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("idf_pm", expr(
+        "(10000 * (2 * (_N - df) + 1)) div (2 * df + 1)"))
+      .withColumn("tfc_ppm", expr(
+        "(1000000 * 44 * tf * _L) div (20 * tf * _L + 6 * _L + 18 * dl * _N)"))
+      .groupBy(col(idCol))
+      .agg(sum(expr("(idf_pm * tfc_ppm) div 10000")).as("score_ppm"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_ppm").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** [NS] — epoch expansion: materialize the training-mixture recipe
     * (LLaMA-style "source X seen N times per epoch") as actual rows —
     * each doc repeated `epochs` times with an `epoch_idx`, plus `ord`,

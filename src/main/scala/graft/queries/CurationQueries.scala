@@ -661,10 +661,67 @@ object CurationQueries {
       GROUP BY token ORDER BY token"""),
     doc = "[NS] positional inverted index (phrase-capable, order-certified)")
 
+  /** [NS] — BM25 top-k retrieval (q124): the serving query over the
+    * q122/q123 index shape — score the corpus against a 4-term query
+    * ([[Curation.bm25TopK]]'s log-free integer-exact BM25) and return
+    * the 10 best. Terms span the df spectrum ("dup" is rare, the rest
+    * stopword-class) so the idf weighting is actually exercised. Every
+    * score is an exact integer in both engines; ranking ties break on
+    * doc_id. */
+  val q124Bm25 = Q(
+    "q124_bm25_topk",
+    (s, d) => Curation.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+      Seq("spark", "dup", "window", "merge"), 10),
+    Some("""WITH dl AS (SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+            AS BIGINT) AS dl FROM documents),
+      tot AS (SELECT sum(dl) AS L, count(*) AS N FROM dl),
+      w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      hits AS (SELECT doc_id, term, count(*) AS tf FROM w
+        WHERE term IN ('spark', 'dup', 'window', 'merge') GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+      sc AS (SELECT h.doc_id,
+          (10000 * (2 * (N - df) + 1)) // (2 * df + 1) AS idf_pm,
+          (1000000 * 44 * tf * L) //
+            (20 * tf * L + 6 * L + 18 * dl * N) AS tfc_ppm
+        FROM hits h JOIN dfreq USING (term) JOIN dl USING (doc_id), tot)
+      SELECT doc_id,
+        CAST(sum((idf_pm * tfc_ppm) // 10000) AS BIGINT) AS score_ppm,
+        CAST(count(*) AS BIGINT) AS n_terms
+      FROM sc GROUP BY doc_id
+      ORDER BY score_ppm DESC, doc_id LIMIT 10"""),
+    doc = "[NS] BM25 top-k retrieval, log-free integer-exact scores")
+
+  /** [NS] — exact phrase search (q126): every document containing the
+    * consecutive bigram "table hash", with hit count and first match
+    * position ([[Curation.phraseSearch]]'s anchor-vote form — one
+    * explode, two aggregates, no join). The oracle reproduces the
+    * anchor algebra relationally (a VALUES join stands in for the
+    * when-chain slot map); positions are 1-based to match q123's
+    * convention. */
+  val q126PhraseSearch = Q(
+    "q126_phrase_search",
+    (s, d) => Curation.phraseSearch(Tables.documents(s, d), "doc_id",
+        "text", Seq("table", "hash"))
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, t.pos AS pos, l[t.pos] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          unnest(generate_series(1, len(l))) AS t(pos)),
+      v AS (SELECT doc_id, pos - 1 - slot AS anchor, slot
+        FROM w JOIN (VALUES ('table', 0), ('hash', 1)) AS m(tok, slot)
+          ON token = tok),
+      a AS (SELECT doc_id, anchor FROM v GROUP BY doc_id, anchor
+        HAVING count(DISTINCT slot) = 2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        CAST(min(anchor) + 1 AS BIGINT) AS first_pos
+      FROM a GROUP BY doc_id ORDER BY doc_id"""),
+    doc = "[NS] consecutive-phrase search via anchor votes (no join, no window)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,
     q120EpochExpand, q121NgramDiversity, q122Postings,
-    q123PositionalIndex)
+    q123PositionalIndex, q124Bm25, q126PhraseSearch)
 }

@@ -603,8 +603,50 @@ object EmbeddingQueries {
       FROM af GROUP BY centroid ORDER BY centroid"""),
     doc = "[NS] k-means with stratified seeds (kmeans init override, oracle-unrolled)")
 
+  /** [NS] — int8 scalar quantization audit (q125): quantize the corpus
+    * ([[Similarity.int8Quantize]], per-dimension symmetric absmax) and
+    * aggregate the per-dimension quality report — scale, code range,
+    * saturation count, exact integer-ppm reconstruction SSE. The whole
+    * audit is integer arithmetic, so a single off-by-one anywhere in
+    * quantize→reconstruct hash-mismatches. The shape a 100 TB store
+    * runs before committing to a quantization config. */
+  val q125Int8Quant = Q(
+    "q125_int8_quant",
+    (s, d) => {
+      import s.implicits._
+      Similarity.int8Quantize(Tables.embeddings(s, d), "vec_id",
+          "embedding")
+        .groupBy($"dim")
+        .agg(max($"s_ppm").as("s_ppm"), min($"q").as("qmin"),
+          max($"q").as("qmax"),
+          sum(when(abs($"q") === 127, 1L).otherwise(0L)).as("n_sat"),
+          sum($"err_ppm" * $"err_ppm").as("sse_ppm2"))
+        .orderBy($"dim")
+    },
+    Some("""WITH e AS (SELECT vec_id, t.i AS dim,
+          CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings,
+          unnest(generate_series(1, len(embedding))) AS t(i)),
+      a AS (SELECT dim, max(abs(x)) AS amax FROM e GROUP BY 1),
+      q AS (SELECT e.dim,
+          CASE WHEN amax = 0 THEN 0
+            ELSE CAST(round(127 * x / amax) AS BIGINT) END AS q,
+          CAST(round(x * 1000000) AS BIGINT) AS x_ppm,
+          CAST(round(amax * 1000000) AS BIGINT) AS s_ppm
+        FROM e JOIN a USING (dim)),
+      r AS (SELECT dim, q, s_ppm,
+          x_ppm - (CASE WHEN q < 0 THEN -1 WHEN q > 0 THEN 1 ELSE 0 END)
+            * ((abs(q) * s_ppm) // 127) AS err_ppm
+        FROM q)
+      SELECT dim, max(s_ppm) AS s_ppm, min(q) AS qmin, max(q) AS qmax,
+        CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_sat,
+        CAST(sum(err_ppm * err_ppm) AS BIGINT) AS sse_ppm2
+      FROM r GROUP BY dim ORDER BY dim"""),
+    doc = "[NS] int8 absmax quantization + exact integer reconstruction audit")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
-    q107IndexServe, q110StratifiedKmeans)
+    q107IndexServe, q110StratifiedKmeans, q125Int8Quant)
 }

@@ -383,4 +383,50 @@ class CurationSpec extends AnyFunSuite {
       .select("ord").collect().map(_.getString(0)).sorted
     assert(again === out.map(_.getString(2)).sorted)
   }
+
+  test("phraseSearch: consecutive-only matches, overlapping hits counted, " +
+      "REPEATED phrase terms vote for every slot they occupy") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x table hash y table hash"), // two clean hits
+      (2L, "table y hash"),              // both words, never adjacent
+      (3L, "hash table"),                // reversed — no hit
+      (4L, "go go go"),                  // repeated-term phrase fodder
+      (5L, "go go")                      // exactly one "go go go"? no — too short
+    ).toDF("doc_id", "text")
+    val bi = Curation.phraseSearch(df, "doc_id", "text",
+        Seq("table", "hash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(bi === Array((1L, 2L, 2L)), bi.mkString(","))
+    // repeated term: "go go go" contains "go go go" once ("go go" twice)
+    val tri = Curation.phraseSearch(df, "doc_id", "text",
+        Seq("go", "go", "go"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tri === Array((4L, 1L, 1L)), tri.mkString(","))
+    val dup = Curation.phraseSearch(df, "doc_id", "text", Seq("go", "go"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(dup === Array((4L, 2L, 1L), (5L, 1L, 1L)), dup.mkString(","))
+  }
+
+  test("bm25TopK: a doc repeating a rare term outranks stopword-heavy " +
+      "docs, and scores are reproducible across partitionings") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "rare rare rare common"),
+      (2L, "common common common common common common"),
+      (3L, "rare common filler filler"),
+      (4L, "filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val r = Curation.bm25TopK(df, "doc_id", "text",
+        Seq("rare", "common"), 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.head._1 === 1L, r.mkString(","))     // tf-boosted rare term wins
+    assert(r.map(_._1).take(2).contains(3L), r.mkString(",")) // rare beats pure-common
+    val again = Curation.bm25TopK(df.repartition(7), "doc_id", "text",
+        Seq("rare", "common"), 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(again === r, "scores must be partition-independent")
+  }
 }

@@ -424,6 +424,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Generate"), p) // the epoch explode
   }
 
+  test("q124 BM25: the ranked result is a TakeOrderedAndProject (never a " +
+      "global sort), df/tot ride broadcasts, and no cartesian appears " +
+      "beyond the 1-row (L,N) broadcast") {
+    val p = plan("q124_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("Broadcast"), p)
+  }
+
+  test("q126 phrase search: one generate, two aggregates, ZERO joins — " +
+      "the anchor-vote form never pairs rows") {
+    val p = plan("q126_phrase_search")
+    assert(!p.contains("Join"), s"phrase search grew a join:\n$p")
+    assert(p.contains("Generate"), p)
+  }
+
   test("q122/q123 postings: exactly one aggregate exchange (token " +
       "groupBy); the corpus text never shuffles twice") {
     Seq("q122_postings", "q123_positional_index").foreach { q =>
