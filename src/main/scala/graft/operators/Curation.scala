@@ -624,9 +624,19 @@ object Curation {
       .localCheckpoint(true)
     val dfreq = hits.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    hits.join(broadcast(dfreq), Seq("term"))
+    bm25Rank(hits.join(broadcast(dfreq), Seq("term"))
       .join(dl, Seq(idCol))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(tot)), idCol, k)
+  }
+
+  /** The BM25 scoring tail shared by [[bm25TopK]] (from-scratch) and
+    * [[TextIndex.serveBm25]] (stored postings): rows carrying
+    * (idCol, tf, df, dl, _L, _N) → per-doc integer score + top-k. ONE
+    * expression tree, so the two paths are bit-identical by
+    * construction. */
+  private[operators] def bm25Rank(scoredIn: DataFrame, idCol: String,
+      k: Int): DataFrame =
+    scoredIn
       .withColumn("idf_pm", expr(
         "(10000 * (2 * (_N - df) + 1)) div (2 * df + 1)"))
       .withColumn("tfc_ppm", expr(
@@ -636,7 +646,6 @@ object Curation {
         count(lit(1)).as("n_terms"))
       .orderBy(col("score_ppm").desc, col(idCol).asc)
       .limit(k)
-  }
 
   /** [NS] — epoch expansion: materialize the training-mixture recipe
     * (LLaMA-style "source X seen N times per epoch") as actual rows —

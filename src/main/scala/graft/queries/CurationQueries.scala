@@ -718,10 +718,35 @@ object CurationQueries {
       FROM a GROUP BY doc_id ORDER BY doc_id"""),
     doc = "[NS] consecutive-phrase search via anchor votes (no join, no window)")
 
+  /** [NS] — text-index LIFECYCLE (q127): the q107 move applied to
+    * retrieval. First invocation per corpus builds and persists the
+    * denormalized postings + stats ([[graft.operators.TextIndex
+    * .buildIfAbsent]] — fingerprinted, so repeats skip the corpus
+    * pass); the returned frame is [[graft.operators.TextIndex
+    * .serveBm25]], whose plan reads ONLY stored postings — no split,
+    * no explode, term predicate pushed to the scan (plan-pinned).
+    * The oracle is q124's from-scratch BM25 SQL: recomputing the whole
+    * index in DuckDB is a STRICTLY stronger check than reading the
+    * stored parquet back (corrupt postings would self-consistently pass
+    * a read-back oracle but cannot match a from-scratch recomputation —
+    * the q102/q107 shared-oracle argument). */
+  val q127TextIndexServe = Q(
+    "q127_text_index_serve",
+    (s, d) => {
+      val dir = graft.operators.TextIndex.defaultDir(d)
+      graft.operators.TextIndex.buildIfAbsent(Tables.documents(s, d),
+        "doc_id", "text", dir, corpusTag = d)
+      graft.operators.TextIndex.serveBm25(s, dir, "doc_id",
+        Seq("spark", "dup", "window", "merge"), 10)
+    },
+    q124Bm25.oracle,
+    doc = "[NS] retrieval lifecycle: BM25 served from persisted postings")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,
     q120EpochExpand, q121NgramDiversity, q122Postings,
-    q123PositionalIndex, q124Bm25, q126PhraseSearch)
+    q123PositionalIndex, q124Bm25, q126PhraseSearch,
+    q127TextIndexServe)
 }

@@ -410,6 +410,36 @@ class CurationSpec extends AnyFunSuite {
     assert(dup === Array((4L, 2L, 1L), (5L, 1L, 1L)), dup.mkString(","))
   }
 
+  test("TextIndex: stored-postings BM25 equals the from-scratch path " +
+      "row-for-row, and a second buildIfAbsent skips the corpus pass") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = "/tmp/graft_text_index_spec"
+    // force a clean build for the spec (defaultDir is fingerprint-guarded)
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    graft.operators.TextIndex.buildIfAbsent(docs, "doc_id", "text", dir,
+      corpusTag = "spec")
+    val terms = Seq("spark", "dup", "window", "merge")
+    val stored = graft.operators.TextIndex
+      .serveBm25(spark, dir, "doc_id", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val scratch = Curation.bm25TopK(docs, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stored === scratch)
+    // idempotence: the meta fingerprint short-circuits the second build
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "_graft_index_meta.json"))
+    graft.operators.TextIndex.buildIfAbsent(docs, "doc_id", "text", dir,
+      corpusTag = "spec")
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "_graft_index_meta.json")) === mtime)
+  }
+
   test("bm25TopK: a doc repeating a rare term outranks stopword-heavy " +
       "docs, and scores are reproducible across partitionings") {
     import spark.implicits._

@@ -433,6 +433,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("Broadcast"), p)
   }
 
+  test("q127 stored-index BM25: the serving plan never touches the corpus " +
+      "text — no Generate (no explode/split), the term predicate is PUSHED " +
+      "to the postings scan, and the ranked result is a " +
+      "TakeOrderedAndProject") {
+    val p = plan("q127_text_index_serve")
+    assert(!p.contains("Generate"),
+      s"serving plan re-derived postings from text:\n$p")
+    assert(p.contains("PushedFilters: [In(term"),
+      s"term predicate not pushed to the postings scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q126 phrase search: one generate, two aggregates, ZERO joins — " +
       "the anchor-vote form never pairs rows") {
     val p = plan("q126_phrase_search")
