@@ -76,20 +76,93 @@ object TextIndex {
       .write.mode("overwrite").parquet(postingsPath(dir))
   }
 
-  /** [[build]] unless a fingerprint-matching index already exists — the
-    * build-once half: bench repeats and re-verification skip the corpus
-    * pass entirely. */
-  def buildIfAbsent(df: DataFrame, idCol: String, textCol: String,
-      dir: String, corpusTag: String): Unit = {
-    val fp = fingerprint(corpusTag)
+  /** Run `work` unless `dir`'s fingerprint already records `tag` — the
+    * idempotence guard shared by [[buildIfAbsent]] and callers composing
+    * build + [[mergeBatch]] sequences (a repeated invocation must not
+    * re-apply a merge: postings are state, not a view). */
+  def withFingerprint(dir: String, tag: String)(work: => Unit): Unit = {
+    val fp = fingerprint(tag)
     val meta = java.nio.file.Paths.get(metaPath(dir))
     val fresh = java.nio.file.Files.exists(meta) &&
       java.nio.file.Files.readString(meta) == fp
     if (!fresh) {
-      build(df, idCol, textCol, dir)
+      work
       java.nio.file.Files.createDirectories(meta.getParent)
       java.nio.file.Files.writeString(meta, fp)
     }
+  }
+
+  /** [[build]] unless a fingerprint-matching index already exists — the
+    * build-once half: bench repeats and re-verification skip the corpus
+    * pass entirely. */
+  def buildIfAbsent(df: DataFrame, idCol: String, textCol: String,
+      dir: String, corpusTag: String): Unit =
+    withFingerprint(dir, corpusTag) { build(df, idCol, textCol, dir) }
+
+  /** Incremental maintenance: fold a NEW document batch into the stored
+    * index without re-reading the old corpus — the ops-side reason the
+    * denormalization is (tf, dl, df) and not a join: tf and dl are
+    * per-(doc, term) facts that never change once written, so the only
+    * stored rows a batch touches are the df counters of terms THE BATCH
+    * CONTAINS (one left join against the batch's term-df table; rows of
+    * unseen terms pass through byte-identical), plus the 1-row stats.
+    * Contract: batch doc ids are NEW (disjoint from the indexed corpus)
+    * — an id-overwriting upsert is [[build]]'s job, not a merge's.
+    *
+    * At this fixture scale the whole postings relation is rewritten;
+    * at 100 TB the same plan applies per term-range partition, and only
+    * ranges containing batch terms are rewritten (the write is already
+    * range-partitioned by term to make that split natural). The merged
+    * frames are eagerly materialized (localCheckpoint) BEFORE the
+    * overwrite — Spark cannot atomically overwrite its own input. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, dir: String): Unit = {
+    import org.apache.spark.sql.types._
+    val stored = spark.read.schema(StructType(Seq(
+        StructField("term", StringType), StructField(idCol, LongType),
+        StructField("tf", LongType), StructField("dl", LongType),
+        StructField("df", LongType))))
+      .parquet(postingsPath(dir))
+    val stats = spark.read.schema(StructType(Seq(
+        StructField("_L", LongType), StructField("_N", LongType))))
+      .parquet(statsPath(dir))
+
+    val words = split(col(textCol), " ")
+    val bdl = batch.select(col(idCol),
+      size(filter(words, w => length(w) > 0)).cast("long").as("dl"))
+    val bhits = batch.select(col(idCol), explode(words).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val bdf = bhits.groupBy(col("term")).agg(count(lit(1)).as("bdf"))
+
+    // stored df per term, read once from the postings themselves (df is
+    // constant within a term by construction — max is just a reader)
+    val sdf = stored.groupBy(col("term")).agg(max(col("df")).as("sdf"))
+    val mergedPostings = stored.drop("df")
+      .join(broadcast(bdf), Seq("term"), "left")
+      .join(sdf, Seq("term")) // vocab-sized: no broadcast hint, AQE picks
+      .select(col("term"), col(idCol), col("tf"), col("dl"),
+        (col("sdf") + coalesce(col("bdf"), lit(0L))).as("df"))
+      .unionByName(bhits
+        .join(bdl, Seq(idCol))
+        .join(broadcast(bdf), Seq("term"))
+        .join(sdf, Seq("term"), "left")
+        .select(col("term"), col(idCol), col("tf"), col("dl"),
+          (col("bdf") + coalesce(col("sdf"), lit(0L))).as("df")))
+      .localCheckpoint(true)
+    val mergedStats = stats.crossJoin(broadcast(
+        bdl.agg(sum(col("dl")).as("_bL"), count(lit(1)).as("_bN"))))
+      .select((col("_L") + col("_bL")).as("_L"),
+        (col("_N") + col("_bN")).as("_N"))
+      .localCheckpoint(true)
+
+    mergedPostings
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col(idCol))
+      .write.mode("overwrite").parquet(postingsPath(dir))
+    mergedStats.coalesce(1).write.mode("overwrite").parquet(statsPath(dir))
   }
 
   /** BM25 top-k from the STORED index: postings scan (term predicate

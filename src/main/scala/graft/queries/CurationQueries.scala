@@ -742,11 +742,38 @@ object CurationQueries {
     q124Bm25.oracle,
     doc = "[NS] retrieval lifecycle: BM25 served from persisted postings")
 
+  /** [NS] — incremental index maintenance (q128): build the postings on
+    * 90% of the corpus (doc_id % 10 != 0), fold the held-out 10% in with
+    * [[graft.operators.TextIndex.mergeBatch]] — df counters and corpus
+    * stats updated relationally, old tf/dl rows untouched — then serve
+    * the same 4-term BM25 query. The oracle is STILL q124's from-scratch
+    * SQL over the FULL corpus: a green row proves build ∘ merge ≡ build
+    * on the union, i.e. the incremental path loses nothing (the q78/q72
+    * twin-certification pattern applied to index maintenance). The
+    * fingerprint guard keeps the build+merge sequence idempotent across
+    * repeated invocations (bench runs the query n times). */
+  val q128IndexMerge = Q(
+    "q128_index_merge",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.operators.TextIndex.defaultDir(d + "_incr")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#base90+merge10") {
+        graft.operators.TextIndex.build(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", dir)
+        graft.operators.TextIndex.mergeBatch(s,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", dir)
+      }
+      graft.operators.TextIndex.serveBm25(s, dir, "doc_id",
+        Seq("spark", "dup", "window", "merge"), 10)
+    },
+    q124Bm25.oracle,
+    doc = "[NS] incremental postings merge == from-scratch build (twin-certified)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,
     q120EpochExpand, q121NgramDiversity, q122Postings,
     q123PositionalIndex, q124Bm25, q126PhraseSearch,
-    q127TextIndexServe)
+    q127TextIndexServe, q128IndexMerge)
 }

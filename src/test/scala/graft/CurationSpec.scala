@@ -440,6 +440,38 @@ class CurationSpec extends AnyFunSuite {
       java.nio.file.Paths.get(dir, "_graft_index_meta.json")) === mtime)
   }
 
+  test("TextIndex.mergeBatch: df counters exact for terms only-in-stored, " +
+      "only-in-batch, and in-both; stats accumulate; old tf/dl untouched") {
+    import spark.implicits._
+    val dir = "/tmp/graft_text_index_merge_spec"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val base = Seq((1L, "alpha beta"), (2L, "alpha gamma gamma"))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, "beta beta delta")).toDF("doc_id", "text")
+    graft.operators.TextIndex.build(base, "doc_id", "text", dir)
+    graft.operators.TextIndex.mergeBatch(spark, batch, "doc_id", "text", dir)
+    val post = spark.read.parquet(
+        graft.operators.TextIndex.postingsPath(dir))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2))
+    assert(post === Array(
+      ("alpha", 1L, 1L, 2L, 2L),   // only-in-stored: df unchanged
+      ("alpha", 2L, 1L, 3L, 2L),
+      ("beta", 1L, 1L, 2L, 2L),    // in-both: stored row df bumped 1→2
+      ("beta", 3L, 2L, 3L, 2L),    // batch row sees stored df too
+      ("delta", 3L, 1L, 3L, 1L),   // only-in-batch
+      ("gamma", 2L, 2L, 3L, 1L)
+    ), post.mkString("\n"))
+    val st = spark.read.parquet(graft.operators.TextIndex.statsPath(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(st === Array((8L, 3L))) // L: 2+3+3, N: 2+1
+  }
+
   test("bm25TopK: a doc repeating a rare term outranks stopword-heavy " +
       "docs, and scores are reproducible across partitionings") {
     import spark.implicits._
