@@ -16,33 +16,85 @@ import org.apache.spark.sql.functions._
   *    range-partitioned + sorted by term (term predicates prune parquet
   *    row groups via min/max stats — the flat-file analogue of q107's
   *    hive-partitioned codes; a directory per term would be the wrong
-  *    layout at vocabulary scale), plus a 1-row (L, N) stats table and a
-  *    fingerprint (`_graft_index_meta.json`) making rebuilds idempotent.
+  *    layout at vocabulary scale), plus a 1-row (L, N) stats table.
   *    Denormalizing dl and df into each posting costs 2 longs/row and
   *    removes BOTH serving-time joins — the impact-file trade every
   *    production engine takes.
-  *  - [[serveBm25]]: scan postings with the term predicate PUSHED to the
-  *    scan, broadcast the 1-row stats, score with [[Curation.bm25Rank]]
-  *    (the exact expression tree [[Curation.bm25TopK]] uses — shared
-  *    code, so stored-path scores are bit-identical by construction),
-  *    one combining exchange on doc, TakeOrderedAndProject. The corpus
-  *    text is NEVER read: no split, no explode, no Generate in the plan
-  *    (plan-pinned in PlanQualitySpec).
+  *  - [[mergeBatch]] / [[foreachBatchMerge]]: incremental maintenance
+  *    under a VERSIONED-GENERATION protocol — every merge reads
+  *    generation K and writes K+1, then atomically advances a pointer
+  *    file recording (gen, lastEpoch). A crash mid-merge leaves the
+  *    pointer at K (the half-written K+1 is invisible and simply
+  *    rewritten on retry), and a replayed streaming epoch ≤ lastEpoch
+  *    is a no-op — exactly-once index state over at-least-once
+  *    foreachBatch delivery, the same protocol as the durable
+  *    heavy-hitter state. Input gen ≠ output gen also means no eager
+  *    materialization before the write (Spark never overwrites its own
+  *    input here).
+  *  - [[serveBm25]]: scan the CURRENT generation's postings with the
+  *    term predicate PUSHED to the scan, broadcast the 1-row stats,
+  *    score with [[Curation.bm25Rank]] (the exact expression tree
+  *    [[Curation.bm25TopK]] uses — shared code, so stored-path scores
+  *    are bit-identical by construction), one combining exchange on
+  *    doc, TakeOrderedAndProject. The corpus text is NEVER read: no
+  *    split, no explode, no Generate in the plan (plan-pinned).
   *
   * Scale: postings are the corpus's (doc, term) distinct pairs — large,
   * but the only table serving touches, and only the probed terms' row
   * groups at that. Stopword-class terms are the documented skew: cap or
   * drop df > threshold terms at build (they carry no BM25 signal — idf
-  * ≈ 0) exactly as [[Curation.invertedIndex]]'s contract states.
+  * ≈ 0) exactly as [[Curation.invertedIndex]]'s contract states. At
+  * this fixture scale a merge rewrites the whole postings relation; at
+  * 100 TB the same plan applies per term-range partition and only
+  * ranges containing batch terms get a new generation (the write is
+  * already range-partitioned by term to make that split natural).
   */
 object TextIndex {
 
   /** Bump when the on-disk layout or scoring semantics change. */
-  private val FormatVersion = 1
+  private val FormatVersion = 2
 
-  def postingsPath(dir: String) = s"$dir/postings"
-  def statsPath(dir: String)    = s"$dir/stats"
-  private def metaPath(dir: String) = s"$dir/_graft_index_meta.json"
+  private def genDir(dir: String, gen: Long) = s"$dir/gen=$gen"
+  private def pointerPath(dir: String) = java.nio.file.Paths.get(dir, "_current")
+  private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "_graft_index_meta.json")
+
+  /** (generation, lastEpoch) from the pointer file; (-1, -1) if none. */
+  def current(dir: String): (Long, Long) = {
+    val p = pointerPath(dir)
+    if (!java.nio.file.Files.exists(p)) (-1L, -1L)
+    else java.nio.file.Files.readString(p).trim.split(",") match {
+      case Array(g, e) => (g.toLong, e.toLong)
+      case _           => (-1L, -1L)
+    }
+  }
+
+  /** Atomically advance the pointer: temp file + ATOMIC_MOVE, so readers
+    * see either the old generation or the new, never a torn value. */
+  private def advance(dir: String, gen: Long, epoch: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, s"_current.tmp.$gen")
+    Files.writeString(tmp, s"$gen,$epoch")
+    Files.move(tmp, pointerPath(dir),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // best-effort GC: generations older than the previous one are
+    // unreachable (the pointer is the only entry point)
+    val stale = new java.io.File(dir).listFiles()
+    if (stale != null) stale.filter(f => f.getName.startsWith("gen=") &&
+        f.getName.stripPrefix("gen=").toLong < gen - 1)
+      .foreach(f => scala.reflect.io.Directory(
+        scala.reflect.io.File(f).toDirectory.path).deleteRecursively())
+  }
+
+  def postingsPath(dir: String): String = {
+    val (g, _) = current(dir)
+    s"${genDir(dir, g.max(0L))}/postings"
+  }
+  def statsPath(dir: String): String = {
+    val (g, _) = current(dir)
+    s"${genDir(dir, g.max(0L))}/stats"
+  }
 
   /** Per-corpus location, one directory per corpus tag (same contract as
     * [[AnnIndex.defaultDir]] — concurrent scale factors never clobber). */
@@ -52,28 +104,36 @@ object TextIndex {
   private def fingerprint(corpus: String): String =
     s"""{"version":$FormatVersion,"corpus":"$corpus"}"""
 
-  /** One corpus pass → postings + stats on disk. Whitespace tokenization
-    * with empty tokens dropped, the convention every text operator here
-    * shares ([[Curation.invertedIndex]], q83, q104). */
+  private def writeGen(postings: DataFrame, stats: DataFrame, dir: String,
+      gen: Long, idCol: String): Unit = {
+    postings
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col(idCol))
+      .write.mode("overwrite").parquet(s"${genDir(dir, gen)}/postings")
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"${genDir(dir, gen)}/stats")
+  }
+
+  /** One corpus pass → postings + stats as generation 0. Whitespace
+    * tokenization with empty tokens dropped, the convention every text
+    * operator here shares ([[Curation.invertedIndex]], q83, q104). */
   def build(df: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val words = split(col(textCol), " ")
     val dl = df.select(col(idCol),
       size(filter(words, w => length(w) > 0)).cast("long").as("dl"))
-    dl.agg(sum(col("dl")).as("_L"), count(lit(1)).as("_N"))
-      .coalesce(1).write.mode("overwrite").parquet(statsPath(dir))
+    val stats = dl.agg(sum(col("dl")).as("_L"), count(lit(1)).as("_N"))
     val hits = df.select(col(idCol), explode(words).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    hits.join(dfreq, Seq("term"))
+    val postings = hits.join(dfreq, Seq("term"))
       .join(dl, Seq(idCol))
       .select(col("term"), col(idCol), col("tf"), col("dl"), col("df"))
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions(col("term"), col(idCol))
-      .write.mode("overwrite").parquet(postingsPath(dir))
+    writeGen(postings, stats, dir, 0L, idCol)
+    advance(dir, 0L, -1L)
   }
 
   /** Run `work` unless `dir`'s fingerprint already records `tag` — the
@@ -82,7 +142,7 @@ object TextIndex {
     * re-apply a merge: postings are state, not a view). */
   def withFingerprint(dir: String, tag: String)(work: => Unit): Unit = {
     val fp = fingerprint(tag)
-    val meta = java.nio.file.Paths.get(metaPath(dir))
+    val meta = metaPath(dir)
     val fresh = java.nio.file.Files.exists(meta) &&
       java.nio.file.Files.readString(meta) == fp
     if (!fresh) {
@@ -109,23 +169,24 @@ object TextIndex {
     * Contract: batch doc ids are NEW (disjoint from the indexed corpus)
     * — an id-overwriting upsert is [[build]]'s job, not a merge's.
     *
-    * At this fixture scale the whole postings relation is rewritten;
-    * at 100 TB the same plan applies per term-range partition, and only
-    * ranges containing batch terms are rewritten (the write is already
-    * range-partitioned by term to make that split natural). The merged
-    * frames are eagerly materialized (localCheckpoint) BEFORE the
-    * overwrite — Spark cannot atomically overwrite its own input. */
+    * `epoch` ≥ 0 enables replay protection: a merge whose epoch is ≤ the
+    * pointer's lastEpoch is a committed delivery replayed by the stream
+    * runner and returns without touching state. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, idCol: String,
-      textCol: String, dir: String): Unit = {
+      textCol: String, dir: String, epoch: Long = -1L): Unit = {
     import org.apache.spark.sql.types._
+    val (gen, lastEpoch) = current(dir)
+    require(gen >= 0, s"mergeBatch: no index at $dir — build() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return // replayed epoch: no-op
+
     val stored = spark.read.schema(StructType(Seq(
         StructField("term", StringType), StructField(idCol, LongType),
         StructField("tf", LongType), StructField("dl", LongType),
         StructField("df", LongType))))
-      .parquet(postingsPath(dir))
+      .parquet(s"${genDir(dir, gen)}/postings")
     val stats = spark.read.schema(StructType(Seq(
         StructField("_L", LongType), StructField("_N", LongType))))
-      .parquet(statsPath(dir))
+      .parquet(s"${genDir(dir, gen)}/stats")
 
     val words = split(col(textCol), " ")
     val bdl = batch.select(col(idCol),
@@ -151,19 +212,21 @@ object TextIndex {
         .join(sdf, Seq("term"), "left")
         .select(col("term"), col(idCol), col("tf"), col("dl"),
           (col("bdf") + coalesce(col("sdf"), lit(0L))).as("df")))
-      .localCheckpoint(true)
     val mergedStats = stats.crossJoin(broadcast(
         bdl.agg(sum(col("dl")).as("_bL"), count(lit(1)).as("_bN"))))
       .select((col("_L") + col("_bL")).as("_L"),
         (col("_N") + col("_bN")).as("_N"))
-      .localCheckpoint(true)
 
-    mergedPostings
-      .repartitionByRange(col("term"))
-      .sortWithinPartitions(col("term"), col(idCol))
-      .write.mode("overwrite").parquet(postingsPath(dir))
-    mergedStats.coalesce(1).write.mode("overwrite").parquet(statsPath(dir))
+    writeGen(mergedPostings, mergedStats, dir, gen + 1, idCol)
+    advance(dir, gen + 1, epoch.max(lastEpoch))
   }
+
+  /** foreachBatch adapter: streamed document batches fold into the index
+    * exactly once (the epoch id rides the pointer — see [[mergeBatch]]).
+    * Usage: `.writeStream.foreachBatch(TextIndex.foreachBatchMerge(...))`. */
+  def foreachBatchMerge(spark: SparkSession, dir: String, idCol: String,
+      textCol: String): (DataFrame, Long) => Unit =
+    (batch, epoch) => mergeBatch(spark, batch, idCol, textCol, dir, epoch)
 
   /** BM25 top-k from the STORED index: postings scan (term predicate
     * pushed — only the query terms' row groups are decoded), 1-row stats

@@ -571,6 +571,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming text-index ingest: foreachBatchMerge folds doc batches " +
+      "into the versioned index across a full query restart, replays are " +
+      "no-ops, and the final index serves BM25 identically to a " +
+      "from-scratch build over every delivered doc") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.operators.TextIndex
+    import spark.implicits._
+
+    val srcDir = Files.createTempDirectory("tix_src").toString
+    val ckpt = Files.createTempDirectory("tix_ckpt").toString
+    val idxDir = Files.createTempDirectory("tix_idx").toString
+    val seed = Seq((1L, "spark merge window base corpus text"))
+      .toDF("doc_id", "text")
+    TextIndex.build(seed, "doc_id", "text", idxDir)
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(TextIndex.foreachBatchMerge(spark, idxDir,
+          "doc_id", "text"))
+        .start()
+      q.awaitTermination()
+    }
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text"}"""
+
+    Files.write(Paths.get(srcDir, "b1.json"), Seq(
+      doc(10L, "spark spark dup stream one"),
+      doc(11L, "window merge dup other words here")
+    ).mkString("\n").getBytes("UTF-8"))
+    runOnce()
+    // full restart with a second file: new epoch, merged on top
+    Files.write(Paths.get(srcDir, "b2.json"), Seq(
+      doc(20L, "spark window fresh tail batch")
+    ).mkString("\n").getBytes("UTF-8"))
+    runOnce()
+
+    // replaying a committed epoch must not touch state: pointer unchanged
+    val before = TextIndex.current(idxDir)
+    TextIndex.mergeBatch(spark,
+      Seq((99L, "would double count spark")).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir, epoch = before._2)
+    assert(TextIndex.current(idxDir) === before,
+      "replayed epoch must be a no-op")
+
+    val terms = Seq("spark", "dup", "window", "merge")
+    val served = TextIndex.serveBm25(spark, idxDir, "doc_id", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val scratch = graft.operators.Curation.bm25TopK(
+        seed.unionByName(Seq(
+          (10L, "spark spark dup stream one"),
+          (11L, "window merge dup other words here"),
+          (20L, "spark window fresh tail batch")).toDF("doc_id", "text")),
+        "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(served === scratch,
+      s"streamed index diverged: ${served.mkString(",")} vs ${scratch.mkString(",")}")
+  }
+
   test("stored-index streaming ingest: foreachBatchIngest gates each " +
       "epoch against the durable index and appends admitted keys — " +
       "cross-epoch twins rejected without TTL state") {
