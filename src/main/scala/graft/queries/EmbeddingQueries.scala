@@ -645,8 +645,53 @@ object EmbeddingQueries {
       FROM r GROUP BY dim ORDER BY dim"""),
     doc = "[NS] int8 absmax quantization + exact integer reconstruction audit")
 
+  /** [NS] — int8 integer-dot top-k (q129): the SERVING half of q125's
+    * quantization — score every corpus vector against the max-id query
+    * vector using ONLY the int8 codes (sum of q·q' products, exact
+    * integers end to end: the scale factors cancel in the ranking), and
+    * return the top 10. The 100 TB shape: the query's 64 codes ride a
+    * broadcast, the corpus pays one combining exchange, floats never
+    * enter. Production re-ranks a shortlist with true floats exactly
+    * like pqSearch — q30 is that float twin on this corpus; here the
+    * integer path itself is the oracle-checked artifact. */
+  val q129Int8TopK = Q(
+    "q129_int8_topk",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val codes = Similarity.int8Quantize(e, "vec_id", "embedding")
+        .select($"vec_id", $"dim", $"q")
+        .localCheckpoint(true) // corpus + query read the same quantization
+      val qid = e.agg(max($"vec_id").as("q_id"))
+      val qcodes = codes.join(broadcast(qid),
+          $"vec_id" === $"q_id", "left_semi")
+        .select($"dim", $"q".as("qq"))
+      codes.join(broadcast(qcodes), Seq("dim"))
+        .crossJoin(broadcast(qid))
+        .filter($"vec_id" =!= $"q_id")
+        .groupBy($"vec_id")
+        .agg(sum($"q" * $"qq").as("idot"))
+        .orderBy($"idot".desc, $"vec_id".asc)
+        .limit(10)
+    },
+    Some("""WITH e AS (SELECT vec_id, t.i AS dim,
+          CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings,
+          unnest(generate_series(1, len(embedding))) AS t(i)),
+      a AS (SELECT dim, max(abs(x)) AS amax FROM e GROUP BY 1),
+      c AS (SELECT vec_id, e.dim,
+          CASE WHEN amax = 0 THEN 0
+            ELSE CAST(round(127 * x / amax) AS BIGINT) END AS q
+        FROM e JOIN a USING (dim)),
+      qid AS (SELECT max(vec_id) AS q_id FROM embeddings),
+      qc AS (SELECT dim, q AS qq FROM c, qid WHERE vec_id = q_id)
+      SELECT c.vec_id, CAST(sum(q * qq) AS BIGINT) AS idot
+      FROM c JOIN qc USING (dim), qid WHERE c.vec_id <> q_id
+      GROUP BY c.vec_id ORDER BY idot DESC, vec_id ASC LIMIT 10"""),
+    doc = "[NS] int8 integer-dot top-k over quantized codes (float-free scoring)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
-    q107IndexServe, q110StratifiedKmeans, q125Int8Quant)
+    q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK)
 }
