@@ -97,13 +97,17 @@ object Bench {
     // (measured: BENCH_r05.json's "tail" is len 2000) — the round-5
     // full-precision line was ~3.5 KB and the marker got clipped, and even
     // 3-decimal timings with full query names are ~2.8 KB at 109 queries.
-    // So the marker uses the unique qNN prefix as the key ("q24":1.234 —
+    // So the marker uses the unique qNN prefix as the key ("q24":1.23 —
     // full names + precision live in bench_out.json and the plain line
     // above), and if a future query count pushes the line past 1900 bytes
     // it degrades to the total alone rather than risk a clipped marker.
+    // Per-query values carry 2 decimals (10 ms resolution — noise floor is
+    // far above that): at ~14 bytes/query the 3→2 decimal cut buys ~18
+    // queries of headroom before the degradation branch triggers.
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def r2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val compactQs = perQuery.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r3(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
     }.mkString("{", ",", "}")
     val marker =
       s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n,"queries":$compactQs}"""
