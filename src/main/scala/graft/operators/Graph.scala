@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** [NS] Distributed graph analytics over edge lists — the graph-shaped
+  * half of a training-data curation stack: PageRank for source/keyword
+  * authority (TextRank) and triangle counting for near-dup cluster
+  * cliquishness. Companion to the connected-components family in
+  * [[Dedup]] (same edge-list conventions: two key columns, any type).
+  *
+  * Scale stance: everything is edge-partitioned joins + aggregations —
+  * no adjacency matrices, no driver-side graph state. PageRank pays one
+  * (join + groupBy) shuffle pair per iteration on the edge key; triangle
+  * counting uses the degree-orientation trick (Schank & Wagner 2005;
+  * Suri & Vassilvitskii WWW'11 "Counting Triangles and the Curse of the
+  * Last Reducer") so wedge generation is bounded by O(m^1.5) total and
+  * per-node out-degree is O(sqrt m) even on skewed degree distributions.
+  *
+  * Exactness stance (same as [[Similarity.kmeans]]): all rank arithmetic
+  * is scaled-integer with floor division (`div`), so results are
+  * bit-identical across engines and partitionings — a DuckDB oracle can
+  * replay the identical recurrence and hash-match.
+  */
+object Graph {
+
+  /** Exact-integer PageRank over a directed edge list, with dangling-mass
+    * redistribution (Page et al. 1999, §2.7 of the survey's curation
+    * extensions; reference precedent: the archive ranks channels by
+    * aggregate watch counts — this is the graph-aware generalization).
+    *
+    * Recurrence (all Long, floor division, identical in DuckDB as `//`):
+    * {{{
+    *   base      = scale div N
+    *   r0(v)     = base
+    *   contrib(v)= sum over in-edges u->v of  r(u) div outdeg(u)
+    *   dang      = sum of r(u) over nodes with outdeg(u) = 0
+    *   r'(v)     = ((100-dampPct) * base) div 100
+    *             + (dampPct * (contrib(v) + dang div N)) div 100
+    * }}}
+    * Floor division leaks at most a few units of `scale^-1` mass per
+    * node per round — ranking order is what callers consume, and that is
+    * exact and reproducible (ties broken by node id downstream).
+    *
+    * Distribution: edges (with the source's out-degree attached) persist
+    * once; each iteration is edges-join-ranks on the source key, a
+    * groupBy(dst) partial-aggregated sum, and two 1-row broadcast
+    * cross-joins for the N / dangling scalars — no driver collect. Ranks
+    * localCheckpoint per round (fixpoint-loop convention, see
+    * [[Dedup.connectedComponents]]) so lineage stays flat.
+    *
+    * Returns (node, od, pr): every node with its out-degree and final
+    * scaled rank.
+    */
+  def pageRankExact(edgePairs: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000000000L,
+      dampPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct 0..100, got $dampPct")
+    val telePct = 100 - dampPct
+    // the edge list is usually derived (joins/explodes over the corpus) —
+    // persist it FIRST so out-degree / node-set / per-iteration reads all
+    // hit the materialized copy instead of replaying the upstream lineage
+    val edges0 = edgePairs
+      .select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = edges0.groupBy(col("_src"))
+      .agg(count(lit(1)).as("_od"))
+    val edges = edges0.join(outdeg, "_src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges0.select(col("_src").as("_n"))
+      .union(edges0.select(col("_dst").as("_n")))
+      .distinct()
+      .join(outdeg.select(col("_src").as("_n"), col("_od")), Seq("_n"), "left")
+      .select(col("_n"), coalesce(col("_od"), lit(0L)).as("_od"))
+    try {
+      val nRow = nodes.agg(count(lit(1)).as("_nn"))
+      var ranks = nodes.crossJoin(broadcast(nRow))
+        .select(col("_n"), col("_od"),
+          expr(s"$scale div _nn").as("_pr"))
+        .localCheckpoint(true)
+      // symmetric / well-formed graphs have no dangling nodes; probe once
+      // (the checkpointed ranks are tiny) and skip the per-iteration
+      // dangling-sum aggregate + broadcast entirely when there are none
+      val hasDangling = ranks.filter(col("_od") === 0).limit(1).count() > 0
+      for (_ <- 1 to iters) {
+        val contrib = edges
+          .join(ranks.select(col("_n").as("_src"), col("_pr")), "_src")
+          .select(col("_dst"), expr("_pr div _od").as("_c"))
+          .groupBy(col("_dst"))
+          .agg(sum(col("_c")).as("_contrib"))
+        val joined = ranks.select(col("_n"), col("_od"))
+          .join(contrib.select(col("_dst").as("_n"), col("_contrib")),
+            Seq("_n"), "left")
+          .crossJoin(broadcast(nRow))
+        val withDang =
+          if (!hasDangling) joined.withColumn("_dang", lit(0L))
+          else joined.crossJoin(broadcast(
+            ranks.filter(col("_od") === 0)
+              .agg(coalesce(sum(col("_pr")), lit(0L)).as("_dang"))))
+        ranks = withDang
+          .select(col("_n"), col("_od"),
+            expr(s"($telePct * ($scale div _nn)) div 100" +
+              s" + ($dampPct * (coalesce(_contrib, CAST(0 AS BIGINT))" +
+              s" + _dang div _nn)) div 100").as("_pr"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("_n").as("node"), col("_od").as("od"),
+        col("_pr").as("pr"))
+    } finally {
+      edges0.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+    }
+  }
+
+  /** Per-node triangle counts over an undirected edge list, by degree
+    * orientation: orient every edge from its (degree, id)-smaller
+    * endpoint to the larger, so each triangle {x,y,z} (in that total
+    * order) is generated exactly once as the wedge x->y, x->z closed by
+    * the oriented edge y->z. Out-degree under this orientation is
+    * O(sqrt m), which caps the wedge join's fan-out — the standard cure
+    * for the "curse of the last reducer" on power-law graphs (a near-dup
+    * clique of size k still costs only its C(k,3) true triangles, not
+    * k * C(k,2) wedges per hub node).
+    *
+    * No global rank/window is materialized: orientation compares the
+    * (degree, id) tuple edge-locally, so the only exchanges are the two
+    * degree joins and the equi-joins on wedge endpoints.
+    *
+    * Input pairs may be in any order / direction; they are normalized
+    * (lo, hi), self-loops dropped, duplicates collapsed. Returns
+    * (node, n_tri) for every node of the graph, zero-count nodes
+    * included (left join back to the node set).
+    */
+  def triangleCounts(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    // normalized edges are read 3× (degree union + orientation join);
+    // persist so a derived pair source (e.g. a SimHash band join) runs once
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).as("_a"),
+        greatest(col(aCol), col(bCol)).as("_b"))
+      .filter(col("_a") < col("_b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("_a").as("_n"))
+      .union(und.select(col("_b").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oriented = und
+      .join(deg.select(col("_n").as("_a"), col("_d").as("_da")), "_a")
+      .join(deg.select(col("_n").as("_b"), col("_d").as("_db")), "_b")
+      .select(
+        when(col("_da") < col("_db")
+            || (col("_da") === col("_db") && col("_a") < col("_b")),
+          struct(col("_a").as("u"), col("_b").as("v"),
+            col("_db").as("dv")))
+          .otherwise(struct(col("_b").as("u"), col("_a").as("v"),
+            col("_da").as("dv"))).as("e"))
+      .select(col("e.u").as("_u"), col("e.v").as("_v"),
+        col("e.dv").as("_dv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val e1 = oriented.select(col("_u"), col("_v").as("_y"),
+        col("_dv").as("_dy"))
+      val e2 = oriented.select(col("_u"), col("_v").as("_z"),
+        col("_dv").as("_dz"))
+      val wedges = e1.join(e2, Seq("_u"))
+        .filter(col("_dy") < col("_dz")
+          || (col("_dy") === col("_dz") && col("_y") < col("_z")))
+        .select(col("_u").as("_x"), col("_y"), col("_z"))
+      val closing = oriented.select(col("_u").as("_y"),
+        col("_v").as("_z"))
+      val tris = wedges.join(closing, Seq("_y", "_z"), "left_semi")
+        .localCheckpoint(true) // corners explode below re-reads it 3x
+      val corners = tris.select(col("_x").as("_n"))
+        .union(tris.select(col("_y").as("_n")))
+        .union(tris.select(col("_z").as("_n")))
+        .groupBy(col("_n")).agg(count(lit(1)).as("_t"))
+      deg.select(col("_n"))
+        .join(corners, Seq("_n"), "left")
+        .select(col("_n").as("node"),
+          coalesce(col("_t"), lit(0L)).as("n_tri"))
+        .localCheckpoint(true) // materialize before deg/oriented unpersist
+    } finally {
+      und.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      oriented.unpersist(blocking = false)
+    }
+  }
+}

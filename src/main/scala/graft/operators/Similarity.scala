@@ -557,4 +557,38 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** [NS] Johnson–Lindenstrauss random projection to `outDims` dimensions
+    * with a DETERMINISTIC ±1 sign matrix (Achlioptas 2003: Rademacher
+    * entries preserve pairwise distances in expectation like Gaussian
+    * ones) — the cheap front-end that lets every downstream pairwise
+    * stage (LSH, SemDedup, clustering) run on short vectors.
+    *
+    * Exactness: inputs quantize to scaled integers (round(x·10^6), the
+    * q125 convention), the sign for matrix cell (i, j) comes from a
+    * fixed LCG — `((1103515245·(i·outDims + j) + 12345) mod 2^31) div
+    * 2^16 mod 2` on the HIGH bits (low LCG bits alternate degenerately)
+    * — and each projected coordinate is an exact integer sum. Both the
+    * signs and the sums replay bit-identically in any engine.
+    *
+    * Per-row only: signs are computed inline from (i, j), so there is no
+    * projection-matrix join, no shuffle, nothing broadcast — at 100 TB
+    * this is a map-only pass. Output: (idCol, j, y) with j in
+    * [0, outDims) and y the scaled-integer projection. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+      outDims: Int, scale: Long = 1000000L): DataFrame = {
+    require(outDims >= 1, s"outDims must be >= 1, got $outDims")
+    df.select(col(idCol),
+        expr(s"""transform(sequence(0, ${outDims - 1}), j ->
+          aggregate(
+            zip_with($vecCol, sequence(0, size($vecCol) - 1),
+              (x, i) -> IF(((CAST(1103515245 AS BIGINT)
+                              * (i * $outDims + j) + 12345)
+                              % 2147483648) div 65536 % 2 = 0,
+                CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT),
+                -CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))),
+            CAST(0 AS BIGINT), (acc, v) -> acc + v))""").as("_y"))
+      .select(col(idCol), posexplode(col("_y")).as(Seq("j", "y")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("y"))
+  }
 }

@@ -690,8 +690,38 @@ object EmbeddingQueries {
       GROUP BY c.vec_id ORDER BY idot DESC, vec_id ASC LIMIT 10"""),
     doc = "[NS] int8 integer-dot top-k over quantized codes (float-free scoring)")
 
+  /** [NS] — Johnson–Lindenstrauss ±1 random projection to 8 dims
+    * ([[Similarity.jlProject]]): deterministic LCG sign matrix computed
+    * inline from (i, j), inputs quantized to round(x·10^6) integers, so
+    * every projected coordinate is an exact integer sum both engines
+    * reproduce bit-for-bit. Map-only (no join, no shuffle) — the 100 TB
+    * front-end that shortens vectors before any pairwise stage. */
+  val q132JlProject = Q(
+    "q132_jl_project",
+    (s, d) => {
+      import s.implicits._
+      Similarity.jlProject(Tables.embeddings(s, d), "vec_id", "embedding",
+          outDims = 8)
+        .orderBy($"vec_id", $"j")
+    },
+    Some("""WITH e AS (SELECT vec_id, t.i - 1 AS i,
+          CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)
+            AS xq
+        FROM embeddings,
+          unnest(generate_series(1, len(embedding))) AS t(i)),
+      p AS (SELECT vec_id, j,
+          CAST(sum(CASE WHEN ((CAST(1103515245 AS BIGINT) * (i * 8 + j)
+                + 12345) % 2147483648) // 65536 % 2 = 0
+            THEN xq ELSE -xq END) AS BIGINT) AS y
+        FROM e CROSS JOIN unnest(range(0, 8)) AS t2(j)
+        GROUP BY 1, 2)
+      SELECT vec_id, CAST(j AS BIGINT) AS j, y FROM p
+      ORDER BY vec_id, j"""),
+    doc = "[NS] JL ±1 random projection, exact-integer (map-only dim reduction)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
-    q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK)
+    q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,
+    q132JlProject)
 }

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Graph}
+
+/** [NS] Graph analytics queries — PageRank authority over the purchase
+  * graph, TextRank keyword extraction (PageRank over the token
+  * co-occurrence graph), and triangle counting over the near-dup
+  * candidate graph. All rank arithmetic is scaled-integer (see
+  * [[graft.operators.Graph]]), so the DuckDB oracles replay the exact
+  * recurrence and hash-match bit-for-bit; the oracle unrolls the
+  * fixed-iteration loop as chained CTEs (the kmeansIterSql convention).
+  */
+object GraphQueries {
+
+  /** Unrolled exact-integer PageRank: expects a CTE `edges0(src, dst)`
+    * (distinct directed edges) to be in scope; defines r0..r`iters` with
+    * (node, od, pr). Mirrors [[Graph.pageRankExact]] line for line:
+    * scale 10^12, damping 85/100, dangling mass redistributed uniformly,
+    * floor division everywhere. */
+  private def pageRankCtes(iters: Int): String = {
+    val base = """nodes0 AS (SELECT src AS node FROM edges0
+        UNION SELECT dst FROM edges0),
+      od AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+        FROM edges0 GROUP BY src),
+      edges AS (SELECT e.src, e.dst, o.od
+        FROM edges0 e JOIN od o ON o.src = e.src),
+      nodes AS (SELECT n.node, coalesce(o.od, CAST(0 AS BIGINT)) AS od
+        FROM nodes0 n LEFT JOIN od o ON o.src = n.node),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+      r0 AS (SELECT node, od, 1000000000000 // nn.n AS pr
+        FROM nodes CROSS JOIN nn)"""
+    val its = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+          CAST(sum(r.pr // e.od) AS BIGINT) AS contrib
+        FROM edges e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst),
+      d$i AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
+        FROM r${i - 1} WHERE od = 0),
+      r$i AS (SELECT n.node, n.od,
+          (15 * (1000000000000 // nn.n)) // 100
+            + (85 * (coalesce(c.contrib, CAST(0 AS BIGINT))
+                     + d.dang // nn.n)) // 100 AS pr
+        FROM nodes n LEFT JOIN c$i c ON c.node = n.node
+        CROSS JOIN d$i d CROSS JOIN nn)"""
+    }.mkString(",\n      ")
+    base + ",\n      " + its
+  }
+
+  /** [NS] — PageRank over the customer→supplier purchase graph (edges =
+    * distinct (o_custkey, l_suppkey) via the order join; suppliers
+    * namespaced +1e6 so the two key spaces can't collide). Suppliers
+    * have no out-edges, so this graph exercises the dangling-mass
+    * redistribution path for real: by iteration 2 supplier mass flows
+    * back to every node uniformly. 3 iterations, top 20 by rank.
+    * The 100 TB source-authority shape: rank channels/domains by who
+    * links/buys, one join + one agg shuffle per iteration. */
+  val q130Pagerank = Q(
+    "q130_pagerank",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("src"),
+          ($"l_suppkey" + 1000000L).as("dst"))
+      Graph.pageRankExact(edges, "src", "dst", iters = 3)
+        .select($"node",
+          when($"node" >= 1000000L, "supplier").otherwise("customer")
+            .as("kind"),
+          $"pr")
+        .orderBy($"pr".desc, $"node")
+        .limit(20)
+    },
+    Some(s"""WITH edges0 AS (SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      ${pageRankCtes(3)}
+      SELECT node,
+        CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+          AS kind,
+        pr
+      FROM r3 ORDER BY pr DESC, node LIMIT 20"""),
+    doc = "[NS] exact-integer PageRank w/ dangling redistribution (purchase graph)")
+
+  /** [NS] — TextRank keyword extraction (Mihalcea & Tarau 2004):
+    * PageRank over the token co-occurrence graph (adjacent-token pairs,
+    * undirected → both directions as directed edges; symmetric graphs
+    * have no dangling nodes, so this exercises the pure-contribution
+    * path). The classic unsupervised keyword scorer for corpus triage —
+    * degree alone over-ranks stopword hubs; TextRank discounts them by
+    * their neighbors' low rank. */
+  val q133Textrank = Q(
+    "q133_textrank",
+    (s, d) => {
+      import s.implicits._
+      val bi = Tables.documents(s, d)
+        .select(split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select(explode(expr("transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS a, w[i+1] AS b))")).as("p"))
+        .select($"p.a".as("a"), $"p.b".as("b"))
+        .filter($"a" =!= $"b" && length($"a") > 0 && length($"b") > 0)
+      val und = bi.select(least($"a", $"b").as("a"),
+        greatest($"a", $"b").as("b")).distinct()
+      val sym = und.union(und.select($"b".as("a"), $"a".as("b")))
+      Graph.pageRankExact(sym, "a", "b", iters = 3)
+        .select($"node".as("term"), $"pr")
+        .orderBy($"pr".desc, $"term")
+        .limit(20)
+    },
+    Some(s"""WITH wd AS (SELECT string_split(text, ' ') AS w
+        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      bi AS (SELECT w[i] AS a, w[i + 1] AS b
+        FROM wd, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        WHERE w[i] <> w[i + 1] AND len(w[i]) > 0 AND len(w[i + 1]) > 0),
+      und AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        FROM bi),
+      edges0 AS (SELECT a AS src, b AS dst FROM und
+        UNION ALL SELECT b, a FROM und),
+      ${pageRankCtes(3)}
+      SELECT node AS term, pr FROM r3
+      ORDER BY pr DESC, term LIMIT 20"""),
+    doc = "[NS] TextRank keywords (PageRank on token co-occurrence graph)")
+
+  /** [NS] — triangle counts over the CONTRACTED SimHash near-dup graph:
+    * identical 64-bit signatures collapse to one weighted node
+    * (sig_id = min doc_id, n_docs = support) BEFORE the Hamming band
+    * join, so exact-dup clusters — which would otherwise be k-cliques
+    * costing C(k,3) each — contribute one node apiece, and the
+    * triangles that remain measure true NEAR-dup clique structure in
+    * signature space. A signature in many triangles sits inside a
+    * mutually-similar cluster (safe to dedup); a triangle-free one
+    * survived on a single marginal edge (audit before deleting). The
+    * 100 TB order of operations: contract-by-equality first (cheapest
+    * shuffle), band-join the survivors, then the degree-oriented wedge
+    * join with its O(m^1.5) bound — see [[Graph.triangleCounts]]. */
+  val q131Triangles = Q(
+    "q131_triangles",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
+        .groupBy($"simhash64")
+        .agg(min($"doc_id").as("sig_id"), count(lit(1)).as("n_docs"))
+      val pairs = Dedup.hammingPairs64(
+        sigs.select($"sig_id", $"simhash64"), "sig_id", "simhash64",
+        maxDist = 3)
+      Graph.triangleCounts(pairs, "doc_a", "doc_b")
+        .join(sigs.select($"sig_id".as("node"), $"n_docs"), Seq("node"))
+        .filter($"n_tri" > 0)
+        .select($"node", $"n_docs", $"n_tri")
+        .orderBy($"n_tri".desc, $"node")
+        .limit(20)
+    },
+    Some("""WITH words AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents),
+      bits AS (
+        SELECT doc_id, j,
+          CASE WHEN (strpos('0123456789abcdef', h[(j // 4) + 1]) - 1)
+            // CAST(pow(2, 3 - (j % 4)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1
+            END AS wgt
+        FROM (SELECT doc_id, md5(w) AS h FROM words),
+          unnest(range(0, 64)) AS t(j)),
+      sums AS (SELECT doc_id, j, sum(wgt) AS s FROM bits
+        GROUP BY doc_id, j),
+      sigstr AS (SELECT doc_id,
+          string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+            ORDER BY j) AS sig
+        FROM sums GROUP BY doc_id),
+      bucket AS (SELECT sig, min(doc_id) AS sig_id,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM sigstr GROUP BY sig),
+      rsums AS (SELECT s.doc_id, s.j, s.s
+        FROM sums s JOIN bucket k ON k.sig_id = s.doc_id),
+      e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM rsums a JOIN rsums b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 END) <= 3),
+      deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY n),
+      orient AS (SELECT
+          CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+            THEN a ELSE b END AS u,
+          CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+            THEN b ELSE a END AS v,
+          CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+            THEN db.d ELSE da.d END AS dv
+        FROM e0 JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+      wed AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM orient e1 JOIN orient e2 ON e1.u = e2.u
+        WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+      tri AS (SELECT x, y, z FROM wed
+        JOIN orient e3 ON e3.u = wed.y AND e3.v = wed.z),
+      corners AS (SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+      ct AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        FROM corners GROUP BY node)
+      SELECT ct.node, k.n_docs, ct.n_tri
+      FROM ct JOIN bucket k ON k.sig_id = ct.node
+      ORDER BY n_tri DESC, node LIMIT 20"""),
+    doc = "[NS] triangle counts on the contracted SimHash graph (near-dup clique audit)")
+
+  val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank)
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Graph, Similarity}
+
+/** Graph analytics: PageRank recurrence pinned against an independent
+  * in-test reference implementation (same scaled-integer arithmetic,
+  * computed with plain Scala Long division), triangle counts against
+  * hand-enumerable graphs, JL projection against the sign formula.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ---- PageRank ----
+
+  /** Independent replay of the pageRankExact recurrence (Map-based,
+    * single-threaded) — any drift between the distributed plan and the
+    * declared arithmetic fails the comparison tests. */
+  private def prRef(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val es = edges.distinct
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val n = nodes.size
+    val od = es.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = es.groupBy(_._2).map { case (dst, in) =>
+        dst -> in.map { case (u, _) => r(u) / od(u) }.sum
+      }
+      val dang = nodes.filterNot(od.contains).map(r).sum
+      r = nodes.map { v =>
+        v -> ((15L * (scale / n)) / 100
+          + (85L * (contrib.getOrElse(v, 0L) + dang / n)) / 100)
+      }.toMap
+    }
+    r
+  }
+
+  private def prRun(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRankExact(edges.toDF("s", "t"), "s", "t", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+  }
+
+  test("pageRankExact matches the reference recurrence (cycle + dangling)") {
+    // 1→2, 1→3, 2→3, 3→1 cycle, plus 2→4 where 4 is dangling
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 4L))
+    for (iters <- Seq(1, 3))
+      assert(prRun(edges, iters) === prRef(edges, iters),
+        s"iters=$iters")
+  }
+
+  test("pageRankExact: star center out-ranks leaves; dedup input edges") {
+    // leaves 2..6 all point at 1 (and 1 points back at 2 so the graph
+    // has non-dangling mass); duplicated edges must collapse
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 1L),
+      (1L, 2L), (2L, 1L), (3L, 1L))
+    val got = prRun(edges, 2)
+    assert(got === prRef(edges, 2))
+    assert(got(1L) > got(3L), s"star center must out-rank a leaf: $got")
+  }
+
+  test("pageRankExact: symmetric graph conserves mass (no dangling leak)") {
+    // undirected triangle as 6 directed edges: no dangling nodes, so
+    // per-iteration loss is only floor-division dust (< N units per term)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = und ++ und.map(_.swap)
+    val got = prRun(edges, 3)
+    assert(got === prRef(edges, 3))
+    val total = got.values.sum
+    assert(total > 999999999000L && total <= 1000000000000L,
+      s"mass after 3 rounds: $total")
+  }
+
+  // ---- Triangle counting ----
+
+  private def triRun(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangleCounts(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangleCounts: single triangle + pendant edge") {
+    val got = triRun(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("triangleCounts: K4 — every node in 3 triangles, direction/dups ignored") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    // feed reversed duplicates and a self-loop; normalization must absorb them
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq((2L, 2L))
+    val got = triRun(noisy)
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: bipartite graph has none") {
+    val got = triRun(Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)))
+    assert(got.values.forall(_ == 0L) && got.size == 4)
+  }
+
+  test("triangleCounts: skewed hub — only closed wedges count") {
+    // hub 1 connects to 2..7; single closing edge (2,3) → exactly one
+    // triangle even though the hub's wedge fan-out is C(6,2)
+    val edges = (2L to 7L).map(v => (1L, v)) :+ (2L, 3L)
+    val got = triRun(edges)
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert((4L to 7L).forall(got(_) == 0L))
+  }
+
+  // ---- JL projection ----
+
+  private def jlSign(i: Int, j: Int, outDims: Int): Long = {
+    val v = (1103515245L * (i * outDims + j) + 12345L) % 2147483648L
+    if ((v / 65536L) % 2L == 0L) 1L else -1L
+  }
+
+  test("jlProject matches the declared sign formula on a hand vector") {
+    import spark.implicits._
+    val df = Seq((7L, Array(1.0f, -0.5f, 0.25f))).toDF("id", "v")
+    val got = Similarity.jlProject(df, "id", "v", outDims = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val xq = Seq(1000000L, -500000L, 250000L)
+    val want = (0 until 4).map { j =>
+      j.toLong -> xq.zipWithIndex.map { case (x, i) =>
+        x * jlSign(i, j, 4) }.sum
+    }.toMap
+    assert(got === want)
+  }
+
+  test("jlProject on real embeddings: exact vs driver-side replay") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
+    val got = Similarity.jlProject(e, "vec_id", "embedding", outDims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = e.select("vec_id", "embedding").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val vec = r.getSeq[Float](1)
+      (0 until 8).foreach { j =>
+        val want = vec.zipWithIndex.map { case (x, i) =>
+          val xq = java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+          xq * jlSign(i, j, 8)
+        }.sum
+        assert(got((id, j.toLong)) === want, s"id=$id j=$j")
+      }
+    }
+  }
+}
