@@ -102,17 +102,24 @@ object Bench {
     // above), and if a future query count pushes the line past 1900 bytes
     // it degrades to the total alone rather than risk a clipped marker.
     // Per-query values carry 2 decimals (10 ms resolution — noise floor is
-    // far above that): at ~14 bytes/query the 3→2 decimal cut buys ~18
-    // queries of headroom before the degradation branch triggers.
+    // far above that). Degradation is TIERED rather than all-or-nothing:
+    // 2 decimals while the line fits, then 1 decimal (~13→12 bytes/query,
+    // buys ~10–15 queries of headroom; 100 ms resolution still ranks the
+    // expensive tail correctly), and only past that the total alone —
+    // per-query visibility in the gate artifact is worth keeping as the
+    // registry grows. Full names + full precision always live in
+    // bench_out.json and the plain line above.
     def r3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    def r2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
-    val compactQs = perQuery.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + r2(v)
-    }.mkString("{", ",", "}")
-    val marker =
-      s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n,"queries":$compactQs}"""
+    def fmt(dec: Int)(d: Double): String =
+      s"%.${dec}f".formatLocal(java.util.Locale.ROOT, d)
+    def markerAt(dec: Int): String = {
+      val qs = perQuery.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + fmt(dec)(v)
+      }.mkString("{", ",", "}")
+      s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n,"queries":$qs}"""
+    }
     println(
-      if (marker.length <= 1900) marker
-      else s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n}""")
+      Seq(markerAt(2), markerAt(1)).find(_.length <= 1900).getOrElse(
+        s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n}"""))
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -20,17 +20,23 @@ object Tables {
   val all: Seq[String] = star ++ aux
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    // rejects. Read nanos as long and rescale to micros (the values are
-    // micro-aligned; DuckDB — the oracle — does the same ns→us read).
+    // The driver's events.parquet has carried two timestamp encodings across
+    // rounds; normalize both to TIMESTAMP (instant) so downstream epoch
+    // arithmetic (`unix_micros`) is type-stable:
+    //  - TIMESTAMP(NANOS): Spark's reader rejects it — read nanos as long
+    //    and rescale (`div` truncates exactly like DuckDB's ns→us read;
+    //    `/` on longs is double division and loses precision at 10^18).
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads NTZ; cast to
+    //    TIMESTAMP under the UTC session zone — bit-identical micros, and
+    //    the same values DuckDB (naive timestamps throughout) computes on.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
-        // integer division: `/` on longs is double division and loses
-        // precision at 10^18 nanos — `div` truncates exactly like DuckDB.
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 
