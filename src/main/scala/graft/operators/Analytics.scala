@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [NS] Corpus-operations analytics: single-pass column profiling, an
+  * exact distributed 2-D skyline (Pareto frontier), and a relational
+  * Count-Min frequency sketch.
+  *
+  * Scale stance (100 TB): profiling is ONE aggregate pass whose state is
+  * a few scalars per column; the skyline avoids the classic global sort
+  * with a two-level suffix-scan (per-bucket windows + a broadcastable
+  * bucket summary); the CMS is a bounded d×w relation built by one
+  * map-side-combining groupBy — corpus shards union by summing cells.
+  */
+object Analytics {
+
+  /** Per-column stats in long format — the first query run against any
+    * new 100 TB table: (col_name, n_rows, n_nonnull, n_distinct, min_str,
+    * max_str, total_len). One aggregate pass over the input; the only
+    * caveat is `exact = true` COUNT(DISTINCT x) per column, which Spark
+    * plans via Expand (input ×(cols+1)). That is the oracle-matching
+    * mode; at scale pass `exact = false` for HLL `approx_count_distinct`
+    * — same single pass, no Expand, ±2% cardinalities.
+    *
+    * min/max are taken over the STRING rendering (cast first, then
+    * aggregate) so the long format is type-stable across heterogeneous
+    * columns; for non-numeric-string renderings that ordering is
+    * lexicographic, which the oracle mirrors by casting the same way. */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"nd_$c"),
+        min(s).as(s"mn_$c"),
+        max(s).as(s"mx_$c"),
+        coalesce(sum(length(s)), lit(0L)).as(s"tl_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', n_rows, nn_$c, nd_$c, mn_$c, mx_$c, tl_$c").mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+      "(col_name, n_rows, n_nonnull, n_distinct, min_str, max_str, total_len)")
+  }
+
+  /** Exact 2-D skyline (Pareto frontier), both dimensions maximized: the
+    * (x, max-y-at-x) vertices not dominated by any point with strictly
+    * greater x. Dominance: q dominates p iff q ≥ p in both dims and > in
+    * at least one.
+    *
+    * Shape: (1) per-x max-y — one shuffle on x; (2) a DISTRIBUTED suffix
+    * max over strictly-greater x, computed as per-bucket window partials
+    * (`floor(x / bucketWidth)` partitions the window) plus a bucket-level
+    * summary that is tiny (domain/bucketWidth rows) and broadcast back.
+    * No global single-partition sort anywhere — the classic windowed
+    * skyline formulation collapses to one reducer; this one scales with
+    * the x-domain. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+      bucketWidth: Long = 256L): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be positive")
+    val x = col(xCol)
+    val g = df.na.drop(Seq(xCol, yCol)).groupBy(x).agg(max(col(yCol)).as(yCol))
+    val b = g.withColumn("_bkt", floor(x.cast("double") / bucketWidth))
+    // strictly-higher-bucket suffix max: window over the tiny summary only
+    val wb = Window.orderBy(col("_bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bsuf = b.groupBy(col("_bkt")).agg(max(col(yCol)).as("_by"))
+      .withColumn("_hi", max(col("_by")).over(wb))
+      .select(col("_bkt"), col("_hi"))
+    // within-bucket suffix max over strictly greater x
+    val wx = Window.partitionBy(col("_bkt")).orderBy(x.desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    b.join(broadcast(bsuf), Seq("_bkt"))
+      .withColumn("_wm", max(col(yCol)).over(wx))
+      .where((col("_wm").isNull || col(yCol) > col("_wm")) &&
+             (col("_hi").isNull || col(yCol) > col("_hi")))
+      .select(x, col(yCol))
+  }
+
+  /** Cell index of CMS hash row `h` for key `k`: the first 8 hex chars of
+    * md5("h:k") mod `width` — deterministic and replayable in any engine
+    * with md5 (the oracle uses the identical arithmetic), non-negative
+    * (< 2^32 before the mod). */
+  def cmsCell(h: Column, k: Column, width: Int): Column =
+    conv(substring(md5(concat(h.cast("string"), lit(":"), k.cast("string"))),
+      1, 8), 16, 10).cast("long") % width
+
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005) as a
+    * RELATION: d×w cells, (h, cell, cnt). Build is one explode(×depth)
+    * and one groupBy on a key space bounded by d·w — partial aggregation
+    * combines map-side, so the shuffle carries at most d·w rows per task
+    * regardless of input size. Sketches of corpus shards merge by
+    * summing cells (the relational union-groupBy), which is what makes
+    * this the 100 TB running-frequency shape; point estimates read d
+    * rows per key from a broadcast of the sketch. */
+  def cmsSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS geometry $depth×$width")
+    df.select(col(keyCol).as("k"))
+      .select(col("k"),
+        explode(array((0 until depth).map(lit): _*)).as("h"))
+      .withColumn("cell", cmsCell(col("h"), col("k"), width))
+      .groupBy(col("h"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (any DataFrame with `keyCol`): the CMS
+    * guarantee est ≥ true, est ≤ true + εN w.h.p. The sketch side is
+    * ≤ d·w rows → broadcast; one row per (probe, h) then a min-agg. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val p = probes
+      .withColumn("_h", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("_cell", cmsCell(col("_h"), col(keyCol), width))
+    val grp = probes.columns.map(col)
+    p.join(broadcast(sketch),
+        p("_h") === sketch("h") && p("_cell") === sketch("cell"), "left")
+      .groupBy(grp: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

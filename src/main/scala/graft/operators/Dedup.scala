@@ -637,4 +637,39 @@ object Dedup {
     ranked.filter(col("_rn") === 1)
       .select(df.columns.map(col).toIndexedSeq :+ col("n_dups"): _*)
   }
+
+  /** Blocked fuzzy-match join (the entity-resolution primitive): pairs of
+    * rows in the SAME block whose texts are within `maxDist` edits.
+    * Blocking keys (e.g. language + a length band) bound the candidate
+    * set — the declared contract is "matches within a block", which is
+    * what makes the operator linear-ish at 100 TB: the self-join is an
+    * equi-join on the block key, never a cross product, and skewed
+    * blocks split under AQE like any other equi-join.
+    *
+    * Two cheap gates run before the O(len²) edit distance: the length
+    * band |len(a) − len(b)| ≤ maxDist (an edit can change length by at
+    * most 1 — codegen'd integer compare), then Spark's THRESHOLDED
+    * levenshtein (banded DP, O(len·maxDist), returns −1 past the bound)
+    * so the full DP matrix is never materialized for far pairs.
+    *
+    * Returns (doc_a, doc_b, dist), doc_a < doc_b. */
+  def blockedFuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[Column], maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val blocks = blockCols.zipWithIndex.map { case (c, i) => c.as(s"_blk$i") }
+    val keys = blocks.indices.map(i => s"_blk$i")
+    val side = df.select(col(idCol).as("_id") +: col(textCol).as("_txt")
+      +: blocks: _*)
+    val a = side.select(col("_id").as("doc_a") +: col("_txt").as("_ta")
+      +: keys.map(col): _*)
+    val b = side.select(col("_id").as("doc_b") +: col("_txt").as("_tb")
+      +: keys.map(col): _*)
+    a.join(b, keys)
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("_ta"), col("_tb"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
 }

@@ -190,4 +190,61 @@ object Graph {
       oriented.unpersist(blocking = false)
     }
   }
+
+  /** Bounded k-core peel (Seidman 1983; Batagelj–Zaveršnik peeling): drop
+    * every node of degree < k, recompute degrees, repeat — `maxRounds`
+    * times or until fixpoint, whichever first. The k-core is the dense
+    * backbone of a near-dup candidate graph: a doc in the 3-core sits in
+    * a mutually-connected cluster (dedup with confidence); degree-k
+    * stragglers hanging off it peel away round by round.
+    *
+    * BOUNDED-ROUND SEMANTICS, deliberately: the result after exactly R
+    * rounds is deterministic whether or not the peel has converged, so an
+    * oracle that unrolls R rounds matches bit-for-bit on any input —
+    * and once a round removes nothing the set is the true k-core and
+    * further rounds are identities, so early-stop changes nothing.
+    * (Contrast data-dependent "loop to convergence", which an unrolled
+    * oracle can only match on inputs that happen to converge in time.)
+    *
+    * Shape per round: one groupBy(degree) shuffle + two semi-joins to
+    * restrict the edge list — the [[Dedup.connectedComponents]] fixpoint
+    * conventions (localCheckpoint per round to truncate lineage, one
+    * driver-side count per round as the stop probe, peeled edge set
+    * shrinks monotonically so rounds get cheaper).
+    *
+    * Returns (node, deg): round-R survivors with the qualifying degree
+    * (their degree inside the round-R subgraph).
+    */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).as("_a"),
+        greatest(col(aCol), col(bCol)).as("_b"))
+      .filter(col("_a") < col("_b"))
+      .distinct()
+    var edges = und.select(col("_a").as("_u"), col("_b").as("_v"))
+      .union(und.select(col("_b").as("_u"), col("_a").as("_v")))
+      .localCheckpoint(true)
+    var survivors: DataFrame = null
+    var prevNodes = -1L
+    var r = 0
+    while (r < maxRounds && prevNodes != 0) {
+      r += 1
+      val deg = edges.groupBy(col("_u")).agg(count(lit(1)).as("_d"))
+      val keep = deg.filter(col("_d") >= k).localCheckpoint(true)
+      survivors = keep
+      val n = keep.count()
+      if (n == prevNodes) prevNodes = 0 // fixpoint: rounds are identities now
+      else if (r < maxRounds) {
+        prevNodes = n
+        edges = edges
+          .join(keep.select(col("_u")), Seq("_u"), "left_semi")
+          .join(keep.select(col("_u").as("_v")), Seq("_v"), "left_semi")
+          .localCheckpoint(true)
+      }
+    }
+    survivors.select(col("_u").as("node"), col("_d").as("deg"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** [NS] Multi-dimensional data layout — Z-order (Morton) keys.
@@ -40,4 +40,42 @@ object Layout {
   /** The two-dimension form (the common custkey × date case). */
   def zorder2(x: Column, y: Column, bits: Int = 16): Column =
     zorder(Seq(x, y), bits)
+
+  /** Compaction plan: pack each partition's files, in name order, into
+    * sequential bins of ~`targetBytes` (the small-files problem — a
+    * 100 TB table accreted by streaming ingest ends up with millions of
+    * KB-scale files, and every one costs a task + a NameNode/listing
+    * entry; compaction rewrites them into target-sized files).
+    *
+    * This operator PLANS over file METADATA (1 row per file — at 100 TB
+    * with 512 MB targets that is ~200k rows, trivially window-able), it
+    * does not move bytes. Bin rule: a file opens a new bin when the
+    * bytes before it (exclusive prefix sum, per partition, in file-name
+    * order) cross the next multiple of `targetBytes` — the greedy
+    * streaming rule every table format's compactor (Iceberg/Delta
+    * binpack) uses; deterministic, order-stable, and expressible as one
+    * window + one groupBy in any engine, so an oracle can replay it.
+    * The window partitions by the table partition: compaction never
+    * merges across partitions (it would break pruning), which is also
+    * exactly what keeps the plan shuffle-bounded.
+    *
+    * Returns one row per (partition, bin): file count, total bytes, and
+    * the first/last file names (the compactor's input manifest). */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(fileCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    files
+      .withColumn("_cum", sum(col(bytesCol)).over(w))
+      .withColumn("bin",
+        floor((col("_cum") - col(bytesCol)) / lit(targetBytes)).cast("long"))
+      .groupBy(col(partCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).as("bin_bytes"),
+        min(col(fileCol)).as("first_file"),
+        max(col(fileCol)).as("last_file"))
+  }
 }

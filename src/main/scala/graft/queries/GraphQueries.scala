@@ -123,6 +123,39 @@ object GraphQueries {
       ORDER BY pr DESC, term LIMIT 20"""),
     doc = "[NS] TextRank keywords (PageRank on token co-occurrence graph)")
 
+  /** Shared oracle prefix: the contracted SimHash near-dup candidate
+    * graph as CTE `e0(a, b)` — distinct doc-id pairs whose 64-bit
+    * SimHash signatures differ in ≤ 3 bits, with identical signatures
+    * contracted to their min-doc_id representative first (mirrors
+    * `Dedup.simhash64` → `hammingPairs64` exactly; also defines
+    * `bucket(sig, sig_id, n_docs)` for callers that need support). */
+  private val simhashE0Ctes: String = """words AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents),
+      bits AS (
+        SELECT doc_id, j,
+          CASE WHEN (strpos('0123456789abcdef', h[(j // 4) + 1]) - 1)
+            // CAST(pow(2, 3 - (j % 4)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1
+            END AS wgt
+        FROM (SELECT doc_id, md5(w) AS h FROM words),
+          unnest(range(0, 64)) AS t(j)),
+      sums AS (SELECT doc_id, j, sum(wgt) AS s FROM bits
+        GROUP BY doc_id, j),
+      sigstr AS (SELECT doc_id,
+          string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+            ORDER BY j) AS sig
+        FROM sums GROUP BY doc_id),
+      bucket AS (SELECT sig, min(doc_id) AS sig_id,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM sigstr GROUP BY sig),
+      rsums AS (SELECT s.doc_id, s.j, s.s
+        FROM sums s JOIN bucket k ON k.sig_id = s.doc_id),
+      e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
+        FROM rsums a JOIN rsums b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 END) <= 3)"""
+
   /** [NS] — triangle counts over the CONTRACTED SimHash near-dup graph:
     * identical 64-bit signatures collapse to one weighted node
     * (sig_id = min doc_id, n_docs = support) BEFORE the Hamming band
@@ -152,32 +185,7 @@ object GraphQueries {
         .orderBy($"n_tri".desc, $"node")
         .limit(20)
     },
-    Some("""WITH words AS (
-        SELECT DISTINCT doc_id,
-          unnest(list_distinct(string_split(text, ' '))) AS w
-        FROM documents),
-      bits AS (
-        SELECT doc_id, j,
-          CASE WHEN (strpos('0123456789abcdef', h[(j // 4) + 1]) - 1)
-            // CAST(pow(2, 3 - (j % 4)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1
-            END AS wgt
-        FROM (SELECT doc_id, md5(w) AS h FROM words),
-          unnest(range(0, 64)) AS t(j)),
-      sums AS (SELECT doc_id, j, sum(wgt) AS s FROM bits
-        GROUP BY doc_id, j),
-      sigstr AS (SELECT doc_id,
-          string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
-            ORDER BY j) AS sig
-        FROM sums GROUP BY doc_id),
-      bucket AS (SELECT sig, min(doc_id) AS sig_id,
-          CAST(count(*) AS BIGINT) AS n_docs
-        FROM sigstr GROUP BY sig),
-      rsums AS (SELECT s.doc_id, s.j, s.s
-        FROM sums s JOIN bucket k ON k.sig_id = s.doc_id),
-      e0 AS (SELECT a.doc_id AS a, b.doc_id AS b
-        FROM rsums a JOIN rsums b ON a.j = b.j AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-        HAVING count(CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 END) <= 3),
+    Some(s"""WITH $simhashE0Ctes,
       deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
           SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
         GROUP BY n),
@@ -203,5 +211,57 @@ object GraphQueries {
       ORDER BY n_tri DESC, node LIMIT 20"""),
     doc = "[NS] triangle counts on the contracted SimHash graph (near-dup clique audit)")
 
-  val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank)
+  /** Unrolled bounded k-core peel: expects `e0(a, b)` in scope; defines
+    * sym0..symR / k1..kR mirroring [[Graph.kCore]] round for round
+    * (degree over the current symmetric edge list, keep deg ≥ k,
+    * restrict edges to kept endpoints). Bounded-round semantics make
+    * the unrolled form exact on ANY input — see the operator scaladoc. */
+  private def kCorePeelCtes(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED is load-bearing: each round references the previous
+    // one ~3× (degree, keep, restrict), and DuckDB inlines un-hinted CTEs
+    // — 6 rounds of 3× expansion re-evaluates the SimHash e0 join ~3^6
+    // times (measured: 2.4× slower per added round; materialized, 0.2 s
+    // total). The relational twin of Graph.kCore's per-round
+    // localCheckpoint.
+    val base = """sym0 AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+        UNION ALL SELECT b, a FROM e0)"""
+    val its = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d
+        FROM sym${i - 1} GROUP BY u),
+      k$i AS MATERIALIZED (SELECT u, d FROM d$i WHERE d >= $k),
+      sym$i AS MATERIALIZED (SELECT s.u, s.v FROM sym${i - 1} s
+        JOIN k$i x ON x.u = s.u JOIN k$i y ON y.u = s.v)"""
+    }.mkString(",\n      ")
+    base + ",\n      " + its
+  }
+
+  /** [NS] — 3-core of the SimHash near-dup candidate graph: peel nodes
+    * with fewer than 3 near-dup neighbors until the dense backbone is
+    * left (6 bounded rounds; the sf0.01 fixture converges in 4 —
+    * 51→44→38→37 survivors). The k-core is the dedup auditor's
+    * "cluster confidence" signal: a doc inside the 3-core is mutually
+    * similar to ≥3 docs that are themselves in dense neighborhoods
+    * (dedup aggressively); a doc that peels away in round 1 was
+    * connected only to stragglers (inspect before deleting). Scale per
+    * round: one degree groupBy + two semi-joins, edge set shrinks
+    * monotonically. */
+  val q138Kcore = Q(
+    "q138_kcore",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Dedup.simhash64(
+          Tables.documents(s, d), "doc_id", "text")
+        .groupBy($"simhash64").agg(min($"doc_id").as("sig_id"))
+      val pairs = Dedup.hammingPairs64(
+        sigs.select($"sig_id", $"simhash64"), "sig_id", "simhash64",
+        maxDist = 3)
+      Graph.kCore(pairs, "doc_a", "doc_b", k = 3, maxRounds = 6)
+        .orderBy($"node")
+    },
+    Some(s"""WITH $simhashE0Ctes,
+      ${kCorePeelCtes(k = 3, rounds = 6)}
+      SELECT u AS node, d AS deg FROM k6 ORDER BY node"""),
+    doc = "[NS] bounded k-core peel of the near-dup graph (dense-backbone audit)")
+
+  val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank, q138Kcore)
 }

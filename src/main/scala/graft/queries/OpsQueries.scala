@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Analytics, Layout}
+
+/** [NS] Corpus-operations queries — the table-management side of running
+  * a 100 TB corpus: profile it (q134), track running term frequencies in
+  * a bounded sketch (q135), find its quality/size Pareto frontier (q136),
+  * and plan small-file compaction (q137). All-integer outputs, so every
+  * oracle hash-matches bit-for-bit.
+  */
+object OpsQueries {
+
+  /** [NS] — single-pass column profiling: the first query anyone runs
+    * against a new table. One aggregate over all five document columns
+    * (exact COUNT(DISTINCT) for the oracle; `exact = false` swaps in HLL
+    * for the 100 TB pass), unpivoted to long format. */
+  val q134Profile = Q(
+    "q134_profile",
+    (s, d) => {
+      import s.implicits._
+      Analytics.columnProfile(Tables.documents(s, d),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy($"col_name")
+    },
+    Some {
+      val one = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count($c) AS BIGINT) AS n_nonnull,
+          CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          min(CAST($c AS VARCHAR)) AS min_str,
+          max(CAST($c AS VARCHAR)) AS max_str,
+          CAST(coalesce(sum(length(CAST($c AS VARCHAR))), 0) AS BIGINT)
+            AS total_len
+        FROM documents"""
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$one\n) ORDER BY col_name"
+    },
+    doc = "[NS] one-pass column profiling (long-format stats)")
+
+  /** [NS] — Count-Min sketch over the corpus token stream: d=4 rows ×
+    * w=16 cells (deliberately narrower than the vocabulary so hash
+    * collisions actually over-count — the estimates stay exact-integer
+    * and both engines replay the identical md5 cell arithmetic). Probes
+    * are the true top-20 terms; `overcount = est - true_cnt >= 0` is the
+    * CMS guarantee, visible per term. */
+  val q135Cms = Q(
+    "q135_cms_freq",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("k"))
+      val tf = toks.groupBy($"k").agg(count(lit(1)).as("true_cnt"))
+      val probes = tf.orderBy($"true_cnt".desc, $"k").limit(20)
+      Analytics.cmsEstimate(Analytics.cmsSketch(toks, "k", 4, 16),
+          probes, "k", 4, 16)
+        .withColumn("overcount", $"est" - $"true_cnt")
+        .select($"k".as("term"), $"true_cnt", $"est", $"overcount")
+        .orderBy($"term")
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS k
+        FROM documents),
+      tf AS (SELECT k, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM toks GROUP BY k),
+      probes AS (SELECT k, true_cnt FROM tf
+        ORDER BY true_cnt DESC, k LIMIT 20),
+      hs AS (SELECT unnest(range(4)) AS h),
+      sketch AS (SELECT h, CAST('0x' || substr(md5(h::VARCHAR || ':' || k),
+            1, 8) AS BIGINT) % 16 AS cell, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks CROSS JOIN hs GROUP BY 1, 2),
+      pc AS (SELECT p.k, p.true_cnt, hs.h,
+          CAST('0x' || substr(md5(hs.h::VARCHAR || ':' || p.k), 1, 8)
+            AS BIGINT) % 16 AS cell
+        FROM probes p CROSS JOIN hs)
+      SELECT pc.k AS term, pc.true_cnt,
+        min(coalesce(s.cnt, 0)) AS est,
+        min(coalesce(s.cnt, 0)) - pc.true_cnt AS overcount
+      FROM pc LEFT JOIN sketch s ON s.h = pc.h AND s.cell = pc.cell
+      GROUP BY pc.k, pc.true_cnt
+      ORDER BY term"""),
+    doc = "[NS] Count-Min sketch term frequencies (bounded d×w relation)")
+
+  /** [NS] — 2-D skyline: the (n_chars, distinct-term) Pareto frontier of
+    * the corpus — docs not dominated in BOTH length and vocabulary
+    * richness by any other doc. The distributed suffix-scan formulation
+    * (per-bucket windows + broadcast bucket summary, no global sort);
+    * the oracle uses the classic single-window form, which is equivalent
+    * and fine at oracle scale. */
+  val q136Skyline = Q(
+    "q136_skyline",
+    (s, d) => {
+      import s.implicits._
+      val pts = Tables.documents(s, d).select($"n_chars",
+        size(array_distinct(split($"text", " "))).cast("long").as("n_terms"))
+      Analytics.skyline2D(pts, "n_chars", "n_terms", bucketWidth = 64)
+        .orderBy($"n_chars")
+    },
+    Some("""WITH pts AS (SELECT n_chars,
+          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+            AS n_terms
+        FROM documents),
+      g AS (SELECT n_chars, max(n_terms) AS n_terms FROM pts GROUP BY 1),
+      sk AS (SELECT n_chars, n_terms,
+          max(n_terms) OVER (ORDER BY n_chars DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m
+        FROM g)
+      SELECT n_chars, n_terms FROM sk WHERE m IS NULL OR n_terms > m
+      ORDER BY n_chars"""),
+    doc = "[NS] 2-D Pareto skyline (distributed suffix-scan, no global sort)")
+
+  /** [NS] — small-file compaction plan: pseudo-files (source × doc-id
+    * slot, bytes = summed n_chars) packed into ~2500-byte bins per
+    * source partition by the greedy streaming rule. Metadata-only
+    * planning — the exact Iceberg/Delta binpack shape. */
+  val q137Compaction = Q(
+    "q137_compaction",
+    (s, d) => {
+      import s.implicits._
+      val files = Tables.documents(s, d)
+        .groupBy($"source", ($"doc_id" % 8).as("slot"))
+        .agg(sum($"n_chars").as("bytes"))
+        .select($"source",
+          concat(lit("f"), lpad($"slot".cast("string"), 4, "0")).as("file"),
+          $"bytes")
+      Layout.compactionPlan(files, "source", "file", "bytes", 2500L)
+        .orderBy($"source", $"bin")
+    },
+    Some("""WITH files AS (SELECT source,
+          'f' || lpad(CAST(doc_id % 8 AS VARCHAR), 4, '0') AS file,
+          CAST(sum(n_chars) AS BIGINT) AS bytes
+        FROM documents GROUP BY 1, 2),
+      c AS (SELECT source, file, bytes,
+          sum(bytes) OVER (PARTITION BY source ORDER BY file
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM files)
+      SELECT source, CAST(floor((cum - bytes) / 2500) AS BIGINT) AS bin,
+        CAST(count(*) AS BIGINT) AS n_files,
+        CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        min(file) AS first_file, max(file) AS last_file
+      FROM c GROUP BY 1, 2
+      ORDER BY source, bin"""),
+    doc = "[NS] small-file compaction planner (per-partition greedy binpack)")
+
+  val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction)
+}

@@ -50,7 +50,7 @@ object Registry {
   lazy val all: Seq[Q] =
     StarQueries.all ++ EventQueries.all ++ DocQueries.all ++
       EmbeddingQueries.all ++ YarkQueries.all ++ ExtraQueries.all ++
-      CurationQueries.all ++ GraphQueries.all
+      CurationQueries.all ++ GraphQueries.all ++ OpsQueries.all
 
   lazy val byName: Map[String, Q] = {
     val m = all.map(q => q.name -> q).toMap

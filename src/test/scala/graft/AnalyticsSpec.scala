@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/** Corpus-ops analytics: profiling stats against hand counts, the
+  * distributed skyline against an in-test brute-force dominance filter,
+  * and the CMS guarantee (est ≥ true) plus its cell-sum merge law.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ---- columnProfile ----
+
+  test("columnProfile: exact stats over a fixture with nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("aa")), (Some(2L), None),
+      (Some(2L), Some("bbbb")), (None, Some("aa"))
+    ).toDF("id", "s")
+    val got = Analytics.columnProfile(df, Seq("id", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = got("id")
+    assert(id.getLong(1) === 4L)           // n_rows
+    assert(id.getLong(2) === 3L)           // n_nonnull
+    assert(id.getLong(3) === 2L)           // n_distinct
+    assert(id.getString(4) === "1" && id.getString(5) === "2")
+    assert(id.getLong(6) === 3L)           // "1","2","2"
+    val s = got("s")
+    assert(s.getLong(2) === 3L && s.getLong(3) === 2L)
+    assert(s.getString(4) === "aa" && s.getString(5) === "bbbb")
+    assert(s.getLong(6) === 8L)            // 2+4+2
+  }
+
+  test("columnProfile: approx mode still counts rows/nulls exactly") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"v${i % 7}")).toDF("id", "s")
+    val got = Analytics.columnProfile(df, Seq("id", "s"), exact = false)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("id").getLong(1) === 100L && got("id").getLong(2) === 100L)
+    // HLL cardinality is approximate but must be sane at this scale
+    assert(math.abs(got("s").getLong(3) - 7L) <= 1L)
+  }
+
+  // ---- skyline2D ----
+
+  private def bruteSkyline(pts: Seq[(Long, Long)]): Set[(Long, Long)] = {
+    // per-x max-y vertices not dominated (>= both dims, > in one)
+    val g = pts.groupBy(_._1).map { case (x, v) => (x, v.map(_._2).max) }.toSeq
+    g.filter { case (x, y) =>
+      !g.exists { case (qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y)
+      }
+    }.toSet
+  }
+
+  test("skyline2D equals brute-force dominance on an adversarial fixture") {
+    import spark.implicits._
+    // duplicates, x-ties with different y, equal-y chains, and points
+    // straddling the bucketWidth=4 boundaries
+    val pts = Seq[(Long, Long)](
+      (1, 9), (1, 9), (1, 2), (2, 9), (3, 8), (4, 8), (5, 7), (5, 9),
+      (7, 5), (8, 5), (9, 4), (12, 3), (13, 3), (16, 1), (17, 1), (20, 0))
+    val got = Analytics.skyline2D(pts.toDF("x", "y"), "x", "y", 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === bruteSkyline(pts))
+  }
+
+  test("skyline2D: bucketWidth does not change the result") {
+    import spark.implicits._
+    val pts = (1 to 200).map(i =>
+      ((i * 37 % 101).toLong, (i * 53 % 89).toLong))
+    val expect = bruteSkyline(pts)
+    for (w <- Seq(1L, 7L, 64L, 1000L)) {
+      val got = Analytics.skyline2D(pts.toDF("x", "y"), "x", "y", w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expect, s"bucketWidth=$w")
+    }
+  }
+
+  // ---- Count-Min sketch ----
+
+  test("cmsEstimate never under-counts, and is exact for isolated keys") {
+    import spark.implicits._
+    val keys = (Seq.fill(50)("hot") ++ (1 to 40).map(i => s"k$i"))
+      .toDF("k")
+    val truth = Seq(("hot", 50L)) ++ (1 to 40).map(i => (s"k$i", 1L))
+    val sketch = Analytics.cmsSketch(keys, "k", depth = 4, width = 8)
+    val probes = truth.toDF("k", "true_cnt")
+    val est = Analytics.cmsEstimate(sketch, probes, "k", 4, 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+    est.foreach { case (k, (t, e)) =>
+      assert(e >= t, s"CMS under-counted $k: est $e < true $t")
+    }
+    // total mass bound: est(k) <= true(k) + sum of all other counts
+    val n = truth.map(_._2).sum
+    est.foreach { case (k, (t, e)) =>
+      assert(e <= n, s"est($k)=$e exceeds stream size $n")
+    }
+  }
+
+  test("cmsSketch merges by summing cells (shard-and-union law)") {
+    import spark.implicits._
+    val a = (1 to 60).map(i => s"t${i % 9}").toDF("k")
+    val b = (1 to 40).map(i => s"t${i % 5}").toDF("k")
+    val whole = Analytics.cmsSketch(a.union(b), "k", 4, 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = Analytics.cmsSketch(a, "k", 4, 8)
+      .union(Analytics.cmsSketch(b, "k", 4, 8))
+      .groupBy(col("h"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(whole === merged)
+  }
+}

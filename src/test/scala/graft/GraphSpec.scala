@@ -147,4 +147,34 @@ class GraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- bounded k-core peel ----
+
+  private def kcoreRun(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.kCore(edges.toDF("a", "b"), "a", "b", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore peels a tail off a clique round by round") {
+    // K4 on 1..4 plus a path 4-5-6: 5 and 6 never reach degree 2 core?
+    // deg(5)=2 (4,6), deg(6)=1. Round 1 drops 6; round 2 drops 5 (deg 1
+    // after losing 6); K4 survives with degree 3 each.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tail = Seq((4L, 5L), (5L, 6L))
+    val edges = k4 ++ tail
+    assert(kcoreRun(edges, k = 2, rounds = 8) ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // bounded-round semantics: after exactly ONE round only 6 is gone,
+    // 5 still qualifies (its degree was 2 before 6 peeled)
+    assert(kcoreRun(edges, k = 2, rounds = 1).keySet ===
+      Set(1L, 2L, 3L, 4L, 5L))
+    // 4-core of K4 is empty (max degree 3); peel must terminate empty
+    assert(kcoreRun(k4, k = 4, rounds = 8) === Map.empty[Long, Long])
+    // direction/duplicate normalization: reversed + repeated edges
+    val messy = edges ++ edges.map { case (a, b) => (b, a) }
+    assert(kcoreRun(messy, k = 2, rounds = 8) ===
+      kcoreRun(edges, k = 2, rounds = 8))
+  }
 }

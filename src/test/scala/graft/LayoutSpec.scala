@@ -42,4 +42,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(refZ(x0 + (1 << k), y0, 16) >> (2 * k) !== prefix)
     assert(refZ(x0, y0 + (1 << k), 16) >> (2 * k) !== prefix)
   }
+
+  test("compactionPlan: greedy per-partition binpack covers every file " +
+      "exactly once, in order, never crossing partitions") {
+    import spark.implicits._
+    val files = Seq(
+      // partition p1: 100+100+100 | 250 | 40 → bins 0,1,2 at target 250
+      ("p1", "a", 100L), ("p1", "b", 100L), ("p1", "c", 100L),
+      ("p1", "d", 250L), ("p1", "e", 40L),
+      // p2: one oversized file occupies bins alone
+      ("p2", "a", 900L), ("p2", "b", 10L))
+      .toDF("part", "file", "bytes")
+    val got = Layout.compactionPlan(files, "part", "file", "bytes", 250L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got(("p1", 0L)) === ((3L, 300L, "a", "c"))) // cum crosses 250 at c
+    assert(got(("p1", 1L)) === ((1L, 250L, "d", "d"))) // d opens past 250
+    assert(got(("p1", 2L)) === ((1L, 40L, "e", "e")))  // e's prefix 550 → bin 2
+    assert(got(("p2", 0L)) === ((1L, 900L, "a", "a")))
+    assert(got(("p2", 3L)) === ((1L, 10L, "b", "b"))) // 900 div 250 = bin 3
+    // conservation: every byte and file lands in exactly one bin
+    assert(got.values.map(_._1).sum === files.count())
+    assert(got.values.map(_._2).sum ===
+      files.agg(sum($"bytes")).collect()(0).getLong(0))
+  }
 }
