@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [NS] Incremental aggregate materialized view — the summary-table
+  * lifecycle: build partial-aggregate state once, fold CDC deltas in
+  * (inserts AND retractions), serve from stored state. The q107/q127
+  * train-once/serve-many move applied to GROUP BY: at 100 TB the daily
+  * summary refresh must cost O(delta + state), never O(history).
+  *
+  * State is the classic commutative-monoid pair per group key:
+  * (cnt, vsum) with the measure pre-scaled to an exact integer (the
+  * `QueryDsl.exactSum` stance) — so state ⊕ delta is a plain union +
+  * groupBy-sum, partials combine map-side, and a retraction is just a
+  * −1/−value row (Blakeley et al. 1986 view maintenance; the multiset
+  * Σ-delta rule). Groups whose count reaches zero leave the state,
+  * which is what keeps `build ∘ mergeCdc ≡ build` on the net input —
+  * twin-certified by the q139 oracle recomputing from scratch.
+  *
+  * Storage mirrors [[TextIndex]]'s versioned-generation protocol
+  * (gen=N dirs + an atomically-advanced pointer): a merge writes the
+  * NEXT generation and flips the pointer, so concurrent readers see
+  * old state or new, never a torn mix, and a replayed merge epoch can
+  * be fenced by tag ([[TextIndex.withFingerprint]]).
+  */
+object AggView {
+
+  private def genDir(dir: String, gen: Long) = s"$dir/gen=$gen"
+  private def pointerPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_current")
+
+  /** Current generation from the pointer file; -1 if none. */
+  def currentGen(dir: String): Long = {
+    val p = pointerPath(dir)
+    if (!java.nio.file.Files.exists(p)) -1L
+    else java.nio.file.Files.readString(p).trim.toLong
+  }
+
+  private def advance(dir: String, gen: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, s"_current.tmp.$gen")
+    Files.writeString(tmp, gen.toString)
+    Files.move(tmp, pointerPath(dir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Same per-corpus location contract as [[TextIndex.defaultDir]]. */
+  def defaultDir(tag: String): String =
+    "/tmp/graft_agg_view/" + tag.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Group `df` to (keys..., cnt, vsum) partials — the view's monoid. */
+  def partials(df: DataFrame, keyCols: Seq[String],
+      valueScaled: Column): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(valueScaled).as("vsum"))
+
+  private def writeGen(state: DataFrame, dir: String, gen: Long,
+      keyCols: Seq[String]): Unit =
+    state.repartitionByRange(keyCols.map(col): _*)
+      .write.mode("overwrite").parquet(genDir(dir, gen))
+
+  /** One base pass → generation 0. */
+  def build(df: DataFrame, keyCols: Seq[String], valueScaled: Column,
+      dir: String): Unit = {
+    writeGen(partials(df, keyCols, valueScaled), dir, 0L, keyCols)
+    advance(dir, 0L)
+  }
+
+  /** Fold a CDC delta into the stored state: `opCol` is 'I' (insert) or
+    * 'D' (retract a previously-inserted row); anything else — including
+    * NULL — raises instead of silently dropping (the round-5 ADVICE
+    * null-op lesson). Cost: one groupBy over the DELTA + one groupBy
+    * over (state ∪ delta-partials) — the state is never re-derived from
+    * history. */
+  def mergeCdc(spark: SparkSession, delta: DataFrame, keyCols: Seq[String],
+      valueScaled: Column, opCol: String, dir: String): Unit = {
+    val gen = currentGen(dir)
+    require(gen >= 0, s"no built view at $dir — call build first")
+    val sign = when(col(opCol) === "I", lit(1L))
+      .when(col(opCol) === "D", lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("aggview: bad CDC op (expected I or D): "),
+        coalesce(col(opCol), lit("NULL")))))
+    val dp = delta
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(sign).as("cnt"), sum(sign * valueScaled).as("vsum"))
+    val state = spark.read.parquet(genDir(dir, gen))
+    val merged = state.unionByName(dp)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"))
+      .filter(col("cnt") =!= 0L)
+    writeGen(merged, dir, gen + 1L, keyCols)
+    advance(dir, gen + 1L)
+  }
+
+  /** Read the current generation — the serving plan is a bare scan of
+    * pre-aggregated state (group-key predicates push to the files the
+    * range partitioning laid out). */
+  def serve(spark: SparkSession, dir: String): DataFrame = {
+    val gen = currentGen(dir)
+    require(gen >= 0, s"no built view at $dir")
+    spark.read.parquet(genDir(dir, gen))
+  }
+}

@@ -142,5 +142,73 @@ object OpsQueries {
       ORDER BY source, bin"""),
     doc = "[NS] small-file compaction planner (per-partition greedy binpack)")
 
-  val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction)
+  /** [NS] — incremental aggregate VIEW lifecycle (the q127 move applied
+    * to GROUP BY): build (user, event_type) count/sum state from the
+    * even-id half of events, fold a CDC delta (odd-id rows as inserts,
+    * id%26==0 rows as retractions of base rows), serve from stored
+    * state. The oracle recomputes from scratch over the net input — a
+    * green row proves build ∘ mergeCdc ≡ build (Σ-delta view
+    * maintenance), the refresh that costs O(delta+state) at 100 TB. */
+  val q139MatviewCdc = Q(
+    "q139_matview_cdc",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val scaled = round($"value" * 100.0, 0).cast("long")
+      val keys = Seq("user_id", "event_type")
+      val dir = graft.operators.AggView.defaultDir(d + "_ev")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#base-even+cdc") {
+        graft.operators.AggView.build(
+          ev.filter($"event_id" % 2 === 0), keys, scaled, dir)
+        val delta = ev.filter($"event_id" % 2 === 1)
+            .withColumn("op", lit("I"))
+          .unionByName(ev.filter($"event_id" % 26 === 0)
+            .withColumn("op", lit("D")))
+        graft.operators.AggView.mergeCdc(s, delta, keys, scaled, "op", dir)
+      }
+      graft.operators.AggView.serve(s, dir)
+        .withColumn("avg_value", ($"vsum" / 100.0) / $"cnt")
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""WITH net AS (
+        SELECT user_id, event_type, value FROM events
+        WHERE event_id % 2 = 0 AND event_id % 26 <> 0
+        UNION ALL
+        SELECT user_id, event_type, value FROM events WHERE event_id % 2 = 1),
+      g AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS vsum
+        FROM net GROUP BY 1, 2)
+      SELECT user_id, event_type, cnt, vsum,
+        (vsum / 100.0) / cnt AS avg_value
+      FROM g ORDER BY user_id, event_type"""),
+    doc = "[NS] incremental agg matview: CDC fold == from-scratch (twin-certified)")
+
+  /** [NS] — blocked fuzzy-match join (entity resolution): doc pairs in
+    * the same (lang, length-band) block within 40 edits. The block key
+    * makes the self-join an equi-join (never a cross product); a length
+    * gate and Spark's thresholded banded-DP levenshtein run before any
+    * full distance. DuckDB's levenshtein is the same unit-cost edit
+    * distance, so dist hash-matches exactly. */
+  val q140FuzzyJoin = Q(
+    "q140_fuzzy_join",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Dedup.blockedFuzzyPairs(Tables.documents(s, d),
+          "doc_id", "text",
+          Seq($"lang", expr("n_chars div 32")), maxDist = 40)
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH b AS (SELECT doc_id, text, lang, n_chars // 32 AS band
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        CAST(levenshtein(a.text, b2.text) AS BIGINT) AS dist
+      FROM b a JOIN b b2
+        ON a.lang = b2.lang AND a.band = b2.band AND a.doc_id < b2.doc_id
+      WHERE abs(length(a.text) - length(b2.text)) <= 40
+        AND levenshtein(a.text, b2.text) <= 40
+      ORDER BY doc_a, doc_b"""),
+    doc = "[NS] blocked fuzzy-match join (banded levenshtein, equi-join blocks)")
+
+  val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
+    q139MatviewCdc, q140FuzzyJoin)
 }

@@ -224,4 +224,26 @@ class DedupSpec extends AnyFunSuite {
       10L -> 2L,  // tie on length 8 → lower id
       99L -> 1L)) // singleton survives as its own cluster
   }
+
+  test("blockedFuzzyPairs: matches inside blocks only, exact distances, " +
+      "length gate excludes far pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "abcd", "en"), (2L, "abce", "en"),   // dist 1, same block
+      (3L, "abcd", "fr"),                       // same text, other block
+      (4L, "abcdxx", "en"),                     // dist 2 from 1 within gate
+      (5L, "zzzzzzzzzz", "en"),                 // far: dist > 2
+      (6L, "ab", "en"))                         // len gate: |4-2| = 2 ≤ 2
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.blockedFuzzyPairs(docs, "doc_id", "text",
+        Seq(col("lang")), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      (1L, 2L) -> 1L, (1L, 4L) -> 2L, (1L, 6L) -> 2L,
+      (2L, 6L) -> 2L)) // (2,4) is dist 3: no 'e' in abcdxx, len diff 2
+    // cross-block pair (1,3) absent despite identical text; far pair (5)
+    // absent; the declared contract is matches WITHIN a block
+    assert(!got.contains((1L, 3L)) && !got.keys.exists(_._2 == 5L))
+  }
 }
