@@ -202,6 +202,61 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric CONTAINMENT join: directional pairs (src, dst) with
+    * |grams(src) ∩ grams(dst)| / |grams(src)| ≥ t — "src is nearly
+    * contained in dst". The Jaccard family misses these (a paragraph
+    * quoted inside a 10× longer doc has tiny Jaccard but containment
+    * ≈ 1), and near-inclusion is the training-data leak that matters:
+    * a benchmark prompt pasted into a web page.
+    *
+    * Scale path is the ONE-SIDED prefix filter (the asymmetric member
+    * of the PPJoin family): if |A∩B| ≥ ⌈t·|A|⌉ then at most
+    * |A| − ⌈t·|A|⌉ of A's grams are outside B, so A's
+    * (|A| − ⌈t·|A|⌉ + 1) RAREST grams must hit B — only that prefix of
+    * the src side joins against the full dst postings; dst needs no
+    * prefix because containment does not bound the dst size. Candidates
+    * verify exactly via the sorted-set intersection primitive. Same
+    * df-ordering machinery as [[ngramJaccardPairsPrefixFiltered]]
+    * (repartition on gram + count window, no second exchange).
+    *
+    * Returns (doc_src, doc_dst, shared, containment), src ≠ dst. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minContain: Double = 0.8): DataFrame = {
+    require(minContain > 0 && minContain <= 1, s"bad threshold $minContain")
+    val base = hashedShingleSets(df, idCol, textCol, shingleN)
+      .withColumn("ghs", sort_array(col("ghs")))
+      .localCheckpoint()
+    import org.apache.spark.sql.expressions.Window
+    val tg = base.select(col(idCol), explode(col("ghs")).as("gh"))
+      .repartition(col("gh"))
+    val prefix = tg
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("gh"))))
+        .as("ordered"), count(lit(1)).as("n"))
+      .withColumn("lp",
+        (col("n") - ceil(lit(minContain) * col("n")) + 1).cast("long"))
+      .select(col(idCol).as("doc_src"), col("n").as("ns"),
+        explode(slice(col("ordered"), lit(1), col("lp").cast("int")))
+          .as("pg"))
+      .select(col("doc_src"), col("ns"), col("pg.gh").as("gh"))
+    val cand = prefix
+      .join(tg.select(col(idCol).as("doc_dst"), col("gh")), Seq("gh"))
+      .filter(col("doc_src") =!= col("doc_dst"))
+      .groupBy(col("doc_src"), col("doc_dst"), col("ns"))
+      .agg(count(lit(1)).as("pshared"))
+    cand
+      .join(base.select(col(idCol).as("doc_src"), col("ghs").as("ga")),
+        Seq("doc_src"))
+      .join(base.select(col(idCol).as("doc_dst"), col("ghs").as("gb")),
+        Seq("doc_dst"))
+      .withColumn("shared", graft.functions.VectorExpressions
+        .sortedIntersectSize(col("ga"), col("gb")))
+      .select(col("doc_src"), col("doc_dst"), col("shared"),
+        (col("shared").cast("double") / col("ns")).as("containment"))
+      .filter(col("containment") >= minContain)
+  }
+
   /** D5 closure — connected components over an undirected near-dup pair
     * list by HASH-MIN label propagation: every node starts labeled with
     * itself; each round a node takes the minimum label in its closed

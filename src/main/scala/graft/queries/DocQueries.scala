@@ -1148,6 +1148,32 @@ object DocQueries {
       ORDER BY est_count DESC, token LIMIT 20"""),
     doc = "[NS] Misra-Gries heavy hitters (bounded mergeable frequency sketch)")
 
+  /** [NS] — asymmetric containment join ([[Dedup.containmentPairs]]):
+    * directional near-inclusion |g(src)∩g(dst)|/|g(src)| ≥ 0.8 — the
+    * decontamination relation Jaccard misses (a short doc pasted inside
+    * a long one). Spark side is the one-sided prefix-filtered scale
+    * path; the oracle is the quadratic shared-gram twin (oracle-only,
+    * the q23/q52 convention). Containment is an int/int division →
+    * bit-identical doubles. */
+  val q141Containment = Q(
+    "q141_containment",
+    (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, minContain = 0.8)
+        .orderBy(col("doc_src"), col("doc_dst")),
+    Some(s"""WITH tg AS ($shinglesSql),
+      sz AS (SELECT doc_id, count(*) AS n FROM tg GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
+          CAST(count(*) AS BIGINT) AS shared
+        FROM tg a JOIN tg b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_src, doc_dst, shared,
+        CAST(shared AS DOUBLE) / sz.n AS containment
+      FROM p JOIN sz ON sz.doc_id = doc_src
+      WHERE CAST(shared AS DOUBLE) / sz.n >= 0.8
+      ORDER BY doc_src, doc_dst"""),
+    doc = "[NS] asymmetric containment join (one-sided prefix filter)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -1155,5 +1181,5 @@ object DocQueries {
     q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize,
     q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs,
     q109NearDupGate, q111DedupIncremental, q112DedupIndexGate,
-    q115BloomGate, q116KeepBest, q119HeavyHitters)
+    q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment)
 }

@@ -246,4 +246,21 @@ class DedupSpec extends AnyFunSuite {
     // absent; the declared contract is matches WITHIN a block
     assert(!got.contains((1L, 3L)) && !got.keys.exists(_._2 == 5L))
   }
+
+  test("containmentPairs: directional — the quoted doc scores 1.0 toward " +
+      "its host, the host scores low back") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon"
+    val b = a + " zeta eta theta iota kappa lambda mu"
+    val c = "one two three four five six seven"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, minContain = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // a has 3 trigrams, all inside b (10 trigrams): containment 3/3 = 1.0
+    // one direction only; c is unrelated
+    assert(got === Map((1L, 2L) -> ((3L, 1.0))))
+  }
 }
