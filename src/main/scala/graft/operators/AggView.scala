@@ -30,18 +30,27 @@ object AggView {
   private def pointerPath(dir: String) =
     java.nio.file.Paths.get(dir, "_current")
 
-  /** Current generation from the pointer file; -1 if none. */
-  def currentGen(dir: String): Long = {
+  /** (generation, lastEpoch) from the pointer file; (-1, -1) if none —
+    * the [[TextIndex.current]] versioned-generation protocol: a crash
+    * mid-merge leaves the pointer at K (half-written K+1 invisible), a
+    * replayed streaming epoch ≤ lastEpoch is a no-op. */
+  def current(dir: String): (Long, Long) = {
     val p = pointerPath(dir)
-    if (!java.nio.file.Files.exists(p)) -1L
-    else java.nio.file.Files.readString(p).trim.toLong
+    if (!java.nio.file.Files.exists(p)) (-1L, -1L)
+    else java.nio.file.Files.readString(p).trim.split(",") match {
+      case Array(g, e) => (g.toLong, e.toLong)
+      case Array(g)    => (g.toLong, -1L) // pre-epoch pointer format
+      case _           => (-1L, -1L)
+    }
   }
 
-  private def advance(dir: String, gen: Long): Unit = {
+  def currentGen(dir: String): Long = current(dir)._1
+
+  private def advance(dir: String, gen: Long, epoch: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, s"_current.tmp.$gen")
-    Files.writeString(tmp, gen.toString)
+    Files.writeString(tmp, s"$gen,$epoch")
     Files.move(tmp, pointerPath(dir),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -65,7 +74,7 @@ object AggView {
   def build(df: DataFrame, keyCols: Seq[String], valueScaled: Column,
       dir: String): Unit = {
     writeGen(partials(df, keyCols, valueScaled), dir, 0L, keyCols)
-    advance(dir, 0L)
+    advance(dir, 0L, -1L)
   }
 
   /** Fold a CDC delta into the stored state: `opCol` is 'I' (insert) or
@@ -75,9 +84,15 @@ object AggView {
     * over (state ∪ delta-partials) — the state is never re-derived from
     * history. */
   def mergeCdc(spark: SparkSession, delta: DataFrame, keyCols: Seq[String],
-      valueScaled: Column, opCol: String, dir: String): Unit = {
-    val gen = currentGen(dir)
+      valueScaled: Column, opCol: String, dir: String,
+      epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = current(dir)
     require(gen >= 0, s"no built view at $dir — call build first")
+    // replay fence: at-least-once foreachBatch may re-deliver an epoch
+    // after a restart; state already includes it — merging twice would
+    // double-count (contrast idempotent MERGE sinks, where replays are
+    // absorbed by the key match; Σ-delta state is NOT idempotent)
+    if (epoch >= 0 && epoch <= lastEpoch) return
     val sign = when(col(opCol) === "I", lit(1L))
       .when(col(opCol) === "D", lit(-1L))
       .otherwise(raise_error(concat(
@@ -92,8 +107,18 @@ object AggView {
       .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"))
       .filter(col("cnt") =!= 0L)
     writeGen(merged, dir, gen + 1L, keyCols)
-    advance(dir, gen + 1L)
+    advance(dir, gen + 1L, math.max(epoch, lastEpoch))
   }
+
+  /** Streaming maintenance: each micro-batch of CDC rows folds into the
+    * stored view under the epoch fence — exactly-once view state over
+    * at-least-once delivery. Usage:
+    * `.writeStream.foreachBatch(AggView.foreachBatchCdc(...))`. */
+  def foreachBatchCdc(spark: SparkSession, keyCols: Seq[String],
+      valueScaled: Column, opCol: String,
+      dir: String): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      mergeCdc(spark, batch, keyCols, valueScaled, opCol, dir, epoch)
 
   /** Read the current generation — the serving plan is a bare scan of
     * pre-aggregated state (group-key predicates push to the files the

@@ -747,4 +747,59 @@ class StreamingSpec extends AnyFunSuite {
     hook(epochs.last.toDF("token"), lastId)
     assert(state() === truth, "replayed epoch must not double-count")
   }
+
+  test("streaming matview maintenance: CDC epochs (inserts + retractions) " +
+      "fold into the stored aggregate across a restart; a replayed epoch " +
+      "is a no-op; final state equals a from-scratch build on the net rows") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.operators.AggView
+    import spark.implicits._
+
+    val srcDir = Files.createTempDirectory("mv_src").toString
+    val ckpt = Files.createTempDirectory("mv_ckpt").toString
+    val mvDir = Files.createTempDirectory("mv_state").toString
+    val base = Seq(("a", 100L), ("a", 50L), ("b", 10L)).toDF("k", "v")
+    AggView.build(base, Seq("k"), col("v"), mvDir)
+
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("v", LongType), StructField("op", StringType)))
+    val hook = AggView.foreachBatchCdc(spark, Seq("k"), col("v"), "op", mvDir)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(hook)
+        .start()
+      q.awaitTermination()
+    }
+    def row(k: String, v: Long, op: String): String =
+      s"""{"k":"$k","v":$v,"op":"$op"}"""
+
+    Files.write(Paths.get(srcDir, "b1.json"), Seq(
+      row("a", 7L, "I"), row("b", 10L, "D"), row("c", 3L, "I")
+    ).mkString("\n").getBytes("UTF-8"))
+    runOnce()
+    // full restart, second epoch: retract one of a's base rows, more churn
+    Files.write(Paths.get(srcDir, "b2.json"), Seq(
+      row("a", 50L, "D"), row("c", 4L, "I")
+    ).mkString("\n").getBytes("UTF-8"))
+    runOnce()
+
+    def state(): Map[String, (Long, Long)] =
+      AggView.serve(spark, mvDir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // net rows: a = {100, 7}, b = {}, c = {3, 4}
+    val truth = Map("a" -> ((2L, 107L)), "c" -> ((2L, 7L)))
+    assert(state() === truth, s"state after two epochs: ${state()}")
+
+    // replay the committed last epoch verbatim — the fence must no-op
+    val (genBefore, lastEpoch) = AggView.current(mvDir)
+    hook(Seq(("a", 50L, "D"), ("c", 4L, "I")).toDF("k", "v", "op"),
+      lastEpoch)
+    assert(AggView.current(mvDir) === ((genBefore, lastEpoch)),
+      "replayed epoch must not advance the generation")
+    assert(state() === truth, "replayed epoch must not change state")
+  }
 }
