@@ -109,6 +109,70 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Data-quality expectation rules (the declarative table-contract
+    * check a 100 TB ingest runs before publishing a partition). Each
+    * rule compiles to the cheapest plan of its class — row-local rules
+    * (`NotNull`/`InRange`/`InSet`) share ONE aggregate pass with no
+    * shuffle beyond the final 1-row combine; `Unique` is one groupBy on
+    * its key; `RefIn` is one broadcast-able anti-join per dimension. */
+  sealed trait Rule { def name: String }
+  /** col must not be NULL. */
+  final case class NotNull(col: String) extends Rule {
+    def name = s"not_null:$col"
+  }
+  /** col must lie in [lo, hi] (NULLs are NotNull's business). */
+  final case class InRange(col: String, lo: Double, hi: Double)
+      extends Rule { def name = s"range:$col" }
+  /** col must be one of the given values. */
+  final case class InSet(col: String, values: Seq[String]) extends Rule {
+    def name = s"in_set:$col"
+  }
+  /** the column tuple must be unique (violations = surplus rows). */
+  final case class Unique(cols: Seq[String]) extends Rule {
+    def name = s"unique:${cols.mkString(",")}"
+  }
+  /** col's non-null values must exist in dim(dimCol) (FK shape). */
+  final case class RefIn(col: String, dim: DataFrame, dimCol: String)
+      extends Rule { def name = s"ref:$col" }
+
+  /** Evaluate rules → (rule, n_violations) long-format report, one row
+    * per rule. Zero rows are never dropped: a publish gate needs the
+    * explicit green line per contract, not absence of red. */
+  def expectations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    val rowLocal = rules.collect {
+      case r @ NotNull(c) => r.name -> col(c).isNull
+      case r @ InRange(c, lo, hi) =>
+        r.name -> (col(c) < lo || col(c) > hi)
+      case r @ InSet(c, vs) => r.name -> !col(c).isin(vs: _*)
+    }
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (rowLocal.nonEmpty) {
+      val aggs = rowLocal.map { case (n, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(n)
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = rowLocal.map { case (n, _) => s"'$n', `$n`" }
+        .mkString(", ")
+      parts += one.selectExpr(
+        s"stack(${rowLocal.size}, $stackArgs) AS (rule, n_violations)")
+    }
+    rules.foreach {
+      case u @ Unique(cols_) =>
+        parts += df.groupBy(cols_.map(col): _*)
+          .agg(count(lit(1)).as("_c"))
+          .agg(coalesce(sum(col("_c") - 1L), lit(0L)).as("n_violations"))
+          .select(lit(u.name).as("rule"), col("n_violations"))
+      case r @ RefIn(c, dim, dc) =>
+        parts += df.filter(col(c).isNotNull)
+          .join(dim.select(col(dc).as(c)), Seq(c), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(r.name).as("rule"), col("n_violations"))
+      case _ => ()
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
   /** Point estimates for `probes` (any DataFrame with `keyCol`): the CMS
     * guarantee est ≥ true, est ≤ true + εN w.h.p. The sketch side is
     * ≤ d·w rows → broadcast; one row per (probe, h) then a min-agg. */

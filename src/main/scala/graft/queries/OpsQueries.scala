@@ -195,10 +195,10 @@ object OpsQueries {
       import s.implicits._
       graft.operators.Dedup.blockedFuzzyPairs(Tables.documents(s, d),
           "doc_id", "text",
-          Seq($"lang", expr("n_chars div 32")), maxDist = 40)
+          Seq($"lang", expr("n_chars div 16")), maxDist = 40)
         .orderBy($"doc_a", $"doc_b")
     },
-    Some("""WITH b AS (SELECT doc_id, text, lang, n_chars // 32 AS band
+    Some("""WITH b AS (SELECT doc_id, text, lang, n_chars // 16 AS band
         FROM documents)
       SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
         CAST(levenshtein(a.text, b2.text) AS BIGINT) AS dist
