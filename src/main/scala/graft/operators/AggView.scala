@@ -128,4 +128,15 @@ object AggView {
     require(gen >= 0, s"no built view at $dir")
     spark.read.parquet(genDir(dir, gen))
   }
+
+  /** Time travel: read a specific earlier generation. Generations are
+    * immutable once the pointer moves past them and this store keeps
+    * them all (retention is the caller's policy knob) — so "the view as
+    * of epoch K" stays queryable, the audit trail every incremental
+    * pipeline eventually needs. */
+  def serveAt(spark: SparkSession, dir: String, gen: Long): DataFrame = {
+    require(gen >= 0 && gen <= currentGen(dir),
+      s"generation $gen not available at $dir")
+    spark.read.parquet(genDir(dir, gen))
+  }
 }

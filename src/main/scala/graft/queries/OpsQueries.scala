@@ -209,6 +209,83 @@ object OpsQueries {
       ORDER BY doc_a, doc_b"""),
     doc = "[NS] blocked fuzzy-match join (banded levenshtein, equi-join blocks)")
 
+  /** [NS] — declarative data-quality expectations over lineitem (the
+    * publish gate a 100 TB ingest runs per partition): row-local rules
+    * share ONE aggregate pass, the PK-uniqueness rule is one groupBy,
+    * the FK rule one broadcast anti-join. The fixture genuinely
+    * violates two contracts (duplicate (orderkey, linenumber) pairs and
+    * prices past the declared cap), so the report proves both colors. */
+  val q142Expectations = Q(
+    "q142_expectations",
+    (s, d) => {
+      import graft.operators.Analytics._
+      Analytics.expectations(Tables.lineitem(s, d), Seq(
+          NotNull("l_orderkey"),
+          InRange("l_quantity", 1, 50),
+          InRange("l_extendedprice", 0, 50000),
+          InSet("l_returnflag", Seq("A", "N", "R")),
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          RefIn("l_orderkey", Tables.orders(s, d), "o_orderkey")))
+        .orderBy(col("rule"))
+    },
+    Some("""SELECT * FROM (
+      SELECT 'not_null:l_orderkey' AS rule,
+        CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violations FROM lineitem
+      UNION ALL
+      SELECT 'range:l_quantity',
+        CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+          THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'range:l_extendedprice',
+        CAST(sum(CASE WHEN l_extendedprice < 0 OR l_extendedprice > 50000
+          THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'in_set:l_returnflag',
+        CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+          THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'unique:l_orderkey,l_linenumber',
+        CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+          AS BIGINT) FROM lineitem
+      UNION ALL
+      SELECT 'ref:l_orderkey', CAST(count(*) AS BIGINT) FROM lineitem
+      WHERE l_orderkey IS NOT NULL
+        AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    ) ORDER BY rule"""),
+    doc = "[NS] declarative data-quality expectations (publish gate report)")
+
+  /** [NS] — freshness-decayed engagement score: per user,
+    * Σ value·2^(−age_days), all integer (per-row floor shift of the
+    * 100-scaled value, exact in both engines; the anchor date is a
+    * 1-row broadcast max). The feed-ranking / user-activity shape:
+    * yesterday counts half of today, map-only except one groupBy. */
+  val q143DecayScore = Q(
+    "q143_decay_score",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val anchor = ev.agg(max(to_date($"ts")).as("_anchor"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("_age", datediff($"_anchor", to_date($"ts")))
+        .withColumn("_dec", expr("CAST(round(value * 100) AS BIGINT) div " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(least(_age, 40) AS INT))"))
+        .groupBy($"user_id")
+        .agg(sum($"_dec").as("decayed_scaled"),
+          count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+      d AS (SELECT user_id,
+          CAST(round(value * 100) AS BIGINT)
+            // (CAST(1 AS BIGINT) << least(
+               date_diff('day', CAST(ts AS DATE), anchor), 40)) AS dec
+        FROM events CROSS JOIN a)
+      SELECT user_id, CAST(sum(dec) AS BIGINT) AS decayed_scaled,
+        CAST(count(*) AS BIGINT) AS n_events
+      FROM d GROUP BY 1 ORDER BY user_id"""),
+    doc = "[NS] exact power-of-2 freshness decay (integer shift, no float drift)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
-    q139MatviewCdc, q140FuzzyJoin)
+    q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore)
 }

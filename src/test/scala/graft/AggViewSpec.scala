@@ -67,5 +67,13 @@ class AggViewSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     assert(got === Map("x" -> ((1L, 5L)), "y" -> ((1L, 1L))))
+    // time travel: every retained generation still serves its snapshot
+    def at(g: Long): Map[String, (Long, Long)] =
+      AggView.serveAt(spark, dir, g).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(at(0L) === Map("x" -> ((1L, 10L))))
+    assert(at(1L) === Map("x" -> ((2L, 15L))))
+    assert(at(2L) === got)
+    intercept[IllegalArgumentException] { AggView.serveAt(spark, dir, 3L) }
   }
 }

@@ -79,6 +79,31 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- expectations ----
+
+  test("expectations: every rule class reports its exact violation count, " +
+      "green rules report zero rows explicitly") {
+    import spark.implicits._
+    import Analytics._
+    val df = Seq(
+      (Some(1L), 5.0, "A", 1L), (Some(1L), 5.0, "A", 1L), // dup key pair
+      (Some(2L), -1.0, "N", 2L),                          // range violation
+      (None, 3.0, "X", 3L),                               // null + bad set
+      (Some(9L), 60.0, "R", 4L)                           // range + orphan fk
+    ).toDF("k", "v", "flag", "ln")
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val got = expectations(df, Seq(
+        NotNull("k"), InRange("v", 0, 50), InSet("flag", Seq("A", "N", "R")),
+        Unique(Seq("k", "ln")), RefIn("k", dim, "k")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "not_null:k" -> 1L,
+      "range:v" -> 2L,          // -1.0 and 60.0
+      "in_set:flag" -> 1L,      // X
+      "unique:k,ln" -> 1L,      // one surplus row in the (1,1) group
+      "ref:k" -> 1L))           // 9 not in dim; NULL k excluded from FK
+  }
+
   // ---- Count-Min sketch ----
 
   test("cmsEstimate never under-counts, and is exact for isolated keys") {
