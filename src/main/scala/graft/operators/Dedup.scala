@@ -707,11 +707,11 @@ object Dedup {
     *  1. length band |len(a) − len(b)| ≤ maxDist (every edit moves the
     *     length by ≤ 1 — one codegen'd integer compare);
     *  2. character-histogram bound: each edit changes at most two cells
-    *     of the a–z count vector by one, so L1(hist(a), hist(b)) ≤
+    *     of the [a–z0–9] count vector by one, so L1(hist(a), hist(b)) ≤
     *     2·dist (the "bag distance" filter of the ER literature). The
-    *     26-cell vector is computed ONCE per row map-side
-    *     (length-after-replace per letter), and the per-pair check is a
-    *     26-element zip — ~1000× cheaper than the DP band on ~300-char
+    *     36-cell vector is computed ONCE per row map-side
+    *     (length-after-replace per char), and the per-pair check is a
+    *     36-element zip — ~1000× cheaper than the DP band on ~300-char
     *     texts, and it kills almost every non-match pair (measured on
     *     the sf0.1 fixture: 19.5 s → the DP runs only on survivors);
     *  3. Spark's THRESHOLDED levenshtein (banded DP, returns −1 past
@@ -723,7 +723,12 @@ object Dedup {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val blocks = blockCols.zipWithIndex.map { case (c, i) => c.as(s"_blk$i") }
     val keys = blocks.indices.map(i => s"_blk$i")
-    val hist = array(('a' to 'z').map { ch =>
+    // gate alphabet: letters AND digits — an id/version suffix that
+    // distinguishes otherwise-identical texts shows up only in digit
+    // counts, and a gate blind to them would pass every such pair
+    // straight into the DP (measured on the scale10 shard-suffixed
+    // fixture: cross-shard twins differ ONLY in digits)
+    val hist = array((('a' to 'z') ++ ('0' to '9')).map { ch =>
       (length(col("_txt")) -
         length(replace(col("_txt"), lit(ch.toString), lit("")))).cast("int")
     }: _*)

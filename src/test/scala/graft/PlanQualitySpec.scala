@@ -463,4 +463,53 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$q expected exactly 1 hash exchange, got $shuffles:\n$p")
     }
   }
+
+  test("q134 profile: ONE pass — a single scan of documents feeds every " +
+      "per-column aggregate (Expand, not repeated scans)") {
+    val p = plan("q134_profile")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"profile re-scans the table ($scans scans):\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q135 CMS: the dxw sketch broadcasts to the probe side — point " +
+      "estimates never shuffle the sketch") {
+    val p = plan("q135_cms_freq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q136 skyline: no global single-partition sort — the only " +
+      "unpartitioned window runs over the bucket summary aggregate") {
+    val p = plan("q136_skyline")
+    // the frontier path's big-table window is partitioned by bucket;
+    // SinglePartition exchanges may exist only for the tiny bucket
+    // summary (fed by an aggregate, not a raw scan) and the final sort
+    assert(p.matches("(?s).*windowspecdefinition\\(_bkt#\\d+L, n_chars.*"),
+      "per-bucket window missing:\n" + p)
+    assert(p.contains("BroadcastExchange"), "bucket summary must broadcast:\n" + p)
+  }
+
+  test("q140 fuzzy join: blocks make it an equi-join — no cartesian, no " +
+      "nested loop, histogram gate sits under the join") {
+    val p = plan("q140_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("levenshtein"), p)
+  }
+
+  test("q141 containment: prefix-side candidates ride equi-joins only") {
+    val p = plan("q141_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q139 matview serve: the serving plan scans STORED state only — " +
+      "no events scan, no re-aggregation of history") {
+    val p = plan("q139_matview_cdc")
+    assert(!p.contains("events.parquet"),
+      "serving plan must not read the fact table:\n" + p)
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected only the state scan, got $scans:\n$p")
+  }
 }
