@@ -127,14 +127,10 @@ object DocQueries {
     * 16-bit keys (65 536 values) restore selectivity, which is exactly
     * the production fix for dense-sketch corpora. Signatures travel as
     * single longs (8-byte shuffle rows, integer band keys). */
-  val q93SimhashHamming = Q(
-    "q93_simhash_hamming",
-    (s, d) => {
-      import s.implicits._
-      Dedup.simhashHammingPairs(Tables.documents(s, d), "doc_id", "text")
-        .orderBy($"doc_a", $"doc_b")
-    },
-    Some("""WITH words AS (
+  /** Shared oracle prefix: every doc pair with SimHash Hamming distance
+    * ≤ 3 as CTE `hp(doc_a, doc_b, hamming)` (the quadratic twin of
+    * `Dedup.simhashHammingPairs`); used by q93 and q144. */
+  private val simhashPairsCtes: String = """words AS (
         SELECT DISTINCT doc_id,
           unnest(list_distinct(string_split(text, ' '))) AS w
         FROM documents),
@@ -145,13 +141,23 @@ object DocQueries {
             END AS wgt
         FROM (SELECT doc_id, md5(w) AS h FROM words),
           unnest(range(0, 64)) AS t(j)),
-      sums AS (SELECT doc_id, j, sum(wgt) AS s FROM bits GROUP BY doc_id, j)
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        CAST(count(CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 END)
-          AS BIGINT) AS hamming
-      FROM sums a JOIN sums b ON a.j = b.j AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-      HAVING count(CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 END) <= 3
+      sums AS (SELECT doc_id, j, sum(wgt) AS s FROM bits GROUP BY doc_id, j),
+      hp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(count(CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 END)
+            AS BIGINT) AS hamming
+        FROM sums a JOIN sums b ON a.j = b.j AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 END) <= 3)"""
+
+  val q93SimhashHamming = Q(
+    "q93_simhash_hamming",
+    (s, d) => {
+      import s.implicits._
+      Dedup.simhashHammingPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""WITH $simhashPairsCtes
+      SELECT doc_a, doc_b, hamming FROM hp
       ORDER BY doc_a, doc_b"""),
     doc = "SURVEY §2.8 D5 [NS] SimHash Hamming-banded near-dup (lossless vs brute force, full fixture)")
 
@@ -1174,6 +1180,28 @@ object DocQueries {
       ORDER BY doc_src, doc_dst"""),
     doc = "[NS] asymmetric containment join (one-sided prefix filter)")
 
+  /** [NS] — LSH-blocked fuzzy join ([[Dedup.lshFuzzyPairs]]): the
+    * ER-scaling fix the 10× table filed against q140 — candidates from
+    * the SimHash Hamming band join (content-derived blocking, volume
+    * grows with near-dup density, not corpus size), verified with the
+    * same thresholded levenshtein. Oracle: the quadratic Hamming twin
+    * joined back to texts with the same edit filter. */
+  val q144LshFuzzy = Q(
+    "q144_lsh_fuzzy",
+    (s, d) =>
+      Dedup.lshFuzzyPairs(Tables.documents(s, d), "doc_id", "text",
+        maxDist = 40)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $simhashPairsCtes
+      SELECT hp.doc_a, hp.doc_b, hp.hamming,
+        CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+      FROM hp JOIN documents ta ON ta.doc_id = hp.doc_a
+        JOIN documents tb ON tb.doc_id = hp.doc_b
+      WHERE abs(length(ta.text) - length(tb.text)) <= 40
+        AND levenshtein(ta.text, tb.text) <= 40
+      ORDER BY doc_a, doc_b"""),
+    doc = "[NS] LSH-blocked fuzzy join (content-derived ER blocking)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -1181,5 +1209,6 @@ object DocQueries {
     q83TfidfTerms, q90SourceSimilarity, q93SimhashHamming, q94NfcNormalize,
     q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs,
     q109NearDupGate, q111DedupIncremental, q112DedupIndexGate,
-    q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment)
+    q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment,
+    q144LshFuzzy)
 }

@@ -263,4 +263,21 @@ class DedupSpec extends AnyFunSuite {
     // one direction only; c is unrelated
     assert(got === Map((1L, 2L) -> ((3L, 1.0))))
   }
+
+  test("lshFuzzyPairs: signature blocking admits the near-twin, " +
+      "unrelated text never reaches the DP") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      // repeated word: DISTINCT word set unchanged → identical SimHash
+      // (hamming 0, always banded together), 6 char edits apart
+      (2L, base + " alpha"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshFuzzyPairs(docs, "doc_id", "text", maxDist = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got === Map((1L, 2L) -> 6L), s"got $got")
+  }
 }
