@@ -202,6 +202,47 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** INCREMENTAL connected-components maintenance: fold a batch of new
+    * edges into stored labels without re-running CC over the archive —
+    * the lifecycle move (q107/q127/q139) applied to the dedup-cluster
+    * graph, whose edge set only grows as a corpus ingests.
+    *
+    * Quotient-graph argument: contract every archive component to its
+    * representative (labels map node→rep, rep = component min id), map
+    * the new edges' endpoints through that contraction (unlabeled = new
+    * nodes map to themselves), and run CC on the CONTRACTED delta graph
+    * — whose node set is {touched reps} ∪ {new nodes}, i.e. O(delta +
+    * affected components), never O(archive edges). Components of the
+    * union graph are exactly the contraction classes' unions, and min
+    * ids survive contraction (a rep IS its component's min), so the
+    * composed labels are bit-identical to a from-scratch CC over all
+    * edges — which is what lets a query certify this against the SAME
+    * oracle SQL as the batch form.
+    *
+    * Returns (node, rep) over every node that has an edge: archive
+    * nodes re-pointed through the delta closure (untouched components
+    * keep their rep), new nodes labeled by the delta CC. */
+  def ccIncremental(labels: DataFrame, newPairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val l = labels.select(col("node"), col("rep")).localCheckpoint()
+    val mapped = newPairs
+      .join(l.select(col("node").as(aCol), col("rep").as("_ra")),
+        Seq(aCol), "left")
+      .join(l.select(col("node").as(bCol), col("rep").as("_rb")),
+        Seq(bCol), "left")
+      .select(coalesce(col("_ra"), col(aCol)).as("_ca"),
+        coalesce(col("_rb"), col(bCol)).as("_cb"))
+    val comp = connectedComponents(mapped, "_ca", "_cb")
+      .localCheckpoint()
+    val updatedOld = l
+      .join(comp.select(col("node").as("rep"), col("rep").as("_fr")),
+        Seq("rep"), "left")
+      .select(col("node"), coalesce(col("_fr"), col("rep")).as("rep"))
+    val newNodes = comp
+      .join(l.select(col("node")), Seq("node"), "left_anti")
+    updatedOld.unionByName(newNodes)
+  }
+
   /** LSH-BLOCKED fuzzy join — [[blockedFuzzyPairs]] with a
     * content-derived blocking key: candidates come from the SimHash
     * Hamming band join (near-identical texts have near-identical

@@ -1202,6 +1202,32 @@ object DocQueries {
       ORDER BY doc_a, doc_b"""),
     doc = "[NS] LSH-blocked fuzzy join (content-derived ER blocking)")
 
+  /** [NS] — incremental CC maintenance ([[Dedup.ccIncremental]]): CC
+    * labels built from the archive's pairs (docs with id % 3 ≠ 0), then
+    * the delta pairs (any endpoint new) folded in through the contracted
+    * quotient graph — O(delta + touched components), the archive's edges
+    * never re-shuffle. Certified against THE SAME oracle SQL as q72's
+    * from-scratch closure: incremental ≡ batch, the q127/q128 move for
+    * the dedup graph. */
+  val q145CcIncremental = Q(
+    "q145_cc_incremental",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Dedup.minhashLshCandidates(Tables.documents(s, d),
+          "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+        .localCheckpoint() // split into archive/delta below — one compute
+      val oldPair = $"doc_a" % 3 =!= 0 && $"doc_b" % 3 =!= 0
+      val labels0 = Dedup.connectedComponents(pairs.filter(oldPair),
+        "doc_a", "doc_b")
+      Dedup.ccIncremental(labels0, pairs.filter(!oldPair),
+          "doc_a", "doc_b")
+        .groupBy($"rep")
+        .agg(count(lit(1)).as("n_docs"), max($"node").as("max_doc"))
+        .orderBy($"rep")
+    },
+    q72DedupComponents.oracle,
+    doc = "[NS] incremental CC maintenance == from-scratch closure (same oracle)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -1210,5 +1236,5 @@ object DocQueries {
     q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs,
     q109NearDupGate, q111DedupIncremental, q112DedupIndexGate,
     q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment,
-    q144LshFuzzy)
+    q144LshFuzzy, q145CcIncremental)
 }

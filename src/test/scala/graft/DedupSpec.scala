@@ -280,4 +280,25 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
     assert(got === Map((1L, 2L) -> 6L), s"got $got")
   }
+
+  test("ccIncremental: delta fold equals from-scratch CC — merge of two " +
+      "archive components, a brand-new component, and a rep change when " +
+      "a smaller-id node joins") {
+    import spark.implicits._
+    val archive = Seq((1L, 2L), (5L, 6L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val delta = Seq(
+      (2L, 5L),   // merges archive components {1,2} and {5,6}
+      (7L, 8L),   // entirely new component
+      (9L, 10L))  // new node with a SMALLER id than its component's rep
+      .toDF("doc_a", "doc_b")
+    val labels0 = Dedup.connectedComponents(archive, "doc_a", "doc_b")
+    val inc = Dedup.ccIncremental(labels0, delta, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(
+        archive.unionByName(delta), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === scratch, s"inc=$inc scratch=$scratch")
+    assert(inc(11L) === 9L, "rep must drop to the new smaller id")
+    assert(inc(6L) === 1L, "merged component takes the global min rep")
+  }
 }
