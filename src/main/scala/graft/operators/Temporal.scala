@@ -41,4 +41,58 @@ object Temporal {
         col(rts) <= col(lts) + upperUs)
       .drop("_rb")
   }
+
+  /** POINT-IN-TIME dimension join (feature-store correctness): each fact
+    * row picks up the dimension attributes of the version whose
+    * [fromUs, toUs) interval contains the fact's timestamp — the join
+    * that keeps training features leak-free (joining "current" state
+    * instead silently trains on the future). Dim intervals must be
+    * non-overlapping per key (the SCD2 contract); `toUs` NULL = open.
+    *
+    * Shape: because versions don't overlap, PIT is an AS-OF against
+    * version STARTS plus a validity check against the carried `toUs` —
+    * so it runs as the q21 union+window form: one exchange on the key,
+    * NO candidate pairs ever materialized (an interval theta-join would
+    * be BroadcastNestedLoopJoin; the naive equi-join fans out by
+    * version count). Facts outside every interval get NULL attributes
+    * (left-join semantics).
+    *
+    * Fact columns are preserved; `attrCols` append (same names). Fact
+    * and attr column name sets must not collide. */
+  def pitJoin(facts: DataFrame, dim: DataFrame, key: String,
+      factTsUs: String, fromUs: String, toUs: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "pitJoin needs at least one attribute")
+    require(attrCols.forall(!facts.columns.contains(_)),
+      s"attr columns ${attrCols.mkString(",")} collide with fact columns")
+    import org.apache.spark.sql.expressions.Window
+    val dimSide = dim.select(col(key) +: col(fromUs).as("_t") +:
+      lit(1).as("_isdim") +: col(toUs).as("_vto") +:
+      attrCols.map(c => col(c).as(s"_a_$c")): _*)
+    val factSide = facts
+      .withColumn("_t", col(factTsUs))
+      .withColumn("_isdim", lit(0))
+    // versions sort before facts at the identical microsecond (a fact AT
+    // valid_from belongs to that version — from-inclusive)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t").asc, col("_isdim").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // carry the latest VERSION's (valid_to, attrs...) as one struct —
+    // last(ignoreNulls) over a when() that is NULL on fact rows, so
+    // facts never pollute the carry
+    val attrs = struct(col("_vto").as("vto") +:
+      attrCols.zipWithIndex.map { case (c, i) =>
+        col(s"_a_$c").as(s"a$i")
+      }: _*)
+    val carried = factSide.unionByName(dimSide, allowMissingColumns = true)
+      .withColumn("_carry",
+        last(when(col("_isdim") === 1, attrs), ignoreNulls = true).over(w))
+      .filter(col("_isdim") === 0)
+    val valid = col("_carry").isNotNull &&
+      (col("_carry.vto").isNull || col("_t") < col("_carry.vto"))
+    carried.select(facts.columns.map(col) ++
+      attrCols.zipWithIndex.map { case (c, i) =>
+        when(valid, col(s"_carry.a$i")).as(c)
+      }: _*)
+  }
 }

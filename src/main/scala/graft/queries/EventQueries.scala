@@ -501,8 +501,67 @@ object EventQueries {
       FROM cc GROUP BY event_type ORDER BY event_type"""),
     doc = "SURVEY §2.5 A5 [NS] exact percentile_disc + mode over value counts")
 
+  /** [NS] — POINT-IN-TIME join ([[graft.operators.Temporal.pitJoin]]):
+    * attribute each purchase to the sessionization interval (q19's
+    * >30-min-gap sessions as [start, next-start) versions per user)
+    * active at its timestamp — the feature-store join that keeps
+    * training features leak-free (joining "current" state trains on the
+    * future). Runs as the q21 union+window as-of: ONE exchange on
+    * user_id, no candidate pairs; the oracle is the interval LEFT JOIN,
+    * exact because versions never overlap. */
+  val q146PitJoin = Q(
+    "q146_pit_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val wseq = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val marked = ev.select($"user_id", $"ts", $"event_id")
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(wseq))
+        .withColumn("new_s",
+          when($"prev_us".isNull ||
+            (unix_micros($"ts") - $"prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+      val sessions = marked.filter($"new_s" === 1L)
+        .withColumn("from_us", unix_micros($"ts"))
+        .withColumn("session_no", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"from_us", $"event_id"))
+          .cast("long"))
+        .withColumn("to_us", lead($"from_us", 1).over(
+          Window.partitionBy($"user_id").orderBy($"from_us")))
+        .select($"user_id", $"from_us", $"to_us", $"session_no")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      graft.operators.Temporal.pitJoin(purchases, sessions, "user_id",
+          "ts_us", "from_us", "to_us", Seq("session_no"))
+        .orderBy($"user_id", $"event_id")
+    },
+    Some("""WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        CASE WHEN lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+          THEN 1 ELSE 0 END AS new_s
+        FROM events),
+      s0 AS (SELECT user_id, us AS from_us,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY us, event_id) AS BIGINT) AS session_no
+        FROM m WHERE new_s = 1),
+      s AS (SELECT user_id, from_us,
+          lead(from_us) OVER (PARTITION BY user_id ORDER BY from_us)
+            AS to_us,
+          session_no
+        FROM s0),
+      p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.event_id, p.ts_us, s.session_no
+      FROM p LEFT JOIN s ON s.user_id = p.user_id
+        AND p.ts_us >= s.from_us
+        AND (s.to_us IS NULL OR p.ts_us < s.to_us)
+      ORDER BY p.user_id, p.event_id"""),
+    doc = "[NS] point-in-time join: purchases -> active session interval (leak-free)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
-    q82Outliers, q88Histogram, q89CorrGate, q91OrderStats)
+    q82Outliers, q88Histogram, q89CorrGate, q91OrderStats, q146PitJoin)
 }

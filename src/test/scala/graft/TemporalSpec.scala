@@ -50,4 +50,34 @@ class TemporalSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
   }
+
+  test("pitJoin: from-inclusive / to-exclusive version pick, NULL before " +
+      "the first version, across gaps, and for keys with no versions") {
+    // key 1: [10,20)→a, [20,30)→b, gap, [40,∞)→c
+    val dim = Seq(
+      (1L, 10L, Some(20L), "a"), (1L, 20L, Some(30L), "b"),
+      (1L, 40L, None, "c"))
+      .toDF("k", "from_us", "to_us", "state")
+    val facts = Seq(
+      (1L, 100L, 5L),   // before any version
+      (1L, 101L, 10L),  // exactly at a's from → a
+      (1L, 102L, 19L),  // inside a
+      (1L, 103L, 20L),  // boundary: a ends, b begins → b
+      (1L, 104L, 35L),  // in the gap → NULL
+      (1L, 105L, 99L),  // open interval → c
+      (2L, 200L, 15L))  // key with no versions at all
+      .toDF("k", "fid", "ts_us")
+    val got = Temporal.pitJoin(facts, dim, "k", "ts_us", "from_us",
+        "to_us", Seq("state"))
+      .collect().map(r => r.getLong(1) -> Option(r.getString(3))).toMap
+    assert(got === Map(
+      100L -> None, 101L -> Some("a"), 102L -> Some("a"),
+      103L -> Some("b"), 104L -> None, 105L -> Some("c"),
+      200L -> None))
+    // the plan is the union+window form: no join operator of any kind
+    val p = Temporal.pitJoin(facts, dim, "k", "ts_us", "from_us",
+        "to_us", Seq("state"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"pitJoin materialized a join:\n$p")
+  }
 }
