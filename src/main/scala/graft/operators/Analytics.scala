@@ -109,6 +109,37 @@ object Analytics {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Snapshot diff — the regression check between two versions of a
+    * derived table (yesterday's pipeline output vs today's, a matview
+    * generation vs the next): one FULL OUTER equi-join on the key,
+    * change classified per row. `removed` = key only in `a`, `added` =
+    * only in `b`, `changed` = present in both with any compared column
+    * differing (null-safe compare); unchanged rows are dropped — at
+    * 100 TB the diff is what's small, and shipping only it is the
+    * point. Returns keys + per-side compared values + `change`. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty,
+      "snapshotDiff needs key and compare columns")
+    val la = a.select((keys ++ compareCols).map(col): _*)
+      .withColumn("_ina", lit(1))
+    val lb = b.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"${c}_new")): _*)
+      .withColumn("_inb", lit(1))
+    val j = la.join(lb, keys, "full_outer")
+    val differs = compareCols
+      .map(c => !(col(c) <=> col(s"${c}_new")))
+      .reduce(_ || _)
+    j.withColumn("change",
+        when(col("_inb").isNull, "removed")
+          .when(col("_ina").isNull, "added")
+          .when(differs, "changed"))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) ++
+        compareCols.flatMap(c => Seq(col(c), col(s"${c}_new"))) :+
+        col("change"): _*)
+  }
+
   /** Data-quality expectation rules (the declarative table-contract
     * check a 100 TB ingest runs before publishing a partition). Each
     * rule compiles to the cheapest plan of its class — row-local rules

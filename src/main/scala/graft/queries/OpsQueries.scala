@@ -286,6 +286,50 @@ object OpsQueries {
       FROM d GROUP BY 1 ORDER BY user_id"""),
     doc = "[NS] exact power-of-2 freshness decay (integer shift, no float drift)")
 
+  /** [NS] — snapshot diff between two versions of a derived table (the
+    * regression check every pipeline rerun needs): per-(user, type)
+    * aggregates of the even-id half vs the odd-id half of events, one
+    * FULL OUTER equi-join, only differing rows shipped. All-integer
+    * compared values → exact. */
+  val q147SnapshotDiff = Q(
+    "q147_snapshot_diff",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val scaled = round($"value" * 100.0, 0).cast("long")
+      def half(even: Boolean) =
+        ev.filter($"event_id" % 2 === (if (even) 0 else 1))
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("cnt"), sum(scaled).as("vsum"))
+      Analytics.snapshotDiff(half(even = true), half(even = false),
+          Seq("user_id", "event_type"), Seq("cnt", "vsum"))
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""WITH a AS (SELECT user_id, event_type,
+          CAST(count(*) AS BIGINT) AS cnt,
+          CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS vsum
+        FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+      b AS (SELECT user_id, event_type,
+          CAST(count(*) AS BIGINT) AS cnt_new,
+          CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+            AS vsum_new
+        FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+      j AS (SELECT coalesce(a.user_id, b.user_id) AS user_id,
+          coalesce(a.event_type, b.event_type) AS event_type,
+          a.cnt, b.cnt_new, a.vsum, b.vsum_new,
+          CASE WHEN b.user_id IS NULL THEN 'removed'
+            WHEN a.user_id IS NULL THEN 'added'
+            WHEN a.cnt IS DISTINCT FROM b.cnt_new
+              OR a.vsum IS DISTINCT FROM b.vsum_new THEN 'changed'
+            END AS change
+        FROM a FULL OUTER JOIN b
+          ON a.user_id = b.user_id AND a.event_type = b.event_type)
+      SELECT user_id, event_type, cnt, cnt_new, vsum, vsum_new, change
+      FROM j WHERE change IS NOT NULL
+      ORDER BY user_id, event_type"""),
+    doc = "[NS] snapshot diff (full-outer key join, only differing rows ship)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
-    q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore)
+    q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
+    q147SnapshotDiff)
 }

@@ -104,6 +104,25 @@ class AnalyticsSpec extends AnyFunSuite {
       "ref:k" -> 1L))           // 9 not in dim; NULL k excluded from FK
   }
 
+  // ---- snapshotDiff ----
+
+  test("snapshotDiff: added/removed/changed classified, unchanged dropped, " +
+      "null-safe value compare") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = Seq(("k1", Some(1L)), ("k2", Some(2L)), ("k3", None),
+      ("k4", Some(4L))).toDF("k", "v")
+    val b = Seq(("k2", Some(2L)), ("k3", Some(3L)), ("k4", Some(40L)),
+      ("k5", Some(5L))).toDF("k", "v")
+    val got = Analytics.snapshotDiff(a, b, Seq("k"), Seq("v"))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got === Map(
+      "k1" -> "removed",  // only in a
+      "k3" -> "changed",  // NULL -> 3 (null-safe compare)
+      "k4" -> "changed",  // 4 -> 40
+      "k5" -> "added"))   // only in b; k2 unchanged -> dropped
+  }
+
   // ---- Count-Min sketch ----
 
   test("cmsEstimate never under-counts, and is exact for isolated keys") {
