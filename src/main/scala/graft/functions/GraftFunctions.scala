@@ -111,6 +111,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.udaf(BloomFilterAggregator(8192)))
     spark.udf.register("graft_heavy64",
       org.apache.spark.sql.functions.udaf(MisraGriesAggregator(64)))
+    spark.udf.register("graft_kmv256",
+      org.apache.spark.sql.functions.udaf(KmvSketchAggregator(256)))
   }
 }
 

@@ -329,7 +329,177 @@ object OpsQueries {
       ORDER BY user_id, event_type"""),
     doc = "[NS] snapshot diff (full-outer key join, only differing rows ship)")
 
+  /** Shared by q148/q149: the engine-portable 60-bit hash of o_custkey
+    * (md5-slice, the [[graft.operators.Curation.hashBucket]] convention)
+    * keyed by order priority — the "audience" stream the KMV sketches
+    * summarize. */
+  private val kmvHashExpr =
+    "cast(conv(substring(md5(cast(o_custkey as string)), 1, 15), 16, 10) as bigint)"
+  private val kmvHashSql =
+    "CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT)"
+  private val kmvK = 256
+  /** 2^60 as an exactly-representable double: the hash space size. */
+  private val kmvSpace = "1152921504606846976.0"
+
+  /** §2.10 [NS] — KMV (k-minimum-values) distinct sketch (q148): distinct
+    * customers per order priority from a [[graft.functions
+    * .KmvSketchAggregator]] (k=256, bounded mergeable state, map-side
+    * combine like any built-in agg). Unlike HLL (q46's tolerance-boolean
+    * contract), the KMV state is a pure function of the input SET, so the
+    * sketch tail (`n_kept`, `kth`) AND the estimate hash-match an oracle
+    * that replays the same rank window over the same md5 hashes. The
+    * estimate (k-1)*2^60/kth is one IEEE division of exact operands —
+    * bit-identical across engines. sf0.01 has ~1300 distinct custkeys per
+    * priority (saturated estimate regime); the sub-k exact regime is
+    * pinned in KmvSpec. */
+  val q148KmvDistinct = Q(
+    "q148_kmv_distinct",
+    (s, d) => {
+      import s.implicits._
+      val kmv = udaf(graft.functions.KmvSketchAggregator(kmvK))
+      Tables.orders(s, d)
+        .select($"o_orderpriority".as("priority"),
+          expr(kmvHashExpr).as("hv"), $"o_custkey")
+        .groupBy($"priority")
+        .agg(kmv($"hv").as("sk"),
+          countDistinct($"o_custkey").as("exact_distinct"))
+        .select($"priority",
+          size($"sk").cast("long").as("n_kept"),
+          when(size($"sk") >= kmvK, element_at($"sk", kmvK)).as("kth"),
+          $"exact_distinct")
+        .withColumn("est_distinct",
+          when($"n_kept" < kmvK, $"n_kept".cast("double"))
+            .otherwise(lit((kmvK - 1).toDouble) *
+              lit(1152921504606846976.0) / $"kth".cast("double")))
+        .select($"priority", $"n_kept", $"kth", $"est_distinct",
+          $"exact_distinct")
+        .orderBy($"priority")
+    },
+    Some(s"""WITH h AS (SELECT DISTINCT o_orderpriority AS priority,
+          $kmvHashSql AS hv FROM orders),
+      r AS (SELECT priority, hv,
+          row_number() OVER (PARTITION BY priority ORDER BY hv) AS rn
+        FROM h),
+      s AS (SELECT priority,
+          CAST(count(*) FILTER (WHERE rn <= $kmvK) AS BIGINT) AS n_kept,
+          max(CASE WHEN rn = $kmvK THEN hv END) AS kth
+        FROM r GROUP BY priority),
+      e AS (SELECT o_orderpriority AS priority,
+          CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders GROUP BY 1)
+      SELECT s.priority, s.n_kept, s.kth,
+        CASE WHEN s.n_kept < $kmvK THEN CAST(s.n_kept AS DOUBLE)
+          ELSE ${kmvK - 1}.0 * $kmvSpace / CAST(s.kth AS DOUBLE)
+        END AS est_distinct,
+        e.exact_distinct
+      FROM s JOIN e ON e.priority = s.priority
+      ORDER BY s.priority"""),
+    doc = "[NS] KMV distinct sketch (bounded mergeable bottom-k, oracle-exact state)")
+
+  /** §2.10 [NS] — KMV set-overlap estimation (q149): audience Jaccard /
+    * intersection between every priority pair, computed ONLY from the two
+    * 2 KB sketches (k-min of the merged sketch ∩ both sides — Beyer et
+    * al. SIGMOD'07), a composition HLL cannot express without
+    * inclusion-exclusion error stacking. The pair frame is 5 sketch rows
+    * self-joined (broadcast nested loop over a handful of rows — the
+    * sketches, not the data, meet); the exact audit columns join the
+    * distinct (priority, custkey) pairs on custkey — ≤5 rows per key at
+    * any scale, no quadratic path. All arithmetic is int/int or
+    * exact-operand IEEE ops, so estimates hash-match the oracle
+    * bit-for-bit. */
+  val q149KmvJaccard = Q(
+    "q149_kmv_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val kmv = udaf(graft.functions.KmvSketchAggregator(kmvK))
+      val orders = Tables.orders(s, d)
+      val sketches = orders
+        .select($"o_orderpriority".as("p"), expr(kmvHashExpr).as("hv"))
+        .groupBy($"p").agg(kmv($"hv").as("sk"))
+      val pairs = sketches.as("a")
+        .join(broadcast(sketches.as("b")), col("a.p") < col("b.p"))
+        .select(col("a.p").as("pa"), col("b.p").as("pb"),
+          col("a.sk").as("ska"), col("b.sk").as("skb"))
+        .withColumn("merged",
+          slice(array_sort(array_distinct(concat($"ska", $"skb"))), 1, kmvK))
+        .withColumn("m", size($"merged").cast("long"))
+        .withColumn("matched",
+          size(array_intersect(array_intersect($"merged", $"ska"), $"skb"))
+            .cast("long"))
+        .withColumn("jaccard", $"matched".cast("double") / $"m")
+        .withColumn("kth_u",
+          when(size($"merged") >= kmvK, element_at($"merged", kmvK)))
+        .withColumn("est_union",
+          when($"m" < kmvK, $"m".cast("double"))
+            .otherwise(lit((kmvK - 1).toDouble) *
+              lit(1152921504606846976.0) / $"kth_u".cast("double")))
+        .withColumn("est_intersection", $"jaccard" * $"est_union")
+      val dsets = orders
+        .select($"o_orderpriority".as("p"), $"o_custkey".as("c")).distinct()
+      val dcnt = dsets.groupBy($"p").agg(count(lit(1)).as("d"))
+      val ex = dsets.as("x")
+        .join(dsets.as("y"), col("x.c") === col("y.c") &&
+          col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa2"), col("y.p").as("pb2"))
+        .agg(count(lit(1)).as("exact_isect"))
+      pairs
+        .join(ex, $"pa" === $"pa2" && $"pb" === $"pb2")
+        .join(broadcast(dcnt.select($"p".as("pa3"), $"d".as("da"))),
+          $"pa" === $"pa3")
+        .join(broadcast(dcnt.select($"p".as("pb3"), $"d".as("db"))),
+          $"pb" === $"pb3")
+        .withColumn("exact_jaccard", $"exact_isect".cast("double") /
+          ($"da" + $"db" - $"exact_isect"))
+        .select($"pa", $"pb", $"m", $"matched", $"jaccard", $"est_union",
+          $"est_intersection", $"exact_isect", $"exact_jaccard")
+        .orderBy($"pa", $"pb")
+    },
+    Some(s"""WITH h AS (SELECT DISTINCT o_orderpriority AS p,
+          $kmvHashSql AS hv FROM orders),
+      r AS (SELECT p, hv,
+          row_number() OVER (PARTITION BY p ORDER BY hv) AS rn FROM h),
+      sk AS (SELECT p, hv FROM r WHERE rn <= $kmvK),
+      ps AS (SELECT DISTINCT p FROM h),
+      pr AS (SELECT a.p AS pa, b.p AS pb FROM ps a JOIN ps b ON a.p < b.p),
+      u0 AS (SELECT pr.pa, pr.pb, s.hv, 1 AS ia, 0 AS ib
+          FROM pr JOIN sk s ON s.p = pr.pa
+        UNION ALL
+        SELECT pr.pa, pr.pb, s.hv, 0, 1 FROM pr JOIN sk s ON s.p = pr.pb),
+      ug AS (SELECT pa, pb, hv, max(ia) AS ia, max(ib) AS ib
+        FROM u0 GROUP BY 1, 2, 3),
+      ur AS (SELECT *, row_number() OVER (PARTITION BY pa, pb ORDER BY hv)
+          AS rn FROM ug),
+      mm AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS m,
+          CAST(count(*) FILTER (WHERE ia = 1 AND ib = 1) AS BIGINT)
+            AS matched,
+          max(CASE WHEN rn = $kmvK THEN hv END) AS kth_u
+        FROM ur WHERE rn <= $kmvK GROUP BY 1, 2),
+      est AS (SELECT pa, pb, m, matched,
+          CAST(matched AS DOUBLE) / m AS jaccard,
+          CASE WHEN m < $kmvK THEN CAST(m AS DOUBLE)
+            ELSE ${kmvK - 1}.0 * $kmvSpace / CAST(kth_u AS DOUBLE)
+          END AS est_union
+        FROM mm),
+      dsets AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
+        FROM orders),
+      dcnt AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM dsets
+        GROUP BY 1),
+      ex AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT)
+            AS exact_isect
+        FROM dsets a JOIN dsets b ON a.c = b.c AND a.p < b.p
+        GROUP BY 1, 2)
+      SELECT est.pa, est.pb, est.m, est.matched, est.jaccard,
+        est.est_union, est.jaccard * est.est_union AS est_intersection,
+        ex.exact_isect,
+        CAST(ex.exact_isect AS DOUBLE) / (da.d + db.d - ex.exact_isect)
+          AS exact_jaccard
+      FROM est JOIN ex ON ex.pa = est.pa AND ex.pb = est.pb
+        JOIN dcnt da ON da.p = est.pa
+        JOIN dcnt db ON db.p = est.pb
+      ORDER BY est.pa, est.pb"""),
+    doc = "[NS] KMV sketch set-overlap: Jaccard/intersection from merged bottom-k")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
-    q147SnapshotDiff)
+    q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard)
 }

@@ -102,6 +102,14 @@ class GraftFunctionsSpec extends AnyFunSuite {
         ('a'), ('a'), ('b') AS v(t)""").collect()(0)
       .getMap[String, Long](0)
     assert(m === Map("a" -> 2L, "b" -> 1L))
+    // KMV: the sketch of a small hashed set is the sorted distinct set
+    val kv = spark.sql(
+      """SELECT graft_kmv256(cast(conv(substring(md5(k), 1, 15), 16, 10)
+          AS bigint)) AS sk
+        FROM VALUES ('x'), ('y'), ('z'), ('x') AS t(k)""").collect()(0)
+      .getSeq[Long](0)
+    assert(kv.length === 3 && kv === kv.sorted,
+      "kmv sketch must be the sorted distinct hash set below k")
   }
 
   test("constant-arg builders reject columns and wrong arity with clear errors") {
