@@ -45,8 +45,9 @@ object AnnIndex {
   import Similarity.{cosine, vecD}
 
   /** Bump when the on-disk layout or training semantics change — stale
-    * indexes with a different version are rebuilt, not served. */
-  private val FormatVersion = 1
+    * indexes with a different version are rebuilt, not served.
+    * v2: codes may carry caller-chosen metadata columns (filtered ANN). */
+  private val FormatVersion = 2
 
   def centroidsPath(dir: String) = s"$dir/centroids"
   def codebooksPath(dir: String) = s"$dir/codebooks"
@@ -61,27 +62,39 @@ object AnnIndex {
     "/tmp/graft_ann_index/" + corpusTag.replaceAll("[^A-Za-z0-9._-]", "_")
 
   private def fingerprint(corpus: String, m: Int, subDim: Int, ksub: Int,
-      iters: Int, nlist: Int): String =
+      iters: Int, nlist: Int, metaCols: Seq[String]): String =
     s"""{"version":$FormatVersion,"corpus":"$corpus","m":$m,""" +
-      s""""subDim":$subDim,"ksub":$ksub,"iters":$iters,"nlist":$nlist}"""
+      s""""subDim":$subDim,"ksub":$ksub,"iters":$iters,"nlist":$nlist,""" +
+      s""""meta":[${metaCols.map("\"" + _ + "\"").mkString(",")}]}"""
 
   /** Train + persist the index. `centroids` = (c_id, cv ARRAY<DOUBLE>),
     * the IVF coarse quantizer (caller-chosen: [[Similarity.kmeans]]
     * output or any deterministic seed set). Three writes:
     * centroids, codebooks (sub, c_id, cv), and codes
-    * (idCol, sub, code) partitioned by `centroid`. */
+    * (idCol, sub, code [, metaCols...]) partitioned by `centroid`.
+    *
+    * `metaCols` are corpus columns DENORMALIZED INTO THE CODES TABLE —
+    * the filtered-ANN design: a predicate on them becomes a plain parquet
+    * data filter on the codes scan ([[serveFiltered]]), pushed to the
+    * row-group level, instead of a 100 TB-side join against the corpus at
+    * query time. The copies cost m small values per vector; the floats
+    * still stay out of the index. */
   def build(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, m: Int, subDim: Int, ksub: Int, iters: Int,
-      dir: String): Unit = {
+      dir: String, metaCols: Seq[String] = Nil): Unit = {
     centroids.coalesce(1).write.mode("overwrite")
       .parquet(centroidsPath(dir))
     val cbs = Similarity.pqTrain(df, idCol, vecCol, m, subDim, ksub, iters)
     cbs.coalesce(1).write.mode("overwrite").parquet(codebooksPath(dir))
     val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
       .select(col(idCol), col("centroid"))
+    val meta =
+      if (metaCols.isEmpty) assigned
+      else assigned.join(
+        df.select(col(idCol) +: metaCols.map(col): _*), Seq(idCol))
     Similarity.pqEncode(df, idCol, vecCol, cbs, m, subDim)
       .select(col(idCol), col("sub"), col("code"))
-      .join(assigned, Seq(idCol))
+      .join(meta, Seq(idCol))
       .write.mode("overwrite").partitionBy("centroid")
       .parquet(codesPath(dir))
   }
@@ -92,13 +105,14 @@ object AnnIndex {
     * queries against the same corpus) skips straight to serving. */
   def buildIfAbsent(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, m: Int, subDim: Int, ksub: Int, iters: Int,
-      dir: String, corpusTag: String): Unit = {
-    val fp = fingerprint(corpusTag, m, subDim, ksub, iters, -1)
+      dir: String, corpusTag: String, metaCols: Seq[String] = Nil): Unit = {
+    val fp = fingerprint(corpusTag, m, subDim, ksub, iters, -1, metaCols)
     val meta = java.nio.file.Paths.get(metaPath(dir))
     val fresh = java.nio.file.Files.exists(meta) &&
       java.nio.file.Files.readString(meta) == fp
     if (!fresh) {
-      build(df, idCol, vecCol, centroids, m, subDim, ksub, iters, dir)
+      build(df, idCol, vecCol, centroids, m, subDim, ksub, iters, dir,
+        metaCols)
       java.nio.file.Files.createDirectories(meta.getParent)
       java.nio.file.Files.writeString(meta, fp)
     }
@@ -112,7 +126,26 @@ object AnnIndex {
     * [[Similarity.ivfPqSearch]] row-for-row at the same geometry. */
   def serve(spark: SparkSession, dir: String, corpus: DataFrame,
       idCol: String, vecCol: String, queryVec: DataFrame, m: Int,
-      subDim: Int, nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+      subDim: Int, nProbe: Int, shortlist: Int, k: Int): DataFrame =
+    serveFiltered(spark, dir, corpus, idCol, vecCol, queryVec, m, subDim,
+      nProbe, shortlist, k, codesFilter = None, metaFields = Nil)
+
+  /** FILTERED ANN serving: [[serve]] with a metadata predicate evaluated
+    * ON THE STORED CODES TABLE (the columns [[build]]'s `metaCols`
+    * denormalized in). The filter lands on the codes parquet scan as a
+    * pushed data filter UNDER the static partition pruning — so a query
+    * like "top-k among label=3" reads only the probed `centroid=`
+    * directories AND only row groups that can contain label 3, never
+    * joins the corpus to decide eligibility, and the shortlist/k cuts see
+    * eligible candidates only (no post-filter underfill: a post-hoc
+    * filter on an unfiltered top-`shortlist` can return fewer than k
+    * eligible rows — or none — when the predicate is selective).
+    * `metaFields` extends the explicit codes read schema. */
+  def serveFiltered(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, queryVec: DataFrame, m: Int,
+      subDim: Int, nProbe: Int, shortlist: Int, k: Int,
+      codesFilter: Option[org.apache.spark.sql.Column],
+      metaFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
     import org.apache.spark.sql.types._
     // The index format is ours and versioned — serving reads with
     // EXPLICIT schemas. At scale this skips per-query footer reads for
@@ -128,7 +161,8 @@ object AnnIndex {
       .parquet(codebooksPath(dir))
     val codes = spark.read.schema(StructType(Seq(
         StructField(idCol, LongType), StructField("sub", IntegerType),
-        StructField("code", LongType), StructField("centroid", LongType))))
+        StructField("code", LongType), StructField("centroid", LongType))
+        ++ metaFields))
       .parquet(codesPath(dir))
 
     // probe: the nProbe lists nearest the query, COLLECTED to the driver
@@ -157,8 +191,8 @@ object AnnIndex {
     // predicate prunes partitions statically (PartitionFilters on the
     // scan — unprobed directories never opened), then the distance-table
     // broadcast join and ONE combining exchange on id
-    val scored = codes
-      .filter(col("centroid").isin(probeIds: _*))
+    val probed = codes.filter(col("centroid").isin(probeIds: _*))
+    val scored = codesFilter.fold(probed)(probed.filter)
       .join(broadcast(tbl), Seq("sub", "code"))
       .groupBy(col(idCol))
       .agg(sum(col("tdot")).as("ascore"))

@@ -443,7 +443,13 @@ object EmbeddingQueries {
     * a read-back oracle (the same wrong shortlist on both sides) but
     * cannot match a from-scratch recomputation; it also keeps the oracle
     * free of absolute /tmp paths and scale-factor coupling. */
-  private lazy val ivfPqOracleSql: String =
+  private lazy val ivfPqOracleSql: String = ivfPqOracle("")
+
+  /** `extraShortFilter` restricts shortlist eligibility (q150's filtered
+    * ANN: e.g. "AND a.vec_id IN (SELECT vec_id FROM e WHERE label = 3)")
+    * — applied BEFORE the shortlist/k cuts, mirroring the codes-scan
+    * pushdown on the Spark side. */
+  private def ivfPqOracle(extraShortFilter: String): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
         FROM embeddings),
       q AS (SELECT vec_id AS q_id, v AS qv FROM e
@@ -470,6 +476,7 @@ object EmbeddingQueries {
       short AS (SELECT a.vec_id, a.ascore FROM approx a, q
         WHERE a.vec_id <> q.q_id
           AND a.vec_id IN (SELECT vec_id FROM pr)
+          $extraShortFilter
         ORDER BY a.ascore DESC, a.vec_id ASC LIMIT 50)
       SELECT e.vec_id, e.label, CAST(s.ascore AS DOUBLE) / 1e6 AS approx,
         round(${cosSql("e.v", "qv")}, 6) AS cos
@@ -516,7 +523,7 @@ object EmbeddingQueries {
       val dir = graft.operators.AnnIndex.defaultDir(d)
       graft.operators.AnnIndex.buildIfAbsent(e, "vec_id", "embedding",
         cents, m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters,
-        dir = dir, corpusTag = d)
+        dir = dir, corpusTag = d, metaCols = Seq("label"))
       val qv = e.orderBy($"vec_id".desc).limit(1)
         .select($"vec_id".as("q_id"), vecD($"embedding").as("qv"))
       graft.operators.AnnIndex.serve(s, dir, e, "vec_id", "embedding", qv,
@@ -524,6 +531,42 @@ object EmbeddingQueries {
     },
     Some(ivfPqOracleSql),
     doc = "[NS] ANN lifecycle: serve IVF-PQ from a persisted index (no in-query training)")
+
+  /** [NS] — FILTERED ANN serving (q150): "nearest neighbors among
+    * label=3 only", answered from the same stored index as q107. The
+    * label column was denormalized into the codes table at build time
+    * ([[graft.operators.AnnIndex.build]] `metaCols`), so eligibility is
+    * a pushed parquet data filter on the codes scan UNDER the static
+    * centroid partition pruning — no query-time join against the corpus,
+    * and the shortlist/k cuts see eligible candidates only (a post-hoc
+    * filter on an unfiltered shortlist can underfill or miss; pushing
+    * the predicate below the cuts is the entire point of storing
+    * metadata in the index). Oracle: the shared from-scratch index
+    * recomputation with the same eligibility clause before the shortlist
+    * cut. */
+  val q150FilteredAnn = Q(
+    "q150_filtered_ann",
+    (s, d) => {
+      import org.apache.spark.sql.types.{IntegerType, StructField}
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val dir = graft.operators.AnnIndex.defaultDir(d)
+      graft.operators.AnnIndex.buildIfAbsent(e, "vec_id", "embedding",
+        cents, m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters,
+        dir = dir, corpusTag = d, metaCols = Seq("label"))
+      val qv = e.orderBy($"vec_id".desc).limit(1)
+        .select($"vec_id".as("q_id"), vecD($"embedding").as("qv"))
+      graft.operators.AnnIndex.serveFiltered(s, dir, e, "vec_id",
+        "embedding", qv, m = pqM, subDim = pqSubDim, nProbe = 2,
+        shortlist = 50, k = 10,
+        codesFilter = Some(col("label") === 3),
+        metaFields = Seq(StructField("label", IntegerType)))
+    },
+    Some(ivfPqOracle(
+      "AND a.vec_id IN (SELECT vec_id FROM e WHERE label = 3)")),
+    doc = "[NS] filtered ANN: metadata predicate pushed into the stored codes scan")
 
   /** [NS] — hard-negative mining (q105): per anchor (every 10th vector),
     * the 2 most-similar same-LSH-bucket vectors with a different label —
@@ -723,5 +766,5 @@ object EmbeddingQueries {
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,
-    q132JlProject)
+    q132JlProject, q150FilteredAnn)
 }

@@ -144,6 +144,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q150 filtered ANN: the label predicate is a PUSHED data filter " +
+      "on the stored codes scan, under the static partition pruning — " +
+      "no corpus join decides eligibility") {
+    val p = plan("q150_filtered_ann")
+    // still the stored-index serving shape (q107's gates)
+    assert(p.contains("graft_ann_index"), p)
+    assert(!p.contains("Generate"), s"training smuggled into serving:\n$p")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*centroid[^\\]]*IN.*"),
+      s"probe filter did not reach PartitionFilters:\n$p")
+    // the metadata predicate reaches the codes parquet reader
+    assert(p.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(label,3\\)[^\\]]*\\].*"),
+      s"label filter not pushed to the codes scan:\n$p")
+    assert("(?<!Broadcast)Exchange \\(".r.findAllIn(p).size == 1,
+      s"expected exactly 1 shuffle exchange in serving plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q105 hard negatives: bucket equi-join (no cartesian), per-anchor " +
       "top-k pushed below the sort (WindowGroupLimit)") {
     val p = plan("q105_hard_negatives")
