@@ -647,6 +647,109 @@ object Curation {
       .orderBy(col("score_ppm").desc, col(idCol).asc)
       .limit(k)
 
+  /** [NS] — size-balanced shard packing: assign each row to one of
+    * `nShards` shards so per-shard total size is near-equal — the
+    * training-shard writer's answer to skewed document lengths, where
+    * [[shardWrite]]'s pure hash assignment balances COUNTS but lets a
+    * few book-length docs make one shard 2× another (uneven shard =
+    * straggler training step). Serpentine (boustrophedon) round-robin
+    * over the global (size DESC, id) rank: rank r goes to shard
+    * `pos = (r-1) mod n` on even blocks and `n-1-pos` on odd blocks, so
+    * every window of 2n consecutive ranks contributes exactly one pair
+    * summing ~equal to every shard — max/min shard spread is bounded by
+    * the largest single item, like LPT, but stays a pure function of the
+    * rank (deterministic, oracle-expressible).
+    *
+    * The global rank is the scale-relevant part: NOT a single-partition
+    * window. Two passes, the zipWithIndex shape: range-repartition by
+    * the rank key, count rows per range (a `parts`-row driver read),
+    * then rank = broadcast cumulative offset of the range + the
+    * row_number WITHIN the range. Only (id, size) ever shuffles — the
+    * document payload joins back by id afterwards if needed. The ranked
+    * frame is localCheckpoint'd so the range boundaries (sampled once)
+    * can't drift between the count pass and the rank pass. */
+  def packShards(df: DataFrame, idCol: String, sizeCol: String,
+      nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.select(col(idCol), col(sizeCol))
+      .repartitionByRange(parts, col(sizeCol).desc, col(idCol).asc)
+      .sortWithinPartitions(col(sizeCol).desc, col(idCol).asc)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = sorted.groupBy(col("_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0L)(_ + _._2)
+    val offExpr = counts.map(_._1).zip(offsets)
+      .foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+        when(col("_pid") === pid, lit(off)).otherwise(acc)
+      }
+    val w = Window.partitionBy(col("_pid"))
+      .orderBy(col(sizeCol).desc, col(idCol).asc)
+    sorted
+      .withColumn("_rk0", row_number().over(w).cast("long") + offExpr - 1L)
+      .withColumn("shard",
+        when(expr(s"(_rk0 div $nShards) % 2") === 0,
+          col("_rk0") % nShards)
+          .otherwise(lit(nShards - 1) - col("_rk0") % nShards))
+      .drop("_pid", "_rk0")
+  }
+
+  /** [NS] — hybrid retrieval: BM25 (lexical, [[bm25TopK]]) fused with
+    * char-trigram Jaccard (fuzzy — catches what exact term match misses:
+    * typos, morphology, e.g. query "sparc" still surfaces "spark" docs)
+    * by INTEGER-QUANTIZED reciprocal-rank fusion, RRF (Cormack et al.,
+    * SIGIR'09) with each 1/(k0+rank) term replaced by
+    * `rrfScale div (k0+rank)` — integer division both engines floor
+    * identically, where float RRF sums are addition-order-dependent and
+    * can't hash-match an oracle. Quantization error is < candidates /
+    * rrfScale relative — irrelevant to ranking at rrfScale = 1e9.
+    *
+    * Scale shape: each arm is its own top-`candidates` ranking (BM25:
+    * the q124 plan; fuzzy: one explode filtered to the query's own
+    * trigrams — ~|query| distinct grams, so the explode output is
+    * corpus-hits-sized, not corpus-sized). The rank windows and the
+    * full-outer fusion join run on ≤2·candidates rows — driver-bounded
+    * small, broadcast. Returns top-k by fused score, ties on id. */
+  def hybridRetrieve(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], queryText: String, candidates: Int, k: Int,
+      rrfK: Int = 60, rrfScale: Long = 1000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // candidate frames are ≤`candidates` rows — a single-partition rank
+    // window over them is deliberate, not a scale hazard
+    val bmW = Window.orderBy(col("score_ppm").desc, col(idCol).asc)
+    val bm = bm25TopK(df, idCol, textCol, terms, candidates)
+      .withColumn("bm25_rank", row_number().over(bmW).cast("long"))
+      .select(col(idCol), col("bm25_rank"))
+    val qGrams = queryText.sliding(3).filter(_.length == 3).toSeq.distinct
+    // CASE guard, not greatest(): sequence(1, 0) is DESCENDING in Spark,
+    // so a sub-3-char text must yield an empty gram array explicitly
+    val grams = df.select(col(idCol),
+      explode(array_distinct(expr(
+        s"""case when length(`$textCol`) >= 3
+            then transform(sequence(1, length(`$textCol`) - 2),
+              i -> substring(`$textCol`, i, 3))
+            else array() end"""))).as("gram"))
+    val dSize = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_d"))
+    val fzW = Window.orderBy(col("jaccard_pm").desc, col(idCol).asc)
+    val fz = grams.filter(col("gram").isin(qGrams: _*))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("isect"))
+      .join(dSize, Seq(idCol))
+      .withColumn("jaccard_pm", expr(
+        s"(1000000 * isect) div (n_d + ${qGrams.size} - isect)"))
+      .orderBy(col("jaccard_pm").desc, col(idCol).asc)
+      .limit(candidates)
+      .withColumn("fuzzy_rank", row_number().over(fzW).cast("long"))
+      .select(col(idCol), col("fuzzy_rank"))
+    bm.join(fz, Seq(idCol), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"$rrfScale div ($rrfK + bm25_rank)"), lit(0L)) +
+          coalesce(expr(s"$rrfScale div ($rrfK + fuzzy_rank)"), lit(0L)))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** [NS] — epoch expansion: materialize the training-mixture recipe
     * (LLaMA-style "source X seen N times per epoch") as actual rows —
     * each doc repeated `epochs` times with an `epoch_idx`, plus `ord`,

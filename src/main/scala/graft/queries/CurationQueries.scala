@@ -769,11 +769,118 @@ object CurationQueries {
     q124Bm25.oracle,
     doc = "[NS] incremental postings merge == from-scratch build (twin-certified)")
 
+  /** [NS] — hybrid retrieval (q151): the q124 BM25 arm fused with a
+    * char-trigram Jaccard arm by integer-quantized RRF
+    * ([[Curation.hybridRetrieve]]). The fuzzy query is deliberately
+    * typo'd ("sparc") — its trigrams still overlap "spark" docs, which
+    * is the capability lexical BM25 alone lacks; RRF then rewards docs
+    * both arms rank. Every rank and fused score is an exact integer
+    * (`rrfScale div (k0+rank)` replaces float 1/(k0+rank)), so the
+    * oracle replays both arms and the fusion bit-for-bit. */
+  val q151Hybrid = {
+    val terms = Seq("spark", "window", "merge")
+    val queryText = "sparc window merge"
+    val qGrams = queryText.sliding(3).filter(_.length == 3).toSeq.distinct
+    val gramValues = qGrams.map(g => s"('$g')").mkString(", ")
+    Q(
+      "q151_hybrid_retrieval",
+      (s, d) => Curation.hybridRetrieve(Tables.documents(s, d), "doc_id",
+        "text", terms, queryText, candidates = 50, k = 10),
+      Some(s"""WITH dl AS (SELECT doc_id,
+            CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+              AS BIGINT) AS dl FROM documents),
+        tot AS (SELECT sum(dl) AS L, count(*) AS N FROM dl),
+        w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        hits AS (SELECT doc_id, term, count(*) AS tf FROM w
+          WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")})
+          GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+        sc AS (SELECT h.doc_id,
+            (10000 * (2 * (N - df) + 1)) // (2 * df + 1) AS idf_pm,
+            (1000000 * 44 * tf * L) //
+              (20 * tf * L + 6 * L + 18 * dl * N) AS tfc_ppm
+          FROM hits h JOIN dfreq USING (term) JOIN dl USING (doc_id), tot),
+        bmscore AS (SELECT doc_id,
+            CAST(sum((idf_pm * tfc_ppm) // 10000) AS BIGINT) AS score_ppm
+          FROM sc GROUP BY doc_id),
+        bm AS (SELECT doc_id, CAST(row_number() OVER
+              (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS bm25_rank
+          FROM (SELECT * FROM bmscore
+            ORDER BY score_ppm DESC, doc_id LIMIT 50)),
+        qg AS (SELECT DISTINCT gram FROM (VALUES $gramValues) t(gram)),
+        dg AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3)
+              AS gram
+          FROM documents CROSS JOIN LATERAL
+            unnest(range(1, greatest(length(text) - 1, 1))) s(i)),
+        dsize AS (SELECT doc_id, count(*) AS n_d FROM dg GROUP BY 1),
+        fzc AS (SELECT doc_id, count(*) AS isect FROM dg
+          JOIN qg USING (gram) GROUP BY 1),
+        fz0 AS (SELECT f.doc_id,
+            (1000000 * isect) // (n_d + ${qGrams.size} - isect)
+              AS jaccard_pm
+          FROM fzc f JOIN dsize USING (doc_id)),
+        fz AS (SELECT doc_id, CAST(row_number() OVER
+              (ORDER BY jaccard_pm DESC, doc_id) AS BIGINT) AS fuzzy_rank
+          FROM (SELECT * FROM fz0
+            ORDER BY jaccard_pm DESC, doc_id LIMIT 50))
+        SELECT coalesce(bm.doc_id, fz.doc_id) AS doc_id,
+          bm.bm25_rank, fz.fuzzy_rank,
+          coalesce(1000000000 // (60 + bm.bm25_rank), 0) +
+            coalesce(1000000000 // (60 + fz.fuzzy_rank), 0) AS rrf_score
+        FROM bm FULL OUTER JOIN fz ON bm.doc_id = fz.doc_id
+        ORDER BY rrf_score DESC, doc_id LIMIT 10"""),
+      doc = "[NS] hybrid retrieval: BM25 + trigram-fuzzy arms, integer-quantized RRF")
+  }
+
+  /** [NS] — size-balanced shard packing (q152):
+    * [[Curation.packShards]]'s serpentine assignment vs [[Curation
+    * .hashBucket]]'s count-balanced hash assignment, side by side per
+    * shard — `chars_packed` lands within one document of the mean while
+    * `chars_hash` scatters (the straggler-shard problem the operator
+    * exists to fix, visible in the data). The oracle replays the global
+    * (size DESC, id) rank and the boustrophedon block algebra; the Spark
+    * side computes the SAME rank with the two-pass range/offset shape —
+    * rank equality here certifies the distributed zipWithIndex against
+    * a window-function reference. */
+  val q152ShardPack = Q(
+    "q152_shard_pack",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val packed = Curation.packShards(docs, "doc_id", "n_chars", 8)
+        .groupBy($"shard").agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("chars_packed"))
+      val hashed = docs
+        .select(Curation.hashBucket($"doc_id", 8).as("shard"), $"n_chars")
+        .groupBy($"shard").agg(sum($"n_chars").as("chars_hash"))
+      packed.join(hashed, Seq("shard")).orderBy($"shard")
+    },
+    Some("""WITH r AS (SELECT doc_id, n_chars,
+          CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+            AS BIGINT) - 1 AS rk0
+        FROM documents),
+      a AS (SELECT doc_id, n_chars,
+          CASE WHEN (rk0 // 8) % 2 = 0 THEN rk0 % 8
+            ELSE 7 - (rk0 % 8) END AS shard
+        FROM r),
+      p AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS chars_packed
+        FROM a GROUP BY 1),
+      h0 AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % 8 AS shard, n_chars
+        FROM documents),
+      h AS (SELECT shard, CAST(sum(n_chars) AS BIGINT) AS chars_hash
+        FROM h0 GROUP BY 1)
+      SELECT p.shard, p.n_docs, p.chars_packed, h.chars_hash
+      FROM p JOIN h USING (shard) ORDER BY p.shard"""),
+    doc = "[NS] size-balanced shard packing (serpentine over global size rank)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,
     q120EpochExpand, q121NgramDiversity, q122Postings,
     q123PositionalIndex, q124Bm25, q126PhraseSearch,
-    q127TextIndexServe, q128IndexMerge)
+    q127TextIndexServe, q128IndexMerge, q151Hybrid, q152ShardPack)
 }

@@ -368,6 +368,31 @@ class CurationSpec extends AnyFunSuite {
       s"only ${shared.size} shared chunk hashes after a prefix edit")
   }
 
+  test("packShards: every row assigned, per-shard size spread bounded by " +
+      "the largest item, assignment invariant under input partitioning") {
+    val rnd = new scala.util.Random(5)
+    // skewed sizes: a few giants + a long tail, the case hash sharding
+    // loses on
+    val rows = (1L to 500L).map(i =>
+      (i, if (i <= 5) 5000L + rnd.nextInt(3000) else 10L + rnd.nextInt(200)))
+    val df = rows.toDF("id", "sz")
+    val packed = Curation.packShards(df, "id", "sz", 8)
+    assert(packed.count() === 500)
+    val totals = packed.groupBy("shard").agg(sum($"sz").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(totals.keySet === (0L to 7L).toSet, totals)
+    val maxItem = rows.map(_._2).max
+    assert(totals.values.max - totals.values.min <= maxItem,
+      s"spread ${totals.values.max - totals.values.min} > largest item " +
+        s"$maxItem: $totals")
+    // the serpentine rank is a pure function of (size, id): physical
+    // partitioning of the input must not move any row between shards
+    val again = Curation.packShards(df.repartition(17), "id", "sz", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val first = packed.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === first)
+  }
+
   test("epochExpand: w copies per row, weight-0 rows leave the mixture, " +
       "ord is unique and deterministic") {
     import spark.implicits._
