@@ -117,6 +117,58 @@ object Analytics {
     * differing (null-safe compare); unchanged rows are dropped — at
     * 100 TB the diff is what's small, and shipping only it is the
     * point. Returns keys + per-side compared values + `change`. */
+  /** [NS] — SCD2 interval build (gaps-and-islands): collapse a per-key
+    * ordered attribute stream into effective-dated rows
+    * (key, attr, valid_from, valid_to, n_events), open row's valid_to
+    * NULL. The q80 algebra as a reusable operator: one window pass for
+    * change flags + island ids, one groupBy, one lead. `wgtCol` lets
+    * [[scd2Apply]] seed a row that stands for n already-folded events. */
+  def scd2Build(df: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, ordCol: Column, wgtCol: Column = lit(1L)): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), ordCol)
+    val sp = df
+      .withColumn("_w", wgtCol)
+      .withColumn("_chg",
+        when(lag(col(attrCol), 1).over(w) <=> col(attrCol), 0L)
+          .otherwise(1L))
+      .withColumn("_island", sum(col("_chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_island"), col(attrCol))
+      .agg(min(col(tsCol)).as("valid_from"), sum(col("_w")).as("n_events"))
+    sp.withColumn("valid_to", lead(col("valid_from"), 1).over(
+        Window.partitionBy(col(keyCol)).orderBy(col("_island"))))
+      .select(col(keyCol), col(attrCol), col("valid_from"),
+        col("valid_to"), col("n_events"))
+  }
+
+  /** [NS] — INCREMENTAL SCD2 maintenance: fold a delta batch of events
+    * into a stored SCD2 dimension without touching closed history. The
+    * dimension-update step every warehouse runs nightly: closed rows
+    * pass through untouched; each key's OPEN row becomes a weighted seed
+    * (its attr at its valid_from, weight = its n_events, ordered before
+    * every delta row — deltas are strictly later), and the q80 island
+    * algebra reruns over seed ∪ delta only. If the first delta attr
+    * matches the open row's, the open row absorbs (same valid_from,
+    * summed n_events); if not, it closes at the change ts — both fall
+    * out of the island rebuild with no case analysis.
+    *
+    * Scale: the rebuild shuffles ONLY the open frontier (one row per
+    * key) plus the delta — never the stored history, whose closed rows
+    * are a pass-through union leg (no window, no shuffle). Equality
+    * with a from-scratch [[scd2Build]] over the full stream is the
+    * correctness contract (q153's oracle is exactly that twin). */
+  def scd2Apply(stored: DataFrame, delta: DataFrame, keyCol: String,
+      attrCol: String, tsCol: String, ordCol: String): DataFrame = {
+    val seed = stored.filter(col("valid_to").isNull)
+      .select(col(keyCol), col(attrCol), col("valid_from").as(tsCol),
+        lit(-1L).as("_ord"), col("n_events").as("_wgt"))
+    val dl = delta.select(col(keyCol), col(attrCol), col(tsCol),
+      col(ordCol).cast("long").as("_ord"), lit(1L).as("_wgt"))
+    val rebuilt = scd2Build(seed.unionByName(dl), keyCol, attrCol, tsCol,
+      col("_ord"), col("_wgt"))
+    stored.filter(col("valid_to").isNotNull).unionByName(rebuilt)
+  }
+
   def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty && compareCols.nonEmpty,

@@ -343,6 +343,34 @@ object EventQueries {
         valid_to NULLS LAST"""),
     doc = "[NS] SCD2 effective-dated intervals via gaps-and-islands")
 
+  /** [NS] — INCREMENTAL SCD2 maintenance (q153): build the dimension
+    * from history before the Jan-20 cutoff ([[Analytics.scd2Build]]),
+    * then fold the post-cutoff delta batch in with
+    * [[Analytics.scd2Apply]] — closed rows pass through untouched, only
+    * the open frontier (one row per user) plus the delta re-islands.
+    * The oracle is q80's from-scratch SQL over the FULL stream
+    * (verbatim — same columns, same total order): the incremental path
+    * must land on the identical dimension, the q128/q145 twin-certified
+    * convention for incremental maintenance. */
+  val q153Scd2Apply = Q(
+    "q153_scd2_apply",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).filter($"user_id" <= 5)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      val stored = graft.operators.Analytics.scd2Build(
+        ev.filter($"ts" < cutoff), "user_id", "event_type", "ts",
+        $"event_id")
+      val delta = ev.filter($"ts" >= cutoff)
+      graft.operators.Analytics.scd2Apply(stored, delta, "user_id",
+          "event_type", "ts", "event_id")
+        .orderBy($"user_id", $"valid_from", $"event_type", $"n_events",
+          $"valid_to".asc_nulls_last)
+    },
+    q80Scd2Islands.oracle,
+    doc = "[NS] incremental SCD2: delta folds through the open frontier, twin-certified")
+
   /** [NS] — distributed-EXACT z-score outlier detection: flag events
     * beyond 2σ of their event_type's mean WITHOUT any float variance —
     * [[graft.operators.Curation.exactOutliers]] (`(n·x − S)² >
@@ -563,5 +591,6 @@ object EventQueries {
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
+    q153Scd2Apply,
     q82Outliers, q88Histogram, q89CorrGate, q91OrderStats, q146PitJoin)
 }

@@ -55,6 +55,38 @@ class AnalyticsSpec extends AnyFunSuite {
     }.toSet
   }
 
+  test("scd2Apply == scd2Build from scratch: absorption (same attr " +
+      "across the cutoff), close-on-change, delta-only keys, " +
+      "no-delta keys untouched") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // u1: open row's attr continues across the cutoff (absorption),
+    //     then changes (close + new island)
+    // u2: no delta rows at all (open row must pass through unchanged)
+    // u3: appears only in the delta (all-new islands)
+    val hist = Seq((1L, "a", ts(1), 10L), (1L, "b", ts(3), 11L),
+      (2L, "x", ts(2), 12L), (2L, "y", ts(4), 13L))
+    val delta = Seq((1L, "b", ts(8), 20L), (1L, "c", ts(9), 21L),
+      (3L, "z", ts(8), 22L), (3L, "z", ts(9), 23L))
+    val cols = Seq("user_id", "event_type", "ts", "event_id")
+    val histDf = hist.toDF(cols: _*)
+    val deltaDf = delta.toDF(cols: _*)
+    val stored = Analytics.scd2Build(histDf, "user_id", "event_type",
+      "ts", $"event_id")
+    val applied = Analytics.scd2Apply(stored, deltaDf, "user_id",
+      "event_type", "ts", "event_id")
+    val scratch = Analytics.scd2Build(histDf.unionByName(deltaDf),
+      "user_id", "event_type", "ts", $"event_id")
+    val key = Seq("user_id", "event_type", "valid_from", "valid_to",
+      "n_events")
+    assert(applied.orderBy(key.map(col): _*).collect().toSeq ===
+      scratch.orderBy(key.map(col): _*).collect().toSeq)
+    // absorption check: u1's "b" island spans the cutoff with 2 events
+    val u1b = applied.filter($"user_id" === 1 && $"event_type" === "b")
+      .collect()
+    assert(u1b.length === 1 && u1b(0).getAs[Long]("n_events") === 2L)
+  }
+
   test("skyline2D equals brute-force dominance on an adversarial fixture") {
     import spark.implicits._
     // duplicates, x-ties with different y, equal-y chains, and points
