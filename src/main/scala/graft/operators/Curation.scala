@@ -723,22 +723,28 @@ object Curation {
       .withColumn("bm25_rank", row_number().over(bmW).cast("long"))
       .select(col(idCol), col("bm25_rank"))
     val qGrams = queryText.sliding(3).filter(_.length == 3).toSeq.distinct
-    // CASE guard, not greatest(): sequence(1, 0) is DESCENDING in Spark,
-    // so a sub-3-char text must yield an empty gram array explicitly
-    val grams = df.select(col(idCol),
-      explode(array_distinct(expr(
-        s"""case when length(`$textCol`) >= 3
-            then transform(sequence(1, length(`$textCol`) - 2),
-              i -> substring(`$textCol`, i, 3))
-            else array() end"""))).as("gram"))
-    val dSize = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_d"))
-    val fzW = Window.orderBy(col("jaccard_pm").desc, col(idCol).asc)
-    val fz = grams.filter(col("gram").isin(qGrams: _*))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("isect"))
-      .join(dSize, Seq(idCol))
-      .withColumn("jaccard_pm", expr(
-        s"(1000000 * isect) div (n_d + ${qGrams.size} - isect)"))
-      .orderBy(col("jaccard_pm").desc, col(idCol).asc)
+    // The fuzzy arm is query-gram COVERAGE scoring (pg_trgm's
+    // word_similarity shape: how much of the QUERY's trigram set the doc
+    // contains, plus total occurrences as the tiebreak) — ~|query| native
+    // codegen'd instr/replace scans per row, MAP-ONLY, ending in
+    // TakeOrderedAndProject. Deliberately NOT doc-side Jaccard: building
+    // each doc's distinct-trigram set per row (array_distinct over
+    // hundreds of entries, or an explode + two shuffles) measured 26 s at
+    // the 10× probe vs ~1 s for this form, and doc-length normalization
+    // is the wrong prior for query matching anyway (BM25's dl term
+    // already covers it on the lexical arm).
+    val isectC = qGrams.map(g =>
+      when(instr(col(textCol), g) > 0, 1L).otherwise(0L)).reduce(_ + _)
+    val occC = expr("(" + qGrams.map(g =>
+        s"(length(`$textCol`) - length(replace(`$textCol`, '$g', '')))")
+      .mkString(" + ") + ") div 3")
+    val fzW = Window.orderBy(col("isect").desc, col("occ").desc,
+      col(idCol).asc)
+    val fz = df
+      .withColumn("isect", isectC)
+      .filter(col("isect") > 0)
+      .withColumn("occ", occC.cast("long"))
+      .orderBy(col("isect").desc, col("occ").desc, col(idCol).asc)
       .limit(candidates)
       .withColumn("fuzzy_rank", row_number().over(fzW).cast("long"))
       .select(col(idCol), col("fuzzy_rank"))

@@ -770,7 +770,7 @@ object CurationQueries {
     doc = "[NS] incremental postings merge == from-scratch build (twin-certified)")
 
   /** [NS] — hybrid retrieval (q151): the q124 BM25 arm fused with a
-    * char-trigram Jaccard arm by integer-quantized RRF
+    * trigram query-coverage fuzzy arm by integer-quantized RRF
     * ([[Curation.hybridRetrieve]]). The fuzzy query is deliberately
     * typo'd ("sparc") — its trigrams still overlap "spark" docs, which
     * is the capability lexical BM25 alone lacks; RRF then rewards docs
@@ -781,7 +781,11 @@ object CurationQueries {
     val terms = Seq("spark", "window", "merge")
     val queryText = "sparc window merge"
     val qGrams = queryText.sliding(3).filter(_.length == 3).toSeq.distinct
-    val gramValues = qGrams.map(g => s"('$g')").mkString(", ")
+    val isectSql = qGrams.map(g =>
+      s"CASE WHEN position('$g' IN text) > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val occSql = qGrams.map(g =>
+      s"(length(text) - length(replace(text, '$g', '')))").mkString(" + ")
     Q(
       "q151_hybrid_retrieval",
       (s, d) => Curation.hybridRetrieve(Tables.documents(s, d), "doc_id",
@@ -808,22 +812,14 @@ object CurationQueries {
               (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS bm25_rank
           FROM (SELECT * FROM bmscore
             ORDER BY score_ppm DESC, doc_id LIMIT 50)),
-        qg AS (SELECT DISTINCT gram FROM (VALUES $gramValues) t(gram)),
-        dg AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3)
-              AS gram
-          FROM documents CROSS JOIN LATERAL
-            unnest(range(1, greatest(length(text) - 1, 1))) s(i)),
-        dsize AS (SELECT doc_id, count(*) AS n_d FROM dg GROUP BY 1),
-        fzc AS (SELECT doc_id, count(*) AS isect FROM dg
-          JOIN qg USING (gram) GROUP BY 1),
-        fz0 AS (SELECT f.doc_id,
-            (1000000 * isect) // (n_d + ${qGrams.size} - isect)
-              AS jaccard_pm
-          FROM fzc f JOIN dsize USING (doc_id)),
+        qstats AS (SELECT doc_id, ($isectSql) AS isect,
+            (($occSql) // 3) AS occ
+          FROM documents),
         fz AS (SELECT doc_id, CAST(row_number() OVER
-              (ORDER BY jaccard_pm DESC, doc_id) AS BIGINT) AS fuzzy_rank
-          FROM (SELECT * FROM fz0
-            ORDER BY jaccard_pm DESC, doc_id LIMIT 50))
+              (ORDER BY isect DESC, occ DESC, doc_id) AS BIGINT)
+            AS fuzzy_rank
+          FROM (SELECT * FROM qstats WHERE isect > 0
+            ORDER BY isect DESC, occ DESC, doc_id LIMIT 50))
         SELECT coalesce(bm.doc_id, fz.doc_id) AS doc_id,
           bm.bm25_rank, fz.fuzzy_rank,
           coalesce(1000000000 // (60 + bm.bm25_rank), 0) +

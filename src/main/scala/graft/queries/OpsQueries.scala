@@ -499,7 +499,95 @@ object OpsQueries {
       ORDER BY est.pa, est.pb"""),
     doc = "[NS] KMV sketch set-overlap: Jaccard/intersection from merged bottom-k")
 
+  /** §2.10 [NS] — KMV sliding-window rollup (q154): trailing-7-day
+    * distinct users per day, served from DAILY sketches — the
+    * pre-aggregate-once / serve-any-window pattern HLL dashboards run at
+    * scale, here with the oracle-exact KMV. Correctness leans on the
+    * bottom-k composition law `bottomK(∪ bottomK(Sᵢ)) = bottomK(∪ Sᵢ)`
+    * (KmvSpec pins it): daily sketches explode back to hashes, replicate
+    * to their ≤7 target days via a GENERATED offset column (an
+    * equi-join/groupBy — no range theta-join anywhere), and re-aggregate
+    * with the same Aggregator. Each day's input to the rollup is ≤ 7·k
+    * hashes regardless of traffic; the raw stream is touched once, by
+    * the daily build. The exact audit column replays the window over
+    * distinct (day, user) pairs with the same offset trick. */
+  val q154KmvWindow = {
+    val k = 64
+    val spaceTimesKm1 = s"${k - 1}.0 * $kmvSpace"
+    Q(
+      "q154_kmv_window",
+      (s, d) => {
+        import s.implicits._
+        val kmv = udaf(graft.functions.KmvSketchAggregator(k))
+        val ev = Tables.events(s, d).select(
+          to_date($"ts").as("day"),
+          expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+            .as("hv"),
+          $"user_id")
+        val daily = ev.groupBy($"day").agg(kmv($"hv").as("sk"))
+        val cal = daily.select($"day".as("tday"))
+        val rolled = daily
+          .withColumn("off", explode(sequence(lit(0), lit(6))))
+          .withColumn("tday", date_add($"day", $"off"))
+          .join(broadcast(cal), Seq("tday"), "left_semi")
+          .select($"tday", explode($"sk").as("hv"))
+          .groupBy($"tday").agg(kmv($"hv").as("sk7"))
+        val exact = ev.select($"day", $"user_id").distinct()
+          .withColumn("off", explode(sequence(lit(0), lit(6))))
+          .withColumn("tday", date_add($"day", $"off"))
+          .join(broadcast(cal), Seq("tday"), "left_semi")
+          .groupBy($"tday")
+          .agg(countDistinct($"user_id").as("exact_distinct"))
+        rolled.join(exact, Seq("tday"))
+          .select($"tday".as("day"),
+            size($"sk7").cast("long").as("n_kept"),
+            when(size($"sk7") >= k, element_at($"sk7", k)).as("kth"),
+            $"exact_distinct")
+          .withColumn("est_distinct",
+            when($"n_kept" < k, $"n_kept".cast("double"))
+              .otherwise(lit((k - 1).toDouble) *
+                lit(1152921504606846976.0) / $"kth".cast("double")))
+          .select($"day", $"n_kept", $"kth", $"est_distinct",
+            $"exact_distinct")
+          .orderBy($"day")
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+            CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS hv
+          FROM events),
+        r AS (SELECT day, hv,
+            row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM h),
+        sk AS (SELECT day, hv FROM r WHERE rn <= $k),
+        cal AS (SELECT DISTINCT day FROM h),
+        contrib AS (SELECT (sk.day + o.off) AS tday, sk.hv
+          FROM sk CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+          WHERE (sk.day + o.off) IN (SELECT day FROM cal)),
+        u AS (SELECT DISTINCT tday, hv FROM contrib),
+        ur AS (SELECT tday, hv,
+            row_number() OVER (PARTITION BY tday ORDER BY hv) AS rn FROM u),
+        roll AS (SELECT tday,
+            CAST(count(*) FILTER (WHERE rn <= $k) AS BIGINT) AS n_kept,
+            max(CASE WHEN rn = $k THEN hv END) AS kth
+          FROM ur GROUP BY tday),
+        du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+          FROM events),
+        dc AS (SELECT (du.day + o.off) AS tday, du.user_id
+          FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+          WHERE (du.day + o.off) IN (SELECT day FROM cal)),
+        ex AS (SELECT tday, CAST(count(DISTINCT user_id) AS BIGINT)
+              AS exact_distinct
+          FROM dc GROUP BY tday)
+        SELECT roll.tday AS day, roll.n_kept, roll.kth,
+          CASE WHEN roll.n_kept < $k THEN CAST(roll.n_kept AS DOUBLE)
+            ELSE $spaceTimesKm1 / CAST(roll.kth AS DOUBLE) END
+            AS est_distinct,
+          ex.exact_distinct
+        FROM roll JOIN ex ON ex.tday = roll.tday
+        ORDER BY day"""),
+      doc = "[NS] KMV sliding-window rollup: daily sketches merged to any trailing window")
+  }
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
-    q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard)
+    q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow)
 }

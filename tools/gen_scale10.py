@@ -65,7 +65,34 @@ con.execute(f"""
   COPY ({' UNION ALL '.join(emb_parts)})
   TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
 
-for t in ("documents", "embeddings"):
+# orders: disjoint key-space copies (custkey offset per shard keeps
+# per-priority distinct-customer density constant -- the KMV families'
+# linear-null-hypothesis analogue of the token-suffix remap)
+ord_parts = []
+for j in range(SHARDS):
+    ord_parts.append(f"""
+      SELECT o_orderkey + {j * OFF} AS o_orderkey,
+        o_custkey + {j * OFF} AS o_custkey,
+        * EXCLUDE (o_orderkey, o_custkey)
+      FROM read_parquet('{SRC}/orders.parquet')""")
+con.execute(f"""
+  COPY ({' UNION ALL '.join(ord_parts)})
+  TO '{OUT}/orders.parquet' (FORMAT PARQUET)""")
+
+# events: disjoint user populations, timestamps untouched (per-user
+# interval structure bit-preserved for the SCD2/session families)
+ev_parts = []
+for j in range(SHARDS):
+    ev_parts.append(f"""
+      SELECT event_id + {j * OFF} AS event_id,
+        user_id + {j * OFF} AS user_id,
+        * EXCLUDE (event_id, user_id)
+      FROM read_parquet('{SRC}/events.parquet')""")
+con.execute(f"""
+  COPY ({' UNION ALL '.join(ev_parts)})
+  TO '{OUT}/events.parquet' (FORMAT PARQUET)""")
+
+for t in ("documents", "embeddings", "orders", "events"):
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')"
     ).fetchone()[0]
