@@ -560,7 +560,7 @@ object OpsQueries {
         sk AS (SELECT day, hv FROM r WHERE rn <= $k),
         cal AS (SELECT DISTINCT day FROM h),
         contrib AS (SELECT (sk.day + o.off) AS tday, sk.hv
-          FROM sk CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+          FROM sk CROSS JOIN (SELECT CAST(unnest(range(0, 7)) AS INT) AS off) o
           WHERE (sk.day + o.off) IN (SELECT day FROM cal)),
         u AS (SELECT DISTINCT tday, hv FROM contrib),
         ur AS (SELECT tday, hv,
@@ -572,7 +572,7 @@ object OpsQueries {
         du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
           FROM events),
         dc AS (SELECT (du.day + o.off) AS tday, du.user_id
-          FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+          FROM du CROSS JOIN (SELECT CAST(unnest(range(0, 7)) AS INT) AS off) o
           WHERE (du.day + o.off) IN (SELECT day FROM cal)),
         ex AS (SELECT tday, CAST(count(DISTINCT user_id) AS BIGINT)
               AS exact_distinct
