@@ -118,6 +118,89 @@ object AnnIndex {
     }
   }
 
+  /** BATCH serving: top-k for MANY query vectors in ONE plan over the
+    * stored index — the production vector-store request shape (a batch
+    * of embeddings arrives; one pass answers all of them), where
+    * [[serve]] is the single-query probe. `queryVecs` = (q_id, qv),
+    * broadcast-size (requests, not data). Differences from [[serve]]:
+    * the probe step ranks centroids PER QUERY (row_number ≤ nProbe per
+    * q_id — WindowGroupLimit over nlist·|Q| rows, all broadcast-side);
+    * the codes scan is statically pruned to the UNION of probed lists
+    * (driver-collected, ≤ nlist ids) and then restricted to each
+    * query's OWN lists by the broadcast (q_id, centroid) probe join, so
+    * a list probed by one query is never scored for another; distance
+    * tables carry q_id and ride one broadcast; scoring aggregates by
+    * (q_id, id) and the shortlist/k cuts are per-query window limits.
+    * Cost: one scan of the union of probed partitions TOTAL — not per
+    * query — plus per-query broadcast arithmetic; the whole batch costs
+    * one query's scan when probe sets overlap. */
+  def serveBatch(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, queryVecs: DataFrame, m: Int,
+      subDim: Int, nProbe: Int, shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val vec = ArrayType(DoubleType)
+    val cents = spark.read.schema(StructType(Seq(
+        StructField("c_id", LongType), StructField("cv", vec))))
+      .parquet(centroidsPath(dir))
+    val cbs = spark.read.schema(StructType(Seq(
+        StructField("sub", IntegerType), StructField("c_id", LongType),
+        StructField("cv", vec))))
+      .parquet(codebooksPath(dir))
+    val codes = spark.read.schema(StructType(Seq(
+        StructField(idCol, LongType), StructField("sub", IntegerType),
+        StructField("code", LongType), StructField("centroid", LongType))))
+      .parquet(codesPath(dir))
+
+    val pw = Window.partitionBy(col("p_qid"))
+      .orderBy(col("qc").desc, col("c_id").asc)
+    val probes = cents.crossJoin(broadcast(queryVecs))
+      .withColumn("qc", round(cosine(col("cv"), col("qv")), 6))
+      .withColumn("p_qid", col("q_id"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nProbe)
+      .select(col("p_qid"), col("c_id").cast("long").as("centroid"))
+    val probeUnion: Array[Long] = probes.select(col("centroid"))
+      .distinct().collect().map(_.getLong(0))
+
+    val tbl = cbs.crossJoin(broadcast(queryVecs))
+      .withColumn("qs", slice(col("qv"), col("sub") * subDim + 1,
+        lit(subDim)))
+      .withColumn("tdot", round(round(Similarity.dot(col("qs"), col("cv")),
+        6) * 1e6).cast("long"))
+      .select(col("q_id").as("t_qid"), col("sub").as("t_sub"),
+        col("c_id").as("t_code"), col("tdot"))
+
+    val scored = codes
+      .filter(col("centroid").isin(probeUnion: _*))
+      .join(broadcast(probes), Seq("centroid"))
+      .join(broadcast(tbl),
+        col("t_qid") === col("p_qid") &&
+          col("t_sub") === col("sub") && col("t_code") === col("code"))
+      .groupBy(col("p_qid"), col(idCol))
+      .agg(sum(col("tdot")).as("ascore"))
+
+    val sw = Window.partitionBy(col("p_qid"))
+      .orderBy(col("ascore").desc, col(idCol).asc)
+    val short = scored.filter(col(idCol) =!= col("p_qid"))
+      .withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= shortlist)
+      .select(col("p_qid"), col(idCol), col("ascore"))
+
+    val passThrough = corpus.columns.filterNot(_ == vecCol).map(col(_))
+    val rw = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    corpus.join(broadcast(short), Seq(idCol))
+      .join(broadcast(queryVecs), col("p_qid") === col("q_id"))
+      .withColumn("approx", col("ascore").cast("double") / 1e6)
+      .withColumn("cos", round(cosine(vecD(col(vecCol)), col("qv")), 6))
+      .withColumn("rk", row_number().over(rw).cast("long"))
+      .filter(col("rk") <= k)
+      .select((col("q_id") +: passThrough ++:
+        Seq(col("approx"), col("cos"), col("rk"))).toIndexedSeq: _*)
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Serve an IVF-PQ top-k query from the STORED index. `corpus` is the
     * raw vector table, touched only for the shortlist re-rank (broadcast
     * semi restriction — at scale this is `shortlist` point reads, not a

@@ -269,8 +269,11 @@ object EmbeddingQueries {
   /** One PQ subspace as CTEs: slice → min-id init → `iters` L2 Lloyd
     * iterations (exact scaled-integer means) → codes (L2 argmin, c_id
     * tie-break) → the query's integer distance-table entries. */
+  /** `batch = true` keys the distance table t$s by q_id (the multi-row
+    * `q` CTE of the batch-serving oracle); training CTEs are
+    * query-independent either way. */
   private def pqSubspaceSql(s: Int, subDim: Int, ksub: Int,
-      iters: Int): String = {
+      iters: Int, batch: Boolean = false): String = {
     val lo = s * subDim + 1
     val hi = (s + 1) * subDim
     val init =
@@ -291,14 +294,27 @@ object EmbeddingQueries {
         FROM m${s}_$it GROUP BY centroid)"""
     }
     val fin = s"c${s}_$iters"
-    val tail =
-      s"""k$s AS (SELECT e.vec_id, first(c.c_id
-          ORDER BY ${l2Sql("e.sv", "c.cv")} ASC, c.c_id ASC) AS code
-        FROM e$s e, $fin c GROUP BY e.vec_id),
-      t$s AS (SELECT c.c_id,
+    // batch mode MATERIALIZES the per-subspace outputs: the 32-way
+    // approx join over k0..k15 × t0..t15 with a q_id key otherwise
+    // re-inlines every training chain into an exploding plan (the q138
+    // lesson — DuckDB inlines non-materialized CTEs per reference)
+    val mat = if (batch) "MATERIALIZED " else ""
+    val tTail =
+      if (batch)
+        s"""t$s AS $mat(SELECT qs.q_id, c.c_id,
+          CAST(round(round(${String.format(dotSql, "qs.qs", "c.cv")}, 6)
+            * 1e6) AS BIGINT) AS tdot
+        FROM $fin c, (SELECT q_id, qv[$lo:$hi] AS qs FROM q) qs)"""
+      else
+        s"""t$s AS (SELECT c.c_id,
           CAST(round(round(${String.format(dotSql, "qs.qs", "c.cv")}, 6)
             * 1e6) AS BIGINT) AS tdot
         FROM $fin c, (SELECT qv[$lo:$hi] AS qs FROM q) qs)"""
+    val tail =
+      s"""k$s AS $mat(SELECT e.vec_id, first(c.c_id
+          ORDER BY ${l2Sql("e.sv", "c.cv")} ASC, c.c_id ASC) AS code
+        FROM e$s e, $fin c GROUP BY e.vec_id),
+      $tTail"""
     (init +: lloyds :+ tail).mkString(",\n      ")
   }
 
@@ -544,6 +560,81 @@ object EmbeddingQueries {
     * metadata in the index). Oracle: the shared from-scratch index
     * recomputation with the same eligibility clause before the shortlist
     * cut. */
+  /** q155's oracle: the single-query from-scratch recomputation
+    * generalized to a 3-row `q` — every probe/shortlist/re-rank stage
+    * gains a q_id partition. Same strictly-stronger-than-read-back
+    * rationale as [[ivfPqOracle]]. */
+  private lazy val ivfPqBatchOracleSql: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
+        label FROM embeddings),
+      q AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e
+        ORDER BY vec_id DESC LIMIT 3),
+      dims AS (SELECT unnest(range(1, ${pqSubDim + 1})) AS i),
+      c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      assigned AS MATERIALIZED (SELECT e.vec_id,
+          first(c.c_id ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC,
+            c.c_id ASC) AS centroid
+        FROM e, c GROUP BY e.vec_id),
+      pq0 AS (SELECT q.q_id, c.c_id, row_number() OVER
+          (PARTITION BY q.q_id
+           ORDER BY round(${cosSql("c.cv", "q.qv")}, 6) DESC, c.c_id ASC)
+          AS rn
+        FROM c, q),
+      probed AS (SELECT q_id, c_id FROM pq0 WHERE rn <= 2),
+      pr AS MATERIALIZED (SELECT p.q_id, a.vec_id FROM assigned a
+        JOIN probed p ON a.centroid = p.c_id),
+      ${(0 until pqM).map(pqSubspaceSql(_, pqSubDim, pqKsub, pqIters,
+        batch = true)).mkString(",\n      ")},
+      approx AS (SELECT t0.q_id, k0.vec_id,
+          (${(0 until pqM).map(s => s"t$s.tdot").mkString(" + ")}) AS ascore
+        FROM k0 ${(1 until pqM).map(s => s"JOIN k$s USING (vec_id)")
+          .mkString(" ")}
+          JOIN t0 ON t0.c_id = k0.code
+          ${(1 until pqM).map(s =>
+            s"JOIN t$s ON t$s.q_id = t0.q_id AND t$s.c_id = k$s.code")
+            .mkString(" ")}),
+      short AS (SELECT a.q_id, a.vec_id, a.ascore, row_number() OVER
+          (PARTITION BY a.q_id ORDER BY a.ascore DESC, a.vec_id ASC)
+          AS srn
+        FROM approx a JOIN pr ON pr.q_id = a.q_id AND pr.vec_id = a.vec_id
+        WHERE a.vec_id <> a.q_id),
+      sh AS (SELECT q_id, vec_id, ascore FROM short WHERE srn <= 50),
+      fin0 AS (SELECT s.q_id, e.vec_id, e.label,
+          CAST(s.ascore AS DOUBLE) / 1e6 AS approx,
+          round(${cosSql("e.v", "q.qv")}, 6) AS cos
+        FROM sh s JOIN e USING (vec_id) JOIN q ON q.q_id = s.q_id),
+      fin AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+          ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rk FROM fin0)
+      SELECT q_id, vec_id, label, approx, cos, rk FROM fin WHERE rk <= 10
+      ORDER BY q_id, rk"""
+
+  /** [NS] — BATCH ANN serving (q155): three query vectors answered in
+    * ONE plan over the same stored index q107/q150 serve from
+    * ([[graft.operators.AnnIndex.serveBatch]]). The codes scan runs
+    * ONCE over the union of probed partitions; each query's own probe
+    * set, distance table, shortlist and top-k ride broadcasts and
+    * per-q_id window limits. The oracle recomputes the whole batch from
+    * scratch with a q_id dimension through every stage. */
+  val q155BatchAnn = Q(
+    "q155_batch_ann",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val dir = graft.operators.AnnIndex.defaultDir(d)
+      graft.operators.AnnIndex.buildIfAbsent(e, "vec_id", "embedding",
+        cents, m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters,
+        dir = dir, corpusTag = d, metaCols = Seq("label"))
+      val qvs = e.orderBy($"vec_id".desc).limit(3)
+        .select($"vec_id".as("q_id"), vecD($"embedding").as("qv"))
+      graft.operators.AnnIndex.serveBatch(s, dir, e, "vec_id",
+        "embedding", qvs, m = pqM, subDim = pqSubDim, nProbe = 2,
+        shortlist = 50, k = 10)
+    },
+    Some(ivfPqBatchOracleSql),
+    doc = "[NS] batch ANN serving: one stored-index scan answers a whole query batch")
+
   val q150FilteredAnn = Q(
     "q150_filtered_ann",
     (s, d) => {
@@ -766,5 +857,5 @@ object EmbeddingQueries {
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,
-    q132JlProject, q150FilteredAnn)
+    q132JlProject, q150FilteredAnn, q155BatchAnn)
 }

@@ -162,6 +162,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q155 batch ANN: one stored-codes scan serves the whole batch — " +
+      "union probe set prunes partitions, per-query cuts are window " +
+      "limits, no training in the plan") {
+    val p = plan("q155_batch_ann")
+    assert(p.contains("graft_ann_index"), p)
+    assert(!p.contains("Generate"), s"training smuggled into serving:\n$p")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*centroid[^\\]]*IN.*"),
+      s"union probe filter did not reach PartitionFilters:\n$p")
+    // the shortlist and top-k cuts are per-q_id rank filters pushed to
+    // WindowGroupLimit — not global sorts of the scored space
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one scan of the stored codes table feeds the whole batch
+    assert("graft_ann_index[^\\n]*codes".r.findAllIn(p).size == 1,
+      s"expected exactly 1 stored-codes scan for the batch:\n$p")
+  }
+
   test("q105 hard negatives: bucket equi-join (no cartesian), per-anchor " +
       "top-k pushed below the sort (WindowGroupLimit)") {
     val p = plan("q105_hard_negatives")
