@@ -117,6 +117,74 @@ object Analytics {
     * differing (null-safe compare); unchanged rows are dropped — at
     * 100 TB the diff is what's small, and shipping only it is the
     * point. Returns keys + per-side compared values + `change`. */
+  /** [NS] — EXACT equi-depth histogram: `buckets` bins with (near-)equal
+    * ROW counts — the statistics ANALYZE pass behind selectivity
+    * estimation and range-partition boundary planning (what
+    * `repartitionByRange` approximates by sampling, computed exactly).
+    * Bucket of a row = `rank * buckets div N` over the total order
+    * (valueCol, tiebreak...), so bucket populations differ by at most 1
+    * even through heavy value ties (ties split deterministically by the
+    * tiebreak — the honest alternative to value-boundary histograms,
+    * which can't bound bucket size under skew at all). The global rank
+    * is [[Curation.withGlobalRank]]'s two-pass range/offset shape — no
+    * single-partition window; N falls out of the same per-range counts.
+    * Output per bucket: row count and the [lo, hi] value span. */
+  def equiDepth(df: DataFrame, valueCol: String, tiebreak: Seq[String],
+      buckets: Int): DataFrame = {
+    val order = col(valueCol).asc +: tiebreak.map(col(_).asc)
+    val ranked = Curation.withGlobalRank(
+      df.select(col(valueCol) +: tiebreak.map(col(_)): _*), order, "_rk")
+    val n = ranked.agg(max(col("_rk"))).collect()(0).getLong(0) + 1L
+    ranked
+      .withColumn("bucket", expr(s"(_rk * $buckets) div ${n}L"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+  }
+
+  /** [NS] — U-shaped (position-based) multi-touch attribution: each
+    * conversion distributes 1 000 000 ppm of credit over its preceding
+    * touchpoints inside the lookback window — 40%/40% to first/last
+    * touch, 20% split across the middles (the standard position-based
+    * model), all in INTEGER ppm: the middle share uses `div`, and the
+    * division remainder goes to the first touch, so every conversion's
+    * credits sum to exactly 1 000 000 and both engines agree bit-for-bit
+    * (float attribution models can't be oracle-checked and drift under
+    * re-aggregation). Degenerate forms: 1 touch → all, 2 → 50/50.
+    *
+    * Scale: one equi-join on the user key (conversions ⋈ touches), range
+    * predicate applied on join output — per-user pair volume is bounded
+    * by per-user activity, never corpus-quadratic; one window per
+    * conversion for position/count; aggregation is the caller's. */
+  def attributionUShape(events: DataFrame, userCol: String, tsCol: String,
+      ordCol: String, typeCol: String, conversionType: String,
+      touchTypes: Seq[String], lookbackDays: Int): DataFrame = {
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(ordCol).as("conv_id"),
+        col(tsCol).as("conv_ts"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(ordCol).as("touch_id"),
+        col(tsCol).as("touch_ts"), col(typeCol).as("touch_type"))
+    val pairs = conv.join(touch, Seq(userCol))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookbackDays DAYS"))
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("touch_ts").asc, col("touch_id").asc)
+    val cw = Window.partitionBy(col("conv_id"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(cw))
+      .withColumn("credit_ppm",
+        when(col("m") === 1, lit(1000000L))
+          .when(col("m") === 2, lit(500000L))
+          .when(col("rn") === 1,
+            lit(400000L) + lit(200000L) % (col("m") - 2))
+          .when(col("rn") === col("m"), lit(400000L))
+          .otherwise(expr("200000L div (m - 2)")))
+      .select(col(userCol), col("conv_id"), col("touch_id"),
+        col("touch_type"), col("rn"), col("m"), col("credit_ppm"))
+  }
+
   /** [NS] — SCD2 interval build (gaps-and-islands): collapse a per-key
     * ordered attribute stream into effective-dated rows
     * (key, attr, valid_from, valid_to, n_events), open row's valid_to

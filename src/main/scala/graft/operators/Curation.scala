@@ -669,13 +669,32 @@ object Curation {
     * frame is localCheckpoint'd so the range boundaries (sampled once)
     * can't drift between the count pass and the rank pass. */
   def packShards(df: DataFrame, idCol: String, sizeCol: String,
-      nShards: Int): DataFrame = {
+      nShards: Int): DataFrame =
+    withGlobalRank(df.select(col(idCol), col(sizeCol)),
+      Seq(col(sizeCol).desc, col(idCol).asc), "_rk0")
+      .withColumn("shard",
+        when(expr(s"(_rk0 div $nShards) % 2") === 0,
+          col("_rk0") % nShards)
+          .otherwise(lit(nShards - 1) - col("_rk0") % nShards))
+      .drop("_rk0")
+
+  /** The distributed zipWithIndex shape shared by [[packShards]] and
+    * [[Analytics.equiDepth]]: 0-based global rank in `order` WITHOUT a
+    * single-partition window — range-repartition on the rank keys,
+    * count rows per range (a `parts`-row driver read), rank = broadcast
+    * cumulative range offset + row_number within the range. The ranked
+    * frame is localCheckpoint'd so the sampled range boundaries cannot
+    * drift between the count pass and the rank pass. `order` must be a
+    * total order (include a unique tiebreak) or ranks at boundary ties
+    * are partition-dependent. */
+  private[operators] def withGlobalRank(df: DataFrame,
+      order: Seq[Column], rankCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df.select(col(idCol), col(sizeCol))
-      .repartitionByRange(parts, col(sizeCol).desc, col(idCol).asc)
-      .sortWithinPartitions(col(sizeCol).desc, col(idCol).asc)
+    val parts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     val counts = sorted.groupBy(col("_pid")).count()
@@ -685,15 +704,10 @@ object Curation {
       .foldLeft(lit(0L)) { case (acc, (pid, off)) =>
         when(col("_pid") === pid, lit(off)).otherwise(acc)
       }
-    val w = Window.partitionBy(col("_pid"))
-      .orderBy(col(sizeCol).desc, col(idCol).asc)
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
     sorted
-      .withColumn("_rk0", row_number().over(w).cast("long") + offExpr - 1L)
-      .withColumn("shard",
-        when(expr(s"(_rk0 div $nShards) % 2") === 0,
-          col("_rk0") % nShards)
-          .otherwise(lit(nShards - 1) - col("_rk0") % nShards))
-      .drop("_pid", "_rk0")
+      .withColumn(rankCol, row_number().over(w).cast("long") + offExpr - 1L)
+      .drop("_pid")
   }
 
   /** [NS] — hybrid retrieval: BM25 (lexical, [[bm25TopK]]) fused with

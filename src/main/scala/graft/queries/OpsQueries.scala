@@ -587,7 +587,33 @@ object OpsQueries {
       doc = "[NS] KMV sliding-window rollup: daily sketches merged to any trailing window")
   }
 
+  /** [NS] — exact equi-depth histogram (q156): 16 equal-population
+    * price bins over lineitem ([[Analytics.equiDepth]]) — the ANALYZE
+    * statistics pass, with the global rank computed by the two-pass
+    * range/offset shape (no single-partition window; the oracle's plain
+    * row_number is the reference the distributed rank must equal).
+    * Bucket populations differ by ≤1 BY CONSTRUCTION even under value
+    * skew; [lo, hi] spans are the selectivity boundaries. */
+  val q156EquiDepth = Q(
+    "q156_equidepth",
+    (s, d) => {
+      import s.implicits._
+      Analytics.equiDepth(Tables.lineitem(s, d), "l_extendedprice",
+          Seq("l_orderkey", "l_linenumber"), 16)
+        .orderBy($"bucket")
+    },
+    Some("""WITH r AS (SELECT l_extendedprice AS v,
+          row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+            l_linenumber) - 1 AS rk
+        FROM lineitem),
+      n AS (SELECT count(*) AS n FROM lineitem)
+      SELECT (rk * 16) // n.n AS bucket,
+        CAST(count(*) AS BIGINT) AS n_rows, min(v) AS lo, max(v) AS hi
+      FROM r, n GROUP BY 1 ORDER BY bucket"""),
+    doc = "[NS] exact equi-depth histogram (distributed rank, ANALYZE stats pass)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
-    q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow)
+    q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
+    q156EquiDepth)
 }
