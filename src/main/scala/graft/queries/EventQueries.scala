@@ -371,6 +371,51 @@ object EventQueries {
     q80Scd2Islands.oracle,
     doc = "[NS] incremental SCD2: delta folds through the open frontier, twin-certified")
 
+  /** [NS] — U-shaped multi-touch attribution (q157): every purchase
+    * distributes exactly 1 000 000 ppm of credit across its view/click
+    * touchpoints in the 7-day lookback ([[graft.operators.Analytics
+    * .attributionUShape]] — 40/20/40 position-based, integer ppm with
+    * the middle-share remainder pinned to the first touch so credits
+    * always total 1 000 000 per conversion). Aggregated per touch type;
+    * both engines replay the identical rank/CASE algebra. */
+  val q157Attribution = Q(
+    "q157_attribution",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Analytics.attributionUShape(Tables.events(s, d),
+          "user_id", "ts", "event_id", "event_type", "purchase",
+          Seq("view", "click"), lookbackDays = 7)
+        .groupBy($"touch_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum($"credit_ppm").as("credit_ppm_sum"),
+          countDistinct($"conv_id").as("n_conversions"))
+        .orderBy($"touch_type")
+    },
+    Some("""WITH conv AS (SELECT user_id, event_id AS conv_id,
+          ts AS conv_ts FROM events WHERE event_type = 'purchase'),
+      tch AS (SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+          event_type AS touch_type FROM events
+        WHERE event_type IN ('view', 'click')),
+      p AS (SELECT c.user_id, c.conv_id, t.touch_id, t.touch_type,
+          t.touch_ts
+        FROM conv c JOIN tch t ON t.user_id = c.user_id
+        WHERE t.touch_ts < c.conv_ts
+          AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY conv_id
+            ORDER BY touch_ts, touch_id) AS BIGINT) AS rn,
+          CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS m
+        FROM p),
+      cr AS (SELECT *, CASE WHEN m = 1 THEN 1000000
+          WHEN m = 2 THEN 500000
+          WHEN rn = 1 THEN 400000 + 200000 % (m - 2)
+          WHEN rn = m THEN 400000
+          ELSE 200000 // (m - 2) END AS credit_ppm FROM r)
+      SELECT touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm_sum,
+        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
+      FROM cr GROUP BY 1 ORDER BY touch_type"""),
+    doc = "[NS] U-shaped multi-touch attribution (integer ppm, credits sum exactly)")
+
   /** [NS] — distributed-EXACT z-score outlier detection: flag events
     * beyond 2σ of their event_type's mean WITHOUT any float variance —
     * [[graft.operators.Curation.exactOutliers]] (`(n·x − S)² >
@@ -592,5 +637,6 @@ object EventQueries {
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,
-    q82Outliers, q88Histogram, q89CorrGate, q91OrderStats, q146PitJoin)
+    q82Outliers, q88Histogram, q89CorrGate, q91OrderStats, q146PitJoin,
+    q157Attribution)
 }
