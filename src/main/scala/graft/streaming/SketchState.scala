@@ -84,4 +84,45 @@ object SketchState {
         .select(col("token"), col("cnt"))
       trimmed.coalesce(1).write.mode("overwrite").parquet(s"$dir/v$batchId")
     }
+
+  /** foreachBatch hook: durable streaming DISTINCT-count state — each
+    * epoch's pre-hashed keys ([[graft.functions.KmvSketchAggregator]]
+    * input convention) fold into a stored KMV bottom-k sketch under the
+    * SAME versioned-replay protocol as the heavy hitters above. The
+    * merge is the bottom-k of the union of stored + batch sketch rows
+    * (the composition law KmvSpec pins), done relationally with one
+    * rank window over ≤ 2k rows — a replayed epoch re-derives from the
+    * same predecessor and overwrites its own version, and because the
+    * KMV state is a pure function of the SET of hashes ever seen,
+    * re-delivered rows change nothing even WITHIN the re-derived epoch.
+    * The stream's exact distinct count is estimable at any epoch from k
+    * stored longs. */
+  def foreachBatchKmv(spark: SparkSession, dir: String,
+      hashCol: String, k: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val kmv = udaf(graft.functions.KmvSketchAggregator(k))
+      val batchSketch = batch
+        .agg(kmv(col(hashCol)).as("sk"))
+        .select(explode(col("sk")).as("hv"))
+      val prev = readKmvState(spark, dir, beforeBatch = batchId)
+      val merged = prev.unionByName(batchSketch)
+        .select(col("hv")).distinct()
+        .withColumn("_rk", row_number().over(org.apache.spark.sql
+          .expressions.Window.orderBy(col("hv").asc)))
+        .filter(col("_rk") <= k)
+        .select(col("hv"))
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/v$batchId")
+    }
+
+  /** The stored KMV hashes (hv) at the newest version < beforeBatch. */
+  def readKmvState(spark: SparkSession, dir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val v = latestVersion(spark, dir, beforeBatch)
+    if (v < 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("hv",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(s"$dir/v$v")
+  }
 }

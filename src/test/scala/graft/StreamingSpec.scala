@@ -748,6 +748,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() === truth, "replayed epoch must not double-count")
   }
 
+  test("durable KMV distinct state: epochs fold into the versioned " +
+      "sketch across restarts; re-delivered keys and a replayed epoch " +
+      "change nothing; state equals the batch-mode sketch of the union") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.SketchState
+    import spark.implicits._
+
+    val srcDir = Files.createTempDirectory("kmv_src").toString
+    val ckpt = Files.createTempDirectory("kmv_ckpt").toString
+    val stDir = Files.createTempDirectory("kmv_state").toString
+    val k = 8
+    // 3 epochs, 20 users total with heavy cross-epoch overlap — the
+    // sketch must behave as a pure function of the union
+    val epochs = Seq(
+      (1 to 10).map(i => s"user$i"),
+      (5 to 15).map(i => s"user$i"),
+      (1 to 20).map(i => s"user$i") ++ Seq("user3", "user7"))
+    val hashExpr = org.apache.spark.sql.functions.expr(
+      "cast(conv(substring(md5(u), 1, 15), 16, 10) as bigint)")
+    val hook = SketchState.foreachBatchKmv(spark, stDir, "hv", k)
+    val hookOnU: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (df, id) => hook(df.select(hashExpr.as("hv")), id)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("u", StringType))))
+        .json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(hookOnU)
+        .start()
+      q.awaitTermination()
+    }
+    epochs.zipWithIndex.foreach { case (us, i) =>
+      Files.write(java.nio.file.Paths.get(srcDir, s"b$i.json"),
+        us.map(u => s"""{"u":"$u"}""").mkString("\n").getBytes("UTF-8"))
+      runOnce() // full stop/start between epochs: state must be durable
+    }
+    def state(): Seq[Long] =
+      SketchState.readKmvState(spark, stDir).collect()
+        .map(_.getLong(0)).toSeq.sorted
+    // batch-mode reference: the sketch of the union of all epochs
+    val all = epochs.flatten.distinct.toDF("u").select(hashExpr.as("hv"))
+    val kmv = org.apache.spark.sql.functions.udaf(
+      graft.functions.KmvSketchAggregator(k))
+    val ref = all.agg(kmv($"hv").as("sk")).collect()(0)
+      .getSeq[Long](0).sorted
+    assert(state() === ref,
+      "streamed state must equal the batch sketch of the union")
+    // replay the LAST epoch with its original batchId: versioned
+    // derivation overwrites v2 from v1 — set semantics make it a no-op
+    val lastId = SketchState.latestVersion(spark, stDir)
+    hookOnU(epochs.last.toDF("u"), lastId)
+    assert(state() === ref, "replayed epoch must not change the sketch")
+  }
+
   test("streaming matview maintenance: CDC epochs (inserts + retractions) " +
       "fold into the stored aggregate across a restart; a replayed epoch " +
       "is a no-op; final state equals a from-scratch build on the net rows") {
