@@ -79,6 +79,21 @@ con.execute(f"""
   COPY ({' UNION ALL '.join(ord_parts)})
   TO '{OUT}/orders.parquet' (FORMAT PARQUET)""")
 
+# lineitem: disjoint key-space copies (the ANALYZE/equi-depth family's
+# value distribution is copied verbatim -- rank math sees 10x rows of
+# the same histogram)
+li_parts = []
+for j in range(SHARDS):
+    li_parts.append(f"""
+      SELECT l_orderkey + {j * OFF} AS l_orderkey,
+        l_partkey + {j * OFF} AS l_partkey,
+        l_suppkey + {j * OFF} AS l_suppkey,
+        * EXCLUDE (l_orderkey, l_partkey, l_suppkey)
+      FROM read_parquet('{SRC}/lineitem.parquet')""")
+con.execute(f"""
+  COPY ({' UNION ALL '.join(li_parts)})
+  TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)""")
+
 # events: disjoint user populations, timestamps untouched (per-user
 # interval structure bit-preserved for the SCD2/session families)
 ev_parts = []
@@ -92,7 +107,7 @@ con.execute(f"""
   COPY ({' UNION ALL '.join(ev_parts)})
   TO '{OUT}/events.parquet' (FORMAT PARQUET)""")
 
-for t in ("documents", "embeddings", "orders", "events"):
+for t in ("documents", "embeddings", "orders", "lineitem", "events"):
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')"
     ).fetchone()[0]
