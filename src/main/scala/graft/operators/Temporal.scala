@@ -95,4 +95,41 @@ object Temporal {
         when(valid, col(s"_carry.a$i")).as(c)
       }: _*)
   }
+
+  /** INTERVAL-OVERLAP join: pairs (a, b) of intervals with
+    * `a.s <= b.e AND b.s <= a.e` (inclusive overlap) — the third time-join
+    * shape (concurrency detection, meeting conflicts, co-occurring
+    * activity windows). Naively a theta join (BroadcastNestedLoopJoin,
+    * |A|·|B| pairs checked). Here: each interval explodes to the time
+    * BINS it covers (`width` µs), candidates equi-join on bin, and a
+    * `binOf(max(s_a, s_b)) == bin` guard keeps exactly ONE copy of each
+    * overlapping pair — no DISTINCT needed (dedup-by-agg would shuffle
+    * the pair set; the guard is free arithmetic on the joined row).
+    *
+    * Scale: the only shuffle is the bin equi-join; candidate volume is
+    * Σ_bin |A_bin|·|B_bin| — the concurrency actually present, not the
+    * corpus square. Pick `width` near the median interval length: the
+    * explode fan-out is ~(len/width + 1) per row, skewed long intervals
+    * cost fan-out linearly, never quadratically. Self-join callers pass
+    * the same frame twice with an `a.id < b.id` post-filter. */
+  def overlapJoin(a: DataFrame, b: DataFrame, asUs: String, aeUs: String,
+      bsUs: String, beUs: String, widthUs: Long): DataFrame = {
+    require(widthUs > 0, s"bin width must be positive, got $widthUs")
+    val ae = a
+      .withColumn("_bo", explode(sequence(lit(0L),
+        floor(col(aeUs) / widthUs) - floor(col(asUs) / widthUs))))
+      .withColumn("_bin", floor(col(asUs) / widthUs) + col("_bo"))
+      .drop("_bo")
+    val be = b
+      .withColumn("_bo", explode(sequence(lit(0L),
+        floor(col(beUs) / widthUs) - floor(col(bsUs) / widthUs))))
+      .withColumn("_bin", floor(col(bsUs) / widthUs) + col("_bo"))
+      .drop("_bo")
+    ae.join(be, Seq("_bin"))
+      .filter(col(asUs) <= col(beUs) && col(bsUs) <= col(aeUs))
+      // emit each overlapping pair exactly once: only in the bin where
+      // the overlap STARTS
+      .filter(floor(greatest(col(asUs), col(bsUs)) / widthUs) === col("_bin"))
+      .drop("_bin")
+  }
 }

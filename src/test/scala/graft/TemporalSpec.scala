@@ -11,6 +11,35 @@ class TemporalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("overlapJoin: equals brute force incl. touching endpoints, emits " +
+      "each pair EXACTLY once across bin-straddling intervals") {
+    val rnd = new scala.util.Random(13)
+    // intervals deliberately spanning 0–5 bins of width 100, plus
+    // touching pairs ([0,50],[50,80] overlap at one point)
+    val as = (1L to 60L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i, s, s + rnd.nextInt(400)) }
+    val bs = (101L to 160L).map { i =>
+      val s = rnd.nextInt(1000).toLong; (i, s, s + rnd.nextInt(400)) }
+    val aDf = as.toDF("a_id", "a_s", "a_e")
+    val bDf = bs.toDF("b_id", "b_s", "b_e")
+    val got = Temporal.overlapJoin(aDf, bDf, "a_s", "a_e", "b_s", "b_e",
+        widthUs = 100L)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = for {
+      (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+      if s1 <= e2 && s2 <= e1
+    } yield (ai, bi)
+    assert(got.length === got.distinct.length,
+      "a pair must be emitted exactly once")
+    assert(got.toSet === want.toSet)
+    // touching endpoints count as overlap (inclusive semantics)
+    val t = Temporal.overlapJoin(
+      Seq((1L, 0L, 50L)).toDF("a_id", "a_s", "a_e"),
+      Seq((2L, 50L, 80L)).toDF("b_id", "b_s", "b_e"),
+      "a_s", "a_e", "b_s", "b_e", widthUs = 100L).count()
+    assert(t === 1L)
+  }
+
   test("rangeJoin matches the brute-force inequality join exactly") {
     // timestamps chosen to straddle bucket boundaries (width = 100):
     // pairs at distance 0, 99, 100, 101 test both inclusive ends
