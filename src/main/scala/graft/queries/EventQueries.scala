@@ -416,6 +416,118 @@ object EventQueries {
       FROM cr GROUP BY 1 ORDER BY touch_type"""),
     doc = "[NS] U-shaped multi-touch attribution (integer ppm, credits sum exactly)")
 
+  /** [NS] — interval-OVERLAP join (q158): which users' daily activity
+    * windows overlapped, and for how long — the third temporal-join
+    * shape after as-of (q21) and range (q45), via [[graft.operators
+    * .Temporal.overlapJoin]]'s bin equi-join (6 h bins; the
+    * overlap-start bin guard emits each pair exactly once with no
+    * DISTINCT shuffle). The oracle is the quadratic theta twin — the
+    * q23/q31 oracle-only convention; the Spark plan must never contain
+    * the nested-loop form (plan-gated). */
+  val q158OverlapJoin = Q(
+    "q158_overlap_join",
+    (s, d) => {
+      import s.implicits._
+      val spans = Tables.events(s, d).filter($"user_id" <= 12)
+        .select($"user_id", to_date($"ts").as("day"),
+          unix_micros($"ts").as("us"))
+        .groupBy($"user_id", $"day")
+        .agg(min($"us").as("s"), max($"us").as("e"))
+      val a = spans.select($"user_id".as("a_user"), $"day".as("day"),
+        $"s".as("a_s"), $"e".as("a_e"))
+      val b = spans.select($"user_id".as("b_user"), $"day".as("b_day"),
+        $"s".as("b_s"), $"e".as("b_e"))
+      graft.operators.Temporal.overlapJoin(a, b, "a_s", "a_e",
+          "b_s", "b_e", widthUs = 6L * 3600 * 1000000)
+        .filter($"a_user" < $"b_user")
+        .select($"a_user", $"b_user", $"day",
+          (least($"a_e", $"b_e") - greatest($"a_s", $"b_s"))
+            .as("overlap_us"))
+        .orderBy($"day", $"a_user", $"b_user")
+    },
+    Some("""WITH sp AS (SELECT user_id, CAST(ts AS DATE) AS day,
+          min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+        FROM events WHERE user_id <= 12 GROUP BY 1, 2)
+      SELECT a.user_id AS a_user, b.user_id AS b_user, a.day AS day,
+        least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+      FROM sp a JOIN sp b ON a.user_id < b.user_id
+      WHERE a.s <= b.e AND b.s <= a.e
+      ORDER BY day, a_user, b_user"""),
+    doc = "[NS] interval-overlap join (bin equi-join, one copy per pair, no theta)")
+
+  /** [NS] — event-transition matrix (q159): first-order Markov counts
+    * P(next type | type) over per-user ordered streams, probabilities in
+    * exact integer ppm (`n·1e6 div row_total`). One lag window + one
+    * groupBy; the 25-cell matrix is the product-analytics "what do users
+    * do next" primitive and the input to next-event prediction
+    * baselines. */
+  val q159Transitions = Q(
+    "q159_transitions",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val hop = Tables.events(s, d)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("from_type", lag($"event_type", 1).over(w))
+        .filter($"from_type".isNotNull)
+        .groupBy($"from_type", $"event_type".as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      hop
+        .withColumn("row_total",
+          sum($"n").over(Window.partitionBy($"from_type")))
+        .withColumn("prob_ppm", expr("(n * 1000000) div row_total"))
+        .select($"from_type", $"to_type", $"n", $"row_total", $"prob_ppm")
+        .orderBy($"from_type", $"to_type")
+    },
+    Some("""WITH m AS (SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS from_type
+        FROM events),
+      c AS (SELECT from_type, event_type AS to_type,
+          CAST(count(*) AS BIGINT) AS n
+        FROM m WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT *, CAST(sum(n) OVER (PARTITION BY from_type)
+          AS BIGINT) AS row_total FROM c)
+      SELECT from_type, to_type, n, row_total,
+        (n * 1000000) // row_total AS prob_ppm
+      FROM t ORDER BY from_type, to_type"""),
+    doc = "[NS] first-order event-transition matrix (exact ppm probabilities)")
+
+  /** [NS] — top user journeys (q160): each user's first five events as
+    * an ordered path string, ranked by frequency — the onboarding-flow
+    * question. Per-user ordering is frozen into the collected structs
+    * (sort_array over (rn, type) — never an unordered collect_list
+    * concat, which is partitioning-dependent), so the path strings are
+    * deterministic and both engines agree. */
+  val q160UserPaths = Q(
+    "q160_user_paths",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .groupBy($"user_id")
+        .agg(expr(
+          """array_join(transform(sort_array(collect_list(
+               struct(rn, event_type))), s -> s.event_type), '>')""")
+          .as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_users".desc, $"path")
+        .limit(10)
+    },
+    Some("""WITH r AS (SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS rn
+        FROM events),
+      p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+            AS path
+        FROM r WHERE rn <= 5 GROUP BY user_id)
+      SELECT path, CAST(count(*) AS BIGINT) AS n_users
+      FROM p GROUP BY path ORDER BY n_users DESC, path LIMIT 10"""),
+    doc = "[NS] top user journeys (deterministic ordered path strings)")
+
   /** [NS] — distributed-EXACT z-score outlier detection: flag events
     * beyond 2σ of their event_type's mean WITHOUT any float variance —
     * [[graft.operators.Curation.exactOutliers]] (`(n·x − S)² >
@@ -638,5 +750,5 @@ object EventQueries {
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,
     q82Outliers, q88Histogram, q89CorrGate, q91OrderStats, q146PitJoin,
-    q157Attribution)
+    q157Attribution, q158OverlapJoin, q159Transitions, q160UserPaths)
 }

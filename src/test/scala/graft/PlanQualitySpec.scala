@@ -179,6 +179,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly 1 stored-codes scan for the batch:\n$p")
   }
 
+  test("q158 interval-overlap join: bin equi-join carries the pairs — " +
+      "no nested-loop/theta join anywhere") {
+    val p = plan("q158_overlap_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q105 hard negatives: bucket equi-join (no cartesian), per-anchor " +
       "top-k pushed below the sort (WindowGroupLimit)") {
     val p = plan("q105_hard_negatives")
