@@ -247,4 +247,44 @@ object Graph {
     }
     survivors.select(col("_u").as("node"), col("_d").as("deg"))
   }
+
+  /** [NS] — bounded-round BFS levels: hop distance from a SOURCE SET
+    * within ≤ `maxRounds` hops (unreached nodes are absent — the
+    * blast-radius question: "everything within R similarity hops of
+    * this seed", dedup's contagion audit). Same bounded-round contract
+    * as [[kCore]]: rounds are deterministic, so an unrolled-CTE oracle
+    * is exact on ANY input; early-stops when a frontier empties. Scale
+    * per round: one equi-join frontier⋈edges + one anti-join against
+    * the settled set — frontier-sized, not graph-sized; per-round
+    * localCheckpoint truncates the iterative lineage (the CC fixpoint
+    * convention). */
+  def bfsLevels(pairs: DataFrame, aCol: String, bCol: String,
+      sources: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds must be >= 0, got $maxRounds")
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).as("_a"),
+        greatest(col(aCol), col(bCol)).as("_b"))
+      .filter(col("_a") < col("_b"))
+      .distinct()
+    val edges = und.select(col("_a").as("_u"), col("_b").as("_v"))
+      .union(und.select(col("_b").as("_u"), col("_a").as("_v")))
+      .localCheckpoint(true)
+    var dist = sources.toDF("_u")
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist.select(col("_u"))
+    var r = 0
+    var frontierSize = frontier.count()
+    while (r < maxRounds && frontierSize > 0) {
+      r += 1
+      val next = frontier.join(edges, Seq("_u"))
+        .select(col("_v").as("_u")).distinct()
+        .join(dist.select(col("_u")), Seq("_u"), "left_anti")
+        .withColumn("dist", lit(r.toLong))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next.select(col("_u"))
+      frontierSize = next.count()
+    }
+    dist.select(col("_u").as("node"), col("dist"))
+  }
 }

@@ -263,5 +263,49 @@ object GraphQueries {
       SELECT u AS node, d AS deg FROM k6 ORDER BY node"""),
     doc = "[NS] bounded k-core peel of the near-dup graph (dense-backbone audit)")
 
-  val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank, q138Kcore)
+  /** BFS-round CTEs, materialized for the same reason as
+    * [[kCorePeelCtes]] (each settled set is referenced 3× per round). */
+  private def bfsCtes(rounds: Int): String = {
+    val base = """bed AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+        UNION ALL SELECT b, a FROM e0),
+      bd0 AS MATERIALIZED (SELECT min(a) AS u, CAST(0 AS BIGINT) AS dist
+        FROM e0)"""
+    val its = (1 to rounds).map { i =>
+      s"""bf$i AS MATERIALIZED (SELECT DISTINCT bed.v AS u
+        FROM bd${i - 1} d JOIN bed ON bed.u = d.u
+        WHERE bed.v NOT IN (SELECT u FROM bd${i - 1})),
+      bd$i AS MATERIALIZED (SELECT * FROM bd${i - 1}
+        UNION ALL SELECT u, CAST($i AS BIGINT) FROM bf$i)"""
+    }.mkString(",\n      ")
+    base + ",\n      " + its
+  }
+
+  /** [NS] — bounded-round BFS levels (q161): hop distances within 4
+    * similarity hops of the minimum-id node of the contracted SimHash
+    * near-dup graph ([[Graph.bfsLevels]]) — the dedup blast-radius
+    * audit ("if this doc is contaminated, what is transitively near
+    * it, and how close"). Bounded rounds ⇒ the unrolled oracle is
+    * exact on any input (the q138 contract); unreached nodes are
+    * absent rows in both engines. */
+  val q161BfsLevels = Q(
+    "q161_bfs_levels",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Dedup.simhash64(
+          Tables.documents(s, d), "doc_id", "text")
+        .groupBy($"simhash64").agg(min($"doc_id").as("sig_id"))
+      val pairs = Dedup.hammingPairs64(
+        sigs.select($"sig_id", $"simhash64"), "sig_id", "simhash64",
+        maxDist = 3)
+      val src = pairs.agg(min($"doc_a").as("src")).select($"src")
+      Graph.bfsLevels(pairs, "doc_a", "doc_b", src, maxRounds = 4)
+        .orderBy($"node")
+    },
+    Some(s"""WITH $simhashE0Ctes,
+      ${bfsCtes(4)}
+      SELECT u AS node, dist FROM bd4 ORDER BY node"""),
+    doc = "[NS] bounded BFS levels over the near-dup graph (blast-radius audit)")
+
+  val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
+    q138Kcore, q161BfsLevels)
 }

@@ -80,6 +80,28 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("bfsLevels: path-graph distances exact, round cap truncates, " +
+      "disconnected nodes absent, multi-source takes the nearer seed") {
+    import spark.implicits._
+    // path 1-2-3-4-5, disconnected edge 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("a", "b")
+    val d = Graph.bfsLevels(edges, "a", "b", Seq(1L).toDF("n"),
+        maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // round cap: only 2 hops explored
+    val capped = Graph.bfsLevels(edges, "a", "b", Seq(1L).toDF("n"),
+        maxRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // two seeds: each node settles at its NEARER distance
+    val multi = Graph.bfsLevels(edges, "a", "b", Seq(1L, 5L).toDF("n"),
+        maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
   test("triangleCounts: single triangle + pendant edge") {
     val got = triRun(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
