@@ -26,6 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench/verify JVM hosts driver AND all local[32]
+  // executor storage; 8g left localCheckpoint blocks one eviction away
+  // from lineage-recompute thrash on full-registry passes (the box has
+  // 128 GiB; the env var still overrides both ways).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 run / connectInput := true

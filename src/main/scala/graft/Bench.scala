@@ -24,6 +24,12 @@ object Bench {
       // runtime bloom filters: prune the fact side of selective shuffle
       // joins (no-op when the dim side broadcasts; load-bearing at scale)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // 161 queries × multiple codegen stages each blow through the
+      // default 100-entry janino cache, so every pass recompiles nearly
+      // everything (measured: pass totals 285→245→165 s — the later
+      // passes are warmer, not faster code). One full registry fits
+      // comfortably in a few thousand entries.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -59,8 +65,17 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // queries persist intermediates (self-join inputs); drop them so
-        // later timings don't pay eviction/recompute for earlier caches
+        // later timings don't pay eviction/recompute for earlier caches.
+        // clearCache() misses eager localCheckpoint blocks (they are
+        // persisted RDDs, not cached plans) — across 160+ queries × 3
+        // passes those accumulate until storage eviction forces
+        // RECOMPUTE of truncated lineage, inflating late iterative
+        // queries ~2× (measured: q130 7.6 s isolated vs 17.2 s at the
+        // end of a leaky full pass). The finished query holds no live
+        // reference, so dropping them is free.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
         name -> dt
       }
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toVector }
