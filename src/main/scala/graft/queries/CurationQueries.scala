@@ -872,11 +872,54 @@ object CurationQueries {
       FROM p JOIN h USING (shard) ORDER BY p.shard"""),
     doc = "[NS] size-balanced shard packing (serpentine over global size rank)")
 
+  /** [NS] — GROUP-aware train/val/test split (q162): the split key is
+    * the SOURCE, not the document — every document of a source lands in
+    * the same split ([[Curation.assignSplit]] over the group column;
+    * same md5 bucket algebra as q56). This is the leakage-safe split:
+    * near-duplicates cluster within sources, so a doc-hash split leaks
+    * train near-dups into test, silently inflating eval (the
+    * decontamination problem q58 detects, prevented structurally here).
+    * `spanning_sources` — the number of sources seen in >1 split — is
+    * computed IN the result and must be 0 in both engines: the
+    * integrity invariant is part of the contract, not a side comment. */
+  val q162GroupSplit = Q(
+    "q162_group_split",
+    (s, d) => {
+      import s.implicits._
+      val sp = Curation.assignSplit(Tables.documents(s, d), "source")
+      val spanning = sp.groupBy($"source")
+        .agg(countDistinct($"split").as("k"))
+        .filter($"k" > 1)
+        .agg(count(lit(1)).as("spanning_sources"))
+      sp.groupBy($"split")
+        .agg(countDistinct($"source").as("n_sources"),
+          count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+        .crossJoin(broadcast(spanning))
+        .orderBy($"split")
+    },
+    Some("""WITH sp AS (SELECT source, n_chars,
+          CASE WHEN CAST('0x' || substr(md5(source), 1, 8) AS BIGINT)
+              % 100 < 80 THEN 'train'
+            WHEN CAST('0x' || substr(md5(source), 1, 8) AS BIGINT)
+              % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+        FROM documents),
+      spanning AS (SELECT CAST(count(*) AS BIGINT) AS spanning_sources
+        FROM (SELECT source FROM sp GROUP BY source
+          HAVING count(DISTINCT split) > 1))
+      SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS chars, spanning.spanning_sources
+      FROM sp, spanning GROUP BY split, spanning.spanning_sources
+      ORDER BY split"""),
+    doc = "[NS] leakage-safe group split (source-keyed; zero spanning sources by construction)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,
     q120EpochExpand, q121NgramDiversity, q122Postings,
     q123PositionalIndex, q124Bm25, q126PhraseSearch,
-    q127TextIndexServe, q128IndexMerge, q151Hybrid, q152ShardPack)
+    q127TextIndexServe, q128IndexMerge, q151Hybrid, q152ShardPack,
+    q162GroupSplit)
 }

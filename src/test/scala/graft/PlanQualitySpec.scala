@@ -179,6 +179,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly 1 stored-codes scan for the batch:\n$p")
   }
 
+  test("q152/q156 global rank: the two-pass range/offset shape — no " +
+      "single-partition window anywhere in the plan") {
+    for (q <- Seq("q152_shard_pack", "q156_equidepth")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"),
+        s"$q rank degraded to a single-partition window:\n$p")
+    }
+  }
+
   test("q158 interval-overlap join: bin equi-join carries the pairs — " +
       "no nested-loop/theta join anywhere") {
     val p = plan("q158_overlap_join")

@@ -168,6 +168,47 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("[NS] scd2Apply == scd2Build from scratch at ANY cutoff " +
+      "(random streams incl. equal timestamps)") =
+    forAll(
+      Gen.listOfN(18, Gen.zip(Gen.choose(1L, 4L), Gen.oneOf("a", "b", "c"),
+        Gen.choose(0L, 9L))),
+      Gen.choose(0L, 9L)) { (evs, cutoff) =>
+      // ordinal doubles as unique tiebreak; ts collisions on purpose
+      val rows = evs.zipWithIndex.map { case ((u, a, t), i) =>
+        (u, a, new java.sql.Timestamp(t * 3600000L), i.toLong)
+      }
+      val cols = Seq("user_id", "event_type", "ts", "event_id")
+      val df = rows.toDF(cols: _*)
+      val cutTs = new java.sql.Timestamp(cutoff * 3600000L)
+      val hist = df.filter($"ts" < cutTs)
+      val delta = df.filter($"ts" >= cutTs)
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getString(1),
+          r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4)))
+          .sortBy(t => (t._1, t._3.getTime, t._2, t._5))
+      val applied = graft.operators.Analytics.scd2Apply(
+        graft.operators.Analytics.scd2Build(hist, "user_id",
+          "event_type", "ts", $"event_id"),
+        delta, "user_id", "event_type", "ts", "event_id")
+      val scratch = graft.operators.Analytics.scd2Build(df, "user_id",
+        "event_type", "ts", $"event_id")
+      canon(applied).sameElements(canon(scratch))
+    }
+
+  property("[NS] KMV sketch == sorted distinct bottom-k for arbitrary " +
+      "inputs and partitionings") =
+    forAll(Gen.listOf(Gen.choose(0L, 200L)), Gen.choose(1, 5),
+      Gen.choose(1, 6)) { (hs, k, parts) =>
+      hs.isEmpty || {
+        val kmvU = org.apache.spark.sql.functions.udaf(
+          graft.functions.KmvSketchAggregator(k))
+        val got = hs.toDF("h").repartition(parts)
+          .agg(kmvU($"h").as("sk")).collect()(0).getSeq[Long](0)
+        got == hs.distinct.sorted.take(k)
+      }
+    }
+
   property("[NS] kmeans centroids invariant under repartitioning") =
     forAll(Gen.choose(2, 5), Gen.choose(1, 7)) { (k, parts) =>
       val vecs = (0L until 20L).map(i =>
