@@ -287,4 +287,52 @@ object Graph {
     }
     dist.select(col("_u").as("node"), col("dist"))
   }
+
+  /** [NS] — deterministic HASH WALKS: one `steps`-hop random walk from
+    * every node, where step i out of node c picks neighbor
+    * `adj[md5(start:i:c) mod deg(c)]` — the DeepWalk/node2vec corpus
+    * generation stage (walks feed a skip-gram embedder) made
+    * REPRODUCIBLE: the "randomness" is the engine-portable md5 of
+    * (walk id, step, position), so walks are identical across runs,
+    * partitionings, and engines — rand()-seeded walks are neither
+    * replayable nor oracle-checkable. No dead ends by construction
+    * (symmetrized adjacency: every reached node has ≥1 edge).
+    *
+    * Scale per step: one equi-join of the walk frontier against the
+    * (node, rank)-indexed adjacency — frontier-sized, shuffles on the
+    * current node key; adjacency ranks come from a per-node window
+    * (per-node degree partitions, never global). Output: one row per
+    * start node with columns n1..nSteps. */
+  def hashWalks(pairs: DataFrame, aCol: String, bCol: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    import org.apache.spark.sql.expressions.Window
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).as("_a"),
+        greatest(col(aCol), col(bCol)).as("_b"))
+      .filter(col("_a") < col("_b"))
+      .distinct()
+    val sym = und.select(col("_a").as("_u"), col("_b").as("_v"))
+      .union(und.select(col("_b").as("_u"), col("_a").as("_v")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("_u")).agg(count(lit(1)).as("_d"))
+    val adj = sym.withColumn("_rk",
+      row_number().over(Window.partitionBy(col("_u"))
+        .orderBy(col("_v"))).cast("long") - 1L)
+    var walk = deg.select(col("_u").as("start"), col("_u").as("_cur"))
+    for (i <- 1 to steps) {
+      val pick = expr(
+        s"""cast(conv(substring(md5(concat(cast(start as string), ':$i:',
+            cast(_cur as string))), 1, 15), 16, 10) as bigint) % _d""")
+      walk = walk
+        .join(deg.select(col("_u").as("_cur"), col("_d")), Seq("_cur"))
+        .withColumn("_pick", pick)
+        .join(adj.select(col("_u").as("_cur"), col("_rk").as("_pick"),
+          col("_v")), Seq("_cur", "_pick"))
+        .withColumn(s"n$i", col("_v"))
+        .select((col("start") +: (1 to i).map(j => col(s"n$j")) :+
+          col("_v").as("_cur")): _*)
+    }
+    walk.select(col("start") +: (1 to steps).map(j => col(s"n$j")): _*)
+  }
 }

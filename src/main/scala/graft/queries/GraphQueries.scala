@@ -306,6 +306,53 @@ object GraphQueries {
       SELECT u AS node, dist FROM bd4 ORDER BY node"""),
     doc = "[NS] bounded BFS levels over the near-dup graph (blast-radius audit)")
 
+  /** One hash-walk step as SQL: pick neighbor
+    * adj[md5(start:i:cur) mod deg(cur)] of `curCol`, emitting `n$i`. */
+  private def walkStepSql(i: Int, prev: String, curCol: String,
+      carry: Seq[String]): String = {
+    val cs = (carry :+ s"a.v AS n$i").mkString(", ")
+    s"""w$i AS MATERIALIZED (SELECT w.start, $cs
+        FROM w${i - 1} w JOIN wdeg d ON d.u = w.$curCol
+        JOIN wadj a ON a.u = w.$curCol
+          AND a.rk = CAST('0x' || substr(md5(CAST(w.start AS VARCHAR)
+            || ':$i:' || CAST(w.$curCol AS VARCHAR)), 1, 15) AS BIGINT)
+            % d.d)"""
+  }
+
+  /** [NS] — deterministic hash walks (q163): a 3-hop walk from every
+    * node of the contracted near-dup graph ([[Graph.hashWalks]]) — the
+    * DeepWalk corpus-generation stage with md5-derived step choices, so
+    * the walks are bit-identical across runs/partitionings/engines
+    * (rand() walks are neither replayable nor checkable). The oracle
+    * replays the adjacency ranks and every pick. */
+  val q163HashWalks = Q(
+    "q163_hash_walks",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Dedup.simhash64(
+          Tables.documents(s, d), "doc_id", "text")
+        .groupBy($"simhash64").agg(min($"doc_id").as("sig_id"))
+      val pairs = Dedup.hammingPairs64(
+        sigs.select($"sig_id", $"simhash64"), "sig_id", "simhash64",
+        maxDist = 3)
+      Graph.hashWalks(pairs, "doc_a", "doc_b", steps = 3)
+        .orderBy($"start")
+    },
+    Some(s"""WITH $simhashE0Ctes,
+      sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+        UNION ALL SELECT b, a FROM e0),
+      wdeg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d
+        FROM sym GROUP BY u),
+      wadj AS MATERIALIZED (SELECT u, v,
+          row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rk
+        FROM sym),
+      w0 AS (SELECT u AS start, u AS cur FROM wdeg),
+      ${walkStepSql(1, "w0", "cur", Nil)},
+      ${walkStepSql(2, "w1", "n1", Seq("w.n1"))},
+      ${walkStepSql(3, "w2", "n2", Seq("w.n1", "w.n2"))}
+      SELECT start, n1, n2, n3 FROM w3 ORDER BY start"""),
+    doc = "[NS] deterministic hash walks (replayable DeepWalk corpus generation)")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
-    q138Kcore, q161BfsLevels)
+    q138Kcore, q161BfsLevels, q163HashWalks)
 }

@@ -102,6 +102,29 @@ class GraphSpec extends AnyFunSuite {
     assert(multi === Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
   }
 
+  test("hashWalks: every step follows a real edge, walks invariant " +
+      "under input partitioning") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+      .toDF("a", "b")
+    val adj = (edges.collect().map(r => (r.getLong(0), r.getLong(1))) ++
+      edges.collect().map(r => (r.getLong(1), r.getLong(0))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def walks(df: org.apache.spark.sql.DataFrame) =
+      Graph.hashWalks(df, "a", "b", steps = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+    val w = walks(edges)
+    assert(w.map(_._1).toSet === Set(1L, 2L, 3L, 4L),
+      "one walk per node with an edge")
+    w.foreach { case (s, n1, n2, n3) =>
+      assert(adj(s).contains(n1) && adj(n1).contains(n2) &&
+        adj(n2).contains(n3), s"walk ($s,$n1,$n2,$n3) left the graph")
+    }
+    assert(walks(edges.repartition(7)).sameElements(w),
+      "walks must be a pure function of the graph")
+  }
+
   test("triangleCounts: single triangle + pendant edge") {
     val got = triRun(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
