@@ -351,6 +351,86 @@ object DocQueries {
       FROM f GROUP BY fp ORDER BY keep_id"""),
     doc = "[NS] rolling-hash winnowing fingerprint (min-k window hashes)")
 
+  /** [NS] — LSH recall audit (q164): "measure, don't guess" applied to
+    * the dedup config itself. The q24 banding geometry (4 bands × 2
+    * rows) is a RECALL TRADEOFF — a J=0.5 pair collides with
+    * probability 1−(1−0.5²)⁴ ≈ 0.68 — and this query makes the s-curve
+    * empirical: exact truth pairs (the lossless PPJoin path) full-outer
+    * the LSH candidates, classified found / missed (LSH false negative)
+    * / extra (candidate below threshold, killed by verify), with
+    * integer-ppm recall. The operator you run BEFORE trusting a banding
+    * config at 100 TB; both engines replay both pipelines and the
+    * classification. On this fixture recall reads 1 000 000 ppm — its
+    * near-dups are J≈1 twins, far up the s-curve; the `missed` class
+    * appears exactly when a corpus has borderline-J pairs, which is
+    * what the audit exists to expose (accounting identities pinned in
+    * DedupSpec). */
+  val q164LshRecall = Q(
+    "q164_lsh_recall",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val truth = Dedup.ngramJaccardPairsPrefixFiltered(docs, "doc_id",
+          "text", shingleN = 3, minJaccard = 0.5)
+        .select($"doc_a", $"doc_b", lit(1).as("t"))
+      val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4)
+        .select($"doc_a", $"doc_b", lit(1).as("c"))
+      val m = truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+        .withColumn("status",
+          when($"t".isNotNull && $"c".isNotNull, "found")
+            .when($"t".isNotNull, "missed")
+            .otherwise("extra"))
+      val agg = m.groupBy($"status").agg(count(lit(1)).as("n_pairs"))
+      val rec = agg.agg(
+          sum(when($"status" === "found", $"n_pairs").otherwise(0L)).as("f"),
+          sum(when($"status" =!= "extra", $"n_pairs").otherwise(0L)).as("tt"))
+        .select(expr("(f * 1000000) div tt").as("recall_pm"))
+      agg.crossJoin(broadcast(rec)).orderBy($"status")
+    },
+    Some(s"""WITH tg AS ($shinglesSql),
+      sz AS (SELECT doc_id, count(*) AS n FROM tg GROUP BY doc_id),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM tg a JOIN tg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (SELECT doc_a, doc_b FROM p
+        JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5),
+      sig AS (SELECT doc_id,
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
+        FROM tg GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, s0 AS v0, s1 AS v1 FROM sig UNION ALL
+        SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        SELECT doc_id, 3, s6, s7 FROM sig),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+          AND x.doc_id < y.doc_id),
+      m AS (SELECT CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+            THEN 'found'
+          WHEN t.doc_a IS NOT NULL THEN 'missed'
+          ELSE 'extra' END AS status
+        FROM truth t FULL OUTER JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+      a AS (SELECT status, CAST(count(*) AS BIGINT) AS n_pairs FROM m
+        GROUP BY 1),
+      r AS (SELECT CAST((sum(CASE WHEN status = 'found' THEN n_pairs
+            ELSE 0 END) * 1000000) //
+          sum(CASE WHEN status <> 'extra' THEN n_pairs ELSE 0 END)
+          AS BIGINT) AS recall_pm FROM a)
+      SELECT a.status, a.n_pairs, r.recall_pm FROM a, r
+      ORDER BY a.status"""),
+    doc = "[NS] LSH recall audit: banding s-curve measured against exact truth")
+
   /** SURVEY §2.8 D5 — the PPJoin prefix-filtered Jaccard join (Xiao et
     * al., WWW'08): the 100 TB path for exact similarity joins over skewed
     * gram vocabularies. Lossless — identical output contract to q23, and
@@ -1236,5 +1316,5 @@ object DocQueries {
     q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs,
     q109NearDupGate, q111DedupIncremental, q112DedupIndexGate,
     q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment,
-    q144LshFuzzy, q145CcIncremental)
+    q144LshFuzzy, q145CcIncremental, q164LshRecall)
 }

@@ -301,4 +301,36 @@ class DedupSpec extends AnyFunSuite {
     assert(inc(11L) === 9L, "rep must drop to the new smaller id")
     assert(inc(6L) === 1L, "merged component takes the global min rep")
   }
+
+  test("LSH recall audit accounting (q164 shape): found+missed == |truth|, " +
+      "found+extra == |candidates|, and recall reflects the partition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // twins (J=1, banding must catch) + a disjoint pair (no truth, no
+    // candidates) + a doc sharing half its grams with a twin (borderline)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta other words here now"),
+      (4L, "completely different tokens entirely unrelated text")
+    ).toDF("doc_id", "text")
+    val truth = Dedup.ngramJaccardPairsPrefixFiltered(docs, "doc_id",
+      "text", shingleN = 3, minJaccard = 0.5).select("doc_a", "doc_b")
+    val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+      shingleN = 3, k = 8, bands = 4).select("doc_a", "doc_b")
+    val nTruth = truth.count(); val nCand = cand.count()
+    val m = truth.withColumn("t", lit(1))
+      .join(cand.withColumn("c", lit(1)), Seq("doc_a", "doc_b"),
+        "full_outer")
+    val found = m.filter($"t".isNotNull && $"c".isNotNull).count()
+    val missed = m.filter($"t".isNotNull && $"c".isNull).count()
+    val extra = m.filter($"t".isNull).count()
+    assert(found + missed === nTruth)
+    assert(found + extra === nCand)
+    // the J=1 twin pair is truth AND candidate (identical signatures)
+    assert(m.filter($"doc_a" === 1L && $"doc_b" === 2L &&
+      $"t".isNotNull && $"c".isNotNull).count() === 1L)
+    // the disjoint doc appears nowhere
+    assert(m.filter($"doc_a" === 4L || $"doc_b" === 4L).count() === 0L)
+  }
 }
