@@ -113,6 +113,8 @@ object GraftFunctions {
       org.apache.spark.sql.functions.udaf(MisraGriesAggregator(64)))
     spark.udf.register("graft_kmv256",
       org.apache.spark.sql.functions.udaf(KmvSketchAggregator(256)))
+    spark.udf.register("graft_kmvsample64",
+      org.apache.spark.sql.functions.udaf(KmvSampleAggregator(64)))
   }
 }
 

@@ -338,4 +338,83 @@ object Analytics {
       .groupBy(grp: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** [NS] — approximate per-group quantiles from a bottom-k hash sample
+    * ([[graft.functions.KmvSampleAggregator]]): ONE aggregate pass with
+    * 2k longs of state per group replaces the per-group sort an exact
+    * quantile needs (q156's two-pass rank is the exact sibling — use it
+    * when one global column matters; use this when profiling quantiles
+    * for millions of groups in a single pass over 100 TB).
+    *
+    * The sample (k smallest md5-hashes of `idCol`, each carrying
+    * `valCol`) is a pure function of the group's row SET, so the derived
+    * order statistics are deterministic across partitionings AND engines:
+    * quantile p = the sorted sample's element at integer index
+    * `(p·(n−1)) div 100`, the lower-interpolation rule both engines can
+    * compute exactly. `qsPct` are integer percents.
+    *
+    * Output: group cols + `n_sample` + one long `q<p>` column per
+    * requested percent. */
+  def kmvQuantiles(df: DataFrame, groupCols: Seq[String], idCol: String,
+      valCol: String, k: Int, qsPct: Seq[Int]): DataFrame = {
+    require(qsPct.nonEmpty && qsPct.forall(p => p >= 0 && p <= 100),
+      s"quantile percents must be in [0,100]: $qsPct")
+    val sampler = udaf(graft.functions.KmvSampleAggregator(k))
+    val hash = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val grouped = df
+      .select(groupCols.map(col) :+ hash.as("_h") :+
+        col(valCol).cast("long").as("_v"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sampler(col("_h"), col("_v")).as("_pairs"))
+    // Unpack the interleaved [h0,v0,h1,v1,…] state into a value-sorted
+    // array, then index it — array ops over ≤k elements, per-row codegen.
+    val base = grouped
+      .withColumn("_vals", array_sort(expr(
+        "transform(sequence(0, size(_pairs) div 2 - 1), i -> _pairs[2*i+1])")))
+      .withColumn("n_sample", size(col("_vals")).cast("long"))
+    qsPct.foldLeft(base) { (acc, p) =>
+        acc.withColumn(s"q$p", expr(
+          s"element_at(_vals, cast(($p * (n_sample - 1)) div 100 as int) + 1)"))
+      }
+      .select(groupCols.map(col) ++ (col("n_sample") +:
+        qsPct.map(p => col(s"q$p"))): _*)
+  }
+
+  /** [NS] — robust per-group outlier gate on median/MAD (Hampel filter):
+    * a row is flagged iff |x − median| > c·MAD, where MAD is the median
+    * absolute deviation. Unlike the mean/stddev gate
+    * ([[graft.operators.Curation.exactOutliers]]) this has a 50%
+    * breakdown point — a contaminated tail cannot drag the threshold,
+    * which is why it is the standard spike detector for metrics streams.
+    *
+    * Both medians are LOWER medians (element at row_number (n+1) div 2
+    * ordered by (value, tiebreak)) — an order statistic both engines pick
+    * identically, so the whole output hash-matches the oracle; |x−med|
+    * and c·MAD are single IEEE ops on identical operands. Two per-group
+    * sort-windows (median, then MAD) — per-key windows parallelize across
+    * groups, never a global sort; NULL values are excluded up front
+    * (membership in an outlier test is undefined for NULL). */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+      tieCol: String, c: Int = 3): DataFrame = {
+    val wk = Window.partitionBy(col(keyCol))
+    val v = col(valCol).cast("double")
+    val in = df.filter(col(valCol).isNotNull)
+    val med = in
+      .withColumn("_n", count(lit(1)).over(wk))
+      .withColumn("_rn", row_number.over(
+        Window.partitionBy(col(keyCol)).orderBy(v, col(tieCol))))
+      .withColumn("med",
+        max(when(col("_rn") === expr("(_n + 1) div 2"), v)).over(wk))
+      .withColumn("abs_dev", abs(v - col("med")))
+    med
+      .withColumn("_rn2", row_number.over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col("abs_dev"), col(tieCol))))
+      .withColumn("mad",
+        max(when(col("_rn2") === expr("(_n + 1) div 2"), col("abs_dev")))
+          .over(wk))
+      .withColumn("is_out", col("abs_dev") > lit(c.toDouble) * col("mad"))
+      .drop("_n", "_rn", "_rn2")
+  }
 }

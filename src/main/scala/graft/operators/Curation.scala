@@ -46,6 +46,49 @@ object Curation {
       ratePct: Column): DataFrame =
     df.filter(hashBucket(col(idCol), 100) < ratePct)
 
+  /** [NS] — deterministic weighted sampling WITHOUT replacement via
+    * priority sampling (Duffield, Lund & Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM 2007): each row gets
+    * priority w/u with u uniform on (0,1], the k highest priorities are
+    * the sample, and each sampled row carries the Horvitz–Thompson-style
+    * estimate `est_weight = max(w, τ)` (τ = the (k+1)-th priority), which
+    * makes any subset-sum estimate unbiased — the principled way to keep
+    * a budgeted, weight-proportional slice of a 100 TB corpus (importance
+    * sampling by doc quality/length) while preserving reweighting.
+    *
+    * Determinism/oracle story: u is NOT rand() — it is
+    * (h+1)·2⁻⁵² with h the first 52 bits of md5(id), so the sample is a
+    * pure function of the row set and both engines compute bit-identical
+    * priorities (each of the two divisions is a single IEEE op on exact
+    * operands). Ties (impossible for distinct ids) break by id.
+    *
+    * Scale shape: the top-(k+1) is `orderBy(priority).limit(k+1)` —
+    * Spark's TakeOrderedAndProject, a per-partition heap + driver-side
+    * k+1 merge, NO global sort; the only unbounded pass is the scan. The
+    * single-partition window that ranks the survivors runs over ≤ k+1
+    * rows (bounded by the sample size, not the data). Sub-population
+    * inputs (n ≤ k): τ = 0 and every row ships with est_weight = w. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long") + 1) / lit(4503599627370496.0) // 2^52
+    val pri = df
+      .select(col(idCol), col(weightCol).cast("double").as("weight"))
+      .withColumn("priority", col("weight") / u)
+    val top = pri.orderBy(col("priority").desc, col(idCol)).limit(k + 1)
+    val ranked = top.withColumn("_rn", row_number.over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("priority").desc, col(idCol))))
+    val tau = ranked.agg(
+      coalesce(max(when(col("_rn") === k + 1, col("priority"))), lit(0.0))
+        .as("tau"))
+    ranked.filter(col("_rn") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("est_weight", greatest(col("weight"), col("tau")))
+      .drop("_rn")
+  }
+
   /** Fixed-size character chunks with stride (overlap = size − stride):
     * one row per (doc, chunk_idx). The offsets array is tiny (len/stride
     * ints), so explode cost is the output size — no shuffle; chunking

@@ -612,8 +612,124 @@ object OpsQueries {
       FROM r, n GROUP BY 1 ORDER BY bucket"""),
     doc = "[NS] exact equi-depth histogram (distributed rank, ANALYZE stats pass)")
 
+  /** §2.10 [NS] — weighted sampling without replacement (q165):
+    * [[graft.operators.Curation.prioritySample]] keeps the 200
+    * highest-priority documents (priority = n_chars / md5-derived
+    * uniform — Duffield–Lund–Thorup priority sampling) with the
+    * Horvitz–Thompson `est_weight = max(w, τ)` attached, so subset
+    * character-count estimates stay unbiased after the cut. The scan is
+    * the only unbounded pass: top-(k+1) is TakeOrderedAndProject (heap
+    * per partition), and the rank window runs over k+1 = 201 rows. */
+  val q165PrioritySample = Q(
+    "q165_priority_sample",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Curation.prioritySample(
+          Tables.documents(s, d), "doc_id", "n_chars", 200)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH pri AS (SELECT doc_id,
+          CAST(n_chars AS DOUBLE) AS weight,
+          CAST(n_chars AS DOUBLE) /
+            ((CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 13) AS BIGINT)
+              + 1) / 4503599627370496.0) AS priority
+        FROM documents),
+      rk AS (SELECT *, row_number()
+          OVER (ORDER BY priority DESC, doc_id) AS rn FROM pri),
+      t AS (SELECT coalesce(max(CASE WHEN rn = 201 THEN priority END), 0.0)
+          AS tau FROM rk)
+      SELECT doc_id, weight, priority, tau,
+        greatest(weight, tau) AS est_weight
+      FROM rk, t WHERE rn <= 200
+      ORDER BY doc_id"""),
+    doc = "[NS] priority sampling (weighted w/o replacement, unbiased subset sums)")
+
+  /** §2.10 [NS] — bottom-k hash-sample quantiles (q166):
+    * [[graft.operators.Analytics.kmvQuantiles]] profiles the
+    * extendedprice distribution per returnflag from ONE aggregate pass
+    * with 2k longs of state per group ([[graft.functions
+    * .KmvSampleAggregator]]), instead of the per-group sort exact
+    * quantiles need (q156 is the exact sibling). Money values ride the
+    * exact-integer ×100 convention; the derived order statistics are
+    * pure functions of the group set, so the whole row hash-matches. */
+  val q166KmvQuantiles = Q(
+    "q166_kmv_quantiles",
+    (s, d) => {
+      import s.implicits._
+      // (l_orderkey, l_linenumber) is NOT unique in this fixture, so the
+      // row id folds the value in: exact duplicate rows collapse to one
+      // hash+value pair (deterministic in both engines — the sketch
+      // samples the DISTINCT rows; give it a unique id to sample the
+      // multiset instead).
+      val li = Tables.lineitem(s, d)
+        .withColumn("price_c",
+          round($"l_extendedprice" * 100).cast("long"))
+        .withColumn("_rid",
+          concat_ws("#", $"l_orderkey", $"l_linenumber", $"price_c"))
+        .withColumnRenamed("l_returnflag", "flag")
+      Analytics.kmvQuantiles(li, Seq("flag"), "_rid", "price_c",
+          k = 64, qsPct = Seq(50, 90, 99))
+        .orderBy($"flag")
+    },
+    Some("""WITH h AS (SELECT DISTINCT l_returnflag AS flag,
+          CAST('0x' || substr(md5(l_orderkey::VARCHAR || '#' ||
+            l_linenumber::VARCHAR || '#' ||
+            CAST(round(l_extendedprice * 100.0) AS BIGINT)::VARCHAR),
+            1, 15) AS BIGINT) AS hh,
+          CAST(round(l_extendedprice * 100.0) AS BIGINT) AS v
+        FROM lineitem),
+      r AS (SELECT flag, hh, v, row_number()
+          OVER (PARTITION BY flag ORDER BY hh) AS rn FROM h),
+      s AS (SELECT flag, v FROM r WHERE rn <= 64),
+      o AS (SELECT flag, v,
+          row_number() OVER (PARTITION BY flag ORDER BY v) AS vr,
+          count(*) OVER (PARTITION BY flag) AS ns FROM s)
+      SELECT flag, CAST(max(ns) AS BIGINT) AS n_sample,
+        max(CASE WHEN vr = (50*(ns-1))//100 + 1 THEN v END) AS q50,
+        max(CASE WHEN vr = (90*(ns-1))//100 + 1 THEN v END) AS q90,
+        max(CASE WHEN vr = (99*(ns-1))//100 + 1 THEN v END) AS q99
+      FROM o GROUP BY flag ORDER BY flag"""),
+    doc = "[NS] bottom-k hash-sample quantiles (mergeable 1-pass group profiling)")
+
+  /** [NS] — robust outlier gate (q167): Hampel filter per event type —
+    * |x − median| > 3·MAD ([[graft.operators.Analytics.madOutliers]]).
+    * The mean/stddev gate (q82) has breakdown point 0: one wild spike
+    * inflates σ and hides the rest; median/MAD survives 50%
+    * contamination. Lower medians are order statistics both engines pick
+    * identically, so med/mad/counts hash-match bit-for-bit. */
+  val q167MadOutliers = Q(
+    "q167_mad_outliers",
+    (s, d) => {
+      import s.implicits._
+      Analytics.madOutliers(Tables.events(s, d), "event_type", "value",
+          "event_id", c = 3)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when($"is_out", 1)).as("n_out"),
+          max($"med").as("med"), max($"mad").as("mad"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH m AS (SELECT event_type, value, event_id,
+          count(*) OVER (PARTITION BY event_type) AS n,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS rn
+        FROM events WHERE value IS NOT NULL),
+      m2 AS (SELECT *, max(CASE WHEN rn = (n+1)//2 THEN value END)
+          OVER (PARTITION BY event_type) AS med FROM m),
+      d AS (SELECT *, abs(value - med) AS abs_dev FROM m2),
+      d2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY abs_dev, event_id) AS rn2 FROM d),
+      d3 AS (SELECT *, max(CASE WHEN rn2 = (n+1)//2 THEN abs_dev END)
+          OVER (PARTITION BY event_type) AS mad FROM d2)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(CASE WHEN abs_dev > 3.0 * mad THEN 1 END) AS BIGINT)
+          AS n_out,
+        max(med) AS med, max(mad) AS mad
+      FROM d3 GROUP BY event_type ORDER BY event_type"""),
+    doc = "[NS] median/MAD robust outlier gate (Hampel filter, 50% breakdown)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
-    q156EquiDepth)
+    q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers)
 }

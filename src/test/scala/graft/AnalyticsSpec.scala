@@ -188,4 +188,79 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(whole === merged)
   }
+
+  // ---- kmvQuantiles ----
+
+  test("kmvQuantiles: sub-k groups are EXACT lower-interpolation order " +
+      "stats, invariant under partitioning") {
+    import spark.implicits._
+    // group a: values 10..100 step 10 (n=10); group b: a single value
+    val df = ((1 to 10).map(i => ("a", i.toLong, i * 10L)) :+
+      ("b", 99L, 7L)).toDF("g", "id", "v")
+    for (p <- Seq(1, 5)) {
+      val got = Analytics.kmvQuantiles(df.repartition(p), Seq("g"), "id",
+          "v", k = 64, qsPct = Seq(0, 50, 90, 100))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val a = got("a")
+      assert(a.getLong(1) == 10L)     // n_sample = whole group
+      assert(a.getLong(2) == 10L)     // q0  = min
+      // lower interpolation: index (50*9) div 100 = 4 → 5th value = 50
+      assert(a.getLong(3) == 50L)
+      assert(a.getLong(4) == 90L)     // (90*9) div 100 = 8 → 9th = 90
+      assert(a.getLong(5) == 100L)    // q100 = max
+      val b = got("b")
+      assert(b.getLong(1) == 1L && b.getLong(3) == 7L)
+    }
+  }
+
+  test("kmvQuantiles: saturated group samples k rows and brackets the " +
+      "true median") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => ("g", i, i)).toDF("g", "id", "v")
+    val r = Analytics.kmvQuantiles(df, Seq("g"), "id", "v",
+      k = 128, qsPct = Seq(50)).collect().head
+    assert(r.getLong(1) == 128L)
+    // bottom-k hash sample ⇒ rank error O(1/sqrt(k)); allow 4 sigma
+    val q50 = r.getLong(2)
+    assert(math.abs(q50 - 2500.0) / 5000.0 < 4.0 / math.sqrt(128),
+      s"sampled median $q50 too far from 2500")
+  }
+
+  // ---- madOutliers ----
+
+  test("madOutliers: a wild spike is flagged, nulls excluded, med/mad " +
+      "are the lower medians") {
+    import spark.implicits._
+    val rows: Seq[(String, Option[Double], Long)] =
+      ((1 to 9).map(i => ("k", Some(i.toDouble), i.toLong)) :+
+        (("k", Some(1000.0), 10L)) :+ (("k", None, 11L)))
+    val df = rows.toDF("g", "v", "id")
+    val got = Analytics.madOutliers(df, "g", "v", "id", c = 3).collect()
+    assert(got.length == 10) // the NULL row is excluded
+    // values 1..9,1000: n=10 → lower median = 5th by (v,id) = 5.0
+    assert(got.forall(_.getAs[Double]("med") == 5.0))
+    // |x-5|: 4,3,2,1,0,1,2,3,4,995 sorted: 0,1,1,2,2,3,3,4,4,995 → 5th = 2
+    assert(got.forall(_.getAs[Double]("mad") == 2.0))
+    val outs = got.filter(_.getAs[Boolean]("is_out"))
+      .map(_.getAs[Double]("v")).toSet
+    // threshold 3*2=6: flagged iff |x-5| > 6 → none of 1..9, only 1000
+    assert(outs == Set(1000.0))
+  }
+
+  test("madOutliers: stddev gate contrast — the spike that hides " +
+      "siblings from mean/3σ does not inflate MAD") {
+    import spark.implicits._
+    // 19 points at 0..18 plus two spikes; σ is spike-inflated so the
+    // smaller spike (60) passes a 2σ gate, but 3·MAD still flags it
+    val vals = (0 to 18).map(_.toDouble) ++ Seq(60.0, 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", v, i.toLong) }
+      .toDF("g", "v", "id")
+    val mad = Analytics.madOutliers(df, "g", "v", "id", c = 3)
+      .filter(col("is_out")).select("v").as[Double].collect().toSet
+    assert(mad.contains(60.0) && mad.contains(1000.0))
+    val sigma = graft.operators.Curation.exactOutliers(
+        df.withColumn("vc", (col("v") * 100).cast("long")), "g", "vc", k = 2)
+      .filter(col("is_out")).select("v").as[Double].collect().toSet
+    assert(!sigma.contains(60.0) && sigma.contains(1000.0))
+  }
 }

@@ -516,4 +516,44 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1)))
     assert(again === r, "scores must be partition-independent")
   }
+
+  // ---- prioritySample (weighted sampling without replacement) ----
+
+  test("prioritySample: exactly k rows, est_weight = max(w, τ), every " +
+      "kept priority above τ, invariant under partitioning") {
+    val df = (1L to 500L).map(i => (i, (i % 37) + 1)).toDF("id", "w")
+    val got = Curation.prioritySample(df, "id", "w", k = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(got.length == 100)
+    val tau = got.head._4
+    assert(got.forall(_._4 == tau), "τ is a single broadcast scalar")
+    assert(tau > 0.0)
+    assert(got.forall { case (_, w, pri, t, est) =>
+      pri > t && est == math.max(w, t) })
+    val again = Curation.prioritySample(df.repartition(7), "id", "w", 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(again === got, "the sample is a pure function of the row set")
+  }
+
+  test("prioritySample: subset-sum estimator lands near the true total " +
+      "weight on this deterministic draw") {
+    val df = (1L to 2000L).map(i => (i, (i % 97) + 1)).toDF("id", "w")
+    val trueTotal = (1L to 2000L).map(i => (i % 97) + 1).sum.toDouble
+    val est = Curation.prioritySample(df, "id", "w", k = 400)
+      .agg(sum(col("est_weight"))).collect().head.getDouble(0)
+    assert(math.abs(est - trueTotal) / trueTotal < 0.15,
+      s"estimate $est vs true $trueTotal")
+  }
+
+  test("prioritySample: population ≤ k ships every row with τ=0 and " +
+      "est_weight = w") {
+    val df = Seq((1L, 5L), (2L, 9L), (3L, 1L)).toDF("id", "w")
+    val got = Curation.prioritySample(df, "id", "w", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(got.length == 3)
+    assert(got.forall { case (_, w, tau, est) => tau == 0.0 && est == w })
+  }
 }

@@ -64,4 +64,41 @@ class KmvSpec extends AnyFunSuite {
     assert(relErr < 3.0 / math.sqrt(k),
       s"relative error $relErr (est $est vs true $distinct)")
   }
+
+  // ---- KmvSampleAggregator (value-carrying bottom-k sample) ----
+
+  private def samplePairs(pairs: Seq[(Long, Long)], k: Int,
+      partitions: Int): Seq[Long] = {
+    import spark.implicits._
+    val agg = udaf(graft.functions.KmvSampleAggregator(k))
+    pairs.toDF("h", "v").repartition(partitions)
+      .agg(agg(col("h"), col("v")).as("sk"))
+      .collect().head.getSeq[Long](0)
+  }
+
+  test("sample aggregator keeps the k hash-smallest pairs with their " +
+      "values, invariant under partitioning and row order") {
+    val pairs = Seq(50L -> 500L, 10L -> 100L, 30L -> 300L, 20L -> 200L,
+      40L -> 400L, 10L -> 999L /* dup hash: first-kept is irrelevant
+        because real callers derive the hash from a unique id */ )
+    val expectHashes = Seq(10L, 20L, 30L)
+    for (p <- Seq(1, 3, 7); shuffled <- Seq(pairs, pairs.reverse)) {
+      val got = samplePairs(shuffled, k = 3, partitions = p)
+      assert(got.length == 6)
+      assert(got.grouped(2).map(_.head).toSeq == expectHashes)
+      // distinct-hash pairs carry their own values
+      assert(got.grouped(2).toSeq.filter(_.head != 10L) ==
+        Seq(Seq(20L, 200L), Seq(30L, 300L)))
+    }
+  }
+
+  test("sample merge law: merge(fold(A), fold(B)) == fold(A ++ B)") {
+    val agg = graft.functions.KmvSampleAggregator(4)
+    val a = Seq(9L -> 90L, 2L -> 20L, 7L -> 70L)
+    val b = Seq(1L -> 10L, 8L -> 80L, 3L -> 30L, 5L -> 50L)
+    def fold(xs: Seq[(Long, Long)]) = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(fold(a), fold(b)).toSeq ==
+      fold(a ++ b).toSeq)
+    assert(fold(a ++ b).toSeq == Seq(1L, 10L, 2L, 20L, 3L, 30L, 5L, 50L))
+  }
 }
