@@ -53,6 +53,7 @@ object AnnIndex {
   def codebooksPath(dir: String) = s"$dir/codebooks"
   def codesPath(dir: String)     = s"$dir/codes"
   private def metaPath(dir: String) = s"$dir/_graft_index_meta.json"
+  private def batchesPath(dir: String) = s"$dir/_graft_applied_batches.json"
 
   /** Per-corpus index location: one directory per corpus tag, so indexes
     * for different scale factors never overwrite each other (a bench run
@@ -97,6 +98,78 @@ object AnnIndex {
       .join(meta, Seq(idCol))
       .write.mode("overwrite").partitionBy("centroid")
       .parquet(codesPath(dir))
+    // a rebuild starts a fresh generation: prior appends are part of the
+    // corpus now (or gone) — drop the applied-batches ledger
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(batchesPath(dir)))
+  }
+
+  /** INCREMENTAL index maintenance: encode and append a batch of NEW
+    * vectors into the stored index with the quantizers FROZEN — zero
+    * Lloyd iterations, zero training jobs. The delta is assigned to the
+    * STORED centroids and encoded against the STORED codebooks (both
+    * read back from parquet), then appended into the existing
+    * `centroid=` partition directories; [[serve]]/[[serveBatch]]/
+    * [[serveFiltered]] pick the new vectors up with no change, and
+    * because PQ encoding is per-row math against fixed codebooks, the
+    * appended index is BYTE-EQUAL to one whose [[build]] had encoded
+    * base+delta in one pass with the same quantizers (AnnIndexSpec pins
+    * this; q168 oracle-checks the served results).
+    *
+    * This is the ingest half of the lifecycle: at 100 TB the corpus
+    * grows continuously, re-encoding is O(delta), and retraining is a
+    * deliberate OFFLINE decision (codebook drift is a data-distribution
+    * question, not an ingest-path one). Cost: one scan of the delta +
+    * one broadcast of centroids/codebooks + the partitioned write — the
+    * base codes never move, never re-shuffle.
+    *
+    * `metaCols` must match the index's build-time metadata geometry
+    * (fingerprint-enforced by [[appendIfAbsent]]). */
+  def appendBatch(spark: SparkSession, dir: String, delta: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int,
+      metaCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.types._
+    val vec = ArrayType(DoubleType)
+    val cents = spark.read.schema(StructType(Seq(
+        StructField("c_id", LongType), StructField("cv", vec))))
+      .parquet(centroidsPath(dir))
+    val cbs = spark.read.schema(StructType(Seq(
+        StructField("sub", IntegerType), StructField("c_id", LongType),
+        StructField("cv", vec))))
+      .parquet(codebooksPath(dir))
+    val assigned = Similarity.ivfAssign(delta, idCol, vecCol, cents)
+      .select(col(idCol), col("centroid"))
+    val meta =
+      if (metaCols.isEmpty) assigned
+      else assigned.join(
+        delta.select(col(idCol) +: metaCols.map(col): _*), Seq(idCol))
+    Similarity.pqEncode(delta, idCol, vecCol, cbs, m, subDim)
+      .select(col(idCol), col("sub"), col("code"))
+      .join(meta, Seq(idCol))
+      .write.mode("append").partitionBy("centroid")
+      .parquet(codesPath(dir))
+  }
+
+  /** [[appendBatch]] guarded by a batch ledger — the exactly-once ingest
+    * contract ([[graft.operators.TextIndex]]'s replayed-epochs-no-op
+    * protocol, applied here): a `batchTag` that is already recorded in
+    * `_graft_applied_batches.json` no-ops, so bench repeats and replayed
+    * pipelines never double-append a delta. [[build]] resets the ledger
+    * (a rebuild subsumes prior appends). */
+  def appendIfAbsent(spark: SparkSession, dir: String, delta: DataFrame,
+      idCol: String, vecCol: String, m: Int, subDim: Int, batchTag: String,
+      metaCols: Seq[String] = Nil): Unit = {
+    val ledger = java.nio.file.Paths.get(batchesPath(dir))
+    val applied: Set[String] =
+      if (java.nio.file.Files.exists(ledger))
+        java.nio.file.Files.readString(ledger).split("\n").toSet
+      else Set.empty
+    if (!applied.contains(batchTag)) {
+      appendBatch(spark, dir, delta, idCol, vecCol, m, subDim, metaCols)
+      java.nio.file.Files.createDirectories(ledger.getParent)
+      java.nio.file.Files.writeString(ledger,
+        (applied + batchTag).toSeq.sorted.mkString("\n"))
+    }
   }
 
   /** [[build]] unless a fingerprint-matching index is already on disk —

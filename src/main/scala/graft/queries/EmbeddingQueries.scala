@@ -273,22 +273,30 @@ object EmbeddingQueries {
     * `q` CTE of the batch-serving oracle); training CTEs are
     * query-independent either way. */
   private def pqSubspaceSql(s: Int, subDim: Int, ksub: Int,
-      iters: Int, batch: Boolean = false): String = {
+      iters: Int, batch: Boolean = false, trainRel: String = "e"): String = {
     val lo = s * subDim + 1
     val hi = (s + 1) * subDim
+    // when training is restricted to a subset (q168's incremental
+    // append: quantizers frozen on the base slice, encoding over all),
+    // the Lloyd chain runs on et$s while k$s still encodes e$s
+    val train = if (trainRel == "e") s"e$s" else s"et$s"
+    val initExtra =
+      if (trainRel == "e") ""
+      else s""",
+      et$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM $trainRel)"""
     val init =
-      s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
-      c${s}_0 AS (SELECT vec_id AS c_id, sv AS cv FROM e$s
+      s"""e$s AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e)$initExtra,
+      c${s}_0 AS (SELECT vec_id AS c_id, sv AS cv FROM $train
         ORDER BY vec_id LIMIT $ksub)"""
     val lloyds = (1 to iters).map { it =>
       s"""s${s}_$it AS (SELECT e.vec_id, c.c_id,
-          ${l2Sql("e.sv", "c.cv")} AS d2 FROM e$s e, c${s}_${it - 1} c),
+          ${l2Sql("e.sv", "c.cv")} AS d2 FROM $train e, c${s}_${it - 1} c),
       a${s}_$it AS (SELECT vec_id, first(c_id ORDER BY d2 ASC, c_id ASC)
         AS centroid FROM s${s}_$it GROUP BY vec_id),
       m${s}_$it AS (SELECT a.centroid, d.i,
           CAST(sum(CAST(round(e.sv[d.i] * 1e6) AS BIGINT)) AS DOUBLE)
             / count(*) / 1e6 AS nx
-        FROM a${s}_$it a JOIN e$s e USING (vec_id), dims d
+        FROM a${s}_$it a JOIN $train e USING (vec_id), dims d
         GROUP BY a.centroid, d.i),
       c${s}_$it AS (SELECT centroid AS c_id, list(nx ORDER BY i) AS cv
         FROM m${s}_$it GROUP BY centroid)"""
@@ -465,13 +473,21 @@ object EmbeddingQueries {
     * ANN: e.g. "AND a.vec_id IN (SELECT vec_id FROM e WHERE label = 3)")
     * — applied BEFORE the shortlist/k cuts, mirroring the codes-scan
     * pushdown on the Spark side. */
-  private def ivfPqOracle(extraShortFilter: String): String =
+  private def ivfPqOracle(extraShortFilter: String,
+      trainWhere: String = ""): String = {
+    val hasTrain = trainWhere.nonEmpty
+    val trainRel = if (hasTrain) "etrain" else "e"
+    val trainCte =
+      if (hasTrain) s"""
+      etrain AS (SELECT * FROM e $trainWhere),"""
+      else ""
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
-        FROM embeddings),
+        FROM embeddings),$trainCte
       q AS (SELECT vec_id AS q_id, v AS qv FROM e
         ORDER BY vec_id DESC LIMIT 1),
       dims AS (SELECT unnest(range(1, ${pqSubDim + 1})) AS i),
-      c AS (SELECT vec_id AS c_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+      c AS (SELECT vec_id AS c_id, v AS cv FROM $trainRel
+        ORDER BY vec_id LIMIT 8),
       assigned AS (SELECT e.vec_id,
           first(c.c_id ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC,
             c.c_id ASC) AS centroid
@@ -480,8 +496,8 @@ object EmbeddingQueries {
         ORDER BY round(${cosSql("cv", "qv")}, 6) DESC, c_id ASC LIMIT 2),
       pr AS (SELECT vec_id FROM assigned
         WHERE centroid IN (SELECT c_id FROM probed)),
-      ${(0 until pqM).map(pqSubspaceSql(_, pqSubDim, pqKsub, pqIters))
-        .mkString(",\n      ")},
+      ${(0 until pqM).map(pqSubspaceSql(_, pqSubDim, pqKsub, pqIters,
+        trainRel = trainRel)).mkString(",\n      ")},
       approx AS (SELECT k0.vec_id,
           (${(0 until pqM).map(s => s"t$s.tdot").mkString(" + ")}) AS ascore
         FROM k0 ${(1 until pqM).map(s => s"JOIN k$s USING (vec_id)")
@@ -498,6 +514,7 @@ object EmbeddingQueries {
         round(${cosSql("e.v", "qv")}, 6) AS cos
       FROM short s JOIN e USING (vec_id), q
       ORDER BY cos DESC, vec_id ASC LIMIT 10"""
+  }
 
   val q102IvfPqSearch = Q(
     "q102_ivfpq_search",
@@ -547,6 +564,43 @@ object EmbeddingQueries {
     },
     Some(ivfPqOracleSql),
     doc = "[NS] ANN lifecycle: serve IVF-PQ from a persisted index (no in-query training)")
+
+  /** [NS] — INCREMENTAL index maintenance (q168): the ingest half of the
+    * ANN lifecycle. The index is built on the first 450 vectors only
+    * (centroids + codebooks trained there, FROZEN), then the last 50 —
+    * including the query vector itself — arrive as a delta and are
+    * appended with [[graft.operators.AnnIndex.appendIfAbsent]]: assigned
+    * to the STORED centroids, encoded against the STORED codebooks, zero
+    * training jobs, base codes never rewritten; a batch ledger makes
+    * replays (bench repeats) no-ops. Serving then answers from the
+    * combined index exactly as if base+delta had been encoded in one
+    * pass (AnnIndexSpec pins the byte-equality). The oracle recomputes
+    * from scratch with training CTEs restricted to `vec_id < 450` and
+    * encoding over all rows — the from-scratch-is-stronger rationale of
+    * [[ivfPqOracleSql]], applied to the append contract. */
+  val q168IndexAppend = Q(
+    "q168_index_append",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val base = e.filter($"vec_id" < 450)
+      val delta = e.filter($"vec_id" >= 450)
+      val cents = base.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val dir = graft.operators.AnnIndex.defaultDir(d + "#append450")
+      graft.operators.AnnIndex.buildIfAbsent(base, "vec_id", "embedding",
+        cents, m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters,
+        dir = dir, corpusTag = d + "#append450", metaCols = Seq("label"))
+      graft.operators.AnnIndex.appendIfAbsent(s, dir, delta, "vec_id",
+        "embedding", m = pqM, subDim = pqSubDim, batchTag = "vec450plus",
+        metaCols = Seq("label"))
+      val qv = e.orderBy($"vec_id".desc).limit(1)
+        .select($"vec_id".as("q_id"), vecD($"embedding").as("qv"))
+      graft.operators.AnnIndex.serve(s, dir, e, "vec_id", "embedding", qv,
+        m = pqM, subDim = pqSubDim, nProbe = 2, shortlist = 50, k = 10)
+    },
+    Some(ivfPqOracle("", trainWhere = "WHERE vec_id < 450")),
+    doc = "[NS] incremental ANN append: frozen quantizers encode the delta, serving sees base+delta")
 
   /** [NS] — FILTERED ANN serving (q150): "nearest neighbors among
     * label=3 only", answered from the same stored index as q107. The
@@ -857,5 +911,5 @@ object EmbeddingQueries {
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,
-    q132JlProject, q150FilteredAnn, q155BatchAnn)
+    q132JlProject, q150FilteredAnn, q155BatchAnn, q168IndexAppend)
 }

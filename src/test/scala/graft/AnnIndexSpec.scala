@@ -81,4 +81,50 @@ class AnnIndexSpec extends AnyFunSuite {
       m, subDim, nProbe = 2, shortlist = 50, k = 10)
     assert(served.count() === 10) // poison partition never opened
   }
+
+  test("appendBatch: build(base) + append(delta) stores exactly the codes " +
+      "a one-pass encode with the same frozen quantizers produces, and " +
+      "appendIfAbsent replays are no-ops") {
+    import spark.implicits._
+    val (e, _, qv) = fixture()
+    val base = e.filter($"vec_id" < 40)
+    val delta = e.filter($"vec_id" >= 40)
+    val cents = base.orderBy($"vec_id").limit(8)
+      .select($"vec_id".as("c_id"), Similarity.vecD($"embedding").as("cv"))
+    val dir = Files.createTempDirectory("graft_annidx_append").toString
+    AnnIndex.build(base, "vec_id", "embedding", cents, m, subDim, ksub,
+      iters, dir)
+    AnnIndex.appendIfAbsent(spark, dir, delta, "vec_id", "embedding",
+      m, subDim, batchTag = "b1")
+    def codes = spark.read.parquet(AnnIndex.codesPath(dir))
+      .select($"vec_id".cast("long"), $"sub".cast("int"),
+        $"code".cast("long"), $"centroid".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    val appended = codes
+    // one-pass twin: same frozen quantizers over base+delta
+    val cbs = Similarity.pqTrain(base, "vec_id", "embedding", m, subDim,
+      ksub, iters)
+    val onePass = Similarity.pqEncode(e, "vec_id", "embedding", cbs, m,
+        subDim)
+      .join(Similarity.ivfAssign(e, "vec_id", "embedding", cents)
+        .select($"vec_id", $"centroid"), Seq("vec_id"))
+      .select($"vec_id".cast("long"), $"sub".cast("int"),
+        $"code".cast("long"), $"centroid".cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).sorted.toSeq
+    assert(appended === onePass)
+    // replayed batch tag: ledger makes it a no-op, codes unchanged
+    AnnIndex.appendIfAbsent(spark, dir, delta, "vec_id", "embedding",
+      m, subDim, batchTag = "b1")
+    assert(codes === appended, "replayed append duplicated codes")
+    // serving the appended index == in-query search with the same
+    // frozen quantizers over the full corpus (delta rows servable)
+    val served = AnnIndex.serve(spark, dir, e, "vec_id", "embedding", qv,
+      m, subDim, nProbe = 2, shortlist = 50, k = 10).collect().toSeq
+    val inQuery = Similarity.ivfPqSearch(e, "vec_id", "embedding", cents,
+      cbs, qv, m, subDim, nProbe = 2, shortlist = 50, k = 10)
+      .collect().toSeq
+    assert(served === inQuery)
+  }
 }
