@@ -395,6 +395,31 @@ object Analytics {
     * sort-windows (median, then MAD) — per-key windows parallelize across
     * groups, never a global sort; NULL values are excluded up front
     * (membership in an outlier test is undefined for NULL). */
+  /** [NS] — survivorship merge (golden record): per key, each listed
+    * attribute independently takes its MOST RECENT NON-NULL observation
+    * (ordered by `tsCol` then `tieCol`, both descending) — the
+    * master-data-management rule for fusing sparse, partial records of
+    * one entity into a single row, where a plain latest-row-wins merge
+    * would clobber known attributes with the newest row's NULLs.
+    *
+    * Per attribute: one row_number window ordered by (non-null first,
+    * recency). All windows share the key partitioning, so Spark plans
+    * ONE exchange on the key followed by per-attribute sorts; the final
+    * groupBy rides the same partitioning. No joins, no self-union —
+    * survivorship of 100 TB of CDC history is one shuffle. */
+  def survivorship(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "survivorship needs at least one attribute")
+    val ranked = cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(s"_rn_$c", row_number.over(
+        Window.partitionBy(col(keyCol)).orderBy(
+          col(c).isNotNull.desc, col(tsCol).desc, col(tieCol).desc)))
+    }
+    val aggs = count(lit(1)).as("n_records") +:
+      cols.map(c => max(when(col(s"_rn_$c") === 1, col(c))).as(c))
+    ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
       tieCol: String, c: Int = 3): DataFrame = {
     val wk = Window.partitionBy(col(keyCol))

@@ -227,6 +227,62 @@ object Similarity {
       .select(col(idCol).as("c_id"), vecD(col(vecCol)).as("cv"))
   }
 
+  /** [NS] — diversity coreset by farthest-point traversal (Gonzalez
+    * 1985; the k-center 2-approximation): seed with the min-id vector,
+    * then k−1 times select the point FARTHEST from its nearest selected
+    * center. The selected set covers the corpus at radius ≤ 2·OPT — the
+    * standard diverse-subset picker for labeling/eval budgets, and the
+    * classic k-means++-style spread seeding made deterministic.
+    *
+    * Determinism contract: distances are EXACT integer L2 on 1e6-scaled
+    * components (long arithmetic end-to-end — no float argmax
+    * ambiguity), ties break by id, so the trajectory is identical across
+    * partitionings and engines and the oracle can unroll the rounds as
+    * CTEs.
+    *
+    * Scale shape: each round is one broadcast of the new 1-row center +
+    * a per-row `least(md, d²)` update + a max-argmax
+    * (TakeOrderedAndProject) over the persisted scaled corpus — no
+    * shuffle at all; k bounded-small (a labeling budget, not a
+    * clustering k). The min-distance state is NOT checkpointed: the
+    * chain of k broadcasts stays one narrow plan over the cached scan,
+    * trading O(k²·n) trivial re-arithmetic for zero corpus-size
+    * materializations. Output: (c_id, sel_order, d2_sel) — d2_sel is the
+    * selection-time distance, a monotone non-increasing sequence whose
+    * last value bounds the coverage radius. */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"coreset size must be positive, got $k")
+    val e = df.select(col(idCol).as("id"),
+        transform(vecD(col(vecCol)),
+          x => round(x * 1e6).cast("long")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    try {
+      val seed = e.orderBy(col("id")).limit(1)
+        .select(col("id").as("c_id"), col("v").as("cv"))
+        .localCheckpoint(true)
+      var out = seed.select(col("c_id"), lit(1).as("sel_order"),
+        lit(0L).as("d2_sel"))
+      var state = e.crossJoin(broadcast(seed.select(col("cv"))))
+        .select(col("id"), col("v"), d2(col("v"), col("cv")).as("md"))
+      for (r <- 2 to k) {
+        val next = state.orderBy(col("md").desc, col("id")).limit(1)
+          .select(col("id").as("c_id"), col("v").as("cv"),
+            col("md").as("d2_sel"))
+          .localCheckpoint(true) // 1 row; truncates the round's lineage
+        out = out.unionByName(
+          next.select(col("c_id"), lit(r).as("sel_order"), col("d2_sel")))
+        state = state.crossJoin(broadcast(next.select(col("cv"))))
+          .select(col("id"), col("v"),
+            least(col("md"), d2(col("v"), col("cv"))).as("md"))
+      }
+      out.orderBy(col("sel_order"))
+    } finally e.unpersist(blocking = false)
+  }
+
   /** D5 [NS] — SEMANTIC dedup (SemDedup; Abbas et al. 2023, public
     * technique): k-means-cluster the embedding space, then near-dup only
     * WITHIN clusters — same-cluster pairs with cosine ≥ `minCos` drop

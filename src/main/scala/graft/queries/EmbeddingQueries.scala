@@ -602,6 +602,58 @@ object EmbeddingQueries {
     Some(ivfPqOracle("", trainWhere = "WHERE vec_id < 450")),
     doc = "[NS] incremental ANN append: frozen quantizers encode the delta, serving sees base+delta")
 
+  /** q169's oracle rounds, unrolled: cN selects the farthest point from
+    * the first N−1 centers, dN folds its distance into the running
+    * min-distance state. Exact integer L2 on the 1e6-scaled components —
+    * the argmax trajectory is unambiguous in both engines. */
+  private lazy val kCenterOracleSql: String = {
+    val k = 8
+    def d2(a: String, b: String) =
+      s"""CAST(list_sum(list_transform(range(1, len($a) + 1),
+        i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"""
+    val rounds = (2 to k).map { r =>
+      val prev = s"d${r - 1}"
+      val sel =
+        s"""c$r AS (SELECT id AS c_id, v AS cv, md FROM $prev
+        ORDER BY md DESC, id ASC LIMIT 1)"""
+      val fold =
+        if (r == k) ""
+        else s""",
+      d$r AS (SELECT d.id, d.v, least(d.md, ${d2("d.v", "c.cv")}) AS md
+        FROM $prev d, c$r c)"""
+      sel + fold
+    }.mkString(",\n      ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id AS id,
+        list_transform(embedding::DOUBLE[],
+          x -> CAST(round(x * 1e6) AS BIGINT)) AS v FROM embeddings),
+      c1 AS (SELECT id AS c_id, v AS cv FROM e ORDER BY id LIMIT 1),
+      d1 AS (SELECT e.id, e.v, ${d2("e.v", "c.cv")} AS md FROM e, c1 c),
+      $rounds
+      SELECT c_id, sel_order, d2_sel FROM (
+        SELECT c_id, 1 AS sel_order, CAST(0 AS BIGINT) AS d2_sel FROM c1
+        ${(2 to k).map(r =>
+          s"UNION ALL SELECT c_id, $r, md FROM c$r").mkString("\n        ")}
+      ) ORDER BY sel_order"""
+  }
+
+  /** [NS] — diversity coreset (q169): farthest-point traversal
+    * ([[graft.operators.Similarity.kCenterCoreset]], Gonzalez 1985 —
+    * the k-center 2-approximation) picks 8 maximally-spread embeddings,
+    * the deterministic diverse-subset selector for labeling/eval
+    * budgets. Every round is a 1-row broadcast + per-row integer
+    * `least(md, d²)` + TakeOrderedAndProject — zero shuffles; exact
+    * scaled-integer L2 means the selection trajectory (and the monotone
+    * `d2_sel` radius sequence) hash-matches the unrolled oracle. */
+  val q169KCenter = Q(
+    "q169_kcenter_coreset",
+    (s, d) => {
+      import s.implicits._
+      Similarity.kCenterCoreset(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8)
+    },
+    Some(kCenterOracleSql),
+    doc = "[NS] k-center diversity coreset (farthest-point traversal, integer-exact)")
+
   /** [NS] — FILTERED ANN serving (q150): "nearest neighbors among
     * label=3 only", answered from the same stored index as q107. The
     * label column was denormalized into the codes table at build time
@@ -911,5 +963,6 @@ object EmbeddingQueries {
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,
-    q132JlProject, q150FilteredAnn, q155BatchAnn, q168IndexAppend)
+    q132JlProject, q150FilteredAnn, q155BatchAnn, q168IndexAppend,
+    q169KCenter)
 }

@@ -745,10 +745,48 @@ object EventQueries {
       ORDER BY p.user_id, p.event_id"""),
     doc = "[NS] point-in-time join: purchases -> active session interval (leak-free)")
 
+  /** [NS] — survivorship merge / golden record (q170):
+    * [[graft.operators.Analytics.survivorship]] fuses each user's event
+    * history into one row where every attribute independently keeps its
+    * most recent NON-NULL observation. The fixture has no NULLs, so the
+    * query derives sparse observations (value is unobserved on error
+    * events, props on view events) — exactly the partial-record shape
+    * CDC/MDM merges see; a latest-row-wins merge would clobber a known
+    * value with a newer row's NULL, which this operator never does. One
+    * exchange on the key; the per-attribute windows and the final
+    * groupBy all ride it. */
+  val q170Survivorship = Q(
+    "q170_survivorship",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("value_o", when($"event_type" =!= "error", $"value"))
+        .withColumn("props_o", when($"event_type" =!= "view", $"props"))
+      graft.operators.Analytics.survivorship(ev, "user_id", "ts",
+          "event_id", Seq("value_o", "props_o"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH o AS (SELECT user_id, event_id, ts,
+          CASE WHEN event_type <> 'error' THEN value END AS value_o,
+          CASE WHEN event_type <> 'view' THEN props END AS props_o
+        FROM events),
+      r AS (SELECT *,
+          row_number() OVER (PARTITION BY user_id ORDER BY
+            (value_o IS NOT NULL) DESC, ts DESC, event_id DESC) AS rv,
+          row_number() OVER (PARTITION BY user_id ORDER BY
+            (props_o IS NOT NULL) DESC, ts DESC, event_id DESC) AS rp
+        FROM o)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_records,
+        max(CASE WHEN rv = 1 THEN value_o END) AS value_o,
+        max(CASE WHEN rp = 1 THEN props_o END) AS props_o
+      FROM r GROUP BY user_id ORDER BY user_id"""),
+    doc = "[NS] survivorship merge: per-attribute latest non-null wins (golden record)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,
     q82Outliers, q88Histogram, q89CorrGate, q91OrderStats, q146PitJoin,
-    q157Attribution, q158OverlapJoin, q159Transitions, q160UserPaths)
+    q157Attribution, q158OverlapJoin, q159Transitions, q160UserPaths,
+    q170Survivorship)
 }

@@ -226,6 +226,33 @@ class AnalyticsSpec extends AnyFunSuite {
       s"sampled median $q50 too far from 2500")
   }
 
+  // ---- survivorship ----
+
+  test("survivorship: per-attribute latest non-null wins; all-null " +
+      "column stays null; ties break by tieCol") {
+    import spark.implicits._
+    val df = Seq(
+      // key k1: a observed at t1 and t3, b only at t2, c never
+      ("k1", 1L, 10L, Some(1L), Option.empty[String], Option.empty[Long]),
+      ("k1", 2L, 20L, None, Some("x"), None),
+      ("k1", 3L, 30L, Some(3L), None, None),
+      // key k2: two observations of a at the SAME ts — larger tie wins
+      ("k2", 5L, 40L, Some(7L), Some("y"), Some(9L)),
+      ("k2", 6L, 40L, Some(8L), None, None)
+    ).toDF("k", "id", "ts", "a", "b", "c")
+    val got = graft.operators.Analytics
+      .survivorship(df, "k", "ts", "id", Seq("a", "b", "c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k1 = got("k1")
+    assert(k1.getLong(1) == 3L)                  // n_records
+    assert(k1.getLong(2) == 3L)                  // a: latest non-null (t3)
+    assert(k1.getString(3) == "x")               // b: only obs survives
+    assert(k1.isNullAt(4))                       // c: never observed
+    val k2 = got("k2")
+    assert(k2.getLong(2) == 8L)                  // same ts → id 6 wins
+    assert(k2.getString(3) == "y" && k2.getLong(4) == 9L)
+  }
+
   // ---- madOutliers ----
 
   test("madOutliers: a wild spike is flagged, nulls excluded, med/mad " +

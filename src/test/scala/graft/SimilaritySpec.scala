@@ -217,4 +217,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mean >= 0.7,
       s"composed recall@10 (nProbe=8/16, shortlist=100) = ${recalls.toList}")
   }
+
+  // ---- kCenterCoreset (farthest-point traversal) ----
+
+  test("kCenterCoreset: hand trajectory on a 1-D line, partition " +
+      "invariance, monotone radius") {
+    import spark.implicits._
+    // points on a line at 0, 1, 10, 100 (scaled by 1e-6 so the operator's
+    // ×1e6 integer scaling recovers exact integers)
+    val pts = Seq(0L, 1L, 10L, 100L)
+    val df = pts.map(p => (p, Seq(p.toDouble / 1e6f).map(_.toFloat)))
+      .toDF("id", "vec")
+    for (p <- Seq(1, 3)) {
+      val got = Similarity.kCenterCoreset(df.repartition(p), "id", "vec", 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      // seed = min id (0); farthest from {0} is 100 (d²=10000); farthest
+      // from {0,100} is 10 (min(100, 8100) = 100); then 1 (d²=1)
+      assert(got.toSeq == Seq((0L, 1, 0L), (100L, 2, 10000L),
+        (10L, 3, 100L), (1L, 4, 1L)))
+      assert(got.map(_._3).drop(1).sliding(2).forall(w =>
+        w.length < 2 || w(0) >= w(1)), "radius sequence must not increase")
+    }
+  }
+
+  test("kCenterCoreset: selected set covers the corpus within the last " +
+      "selection radius") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val k = 6
+    val sel = Similarity.kCenterCoreset(e, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val lastRadius = sel.last._2
+    val selIds = sel.map(_._1).toSet
+    // driver-side exact check on the small fixture: every point's d² to
+    // its nearest selected center ≤ the last selection distance (the
+    // Gonzalez coverage invariant)
+    val vecs = e.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray)
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val maxMin = vecs.collect { case (id, v) if !selIds.contains(id) =>
+      selIds.map(c => d2(v, vecs(c))).min }.max
+    assert(maxMin <= lastRadius,
+      s"uncovered point at d² $maxMin > last radius $lastRadius")
+  }
 }
