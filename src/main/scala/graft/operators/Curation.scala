@@ -89,6 +89,102 @@ object Curation {
       .drop("_rn")
   }
 
+  /** [NS] — the END-TO-END curation funnel: the five gates a raw corpus
+    * passes on its way to training shards, composed as ONE DataFrame DAG
+    * with per-source attrition counts as the contract (the dataset-card
+    * numbers every curated corpus publishes):
+    *
+    *   1. quality: `n_chars ≥ minChars` AND word count ≥ `minWords`
+    *      (per-row arithmetic, no shuffle);
+    *   2. prefix dedup: min-id survivor per md5 of the first 100 chars —
+    *      the cheap crawl-pipeline pass that catches template/boilerplate
+    *      heads before any pairwise work (one hash shuffle);
+    *   3. near-dup gate: [[Dedup.nearDupGateBatch]]'s conjunctive
+    *      SimHash-band first-sight rule (one band aggregation — never a
+    *      pair join);
+    *   4. decontamination: survivors assigned to train by hash bucket
+    *      drop out if they share ≥ `minShared` rare `n`-gram shingles
+    *      with ANY raw test-bucket doc (test docs include the near-dups
+    *      the gate removed — a train survivor whose test twin leaks
+    *      evidence must go);
+    *   5. budget: per-source cumulative `n_chars` cutoff in doc-id order
+    *      (one per-source window).
+    *
+    * Scale stance: each gate feeds the next WITHOUT re-reading the
+    * corpus (the quality+dedup survivor set is persisted once, scoped to
+    * this call); stage counts are tiny per-source aggregates
+    * left-joined at the end. The expensive joins are the ones the
+    * composed design avoids: no pairwise dedup join (band claims), no
+    * corpus×corpus decontam (rare-gram semi-join), no global sort
+    * (per-source windows). Output: one row per source with
+    * `n_raw / n_quality / n_unique / n_neardup / n_train / n_clean /
+    * n_budget / chars_budget`. */
+  def curationFunnel(docs: DataFrame, minChars: Long = 100,
+      minWords: Long = 20, testBucketFrom: Int = 90,
+      budgetChars: Long = 500, gramN: Int = 3, minShared: Long = 2,
+      dfMax: Long = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = docs.select(col("doc_id"), col("text"), col("source"),
+      col("n_chars"))
+    val quality = d0.filter(col("n_chars") >= minChars &&
+      size(split(col("text"), " ")) >= minWords)
+    val unique = quality
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(md5(substring(col("text"), 1, 100)))
+          .orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val admitted = Dedup.nearDupGateBatch(unique, "doc_id", "text",
+        tsCol = "doc_id").select(col("id").as("doc_id"))
+      val survivors = unique.join(admitted, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val bucket = hashBucket(col("doc_id"), 100)
+        val train = survivors.filter(bucket < testBucketFrom)
+        val test = d0.filter(bucket >= testBucketFrom)
+        def grams(df: DataFrame, as: String) =
+          df.select(col("doc_id").as(as),
+            explode(graft.functions.ShingleExpression
+              .wordShingleHashes(col("text"), gramN)).as("gh"))
+        val tg = grams(train, "t_doc")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val rare = tg.groupBy(col("gh")).agg(count(lit(1)).as("tdf"))
+            .filter(col("tdf") <= dfMax).select(col("gh"))
+          val leaky = grams(test, "test_doc")
+            .join(rare, Seq("gh"), "left_semi")
+            .join(tg, Seq("gh"))
+            .groupBy(col("test_doc"), col("t_doc"))
+            .agg(count(lit(1)).as("shared"))
+            .filter(col("shared") >= minShared)
+            .select(col("t_doc").as("doc_id")).distinct()
+          val clean = train.join(leaky, Seq("doc_id"), "left_anti")
+          val wb = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val budget = clean
+            .withColumn("_cum", sum(col("n_chars")).over(wb))
+            .filter(col("_cum") <= budgetChars)
+          def cnt(df: DataFrame, name: String) = df.groupBy(col("source"))
+            .agg(count(lit(1)).as(name))
+          val stages = Seq(cnt(quality, "n_quality"),
+            cnt(unique, "n_unique"), cnt(survivors, "n_neardup"),
+            cnt(train, "n_train"), cnt(clean, "n_clean"),
+            budget.groupBy(col("source")).agg(
+              count(lit(1)).as("n_budget"),
+              sum(col("n_chars")).as("chars_budget")))
+          stages.foldLeft(cnt(d0, "n_raw")) { (acc, c) =>
+              acc.join(c, Seq("source"), "left")
+            }
+            .na.fill(0L, Seq("n_quality", "n_unique", "n_neardup",
+              "n_train", "n_clean", "n_budget", "chars_budget"))
+            .orderBy(col("source"))
+            .localCheckpoint(true) // ≤ |sources| rows; outlives the pins
+        } finally tg.unpersist(blocking = false)
+      } finally survivors.unpersist(blocking = false)
+    } finally unique.unpersist(blocking = false)
+  }
+
   /** Fixed-size character chunks with stride (overlap = size − stride):
     * one row per (doc, chunk_idx). The offsets array is tiny (len/stride
     * ints), so explode cost is the output size — no shuffle; chunking

@@ -914,6 +914,107 @@ object CurationQueries {
       ORDER BY split"""),
     doc = "[NS] leakage-safe group split (source-keyed; zero spanning sources by construction)")
 
+  /** [NS] — the end-to-end curation funnel (q171), the flagship
+    * composition: quality gate → prefix dedup → SimHash first-sight
+    * near-dup gate → train/test split → rare-n-gram decontamination →
+    * per-source char budget, in ONE DataFrame DAG
+    * ([[graft.operators.Curation.curationFunnel]]) with per-source
+    * attrition counts as the dataset-card contract. On this fixture
+    * every gate BINDS (sf0.01: 500 → 456 quality → 433 prefix-unique →
+    * 55 near-dup survivors → 48 train → 36 clean → budget-trimmed), so
+    * the green row certifies all five stage semantics and their
+    * composition order at once. The oracle replays the full chain as
+    * CTEs — the stage internals reuse the verified q109/q58/q73 SQL
+    * constructions over the progressively filtered sets. */
+  val q171CurationFunnel = Q(
+    "q171_curation_funnel",
+    (s, d) => {
+      Curation.curationFunnel(Tables.documents(s, d))
+    },
+    Some("""WITH d0 AS MATERIALIZED (SELECT doc_id, text, source, n_chars
+        FROM documents),
+      q AS (SELECT * FROM d0 WHERE n_chars >= 100
+        AND len(string_split(text, ' ')) >= 20),
+      u AS MATERIALIZED (SELECT doc_id, text, source, n_chars FROM
+        (SELECT *, row_number() OVER
+          (PARTITION BY md5(substr(text, 1, 100)) ORDER BY doc_id) AS rn
+         FROM q) WHERE rn = 1),
+      words AS (SELECT DISTINCT doc_id,
+          unnest(list_distinct(string_split(text, ' '))) AS w FROM u),
+      bits AS (SELECT doc_id, j,
+          CASE WHEN (strpos('0123456789abcdef', h[(j // 4) + 1]) - 1)
+            // CAST(pow(2, 3 - (j % 4)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1
+            END AS wgt
+        FROM (SELECT doc_id, md5(w) AS h FROM words),
+          unnest(range(0, 64)) AS t(j)),
+      sums AS (SELECT doc_id, j, sum(wgt) AS s FROM bits
+        GROUP BY doc_id, j),
+      bk AS (SELECT doc_id, j // 16 AS band,
+          string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+            ORDER BY j) AS key
+        FROM sums GROUP BY doc_id, j // 16),
+      claims AS (SELECT band, key, min(doc_id) AS winner FROM bk
+        GROUP BY band, key),
+      nd AS (SELECT bk.doc_id FROM bk JOIN claims USING (band, key)
+        WHERE claims.winner = bk.doc_id
+        GROUP BY bk.doc_id HAVING count(*) = 4),
+      sv AS MATERIALIZED (SELECT u.* FROM u JOIN nd USING (doc_id)),
+      tr AS MATERIALIZED (SELECT * FROM sv WHERE
+        CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+          % 100 < 90),
+      te AS (SELECT * FROM d0 WHERE
+        CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+          % 100 >= 90),
+      tg AS MATERIALIZED (SELECT doc_id AS t_doc,
+          unnest(list_distinct(list_transform(range(1, len(l) - 1),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM tr)),
+      sg AS (SELECT doc_id AS test_doc,
+          unnest(list_distinct(list_transform(range(1, len(l) - 1),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM te)),
+      rare AS (SELECT gram FROM tg GROUP BY gram HAVING count(*) <= 100),
+      leaky AS (SELECT DISTINCT t_doc AS doc_id FROM (
+        SELECT s.test_doc, t.t_doc, count(*) AS shared
+        FROM sg s JOIN rare r ON s.gram = r.gram
+          JOIN tg t ON s.gram = t.gram
+        GROUP BY 1, 2 HAVING count(*) >= 2)),
+      cl AS MATERIALIZED (SELECT * FROM tr
+        WHERE doc_id NOT IN (SELECT doc_id FROM leaky)),
+      b AS (SELECT * FROM (SELECT source, doc_id, n_chars,
+          CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM cl)
+        WHERE cum <= 500),
+      agg_raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+        FROM d0 GROUP BY source),
+      agg_q AS (SELECT source, CAST(count(*) AS BIGINT) AS n_quality
+        FROM q GROUP BY source),
+      agg_u AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique
+        FROM u GROUP BY source),
+      agg_s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_neardup
+        FROM sv GROUP BY source),
+      agg_tr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_train
+        FROM tr GROUP BY source),
+      agg_cl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_clean
+        FROM cl GROUP BY source),
+      agg_b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_budget,
+          CAST(sum(n_chars) AS BIGINT) AS chars_budget
+        FROM b GROUP BY source)
+      SELECT r.source, r.n_raw,
+        coalesce(n_quality, 0) AS n_quality,
+        coalesce(n_unique, 0) AS n_unique,
+        coalesce(n_neardup, 0) AS n_neardup,
+        coalesce(n_train, 0) AS n_train,
+        coalesce(n_clean, 0) AS n_clean,
+        coalesce(n_budget, 0) AS n_budget,
+        coalesce(chars_budget, 0) AS chars_budget
+      FROM agg_raw r
+        LEFT JOIN agg_q USING (source) LEFT JOIN agg_u USING (source)
+        LEFT JOIN agg_s USING (source) LEFT JOIN agg_tr USING (source)
+        LEFT JOIN agg_cl USING (source) LEFT JOIN agg_b USING (source)
+      ORDER BY source"""),
+    doc = "[NS] end-to-end curation funnel: quality/dedup/near-dup/decontam/budget in one DAG")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -921,5 +1022,5 @@ object CurationQueries {
     q120EpochExpand, q121NgramDiversity, q122Postings,
     q123PositionalIndex, q124Bm25, q126PhraseSearch,
     q127TextIndexServe, q128IndexMerge, q151Hybrid, q152ShardPack,
-    q162GroupSplit)
+    q162GroupSplit, q171CurationFunnel)
 }

@@ -547,6 +547,24 @@ class CurationSpec extends AnyFunSuite {
       s"estimate $est vs true $trueTotal")
   }
 
+  test("curationFunnel: stage counts are monotone non-increasing, the " +
+      "budget cap holds per source, and the funnel is partition-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Curation.curationFunnel(docs).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val seq = Seq("n_raw", "n_quality", "n_unique", "n_neardup",
+        "n_train", "n_clean", "n_budget").map(c => r.getAs[Long](c))
+      assert(seq.sliding(2).forall(w => w(0) >= w(1)),
+        s"non-monotone funnel for ${r.getString(0)}: $seq")
+      assert(r.getAs[Long]("chars_budget") <= 500L,
+        s"budget cap violated for ${r.getString(0)}")
+    }
+    val again = Curation.curationFunnel(docs.repartition(7)).collect()
+    assert(again.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq,
+      "funnel counts must not depend on partitioning")
+  }
+
   test("prioritySample: population ≤ k ships every row with τ=0 and " +
       "est_weight = w") {
     val df = Seq((1L, 5L), (2L, 9L), (3L, 1L)).toDF("id", "w")
