@@ -381,6 +381,97 @@ object Analytics {
         qsPct.map(p => col(s"q$p"))): _*)
   }
 
+  /** [NS] — smoothed target encoding with leave-one-out columns, the
+    * feature-store categorical encoder: category c maps to
+    * `(pos_c + m·prior) / (n_c + m)` (additive / "James–Stein-style"
+    * smoothing toward the global rate, so rare categories don't memorize
+    * noise), emitted as EXACT integer ppm by clearing denominators:
+    * `enc_ppm = 10⁶·(pos_c·N + m·P) div ((n_c + m)·N)` with P/N the
+    * global positives/total. The LOO columns answer the leakage
+    * question — what a member row of the category would see with ITSELF
+    * removed (`loo_pos_ppm` for a positive member, `loo_neg_ppm` for a
+    * negative one) — which is the encoding a leakage-safe trainer must
+    * join, not the plain one.
+    *
+    * All arithmetic runs in decimal(38,0) (exact to 10³⁸ — at 10¹²
+    * rows the cleared-denominator products exceed long range), with the
+    * final ppm cast back to long. One groupBy + one 1-row broadcast; no
+    * joins against the fact table. */
+  def targetEncode(df: DataFrame, catCol: String, labelCol: String,
+      m: Int = 10): DataFrame = {
+    require(m >= 0, s"smoothing weight must be non-negative, got $m")
+    val g = df.agg(count(lit(1)).as("_N"),
+      sum(col(labelCol).cast("long")).as("_P"))
+    // `div` (IntegralDivide) — NOT `/`, whose decimal result rounds at
+    // scale 6 and can round a …9999995 quotient across the floor
+    def d(s: String) = s"cast($s as decimal(38,0))"
+    def ppm(pos: String, n: String): String =
+      s"cast((${d("1000000")} * (${d(pos)} * ${d("_N")} + " +
+        s"${d(m.toString)} * ${d("_P")})) div " +
+        s"((${d(n)} + $m) * ${d("_N")}) as long)"
+    df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("pos"))
+      .crossJoin(broadcast(g))
+      .select(col(catCol), col("n"), col("pos"),
+        expr(ppm("pos", "n")).as("enc_ppm"),
+        expr(s"case when pos > 0 then ${ppm("pos - 1", "n - 1")} end")
+          .as("loo_pos_ppm"),
+        expr(s"case when n > pos then ${ppm("pos", "n - 1")} end")
+          .as("loo_neg_ppm"))
+  }
+
+  /** [NS] — exact LOWER WEIGHTED median per group: the smallest value
+    * whose cumulative weight (in (value, tiebreak) order) reaches half
+    * the group's total weight — the robust center for weighted streams
+    * (e.g. price weighted by quantity), where the unweighted median of
+    * line items misrepresents volume. Cumulative weights ride one
+    * per-group sort-window; the "first row reaching half" is
+    * `min(value WHERE 2·cum ≥ total)` — hit rows form a suffix of the
+    * value order, so the min IS the boundary row. Exact long arithmetic
+    * throughout (cast your weights; fractional weights should be
+    * pre-scaled). */
+  def weightedMedian(df: DataFrame, keyCol: String, valCol: String,
+      wCol: String, tieCol: String): DataFrame = {
+    val wk = Window.partitionBy(col(keyCol))
+    val wo = Window.partitionBy(col(keyCol))
+      .orderBy(col(valCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(valCol).isNotNull)
+      .withColumn("_w", col(wCol).cast("long"))
+      .withColumn("_tot", sum(col("_w")).over(wk))
+      .withColumn("_cum", sum(col("_w")).over(wo))
+      .groupBy(col(keyCol))
+      .agg(min(when(col("_cum") * 2 >= col("_tot"), col(valCol)))
+          .as("wmedian"),
+        max(col("_tot")).as("total_w"), count(lit(1)).as("n"))
+  }
+
+  /** [NS] — EXACT heavy hitters at 100 TB cost: a Misra–Gries sketch
+    * pass ([[graft.functions.MisraGriesAggregator]], O(k) mergeable
+    * state) nominates ≤ k candidate keys, then ONE more scan counts the
+    * candidates exactly (broadcast semi-restriction — the second pass
+    * aggregates only candidate rows) and keeps those with count
+    * ≥ N div k + 1. The MG guarantee (every key with true count
+    * > N/(k+1) survives the sketch) makes the threshold
+    * N div k + 1 > N/(k+1) UNCONDITIONALLY sufficient — so the filtered
+    * exact counts equal the true heavy-hitter set at any N, which is
+    * exactly what the oracle checks (pure exact SQL, no sketch). Two
+    * scans, no shuffle wider than k rows + the candidate-restricted
+    * aggregation; the classic sketch-nominate / exact-verify pattern. */
+  def heavyHittersExact(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val mg = udaf(graft.functions.MisraGriesAggregator(k))
+    val cands = df
+      .agg(mg(col(keyCol).cast("string")).as("m"), count(lit(1)).as("_n"))
+      .select(explode(map_keys(col("m"))).as("_cand"), col("_n"))
+    df.select(col(keyCol).cast("string").as("_cand"))
+      .join(broadcast(cands), Seq("_cand"))
+      .groupBy(col("_cand"), col("_n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= expr(s"_n div $k") + 1)
+      .select(col("_cand").as(keyCol), col("cnt"),
+        expr("(cnt * 1000000) div _n").as("share_ppm"))
+  }
+
   /** [NS] — robust per-group outlier gate on median/MAD (Hampel filter):
     * a row is flagged iff |x − median| > c·MAD, where MAD is the median
     * absolute deviation. Unlike the mean/stddev gate

@@ -728,8 +728,108 @@ object OpsQueries {
       FROM d3 GROUP BY event_type ORDER BY event_type"""),
     doc = "[NS] median/MAD robust outlier gate (Hampel filter, 50% breakdown)")
 
+  /** [NS] — smoothed target encoding with leave-one-out (q172):
+    * [[graft.operators.Analytics.targetEncode]] maps each event type to
+    * its smoothed rate of high-value events (label = value > 50,
+    * m = 10 pull toward the global rate) in EXACT integer ppm — the
+    * feature-store categorical encoder, with the leakage-safe LOO
+    * columns a trainer must join instead of the plain encoding. All
+    * arithmetic is cleared-denominator decimal(38,0) `div`, so the row
+    * hash-matches the oracle's HUGEINT replay. */
+  val q172TargetEncode = Q(
+    "q172_target_encode",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("label", when($"value" > 50, 1L).otherwise(0L))
+      Analytics.targetEncode(ev, "event_type", "label", m = 10)
+        .orderBy($"event_type")
+    },
+    Some("""WITH l AS (SELECT event_type,
+          CASE WHEN value > 50 THEN 1 ELSE 0 END AS label FROM events),
+      g AS (SELECT CAST(count(*) AS HUGEINT) AS gn,
+          CAST(sum(label) AS HUGEINT) AS gp FROM l),
+      c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(label) AS BIGINT) AS pos FROM l GROUP BY event_type)
+      SELECT event_type, n, pos,
+        CAST((1000000::HUGEINT * (pos::HUGEINT * gn + 10 * gp))
+          // ((n::HUGEINT + 10) * gn) AS BIGINT) AS enc_ppm,
+        CASE WHEN pos > 0 THEN
+          CAST((1000000::HUGEINT * ((pos::HUGEINT - 1) * gn + 10 * gp))
+            // ((n::HUGEINT - 1 + 10) * gn) AS BIGINT) END AS loo_pos_ppm,
+        CASE WHEN n > pos THEN
+          CAST((1000000::HUGEINT * (pos::HUGEINT * gn + 10 * gp))
+            // ((n::HUGEINT - 1 + 10) * gn) AS BIGINT) END AS loo_neg_ppm
+      FROM c, g ORDER BY event_type"""),
+    doc = "[NS] smoothed target encoding + leave-one-out (exact-ppm feature encoder)")
+
+  /** [NS] — exact weighted median (q173): volume-weighted price center
+    * per returnflag — [[graft.operators.Analytics.weightedMedian]] of
+    * the ×100-scaled extendedprice weighted by quantity. The unweighted
+    * median (q156's rank family) treats a 1-unit and a 50-unit line
+    * equally; the weighted median is the robust volume center. One
+    * per-group sort-window for the cumulative weights. */
+  val q173WeightedMedian = Q(
+    "q173_weighted_median",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .withColumn("price_c", round($"l_extendedprice" * 100).cast("long"))
+        .withColumn("qty", $"l_quantity".cast("long"))
+        .withColumn("tie",
+          concat_ws("#", $"l_orderkey", $"l_linenumber"))
+        .withColumnRenamed("l_returnflag", "flag")
+      Analytics.weightedMedian(li, "flag", "price_c", "qty", "tie")
+        .orderBy($"flag")
+    },
+    Some("""WITH t AS (SELECT l_returnflag AS flag,
+          CAST(round(l_extendedprice * 100.0) AS BIGINT) AS price_c,
+          CAST(l_quantity AS BIGINT) AS qty,
+          l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR AS tie
+        FROM lineitem),
+      c AS (SELECT flag, price_c, qty,
+          CAST(sum(qty) OVER (PARTITION BY flag) AS BIGINT) AS tot,
+          CAST(sum(qty) OVER (PARTITION BY flag ORDER BY price_c, tie
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM t)
+      SELECT flag,
+        min(CASE WHEN cum * 2 >= tot THEN price_c END) AS wmedian,
+        max(tot) AS total_w, CAST(count(*) AS BIGINT) AS n
+      FROM c GROUP BY flag ORDER BY flag"""),
+    doc = "[NS] exact lower weighted median (volume-weighted robust center)")
+
+  /** §2.10 [NS] — sketch-nominate / exact-verify heavy hitters (q174):
+    * [[graft.operators.Analytics.heavyHittersExact]] over a skewed
+    * derived key (`o_orderkey % (1 + o_orderkey % 100)`: 100 distinct
+    * keys, saturating the MG(64) sketch, ~21 above threshold). The MG
+    * guarantee makes the candidate set a superset of every key with
+    * count ≥ N div 64 + 1, so the exact second-pass counts equal the
+    * true heavy set — which is precisely what the sketch-free oracle
+    * computes. Two scans; the exact pass aggregates candidate rows
+    * only. */
+  val q174HeavyExact = Q(
+    "q174_heavy_exact",
+    (s, d) => {
+      import s.implicits._
+      val keyed = Tables.orders(s, d)
+        .withColumn("key", $"o_orderkey" % (lit(1) + $"o_orderkey" % 100))
+      Analytics.heavyHittersExact(keyed, "key", k = 64)
+        .withColumn("key", $"key".cast("long"))
+        .orderBy($"key")
+    },
+    Some("""WITH k AS (SELECT o_orderkey % (1 + o_orderkey % 100) AS key
+        FROM orders),
+      n AS (SELECT count(*) AS n FROM k),
+      c AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt FROM k
+        GROUP BY key)
+      SELECT key, cnt, CAST((cnt * 1000000) // n.n AS BIGINT) AS share_ppm
+      FROM c, n WHERE cnt >= n.n // 64 + 1
+      ORDER BY key"""),
+    doc = "[NS] exact heavy hitters via MG sketch nomination + exact rescan")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
-    q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers)
+    q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,
+    q172TargetEncode, q173WeightedMedian, q174HeavyExact)
 }

@@ -253,6 +253,61 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(k2.getString(3) == "y" && k2.getLong(4) == 9L)
   }
 
+  // ---- targetEncode ----
+
+  test("targetEncode: hand-checked smoothed ppm, LOO variants, and " +
+      "null LOO when the category has no such member") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 0L), ("b", 0L))
+      .toDF("cat", "label")
+    val got = graft.operators.Analytics.targetEncode(df, "cat", "label",
+      m = 2).collect().map(r => r.getString(0) -> r).toMap
+    // global N=4, P=2; enc = 1e6*(pos*N + m*P) div ((n+m)*N)
+    val a = got("a")
+    assert(a.getLong(3) == 600000L)   // (2*4+4)/(5*4)
+    assert(a.getLong(4) == 500000L)   // LOO pos: (1*4+4)/(4*4)
+    assert(a.getLong(5) == 750000L)   // LOO neg: (2*4+4)/(4*4)
+    val b = got("b")
+    assert(b.getLong(3) == 333333L)   // (0+4)/(3*4) — pulled to prior
+    assert(b.isNullAt(4))             // no positive member to remove
+    assert(b.getLong(5) == 500000L)   // (0+4)/(2*4)
+  }
+
+  // ---- weightedMedian ----
+
+  test("weightedMedian: weight-heavy tail moves the median; unit " +
+      "weights reduce to the lower median") {
+    import spark.implicits._
+    val df = Seq(("k", 1L, 1L, 1L), ("k", 2L, 1L, 2L), ("k", 3L, 10L, 3L))
+      .toDF("g", "v", "w", "id")
+    val r = graft.operators.Analytics
+      .weightedMedian(df, "g", "v", "w", "id").collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 12L) // volume center
+    val unit = (1L to 4L).map(i => ("k", i, 1L, i)).toDF("g", "v", "w", "id")
+    val u = graft.operators.Analytics
+      .weightedMedian(unit, "g", "v", "w", "id").collect().head
+    assert(u.getLong(1) == 2L) // lower median of 1..4
+  }
+
+  // ---- heavyHittersExact ----
+
+  test("heavyHittersExact: saturated sketch still yields the EXACT " +
+      "heavy set, invariant under partitioning") {
+    import spark.implicits._
+    // 10×a, 5×b, 24 singletons: n=39, k=4 ⇒ threshold 39 div 4 + 1 = 10
+    // ⇒ only a is heavy; MG(4) is far over capacity, so survival is the
+    // guarantee, not luck
+    val keys = Seq.fill(10)("a") ++ Seq.fill(5)("b") ++
+      ('c' to 'z').map(_.toString)
+    for (p <- Seq(1, 7)) {
+      val got = graft.operators.Analytics.heavyHittersExact(
+          keys.toDF("k").repartition(p), "k", k = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq(("a", 10L, 256410L)),
+        s"partitions=$p: ${got.toSeq}")
+    }
+  }
+
   // ---- madOutliers ----
 
   test("madOutliers: a wild spike is flagged, nulls excluded, med/mad " +
