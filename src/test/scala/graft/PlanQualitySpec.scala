@@ -563,4 +563,43 @@ class PlanQualitySpec extends AnyFunSuite {
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected only the state scan, got $scans:\n$p")
   }
+
+  test("q165 priority sample: top-(k+1) is TakeOrderedAndProject (heap), " +
+      "never a global sort of the corpus") {
+    val p = plan("q165_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q166 kmv quantiles: one map-side-combining aggregate, no joins") {
+    val p = plan("q166_kmv_quantiles")
+    assert(!p.contains("Join"), s"sketch profiling must be join-free:\n$p")
+    // partial + final aggregation around exactly one hash exchange
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly 1 hash Exchange:\n$p")
+  }
+
+  test("q170 survivorship: both attribute windows and the final groupBy " +
+      "share ONE exchange on the key") {
+    val p = plan("q170_survivorship")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly 1 hash Exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q172 target encode: only the 1-row global-stats frame rides a " +
+      "broadcast loop; the fact table is never joined") {
+    val p = plan("q172_target_encode")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size == 1,
+      s"expected exactly the 1-row-stats BNLJ:\n$p")
+  }
+
+  test("q174 heavy hitters: the exact rescan restricts by BROADCAST of " +
+      "the <=k candidates — no shuffle join against the fact") {
+    val p = plan("q174_heavy_exact")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
 }
