@@ -381,6 +381,59 @@ object Analytics {
         qsPct.map(p => col(s"q$p"))): _*)
   }
 
+  /** [NS] — CDC generation FROM SNAPSHOTS: when a source publishes full
+    * snapshots instead of a changelog (the common ELT reality), the diff
+    * IS the changelog — rows only in `b` become inserts, rows only in
+    * `a` become retractions, changed rows become a retract-of-old +
+    * insert-of-new pair. The emitted rows feed [[AggView.mergeCdc]] (or
+    * any Σ-delta consumer) directly, so incremental maintenance works
+    * without upstream cooperation: refresh cost becomes O(diff), never
+    * O(snapshot), and the pair encoding makes updates exact under
+    * additive state (old contribution cancels, new one lands).
+    * One full-outer key join ([[snapshotDiff]]); unchanged rows never
+    * ship. */
+  def cdcFromSnapshots(a: DataFrame, b: DataFrame, keys: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    val d = snapshotDiff(a, b, keys, cols)
+    val ins = d.filter(col("change").isin("added", "changed"))
+      .select(keys.map(col) ++
+        cols.map(c => col(s"${c}_new").as(c)) :+ lit("I").as("op"): _*)
+    val del = d.filter(col("change").isin("removed", "changed"))
+      .select(keys.map(col) ++ cols.map(col) :+ lit("D").as("op"): _*)
+    ins.unionByName(del)
+  }
+
+  /** [NS] — distribution drift audit between two populations (the
+    * train/serve skew check every production model pipeline runs):
+    * equi-width bins over a pre-scaled long value column, per-side bin
+    * shares in EXACT integer ppm, and the per-bin absolute share gap.
+    * Σ diff_ppm over the output is the L1 (total-variation×2) drift.
+    * Log-free by design — PSI's ln(p/q) term is not exactly computable
+    * in portable integer arithmetic, and the L1 gap ranks drifts the
+    * same way for monitoring purposes. Values outside [loC, hiC) clamp
+    * into the edge bins (drift TO out-of-range values must count, not
+    * vanish). One aggregate per side + a bins-sized full-outer merge. */
+  def distributionDrift(a: DataFrame, b: DataFrame, valCol: String,
+      loC: Long, hiC: Long, bins: Int): DataFrame = {
+    require(bins > 0 && hiC > loC, "need bins > 0 and hiC > loC")
+    def binned(df: DataFrame, nName: String, ppmName: String) = {
+      val v = col(valCol)
+      val bin = least(lit(bins - 1), greatest(lit(0),
+        expr(s"(($valCol - ${loC}L) * $bins) div ${hiC - loC}L")))
+        .cast("int")
+      val c = df.filter(v.isNotNull).groupBy(bin.as("bin"))
+        .agg(count(lit(1)).as(nName))
+      val tot = c.agg(sum(col(nName)).as("_tot"))
+      c.crossJoin(broadcast(tot))
+        .withColumn(ppmName, expr(s"($nName * 1000000) div _tot"))
+        .drop("_tot")
+    }
+    binned(a, "a_n", "a_ppm")
+      .join(binned(b, "b_n", "b_ppm"), Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("a_n", "a_ppm", "b_n", "b_ppm"))
+      .withColumn("diff_ppm", abs(col("a_ppm") - col("b_ppm")))
+  }
+
   /** [NS] — smoothed target encoding with leave-one-out columns, the
     * feature-store categorical encoder: category c maps to
     * `(pos_c + m·prior) / (n_c + m)` (additive / "James–Stein-style"

@@ -827,9 +827,91 @@ object OpsQueries {
       ORDER BY key"""),
     doc = "[NS] exact heavy hitters via MG sketch nomination + exact rescan")
 
+  /** [NS] — snapshot-diff-driven incremental maintenance (q175): the
+    * source publishes full snapshots (no changelog), so
+    * [[graft.operators.Analytics.cdcFromSnapshots]] DERIVES the
+    * changelog — adds→I, removals→D, updates→D(old)+I(new) — and
+    * [[graft.operators.AggView.mergeCdc]] folds it into the view built
+    * from snapshot A. The served state must then equal a from-scratch
+    * aggregate of snapshot B (the oracle): inserts (%3 ids), deletes
+    * (%7 ids), and value mutations (%5 ids, +17) all round-trip through
+    * the Σ-delta state exactly. Refresh cost is O(diff + state); the
+    * B snapshot is never re-aggregated. */
+  val q175DiffCdc = Q(
+    "q175_diff_cdc",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val cols = Seq("user_id", "event_type", "value")
+      val a = ev.filter($"event_id" % 3 =!= 0)
+        .select(($"event_id" +: cols.map(col)): _*)
+      val b = ev.filter($"event_id" % 7 =!= 0)
+        .withColumn("value",
+          when($"event_id" % 5 === 0, $"value" + 17).otherwise($"value"))
+        .select(($"event_id" +: cols.map(col)): _*)
+      val vs = round($"value" * 100).cast("long")
+      val dir = graft.operators.AggView.defaultDir(d + "#diffcdc")
+      graft.operators.AggView.build(a, Seq("user_id", "event_type"), vs, dir)
+      val cdc = Analytics.cdcFromSnapshots(a, b, Seq("event_id"), cols)
+      graft.operators.AggView.mergeCdc(s, cdc,
+        Seq("user_id", "event_type"), vs, "op", dir)
+      graft.operators.AggView.serve(s, dir)
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""WITH b AS (SELECT user_id, event_type,
+          CASE WHEN event_id % 5 = 0 THEN value + 17 ELSE value END AS value
+        FROM events WHERE event_id % 7 <> 0)
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+        CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS vsum
+      FROM b GROUP BY 1, 2 ORDER BY user_id, event_type"""),
+    doc = "[NS] snapshot-diff-derived CDC folds a view from A to B exactly (no changelog upstream)")
+
+  /** [NS] — distribution drift audit (q176): per-bin value-share gap
+    * between the click and purchase populations
+    * ([[graft.operators.Analytics.distributionDrift]], 16 equi-width
+    * cent bins over [0,10000)). Exact integer binning and ppm shares —
+    * the log-free train/serve skew monitor; Σ diff_ppm is the L1
+    * drift. Out-of-range values clamp into the edge bins so drift
+    * beyond the expected range counts instead of vanishing. */
+  val q176DriftAudit = Q(
+    "q176_drift_audit",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("v_c", round($"value" * 100).cast("long"))
+      Analytics.distributionDrift(
+          ev.filter($"event_type" === "click"),
+          ev.filter($"event_type" === "purchase"),
+          "v_c", loC = 0L, hiC = 10000L, bins = 16)
+        .orderBy($"bin")
+    },
+    Some("""WITH v AS (SELECT event_type,
+          CAST(round(value * 100.0) AS BIGINT) AS v_c FROM events
+        WHERE value IS NOT NULL),
+      binned AS (SELECT event_type,
+          CAST(least(15, greatest(0, (v_c * 16) // 10000)) AS INT) AS bin
+        FROM v),
+      a AS (SELECT bin, CAST(count(*) AS BIGINT) AS a_n FROM binned
+        WHERE event_type = 'click' GROUP BY bin),
+      at AS (SELECT CAST(sum(a_n) AS BIGINT) AS tot FROM a),
+      b AS (SELECT bin, CAST(count(*) AS BIGINT) AS b_n FROM binned
+        WHERE event_type = 'purchase' GROUP BY bin),
+      bt AS (SELECT CAST(sum(b_n) AS BIGINT) AS tot FROM b),
+      m AS (SELECT coalesce(a.bin, b.bin) AS bin,
+          coalesce(a_n, 0) AS a_n,
+          coalesce(CAST((a_n * 1000000) // at.tot AS BIGINT), 0) AS a_ppm,
+          coalesce(b_n, 0) AS b_n,
+          coalesce(CAST((b_n * 1000000) // bt.tot AS BIGINT), 0) AS b_ppm
+        FROM a FULL OUTER JOIN b ON a.bin = b.bin, at, bt)
+      SELECT bin, a_n, a_ppm, b_n, b_ppm,
+        abs(a_ppm - b_ppm) AS diff_ppm
+      FROM m ORDER BY bin"""),
+    doc = "[NS] binned distribution drift in exact ppm (log-free train/serve skew audit)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,
-    q172TargetEncode, q173WeightedMedian, q174HeavyExact)
+    q172TargetEncode, q173WeightedMedian, q174HeavyExact, q175DiffCdc,
+    q176DriftAudit)
 }

@@ -253,6 +253,51 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(k2.getString(3) == "y" && k2.getLong(4) == 9L)
   }
 
+  // ---- cdcFromSnapshots ----
+
+  test("cdcFromSnapshots: adds→I, removals→D, updates→D+I, unchanged " +
+      "rows emit nothing; folding the delta reproduces snapshot B") {
+    import spark.implicits._
+    val a = Seq((1L, 10L), (2L, 20L), (4L, 40L)).toDF("k", "x")
+    val b = Seq((2L, 25L), (3L, 30L), (4L, 40L)).toDF("k", "x")
+    val cdc = graft.operators.Analytics
+      .cdcFromSnapshots(a, b, Seq("k"), Seq("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    assert(cdc == Set((1L, 10L, "D"), (2L, 20L, "D"), (2L, 25L, "I"),
+      (3L, 30L, "I"))) // k=4 unchanged: absent
+    // Σ-delta fold law: A + signed delta == B (per-key sums)
+    val folded = a.select($"k", $"x", lit(1L).as("s"))
+      .unionByName(graft.operators.Analytics
+        .cdcFromSnapshots(a, b, Seq("k"), Seq("x"))
+        .select($"k", $"x", when($"op" === "I", 1L).otherwise(-1L).as("s")))
+      .groupBy($"k").agg(sum($"s" * $"x").as("sx"), sum($"s").as("n"))
+      .filter($"n" =!= 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == Set((2L, 25L), (3L, 30L), (4L, 40L)))
+  }
+
+  // ---- distributionDrift ----
+
+  test("distributionDrift: exact binning with edge clamping; identical " +
+      "populations show zero drift") {
+    import spark.implicits._
+    // 10 bins over [0,100): values -5 and 250 clamp into bins 0 and 9
+    val a = Seq(-5L, 1L, 15L, 15L, 99L, 250L).toDF("v")
+    val b = Seq(5L, 5L, 15L, 95L, 95L, 95L).toDF("v")
+    val got = graft.operators.Analytics
+      .distributionDrift(a, b, "v", 0L, 100L, 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0) == ((2L, 333333L, 2L, 333333L))) // -5 clamps to bin 0
+    assert(got(1) == ((2L, 333333L, 1L, 166666L)))
+    assert(got(9) == ((2L, 333333L, 3L, 500000L))) // 250 clamps to bin 9
+    val same = graft.operators.Analytics
+      .distributionDrift(a, a, "v", 0L, 100L, 10)
+      .agg(sum(col("diff_ppm"))).collect().head.getLong(0)
+    assert(same == 0L)
+  }
+
   // ---- targetEncode ----
 
   test("targetEncode: hand-checked smoothed ppm, LOO variants, and " +
