@@ -335,4 +335,55 @@ object Graph {
     }
     walk.select(col("start") +: (1 to steps).map(j => col(s"n$j")): _*)
   }
+
+  /** [NS] — degree-capped bipartite co-occurrence (the item-item
+    * projection of a (user, item) interaction graph — the recsys /
+    * related-content primitive). The naive projection self-joins on the
+    * user key, which is quadratic in USER DEGREE: one crawler or bot
+    * account touching 10⁶ items contributes 10¹² pairs. The standard
+    * scale fix is applied here: each user's interactions are capped to
+    * their `capM` most-engaged items (rank by interaction count desc,
+    * item asc — deterministic), so per-user pair fan-out is bounded by
+    * C(capM, 2) and the projection cost is linear in users. Output
+    * pairs carry the co-user count and an integer-ppm containment score
+    * `n_ab·10⁶ div min(deg_a, deg_b)` (degrees measured on the capped
+    * set, so the score is consistent with the pairs it ranks).
+    *
+    * Shape: one distinct + one per-user rank window + one equi-join on
+    * user + one pair aggregate — no cartesian, no theta join; the join
+    * key is the user, and the cap bounds the per-key multiplicity on
+    * both sides. */
+  def coOccurrence(df: DataFrame, userCol: String, itemCol: String,
+      capM: Int, minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(capM > 1, s"cap must allow pairs, got $capM")
+    val inter = df.select(col(userCol).as("u"), col(itemCol).as("i"))
+      .groupBy(col("u"), col("i")).agg(count(lit(1)).as("w"))
+    val capped = inter
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("u"))
+          .orderBy(col("w").desc, col("i").asc)))
+      .filter(col("_rn") <= capM)
+      .select(col("u"), col("i"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = capped.groupBy(col("i")).agg(count(lit(1)).as("deg"))
+      val pairs = capped.as("a")
+        .join(capped.as("b"), Seq("u"))
+        .filter(col("a.i") < col("b.i"))
+        .groupBy(col("a.i").as("item_a"), col("b.i").as("item_b"))
+        .agg(count(lit(1)).as("n_users"))
+        .filter(col("n_users") >= minCount)
+      pairs
+        .join(broadcast(deg.select(col("i").as("item_a"),
+          col("deg").as("_da"))), Seq("item_a"))
+        .join(broadcast(deg.select(col("i").as("item_b"),
+          col("deg").as("_db"))), Seq("item_b"))
+        .withColumn("containment_ppm",
+          expr("(n_users * 1000000) div least(_da, _db)"))
+        .select(col("item_a"), col("item_b"), col("n_users"),
+          col("containment_ppm"))
+        .localCheckpoint(true) // pairs only; outlives the capped pin
+    } finally capped.unpersist(blocking = false)
+  }
 }

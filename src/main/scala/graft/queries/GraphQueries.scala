@@ -353,6 +353,81 @@ object GraphQueries {
       SELECT start, n1, n2, n3 FROM w3 ORDER BY start"""),
     doc = "[NS] deterministic hash walks (replayable DeepWalk corpus generation)")
 
+  /** [NS] — degree-capped item co-occurrence (q177): the item-item
+    * projection of the (user, item-k) interaction graph from the events
+    * props, with each user capped to their 10 most-engaged items
+    * ([[Graph.coOccurrence]]) — the bound that keeps the projection
+    * linear in users instead of quadratic in hub degree. Pairs carry
+    * the co-user count and the integer-ppm containment score. The
+    * oracle replays the cap (same deterministic rank), the pair join,
+    * and the score arithmetic. */
+  val q177CoOccurrence = Q(
+    "q177_cooccurrence",
+    (s, d) => {
+      import s.implicits._
+      val inter = Tables.events(s, d)
+        .select($"user_id",
+          get_json_object($"props", "$.k").cast("long").as("item"))
+        .filter($"item".isNotNull)
+      Graph.coOccurrence(inter, "user_id", "item", capM = 10,
+          minCount = 3L)
+        .orderBy($"item_a", $"item_b")
+    },
+    Some("""WITH inter AS (SELECT user_id AS u,
+          CAST(props->>'$.k' AS BIGINT) AS i, count(*) AS w
+        FROM events WHERE props->>'$.k' IS NOT NULL GROUP BY 1, 2),
+      capped AS (SELECT u, i FROM (SELECT u, i, row_number() OVER
+          (PARTITION BY u ORDER BY w DESC, i ASC) AS rn FROM inter)
+        WHERE rn <= 10),
+      deg AS (SELECT i, CAST(count(*) AS BIGINT) AS deg FROM capped
+        GROUP BY i),
+      pairs AS (SELECT a.i AS item_a, b.i AS item_b,
+          CAST(count(*) AS BIGINT) AS n_users
+        FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT item_a, item_b, n_users,
+        CAST((n_users * 1000000) // least(da.deg, db.deg) AS BIGINT)
+          AS containment_ppm
+      FROM pairs JOIN deg da ON da.i = item_a JOIN deg db ON db.i = item_b
+      ORDER BY item_a, item_b"""),
+    doc = "[NS] degree-capped bipartite co-occurrence (linear-in-users item projection)")
+
+  /** [NS] — decayed trending leaderboard (q178): per item-k, the
+    * freshness-decayed engagement score (q143's exact power-of-2 shift
+    * decay, applied per ITEM) and the top 10 via
+    * TakeOrderedAndProject — the "what's hot now" serving query where a
+    * plain count ranks stale hits over recent ones. All integer
+    * arithmetic; anchor is a 1-row broadcast max. */
+  val q178Trending = Q(
+    "q178_trending",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("item", get_json_object($"props", "$.k").cast("long"))
+        .filter($"item".isNotNull)
+      val anchor = ev.agg(max(to_date($"ts")).as("_anchor"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("_age", datediff($"_anchor", to_date($"ts")))
+        .withColumn("_dec", expr("CAST(round(value * 100) AS BIGINT) div " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(least(_age, 40) AS INT))"))
+        .groupBy($"item")
+        .agg(sum($"_dec").as("decayed_scaled"), count(lit(1)).as("n"))
+        .orderBy($"decayed_scaled".desc, $"item")
+        .limit(10)
+    },
+    Some("""WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+      d AS (SELECT CAST(props->>'$.k' AS BIGINT) AS item,
+          CAST(round(value * 100) AS BIGINT)
+            // (CAST(1 AS BIGINT) << least(
+               date_diff('day', CAST(ts AS DATE), anchor), 40)) AS dec
+        FROM events CROSS JOIN a WHERE props->>'$.k' IS NOT NULL)
+      SELECT item, CAST(sum(dec) AS BIGINT) AS decayed_scaled,
+        CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY item
+      ORDER BY decayed_scaled DESC, item LIMIT 10"""),
+    doc = "[NS] decayed trending top-k (exact integer shift decay, heap top-k)")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
-    q138Kcore, q161BfsLevels, q163HashWalks)
+    q138Kcore, q161BfsLevels, q163HashWalks, q177CoOccurrence,
+    q178Trending)
 }

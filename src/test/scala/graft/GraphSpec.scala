@@ -222,4 +222,39 @@ class GraphSpec extends AnyFunSuite {
     assert(kcoreRun(messy, k = 2, rounds = 8) ===
       kcoreRun(edges, k = 2, rounds = 8))
   }
+
+  // ---- coOccurrence (degree-capped bipartite projection) ----
+
+  test("coOccurrence: hub user capped to its top-m items, pair counts " +
+      "and containment exact, invariant under partitioning") {
+    import spark.implicits._
+    // users 1..3 each touch items {10, 20}; hub user 9 touches items
+    // 10..15 once each BUT item 10 twice (rank: 10 first by count, then
+    // 11, 12 by id) — with cap 3 the hub contributes pairs only among
+    // {10, 11, 12}
+    val rows =
+      (for (u <- 1L to 3L; i <- Seq(10L, 20L)) yield (u, i)) ++
+        (11L to 15L).map(i => (9L, i)) :+ ((9L, 10L)) :+ ((9L, 10L))
+    val df = rows.toDF("u", "i")
+    for (p <- Seq(1, 5)) {
+      val got = graft.operators.Graph
+        .coOccurrence(df.repartition(p), "u", "i", capM = 3,
+          minCount = 1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._2))
+      // capped sets: u1..u3 -> {10,20}; u9 -> {10,11,12}
+      // pairs: (10,20)x3, (10,11), (10,12), (11,12)
+      // degrees (capped): 10->4, 20->3, 11->1, 12->1
+      assert(got.toSeq == Seq(
+        (10L, 11L, 1L, 1000000L),  // 1*1e6 div min(4,1)
+        (10L, 12L, 1L, 1000000L),
+        (10L, 20L, 3L, 1000000L),  // 3*1e6 div min(4,3)
+        (11L, 12L, 1L, 1000000L)), s"partitions=$p: ${got.toSeq}")
+    }
+    // minCount prunes singleton pairs
+    val pruned = graft.operators.Graph
+      .coOccurrence(df, "u", "i", capM = 3, minCount = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.toSeq == Seq((10L, 20L)))
+  }
 }
