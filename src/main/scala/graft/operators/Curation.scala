@@ -410,6 +410,49 @@ object Curation {
       .select(col("tok"), col("id"))
   }
 
+  /** [NS] — spell correction by symmetric deletes (SymSpell — Garbe's
+    * public algorithm): a query token matches a vocabulary word iff
+    * they share a delete-≤1 FORM (the word itself or any
+    * one-char-removed variant), which covers every edit-distance-1
+    * error class (substitution, insertion, deletion, and the identity)
+    * with an EQUI-JOIN on the form key instead of a query×vocab
+    * edit-distance cross — the trick that makes spell correction a join
+    * problem. Candidates are verified with a real `levenshtein ≤ 1`
+    * (a delete on BOTH sides of a shared form composes to edit distance
+    * 2, so form equality alone over-admits); the winner per query is
+    * the highest-frequency verified candidate (ties by word).
+    *
+    * Scale shape: vocab delete-forms are |V|·(avg_len+1) narrow rows —
+    * in production, PRECOMPUTE and store them (the same
+    * build-once/serve-many contract as [[graft.operators.TextIndex]]);
+    * the per-batch cost is the query-side explode + one equi-join +
+    * per-query rank windows over candidate sets bounded by form
+    * collisions, never |V|. */
+  def spellCorrect(vocab: DataFrame, wordCol: String, freqCol: String,
+      queries: DataFrame, qCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def deleteForms(name: String) = expr(
+      s"array_distinct(concat(array($name), " +
+        s"transform(sequence(1, length($name)), " +
+        s"i -> concat(substring($name, 1, i-1), substring($name, i+1)))))")
+    val vd = vocab
+      .select(col(wordCol).as("w"), col(freqCol).cast("long").as("freq"))
+      .withColumn("form", explode(deleteForms("w")))
+    val qd = queries.select(col(qCol).as("q")).distinct()
+      .withColumn("form", explode(deleteForms("q")))
+    val cand = qd.join(vd, Seq("form"))
+      .filter(expr("levenshtein(q, w) <= 1"))
+      .select(col("q"), col("w"), col("freq")).distinct()
+    val wq = Window.partitionBy(col("q"))
+    cand
+      .withColumn("n_cands", count(lit(1)).over(wq))
+      .withColumn("_rn", row_number().over(
+        wq.orderBy(col("freq").desc, col("w"))))
+      .filter(col("_rn") === 1)
+      .select(col("q"), col("w").as("corrected"), col("freq"),
+        col("n_cands"))
+  }
+
   /** [NS] — token-id encoding against a [[buildVocab]] table: every doc
     * becomes its id sequence (document order preserved; OOV → 0). One
     * explode + one equi-join against the broadcast vocab + one

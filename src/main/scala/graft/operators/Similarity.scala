@@ -283,6 +283,65 @@ object Similarity {
     } finally e.unpersist(blocking = false)
   }
 
+  /** [NS] — MMR diversified re-ranking (Maximal Marginal Relevance;
+    * Carbonell & Goldstein, SIGIR'98): greedily select k results
+    * maximizing `λ·relevance − (1−λ)·max-similarity-to-already-selected`
+    * — the standard retrieval de-redundancy pass that turns "ten copies
+    * of the best hit" into a diverse answer set. Runs on a SHORTLIST
+    * (candidates of an ANN/BM25 stage — MMR is always post-retrieval;
+    * its cost is k·|shortlist| similarity evaluations, never
+    * corpus-sized).
+    *
+    * Determinism contract: relevance and pairwise similarity are the
+    * codebase's round(cos,6)·10⁶ integers; the selection score is
+    * `lambdaPct·rel − (100−lambdaPct)·maxsim` (exact longs), ties break
+    * by id; the seed is the relevance argmax with maxsim = 0. The
+    * trajectory is identical across engines, so an unrolled-CTE oracle
+    * certifies it.
+    *
+    * Shape: the kCenter chain ([[kCenterCoreset]]) with max-sim state
+    * instead of min-distance — per round one 1-row broadcast + per-row
+    * `greatest(maxsim, sim)` + TakeOrderedAndProject; zero shuffles.
+    * `cands` must carry (idCol, vecCol ARRAY<DOUBLE>, relCol long i6). */
+  def mmrRerank(cands: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambdaPct: Int = 50): DataFrame = {
+    require(k > 0 && lambdaPct >= 0 && lambdaPct <= 100,
+      s"bad k=$k / lambdaPct=$lambdaPct")
+    val simI6 = (a: Column, b: Column) =>
+      round(round(cosine(a, b), 6) * 1e6).cast("long")
+    def score(rel: Column, ms: Column): Column =
+      lit(lambdaPct.toLong) * rel - lit((100 - lambdaPct).toLong) * ms
+    val e = cands.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(relCol).cast("long").as("rel"))
+    val seed = e.orderBy(col("rel").desc, col("id")).limit(1)
+      .select(col("id").as("c_id"), col("v").as("cv"), col("rel"))
+      .localCheckpoint(true)
+    var out = seed.select(col("c_id"), lit(1).as("sel_order"),
+      score(col("rel"), lit(0L)).as("mmr100"))
+    var state = e.join(broadcast(seed.select(col("c_id"))),
+        col("id") === col("c_id"), "left_anti")
+      .crossJoin(broadcast(seed.select(col("cv"))))
+      .select(col("id"), col("v"), col("rel"),
+        simI6(col("v"), col("cv")).as("ms"))
+    for (r <- 2 to k) {
+      val next = state
+        .orderBy(score(col("rel"), col("ms")).desc, col("id"))
+        .limit(1)
+        .select(col("id").as("c_id"), col("v").as("cv"),
+          score(col("rel"), col("ms")).as("mmr100"))
+        .localCheckpoint(true) // 1 row; truncates the round's lineage
+      out = out.unionByName(
+        next.select(col("c_id"), lit(r).as("sel_order"), col("mmr100")))
+      state = state
+        .join(broadcast(next.select(col("c_id"))),
+          col("id") === col("c_id"), "left_anti")
+        .crossJoin(broadcast(next.select(col("cv"))))
+        .select(col("id"), col("v"), col("rel"),
+          greatest(col("ms"), simI6(col("v"), col("cv"))).as("ms"))
+    }
+    out.orderBy(col("sel_order"))
+  }
+
   /** D5 [NS] — SEMANTIC dedup (SemDedup; Abbas et al. 2023, public
     * technique): k-means-cluster the embedding space, then near-dup only
     * WITHIN clusters — same-cluster pairs with cosine ≥ `minCos` drop

@@ -1015,6 +1015,54 @@ object CurationQueries {
       ORDER BY source"""),
     doc = "[NS] end-to-end curation funnel: quality/dedup/near-dup/decontam/budget in one DAG")
 
+  /** [NS] — SymSpell spell correction (q180): misspellings are derived
+    * deterministically from the corpus itself (3rd character dropped
+    * from the 20 most frequent length-≥6 vocabulary words) and
+    * corrected against the top-300 vocab by
+    * [[Curation.spellCorrect]]'s symmetric-delete join + levenshtein
+    * verify + frequency argmax. The oracle replays delete-form
+    * generation, the form join, and the rank. */
+  val q180SpellCorrect = Q(
+    "q180_spell_correct",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("tok"))
+      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"tok").limit(300)
+        .select($"tok".as("w"), $"freq")
+      val qs = vocab.filter(length($"w") >= 6)
+        .orderBy($"freq".desc, $"w").limit(20)
+        .select(concat(substring($"w", 1, 2), expr("substring(w, 4)"))
+          .as("q"))
+      Curation.spellCorrect(vocab, "w", "freq", qs, "q")
+        .orderBy($"q")
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      vocab AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS freq
+        FROM toks GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 300),
+      qs AS (SELECT DISTINCT substr(w, 1, 2) || substr(w, 4) AS q
+        FROM (SELECT w FROM vocab WHERE length(w) >= 6
+          ORDER BY freq DESC, w LIMIT 20)),
+      qd AS (SELECT q, unnest(list_distinct(list_concat([q],
+          list_transform(range(1, len(q) + 1),
+            i -> substr(q, 1, i - 1) || substr(q, i + 1))))) AS form
+        FROM qs),
+      vd AS (SELECT w, freq, unnest(list_distinct(list_concat([w],
+          list_transform(range(1, len(w) + 1),
+            i -> substr(w, 1, i - 1) || substr(w, i + 1))))) AS form
+        FROM vocab),
+      cand AS (SELECT DISTINCT q, w, freq FROM qd JOIN vd USING (form)
+        WHERE levenshtein(q, w) <= 1),
+      r AS (SELECT q, w, freq,
+          CAST(count(*) OVER (PARTITION BY q) AS BIGINT) AS n_cands,
+          row_number() OVER (PARTITION BY q ORDER BY freq DESC, w) AS rn
+        FROM cand)
+      SELECT q, w AS corrected, freq, n_cands FROM r WHERE rn = 1
+      ORDER BY q"""),
+    doc = "[NS] SymSpell spell correction (symmetric-delete join + verify + freq argmax)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -1022,5 +1070,5 @@ object CurationQueries {
     q120EpochExpand, q121NgramDiversity, q122Postings,
     q123PositionalIndex, q124Bm25, q126PhraseSearch,
     q127TextIndexServe, q128IndexMerge, q151Hybrid, q152ShardPack,
-    q162GroupSplit, q171CurationFunnel)
+    q162GroupSplit, q171CurationFunnel, q180SpellCorrect)
 }

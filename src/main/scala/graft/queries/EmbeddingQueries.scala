@@ -516,6 +516,71 @@ object EmbeddingQueries {
       ORDER BY cos DESC, vec_id ASC LIMIT 10"""
   }
 
+  /** q179's oracle rounds: cN picks the (50·rel − 50·maxsim) argmax,
+    * dN folds the new selection's similarity into the running max. */
+  private lazy val mmrOracleSql: String = {
+    val k = 5
+    def sim(a: String, b: String) =
+      s"CAST(round(round(${cosSql(a, b)}, 6) * 1e6) AS BIGINT)"
+    val rounds = (2 to k).map { r =>
+      val prev = s"d${r - 1}"
+      val sel =
+        s"""c$r AS (SELECT id, v, 50 * rel - 50 * ms AS mmr100 FROM $prev
+        ORDER BY 50 * rel - 50 * ms DESC, id ASC LIMIT 1)"""
+      val fold =
+        if (r == k) ""
+        else s""",
+      d$r AS (SELECT d.id, d.v, d.rel,
+          greatest(d.ms, ${sim("d.v", "c.v")}) AS ms
+        FROM $prev d, c$r c WHERE d.id <> c.id)"""
+      sel + fold
+    }.mkString(",\n      ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e
+        ORDER BY vec_id DESC LIMIT 1),
+      c0 AS MATERIALIZED (SELECT e.vec_id AS id, e.v,
+          ${sim("e.v", "qv")} AS rel
+        FROM e, q WHERE e.vec_id <> q.q_id
+        ORDER BY ${sim("e.v", "qv")} DESC, e.vec_id ASC LIMIT 20),
+      c1 AS (SELECT id, v, rel, 50 * rel AS mmr100 FROM c0
+        ORDER BY rel DESC, id ASC LIMIT 1),
+      d1 AS (SELECT d.id, d.v, d.rel, ${sim("d.v", "c.v")} AS ms
+        FROM c0 d, c1 c WHERE d.id <> c.id),
+      $rounds
+      SELECT c_id, sel_order, mmr100 FROM (
+        SELECT id AS c_id, 1 AS sel_order, mmr100 FROM c1
+        ${(2 to k).map(r =>
+          s"UNION ALL SELECT id, $r, mmr100 FROM c$r").mkString("\n        ")}
+      ) ORDER BY sel_order"""
+  }
+
+  /** [NS] — MMR diversified re-ranking (q179): the top-20 cosine
+    * shortlist for the max-id query vector is greedily re-ranked by
+    * Maximal Marginal Relevance ([[Similarity.mmrRerank]], λ=0.5, k=5)
+    * — the post-retrieval de-redundancy pass. Integer i6 scores and
+    * id tie-breaks make the greedy trajectory engine-exact; the oracle
+    * unrolls the rounds. */
+  val q179MmrRerank = Q(
+    "q179_mmr_rerank",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", vecD($"embedding").as("v"))
+      val qv = e.orderBy($"vec_id".desc).limit(1)
+        .select($"vec_id".as("q_id"), $"v".as("qv"))
+      val cands = e.crossJoin(broadcast(qv))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("rel",
+          round(round(Similarity.cosine($"v", $"qv"), 6) * 1e6)
+            .cast("long"))
+        .orderBy($"rel".desc, $"vec_id")
+        .limit(20)
+      Similarity.mmrRerank(cands, "vec_id", "v", "rel", k = 5,
+        lambdaPct = 50)
+    },
+    Some(mmrOracleSql),
+    doc = "[NS] MMR diversified re-rank of an ANN shortlist (greedy, integer-exact)")
+
   val q102IvfPqSearch = Q(
     "q102_ivfpq_search",
     (s, d) => {
@@ -964,5 +1029,5 @@ object EmbeddingQueries {
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,
     q132JlProject, q150FilteredAnn, q155BatchAnn, q168IndexAppend,
-    q169KCenter)
+    q169KCenter, q179MmrRerank)
 }

@@ -517,6 +517,40 @@ class CurationSpec extends AnyFunSuite {
     assert(again === r, "scores must be partition-independent")
   }
 
+  // ---- spellCorrect (SymSpell symmetric deletes) ----
+
+  test("spellCorrect: substitution/insertion/deletion/identity all " +
+      "resolve; frequency breaks ambiguity; distance-2 words are " +
+      "rejected despite shared delete forms") {
+    val vocab = Seq(("hello", 100L), ("help", 80L), ("hell", 10L),
+      ("world", 50L), ("word", 60L), ("ab", 5L), ("ac", 7L))
+      .toDF("w", "freq")
+    val qs = Seq(
+      "hallo",  // substitution → hello
+      "helloo", // insertion → hello
+      "hllo",   // deletion → hello
+      "help",   // identity (exact vocab word)
+      "word",   // identity beats neighbors despite shared forms
+      "a",      // delete form of both ab and ac → freq argmax ac
+      "zzz"     // no candidate at distance ≤1 → absent from output
+    ).toDF("q")
+    val got = Curation.spellCorrect(vocab, "w", "freq", qs, "q")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("hallo")._1 == "hello")
+    assert(got("helloo")._1 == "hello")
+    assert(got("hllo")._1 == "hello")
+    assert(got("help")._1 == "help")
+    assert(got("word")._1 == "word")
+    assert(got("a") == (("ac", 7L, 2L))) // both candidates, freq wins
+    assert(!got.contains("zzz"))
+    // "hllo" shares the delete form "hll" with "hell", but
+    // lev(hllo, hell) = 2 — the levenshtein verify must reject it, so
+    // hello is the ONLY candidate
+    assert(got("hllo")._3 == 1L,
+      s"unexpected candidate count: ${got("hllo")}")
+  }
+
   // ---- prioritySample (weighted sampling without replacement) ----
 
   test("prioritySample: exactly k rows, est_weight = max(w, τ), every " +

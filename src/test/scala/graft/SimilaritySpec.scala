@@ -218,6 +218,30 @@ class SimilaritySpec extends AnyFunSuite {
       s"composed recall@10 (nProbe=8/16, shortlist=100) = ${recalls.toList}")
   }
 
+  // ---- mmrRerank (maximal marginal relevance) ----
+
+  test("mmrRerank: redundant twin of the top hit is demoted below a " +
+      "diverse lower-relevance candidate; λ=100 reduces to pure " +
+      "relevance order") {
+    import spark.implicits._
+    // ids 1,2 are near-identical directions (redundant pair, rel 100/99);
+    // id 3 is orthogonal with rel 90
+    val cands = Seq(
+      (1L, Seq(1.0, 0.0), 1000000L),
+      (2L, Seq(0.999, 0.04), 990000L),
+      (3L, Seq(0.0, 1.0), 900000L)
+    ).toDF("id", "v", "rel")
+    val mmr = Similarity.mmrRerank(cands, "id", "v", "rel", k = 3,
+        lambdaPct = 50)
+      .collect().map(r => (r.getInt(1), r.getLong(0)))
+    // seed = 1 (max rel); then 3 (diverse) beats 2 (cos≈1 to selected)
+    assert(mmr.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)))
+    val pure = Similarity.mmrRerank(cands, "id", "v", "rel", k = 3,
+        lambdaPct = 100)
+      .collect().map(r => (r.getInt(1), r.getLong(0)))
+    assert(pure.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
   // ---- kCenterCoreset (farthest-point traversal) ----
 
   test("kCenterCoreset: hand trajectory on a 1-D line, partition " +
