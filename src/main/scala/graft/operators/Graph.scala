@@ -336,6 +336,84 @@ object Graph {
     walk.select(col("start") +: (1 to steps).map(j => col(s"n$j")): _*)
   }
 
+  /** [NS] — PERSONALIZED PageRank (random walk with restart): identical
+    * recurrence to [[pageRankExact]] except teleport AND dangling mass
+    * return to the SEED set instead of the whole graph — rank becomes
+    * proximity to the seeds, the standard related-items /
+    * graph-recommendation primitive ("what is close to THESE nodes"),
+    * where global PageRank answers only "what is central".
+    *
+    * Recurrence (all Long, floor division, S = |seeds|):
+    * {{{
+    *   r0(v)  = [v∈S] · (scale div S)
+    *   r'(v)  = [v∈S] · ((telePct · (scale div S)) div 100)
+    *          + (dampPct · (contrib(v) + [v∈S] · (dang div S))) div 100
+    * }}}
+    * Same distribution shape as the global variant: one edges⋈ranks +
+    * one groupBy shuffle per iteration, 1-row broadcast scalars, ranks
+    * localCheckpoint per round. Seeds ride a broadcast semi-join into
+    * the node table once. */
+  def personalizedPageRank(edgePairs: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iters: Int,
+      scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct 0..100, got $dampPct")
+    val telePct = 100 - dampPct
+    val edges0 = edgePairs
+      .select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = edges0.groupBy(col("_src")).agg(count(lit(1)).as("_od"))
+    val edges = edges0.join(outdeg, "_src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedSet = seeds.select(seeds.columns.head).toDF("_n").distinct()
+    val nodes = edges0.select(col("_src").as("_n"))
+      .union(edges0.select(col("_dst").as("_n")))
+      .distinct()
+      .join(outdeg.select(col("_src").as("_n"), col("_od")), Seq("_n"),
+        "left")
+      .join(broadcast(seedSet.withColumn("_seed", lit(1L))), Seq("_n"),
+        "left")
+      .select(col("_n"), coalesce(col("_od"), lit(0L)).as("_od"),
+        coalesce(col("_seed"), lit(0L)).as("_seed"))
+    try {
+      val sRow = nodes.agg(sum(col("_seed")).as("_ns"))
+      var ranks = nodes.crossJoin(broadcast(sRow))
+        .select(col("_n"), col("_od"), col("_seed"),
+          expr(s"_seed * ($scale div _ns)").as("_pr"))
+        .localCheckpoint(true)
+      val hasDangling = ranks.filter(col("_od") === 0).limit(1).count() > 0
+      for (_ <- 1 to iters) {
+        val contrib = edges
+          .join(ranks.select(col("_n").as("_src"), col("_pr")), "_src")
+          .select(col("_dst"), expr("_pr div _od").as("_c"))
+          .groupBy(col("_dst"))
+          .agg(sum(col("_c")).as("_contrib"))
+        val joined = ranks.select(col("_n"), col("_od"), col("_seed"))
+          .join(contrib.select(col("_dst").as("_n"), col("_contrib")),
+            Seq("_n"), "left")
+          .crossJoin(broadcast(sRow))
+        val withDang =
+          if (!hasDangling) joined.withColumn("_dang", lit(0L))
+          else joined.crossJoin(broadcast(
+            ranks.filter(col("_od") === 0)
+              .agg(coalesce(sum(col("_pr")), lit(0L)).as("_dang"))))
+        ranks = withDang
+          .select(col("_n"), col("_od"), col("_seed"),
+            expr(s"_seed * (($telePct * ($scale div _ns)) div 100)" +
+              s" + ($dampPct * (coalesce(_contrib, CAST(0 AS BIGINT))" +
+              s" + _seed * (_dang div _ns))) div 100").as("_pr"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("_n").as("node"), col("_od").as("od"),
+        col("_seed").as("is_seed"), col("_pr").as("pr"))
+    } finally {
+      edges0.unpersist(blocking = false)
+      edges.unpersist(blocking = false)
+    }
+  }
+
   /** [NS] — degree-capped bipartite co-occurrence (the item-item
     * projection of a (user, item) interaction graph — the recsys /
     * related-content primitive). The naive projection self-joins on the

@@ -782,11 +782,46 @@ object EventQueries {
       FROM r GROUP BY user_id ORDER BY user_id"""),
     doc = "[NS] survivorship merge: per-attribute latest non-null wins (golden record)")
 
+  /** [NS] — event-time disorder / watermark audit (q182): per stream
+    * (event type), each event's lateness against the running event-time
+    * high-water mark in ARRIVAL order (event_id) — the measurement that
+    * tells a streaming pipeline what watermark delay it actually needs
+    * (`withWatermark("30 minutes")` is a claim; this query checks it
+    * against the data). One per-stream cumulative-max window; exact
+    * micros arithmetic. */
+  val q182LatenessAudit = Q(
+    "q182_lateness_audit",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("lag_us", max($"us").over(w) - $"us")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when($"lag_us" > 1800000000L, 1)).as("n_late"),
+          max($"lag_us").as("max_lag_us"),
+          sum($"lag_us").as("sum_lag_us"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH l AS (SELECT event_type,
+          max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+            ROWS UNBOUNDED PRECEDING) - epoch_us(ts) AS lag_us
+        FROM events)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(CASE WHEN lag_us > 1800000000 THEN 1 END) AS BIGINT)
+          AS n_late,
+        max(lag_us) AS max_lag_us,
+        CAST(sum(lag_us) AS BIGINT) AS sum_lag_us
+      FROM l GROUP BY event_type ORDER BY event_type"""),
+    doc = "[NS] event-time disorder audit (empirical watermark requirement)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,
     q82Outliers, q88Histogram, q89CorrGate, q91OrderStats, q146PitJoin,
     q157Attribution, q158OverlapJoin, q159Transitions, q160UserPaths,
-    q170Survivorship)
+    q170Survivorship, q182LatenessAudit)
 }

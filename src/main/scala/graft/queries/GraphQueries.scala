@@ -427,7 +427,75 @@ object GraphQueries {
       ORDER BY decayed_scaled DESC, item LIMIT 10"""),
     doc = "[NS] decayed trending top-k (exact integer shift decay, heap top-k)")
 
+  /** q181's oracle: the q130 recurrence with teleport + dangling mass
+    * restricted to the seed set (seed ∈ {0,1} as a BIGINT factor). */
+  private def pprCtes(iters: Int): String = {
+    val base = """nodes0 AS (SELECT src AS node FROM edges0
+        UNION SELECT dst FROM edges0),
+      od AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+        FROM edges0 GROUP BY src),
+      edges AS (SELECT e.src, e.dst, o.od
+        FROM edges0 e JOIN od o ON o.src = e.src),
+      nodes AS (SELECT n.node, coalesce(o.od, CAST(0 AS BIGINT)) AS od,
+          CAST(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS seed
+        FROM nodes0 n LEFT JOIN od o ON o.src = n.node
+          LEFT JOIN seeds s ON s.node = n.node),
+      ns AS (SELECT CAST(sum(seed) AS BIGINT) AS s FROM nodes),
+      r0 AS (SELECT node, od, seed,
+          seed * (1000000000000 // ns.s) AS pr
+        FROM nodes CROSS JOIN ns)"""
+    val its = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+          CAST(sum(r.pr // e.od) AS BIGINT) AS contrib
+        FROM edges e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst),
+      d$i AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
+        FROM r${i - 1} WHERE od = 0),
+      r$i AS (SELECT n.node, n.od, n.seed,
+          n.seed * ((15 * (1000000000000 // ns.s)) // 100)
+            + (85 * (coalesce(c.contrib, CAST(0 AS BIGINT))
+                     + n.seed * (d.dang // ns.s))) // 100 AS pr
+        FROM nodes n LEFT JOIN c$i c ON c.node = n.node
+        CROSS JOIN d$i d CROSS JOIN ns)"""
+    }.mkString(",\n      ")
+    base + ",\n      " + its
+  }
+
+  /** [NS] — personalized PageRank / random walk with restart (q181):
+    * proximity to THREE seed customers over the purchase graph
+    * ([[Graph.personalizedPageRank]]) — the related-items primitive
+    * where global PageRank (q130) only measures centrality. Teleport
+    * and dangling mass return to the seeds, so rank decays with graph
+    * distance from them; suppliers reachable only via the seeds rank
+    * high, the rest stay near zero. Same exact-integer recurrence,
+    * unrolled-CTE oracle. */
+  val q181Ppr = Q(
+    "q181_ppr",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("src"),
+          ($"l_suppkey" + 1000000L).as("dst"))
+      val seeds = Tables.orders(s, d).select($"o_custkey".as("node"))
+        .distinct().orderBy($"node").limit(3)
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, iters = 3)
+        .select($"node", $"is_seed", $"pr")
+        .orderBy($"pr".desc, $"node")
+        .limit(20)
+    },
+    Some(s"""WITH edges0 AS (SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      seeds AS (SELECT DISTINCT o_custkey AS node FROM orders
+        ORDER BY 1 LIMIT 3),
+      ${pprCtes(3)}
+      SELECT node, seed AS is_seed, pr
+      FROM r3 ORDER BY pr DESC, node LIMIT 20"""),
+    doc = "[NS] personalized PageRank (random walk with restart to a seed set)")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
     q138Kcore, q161BfsLevels, q163HashWalks, q177CoOccurrence,
-    q178Trending)
+    q178Trending, q181Ppr)
 }

@@ -223,6 +223,29 @@ class GraphSpec extends AnyFunSuite {
       kcoreRun(edges, k = 2, rounds = 8))
   }
 
+  // ---- personalizedPageRank ----
+
+  test("personalizedPageRank: mass stays in the seed's component, decays " +
+      "with distance, and is conserved up to floor leakage") {
+    import spark.implicits._
+    // chain 1->2->3 (3 dangling) plus a disconnected pair 4->5
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = graft.operators.Graph
+      .personalizedPageRank(edges, "src", "dst", seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(4)._2 == 0L && got(5)._2 == 0L,
+      s"mass leaked outside the seed component: $got")
+    assert(got(1)._1 == 1L && got(2)._1 == 0L, "is_seed flags wrong")
+    assert(got(1)._2 > got(2)._2 && got(2)._2 > got(3)._2 &&
+      got(3)._2 > 0L, s"rank must decay with distance from seed: $got")
+    val total = got.values.map(_._2).sum
+    val scale = 1000000000000L
+    assert(total <= scale && total > (scale * 9) / 10,
+      s"mass not conserved: $total of $scale")
+  }
+
   // ---- coOccurrence (degree-capped bipartite projection) ----
 
   test("coOccurrence: hub user capped to its top-m items, pair counts " +
