@@ -133,8 +133,29 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n,"queries":$qs}"""
     }
+    // Third tier (the registry outgrew even 1-decimal full coverage at
+    // ~170 queries): the top spenders by median, with everything else
+    // folded into one "rest" entry — the gate artifact keeps per-query
+    // visibility exactly where perf verdicts look (the expensive tail),
+    // and the cheap majority collapses to a single number. Largest K
+    // that fits; ties by name so the marker is deterministic.
+    def markerTop(): String = {
+      val ranked = perQuery.toSeq.sortBy { case (k, v) => (-v, k) }
+      def at(k: Int): String = {
+        val top = ranked.take(k)
+        val rest = total - top.map(_._2).sum
+        val qs = (top.map { case (nm, v) =>
+          "\"" + nm.takeWhile(_ != '_') + "\":" + fmt(2)(v)
+        } :+ ("\"rest\":" + fmt(2)(math.max(rest, 0.0))))
+          .mkString("{", ",", "}")
+        s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n,"queries":$qs}"""
+      }
+      (ranked.size to 1 by -1).iterator.map(at)
+        .find(_.length <= 1900)
+        .getOrElse(s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n}""")
+    }
     println(
-      Seq(markerAt(2), markerAt(1)).find(_.length <= 1900).getOrElse(
-        s"""BENCH_JSON:{"value":${r3(total)},"unit":"sec","n":$n}"""))
+      Seq(markerAt(2), markerAt(1)).find(_.length <= 1900)
+        .getOrElse(markerTop()))
   }
 }

@@ -381,6 +381,37 @@ object Analytics {
         qsPct.map(p => col(s"q$p"))): _*)
   }
 
+  /** [NS] — cardinality-capped reporting aggregate: the top-n keys by
+    * row count keep their identity, every other key collapses into one
+    * `other` row — the guard that keeps a group-by over an unbounded
+    * key (URL, user agent, part number) from returning a million-row
+    * "report". The heavy pass is one map-side-combining count per key;
+    * the top-n cut is a TakeOrderedAndProject over the (small) count
+    * table and rides back as a broadcast, so no second scan of the
+    * input. Shares in exact ppm of the total. */
+  def topNOther(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n > 0, s"need a positive key budget, got $n")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val top = counts.orderBy(col("cnt").desc, col(keyCol)).limit(n)
+        .select(col(keyCol).as("_topk"))
+      val tot = counts.agg(sum(col("cnt")).as("_tot"))
+      counts
+        .join(broadcast(top), col(keyCol) === col("_topk"), "left")
+        .withColumn("key_label",
+          when(col("_topk").isNotNull, col(keyCol).cast("string"))
+            .otherwise("other"))
+        .groupBy(col("key_label"))
+        .agg(sum(col("cnt")).as("n_rows"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(n_rows * 1000000) div _tot"))
+        .drop("_tot")
+        .localCheckpoint(true) // ≤ n+1 rows; outlives the counts pin
+    } finally counts.unpersist(blocking = false)
+  }
+
   /** [NS] — CDC generation FROM SNAPSHOTS: when a source publishes full
     * snapshots instead of a changelog (the common ELT reality), the diff
     * IS the changelog — rows only in `b` become inserts, rows only in

@@ -414,6 +414,66 @@ object Graph {
     }
   }
 
+  /** [NS] — deterministic NEGATIVE sampling for link prediction: per
+    * source node, k candidate destinations that are NOT edges — the
+    * other half of every embedding/link-prediction training set (the
+    * positives are the edges; [[hashWalks]] generates the context
+    * pairs). Each source gets k·overgen md5-derived probes
+    * (`md5(src#i) mod |dsts|`) into the rank-numbered OBSERVED
+    * destination population, so the sample is a pure function of
+    * (graph, parameters) — reproducible across runs, partitionings,
+    * and engines; real edges, self-loops, and duplicate draws are then
+    * removed and the first k survivors per source (by probe index)
+    * kept. Overgeneration covers probes lost to those removals: a
+    * source with degree d among |D| destinations loses ~d/|D| of its
+    * probes, so overgen = 3 is ample for any graph sparser than 2/3
+    * density (under-filled sources keep fewer than k — visible, not
+    * silent).
+    *
+    * Shape: one explode (k·overgen narrow rows per source), one
+    * equi-join into the numbered destination table, one anti-join on
+    * the (src, dst) edge key, per-source WindowGroupLimits. No
+    * cartesian, no rand(). */
+  def negativeSamples(edgePairs: DataFrame, srcCol: String, dstCol: String,
+      k: Int, overgen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && overgen >= 1, "bad sampling params")
+    val edges = edgePairs
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // candidates come from the OBSERVED destination population (every
+      // negative is a real node — an id-space draw can produce ids that
+      // exist in no row, which are worthless as training negatives),
+      // numbered by the two-pass distributed rank; the population size
+      // is a 1-row driver scalar (the probe-parameterizes-the-plan
+      // pattern, like AnnIndex's probe list)
+      val dstIdx = Curation.withGlobalRank(
+        edges.select(col("dst")).distinct(), Seq(col("dst")), "_idx")
+      val nD: Long = dstIdx.count()
+      val probes = edges.select(col("src")).distinct()
+        .withColumn("i", explode(sequence(lit(1), lit(k * overgen))))
+        .withColumn("_idx", expr(
+          "cast(conv(substring(md5(concat(cast(src as string), '#', " +
+            s"cast(i as string))), 1, 14), 16, 10) as bigint) % ${nD}L"))
+      val cands = probes.join(dstIdx, Seq("_idx"))
+        .filter(col("dst") =!= col("src"))
+      val nonEdges = cands
+        .join(edges, Seq("src", "dst"), "left_anti")
+        .withColumn("_dup", row_number().over(
+          Window.partitionBy(col("src"), col("dst")).orderBy(col("i"))))
+        .filter(col("_dup") === 1)
+      nonEdges
+        .withColumn("slot", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("i"))))
+        .filter(col("slot") <= k)
+        .select(col("src"), col("dst").as("neg_dst"), col("slot"))
+        .localCheckpoint(true) // materialize before the edge pin drops
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** [NS] — degree-capped bipartite co-occurrence (the item-item
     * projection of a (user, item) interaction graph — the recsys /
     * related-content primitive). The naive projection self-joins on the

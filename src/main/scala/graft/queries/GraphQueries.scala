@@ -495,7 +495,49 @@ object GraphQueries {
       FROM r3 ORDER BY pr DESC, node LIMIT 20"""),
     doc = "[NS] personalized PageRank (random walk with restart to a seed set)")
 
+  /** [NS] — deterministic negative sampling (q183): 3 non-edge
+    * supplier negatives per customer over the purchase graph
+    * ([[Graph.negativeSamples]]) — the negatives half of a
+    * link-prediction / embedding training set, with q163's hash walks
+    * as the positives half. md5-derived probes into the rank-numbered
+    * destination population make the sample engine-exact; real edges,
+    * self-loops, and duplicate draws are removed before the per-source
+    * k cut. */
+  val q183NegSamples = Q(
+    "q183_neg_samples",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("src"),
+          ($"l_suppkey" + 1000000L).as("dst"))
+      Graph.negativeSamples(edges, "src", "dst", k = 3, overgen = 3)
+        .orderBy($"src", $"slot")
+    },
+    Some("""WITH edges0 AS (SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      dsts AS (SELECT dst, row_number() OVER (ORDER BY dst) - 1 AS idx
+        FROM (SELECT DISTINCT dst FROM edges0)),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dsts),
+      probes AS (SELECT src, i,
+          CAST('0x' || substr(md5(src::VARCHAR || '#' || i::VARCHAR),
+            1, 14) AS BIGINT) % nd.n AS idx
+        FROM (SELECT DISTINCT src FROM edges0),
+          unnest(range(1, 10)) AS t(i), nd),
+      cands AS (SELECT p.src, p.i, d.dst FROM probes p
+        JOIN dsts d USING (idx) WHERE d.dst <> p.src),
+      ne AS (SELECT c.src, c.i, c.dst FROM cands c
+        ANTI JOIN edges0 e ON e.src = c.src AND e.dst = c.dst),
+      dd AS (SELECT src, dst, min(i) AS i FROM ne GROUP BY src, dst),
+      r AS (SELECT src, dst, CAST(row_number() OVER
+          (PARTITION BY src ORDER BY i) AS INT) AS slot FROM dd)
+      SELECT src, dst AS neg_dst, slot FROM r WHERE slot <= 3
+      ORDER BY src, slot"""),
+    doc = "[NS] deterministic negative sampling from the observed node population")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
     q138Kcore, q161BfsLevels, q163HashWalks, q177CoOccurrence,
-    q178Trending, q181Ppr)
+    q178Trending, q181Ppr, q183NegSamples)
 }

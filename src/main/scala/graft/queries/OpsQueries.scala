@@ -908,10 +908,35 @@ object OpsQueries {
       FROM m ORDER BY bin"""),
     doc = "[NS] binned distribution drift in exact ppm (log-free train/serve skew audit)")
 
+  /** [NS] — cardinality-capped report (q184): part-number row counts
+    * collapsed to the top 10 keys + `other`
+    * ([[graft.operators.Analytics.topNOther]]) — the unbounded-key
+    * dashboard guard. Exact-ppm shares; the collapse happens on the
+    * count table, never via a second input scan. */
+  val q184TopNOther = Q(
+    "q184_topn_other",
+    (s, d) => {
+      import s.implicits._
+      Analytics.topNOther(Tables.lineitem(s, d), "l_partkey", n = 10)
+        .orderBy($"n_rows".desc, $"key_label")
+    },
+    Some("""WITH c AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT)
+          AS cnt FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+      top AS (SELECT k FROM c ORDER BY cnt DESC, k LIMIT 10),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c),
+      lab AS (SELECT CASE WHEN t.k IS NOT NULL THEN c.k::VARCHAR
+            ELSE 'other' END AS key_label, c.cnt
+        FROM c LEFT JOIN top t ON c.k = t.k)
+      SELECT key_label, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        CAST((sum(cnt) * 1000000) // tot.t AS BIGINT) AS share_ppm
+      FROM lab, tot GROUP BY key_label, tot.t
+      ORDER BY n_rows DESC, key_label"""),
+    doc = "[NS] top-n keys + other collapse (bounded report over unbounded keys)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,
     q172TargetEncode, q173WeightedMedian, q174HeavyExact, q175DiffCdc,
-    q176DriftAudit)
+    q176DriftAudit, q184TopNOther)
 }

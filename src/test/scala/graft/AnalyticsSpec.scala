@@ -253,6 +253,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(k2.getString(3) == "y" && k2.getLong(4) == 9L)
   }
 
+  // ---- topNOther ----
+
+  test("topNOther: top keys keep identity, the tail collapses to one " +
+      "row, shares sum to ~1e6") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++
+      Seq("c", "d", "e", "f")).toDF("k")
+    val got = graft.operators.Analytics.topNOther(df, "k", n = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.keySet == Set("a", "b", "other"))
+    assert(got("a") == ((5L, 416666L)))
+    assert(got("b") == ((3L, 250000L)))
+    assert(got("other") == ((4L, 333333L)))
+    assert(got.values.map(_._2).sum >= 999998L)
+  }
+
   // ---- cdcFromSnapshots ----
 
   test("cdcFromSnapshots: adds→I, removals→D, updates→D+I, unchanged " +

@@ -223,6 +223,38 @@ class GraphSpec extends AnyFunSuite {
       kcoreRun(edges, k = 2, rounds = 8))
   }
 
+  // ---- negativeSamples ----
+
+  test("negativeSamples: no emitted pair is an edge or self-loop, slots " +
+      "are contiguous from 1, negatives are real nodes, and the draw is " +
+      "partition-invariant") {
+    import spark.implicits._
+    val edges = (for (s <- 1L to 6L; d <- 1L to 4L if (s + d) % 3 != 0)
+      yield (s, d * 100L)).toDF("src", "dst")
+    val edgeSet = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dstSet = edgeSet.map(_._2)
+    def run(part: Int) = graft.operators.Graph
+      .negativeSamples(edges.repartition(part), "src", "dst", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(t => (t._1, t._3))
+    val got = run(1)
+    assert(got.nonEmpty)
+    got.foreach { case (s, nd, _) =>
+      assert(!edgeSet.contains((s, nd)), s"($s,$nd) is a real edge")
+      assert(nd != s, "self-loop emitted")
+      assert(dstSet.contains(nd), s"negative $nd is not an observed node")
+    }
+    // slots contiguous per src, at most k, no duplicate (src, dst)
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.map(_._3).toSeq == (1 to rows.length),
+        s"non-contiguous slots for $s")
+      assert(rows.length <= 2)
+      assert(rows.map(_._2).distinct.length == rows.length,
+        s"duplicate negative for $s")
+    }
+    assert(run(5).toSeq == got.toSeq, "draw must be partition-invariant")
+  }
+
   // ---- personalizedPageRank ----
 
   test("personalizedPageRank: mass stays in the seed's component, decays " +
