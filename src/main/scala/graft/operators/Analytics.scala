@@ -381,6 +381,35 @@ object Analytics {
         qsPct.map(p => col(s"q$p"))): _*)
   }
 
+  /** [NS] — per-group winsorization: clamp a long value column into its
+    * group's [loPct, hiPct] percentile band (lower-interpolation order
+    * statistics, the q166 rule) — the robust feature-prep transform
+    * that caps tail influence WITHOUT dropping rows (where the Hampel
+    * gate [[madOutliers]] flags them). One per-group sort window
+    * computes the ranks; the band bounds ride the same partition as
+    * window maxima of conditionals, so the whole transform is one
+    * exchange. Adds `p_lo`, `p_hi`, and the clamped `<valCol>_w`. */
+  def winsorize(df: DataFrame, keyCol: String, valCol: String,
+      tieCol: String, loPct: Int, hiPct: Int): DataFrame = {
+    require(loPct >= 0 && hiPct <= 100 && loPct <= hiPct,
+      s"bad band [$loPct, $hiPct]")
+    val wk = Window.partitionBy(col(keyCol))
+    val v = col(valCol)
+    df.filter(v.isNotNull)
+      .withColumn("_n", count(lit(1)).over(wk))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(v, col(tieCol))))
+      .withColumn("p_lo",
+        max(when(col("_rn") === expr(s"($loPct * (_n - 1)) div 100 + 1"),
+          v)).over(wk))
+      .withColumn("p_hi",
+        max(when(col("_rn") === expr(s"($hiPct * (_n - 1)) div 100 + 1"),
+          v)).over(wk))
+      .withColumn(s"${valCol}_w", least(greatest(v, col("p_lo")),
+        col("p_hi")))
+      .drop("_n", "_rn")
+  }
+
   /** [NS] — cardinality-capped reporting aggregate: the top-n keys by
     * row count keep their identity, every other key collapses into one
     * `other` row — the guard that keeps a group-by over an unbounded

@@ -132,4 +132,31 @@ object Temporal {
       .filter(floor(greatest(col(asUs), col(bsUs)) / widthUs) === col("_bin"))
       .drop("_bin")
   }
+
+  /** [NS] — NEAREST-event join, the fourth temporal-join shape: each
+    * left row picks the single right row (same key) closest in time
+    * within ±`maxGapUs` — sensor/trace alignment, "which click sits
+    * nearest this purchase" — where as-of (q21) only looks BACKWARD and
+    * a range join (q64) returns ALL candidates. Built on [[rangeJoin]]'s
+    * bin equi-join (candidates = rows actually within the window, never
+    * |L|×|R| per key) plus one per-left-row argmin window; ties break by
+    * (|gap|, right ts, tieCols) so forward and backward candidates at
+    * the same distance resolve identically in any engine. Left rows
+    * with no candidate in the window are dropped (inner semantics —
+    * wrap with a left join on `lidCol` for the audit variant).
+    * Output: every candidate column plus signed `gap_us` (right − left). */
+  def nearestJoin(left: DataFrame, right: DataFrame, key: String,
+      lidCol: String, lts: String, rts: String, maxGapUs: Long,
+      tieCols: Seq[String]): DataFrame = {
+    require(maxGapUs >= 0, s"negative window $maxGapUs")
+    import org.apache.spark.sql.expressions.Window
+    val cands = rangeJoin(left, right, key, lts, rts, -maxGapUs, maxGapUs)
+    val w = Window.partitionBy(col(lidCol)).orderBy(
+      abs(col(rts) - col(lts)) +: col(rts) +: tieCols.map(col): _*)
+    cands
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .withColumn("gap_us", col(rts) - col(lts))
+      .drop("_rn")
+  }
 }

@@ -817,11 +817,47 @@ object EventQueries {
       FROM l GROUP BY event_type ORDER BY event_type"""),
     doc = "[NS] event-time disorder audit (empirical watermark requirement)")
 
+  /** [NS] — nearest-event join (q186): each purchase picks the single
+    * nearest click of the same user within ±2 h
+    * ([[graft.operators.Temporal.nearestJoin]]) — the fourth temporal
+    * join shape (as-of q21 looks only backward; range q64 returns every
+    * candidate). Bin equi-join bounds candidates to actual in-window
+    * density; ties at equal |gap| break on (right ts, click id)
+    * identically in both engines. */
+  val q186NearestJoin = Q(
+    "q186_nearest_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).withColumn("us", unix_micros($"ts"))
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("pid"), $"user_id", $"us".as("pts"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id", $"us".as("cts"))
+      graft.operators.Temporal.nearestJoin(p, c, "user_id", "pid",
+          "pts", "cts", maxGapUs = 7200000000L, tieCols = Seq("click_id"))
+        .select($"pid", $"user_id", $"click_id", $"gap_us")
+        .orderBy($"pid")
+    },
+    Some("""WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts)
+          AS pts FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS cts
+        FROM events WHERE event_type = 'click'),
+      cand AS (SELECT p.pid, p.user_id, c.click_id, c.cts - p.pts
+          AS gap_us
+        FROM p JOIN c USING (user_id)
+        WHERE c.cts >= p.pts - 7200000000
+          AND c.cts <= p.pts + 7200000000),
+      r AS (SELECT *, row_number() OVER (PARTITION BY pid
+          ORDER BY abs(gap_us), gap_us, click_id) AS rn FROM cand)
+      SELECT pid, user_id, click_id, gap_us FROM r WHERE rn = 1
+      ORDER BY pid"""),
+    doc = "[NS] nearest-event join (argmin |gap| within a bounded window)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,
     q82Outliers, q88Histogram, q89CorrGate, q91OrderStats, q146PitJoin,
     q157Attribution, q158OverlapJoin, q159Transitions, q160UserPaths,
-    q170Survivorship, q182LatenessAudit)
+    q170Survivorship, q182LatenessAudit, q186NearestJoin)
 }

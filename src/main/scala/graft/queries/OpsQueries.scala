@@ -933,10 +933,49 @@ object OpsQueries {
       ORDER BY n_rows DESC, key_label"""),
     doc = "[NS] top-n keys + other collapse (bounded report over unbounded keys)")
 
+  /** [NS] — per-group winsorization (q185): event values clamped into
+    * the per-type [p10, p90] band
+    * ([[graft.operators.Analytics.winsorize]]) — the tail-capping
+    * feature transform (q167's Hampel gate FLAGS outliers; this keeps
+    * the rows and caps their influence). Lower-interpolation order
+    * stats over one per-group exchange; raw vs winsorized sums in
+    * exact cents. */
+  val q185Winsorize = Q(
+    "q185_winsorize",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("v_c", round($"value" * 100).cast("long"))
+      Analytics.winsorize(ev, "event_type", "v_c", "event_id",
+          loPct = 10, hiPct = 90)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), max($"p_lo").as("p10"),
+          max($"p_hi").as("p90"), sum($"v_c").as("sum_raw"),
+          sum($"v_c_w").as("sum_wins"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH v AS (SELECT event_type, event_id,
+          CAST(round(value * 100.0) AS BIGINT) AS v_c FROM events
+        WHERE value IS NOT NULL),
+      r AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS n,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY v_c, event_id) AS rn FROM v),
+      b AS (SELECT *,
+          max(CASE WHEN rn = (10*(n-1))//100 + 1 THEN v_c END)
+            OVER (PARTITION BY event_type) AS p_lo,
+          max(CASE WHEN rn = (90*(n-1))//100 + 1 THEN v_c END)
+            OVER (PARTITION BY event_type) AS p_hi FROM r)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        max(p_lo) AS p10, max(p_hi) AS p90,
+        CAST(sum(v_c) AS BIGINT) AS sum_raw,
+        CAST(sum(least(greatest(v_c, p_lo), p_hi)) AS BIGINT) AS sum_wins
+      FROM b GROUP BY event_type ORDER BY event_type"""),
+    doc = "[NS] per-group winsorization (percentile band clamp, exact order stats)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,
     q172TargetEncode, q173WeightedMedian, q174HeavyExact, q175DiffCdc,
-    q176DriftAudit, q184TopNOther)
+    q176DriftAudit, q184TopNOther, q185Winsorize)
 }

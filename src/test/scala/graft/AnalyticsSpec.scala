@@ -253,6 +253,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(k2.getString(3) == "y" && k2.getLong(4) == 9L)
   }
 
+  // ---- winsorize ----
+
+  test("winsorize: exact percentile band clamp; inner values untouched") {
+    import spark.implicits._
+    // values 10..100 step 10: p10 = index (10*9) div 100 = 0 -> 1st = 10?
+    // no: +1 -> rank 1 -> 10; p90 = (90*9) div 100 + 1 = 9th = 90
+    val df = (1L to 10L).map(i => ("g", i * 10L, i)).toDF("g", "v", "id")
+    val got = graft.operators.Analytics
+      .winsorize(df, "g", "v", "id", loPct = 10, hiPct = 90)
+      .collect().map(r => r.getAs[Long]("v") ->
+        (r.getAs[Long]("p_lo"), r.getAs[Long]("p_hi"), r.getAs[Long]("v_w")))
+      .toMap
+    assert(got(10L) == ((10L, 90L, 10L)))   // at the lower bound
+    assert(got(50L)._3 == 50L)              // inner value untouched
+    assert(got(100L)._3 == 90L)             // tail clamped to p90
+  }
+
   // ---- topNOther ----
 
   test("topNOther: top keys keep identity, the tail collapses to one " +

@@ -109,4 +109,31 @@ class TemporalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"pitJoin materialized a join:\n$p")
   }
+
+  // ---- nearestJoin ----
+
+  test("nearestJoin: argmin |gap| in the window, equidistant tie breaks " +
+      "toward the earlier right row, out-of-window left rows drop") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, "k", 1000L),  // candidates at 900 (gap -100) and 1090 (gap +90)
+      (2L, "k", 5000L),  // equidistant: 4990 and 5010 -> earlier wins
+      (3L, "k", 9000L),  // nothing within ±200
+      (4L, "x", 100L)    // other key: only x-candidates eligible
+    ).toDF("lid", "k", "lts")
+    val right = Seq(
+      (10L, "k", 900L), (11L, "k", 1090L),
+      (12L, "k", 4990L), (13L, "k", 5010L),
+      (14L, "x", 250L), (15L, "k", 120L)
+    ).toDF("rid", "k", "rts")
+    val got = Temporal.nearestJoin(left, right, "k", "lid", "lts", "rts",
+        maxGapUs = 200L, tieCols = Seq("rid"))
+      .select($"lid", $"rid", $"gap_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 11L, 90L),    // +90 beats -100
+      (2L, 12L, -10L),   // tie |10|: earlier rts wins
+      (4L, 14L, 150L)))  // keyed: k-candidates never cross to x
+  }
 }
