@@ -13,6 +13,33 @@ import graft.operators.Curation
   */
 object CurationQueries {
 
+  /** BM25 candidate CTEs (q124's verified construction, parameterized):
+    * defines `bm(doc_id, rel)` = the `limit` best log-free integer BM25
+    * scores for `terms` over `documents`. Shared by q187's
+    * retrieve-and-diversify oracle. */
+  private[queries] def bm25CandsSql(terms: Seq[String],
+      limit: Int): String = {
+    val inList = terms.map("'" + _ + "'").mkString(", ")
+    s"""dl AS (SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+            AS BIGINT) AS dl FROM documents),
+      tot AS (SELECT sum(dl) AS L, count(*) AS N FROM dl),
+      w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      hits AS (SELECT doc_id, term, count(*) AS tf FROM w
+        WHERE term IN ($inList) GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+      sc AS (SELECT h.doc_id,
+          (10000 * (2 * (N - df) + 1)) // (2 * df + 1) AS idf_pm,
+          (1000000 * 44 * tf * L) //
+            (20 * tf * L + 6 * L + 18 * dl * N) AS tfc_ppm
+        FROM hits h JOIN dfreq USING (term) JOIN dl USING (doc_id), tot),
+      bm AS (SELECT doc_id,
+          CAST(sum((idf_pm * tfc_ppm) // 10000) AS BIGINT) AS rel
+        FROM sc GROUP BY doc_id
+        ORDER BY rel DESC, doc_id LIMIT $limit)"""
+  }
+
   /** Distinct word 5-gram shingles per doc in DuckDB (mirror of
     * Dedup.shingles n=5). */
   private def fiveGramSql(where: String): String =

@@ -516,10 +516,10 @@ object EmbeddingQueries {
       ORDER BY cos DESC, vec_id ASC LIMIT 10"""
   }
 
-  /** q179's oracle rounds: cN picks the (50·rel − 50·maxsim) argmax,
+  /** Shared MMR oracle tail (q179/q187): assumes a CTE `c0(id, v, rel)`
+    * holding the shortlist; cN picks the (50·rel − 50·maxsim) argmax,
     * dN folds the new selection's similarity into the running max. */
-  private lazy val mmrOracleSql: String = {
-    val k = 5
+  private[queries] def mmrTailSql(k: Int): String = {
     def sim(a: String, b: String) =
       s"CAST(round(round(${cosSql(a, b)}, 6) * 1e6) AS BIGINT)"
     val rounds = (2 to k).map { r =>
@@ -535,14 +535,7 @@ object EmbeddingQueries {
         FROM $prev d, c$r c WHERE d.id <> c.id)"""
       sel + fold
     }.mkString(",\n      ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      q AS (SELECT vec_id AS q_id, v AS qv FROM e
-        ORDER BY vec_id DESC LIMIT 1),
-      c0 AS MATERIALIZED (SELECT e.vec_id AS id, e.v,
-          ${sim("e.v", "qv")} AS rel
-        FROM e, q WHERE e.vec_id <> q.q_id
-        ORDER BY ${sim("e.v", "qv")} DESC, e.vec_id ASC LIMIT 20),
-      c1 AS (SELECT id, v, rel, 50 * rel AS mmr100 FROM c0
+    s"""c1 AS (SELECT id, v, rel, 50 * rel AS mmr100 FROM c0
         ORDER BY rel DESC, id ASC LIMIT 1),
       d1 AS (SELECT d.id, d.v, d.rel, ${sim("d.v", "c.v")} AS ms
         FROM c0 d, c1 c WHERE d.id <> c.id),
@@ -552,6 +545,19 @@ object EmbeddingQueries {
         ${(2 to k).map(r =>
           s"UNION ALL SELECT id, $r, mmr100 FROM c$r").mkString("\n        ")}
       ) ORDER BY sel_order"""
+  }
+
+  private lazy val mmrOracleSql: String = {
+    def sim(a: String, b: String) =
+      s"CAST(round(round(${cosSql(a, b)}, 6) * 1e6) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id AS q_id, v AS qv FROM e
+        ORDER BY vec_id DESC LIMIT 1),
+      c0 AS MATERIALIZED (SELECT e.vec_id AS id, e.v,
+          ${sim("e.v", "qv")} AS rel
+        FROM e, q WHERE e.vec_id <> q.q_id
+        ORDER BY ${sim("e.v", "qv")} DESC, e.vec_id ASC LIMIT 20),
+      ${mmrTailSql(5)}"""
   }
 
   /** [NS] — MMR diversified re-ranking (q179): the top-20 cosine
@@ -580,6 +586,36 @@ object EmbeddingQueries {
     },
     Some(mmrOracleSql),
     doc = "[NS] MMR diversified re-rank of an ANN shortlist (greedy, integer-exact)")
+
+  /** [NS] — retrieve-and-diversify serving composition (q187): the
+    * search-stack shape end to end — BM25 lexical retrieval over
+    * `documents` ([[graft.operators.Curation.bm25TopK]], top 20) feeds
+    * its integer score as MMR relevance, and diversification runs in
+    * EMBEDDING space ([[Similarity.mmrRerank]] over the matching
+    * `embeddings` vectors) — so the result is "the 5 most relevant AND
+    * mutually distinct documents", computed across both modalities.
+    * The oracle composes the two verified constructions (q124's BM25
+    * CTEs, q179's MMR rounds) against the base tables. */
+  val q187RetrieveDiversify = Q(
+    "q187_retrieve_diversify",
+    (s, d) => {
+      import s.implicits._
+      val hits = graft.operators.Curation.bm25TopK(Tables.documents(s, d),
+        "doc_id", "text", Seq("spark", "dup", "window", "merge"), 20)
+      val emb = Tables.embeddings(s, d)
+        .select($"vec_id".as("doc_id"), vecD($"embedding").as("v"))
+      val cands = hits.join(emb, Seq("doc_id"))
+      Similarity.mmrRerank(cands, "doc_id", "v", "score_ppm", k = 5,
+        lambdaPct = 50)
+    },
+    Some(s"""WITH ${CurationQueries.bm25CandsSql(
+        Seq("spark", "dup", "window", "merge"), 20)},
+      e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      c0 AS MATERIALIZED (SELECT b.doc_id AS id, e.v, b.rel
+        FROM bm b JOIN e USING (doc_id)),
+      ${mmrTailSql(5)}"""),
+    doc = "[NS] retrieve-and-diversify: BM25 relevance + embedding-space MMR, cross-modal")
 
   val q102IvfPqSearch = Q(
     "q102_ivfpq_search",
@@ -1029,5 +1065,5 @@ object EmbeddingQueries {
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,
     q132JlProject, q150FilteredAnn, q155BatchAnn, q168IndexAppend,
-    q169KCenter, q179MmrRerank)
+    q169KCenter, q179MmrRerank, q187RetrieveDiversify)
 }
