@@ -381,6 +381,59 @@ object Analytics {
         qsPct.map(p => col(s"q$p"))): _*)
   }
 
+  /** [NS] — exact per-group least-squares trend slope: for integer
+    * (x, y) observations, `slope_ppm = 10⁶·(nΣxy − ΣxΣy) div
+    * (nΣx² − (Σx)²)` — trend DIRECTION and magnitude per key (is this
+    * metric rising?), the regression complement of the q89 correlation
+    * gate. All sums accumulate in decimal(38,0) (cleared-denominator
+    * products overflow long at ~10⁹ rows × 10⁶-scaled values), one
+    * aggregate pass, no window. Groups with zero x-variance emit NULL
+    * (slope undefined), never a division error. */
+  def trendSlope(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def d(s: String) = s"cast($s as decimal(38,0))"
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(xCol).cast("long")).as("sx"),
+        sum(col(yCol).cast("long")).as("sy"),
+        sum(col(xCol).cast("decimal(38,0)") *
+          col(yCol).cast("decimal(38,0)")).as("sxy"),
+        sum(col(xCol).cast("decimal(38,0)") *
+          col(xCol).cast("decimal(38,0)")).as("sxx"))
+      .withColumn("slope_ppm", expr(
+        s"case when ${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")} <> 0" +
+          s" then cast((${d("1000000")} * (${d("n")} * ${d("sxy")} -" +
+          s" ${d("sx")} * ${d("sy")})) div" +
+          s" (${d("n")} * ${d("sxx")} - ${d("sx")} * ${d("sx")}) as long)" +
+          " end"))
+      .select(col(keyCol), col("n"), col("slope_ppm"))
+  }
+
+  /** [NS] — top movers between two populations: per key, the share (in
+    * exact ppm) of each population and the signed share delta, cut to
+    * the `n` largest absolute moves above a minimum support — "what
+    * changed between last week and this week", the keyed sibling of
+    * [[distributionDrift]]'s binned form. Two count aggregates + a
+    * full-outer merge on the key + one TakeOrderedAndProject. */
+  def topMovers(a: DataFrame, b: DataFrame, keyCol: String, n: Int,
+      minCount: Long = 1L): DataFrame = {
+    def side(df: DataFrame, cName: String, pName: String) = {
+      val c = df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol)).agg(count(lit(1)).as(cName))
+      c.crossJoin(broadcast(c.agg(sum(col(cName)).as("_tot"))))
+        .withColumn(pName, expr(s"($cName * 1000000) div _tot"))
+        .drop("_tot")
+    }
+    side(a, "a_n", "a_ppm")
+      .join(side(b, "b_n", "b_ppm"), Seq(keyCol), "full_outer")
+      .na.fill(0L, Seq("a_n", "a_ppm", "b_n", "b_ppm"))
+      .filter(col("a_n") + col("b_n") >= minCount)
+      .withColumn("delta_ppm", col("b_ppm") - col("a_ppm"))
+      .orderBy(abs(col("delta_ppm")).desc, col(keyCol))
+      .limit(n)
+  }
+
   /** [NS] — per-group winsorization: clamp a long value column into its
     * group's [loPct, hiPct] percentile band (lower-interpolation order
     * statistics, the q166 rule) — the robust feature-prep transform

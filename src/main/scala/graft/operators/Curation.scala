@@ -410,6 +410,27 @@ object Curation {
       .select(col("tok"), col("id"))
   }
 
+  /** [NS] — balanced class sampling: per class, keep at most `cap` rows
+    * chosen by md5-rank of the id — the class-imbalance fix for a
+    * training set (a 99:1 corpus trains a majority-class parrot;
+    * capping every class at the same budget rebalances without
+    * synthetic rows). Deterministic and engine-portable like every
+    * sampler here: membership is a pure function of (id, class,
+    * cap) — re-running, re-sharding, or growing OTHER classes never
+    * changes which rows of this class survive. One per-class rank
+    * window (classes parallelize across the exchange). */
+  def balancedSample(df: DataFrame, classCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0, s"cap must be positive, got $cap")
+    df.withColumn("_hr", md5(col(idCol).cast("string")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(classCol))
+          .orderBy(col("_hr"), col(idCol))))
+      .filter(col("_rn") <= cap)
+      .drop("_hr", "_rn")
+  }
+
   /** [NS] — spell correction by symmetric deletes (SymSpell — Garbe's
     * public algorithm): a query token matches a vocabulary word iff
     * they share a delete-≤1 FORM (the word itself or any

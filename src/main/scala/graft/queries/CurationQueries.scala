@@ -1090,6 +1090,37 @@ object CurationQueries {
       ORDER BY q"""),
     doc = "[NS] SymSpell spell correction (symmetric-delete join + verify + freq argmax)")
 
+  /** [NS] — balanced class sampling (q188): every language capped at 50
+    * documents by md5-rank ([[Curation.balancedSample]]) — the
+    * class-imbalance rebalance. The per-class kept SET (not just its
+    * size) is certified by an order-independent xor digest of the kept
+    * ids, the q66 convention. */
+  val q188BalancedSample = Q(
+    "q188_balanced_sample",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val kept = Curation.balancedSample(docs, "lang", "doc_id", cap = 50)
+      val orig = docs.groupBy($"lang").agg(count(lit(1)).as("n_orig"))
+      val k = kept.groupBy($"lang").agg(count(lit(1)).as("n_kept"),
+        expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string)), " +
+          "1, 15), 16, 10) AS BIGINT))").as("kept_xor"))
+      orig.join(k, Seq("lang")).orderBy($"lang")
+    },
+    Some("""WITH r AS (SELECT lang, doc_id, row_number() OVER
+          (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        FROM documents),
+      k AS (SELECT lang, doc_id FROM r WHERE rn <= 50),
+      o AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_orig
+        FROM documents GROUP BY lang),
+      kk AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+          bit_xor(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15)
+            AS BIGINT)) AS kept_xor
+        FROM k GROUP BY lang)
+      SELECT o.lang, n_orig, n_kept, kept_xor FROM o JOIN kk USING (lang)
+      ORDER BY lang"""),
+    doc = "[NS] balanced class sampling (md5-rank cap per class, xor-certified set)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -1097,5 +1128,6 @@ object CurationQueries {
     q120EpochExpand, q121NgramDiversity, q122Postings,
     q123PositionalIndex, q124Bm25, q126PhraseSearch,
     q127TextIndexServe, q128IndexMerge, q151Hybrid, q152ShardPack,
-    q162GroupSplit, q171CurationFunnel, q180SpellCorrect)
+    q162GroupSplit, q171CurationFunnel, q180SpellCorrect,
+    q188BalancedSample)
 }

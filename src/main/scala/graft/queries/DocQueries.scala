@@ -1308,6 +1308,94 @@ object DocQueries {
     q72DedupComponents.oracle,
     doc = "[NS] incremental CC maintenance == from-scratch closure (same oracle)")
 
+  /** [NS] — per-source dataset card (q191): the one-row-per-source
+    * summary every curated corpus publishes, composed from the
+    * codebase's exact primitives — doc/char counts, exact mean length
+    * in ppm-chars, the lower-median length, language diversity as GINI
+    * impurity in ppb (1e9 − Σ share² — the log-free diversity measure;
+    * entropy's ln() can't hash-match across engines), and the
+    * near-dup rate from the corpus-global q109 first-sight gate
+    * (docs that failed admission, attributed to their source). One
+    * corpus pass for the gate, one per-source window for the median,
+    * two aggregates for the rest. */
+  val q191DatasetCard = Q(
+    "q191_dataset_card",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val admitted = Dedup.nearDupGateBatch(docs, "doc_id", "text",
+        tsCol = "doc_id").select($"id".as("doc_id"), lit(1L).as("adm"))
+      val wk = Window.partitionBy($"source")
+      val base = docs.join(admitted, Seq("doc_id"), "left")
+        .withColumn("_n", count(lit(1)).over(wk))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")))
+      val card = base.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          max(when($"_rn" === expr("(_n + 1) div 2"), $"n_chars"))
+            .as("med_chars"),
+          count(when($"adm".isNull, 1)).as("n_neardup"))
+        .withColumn("mean_chars_ppm",
+          expr("(total_chars * 1000000) div n_docs"))
+      val gini = docs.groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("nl"))
+        .groupBy($"source")
+        .agg(sum(expr("nl * nl")).as("_ssq"), sum($"nl").as("_n"))
+        .withColumn("lang_gini_ppb", expr(
+          "1000000000 - (_ssq * 1000000000) div (_n * _n)"))
+        .select($"source", $"lang_gini_ppb")
+      card.join(gini, Seq("source"))
+        .select($"source", $"n_docs", $"total_chars", $"mean_chars_ppm",
+          $"med_chars", $"n_neardup", $"lang_gini_ppb")
+        .orderBy($"source")
+    },
+    Some("""WITH words AS (SELECT DISTINCT doc_id,
+          unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents),
+      bits AS (SELECT doc_id, j,
+          CASE WHEN (strpos('0123456789abcdef', h[(j // 4) + 1]) - 1)
+            // CAST(pow(2, 3 - (j % 4)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1
+            END AS wgt
+        FROM (SELECT doc_id, md5(w) AS h FROM words),
+          unnest(range(0, 64)) AS t(j)),
+      sums AS (SELECT doc_id, j, sum(wgt) AS s FROM bits
+        GROUP BY doc_id, j),
+      bk AS (SELECT doc_id, j // 16 AS band,
+          string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+            ORDER BY j) AS key
+        FROM sums GROUP BY doc_id, j // 16),
+      claims AS (SELECT band, key, min(doc_id) AS winner FROM bk
+        GROUP BY band, key),
+      nd AS (SELECT bk.doc_id FROM bk JOIN claims USING (band, key)
+        WHERE claims.winner = bk.doc_id
+        GROUP BY bk.doc_id HAVING count(*) = 4),
+      r AS (SELECT source, doc_id, n_chars,
+          count(*) OVER (PARTITION BY source) AS n,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars, doc_id) AS rn,
+          CASE WHEN nd.doc_id IS NOT NULL THEN 1 END AS adm
+        FROM documents LEFT JOIN nd USING (doc_id)),
+      card AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS med_chars,
+          CAST(count(CASE WHEN adm IS NULL THEN 1 END) AS BIGINT)
+            AS n_neardup
+        FROM r GROUP BY source),
+      gini AS (SELECT source,
+          CAST(1000000000 - (sum(nl * nl) * 1000000000)
+            // (sum(nl) * sum(nl)) AS BIGINT) AS lang_gini_ppb
+        FROM (SELECT source, lang, CAST(count(*) AS BIGINT) AS nl
+          FROM documents GROUP BY source, lang) GROUP BY source)
+      SELECT c.source, n_docs, total_chars,
+        CAST((total_chars * 1000000) // n_docs AS BIGINT)
+          AS mean_chars_ppm,
+        med_chars, n_neardup, lang_gini_ppb
+      FROM card c JOIN gini USING (source)
+      ORDER BY source"""),
+    doc = "[NS] per-source dataset card (exact counts, median, Gini diversity, near-dup rate)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -1316,5 +1404,5 @@ object DocQueries {
     q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs,
     q109NearDupGate, q111DedupIncremental, q112DedupIndexGate,
     q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment,
-    q144LshFuzzy, q145CcIncremental, q164LshRecall)
+    q144LshFuzzy, q145CcIncremental, q164LshRecall, q191DatasetCard)
 }

@@ -972,10 +972,82 @@ object OpsQueries {
       FROM b GROUP BY event_type ORDER BY event_type"""),
     doc = "[NS] per-group winsorization (percentile band clamp, exact order stats)")
 
+  /** [NS] — exact per-group trend slope (q189): least-squares slope of
+    * value (cents) against days-since-corpus-start per event type
+    * ([[graft.operators.Analytics.trendSlope]]) — is this metric
+    * rising, and how fast, in exact ppm-cents/day. Cleared-denominator
+    * decimal(38,0) arithmetic; both engines truncate the signed
+    * quotient toward zero, so negative slopes hash-match too. */
+  val q189TrendSlope = Q(
+    "q189_trend_slope",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val anchor = ev.agg(min(to_date($"ts")).as("_a"))
+      val xy = ev.crossJoin(broadcast(anchor))
+        .withColumn("x", datediff(to_date($"ts"), $"_a"))
+        .withColumn("y", round($"value" * 100).cast("long"))
+      Analytics.trendSlope(xy, "event_type", "x", "y")
+        .orderBy($"event_type")
+    },
+    Some("""WITH a AS (SELECT min(CAST(ts AS DATE)) AS a FROM events),
+      xy AS (SELECT event_type,
+          CAST(date_diff('day', a.a, CAST(ts AS DATE)) AS BIGINT) AS x,
+          CAST(round(value * 100.0) AS BIGINT) AS y
+        FROM events CROSS JOIN a WHERE value IS NOT NULL),
+      g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+          CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+          CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        FROM xy GROUP BY event_type)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+        CASE WHEN n * sxx - sx * sx <> 0 THEN
+          CAST((1000000::HUGEINT * (n * sxy - sx * sy))
+            // (n * sxx - sx * sx) AS BIGINT) END AS slope_ppm
+      FROM g ORDER BY event_type"""),
+    doc = "[NS] exact least-squares trend slope per group (signed, cleared denominators)")
+
+  /** [NS] — top movers (q190): the items whose share of events moved
+    * most between the first and second half of the stream
+    * ([[graft.operators.Analytics.topMovers]] on the props item key) —
+    * the keyed "what changed this week" report, sibling of q176's
+    * binned drift. Exact-ppm shares, signed deltas, minimum support,
+    * deterministic |Δ| ranking. */
+  val q190TopMovers = Q(
+    "q190_top_movers",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("item", get_json_object($"props", "$.k").cast("long"))
+        .filter($"item".isNotNull)
+      Analytics.topMovers(ev.filter($"event_id" % 2 === 0),
+        ev.filter($"event_id" % 2 === 1), "item", n = 15, minCount = 10L)
+    },
+    Some("""WITH base AS (SELECT event_id,
+          CAST(props->>'$.k' AS BIGINT) AS item FROM events
+        WHERE props->>'$.k' IS NOT NULL),
+      ac AS (SELECT item, CAST(count(*) AS BIGINT) AS a_n FROM base
+        WHERE event_id % 2 = 0 GROUP BY item),
+      at AS (SELECT CAST(sum(a_n) AS BIGINT) AS t FROM ac),
+      bc AS (SELECT item, CAST(count(*) AS BIGINT) AS b_n FROM base
+        WHERE event_id % 2 = 1 GROUP BY item),
+      bt AS (SELECT CAST(sum(b_n) AS BIGINT) AS t FROM bc),
+      m AS (SELECT coalesce(ac.item, bc.item) AS item,
+          coalesce(a_n, 0) AS a_n,
+          coalesce(CAST((a_n * 1000000) // at.t AS BIGINT), 0) AS a_ppm,
+          coalesce(b_n, 0) AS b_n,
+          coalesce(CAST((b_n * 1000000) // bt.t AS BIGINT), 0) AS b_ppm
+        FROM ac FULL OUTER JOIN bc ON ac.item = bc.item, at, bt)
+      SELECT item, a_n, a_ppm, b_n, b_ppm, b_ppm - a_ppm AS delta_ppm
+      FROM m WHERE a_n + b_n >= 10
+      ORDER BY abs(b_ppm - a_ppm) DESC, item LIMIT 15"""),
+    doc = "[NS] top movers between periods (keyed share deltas in exact ppm)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,
     q172TargetEncode, q173WeightedMedian, q174HeavyExact, q175DiffCdc,
-    q176DriftAudit, q184TopNOther, q185Winsorize)
+    q176DriftAudit, q184TopNOther, q185Winsorize, q189TrendSlope,
+    q190TopMovers)
 }

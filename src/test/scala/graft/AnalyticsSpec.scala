@@ -253,6 +253,42 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(k2.getString(3) == "y" && k2.getLong(4) == 9L)
   }
 
+  // ---- trendSlope ----
+
+  test("trendSlope: exact slope on a perfect line, signed negative " +
+      "slopes, NULL on zero x-variance") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 0L, 10L), ("up", 1L, 13L), ("up", 2L, 16L),   // slope 3
+      ("down", 0L, 9L), ("down", 1L, 7L), ("down", 2L, 5L), // slope -2
+      ("flatx", 5L, 1L), ("flatx", 5L, 100L)                // undefined
+    ).toDF("g", "x", "y")
+    val got = graft.operators.Analytics.trendSlope(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got("up") == Some(3000000L))
+    assert(got("down") == Some(-2000000L))
+    assert(got("flatx").isEmpty)
+  }
+
+  // ---- topMovers ----
+
+  test("topMovers: signed ppm share deltas, support filter, |delta| " +
+      "ranking") {
+    import spark.implicits._
+    val a = (Seq.fill(6)("x") ++ Seq.fill(3)("y") ++ Seq("z")).toDF("k")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(7)("y") ++ Seq("w")).toDF("k")
+    val got = graft.operators.Analytics.topMovers(a, b, "k", n = 10,
+        minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4),
+        r.getLong(5)))
+    // shares: a: x 600000, y 300000, z 100000; b: x 200000, y 700000
+    assert(got.toSeq == Seq(
+      ("x", 600000L, 200000L, -400000L),
+      ("y", 300000L, 700000L, 400000L)))   // |400000| tie -> key order
+    // z (1+0) and w (0+1) fall under minCount=2
+  }
+
   // ---- winsorize ----
 
   test("winsorize: exact percentile band clamp; inner values untouched") {

@@ -517,6 +517,26 @@ class CurationSpec extends AnyFunSuite {
     assert(again === r, "scores must be partition-independent")
   }
 
+  // ---- balancedSample ----
+
+  test("balancedSample: big classes capped exactly, small classes pass " +
+      "whole, membership invariant under partitioning and under other " +
+      "classes' growth") {
+    val df = ((1L to 100L).map(i => ("big", i)) ++
+      (201L to 210L).map(i => ("small", i))).toDF("c", "id")
+    def kept(d: org.apache.spark.sql.DataFrame) = Curation
+      .balancedSample(d, "c", "id", cap = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = kept(df)
+    assert(got.count(_._1 == "big") == 20)
+    assert(got.count(_._1 == "small") == 10)
+    assert(kept(df.repartition(7)) == got)
+    // growing the OTHER class must not change big's survivors
+    val grown = df.unionByName(
+      (300L to 350L).map(i => ("small", i)).toDF("c", "id"))
+    assert(kept(grown).filter(_._1 == "big") == got.filter(_._1 == "big"))
+  }
+
   // ---- spellCorrect (SymSpell symmetric deletes) ----
 
   test("spellCorrect: substitution/insertion/deletion/identity all " +
