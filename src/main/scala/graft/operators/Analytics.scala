@@ -434,6 +434,41 @@ object Analytics {
       .limit(n)
   }
 
+  /** [NS] — quantile normalization across groups: each row's value maps
+    * to the GLOBAL value at its within-group quantile position — after
+    * the transform every group exhibits the global distribution, the
+    * batch-effect correction standard (microarray statistics) applied
+    * to per-source score alignment: source A's p90 and source B's p90
+    * become the SAME number, so cross-source thresholds mean one thing.
+    *
+    * Exact construction: within-group rank r of n_g maps to the global
+    * sorted value at index `((r−1)·N) div n_g` (0-based lower pick) —
+    * all integer arithmetic, so the mapping hash-matches. The global
+    * sorted table rides the two-pass distributed rank
+    * ([[graft.operators.Curation.withGlobalRank]] — no single-partition
+    * window); the lookup is an equi-join on the computed index. Adds
+    * `<valCol>_qn`. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
+      tieCol: String): DataFrame = {
+    val in = df.filter(col(valCol).isNotNull)
+    val global = Curation.withGlobalRank(
+      in.select(col(valCol).as("_gv"), col(tieCol).as("_gt")),
+      Seq(col("_gv"), col("_gt")), "_gidx")
+      .select(col("_gidx"), col("_gv"))
+    val nRow = global.agg(count(lit(1)).as("_N"))
+    val ranked = in
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col(valCol), col(tieCol))))
+      .withColumn("_ng", count(lit(1)).over(
+        Window.partitionBy(col(groupCol))))
+      .crossJoin(broadcast(nRow))
+      .withColumn("_gidx", expr("((_rn - 1) * _N) div _ng"))
+    ranked.join(global, Seq("_gidx"))
+      .withColumn(s"${valCol}_qn", col("_gv"))
+      .drop("_rn", "_ng", "_N", "_gidx", "_gv")
+  }
+
   /** [NS] — per-group winsorization: clamp a long value column into its
     * group's [loPct, hiPct] percentile band (lower-interpolation order
     * statistics, the q166 rule) — the robust feature-prep transform

@@ -410,6 +410,40 @@ object Curation {
       .select(col("tok"), col("id"))
   }
 
+  /** [NS] — temporal split with EMBARGO: train = events strictly before
+    * `cutoffUs − embargoUs`, test = events at/after `cutoffUs`, and the
+    * embargo band between them is EXCLUDED from both — the time-series
+    * holdout that blocks boundary leakage (features computed with any
+    * lookback window would otherwise read test-period signal into the
+    * last training rows; an embargo at least as long as the longest
+    * feature window severs that path — the purged/embargoed split of
+    * the financial-ML literature). Adds a `split` column
+    * (train/embargo/test); pure per-row arithmetic, no shuffle. */
+  def temporalSplit(df: DataFrame, tsUsCol: String, cutoffUs: Long,
+      embargoUs: Long): DataFrame = {
+    require(embargoUs >= 0, s"negative embargo $embargoUs")
+    df.withColumn("split",
+      when(col(tsUsCol) < cutoffUs - embargoUs, "train")
+        .when(col(tsUsCol) >= cutoffUs, "test")
+        .otherwise("embargo"))
+  }
+
+  /** [NS] — leave-last-out holdout: each key's LATEST event (by ts,
+    * tie-broken by `tieCol`) becomes the test row, everything earlier
+    * is train — the standard next-item evaluation protocol for
+    * sequential recommenders. One per-key rank window; keys with a
+    * single event contribute a test row and no train rows (their
+    * history is empty — the honest cold-start case, not an error). */
+  def leaveLastOut(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("split",
+      when(row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(tsCol).desc, col(tieCol).desc)) === 1,
+        "test").otherwise("train"))
+  }
+
   /** [NS] — balanced class sampling: per class, keep at most `cap` rows
     * chosen by md5-rank of the id — the class-imbalance fix for a
     * training set (a 99:1 corpus trains a majority-class parrot;

@@ -853,11 +853,76 @@ object EventQueries {
       ORDER BY pid"""),
     doc = "[NS] nearest-event join (argmin |gap| within a bounded window)")
 
+  /** [NS] — embargoed temporal split (q192): train < cutoff − 1 day,
+    * test ≥ cutoff, the 1-day band between EXCLUDED from both
+    * ([[graft.operators.Curation.temporalSplit]]) — the purged
+    * time-series holdout that stops lookback features from reading
+    * test-period signal into late train rows. Cutoff = 80% of the
+    * corpus time span (two 1-row aggregates, exact integer micros —
+    * collected once; the cutoff is pipeline CONFIG, the same
+    * driver-known-scalar shape as AnnIndex's probe list). */
+  val q192TemporalSplit = Q(
+    "q192_temporal_split",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).withColumn("us", unix_micros($"ts"))
+      val Array(lo, hi) = ev.agg(min($"us"), max($"us"))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val cutoff = lo + ((hi - lo) * 80) / 100
+      graft.operators.Curation
+        .temporalSplit(ev, "us", cutoff, embargoUs = 86400000000L)
+        .groupBy($"split", $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("sum_c"))
+        .orderBy($"split", $"event_type")
+    },
+    Some("""WITH mm AS (SELECT min(epoch_us(ts)) AS lo,
+          max(epoch_us(ts)) AS hi FROM events),
+      sp AS (SELECT event_type, value,
+          CASE WHEN epoch_us(ts) < lo + ((hi - lo) * 80) // 100
+              - 86400000000 THEN 'train'
+            WHEN epoch_us(ts) >= lo + ((hi - lo) * 80) // 100
+              THEN 'test'
+            ELSE 'embargo' END AS split
+        FROM events CROSS JOIN mm)
+      SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_c
+      FROM sp GROUP BY split, event_type
+      ORDER BY split, event_type"""),
+    doc = "[NS] embargoed temporal split (purged time-series holdout)")
+
+  /** [NS] — leave-last-out holdout (q193): every user's latest event is
+    * the test row, the rest train
+    * ([[graft.operators.Curation.leaveLastOut]]) — the next-item
+    * evaluation protocol. Membership certified by an xor digest of the
+    * event ids per split, not just counts. */
+  val q193LeaveLastOut = Q(
+    "q193_leave_last_out",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Curation
+        .leaveLastOut(Tables.events(s, d), "user_id", "ts", "event_id")
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          expr("bit_xor(event_id)").as("ids_xor"))
+        .orderBy($"split")
+    },
+    Some("""WITH r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      SELECT CASE WHEN rn = 1 THEN 'test' ELSE 'train' END AS split,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        bit_xor(event_id) AS ids_xor
+      FROM r GROUP BY 1 ORDER BY split"""),
+    doc = "[NS] leave-last-out holdout (next-item eval protocol, xor-certified)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,
     q82Outliers, q88Histogram, q89CorrGate, q91OrderStats, q146PitJoin,
     q157Attribution, q158OverlapJoin, q159Transitions, q160UserPaths,
-    q170Survivorship, q182LatenessAudit, q186NearestJoin)
+    q170Survivorship, q182LatenessAudit, q186NearestJoin,
+    q192TemporalSplit, q193LeaveLastOut)
 }

@@ -1043,11 +1043,50 @@ object OpsQueries {
       ORDER BY abs(b_ppm - a_ppm) DESC, item LIMIT 15"""),
     doc = "[NS] top movers between periods (keyed share deltas in exact ppm)")
 
+  /** [NS] — quantile normalization across event types (q194): every
+    * type's value distribution is mapped onto the GLOBAL distribution
+    * ([[graft.operators.Analytics.quantileNormalize]]) — after the
+    * transform, "p90" means the same number for every type, the
+    * batch-effect correction for cross-source score thresholds. Exact
+    * integer rank mapping over the two-pass global rank; per-type raw
+    * vs normalized sums and the normalized extremes as the contract. */
+  val q194QuantileNorm = Q(
+    "q194_quantile_norm",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("v_c", round($"value" * 100).cast("long"))
+      Analytics.quantileNormalize(ev, "event_type", "v_c", "event_id")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v_c").as("sum_raw"),
+          sum($"v_c_qn").as("sum_qn"), min($"v_c_qn").as("min_qn"),
+          max($"v_c_qn").as("max_qn"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH v AS (SELECT event_type, event_id,
+          CAST(round(value * 100.0) AS BIGINT) AS v_c FROM events
+        WHERE value IS NOT NULL),
+      g AS (SELECT v_c AS gv,
+          row_number() OVER (ORDER BY v_c, event_id) - 1 AS gidx FROM v),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY v_c, event_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS ng FROM v),
+      j AS (SELECT r.event_type, r.v_c, g.gv
+        FROM r CROSS JOIN nn JOIN g
+          ON g.gidx = ((r.rn - 1) * nn.n) // r.ng)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(v_c) AS BIGINT) AS sum_raw,
+        CAST(sum(gv) AS BIGINT) AS sum_qn,
+        min(gv) AS min_qn, max(gv) AS max_qn
+      FROM j GROUP BY event_type ORDER BY event_type"""),
+    doc = "[NS] quantile normalization onto the global distribution (exact rank mapping)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,
     q172TargetEncode, q173WeightedMedian, q174HeavyExact, q175DiffCdc,
     q176DriftAudit, q184TopNOther, q185Winsorize, q189TrendSlope,
-    q190TopMovers)
+    q190TopMovers, q194QuantileNorm)
 }

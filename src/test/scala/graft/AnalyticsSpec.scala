@@ -253,6 +253,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(k2.getString(3) == "y" && k2.getLong(4) == 9L)
   }
 
+  // ---- quantileNormalize ----
+
+  test("quantileNormalize: each group maps onto the global distribution; " +
+      "a group already matching the global keeps its own values") {
+    import spark.implicits._
+    // group a: 4 values spanning the global; group b: 4 values in the
+    // global's lower half -> b's max maps to a mid-range global value
+    val df = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L),
+      ("a", 40L, 4L), ("b", 11L, 5L), ("b", 12L, 6L), ("b", 13L, 7L),
+      ("b", 14L, 8L)).toDF("g", "v", "id")
+    val got = graft.operators.Analytics
+      .quantileNormalize(df, "g", "v", "id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    // global sorted: 10,11,12,13,14,20,30,40 (N=8); group rank r of 4
+    // maps to gidx ((r-1)*8) div 4 = 0,2,4,6 -> values 10,12,14,30
+    assert(got(("a", 10L)) == 10L && got(("a", 20L)) == 12L &&
+      got(("a", 30L)) == 14L && got(("a", 40L)) == 30L)
+    assert(got(("b", 11L)) == 10L && got(("b", 12L)) == 12L &&
+      got(("b", 13L)) == 14L && got(("b", 14L)) == 30L)
+    // single-group input: rank r of n maps to gidx r-1 -> identity
+    val one = df.filter($"g" === "a")
+    val ident = graft.operators.Analytics
+      .quantileNormalize(one, "g", "v", "id")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(ident == Map(10L -> 10L, 20L -> 20L, 30L -> 30L, 40L -> 40L))
+  }
+
   // ---- trendSlope ----
 
   test("trendSlope: exact slope on a perfect line, signed negative " +

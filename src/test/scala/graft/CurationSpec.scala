@@ -517,6 +517,34 @@ class CurationSpec extends AnyFunSuite {
     assert(again === r, "scores must be partition-independent")
   }
 
+  // ---- temporalSplit / leaveLastOut ----
+
+  test("temporalSplit: embargo band excluded from both sides, " +
+      "boundaries are train-exclusive / test-inclusive") {
+    val df = Seq(89L, 90L, 95L, 99L, 100L, 150L).toDF("us")
+    val got = Curation.temporalSplit(df, "us", cutoffUs = 100L,
+        embargoUs = 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(89L) == "train")   // < cutoff - embargo
+    assert(got(90L) == "embargo") // exactly at cutoff - embargo
+    assert(got(95L) == "embargo")
+    assert(got(99L) == "embargo")
+    assert(got(100L) == "test")   // exactly at cutoff
+    assert(got(150L) == "test")
+  }
+
+  test("leaveLastOut: latest per key is test (ties by id), singleton " +
+      "keys contribute test-only") {
+    val df = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 20L, 102L),
+      (2L, 5L, 103L)).toDF("k", "ts", "id")
+    val got = Curation.leaveLastOut(df, "k", "ts", "id")
+      .collect().map(r => r.getLong(2) -> r.getString(3)).toMap
+    assert(got(102L) == "test")  // ts tie 20 -> larger id wins
+    assert(got(101L) == "train")
+    assert(got(100L) == "train")
+    assert(got(103L) == "test")  // singleton user: test, no train rows
+  }
+
   // ---- balancedSample ----
 
   test("balancedSample: big classes capped exactly, small classes pass " +
