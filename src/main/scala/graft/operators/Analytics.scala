@@ -434,6 +434,36 @@ object Analytics {
       .limit(n)
   }
 
+  /** [NS] — k-anonymity by one-level generalization (the
+    * suppress-or-generalize ladder of the Sweeney k-anonymity model,
+    * applied to release gating): quasi-identifier groups are counted at
+    * the FINE granularity; groups of at least k publish as-is, smaller
+    * ones re-key to the COARSE granularity (local recoding over the
+    * failing rows only — passing fine groups are never coarsened), and
+    * coarse groups still below k are marked `suppressed` (they must not
+    * ship). Guarantee: every emitted `fine`/`coarse` row has n ≥ k.
+    * Two aggregates over group COUNTS (the second runs on failing
+    * groups only — never a second pass over the data). Output:
+    * (qiCols..., bucket, level, n). */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], fineCol: String,
+      coarseCol: String, k: Long): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val fine = df.groupBy((qiCols :+ fineCol :+ coarseCol).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val pass = fine.filter(col("n") >= k)
+      .select(qiCols.map(col) :+ col(fineCol).cast("string").as("bucket")
+        :+ lit("fine").as("level") :+ col("n"): _*)
+    val coarse = fine.filter(col("n") < k)
+      .groupBy((qiCols :+ coarseCol).map(col): _*)
+      .agg(sum(col("n")).as("n"))
+    def lvl(d: DataFrame, name: String) = d
+      .select(qiCols.map(col) :+ col(coarseCol).cast("string").as("bucket")
+        :+ lit(name).as("level") :+ col("n"): _*)
+    pass
+      .unionByName(lvl(coarse.filter(col("n") >= k), "coarse"))
+      .unionByName(lvl(coarse.filter(col("n") < k), "suppressed"))
+  }
+
   /** [NS] — quantile normalization across groups: each row's value maps
     * to the GLOBAL value at its within-group quantile position — after
     * the transform every group exhibits the global distribution, the

@@ -1082,11 +1082,44 @@ object OpsQueries {
       FROM j GROUP BY event_type ORDER BY event_type"""),
     doc = "[NS] quantile normalization onto the global distribution (exact rank mapping)")
 
+  /** [NS] — k-anonymity release gate (q195): per event type, hourly
+    * buckets of at least 8 events publish at hour granularity; smaller
+    * hours generalize to their day; days still under 8 are suppressed
+    * ([[graft.operators.Analytics.kAnonymize]]) — the
+    * generalize-or-suppress ladder that gates any per-group data
+    * release. Every emitted non-suppressed row provably carries n ≥ 8. */
+  val q195KAnonymity = Q(
+    "q195_k_anonymity",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("h", date_format($"ts", "yyyy-MM-dd HH"))
+        .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      Analytics.kAnonymize(ev, Seq("event_type"), "h", "day", k = 8L)
+        .orderBy($"event_type", $"level", $"bucket")
+    },
+    Some("""WITH f AS (SELECT event_type,
+          strftime(ts, '%Y-%m-%d %H') AS h,
+          strftime(ts, '%Y-%m-%d') AS d, count(*) AS n
+        FROM events GROUP BY 1, 2, 3),
+      p AS (SELECT event_type, h AS bucket, 'fine' AS level,
+          CAST(n AS BIGINT) AS n FROM f WHERE n >= 8),
+      fail AS (SELECT event_type, d, CAST(sum(n) AS BIGINT) AS n
+        FROM f WHERE n < 8 GROUP BY 1, 2),
+      cp AS (SELECT event_type, d AS bucket, 'coarse' AS level, n
+        FROM fail WHERE n >= 8),
+      cf AS (SELECT event_type, d AS bucket, 'suppressed' AS level, n
+        FROM fail WHERE n < 8)
+      SELECT * FROM (SELECT * FROM p UNION ALL SELECT * FROM cp
+        UNION ALL SELECT * FROM cf)
+      ORDER BY event_type, level, bucket"""),
+    doc = "[NS] k-anonymity release gate (generalize-or-suppress ladder)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,
     q172TargetEncode, q173WeightedMedian, q174HeavyExact, q175DiffCdc,
     q176DriftAudit, q184TopNOther, q185Winsorize, q189TrendSlope,
-    q190TopMovers, q194QuantileNorm)
+    q190TopMovers, q194QuantileNorm, q195KAnonymity)
 }

@@ -253,6 +253,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(k2.getString(3) == "y" && k2.getLong(4) == 9L)
   }
 
+  // ---- kAnonymize ----
+
+  test("kAnonymize: fine groups >= k publish as-is, failing rows " +
+      "generalize, still-small coarse groups suppress; mass conserved") {
+    import spark.implicits._
+    // day D1: hour A has 5 rows (publishes), hours B+C have 2+2
+    //         (generalize to D1 = 4 >= 3 -> coarse)
+    // day D2: hour E has 1 row (generalizes to D2 = 1 < 3 -> suppressed)
+    val rows = Seq.fill(5)(("t", "A", "D1")) ++
+      Seq.fill(2)(("t", "B", "D1")) ++ Seq.fill(2)(("t", "C", "D1")) :+
+      (("t", "E", "D2"))
+    val got = graft.operators.Analytics
+      .kAnonymize(rows.toDF("q", "h", "d"), Seq("q"), "h", "d", k = 3L)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("A", "fine", 5L), ("D1", "coarse", 4L),
+      ("D2", "suppressed", 1L)))
+    // the guarantee: every non-suppressed emitted group has n >= k
+    assert(got.filter(_._2 != "suppressed").forall(_._3 >= 3L))
+    // mass conservation: nothing dropped silently
+    assert(got.map(_._3).sum == rows.length)
+  }
+
   // ---- quantileNormalize ----
 
   test("quantileNormalize: each group maps onto the global distribution; " +

@@ -220,4 +220,72 @@ object PropertySpec extends Properties("graft") {
           .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
       run(df) == run(df.repartition(parts))
     }
+
+  private val snapshot: Gen[List[(Long, Long)]] =
+    Gen.listOfN(10, Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 99L)))
+      .map(_.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }.toList)
+
+  property("[NS] cdcFromSnapshots round trip: applying the derived " +
+      "delta to A reproduces B, for arbitrary snapshot pairs") =
+    forAll(snapshot, snapshot) { (aRows, bRows) =>
+      val a = aRows.toDF("k", "x")
+      val b = bRows.toDF("k", "x")
+      val cdc = graft.operators.Analytics
+        .cdcFromSnapshots(a, b, Seq("k"), Seq("x"))
+      val folded = a.withColumn("s", org.apache.spark.sql.functions.lit(1L))
+        .unionByName(cdc.withColumn("s",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("op") === "I", 1L)
+            .otherwise(-1L)).drop("op"))
+        .groupBy($"k", $"x")
+        .agg(org.apache.spark.sql.functions.sum($"s").as("n"))
+        .filter($"n" =!= 0L)
+        .select($"k", $"x")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      folded == bRows.toSet
+    }
+
+  property("[NS] quantileNormalize equalizes: equal-size groups end " +
+      "with IDENTICAL normalized value multisets") =
+    forAll(Gen.choose(2, 8), Gen.choose(1L, 1000L)) { (m, seed) =>
+      // 3 groups × m rows of seeded arbitrary values
+      val rows = for (g <- Seq("a", "b", "c"); i <- 1 to m)
+        yield (g, (seed * 31 + g.hashCode * 7 + i * 13) % 97,
+          (g.hashCode.toLong << 8) + i)
+      val df = rows.toDF("g", "v", "id")
+      val out = graft.operators.Analytics
+        .quantileNormalize(df, "g", "v", "id")
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (g, rs) => g -> rs.map(_.getLong(3)).sorted.toSeq }
+      out("a") == out("b") && out("b") == out("c")
+    }
+
+  property("[NS] topMovers antisymmetry: swapping the populations " +
+      "negates every delta") =
+    forAll(Gen.listOfN(12, Gen.oneOf("x", "y", "z")),
+        Gen.listOfN(12, Gen.oneOf("x", "y", "w"))) { (aKeys, bKeys) =>
+      val a = aKeys.toDF("k")
+      val b = bKeys.toDF("k")
+      def run(l: org.apache.spark.sql.DataFrame,
+          r: org.apache.spark.sql.DataFrame) =
+        graft.operators.Analytics.topMovers(l, r, "k", n = 10,
+            minCount = 1L)
+          .collect().map(x => x.getString(0) -> x.getLong(5)).toMap
+      val fwd = run(a, b)
+      val rev = run(b, a)
+      fwd.keySet == rev.keySet &&
+        fwd.forall { case (k, d) => rev(k) == -d }
+    }
+
+  property("[NS] prioritySample membership is a pure function of the " +
+      "row set (partition/order invariant), always exactly min(k, n)") =
+    forAll(Gen.choose(5, 40), Gen.choose(1, 7)) { (n, parts) =>
+      val df = (1L to n.toLong).map(i => (i, (i % 11) + 1)).toDF("id", "w")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Curation.prioritySample(d, "id", "w", k = 10)
+          .select("id").collect().map(_.getLong(0)).toSet
+      val base = run(df)
+      base.size == math.min(10, n) && run(df.repartition(parts)) == base
+    }
 }
