@@ -125,4 +125,48 @@ object SketchState {
             org.apache.spark.sql.types.LongType))))
     else spark.read.parquet(s"$dir/v$v")
   }
+
+  /** [NS] — the VALUE-CARRYING streaming sketch: each micro-batch's
+    * (hash, value) pairs fold into the stored bottom-k SAMPLE
+    * ([[graft.functions.KmvSampleAggregator]]'s semantics, maintained
+    * relationally across epochs) — so any epoch can answer "what is the
+    * stream's p50 / p99 so far" from 2k stored longs, the streaming
+    * percentile monitor. Same versioned replay safety as
+    * [[foreachBatchKmv]]: state is a pure function of the SET of pairs
+    * ever seen (dedup on hash, deterministic min-value on the
+    * negligible hash-collision case), so re-delivered rows and replayed
+    * epochs are no-ops. */
+  def foreachBatchKmvSample(spark: SparkSession, dir: String,
+      hashCol: String, valCol: String, k: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val agg = udaf(graft.functions.KmvSampleAggregator(k))
+      val batchPairs = batch
+        .agg(agg(col(hashCol), col(valCol)).as("sk"))
+        .select(explode(expr(
+          "transform(sequence(0, size(sk) div 2 - 1), " +
+            "j -> struct(sk[2*j] as hv, sk[2*j+1] as v))")).as("p"))
+        .select(col("p.hv"), col("p.v"))
+      val prev = readKmvSampleState(spark, dir, beforeBatch = batchId)
+      val merged = prev.unionByName(batchPairs)
+        .groupBy(col("hv")).agg(min(col("v")).as("v"))
+        .withColumn("_rk", row_number().over(org.apache.spark.sql
+          .expressions.Window.orderBy(col("hv").asc)))
+        .filter(col("_rk") <= k)
+        .select(col("hv"), col("v"))
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/v$batchId")
+    }
+
+  /** The stored (hv, v) sample at the newest version < beforeBatch. */
+  def readKmvSampleState(spark: SparkSession, dir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val v = latestVersion(spark, dir, beforeBatch)
+    if (v < 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("hv",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(s"$dir/v$v")
+  }
 }

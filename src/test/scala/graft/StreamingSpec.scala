@@ -805,6 +805,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() === ref, "replayed epoch must not change the sketch")
   }
 
+  test("durable KMV SAMPLE state: streamed percentile monitor equals " +
+      "the batch sample of the union across restarts and a replayed epoch") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.SketchState
+    import spark.implicits._
+
+    val srcDir = Files.createTempDirectory("kmvs_src").toString
+    val ckpt = Files.createTempDirectory("kmvs_ckpt").toString
+    val stDir = Files.createTempDirectory("kmvs_state").toString
+    val k = 8
+    // 3 epochs of (id, latency) observations with cross-epoch overlap
+    val epochs = Seq(
+      (1 to 12).map(i => (s"r$i", i * 10L)),
+      (6 to 18).map(i => (s"r$i", i * 10L)),
+      (1 to 25).map(i => (s"r$i", i * 10L)))
+    val hashExpr = org.apache.spark.sql.functions.expr(
+      "cast(conv(substring(md5(id), 1, 15), 16, 10) as bigint)")
+    val hook = SketchState.foreachBatchKmvSample(spark, stDir, "hv", "v", k)
+    val hookOn: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (df, bid) => hook(df.select(hashExpr.as("hv"), $"v"), bid)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("id", StringType),
+          StructField("v", LongType))))
+        .json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(hookOn)
+        .start()
+      q.awaitTermination()
+    }
+    epochs.zipWithIndex.foreach { case (rows, i) =>
+      Files.write(java.nio.file.Paths.get(srcDir, s"b$i.json"),
+        rows.map { case (id, v) => s"""{"id":"$id","v":$v}""" }
+          .mkString("\n").getBytes("UTF-8"))
+      runOnce() // full stop/start between epochs
+    }
+    def state(): Seq[(Long, Long)] =
+      SketchState.readKmvSampleState(spark, stDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // batch reference: the sample aggregator over the UNION of pairs
+    val agg = org.apache.spark.sql.functions.udaf(
+      graft.functions.KmvSampleAggregator(k))
+    val all = epochs.flatten.distinct.toDF("id", "v")
+      .select(hashExpr.as("hv"), $"v")
+    val ref = all.agg(agg($"hv", $"v").as("sk")).collect()(0)
+      .getSeq[Long](0).grouped(2).map(a => (a(0), a(1))).toSeq.sorted
+    assert(state() === ref,
+      "streamed sample must equal the batch sample of the union")
+    // a percentile is derivable from the stored 2k longs at any epoch
+    val vals = state().map(_._2).sorted
+    val p50 = vals(((50 * (vals.size - 1)) / 100))
+    assert(vals.contains(p50))
+    // replayed last epoch: set semantics make it a no-op
+    val lastId = SketchState.latestVersion(spark, stDir)
+    hookOn(epochs.last.toDF("id", "v"), lastId)
+    assert(state() === ref, "replayed epoch must not change the sample")
+  }
+
   test("streaming matview maintenance: CDC epochs (inserts + retractions) " +
       "fold into the stored aggregate across a restart; a replayed epoch " +
       "is a no-op; final state equals a from-scratch build on the net rows") {
