@@ -434,6 +434,118 @@ object Analytics {
       .limit(n)
   }
 
+  /** [NS] — Cohen's kappa, exact: chance-corrected agreement between
+    * two labelers — the annotation-QA number a labeling pipeline
+    * reports before its labels are trusted (raw percent agreement
+    * rewards majority-class guessing; kappa subtracts the chance
+    * floor). With diag = Σ agreements and prods = Σ_c row_c·col_c
+    * (marginal products), `kappa = (N·diag − prods) / (N² − prods)` —
+    * one rational, emitted in signed ppm via decimal(38,0) cleared
+    * denominators (both engines truncate identically). One tiny
+    * (a, b)-pair aggregate; marginals derive from it. Output: one row
+    * (n, n_agree, po_ppm, pe_ppm, kappa_ppm). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val pairs = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val rowM = pairs.groupBy(col("_a")).agg(sum(col("_c")).as("_ra"))
+    val colM = pairs.groupBy(col("_b")).agg(sum(col("_c")).as("_cb"))
+    val prods = rowM.join(colM, col("_a") === col("_b"))
+      .agg(coalesce(sum(col("_ra").cast("decimal(38,0)") *
+        col("_cb").cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
+        .as("_prods"))
+    def d(s: String) = s"cast($s as decimal(38,0))"
+    pairs.agg(sum(col("_c")).as("n"),
+        sum(when(col("_a") === col("_b"), col("_c")).otherwise(0L))
+          .as("n_agree"))
+      .crossJoin(broadcast(prods))
+      .select(col("n"), col("n_agree"),
+        expr(s"cast((${d("1000000")} * ${d("n_agree")}) div ${d("n")} " +
+          "as long)").as("po_ppm"),
+        expr(s"cast((${d("1000000")} * _prods) div " +
+          s"(${d("n")} * ${d("n")}) as long)").as("pe_ppm"),
+        expr(s"case when ${d("n")} * ${d("n")} - _prods <> 0 then " +
+          s"cast((${d("1000000")} * (${d("n")} * ${d("n_agree")} - _prods))" +
+          s" div (${d("n")} * ${d("n")} - _prods) as long) end")
+          .as("kappa_ppm"))
+  }
+
+  /** Poisson(1) inverse-CDF thresholds over the 52-bit uniform space —
+    * computed ONCE here and inlined as literals into both the Spark
+    * plan and the SQL oracle, so the multiplicity draw is bit-identical
+    * by construction (no engine evaluates exp()). */
+  val poissonThresholds52: Seq[Long] = {
+    val space = math.pow(2, 52)
+    // cumulative P(X <= m) for λ=1: e⁻¹·(1, 2, 5/2, 8/3)
+    Seq(1.0, 2.0, 2.5, 8.0 / 3.0)
+      .map(c => (c * math.exp(-1.0) * space).toLong)
+  }
+
+  /** [NS] — deterministic Poisson bootstrap (the distributed bootstrap:
+    * Chamandy et al., "Estimating uncertainty for massive data
+    * streams", Google 2012 — per-row independent Poisson(1)
+    * multiplicities replace the impossible global resample-with-
+    * replacement): B resamples in ONE pass, each row's multiplicity in
+    * resample b derived from md5(id#b) against precomputed inverse-CDF
+    * thresholds ([[poissonThresholds52]] — multiplicities capped at 4,
+    * P(X>4) ≈ 0.4%). No rand(): the draw is a pure function of (id, b),
+    * so confidence intervals are reproducible and oracle-checkable.
+    * Output: one row per resample (b, n_eff, sum_wx, mean_ppm) with
+    * exact integer means; order statistics over the B rows give the
+    * interval. Cost: one explode(×B) over narrow (id, x) rows + one
+    * aggregate — never B scans. */
+  def poissonBootstrap(df: DataFrame, idCol: String, valCol: String,
+      b: Int): DataFrame = {
+    require(b > 1, s"need at least 2 resamples, got $b")
+    val Seq(t0, t1, t2, t3) = poissonThresholds52
+    df.filter(col(valCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"),
+        col(valCol).cast("long").as("_x"))
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("_u", expr("cast(conv(substring(md5(concat(_id, '#', " +
+        "cast(b as string))), 1, 13), 16, 10) as bigint)"))
+      .withColumn("_m",
+        when(col("_u") < t0, 0L).when(col("_u") < t1, 1L)
+          .when(col("_u") < t2, 2L).when(col("_u") < t3, 3L)
+          .otherwise(4L))
+      .groupBy(col("b"))
+      .agg(sum(col("_m")).as("n_eff"),
+        sum(col("_m") * col("_x")).as("sum_wx"))
+      .withColumn("mean_ppm", expr(
+        "case when n_eff > 0 then (1000000 * sum_wx) div n_eff end"))
+  }
+
+  /** [NS] — 2×2 chi-square test, exact: the A/B experimentation gate.
+    * With arm×outcome counts a,b,c,d, `χ² = N·(ad − bc)² /
+    * ((a+b)(c+d)(a+c)(b+d))` — one rational, emitted in ppm via
+    * decimal(38,0) (the cleared-denominator products reach ~10²⁵ at
+    * 10⁴ rows — far past long). `significant` compares against the
+    * df=1, α=0.05 critical value 3.841459 (a fixed literal — no
+    * p-value math in-engine). One tiny aggregate. */
+  def chiSquare2x2(df: DataFrame, armCol: String,
+      outcomeCol: String): DataFrame = {
+    def d(s: String) = s"cast($s as decimal(38,0))"
+    df.filter(col(armCol).isNotNull && col(outcomeCol).isNotNull)
+      .agg(
+        sum(when(!col(armCol) && !col(outcomeCol), 1L).otherwise(0L))
+          .as("a"),
+        sum(when(!col(armCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col(armCol) && !col(outcomeCol), 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col(armCol) && col(outcomeCol), 1L).otherwise(0L))
+          .as("d"))
+      .withColumn("chi2_ppm", expr(
+        s"case when (${d("a")} + ${d("b")}) * (${d("c")} + ${d("d")}) * " +
+          s"(${d("a")} + ${d("c")}) * (${d("b")} + ${d("d")}) <> 0 then " +
+          s"cast((${d("1000000")} * (${d("a")} + ${d("b")} + ${d("c")} + " +
+          s"${d("d")}) * (${d("a")} * ${d("d")} - ${d("b")} * ${d("c")}) * " +
+          s"(${d("a")} * ${d("d")} - ${d("b")} * ${d("c")})) div " +
+          s"((${d("a")} + ${d("b")}) * (${d("c")} + ${d("d")}) * " +
+          s"(${d("a")} + ${d("c")}) * (${d("b")} + ${d("d")})) as long) end"))
+      .withColumn("significant", col("chi2_ppm") > 3841459L)
+  }
+
   /** [NS] — k-anonymity by one-level generalization (the
     * suppress-or-generalize ladder of the Sweeney k-anonymity model,
     * applied to release gating): quasi-identifier groups are counted at

@@ -1308,6 +1308,67 @@ object DocQueries {
     q72DedupComponents.oracle,
     doc = "[NS] incremental CC maintenance == from-scratch closure (same oracle)")
 
+  /** [NS] — annotation agreement, Cohen's kappa (q196): how much better
+    * than chance does the q26 stopword language-ID heuristic agree with
+    * the labeled `lang` column ([[graft.operators.Analytics
+    * .cohenKappa]]) — the QA summary of q26's confusion matrix in one
+    * chance-corrected number, exact signed ppm. The "two labelers" are
+    * the heuristic and the gold label; the same operator scores two
+    * human annotators or two model versions. */
+  val q196CohenKappa = Q(
+    "q196_cohen_kappa",
+    (s, d) => {
+      import s.implicits._
+      val stop = Map(
+        "en" -> Seq("the", "a", "of", "and", "to"),
+        "de" -> Seq("der", "die", "das", "und", "ein"),
+        "fr" -> Seq("le", "la", "les", "et", "un"),
+        "es" -> Seq("el", "la", "los", "y", "un"))
+      def score(lang: String): org.apache.spark.sql.Column = {
+        val words = split($"text", " ")
+        size(array_intersect(words,
+          array(stop(lang).map(lit): _*))).cast("long")
+      }
+      val scored = Tables.documents(s, d)
+        .withColumn("s_en", score("en")).withColumn("s_de", score("de"))
+        .withColumn("s_fr", score("fr")).withColumn("s_es", score("es"))
+        .withColumn("predicted",
+          when($"s_en" >= $"s_de" && $"s_en" >= $"s_fr" &&
+            $"s_en" >= $"s_es", "en")
+            .when($"s_de" >= $"s_fr" && $"s_de" >= $"s_es", "de")
+            .when($"s_fr" >= $"s_es", "fr").otherwise("es"))
+      graft.operators.Analytics.cohenKappa(scored, "lang", "predicted")
+    },
+    Some("""WITH scored AS (
+        SELECT lang,
+          len(list_intersect(l, ['the','a','of','and','to'])) AS s_en,
+          len(list_intersect(l, ['der','die','das','und','ein'])) AS s_de,
+          len(list_intersect(l, ['le','la','les','et','un'])) AS s_fr,
+          len(list_intersect(l, ['el','la','los','y','un'])) AS s_es
+        FROM (SELECT lang, string_split(text, ' ') AS l FROM documents)),
+      lab AS (SELECT lang AS a,
+          CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+            THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS b
+        FROM scored),
+      p AS (SELECT a, b, count(*) AS c FROM lab GROUP BY 1, 2),
+      rm AS (SELECT a, CAST(sum(c) AS HUGEINT) AS ra FROM p GROUP BY a),
+      cm AS (SELECT b, CAST(sum(c) AS HUGEINT) AS cb FROM p GROUP BY b),
+      pr AS (SELECT CAST(coalesce(sum(ra * cb), 0) AS HUGEINT) AS prods
+        FROM rm JOIN cm ON a = b),
+      t AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+          CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS HUGEINT) AS agr
+        FROM p)
+      SELECT CAST(n AS BIGINT) AS n, CAST(agr AS BIGINT) AS n_agree,
+        CAST((1000000 * agr) // n AS BIGINT) AS po_ppm,
+        CAST((1000000 * prods) // (n * n) AS BIGINT) AS pe_ppm,
+        CASE WHEN n * n - prods <> 0 THEN
+          CAST((1000000 * (n * agr - prods)) // (n * n - prods) AS BIGINT)
+          END AS kappa_ppm
+      FROM t, pr"""),
+    doc = "[NS] Cohen's kappa: chance-corrected annotation agreement, exact signed ppm")
+
   /** [NS] — per-source dataset card (q191): the one-row-per-source
     * summary every curated corpus publishes, composed from the
     * codebase's exact primitives — doc/char counts, exact mean length
@@ -1404,5 +1465,6 @@ object DocQueries {
     q97CcHybrid, q101TopkAgg, q103ModelGate, q108PhashPairs,
     q109NearDupGate, q111DedupIncremental, q112DedupIndexGate,
     q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment,
-    q144LshFuzzy, q145CcIncremental, q164LshRecall, q191DatasetCard)
+    q144LshFuzzy, q145CcIncremental, q164LshRecall, q191DatasetCard,
+    q196CohenKappa)
 }

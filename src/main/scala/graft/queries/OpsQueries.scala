@@ -1115,11 +1115,90 @@ object OpsQueries {
       ORDER BY event_type, level, bucket"""),
     doc = "[NS] k-anonymity release gate (generalize-or-suppress ladder)")
 
+  /** [NS] — deterministic Poisson bootstrap (q197): 32 resamples of the
+    * event-value mean in ONE pass
+    * ([[graft.operators.Analytics.poissonBootstrap]]) — the distributed
+    * bootstrap (per-row hash-derived Poisson(1) multiplicities; no
+    * rand(), no B scans). The inverse-CDF thresholds are computed once
+    * in Scala and inlined as literals into BOTH engines, so every
+    * resample mean is bit-identical; order stats over the 32 rows give
+    * the confidence interval. */
+  val q197Bootstrap = Q(
+    "q197_bootstrap",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("v_c", round($"value" * 100).cast("long"))
+      Analytics.poissonBootstrap(ev, "event_id", "v_c", b = 32)
+        .orderBy($"b")
+    },
+    {
+      val Seq(t0, t1, t2, t3) = Analytics.poissonThresholds52
+      Some(s"""WITH v AS (SELECT event_id::VARCHAR AS id,
+          CAST(round(value * 100.0) AS BIGINT) AS x FROM events
+        WHERE value IS NOT NULL),
+      e AS (SELECT id, x, CAST(t.b AS INT) AS b
+        FROM v, unnest(range(0, 32)) AS t(b)),
+      u AS (SELECT b, x, CAST('0x' ||
+          substr(md5(id || '#' || b::VARCHAR), 1, 13) AS BIGINT) AS u
+        FROM e),
+      m AS (SELECT b, x,
+          CASE WHEN u < $t0 THEN 0 WHEN u < $t1 THEN 1
+            WHEN u < $t2 THEN 2 WHEN u < $t3 THEN 3 ELSE 4 END AS m
+        FROM u)
+      SELECT b, CAST(sum(m) AS BIGINT) AS n_eff,
+        CAST(sum(m * x) AS BIGINT) AS sum_wx,
+        CASE WHEN sum(m) > 0 THEN
+          CAST((1000000 * sum(m * x)) // sum(m) AS BIGINT) END AS mean_ppm
+      FROM m GROUP BY b ORDER BY b""")
+    },
+    doc = "[NS] deterministic Poisson bootstrap (32 resample means, one pass, no rand)")
+
+  /** [NS] — 2×2 chi-square gate (q198): does the odd-user arm convert
+    * (value > 50) at a different rate than the even-user arm
+    * ([[graft.operators.Analytics.chiSquare2x2]]) — the A/B
+    * experimentation readout as one exact rational in ppm, compared
+    * against the df=1 α=0.05 critical value as a literal. */
+  val q198ChiSquare = Q(
+    "q198_chi_square",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("arm", $"user_id" % 2 === 1)
+        .withColumn("conv", $"value" > 50)
+      Analytics.chiSquare2x2(ev, "arm", "conv")
+    },
+    Some("""WITH t AS (SELECT
+          CAST(count(CASE WHEN user_id % 2 = 0 AND NOT (value > 50)
+            THEN 1 END) AS HUGEINT) AS a,
+          CAST(count(CASE WHEN user_id % 2 = 0 AND value > 50
+            THEN 1 END) AS HUGEINT) AS b,
+          CAST(count(CASE WHEN user_id % 2 = 1 AND NOT (value > 50)
+            THEN 1 END) AS HUGEINT) AS c,
+          CAST(count(CASE WHEN user_id % 2 = 1 AND value > 50
+            THEN 1 END) AS HUGEINT) AS d
+        FROM events WHERE value IS NOT NULL)
+      SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) <> 0 THEN
+          CAST((1000000::HUGEINT * (a + b + c + d) * (a * d - b * c)
+              * (a * d - b * c))
+            // ((a + b) * (c + d) * (a + c) * (b + d)) AS BIGINT)
+          END AS chi2_ppm,
+        CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) <> 0 THEN
+          (1000000::HUGEINT * (a + b + c + d) * (a * d - b * c)
+              * (a * d - b * c))
+            // ((a + b) * (c + d) * (a + c) * (b + d)) > 3841459
+          END AS significant
+      FROM t"""),
+    doc = "[NS] 2x2 chi-square A/B gate (exact rational statistic, literal critical value)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,
     q172TargetEncode, q173WeightedMedian, q174HeavyExact, q175DiffCdc,
     q176DriftAudit, q184TopNOther, q185Winsorize, q189TrendSlope,
-    q190TopMovers, q194QuantileNorm, q195KAnonymity)
+    q190TopMovers, q194QuantileNorm, q195KAnonymity, q197Bootstrap,
+    q198ChiSquare)
 }

@@ -253,6 +253,63 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(k2.getString(3) == "y" && k2.getLong(4) == 9L)
   }
 
+  // ---- cohenKappa / chiSquare2x2 / poissonBootstrap ----
+
+  test("cohenKappa: perfect agreement = 1e6; majority-guessing " +
+      "agreement is chance-corrected toward zero") {
+    import spark.implicits._
+    val perfect = Seq(("x", "x"), ("y", "y"), ("x", "x")).toDF("a", "b")
+    val p = graft.operators.Analytics.cohenKappa(perfect, "a", "b")
+      .collect().head
+    assert(p.getLong(2) == 1000000L && p.getLong(4) == 1000000L)
+    // labeler B always says "x": agrees on the 3 x-rows (po=750000) but
+    // pe = 750000 too -> kappa exactly 0
+    val guess = Seq(("x", "x"), ("x", "x"), ("x", "x"), ("y", "x"))
+      .toDF("a", "b")
+    val g = graft.operators.Analytics.cohenKappa(guess, "a", "b")
+      .collect().head
+    assert(g.getLong(2) == 750000L && g.getLong(3) == 750000L)
+    assert(g.getLong(4) == 0L, s"majority guessing must score 0: $g")
+  }
+
+  test("chiSquare2x2: exact statistic on hand tables; independence " +
+      "scores 0, perfect association scores N") {
+    import spark.implicits._
+    def t(rows: Seq[(Boolean, Boolean)]) = graft.operators.Analytics
+      .chiSquare2x2(rows.toDF("arm", "out"), "arm", "out")
+      .collect().head
+    val indep = t(Seq.fill(10)((false, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(10)((true, true)))
+    assert(indep.getLong(4) == 0L && !indep.getBoolean(5))
+    val assoc = t(Seq.fill(20)((false, false)) ++
+      Seq.fill(20)((true, true)))
+    assert(assoc.getLong(4) == 40000000L) // chi2 = N = 40
+    assert(assoc.getBoolean(5))
+  }
+
+  test("poissonBootstrap: deterministic across partitionings, resample " +
+      "means bracket the true mean, multiplicity mass is sane") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, 100L + (i % 21))).toDF("id", "x")
+    def run(d: org.apache.spark.sql.DataFrame) = graft.operators.Analytics
+      .poissonBootstrap(d, "id", "x", b = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
+    val got = run(df)
+    assert(got.length == 16)
+    assert(run(df.repartition(7)).toSeq == got.toSeq)
+    // E[n_eff] = n; Poisson(1) keeps it within a wide band
+    assert(got.forall { case (_, nEff, _) =>
+      nEff > 300 && nEff < 500 })
+    val trueMeanPpm = (1000000L * df.agg(sum($"x")).collect()
+      .head.getLong(0)) / 400
+    val means = got.map(_._3)
+    assert(means.min < trueMeanPpm && trueMeanPpm < means.max,
+      s"true mean $trueMeanPpm outside resample range " +
+        s"[${means.min}, ${means.max}]")
+  }
+
   // ---- kAnonymize ----
 
   test("kAnonymize: fine groups >= k publish as-is, failing rows " +
