@@ -186,8 +186,11 @@ object Multimodal {
     * cell's mean luminance (ITU-R 601 integer weights, truncating
     * division) exceeds the global mean. Robust to re-encode/resize
     * blur, which byte-level exact dedup (D4) cannot see. */
-  private[operators] def averageHash(img: BufferedImage): Long = {
-    val gw = 8; val gh = 8
+  /** Truncating integer luma means over a gw×gh block grid — the shared
+    * core of [[averageHash]] and [[syntheticPatchGrid]] (the ViT
+    * patchify shape: an image becomes its per-patch statistics). */
+  private[operators] def blockMeans(img: BufferedImage, gw: Int,
+      gh: Int): Array[Long] = {
     val w = img.getWidth; val h = img.getHeight
     val sums = new Array[Long](gw * gh)
     val counts = new Array[Long](gw * gh)
@@ -208,8 +211,13 @@ object Multimodal {
     // truncating integer means bound every compared value by 255_000 —
     // no overflow at any image size (a cross-multiplication of raw sums
     // would overflow past ~40 MP)
-    val means = Array.tabulate(gw * gh)(c =>
+    Array.tabulate(gw * gh)(c =>
       if (counts(c) == 0) 0L else sums(c) / counts(c))
+  }
+
+  private[operators] def averageHash(img: BufferedImage): Long = {
+    val gw = 8; val gh = 8
+    val means = blockMeans(img, gw, gh)
     val global = means.sum / (gw * gh)
     var bits = 0L
     var c = 0
@@ -260,6 +268,32 @@ object Multimodal {
       }
       (id, averageHash(img))
     }.toDF("id", "phash")
+  }
+
+  /** [NS] — ViT-style PATCHIFY over synthetic pixels (q199): every image
+    * becomes its gw×gh grid of per-patch truncating integer luma means
+    * — the patch-statistics layout a vision-transformer ingest pipeline
+    * materializes (patch rows, not blobs, are what downstream shuffles
+    * touch). Runs the REAL [[blockMeans]] kernel (the same code the
+    * decoded-JPEG path uses) over arithmetically generated pixels, so
+    * the patch arithmetic is oracle-checkable without a codec — the
+    * same promotion [[syntheticAHash]] gives the hash path. Output:
+    * (id, patch, pmean), patch = row-major index. */
+  def syntheticPatchGrid(ids: DataFrame, w: Int, h: Int, gw: Int,
+      gh: Int)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ids.select(col("id").cast("long")).as[Long].flatMap { id =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, synthPixel(id, x, y)); x += 1 }
+        y += 1
+      }
+      blockMeans(img, gw, gh).zipWithIndex.map { case (m, p) =>
+        (id, p, m)
+      }
+    }.toDF("id", "patch", "pmean")
   }
 
   /** FNV-1a 64-bit over raw bytes — full-width stub hash for payloads no

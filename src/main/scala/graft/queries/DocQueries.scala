@@ -1308,6 +1308,41 @@ object DocQueries {
     q72DedupComponents.oracle,
     doc = "[NS] incremental CC maintenance == from-scratch closure (same oracle)")
 
+  /** [NS] — ViT patchify over synthetic pixels (q199): 20 images become
+    * their 4×4 grids of per-patch integer luma means
+    * ([[graft.operators.Multimodal.syntheticPatchGrid]] — the REAL
+    * block-mean kernel the decoded-JPEG path uses, over q108's
+    * arithmetic pixel generator, so the patch statistics are
+    * oracle-exact without a codec). The patch-rows layout is what a
+    * multimodal ingest pipeline shuffles — statistics, never blobs. */
+  val q199PatchGrid = Q(
+    "q199_patch_grid",
+    (s, d) => {
+      import s.implicits._
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val ids = Tables.documents(s, d)
+        .select($"doc_id".as("id")).filter($"id" < 20)
+      graft.operators.Multimodal.syntheticPatchGrid(ids, 32, 32, 4, 4)
+        .orderBy($"id", $"patch")
+    },
+    Some("""WITH ids AS (SELECT doc_id AS id FROM documents
+        WHERE doc_id < 20),
+      px AS (SELECT id, x, y,
+          CASE WHEN id % 2 = 1 AND x < 8 AND y < 16
+            THEN least(255, (x*7 + y*13 + (id - id%2)*31) % 256
+              + 50*((id//2)%4))
+            ELSE (x*7 + y*13 + (id - id%2)*31) % 256 END AS r,
+          (x*11 + y*5 + (id - id%2)*17) % 256 AS g,
+          (x*3 + y*19 + (id - id%2)*23) % 256 AS b
+        FROM ids, range(0,32) t1(x), range(0,32) t2(y)),
+      p AS (SELECT id, (y // 8) * 4 + (x // 8) AS patch,
+          sum(299*r + 587*g + 114*b) // count(*) AS pmean
+        FROM px GROUP BY id, (y // 8) * 4 + (x // 8))
+      SELECT id, CAST(patch AS INT) AS patch,
+        CAST(pmean AS BIGINT) AS pmean
+      FROM p ORDER BY id, patch"""),
+    doc = "[NS] ViT patchify: per-patch integer luma means via the real block kernel")
+
   /** [NS] — annotation agreement, Cohen's kappa (q196): how much better
     * than chance does the q26 stopword language-ID heuristic agree with
     * the labeled `lang` column ([[graft.operators.Analytics
@@ -1466,5 +1501,5 @@ object DocQueries {
     q109NearDupGate, q111DedupIncremental, q112DedupIndexGate,
     q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment,
     q144LshFuzzy, q145CcIncremental, q164LshRecall, q191DatasetCard,
-    q196CohenKappa)
+    q196CohenKappa, q199PatchGrid)
 }
