@@ -122,7 +122,59 @@ object Curation {
   def curationFunnel(docs: DataFrame, minChars: Long = 100,
       minWords: Long = 20, testBucketFrom: Int = 90,
       budgetChars: Long = 500, gramN: Int = 3, minShared: Long = 2,
-      dfMax: Long = 100): DataFrame = {
+      dfMax: Long = 100): DataFrame =
+    funnelStages(docs, minChars, minWords, testBucketFrom, budgetChars,
+      gramN, minShared, dfMax) {
+      case (d0, quality, unique, survivors, train, clean, budget) =>
+        def cnt(df: DataFrame, name: String) = df.groupBy(col("source"))
+          .agg(count(lit(1)).as(name))
+        val stages = Seq(cnt(quality, "n_quality"),
+          cnt(unique, "n_unique"), cnt(survivors, "n_neardup"),
+          cnt(train, "n_train"), cnt(clean, "n_clean"),
+          budget.groupBy(col("source")).agg(
+            count(lit(1)).as("n_budget"),
+            sum(col("n_chars")).as("chars_budget")))
+        stages.foldLeft(cnt(d0, "n_raw")) { (acc, c) =>
+            acc.join(c, Seq("source"), "left")
+          }
+          .na.fill(0L, Seq("n_quality", "n_unique", "n_neardup",
+            "n_train", "n_clean", "n_budget", "chars_budget"))
+          .orderBy(col("source"))
+    }
+
+  /** [NS] — the PUBLISH step after the funnel (q200): the budget-stage
+    * survivors are assigned to hash shards ([[hashBucket]] — the
+    * [[writeShards]] membership rule) and each shard ships with an
+    * integrity MANIFEST row: doc count, char total, and an
+    * order-independent xor digest of the 60-bit doc-id hashes — the
+    * receipt a consumer re-derives to verify a delivered shard, the
+    * same xor-certification convention as q66/q188. */
+  def curationExport(docs: DataFrame, shards: Int, minChars: Long = 100,
+      minWords: Long = 20, testBucketFrom: Int = 90,
+      budgetChars: Long = 500, gramN: Int = 3, minShared: Long = 2,
+      dfMax: Long = 100): DataFrame =
+    funnelStages(docs, minChars, minWords, testBucketFrom, budgetChars,
+      gramN, minShared, dfMax) {
+      case (_, _, _, _, _, _, budget) =>
+        budget
+          .withColumn("shard", hashBucket(col("doc_id"), shards))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"),
+            expr("bit_xor(cast(conv(substring(md5(cast(doc_id " +
+              "as string)), 1, 15), 16, 10) AS BIGINT))").as("ids_xor"))
+          .orderBy(col("shard"))
+    }
+
+  /** The shared five-gate stage chain behind [[curationFunnel]] and
+    * [[curationExport]]: builds the stage frames under scoped persist
+    * pins, hands them to `assemble`, and eagerly checkpoints the (small)
+    * result so it outlives the pins. */
+  private def funnelStages(docs: DataFrame, minChars: Long,
+      minWords: Long, testBucketFrom: Int, budgetChars: Long, gramN: Int,
+      minShared: Long, dfMax: Long)(
+      assemble: (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+        DataFrame, DataFrame) => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d0 = docs.select(col("doc_id"), col("text"), col("source"),
       col("n_chars"))
@@ -165,21 +217,9 @@ object Curation {
           val budget = clean
             .withColumn("_cum", sum(col("n_chars")).over(wb))
             .filter(col("_cum") <= budgetChars)
-          def cnt(df: DataFrame, name: String) = df.groupBy(col("source"))
-            .agg(count(lit(1)).as(name))
-          val stages = Seq(cnt(quality, "n_quality"),
-            cnt(unique, "n_unique"), cnt(survivors, "n_neardup"),
-            cnt(train, "n_train"), cnt(clean, "n_clean"),
-            budget.groupBy(col("source")).agg(
-              count(lit(1)).as("n_budget"),
-              sum(col("n_chars")).as("chars_budget")))
-          stages.foldLeft(cnt(d0, "n_raw")) { (acc, c) =>
-              acc.join(c, Seq("source"), "left")
-            }
-            .na.fill(0L, Seq("n_quality", "n_unique", "n_neardup",
-              "n_train", "n_clean", "n_budget", "chars_budget"))
-            .orderBy(col("source"))
-            .localCheckpoint(true) // ≤ |sources| rows; outlives the pins
+          assemble(d0, quality, unique, survivors, train, clean,
+              budget)
+            .localCheckpoint(true) // small result; outlives the pins
         } finally tg.unpersist(blocking = false)
       } finally survivors.unpersist(blocking = false)
     } finally unique.unpersist(blocking = false)

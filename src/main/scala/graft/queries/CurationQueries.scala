@@ -941,24 +941,11 @@ object CurationQueries {
       ORDER BY split"""),
     doc = "[NS] leakage-safe group split (source-keyed; zero spanning sources by construction)")
 
-  /** [NS] — the end-to-end curation funnel (q171), the flagship
-    * composition: quality gate → prefix dedup → SimHash first-sight
-    * near-dup gate → train/test split → rare-n-gram decontamination →
-    * per-source char budget, in ONE DataFrame DAG
-    * ([[graft.operators.Curation.curationFunnel]]) with per-source
-    * attrition counts as the dataset-card contract. On this fixture
-    * every gate BINDS (sf0.01: 500 → 456 quality → 433 prefix-unique →
-    * 55 near-dup survivors → 48 train → 36 clean → budget-trimmed), so
-    * the green row certifies all five stage semantics and their
-    * composition order at once. The oracle replays the full chain as
-    * CTEs — the stage internals reuse the verified q109/q58/q73 SQL
-    * constructions over the progressively filtered sets. */
-  val q171CurationFunnel = Q(
-    "q171_curation_funnel",
-    (s, d) => {
-      Curation.curationFunnel(Tables.documents(s, d))
-    },
-    Some("""WITH d0 AS MATERIALIZED (SELECT doc_id, text, source, n_chars
+  /** The shared five-gate funnel CTE chain (everything through the
+    * budget stage `b`) — q171 appends the per-source counts, q200 the
+    * shard manifest. */
+  private val funnelCtesSql: String =
+    """WITH d0 AS MATERIALIZED (SELECT doc_id, text, source, n_chars
         FROM documents),
       q AS (SELECT * FROM d0 WHERE n_chars >= 100
         AND len(string_split(text, ' ')) >= 20),
@@ -1011,8 +998,27 @@ object CurationQueries {
       b AS (SELECT * FROM (SELECT source, doc_id, n_chars,
           CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM cl)
-        WHERE cum <= 500),
-      agg_raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+        WHERE cum <= 500)"""
+
+  /** [NS] — the end-to-end curation funnel (q171), the flagship
+    * composition: quality gate → prefix dedup → SimHash first-sight
+    * near-dup gate → train/test split → rare-n-gram decontamination →
+    * per-source char budget, in ONE DataFrame DAG
+    * ([[graft.operators.Curation.curationFunnel]]) with per-source
+    * attrition counts as the dataset-card contract. On this fixture
+    * every gate BINDS (sf0.01: 500 → 456 quality → 433 prefix-unique →
+    * 55 near-dup survivors → 48 train → 36 clean → budget-trimmed), so
+    * the green row certifies all five stage semantics and their
+    * composition order at once. The oracle replays the full chain as
+    * CTEs — the stage internals reuse the verified q109/q58/q73 SQL
+    * constructions over the progressively filtered sets. */
+  val q171CurationFunnel = Q(
+    "q171_curation_funnel",
+    (s, d) => {
+      Curation.curationFunnel(Tables.documents(s, d))
+    },
+    Some(s"""$funnelCtesSql,
+            agg_raw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
         FROM d0 GROUP BY source),
       agg_q AS (SELECT source, CAST(count(*) AS BIGINT) AS n_quality
         FROM q GROUP BY source),
@@ -1121,6 +1127,31 @@ object CurationQueries {
       ORDER BY lang"""),
     doc = "[NS] balanced class sampling (md5-rank cap per class, xor-certified set)")
 
+
+  /** [NS] — the publish step (q200): the funnel's budget survivors are
+    * hash-assigned to 4 shards and each shard ships with an integrity
+    * manifest — doc count, char total, and the order-independent xor
+    * digest of the 60-bit doc-id hashes
+    * ([[graft.operators.Curation.curationExport]]). A consumer
+    * re-derives the digest from a delivered shard to verify it; a
+    * mismatch pinpoints the damaged shard without touching the others.
+    * The oracle replays the full five-gate chain (the shared q171
+    * CTEs) plus the shard assignment and digests. */
+  val q200ExportManifest = Q(
+    "q200_export_manifest",
+    (s, d) => {
+      Curation.curationExport(Tables.documents(s, d), shards = 4)
+    },
+    Some(s"""$funnelCtesSql
+      SELECT CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+          % 4 AS shard,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS chars,
+        bit_xor(CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 15)
+          AS BIGINT)) AS ids_xor
+      FROM b GROUP BY 1 ORDER BY shard"""),
+    doc = "[NS] export manifest: funnel survivors sharded with xor integrity digests")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -1129,5 +1160,5 @@ object CurationQueries {
     q123PositionalIndex, q124Bm25, q126PhraseSearch,
     q127TextIndexServe, q128IndexMerge, q151Hybrid, q152ShardPack,
     q162GroupSplit, q171CurationFunnel, q180SpellCorrect,
-    q188BalancedSample)
+    q188BalancedSample, q200ExportManifest)
 }

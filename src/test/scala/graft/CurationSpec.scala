@@ -565,6 +565,25 @@ class CurationSpec extends AnyFunSuite {
     assert(kept(grown).filter(_._1 == "big") == got.filter(_._1 == "big"))
   }
 
+  // ---- curationExport ----
+
+  test("curationExport: manifest mass equals the funnel's budget stage, " +
+      "shards are total and partition-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val manifest = Curation.curationExport(docs, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.forall(m => m._1 >= 0 && m._1 < 4))
+    val funnel = Curation.curationFunnel(docs).collect()
+      .map(_.getAs[Long]("n_budget")).sum
+    assert(manifest.map(_._2).sum == funnel,
+      "manifest doc mass must equal the funnel budget stage")
+    val again = Curation.curationExport(docs.repartition(7), shards = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == manifest.toSeq,
+      "manifest (incl. digests) must be partition-invariant")
+  }
+
   // ---- spellCorrect (SymSpell symmetric deletes) ----
 
   test("spellCorrect: substitution/insertion/deletion/identity all " +
