@@ -546,6 +546,82 @@ object Analytics {
       .withColumn("significant", col("chi2_ppm") > 3841459L)
   }
 
+  /** [NS] — calibration / reliability table with ECE contributions: the
+    * model-eval readout "when the model says 80%, is it right 80% of
+    * the time". Rows are cut into `buckets` equal-population score
+    * bands (the two-pass global rank — never a single-partition
+    * window); per band: mean min-max-normalized score (`conf_ppm`, the
+    * stand-in for predicted probability), actual positive rate
+    * (`acc_ppm`), their gap, and the band's Expected-Calibration-Error
+    * contribution `(n·gap) div N` — Σ contrib over the table IS the
+    * ECE, all exact integer ppm. */
+  def calibrationTable(df: DataFrame, scoreCol: String, tieCol: String,
+      labelCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"need positive buckets, got $buckets")
+    val in = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("_s"), col(tieCol).as("_t"),
+        col(labelCol).cast("boolean").as("_y"))
+    val ranked = Curation.withGlobalRank(in, Seq(col("_s"), col("_t")),
+      "_rk")
+    val stats = in.agg(count(lit(1)).as("_N"), min(col("_s")).as("_mn"),
+      max(col("_s")).as("_mx"))
+    ranked.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        expr(s"(_rk * $buckets) div _N").cast("int"))
+      .withColumn("_conf", expr(
+        "case when _mx > _mn then ((_s - _mn) * 1000000) div (_mx - _mn)" +
+          " else 0 end"))
+      .groupBy(col("bucket"), col("_N"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("pos"),
+        sum(col("_conf")).as("_cs"))
+      .withColumn("conf_ppm", expr("_cs div n"))
+      .withColumn("acc_ppm", expr("(1000000 * pos) div n"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+      .withColumn("ece_contrib_ppm", expr("(n * gap_ppm) div _N"))
+      .select(col("bucket"), col("n"), col("pos"), col("conf_ppm"),
+        col("acc_ppm"), col("gap_ppm"), col("ece_contrib_ppm"))
+  }
+
+  /** [NS] — gains / lift table: rank by score DESCENDING, cut into
+    * equal-population bands, report each band's cumulative capture of
+    * the positives (`capture_ppm`) and its lift over random targeting
+    * (`lift_ppm` = capture ÷ population share, 10⁶ = random) — the
+    * "how much of the response do the top 20% of scores reach" readout
+    * of targeting models. Exact integer ppm via decimal(38,0) cleared
+    * denominators; the cumulative window runs over `buckets` aggregate
+    * rows (bounded by the parameter, never the data). */
+  def gainsTable(df: DataFrame, scoreCol: String, tieCol: String,
+      labelCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"need positive buckets, got $buckets")
+    val in = df.filter(col(scoreCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("_s"), col(tieCol).as("_t"),
+        col(labelCol).cast("boolean").as("_y"))
+    val ranked = Curation.withGlobalRank(in,
+      Seq(col("_s").desc, col("_t")), "_rk")
+    val stats = in.agg(count(lit(1)).as("_N"),
+      sum(when(col("_y"), 1L).otherwise(0L)).as("_P"))
+    val wc = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(s: String) = s"cast($s as decimal(38,0))"
+    ranked.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        expr(s"(_rk * $buckets) div _N").cast("int"))
+      .groupBy(col("bucket"), col("_N"), col("_P"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("pos"))
+      .withColumn("cum_n", sum(col("n")).over(wc))
+      .withColumn("cum_pos", sum(col("pos")).over(wc))
+      .withColumn("capture_ppm", expr(
+        "case when _P > 0 then (1000000 * cum_pos) div _P end"))
+      .withColumn("lift_ppm", expr(
+        s"case when _P > 0 and cum_n > 0 then cast((${d("1000000")} * " +
+          s"${d("cum_pos")} * ${d("_N")}) div (${d("_P")} * " +
+          s"${d("cum_n")}) as long) end"))
+      .select(col("bucket"), col("n"), col("pos"), col("cum_pos"),
+        col("capture_ppm"), col("lift_ppm"))
+  }
+
   /** [NS] — k-anonymity by one-level generalization (the
     * suppress-or-generalize ladder of the Sweeney k-anonymity model,
     * applied to release gating): quasi-identifier groups are counted at

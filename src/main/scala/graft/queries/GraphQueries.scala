@@ -537,7 +537,92 @@ object GraphQueries {
       ORDER BY src, slot"""),
     doc = "[NS] deterministic negative sampling from the observed node population")
 
+  /** [NS] — recommender offline evaluation (q201): hit-rate@3 of the
+    * co-occurrence recommender against the leave-last-out holdout —
+    * the END-TO-END offline eval loop: split each user's history
+    * ([[graft.operators.Curation.leaveLastOut]]), build item-item
+    * co-occurrence on TRAIN interactions only ([[Graph.coOccurrence]] —
+    * test items never leak into the model), recommend the top-3
+    * neighbors of each user's most-engaged train item, and score
+    * whether the held-out item was among them. One exact-ppm summary
+    * row; every stage is a previously verified construction. */
+  val q201RecHitRate = Q(
+    "q201_rec_hitrate",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val inter = Tables.events(s, d)
+        .withColumn("item", get_json_object($"props", "$.k").cast("long"))
+        .filter($"item".isNotNull)
+      val split = graft.operators.Curation
+        .leaveLastOut(inter, "user_id", "ts", "event_id")
+      val train = split.filter($"split" === "train")
+      val test = split.filter($"split" === "test")
+        .select($"user_id", $"item".as("test_item"))
+      val pairs = Graph.coOccurrence(train.select($"user_id", $"item"),
+        "user_id", "item", capM = 10, minCount = 1L)
+      val anchors = train.groupBy($"user_id", $"item")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("_rn", row_number().over(Window.partitionBy($"user_id")
+          .orderBy($"cnt".desc, $"item")))
+        .filter($"_rn" === 1)
+        .select($"user_id", $"item".as("anchor"))
+      val neigh = pairs
+        .select($"item_a".as("anchor"), $"item_b".as("nb"), $"n_users")
+        .unionByName(pairs
+          .select($"item_b".as("anchor"), $"item_a".as("nb"), $"n_users"))
+      val recs = anchors.join(neigh, Seq("anchor"))
+        .withColumn("_rk", row_number().over(Window.partitionBy($"user_id")
+          .orderBy($"n_users".desc, $"nb")))
+        .filter($"_rk" <= 3)
+        .select($"user_id", $"nb")
+      val evalUsers = test.join(anchors, Seq("user_id"), "left_semi")
+      val hits = evalUsers.join(recs,
+        evalUsers("user_id") === recs("user_id") &&
+          $"test_item" === $"nb", "left_semi")
+      evalUsers.agg(count(lit(1)).as("n_eval"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .withColumn("hr_ppm", expr(
+          "case when n_eval > 0 then (1000000 * n_hits) div n_eval end"))
+    },
+    Some("""WITH inter AS (SELECT user_id, event_id, ts,
+          CAST(props->>'$.k' AS BIGINT) AS item FROM events
+        WHERE props->>'$.k' IS NOT NULL),
+      sp AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn FROM inter),
+      train AS (SELECT user_id, item FROM sp WHERE rn > 1),
+      test AS (SELECT user_id, item AS test_item FROM sp WHERE rn = 1),
+      ic AS (SELECT user_id AS u, item AS i, count(*) AS w FROM train
+        GROUP BY 1, 2),
+      capped AS (SELECT u, i FROM (SELECT u, i, w, row_number() OVER
+          (PARTITION BY u ORDER BY w DESC, i ASC) AS r FROM ic)
+        WHERE r <= 10),
+      pairs AS (SELECT a.i AS item_a, b.i AS item_b,
+          CAST(count(*) AS BIGINT) AS n_users
+        FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 1),
+      anchors AS (SELECT user_id, i AS anchor FROM (SELECT ic.u AS
+          user_id, ic.i, row_number() OVER (PARTITION BY ic.u
+          ORDER BY ic.w DESC, ic.i) AS r FROM ic) WHERE r = 1),
+      neigh AS (SELECT item_a AS anchor, item_b AS nb, n_users FROM pairs
+        UNION ALL SELECT item_b, item_a, n_users FROM pairs),
+      recs AS (SELECT user_id, nb FROM (SELECT a.user_id, n.nb,
+          row_number() OVER (PARTITION BY a.user_id
+            ORDER BY n.n_users DESC, n.nb) AS rk
+        FROM anchors a JOIN neigh n ON n.anchor = a.anchor)
+        WHERE rk <= 3),
+      ev AS (SELECT t.user_id, t.test_item FROM test t
+        JOIN anchors a ON a.user_id = t.user_id),
+      hits AS (SELECT DISTINCT e.user_id FROM ev e
+        JOIN recs r ON r.user_id = e.user_id AND r.nb = e.test_item)
+      SELECT CAST((SELECT count(*) FROM ev) AS BIGINT) AS n_eval,
+        CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+        CASE WHEN (SELECT count(*) FROM ev) > 0 THEN
+          CAST((1000000 * (SELECT count(*) FROM hits))
+            // (SELECT count(*) FROM ev) AS BIGINT) END AS hr_ppm"""),
+    doc = "[NS] recommender hit-rate@3 vs leave-last-out (train-only model, exact ppm)")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
     q138Kcore, q161BfsLevels, q163HashWalks, q177CoOccurrence,
-    q178Trending, q181Ppr, q183NegSamples)
+    q178Trending, q181Ppr, q183NegSamples, q201RecHitRate)
 }

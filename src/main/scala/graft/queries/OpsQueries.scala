@@ -1193,6 +1193,86 @@ object OpsQueries {
       FROM t"""),
     doc = "[NS] 2x2 chi-square A/B gate (exact rational statistic, literal critical value)")
 
+  /** [NS] — calibration / reliability table (q202):
+    * [[graft.operators.Analytics.calibrationTable]] over the event
+    * values (score = cents, label = value > 50): per score decile, the
+    * min-max-normalized confidence vs the actual positive rate and the
+    * band's ECE contribution — Σ ece_contrib_ppm IS the Expected
+    * Calibration Error, all exact ppm. */
+  val q202Calibration = Q(
+    "q202_calibration",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("v_c", round($"value" * 100).cast("long"))
+        .withColumn("y", $"value" > 50)
+      Analytics.calibrationTable(ev, "v_c", "event_id", "y", buckets = 10)
+        .orderBy($"bucket")
+    },
+    Some("""WITH v AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS s,
+          event_id AS t, value > 50 AS y FROM events
+        WHERE value IS NOT NULL),
+      r AS (SELECT *, row_number() OVER (ORDER BY s, t) - 1 AS rk FROM v),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS nt, min(s) AS mn,
+          max(s) AS mx FROM v),
+      b AS (SELECT CAST((rk * 10) // nt AS INT) AS bucket, nt,
+          CASE WHEN mx > mn THEN ((s - mn) * 1000000) // (mx - mn)
+            ELSE 0 END AS conf, y
+        FROM r, st),
+      g AS (SELECT bucket, max(nt) AS nt, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS pos,
+          CAST(sum(conf) AS BIGINT) AS cs FROM b GROUP BY bucket)
+      SELECT bucket, n, pos, CAST(cs // n AS BIGINT) AS conf_ppm,
+        CAST((1000000 * pos) // n AS BIGINT) AS acc_ppm,
+        abs(cs // n - (1000000 * pos) // n) AS gap_ppm,
+        CAST((n * abs(cs // n - (1000000 * pos) // n)) // nt AS BIGINT)
+          AS ece_contrib_ppm
+      FROM g ORDER BY bucket"""),
+    doc = "[NS] calibration table + ECE contributions (exact ppm reliability readout)")
+
+  /** [NS] — gains / lift table (q203):
+    * [[graft.operators.Analytics.gainsTable]] — how much of the
+    * positive response the top score bands capture, and the lift over
+    * random targeting (10⁶ = random). Score = cents descending, label
+    * = value > 50, so the top deciles capture everything — the steep
+    * end of the curve, exact. */
+  val q203Gains = Q(
+    "q203_gains",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("v_c", round($"value" * 100).cast("long"))
+        .withColumn("y", $"value" > 50)
+      Analytics.gainsTable(ev, "v_c", "event_id", "y", buckets = 10)
+        .orderBy($"bucket")
+    },
+    Some("""WITH v AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS s,
+          event_id AS t, value > 50 AS y FROM events
+        WHERE value IS NOT NULL),
+      r AS (SELECT *, row_number() OVER (ORDER BY s DESC, t) - 1 AS rk
+        FROM v),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+          CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS pt FROM v),
+      b AS (SELECT CAST((rk * 10) // nt AS INT) AS bucket, nt, pt, y
+        FROM r, st),
+      g AS (SELECT bucket, max(nt) AS nt, max(pt) AS pt,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS pos
+        FROM b GROUP BY bucket),
+      c AS (SELECT *, CAST(sum(n) OVER (ORDER BY bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+          CAST(sum(pos) OVER (ORDER BY bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        FROM g)
+      SELECT bucket, n, pos, cum_pos,
+        CASE WHEN pt > 0 THEN CAST((1000000 * cum_pos) // pt AS BIGINT)
+          END AS capture_ppm,
+        CASE WHEN pt > 0 AND cum_n > 0 THEN
+          CAST((1000000::HUGEINT * cum_pos * nt) // (pt::HUGEINT * cum_n)
+            AS BIGINT) END AS lift_ppm
+      FROM c ORDER BY bucket"""),
+    doc = "[NS] gains/lift table (cumulative positive capture by score band, exact ppm)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
@@ -1200,5 +1280,5 @@ object OpsQueries {
     q172TargetEncode, q173WeightedMedian, q174HeavyExact, q175DiffCdc,
     q176DriftAudit, q184TopNOther, q185Winsorize, q189TrendSlope,
     q190TopMovers, q194QuantileNorm, q195KAnonymity, q197Bootstrap,
-    q198ChiSquare)
+    q198ChiSquare, q202Calibration, q203Gains)
 }

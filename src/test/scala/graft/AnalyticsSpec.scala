@@ -253,6 +253,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(k2.getString(3) == "y" && k2.getLong(4) == 9L)
   }
 
+  // ---- calibrationTable / gainsTable ----
+
+  test("calibrationTable: perfectly separable scores show calibrated " +
+      "extremes; Σ ece contributions is the exact ECE") {
+    import spark.implicits._
+    // scores 0..99, label = score >= 50: bottom buckets conf≈low/acc=0,
+    // top buckets conf≈high/acc=1e6
+    val df = (0L until 100L).map(i => (i, i, i >= 50L)).toDF("s", "t", "y")
+    val got = graft.operators.Analytics
+      .calibrationTable(df, "s", "t", "y", buckets = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(6))).toMap
+    assert(got.keySet == Set(0, 1, 2, 3))
+    assert(got.values.forall(_._1 == 25L)) // equal-population bands
+    assert(got(0)._3 == 0L && got(3)._3 == 1000000L) // acc extremes
+    // ECE by hand: per band |mean(conf) − acc|·(25/100)
+    val ece = got.values.map(_._4).sum
+    assert(ece > 0L && ece < 1000000L)
+  }
+
+  test("gainsTable: top band captures its share of positives first; " +
+      "final capture is 1e6 and final lift is exactly random (1e6)") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, i, i >= 80L)).toDF("s", "t", "y")
+    val got = graft.operators.Analytics
+      .gainsTable(df, "s", "t", "y", buckets = 5)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // bucket 0 = the top 20 scores = ALL 20 positives
+    assert(got(0) == ((20L, 20L, 1000000L, 5000000L))) // lift 5x
+    assert(got(4)._3 == 1000000L) // full capture at the end
+    assert(got(4)._4 == 1000000L) // whole-population lift = random
+  }
+
   // ---- cohenKappa / chiSquare2x2 / poissonBootstrap ----
 
   test("cohenKappa: perfect agreement = 1e6; majority-guessing " +
