@@ -557,8 +557,13 @@ object GraphQueries {
       val split = graft.operators.Curation
         .leaveLastOut(inter, "user_id", "ts", "event_id")
       val train = split.filter($"split" === "train")
+      // test and anchors are |users|-sized and read by several branches
+      // below (eval count, hit join, recs) — eager-checkpoint them so the
+      // leave-last-out window over the full event scan runs once per
+      // frame instead of once per consuming branch
       val test = split.filter($"split" === "test")
         .select($"user_id", $"item".as("test_item"))
+        .localCheckpoint(true)
       val pairs = Graph.coOccurrence(train.select($"user_id", $"item"),
         "user_id", "item", capM = 10, minCount = 1L)
       val anchors = train.groupBy($"user_id", $"item")
@@ -567,6 +572,7 @@ object GraphQueries {
           .orderBy($"cnt".desc, $"item")))
         .filter($"_rn" === 1)
         .select($"user_id", $"item".as("anchor"))
+        .localCheckpoint(true)
       val neigh = pairs
         .select($"item_a".as("anchor"), $"item_b".as("nb"), $"n_users")
         .unionByName(pairs
