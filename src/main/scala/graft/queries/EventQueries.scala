@@ -917,6 +917,87 @@ object EventQueries {
       FROM r GROUP BY 1 ORDER BY split"""),
     doc = "[NS] leave-last-out holdout (next-item eval protocol, xor-certified)")
 
+  /** [NS] — sequential-pattern support (q204): for every ordered event-
+    * type pair (a, b), how many users ever did a BEFORE b — the
+    * "A then B" support counts of sequence mining, where q159's Markov
+    * matrix sees only ADJACENT transitions. The trick that keeps it
+    * linear: "∃ a before b" ⟺ first(a) < last(b), so per-user state is
+    * one (min_ts, max_ts) pair per type (bounded by the type alphabet,
+    * never by activity), and the pair frame is a per-user self-join of
+    * ≤|types| rows. Exact user counts + support in ppm of the user
+    * population. */
+  val q204SeqSupport = Q(
+    "q204_seq_support",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).withColumn("us", unix_micros($"ts"))
+      val spans = ev.groupBy($"user_id", $"event_type")
+        .agg(min($"us").as("first_us"), max($"us").as("last_us"))
+      val nUsers = ev.agg(countDistinct($"user_id").as("_nu"))
+      spans.as("a").join(spans.as("b"), Seq("user_id"))
+        .filter($"a.event_type" =!= $"b.event_type" &&
+          $"a.first_us" < $"b.last_us")
+        .groupBy($"a.event_type".as("type_a"),
+          $"b.event_type".as("type_b"))
+        .agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(nUsers))
+        .withColumn("support_ppm", expr("(n_users * 1000000) div _nu"))
+        .drop("_nu")
+        .orderBy($"type_a", $"type_b")
+    },
+    Some("""WITH spans AS (SELECT user_id, event_type,
+          min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        FROM events GROUP BY 1, 2),
+      nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+        FROM events)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+        CAST(count(*) AS BIGINT) AS n_users,
+        CAST((count(*) * 1000000) // nu.n AS BIGINT) AS support_ppm
+      FROM spans a JOIN spans b ON a.user_id = b.user_id
+        AND a.event_type <> b.event_type
+        AND a.first_us < b.last_us, nu
+      GROUP BY 1, 2, nu.n ORDER BY type_a, type_b"""),
+    doc = "[NS] sequence support: users with a-before-b per type pair (bounded state)")
+
+  /** [NS] — survival / hazard table (q205): per tenure day d, how many
+    * users were still active (`at_risk`) and how many ended their
+    * history that day (`churned`), with the discrete hazard rate
+    * churned/at_risk in exact ppm — the Kaplan–Meier numerators and
+    * denominators (the survival product itself is float-territory; the
+    * exact ingredients are the engine's contract). Tenure is one
+    * per-user aggregate; at-risk is a suffix count over the ≤|days|
+    * aggregate rows (bounded window, never the data). */
+  val q205Hazard = Q(
+    "q205_hazard",
+    (s, d) => {
+      import s.implicits._
+      val tenure = Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(datediff(max(to_date($"ts")), min(to_date($"ts")))
+          .cast("long").as("tenure"))
+      val byDay = tenure.groupBy($"tenure")
+        .agg(count(lit(1)).as("churned"))
+      val w = Window.orderBy($"tenure".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay
+        .withColumn("at_risk", sum($"churned").over(w))
+        .withColumn("hazard_ppm",
+          expr("(1000000 * churned) div at_risk"))
+        .orderBy($"tenure")
+    },
+    Some("""WITH t AS (SELECT user_id,
+          CAST(date_diff('day', min(CAST(ts AS DATE)),
+            max(CAST(ts AS DATE))) AS BIGINT) AS tenure
+        FROM events GROUP BY user_id),
+      b AS (SELECT tenure, CAST(count(*) AS BIGINT) AS churned FROM t
+        GROUP BY tenure),
+      c AS (SELECT *, CAST(sum(churned) OVER (ORDER BY tenure DESC
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk FROM b)
+      SELECT tenure, churned, at_risk,
+        CAST((1000000 * churned) // at_risk AS BIGINT) AS hazard_ppm
+      FROM c ORDER BY tenure"""),
+    doc = "[NS] survival/hazard table (exact Kaplan-Meier ingredients per tenure day)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
@@ -924,5 +1005,5 @@ object EventQueries {
     q82Outliers, q88Histogram, q89CorrGate, q91OrderStats, q146PitJoin,
     q157Attribution, q158OverlapJoin, q159Transitions, q160UserPaths,
     q170Survivorship, q182LatenessAudit, q186NearestJoin,
-    q192TemporalSplit, q193LeaveLastOut)
+    q192TemporalSplit, q193LeaveLastOut, q204SeqSupport, q205Hazard)
 }
