@@ -602,4 +602,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q173 weighted median: the total and cumulative windows share " +
+      "ONE exchange on the group key") {
+    val p = plan("q173_weighted_median")
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly 1 hash Exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q204 sequence support: the pair frame is an equi-join on the " +
+      "user key — no cartesian, no nested loop against the spans") {
+    val p = plan("q204_seq_support")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only BNLJ allowed is the 1-row user-count broadcast
+    assert("BroadcastNestedLoopJoin Cross".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q192 temporal split: pure per-row arithmetic — the only " +
+      "exchange is the final grouped report") {
+    val p = plan("q192_temporal_split")
+    assert(!p.contains("Join"), p)
+    assert("hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly 1 hash Exchange:\n$p")
+  }
 }
