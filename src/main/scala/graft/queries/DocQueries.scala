@@ -1343,6 +1343,72 @@ object DocQueries {
       FROM p ORDER BY id, patch"""),
     doc = "[NS] ViT patchify: per-patch integer luma means via the real block kernel")
 
+  /** [NS] — KWIC search snippets (q206): the serving feature after
+    * retrieval — every document containing "spark" returns its first
+    * match position and a fixed-width keyword-in-context window around
+    * it, byte-exact in both engines (1-based instr/substr with the same
+    * clamping arithmetic). Per-row string kernels; no shuffle beyond
+    * the final order. */
+  val q206Snippets = Q(
+    "q206_snippets",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("pos", instr($"text", "spark").cast("long"))
+        .filter($"pos" > 0)
+        .withColumn("snip_start", greatest(lit(1L), $"pos" - 20))
+        .withColumn("snippet",
+          expr("substring(text, cast(snip_start as int), 50)"))
+        .select($"doc_id", $"pos", $"snip_start",
+          md5($"snippet").as("snippet_hash"),
+          length($"snippet").cast("long").as("snip_len"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, CAST(strpos(text, 'spark') AS BIGINT) AS pos,
+        greatest(1, CAST(strpos(text, 'spark') AS BIGINT) - 20)
+          AS snip_start,
+        md5(substr(text,
+          CAST(greatest(1, strpos(text, 'spark') - 20) AS INT), 50))
+          AS snippet_hash,
+        CAST(length(substr(text,
+          CAST(greatest(1, strpos(text, 'spark') - 20) AS INT), 50))
+          AS BIGINT) AS snip_len
+      FROM documents WHERE strpos(text, 'spark') > 0
+      ORDER BY doc_id"""),
+    doc = "[NS] KWIC snippets: first-match window extraction, byte-exact")
+
+  /** [NS] — vocabulary growth curve (q207): distinct token count after
+    * the first N documents, for a ladder of N — the Heaps'-law audit
+    * that tells a tokenizer team how fast the open vocabulary grows
+    * with corpus size (sub-linear growth = vocabulary saturating;
+    * linear = noisy/unnormalized text). One explode + one aggregate per
+    * ladder rung over the SAME exploded frame (union of 5 tiny
+    * aggregates — the scan is shared via the exploded persist-free
+    * plan, each rung a filtered distinct). */
+  val q207VocabGrowth = Q(
+    "q207_vocab_growth",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+      val rungs = Seq(100L, 200L, 300L, 400L, 500L)
+      rungs.map { n =>
+        toks.filter($"doc_id" < n)
+          .agg(lit(n).as("n_docs"),
+            countDistinct($"tok").as("n_vocab"),
+            count(lit(1)).as("n_tokens"))
+      }.reduce(_.unionByName(_)).orderBy($"n_docs")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS tok FROM documents)
+      SELECT n_docs, CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab,
+        CAST(count(*) AS BIGINT) AS n_tokens
+      FROM toks, (SELECT CAST(unnest([100, 200, 300, 400, 500]) AS BIGINT)
+        AS n_docs)
+      WHERE doc_id < n_docs
+      GROUP BY n_docs ORDER BY n_docs"""),
+    doc = "[NS] vocabulary growth curve (Heaps'-law audit over a doc-count ladder)")
+
   /** [NS] — annotation agreement, Cohen's kappa (q196): how much better
     * than chance does the q26 stopword language-ID heuristic agree with
     * the labeled `lang` column ([[graft.operators.Analytics
@@ -1501,5 +1567,5 @@ object DocQueries {
     q109NearDupGate, q111DedupIncremental, q112DedupIndexGate,
     q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment,
     q144LshFuzzy, q145CcIncremental, q164LshRecall, q191DatasetCard,
-    q196CohenKappa, q199PatchGrid)
+    q196CohenKappa, q199PatchGrid, q206Snippets, q207VocabGrowth)
 }
