@@ -56,9 +56,16 @@ final case class KmvSampleAggregator(k: Int)
   override def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
     val n = buf.length / 2
     val h = in._1
-    if (n == k && h >= buf(2 * (n - 1))) return buf
+    if (n == k && h > buf(2 * (n - 1))) return buf
     val pos = search(buf, h)
-    if (pos >= 0) return buf // hash already kept — a set, not a multiset
+    if (pos >= 0) {
+      // hash already kept — a set, not a multiset; on a (negligible-
+      // probability) 60-bit collision between distinct ids keep min(value)
+      // so the result is merge-order-independent and agrees with the
+      // streaming relational fold (SketchState.foreachBatchKmvSample).
+      if (in._2 < buf(2 * pos + 1)) buf(2 * pos + 1) = in._2
+      return buf
+    }
     val ins = -pos - 1
     val outN = if (n < k) n + 1 else k
     val out = new Array[Long](2 * outN)
@@ -69,7 +76,8 @@ final case class KmvSampleAggregator(k: Int)
     out
   }
 
-  /** Sorted-merge on hash with dedup, truncated to k pairs. */
+  /** Sorted-merge on hash with dedup (min-value on hash match, matching
+    * [[reduce]]), truncated to k pairs. */
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
@@ -77,15 +85,20 @@ final case class KmvSampleAggregator(k: Int)
     val out = new Array[Long](2 * cap)
     var i = 0; var j = 0; var o = 0
     var last = 0L; var first = true
-    while (o < cap && (i < a.length || j < b.length)) {
+    var done = false
+    while (!done && (i < a.length || j < b.length)) {
       var h = 0L; var v = 0L
       if (j >= b.length || (i < a.length && a(i) <= b(j))) {
         h = a(i); v = a(i + 1); i += 2
       } else { h = b(j); v = b(j + 1); j += 2 }
-      if (first || h != last) {
+      if (!first && h == last) {
+        // duplicate of the last kept hash — keep min(value), even when
+        // the buffer is already full (the kept pair may still improve)
+        if (v < out(2 * (o - 1) + 1)) out(2 * (o - 1) + 1) = v
+      } else if (o < cap) {
         out(2 * o) = h; out(2 * o + 1) = v; o += 1
         last = h; first = false
-      }
+      } else done = true // full and h > last: all further hashes larger
     }
     if (o == cap) out else java.util.Arrays.copyOf(out, 2 * o)
   }

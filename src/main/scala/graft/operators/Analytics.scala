@@ -363,6 +363,9 @@ object Analytics {
     val hash = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val grouped = df
+      // NULL id/value rows are excluded (a NULL would fail the UDAF's
+      // (Long, Long) tuple encoder at runtime, not skip the row)
+      .filter(col(idCol).isNotNull && col(valCol).isNotNull)
       .select(groupCols.map(col) :+ hash.as("_h") :+
         col(valCol).cast("long").as("_v"): _*)
       .groupBy(groupCols.map(col): _*)
@@ -395,8 +398,8 @@ object Analytics {
     df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
-        sum(col(xCol).cast("long")).as("sx"),
-        sum(col(yCol).cast("long")).as("sy"),
+        sum(col(xCol).cast("decimal(38,0)")).as("sx"),
+        sum(col(yCol).cast("decimal(38,0)")).as("sy"),
         sum(col(xCol).cast("decimal(38,0)") *
           col(yCol).cast("decimal(38,0)")).as("sxy"),
         sum(col(xCol).cast("decimal(38,0)") *
@@ -891,20 +894,6 @@ object Analytics {
         expr("(cnt * 1000000) div _n").as("share_ppm"))
   }
 
-  /** [NS] — robust per-group outlier gate on median/MAD (Hampel filter):
-    * a row is flagged iff |x − median| > c·MAD, where MAD is the median
-    * absolute deviation. Unlike the mean/stddev gate
-    * ([[graft.operators.Curation.exactOutliers]]) this has a 50%
-    * breakdown point — a contaminated tail cannot drag the threshold,
-    * which is why it is the standard spike detector for metrics streams.
-    *
-    * Both medians are LOWER medians (element at row_number (n+1) div 2
-    * ordered by (value, tiebreak)) — an order statistic both engines pick
-    * identically, so the whole output hash-matches the oracle; |x−med|
-    * and c·MAD are single IEEE ops on identical operands. Two per-group
-    * sort-windows (median, then MAD) — per-key windows parallelize across
-    * groups, never a global sort; NULL values are excluded up front
-    * (membership in an outlier test is undefined for NULL). */
   /** [NS] — survivorship merge (golden record): per key, each listed
     * attribute independently takes its MOST RECENT NON-NULL observation
     * (ordered by `tsCol` then `tieCol`, both descending) — the
@@ -930,6 +919,20 @@ object Analytics {
     ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [NS] — robust per-group outlier gate on median/MAD (Hampel filter):
+    * a row is flagged iff |x − median| > c·MAD, where MAD is the median
+    * absolute deviation. Unlike the mean/stddev gate
+    * ([[graft.operators.Curation.exactOutliers]]) this has a 50%
+    * breakdown point — a contaminated tail cannot drag the threshold,
+    * which is why it is the standard spike detector for metrics streams.
+    *
+    * Both medians are LOWER medians (element at row_number (n+1) div 2
+    * ordered by (value, tiebreak)) — an order statistic both engines pick
+    * identically, so the whole output hash-matches the oracle; |x−med|
+    * and c·MAD are single IEEE ops on identical operands. Two per-group
+    * sort-windows (median, then MAD) — per-key windows parallelize across
+    * groups, never a global sort; NULL values are excluded up front
+    * (membership in an outlier test is undefined for NULL). */
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
       tieCol: String, c: Int = 3): DataFrame = {
     val wk = Window.partitionBy(col(keyCol))

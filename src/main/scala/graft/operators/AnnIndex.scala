@@ -123,12 +123,36 @@ object AnnIndex {
     * one broadcast of centroids/codebooks + the partitioned write — the
     * base codes never move, never re-shuffle.
     *
-    * `metaCols` must match the index's build-time metadata geometry
-    * (fingerprint-enforced by [[appendIfAbsent]]). */
+    * `metaCols` must match the index's build-time metadata geometry —
+    * enforced here against the stored `_graft_index_meta.json`
+    * fingerprint whenever one exists (every [[buildIfAbsent]] index has
+    * one): an append with a different m/subDim/metaCols would silently
+    * write mixed-schema codes (parquet append mode does not validate
+    * against existing files) and corrupt served results, so it fails
+    * loudly instead. A bare [[build]] without a fingerprint leaves
+    * enforcement to the caller. */
   def appendBatch(spark: SparkSession, dir: String, delta: DataFrame,
       idCol: String, vecCol: String, m: Int, subDim: Int,
       metaCols: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.types._
+    val metaFile = java.nio.file.Paths.get(metaPath(dir))
+    if (java.nio.file.Files.exists(metaFile)) {
+      val fp = java.nio.file.Files.readString(metaFile)
+      def intField(k: String): Option[Int] =
+        ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(fp).map(_.group(1).toInt)
+      val storedMeta: Seq[String] =
+        """"meta":\[([^\]]*)\]""".r.findFirstMatchIn(fp)
+          .map(_.group(1).split(",").toSeq
+            .filter(_.nonEmpty).map(_.stripPrefix("\"").stripSuffix("\"")))
+          .getOrElse(Nil)
+      require(intField("m").forall(_ == m) &&
+          intField("subDim").forall(_ == subDim),
+        s"appendBatch geometry (m=$m, subDim=$subDim) does not match the " +
+          s"stored index fingerprint at ${metaPath(dir)}: $fp")
+      require(storedMeta == metaCols,
+        s"appendBatch metaCols $metaCols do not match the stored index's " +
+          s"$storedMeta (${metaPath(dir)})")
+    }
     val vec = ArrayType(DoubleType)
     val cents = spark.read.schema(StructType(Seq(
         StructField("c_id", LongType), StructField("cv", vec))))

@@ -127,4 +127,32 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().toSeq
     assert(served === inQuery)
   }
+
+  test("appendBatch refuses a geometry or metaCols mismatch against the " +
+      "stored fingerprint — mixed-schema codes can never reach the index") {
+    import spark.implicits._
+    val (e, _, _) = fixture()
+    val base = e.filter($"vec_id" < 40).withColumn("label", $"vec_id" % 3)
+    val delta = e.filter($"vec_id" >= 40).withColumn("label", $"vec_id" % 3)
+    val cents = base.orderBy($"vec_id").limit(8)
+      .select($"vec_id".as("c_id"), Similarity.vecD($"embedding").as("cv"))
+    val dir = Files.createTempDirectory("graft_annidx_guard").toString
+    AnnIndex.buildIfAbsent(base, "vec_id", "embedding", cents, m, subDim,
+      ksub, iters, dir, corpusTag = "guard", metaCols = Seq("label"))
+    val wrongGeom = intercept[IllegalArgumentException] {
+      AnnIndex.appendBatch(spark, dir, delta, "vec_id", "embedding",
+        m + 1, subDim, metaCols = Seq("label"))
+    }
+    assert(wrongGeom.getMessage.contains("geometry"))
+    val wrongMeta = intercept[IllegalArgumentException] {
+      AnnIndex.appendBatch(spark, dir, delta, "vec_id", "embedding",
+        m, subDim, metaCols = Nil)
+    }
+    assert(wrongMeta.getMessage.contains("metaCols"))
+    // the matching append still works
+    AnnIndex.appendBatch(spark, dir, delta, "vec_id", "embedding",
+      m, subDim, metaCols = Seq("label"))
+    val n = spark.read.parquet(AnnIndex.codesPath(dir)).count()
+    assert(n == e.count() * m)
+  }
 }

@@ -101,4 +101,29 @@ class KmvSpec extends AnyFunSuite {
       fold(a ++ b).toSeq)
     assert(fold(a ++ b).toSeq == Seq(1L, 10L, 2L, 20L, 3L, 30L, 5L, 50L))
   }
+
+  test("sample collision rule: duplicate hash keeps min(value) in any " +
+      "reduce/merge order — matches the streaming relational fold") {
+    val agg = graft.functions.KmvSampleAggregator(2)
+    def fold(xs: Seq[(Long, Long)]) = xs.foldLeft(agg.zero)(agg.reduce)
+    // same hash 5, different values: min wins regardless of arrival order
+    assert(fold(Seq(5L -> 50L, 5L -> 10L)).toSeq == Seq(5L, 10L))
+    assert(fold(Seq(5L -> 10L, 5L -> 50L)).toSeq == Seq(5L, 10L))
+    // collision arriving via the saturated fast path (h == current max)
+    assert(fold(Seq(1L -> 11L, 5L -> 50L, 5L -> 10L)).toSeq ==
+      Seq(1L, 11L, 5L, 10L))
+    // merge sides disagreeing on a kept hash's value: min wins, both ways
+    val x = fold(Seq(1L -> 11L, 5L -> 50L))
+    val y = fold(Seq(5L -> 10L, 9L -> 90L))
+    assert(agg.merge(x, y).toSeq == Seq(1L, 11L, 5L, 10L))
+    assert(agg.merge(y, x).toSeq == Seq(1L, 11L, 5L, 10L))
+    // duplicate of the LAST kept hash after the buffer saturates still
+    // improves the kept value (the o==cap tail case)
+    val p = fold(Seq(1L -> 11L, 5L -> 50L))
+    val q = fold(Seq(2L -> 22L, 5L -> 10L))
+    assert(agg.merge(p, q).toSeq == Seq(1L, 11L, 2L, 22L))
+    val p2 = fold(Seq(1L -> 11L, 2L -> 22L))
+    val q2 = fold(Seq(2L -> 2L, 9L -> 90L))
+    assert(agg.merge(p2, q2).toSeq == Seq(1L, 11L, 2L, 2L))
+  }
 }
