@@ -1112,4 +1112,117 @@ object Curation {
         (col("_b.e") - col("_b.s")).cast("long").as("chunk_len"),
         expr(s"md5(substring($t, _b.s + 1, _b.e - _b.s))").as("chunk_hash"))
   }
+
+  /** HTML entity decode for the five entities [[extractText]] recognizes —
+    * `&amp;` LAST so a literal `&amp;lt;` decodes to `&lt;`, not `<`
+    * (the standard single-pass decode order). */
+  private def decodeEntities(c: Column): Column =
+    regexp_replace(
+      replace(replace(replace(replace(replace(c,
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+        lit("&nbsp;"), lit(" ")),
+      "&amp;", "&")
+
+  /** [NS] Crawl-ingest text extraction — the stage between raw markup and
+    * every downstream quality/dedup gate (q27/q103 assume clean text; a
+    * real pretraining pipeline gets there THROUGH this operator). Three
+    * steps, all per-row string kernels (regexp_replace / higher-order
+    * array functions — zero UDFs, zero explode, zero exchange; the 100 TB
+    * cost is exactly one codegen'd scan of the crawl):
+    *
+    *  1. structural strip: `<script>`/`<style>` elements vanish WITH
+    *     their content (dot-all, case-insensitive — code is not prose);
+    *     block-element closes (`</p> </div> </h1..6> </li> </tr>
+    *     </table> </ul> </ol> </blockquote>`, plus `<br>`) become line
+    *     breaks so the document's block structure survives tag removal.
+    *  2. per-line cleanup: remaining tags → spaces, the five standard
+    *     entities decoded ([[decodeEntities]]), whitespace collapsed.
+    *  3. line-level boilerplate gate (the jusText/trafilatura shape,
+    *     Pomikálek 2011): a line is CONTENT iff it has ≥ `minWords`
+    *     words, ≥ `minChars` characters, and link density ≤
+    *     `maxLinkPpm` — link density measured as the character share
+    *     that came from inside `<a>` elements (navigation bars and
+    *     footers are mostly anchor text; paragraphs are not). All three
+    *     signals are exact integer arithmetic, so the whole decision
+    *     hash-matches a DuckDB oracle running the same kernels.
+    *
+    * Output: (idCol, clean_text = kept lines joined by '\n', kept_lines,
+    * dropped_lines) — dropped counts only lines that still had text after
+    * tag stripping (a pure-markup line is not "boilerplate", it is
+    * structure). Reference precedent: the description-blanking refine
+    * (cmds/archive.py:105, utils.py:8) is the reference's own (tiny)
+    * text-cleanup stage; this is its crawl-scale generalization. */
+  def extractText(df: DataFrame, idCol: String, htmlCol: String,
+      minWords: Int = 3, minChars: Int = 10,
+      maxLinkPpm: Long = 300000L): DataFrame = {
+    require(minWords >= 1 && minChars >= 1 && maxLinkPpm >= 0,
+      s"bad extractText gate: minWords=$minWords minChars=$minChars " +
+        s"maxLinkPpm=$maxLinkPpm")
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val blocked = regexp_replace(noScript,
+      "(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>|<br[^>]*>", "\n")
+    // per raw line: the cleaned text, and the cleaned text with anchor
+    // ELEMENTS (tag + content) removed — their length difference is the
+    // anchor-contributed character count the link-density gate needs
+    def cleaned(l: Column) = trim(regexp_replace(decodeEntities(
+      regexp_replace(l, "<[^>]*>", " ")), "\\s+", " "))
+    val lines = transform(split(blocked, "\n"), l =>
+      struct(
+        cleaned(l).as("c"),
+        cleaned(regexp_replace(l, "(?is)<a[^>]*>.*?</a>", " ")).as("cna")))
+    val cand = filter(lines, s => s("c") =!= "")
+    val isKept = (s: Column) => {
+      val tl = length(s("c"))
+      val words = tl - length(replace(s("c"), lit(" "), lit(""))) + 1
+      val linkLen = greatest(lit(0), tl - length(s("cna")))
+      words >= minWords && tl >= minChars &&
+        linkLen * lit(1000000L) <= lit(maxLinkPpm) * tl
+    }
+    df.withColumn("_cand", cand)
+      .withColumn("_kept", filter(col("_cand"), isKept))
+      .select(col(idCol),
+        array_join(transform(col("_kept"), s => s("c")), "\n")
+          .as("clean_text"),
+        size(col("_kept")).cast("long").as("kept_lines"),
+        (size(col("_cand")) - size(col("_kept"))).cast("long")
+          .as("dropped_lines"))
+  }
+
+  /** SQL twin of [[extractText]] for the DuckDB oracle: the same kernels
+    * over a table expression exposing (idExpr, htmlExpr). Kept beside the
+    * operator so the two stay in lockstep. */
+  def extractTextSql(fromSql: String, idExpr: String, htmlExpr: String,
+      idAlias: String, minWords: Int = 3, minChars: Int = 10,
+      maxLinkPpm: Long = 300000L): String = {
+    def dec(e: String) =
+      "regexp_replace(replace(replace(replace(replace(replace(" + e +
+        ",'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',chr(39))," +
+        "'&nbsp;',' '),'&amp;','&','g')"
+    def cleanSql(e: String) =
+      s"trim(regexp_replace(${dec(s"regexp_replace($e,'<[^>]*>',' ','g')")}" +
+        s",'\\s+',' ','g'))"
+    s"""WITH h AS (SELECT $idExpr AS _id, $htmlExpr AS _html FROM $fromSql),
+      ln AS (SELECT _id, string_split(regexp_replace(regexp_replace(_html,
+          '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+          '(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>|<br[^>]*>',
+          chr(10), 'g'), chr(10)) AS raw FROM h),
+      st AS (SELECT _id, list_filter(list_transform(raw, x -> {
+          'c': ${cleanSql("x")},
+          'cna': ${cleanSql(
+            "regexp_replace(x,'(?is)<a[^>]*>.*?</a>',' ','g')")}
+        }), s -> s.c <> '') AS cand FROM ln),
+      k AS (SELECT _id, cand, list_filter(cand, s ->
+          (length(s.c) - length(replace(s.c, ' ', '')) + 1) >= $minWords
+          AND length(s.c) >= $minChars
+          AND greatest(0, length(s.c) - length(s.cna)) * 1000000
+            <= $maxLinkPpm * length(s.c)) AS kept FROM st)
+      SELECT _id AS $idAlias,
+        array_to_string(list_transform(kept, s -> s.c), chr(10))
+          AS clean_text,
+        CAST(len(kept) AS BIGINT) AS kept_lines,
+        CAST(len(cand) - len(kept) AS BIGINT) AS dropped_lines
+      FROM k"""
+  }
 }

@@ -1381,23 +1381,34 @@ object DocQueries {
     * the first N documents, for a ladder of N — the Heaps'-law audit
     * that tells a tokenizer team how fast the open vocabulary grows
     * with corpus size (sub-linear growth = vocabulary saturating;
-    * linear = noisy/unnormalized text). One explode + one aggregate per
-    * ladder rung over the SAME exploded frame (union of 5 tiny
-    * aggregates — the scan is shared via the exploded persist-free
-    * plan, each rung a filtered distinct). */
+    * linear = noisy/unnormalized text). SINGLE-PASS plan: one explode +
+    * ONE aggregate down to the tiny (rung-bucket, token, count) frame;
+    * the whole ladder is then derived from that frame — a token's
+    * first-occurrence bucket drives the vocabulary curve, bucket sums
+    * drive the token curve, and the cumulative "< N" reads are one
+    * ≤(V·B)-row broadcast range-join against the 5-row rung spine — a
+    * single LINEAR pipeline (no self-join, no branch, so nothing to
+    * re-scan; plan-gated in PlanQualitySpec), where the previous form
+    * ran one filtered countDistinct per rung = 5 corpus scans, which at
+    * 100 TB is 5 passes for a 5-row answer. */
   val q207VocabGrowth = Q(
     "q207_vocab_growth",
     (s, d) => {
       import s.implicits._
-      val toks = Tables.documents(s, d)
+      val tb = Tables.documents(s, d)
+        .filter($"doc_id" < 500)
         .select($"doc_id", explode(split($"text", " ")).as("tok"))
-      val rungs = Seq(100L, 200L, 300L, 400L, 500L)
-      rungs.map { n =>
-        toks.filter($"doc_id" < n)
-          .agg(lit(n).as("n_docs"),
-            countDistinct($"tok").as("n_vocab"),
-            count(lit(1)).as("n_tokens"))
-      }.reduce(_.unionByName(_)).orderBy($"n_docs")
+        .groupBy(expr("doc_id div 100").as("bucket"), $"tok")
+        .agg(count(lit(1)).as("c"))
+      val spine = s.range(1, 6).select(($"id" * 100L).as("n_docs"))
+      // a bucket's rows belong to every rung above it; distinct tokens
+      // and token sums per rung then fall out of ONE tiny aggregate
+      spine.join(broadcast(tb), $"bucket" * 100 < $"n_docs", "left")
+        .groupBy($"n_docs")
+        .agg(countDistinct($"tok").as("n_vocab"),
+          sum($"c").as("n_tokens"))
+        .filter($"n_tokens".isNotNull)
+        .orderBy($"n_docs")
     },
     Some("""WITH toks AS (SELECT doc_id,
           unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -1558,6 +1569,55 @@ object DocQueries {
       ORDER BY source"""),
     doc = "[NS] per-source dataset card (exact counts, median, Gini diversity, near-dup rate)")
 
+  /** [NS] — crawl-ingest text extraction (q208): the markup-strip +
+    * line-level boilerplate gate every pretraining pipeline runs BEFORE
+    * the quality/dedup gates ([[graft.operators.Curation.extractText]]).
+    * The fixture's documents are plain text, so the query first wraps
+    * each in a deterministic crawl-shaped page — head with style/script
+    * (incl. a literal `<` inside the script), a nav bar of anchors, an
+    * h1 from the text's first 12 chars, the document body, an
+    * entity-bearing rating line, a too-short line, and an anchor-heavy
+    * footer — IDENTICALLY in both engines, then extracts: nav/footer die
+    * by link density, "ok" dies by min-words/min-chars, the h1 survives
+    * only when 12 chars hold ≥3 words, body and rating survive with
+    * entities decoded. Per-row string kernels; the only exchange is the
+    * final presentation sort. */
+  val q208ExtractText = Q(
+    "q208_extract_text",
+    (s, d) => {
+      import s.implicits._
+      val page = Tables.documents(s, d).withColumn("html", concat(
+        lit("<html><head><title>doc</title><style>p{c:1}</style>" +
+          "<script>if(a<b){go();}</script></head><body>" +
+          "<div id=\"nav\"><a href=\"/\">home</a> | " +
+          "<a href=\"/a\">about</a> | <a href=\"/c\">contact</a></div>" +
+          "<h1>"),
+        upper(substring($"text", 1, 12)),
+        lit("</h1><p>"), $"text",
+        lit("</p><p>rating &amp; review &lt;"),
+        ($"doc_id" % 10).cast("string"),
+        lit("&gt; stars of quality today</p><p>ok</p>" +
+          "<div class=\"foot\"><a href=\"/t\">terms &amp; conditions</a>" +
+          " &#39;2026&#39; all rights</div></body></html>")))
+      graft.operators.Curation.extractText(page, "doc_id", "html")
+        .orderBy($"doc_id")
+    },
+    Some(graft.operators.Curation.extractTextSql(
+      fromSql = "documents",
+      idExpr = "doc_id",
+      htmlExpr = "'<html><head><title>doc</title><style>p{c:1}</style>" +
+        "<script>if(a<b){go();}</script></head><body>" +
+        "<div id=\"nav\"><a href=\"/\">home</a> | " +
+        "<a href=\"/a\">about</a> | <a href=\"/c\">contact</a></div>" +
+        "<h1>' || upper(substr(text, 1, 12)) || '</h1><p>' || text || " +
+        "'</p><p>rating &amp; review &lt;' || " +
+        "CAST(doc_id % 10 AS VARCHAR) || " +
+        "'&gt; stars of quality today</p><p>ok</p>" +
+        "<div class=\"foot\"><a href=\"/t\">terms &amp; conditions</a>" +
+        " &#39;2026&#39; all rights</div></body></html>'",
+      idAlias = "doc_id") + " ORDER BY doc_id"),
+    doc = "[NS] crawl text extraction: markup strip + jusText-style line gate")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -1567,5 +1627,6 @@ object DocQueries {
     q109NearDupGate, q111DedupIncremental, q112DedupIndexGate,
     q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment,
     q144LshFuzzy, q145CcIncremental, q164LshRecall, q191DatasetCard,
-    q196CohenKappa, q199PatchGrid, q206Snippets, q207VocabGrowth)
+    q196CohenKappa, q199PatchGrid, q206Snippets, q207VocabGrowth,
+    q208ExtractText)
 }

@@ -675,4 +675,57 @@ class CurationSpec extends AnyFunSuite {
     assert(got.length == 3)
     assert(got.forall { case (_, w, tau, est) => tau == 0.0 && est == w })
   }
+
+  test("extractText: a template page loses everything, a content page " +
+      "keeps exactly its prose with entities decoded and script gone") {
+    val template = "<html><head><style>a{x:1}</style>" +
+      "<script>if(a<b){track();}</script></head><body>" +
+      "<div><a href=\"/\">home</a> | <a href=\"/a\">about us</a> | " +
+      "<a href=\"/c\">contact page</a></div>" +
+      "<ul><li><a href=\"/p1\">first product page</a></li>" +
+      "<li><a href=\"/p2\">second product page</a></li></ul>" +
+      "<div>ok</div></body></html>"
+    val content = "<html><body><div><a href=\"/\">home</a> | " +
+      "<a href=\"/a\">about</a> | <a href=\"/c\">contact</a></div>" +
+      "<h1>Why the merge   was slow</h1>" +
+      "<p>The shuffle wrote &quot;ninety&quot; gigabytes &amp; the " +
+      "join spilled to disk before the fix.</p>" +
+      "<p>See the <a href=\"/doc\">tuning guide</a> for the full " +
+      "partitioning story and the broadcast threshold details.</p>" +
+      "</body></html>"
+    val out = Curation.extractText(
+      Seq((1L, template), (2L, content)).toDF("id", "html"), "id", "html")
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // template: nav + two product-link lines die by link density, "ok"
+    // dies by min-words/min-chars, script/style content never surfaces
+    assert(out(0) === ((1L, "", 0L, 4L)))
+    // content: h1 (ws collapsed), prose with decoded entities, and the
+    // mixed prose+link line (link density below the gate) survive; only
+    // the nav bar is dropped
+    assert(out(1)._2 ===
+      "Why the merge was slow\n" +
+        "The shuffle wrote \"ninety\" gigabytes & the join spilled to " +
+        "disk before the fix.\n" +
+        "See the tuning guide for the full partitioning story and the " +
+        "broadcast threshold details.")
+    assert(out(1)._3 === 3L && out(1)._4 === 1L)
+    assert(!out.exists(_._2.contains("track")))
+  }
+
+  test("extractText: <br> splits lines, gate thresholds are exact " +
+      "boundaries, pure-markup lines are structure not boilerplate") {
+    val page = "<p>one two three four five six seven</p>" +
+      "<p>alpha beta gamma<br>x y</p><div></div><p>  </p>"
+    val r = Curation.extractText(
+        Seq((7L, page)).toDF("id", "html"), "id", "html",
+        minWords = 3, minChars = 10)
+      .collect().head
+    // "alpha beta gamma" (16 chars, 3 words) passes both exact bounds;
+    // "x y" fails; the empty div and blank p are not counted as dropped
+    assert(r.getString(1) ===
+      "one two three four five six seven\nalpha beta gamma")
+    assert(r.getLong(2) === 2L && r.getLong(3) === 1L)
+  }
 }

@@ -625,4 +625,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("hashpartitioning".r.findAllIn(p).size == 1,
       s"expected exactly 1 hash Exchange:\n$p")
   }
+
+  test("q207 vocab growth: the whole ladder costs ONE corpus scan — " +
+      "a linear pipeline through the bucket×token aggregate, rungs " +
+      "attached by a broadcast range-join") {
+    val p = plan("q207_vocab_growth")
+    val first = p.indexOf("documents.parquet")
+    assert(first >= 0 && p.indexOf("documents.parquet", first + 1) < 0,
+      s"expected exactly one documents scan for the 5-rung ladder:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"rung spine not attached as a broadcast range-join:\n$p")
+  }
+
+  test("q208 text extraction: per-row string kernels — no join, no " +
+      "exchange before the presentation sort, projection pruned") {
+    val p = plan("q208_extract_text")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("hashpartitioning"),
+      s"unexpected hash exchange in a per-row kernel:\n$p")
+    // only doc_id and text feed the page synthesis — lang/source pruned
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan reads pruned columns:\n$p")
+  }
 }

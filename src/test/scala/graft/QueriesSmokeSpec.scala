@@ -31,6 +31,43 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("q206 snippets: window clamps at both string edges — start " +
+      "never below 1, length never past the text end") {
+    val sf2 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q206_snippets")(spark, sf2)
+      .join(graft.Tables.documents(spark, sf2), Seq("doc_id"))
+      .selectExpr("pos", "snip_start", "snip_len", "length(text) AS tl")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pos, start, len, tl) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getInt(3).toLong)
+      assert(pos > 0 && start == math.max(1L, pos - 20),
+        s"start not clamped: pos=$pos start=$start")
+      assert(len == math.min(50L, tl - start + 1),
+        s"length not clamped at text end: start=$start len=$len tl=$tl")
+    }
+    // both edge regimes actually occur in the fixture: an early match
+    // clamped to 1, and a late match whose window is cut short
+    assert(rows.exists(r => r.getLong(1) == 1L), "no left-edge clamp case")
+    assert(rows.exists(r => r.getLong(2) < 50L), "no right-edge cut case")
+  }
+
+  test("q207 vocab growth: Heaps-curve invariants — both curves " +
+      "monotone non-decreasing, vocabulary ≤ tokens, full ladder") {
+    val sf2 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q207_vocab_growth")(spark, sf2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(100L, 200L, 300L, 400L, 500L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"vocab curve decreased: $a -> $b")
+      assert(a._3 < b._3, s"token curve not increasing: $a -> $b")
+    }
+    rows.foreach { case (n, v, t) =>
+      assert(v >= 1L && v <= t, s"vocab/token inversion at n=$n: $v > $t")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val df = fn(spark, sf)
