@@ -228,6 +228,99 @@ object TextIndex {
       textCol: String): (DataFrame, Long) => Unit =
     (batch, epoch) => mergeBatch(spark, batch, idCol, textCol, dir, epoch)
 
+  // ---- positional index (phrase serving) ----------------------------
+
+  def posPostingsPath(dir: String): String = {
+    val (g, _) = current(dir)
+    s"${genDir(dir, g.max(0L))}/pospostings"
+  }
+
+  /** One corpus pass → flat positional postings (term, id, pos) as
+    * generation 0, range-partitioned and sorted by term so a phrase
+    * query's `term IN (...)` predicate prunes to the phrase terms' row
+    * groups. Positions are the 1-based ORIGINAL split offsets (empty
+    * tokens shift neighbors), [[Curation.positionalIndex]]'s q123
+    * convention — the stored index and the from-scratch oracle agree on
+    * every offset by construction. */
+  def buildPositional(df: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("_p", "term")))
+      .filter(length(col("term")) > 0)
+      .select(col("term"), col(idCol), (col("_p") + 1).cast("long").as("pos"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col(idCol), col("pos"))
+      .write.mode("overwrite").parquet(s"${genDir(dir, 0L)}/pospostings")
+    advance(dir, 0L, -1L)
+  }
+
+  /** [[buildPositional]] unless a fingerprint-matching index exists. */
+  def buildPositionalIfAbsent(df: DataFrame, idCol: String,
+      textCol: String, dir: String, corpusTag: String): Unit =
+    withFingerprint(dir, corpusTag) {
+      buildPositional(df, idCol, textCol, dir)
+    }
+
+  /** Incremental positional maintenance — the strongest case of the
+    * facts-never-change argument: a (doc, term, pos) row is immutable
+    * and carries NO cross-document counters (unlike [[mergeBatch]]'s df
+    * column), so folding a NEW document batch in is a pure partitioned
+    * APPEND into the current generation — zero stored rows read, zero
+    * rewritten, O(batch) total. Contract: batch doc ids are new;
+    * `epoch` ≥ 0 gives the same replayed-delivery no-op protection as
+    * [[mergeBatch]] (the pointer keeps its generation, only lastEpoch
+    * advances). */
+  def mergePositionalBatch(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, dir: String,
+      epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = current(dir)
+    require(gen >= 0,
+      s"mergePositionalBatch: no index at $dir — buildPositional() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return
+    batch.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("_p", "term")))
+      .filter(length(col("term")) > 0)
+      .select(col("term"), col(idCol), (col("_p") + 1).cast("long").as("pos"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions(col("term"), col(idCol), col("pos"))
+      .write.mode("append").parquet(s"${genDir(dir, gen)}/pospostings")
+    advance(dir, gen, epoch.max(lastEpoch))
+  }
+
+  /** Exact phrase search from the STORED positional index —
+    * [[Curation.phraseSearch]]'s anchor-vote algebra with the corpus
+    * explode replaced by a postings scan: `term IN (phrase)` is pushed
+    * to the parquet reader, so the plan reads |phrase| posting lists
+    * and NOTHING else — zero corpus scans, zero tokenization
+    * (plan-gated in PlanQualitySpec). Identical results to the
+    * from-scratch operator by construction: stored `pos` is the same
+    * 1-based offset, and anchor/vote/count is the same algebra over
+    * (id, pos, slot). */
+  def servePhrase(spark: SparkSession, dir: String, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "servePhrase: empty phrase")
+    import org.apache.spark.sql.types._
+    val p = spark.read.schema(StructType(Seq(
+        StructField("term", StringType), StructField(idCol, LongType),
+        StructField("pos", LongType))))
+      .parquet(posPostingsPath(dir))
+    val slotsOf: Map[String, Seq[Int]] =
+      phrase.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val slotArr = slotsOf.foldLeft(lit(null).cast("array<int>")) {
+      case (acc, (t, is)) =>
+        when(col("term") === t, array(is.map(lit(_)): _*)).otherwise(acc)
+    }
+    p.filter(col("term").isin(phrase.distinct: _*))
+      .select(col(idCol), col("pos"), explode(slotArr).as("slot"))
+      .groupBy(col(idCol),
+        (col("pos") - 1 - col("slot")).cast("long").as("anchor"))
+      .agg(countDistinct(col("slot")).as("ns"))
+      .filter(col("ns") === phrase.length)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"),
+        (min(col("anchor")) + 1).as("first_pos"))
+  }
+
   /** BM25 top-k from the STORED index: postings scan (term predicate
     * pushed — only the query terms' row groups are decoded), 1-row stats
     * broadcast, [[Curation.bm25Rank]]'s shared scoring tail. Explicit

@@ -796,6 +796,57 @@ object CurationQueries {
     q124Bm25.oracle,
     doc = "[NS] incremental postings merge == from-scratch build (twin-certified)")
 
+  /** [NS] — phrase search served from the STORED positional index
+    * (q209): q127's lifecycle move applied to q126 — the last retrieval
+    * registry query still exploding the corpus in-plan gets its serving
+    * twin. First invocation persists flat (term, doc, pos) postings
+    * range-partitioned by term ([[graft.operators.TextIndex
+    * .buildPositionalIfAbsent]], fingerprinted); serving pushes
+    * `term IN (phrase)` to the postings scan and runs the anchor-vote
+    * algebra over |phrase| posting lists — zero corpus scans, zero
+    * tokenization in the plan (PlanQualitySpec-gated). Oracle: q126's
+    * from-scratch SQL — corrupt stored positions cannot match a
+    * recomputation (the q127 oracle argument). */
+  val q209PhraseIndexServe = Q(
+    "q209_phrase_index_serve",
+    (s, d) => {
+      val dir = graft.operators.TextIndex.defaultDir(d + "_pos")
+      graft.operators.TextIndex.buildPositionalIfAbsent(
+        Tables.documents(s, d), "doc_id", "text", dir, corpusTag = d)
+      graft.operators.TextIndex.servePhrase(s, dir, "doc_id",
+          Seq("table", "hash"))
+        .orderBy(col("doc_id"))
+    },
+    q126PhraseSearch.oracle,
+    doc = "[NS] retrieval lifecycle: phrase search from persisted positions")
+
+  /** [NS] — incremental positional maintenance (q210): build positions
+    * on 90% of the corpus, fold the held-out 10% in with
+    * [[graft.operators.TextIndex.mergePositionalBatch]] — a pure
+    * partitioned APPEND (positional facts carry no cross-document
+    * counters, so the stored rows are untouched, not even read) — then
+    * serve the q126 phrase query. The oracle is STILL the from-scratch
+    * SQL over the full corpus: green proves append ∘ build ≡ build on
+    * the union (q128's twin-certification, at the cheaper end of the
+    * maintenance spectrum). */
+  val q210PhraseIndexMerge = Q(
+    "q210_phrase_index_merge",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.operators.TextIndex.defaultDir(d + "_pos_incr")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#pos90+append10") {
+        graft.operators.TextIndex.buildPositional(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", dir)
+        graft.operators.TextIndex.mergePositionalBatch(s,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", dir)
+      }
+      graft.operators.TextIndex.servePhrase(s, dir, "doc_id",
+          Seq("table", "hash"))
+        .orderBy(col("doc_id"))
+    },
+    q126PhraseSearch.oracle,
+    doc = "[NS] positional append-merge == from-scratch build (twin-certified)")
+
   /** [NS] — hybrid retrieval (q151): the q124 BM25 arm fused with a
     * trigram query-coverage fuzzy arm by integer-quantized RRF
     * ([[Curation.hybridRetrieve]]). The fuzzy query is deliberately
@@ -1160,5 +1211,6 @@ object CurationQueries {
     q123PositionalIndex, q124Bm25, q126PhraseSearch,
     q127TextIndexServe, q128IndexMerge, q151Hybrid, q152ShardPack,
     q162GroupSplit, q171CurationFunnel, q180SpellCorrect,
-    q188BalancedSample, q200ExportManifest)
+    q188BalancedSample, q200ExportManifest, q209PhraseIndexServe,
+    q210PhraseIndexMerge)
 }

@@ -497,6 +497,41 @@ class CurationSpec extends AnyFunSuite {
     assert(st === Array((8L, 3L))) // L: 2+3+3, N: 2+1
   }
 
+  test("TextIndex positional: stored-positions phrase search equals the " +
+      "from-scratch path; append-merge ≡ one-pass build; replayed " +
+      "epochs are no-ops") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = "/tmp/graft_text_pos_spec"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val phrase = Seq("table", "hash")
+    def asTuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+    // append ∘ build == build on the union, byte-for-byte results
+    graft.operators.TextIndex.buildPositional(
+      docs.filter($"doc_id" % 10 =!= 0), "doc_id", "text", dir)
+    graft.operators.TextIndex.mergePositionalBatch(spark,
+      docs.filter($"doc_id" % 10 === 0), "doc_id", "text", dir, epoch = 1L)
+    val served = asTuples(graft.operators.TextIndex.servePhrase(
+      spark, dir, "doc_id", phrase))
+    val scratch = asTuples(Curation.phraseSearch(
+      docs, "doc_id", "text", phrase))
+    assert(served === scratch)
+    assert(served.nonEmpty)
+    // a replayed epoch must not double-append (doubled rows would double
+    // n_hits through the anchor votes)
+    graft.operators.TextIndex.mergePositionalBatch(spark,
+      docs.filter($"doc_id" % 10 === 0), "doc_id", "text", dir, epoch = 1L)
+    assert(asTuples(graft.operators.TextIndex.servePhrase(
+      spark, dir, "doc_id", phrase)) === scratch)
+  }
+
   test("bm25TopK: a doc repeating a rare term outranks stopword-heavy " +
       "docs, and scores are reproducible across partitionings") {
     import spark.implicits._

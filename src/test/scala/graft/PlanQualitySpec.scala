@@ -626,6 +626,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly 1 hash Exchange:\n$p")
   }
 
+  test("q209 phrase serving: zero corpus scans — the plan reads ONLY " +
+      "stored positional postings with the phrase terms pushed to the " +
+      "parquet reader") {
+    val p = plan("q209_phrase_index_serve")
+    assert(!p.contains("documents.parquet"),
+      s"serving plan still scans the corpus:\n$p")
+    assert(p.contains("pospostings"),
+      s"stored positional postings not in the plan:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*In\\(term.*"),
+      s"phrase terms not pushed to the postings scan:\n$p")
+  }
+
   test("q207 vocab growth: the whole ladder costs ONE corpus scan — " +
       "a linear pipeline through the bucket×token aggregate, rungs " +
       "attached by a broadcast range-join") {
