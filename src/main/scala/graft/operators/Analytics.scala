@@ -586,6 +586,56 @@ object Analytics {
         col("acc_ppm"), col("gap_ppm"), col("ece_contrib_ppm"))
   }
 
+  /** One epoch's / one corpus's per-band calibration FOLD: the
+    * mergeable state behind [[calibrationFixedBands]] and the streaming
+    * monitor ([[graft.streaming.SketchState.foreachBatchCalibration]]).
+    * Bands are FIXED-WIDTH cuts of the ppm confidence (band =
+    * conf·buckets div 10⁶, clamped) — a pure per-row function, which is
+    * what makes the fold mergeable across epochs; [[calibrationTable]]'s
+    * equal-population bands need a global rank and stay the batch-only
+    * sibling. Output: (band, n, pos, conf_sum) — three sums, so
+    * state(A ∪ B) = colwise-sum(state(A), state(B)). */
+  def calibrationBandAggregate(df: DataFrame, confPpmCol: String,
+      labelCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"need positive buckets, got $buckets")
+    df.filter(col(confPpmCol).isNotNull)
+      .select(col(confPpmCol).cast("long").as("_c"),
+        col(labelCol).cast("boolean").as("_y"))
+      .withColumn("band", expr(
+        s"cast(least($buckets - 1, greatest(0, (_c * $buckets) div 1000000)) as int)"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("pos"),
+        sum(col("_c")).as("conf_sum"))
+  }
+
+  /** Reliability readout from a [[calibrationBandAggregate]]-shaped
+    * state frame: per band the mean confidence, actual positive rate,
+    * gap, and ECE contribution (Σ = the ECE) — exact integer ppm, the
+    * q202 conventions over fixed bands. Shared by the batch operator
+    * and the streaming monitor so the two are identical by
+    * construction. */
+  private[graft] def calibrationReportFromState(
+      state: DataFrame): DataFrame =
+    state.crossJoin(broadcast(state.agg(sum(col("n")).as("_N"))))
+      .withColumn("conf_ppm", expr("conf_sum div n"))
+      .withColumn("acc_ppm", expr("(1000000 * pos) div n"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+      .withColumn("ece_contrib_ppm", expr("(n * gap_ppm) div _N"))
+      .select(col("band"), col("n"), col("pos"), col("conf_ppm"),
+        col("acc_ppm"), col("gap_ppm"), col("ece_contrib_ppm"))
+
+  /** [NS] — fixed-band calibration / reliability table: the
+    * STREAM-FOLDABLE sibling of [[calibrationTable]] (fixed-width
+    * confidence bands instead of equal-population rank bands), and the
+    * batch twin of the durable streaming monitor — one band aggregate +
+    * a buckets-row readout; 100 TB cost is one exchange on ≤ `buckets`
+    * keys. */
+  def calibrationFixedBands(df: DataFrame, confPpmCol: String,
+      labelCol: String, buckets: Int): DataFrame =
+    calibrationReportFromState(
+      calibrationBandAggregate(df, confPpmCol, labelCol, buckets))
+
   /** [NS] — gains / lift table: rank by score DESCENDING, cut into
     * equal-population bands, report each band's cumulative capture of
     * the positives (`capture_ppm`) and its lift over random targeting

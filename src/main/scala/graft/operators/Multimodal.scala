@@ -315,10 +315,11 @@ object Multimodal {
     * `decoded=false` — exact byte copies of an undecodable blob still
     * collide (D4 semantics), but no perceptual claim is made for them:
     * two distinct junk blobs land 64 independent bits apart, so they do
-    * not band-collide. Downstream: filter `decoded` before feeding
+    * not band-collide. Downstream: use [[imageDedup]], which enforces
+    * this structurally — stubs are filtered before
     * [[Dedup.hammingPairs64]] (near-Hamming on a byte hash is
-    * meaningless); the exact-dup check for undecodables is equality of
-    * the stub hash, not band proximity. Image dedup rides the same
+    * meaningless) and undecodables pair only by stub-hash EQUALITY,
+    * never band proximity. Image dedup rides the same
     * lossless 4×16-bit band join as SimHash text dedup, one exchange,
     * signatures as single longs. */
   def perceptualHash(df: DataFrame)(
@@ -335,6 +336,33 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** [NS] Image near-dup dedup, end to end — the STRUCTURAL form of the
+    * [[perceptualHash]] contract: callers hand in raw (id, payload)
+    * blobs and can no longer feed stub hashes into banding by accident.
+    * Decoded payloads go through the 4×16-bit band join
+    * ([[Dedup.hammingPairs64]], near-Hamming ≤ `maxDist`); undecodable
+    * payloads are EXCLUDED from banding (near-Hamming on a byte hash is
+    * meaningless) and contribute only exact byte-copy pairs via
+    * full-hash equality of the FNV-1a stub (D4 semantics — hamming 0,
+    * flagged `exact_stub`). Output: (doc_a, doc_b, hamming, exact_stub),
+    * doc_a < doc_b. Plan: the stub side is an equi-join on the full
+    * 64-bit hash (no explode, typically tiny); the decoded side is the
+    * usual one-exchange band join. */
+  def imageDedup(df: DataFrame, maxDist: Int = 3)(
+      implicit spark: SparkSession): DataFrame = {
+    val hashes = perceptualHash(df).toDF.localCheckpoint()
+    val perceptual = graft.operators.Dedup
+      .hammingPairs64(hashes.filter(col("decoded")), "id", "phash", maxDist)
+      .withColumn("exact_stub", lit(false))
+    val stubs = hashes.filter(!col("decoded")).select(col("id"), col("phash"))
+    val exact = stubs.alias("x")
+      .join(stubs.alias("y"), col("x.phash") === col("y.phash") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        lit(0L).as("hamming"), lit(true).as("exact_stub"))
+    perceptual.unionByName(exact)
   }
 
   /** Resized-media row: payload replaced by the (stub-)resized bytes. */

@@ -1273,6 +1273,41 @@ object OpsQueries {
       FROM c ORDER BY bucket"""),
     doc = "[NS] gains/lift table (cumulative positive capture by score band, exact ppm)")
 
+  /** [NS] — fixed-band calibration (q211): the STREAM-FOLDABLE
+    * reliability table ([[graft.operators.Analytics
+    * .calibrationFixedBands]]) — q202's readout over fixed-width
+    * confidence bands instead of rank deciles, which is exactly the
+    * state shape the durable streaming monitor
+    * ([[graft.streaming.SketchState.foreachBatchCalibration]]) folds
+    * per epoch; this query is its oracle-checked batch twin
+    * (StreamingSpec pins streamed ≡ batch on the union). Confidence =
+    * value·10⁴ ppm (events' value is a 0–100 score), label = value>50. */
+  val q211CalibrationBands = Q(
+    "q211_calibration_bands",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("conf", round($"value" * 10000).cast("long"))
+        .withColumn("y", $"value" > 50)
+      Analytics.calibrationFixedBands(ev, "conf", "y", buckets = 10)
+        .orderBy($"band")
+    },
+    Some("""WITH v AS (SELECT CAST(round(value * 10000.0) AS BIGINT) AS c,
+          value > 50 AS y FROM events WHERE value IS NOT NULL),
+      b AS (SELECT CAST(least(9, greatest(0, (c * 10) // 1000000))
+          AS INT) AS band, c, y FROM v),
+      g AS (SELECT band, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS pos,
+          CAST(sum(c) AS BIGINT) AS conf_sum FROM b GROUP BY band),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+      SELECT band, n, pos, CAST(conf_sum // n AS BIGINT) AS conf_ppm,
+        CAST((1000000 * pos) // n AS BIGINT) AS acc_ppm,
+        abs(conf_sum // n - (1000000 * pos) // n) AS gap_ppm,
+        CAST((n * abs(conf_sum // n - (1000000 * pos) // n)) // nt
+          AS BIGINT) AS ece_contrib_ppm
+      FROM g, t ORDER BY band"""),
+    doc = "[NS] fixed-band calibration (stream-foldable reliability table, exact ppm)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
@@ -1280,5 +1315,5 @@ object OpsQueries {
     q172TargetEncode, q173WeightedMedian, q174HeavyExact, q175DiffCdc,
     q176DriftAudit, q184TopNOther, q185Winsorize, q189TrendSlope,
     q190TopMovers, q194QuantileNorm, q195KAnonymity, q197Bootstrap,
-    q198ChiSquare, q202Calibration, q203Gains)
+    q198ChiSquare, q202Calibration, q203Gains, q211CalibrationBands)
 }

@@ -169,4 +169,57 @@ object SketchState {
             org.apache.spark.sql.types.LongType))))
     else spark.read.parquet(s"$dir/v$v")
   }
+
+  /** [NS] — streaming MODEL-QUALITY monitor: each epoch's scored
+    * predictions fold into durable per-band calibration state
+    * ([[graft.operators.Analytics.calibrationBandAggregate]]'s
+    * (band, n, pos, conf_sum) — three SUMS, so the cross-epoch merge is
+    * a colwise sum over ≤ 2·buckets rows), under the same versioned
+    * replay protocol as the sketches above: a replayed epoch re-derives
+    * from the same predecessor and overwrites its own version. "Is the
+    * model still calibrated, what is the current ECE" is then
+    * answerable at ANY epoch from `buckets` stored rows
+    * ([[calibrationReport]]), without re-reading one historical
+    * prediction. */
+  def foreachBatchCalibration(spark: SparkSession, dir: String,
+      confPpmCol: String, labelCol: String,
+      buckets: Int): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val b = graft.operators.Analytics.calibrationBandAggregate(
+        batch, confPpmCol, labelCol, buckets)
+      val prev = readCalibrationState(spark, dir, beforeBatch = batchId)
+      val merged = prev.unionByName(b)
+        .groupBy(col("band"))
+        .agg(sum(col("n")).as("n"), sum(col("pos")).as("pos"),
+          sum(col("conf_sum")).as("conf_sum"))
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/v$batchId")
+    }
+
+  /** The stored (band, n, pos, conf_sum) fold at the newest version
+    * < beforeBatch. */
+  def readCalibrationState(spark: SparkSession, dir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val v = latestVersion(spark, dir, beforeBatch)
+    if (v < 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("conf_sum",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(s"$dir/v$v")
+  }
+
+  /** Current reliability table + ECE from the stored fold — identical
+    * to [[graft.operators.Analytics.calibrationFixedBands]] over the
+    * union of every epoch ingested so far (StreamingSpec pins the
+    * equivalence across restart and replay). */
+  def calibrationReport(spark: SparkSession, dir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    graft.operators.Analytics.calibrationReportFromState(
+      readCalibrationState(spark, dir, beforeBatch))
 }

@@ -105,6 +105,31 @@ class MultimodalSpec extends AnyFunSuite {
       s"inverted gradient must not pair: $pairs")
   }
 
+  test("imageDedup: stub rows NEVER reach the band join — undecodables " +
+      "pair only as exact byte copies, decoded images only perceptually") {
+    implicit val s = spark
+    import spark.implicits._
+    def grad(x: Int, y: Int): Int = { val v = math.min(255, x); (v << 16) | (v << 8) | v }
+    val a = imageBytes(256, 64, "png", grad)
+    val aJpeg = imageBytes(256, 64, "jpeg", grad)
+    val junk = "junk bytes".getBytes("UTF-8")
+    val blobs = Seq(
+      (1L, a), (2L, aJpeg),               // near-dup decoded pair
+      (4L, junk), (5L, "different junk".getBytes("UTF-8")),
+      (6L, junk.clone())                  // exact byte copy of 4
+    ).toDF("id", "payload")
+    val pairs = Multimodal.imageDedup(blobs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getBoolean(3)))).toMap
+    assert(pairs.keySet === Set((1L, 2L), (4L, 6L)), pairs)
+    assert(!pairs((1L, 2L))._2, "decoded pair wrongly flagged exact_stub")
+    assert(pairs((4L, 6L)) === ((0L, true)),
+      "byte-copy stubs must pair exactly at hamming 0")
+    // the load-bearing negative: id 5 (distinct junk) pairs with NOTHING
+    // — through the wrapper a stub can never band-collide its way in
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L), pairs)
+  }
+
   test("resize: real pixel scale — aspect preserved, output decodes to claimed dims") {
     implicit val s = spark
     val out = Multimodal.resize(imageBlobs, 128, 128).collect()

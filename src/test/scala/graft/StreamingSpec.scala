@@ -748,6 +748,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() === truth, "replayed epoch must not double-count")
   }
 
+  test("streaming model-quality monitor: per-epoch calibration folds " +
+      "across restarts ≡ batch fixed-band calibration of the union; a " +
+      "replayed epoch does not double-count") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.SketchState
+    import spark.implicits._
+
+    val srcDir = Files.createTempDirectory("cal_src").toString
+    val ckpt = Files.createTempDirectory("cal_ckpt").toString
+    val stDir = Files.createTempDirectory("cal_state").toString
+    // (conf ppm, label): epoch 1 well-calibrated, epoch 2 overconfident
+    // (high conf, negatives), epoch 3 a mix with band-edge values
+    val epochs = Seq(
+      Seq((950000L, true), (940000L, true), (50000L, false),
+        (150000L, false), (550000L, true), (450000L, false)),
+      Seq((990000L, false), (910000L, false), (880000L, false),
+        (860000L, true)),
+      Seq((1000000L, true), (0L, false), (999999L, true),
+        (100000L, false), (500000L, true)))
+    val hook = SketchState.foreachBatchCalibration(spark, stDir,
+      "conf", "y", buckets = 10)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("conf", LongType),
+          StructField("y", BooleanType))))
+        .json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(hook)
+        .start()
+      q.awaitTermination()
+    }
+    def report(): Seq[(Int, Long, Long, Long, Long, Long, Long)] =
+      SketchState.calibrationReport(spark, stDir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1).toSeq
+    def batchTwin(upTo: Int): Seq[(Int, Long, Long, Long, Long, Long, Long)] =
+      graft.operators.Analytics.calibrationFixedBands(
+          epochs.take(upTo).flatten.toDF("conf", "y"), "conf", "y", 10)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1).toSeq
+    epochs.zipWithIndex.foreach { case (rows, i) =>
+      Files.write(java.nio.file.Paths.get(srcDir, s"b$i.json"),
+        rows.map { case (c, y) => s"""{"conf":$c,"y":$y}""" }
+          .mkString("\n").getBytes("UTF-8"))
+      runOnce() // full stop/start between epochs: state must be durable
+      // "current ECE at any epoch": the stored fold must equal the
+      // batch twin over everything ingested so far
+      assert(report() === batchTwin(i + 1), s"diverged after epoch $i")
+    }
+    // epoch 2's overconfident slab must be visible as a high-band gap
+    val topBand = report().filter(_._1 >= 8)
+    assert(topBand.nonEmpty &&
+      topBand.map(_._6).max >= 300000L,
+      s"overconfidence not surfaced in the top bands: ${report()}")
+    // replay: re-run the LAST epoch with its original batchId — the
+    // versioned derivation must overwrite, not double-merge
+    val lastId = SketchState.latestVersion(spark, stDir)
+    hook(epochs.last.toDF("conf", "y"), lastId)
+    assert(report() === batchTwin(3), "replayed epoch double-counted")
+  }
+
   test("durable KMV distinct state: epochs fold into the versioned " +
       "sketch across restarts; re-delivered keys and a replayed epoch " +
       "change nothing; state equals the batch-mode sketch of the union") {
