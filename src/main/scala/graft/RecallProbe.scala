@@ -17,10 +17,14 @@ import graft.operators.{AnnIndex, Similarity}
   * [[Similarity.cosineTopK]] ground truth.
   *
   *   SPARK_GRAFT_SF_DIR=tools/scale10 sbt "runMain graft.RecallProbe"
+  *   SPARK_GRAFT_RECALL_FIXTURE=tools/scale10/embeddings_clustered.parquet \
+  *     SPARK_GRAFT_SF_DIR=tools/scale10 sbt "runMain graft.RecallProbe"
   *
-  * Prints one RECALL_JSON line; the measured curve is recorded in
-  * ARCHITECTURE.md next to the 10× scaling table, and the ≥0.7 floor at
-  * the recommended operating point is asserted in SimilaritySpec.
+  * Prints one RECALL_JSON line; the measured curves (near-random corpus
+  * = lift-over-uniform; planted clusters = the real operating point,
+  * recall@10 1.0 at nProbe 8/64) are recorded in ARCHITECTURE.md next
+  * to the 10× scaling table. SimilaritySpec asserts the ≥0.7 corpus
+  * floor AND a ≥0.9 planted-cluster floor at the operating point.
   */
 object RecallProbe {
   // q102's PQ geometry (64 = m·subDim), scale10's coarse quantizer:
@@ -50,15 +54,23 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val e = Tables.embeddings(spark, sfDir)
+    // SPARK_GRAFT_RECALL_FIXTURE: path to an alternative embeddings
+    // parquet (tools/scale10/embeddings_clustered.parquet — the
+    // planted-cluster fixture where recall is a property of the
+    // operator, not of near-random noise). Default: the corpus table.
+    val fixture = sys.env.get("SPARK_GRAFT_RECALL_FIXTURE")
+    val fixtureTag = fixture.map("#" + _).getOrElse("")
+    val e = fixture.map(spark.read.parquet(_))
+      .getOrElse(Tables.embeddings(spark, sfDir))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val seeds = Similarity.stratifiedSeeds(e, "vec_id", "embedding", nlist)
       val cents = Similarity.kmeans(e, "vec_id", "embedding", nlist,
         kmIters, init = Some(seeds)).localCheckpoint(true)
-      val dir = AnnIndex.defaultDir(s"recall_${sfDir}_v2")
+      val dir = AnnIndex.defaultDir(s"recall_${sfDir}${fixtureTag}_v2")
       AnnIndex.buildIfAbsent(e, "vec_id", "embedding", cents,
-        m, subDim, ksub, pqIters, dir, corpusTag = s"recall_${sfDir}_v2")
+        m, subDim, ksub, pqIters, dir,
+        corpusTag = s"recall_${sfDir}${fixtureTag}_v2")
 
       // deterministic probe set: the nQueries largest ids (disjoint from
       // the min-id k-means init, so queries aren't the seed centroids)
@@ -102,7 +114,8 @@ object RecallProbe {
       val js = curve.map { case (p, s, mean, min, ivf) =>
         f"""{"nProbe":$p,"shortlist":$s,"mean_recall":$mean%.3f,"min_recall":$min%.3f,"ivf_exact_recall":$ivf%.3f}"""
       }.mkString("[", ",", "]")
-      println(s"""RECALL_JSON:{"sf":"$sfDir","k":$topK,"nlist":$nlist,"queries":$nQueries,"points":$js}""")
+      val fx = fixture.getOrElse("corpus")
+      println(s"""RECALL_JSON:{"sf":"$sfDir","fixture":"$fx","k":$topK,"nlist":$nlist,"queries":$nQueries,"points":$js}""")
     } finally e.unpersist(blocking = false)
     spark.stop()
   }

@@ -218,6 +218,58 @@ class SimilaritySpec extends AnyFunSuite {
       s"composed recall@10 (nProbe=8/16, shortlist=100) = ${recalls.toList}")
   }
 
+  test("planted-cluster recall floor: on data WITH neighbor structure " +
+      "(well-separated Gaussians) the composed IVF-PQ path holds " +
+      "recall@10 >= 0.9 at the nProbe 8/64 operating point") {
+    import spark.implicits._
+    // Self-contained planted fixture (the committed twin of
+    // tools/scale10/embeddings_clustered.parquet): 40 centers with
+    // N(0,1) components — near-orthogonal in 32-dim — and N(0, 0.3)
+    // point noise, so within-cluster cosine ~0.9 vs cross-cluster ~0:
+    // a query's true top-10 lies in its own 100-point cluster. On the
+    // near-random corpus fixture recall is bounded by the probe
+    // fraction (the documented 0.7 floor above); HERE high recall at a
+    // 1/8 probe is a property of the OPERATOR, which is the claim a
+    // deployment relies on. Measured on the 20k scale10 clustered
+    // fixture: mean/min recall 1.0 at (nProbe 8/64, shortlist 100).
+    val rnd = new scala.util.Random(7)
+    val d = 32
+    val rows = (0 until 40).flatMap { c =>
+      val center = Array.fill(d)(rnd.nextGaussian())
+      (0 until 100).map { i =>
+        (c * 100L + i,
+          center.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+    }
+    val e = rows.toDF("vec_id", "embedding").localCheckpoint()
+    val (pm, psub) = (8, 4) // 8 x 4 = 32-dim geometry
+    val seeds = Similarity.stratifiedSeeds(e, "vec_id", "embedding", 64)
+    val cents = Similarity.kmeans(e, "vec_id", "embedding", k = 64,
+      iters = 3, init = Some(seeds)).localCheckpoint(true)
+    val cbs = Similarity.pqTrain(e, "vec_id", "embedding",
+      pm, psub, ksub, iters = 2).localCheckpoint(true)
+    val qids = Seq(99L, 1550L, 2701L, 3999L) // one per spread-out cluster
+    val recalls = qids.map { qid =>
+      val qv = e.filter($"vec_id" === qid)
+        .select($"vec_id".as("q_id"), Similarity.vecD($"embedding").as("qv"))
+        .localCheckpoint(true)
+      val got = Similarity.ivfPqSearch(e, "vec_id", "embedding", cents,
+          cbs, qv, pm, psub, nProbe = 8, shortlist = 100, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      val brute = Similarity.cosineTopK(e.filter($"vec_id" =!= qid),
+          "vec_id", "embedding", qv.select($"qv"), 10)
+        .select("vec_id").as[Long].collect().toSet
+      // the planted structure must actually hold: true neighbors come
+      // from the query's own cluster
+      assert(brute.forall(_ / 100 === qid / 100),
+        s"fixture broken: $qid neighbors $brute")
+      brute.count(got.contains).toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9,
+      s"planted-cluster recall@10 (nProbe=8/64, shortlist=100) = $recalls")
+  }
+
   // ---- mmrRerank (maximal marginal relevance) ----
 
   test("mmrRerank: redundant twin of the top hit is demoted below a " +

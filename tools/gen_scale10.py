@@ -112,3 +112,33 @@ for t in ("documents", "embeddings", "orders", "lineitem", "events"):
         f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')"
     ).fetchone()[0]
     print(f"{t}: {n} rows")
+
+# clustered embeddings: PLANTED-Gaussian fixture with KNOWN neighbor
+# structure (the recall-curve caveat's fix): C well-separated centers
+# (components N(0,1), near-orthogonal in 64-dim), points = center +
+# N(0, 0.3) noise, so within-cluster cosine ~0.92 vs cross-cluster
+# ~0 +/- 0.12 -- a query's true top-10 lies in its own 100-point
+# cluster, and an IVF probe that finds the cluster serves high recall.
+# This is the fixture where "recall@10 >= 0.9 at nProbe 8/64" is a
+# property of the OPERATOR, not of noise (embeddings.parquet's
+# near-random vectors bound recall to ~probe fraction by construction).
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+crng = random.Random(1234)
+C, PTS, D, SIGMA = 200, 100, 64, 0.3
+ids, embs, labels = [], [], []
+vid = 0
+for c in range(C):
+    center = [crng.gauss(0.0, 1.0) for _ in range(D)]
+    for _ in range(PTS):
+        ids.append(vid)
+        embs.append([center[i] + crng.gauss(0.0, SIGMA) for i in range(D)])
+        labels.append(c)
+        vid += 1
+pq.write_table(pa.table({
+    "vec_id": pa.array(ids, pa.int64()),
+    "embedding": pa.array(embs, pa.list_(pa.float32())),
+    "label": pa.array(labels, pa.int32()),
+}), f"{OUT}/embeddings_clustered.parquet")
+print(f"embeddings_clustered: {len(ids)} rows ({C} clusters x {PTS})")
