@@ -33,3 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 run / connectInput := true
+// Pass the forked run's stdout through UNPREFIXED: sbt's default logger
+// rewrites every child line as "[info] <line>", which defeats any driver
+// parser matching a line that STARTS with its marker (BENCH_JSON: /
+// RECALL_JSON: — the r06 tail carried the full marker in-window yet
+// parsed=null; the [info] prefix is the one transformation we control).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

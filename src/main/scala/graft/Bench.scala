@@ -157,5 +157,11 @@ object Bench {
     println(
       Seq(markerAt(2), markerAt(1)).find(_.length <= 1900)
         .getOrElse(markerTop()))
+    // Ultra-short LAST line (~60 bytes): survives any tail window and any
+    // last-line-only parser — the full per-query detail lives in the
+    // marker above and bench_out.json. (sbt's own "[success] Total time"
+    // epilogue prints after the forked JVM exits and is outside this
+    // program's control.)
+    println(s"""BENCH_MIN:{"value":${r3(total)},"unit":"sec","n":$n}""")
   }
 }
