@@ -1190,6 +1190,92 @@ object Curation {
           .as("dropped_lines"))
   }
 
+  /** [NS] Crawl URL parsing — the metadata half of crawl ingest: every
+    * real pretraining pipeline filters and weights by URL structure
+    * (domain blocklists, per-domain quality priors, path-depth
+    * heuristics) before it ever reads a page body. Pure per-row
+    * regexp_extract kernels (codegen'd, zero exchange), written to be
+    * replayable verbatim in the DuckDB oracle (same RE2-safe patterns,
+    * same group indexes — no parse_url dependence, which DuckDB lacks).
+    * Appends: scheme, host, domain (last two host labels), tld, path,
+    * path_depth, is_https. Malformed URLs yield empty strings / zero
+    * depth, never nulls or errors (a crawl always contains garbage). */
+  def parseUrl(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val host = regexp_extract(u, "^[a-z]+://([^/]+)", 1)
+    val path = regexp_extract(u, "^[a-z]+://[^/]*(/.*)$", 1)
+    df.withColumn("scheme", regexp_extract(u, "^([a-z]+)://", 1))
+      .withColumn("host", host)
+      .withColumn("domain", regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      .withColumn("tld", regexp_extract(host, "\\.([^.]+)$", 1))
+      .withColumn("path", path)
+      .withColumn("path_depth",
+        (length(path) - length(replace(path, lit("/"), lit(""))))
+          .cast("long"))
+      .withColumn("is_https", col("scheme") === "https")
+  }
+
+  /** Domain blocklist gate: drop rows whose host IS a blocked domain or
+    * any SUBDOMAIN of one (the standard blocklist semantics — blocking
+    * `spam.example` must also block `cdn.spam.example`). The blocklist
+    * is a plan literal chain of per-row predicates (a blocklist is
+    * thousands of entries, not data-sized — at larger sizes switch to a
+    * broadcast anti-join on the suffix-chain; the semantics here are
+    * the contract). Rows pass through with a `blocked` flag rather than
+    * being silently dropped, so callers can count what the gate cost —
+    * filter on `!blocked` to enforce. */
+  def domainGate(df: DataFrame, hostCol: String,
+      blocked: Seq[String]): DataFrame = {
+    val h = col(hostCol)
+    val hit = blocked.foldLeft(lit(false)) { (acc, b) =>
+      acc || h === b || h.endsWith("." + b)
+    }
+    df.withColumn("blocked", hit)
+  }
+
+  /** [NS] Bigram language-model document scorer — the integer cousin of
+    * the CCNet/KenLM perplexity gate that sits between extraction and
+    * training in every pretraining pipeline: TRAIN docs build bigram
+    * and context counts; each PROBE doc scores as its mean conditional
+    * bigram probability in exact ppm — p(w2|w1) = (10⁶·c(w1 w2)) div
+    * c(w1 ·), with unseen bigrams contributing 0 (the harshest backoff:
+    * gibberish scores near zero, in-domain text near the corpus's true
+    * conditionals). All integer counts + one div per bigram, so scores
+    * hash-match the oracle (ln-free by the usual parity argument; rank
+    * order vs true mean-log-prob differs as documented for the q124 idf
+    * — monotone per bigram, not jointly).
+    *
+    * Plan: one explode+groupBy over TRAIN (model build — vocab²-bounded
+    * output, in practice corpus-bigram-sized); probe bigrams join the
+    * model on the bigram key (broadcast when the model is small,
+    * key-partitioned at scale), one groupBy(doc). Docs with < 2 tokens
+    * have no bigrams and are absent, [[oovGate]]'s convention. Output:
+    * (idCol, n_bigrams, mean_p_ppm). */
+  def bigramLmScore(train: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def bigrams(df: DataFrame) = df
+      .select(col(idCol), split(col(textCol), " ").as("_l"))
+      .filter(size(col("_l")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(_l) - 1), i -> " +
+          "struct(element_at(_l, i) as w1, element_at(_l, i + 1) as w2))"))
+        .as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val big = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val uni = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val model = big.join(uni, Seq("w1"))
+      .withColumn("p_ppm", expr("(1000000 * c2) div c1"))
+      .select(col("w1"), col("w2"), col("p_ppm"))
+    bigrams(probe)
+      .join(model, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("p_ppm"), lit(0L))).as("_s"))
+      .withColumn("mean_p_ppm", expr("_s div n_bigrams"))
+      .select(col(idCol), col("n_bigrams"), col("mean_p_ppm"))
+  }
+
   /** SQL twin of [[extractText]] for the DuckDB oracle: the same kernels
     * over a table expression exposing (idExpr, htmlExpr). Kept beside the
     * operator so the two stay in lockstep. */

@@ -847,6 +847,202 @@ object CurationQueries {
     q126PhraseSearch.oracle,
     doc = "[NS] positional append-merge == from-scratch build (twin-certified)")
 
+  /** SQL twin of the deterministic URL synthesis q212/q213 share: a
+    * crawl-shaped URL per document — scheme varies (doc_id%17 → http),
+    * a .cdn host variant (doc_id%13), a lang-derived TLD, and a
+    * doc_id-derived path depth — so every parsed field has real
+    * variance to profile. */
+  private val urlSql: String =
+    "(CASE WHEN doc_id % 17 = 0 THEN 'http' ELSE 'https' END) || '://' " +
+      "|| (CASE WHEN doc_id % 13 = 0 THEN source || '.cdn' ELSE source " +
+      "END) || '.example.' || (CASE lang WHEN 'en' THEN 'com' WHEN 'de' " +
+      "THEN 'de' WHEN 'fr' THEN 'fr' ELSE 'es' END) || '/' || lang || " +
+      "repeat('/p', CAST(doc_id % 4 AS INT)) || '/doc' || " +
+      "CAST(doc_id AS VARCHAR)"
+
+  private def withUrl(docs: org.apache.spark.sql.DataFrame) =
+    docs.withColumn("url", concat(
+      when(col("doc_id") % 17 === 0, lit("http")).otherwise(lit("https")),
+      lit("://"),
+      when(col("doc_id") % 13 === 0, concat(col("source"), lit(".cdn")))
+        .otherwise(col("source")),
+      lit(".example."),
+      when(col("lang") === "en", lit("com"))
+        .when(col("lang") === "de", lit("de"))
+        .when(col("lang") === "fr", lit("fr")).otherwise(lit("es")),
+      lit("/"), col("lang"),
+      expr("repeat('/p', cast(doc_id % 4 as int))"),
+      lit("/doc"), col("doc_id").cast("string")))
+
+  /** The oracle's host expression — [[graft.operators.Curation
+    * .parseUrl]]'s kernel verbatim (same RE2-safe pattern, group 1). */
+  private def hostSql(u: String) =
+    s"regexp_extract($u, '^[a-z]+://([^/]+)', 1)"
+
+  /** [NS] — crawl URL profiling (q212): [[graft.operators.Curation
+    * .parseUrl]] over synthesized crawl URLs, aggregated per
+    * (domain, tld) — the per-domain prior table every crawl pipeline
+    * maintains (page counts, host diversity, mean path depth, https
+    * share). Parsing is per-row regexp kernels (no UDF, no exchange);
+    * the profile is one groupBy on the registrable domain. */
+  val q212UrlProfile = Q(
+    "q212_url_profile",
+    (s, d) => {
+      import s.implicits._
+      Curation.parseUrl(withUrl(Tables.documents(s, d)), "url")
+        .groupBy($"domain", $"tld")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"host").as("n_hosts"),
+          sum($"path_depth").as("depth_sum"),
+          sum(when($"is_https", 1L).otherwise(0L)).as("n_https"))
+        .withColumn("mean_depth_ppm", expr("(1000000 * depth_sum) div n"))
+        .orderBy($"domain", $"tld")
+    },
+    Some(s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+      p AS (SELECT ${hostSql("url")} AS host,
+          regexp_extract(${hostSql("url")}, '([^.]+\\.[^.]+)$$', 1)
+            AS domain,
+          regexp_extract(${hostSql("url")}, '\\.([^.]+)$$', 1) AS tld,
+          regexp_extract(url, '^[a-z]+://[^/]*(/.*)$$', 1) AS path,
+          regexp_extract(url, '^([a-z]+)://', 1) AS scheme
+        FROM u)
+      SELECT domain, tld, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        CAST(sum(length(path) - length(replace(path, '/', '')))
+          AS BIGINT) AS depth_sum,
+        CAST(count(CASE WHEN scheme = 'https' THEN 1 END) AS BIGINT)
+          AS n_https,
+        CAST((1000000 * sum(length(path) - length(replace(path, '/', ''))))
+          // count(*) AS BIGINT) AS mean_depth_ppm
+      FROM p GROUP BY domain, tld ORDER BY domain, tld"""),
+    doc = "[NS] crawl URL profiling (per-domain prior table, regexp kernels)")
+
+  /** [NS] — domain blocklist gate (q213): [[graft.operators.Curation
+    * .domainGate]] with subdomain semantics — blocking `example.de`
+    * takes out every `.de`-host (all its subdomains), blocking
+    * `src3.example.com` takes that host only, and `src3.cdn.example
+    * .com` is NOT its subdomain (label-boundary matching, not substring
+    * matching — the classic blocklist footgun, here pinned by the
+    * oracle). Per-source kept/blocked audit counts, so the gate's cost
+    * is visible before anyone enforces it. */
+  val q213DomainGate = Q(
+    "q213_domain_gate",
+    (s, d) => {
+      import s.implicits._
+      val gated = Curation.domainGate(
+        Curation.parseUrl(withUrl(Tables.documents(s, d)), "url"),
+        "host", Seq("example.de", "src3.example.com"))
+      gated.groupBy($"source")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"blocked", 1L).otherwise(0L)).as("n_blocked"),
+          sum(when(!$"blocked", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy($"source")
+    },
+    Some(s"""WITH u AS (SELECT doc_id, source, $urlSql AS url
+        FROM documents),
+      p AS (SELECT source, ${hostSql("url")} AS host FROM u),
+      g AS (SELECT source,
+          (host = 'example.de' OR host LIKE '%.example.de'
+            OR host = 'src3.example.com'
+            OR host LIKE '%.src3.example.com') AS blocked
+        FROM p)
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(CASE WHEN blocked THEN 1 END) AS BIGINT) AS n_blocked,
+        CAST(count(CASE WHEN NOT blocked THEN 1 END) AS BIGINT) AS n_kept
+      FROM g GROUP BY source ORDER BY source"""),
+    doc = "[NS] domain blocklist gate (subdomain semantics, per-source audit)")
+
+  /** [NS] — bigram-LM document scoring (q214): [[graft.operators
+    * .Curation.bigramLmScore]] — the integer CCNet/KenLM-style quality
+    * gate: a bigram model from the 90% train split scores the held-out
+    * 10% docs by mean conditional bigram probability in exact ppm
+    * (unseen bigrams contribute 0). The fluency complement of q104's
+    * OOV share: q104 counts unknown bigrams, this weighs the known ones
+    * by how predictable they are. */
+  val q214LmScore = Q(
+    "q214_lm_score",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Curation.bigramLmScore(
+          docs.filter($"doc_id" % 10 =!= 0),
+          docs.filter($"doc_id" % 10 === 0), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id % 10 <> 0),
+      tb AS (SELECT l[i] AS w1, l[i+1] AS w2
+        FROM tr, unnest(range(1, len(l))) AS t(i)),
+      big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM tb GROUP BY 1, 2),
+      uni AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+        FROM big GROUP BY 1),
+      model AS (SELECT w1, w2, (1000000 * c2) // c1 AS p_ppm
+        FROM big JOIN uni USING (w1)),
+      pr AS (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id % 10 = 0),
+      pb AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        FROM pr, unnest(range(1, len(l))) AS t(i)),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(coalesce(p_ppm, 0)) AS BIGINT) AS s
+        FROM pb LEFT JOIN model USING (w1, w2) GROUP BY doc_id)
+      SELECT doc_id, n_bigrams,
+        CAST(s // n_bigrams AS BIGINT) AS mean_p_ppm
+      FROM sc ORDER BY doc_id"""),
+    doc = "[NS] bigram-LM scoring (integer perplexity-gate cousin, train/probe split)")
+
+  /** [NS] — composed crawl-ingest funnel (q215): the full pretraining
+    * ingest chain in one oracle-checked query — synthesize crawl pages
+    * ([[DocQueries.crawlPage]], q208's fixture), EXTRACT
+    * ([[graft.operators.Curation.extractText]]), quality-gate on
+    * extracted length, exact-dedup the survivors (md5 groups, min-id
+    * wins), and report the per-source stage counts (raw → extracted →
+    * quality → unique) — the q171 funnel's shape, starting from raw
+    * MARKUP instead of clean text. The oracle recomputes the whole
+    * chain from scratch in DuckDB, extraction included. */
+  val q215CrawlFunnel = Q(
+    "q215_crawl_funnel",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val ex = Curation.extractText(
+        DocQueries.crawlPage(docs), "doc_id", "html")
+      val j = docs.select($"doc_id", $"source")
+        .join(ex.select($"doc_id", $"clean_text"), Seq("doc_id"))
+        .withColumn("extracted", length($"clean_text") > 0)
+        .withColumn("quality", length($"clean_text") >= 200)
+      val keep = j.filter($"quality")
+        .groupBy(md5($"clean_text").as("h"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", lit(true).as("is_keep"))
+      j.join(keep, Seq("doc_id"), "left")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when($"extracted", 1L).otherwise(0L)).as("n_extracted"),
+          sum(when($"quality", 1L).otherwise(0L)).as("n_quality"),
+          sum(when($"is_keep", 1L).otherwise(0L)).as("n_unique"))
+        .orderBy($"source")
+    },
+    Some {
+      val exSql = Curation.extractTextSql("documents", "doc_id",
+        DocQueries.crawlPageHtmlSql, "doc_id")
+      s"""WITH j AS (SELECT d.source, e.doc_id, e.clean_text
+          FROM ($exSql) e JOIN documents d USING (doc_id)),
+        q AS (SELECT *, length(clean_text) > 0 AS extracted,
+            length(clean_text) >= 200 AS quality FROM j),
+        u AS (SELECT md5(clean_text) AS h, min(doc_id) AS keep_id
+          FROM q WHERE quality GROUP BY 1)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+          CAST(count(CASE WHEN extracted THEN 1 END) AS BIGINT)
+            AS n_extracted,
+          CAST(count(CASE WHEN quality THEN 1 END) AS BIGINT)
+            AS n_quality,
+          CAST(count(CASE WHEN doc_id IN (SELECT keep_id FROM u)
+            THEN 1 END) AS BIGINT) AS n_unique
+        FROM q GROUP BY source ORDER BY source"""
+    },
+    doc = "[NS] composed crawl-ingest funnel (markup -> extract -> quality -> dedup)")
+
   /** [NS] — hybrid retrieval (q151): the q124 BM25 arm fused with a
     * trigram query-coverage fuzzy arm by integer-quantized RRF
     * ([[Curation.hybridRetrieve]]). The fuzzy query is deliberately
@@ -1212,5 +1408,6 @@ object CurationQueries {
     q127TextIndexServe, q128IndexMerge, q151Hybrid, q152ShardPack,
     q162GroupSplit, q171CurationFunnel, q180SpellCorrect,
     q188BalancedSample, q200ExportManifest, q209PhraseIndexServe,
-    q210PhraseIndexMerge)
+    q210PhraseIndexMerge, q212UrlProfile, q213DomainGate, q214LmScore,
+    q215CrawlFunnel)
 }

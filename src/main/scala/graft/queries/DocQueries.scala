@@ -1582,39 +1582,52 @@ object DocQueries {
     * only when 12 chars hold ≥3 words, body and rating survive with
     * entities decoded. Per-row string kernels; the only exchange is the
     * final presentation sort. */
+  /** Deterministic crawl-shaped page synthesis over `documents` — the
+    * shared fixture of q208 (extraction) and q215 (the composed ingest
+    * funnel): head with style/script (incl. a literal `<` inside the
+    * script), a nav bar of anchors, an h1 from the text's first 12
+    * chars, the body, an entity-bearing rating line, a too-short line,
+    * and an anchor-heavy footer — built IDENTICALLY in both engines. */
+  private[queries] def crawlPage(docs: DataFrame): DataFrame =
+    docs.withColumn("html", concat(
+      lit("<html><head><title>doc</title><style>p{c:1}</style>" +
+        "<script>if(a<b){go();}</script></head><body>" +
+        "<div id=\"nav\"><a href=\"/\">home</a> | " +
+        "<a href=\"/a\">about</a> | <a href=\"/c\">contact</a></div>" +
+        "<h1>"),
+      upper(substring(col("text"), 1, 12)),
+      lit("</h1><p>"), col("text"),
+      lit("</p><p>rating &amp; review &lt;"),
+      (col("doc_id") % 10).cast("string"),
+      lit("&gt; stars of quality today</p><p>ok</p>" +
+        "<div class=\"foot\"><a href=\"/t\">terms &amp; conditions</a>" +
+        " &#39;2026&#39; all rights</div></body></html>")))
+
+  /** SQL twin of [[crawlPage]]'s html expression. */
+  private[queries] val crawlPageHtmlSql: String =
+    "'<html><head><title>doc</title><style>p{c:1}</style>" +
+      "<script>if(a<b){go();}</script></head><body>" +
+      "<div id=\"nav\"><a href=\"/\">home</a> | " +
+      "<a href=\"/a\">about</a> | <a href=\"/c\">contact</a></div>" +
+      "<h1>' || upper(substr(text, 1, 12)) || '</h1><p>' || text || " +
+      "'</p><p>rating &amp; review &lt;' || " +
+      "CAST(doc_id % 10 AS VARCHAR) || " +
+      "'&gt; stars of quality today</p><p>ok</p>" +
+      "<div class=\"foot\"><a href=\"/t\">terms &amp; conditions</a>" +
+      " &#39;2026&#39; all rights</div></body></html>'"
+
   val q208ExtractText = Q(
     "q208_extract_text",
     (s, d) => {
       import s.implicits._
-      val page = Tables.documents(s, d).withColumn("html", concat(
-        lit("<html><head><title>doc</title><style>p{c:1}</style>" +
-          "<script>if(a<b){go();}</script></head><body>" +
-          "<div id=\"nav\"><a href=\"/\">home</a> | " +
-          "<a href=\"/a\">about</a> | <a href=\"/c\">contact</a></div>" +
-          "<h1>"),
-        upper(substring($"text", 1, 12)),
-        lit("</h1><p>"), $"text",
-        lit("</p><p>rating &amp; review &lt;"),
-        ($"doc_id" % 10).cast("string"),
-        lit("&gt; stars of quality today</p><p>ok</p>" +
-          "<div class=\"foot\"><a href=\"/t\">terms &amp; conditions</a>" +
-          " &#39;2026&#39; all rights</div></body></html>")))
-      graft.operators.Curation.extractText(page, "doc_id", "html")
+      graft.operators.Curation.extractText(
+          crawlPage(Tables.documents(s, d)), "doc_id", "html")
         .orderBy($"doc_id")
     },
     Some(graft.operators.Curation.extractTextSql(
       fromSql = "documents",
       idExpr = "doc_id",
-      htmlExpr = "'<html><head><title>doc</title><style>p{c:1}</style>" +
-        "<script>if(a<b){go();}</script></head><body>" +
-        "<div id=\"nav\"><a href=\"/\">home</a> | " +
-        "<a href=\"/a\">about</a> | <a href=\"/c\">contact</a></div>" +
-        "<h1>' || upper(substr(text, 1, 12)) || '</h1><p>' || text || " +
-        "'</p><p>rating &amp; review &lt;' || " +
-        "CAST(doc_id % 10 AS VARCHAR) || " +
-        "'&gt; stars of quality today</p><p>ok</p>" +
-        "<div class=\"foot\"><a href=\"/t\">terms &amp; conditions</a>" +
-        " &#39;2026&#39; all rights</div></body></html>'",
+      htmlExpr = crawlPageHtmlSql,
       idAlias = "doc_id") + " ORDER BY doc_id"),
     doc = "[NS] crawl text extraction: markup strip + jusText-style line gate")
 

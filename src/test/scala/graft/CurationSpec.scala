@@ -749,6 +749,66 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.exists(_._2.contains("track")))
   }
 
+  test("parseUrl: fields extracted exactly; malformed URLs yield empty " +
+      "strings and zero depth, never nulls") {
+    val df = Seq(
+      (1L, "https://a.b.example.com/en/p/doc1"),
+      (2L, "http://example.de"),
+      (3L, "not a url at all"),
+      (4L, "ftp://x.example.org/")
+    ).toDF("id", "url")
+    val p = Curation.parseUrl(df, "url").orderBy($"id")
+      .select("scheme", "host", "domain", "tld", "path", "path_depth",
+        "is_https")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getLong(5), r.getBoolean(6)))
+    assert(p(0) === (("https", "a.b.example.com", "example.com", "com",
+      "/en/p/doc1", 3L, true)))
+    assert(p(1) === (("http", "example.de", "example.de", "de", "", 0L,
+      false)))
+    assert(p(2) === (("", "", "", "", "", 0L, false)))
+    assert(p(3) === (("ftp", "x.example.org", "example.org", "org", "/",
+      1L, false)))
+  }
+
+  test("domainGate: blocking a domain blocks its subdomains by label " +
+      "boundary — sibling hosts sharing a substring do NOT match") {
+    val df = Seq(
+      (1L, "spam.example"), (2L, "cdn.spam.example"),
+      (3L, "notspam.example"),        // substring, not a subdomain
+      (4L, "spam.example.org"),       // different registrable domain
+      (5L, "ok.example")
+    ).toDF("id", "host")
+    val got = Curation.domainGate(df, "host", Seq("spam.example"))
+      .orderBy($"id").select("blocked").collect().map(_.getBoolean(0))
+    assert(got.toSeq === Seq(true, true, false, false, false))
+  }
+
+  test("bigramLmScore: hand-computed conditionals, OOV bigrams score " +
+      "zero, short docs are absent") {
+    // train bigram counts: (a,b)=3, (b,a)=1, (a,c)=1, (b,b)=1;
+    // contexts: c(a,.)=4, c(b,.)=2 -> p(b|a)=750000, p(c|a)=250000,
+    // p(a|b)=p(b|b)=500000
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a b a c"),
+      (4L, "b b")).toDF("doc_id", "text")
+    // probe: known bigrams, one OOV bigram ("c a"), one single token
+    val probe = Seq(
+      (10L, "a b b"),    // (a b)=750000, (b b)=500000 -> mean 625000
+      (11L, "c a c"),    // (c a)=OOV 0, (a c)=250000  -> mean 125000
+      (12L, "z")         // no bigrams: absent
+    ).toDF("doc_id", "text")
+    val got = Curation.bigramLmScore(train, probe, "doc_id", "text")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((10L, 2L, 625000L), (11L, 2L, 125000L)))
+    // "a b a c" contributes the interior (b a) bigram too: check p(a|b)
+    // leaked nowhere — probe "b a" scores c(b a)=1 over c(b .)=2
+    val ba = Curation.bigramLmScore(train,
+        Seq((13L, "b a")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert((ba.getLong(1), ba.getLong(2)) === ((1L, 500000L)))
+  }
+
   test("extractText: <br> splits lines, gate thresholds are exact " +
       "boundaries, pure-markup lines are structure not boilerplate") {
     val page = "<p>one two three four five six seven</p>" +
