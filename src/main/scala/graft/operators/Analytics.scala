@@ -625,6 +625,62 @@ object Analytics {
       .select(col("band"), col("n"), col("pos"), col("conf_ppm"),
         col("acc_ppm"), col("gap_ppm"), col("ece_contrib_ppm"))
 
+  /** [NS] — exact ROC-AUC (Mann–Whitney with tie correction): the
+    * threshold-free ranking-quality readout of a scorer — P(score⁺ >
+    * score⁻) + ½·P(tie), computed WITHOUT a pos×neg pairwise join:
+    * group rows by score, order the (score → n_pos, n_neg) groups, and
+    * the win/tie pair counts are Σ np·(negatives strictly below) and
+    * Σ np·nn — one aggregate + one window over the DISTINCT-SCORE
+    * frame, whose size is the integer score domain (cents → ≤10⁴ rows
+    * at any corpus size), not the data. Pair counts accumulate in
+    * decimal(38,0) (nPos·nNeg overflows long past ~3·10⁹ rows a side);
+    * auc_ppm = (10⁶·(2·wins+ties)) div (2·nPos·nNeg) exact in both
+    * engines; gini_ppm = 2·auc − 10⁶. Degenerate one-class inputs
+    * yield NULL, never a division error. */
+  def aucExact(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val v = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("_s"),
+        col(labelCol).cast("boolean").as("_y"))
+    val g = v.groupBy(col("_s")).agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("np"),
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("nn"))
+    val w = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def d(s: String) = s"cast($s as decimal(38,0))"
+    g.withColumn("cnb", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(expr(s"${d("np")} * ${d("cnb")}")).as("_uw"),
+        sum(expr(s"${d("np")} * ${d("nn")}")).as("_ut"))
+      .withColumn("auc_ppm", expr(
+        s"case when n_pos > 0 and n_neg > 0 then cast((${d("1000000")} * " +
+          s"(2 * _uw + _ut)) div (${d("2")} * ${d("n_pos")} * " +
+          s"${d("n_neg")}) as long) end"))
+      .withColumn("gini_ppm", expr("2 * auc_ppm - 1000000"))
+      .select(col("n_pos"), col("n_neg"), col("auc_ppm"), col("gini_ppm"))
+  }
+
+  /** [NS] — Brier score, exact ppm: mean squared gap between the ppm
+    * confidence and the 0/10⁶ outcome — the strictly-proper scoring
+    * rule that complements [[calibrationFixedBands]] (a model can be
+    * calibrated yet useless; Brier charges both miscalibration AND
+    * indiscrimination). Per-row squares reach 10¹², so the sum
+    * accumulates in decimal(38,0); brier_ppm = Σ(conf−y·10⁶)² div
+    * (n·10⁶) ∈ [0, 10⁶]. One aggregate, no window. */
+  def brierScore(df: DataFrame, confPpmCol: String,
+      labelCol: String): DataFrame =
+    df.filter(col(confPpmCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(confPpmCol).cast("long").as("_c"),
+        col(labelCol).cast("boolean").as("_y"))
+      .withColumn("_g", expr(
+        "cast(_c - (case when _y then 1000000 else 0 end) as decimal(38,0))"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("_g * _g")).as("_ss"))
+      .withColumn("brier_ppm", expr(
+        "case when n > 0 then cast(_ss div (cast(n as decimal(38,0)) * " +
+          "1000000) as long) end"))
+      .select(col("n"), col("brier_ppm"))
+
   /** [NS] — fixed-band calibration / reliability table: the
     * STREAM-FOLDABLE sibling of [[calibrationTable]] (fixed-width
     * confidence bands instead of equal-population rank bands), and the

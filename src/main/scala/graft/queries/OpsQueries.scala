@@ -1308,6 +1308,70 @@ object OpsQueries {
       FROM g, t ORDER BY band"""),
     doc = "[NS] fixed-band calibration (stream-foldable reliability table, exact ppm)")
 
+  /** [NS] — exact ROC-AUC (q216): [[graft.operators.Analytics
+    * .aucExact]] — the threshold-free ranking readout of "does value
+    * rank engagement events above the rest", Mann–Whitney with tie
+    * correction, zero pairwise joins (the pair counts come from one
+    * window over the distinct-score frame). Completes the eval pack:
+    * q202/q211 measure calibration, q203 top-band capture, this the
+    * global ranking quality. */
+  val q216Auc = Q(
+    "q216_auc",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round($"value" * 100).cast("long"))
+        .withColumn("y", $"event_type".isin("click", "purchase"))
+      Analytics.aucExact(ev, "cents", "y")
+    },
+    Some("""WITH v AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS s,
+          event_type IN ('click', 'purchase') AS y
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      g AS (SELECT s, CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS np,
+          CAST(count(CASE WHEN NOT y THEN 1 END) AS BIGINT) AS nn
+        FROM v GROUP BY s),
+      c AS (SELECT np, nn, CAST(coalesce(sum(nn) OVER (ORDER BY s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS cnb FROM g),
+      t AS (SELECT CAST(sum(np) AS BIGINT) AS pn,
+          CAST(sum(nn) AS BIGINT) AS ng,
+          CAST(sum(np::HUGEINT * cnb) AS HUGEINT) AS uw,
+          CAST(sum(np::HUGEINT * nn) AS HUGEINT) AS ut FROM c)
+      SELECT pn AS n_pos, ng AS n_neg,
+        CASE WHEN pn > 0 AND ng > 0 THEN
+          CAST((1000000::HUGEINT * (2 * uw + ut))
+            // (2::HUGEINT * pn * ng) AS BIGINT) END AS auc_ppm,
+        CASE WHEN pn > 0 AND ng > 0 THEN
+          2 * CAST((1000000::HUGEINT * (2 * uw + ut))
+            // (2::HUGEINT * pn * ng) AS BIGINT) - 1000000
+          END AS gini_ppm
+      FROM t"""),
+    doc = "[NS] exact ROC-AUC (Mann-Whitney with tie correction, no pairwise join)")
+
+  /** [NS] — Brier score (q217): [[graft.operators.Analytics
+    * .brierScore]] — the strictly-proper scoring rule over the q211
+    * confidence convention (conf = value·10⁴ ppm, outcome = value>50);
+    * charges miscalibration AND indiscrimination in one exact-ppm
+    * number. */
+  val q217Brier = Q(
+    "q217_brier",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("conf", round($"value" * 10000).cast("long"))
+        .withColumn("y", $"value" > 50)
+      Analytics.brierScore(ev, "conf", "y")
+    },
+    Some("""WITH v AS (SELECT CAST(round(value * 10000.0) AS BIGINT) AS c,
+          value > 50 AS y FROM events WHERE value IS NOT NULL),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          sum((c - CASE WHEN y THEN 1000000 ELSE 0 END)::HUGEINT *
+            (c - CASE WHEN y THEN 1000000 ELSE 0 END)) AS ss FROM v)
+      SELECT n, CASE WHEN n > 0 THEN
+        CAST(ss // (n::HUGEINT * 1000000) AS BIGINT) END AS brier_ppm
+      FROM t"""),
+    doc = "[NS] Brier score (strictly-proper scoring rule, exact ppm)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
@@ -1315,5 +1379,6 @@ object OpsQueries {
     q172TargetEncode, q173WeightedMedian, q174HeavyExact, q175DiffCdc,
     q176DriftAudit, q184TopNOther, q185Winsorize, q189TrendSlope,
     q190TopMovers, q194QuantileNorm, q195KAnonymity, q197Bootstrap,
-    q198ChiSquare, q202Calibration, q203Gains, q211CalibrationBands)
+    q198ChiSquare, q202Calibration, q203Gains, q211CalibrationBands,
+    q216Auc, q217Brier)
 }

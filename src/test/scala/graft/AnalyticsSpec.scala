@@ -602,4 +602,47 @@ class AnalyticsSpec extends AnyFunSuite {
       .filter(col("is_out")).select("v").as[Double].collect().toSet
     assert(!sigma.contains(60.0) && sigma.contains(1000.0))
   }
+
+  test("aucExact: hand-counted wins and ties, perfect and inverted " +
+      "separation, one-class degeneracy yields NULL not an error") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def auc(rows: Seq[(Long, Boolean)]): (Long, Long, Option[Long]) = {
+      val r = Analytics.aucExact(rows.toDF("s", "y"), "s", "y")
+        .collect().head
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    // pos scores {3,2}, neg {1,2}: wins 3 (3>1, 3>2, 2>1), tie 1 (2=2)
+    // -> AUC = (2*3+1)/(2*4) = 7/8
+    assert(auc(Seq((3L, true), (2L, true), (1L, false), (2L, false)))
+      === ((2L, 2L, Some(875000L))))
+    assert(auc(Seq((9L, true), (8L, true), (1L, false)))
+      === ((2L, 1L, Some(1000000L))))
+    assert(auc(Seq((1L, true), (9L, false))) === ((1L, 1L, Some(0L))))
+    // all-ties: AUC exactly 1/2
+    assert(auc(Seq((5L, true), (5L, false))) === ((1L, 1L, Some(500000L))))
+    assert(auc(Seq((1L, true), (2L, true))) === ((2L, 0L, None)))
+    // partition-invariance: the window math must not depend on layout
+    val big = (1L to 500L).map(i => (i % 97, i % 3 == 0))
+    val a = Analytics.aucExact(big.toDF("s", "y"), "s", "y").collect().head
+    val b = Analytics.aucExact(big.toDF("s", "y").repartition(13), "s", "y")
+      .collect().head
+    assert(a === b)
+  }
+
+  test("brierScore: perfect confident predictions score 0, maximal " +
+      "uncertainty scores 250000, confident wrongness 1000000") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def brier(rows: Seq[(Long, Boolean)]): Long =
+      Analytics.brierScore(rows.toDF("c", "y"), "c", "y")
+        .collect().head.getLong(1)
+    assert(brier(Seq((1000000L, true), (0L, false))) === 0L)
+    assert(brier(Seq((500000L, true), (500000L, false))) === 250000L)
+    assert(brier(Seq((0L, true), (1000000L, false))) === 1000000L)
+    // mixed: (800000 vs 1)^2 = 4e10, (300000 vs 0)^2 = 9e10
+    // -> (13e10 / 2) / 1e6 = 65000
+    assert(brier(Seq((800000L, true), (300000L, false))) === 65000L)
+  }
 }
