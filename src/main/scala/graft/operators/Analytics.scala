@@ -681,6 +681,85 @@ object Analytics {
           "1000000) as long) end"))
       .select(col("n"), col("brier_ppm"))
 
+  /** [NS] — average precision (integer-quantized AP, the PR-AUC
+    * summary): Σ over positives of precision@rank, div nPos — each
+    * term `(10⁶·cumPos@k) div k` truncated identically in both
+    * engines (exact AP is a sum of unlike-denominator rationals, so
+    * the ppm quantization IS the cross-engine contract). Ranks come
+    * from TWO two-pass global ranks ([[Curation.withGlobalRank]] —
+    * never a single-partition window): the full frame by (score desc,
+    * tie) gives k; the positives-only frame by the SAME key gives
+    * cumPos@k at each positive row; a join on the tie id lines them
+    * up. Output: 1 row (n, n_pos, ap_ppm); NULL ap on zero positives. */
+  def averagePrecision(df: DataFrame, scoreCol: String, tieCol: String,
+      labelCol: String): DataFrame = {
+    val v = df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("_s"), col(tieCol).as("_t"),
+        col(labelCol).cast("boolean").as("_y"))
+    val ranked = Curation.withGlobalRank(v,
+      Seq(col("_s").desc, col("_t")), "_rk")
+    val posRanked = Curation.withGlobalRank(v.filter(col("_y")),
+      Seq(col("_s").desc, col("_t")), "_pk")
+    // withGlobalRank is 0-based; AP's precision@k wants 1-based ranks
+    val terms = ranked.join(posRanked.select(col("_t"), col("_pk")),
+        Seq("_t"), "left")
+      .select(col("_y"),
+        when(col("_pk").isNotNull,
+          expr("(1000000 * (_pk + 1)) div (_rk + 1)")).as("_term"))
+    terms.agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("_term")).as("_ts"))
+      .withColumn("ap_ppm",
+        expr("case when n_pos > 0 then _ts div n_pos end"))
+      .select(col("n"), col("n_pos"), col("ap_ppm"))
+  }
+
+  /** [NS] — classification threshold sweep: per threshold T, the
+    * confusion counts of `conf ≥ T` plus precision/recall/F1 in exact
+    * ppm — the operating-point table behind every "pick a threshold"
+    * decision, and the tabular complement of [[aucExact]] (AUC ranks,
+    * this commits). Computed from the DISTINCT-CONFIDENCE frame (one
+    * corpus aggregate; the frame is confidence-domain-sized, ≤10⁶+1
+    * rows at any corpus size) range-joined against the literal
+    * threshold spine — the corpus is scanned ONCE for the whole sweep,
+    * the q207 ladder argument. F1 = (2·p·r) div (p+r), products ≤1e12,
+    * long-safe. */
+  def thresholdSweep(df: DataFrame, confPpmCol: String, labelCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep: empty threshold list")
+    val v = df.filter(col(confPpmCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(confPpmCol).cast("long").as("_c"),
+        col(labelCol).cast("boolean").as("_y"))
+    val g = v.groupBy(col("_c")).agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("np"),
+      sum(when(!col("_y"), 1L).otherwise(0L)).as("nn"))
+    val sess = df.sparkSession
+    import sess.implicits._
+    // broadcast the |thresholds|-row spine against the domain-sized
+    // frame — the corpus never multiplies, only its tiny summary does
+    g.join(broadcast(thresholds.toDF("thr_ppm")), lit(true))
+      .groupBy(col("thr_ppm"))
+      .agg(
+        sum(when(col("_c") >= col("thr_ppm"), col("np"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("_c") >= col("thr_ppm"), col("nn"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("_c") < col("thr_ppm"), col("np"))
+          .otherwise(0L)).as("fn"),
+        sum(when(col("_c") < col("thr_ppm"), col("nn"))
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision_ppm", expr(
+        "case when tp + fp > 0 then (1000000 * tp) div (tp + fp) end"))
+      .withColumn("recall_ppm", expr(
+        "case when tp + fn > 0 then (1000000 * tp) div (tp + fn) end"))
+      .withColumn("f1_ppm", expr(
+        "case when precision_ppm + recall_ppm > 0 then " +
+          "(2 * precision_ppm * recall_ppm) div " +
+          "(precision_ppm + recall_ppm) end"))
+      .select(col("thr_ppm"), col("tp"), col("fp"), col("fn"), col("tn"),
+        col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
+  }
+
   /** [NS] — fixed-band calibration / reliability table: the
     * STREAM-FOLDABLE sibling of [[calibrationTable]] (fixed-width
     * confidence bands instead of equal-population rank bands), and the

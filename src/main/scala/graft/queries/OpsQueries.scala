@@ -1372,6 +1372,86 @@ object OpsQueries {
       FROM t"""),
     doc = "[NS] Brier score (strictly-proper scoring rule, exact ppm)")
 
+  /** [NS] — average precision (q218): [[graft.operators.Analytics
+    * .averagePrecision]] — the PR-AUC summary under the q216 labeling,
+    * integer-quantized per-term so both engines truncate identically;
+    * ranks from the two-pass global rank, never a single-partition
+    * window. */
+  val q218AvgPrecision = Q(
+    "q218_avg_precision",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("cents", round($"value" * 100).cast("long"))
+        .withColumn("y", $"event_type".isin("click", "purchase"))
+      Analytics.averagePrecision(ev, "cents", "event_id", "y")
+    },
+    Some("""WITH v AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS s,
+          event_id AS t, event_type IN ('click', 'purchase') AS y
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      r AS (SELECT *, row_number() OVER (ORDER BY s DESC, t) AS rk
+        FROM v),
+      p AS (SELECT t, row_number() OVER (ORDER BY s DESC, t) AS pk
+        FROM v WHERE y),
+      j AS (SELECT r.y, CASE WHEN p.pk IS NOT NULL THEN
+          (1000000 * p.pk) // r.rk END AS term
+        FROM r LEFT JOIN p USING (t))
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS n_pos,
+        CASE WHEN count(CASE WHEN y THEN 1 END) > 0 THEN
+          CAST(sum(term) // count(CASE WHEN y THEN 1 END) AS BIGINT)
+          END AS ap_ppm
+      FROM j"""),
+    doc = "[NS] average precision (integer-quantized PR-AUC summary, two-pass ranks)")
+
+  /** [NS] — threshold sweep (q219): [[graft.operators.Analytics
+    * .thresholdSweep]] — confusion counts + precision/recall/F1 at a
+    * 5-threshold ladder over the q211 confidence convention, computed
+    * from ONE corpus aggregate (the distinct-confidence frame) joined
+    * to the broadcast threshold spine — the q207 single-scan ladder
+    * argument applied to model operating points. */
+  val q219ThresholdSweep = Q(
+    "q219_threshold_sweep",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("conf", round($"value" * 10000).cast("long"))
+        .withColumn("y", $"event_type".isin("click", "purchase"))
+      Analytics.thresholdSweep(ev, "conf", "y",
+          Seq(100000L, 300000L, 500000L, 700000L, 900000L))
+        .orderBy($"thr_ppm")
+    },
+    Some("""WITH v AS (SELECT CAST(round(value * 10000.0) AS BIGINT) AS c,
+          event_type IN ('click', 'purchase') AS y
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      g AS (SELECT c, CAST(count(CASE WHEN y THEN 1 END) AS BIGINT) AS np,
+          CAST(count(CASE WHEN NOT y THEN 1 END) AS BIGINT) AS nn
+        FROM v GROUP BY c),
+      sp AS (SELECT CAST(unnest([100000, 300000, 500000, 700000, 900000])
+          AS BIGINT) AS thr_ppm),
+      a AS (SELECT thr_ppm,
+          CAST(sum(CASE WHEN c >= thr_ppm THEN np ELSE 0 END) AS BIGINT)
+            AS tp,
+          CAST(sum(CASE WHEN c >= thr_ppm THEN nn ELSE 0 END) AS BIGINT)
+            AS fp,
+          CAST(sum(CASE WHEN c < thr_ppm THEN np ELSE 0 END) AS BIGINT)
+            AS fn,
+          CAST(sum(CASE WHEN c < thr_ppm THEN nn ELSE 0 END) AS BIGINT)
+            AS tn
+        FROM g, sp GROUP BY thr_ppm),
+      m AS (SELECT *,
+          CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) END
+            AS precision_ppm,
+          CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn) END
+            AS recall_ppm
+        FROM a)
+      SELECT thr_ppm, tp, fp, fn, tn, precision_ppm, recall_ppm,
+        CASE WHEN precision_ppm + recall_ppm > 0 THEN
+          (2 * precision_ppm * recall_ppm) //
+            (precision_ppm + recall_ppm) END AS f1_ppm
+      FROM m ORDER BY thr_ppm"""),
+    doc = "[NS] threshold sweep (confusion counts + P/R/F1 ladder, one corpus scan)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
@@ -1380,5 +1460,5 @@ object OpsQueries {
     q176DriftAudit, q184TopNOther, q185Winsorize, q189TrendSlope,
     q190TopMovers, q194QuantileNorm, q195KAnonymity, q197Bootstrap,
     q198ChiSquare, q202Calibration, q203Gains, q211CalibrationBands,
-    q216Auc, q217Brier)
+    q216Auc, q217Brier, q218AvgPrecision, q219ThresholdSweep)
 }

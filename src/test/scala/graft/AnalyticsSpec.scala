@@ -631,6 +631,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("averagePrecision: hand-computed terms with a miss interleaved; " +
+      "perfect ranking scores 1e6; zero positives yields NULL") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ap(rows: Seq[(Long, Long, Boolean)]) = {
+      val r = Analytics.averagePrecision(
+        rows.toDF("s", "t", "y"), "s", "t", "y").collect().head
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }
+    // ranks: pos@1 (term 1e6), neg@2, pos@3 (term 2e6 div 3), neg@4
+    // -> AP = (1000000 + 666666) div 2 = 833333
+    assert(ap(Seq((5L, 1L, true), (4L, 2L, false), (3L, 3L, true),
+      (1L, 4L, false))) === ((4L, 2L, Some(833333L))))
+    assert(ap(Seq((9L, 1L, true), (8L, 2L, true), (1L, 3L, false)))
+      === ((3L, 2L, Some(1000000L))))
+    assert(ap(Seq((9L, 1L, false), (1L, 2L, false)))
+      === ((2L, 0L, None)))
+  }
+
+  test("thresholdSweep: confusion counts and P/R/F1 at hand-checked " +
+      "operating points; boundary is >= the threshold") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val df = Seq((900000L, true), (700000L, false), (600000L, true),
+      (100000L, false)).toDF("c", "y")
+    val got = Analytics.thresholdSweep(df, "c", "y",
+        Seq(500000L, 600000L, 800000L))
+      .orderBy(col("thr_ppm")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // T=500000: tp=2 fp=1 fn=0 tn=1; p=666666 r=1000000 f1=799999
+    assert(got(0) === ((500000L, 2L, 1L, 0L, 1L, 666666L, 1000000L,
+      799999L)))
+    // T=600000: the 600000-conf positive sits ON the boundary: kept
+    assert(got(1) === ((600000L, 2L, 1L, 0L, 1L, 666666L, 1000000L,
+      799999L)))
+    // T=800000: tp=1 fp=0 fn=1 tn=2; p=1000000 r=500000 f1=666666
+    assert(got(2) === ((800000L, 1L, 0L, 1L, 2L, 1000000L, 500000L,
+      666666L)))
+  }
+
   test("brierScore: perfect confident predictions score 0, maximal " +
       "uncertainty scores 250000, confident wrongness 1000000") {
     import spark.implicits._
