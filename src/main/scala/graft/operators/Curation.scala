@@ -1252,23 +1252,38 @@ object Curation {
     * have no bigrams and are absent, [[oovGate]]'s convention. Output:
     * (idCol, n_bigrams, mean_p_ppm). */
   def bigramLmScore(train: DataFrame, probe: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    def bigrams(df: DataFrame) = df
-      .select(col(idCol), split(col(textCol), " ").as("_l"))
-      .filter(size(col("_l")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(_l) - 1), i -> " +
-          "struct(element_at(_l, i) as w1, element_at(_l, i + 1) as w2))"))
-        .as("_b"))
-      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
-    val big = bigrams(train).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
-    val uni = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val model = big.join(uni, Seq("w1"))
+      textCol: String): DataFrame =
+    lmScoreFromModel(probe,
+      bigramFrame(train, idCol, textCol)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
+      idCol, textCol)
+
+  /** Per-doc bigram explode shared by the in-query scorer and the
+    * stored-model lifecycle ([[LmIndex]]): (idCol, w1, w2), one row per
+    * ADJACENT token pair; docs with < 2 tokens contribute nothing. */
+  private[operators] def bigramFrame(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = df
+    .select(col(idCol), split(col(textCol), " ").as("_l"))
+    .filter(size(col("_l")) >= 2)
+    .select(col(idCol), explode(expr(
+      "transform(sequence(1, size(_l) - 1), i -> " +
+        "struct(element_at(_l, i) as w1, element_at(_l, i + 1) as w2))"))
+      .as("_b"))
+    .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+
+  /** The LM scoring tail shared by [[bigramLmScore]] (in-query model)
+    * and [[LmIndex.serve]] (stored model): `model` = (w1, w2, c2);
+    * contexts derive from the model itself (model-sized aggregate,
+    * never a corpus scan), so the two paths are bit-identical by
+    * construction. */
+  private[operators] def lmScoreFromModel(probe: DataFrame,
+      model: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val uni = model.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val scored = model.join(uni, Seq("w1"))
       .withColumn("p_ppm", expr("(1000000 * c2) div c1"))
       .select(col("w1"), col("w2"), col("p_ppm"))
-    bigrams(probe)
-      .join(model, Seq("w1", "w2"), "left")
+    bigramFrame(probe, idCol, textCol)
+      .join(scored, Seq("w1", "w2"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("p_ppm"), lit(0L))).as("_s"))

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [NS] Bigram-LM MODEL lifecycle — train once, persist, score many:
+  * the [[AnnIndex]]/[[TextIndex]] move applied to the quality gate.
+  * [[Curation.bigramLmScore]] rebuilds its model from the train corpus
+  * inside every query; in a real pipeline the LM is trained on a
+  * reference corpus ONCE and then scores every incoming crawl batch —
+  * serving must read a stored model, never the training corpus.
+  *
+  *  - [[build]] / [[buildIfAbsent]]: one train-corpus pass → bigram
+  *    count table (w1, w2, c2), range-partitioned and sorted by w1 (a
+  *    probe's vocabulary prunes row groups on the join key's sort
+  *    order). Context counts c(w1,·) are NOT stored — they derive from
+  *    the model itself at serve time (a model-sized aggregate), which
+  *    keeps the stored table single-sourced: a merge only ever touches
+  *    c2 rows, and c1 can never drift out of sync with them.
+  *  - [[mergeBatch]]: fold NEW train documents in without re-reading
+  *    the old corpus — bigram counts are SUMS, so the merge is a left
+  *    join of stored rows against the batch's count table (rows of
+  *    untouched bigrams pass through byte-identical) plus the
+  *    batch-only remainder, written as the next generation under
+  *    [[TextIndex]]'s pointer protocol with the same replayed-epoch
+  *    no-op guard.
+  *  - [[serve]]: score a probe frame from the STORED model only — the
+  *    train corpus appears NOWHERE in the plan (PlanQualitySpec-gated);
+  *    scoring shares [[Curation.lmScoreFromModel]] with the in-query
+  *    twin, so stored-vs-in-query results are identical by
+  *    construction (q214's oracle checks both).
+  */
+object LmIndex {
+
+  def modelPath(dir: String): String = {
+    val (g, _) = TextIndex.current(dir)
+    s"${TextIndex.genDir(dir, g.max(0L))}/bigrams"
+  }
+
+  def defaultDir(corpusTag: String): String =
+    "/tmp/graft_lm_index/" + corpusTag.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def writeGen(model: DataFrame, dir: String, gen: Long): Unit =
+    model.repartitionByRange(col("w1"))
+      .sortWithinPartitions(col("w1"), col("w2"))
+      .write.mode("overwrite")
+      .parquet(s"${TextIndex.genDir(dir, gen)}/bigrams")
+
+  /** One train-corpus pass → (w1, w2, c2) as generation 0. */
+  def build(train: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    writeGen(Curation.bigramFrame(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")),
+      dir, 0L)
+    TextIndex.advance(dir, 0L, -1L)
+  }
+
+  /** [[build]] unless a fingerprint-matching model exists. */
+  def buildIfAbsent(train: DataFrame, idCol: String, textCol: String,
+      dir: String, corpusTag: String): Unit =
+    TextIndex.withFingerprint(dir, corpusTag) {
+      build(train, idCol, textCol, dir)
+    }
+
+  private def storedModel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("w1", StringType), StructField("w2", StringType),
+        StructField("c2", LongType))))
+      .parquet(modelPath(dir))
+  }
+
+  /** Fold a NEW train-document batch into the stored model: counts are
+    * sums, so stored rows of bigrams the batch does not contain pass
+    * through byte-identical and only colliding rows add. `epoch` ≥ 0
+    * gives the replayed-delivery no-op guard ([[TextIndex.mergeBatch]]'s
+    * protocol). */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, dir: String, epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = TextIndex.current(dir)
+    require(gen >= 0, s"LmIndex.mergeBatch: no model at $dir — build() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return
+    val bc = Curation.bigramFrame(batch, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc2"))
+      .localCheckpoint(true)
+    val stored = storedModel(spark, dir)
+    val merged = stored
+      .join(bc, Seq("w1", "w2"), "left")
+      .select(col("w1"), col("w2"),
+        (col("c2") + coalesce(col("bc2"), lit(0L))).as("c2"))
+      .unionByName(bc
+        .join(stored.select(col("w1"), col("w2"), lit(1).as("_seen")),
+          Seq("w1", "w2"), "left_anti")
+        .select(col("w1"), col("w2"), col("bc2").as("c2")))
+    writeGen(merged, dir, gen + 1)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+  }
+
+  /** Score `probe` from the STORED model only — zero train-corpus scans
+    * in the plan; identical to [[Curation.bigramLmScore]] over the same
+    * train set by shared-tail construction. */
+  def serve(spark: SparkSession, probe: DataFrame, idCol: String,
+      textCol: String, dir: String): DataFrame =
+    Curation.lmScoreFromModel(probe, storedModel(spark, dir),
+      idCol, textCol)
+}

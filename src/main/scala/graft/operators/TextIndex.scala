@@ -54,7 +54,7 @@ object TextIndex {
   /** Bump when the on-disk layout or scoring semantics change. */
   private val FormatVersion = 2
 
-  private def genDir(dir: String, gen: Long) = s"$dir/gen=$gen"
+  private[operators] def genDir(dir: String, gen: Long) = s"$dir/gen=$gen"
   private def pointerPath(dir: String) = java.nio.file.Paths.get(dir, "_current")
   private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "_graft_index_meta.json")
 
@@ -70,7 +70,8 @@ object TextIndex {
 
   /** Atomically advance the pointer: temp file + ATOMIC_MOVE, so readers
     * see either the old generation or the new, never a torn value. */
-  private def advance(dir: String, gen: Long, epoch: Long): Unit = {
+  private[operators] def advance(dir: String, gen: Long,
+      epoch: Long): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, s"_current.tmp.$gen")

@@ -991,6 +991,56 @@ object CurationQueries {
       FROM sc ORDER BY doc_id"""),
     doc = "[NS] bigram-LM scoring (integer perplexity-gate cousin, train/probe split)")
 
+  /** [NS] — LM-model lifecycle (q220): the q127/q107 move applied to
+    * the quality gate — first invocation persists the bigram count
+    * table ([[graft.operators.LmIndex.buildIfAbsent]], fingerprinted);
+    * scoring then reads the STORED model only (the train corpus appears
+    * nowhere in the serving plan — PlanQualitySpec-gated; the one
+    * documents scan is the probe batch itself, which IS the workload).
+    * Oracle: q214's from-scratch SQL — a corrupt stored model cannot
+    * match a recomputation. */
+  val q220LmIndexServe = Q(
+    "q220_lm_index_serve",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.operators.LmIndex.defaultDir(d + "_lm")
+      graft.operators.LmIndex.buildIfAbsent(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", dir,
+        corpusTag = d + "#lm90")
+      graft.operators.LmIndex.serve(s,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", dir)
+        .orderBy(col("doc_id"))
+    },
+    q214LmScore.oracle,
+    doc = "[NS] LM lifecycle: scoring served from the persisted bigram model")
+
+  /** [NS] — incremental LM maintenance (q221): build the model on the
+    * first 80% of the train split, fold the remaining train docs in
+    * with [[graft.operators.LmIndex.mergeBatch]] (counts are sums —
+    * stored rows of untouched bigrams pass through byte-identical),
+    * then score the q214 probe. The oracle is STILL the from-scratch
+    * SQL over the full train split: green proves merge ∘ build ≡ build
+    * on the union (the q128/q210 twin certification, applied to model
+    * counts). */
+  val q221LmIndexMerge = Q(
+    "q221_lm_index_merge",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val dir = graft.operators.LmIndex.defaultDir(d + "_lm_incr")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#lm80+merge") {
+        graft.operators.LmIndex.build(
+          train.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", dir)
+        graft.operators.LmIndex.mergeBatch(s,
+          train.filter(col("doc_id") % 5 === 4), "doc_id", "text", dir)
+      }
+      graft.operators.LmIndex.serve(s,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", dir)
+        .orderBy(col("doc_id"))
+    },
+    q214LmScore.oracle,
+    doc = "[NS] incremental LM count merge == from-scratch build (twin-certified)")
+
   /** [NS] — composed crawl-ingest funnel (q215): the full pretraining
     * ingest chain in one oracle-checked query — synthesize crawl pages
     * ([[DocQueries.crawlPage]], q208's fixture), EXTRACT
@@ -1409,5 +1459,5 @@ object CurationQueries {
     q162GroupSplit, q171CurationFunnel, q180SpellCorrect,
     q188BalancedSample, q200ExportManifest, q209PhraseIndexServe,
     q210PhraseIndexMerge, q212UrlProfile, q213DomainGate, q214LmScore,
-    q215CrawlFunnel)
+    q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge)
 }

@@ -532,6 +532,47 @@ class CurationSpec extends AnyFunSuite {
       spark, dir, "doc_id", phrase)) === scratch)
   }
 
+  test("LmIndex: stored-model scoring equals the in-query path; " +
+      "merge ∘ build ≡ build on the union; replayed epochs no-op") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = "/tmp/graft_lm_spec"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val train = docs.filter($"doc_id" % 10 =!= 0)
+    val probe = docs.filter($"doc_id" % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    graft.operators.LmIndex.build(
+      train.filter($"doc_id" % 5 =!= 4), "doc_id", "text", dir)
+    graft.operators.LmIndex.mergeBatch(spark,
+      train.filter($"doc_id" % 5 === 4), "doc_id", "text", dir,
+      epoch = 1L)
+    val served = rows(graft.operators.LmIndex.serve(
+      spark, probe, "doc_id", "text", dir))
+    val scratch = rows(graft.operators.Curation.bigramLmScore(
+      train, probe, "doc_id", "text"))
+    assert(served === scratch)
+    assert(served.nonEmpty)
+    // replayed epoch: counts must not double (doubling c2 AND c1 would
+    // cancel in most ratios — the truncated div makes it visible, and
+    // the stored row count would still change; check both)
+    val nRows = spark.read.parquet(
+      graft.operators.LmIndex.modelPath(dir)).count()
+    graft.operators.LmIndex.mergeBatch(spark,
+      train.filter($"doc_id" % 5 === 4), "doc_id", "text", dir,
+      epoch = 1L)
+    assert(spark.read.parquet(
+      graft.operators.LmIndex.modelPath(dir)).count() === nRows)
+    assert(rows(graft.operators.LmIndex.serve(
+      spark, probe, "doc_id", "text", dir)) === scratch)
+  }
+
   test("bm25TopK: a doc repeating a rare term outranks stopword-heavy " +
       "docs, and scores are reproducible across partitionings") {
     import spark.implicits._
