@@ -1147,15 +1147,18 @@ object Curation {
     *     signals are exact integer arithmetic, so the whole decision
     *     hash-matches a DuckDB oracle running the same kernels.
     *
-    * Output: (idCol, clean_text = kept lines joined by '\n', kept_lines,
-    * dropped_lines) — dropped counts only lines that still had text after
+    * Output: (idCol, keepCols..., clean_text = kept lines joined by
+    * '\n', kept_lines, dropped_lines) — `keepCols` pass through
+    * untouched (a STREAMING ingest needs the event time to survive
+    * extraction for the downstream watermark/gate);
+    * dropped counts only lines that still had text after
     * tag stripping (a pure-markup line is not "boilerplate", it is
     * structure). Reference precedent: the description-blanking refine
     * (cmds/archive.py:105, utils.py:8) is the reference's own (tiny)
     * text-cleanup stage; this is its crawl-scale generalization. */
   def extractText(df: DataFrame, idCol: String, htmlCol: String,
       minWords: Int = 3, minChars: Int = 10,
-      maxLinkPpm: Long = 300000L): DataFrame = {
+      maxLinkPpm: Long = 300000L, keepCols: Seq[String] = Nil): DataFrame = {
     require(minWords >= 1 && minChars >= 1 && maxLinkPpm >= 0,
       s"bad extractText gate: minWords=$minWords minChars=$minChars " +
         s"maxLinkPpm=$maxLinkPpm")
@@ -1182,12 +1185,12 @@ object Curation {
     }
     df.withColumn("_cand", cand)
       .withColumn("_kept", filter(col("_cand"), isKept))
-      .select(col(idCol),
+      .select(col(idCol) +: keepCols.map(col) :+
         array_join(transform(col("_kept"), s => s("c")), "\n")
-          .as("clean_text"),
-        size(col("_kept")).cast("long").as("kept_lines"),
+          .as("clean_text") :+
+        size(col("_kept")).cast("long").as("kept_lines") :+
         (size(col("_cand")) - size(col("_kept"))).cast("long")
-          .as("dropped_lines"))
+          .as("dropped_lines"): _*)
   }
 
   /** [NS] Crawl URL parsing — the metadata half of crawl ingest: every

@@ -1041,6 +1041,53 @@ object CurationQueries {
     q214LmScore.oracle,
     doc = "[NS] incremental LM count merge == from-scratch build (twin-certified)")
 
+  /** [NS] — shard mixing audit (q222): after [[graft.operators
+    * .Curation.packShards]] balances shard SIZES, this audits what the
+    * packing did to shard COMPOSITION — per shard: doc count, char
+    * mass, distinct sources, and source-share Gini impurity in ppb
+    * (q191's log-free diversity measure). A training shard dominated
+    * by one source makes a bad gradient batch; this is the check a
+    * data team runs before shipping shards, and the serpentine
+    * round-robin's mixing property is exactly what it should surface
+    * (size-adjacent docs scatter across shards, so per-shard source
+    * mix approaches the corpus mix). */
+  val q222ShardMix = Q(
+    "q222_shard_mix",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val packed = Curation.packShards(docs, "doc_id", "n_chars", 8)
+        .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      val bySrc = packed.groupBy($"shard", $"source")
+        .agg(count(lit(1)).as("nl"), sum($"n_chars").as("chars"))
+      bySrc.groupBy($"shard")
+        .agg(sum($"nl").as("n_docs"),
+          sum($"chars").as("total_chars"),
+          count(lit(1)).as("n_sources"),
+          expr("1000000000 - (sum(nl * nl) * 1000000000) div " +
+            "(sum(nl) * sum(nl))").as("src_gini_ppb"))
+        .select($"shard".cast("long").as("shard"), $"n_docs",
+          $"total_chars", $"n_sources", $"src_gini_ppb")
+        .orderBy($"shard")
+    },
+    Some("""WITH r AS (SELECT doc_id, source, n_chars,
+          row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+        FROM documents),
+      sh AS (SELECT source, n_chars,
+          CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+            ELSE 7 - rk % 8 END AS shard FROM r),
+      g AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS nl,
+          CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM sh GROUP BY shard, source)
+      SELECT CAST(shard AS BIGINT) AS shard,
+        CAST(sum(nl) AS BIGINT) AS n_docs,
+        CAST(sum(chars) AS BIGINT) AS total_chars,
+        CAST(count(*) AS BIGINT) AS n_sources,
+        CAST(1000000000 - (sum(nl * nl) * 1000000000)
+          // (sum(nl) * sum(nl)) AS BIGINT) AS src_gini_ppb
+      FROM g GROUP BY shard ORDER BY shard"""),
+    doc = "[NS] shard mixing audit (per-shard source diversity after serpentine packing)")
+
   /** [NS] — composed crawl-ingest funnel (q215): the full pretraining
     * ingest chain in one oracle-checked query — synthesize crawl pages
     * ([[DocQueries.crawlPage]], q208's fixture), EXTRACT
@@ -1459,5 +1506,5 @@ object CurationQueries {
     q162GroupSplit, q171CurationFunnel, q180SpellCorrect,
     q188BalancedSample, q200ExportManifest, q209PhraseIndexServe,
     q210PhraseIndexMerge, q212UrlProfile, q213DomainGate, q214LmScore,
-    q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge)
+    q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge, q222ShardMix)
 }

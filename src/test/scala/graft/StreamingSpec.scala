@@ -534,6 +534,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedAdmitted === batchAdmitted)
   }
 
+  test("streaming crawl ingest: raw HTML → extractText in-stream → " +
+      "near-dup gate; admitted set equals the batch twin, boilerplate " +
+      "pages never reach the gate") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    implicit val ss = spark
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def page(body: String) =
+      "<html><body><div><a href=\"/\">home</a> | <a href=\"/a\">about" +
+        "</a> | <a href=\"/c\">contact</a></div><p>" + body + "</p>" +
+        "<div><a href=\"/t\">terms and conditions link</a></div>" +
+        "</body></html>"
+    // boilerplate-only template: everything dies in the line gate
+    val template = "<html><body><div><a href=\"/\">home</a> | " +
+      "<a href=\"/a\">about</a> | <a href=\"/c\">contact</a></div>" +
+      "<p>ok</p></body></html>"
+    val rows = Seq(
+      (1L, page("the quick brown fox jumps over the lazy dog"),
+        ts("2024-01-01 10:00:00")),
+      (2L, page("the quick brown fox jumps over the lazy dog"),
+        ts("2024-01-01 10:01:00")), // same body → near-dup, rejected
+      (3L, template, ts("2024-01-01 10:02:00")),
+      (4L, page("completely different content about spark shuffles"),
+        ts("2024-01-01 10:03:00")),
+      (5L, template, ts("2024-01-01 10:04:00")))
+    def extractNonEmpty(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.extractText(df, "doc_id", "html",
+          keepCols = Seq("ts"))
+        .filter(length(col("clean_text")) > 0)
+    // batch twin: same extraction, same gate semantics
+    val batchAdmitted = graft.operators.Dedup.nearDupGateBatch(
+        extractNonEmpty(rows.toDF("doc_id", "html", "ts")),
+        "doc_id", "clean_text", "ts")
+      .select($"id").as[Long].collect().toSet
+    assert(batchAdmitted === Set(1L, 4L))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val claims = EventStream.bandFirstSight(
+      extractNonEmpty(mem.toDF().toDF("doc_id", "html", "ts")),
+      "doc_id", "clean_text", "ts",
+      watermark = "0 seconds", ttlMs = 24 * 3600 * 1000L)
+    val q = claims.writeStream.format("memory").queryName("crawl_gate")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(3))
+      q.processAllAvailable()
+      mem.addData(rows.drop(3))
+      q.processAllAvailable()
+      val streamed = EventStream.admittedClaims(
+          spark.table("crawl_gate"))
+        .select($"id").as[Long].collect().toSet
+      assert(streamed === batchAdmitted)
+      // the templates were cut by extraction, not by band collision:
+      // no claim row carries their ids at all
+      val claimIds = spark.table("crawl_gate").select($"id").as[Long]
+        .collect().toSet
+      assert(!claimIds.contains(3L) && !claimIds.contains(5L), claimIds)
+    } finally q.stop()
+  }
+
   test("streaming near-dup gate: exact dup rejected within TTL, " +
       "re-admitted after watermark-driven eviction") {
     import spark.implicits._
