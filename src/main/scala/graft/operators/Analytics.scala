@@ -760,6 +760,56 @@ object Analytics {
         col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
   }
 
+  /** [NS] — error-analysis sampler: a DETERMINISTIC k-sample of row
+    * ids per confusion cell (predicted × actual) — the "show me five
+    * false positives" query every model debugging loop runs; a
+    * rand()-based sample would be neither reproducible nor
+    * oracle-checkable, so the sample is the k md5-smallest ids per
+    * cell (uniform in the hash, stable across runs, engines, and
+    * partitionings — [[Curation.hashBucket]]'s argument applied to
+    * sampling). One per-cell rank window (4 cells — parallel,
+    * bounded), never a global sort. Output: (predicted, actual, rk,
+    * idCol), rk 1..k in hash order. */
+  def errorSamples(df: DataFrame, idCol: String, predCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k > 0, s"need positive k, got $k")
+    val in = df.filter(col(predCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol), col(predCol).cast("boolean").as("predicted"),
+        col(labelCol).cast("boolean").as("actual"))
+    in.withColumn("_h", md5(col(idCol).cast("string")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("predicted"), col("actual"))
+          .orderBy(col("_h"), col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col("predicted"), col("actual"),
+        col("rk").cast("long").as("rk"), col(idCol))
+  }
+
+  /** [NS] — user-journey path mining: the top event-type TRIGRAM paths
+    * (e1 > e2 > e3 over each user's time-ordered stream) with
+    * occurrence counts and user support — the navigation-pattern /
+    * funnel-discovery readout (q204 tests a GIVEN pair; this SURFACES
+    * the frequent paths). Two lead() windows per user (per-key
+    * windows, parallel across users, state bounded by per-user
+    * activity) + one path aggregate; the top-n is a
+    * TakeOrderedAndProject, never a global sort. */
+  def journeyPaths(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, topN: Int): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    df.filter(col(typeCol).isNotNull)
+      .withColumn("_e2", lead(col(typeCol), 1).over(w))
+      .withColumn("_e3", lead(col(typeCol), 2).over(w))
+      .filter(col("_e2").isNotNull && col("_e3").isNotNull)
+      .select(concat_ws(">", col(typeCol), col("_e2"), col("_e3"))
+        .as("path"), col(userCol))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(userCol)).as("n_users"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(topN)
+  }
+
   /** [NS] — fixed-band calibration / reliability table: the
     * STREAM-FOLDABLE sibling of [[calibrationTable]] (fixed-width
     * confidence bands instead of equal-population rank bands), and the

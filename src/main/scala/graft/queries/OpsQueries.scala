@@ -1452,6 +1452,59 @@ object OpsQueries {
       FROM m ORDER BY thr_ppm"""),
     doc = "[NS] threshold sweep (confusion counts + P/R/F1 ladder, one corpus scan)")
 
+  /** [NS] — error-analysis sampler (q223): [[graft.operators.Analytics
+    * .errorSamples]] under the q219 labeling at the 500000 threshold —
+    * five deterministic examples per confusion cell, the rows a model
+    * debugger actually opens. The md5-order sample reproduces exactly
+    * in DuckDB, so even the SAMPLE is oracle-checked. */
+  val q223ErrorSamples = Q(
+    "q223_error_samples",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("pred", round($"value" * 10000).cast("long") >= 500000L)
+        .withColumn("y", $"event_type".isin("click", "purchase"))
+        .filter($"value".isNotNull && $"event_type".isNotNull)
+      Analytics.errorSamples(ev, "event_id", "pred", "y", k = 5)
+        .orderBy($"predicted", $"actual", $"rk")
+    },
+    Some("""WITH v AS (SELECT event_id,
+          CAST(round(value * 10000.0) AS BIGINT) >= 500000 AS predicted,
+          event_type IN ('click', 'purchase') AS actual
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      r AS (SELECT *, row_number() OVER (PARTITION BY predicted, actual
+          ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+        FROM v)
+      SELECT predicted, actual, CAST(rk AS BIGINT) AS rk, event_id
+      FROM r WHERE rk <= 5
+      ORDER BY predicted, actual, rk"""),
+    doc = "[NS] error-analysis sampler (deterministic per-cell examples, oracle-checked)")
+
+  /** [NS] — user-journey path mining (q224): [[graft.operators
+    * .Analytics.journeyPaths]] — the 20 most frequent event-type
+    * trigram paths over each user's time-ordered stream, with
+    * occurrence counts and user support. */
+  val q224Journeys = Q(
+    "q224_journeys",
+    (s, d) => {
+      import s.implicits._
+      Analytics.journeyPaths(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id", topN = 20)
+    },
+    Some("""WITH w AS (SELECT user_id, event_type AS e1,
+          lead(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS e2,
+          lead(event_type, 2) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS e3
+        FROM events WHERE event_type IS NOT NULL),
+      p AS (SELECT user_id, e1 || '>' || e2 || '>' || e3 AS path
+        FROM w WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+      SELECT path, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM p GROUP BY path
+      ORDER BY n DESC, path LIMIT 20"""),
+    doc = "[NS] user-journey trigram paths (frequent-path discovery, exact counts)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
@@ -1460,5 +1513,6 @@ object OpsQueries {
     q176DriftAudit, q184TopNOther, q185Winsorize, q189TrendSlope,
     q190TopMovers, q194QuantileNorm, q195KAnonymity, q197Bootstrap,
     q198ChiSquare, q202Calibration, q203Gains, q211CalibrationBands,
-    q216Auc, q217Brier, q218AvgPrecision, q219ThresholdSweep)
+    q216Auc, q217Brier, q218AvgPrecision, q219ThresholdSweep,
+    q223ErrorSamples, q224Journeys)
 }

@@ -673,6 +673,46 @@ class AnalyticsSpec extends AnyFunSuite {
       666666L)))
   }
 
+  test("errorSamples: k per cell, deterministic under repartitioning, " +
+      "never more than the cell holds") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val df = (1L to 100L).map(i => (i, i % 2 == 0, i % 3 == 0))
+      .toDF("id", "p", "y")
+    val a = Analytics.errorSamples(df, "id", "p", "y", k = 3)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1),
+        r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2, t._3))
+    // 4 cells, 3 each
+    assert(a.length === 12)
+    assert(a.groupBy(t => (t._1, t._2)).forall(_._2.map(_._3).sorted
+      .toSeq == Seq(1L, 2L, 3L)))
+    val b = Analytics.errorSamples(df.repartition(7), "id", "p", "y", 3)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1),
+        r.getLong(2), r.getLong(3))).sortBy(t => (t._1, t._2, t._3))
+    assert(a.toSeq === b.toSeq)
+    // a cell smaller than k yields what it has
+    val tiny = Seq((1L, true, true), (2L, false, false))
+      .toDF("id", "p", "y")
+    assert(Analytics.errorSamples(tiny, "id", "p", "y", 5).count() === 2)
+  }
+
+  test("journeyPaths: hand-built stream — paths counted per user in " +
+      "time order, interleaved users do not cross-contaminate") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1: a b c d  -> a>b>c, b>c>d ; u2: a b c -> a>b>c
+    val ev = Seq(
+      (1L, "a", ts(0), 1L), (2L, "a", ts(1), 10L),
+      (1L, "b", ts(2), 2L), (2L, "b", ts(3), 11L),
+      (1L, "c", ts(4), 3L), (2L, "c", ts(5), 12L),
+      (1L, "d", ts(6), 4L)
+    ).toDF("u", "et", "ts", "eid")
+    val got = Analytics.journeyPaths(ev, "u", "et", "ts", "eid", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("a>b>c", 2L, 2L), ("b>c>d", 1L, 1L)))
+  }
+
   test("brierScore: perfect confident predictions score 0, maximal " +
       "uncertainty scores 250000, confident wrongness 1000000") {
     import spark.implicits._
