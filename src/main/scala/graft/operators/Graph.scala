@@ -524,4 +524,91 @@ object Graph {
         .localCheckpoint(true) // pairs only; outlives the capped pin
     } finally capped.unpersist(blocking = false)
   }
+
+  /** [NS] — deterministic synchronous label propagation (Raghavan et
+    * al. 2007's LPA, made reproducible): labels start as node ids; each
+    * round every node adopts the MOST FREQUENT label among its
+    * neighbors, ties broken by the SMALLEST label (argmax via
+    * max(struct(cnt, -label)) — a pure aggregate, so the result is
+    * partition-invariant and oracle-expressible, where classic
+    * random-order LPA is neither). Unlike hash-min CC
+    * (which floods toward the global min and finds CONNECTED
+    * components), frequency-adoption stalls at community boundaries —
+    * dense blocks agree internally long before a bridge edge can win a
+    * plurality, which is what makes k-round LPA a community detector.
+    *
+    * Per round: one edges⋈labels join + one (node, label) count
+    * aggregate + one argmax aggregate — the PageRank iteration shape;
+    * labels localCheckpoint per round (fixpoint-loop convention).
+    * `rounds` is a bounded parameter: LPA is used at a fixed small
+    * depth, not to convergence. Returns (node, label). */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"bounded rounds, got $rounds")
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        labels = edges
+          .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src"), col("label"))
+          .agg(count(lit(1)).as("_c"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("_c"), (-col("label")).as("_nl")))
+            .as("_w"))
+          .select(col("src").as("node"), (-col("_w._nl")).as("label"))
+          .localCheckpoint(true)
+      }
+      labels
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** [NS] — common-neighbor link prediction: for every NON-adjacent
+    * node pair at distance 2, the count of shared neighbors and the
+    * neighborhood-Jaccard score in exact ppm — "which near-dup docs /
+    * users will an extra crawl pass connect next", the classic
+    * link-prediction baseline (Liben-Nowell & Kleinberg 2003).
+    *
+    * Plan: one wedge self-join through the shared neighbor (volume
+    * Σ deg² — the triangle bound; cap hub degrees upstream like
+    * [[coOccurrence]] when the graph has heavy hubs), one count
+    * aggregate, an ANTI-join against the edge set (candidates must not
+    * already be linked), two broadcast degree joins, and a
+    * TakeOrderedAndProject for the top-n. */
+  def linkPrediction(pairs: DataFrame, aCol: String, bCol: String,
+      topN: Int): DataFrame = {
+    val und = pairs.select(
+        least(col(aCol), col(bCol)).cast("long").as("_a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("_b"))
+      .filter(col("_a") < col("_b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val adj = und.select(col("_a").as("n"), col("_b").as("m"))
+        .unionByName(und.select(col("_b").as("n"), col("_a").as("m")))
+      val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val cand = adj.as("x").join(adj.as("y"), Seq("n"))
+        .filter(col("x.m") < col("y.m"))
+        .groupBy(col("x.m").as("u"), col("y.m").as("v"))
+        .agg(count(lit(1)).as("common"))
+        .join(und.select(col("_a").as("u"), col("_b").as("v")),
+          Seq("u", "v"), "left_anti")
+      cand
+        .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+        .withColumn("jaccard_ppm",
+          expr("(1000000 * common) div (du + dv - common)"))
+        .select(col("u"), col("v"), col("common"), col("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("u"), col("v"))
+        .limit(topN)
+        .localCheckpoint(true) // result only; outlives the und pin
+    } finally und.unpersist(blocking = false)
+  }
 }

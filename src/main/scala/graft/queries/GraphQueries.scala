@@ -628,7 +628,96 @@ object GraphQueries {
             // (SELECT count(*) FROM ev) AS BIGINT) END AS hr_ppm"""),
     doc = "[NS] recommender hit-rate@3 vs leave-last-out (train-only model, exact ppm)")
 
+  /** One synchronous LPA round as SQL: neighbor-label counts from the
+    * previous round's `lPrev`, argmax per node with smallest-label
+    * ties — [[graft.operators.Graph.labelPropagation]]'s update rule
+    * verbatim. */
+  private def lpaRoundSql(lPrev: String, lNext: String): String =
+    s"""$lNext AS MATERIALIZED (SELECT node, label FROM (
+        SELECT src AS node, label, row_number() OVER (PARTITION BY src
+          ORDER BY c DESC, label) AS rn
+        FROM (SELECT adj.src, l.label, count(*) AS c
+          FROM adj JOIN $lPrev l ON l.node = adj.dst
+          GROUP BY adj.src, l.label)) WHERE rn = 1)"""
+
+  /** [NS] — community detection by deterministic label propagation
+    * (q225): 3 synchronous LPA rounds over the contracted SimHash
+    * near-dup graph ([[graft.operators.Graph.labelPropagation]]) —
+    * communities = plurality-label basins, reported as size-ranked
+    * (community, n_nodes). Where CC (q72/q97) answers "what is
+    * transitively connected", LPA answers "what agrees internally":
+    * bridge edges between dense blocks lose the plurality vote, so
+    * chained near-dup clusters split at their weakest link. */
+  val q225LabelProp = Q(
+    "q225_label_prop",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
+        .groupBy($"simhash64")
+        .agg(min($"doc_id").as("sig_id"))
+      val pairs = Dedup.hammingPairs64(
+        sigs.select($"sig_id", $"simhash64"), "sig_id", "simhash64",
+        maxDist = 3)
+      Graph.labelPropagation(pairs, "doc_a", "doc_b", rounds = 3)
+        .groupBy($"label".as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .filter($"n_nodes" > 1)
+        .orderBy($"n_nodes".desc, $"community")
+        .limit(20)
+    },
+    Some(s"""WITH $simhashE0Ctes,
+      adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+        UNION ALL SELECT b, a FROM e0),
+      l0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM adj),
+      l0l AS MATERIALIZED (SELECT node, node AS label FROM l0),
+      ${lpaRoundSql("l0l", "l1")},
+      ${lpaRoundSql("l1", "l2")},
+      ${lpaRoundSql("l2", "l3")}
+      SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM l3 GROUP BY label HAVING count(*) > 1
+      ORDER BY n_nodes DESC, community LIMIT 20"""),
+    doc = "[NS] deterministic label-propagation communities (plurality basins)")
+
+  /** [NS] — common-neighbor link prediction (q226):
+    * [[graft.operators.Graph.linkPrediction]] over the contracted
+    * SimHash graph — the non-adjacent signature pairs most likely to be
+    * joined by the next crawl batch, scored by neighborhood Jaccard in
+    * exact ppm. The dedup-ops reading: a high-scoring predicted link
+    * marks two clusters one borderline document away from merging —
+    * the pairs to re-verify with exact Jaccard before a destructive
+    * dedup pass. */
+  val q226LinkPred = Q(
+    "q226_link_pred",
+    (s, d) => {
+      import s.implicits._
+      val sigs = Dedup.simhash64(Tables.documents(s, d), "doc_id", "text")
+        .groupBy($"simhash64")
+        .agg(min($"doc_id").as("sig_id"))
+      val pairs = Dedup.hammingPairs64(
+        sigs.select($"sig_id", $"simhash64"), "sig_id", "simhash64",
+        maxDist = 3)
+      Graph.linkPrediction(pairs, "doc_a", "doc_b", topN = 20)
+    },
+    Some(s"""WITH $simhashE0Ctes,
+      adj AS MATERIALIZED (SELECT a AS n, b AS m FROM e0
+        UNION ALL SELECT b, a FROM e0),
+      deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj
+        GROUP BY n),
+      cand AS (SELECT x.m AS u, y.m AS v,
+          CAST(count(*) AS BIGINT) AS common
+        FROM adj x JOIN adj y ON x.n = y.n AND x.m < y.m
+        GROUP BY x.m, y.m),
+      nc AS (SELECT u, v, common FROM cand
+        WHERE NOT EXISTS (SELECT 1 FROM e0
+          WHERE e0.a = cand.u AND e0.b = cand.v))
+      SELECT u, v, common,
+        (1000000 * common) // (du.d + dv.d - common) AS jaccard_ppm
+      FROM nc JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v
+      ORDER BY jaccard_ppm DESC, u, v LIMIT 20"""),
+    doc = "[NS] common-neighbor link prediction (cluster-merge early warning)")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
     q138Kcore, q161BfsLevels, q163HashWalks, q177CoOccurrence,
-    q178Trending, q181Ppr, q183NegSamples, q201RecHitRate)
+    q178Trending, q181Ppr, q183NegSamples, q201RecHitRate,
+    q225LabelProp, q226LinkPred)
 }

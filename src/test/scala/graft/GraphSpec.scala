@@ -312,4 +312,40 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pruned.toSeq == Seq((10L, 20L)))
   }
+
+  test("labelPropagation: two cliques joined by a bridge settle on " +
+      "separate plurality labels — the bridge cannot win a vote; " +
+      "partition-invariant") {
+    import spark.implicits._
+    // K4 on {1..4}, K4 on {10..13}, bridge 4–10
+    def k4(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = (k4(Seq(1L, 2L, 3L, 4L)) ++ k4(Seq(10L, 11L, 12L, 13L))
+      :+ ((4L, 10L)))
+    for (parts <- Seq(1, 7)) {
+      val df = edges.toDF("a", "b").repartition(parts)
+      val got = Graph.labelPropagation(df, "a", "b", rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L), got)
+      assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L), got)
+    }
+  }
+
+  test("linkPrediction: distance-2 pairs scored by neighborhood " +
+      "Jaccard; adjacent pairs are never candidates") {
+    import spark.implicits._
+    // path 1–2–3 plus K4-minus-one-edge on {5,6,7,8} (missing 5–8)
+    val edges = Seq((1L, 2L), (2L, 3L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val got = Graph.linkPrediction(edges.toDF("a", "b"), "a", "b", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // (1,3): common {2}, d1=1, d3=1 -> 1e6; (5,8): common {6,7},
+    // d5=2, d8=2 -> 1e6*2 div 2 = 1e6; nothing else at distance 2
+    assert(got.toSet === Set((1L, 3L, 1L, 1000000L),
+      (5L, 8L, 2L, 1000000L)), got.toSeq)
+    // no emitted pair is an edge
+    val eset = edges.toSet
+    assert(!got.exists(p => eset.contains((p._1, p._2))))
+  }
 }
