@@ -288,4 +288,67 @@ object PropertySpec extends Properties("graft") {
       val base = run(df)
       base.size == math.min(10, n) && run(df.repartition(parts)) == base
     }
+
+  // arbitrary junk mixed with URL-ish fragments — crawls contain both
+  private val urlish: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr.map(_.take(30)),
+    for {
+      scheme <- Gen.oneOf("http", "https", "ftp", "")
+      host <- Gen.oneOf("a.b.c", "x.example.com", "localhost", "..", "")
+      path <- Gen.oneOf("", "/", "/p/q", "//", "/a b")
+    } yield (if (scheme.isEmpty) "" else scheme + "://") + host + path)
+
+  property("[NS] parseUrl is TOTAL on junk: never null fields, depth " +
+      "equals the path's slash count, is_https iff scheme is https") =
+    forAll(Gen.listOfN(8, urlish)) { urls =>
+      val rows = graft.operators.Curation.parseUrl(
+          urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+            .toDF("id", "url"), "url")
+        .select("scheme", "host", "path", "path_depth", "is_https")
+        .collect()
+      rows.forall { r =>
+        val (scheme, host, path) =
+          (r.getString(0), r.getString(1), r.getString(2))
+        scheme != null && host != null && path != null &&
+          r.getLong(3) == path.count(_ == '/') &&
+          r.getBoolean(4) == (scheme == "https")
+      }
+    }
+
+  property("[NS] extractText is TOTAL on junk markup and never leaks a " +
+      "script/style body or a whole surviving tag") =
+    forAll(Gen.listOfN(6, Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(60)),
+      Gen.const("<script>SECRETBODY if(a<b)</script><p>real words " +
+        "kept here</p>"),
+      Gen.const("<style>BODYRULE{x:1}</style><div>three words here" +
+        "</div>"),
+      Gen.const("<p>unclosed <b tag soup everywhere maybe kept</p>"),
+      Gen.const("")))) { pages =>
+      val rows = graft.operators.Curation.extractText(
+          pages.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+            .toDF("id", "html"), "id", "html")
+        .collect()
+      rows.forall { r =>
+        val t = r.getString(1)
+        t != null && r.getLong(2) >= 0 && r.getLong(3) >= 0 &&
+          !t.contains("SECRETBODY") && !t.contains("BODYRULE") &&
+          !t.matches("(?s).*<[a-zA-Z][^>]*>.*")
+      }
+    }
+
+  property("[NS] domainGate matches on label boundaries only: a host " +
+      "is blocked iff it equals a blocked domain or ends with '.'+it") =
+    forAll(Gen.listOfN(10, Gen.oneOf("spam.example", "cdn.spam.example",
+      "notspam.example", "spam.example.org", "a.b.spam.example",
+      "spamexample", "ok.example", ""))) { hosts =>
+      val blocked = Seq("spam.example", "ok.example")
+      val got = graft.operators.Curation.domainGate(
+          hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+            .toDF("id", "host"), "host", blocked)
+        .collect().map(r => r.getString(1) -> r.getBoolean(2))
+      got.forall { case (h, b) =>
+        b == blocked.exists(d => h == d || h.endsWith("." + d))
+      }
+    }
 }
