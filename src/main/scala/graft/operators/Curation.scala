@@ -1294,6 +1294,53 @@ object Curation {
       .select(col(idCol), col("n_bigrams"), col("mean_p_ppm"))
   }
 
+  /** [NS] Corpus-level line deduplication — the C4 "remove boilerplate
+    * by global repetition" stage (Raffel et al. 2020 drop three-sentence
+    * spans occurring more than once; the line-granular variant is what
+    * most production pipelines run): any line occurring in more than
+    * `maxDocs` DISTINCT documents is boilerplate (cookie banners,
+    * nav crumbs, license footers survive per-page extraction because
+    * they look like prose — only corpus-wide repetition exposes them)
+    * and is removed from EVERY document; surviving lines rebuild each
+    * document in original order.
+    *
+    * Plan: one explode to (doc, pos, line); line frequencies via ONE
+    * groupBy on md5(line) (the 128-bit hash keys the shuffle — the
+    * line text itself never shuffles twice); the verdict joins back on
+    * the same hash; the rebuild is one groupBy(doc) with an order-safe
+    * sort_array. Two exchanges on bounded keys.
+    *
+    * Output: (idCol, clean_text, kept_lines, dropped_lines) — the
+    * [[extractText]] shape, so the two stages chain. */
+  def dedupCorpusLines(df: DataFrame, idCol: String, textCol: String,
+      maxDocs: Long): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    // both the frequency aggregate and the verdict join read this —
+    // pin it once, or the (possibly expensive — q227 chains extraction)
+    // upstream recomputes per branch (bm25TopK's q83 pattern)
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("_p", "_line")))
+      .filter(length(col("_line")) > 0)
+      .withColumn("_h", md5(col("_line")))
+      .localCheckpoint(true)
+    val freq = lines.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+    lines.join(freq, Seq("_h"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(expr(
+          s"transform(array_sort(collect_list(case when _nd <= $maxDocs " +
+            "then struct(_p as p, _line as l) end)), s -> s.l)"), "\n")
+          .as("clean_text"),
+        sum(when(col("_nd") <= maxDocs, 1L).otherwise(0L))
+          .as("kept_lines"),
+        sum(when(col("_nd") > maxDocs, 1L).otherwise(0L))
+          .as("dropped_lines"))
+      .select(col(idCol), col("clean_text"), col("kept_lines"),
+        col("dropped_lines"))
+  }
+
   /** SQL twin of [[extractText]] for the DuckDB oracle: the same kernels
     * over a table expression exposing (idExpr, htmlExpr). Kept beside the
     * operator so the two stay in lockstep. */

@@ -1088,6 +1088,47 @@ object CurationQueries {
       FROM g GROUP BY shard ORDER BY shard"""),
     doc = "[NS] shard mixing audit (per-shard source diversity after serpentine packing)")
 
+  /** [NS] — corpus-level line dedup after extraction (q227): the C4
+    * global-repetition stage ([[graft.operators.Curation
+    * .dedupCorpusLines]]) chained onto q208's extraction — per-page
+    * extraction keeps the synthesized rating line because it LOOKS like
+    * prose; only corpus-wide repetition (each rating variant appears in
+    * ~50 docs) exposes it as boilerplate, and the h1/body lines that
+    * repeat only where document texts genuinely collide survive or die
+    * with their true frequency. The oracle recomputes extraction AND
+    * the dedup chain from scratch. */
+  val q227CorpusLineDedup = Q(
+    "q227_corpus_line_dedup",
+    (s, d) => {
+      import s.implicits._
+      val ex = Curation.extractText(
+        DocQueries.crawlPage(Tables.documents(s, d)), "doc_id", "html")
+      Curation.dedupCorpusLines(ex, "doc_id", "clean_text", maxDocs = 30L)
+        .orderBy($"doc_id")
+    },
+    Some {
+      val exSql = Curation.extractTextSql("documents", "doc_id",
+        DocQueries.crawlPageHtmlSql, "doc_id")
+      s"""WITH sp AS (SELECT doc_id,
+            string_split(clean_text, chr(10)) AS ln FROM ($exSql) e),
+        l AS (SELECT doc_id, t.p AS p, ln[t.p] AS line
+          FROM sp, unnest(generate_series(1, len(ln))) AS t(p)
+          WHERE length(ln[t.p]) > 0),
+        f AS (SELECT md5(line) AS h, count(DISTINCT doc_id) AS nd
+          FROM l GROUP BY 1),
+        j AS (SELECT doc_id, p, line, nd
+          FROM l JOIN f ON md5(line) = f.h)
+        SELECT doc_id,
+          coalesce(string_agg(CASE WHEN nd <= 30 THEN line END, chr(10)
+            ORDER BY p), '') AS clean_text,
+          CAST(count(CASE WHEN nd <= 30 THEN 1 END) AS BIGINT)
+            AS kept_lines,
+          CAST(count(CASE WHEN nd > 30 THEN 1 END) AS BIGINT)
+            AS dropped_lines
+        FROM j GROUP BY doc_id ORDER BY doc_id"""
+    },
+    doc = "[NS] C4-style corpus-level line dedup chained onto extraction")
+
   /** [NS] — composed crawl-ingest funnel (q215): the full pretraining
     * ingest chain in one oracle-checked query — synthesize crawl pages
     * ([[DocQueries.crawlPage]], q208's fixture), EXTRACT
@@ -1506,5 +1547,6 @@ object CurationQueries {
     q162GroupSplit, q171CurationFunnel, q180SpellCorrect,
     q188BalancedSample, q200ExportManifest, q209PhraseIndexServe,
     q210PhraseIndexMerge, q212UrlProfile, q213DomainGate, q214LmScore,
-    q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge, q222ShardMix)
+    q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge, q222ShardMix,
+    q227CorpusLineDedup)
 }

@@ -850,6 +850,32 @@ class CurationSpec extends AnyFunSuite {
     assert((ba.getLong(1), ba.getLong(2)) === ((1L, 500000L)))
   }
 
+  test("dedupCorpusLines: a line repeated across more than maxDocs " +
+      "documents vanishes everywhere, order survives, all-boilerplate " +
+      "docs become empty") {
+    val boiler = "accept cookies to continue"
+    val df = Seq(
+      (1L, s"alpha body one\n$boiler\nomega tail one"),
+      (2L, s"$boiler\nbeta body two"),
+      (3L, s"gamma body three\n$boiler"),
+      (4L, boiler),               // nothing but boilerplate
+      (5L, "")                    // no lines at all: absent from output
+    ).toDF("id", "text")
+    val got = Curation.dedupCorpusLines(df, "id", "text", maxDocs = 2L)
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "alpha body one\nomega tail one", 2L, 1L),
+      (2L, "beta body two", 1L, 1L),
+      (3L, "gamma body three", 1L, 1L),
+      (4L, "", 0L, 1L)))
+    // at maxDocs = 4 the same line is frequent-but-allowed: kept
+    val loose = Curation.dedupCorpusLines(df, "id", "text", maxDocs = 4L)
+      .filter($"id" === 4L).collect().head
+    assert(loose.getString(1) === boiler)
+  }
+
   test("extractText: <br> splits lines, gate thresholds are exact " +
       "boundaries, pure-markup lines are structure not boilerplate") {
     val page = "<p>one two three four five six seven</p>" +
