@@ -1043,6 +1043,43 @@ object OpsQueries {
       ORDER BY abs(b_ppm - a_ppm) DESC, item LIMIT 15"""),
     doc = "[NS] top movers between periods (keyed share deltas in exact ppm)")
 
+  /** [NS] — vocabulary drift between crawl halves (q228): q190's keyed
+    * share-delta machinery applied to TOKENS — "did the new crawl shift
+    * the vocabulary", the text-distribution drift check a pretraining
+    * team runs between snapshots (a stopword share collapsing or a
+    * boilerplate token surging is a pipeline bug before it is a data
+    * trend). Two filtered token explodes + the full-outer share merge;
+    * exact-ppm shares, |Δ| ranking, minimum support. */
+  val q228TokenDrift = Q(
+    "q228_token_drift",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(split($"text", " ")).as("tok"))
+        .filter(length($"tok") > 0)
+      Analytics.topMovers(toks.filter($"doc_id" % 2 === 0),
+        toks.filter($"doc_id" % 2 === 1), "tok", n = 15, minCount = 20L)
+    },
+    Some("""WITH base AS (SELECT doc_id,
+          unnest(string_split(text, ' ')) AS tok FROM documents),
+      b2 AS (SELECT * FROM base WHERE length(tok) > 0),
+      ac AS (SELECT tok, CAST(count(*) AS BIGINT) AS a_n FROM b2
+        WHERE doc_id % 2 = 0 GROUP BY tok),
+      at AS (SELECT CAST(sum(a_n) AS BIGINT) AS t FROM ac),
+      bc AS (SELECT tok, CAST(count(*) AS BIGINT) AS b_n FROM b2
+        WHERE doc_id % 2 = 1 GROUP BY tok),
+      bt AS (SELECT CAST(sum(b_n) AS BIGINT) AS t FROM bc),
+      m AS (SELECT coalesce(ac.tok, bc.tok) AS tok,
+          coalesce(a_n, 0) AS a_n,
+          coalesce(CAST((a_n * 1000000) // at.t AS BIGINT), 0) AS a_ppm,
+          coalesce(b_n, 0) AS b_n,
+          coalesce(CAST((b_n * 1000000) // bt.t AS BIGINT), 0) AS b_ppm
+        FROM ac FULL OUTER JOIN bc ON ac.tok = bc.tok, at, bt)
+      SELECT tok, a_n, a_ppm, b_n, b_ppm, b_ppm - a_ppm AS delta_ppm
+      FROM m WHERE a_n + b_n >= 20
+      ORDER BY abs(b_ppm - a_ppm) DESC, tok LIMIT 15"""),
+    doc = "[NS] vocabulary drift between crawl halves (token share deltas, exact ppm)")
+
   /** [NS] — quantile normalization across event types (q194): every
     * type's value distribution is mapped onto the GLOBAL distribution
     * ([[graft.operators.Analytics.quantileNormalize]]) — after the
@@ -1514,5 +1551,5 @@ object OpsQueries {
     q190TopMovers, q194QuantileNorm, q195KAnonymity, q197Bootstrap,
     q198ChiSquare, q202Calibration, q203Gains, q211CalibrationBands,
     q216Auc, q217Brier, q218AvgPrecision, q219ThresholdSweep,
-    q223ErrorSamples, q224Journeys)
+    q223ErrorSamples, q224Journeys, q228TokenDrift)
 }

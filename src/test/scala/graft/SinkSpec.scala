@@ -215,6 +215,32 @@ class SinkSpec extends AnyFunSuite {
     assert(sink.queryCount() === 3)
   }
 
+  test("interchange formats round-trip losslessly: parquet source → " +
+      "ORC / JSON / CSV → identical row sets under the original schema") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val want = docs.collect().map(_.toSeq).toSet
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_fmt_rt").toString
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+        .collect().map(_.toSeq).toSet
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    assert(tuples(spark.read.orc(s"$base/orc")) === want)
+    docs.write.mode("overwrite").json(s"$base/json")
+    assert(tuples(spark.read.schema(docs.schema).json(s"$base/json"))
+      === want)
+    // CSV needs quoting/escaping to survive arbitrary text; read back
+    // under the explicit schema (CSV carries no types)
+    docs.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(s"$base/csv")
+    assert(tuples(spark.read.schema(docs.schema)
+      .option("header", "true").option("escape", "\"")
+      .csv(s"$base/csv")) === want)
+  }
+
   test("S10 blob dump: writes once, skips on re-run (D4)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_blobs").toString
