@@ -99,6 +99,36 @@ object DedupIndex {
       textCol, shingleN, k, bands)
   }
 
+  /** Graded novelty against the STORED archive index — the
+    * review-priority readout the binary [[gate]] cannot give: per
+    * incoming doc, whether its exact content hash is archived and how
+    * many of its `bands` band keys collide with the archive (0..bands).
+    * 0 hits = entirely novel; all bands hit = near-certain duplicate;
+    * the middle grades are the borderline docs worth an exact-Jaccard
+    * pass (or a human) before a destructive dedup decision. Probe-only:
+    * the archive never re-shuffles — one semi-probe join per layer, the
+    * [[gate]] access pattern with a count instead of a conjunction.
+    * Output: (idCol, exact_dup, bands_hit). */
+  def noveltyGrade(spark: SparkSession, dir: String, incoming: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val (hashes, bandKeys) = readStored(spark, dir, k, bands)
+    val keyCols = "band" +: (0 until k / bands).map(r => s"v$r")
+    val hits = Dedup.bandTable(incoming, idCol, textCol, shingleN, k,
+        bands)
+      .join(bandKeys.select(keyCols.map(col): _*).distinct(),
+        keyCols)
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("band")).as("bands_hit"))
+    incoming
+      .join(hashes.select(col("_h"), lit(true).as("exact_dup")),
+        md5(col(textCol)) === col("_h"), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("bands_hit"), lit(0L)).as("bands_hit"))
+  }
+
   /** Streaming hookup — the durable-ingest twin of
     * [[graft.streaming.EventStream.bandFirstSight]]: per micro-batch,
     * [[gate]] the batch against the STORED index, COMMIT admitted rows

@@ -1084,6 +1084,50 @@ object DocQueries {
     q111DedupIncremental.oracle,
     doc = "[NS] dedup lifecycle: gate a batch from the persisted hash/band index")
 
+  /** D5 [NS] — graded novelty from the stored dedup index (q229):
+    * [[graft.operators.DedupIndex.noveltyGrade]] — the q112 gate's
+    * binary admit/reject widened to a review-priority score: per batch
+    * doc, exact-hash membership in the archive plus the COUNT of band
+    * collisions (0..4). The production reading: grade-4 docs are
+    * near-certain dups (auto-drop), grade-0 are novel (auto-admit), the
+    * middle grades are the only rows that justify an exact-Jaccard
+    * verification pass — at 100 TB the grade decides where the
+    * expensive verification budget goes. Probe-only plan; oracle
+    * recomputes hash set and band keys from scratch. */
+  val q229NoveltyGrade = Q(
+    "q229_novelty_grade",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.operators.DedupIndex.defaultDir(d)
+      graft.operators.DedupIndex.buildIfAbsent(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, dir = dir, corpusTag = d)
+      graft.operators.DedupIndex.noveltyGrade(s, dir,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH inc AS (SELECT doc_id, text FROM documents
+        WHERE doc_id % 5 = 0),
+      arc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      tgI AS (${shinglesSqlFrom("inc")}),
+      sigI AS (${minhashSigSqlFrom("tgI")}),
+      bI AS (${lshBandsSqlFrom("sigI")}),
+      tgA AS (${shinglesSqlFrom("arc")}),
+      sigA AS (${minhashSigSqlFrom("tgA")}),
+      bA AS (${lshBandsSqlFrom("sigA")}),
+      hits AS (SELECT i.doc_id,
+          CAST(count(DISTINCT i.band) AS BIGINT) AS bands_hit
+        FROM bI i JOIN (SELECT DISTINCT band, v0, v1 FROM bA) a
+          ON i.band = a.band AND i.v0 = a.v0 AND i.v1 = a.v1
+        GROUP BY i.doc_id),
+      ah AS (SELECT DISTINCT md5(text) AS h FROM arc)
+      SELECT i.doc_id,
+        md5(i.text) IN (SELECT h FROM ah) AS exact_dup,
+        coalesce(hits.bands_hit, 0) AS bands_hit
+      FROM inc i LEFT JOIN hits ON hits.doc_id = i.doc_id
+      ORDER BY i.doc_id"""),
+    doc = "[NS] graded novelty from the stored dedup index (verification-budget router)")
+
   /** D5 [NS] — Bloom-filter near-dup gate (q115): the archive's band
     * keys folded into an 8192-bit filter ([[graft.functions
     * .BloomFilterAggregator]] — mergeable, broadcast as ONE row), each
@@ -1641,5 +1685,5 @@ object DocQueries {
     q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment,
     q144LshFuzzy, q145CcIncremental, q164LshRecall, q191DatasetCard,
     q196CohenKappa, q199PatchGrid, q206Snippets, q207VocabGrowth,
-    q208ExtractText)
+    q208ExtractText, q229NoveltyGrade)
 }

@@ -333,4 +333,44 @@ class DedupSpec extends AnyFunSuite {
     // the disjoint doc appears nowhere
     assert(m.filter($"doc_a" === 4L || $"doc_b" === 4L).count() === 0L)
   }
+
+  test("noveltyGrade: exact copies grade (true, 4), disjoint-vocabulary " +
+      "docs grade (false, 0), and gate admission implies grade zero") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_novelty_spec").toString
+    val archive = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // exact copy of 1
+      (101L, "red green blue yellow purple orange")  // disjoint vocab
+    ).toDF("doc_id", "text")
+    graft.operators.DedupIndex.build(archive, "doc_id", "text",
+      shingleN = 3, k = 8, bands = 4, dir = dir)
+    val g = graft.operators.DedupIndex.noveltyGrade(spark, dir, batch,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+        r.getLong(2)))).toMap
+    assert(g(100L) === ((true, 4L)), g)
+    assert(g(101L) === ((false, 0L)), g)
+    // law on real data: every gate-admitted doc grades (false, 0) —
+    // the archive layers of the gate are exactly the grade's two probes
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fdir = java.nio.file.Files
+      .createTempDirectory("graft_novelty_fix").toString
+    graft.operators.DedupIndex.build(
+      docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text", 3, 8, 4, fdir)
+    val inc = docs.filter($"doc_id" % 5 === 0)
+    val admitted = graft.operators.DedupIndex.gate(spark, fdir, inc,
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    val grades = graft.operators.DedupIndex.noveltyGrade(spark, fdir,
+        inc, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1),
+        r.getLong(2)))).toMap
+    assert(admitted.nonEmpty)
+    assert(admitted.forall(id => grades(id) == ((false, 0L))),
+      admitted.filterNot(id => grades(id) == ((false, 0L))).take(5))
+  }
 }
