@@ -778,6 +778,61 @@ object Curation {
     (rules.orderBy(col("merge_rank")), pos)
   }
 
+  /** Apply ONE stored merge rule (a, b) to a per-word symbol table
+    * (w, i, sym) — [[bpeCore]]'s greedy run-parity apply with the rule
+    * as a plan literal instead of the just-trained 1-row frame. Kept
+    * verbatim-parallel to the trainer's block so stored-rule encoding
+    * and in-query encoding are the same algorithm (TokenizerSpec pins
+    * the equivalence end-to-end). */
+  private def applyStoredMerge(pos: DataFrame, a: String,
+      b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wn = Window.partitionBy(col("w")).orderBy(col("i"))
+    val m = pos.withColumn("ns", lead(col("sym"), 1).over(wn))
+      .withColumn("mt", col("sym") === lit(a) && col("ns") === lit(b))
+      .withColumn("c", sum(when(col("mt"), 1).otherwise(0)).over(wn))
+      .withColumn("grp", when(col("mt"), col("i") - col("c")))
+      .withColumn("mg", when(col("mt"),
+        (col("c") - min(col("c")).over(
+          Window.partitionBy(col("w"), col("grp")))) % 2 === 0)
+        .otherwise(lit(false)))
+      .withColumn("cons", coalesce(lag(col("mg"), 1).over(wn), lit(false)))
+    m.filter(!col("cons"))
+      .select(col("w"), (row_number().over(wn) - 1).as("i"),
+        when(col("mg"), concat(col("sym"), col("ns")))
+          .otherwise(col("sym")).as("sym"))
+      .localCheckpoint()
+  }
+
+  /** [NS] — BPE encode under a STORED rule table — the serving half of
+    * the tokenizer-artifact lifecycle ([[TokenizerIndex]]): `rules` =
+    * (merge_rank, left_sym, right_sym) as [[bpeMerges]] emits them,
+    * applied in rank order to the TARGET corpus's word vocabulary, then
+    * per-doc token counts exactly like [[bpeTokenCounts]]. The rule
+    * list is collected to the driver — a tokenizer's merge table is
+    * bounded by its training `rounds` (a config, not the data; the same
+    * driver-known-parameter reading as AnnIndex's probe set). Work is
+    * vocab-sized per rule: the corpus pays one explode + one join at
+    * the end, never per rule. */
+  def bpeEncodeStored(df: DataFrame, idCol: String, textCol: String,
+      rules: DataFrame): DataFrame = {
+    val ruleSeq = rules.orderBy(col("merge_rank"))
+      .select(col("left_sym"), col("right_sym"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val vocab = df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    var pos = vocab.select(col("w"),
+        posexplode(filter(split(col("w"), "(?!^)"), _ =!= ""))
+          .as(Seq("i", "sym")))
+      .localCheckpoint()
+    for ((a, b) <- ruleSeq) pos = applyStoredMerge(pos, a, b)
+    val perWord = pos.groupBy(col("w")).agg(count(lit(1)).as("n_sym"))
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(perWord, Seq("w"))
+      .groupBy(col(idCol)).agg(sum(col("n_sym")).as("n_tokens"))
+  }
+
   /** [NS] — inverted-index build: token → document-frequency + the
     * SORTED posting list of doc ids, the retrieval-side artifact of a
     * corpus (BM25 serving, decontamination probes, and the q104-style

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [NS] Tokenizer-artifact lifecycle — train once, persist, encode
+  * many: the single most common stored artifact of a real pretraining
+  * pipeline (the tokenizer is trained ONCE on a reference corpus and
+  * then applied to every batch, every epoch, every eval set — nobody
+  * retrains BPE per query). [[Curation.bpeMerges]] trains in-query;
+  * this object persists the merge table and serves encoding from it:
+  *
+  *  - [[build]] / [[buildIfAbsent]]: train `rounds` merges on the
+  *    reference corpus, write the (merge_rank, left_sym, right_sym,
+  *    pair_count) table (a few rows — the artifact is config-sized,
+  *    not corpus-sized), fingerprinted for idempotent rebuilds.
+  *  - [[serve]]: encode ANY corpus under the stored rules
+  *    ([[Curation.bpeEncodeStored]]) — zero training aggregates in the
+  *    plan; the train corpus appears nowhere. Applying a trained
+  *    tokenizer to text it was not trained on is the POINT (new
+  *    batches, eval sets); on the training corpus itself it reproduces
+  *    [[Curation.bpeTokenCounts]] exactly (q230's oracle is q114's
+  *    from-scratch SQL — the twin-certification pattern).
+  *
+  * No merge path by design: merge rules are order-sensitive global
+  * state — "incrementally updating" a tokenizer silently re-tokenizes
+  * history, so retraining is a deliberate offline decision (the
+  * [[AnnIndex]] codebook argument, stronger).
+  */
+object TokenizerIndex {
+
+  def rulesPath(dir: String): String = s"$dir/merges"
+
+  def defaultDir(corpusTag: String): String =
+    "/tmp/graft_tokenizer_index/" + corpusTag.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Train + persist the merge table. */
+  def build(corpus: DataFrame, textCol: String, rounds: Int,
+      dir: String): Unit =
+    Curation.bpeMerges(corpus, textCol, rounds)
+      .coalesce(1).write.mode("overwrite").parquet(rulesPath(dir))
+
+  /** [[build]] unless a fingerprint-matching artifact exists. */
+  def buildIfAbsent(corpus: DataFrame, textCol: String, rounds: Int,
+      dir: String, corpusTag: String): Unit =
+    TextIndex.withFingerprint(dir, s"$corpusTag#rounds=$rounds") {
+      build(corpus, textCol, rounds, dir)
+    }
+
+  /** Encode `df` under the STORED merge rules — per-doc token counts,
+    * [[Curation.bpeTokenCounts]]'s output shape. */
+  def serve(spark: SparkSession, df: DataFrame, idCol: String,
+      textCol: String, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rules = spark.read.schema(StructType(Seq(
+        StructField("merge_rank", IntegerType),
+        StructField("left_sym", StringType),
+        StructField("right_sym", StringType),
+        StructField("pair_count", LongType))))
+      .parquet(rulesPath(dir))
+    Curation.bpeEncodeStored(df, idCol, textCol, rules)
+  }
+}

@@ -991,6 +991,27 @@ object CurationQueries {
       FROM sc ORDER BY doc_id"""),
     doc = "[NS] bigram-LM scoring (integer perplexity-gate cousin, train/probe split)")
 
+  /** [NS] — tokenizer-artifact lifecycle (q230): train-once/encode-many
+    * for BPE ([[graft.operators.TokenizerIndex]]) — the first
+    * invocation trains 2 merge rounds and persists the merge table
+    * (config-sized: one row per round); encoding then applies the
+    * STORED rules with zero training aggregates in the plan. Oracle:
+    * q114's from-scratch SQL — green proves stored-rule encoding ≡
+    * train-and-encode on the same corpus (and the artifact is what a
+    * pipeline ships to encode OTHER corpora). */
+  val q230TokenizerServe = Q(
+    "q230_tokenizer_serve",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.operators.TokenizerIndex.defaultDir(d + "_bpe")
+      graft.operators.TokenizerIndex.buildIfAbsent(docs, "text",
+        rounds = 2, dir = dir, corpusTag = d)
+      graft.operators.TokenizerIndex.serve(s, docs, "doc_id", "text", dir)
+        .orderBy(col("doc_id"))
+    },
+    q114BpeTokens.oracle,
+    doc = "[NS] tokenizer lifecycle: encode from the persisted BPE merge table")
+
   /** [NS] — LM-model lifecycle (q220): the q127/q107 move applied to
     * the quality gate — first invocation persists the bigram count
     * table ([[graft.operators.LmIndex.buildIfAbsent]], fingerprinted);
@@ -1548,5 +1569,5 @@ object CurationQueries {
     q188BalancedSample, q200ExportManifest, q209PhraseIndexServe,
     q210PhraseIndexMerge, q212UrlProfile, q213DomainGate, q214LmScore,
     q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge, q222ShardMix,
-    q227CorpusLineDedup)
+    q227CorpusLineDedup, q230TokenizerServe)
 }

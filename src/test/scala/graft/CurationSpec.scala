@@ -573,6 +573,41 @@ class CurationSpec extends AnyFunSuite {
       spark, probe, "doc_id", "text", dir)) === scratch)
   }
 
+  test("TokenizerIndex: stored-rule encoding ≡ train-and-encode on the " +
+      "training corpus; the shipped artifact encodes UNSEEN words by " +
+      "the same greedy run-parity; rebuilds are fingerprint-skipped") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tok_spec").toString
+    graft.operators.TokenizerIndex.buildIfAbsent(docs, "text",
+      rounds = 2, dir = dir, corpusTag = "spec")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val served = rows(graft.operators.TokenizerIndex.serve(
+      spark, docs, "doc_id", "text", dir))
+    val scratch = rows(Curation.bpeTokenCounts(docs, "doc_id", "text",
+      rounds = 2))
+    assert(served.nonEmpty && (served.toSeq === scratch.toSeq))
+    // fingerprint: a second build invocation must not retrain
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "_graft_index_meta.json"))
+    graft.operators.TokenizerIndex.buildIfAbsent(docs, "text",
+      rounds = 2, dir = dir, corpusTag = "spec")
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(dir, "_graft_index_meta.json")) === mtime)
+    // hand case on a fresh artifact: rules (a,a) then (a,b); the unseen
+    // corpus "aab aaa b" encodes 2 + 2 + 1 = 5 tokens
+    val d2 = java.nio.file.Files
+      .createTempDirectory("graft_tok_hand").toString
+    graft.operators.TokenizerIndex.build(
+      Seq("aa aa ab").toDF("text"), "text", rounds = 2, dir = d2)
+    val enc = graft.operators.TokenizerIndex.serve(spark,
+        Seq((7L, "aab aaa b")).toDF("id", "text"), "id", "text", d2)
+      .collect().head
+    assert((enc.getLong(0), enc.getLong(1)) === ((7L, 5L)))
+  }
+
   test("bm25TopK: a doc repeating a rare term outranks stopword-heavy " +
       "docs, and scores are reproducible across partitionings") {
     import spark.implicits._
