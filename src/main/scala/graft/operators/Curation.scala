@@ -142,6 +142,42 @@ object Curation {
           .orderBy(col("source"))
     }
 
+  /** [NS] — per-document funnel EXPLAIN: the same staged DAG as
+    * [[curationFunnel]], but instead of per-source survivor counts it
+    * answers the question every data owner actually asks — "why was MY
+    * document dropped": each doc gets its FIRST failing gate as a
+    * verdict (`quality`, `duplicate`, `near_dup`, `test_split`,
+    * `leaky`, `over_budget`) or `kept`. Same stage frames, so the
+    * explain is CONSISTENT with the funnel counts by construction
+    * (CurationSpec pins verdict totals ≡ funnel stage deltas); the
+    * extra cost over the funnel is six doc-id-only left joins. */
+  def curationExplain(docs: DataFrame, minChars: Long = 100,
+      minWords: Long = 20, testBucketFrom: Int = 90,
+      budgetChars: Long = 500, gramN: Int = 3, minShared: Long = 2,
+      dfMax: Long = 100): DataFrame =
+    funnelStages(docs, minChars, minWords, testBucketFrom, budgetChars,
+      gramN, minShared, dfMax) {
+      case (d0, quality, unique, survivors, train, clean, budget) =>
+        def flag(df: DataFrame, name: String) =
+          df.select(col("doc_id"), lit(true).as(name))
+        d0.select(col("doc_id"), col("source"))
+          .join(flag(quality, "_q"), Seq("doc_id"), "left")
+          .join(flag(unique, "_u"), Seq("doc_id"), "left")
+          .join(flag(survivors, "_s"), Seq("doc_id"), "left")
+          .join(flag(train, "_t"), Seq("doc_id"), "left")
+          .join(flag(clean, "_c"), Seq("doc_id"), "left")
+          .join(flag(budget, "_b"), Seq("doc_id"), "left")
+          .withColumn("verdict",
+            when(col("_q").isNull, "quality")
+              .when(col("_u").isNull, "duplicate")
+              .when(col("_s").isNull, "near_dup")
+              .when(col("_t").isNull, "test_split")
+              .when(col("_c").isNull, "leaky")
+              .when(col("_b").isNull, "over_budget")
+              .otherwise("kept"))
+          .select(col("doc_id"), col("source"), col("verdict"))
+    }
+
   /** [NS] — the PUBLISH step after the funnel (q200): the budget-stage
     * survivors are assigned to hash shards ([[hashBucket]] — the
     * [[writeShards]] membership rule) and each shard ships with an

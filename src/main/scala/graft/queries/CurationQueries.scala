@@ -1454,6 +1454,30 @@ object CurationQueries {
       ORDER BY source"""),
     doc = "[NS] end-to-end curation funnel: quality/dedup/near-dup/decontam/budget in one DAG")
 
+  /** [NS] — per-document funnel explain (q231): q171's staged DAG
+    * re-assembled as a verdict table ([[graft.operators.Curation
+    * .curationExplain]]) — every document's FIRST failing gate, or
+    * `kept`. The data-owner-facing answer to "why was my doc dropped",
+    * consistent with the funnel counts by shared construction; the
+    * oracle replays the same stage CTEs as q171 and derives the CASE
+    * chain. */
+  val q231FunnelExplain = Q(
+    "q231_funnel_explain",
+    (s, d) => Curation.curationExplain(Tables.documents(s, d))
+      .orderBy(col("doc_id")),
+    Some(s"""$funnelCtesSql
+      SELECT d0.doc_id, d0.source,
+        CASE
+          WHEN d0.doc_id NOT IN (SELECT doc_id FROM q) THEN 'quality'
+          WHEN d0.doc_id NOT IN (SELECT doc_id FROM u) THEN 'duplicate'
+          WHEN d0.doc_id NOT IN (SELECT doc_id FROM sv) THEN 'near_dup'
+          WHEN d0.doc_id NOT IN (SELECT doc_id FROM tr) THEN 'test_split'
+          WHEN d0.doc_id NOT IN (SELECT doc_id FROM cl) THEN 'leaky'
+          WHEN d0.doc_id NOT IN (SELECT doc_id FROM b) THEN 'over_budget'
+          ELSE 'kept' END AS verdict
+      FROM d0 ORDER BY d0.doc_id"""),
+    doc = "[NS] per-doc funnel explain (first failing gate, consistent with q171)")
+
   /** [NS] — SymSpell spell correction (q180): misspellings are derived
     * deterministically from the corpus itself (3rd character dropped
     * from the 20 most frequent length-≥6 vocabulary words) and
@@ -1569,5 +1593,5 @@ object CurationQueries {
     q188BalancedSample, q200ExportManifest, q209PhraseIndexServe,
     q210PhraseIndexMerge, q212UrlProfile, q213DomainGate, q214LmScore,
     q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge, q222ShardMix,
-    q227CorpusLineDedup, q230TokenizerServe)
+    q227CorpusLineDedup, q230TokenizerServe, q231FunnelExplain)
 }

@@ -573,6 +573,31 @@ class CurationSpec extends AnyFunSuite {
       spark, probe, "doc_id", "text", dir)) === scratch)
   }
 
+  test("curationExplain: verdicts partition the corpus and their " +
+      "totals equal the funnel's stage deltas exactly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val verdicts = Curation.curationExplain(docs)
+      .groupBy($"verdict").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val f = Curation.curationFunnel(docs)
+      .agg(sum($"n_raw"), sum($"n_quality"), sum($"n_unique"),
+        sum($"n_neardup"), sum($"n_train"), sum($"n_clean"),
+        sum($"n_budget"))
+      .collect().head
+    val Seq(raw, q, u, sv, tr, cl, b) =
+      (0 to 6).map(f.getLong)
+    assert(verdicts.values.sum === raw, verdicts)
+    assert(verdicts("quality") === raw - q, verdicts)
+    assert(verdicts("duplicate") === q - u, verdicts)
+    assert(verdicts("near_dup") === u - sv, verdicts)
+    assert(verdicts("test_split") === sv - tr, verdicts)
+    assert(verdicts("leaky") === tr - cl, verdicts)
+    assert(verdicts("over_budget") === cl - b, verdicts)
+    assert(verdicts("kept") === b, verdicts)
+  }
+
   test("TokenizerIndex: stored-rule encoding ≡ train-and-encode on the " +
       "training corpus; the shipped artifact encodes UNSEEN words by " +
       "the same greedy run-parity; rebuilds are fingerprint-skipped") {
