@@ -330,6 +330,16 @@ object Curation {
   val UrlRe = "https?://[^ ]+"
   val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
 
+  /** Deterministic pseudonymization for PII-safe joins and releases:
+    * md5(salt ':' value) — referential integrity survives (equal raw
+    * values map to equal pseudonyms, so joins/counts are preserved)
+    * while the raw identifier never leaves the pipeline. Salt rotation
+    * unlinks releases from each other. Per-row codegen'd; the q66
+    * redaction's sibling for KEY columns (redaction destroys join
+    * keys, pseudonymization preserves them). */
+  def pseudonymize(c: Column, salt: String): Column =
+    md5(concat(lit(salt), lit(":"), c.cast("string")))
+
   def redactPii(text: Column): Column =
     regexp_replace(
       regexp_replace(

@@ -998,6 +998,110 @@ object EventQueries {
       FROM c ORDER BY tenure"""),
     doc = "[NS] survival/hazard table (exact Kaplan-Meier ingredients per tenure day)")
 
+  /** [NS] — pseudonymized release audit (q232):
+    * [[graft.operators.Curation.pseudonymize]] applied to the user key
+    * — the release-engineering counterpart of q66's redaction (which
+    * destroys join keys) and q195's k-anonymity (which generalizes
+    * them): equal users map to equal pseudonyms, so per-type distinct
+    * counts are PRESERVED (raw ≡ pseudo, visible in the output), and
+    * the xor digest certifies the exact pseudonym set byte-for-byte. */
+  val q232Pseudonymize = Q(
+    "q232_pseudonymize",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("pseudo",
+          graft.operators.Curation.pseudonymize($"user_id", "rel7"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users_raw"),
+          countDistinct($"pseudo").as("n_users_pseudo"),
+          expr("bit_xor(cast(conv(substring(pseudo, 1, 15), 16, 10) " +
+            "as bigint))").as("pseudo_xor"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH p AS (SELECT event_type, user_id,
+          md5('rel7:' || CAST(user_id AS VARCHAR)) AS pseudo
+        FROM events)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_raw,
+        CAST(count(DISTINCT pseudo) AS BIGINT) AS n_users_pseudo,
+        bit_xor(CAST('0x' || substr(pseudo, 1, 15) AS BIGINT))
+          AS pseudo_xor
+      FROM p GROUP BY event_type ORDER BY event_type"""),
+    doc = "[NS] pseudonymized release (join-preserving key hashing, xor-certified)")
+
+  /** [NS] — conversion latency by signup cohort (q233): per weekly
+    * signup cohort, how many users converted (first purchase at or
+    * after first signup) and how fast — exact conversion share in ppm
+    * and the LOWER-median seconds-to-convert (the engine's median
+    * convention, per-cohort windows). The funnel (q77) counts step
+    * coverage; this measures the TIME dimension product teams actually
+    * tune against. */
+  val q233TimeToConvert = Q(
+    "q233_time_to_convert",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val su = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("s_ts"))
+      val delta = ev.filter($"event_type" === "purchase")
+        .join(su, Seq("user_id")).filter($"ts" >= $"s_ts")
+        .groupBy($"user_id")
+        .agg(((min(unix_micros($"ts")) - min(unix_micros($"s_ts")))
+          / lit(1000000L)).cast("long").as("delta_s"))
+      val coh = su
+        .withColumn("cohort_week", to_date(date_trunc("week", $"s_ts")))
+        .join(delta, Seq("user_id"), "left")
+      val wk = Window.partitionBy($"cohort_week")
+      val conv = coh.filter($"delta_s".isNotNull)
+        .withColumn("_n", count(lit(1)).over(wk))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy($"cohort_week")
+            .orderBy($"delta_s", $"user_id")))
+        .groupBy($"cohort_week")
+        .agg(max(when($"_rn" === expr("(_n + 1) div 2"), $"delta_s"))
+          .as("med_delta_s"))
+      coh.groupBy($"cohort_week")
+        .agg(count(lit(1)).as("n_signups"),
+          count($"delta_s").as("n_converted"))
+        .withColumn("conv_ppm",
+          expr("(1000000 * n_converted) div n_signups"))
+        .join(conv, Seq("cohort_week"), "left")
+        .orderBy($"cohort_week")
+    },
+    Some("""WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      dl AS (SELECT e.user_id,
+          CAST((min(epoch_us(e.ts)) - min(epoch_us(su.s_ts))) // 1000000
+            AS BIGINT) AS delta_s
+        FROM events e JOIN su USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+        GROUP BY e.user_id),
+      coh AS (SELECT su.user_id,
+          CAST(date_trunc('week', s_ts) AS DATE) AS cohort_week,
+          dl.delta_s
+        FROM su LEFT JOIN dl USING (user_id)),
+      med AS (SELECT cohort_week,
+          max(CASE WHEN rn = (nn + 1) // 2 THEN delta_s END)
+            AS med_delta_s
+        FROM (SELECT cohort_week, delta_s,
+            count(*) OVER (PARTITION BY cohort_week) AS nn,
+            row_number() OVER (PARTITION BY cohort_week
+              ORDER BY delta_s, user_id) AS rn
+          FROM coh WHERE delta_s IS NOT NULL)
+        GROUP BY cohort_week),
+      agg AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_signups,
+          CAST(count(delta_s) AS BIGINT) AS n_converted
+        FROM coh GROUP BY cohort_week)
+      SELECT a.cohort_week, n_signups, n_converted,
+        CAST((1000000 * n_converted) // n_signups AS BIGINT) AS conv_ppm,
+        med_delta_s
+      FROM agg a LEFT JOIN med USING (cohort_week)
+      ORDER BY cohort_week"""),
+    doc = "[NS] conversion latency by signup cohort (exact ppm share, lower-median seconds)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
@@ -1005,5 +1109,6 @@ object EventQueries {
     q82Outliers, q88Histogram, q89CorrGate, q91OrderStats, q146PitJoin,
     q157Attribution, q158OverlapJoin, q159Transitions, q160UserPaths,
     q170Survivorship, q182LatenessAudit, q186NearestJoin,
-    q192TemporalSplit, q193LeaveLastOut, q204SeqSupport, q205Hazard)
+    q192TemporalSplit, q193LeaveLastOut, q204SeqSupport, q205Hazard,
+    q232Pseudonymize, q233TimeToConvert)
 }
