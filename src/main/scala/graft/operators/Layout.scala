@@ -78,4 +78,39 @@ object Layout {
         min(col(fileCol)).as("first_file"),
         max(col(fileCol)).as("last_file"))
   }
+
+  /** [NS] — data-skipping ADVISOR: how many zone-map buckets a range
+    * predicate could prune IF the table were laid out under a candidate
+    * sort order — the number a layout decision (plain sort vs
+    * [[zorder]] vs leave-as-is) should be made on, measured instead of
+    * guessed. The table is bucketed into `bucketRows`-row zones under
+    * the candidate order (the two-pass global rank — the physical
+    * rewrite is SIMULATED, no data is rewritten); per zone the
+    * min/max of the predicate column is what a parquet footer would
+    * store; a zone is prunable iff [min,max] misses [lo,hi]. Output:
+    * one row — (layout, n_buckets, n_pruned, pruned_ppm, n_rows_hit).
+    * At 100 TB the simulation costs one rank sort + one zone
+    * aggregate, and answers "is the Z-ORDER rewrite worth it" before
+    * paying for it. */
+  def pruningEfficiency(df: DataFrame, sortCols: Seq[Column],
+      valCol: String, bucketRows: Long, lo: Long, hi: Long,
+      label: String): DataFrame = {
+    require(bucketRows >= 1 && lo <= hi,
+      s"bad advisor config: bucketRows=$bucketRows range=[$lo,$hi]")
+    val ranked = Curation.withGlobalRank(
+      df.select(col(valCol).cast("long").as("_v") +:
+        sortCols.zipWithIndex.map { case (c, i) => c.as(s"_s$i") }: _*),
+      sortCols.indices.map(i => col(s"_s$i")) :+ col("_v"), "_rk")
+    ranked
+      .groupBy(expr(s"_rk div $bucketRows").as("_bucket"))
+      .agg(min(col("_v")).as("_mn"), max(col("_v")).as("_mx"),
+        sum(when(col("_v").between(lo, hi), 1L).otherwise(0L)).as("_hit"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("_mx") < lo || col("_mn") > hi, 1L).otherwise(0L))
+          .as("n_pruned"),
+        sum(col("_hit")).as("n_rows_hit"))
+      .select(lit(label).as("layout"), col("n_buckets"), col("n_pruned"),
+        expr("(1000000 * n_pruned) div n_buckets").as("pruned_ppm"),
+        col("n_rows_hit"))
+  }
 }

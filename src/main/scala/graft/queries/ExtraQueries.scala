@@ -549,9 +549,78 @@ object ExtraQueries {
       FROM z GROUP BY z_bucket ORDER BY z_bucket"""),
     doc = "[NS] Z-order (Morton) layout keys + zone-map audit of both dims")
 
+  /** [NS] — data-skipping advisor (q234): [[graft.operators.Layout
+    * .pruningEfficiency]] simulates three candidate layouts for
+    * lineitem — shipdate-sorted, partkey-sorted, and the Z-order
+    * interleave of both — and measures how many 4096-row zone-map
+    * buckets a partkey range predicate could prune under each. The
+    * decision table for "is the Z-ORDER rewrite worth it": the
+    * partkey sort prunes nearly everything for THIS predicate (and
+    * nothing for a date predicate), the date sort prunes nothing, the
+    * Z-order sits in between on BOTH — measured, not guessed, before
+    * any data is rewritten. */
+  val q234LayoutAdvisor = Q(
+    "q234_layout_advisor",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+        .withColumn("sd", datediff($"l_shipdate".cast("date"),
+          lit("1995-01-01").cast("date")).cast("long"))
+      val (lo, hi, bucket) = (100L, 200L, 4096L)
+      def run(sorts: Seq[org.apache.spark.sql.Column], label: String) =
+        graft.operators.Layout.pruningEfficiency(li, sorts,
+          "l_partkey", bucket, lo, hi, label)
+      val z = graft.operators.Layout.zorder2(
+        $"l_partkey".bitwiseAND(lit(65535L)),
+        $"sd".bitwiseAND(lit(65535L)))
+      run(Seq($"sd"), "by_shipdate")
+        .unionByName(run(Seq($"l_partkey"), "by_partkey"))
+        .unionByName(run(Seq(z), "by_zorder"))
+        .orderBy($"layout")
+    },
+    Some(s"""WITH base AS (SELECT l_partkey AS v,
+          date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+            AS sd
+        FROM lineitem),
+      bz AS (SELECT v, sd,
+          ${zorder2Sql("v & 65535", "sd & 65535")} AS zk FROM base),
+      l1 AS (SELECT v, row_number() OVER (ORDER BY sd, v) - 1 AS rk
+        FROM bz),
+      l2 AS (SELECT v, row_number() OVER (ORDER BY v, v) - 1 AS rk
+        FROM bz),
+      l3 AS (SELECT v, row_number() OVER (ORDER BY zk, v) - 1 AS rk
+        FROM bz),
+      b1 AS (SELECT rk // 4096 AS b, min(v) AS mn, max(v) AS mx,
+          sum(CASE WHEN v BETWEEN 100 AND 200 THEN 1 ELSE 0 END) AS hit
+        FROM l1 GROUP BY 1),
+      b2 AS (SELECT rk // 4096 AS b, min(v) AS mn, max(v) AS mx,
+          sum(CASE WHEN v BETWEEN 100 AND 200 THEN 1 ELSE 0 END) AS hit
+        FROM l2 GROUP BY 1),
+      b3 AS (SELECT rk // 4096 AS b, min(v) AS mn, max(v) AS mx,
+          sum(CASE WHEN v BETWEEN 100 AND 200 THEN 1 ELSE 0 END) AS hit
+        FROM l3 GROUP BY 1),
+      r AS (
+        SELECT 'by_shipdate' AS layout, count(*) AS nb,
+          sum(CASE WHEN mx < 100 OR mn > 200 THEN 1 ELSE 0 END) AS np,
+          sum(hit) AS nh FROM b1
+        UNION ALL
+        SELECT 'by_partkey', count(*),
+          sum(CASE WHEN mx < 100 OR mn > 200 THEN 1 ELSE 0 END),
+          sum(hit) FROM b2
+        UNION ALL
+        SELECT 'by_zorder', count(*),
+          sum(CASE WHEN mx < 100 OR mn > 200 THEN 1 ELSE 0 END),
+          sum(hit) FROM b3)
+      SELECT layout, CAST(nb AS BIGINT) AS n_buckets,
+        CAST(np AS BIGINT) AS n_pruned,
+        CAST((1000000 * np) // nb AS BIGINT) AS pruned_ppm,
+        CAST(nh AS BIGINT) AS n_rows_hit
+      FROM r ORDER BY layout"""),
+    doc = "[NS] data-skipping advisor (zone-map pruning simulated per candidate layout)")
+
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
     q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q50Pivot,
     q59RangeWindow, q60ApproxPercentiles, q74PercentGate, q75GapFill,
     q84SnapshotDiff, q86SketchUnion, q87GroupingSets, q95CdcApply,
-    q118ZorderLayout)
+    q118ZorderLayout, q234LayoutAdvisor)
 }

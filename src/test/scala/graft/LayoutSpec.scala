@@ -68,4 +68,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum ===
       files.agg(sum($"bytes")).collect()(0).getLong(0))
   }
+
+  test("pruningEfficiency: sorting by the predicate column prunes all " +
+      "non-straddling zones, an uncorrelated sort prunes none, and the " +
+      "hit count is layout-invariant") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // v cycles 0..99 under id order (uncorrelated); sorted by v the
+    // range [20,39] occupies exactly 2 of 10 perfectly-aligned zones
+    val df = (0L until 1000L).map(i => (i, i % 100)).toDF("id", "v")
+    def run(sorts: Seq[org.apache.spark.sql.Column], label: String) =
+      Layout.pruningEfficiency(df, sorts, "v", bucketRows = 100,
+          lo = 20, hi = 39, label = label)
+        .collect().head
+    val byV = run(Seq($"v"), "by_v")
+    assert((byV.getLong(1), byV.getLong(2), byV.getLong(4))
+      === ((10L, 8L, 200L)), byV)
+    val byId = run(Seq($"id"), "by_id")
+    // every 100-row id-zone contains a full 0..99 cycle: nothing prunes
+    assert((byId.getLong(1), byId.getLong(2), byId.getLong(4))
+      === ((10L, 0L, 200L)), byId)
+  }
 }
