@@ -86,6 +86,60 @@ object Bloom {
       .withColumn("confirmed", coalesce(col("confirmed"), lit(false)))
   }
 
+  /** [NS] — Bloom PARAMETER advisor: for a (mBits, k) configuration,
+    * the filter's measured fill ratio, the classic fill^k
+    * false-positive estimate, and the ACTUAL false-positive rate
+    * against a probe key set — estimated vs measured on the same row,
+    * the number that decides "is 8192 bits enough for this archive"
+    * before anyone ships the gate. Fully relational (no bitmap
+    * aggregator): because bit placement is deterministic md5
+    * arithmetic, the set bits ARE the distinct positions of the
+    * archive keys, and a probe key is a Bloom "maybe" iff its distinct
+    * positions all land in that set — one explode + two semi-join
+    * aggregates, oracle-replayable bit for bit. fp_est uses integer
+    * powers (ones^k·10⁶ div m^k — long-safe for k ≤ 3 at m ≤ 2^17);
+    * fp_measured = false positives over NON-member probes. */
+  def advisor(archiveKeys: DataFrame, probeKeys: DataFrame,
+      archiveKey: String, probeKey: String, mBits: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 3, s"advisor pow stays long-safe for k <= 3, got $k")
+    val aks = archiveKeys.select(col(archiveKey).cast("string").as("_ak"))
+      .distinct()
+    val ones = aks
+      .select(explode(positions(col("_ak"), mBits, k)).as("p"))
+      .distinct()
+    val pks = probeKeys.select(col(probeKey).cast("string").as("_pk"))
+      .distinct()
+    val pPos = pks.select(col("_pk"),
+        explode(positions(col("_pk"), mBits, k)).as("p"))
+      .distinct()
+    val tot = pPos.groupBy(col("_pk")).agg(count(lit(1)).as("_nt"))
+    val hit = pPos.join(ones, Seq("p"), "left_semi")
+      .groupBy(col("_pk")).agg(count(lit(1)).as("_nh"))
+    val member = pks.join(aks.select(col("_ak").as("_pk")),
+        Seq("_pk"), "left_semi")
+      .withColumn("_mem", lit(true))
+    val verdicts = tot.join(hit, Seq("_pk"), "left")
+      .withColumn("maybe", coalesce(col("_nh"), lit(0L)) === col("_nt"))
+      .join(member, Seq("_pk"), "left")
+      .withColumn("mem", coalesce(col("_mem"), lit(false)))
+    val onesN = ones.agg(count(lit(1)).as("ones_bits"))
+    val aN = aks.agg(count(lit(1)).as("n_keys"))
+    val probeAgg = verdicts.agg(
+      sum(when(!col("mem"), 1L).otherwise(0L)).as("n_nonmember"),
+      sum(when(col("maybe") && !col("mem"), 1L).otherwise(0L)).as("n_fp"))
+    aN.crossJoin(onesN).crossJoin(probeAgg)
+      .select(lit(mBits.toLong).as("m_bits"), lit(k.toLong).as("k_hashes"),
+        col("n_keys"), col("ones_bits"),
+        expr(s"(1000000 * ones_bits) div $mBits").as("fill_ppm"),
+        expr(s"(1000000 * ${(0 until k).map(_ => "ones_bits")
+          .mkString(" * ")}) div (${(0 until k).map(_ => s"$mBits")
+          .mkString(" * ")}L)").as("fp_est_ppm"),
+        col("n_nonmember"), col("n_fp"),
+        expr("case when n_nonmember > 0 then " +
+          "(1000000 * n_fp) div n_nonmember end").as("fp_measured_ppm"))
+  }
+
   /** The near-dup composition: gate batch DOCS against the archive's
     * MinHash band keys. A batch doc is `maybe_near` iff ANY of its band
     * keys passes the Bloom filter, `confirmed` iff a passing key

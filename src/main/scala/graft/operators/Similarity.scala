@@ -14,6 +14,35 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** [NS] — embedding data-quality expectations: the vector-column
+    * sibling of the q142 rule suite, checking exactly the failure modes
+    * embedding pipelines actually produce — NULL vectors, wrong
+    * dimension (a silently truncated batch), all-zero vectors (the
+    * classic "model returned nothing" sentinel, which poisons cosine
+    * math downstream), and non-finite components. Every predicate is
+    * element-wise (size / forall / exists over the array — no float
+    * SUMMATION, so the counts hash-match the oracle even though the
+    * components are floats). One aggregate pass; `n_ok` rows are safe
+    * for every cosine/ANN operator in this codebase. */
+  def embeddingExpectations(df: DataFrame, vecCol: String,
+      dim: Int): DataFrame = {
+    val v = col(vecCol)
+    val isNull = v.isNull
+    val wrongDim = !isNull && size(v) =!= dim
+    val nonFinite = !isNull && !wrongDim &&
+      exists(v, x => isnan(x) || x === Double.PositiveInfinity ||
+        x === Double.NegativeInfinity)
+    val zero = !isNull && !wrongDim && !nonFinite &&
+      forall(v, x => x === 0.0f)
+    df.agg(count(lit(1)).as("n"),
+        sum(when(isNull, 1L).otherwise(0L)).as("n_null_vec"),
+        sum(when(wrongDim, 1L).otherwise(0L)).as("n_wrong_dim"),
+        sum(when(nonFinite, 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(zero, 1L).otherwise(0L)).as("n_zero_vec"))
+      .withColumn("n_ok", expr(
+        "n - n_null_vec - n_wrong_dim - n_nonfinite - n_zero_vec"))
+  }
+
   /** Cast ARRAY<FLOAT> → ARRAY<DOUBLE> (exact widening). */
   def vecD(c: Column): Column = c.cast("array<double>")
 

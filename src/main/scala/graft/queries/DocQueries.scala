@@ -1128,6 +1128,74 @@ object DocQueries {
       ORDER BY i.doc_id"""),
     doc = "[NS] graded novelty from the stored dedup index (verification-budget router)")
 
+  /** D5 [NS] — Bloom parameter advisor (q236): the q115 gate's
+    * configuration audited ([[graft.operators.Bloom.advisor]]) —
+    * measured fill ratio, the fill^k false-positive ESTIMATE, and the
+    * MEASURED false-positive rate over the batch's non-member band
+    * keys, in one row. The honesty check on a probabilistic gate:
+    * q115 shows the gate working; this shows whether its parameters
+    * are right (estimate ≈ measurement ⇒ the md5 slices behave like
+    * the independent hashes the formula assumes). */
+  val q236BloomAdvisor = Q(
+    "q236_bloom_advisor",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def keys(df: org.apache.spark.sql.DataFrame) =
+        Dedup.bandTable(df, "doc_id", "text", 3, 8, 4)
+          .select(concat_ws(":", col("band"), col("v0"), col("v1"))
+            .as("bk"))
+      graft.operators.Bloom.advisor(
+        keys(docs.filter(col("doc_id") % 5 =!= 0)),
+        keys(docs.filter(col("doc_id") % 5 === 0)),
+        "bk", "bk", mBits = 8192, k = 3)
+    },
+    Some(s"""WITH inc AS (SELECT doc_id, text FROM documents
+        WHERE doc_id % 5 = 0),
+      arc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      tgI AS (${shinglesSqlFrom("inc")}),
+      sigI AS (${minhashSigSqlFrom("tgI")}),
+      bI AS (${lshBandsSqlFrom("sigI")}),
+      tgA AS (${shinglesSqlFrom("arc")}),
+      sigA AS (${minhashSigSqlFrom("tgA")}),
+      bA AS (${lshBandsSqlFrom("sigA")}),
+      aks AS (SELECT DISTINCT band || ':' || v0 || ':' || v1 AS ak
+        FROM bA),
+      ones AS (SELECT DISTINCT
+          CAST('0x' || substr(md5(ak), 1 + 8 * t.j, 8) AS BIGINT) % 8192
+            AS p
+        FROM aks, unnest([0, 1, 2]) AS t(j)),
+      pks AS (SELECT DISTINCT band || ':' || v0 || ':' || v1 AS pk
+        FROM bI),
+      ppos AS (SELECT DISTINCT pk,
+          CAST('0x' || substr(md5(pk), 1 + 8 * t.j, 8) AS BIGINT) % 8192
+            AS p
+        FROM pks, unnest([0, 1, 2]) AS t(j)),
+      tot AS (SELECT pk, count(*) AS nt FROM ppos GROUP BY pk),
+      hit AS (SELECT pk, count(*) AS nh FROM ppos
+        WHERE p IN (SELECT p FROM ones) GROUP BY pk),
+      v AS (SELECT t.pk, coalesce(nh, 0) = nt AS maybe,
+          t.pk IN (SELECT ak FROM aks) AS mem
+        FROM tot t LEFT JOIN hit USING (pk)),
+      onesn AS (SELECT CAST(count(*) AS BIGINT) AS ones_bits FROM ones),
+      an AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM aks),
+      pa AS (SELECT
+          CAST(count(CASE WHEN NOT mem THEN 1 END) AS BIGINT)
+            AS n_nonmember,
+          CAST(count(CASE WHEN maybe AND NOT mem THEN 1 END) AS BIGINT)
+            AS n_fp FROM v)
+      SELECT CAST(8192 AS BIGINT) AS m_bits, CAST(3 AS BIGINT)
+          AS k_hashes,
+        n_keys, ones_bits,
+        CAST((1000000 * ones_bits) // 8192 AS BIGINT) AS fill_ppm,
+        CAST((1000000 * ones_bits * ones_bits * ones_bits)
+          // (8192::BIGINT * 8192 * 8192) AS BIGINT) AS fp_est_ppm,
+        n_nonmember, n_fp,
+        CASE WHEN n_nonmember > 0 THEN
+          CAST((1000000 * n_fp) // n_nonmember AS BIGINT)
+          END AS fp_measured_ppm
+      FROM an, onesn, pa"""),
+    doc = "[NS] Bloom parameter advisor (estimated vs measured FP on one row)")
+
   /** D5 [NS] — Bloom-filter near-dup gate (q115): the archive's band
     * keys folded into an 8192-bit filter ([[graft.functions
     * .BloomFilterAggregator]] — mergeable, broadcast as ONE row), each
@@ -1685,5 +1753,5 @@ object DocQueries {
     q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment,
     q144LshFuzzy, q145CcIncremental, q164LshRecall, q191DatasetCard,
     q196CohenKappa, q199PatchGrid, q206Snippets, q207VocabGrowth,
-    q208ExtractText, q229NoveltyGrade)
+    q208ExtractText, q229NoveltyGrade, q236BloomAdvisor)
 }

@@ -1060,10 +1060,64 @@ object EmbeddingQueries {
       ORDER BY vec_id, j"""),
     doc = "[NS] JL ±1 random projection, exact-integer (map-only dim reduction)")
 
+  /** [NS] — embedding expectations (q235): [[graft.operators
+    * .Similarity.embeddingExpectations]] over a deterministically
+    * doctored copy of the embeddings table — NULL vectors, truncated
+    * dimension, all-zero sentinels, and injected NaNs (the four
+    * failure modes embedding services actually produce), each checked
+    * by ELEMENT-WISE predicates so the counts hash-match despite float
+    * components. The chain order (null → wrong-dim → non-finite →
+    * zero) is part of the contract and replicated in the oracle. */
+  val q235EmbeddingExpectations = Q(
+    "q235_embedding_expectations",
+    (s, d) => {
+      import s.implicits._
+      val doctored = Tables.embeddings(s, d).withColumn("emb2",
+        when($"vec_id" % 83 === 0, lit(null).cast("array<float>"))
+          .when($"vec_id" % 89 === 0, expr("slice(embedding, 1, 32)"))
+          .when($"vec_id" % 97 === 0,
+            expr("transform(embedding, x -> cast(0.0 as float))"))
+          .when($"vec_id" % 79 === 0, expr(
+            "transform(embedding, (x, i) -> " +
+              "case when i = 0 then cast('NaN' as float) else x end)"))
+          .otherwise($"embedding"))
+      graft.operators.Similarity.embeddingExpectations(
+        doctored, "emb2", dim = 64)
+    },
+    Some("""WITH de AS (SELECT vec_id, CASE
+          WHEN vec_id % 83 = 0 THEN NULL
+          WHEN vec_id % 89 = 0 THEN embedding[1:32]
+          WHEN vec_id % 97 = 0 THEN
+            list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+          WHEN vec_id % 79 = 0 THEN
+            list_transform(embedding, (x, i) ->
+              CASE WHEN i = 1 THEN CAST('NaN' AS FLOAT) ELSE x END)
+          ELSE embedding END AS emb2
+        FROM embeddings)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(count(CASE WHEN emb2 IS NULL THEN 1 END) AS BIGINT)
+          AS n_null_vec,
+        CAST(count(CASE WHEN emb2 IS NOT NULL AND len(emb2) <> 64
+          THEN 1 END) AS BIGINT) AS n_wrong_dim,
+        CAST(count(CASE WHEN emb2 IS NOT NULL AND len(emb2) = 64
+          AND len(list_filter(emb2, x -> isnan(x) OR isinf(x))) > 0
+          THEN 1 END) AS BIGINT) AS n_nonfinite,
+        CAST(count(CASE WHEN emb2 IS NOT NULL AND len(emb2) = 64
+          AND len(list_filter(emb2, x -> isnan(x) OR isinf(x))) = 0
+          AND len(list_filter(emb2, x -> x <> 0)) = 0
+          THEN 1 END) AS BIGINT) AS n_zero_vec,
+        CAST(count(CASE WHEN emb2 IS NOT NULL AND len(emb2) = 64
+          AND len(list_filter(emb2, x -> isnan(x) OR isinf(x))) = 0
+          AND len(list_filter(emb2, x -> x <> 0)) > 0
+          THEN 1 END) AS BIGINT) AS n_ok
+      FROM de"""),
+    doc = "[NS] embedding expectations (vector-column QA, element-wise exact)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,
     q132JlProject, q150FilteredAnn, q155BatchAnn, q168IndexAppend,
-    q169KCenter, q179MmrRerank, q187RetrieveDiversify)
+    q169KCenter, q179MmrRerank, q187RetrieveDiversify,
+    q235EmbeddingExpectations)
 }

@@ -99,4 +99,28 @@ class BloomSpec extends AnyFunSuite {
       if (c) assert(truth.contains(id), s"$id confirmed but not a real hit")
     }
   }
+
+  test("advisor: internally consistent (fill/est recomputed from its " +
+      "own row) and its measured FP count equals the REAL bitmap " +
+      "gate's maybe-and-not-confirmed count") {
+    import spark.implicits._
+    val m = 4096
+    val archive = (1 to 50).map(i => s"arc$i").toDF("k")
+    // 25 members + 25 non-members
+    val probe = ((1 to 25).map(i => s"arc$i") ++
+      (1 to 25).map(i => s"new$i")).toDF("k")
+    val r = Bloom.advisor(archive, probe, "k", "k", mBits = m, k = 3)
+      .collect().head
+    val (nk, ones, fill, est, nonmem, nfp) = (r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(nk === 50L && nonmem === 25L)
+    assert(ones >= 1L && ones <= 150L)
+    assert(fill === 1000000L * ones / m)
+    assert(est === 1000000L * ones * ones * ones / (m.toLong * m * m))
+    // cross-implementation law: the relational position math must
+    // agree with the BloomFilterAggregator's actual bit placement
+    val gateFp = Bloom.gate(probe, archive, "k", "k", m, 3)
+      .filter(col("maybe_present") && !col("confirmed")).count()
+    assert(nfp === gateFp, s"advisor $nfp vs gate $gateFp")
+  }
 }

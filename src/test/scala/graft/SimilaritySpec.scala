@@ -270,6 +270,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"planted-cluster recall@10 (nProbe=8/64, shortlist=100) = $recalls")
   }
 
+  test("embeddingExpectations: each failure mode counted once under " +
+      "the chain order, no float summation involved") {
+    import spark.implicits._
+    val nan = Float.NaN
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      1L -> Seq(1.0f, 2.0f),         // ok
+      2L -> null,                    // null vector
+      3L -> Seq(1.0f),               // wrong dim
+      4L -> Seq(nan, 1.0f),          // non-finite
+      5L -> Seq(0.0f, 0.0f),         // zero sentinel
+      6L -> Seq(nan),                // wrong dim wins over non-finite
+      7L -> Seq(Float.PositiveInfinity, 0.0f)) // non-finite wins
+    val df = rows.toDF("id", "v")
+    val r = Similarity.embeddingExpectations(df, "v", dim = 2)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((7L, 1L, 2L, 2L, 1L, 1L)))
+  }
+
   // ---- mmrRerank (maximal marginal relevance) ----
 
   test("mmrRerank: redundant twin of the top hit is demoted below a " +
