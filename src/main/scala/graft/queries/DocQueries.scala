@@ -1743,6 +1743,53 @@ object DocQueries {
       idAlias = "doc_id") + " ORDER BY doc_id"),
     doc = "[NS] crawl text extraction: markup strip + jusText-style line gate")
 
+  /** [NS] — extraction health by source (q237): the ops dashboard over
+    * q208's extraction — per source: page count, mean kept/dropped
+    * lines in exact ppm, mean clean-text length, and the share of pages
+    * whose extraction came back EMPTY (the "this domain's template
+    * changed" alarm — a rising empty share is how extraction rot is
+    * actually noticed in production). One extraction pass + one
+    * aggregate. */
+  val q237ExtractionHealth = Q(
+    "q237_extraction_health",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val ex = graft.operators.Curation.extractText(
+        DocQueries.crawlPage(docs), "doc_id", "html")
+      docs.select($"doc_id", $"source")
+        .join(ex, Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_pages"),
+          expr("(1000000 * sum(kept_lines)) div count(1)")
+            .as("mean_kept_ppm"),
+          expr("(1000000 * sum(dropped_lines)) div count(1)")
+            .as("mean_dropped_ppm"),
+          expr("(1000000 * sum(length(clean_text))) div count(1)")
+            .as("mean_chars_ppm"),
+          expr("(1000000 * sum(case when length(clean_text) = 0 " +
+            "then 1 else 0 end)) div count(1)").as("empty_ppm"))
+        .orderBy($"source")
+    },
+    Some {
+      val exSql = graft.operators.Curation.extractTextSql("documents",
+        "doc_id", crawlPageHtmlSql, "doc_id")
+      s"""WITH j AS (SELECT d.source, e.clean_text, e.kept_lines,
+            e.dropped_lines
+          FROM ($exSql) e JOIN documents d USING (doc_id))
+        SELECT source, CAST(count(*) AS BIGINT) AS n_pages,
+          CAST((1000000 * sum(kept_lines)) // count(*) AS BIGINT)
+            AS mean_kept_ppm,
+          CAST((1000000 * sum(dropped_lines)) // count(*) AS BIGINT)
+            AS mean_dropped_ppm,
+          CAST((1000000 * sum(length(clean_text))) // count(*) AS BIGINT)
+            AS mean_chars_ppm,
+          CAST((1000000 * count(CASE WHEN length(clean_text) = 0
+            THEN 1 END)) // count(*) AS BIGINT) AS empty_ppm
+        FROM j GROUP BY source ORDER BY source"""
+    },
+    doc = "[NS] per-source extraction health (the template-rot alarm dashboard)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -1753,5 +1800,6 @@ object DocQueries {
     q115BloomGate, q116KeepBest, q119HeavyHitters, q141Containment,
     q144LshFuzzy, q145CcIncremental, q164LshRecall, q191DatasetCard,
     q196CohenKappa, q199PatchGrid, q206Snippets, q207VocabGrowth,
-    q208ExtractText, q229NoveltyGrade, q236BloomAdvisor)
+    q208ExtractText, q229NoveltyGrade, q236BloomAdvisor,
+    q237ExtractionHealth)
 }
