@@ -121,7 +121,10 @@ object DedupIndex {
       .groupBy(col(idCol))
       .agg(countDistinct(col("band")).as("bands_hit"))
     incoming
-      .join(hashes.select(col("_h"), lit(true).as("exact_dup")),
+      // distinct: [[append]] dedups within a batch but a re-archived
+      // text duplicates a STORED hash — a semi-join wouldn't care, this
+      // LEFT equality join would multiply the incoming row without it
+      .join(hashes.distinct().select(col("_h"), lit(true).as("exact_dup")),
         md5(col(textCol)) === col("_h"), "left")
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),

@@ -355,6 +355,15 @@ class DedupSpec extends AnyFunSuite {
         r.getLong(2)))).toMap
     assert(g(100L) === ((true, 4L)), g)
     assert(g(101L) === ((false, 0L)), g)
+    // duplicate stored hashes (append of re-archived content) must not
+    // multiply graded rows — the left join dedups the hash table
+    graft.operators.DedupIndex.append(archive, "doc_id", "text",
+      shingleN = 3, k = 8, bands = 4, dir = dir)
+    val g2 = graft.operators.DedupIndex.noveltyGrade(spark, dir, batch,
+      "doc_id", "text").collect()
+    assert(g2.length === 2, g2.toSeq)
+    assert(g2.map(r => r.getLong(0) -> ((r.getBoolean(1),
+      r.getLong(2)))).toMap === g)
     // law on real data: every gate-admitted doc grades (false, 0) —
     // the archive layers of the gate are exactly the grade's two probes
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
