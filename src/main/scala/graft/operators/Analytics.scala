@@ -760,6 +760,35 @@ object Analytics {
         col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
   }
 
+  /** [NS] — join pre-flight audit: before running `a ⋈ b` on `keyCol`,
+    * the EXACT output cardinality (Σ over keys of cntA·cntB, in
+    * decimal(38,0) — this is the number that explodes), both sides' key
+    * multiplicities, the single worst key and its contribution — the
+    * "will this join melt the cluster" check, computed from two
+    * key-count aggregates + one key-frame join (key-set-sized, never
+    * the data). A worst key contributing most of the output is the
+    * salting/skew-hint signal ([[graft.operators.Skew]]); an output
+    * estimate ≫ both inputs is the many-to-many red flag. */
+  def joinAudit(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    def side(df: DataFrame, n: String) =
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol)).agg(count(lit(1)).as(n))
+    def d(s: String) = s"cast($s as decimal(38,0))"
+    val joined = side(a, "ca").join(side(b, "cb"), Seq(keyCol))
+      .withColumn("_prod", expr(s"${d("ca")} * ${d("cb")}"))
+    joined.agg(count(lit(1)).as("n_keys"),
+        sum(col("_prod")).as("_out"),
+        max(col("ca")).as("max_mult_a"),
+        max(col("cb")).as("max_mult_b"),
+        max(struct(col("_prod"), col(keyCol).cast("string").as("_k")))
+          .as("_w"))
+      .select(col("n_keys"),
+        col("_out").cast("decimal(38,0)").cast("long").as("out_rows"),
+        col("max_mult_a"), col("max_mult_b"),
+        col("_w._k").as("worst_key"),
+        col("_w._prod").cast("long").as("worst_rows"))
+  }
+
   /** [NS] — error-analysis sampler: a DETERMINISTIC k-sample of row
     * ids per confusion cell (predicted × actual) — the "show me five
     * false positives" query every model debugging loop runs; a

@@ -1542,6 +1542,38 @@ object OpsQueries {
       ORDER BY n DESC, path LIMIT 20"""),
     doc = "[NS] user-journey trigram paths (frequent-path discovery, exact counts)")
 
+  /** [NS] — join pre-flight audit (q238): [[graft.operators.Analytics
+    * .joinAudit]] on the lineitem self-join by part key — the exact
+    * output cardinality (Σ cntA·cntB), worst key, and multiplicity
+    * ceilings, computed from key-count frames WITHOUT running the join.
+    * At sf0.01 the self-join would emit ~1.8M rows from 60k inputs —
+    * the many-to-many explosion this audit exists to catch before the
+    * cluster does. */
+  val q238JoinAudit = Q(
+    "q238_join_audit",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      Analytics.joinAudit(li, li, "l_partkey")
+    },
+    Some("""WITH ca AS (SELECT l_partkey AS k,
+          CAST(count(*) AS BIGINT) AS ca FROM lineitem
+        WHERE l_partkey IS NOT NULL GROUP BY 1),
+      cb AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cb
+        FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+      j AS (SELECT ca.k, ca.ca, cb.cb, ca.ca::HUGEINT * cb.cb AS prod
+        FROM ca JOIN cb USING (k)),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(sum(prod) AS BIGINT) AS out_rows,
+          CAST(max(ca) AS BIGINT) AS max_mult_a,
+          CAST(max(cb) AS BIGINT) AS max_mult_b FROM j),
+      w AS (SELECT CAST(k AS VARCHAR) AS worst_key,
+          CAST(prod AS BIGINT) AS worst_rows FROM j
+        ORDER BY prod DESC, CAST(k AS VARCHAR) DESC LIMIT 1)
+      SELECT n_keys, out_rows, max_mult_a, max_mult_b, worst_key,
+        worst_rows
+      FROM t, w"""),
+    doc = "[NS] join pre-flight audit (exact output cardinality without the join)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
@@ -1551,5 +1583,5 @@ object OpsQueries {
     q190TopMovers, q194QuantileNorm, q195KAnonymity, q197Bootstrap,
     q198ChiSquare, q202Calibration, q203Gains, q211CalibrationBands,
     q216Auc, q217Brier, q218AvgPrecision, q219ThresholdSweep,
-    q223ErrorSamples, q224Journeys, q228TokenDrift)
+    q223ErrorSamples, q224Journeys, q228TokenDrift, q238JoinAudit)
 }

@@ -673,6 +673,23 @@ class AnalyticsSpec extends AnyFunSuite {
       666666L)))
   }
 
+  test("joinAudit: predicted output cardinality equals the join's " +
+      "actual row count; worst key and multiplicity ceilings exact") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val a = Seq(("x", 1), ("x", 2), ("y", 3), ("w", 9))
+      .toDF("k", "va")
+    val b = Seq(("x", 4), ("x", 5), ("x", 6), ("z", 7), ("y", 8))
+      .toDF("k", "vb")
+    // keys in both: x (2×3), y (1×1) -> 7 output rows
+    val row = Analytics.joinAudit(a, b, "k").collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getString(4), row.getLong(5))
+      === ((2L, 7L, 2L, 3L, "x", 6L)))
+    // law: the prediction equals the actual join size
+    assert(a.join(b, Seq("k")).count() === row.getLong(1))
+  }
+
   test("errorSamples: k per cell, deterministic under repartitioning, " +
       "never more than the cell holds") {
     import spark.implicits._
