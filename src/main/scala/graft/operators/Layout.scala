@@ -79,6 +79,50 @@ object Layout {
         max(col(fileCol)).as("last_file"))
   }
 
+  /** [NS] — string-encoding advisor: what dictionary + front-coding
+    * would save on a string column — distinct ratio (the dictionary
+    * case) and the total shared-prefix bytes between SORT-ORDER
+    * neighbors of the distinct values (the front-coding / incremental
+    * encoding case, the scheme parquet and ORC dictionaries build on).
+    * Exact integers: prefix overlap per neighbor pair is computed with
+    * a lag window over the DISTINCT-value frame (vocabulary-sized, not
+    * data-sized) as the longest common prefix via a binary search-free
+    * character walk expressed with substring comparisons — here the
+    * aggregate-friendly form: Σ lcp(prev, cur). Output: one row
+    * (n_values, n_distinct, distinct_ppm, raw_bytes, dict_bytes,
+    * prefix_saved_bytes). */
+  def stringEncodingAdvisor(df: DataFrame, colName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df.filter(col(colName).isNotNull)
+      .select(col(colName).cast("string").as("_v"))
+    val totals = vals.agg(count(lit(1)).as("n_values"),
+      sum(length(col("_v"))).as("raw_bytes"))
+    val distinctVals = vals.distinct()
+    // lcp(prev, cur) = the largest k ≤ min(len) with equal k-prefixes;
+    // expressed as a bounded aggregate over positions (both engines
+    // walk the same substrings — no UDF): the count of positions i
+    // where the i-prefixes match is exactly the lcp because prefix
+    // equality is monotone in i.
+    val withPrev = distinctVals
+      .withColumn("_p", lag(col("_v"), 1).over(Window.orderBy(col("_v"))))
+    val lcp = withPrev.filter(col("_p").isNotNull)
+      // guard: sequence(1, 0) is DESCENDING in Spark, so empty strings
+      // must short-circuit to 0 before the position walk
+      .withColumn("_lcp", expr(
+        """case when least(length(_v), length(_p)) < 1 then 0 else
+           aggregate(sequence(1, least(length(_v), length(_p))),
+             0, (acc, i) -> case when substring(_v, 1, i) =
+               substring(_p, 1, i) then acc + 1 else acc end) end"""))
+      .agg(coalesce(sum(col("_lcp")), lit(0)).cast("long")
+        .as("prefix_saved_bytes"))
+    val dict = distinctVals.agg(count(lit(1)).as("n_distinct"),
+      sum(length(col("_v"))).as("dict_bytes"))
+    totals.crossJoin(dict).crossJoin(lcp)
+      .select(col("n_values"), col("n_distinct"),
+        expr("(1000000 * n_distinct) div n_values").as("distinct_ppm"),
+        col("raw_bytes"), col("dict_bytes"), col("prefix_saved_bytes"))
+  }
+
   /** [NS] — data-skipping ADVISOR: how many zone-map buckets a range
     * predicate could prune IF the table were laid out under a candidate
     * sort order — the number a layout decision (plain sort vs

@@ -618,9 +618,47 @@ object ExtraQueries {
       FROM r ORDER BY layout"""),
     doc = "[NS] data-skipping advisor (zone-map pruning simulated per candidate layout)")
 
+  /** [NS] — string-encoding advisor (q239): [[graft.operators.Layout
+    * .stringEncodingAdvisor]] over the corpus token stream — the
+    * distinct ratio prices a dictionary encoding (31 distinct tokens
+    * over ~2M occurrences: near-total win), and the summed
+    * sort-neighbor common prefixes price front-coding of the
+    * dictionary itself. Exact integers; the prefix walk runs over the
+    * VOCABULARY frame, never the data. */
+  val q239StringEncoding = Q(
+    "q239_string_encoding",
+    (s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("tok"))
+        .filter(length($"tok") > 0)
+      graft.operators.Layout.stringEncodingAdvisor(toks, "tok")
+    },
+    Some("""WITH vals AS (SELECT tok AS v FROM (SELECT
+          unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE length(tok) > 0),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_values,
+          CAST(sum(length(v)) AS BIGINT) AS raw_bytes FROM vals),
+      dv AS (SELECT DISTINCT v FROM vals),
+      wp AS (SELECT v, lag(v, 1) OVER (ORDER BY v) AS p FROM dv),
+      l AS (SELECT CAST(coalesce(sum(
+          len(list_filter(range(1, least(length(v), length(p)) + 1),
+            i -> substr(v, 1, CAST(i AS INT)) =
+              substr(p, 1, CAST(i AS INT))))), 0) AS BIGINT)
+          AS prefix_saved_bytes
+        FROM wp WHERE p IS NOT NULL),
+      dd AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+          CAST(sum(length(v)) AS BIGINT) AS dict_bytes FROM dv)
+      SELECT n_values, n_distinct,
+        CAST((1000000 * n_distinct) // n_values AS BIGINT)
+          AS distinct_ppm,
+        raw_bytes, dict_bytes, prefix_saved_bytes
+      FROM t, dd, l"""),
+    doc = "[NS] string-encoding advisor (dictionary + front-coding savings, exact)")
+
   val all: Seq[Q] = Seq(q42Cube, q43RankFuncs, q44SlidingWindow,
     q45SqlSurface, q46HllDistinct, q47SaltedAgg, q48Percentiles, q50Pivot,
     q59RangeWindow, q60ApproxPercentiles, q74PercentGate, q75GapFill,
     q84SnapshotDiff, q86SketchUnion, q87GroupingSets, q95CdcApply,
-    q118ZorderLayout, q234LayoutAdvisor)
+    q118ZorderLayout, q234LayoutAdvisor, q239StringEncoding)
 }

@@ -89,4 +89,22 @@ class LayoutSpec extends AnyFunSuite {
     assert((byId.getLong(1), byId.getLong(2), byId.getLong(4))
       === ((10L, 0L, 200L)), byId)
   }
+
+  test("stringEncodingAdvisor: hand-computed dictionary and " +
+      "front-coding numbers, empty-neighbor safety") {
+    import spark.implicits._
+    import graft.operators.Layout
+    // values sorted: ab, abc, abd, x -> lcps: (ab,abc)=2, (abc,abd)=2,
+    // (abd,x)=0 -> prefix_saved = 4; occurrences: ab x3, abc x1,
+    // abd x1, x x2 -> n=7, raw=2*3+3+3+1*2=14, dict=2+3+3+1=9
+    val df = Seq("ab", "ab", "ab", "abc", "abd", "x", "x").toDF("s")
+    val r = Layout.stringEncodingAdvisor(df, "s").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+      === ((7L, 4L, 571428L, 14L, 9L, 4L)))
+    // a single distinct value has no neighbor pairs: saved = 0
+    val one = Layout.stringEncodingAdvisor(
+      Seq("solo", "solo").toDF("s"), "s").collect().head
+    assert((one.getLong(1), one.getLong(5)) === ((1L, 0L)))
+  }
 }
