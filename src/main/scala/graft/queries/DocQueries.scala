@@ -1790,6 +1790,47 @@ object DocQueries {
     },
     doc = "[NS] per-source extraction health (the template-rot alarm dashboard)")
 
+  /** [NS] — dedup ROI report (q240): what exact dedup would BUY, per
+    * source — rows and characters removed if every md5-duplicate group
+    * kept only its min-doc_id survivor (q22's rule), plus the saved
+    * share in exact ppm. The budgeting readout that decides whether
+    * the near-dup stages are worth their cost on a given source: a
+    * source already near-duplicate-free doesn't need the LSH pass. */
+  val q240DedupRoi = Q(
+    "q240_dedup_roi",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val keep = docs.groupBy(md5($"text").as("_h"))
+        .agg(min($"doc_id").as("keep_id"))
+      docs.join(keep, md5($"text") === $"_h", "left")
+        .withColumn("dropped", $"doc_id" =!= $"keep_id")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          sum(when($"dropped", 1L).otherwise(0L)).as("rows_dropped"),
+          sum(when($"dropped", $"n_chars").otherwise(0L))
+            .as("chars_saved"))
+        .withColumn("saved_ppm",
+          expr("(1000000 * chars_saved) div total_chars"))
+        .orderBy($"source")
+    },
+    Some("""WITH keep AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        FROM documents GROUP BY md5(text)),
+      j AS (SELECT d.source, d.n_chars,
+          d.doc_id <> k.keep_id AS dropped
+        FROM documents d JOIN keep k ON md5(d.text) = k.h)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(count(CASE WHEN dropped THEN 1 END) AS BIGINT)
+          AS rows_dropped,
+        CAST(sum(CASE WHEN dropped THEN n_chars ELSE 0 END) AS BIGINT)
+          AS chars_saved,
+        CAST((1000000 * sum(CASE WHEN dropped THEN n_chars ELSE 0 END))
+          // sum(n_chars) AS BIGINT) AS saved_ppm
+      FROM j GROUP BY source ORDER BY source"""),
+    doc = "[NS] dedup ROI per source (rows/chars an exact pass would remove)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -1801,5 +1842,5 @@ object DocQueries {
     q144LshFuzzy, q145CcIncremental, q164LshRecall, q191DatasetCard,
     q196CohenKappa, q199PatchGrid, q206Snippets, q207VocabGrowth,
     q208ExtractText, q229NoveltyGrade, q236BloomAdvisor,
-    q237ExtractionHealth)
+    q237ExtractionHealth, q240DedupRoi)
 }
