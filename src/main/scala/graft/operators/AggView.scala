@@ -139,4 +139,30 @@ object AggView {
       s"generation $gen not available at $dir")
     spark.read.parquet(genDir(dir, gen))
   }
+
+  /** Delta of an inner-join view under insert-only deltas — the other
+    * half of incremental view maintenance (this object's aggregate
+    * monoid covers Σ/COUNT; this covers ⋈). The multiset join-delta
+    * rule (Blakeley et al. 1986; Griffin & Libkin 1995):
+    *
+    *   (R ∪ ΔR) ⋈ (S ∪ ΔS) = (R ⋈ S) ∪ ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS
+    *
+    * so refreshing a stored join view costs three joins in which at
+    * least one side is delta-sized — never a rejoin of the full bases.
+    * At 100 TB that is the whole point: the daily fact⋈dim refresh
+    * touches yesterday's rows, not the decade. Both delta sides are
+    * broadcast-hinted — a delta that outgrows broadcast is a batch to
+    * split upstream, and AQE demotes the hint to shuffle join rather
+    * than failing. Result columns follow Spark's using-join shape
+    * (keys first, then both sides' payloads); callers union it with the
+    * stored view. Duplicate-key multiplicities compose correctly
+    * because every term is a plain multiset join.
+    */
+  def joinDelta(rOld: DataFrame, rDelta: DataFrame,
+      sOld: DataFrame, sDelta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    rDelta.hint("broadcast").join(sOld, keys)
+      .unionByName(rOld.join(sDelta.hint("broadcast"), keys))
+      .unionByName(rDelta.join(sDelta, keys))
+  }
 }

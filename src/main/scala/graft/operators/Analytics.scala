@@ -1219,4 +1219,67 @@ object Analytics {
       .withColumn("is_out", col("abs_dev") > lit(c.toDouble) * col("mad"))
       .drop("_n", "_rn", "_rn2")
   }
+
+  /** CUPED variance reduction (Deng et al. 2013): adjust an experiment
+    * metric by its pre-period covariate, Yadj = Y − θ·(X − E[X]) with
+    * θ = cov(X,Y)/var(X), so unit-level noise that existed BEFORE the
+    * experiment is subtracted out of the treatment/control comparison.
+    * The classic ~40–60% variance cut for engagement metrics — at
+    * pipeline scale it is the difference between a week and a month of
+    * experiment runtime for the same power.
+    *
+    * Input is one row per experimental unit with integer-scaled x
+    * (pre-period metric), y (experiment metric) and a 0/1 variant.
+    * Everything is ONE aggregate over the units and exact integer
+    * algebra on its moments (decimal(38,0) products, integral divide),
+    * so the DuckDB oracle hash-matches bit-for-bit:
+    *  - theta_ppm       = 10^6·(n·Sxy − Sx·Sy) div (n·Sxx − Sx²)
+    *  - var_reduction_ppm = 10^6·cov² div (varX·varY) (= corr² — the
+    *    exact share of Var(Y) that CUPED removes, by the identity
+    *    Var(Yadj) = Var(Y)·(1 − ρ²))
+    *  - diff_raw_ppm / diff_adj_ppm: treatment−control mean gap before
+    *    and after adjustment (the adjusted gap subtracts θ·ΔX̄ — the
+    *    pre-period imbalance the raw gap would have mistaken for lift).
+    * Degenerate inputs (constant X or Y) yield zeros, not errors.
+    * Moment products bound: |cxy|² ≤ (n·max|x·y|)², inside decimal(38)
+    * for per-unit metrics ≤10^4 and n ≤ 10^6; beyond that, pre-center
+    * x/y upstream (the standard two-pass guard) before calling.
+    */
+  def cuped(perUnit: DataFrame, variantCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = col(xCol).cast(d38)
+    val y = col(yCol).cast(d38)
+    val isT = col(variantCol) === 1
+    perUnit.agg(
+        count(lit(1)).cast(d38).as("_n"),
+        sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * y).as("_sxy"), sum(x * x).as("_sxx"),
+        sum(y * y).as("_syy"),
+        count(when(isT, 1)).cast(d38).as("_n1"),
+        count(when(!isT, 1)).cast(d38).as("_n0"),
+        sum(when(isT, x)).as("_sx1"), sum(when(!isT, x)).as("_sx0"),
+        sum(when(isT, y)).as("_sy1"), sum(when(!isT, y)).as("_sy0"))
+      .withColumn("_cxy", expr("_n * _sxy - _sx * _sy"))
+      .withColumn("_cxx", expr("_n * _sxx - _sx * _sx"))
+      .withColumn("_cyy", expr("_n * _syy - _sy * _sy"))
+      .withColumn("theta_ppm", expr(
+        "CASE WHEN _cxx = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(1000000 AS DECIMAL(38,0)) * _cxy div _cxx END"))
+      .withColumn("var_reduction_ppm", expr(
+        "CASE WHEN _cxx = 0 OR _cyy = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(1000000 AS DECIMAL(38,0)) * _cxy * _cxy " +
+          "div (_cxx * _cyy) END"))
+      .withColumn("diff_raw_ppm", expr(
+        "CAST(1000000 AS DECIMAL(38,0)) * _sy1 div _n1 " +
+          "- CAST(1000000 AS DECIMAL(38,0)) * _sy0 div _n0"))
+      .withColumn("diff_adj_ppm", expr(
+        "diff_raw_ppm - theta_ppm * " +
+          "(CAST(1000000 AS DECIMAL(38,0)) * _sx1 div _n1 " +
+          "- CAST(1000000 AS DECIMAL(38,0)) * _sx0 div _n0) " +
+          "div 1000000"))
+      .select(col("_n").cast("long").as("n_units"),
+        col("theta_ppm"), col("var_reduction_ppm"),
+        col("diff_raw_ppm"), col("diff_adj_ppm"))
+  }
 }

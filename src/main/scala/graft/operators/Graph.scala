@@ -611,4 +611,86 @@ object Graph {
         .localCheckpoint(true) // result only; outlives the und pin
     } finally und.unpersist(blocking = false)
   }
+
+  /** Exact-integer HITS (Kleinberg 1999): hub and authority scores over
+    * a directed edge list, k synchronous iterations. Where PageRank
+    * ([[pageRankExact]]) ranks by random-surfer mass, HITS separates the
+    * two roles a node can play — a good *hub* points at good
+    * authorities, a good *authority* is pointed at by good hubs — the
+    * natural shape for bipartite-ish interaction graphs (customers →
+    * suppliers, crawlers → domains) where "who curates well" and "who
+    * is curated" are different questions.
+    *
+    * All arithmetic is scaled-integer so a DuckDB oracle replaying the
+    * recurrence hash-matches bit-for-bit: scores start at `scale`, each
+    * half-step sums the counterpart score over edges and then L1-
+    * normalizes via floor division `(scale * raw) div total` (the
+    * product is computed in decimal(38,0) — raw sums can reach
+    * edges × scale, so a bare long multiply would overflow exactly at
+    * the advertised scale). Update order is the classic sequential one:
+    * auth(t) from hub(t-1), then hub(t) from auth(t). An empty side
+    * (total = 0) yields all-zero scores rather than a division error.
+    *
+    * Plan shape per iteration: two edge⋈score equi-joins + two groupBy
+    * aggregates + two 1-row broadcast totals — the same per-round cost
+    * envelope as PageRank, frontier never materialized driver-side.
+    * Scores are localCheckpointed per round to cut the growing lineage.
+    */
+  def hitsExact(edgePairs: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = edgePairs
+      .select(col(srcCol).cast("long").as("_src"),
+        col(dstCol).cast("long").as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nodes = edges.select(col("_src").as("_n"))
+        .union(edges.select(col("_dst").as("_n")))
+        .distinct()
+        .localCheckpoint(true)
+      // L1-normalize a raw score column against its broadcast total;
+      // decimal(38,0) product, integral divide back to long
+      def normalize(raw: DataFrame, rawCol: String,
+          outCol: String): DataFrame = {
+        val tot = raw.agg(
+          sum(col(rawCol)).cast("decimal(38,0)").as("_tot"))
+        raw.crossJoin(broadcast(tot))
+          .select(col("_n"),
+            expr(s"CASE WHEN _tot = 0 THEN CAST(0 AS BIGINT) " +
+              s"ELSE CAST($scale AS DECIMAL(38,0)) * " +
+              s"CAST($rawCol AS DECIMAL(38,0)) div _tot END")
+              .as(outCol))
+      }
+      var scores = nodes.select(col("_n"),
+        lit(scale).as("_auth"), lit(scale).as("_hub"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val rawAuth = nodes.join(
+          edges.join(scores.select(col("_n").as("_src"), col("_hub")),
+              "_src")
+            .groupBy(col("_dst"))
+            .agg(sum(col("_hub")).as("_ra"))
+            .select(col("_dst").as("_n"), col("_ra")),
+          Seq("_n"), "left")
+          .select(col("_n"), coalesce(col("_ra"), lit(0L)).as("_ra"))
+        // auth(t) feeds both the hub half-step and the final join —
+        // checkpoint so the normalize agg runs once per iteration
+        val auth = normalize(rawAuth, "_ra", "_auth").localCheckpoint(true)
+        val rawHub = nodes.join(
+          edges.join(auth.select(col("_n").as("_dst"), col("_auth")),
+              "_dst")
+            .groupBy(col("_src"))
+            .agg(sum(col("_auth")).as("_rh"))
+            .select(col("_src").as("_n"), col("_rh")),
+          Seq("_n"), "left")
+          .select(col("_n"), coalesce(col("_rh"), lit(0L)).as("_rh"))
+        val hub = normalize(rawHub, "_rh", "_hub")
+        scores = auth.join(hub, Seq("_n")).localCheckpoint(true)
+      }
+      scores.select(col("_n").as("node"), col("_auth").as("auth"),
+        col("_hub").as("hub"))
+    } finally edges.unpersist(blocking = false)
+  }
 }

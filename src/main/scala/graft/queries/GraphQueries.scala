@@ -716,8 +716,78 @@ object GraphQueries {
       ORDER BY jaccard_ppm DESC, u, v LIMIT 20"""),
     doc = "[NS] common-neighbor link prediction (cluster-merge early warning)")
 
+  /** Unrolled exact-integer HITS: expects `edges0(src, dst)` in scope;
+    * defines s0..s`iters` with (node, auth, hub). Mirrors
+    * [[Graph.hitsExact]] half-step for half-step: scale 10^9, auth(t)
+    * from hub(t-1) then hub(t) from auth(t), each L1-normalized by
+    * floor division with the product widened to HUGEINT (the oracle's
+    * spelling of the operator's decimal(38,0) widening). */
+  private def hitsCtes(iters: Int): String = {
+    val base = """nodesH AS (SELECT src AS node FROM edges0
+        UNION SELECT dst FROM edges0),
+      s0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS auth,
+          CAST(1000000000 AS BIGINT) AS hub FROM nodesH)"""
+    val its = (1 to iters).map { i =>
+      s"""ra$i AS (SELECT e.dst AS node, CAST(sum(s.hub) AS BIGINT) AS raw
+        FROM edges0 e JOIN s${i - 1} s ON s.node = e.src GROUP BY e.dst),
+      a$i AS (SELECT n.node, coalesce(r.raw, CAST(0 AS BIGINT)) AS raw
+        FROM nodesH n LEFT JOIN ra$i r ON r.node = n.node),
+      ta$i AS (SELECT CAST(sum(raw) AS HUGEINT) AS t FROM a$i),
+      an$i AS (SELECT node, CASE WHEN t = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST((1000000000::HUGEINT * raw) // t AS BIGINT) END AS auth
+        FROM a$i CROSS JOIN ta$i),
+      rh$i AS (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS raw
+        FROM edges0 e JOIN an$i a ON a.node = e.dst GROUP BY e.src),
+      h$i AS (SELECT n.node, coalesce(r.raw, CAST(0 AS BIGINT)) AS raw
+        FROM nodesH n LEFT JOIN rh$i r ON r.node = n.node),
+      th$i AS (SELECT CAST(sum(raw) AS HUGEINT) AS t FROM h$i),
+      hn$i AS (SELECT node, CASE WHEN t = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST((1000000000::HUGEINT * raw) // t AS BIGINT) END AS hub
+        FROM h$i CROSS JOIN th$i),
+      s$i AS (SELECT a.node, a.auth, h.hub FROM an$i a
+        JOIN hn$i h ON h.node = a.node)"""
+    }.mkString(",\n      ")
+    base + ",\n      " + its
+  }
+
+  /** [NS] — HITS hubs & authorities (q241): [[Graph.hitsExact]] over the
+    * same customer→supplier purchase graph as q130, 2 iterations. The
+    * graph is bipartite, so the two roles separate perfectly: customers
+    * carry ALL hub mass (they only point), suppliers carry all authority
+    * mass — "which suppliers does the well-connected money endorse, and
+    * which customers curate the broadest supplier set". PageRank on this
+    * graph mixes the roles through dangling redistribution; HITS answers
+    * them separately — that complement is the reason both rankers exist. */
+  val q241Hits = Q(
+    "q241_hits",
+    (s, d) => {
+      import s.implicits._
+      val edges = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+        .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("src"),
+          ($"l_suppkey" + 1000000L).as("dst"))
+      Graph.hitsExact(edges, "src", "dst", iters = 2)
+        .select($"node",
+          when($"node" >= 1000000L, "supplier").otherwise("customer")
+            .as("kind"),
+          $"auth", $"hub")
+        .orderBy($"auth".desc, $"hub".desc, $"node")
+        .limit(20)
+    },
+    Some(s"""WITH edges0 AS (SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      ${hitsCtes(2)}
+      SELECT node,
+        CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END
+          AS kind,
+        auth, hub
+      FROM s2 ORDER BY auth DESC, hub DESC, node LIMIT 20"""),
+    doc = "[NS] exact-integer HITS hubs/authorities (bipartite purchase graph)")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
     q138Kcore, q161BfsLevels, q163HashWalks, q177CoOccurrence,
     q178Trending, q181Ppr, q183NegSamples, q201RecHitRate,
-    q225LabelProp, q226LinkPred)
+    q225LabelProp, q226LinkPred, q241Hits)
 }

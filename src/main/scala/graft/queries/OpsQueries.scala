@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Analytics, Layout}
+import graft.operators.{AggView, Analytics, Layout}
+import QueryDsl.{exactSum, exactSumSql}
 
 /** [NS] Corpus-operations queries — the table-management side of running
   * a 100 TB corpus: profile it (q134), track running term frequencies in
@@ -1574,6 +1575,114 @@ object OpsQueries {
       FROM t, w"""),
     doc = "[NS] join pre-flight audit (exact output cardinality without the join)")
 
+  /** [NS] — incremental join-view maintenance (q242): the maintained
+    * view is built WITHOUT ever re-joining the full bases. Both bases
+    * are split old/delta on incommensurate moduli (orders %7, lineitem
+    * %5 — so the deltas overlap partially and every one of the three
+    * delta terms ΔR⋈S, R⋈ΔS, ΔR⋈ΔS is non-empty), the stored view is
+    * old⋈old, and [[AggView.joinDelta]] supplies the refresh. The
+    * oracle recomputes the view from the FULL bases — the hash match IS
+    * the proof of the multiset join-delta rule on this data. Output is
+    * the per-order row count + exact quantity sum over the maintained
+    * view, so a single lost or duplicated delta row breaks the hash. */
+  val q242JoinViewDelta = Q(
+    "q242_join_view_delta",
+    (s, d) => {
+      import s.implicits._
+      val ord = Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority")
+      val li = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+      val rOld = ord.filter($"o_orderkey" % 7 =!= 0)
+      val rDelta = ord.filter($"o_orderkey" % 7 === 0)
+      val sOld = li.filter($"o_orderkey" % 5 =!= 0)
+      val sDelta = li.filter($"o_orderkey" % 5 === 0)
+      val stored = rOld.join(sOld, Seq("o_orderkey"))
+      val refreshed = stored.unionByName(
+        AggView.joinDelta(rOld, rDelta, sOld, sDelta, Seq("o_orderkey")))
+      refreshed.groupBy($"o_orderkey")
+        .agg(count(lit(1)).as("n_rows"),
+          exactSum($"l_quantity", 2).as("sum_qty"))
+        .orderBy($"o_orderkey")
+    },
+    Some(s"""SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_rows,
+        ${exactSumSql("l_quantity", 2)} AS sum_qty
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey ORDER BY o_orderkey"""),
+    doc = "[NS] incremental join-view refresh ≡ full recompute (delta algebra)")
+
+  /** [NS] — CUPED experiment readout (q243): per-user floor-averaged
+    * event value in the pre-period (Jan 1–15) as covariate X and the
+    * experiment period (Jan 16–30) as metric Y, variant = user_id
+    * parity, [[Analytics.cuped]] for the exact-ppm θ / corr² /
+    * raw-vs-adjusted treatment gap. Users missing either period drop
+    * out (no covariate → no adjustment — the standard CUPED cohort
+    * rule). The A/B readout every event pipeline ends in, with the
+    * pre-period imbalance subtracted instead of mistaken for lift. */
+  val q243Cuped = Q(
+    "q243_cuped",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"value".isNotNull)
+        .select($"user_id",
+          ($"ts" >= lit("2024-01-16 00:00:00").cast("timestamp"))
+            .cast("int").as("post"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val perUser = e.groupBy($"user_id").agg(
+          sum(when($"post" === 0, $"c")).as("sxc"),
+          count(when($"post" === 0, 1)).as("nx"),
+          sum(when($"post" === 1, $"c")).as("syc"),
+          count(when($"post" === 1, 1)).as("ny"))
+        .filter($"nx" > 0 && $"ny" > 0)
+        .select(($"user_id" % 2).as("variant"),
+          expr("sxc div nx").as("x"), expr("syc div ny").as("y"))
+      Analytics.cuped(perUser, "variant", "x", "y")
+    },
+    Some("""WITH e AS (SELECT user_id,
+          CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1
+            ELSE 0 END AS post,
+          CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      pu AS (SELECT user_id,
+          CAST(sum(CASE WHEN post = 0 THEN c END) AS BIGINT) AS sxc,
+          CAST(count(CASE WHEN post = 0 THEN 1 END) AS BIGINT) AS nx,
+          CAST(sum(CASE WHEN post = 1 THEN c END) AS BIGINT) AS syc,
+          CAST(count(CASE WHEN post = 1 THEN 1 END) AS BIGINT) AS ny
+        FROM e GROUP BY user_id),
+      k AS (SELECT user_id % 2 AS variant, sxc // nx AS x, syc // ny AS y
+        FROM pu WHERE nx > 0 AND ny > 0),
+      m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+          CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+          CAST(sum(x * y) AS HUGEINT) AS sxy,
+          CAST(sum(x * x) AS HUGEINT) AS sxx,
+          CAST(sum(y * y) AS HUGEINT) AS syy,
+          CAST(count(CASE WHEN variant = 1 THEN 1 END) AS HUGEINT) AS n1,
+          CAST(count(CASE WHEN variant <> 1 THEN 1 END) AS HUGEINT) AS n0,
+          CAST(sum(CASE WHEN variant = 1 THEN x END) AS HUGEINT) AS sx1,
+          CAST(sum(CASE WHEN variant <> 1 THEN x END) AS HUGEINT) AS sx0,
+          CAST(sum(CASE WHEN variant = 1 THEN y END) AS HUGEINT) AS sy1,
+          CAST(sum(CASE WHEN variant <> 1 THEN y END) AS HUGEINT) AS sy0
+        FROM k),
+      c AS (SELECT *, n * sxy - sx * sy AS cxy,
+          n * sxx - sx * sx AS cxx, n * syy - sy * sy AS cyy FROM m),
+      f AS (SELECT *, CASE WHEN cxx = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST((1000000::HUGEINT * cxy) // cxx AS BIGINT) END
+          AS theta_ppm FROM c)
+      SELECT CAST(n AS BIGINT) AS n_units, theta_ppm,
+        CASE WHEN cxx = 0 OR cyy = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST((1000000::HUGEINT * cxy * cxy) // (cxx * cyy)
+            AS BIGINT) END AS var_reduction_ppm,
+        CAST((1000000::HUGEINT * sy1) // n1
+          - (1000000::HUGEINT * sy0) // n0 AS BIGINT) AS diff_raw_ppm,
+        CAST(((1000000::HUGEINT * sy1) // n1
+            - (1000000::HUGEINT * sy0) // n0)
+          - (theta_ppm::HUGEINT * ((1000000::HUGEINT * sx1) // n1
+            - (1000000::HUGEINT * sx0) // n0)) // 1000000 AS BIGINT)
+          AS diff_adj_ppm
+      FROM f"""),
+    doc = "[NS] CUPED pre-period adjustment (exact-ppm theta, corr2, adj gap)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
@@ -1583,5 +1692,6 @@ object OpsQueries {
     q190TopMovers, q194QuantileNorm, q195KAnonymity, q197Bootstrap,
     q198ChiSquare, q202Calibration, q203Gains, q211CalibrationBands,
     q216Auc, q217Brier, q218AvgPrecision, q219ThresholdSweep,
-    q223ErrorSamples, q224Journeys, q228TokenDrift, q238JoinAudit)
+    q223ErrorSamples, q224Journeys, q228TokenDrift, q238JoinAudit,
+    q242JoinViewDelta, q243Cuped)
 }

@@ -76,4 +76,27 @@ class AggViewSpec extends AnyFunSuite {
     assert(at(2L) === got)
     intercept[IllegalArgumentException] { AggView.serveAt(spark, dir, 3L) }
   }
+
+  test("joinDelta: stored view ∪ delta equals a full re-join, duplicate" +
+      " multiplicities preserved") {
+    import spark.implicits._
+    // duplicate keys on both sides so multiset multiplicities matter,
+    // and deltas that hit old keys, each other, and brand-new keys
+    val rOld = Seq((1L, "a"), (2L, "b"), (2L, "b2")).toDF("k", "rv")
+    val rDel = Seq((2L, "b3"), (3L, "c")).toDF("k", "rv")
+    val sOld = Seq((1L, 10L), (2L, 20L), (2L, 21L)).toDF("k", "sv")
+    val sDel = Seq((2L, 22L), (3L, 30L), (4L, 40L)).toDF("k", "sv")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
+      df.collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    val maintained = rows(rOld.join(sOld, Seq("k")).unionByName(
+      AggView.joinDelta(rOld, rDel, sOld, sDel, Seq("k"))))
+    val full = rows(rOld.unionByName(rDel)
+      .join(sOld.unionByName(sDel), Seq("k")))
+    assert(maintained === full)
+    // sanity: all three delta terms are non-empty on this fixture
+    assert(maintained.size === full.size)
+    assert(full.count(_._1 == 2L) === 9,
+      "3 r-rows x 3 s-rows on the shared key")
+  }
 }

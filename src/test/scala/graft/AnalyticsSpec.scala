@@ -744,4 +744,23 @@ class AnalyticsSpec extends AnyFunSuite {
     // -> (13e10 / 2) / 1e6 = 65000
     assert(brier(Seq((800000L, true), (300000L, false))) === 65000L)
   }
+
+  test("cuped: y = x explains the gap entirely (theta=1, corr2=1, " +
+      "adjusted gap 0); constant covariate is a no-op") {
+    import spark.implicits._
+    val units = Seq((0L, 10L, 10L), (0L, 20L, 20L),
+      (1L, 30L, 30L), (1L, 40L, 40L)).toDF("variant", "x", "y")
+    val r = Analytics.cuped(units, "variant", "x", "y").collect()(0)
+    assert(r.getLong(0) === 4L)         // n_units
+    assert(r.getLong(1) === 1000000L)   // theta_ppm: slope exactly 1
+    assert(r.getLong(2) === 1000000L)   // var_reduction_ppm: corr^2 = 1
+    assert(r.getLong(3) === 20000000L)  // raw gap: mean 35 - mean 15
+    assert(r.getLong(4) === 0L)         // pre-period explains all of it
+    val const = Seq((0L, 5L, 10L), (0L, 5L, 20L),
+      (1L, 5L, 30L), (1L, 5L, 40L)).toDF("variant", "x", "y")
+    val c = Analytics.cuped(const, "variant", "x", "y").collect()(0)
+    assert(c.getLong(1) === 0L && c.getLong(2) === 0L,
+      "constant covariate: zero theta, zero reduction")
+    assert(c.getLong(4) === c.getLong(3), "adjustment must be a no-op")
+  }
 }

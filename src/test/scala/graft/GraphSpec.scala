@@ -348,4 +348,62 @@ class GraphSpec extends AnyFunSuite {
     val eset = edges.toSet
     assert(!got.exists(p => eset.contains((p._1, p._2))))
   }
+
+  // ---- HITS ----
+
+  /** Independent BigInt replay of the hitsExact recurrence (auth(t)
+    * from hub(t-1), then hub(t) from auth(t), L1 floor-normalized). */
+  private def hitsRef(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000L): Map[Long, (Long, Long)] = {
+    val es = edges.distinct
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    var auth = nodes.map(_ -> scale).toMap
+    var hub = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val rawA = nodes.map(v =>
+        v -> es.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val ta = rawA.values.foldLeft(BigInt(0))(_ + _)
+      auth = nodes.map(v => v -> (if (ta == 0) 0L
+        else (BigInt(scale) * rawA(v) / ta).toLong)).toMap
+      val rawH = nodes.map(v =>
+        v -> es.filter(_._1 == v).map(e => auth(e._2)).sum).toMap
+      val th = rawH.values.foldLeft(BigInt(0))(_ + _)
+      hub = nodes.map(v => v -> (if (th == 0) 0L
+        else (BigInt(scale) * rawH(v) / th).toLong)).toMap
+    }
+    nodes.map(v => v -> ((auth(v), hub(v)))).toMap
+  }
+
+  private def hitsRun(edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    Graph.hitsExact(edges.toDF("s", "t"), "s", "t", iters)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  test("hitsExact matches the reference recurrence (mixed-role graph)") {
+    // 1,2 point at 3,4; 3 also points at 4 (so 3 is hub AND authority);
+    // the duplicated edge must collapse
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (3L, 4L), (1L, 3L))
+    for (iters <- Seq(1, 3))
+      assert(hitsRun(edges, iters) === hitsRef(edges, iters),
+        s"iters=$iters")
+  }
+
+  test("hitsExact: bipartite roles separate; L1 mass bounded by scale") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L), (3L, 12L))
+    val got = hitsRun(edges, 2)
+    assert(got === hitsRef(edges, 2))
+    // pure sources carry no authority; pure sinks carry no hub mass
+    for (src <- Seq(1L, 2L, 3L)) assert(got(src)._1 === 0L, s"src $src")
+    for (dst <- Seq(10L, 11L, 12L)) assert(got(dst)._2 === 0L, s"dst $dst")
+    // L1 normalization: mass never exceeds scale, floor dust only
+    val authTot = got.values.map(_._1).sum
+    val hubTot = got.values.map(_._2).sum
+    assert(authTot <= 1000000000L && authTot > 999999990L, s"$authTot")
+    assert(hubTot <= 1000000000L && hubTot > 999999990L, s"$hubTot")
+    // the hub covering both heavy authorities out-hubs the single-edge one
+    assert(got(1L)._2 > got(2L)._2, got.toString)
+  }
 }
