@@ -1088,6 +1088,23 @@ object Curation {
       .drop("_pid")
   }
 
+  /** [NS] — attach an exact equi-depth bucket column: bucket of a row =
+    * `rank · buckets div N` over the given total order — the per-ROW
+    * sibling of [[Analytics.equiDepth]] (which aggregates the buckets
+    * away). This is the binning step of every score-stratified mixture:
+    * quality/perplexity quartiles, difficulty tiers, curriculum stages —
+    * downstream samplers then draw per bucket. Rank is the two-pass
+    * [[withGlobalRank]] (no single-partition window); N falls out of a
+    * 1-row max-rank read. `order` must include a unique tiebreak. */
+  def withEquiBuckets(df: DataFrame, order: Seq[Column], buckets: Int,
+      binCol: String): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val ranked = withGlobalRank(df, order, "_rkb")
+    val n = ranked.agg(max(col("_rkb"))).collect()(0).getLong(0) + 1L
+    ranked.withColumn(binCol, expr(s"(_rkb * $buckets) div ${n}L"))
+      .drop("_rkb")
+  }
+
   /** [NS] — hybrid retrieval: BM25 (lexical, [[bm25TopK]]) fused with
     * char-trigram Jaccard (fuzzy — catches what exact term match misses:
     * typos, morphology, e.g. query "sparc" still surfaces "spark" docs)

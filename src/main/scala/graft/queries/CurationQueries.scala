@@ -1582,6 +1582,55 @@ object CurationQueries {
       FROM b GROUP BY 1 ORDER BY shard"""),
     doc = "[NS] export manifest: funnel survivors sharded with xor integrity digests")
 
+  /** [NS] — LM-score-stratified mixture sample (q245): the
+    * perplexity-binned curriculum draw — score every doc with the
+    * in-query bigram LM ([[Curation.bigramLmScore]], self-trained),
+    * cut the corpus into 4 exact equi-depth score quartiles
+    * ([[Curation.withEquiBuckets]] — two-pass global rank, no
+    * single-partition window), and draw 5 docs per quartile by md5
+    * rank ([[Curation.balancedSample]]). The shape behind
+    * quality-stratified pretraining mixes (sample MORE from the fluent
+    * quartiles, but never zero from the tails — the tails are where
+    * dedup/extraction bugs hide). Every stage is deterministic
+    * arithmetic, so the drawn SET (not just its size) hash-matches. */
+  val q245LmBinnedSample = Q(
+    "q245_lm_binned_sample",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val scored = Curation.bigramLmScore(docs, docs, "doc_id", "text")
+      val binned = Curation.withEquiBuckets(scored,
+        Seq($"mean_p_ppm".asc, $"doc_id".asc), buckets = 4, "bin")
+      Curation.balancedSample(binned, "bin", "doc_id", cap = 5)
+        .select($"bin", $"doc_id", $"n_bigrams", $"mean_p_ppm")
+        .orderBy($"bin", $"doc_id")
+    },
+    Some("""WITH dr AS (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents),
+      b AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        FROM dr, unnest(range(1, len(l))) AS t(i)),
+      big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM b GROUP BY 1, 2),
+      uni AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1
+        FROM big GROUP BY 1),
+      model AS (SELECT w1, w2, (1000000 * c2) // c1 AS p_ppm
+        FROM big JOIN uni USING (w1)),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(coalesce(p_ppm, 0)) AS BIGINT) AS s
+        FROM b LEFT JOIN model USING (w1, w2) GROUP BY doc_id),
+      scd AS (SELECT doc_id, n_bigrams,
+          CAST(s // n_bigrams AS BIGINT) AS mean_p_ppm FROM sc),
+      rk AS (SELECT *, row_number() OVER
+            (ORDER BY mean_p_ppm, doc_id) - 1 AS _rk,
+          CAST(count(*) OVER () AS BIGINT) AS n FROM scd),
+      bn AS (SELECT doc_id, n_bigrams, mean_p_ppm,
+          CAST((_rk * 4) // n AS BIGINT) AS bin FROM rk),
+      sm AS (SELECT *, row_number() OVER (PARTITION BY bin
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM bn)
+      SELECT bin, doc_id, n_bigrams, mean_p_ppm FROM sm WHERE rn <= 5
+      ORDER BY bin, doc_id"""),
+    doc = "[NS] LM-score quartile mixture draw (equi-depth bins + md5-rank cap)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -1593,5 +1642,6 @@ object CurationQueries {
     q188BalancedSample, q200ExportManifest, q209PhraseIndexServe,
     q210PhraseIndexMerge, q212UrlProfile, q213DomainGate, q214LmScore,
     q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge, q222ShardMix,
-    q227CorpusLineDedup, q230TokenizerServe, q231FunnelExplain)
+    q227CorpusLineDedup, q230TokenizerServe, q231FunnelExplain,
+    q245LmBinnedSample)
 }

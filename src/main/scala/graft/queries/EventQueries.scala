@@ -1102,6 +1102,61 @@ object EventQueries {
       ORDER BY cohort_week"""),
     doc = "[NS] conversion latency by signup cohort (exact ppm share, lower-median seconds)")
 
+  /** [NS] — automation-rate audit (q246): per-user inter-event-gap
+    * regularity — scripted traffic fires on a clock, so its gap
+    * distribution collapses (few DISTINCT gap values, tiny minimum)
+    * where organic use is ragged. Per user with ≥20 gaps: gap count,
+    * distinct-gap count, min/floor-mean gap in µs, and
+    * `regularity_ppm = 10⁶ · distinct div total` — the 20 most
+    * machine-like users surface first. This is the bot pre-filter a
+    * training pipeline runs BEFORE engagement signals feed sampling
+    * weights (q165/q178) — one scripted user otherwise buys its
+    * content a weight it didn't earn. Per-user lag window (parallel
+    * across users, never global); exact per-user distinct count is
+    * bounded by that user's own event count. */
+  val q246RateAudit = Q(
+    "q246_rate_audit",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      val gaps = Tables.events(s, d)
+        .filter($"user_id".isNotNull)
+        .select($"user_id", unix_micros($"ts").as("t"), $"event_id")
+        .withColumn("prev", lag($"t", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select($"user_id", ($"t" - $"prev").as("gap_us"))
+      gaps.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          countDistinct($"gap_us").as("n_distinct_gaps"),
+          min($"gap_us").as("min_gap_us"),
+          sum($"gap_us").as("_sum"))
+        .filter($"n_gaps" >= 20)
+        .withColumn("mean_gap_us", expr("_sum div n_gaps"))
+        .withColumn("regularity_ppm",
+          expr("(1000000 * n_distinct_gaps) div n_gaps"))
+        .select($"user_id", $"n_gaps", $"n_distinct_gaps",
+          $"min_gap_us", $"mean_gap_us", $"regularity_ppm")
+        .orderBy($"regularity_ppm".asc, $"user_id")
+        .limit(20)
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id
+        FROM events WHERE user_id IS NOT NULL),
+      g AS (SELECT user_id, t - lag(t, 1) OVER (PARTITION BY user_id
+          ORDER BY t, event_id) AS gap_us FROM e),
+      gg AS (SELECT user_id, gap_us FROM g WHERE gap_us IS NOT NULL),
+      a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+          CAST(count(DISTINCT gap_us) AS BIGINT) AS n_distinct_gaps,
+          CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+          CAST(sum(gap_us) AS BIGINT) AS s
+        FROM gg GROUP BY user_id HAVING count(*) >= 20)
+      SELECT user_id, n_gaps, n_distinct_gaps, min_gap_us,
+        CAST(s // n_gaps AS BIGINT) AS mean_gap_us,
+        CAST((1000000 * n_distinct_gaps) // n_gaps AS BIGINT)
+          AS regularity_ppm
+      FROM a ORDER BY regularity_ppm ASC, user_id LIMIT 20"""),
+    doc = "[NS] bot/automation gap-regularity audit (distinct-gap collapse, exact ppm)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
@@ -1110,5 +1165,5 @@ object EventQueries {
     q157Attribution, q158OverlapJoin, q159Transitions, q160UserPaths,
     q170Survivorship, q182LatenessAudit, q186NearestJoin,
     q192TemporalSplit, q193LeaveLastOut, q204SeqSupport, q205Hazard,
-    q232Pseudonymize, q233TimeToConvert)
+    q232Pseudonymize, q233TimeToConvert, q246RateAudit)
 }

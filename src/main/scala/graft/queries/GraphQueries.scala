@@ -786,8 +786,99 @@ object GraphQueries {
       FROM s2 ORDER BY auth DESC, hub DESC, node LIMIT 20"""),
     doc = "[NS] exact-integer HITS hubs/authorities (bipartite purchase graph)")
 
+  /** [NS] — recommender MRR@10 (q244): q201's leave-last-out eval loop
+    * with the rank-sensitive metric — hit-rate says IF the held-out
+    * item surfaced, MRR says WHERE (reciprocal rank in exact ppm,
+    * misses contribute 0 but stay in the denominator — the standard
+    * convention). Rank 1 vs rank 10 is the difference between a
+    * recommender and a haystack; HR@k cannot see it. Same train-only
+    * model; the only new work is keeping ranks ≤ 10 instead of ≤ 3. */
+  val q244RecMrr = Q(
+    "q244_rec_mrr",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val inter = Tables.events(s, d)
+        .withColumn("item", get_json_object($"props", "$.k").cast("long"))
+        .filter($"item".isNotNull)
+      val split = graft.operators.Curation
+        .leaveLastOut(inter, "user_id", "ts", "event_id")
+      val train = split.filter($"split" === "train")
+      val test = split.filter($"split" === "test")
+        .select($"user_id", $"item".as("test_item"))
+        .localCheckpoint(true)
+      val pairs = Graph.coOccurrence(train.select($"user_id", $"item"),
+        "user_id", "item", capM = 10, minCount = 1L)
+      val anchors = train.groupBy($"user_id", $"item")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("_rn", row_number().over(Window.partitionBy($"user_id")
+          .orderBy($"cnt".desc, $"item")))
+        .filter($"_rn" === 1)
+        .select($"user_id", $"item".as("anchor"))
+        .localCheckpoint(true)
+      val neigh = pairs
+        .select($"item_a".as("anchor"), $"item_b".as("nb"), $"n_users")
+        .unionByName(pairs
+          .select($"item_b".as("anchor"), $"item_a".as("nb"), $"n_users"))
+      val recs = anchors.join(neigh, Seq("anchor"))
+        .withColumn("rk", row_number().over(Window.partitionBy($"user_id")
+          .orderBy($"n_users".desc, $"nb")))
+        .filter($"rk" <= 10)
+        .select($"user_id", $"nb", $"rk")
+      val evalUsers = test.join(anchors, Seq("user_id"), "left_semi")
+        .localCheckpoint(true)
+      val hitRanks = evalUsers.join(recs, Seq("user_id"))
+        .filter($"test_item" === $"nb")
+        .groupBy($"user_id").agg(min($"rk").as("rank"))
+      evalUsers.agg(count(lit(1)).as("n_eval"))
+        .crossJoin(broadcast(hitRanks.agg(
+          count(lit(1)).as("n_hits"),
+          coalesce(sum(expr("1000000 div rank")), lit(0L)).as("rr_sum"))))
+        .withColumn("mrr_ppm", expr(
+          "case when n_eval > 0 then rr_sum div n_eval end"))
+    },
+    Some("""WITH inter AS (SELECT user_id, event_id, ts,
+          CAST(props->>'$.k' AS BIGINT) AS item FROM events
+        WHERE props->>'$.k' IS NOT NULL),
+      sp AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn FROM inter),
+      train AS (SELECT user_id, item FROM sp WHERE rn > 1),
+      test AS (SELECT user_id, item AS test_item FROM sp WHERE rn = 1),
+      ic AS (SELECT user_id AS u, item AS i, count(*) AS w FROM train
+        GROUP BY 1, 2),
+      capped AS (SELECT u, i FROM (SELECT u, i, w, row_number() OVER
+          (PARTITION BY u ORDER BY w DESC, i ASC) AS r FROM ic)
+        WHERE r <= 10),
+      pairs AS (SELECT a.i AS item_a, b.i AS item_b,
+          CAST(count(*) AS BIGINT) AS n_users
+        FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2 HAVING count(*) >= 1),
+      anchors AS (SELECT user_id, i AS anchor FROM (SELECT ic.u AS
+          user_id, ic.i, row_number() OVER (PARTITION BY ic.u
+          ORDER BY ic.w DESC, ic.i) AS r FROM ic) WHERE r = 1),
+      neigh AS (SELECT item_a AS anchor, item_b AS nb, n_users FROM pairs
+        UNION ALL SELECT item_b, item_a, n_users FROM pairs),
+      recs AS (SELECT user_id, nb, rk FROM (SELECT a.user_id, n.nb,
+          row_number() OVER (PARTITION BY a.user_id
+            ORDER BY n.n_users DESC, n.nb) AS rk
+        FROM anchors a JOIN neigh n ON n.anchor = a.anchor)
+        WHERE rk <= 10),
+      ev AS (SELECT t.user_id, t.test_item FROM test t
+        JOIN anchors a ON a.user_id = t.user_id),
+      hr AS (SELECT e.user_id, min(r.rk) AS rank FROM ev e
+        JOIN recs r ON r.user_id = e.user_id AND r.nb = e.test_item
+        GROUP BY e.user_id)
+      SELECT CAST((SELECT count(*) FROM ev) AS BIGINT) AS n_eval,
+        CAST((SELECT count(*) FROM hr) AS BIGINT) AS n_hits,
+        CAST(coalesce((SELECT sum(1000000 // rank) FROM hr), 0)
+          AS BIGINT) AS rr_sum,
+        CASE WHEN (SELECT count(*) FROM ev) > 0 THEN
+          CAST(coalesce((SELECT sum(1000000 // rank) FROM hr), 0)
+            // (SELECT count(*) FROM ev) AS BIGINT) END AS mrr_ppm"""),
+    doc = "[NS] recommender MRR@10 vs leave-last-out (rank-sensitive eval, exact ppm)")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
     q138Kcore, q161BfsLevels, q163HashWalks, q177CoOccurrence,
     q178Trending, q181Ppr, q183NegSamples, q201RecHitRate,
-    q225LabelProp, q226LinkPred, q241Hits)
+    q225LabelProp, q226LinkPred, q241Hits, q244RecMrr)
 }

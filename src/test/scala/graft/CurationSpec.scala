@@ -950,4 +950,27 @@ class CurationSpec extends AnyFunSuite {
       "one two three four five six seven\nalpha beta gamma")
     assert(r.getLong(2) === 2L && r.getLong(3) === 1L)
   }
+
+  test("withEquiBuckets: populations differ by at most 1, buckets " +
+      "follow the order, ties split by the tiebreak") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 10 rows over 4 buckets -> sizes 3,2,3,2 (rank*4 div 10);
+    // heavy ties on v exercise the deterministic tiebreak
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 1L), (5L, 1L),
+      (6L, 9L), (7L, 9L), (8L, 2L), (9L, 7L), (10L, 5L)).toDF("id", "v")
+    val got = Curation.withEquiBuckets(df,
+        Seq(col("v").asc, col("id").asc), 4, "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expectedOrder = Seq((4L, 1L), (5L, 1L), (8L, 2L), (1L, 5L),
+      (2L, 5L), (3L, 5L), (10L, 5L), (9L, 7L), (6L, 9L), (7L, 9L))
+    val byId = got.map(r => (r._1, r._2) -> r._3).toMap
+    val bins = expectedOrder.zipWithIndex.map { case (k, rk) =>
+      val want = rk * 4 / 10
+      assert(byId(k) === want.toLong, s"row $k at rank $rk")
+      want
+    }
+    val sizes = bins.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes === Map(0 -> 3, 1 -> 2, 2 -> 3, 3 -> 2))
+  }
 }
