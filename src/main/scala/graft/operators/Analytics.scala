@@ -1245,6 +1245,81 @@ object Analytics {
     * for per-unit metrics ≤10^4 and n ≤ 10^6; beyond that, pre-center
     * x/y upstream (the standard two-pass guard) before calling.
     */
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938): compare a
+    * positive integer column's leading-digit distribution against the
+    * canonical log10(1+1/d) expectation — the classic fabricated-data /
+    * unit-mixup / truncation-bug detector for financial and metric
+    * columns (organically-grown multiplicative quantities follow it;
+    * hand-entered, capped, or synthesized ones usually don't).
+    *
+    * The leading digit comes from the integer's decimal string (both
+    * engines print a BIGINT identically), NEVER from log10 — a
+    * float log at a power-of-ten boundary is exactly where engines
+    * disagree by an ulp. Expected shares are the nine canonical ppm
+    * constants hardcoded here AND in the oracle (the F-series
+    * byte-identical-constant convention). Output per digit 1–9:
+    * observed count, observed/expected share in ppm, absolute
+    * deviation. One groupBy on a 9-value key + a broadcast total —
+    * nothing in the plan grows with the table. */
+  val benfordExpectedPpm: Seq[(Int, Int)] = Seq(
+    1 -> 301030, 2 -> 176091, 3 -> 124939, 4 -> 96910, 5 -> 79181,
+    6 -> 66947, 7 -> 57992, 8 -> 51153, 9 -> 45757)
+
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .filter(col(valCol).isNotNull && col(valCol) > 0)
+      .select(substring(col(valCol).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    counts
+      .join(broadcast(benfordExpectedPpm.toDF("digit", "expected_ppm")),
+        Seq("digit"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(1000000 * n) div total"))
+      .withColumn("dev_ppm",
+        abs(col("share_ppm") - col("expected_ppm")).cast("long"))
+      .select(col("digit"), col("n"), col("share_ppm"),
+        col("expected_ppm"), col("dev_ppm"))
+  }
+
+  /** Difference-in-differences: the two-group × two-period experiment
+    * readout when assignment wasn't randomized — the control group's
+    * pre→post drift estimates the secular trend, and the treatment
+    * effect is what the treatment group moved BEYOND that trend:
+    * DiD = (m̄11 − m̄10) − (m̄01 − m̄00). The workhorse for rollout /
+    * holdout comparisons where CUPED's randomization assumption
+    * ([[cuped]]) doesn't hold.
+    *
+    * Input: one row per observation with 0/1 variant, 0/1 post flags
+    * and an integer-scaled value. ONE aggregate builds all four cell
+    * counts/sums; means are exact ppm floor divisions, so the oracle
+    * hash-matches. An empty cell yields NULL means (a DiD over a
+    * missing cell is meaningless and should look missing, not zero). */
+  def diffInDiff(df: DataFrame, variantCol: String, postCol: String,
+      valCol: String): DataFrame = {
+    def cellAgg(v: Int, p: Int): (Column, Column) = {
+      val in = col(variantCol) === v && col(postCol) === p
+      (count(when(in, 1)).as(s"n$v$p"),
+        coalesce(sum(when(in, col(valCol))), lit(0L)).as(s"_s$v$p"))
+    }
+    val aggs = for {
+      v <- Seq(0, 1); p <- Seq(0, 1); c <- { val (a, b) = cellAgg(v, p); Seq(a, b) }
+    } yield c
+    def mean(v: Int, p: Int) = expr(
+      s"CASE WHEN n$v$p > 0 THEN (1000000 * _s$v$p) div n$v$p END")
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("m00_ppm", mean(0, 0)).withColumn("m01_ppm", mean(0, 1))
+      .withColumn("m10_ppm", mean(1, 0)).withColumn("m11_ppm", mean(1, 1))
+      .withColumn("did_ppm",
+        expr("(m11_ppm - m10_ppm) - (m01_ppm - m00_ppm)"))
+      .select(col("n00"), col("n01"), col("n10"), col("n11"),
+        col("m00_ppm"), col("m01_ppm"), col("m10_ppm"), col("m11_ppm"),
+        col("did_ppm"))
+  }
+
   def cuped(perUnit: DataFrame, variantCol: String, xCol: String,
       yCol: String): DataFrame = {
     val d38 = "decimal(38,0)"

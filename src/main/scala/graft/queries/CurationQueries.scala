@@ -1631,6 +1631,63 @@ object CurationQueries {
       ORDER BY bin, doc_id"""),
     doc = "[NS] LM-score quartile mixture draw (equi-depth bins + md5-rank cap)")
 
+  /** [NS] — tokenizer fertility by language (q249): encode the corpus
+    * with the STORED BPE artifact (q230's lifecycle — buildIfAbsent
+    * reuses the persisted merge table) and report per-language token
+    * economy: tokens per char and chars per token in exact ppm. THE
+    * go/no-go readout on a tokenizer before committing a training run —
+    * a language whose fertility is 2× the corpus mean pays double the
+    * compute per character of signal, and that imbalance is invisible
+    * until measured per language. Oracle retrains from scratch in SQL
+    * (q114's CTEs), so artifact corruption can't hide in the
+    * aggregation. */
+  val q249TokenizerFertility = Q(
+    "q249_tokenizer_fertility",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val dir = graft.operators.TokenizerIndex.defaultDir(d + "_bpe")
+      graft.operators.TokenizerIndex.buildIfAbsent(docs, "text",
+        rounds = 2, dir = dir, corpusTag = d)
+      graft.operators.TokenizerIndex
+        .serve(s, docs, "doc_id", "text", dir)
+        .join(docs.select($"doc_id", $"lang", $"n_chars"), Seq("doc_id"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("tokens"),
+          sum($"n_chars").as("chars"))
+        .withColumn("fertility_ppm", expr("(1000000 * tokens) div chars"))
+        .withColumn("chars_per_token_ppm",
+          expr("(1000000 * chars) div tokens"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      vocab AS (SELECT w, count(*) AS freq FROM words
+        WHERE len(w) > 0 GROUP BY w),
+      p0 AS (SELECT w, freq, unnest(range(1, len(l) + 1)) - 1 AS i,
+          unnest(l) AS sym
+        FROM (SELECT w, freq, string_split(w, '') AS l FROM vocab)),
+      ${bpeRoundSql("p0", 1)},
+      ${bpeRoundSql("p1", 2)},
+      ws AS (SELECT w, count(*) AS n_sym FROM p2 GROUP BY w),
+      dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      dt AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+        FROM dw JOIN ws USING (w) GROUP BY doc_id),
+      j AS (SELECT doc.lang, doc.n_chars, dt.n_tokens
+        FROM dt JOIN documents doc USING (doc_id))
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        CAST(sum(n_chars) AS BIGINT) AS chars,
+        CAST((1000000 * CAST(sum(n_tokens) AS BIGINT))
+          // CAST(sum(n_chars) AS BIGINT) AS BIGINT) AS fertility_ppm,
+        CAST((1000000 * CAST(sum(n_chars) AS BIGINT))
+          // CAST(sum(n_tokens) AS BIGINT) AS BIGINT)
+          AS chars_per_token_ppm
+      FROM j GROUP BY lang ORDER BY lang"""),
+    doc = "[NS] per-language tokenizer fertility from the stored BPE artifact")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -1643,5 +1700,5 @@ object CurationQueries {
     q210PhraseIndexMerge, q212UrlProfile, q213DomainGate, q214LmScore,
     q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge, q222ShardMix,
     q227CorpusLineDedup, q230TokenizerServe, q231FunnelExplain,
-    q245LmBinnedSample)
+    q245LmBinnedSample, q249TokenizerFertility)
 }

@@ -1683,6 +1683,96 @@ object OpsQueries {
       FROM f"""),
     doc = "[NS] CUPED pre-period adjustment (exact-ppm theta, corr2, adj gap)")
 
+  /** [NS] — Benford first-digit audit (q247): [[Analytics.benfordAudit]]
+    * over lineitem prices in exact cents. Synthetic TPC-H prices are
+    * uniform-ish, NOT Benford — which is exactly what the audit should
+    * say: large dev_ppm rows are the whole point on this fixture (the
+    * detector firing on data that was, in fact, synthesized). The
+    * leading digit is taken from the BIGINT's decimal string in both
+    * engines — never log10 (ulp territory). */
+  val q247Benford = Q(
+    "q247_benford",
+    (s, d) => {
+      import s.implicits._
+      Analytics.benfordAudit(
+          Tables.lineitem(s, d).select(
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v")),
+          "v")
+        .orderBy($"digit")
+    },
+    Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+          AS v FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+          AND CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+      dg AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+          AS digit FROM v),
+      c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg
+        GROUP BY digit),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+      e(digit, expected_ppm) AS (VALUES (1, 301030), (2, 176091),
+        (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+        (8, 51153), (9, 45757))
+      SELECT c.digit, c.n,
+        CAST((1000000 * c.n) // t.total AS BIGINT) AS share_ppm,
+        e.expected_ppm,
+        CAST(abs((1000000 * c.n) // t.total - e.expected_ppm) AS BIGINT)
+          AS dev_ppm
+      FROM c JOIN e USING (digit) CROSS JOIN t ORDER BY c.digit"""),
+    doc = "[NS] Benford leading-digit audit (string digit, canonical ppm constants)")
+
+  /** [NS] — difference-in-differences (q248): [[Analytics.diffInDiff]]
+    * over events — variant = user parity (the \"rollout\" cohort),
+    * pre/post at Jan 16, value in exact cents. The non-randomized
+    * complement of q243's CUPED: control drift (m01−m00) is the trend
+    * estimate, and did_ppm is what treatment moved beyond it. One
+    * aggregate; four exact-ppm cell means. */
+  val q248DiffInDiff = Q(
+    "q248_diff_in_diff",
+    (s, d) => {
+      import s.implicits._
+      val obs = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"value".isNotNull)
+        .select(($"user_id" % 2).cast("int").as("variant"),
+          ($"ts" >= lit("2024-01-16 00:00:00").cast("timestamp"))
+            .cast("int").as("post"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      Analytics.diffInDiff(obs, "variant", "post", "c")
+    },
+    Some("""WITH o AS (SELECT CAST(user_id % 2 AS INTEGER) AS variant,
+          CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1
+            ELSE 0 END AS post,
+          CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      a AS (SELECT
+          CAST(count(CASE WHEN variant = 0 AND post = 0 THEN 1 END)
+            AS BIGINT) AS n00,
+          CAST(count(CASE WHEN variant = 0 AND post = 1 THEN 1 END)
+            AS BIGINT) AS n01,
+          CAST(count(CASE WHEN variant = 1 AND post = 0 THEN 1 END)
+            AS BIGINT) AS n10,
+          CAST(count(CASE WHEN variant = 1 AND post = 1 THEN 1 END)
+            AS BIGINT) AS n11,
+          CAST(coalesce(sum(CASE WHEN variant = 0 AND post = 0 THEN c
+            END), 0) AS BIGINT) AS s00,
+          CAST(coalesce(sum(CASE WHEN variant = 0 AND post = 1 THEN c
+            END), 0) AS BIGINT) AS s01,
+          CAST(coalesce(sum(CASE WHEN variant = 1 AND post = 0 THEN c
+            END), 0) AS BIGINT) AS s10,
+          CAST(coalesce(sum(CASE WHEN variant = 1 AND post = 1 THEN c
+            END), 0) AS BIGINT) AS s11
+        FROM o),
+      m AS (SELECT n00, n01, n10, n11,
+          CASE WHEN n00 > 0 THEN (1000000 * s00) // n00 END AS m00_ppm,
+          CASE WHEN n01 > 0 THEN (1000000 * s01) // n01 END AS m01_ppm,
+          CASE WHEN n10 > 0 THEN (1000000 * s10) // n10 END AS m10_ppm,
+          CASE WHEN n11 > 0 THEN (1000000 * s11) // n11 END AS m11_ppm
+        FROM a)
+      SELECT n00, n01, n10, n11, m00_ppm, m01_ppm, m10_ppm, m11_ppm,
+        CAST((m11_ppm - m10_ppm) - (m01_ppm - m00_ppm) AS BIGINT)
+          AS did_ppm
+      FROM m"""),
+    doc = "[NS] difference-in-differences (trend-adjusted rollout readout, exact ppm)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
@@ -1693,5 +1783,5 @@ object OpsQueries {
     q198ChiSquare, q202Calibration, q203Gains, q211CalibrationBands,
     q216Auc, q217Brier, q218AvgPrecision, q219ThresholdSweep,
     q223ErrorSamples, q224Journeys, q228TokenDrift, q238JoinAudit,
-    q242JoinViewDelta, q243Cuped)
+    q242JoinViewDelta, q243Cuped, q247Benford, q248DiffInDiff)
 }

@@ -745,6 +745,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(brier(Seq((800000L, true), (300000L, false))) === 65000L)
   }
 
+  test("benfordAudit: string leading digit, zero/negative/null filtered, " +
+      "exact ppm shares vs the canonical constants") {
+    import spark.implicits._
+    // digits: 923→9, 15→1, 1→1, 777→7; 0, -4 and null are excluded
+    val df = Seq(Some(923L), Some(15L), Some(1L), Some(777L), Some(0L),
+      Some(-4L), None).toDF("v")
+    val got = Analytics.benfordAudit(df, "v").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(got.keySet === Set(1, 7, 9))
+    assert(got(1)._1 === 2L && got(1)._2 === 500000L)  // 2 of 4
+    assert(got(7) === ((1L, 250000L, 250000L - 57992L)))
+    assert(got(9) === ((1L, 250000L, 250000L - 45757L)))
+    assert(got(1)._3 === 500000L - 301030L)
+  }
+
+  test("diffInDiff: parallel trends cancel; a planted post-only " +
+      "treatment lift is recovered exactly; empty cell yields nulls") {
+    import spark.implicits._
+    // control 100→150, treatment 200→250+30: trend +50 both, lift +30
+    val obs = Seq(
+      (0, 0, 100L), (0, 0, 100L), (0, 1, 150L),
+      (1, 0, 200L), (1, 1, 280L)).toDF("variant", "post", "c")
+    val r = Analytics.diffInDiff(obs, "variant", "post", "c").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((2L, 1L, 1L, 1L)))
+    assert(r.getLong(8) === 30000000L, "did_ppm = +30 in ppm")
+    val missing = Seq((0, 0, 1L), (0, 1, 2L), (1, 1, 3L))
+      .toDF("variant", "post", "c")
+    val m = Analytics.diffInDiff(missing, "variant", "post", "c")
+      .collect()(0)
+    assert(m.isNullAt(6) && m.isNullAt(8),
+      "empty (1,0) cell must surface as NULL mean and NULL DiD")
+  }
+
   test("cuped: y = x explains the gap entirely (theta=1, corr2=1, " +
       "adjusted gap 0); constant covariate is a no-op") {
     import spark.implicits._
