@@ -546,6 +546,61 @@ object Multimodal {
     out
   }
 
+  /** Deterministic 16-bit synthetic waveform: sample t of clip `id` —
+    * the audio analogue of [[synthPixel]]. A sawtooth whose slope
+    * varies with id, amplitude-stepped every 256 samples (so adjacent
+    * frames differ in energy, exercising real per-frame statistics).
+    * Pure integer arithmetic (both engines' `%`/truncating division
+    * reproduce it bit-for-bit on these non-negative-modulus terms). */
+  private[operators] def synthSample(id: Long, t: Int): Int = {
+    val raw = (t.toLong * (7 + id % 5) + id * 13) % 65536L - 32768L
+    (raw / (1 + ((t / 256).toLong + id) % 4)).toInt
+  }
+
+  /** [NS] — per-frame audio energy over synthetic PCM (q250): each clip
+    * becomes its frame-level loudness profile — exact mean-square and
+    * peak per frame, plus the REAL [[rmsGrid]] RMS (the same kernel the
+    * decoded-WAV path feeds to the Similarity operators). The promotion
+    * [[syntheticAHash]]/[[syntheticPatchGrid]] give the image kernels,
+    * applied to audio: MultimodalSpec covers the javax.sound decode on
+    * real WAV bytes (which DuckDB cannot read), this makes the frame
+    * arithmetic itself an oracle-checked CORRECTNESS row via
+    * [[synthSample]]'s generator.
+    *
+    * RMS hash-matches across engines because every term is exact:
+    * squares and their sums are integers < 2^53 (exact doubles,
+    * associative under any partial-agg order), frameLen is a power of
+    * two (exact double division), and sqrt/float-cast are both
+    * correctly-rounded IEEE ops — the [[QueryDsl.exactSum]] stance
+    * applied to a transcendental tail. Frame rows, never sample blobs,
+    * are what shuffles downstream — the multimodal contract. */
+  def syntheticFrameEnergy(ids: DataFrame, nSamples: Int, frames: Int)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val flen = nSamples / frames
+    require(nSamples % frames == 0 && Integer.bitCount(flen) == 1,
+      s"frame length must be a power of two for exact double division, " +
+        s"got $nSamples/$frames")
+    ids.select(col("id").cast("long")).as[Long].flatMap { id =>
+      val samples =
+        Array.tabulate(nSamples)(t => synthSample(id, t).toDouble)
+      val rms = rmsGrid(samples, frames)
+      (0 until frames).map { f =>
+        var acc = 0L
+        var peak = 0L
+        var t = f * flen
+        while (t < (f + 1) * flen) {
+          val s = samples(t).toLong
+          acc += s * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          t += 1
+        }
+        (id, f, acc / flen, peak, rms(f))
+      }
+    }.toDF("id", "frame", "mean_sq", "peak", "rms")
+  }
+
   /** Deterministic audio-meta stub for payloads javax.sound cannot read. */
   private[operators] def audioStub(bytes: Array[Byte]): (String, Int, Int, Long) = {
     val h = java.util.Arrays.hashCode(bytes)

@@ -735,4 +735,58 @@ object Similarity {
       .select(col(idCol), posexplode(col("_y")).as(Seq("j", "y")))
       .select(col(idCol), col("j").cast("long").as("j"), col("y"))
   }
+
+  /** Dominant embedding direction by exact-integer power iteration —
+    * the first principal direction of the (uncentered) corpus Gram
+    * matrix, the primitive behind all-but-the-top embedding debiasing
+    * (Mu & Viswanath 2018: frequent-token energy concentrates in a few
+    * top directions; removing them improves similarity tasks) and
+    * embedding-drift monitoring (the top direction moving between
+    * snapshots is an encoder-regression alarm).
+    *
+    * v_{t+1} = L1-normalize(Xᵀ(X v_t)) without ever materializing the
+    * d×d covariance: per iteration ONE broadcast-join dot pass
+    * (y_i = Σ_j e_ij v_j, map-side against the ≤d-row broadcast v),
+    * one groupBy(id), one e⋈y join + groupBy(dim) — the classic
+    * two-matvec factorization, all exchanges bounded by rows×dims.
+    * Arithmetic is exact end-to-end so a DuckDB oracle replays it
+    * bit-for-bit: embeddings quantize to integer milliunits (double
+    * cast first — float×int would round differently per engine),
+    * products accumulate in decimal(38,0), and normalization is the
+    * HITS-style floor division `(scale·w) div Σ|w|` ([[graft.operators
+    * .Graph.hitsExact]]'s convention). Fixed iteration count (the
+    * deterministic contract — convergence is the caller's knob);
+    * the sign is pinned by the deterministic all-ones start. */
+  def topDirection(df: DataFrame, vecCol: String, iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = df
+      .filter(col(vecCol).isNotNull)
+      .withColumn("_rid", monotonically_increasing_id())
+      .select(col("_rid"), posexplode(vecD(col(vecCol))).as(Seq("dim", "x")))
+      .select(col("_rid"), col("dim").cast("long").as("dim"),
+        expr("CAST(round(x * 1000) AS BIGINT)").as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var v = e.select(col("dim")).distinct()
+        .withColumn("v", lit(scale))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val y = e.join(broadcast(v), Seq("dim"))
+          .groupBy(col("_rid"))
+          .agg(sum(expr("e * v")).as("y"))
+        val w = e.join(y, Seq("_rid"))
+          .groupBy(col("dim"))
+          .agg(sum(expr("CAST(e AS DECIMAL(38,0)) * " +
+            "CAST(y AS DECIMAL(38,0))")).as("w"))
+        val t = w.agg(sum(abs(col("w"))).as("t"))
+        v = w.crossJoin(broadcast(t))
+          .select(col("dim"), expr(
+            s"CASE WHEN t = 0 THEN CAST(0 AS BIGINT) " +
+              s"ELSE CAST($scale AS DECIMAL(38,0)) * w div t END").as("v"))
+          .localCheckpoint(true)
+      }
+      v.select(col("dim"), col("v"))
+    } finally e.unpersist(blocking = false)
+  }
 }

@@ -1831,6 +1831,42 @@ object DocQueries {
       FROM j GROUP BY source ORDER BY source"""),
     doc = "[NS] dedup ROI per source (rows/chars an exact pass would remove)")
 
+  /** [NS] — audio frame-energy profile over synthetic PCM (q250): 10
+    * clips × 8 frames of 256 samples each become exact per-frame
+    * mean-square + peak plus the REAL [[graft.operators.Multimodal
+    * .rmsGrid]] RMS — the q199 promotion applied to audio: the decoded
+    * path is spec-covered on real WAV bytes; the frame arithmetic
+    * itself is oracle-checked here via the integer waveform generator.
+    * The RMS doubles hash-match because every upstream term is an
+    * exact integer-valued double and sqrt/float-cast are correctly
+    * rounded IEEE ops. Loudness frames, not sample blobs, are what a
+    * multimodal pipeline shuffles — silence trimming, loudness
+    * normalization and VAD-ish gating all read THIS table. */
+  val q250FrameEnergy = Q(
+    "q250_frame_energy",
+    (s, d) => {
+      import s.implicits._
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val ids = Tables.documents(s, d)
+        .select($"doc_id".as("id")).filter($"id" < 10)
+      graft.operators.Multimodal.syntheticFrameEnergy(ids, 2048, 8)
+        .orderBy($"id", $"frame")
+    },
+    Some("""WITH ids AS (SELECT doc_id AS id FROM documents
+        WHERE doc_id < 10),
+      s AS (SELECT id, t,
+          ((t * (7 + id % 5) + id * 13) % 65536 - 32768)
+            // (1 + (t // 256 + id) % 4) AS v
+        FROM ids, range(0, 2048) r(t)),
+      f AS (SELECT id, CAST(t // 256 AS INT) AS frame,
+          CAST(sum(v * v) AS BIGINT) AS ss,
+          CAST(max(abs(v)) AS BIGINT) AS peak
+        FROM s GROUP BY id, t // 256)
+      SELECT id, frame, CAST(ss // 256 AS BIGINT) AS mean_sq, peak,
+        CAST(sqrt(CAST(ss AS DOUBLE) / 256) AS FLOAT) AS rms
+      FROM f ORDER BY id, frame"""),
+    doc = "[NS] per-frame audio energy (real RMS kernel over the integer waveform)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -1842,5 +1878,5 @@ object DocQueries {
     q144LshFuzzy, q145CcIncremental, q164LshRecall, q191DatasetCard,
     q196CohenKappa, q199PatchGrid, q206Snippets, q207VocabGrowth,
     q208ExtractText, q229NoveltyGrade, q236BloomAdvisor,
-    q237ExtractionHealth, q240DedupRoi)
+    q237ExtractionHealth, q240DedupRoi, q250FrameEnergy)
 }

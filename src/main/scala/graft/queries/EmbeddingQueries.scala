@@ -1113,11 +1113,50 @@ object EmbeddingQueries {
       FROM de"""),
     doc = "[NS] embedding expectations (vector-column QA, element-wise exact)")
 
+  /** One power-iteration round as SQL: y = Xv (per-row dot against the
+    * previous round's `vPrev`), w = Xᵀy per dim in HUGEINT, then the
+    * HITS-style L1 floor normalization — [[Similarity.topDirection]]'s
+    * recurrence verbatim. */
+  private def powerIterSql(i: Int, vPrev: String): String =
+    s"""y$i AS (SELECT e.id, CAST(sum(e.e * vp.v) AS BIGINT) AS y
+        FROM e JOIN $vPrev vp USING (dim) GROUP BY e.id),
+      w$i AS (SELECT e.dim, CAST(sum(e.e::HUGEINT * y$i.y) AS HUGEINT)
+          AS w FROM e JOIN y$i USING (id) GROUP BY e.dim),
+      t$i AS (SELECT CAST(sum(abs(w)) AS HUGEINT) AS t FROM w$i),
+      v$i AS (SELECT dim, CASE WHEN t = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST((1000000::HUGEINT * w) // t AS BIGINT) END AS v
+        FROM w$i CROSS JOIN t$i)"""
+
+  /** [NS] — dominant embedding direction (q251): [[Similarity
+    * .topDirection]], 2 exact-integer power-iteration rounds over the
+    * corpus — the all-but-the-top debiasing primitive and the
+    * drift-monitor anchor (compare this 64-number signature across
+    * encoder snapshots; q235 checks element-wise health, this checks
+    * the SPECTRAL shape). Oracle unrolls the matvec recurrence in
+    * HUGEINT and hash-matches bit-for-bit. */
+  val q251TopDirection = Q(
+    "q251_top_direction",
+    (s, d) => {
+      import s.implicits._
+      Similarity.topDirection(Tables.embeddings(s, d), "embedding",
+          iters = 2)
+        .orderBy($"dim")
+    },
+    Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id,
+          CAST(i - 1 AS BIGINT) AS dim,
+          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS e
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      v0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM e),
+      ${powerIterSql(1, "v0")},
+      ${powerIterSql(2, "v1")}
+      SELECT dim, v FROM v2 ORDER BY dim"""),
+    doc = "[NS] exact-integer power iteration: top principal direction (ABTT primitive)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,
     q132JlProject, q150FilteredAnn, q155BatchAnn, q168IndexAppend,
     q169KCenter, q179MmrRerank, q187RetrieveDiversify,
-    q235EmbeddingExpectations)
+    q235EmbeddingExpectations, q251TopDirection)
 }

@@ -279,4 +279,40 @@ class MultimodalSpec extends AnyFunSuite {
       feats(2L).mkString(","))
     assert(feats(3L).exists(v => v != 0.0f)) // stub features, deterministic
   }
+
+  test("syntheticFrameEnergy: rms² ≡ mean-square before the floor, " +
+      "peak bounds rms, amplitude steps separate frames") {
+    import spark.implicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val out = Multimodal.syntheticFrameEnergy(
+        Seq(0L, 1L, 5L).toDF("id"), 2048, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getFloat(4)))
+    assert(out.length === 24)
+    for ((id, f, meanSq, peak, rms) <- out) {
+      // mean_sq is the floored rms²: rms² ∈ [mean_sq, mean_sq + 1),
+      // up to the float cast's 2^-24 relative error (≈2·meanSq·2^-24
+      // after squaring)
+      val r2 = rms.toDouble * rms.toDouble
+      val tol = meanSq.toDouble * 2.5e-7 + 1e-3
+      assert(r2 >= meanSq - tol && r2 < meanSq + 1.0 + tol,
+        s"id=$id f=$f rms²=$r2 mean_sq=$meanSq")
+      assert(peak.toDouble >= rms - 1e-3, s"peak $peak < rms $rms")
+      assert(peak <= 32768L) // |−32768| at full amplitude
+    }
+    // id 0: divisor = 1 + (frame % 4) → frames 0 and 4 are the loud
+    // full-amplitude ones, frame 3 is quartered
+    val byFrame = out.filter(_._1 == 0L).map(r => r._2 -> r._3).toMap
+    assert(byFrame(0) > byFrame(3) && byFrame(4) > byFrame(7),
+      byFrame.toString)
+    // deterministic: a second run is bit-identical
+    val again = Multimodal.syntheticFrameEnergy(
+        Seq(0L, 1L, 5L).toDF("id"), 2048, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getFloat(4)))
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ===
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }

@@ -358,4 +358,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(maxMin <= lastRadius,
       s"uncovered point at d² $maxMin > last radius $lastRadius")
   }
+
+  test("topDirection: recovers a planted dominant axis, L1 mass " +
+      "bounded by scale, sign pinned by the all-ones start") {
+    import spark.implicits._
+    // 20 vectors strongly along +dim2 with small deterministic noise
+    // elsewhere — the top principal direction is e2
+    val vecs = (0 until 20).map { i =>
+      val v = Array.fill(4)(0.0f)
+      v(2) = 0.9f + 0.005f * (i % 3)
+      val nd = i % 4
+      if (nd != 2) v(nd) = 0.03f * (i % 5)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val v = Similarity.topDirection(vecs, "embedding", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v.keySet === Set(0L, 1L, 2L, 3L))
+    assert(v(2L) > 0L, "data along +e2 with an all-ones start must " +
+      "keep the positive sign")
+    assert(Seq(0L, 1L, 3L).forall(d => math.abs(v(d)) < v(2L) / 5),
+      s"dominant axis must carry the mass: $v")
+    assert(v.values.map(math.abs).sum <= 1000000L)
+  }
 }
