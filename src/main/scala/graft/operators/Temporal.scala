@@ -159,4 +159,59 @@ object Temporal {
       .withColumn("gap_us", col(rts) - col(lts))
       .drop("_rn")
   }
+
+  /** Time-respecting reachability over a contact graph (Holme &
+    * Saramäki 2012 temporal networks): a node is reached only through a
+    * chain of contacts whose timestamps are non-decreasing — the
+    * "infection" semantics static BFS gets wrong (a static path
+    * a–b–c counts even when the b–c contact happened BEFORE a–b; a
+    * temporal path does not). This is the propagation model for
+    * account-compromise spread, misinformation cascades, and
+    * contamination-through-sharing audits on interaction logs.
+    *
+    * Input: undirected contact events (aCol, bCol, tsCol µs) — keep
+    * ALL contacts per pair (an early contact may be unusable when a
+    * later one works; collapsing to min-ts per pair is the classic
+    * bug). `seeds` = (node) rows, arrival 0 (reached before the log
+    * starts). Each round relaxes one hop:
+    * arr′(u) = min(arr(u), min{ct : contact (v,u,ct), ct ≥ arr(v)}) —
+    * Bellman-Ford on the earliest-arrival semiring, so `rounds` bounds
+    * hop depth exactly like [[graft.operators.Graph.bfsLevels]].
+    *
+    * Plan per round: one frontier⋈contacts equi-join + one min
+    * aggregate + a full-outer arrival merge — frontier-sized, never the
+    * corpus; contacts persist once. Returns (node, arrival_us) for all
+    * reached nodes. */
+  def timeRespectingReach(contacts: DataFrame, aCol: String,
+      bCol: String, tsCol: String, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = contacts.select(col(aCol).cast("long").as("_u"),
+        col(bCol).cast("long").as("_v"), col(tsCol).cast("long").as("_ct"))
+      .unionByName(contacts.select(col(bCol).cast("long").as("_u"),
+        col(aCol).cast("long").as("_v"), col(tsCol).cast("long").as("_ct")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var arr = seeds.select(col("node").cast("long").as("_n"))
+        .distinct()
+        .withColumn("_at", lit(0L))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val prop = und
+          .join(arr.select(col("_n").as("_u"), col("_at")), "_u")
+          .filter(col("_ct") >= col("_at"))
+          .groupBy(col("_v"))
+          .agg(min(col("_ct")).as("_cand"))
+          .select(col("_v").as("_n"), col("_cand"))
+        arr = arr.join(prop, Seq("_n"), "full")
+          .select(col("_n"), expr(
+            "CASE WHEN _at IS NULL THEN _cand " +
+              "WHEN _cand IS NULL THEN _at " +
+              "ELSE least(_at, _cand) END").as("_at"))
+          .localCheckpoint(true)
+      }
+      arr.select(col("_n").as("node"), col("_at").as("arrival_us"))
+    } finally und.unpersist(blocking = false)
+  }
 }

@@ -1152,11 +1152,68 @@ object EmbeddingQueries {
       SELECT dim, v FROM v2 ORDER BY dim"""),
     doc = "[NS] exact-integer power iteration: top principal direction (ABTT primitive)")
 
+  /** [NS] — top-direction energy audit (q252): compose q251's dominant
+    * direction with per-vector alignment — cos²(e, v) in exact ppm,
+    * `(e·v)² div (|e|²·|v|²)`, top 10. THE all-but-the-top readout:
+    * vectors whose energy concentrates in the corpus' top direction are
+    * the boilerplate/templated cluster ABTT removal flattens; a
+    * retrieval corpus whose median energy here is high is one where
+    * cosine scores are dominated by the common direction, not content.
+    * One broadcast of the 64-row direction + one per-vector aggregate
+    * — the measurement costs a scan regardless of corpus size. */
+  val q252AbttEnergy = Q(
+    "q252_abtt_energy",
+    (s, d) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, d)
+      val v = Similarity.topDirection(emb, "embedding", iters = 2)
+      val e = emb.select($"vec_id",
+          posexplode(Similarity.vecD($"embedding")).as(Seq("dim", "x")))
+        .select($"vec_id", $"dim".cast("long").as("dim"),
+          expr("CAST(round(x * 1000) AS BIGINT)").as("e"))
+      val per = e.join(broadcast(v), Seq("dim"))
+        .groupBy($"vec_id")
+        .agg(sum(expr("CAST(e AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))"))
+            .as("dot"),
+          sum(expr("CAST(e AS DECIMAL(38,0)) * CAST(e AS DECIMAL(38,0))"))
+            .as("ee"))
+      val vv = v.agg(
+        sum(expr("CAST(v AS DECIMAL(38,0)) * CAST(v AS DECIMAL(38,0))"))
+          .as("vv"))
+      per.crossJoin(broadcast(vv))
+        .withColumn("energy_ppm", expr(
+          "CASE WHEN ee = 0 OR vv = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST(1000000 AS DECIMAL(38,0)) * dot * dot " +
+            "div (ee * vv) END"))
+        .select($"vec_id", $"energy_ppm")
+        .orderBy($"energy_ppm".desc, $"vec_id")
+        .limit(10)
+    },
+    Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id,
+          CAST(i - 1 AS BIGINT) AS dim,
+          CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS e
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      v0 AS (SELECT DISTINCT dim, CAST(1000000 AS BIGINT) AS v FROM e),
+      ${powerIterSql(1, "v0")},
+      ${powerIterSql(2, "v1")},
+      per AS (SELECT e.id, CAST(sum(e.e::HUGEINT * v2.v) AS HUGEINT)
+            AS dot,
+          CAST(sum(e.e::HUGEINT * e.e) AS HUGEINT) AS ee
+        FROM e JOIN v2 USING (dim) GROUP BY e.id),
+      nv AS (SELECT CAST(sum(v::HUGEINT * v) AS HUGEINT) AS vv FROM v2)
+      SELECT per.id AS vec_id,
+        CASE WHEN ee = 0 OR vv = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST((1000000::HUGEINT * dot * dot) // (ee * vv)
+            AS BIGINT) END AS energy_ppm
+      FROM per CROSS JOIN nv
+      ORDER BY energy_ppm DESC, vec_id LIMIT 10"""),
+    doc = "[NS] per-vector top-direction energy cos2 in ppm (ABTT boilerplate audit)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,
     q132JlProject, q150FilteredAnn, q155BatchAnn, q168IndexAppend,
     q169KCenter, q179MmrRerank, q187RetrieveDiversify,
-    q235EmbeddingExpectations, q251TopDirection)
+    q235EmbeddingExpectations, q251TopDirection, q252AbttEnergy)
 }

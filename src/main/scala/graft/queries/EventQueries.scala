@@ -1157,6 +1157,76 @@ object EventQueries {
       FROM a ORDER BY regularity_ppm ASC, user_id LIMIT 20"""),
     doc = "[NS] bot/automation gap-regularity audit (distinct-gap collapse, exact ppm)")
 
+  /** One time-respecting relaxation round as SQL: candidate arrivals
+    * through contacts usable from the previous round's `aPrev`
+    * (contact time ≥ the source's arrival), merged by explicit
+    * NULL-aware min — [[graft.operators.Temporal.timeRespectingReach]]
+    * verbatim. */
+  private def reachRoundSql(i: Int, aPrev: String): String =
+    s"""p$i AS (SELECT und.v AS n, CAST(min(und.ct) AS BIGINT) AS cand
+        FROM und JOIN $aPrev p ON p.n = und.u WHERE und.ct >= p.at
+        GROUP BY und.v),
+      a$i AS MATERIALIZED (SELECT coalesce(p.n, c.n) AS n,
+          CASE WHEN p.at IS NULL THEN c.cand
+            WHEN c.cand IS NULL THEN p.at
+            ELSE least(p.at, c.cand) END AS at
+        FROM $aPrev p FULL JOIN p$i c ON c.n = p.n)"""
+
+  /** [NS] — time-respecting reachability (q253): who can the earliest
+    * active user have "infected" within 3 hops, where influence only
+    * flows along contacts in time order ([[graft.operators.Temporal
+    * .timeRespectingReach]])? Contacts = two users touching the same
+    * item within 1 hour (per-item earliest-20 cap — the coOccurrence
+    * degree-cap convention holds hot-item pair volume at C(20,2)).
+    * Static BFS over the same graph would overcount: a path whose
+    * second contact happened before its first carries nothing. The
+    * account-compromise / misinformation-cascade audit shape. */
+  val q253TemporalReach = Q(
+    "q253_temporal_reach",
+    (s, d) => {
+      import s.implicits._
+      val i = Tables.events(s, d)
+        .withColumn("item", get_json_object($"props", "$.k").cast("long"))
+        .filter($"user_id".isNotNull && $"item".isNotNull)
+        .select($"user_id".as("u"), unix_micros($"ts").as("t"),
+          $"event_id", $"item")
+      val cap = i.withColumn("_rn", row_number().over(
+          Window.partitionBy($"item").orderBy($"t", $"event_id")))
+        .filter($"_rn" <= 20)
+      val ed = cap.as("a").join(cap.as("b"),
+          $"a.item" === $"b.item" && $"a.u" < $"b.u" &&
+            abs($"a.t" - $"b.t") <= 3600000000L)
+        .select(least($"a.u", $"b.u").as("ua"),
+          greatest($"a.u", $"b.u").as("ub"),
+          greatest($"a.t", $"b.t").as("ct"))
+        .distinct()
+        .localCheckpoint(true) // seeds + reach both read the edge set
+      val seeds = ed.agg(min($"ua").as("node"))
+      graft.operators.Temporal
+        .timeRespectingReach(ed, "ua", "ub", "ct", seeds, rounds = 3)
+        .orderBy($"arrival_us", $"node")
+    },
+    Some(s"""WITH i AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id,
+          CAST(props->>'$$.k' AS BIGINT) AS item FROM events
+        WHERE user_id IS NOT NULL AND (props->>'$$.k') IS NOT NULL),
+      cap AS (SELECT u, t, item FROM (SELECT *, row_number() OVER
+          (PARTITION BY item ORDER BY t, event_id) AS rn FROM i)
+        WHERE rn <= 20),
+      ed AS MATERIALIZED (SELECT DISTINCT least(a.u, b.u) AS ua,
+          greatest(a.u, b.u) AS ub, greatest(a.t, b.t) AS ct
+        FROM cap a JOIN cap b ON a.item = b.item AND a.u < b.u
+        WHERE abs(a.t - b.t) <= 3600000000),
+      und AS MATERIALIZED (SELECT ua AS u, ub AS v, ct FROM ed
+        UNION SELECT ub, ua, ct FROM ed),
+      a0 AS (SELECT n, CAST(0 AS BIGINT) AS at
+        FROM (SELECT min(ua) AS n FROM ed)),
+      ${reachRoundSql(1, "a0")},
+      ${reachRoundSql(2, "a1")},
+      ${reachRoundSql(3, "a2")}
+      SELECT n AS node, at AS arrival_us FROM a3
+      ORDER BY arrival_us, node"""),
+    doc = "[NS] temporal (time-respecting) reachability, 3 hops from the earliest node")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
@@ -1165,5 +1235,6 @@ object EventQueries {
     q157Attribution, q158OverlapJoin, q159Transitions, q160UserPaths,
     q170Survivorship, q182LatenessAudit, q186NearestJoin,
     q192TemporalSplit, q193LeaveLastOut, q204SeqSupport, q205Hazard,
-    q232Pseudonymize, q233TimeToConvert, q246RateAudit)
+    q232Pseudonymize, q233TimeToConvert, q246RateAudit,
+    q253TemporalReach)
 }

@@ -136,4 +136,27 @@ class TemporalSpec extends AnyFunSuite {
       (2L, 12L, -10L),   // tie |10|: earlier rts wins
       (4L, 14L, 150L)))  // keyed: k-candidates never cross to x
   }
+
+  test("timeRespectingReach: time-ordered chains reach, " +
+      "backwards chains don't, a later parallel contact rescues") {
+    // contacts: 1-2 @t=100, 2-3 @t=50 (BEFORE 1-2: static path 1-2-3
+    // exists, temporal path does not), 2-4 @t=200 (reachable),
+    // 2-3 ALSO @t=300 (the later contact rescues 3), 4-5 @t=150
+    // (before arrival at 4=200 → 5 stays unreached in 3 rounds)
+    val contacts = Seq(
+      (1L, 2L, 100L), (2L, 3L, 50L), (2L, 4L, 200L),
+      (2L, 3L, 300L), (4L, 5L, 150L)).toDF("a", "b", "ct")
+    val seeds = Seq(1L).toDF("node")
+    val got = Temporal
+      .timeRespectingReach(contacts, "a", "b", "ct", seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 100L, 3L -> 300L, 4L -> 200L),
+      s"got $got")
+    // drop the rescue contact: 3 must vanish from the reached set
+    val noRescue = Temporal.timeRespectingReach(
+        contacts.filter(!(col("b") === 3L && col("ct") === 300L)),
+        "a", "b", "ct", seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!noRescue.contains(3L), s"static-only path leaked: $noRescue")
+  }
 }
