@@ -1227,6 +1227,144 @@ object EventQueries {
       ORDER BY arrival_us, node"""),
     doc = "[NS] temporal (time-respecting) reachability, 3 hops from the earliest node")
 
+  /** [NS] — right-to-be-forgotten audit (q254): purge a forget-set of
+    * users (user_id ≡ 0 mod 29) from the raw log AND its derived
+    * artifacts, and certify completeness per artifact in one ledger:
+    * (n_before, n_removed, n_after, n_residue). Residues are REAL
+    * recounts, not arithmetic: events/sessions re-join the purged data
+    * against the forget list (semi-join membership — the mechanism a
+    * deletion verifier actually runs), and the co-occurrence artifact
+    * is purged DECREMENTALLY (per-pair support minus the forget-users'
+    * support, drop at zero) with its residue the exact multiset diff
+    * against a from-scratch rebuild on the remaining users — green
+    * proves decremental forget ≡ rebuild, the deletion analogue of
+    * q242's join-delta law. Every derived table a user's data reached
+    * needs this row; "we deleted the events" is the easy third. */
+  val q254ForgetAudit = Q(
+    "q254_forget_audit",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).filter($"user_id".isNotNull)
+        .localCheckpoint(true) // read by every artifact branch below
+      val isF = $"user_id" % 29 === 0
+      val forget = ev.filter(isF).select($"user_id").distinct()
+        .localCheckpoint(true)
+      val rem = ev.filter(!isF)
+      val e0 = ev.agg(count(lit(1)).as("n_before"),
+        count(when(isF, 1)).as("n_removed"))
+      val eRes = rem.join(forget, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("n_residue"))
+      val eRow = e0.crossJoin(broadcast(eRes))
+        .select(lit("events").as("artifact"), $"n_before", $"n_removed",
+          ($"n_before" - $"n_removed").as("n_after"), $"n_residue")
+      def sessionStarts(df: DataFrame) = df
+        .select($"user_id", unix_micros($"ts").as("t"), $"event_id")
+        .withColumn("prev", lag($"t", 1).over(
+          Window.partitionBy($"user_id").orderBy($"t", $"event_id")))
+        .withColumn("ns", when($"prev".isNull ||
+          $"t" - $"prev" > 1800000000L, 1L).otherwise(0L))
+      val s0 = sessionStarts(ev).agg(sum($"ns").as("n_before"),
+        sum(when(isF, $"ns").otherwise(0L)).as("n_removed"))
+      val sRes = sessionStarts(rem)
+        .join(forget, Seq("user_id"), "left_semi")
+        .agg(coalesce(sum($"ns"), lit(0L)).as("n_residue"))
+      val sRow = s0.crossJoin(broadcast(sRes))
+        .select(lit("sessions").as("artifact"), $"n_before",
+          $"n_removed", ($"n_before" - $"n_removed").as("n_after"),
+          $"n_residue")
+      val inter = ev.withColumn("item",
+          get_json_object($"props", "$.k").cast("long"))
+        .filter($"item".isNotNull).select($"user_id", $"item")
+        .localCheckpoint(true)
+      val cooc = graft.operators.Graph
+      val pb = cooc.coOccurrence(inter, "user_id", "item",
+        capM = 10, minCount = 1L).localCheckpoint(true)
+      val pd = cooc.coOccurrence(inter.filter($"user_id" % 29 === 0),
+        "user_id", "item", capM = 10, minCount = 1L)
+      val pa = pb
+        .join(pd.select($"item_a", $"item_b", $"n_users".as("nd")),
+          Seq("item_a", "item_b"), "left")
+        .withColumn("n2", $"n_users" - coalesce($"nd", lit(0L)))
+        .filter($"n2" >= 1)
+        .select($"item_a", $"item_b", $"n2".as("n_users"))
+        .localCheckpoint(true)
+      val pr = cooc.coOccurrence(inter.filter($"user_id" % 29 =!= 0),
+          "user_id", "item", capM = 10, minCount = 1L)
+        .select($"item_a", $"item_b", $"n_users")
+        .localCheckpoint(true)
+      val cRes = pa.exceptAll(pr).unionByName(pr.exceptAll(pa))
+        .agg(count(lit(1)).as("n_residue"))
+      val cRow = pb.agg(count(lit(1)).as("n_before"))
+        .crossJoin(broadcast(pa.agg(count(lit(1)).as("n_after"))))
+        .crossJoin(broadcast(cRes))
+        .select(lit("cooc_pairs").as("artifact"), $"n_before",
+          ($"n_before" - $"n_after").as("n_removed"), $"n_after",
+          $"n_residue")
+      eRow.unionByName(sRow).unionByName(cRow).orderBy($"artifact")
+    },
+    Some("""WITH ev AS MATERIALIZED (SELECT * FROM events
+        WHERE user_id IS NOT NULL),
+      fu AS (SELECT DISTINCT user_id FROM ev WHERE user_id % 29 = 0),
+      rem AS (SELECT * FROM ev WHERE user_id % 29 <> 0),
+      e0 AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+          CAST(count(CASE WHEN user_id % 29 = 0 THEN 1 END) AS BIGINT)
+            AS nr FROM ev),
+      eres AS (SELECT CAST(count(*) AS BIGINT) AS r FROM rem
+        JOIN fu USING (user_id)),
+      sess AS (SELECT user_id, CASE WHEN prev IS NULL
+            OR t - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+        FROM (SELECT user_id, epoch_us(ts) AS t,
+            lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS prev FROM ev)),
+      s0 AS (SELECT CAST(sum(ns) AS BIGINT) AS nb,
+          CAST(sum(CASE WHEN user_id % 29 = 0 THEN ns ELSE 0 END)
+            AS BIGINT) AS nr FROM sess),
+      sessr AS (SELECT user_id, CASE WHEN prev IS NULL
+            OR t - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+        FROM (SELECT user_id, epoch_us(ts) AS t,
+            lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts), event_id) AS prev FROM rem)),
+      sres AS (SELECT CAST(coalesce(sum(ns), 0) AS BIGINT) AS r
+        FROM sessr JOIN fu USING (user_id)),
+      it AS (SELECT user_id AS u, CAST(props->>'$.k' AS BIGINT) AS i
+        FROM ev WHERE (props->>'$.k') IS NOT NULL),
+      ic AS (SELECT u, i, count(*) AS w FROM it GROUP BY 1, 2),
+      capped AS MATERIALIZED (SELECT u, i FROM (SELECT u, i, w,
+          row_number() OVER (PARTITION BY u ORDER BY w DESC, i ASC)
+            AS r FROM ic) WHERE r <= 10),
+      pb AS MATERIALIZED (SELECT a.i AS ia, b.i AS ib,
+          CAST(count(*) AS BIGINT) AS n
+        FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+        GROUP BY 1, 2),
+      pd AS (SELECT a.i AS ia, b.i AS ib,
+          CAST(count(*) AS BIGINT) AS n
+        FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+        WHERE a.u % 29 = 0 GROUP BY 1, 2),
+      pa AS MATERIALIZED (SELECT ia, ib,
+          pb.n - coalesce(pd.n, 0) AS n
+        FROM pb LEFT JOIN pd USING (ia, ib)
+        WHERE pb.n - coalesce(pd.n, 0) >= 1),
+      pr AS MATERIALIZED (SELECT a.i AS ia, b.i AS ib,
+          CAST(count(*) AS BIGINT) AS n
+        FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+        WHERE a.u % 29 <> 0 GROUP BY 1, 2),
+      res AS (SELECT CAST(count(*) AS BIGINT) AS r FROM (
+          (SELECT ia, ib, n FROM pa EXCEPT ALL
+            SELECT ia, ib, n FROM pr)
+          UNION ALL
+          (SELECT ia, ib, n FROM pr EXCEPT ALL
+            SELECT ia, ib, n FROM pa)) x)
+      SELECT 'events' AS artifact, nb AS n_before, nr AS n_removed,
+        nb - nr AS n_after, (SELECT r FROM eres) AS n_residue FROM e0
+      UNION ALL SELECT 'sessions', nb, nr, nb - nr,
+        (SELECT r FROM sres) FROM s0
+      UNION ALL SELECT 'cooc_pairs',
+        (SELECT count(*) FROM pb),
+        (SELECT count(*) FROM pb) - (SELECT count(*) FROM pa),
+        (SELECT count(*) FROM pa), (SELECT r FROM res)
+      ORDER BY artifact"""),
+    doc = "[NS] right-to-be-forgotten ledger (decremental purge ≡ rebuild, real residue recounts)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
@@ -1236,5 +1374,5 @@ object EventQueries {
     q170Survivorship, q182LatenessAudit, q186NearestJoin,
     q192TemporalSplit, q193LeaveLastOut, q204SeqSupport, q205Hazard,
     q232Pseudonymize, q233TimeToConvert, q246RateAudit,
-    q253TemporalReach)
+    q253TemporalReach, q254ForgetAudit)
 }
