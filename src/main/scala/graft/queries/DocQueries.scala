@@ -1867,6 +1867,53 @@ object DocQueries {
       FROM f ORDER BY id, frame"""),
     doc = "[NS] per-frame audio energy (real RMS kernel over the integer waveform)")
 
+  /** [NS] — duplicated-span coverage (q255): [[Dedup.dupSpanCoverage]]
+    * with 8-word grams — per doc, the exact fraction of token positions
+    * inside spans shared with ANOTHER document (merged intervals, no
+    * double counting). The triage readout between doc-dedup and
+    * span-cutting: coverage ≈ 1e6 → the doc is a duplicate (drop it);
+    * mid-range → boilerplate spans inside original content (cut spans,
+    * keep the doc, q99's job); ≈ 0 → clean. */
+  val q255DupCoverage = Q(
+    "q255_dup_coverage",
+    (s, d) => {
+      import s.implicits._
+      Dedup.dupSpanCoverage(Tables.documents(s, d), "doc_id", "text",
+          gram = 8)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents),
+      g AS (SELECT doc_id, i AS s,
+          CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')),
+            1, 15) AS BIGINT) AS h
+        FROM wd, unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS t(i)),
+      sh AS (SELECT h FROM g GROUP BY h
+        HAVING count(DISTINCT doc_id) > 1),
+      k AS (SELECT g.doc_id, g.s, g.s + 8 AS e FROM g JOIN sh USING (h)),
+      m AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+          ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+          AND 1 PRECEDING) AS runmax FROM k),
+      i2 AS (SELECT doc_id, s, e, CASE WHEN runmax IS NULL OR s > runmax
+          THEN 1 ELSE 0 END AS ni FROM m),
+      i3 AS (SELECT doc_id, s, e, sum(ni) OVER (PARTITION BY doc_id
+          ORDER BY s, e) AS iid FROM i2),
+      isl AS (SELECT doc_id, iid, CAST(min(s) AS BIGINT) AS lo,
+          CAST(max(e) AS BIGINT) AS hi FROM i3 GROUP BY doc_id, iid),
+      cov AS (SELECT doc_id, CAST(sum(hi - lo) AS BIGINT) AS covered,
+          CAST(count(*) AS BIGINT) AS n_islands FROM isl
+        GROUP BY doc_id)
+      SELECT wd.doc_id, CAST(len(wd.w) AS BIGINT) AS len_words,
+        coalesce(cov.covered, 0) AS covered,
+        coalesce(cov.n_islands, 0) AS n_islands,
+        CASE WHEN len(wd.w) > 0 THEN
+          (1000000 * least(coalesce(cov.covered, 0),
+            CAST(len(wd.w) AS BIGINT))) // len(wd.w)
+          ELSE CAST(0 AS BIGINT) END AS coverage_ppm
+      FROM wd LEFT JOIN cov USING (doc_id)
+      ORDER BY wd.doc_id"""),
+    doc = "[NS] duplicated-span coverage per doc (merged 8-word spans, exact ppm)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -1878,5 +1925,6 @@ object DocQueries {
     q144LshFuzzy, q145CcIncremental, q164LshRecall, q191DatasetCard,
     q196CohenKappa, q199PatchGrid, q206Snippets, q207VocabGrowth,
     q208ExtractText, q229NoveltyGrade, q236BloomAdvisor,
-    q237ExtractionHealth, q240DedupRoi, q250FrameEnergy)
+    q237ExtractionHealth, q240DedupRoi, q250FrameEnergy,
+    q255DupCoverage)
 }

@@ -1209,11 +1209,63 @@ object EmbeddingQueries {
       ORDER BY energy_ppm DESC, vec_id LIMIT 10"""),
     doc = "[NS] per-vector top-direction energy cos2 in ppm (ABTT boilerplate audit)")
 
+  /** [NS] — label-noise suspects by kNN disagreement (q256): for each
+    * anchor vector, the share of its 10 cosine-nearest neighbors that
+    * carry a DIFFERENT label, exact ppm — confident-learning-lite
+    * (Northcutt et al.): a point whose neighborhood votes against its
+    * own label is a mislabel suspect, the triage list every labeled-
+    * dataset audit starts from. 20 broadcast anchors × one corpus scan
+    * (the q30 brute-force shape, fanned); per-anchor ranking windows
+    * parallelize across anchors. */
+  val q256LabelNoise = Q(
+    "q256_label_noise",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", vecD($"embedding").as("v"), $"label")
+      val anchors = e.filter($"vec_id" < 20)
+        .select($"vec_id".as("a_id"), $"v".as("av"),
+          $"label".as("a_label"))
+      e.crossJoin(broadcast(anchors))
+        .filter($"vec_id" =!= $"a_id")
+        .withColumn("cos", round(cosine($"v", $"av"), 6))
+        .withColumn("rnk", row_number().over(Window.partitionBy($"a_id")
+          .orderBy($"cos".desc, $"vec_id")))
+        .filter($"rnk" <= 10)
+        .groupBy($"a_id", $"a_label")
+        .agg(count(lit(1)).as("k"),
+          sum(when($"label" =!= $"a_label", 1L).otherwise(0L))
+            .as("n_disagree"))
+        .select($"a_id".as("vec_id"), $"a_label".as("label"),
+          $"n_disagree",
+          expr("(1000000 * n_disagree) div k").as("disagree_ppm"))
+        .orderBy($"disagree_ppm".desc, $"vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        FROM embeddings),
+      a AS (SELECT vec_id AS a_id, v AS av, label AS a_label FROM e
+        WHERE vec_id < 20),
+      sc AS (SELECT a.a_id, a.a_label, e.vec_id, e.label,
+          round(${cosSql("e.v", "a.av")}, 6) AS cos
+        FROM e, a WHERE e.vec_id <> a.a_id),
+      rr AS (SELECT *, row_number() OVER (PARTITION BY a_id
+          ORDER BY cos DESC, vec_id) AS rnk FROM sc),
+      kk AS (SELECT a_id, a_label, CAST(count(*) AS BIGINT) AS k,
+          CAST(count(CASE WHEN label <> a_label THEN 1 END) AS BIGINT)
+            AS n_disagree
+        FROM rr WHERE rnk <= 10 GROUP BY a_id, a_label)
+      SELECT a_id AS vec_id, a_label AS label, n_disagree,
+        (1000000 * n_disagree) // k AS disagree_ppm
+      FROM kk ORDER BY disagree_ppm DESC, vec_id"""),
+    doc = "[NS] kNN-disagreement label-noise suspects (confident-learning-lite, exact ppm)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,
     q132JlProject, q150FilteredAnn, q155BatchAnn, q168IndexAppend,
     q169KCenter, q179MmrRerank, q187RetrieveDiversify,
-    q235EmbeddingExpectations, q251TopDirection, q252AbttEnergy)
+    q235EmbeddingExpectations, q251TopDirection, q252AbttEnergy,
+    q256LabelNoise)
 }

@@ -382,4 +382,29 @@ class DedupSpec extends AnyFunSuite {
     assert(admitted.forall(id => grades(id) == ((false, 0L))),
       admitted.filterNot(id => grades(id) == ((false, 0L))).take(5))
   }
+
+  test("dupSpanCoverage: shared spans counted once through overlap " +
+      "merging, clean and short docs report zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // shares its first 8-word gram w/ 2
+      (2L, "a b c d e f g h"),      // fully covered by doc 1's prefix
+      (3L, "q r s"),                // short, unique whole-text gram
+      (5L, "0 1 2 3 4 5 6 7 8 9"),  // identical twins: all 3 grams
+      (6L, "0 1 2 3 4 5 6 7 8 9"))  //   shared; intervals merge to ONE
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .dupSpanCoverage(docs, "doc_id", "text", gram = 8)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) === ((10L, 8L, 1L, 800000L)), got(1L).toString)
+    assert(got(2L) === ((8L, 8L, 1L, 1000000L)))
+    assert(got(3L) === ((3L, 0L, 0L, 0L)))
+    // twins: intervals [1,9),[2,10),[3,11) merge to [1,11) → covered =
+    // len, ONE island — double counting would report 24
+    assert(got(5L) === ((10L, 10L, 1L, 1000000L)), got(5L).toString)
+    assert(got(6L) === ((10L, 10L, 1L, 1000000L)))
+  }
 }
