@@ -1220,6 +1220,54 @@ object Analytics {
       .drop("_n", "_rn", "_rn2")
   }
 
+  /** Split-conformal prediction interval (Vovk et al.; Lei et al. 2018):
+    * distribution-free uncertainty for ANY point predictor. On a held-out
+    * calibration set, take the k-th smallest absolute residual with
+    * k = ⌈(1−α)(n+1)⌉; the interval ŷ ± q̂ then covers a fresh point
+    * with probability ≥ 1−α, no matter how bad the model is — the
+    * finite-sample guarantee that makes this the standard wrapper
+    * around production regressors. Reported: q̂ and the EMPIRICAL test
+    * coverage in exact ppm (the number the guarantee promises to bound
+    * below by (1−α)·10⁶ − sampling noise).
+    *
+    * All arithmetic exact: residuals are integer |actual − pred|, the
+    * order statistic is a global-rank pick (the two-pass
+    * [[Curation.withGlobalRank]] shape — no single-partition window),
+    * k is integer ceiling division, coverage is a floor-ppm count. If
+    * k > n_cal the quantile is unbounded (+∞ by convention — reported
+    * NULL, coverage 10⁶): the honest small-sample answer. Input: one
+    * row per unit with integer pred/actual and a 0/1 split flag
+    * (1 = calibration, 0 = test). */
+  def splitConformal(df: DataFrame, predCol: String, actualCol: String,
+      calCol: String, alphaPct: Int): DataFrame = {
+    require(alphaPct > 0 && alphaPct < 100, s"alphaPct in (0,100): $alphaPct")
+    val res = df.select(col(calCol).as("_cal"),
+      abs(col(actualCol) - col(predCol)).cast("long").as("_r"))
+    val cal = res.filter(col("_cal") === 1).select(col("_r"))
+    val ranked = Curation.withGlobalRank(cal,
+      Seq(col("_r").asc), "_rk")
+    val nCal = ranked.agg(count(lit(1)).as("n_cal"))
+    // k = ceil((100-alpha)/100 * (n+1)), 1-based; rank col is 0-based
+    val qhat = ranked.crossJoin(broadcast(nCal))
+      .filter(col("_rk") + 1 ===
+        expr(s"((100 - $alphaPct) * (n_cal + 1) + 99) div 100"))
+      .agg(max(col("_r")).as("qhat"))
+    val test = res.filter(col("_cal") === 0)
+    test.agg(count(lit(1)).as("n_test"))
+      .crossJoin(broadcast(nCal))
+      .crossJoin(broadcast(qhat))
+      .crossJoin(broadcast(
+        test.crossJoin(broadcast(qhat))
+          .agg(count(when(col("_r") <= col("qhat"), 1))
+            .as("_nc")).select(col("_nc"))))
+      .select(col("n_cal"), col("n_test"), col("qhat"),
+        when(col("qhat").isNull, col("n_test")).otherwise(col("_nc"))
+          .as("n_covered"),
+        expr("CASE WHEN n_test > 0 THEN (1000000 * " +
+          "CASE WHEN qhat IS NULL THEN n_test ELSE _nc END) div n_test " +
+          "END").as("coverage_ppm"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): adjust an experiment
     * metric by its pre-period covariate, Yadj = Y − θ·(X − E[X]) with
     * θ = cov(X,Y)/var(X), so unit-level noise that existed BEFORE the

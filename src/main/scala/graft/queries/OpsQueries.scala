@@ -1773,6 +1773,69 @@ object OpsQueries {
       FROM m"""),
     doc = "[NS] difference-in-differences (trend-adjusted rollout readout, exact ppm)")
 
+  /** [NS] — split-conformal interval (q257): wrap the naive
+    * personalization predictor (each user's pre-period floor-mean
+    * spend) in [[Analytics.splitConformal]] at α = 10%: the
+    * calibration half of the post-period events sets q̂ (the k-th
+    * smallest |actual − pred|), the test half measures empirical
+    * coverage. The distribution-free uncertainty wrapper every
+    * production regressor should ship with — the guarantee holds even
+    * though this predictor is terrible, which is exactly the point of
+    * conformal. */
+  val q257Conformal = Q(
+    "q257_conformal",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"value".isNotNull)
+        .select($"user_id", $"event_id",
+          ($"ts" >= lit("2024-01-16 00:00:00").cast("timestamp"))
+            .cast("int").as("post"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val pre = e.groupBy($"user_id")
+        .agg(sum(when($"post" === 0, $"c")).as("sc"),
+          count(when($"post" === 0, 1)).as("nc"))
+        .filter($"nc" > 0)
+        .select($"user_id", expr("sc div nc").as("pred"))
+      val obs = e.filter($"post" === 1)
+        .join(pre, Seq("user_id"))
+        .select($"pred", $"c".as("actual"),
+          ($"event_id" % 2).cast("int").as("cal"))
+      Analytics.splitConformal(obs, "pred", "actual", "cal",
+        alphaPct = 10)
+    },
+    Some("""WITH e AS (SELECT user_id, event_id,
+          CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1
+            ELSE 0 END AS post,
+          CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      pre AS (SELECT user_id,
+          CAST(sum(CASE WHEN post = 0 THEN c END) AS BIGINT)
+            // CAST(count(CASE WHEN post = 0 THEN 1 END) AS BIGINT)
+            AS pred
+        FROM e GROUP BY user_id
+        HAVING count(CASE WHEN post = 0 THEN 1 END) > 0),
+      obs AS (SELECT abs(e.c - pre.pred) AS r,
+          CAST(e.event_id % 2 AS INTEGER) AS cal
+        FROM e JOIN pre USING (user_id) WHERE e.post = 1),
+      calr AS (SELECT r, row_number() OVER (ORDER BY r) AS rk
+        FROM obs WHERE cal = 1),
+      n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calr),
+      q AS (SELECT CAST(max(r) AS BIGINT) AS qhat FROM calr, n1
+        WHERE rk = (90 * (n_cal + 1) + 99) // 100),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+          CAST(count(CASE WHEN r <= (SELECT qhat FROM q) THEN 1 END)
+            AS BIGINT) AS nc
+        FROM obs WHERE cal = 0)
+      SELECT n1.n_cal, t.n_test, q.qhat,
+        CASE WHEN q.qhat IS NULL THEN t.n_test ELSE t.nc END
+          AS n_covered,
+        CASE WHEN t.n_test > 0 THEN (1000000 *
+          CASE WHEN q.qhat IS NULL THEN t.n_test ELSE t.nc END)
+          // t.n_test END AS coverage_ppm
+      FROM n1, t, q"""),
+    doc = "[NS] split-conformal interval + empirical coverage (distribution-free, exact)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
@@ -1783,5 +1846,6 @@ object OpsQueries {
     q198ChiSquare, q202Calibration, q203Gains, q211CalibrationBands,
     q216Auc, q217Brier, q218AvgPrecision, q219ThresholdSweep,
     q223ErrorSamples, q224Journeys, q228TokenDrift, q238JoinAudit,
-    q242JoinViewDelta, q243Cuped, q247Benford, q248DiffInDiff)
+    q242JoinViewDelta, q243Cuped, q247Benford, q248DiffInDiff,
+    q257Conformal)
 }

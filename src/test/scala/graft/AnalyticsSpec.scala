@@ -780,6 +780,28 @@ class AnalyticsSpec extends AnyFunSuite {
       "empty (1,0) cell must surface as NULL mean and NULL DiD")
   }
 
+  test("splitConformal: k-th residual picked exactly, empirical " +
+      "coverage counted, small calibration set yields unbounded q̂") {
+    import spark.implicits._
+    // calibration residuals 1..9 (pred 0, actual = r), α=10% →
+    // k = ceil(0.9·10) = 9 → q̂ = 9; test residuals 5, 9, 10 → 2/3 in
+    val rows = (1L to 9L).map(r => (0L, r, 1)) ++
+      Seq((0L, 5L, 0), (0L, 9L, 0), (0L, 10L, 0))
+    val r = Analytics.splitConformal(rows.toDF("pred", "actual", "cal"),
+      "pred", "actual", "cal", alphaPct = 10).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((9L, 3L, 9L, 2L)))
+    assert(r.getLong(4) === 666666L)
+    // 3 calibration points can't support 90%: k=4 > 3 → q̂ NULL,
+    // everything trivially covered
+    val small = Seq((0L, 1L, 1), (0L, 2L, 1), (0L, 3L, 1),
+      (0L, 99L, 0)).toDF("pred", "actual", "cal")
+    val m = Analytics.splitConformal(small, "pred", "actual", "cal",
+      alphaPct = 10).collect()(0)
+    assert(m.isNullAt(2) && m.getLong(3) === 1L &&
+      m.getLong(4) === 1000000L, m.toString)
+  }
+
   test("cuped: y = x explains the gap entirely (theta=1, corr2=1, " +
       "adjusted gap 0); constant covariate is a no-op") {
     import spark.implicits._
