@@ -358,4 +358,60 @@ object EventStream {
       .agg(count(lit(1)).as("n_bands"), min(col("first_ts")).as("ts"))
       .filter(col("n_bands") === 4)
       .select(col("id"), col("ts"))
+
+  /** Per-user gap-monitor state: last event (ts, id) + running gap
+    * moments + the first-`cap` DISTINCT gap values seen. The set's
+    * CONTENT is arrival-order-dependent, but its SIZE is exactly
+    * min(total distinct, cap) under ANY order — which is the only thing
+    * emitted, keeping the twin deterministic AND the state bounded
+    * (cap longs per user, never per-event). */
+  case class GapState(lastTs: Long, lastId: Long, nGaps: Long,
+      sumGaps: Long, minGap: Long, gaps: Set[Long])
+
+  case class GapStats(user_id: Long, n_gaps: Long,
+      n_distinct_capped: Long, min_gap_us: Long, mean_gap_us: Long,
+      regularity_ppm: Long)
+
+  /** [NS] — STREAMING twin of the q246 automation-rate audit via
+    * mapGroupsWithState: per-user inter-event-gap regularity maintained
+    * live, so scripted traffic is flagged while it is still running
+    * instead of in tomorrow's batch. Input rows are (user_id,
+    * ts epoch-micros, event_id).
+    *
+    * Same ordering contract as [[funnelStateful]]: within a micro-batch
+    * the user's rows replay in ascending (ts, event_id) order; across
+    * batches gaps bridge via the carried (lastTs, lastId), exact under
+    * event-time-ordered batch boundaries. Distinct gaps are counted
+    * capped (see [[GapState]]) — the batch twin compares against
+    * least(count(DISTINCT gap), cap), and the regularity score uses the
+    * capped count, so both sides compute the identical number. */
+  def gapMonitor(events: Dataset[(Long, Long, Long)], cap: Int = 64)(
+      implicit spark: SparkSession): Dataset[GapStats] = {
+    import spark.implicits._
+    require(cap >= 1, s"distinct cap must be >= 1, got $cap")
+    events.groupByKey(_._1)
+      .mapGroupsWithState[GapState, GapStats](
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[GapState]) =>
+          var st = state.getOption.getOrElse(
+            GapState(Long.MinValue, 0L, 0L, 0L, Long.MaxValue,
+              Set.empty[Long]))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, t, id) =>
+            if (st.lastTs != Long.MinValue) {
+              val g = t - st.lastTs
+              st = st.copy(nGaps = st.nGaps + 1, sumGaps = st.sumGaps + g,
+                minGap = math.min(st.minGap, g),
+                gaps = if (st.gaps.size < cap) st.gaps + g else st.gaps)
+            }
+            st = st.copy(lastTs = t, lastId = id)
+          }
+          state.update(st)
+          val nd = st.gaps.size.toLong
+          GapStats(uid, st.nGaps, nd,
+            if (st.nGaps > 0) st.minGap else 0L,
+            if (st.nGaps > 0) st.sumGaps / st.nGaps else 0L,
+            if (st.nGaps > 0) 1000000L * nd / st.nGaps else 0L)
+      }
+  }
 }

@@ -1044,4 +1044,57 @@ class StreamingSpec extends AnyFunSuite {
       "replayed epoch must not advance the generation")
     assert(state() === truth, "replayed epoch must not change state")
   }
+
+  test("streaming gap monitor ≡ batch q246 metrics on the real events " +
+      "fixture, gaps bridged across the batch boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    implicit val sq = spark.sqlContext
+    implicit val ss = spark
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter($"user_id".isNotNull)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_id")
+    // batch truth with the SAME capped distinct count the monitor keeps
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+    val truth = ev.withColumn("prev", lag($"t", 1).over(w))
+      .filter($"prev".isNotNull)
+      .select($"user_id", ($"t" - $"prev").as("g"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        least(countDistinct($"g"), lit(64L)).as("nd"),
+        min($"g").as("mn"), sum($"g").as("sm"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4) / r.getLong(1),
+        1000000L * r.getLong(2) / r.getLong(1))))
+      .toMap
+    val rows = ev.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val median = rows.map(_._2).sorted.apply(rows.length / 2)
+    // event-time-ordered batch boundary, deterministic in-batch scramble
+    val b1 = rows.filter(_._2 < median)
+      .sortBy(r => (r._3 * 2654435761L) % 1000003)
+    val b2 = rows.filter(_._2 >= median)
+      .sortBy(r => (r._3 * 2654435761L) % 1000003)
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = EventStream.gapMonitor(mem.toDS()).writeStream
+      .format("memory").queryName("gap_out").outputMode("update").start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      // latest row per user = final state (n_gaps is monotone)
+      val got = spark.table("gap_out")
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"n_gaps".desc)))
+        .filter($"_rn" === 1 && $"n_gaps" > 0)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      assert(got.keySet === truth.keySet)
+      val bad = truth.keys.filter(k => got(k) != truth(k))
+      assert(bad.isEmpty,
+        bad.take(3).map(k => s"$k: got ${got(k)} want ${truth(k)}"))
+    } finally q.stop()
+  }
 }
