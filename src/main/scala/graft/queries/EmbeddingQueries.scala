@@ -1260,6 +1260,118 @@ object EmbeddingQueries {
       FROM kk ORDER BY disagree_ppm DESC, vec_id"""),
     doc = "[NS] kNN-disagreement label-noise suspects (confident-learning-lite, exact ppm)")
 
+  /** [NS] — int8-quantization recall audit (q258): exact cosine top-10
+    * vs q129's integer-dot top-10 over the per-dim int8 codes, same
+    * query vector — recall@10 in exact ppm. The quantization-loss
+    * go/no-go: 4× smaller vectors are only a win if this number stays
+    * near 10⁶, and "measure, don't guess" (q164's stance for LSH)
+    * applies to scalar quantization too. */
+  val q258Int8Recall = Q(
+    "q258_int8_recall",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val ev = e.select($"vec_id", vecD($"embedding").as("v"))
+      val qid = e.agg(max($"vec_id").as("q_id"))
+      val qv = ev.join(broadcast(qid), $"vec_id" === $"q_id")
+        .select($"v".as("qv"))
+      val exact = ev.crossJoin(broadcast(qv)).crossJoin(broadcast(qid))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos", round(cosine($"v", $"qv"), 6))
+        .orderBy($"cos".desc, $"vec_id".asc)
+        .limit(10).select($"vec_id")
+      val codes = Similarity.int8Quantize(e, "vec_id", "embedding")
+        .select($"vec_id", $"dim", $"q")
+        .localCheckpoint(true)
+      val qcodes = codes.join(broadcast(qid),
+          $"vec_id" === $"q_id", "left_semi")
+        .select($"dim", $"q".as("qq"))
+      val approx = codes.join(broadcast(qcodes), Seq("dim"))
+        .crossJoin(broadcast(qid))
+        .filter($"vec_id" =!= $"q_id")
+        .groupBy($"vec_id")
+        .agg(sum($"q" * $"qq").as("idot"))
+        .orderBy($"idot".desc, $"vec_id".asc)
+        .limit(10).select($"vec_id")
+      exact.join(approx, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select($"n_hits",
+          expr("(1000000 * n_hits) div 10").as("recall_ppm"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, t.i AS dim,
+          CAST(embedding[t.i] AS DOUBLE) AS x
+        FROM embeddings,
+          unnest(generate_series(1, len(embedding))) AS t(i)),
+      a AS (SELECT dim, max(abs(x)) AS amax FROM e GROUP BY 1),
+      c AS (SELECT vec_id, e.dim,
+          CASE WHEN amax = 0 THEN 0
+            ELSE CAST(round(127 * x / amax) AS BIGINT) END AS q
+        FROM e JOIN a USING (dim)),
+      qid AS (SELECT max(vec_id) AS q_id FROM embeddings),
+      qc AS (SELECT dim, q AS qq FROM c, qid WHERE vec_id = q_id),
+      approx AS (SELECT c.vec_id FROM c JOIN qc USING (dim), qid
+        WHERE c.vec_id <> q_id GROUP BY c.vec_id
+        ORDER BY CAST(sum(q * qq) AS BIGINT) DESC, c.vec_id ASC
+        LIMIT 10),
+      e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q2 AS (SELECT vec_id AS q_id, v AS qv FROM e2, qid
+        WHERE vec_id = q_id),
+      exact AS (SELECT vec_id FROM e2, q2 WHERE vec_id <> q_id
+        ORDER BY round(${cosSql("v", "qv")}, 6) DESC, vec_id ASC
+        LIMIT 10)
+      SELECT CAST(count(*) AS BIGINT) AS n_hits,
+        CAST((1000000 * count(*)) // 10 AS BIGINT) AS recall_ppm
+      FROM exact JOIN approx USING (vec_id)"""),
+    doc = "[NS] int8 quantization recall@10 vs exact cosine (measured loss, exact ppm)")
+
+  /** [NS] — stored-ANN serving recall audit (q259): q107's served
+    * top-10 (persisted IVF-PQ index, 2 probes, shortlist 50) joined
+    * against the exact cosine top-10 for the same query — recall@10 in
+    * exact ppm, from the PRODUCTION serving path rather than an
+    * in-query twin. Together with q164 (LSH recall) and q258 (int8
+    * recall), every approximation tier in the engine now carries its
+    * own measured-recall query; the RecallProbe curve generalizes this
+    * point across the nProbe×shortlist grid. */
+  val q259AnnRecall = Q(
+    "q259_ann_recall",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val dir = graft.operators.AnnIndex.defaultDir(d)
+      graft.operators.AnnIndex.buildIfAbsent(e, "vec_id", "embedding",
+        cents, m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters,
+        dir = dir, corpusTag = d, metaCols = Seq("label"))
+      val qv = e.orderBy($"vec_id".desc).limit(1)
+        .select($"vec_id".as("q_id"), vecD($"embedding").as("qv"))
+      val served = graft.operators.AnnIndex.serve(s, dir, e, "vec_id",
+          "embedding", qv, m = pqM, subDim = pqSubDim, nProbe = 2,
+          shortlist = 50, k = 10)
+        .select($"vec_id")
+      val ev = e.select($"vec_id", vecD($"embedding").as("v"))
+      val exact = ev.crossJoin(broadcast(qv))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos", round(cosine($"v", $"qv"), 6))
+        .orderBy($"cos".desc, $"vec_id".asc)
+        .limit(10).select($"vec_id")
+      exact.join(served, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select($"n_hits",
+          expr("(1000000 * n_hits) div 10").as("recall_ppm"))
+    },
+    Some(s"""WITH ann AS ($ivfPqOracleSql),
+      e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q2 AS (SELECT vec_id AS q_id, v AS qv FROM e2
+        ORDER BY vec_id DESC LIMIT 1),
+      exact AS (SELECT vec_id FROM e2, q2 WHERE vec_id <> q_id
+        ORDER BY round(${cosSql("v", "qv")}, 6) DESC, vec_id ASC
+        LIMIT 10)
+      SELECT CAST(count(*) AS BIGINT) AS n_hits,
+        CAST((1000000 * count(*)) // 10 AS BIGINT) AS recall_ppm
+      FROM exact JOIN ann USING (vec_id)"""),
+    doc = "[NS] stored-index ANN serving recall@10 vs exact cosine (exact ppm)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
@@ -1267,5 +1379,5 @@ object EmbeddingQueries {
     q132JlProject, q150FilteredAnn, q155BatchAnn, q168IndexAppend,
     q169KCenter, q179MmrRerank, q187RetrieveDiversify,
     q235EmbeddingExpectations, q251TopDirection, q252AbttEnergy,
-    q256LabelNoise)
+    q256LabelNoise, q258Int8Recall, q259AnnRecall)
 }

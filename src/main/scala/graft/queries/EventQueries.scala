@@ -1275,12 +1275,23 @@ object EventQueries {
       val inter = ev.withColumn("item",
           get_json_object($"props", "$.k").cast("long"))
         .filter($"item".isNotNull).select($"user_id", $"item")
+      // the per-user item cap is user-local, so ONE capped frame serves
+      // all three populations (full / forget-only / remaining) — the
+      // q201 coOccurrence semantics inlined without its containment
+      // columns, which this audit discards anyway
+      val capped = inter.groupBy($"user_id", $"item")
+        .agg(count(lit(1)).as("w"))
+        .withColumn("_r", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"w".desc, $"item")))
+        .filter($"_r" <= 10).select($"user_id", $"item")
         .localCheckpoint(true)
-      val cooc = graft.operators.Graph
-      val pb = cooc.coOccurrence(inter, "user_id", "item",
-        capM = 10, minCount = 1L).localCheckpoint(true)
-      val pd = cooc.coOccurrence(inter.filter($"user_id" % 29 === 0),
-        "user_id", "item", capM = 10, minCount = 1L)
+      def wedge(c: DataFrame): DataFrame = c.as("a")
+        .join(c.as("b"), $"a.user_id" === $"b.user_id" &&
+          $"a.item" < $"b.item")
+        .groupBy($"a.item".as("item_a"), $"b.item".as("item_b"))
+        .agg(count(lit(1)).as("n_users"))
+      val pb = wedge(capped).localCheckpoint(true)
+      val pd = wedge(capped.filter($"user_id" % 29 === 0))
       val pa = pb
         .join(pd.select($"item_a", $"item_b", $"n_users".as("nd")),
           Seq("item_a", "item_b"), "left")
@@ -1288,9 +1299,7 @@ object EventQueries {
         .filter($"n2" >= 1)
         .select($"item_a", $"item_b", $"n2".as("n_users"))
         .localCheckpoint(true)
-      val pr = cooc.coOccurrence(inter.filter($"user_id" % 29 =!= 0),
-          "user_id", "item", capM = 10, minCount = 1L)
-        .select($"item_a", $"item_b", $"n_users")
+      val pr = wedge(capped.filter($"user_id" % 29 =!= 0))
         .localCheckpoint(true)
       val cRes = pa.exceptAll(pr).unionByName(pr.exceptAll(pa))
         .agg(count(lit(1)).as("n_residue"))
