@@ -1220,6 +1220,43 @@ object Analytics {
       .drop("_n", "_rn", "_rn2")
   }
 
+  /** Experiment sizing ladder: units per arm needed to detect a δ lift
+    * on a mean metric at two-sided α = 5% with 80% power —
+    * n = ⌈(z_{α/2}+z_β)²·2σ²/δ²⌉, with (1.959964 + 0.841621)² =
+    * 7.848879 hardcoded as `kPpm` in BOTH engines (the F-series
+    * byte-identical-constant convention — normal quantiles are
+    * transcendental, so they enter as pinned constants, never computed).
+    * The answer to "how long must this experiment run", evaluated for a
+    * ladder of minimum-detectable-effect percentages of the current
+    * mean. One aggregate over units; exact sample variance via the
+    * decimal(38,0) moment algebra ([[cuped]]'s); ceiling division in
+    * integers. A zero δ (mean too small for the pct) yields NULL —
+    * undetectable, not free. */
+  def sampleSizeLadder(perUnit: DataFrame, valCol: String,
+      mdePcts: Seq[Int], kPpm: Long = 7848879L): DataFrame = {
+    require(mdePcts.nonEmpty && mdePcts.forall(p => p > 0 && p <= 100),
+      s"mde percents in (0,100]: $mdePcts")
+    val spark = perUnit.sparkSession
+    import spark.implicits._
+    val d38 = "decimal(38,0)"
+    val x = col(valCol).cast(d38)
+    val m = perUnit.agg(count(lit(1)).cast(d38).as("_n"),
+        sum(x).as("_sx"), sum(x * x).as("_sxx"))
+      .select(col("_n").cast("long").as("n_units"),
+        expr("_sx div _n").as("mean_c"),
+        expr("CASE WHEN _n > 1 THEN (_n * _sxx - _sx * _sx) " +
+          "div (_n * (_n - 1)) ELSE CAST(0 AS BIGINT) END").as("var_c2"))
+    m.crossJoin(broadcast(mdePcts.toDF("mde_pct")))
+      .withColumn("delta_c", expr("(mean_c * mde_pct) div 100"))
+      .withColumn("n_per_arm", expr(
+        s"CASE WHEN delta_c > 0 THEN CAST((CAST($kPpm AS DECIMAL(38,0))" +
+          " * 2 * var_c2 + CAST(1000000 AS DECIMAL(38,0)) * delta_c" +
+          " * delta_c - 1) div (CAST(1000000 AS DECIMAL(38,0))" +
+          " * delta_c * delta_c) AS BIGINT) END"))
+      .select(col("mde_pct"), col("delta_c"), col("n_per_arm"),
+        col("n_units"), col("mean_c"), col("var_c2"))
+  }
+
   /** Split-conformal prediction interval (Vovk et al.; Lei et al. 2018):
     * distribution-free uncertainty for ANY point predictor. On a held-out
     * calibration set, take the k-th smallest absolute residual with

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AggView, Analytics, Layout}
+import graft.operators.{AggView, Analytics, Layout, Skew}
 import QueryDsl.{exactSum, exactSumSql}
 
 /** [NS] Corpus-operations queries — the table-management side of running
@@ -1836,6 +1836,99 @@ object OpsQueries {
       FROM n1, t, q"""),
     doc = "[NS] split-conformal interval + empirical coverage (distribution-free, exact)")
 
+  /** [NS] — shuffle-skew pre-flight (q260): [[Skew.skewReport]] over
+    * the three join/agg keys a pipeline on this schema actually
+    * shuffles on — hottest-key share, hot/average straggler ratio, and
+    * the recommended salt-bucket count at 32 partitions (1 = don't
+    * salt). q238 prices a join's OUTPUT; this prices its SHUFFLE — run
+    * both before committing a 100 TB join. */
+  val q260SkewReport = Q(
+    "q260_skew_report",
+    (s, d) => {
+      import s.implicits._
+      Skew.skewReport(Tables.lineitem(s, d), "l_partkey", 32,
+          "lineitem.l_partkey")
+        .unionByName(Skew.skewReport(Tables.lineitem(s, d), "l_suppkey",
+          32, "lineitem.l_suppkey"))
+        .unionByName(Skew.skewReport(Tables.events(s, d), "user_id", 32,
+          "events.user_id"))
+        .orderBy($"artifact")
+    },
+    Some("""WITH src AS (
+        SELECT 'lineitem.l_partkey' AS artifact, l_partkey AS k
+          FROM lineitem WHERE l_partkey IS NOT NULL
+        UNION ALL SELECT 'lineitem.l_suppkey', l_suppkey
+          FROM lineitem WHERE l_suppkey IS NOT NULL
+        UNION ALL SELECT 'events.user_id', user_id
+          FROM events WHERE user_id IS NOT NULL),
+      c AS (SELECT artifact, k, CAST(count(*) AS BIGINT) AS c
+        FROM src GROUP BY artifact, k),
+      a AS (SELECT artifact, CAST(sum(c) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(max(c) AS BIGINT) AS max_cnt
+        FROM c GROUP BY artifact)
+      SELECT artifact, n_rows, n_keys, max_cnt,
+        n_rows // n_keys AS avg_cnt,
+        (1000000 * max_cnt) // n_rows AS max_share_ppm,
+        CAST((1000000::HUGEINT * max_cnt * n_keys) // n_rows AS BIGINT)
+          AS skew_ratio_ppm,
+        CASE WHEN max_cnt > (n_rows + 31) // 32
+          THEN (max_cnt + (n_rows + 31) // 32 - 1)
+            // ((n_rows + 31) // 32)
+          ELSE CAST(1 AS BIGINT) END AS rec_salt
+      FROM a ORDER BY artifact"""),
+    doc = "[NS] shuffle-skew pre-flight (hot-key share, straggler ratio, salt advice)")
+
+  /** [NS] — experiment sizing ladder (q261): [[Analytics
+    * .sampleSizeLadder]] on per-user post-period mean spend — units per
+    * arm to detect a 1/2/5/10% lift at α=5%, power 80%, the pinned
+    * (z_{α/2}+z_β)² = 7.848879 constant. The question every A/B
+    * conversation starts with, answered from one aggregate — and the
+    * quantitative case for q243's CUPED: multiply var_c2 by (1−ρ²) and
+    * the ladder shrinks by the measured variance reduction. */
+  val q261SampleSize = Q(
+    "q261_sample_size",
+    (s, d) => {
+      import s.implicits._
+      val post = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"value".isNotNull &&
+          $"ts" >= lit("2024-01-16 00:00:00").cast("timestamp"))
+        .select($"user_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy($"user_id")
+        .agg(sum($"c").as("sc"), count(lit(1)).as("nc"))
+        .select(expr("sc div nc").as("y"))
+      Analytics.sampleSizeLadder(post, "y", Seq(1, 2, 5, 10))
+        .orderBy($"mde_pct")
+    },
+    Some("""WITH pu AS (SELECT user_id,
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            // CAST(count(*) AS BIGINT) AS y
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY user_id),
+      m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+          CAST(sum(y) AS HUGEINT) AS sx,
+          CAST(sum(y * y) AS HUGEINT) AS sxx FROM pu),
+      st AS (SELECT CAST(n AS BIGINT) AS n_units,
+          CAST(sx // n AS BIGINT) AS mean_c,
+          CASE WHEN n > 1 THEN CAST((n * sxx - sx * sx)
+            // (n * (n - 1)) AS BIGINT) ELSE CAST(0 AS BIGINT) END
+            AS var_c2 FROM m),
+      l(mde_pct) AS (VALUES (1), (2), (5), (10)),
+      j AS (SELECT st.*, l.mde_pct,
+          (mean_c * mde_pct) // 100 AS delta_c
+        FROM st CROSS JOIN l)
+      SELECT mde_pct, delta_c,
+        CASE WHEN delta_c > 0 THEN CAST((7848879::HUGEINT * 2 * var_c2
+          + 1000000::HUGEINT * delta_c * delta_c - 1)
+          // (1000000::HUGEINT * delta_c * delta_c) AS BIGINT) END
+          AS n_per_arm,
+        n_units, mean_c, var_c2
+      FROM j ORDER BY mde_pct"""),
+    doc = "[NS] A/B sample-size ladder (pinned z constants, exact variance, ceil division)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
@@ -1847,5 +1940,5 @@ object OpsQueries {
     q216Auc, q217Brier, q218AvgPrecision, q219ThresholdSweep,
     q223ErrorSamples, q224Journeys, q228TokenDrift, q238JoinAudit,
     q242JoinViewDelta, q243Cuped, q247Benford, q248DiffInDiff,
-    q257Conformal)
+    q257Conformal, q260SkewReport, q261SampleSize)
 }

@@ -780,6 +780,43 @@ class AnalyticsSpec extends AnyFunSuite {
       "empty (1,0) cell must surface as NULL mean and NULL DiD")
   }
 
+  test("skewReport: hot key priced correctly, salt advice kicks in " +
+      "exactly when the hot key exceeds one partition's share") {
+    import spark.implicits._
+    // key 1 holds 90 of 100 rows; 10 singleton keys; 4 partitions →
+    // rows-per-part 25, salt = ceil(90/25) = 4
+    val rows = (Seq.fill(90)(1L) ++ (2L to 11L)).toDF("k")
+    val r = graft.operators.Skew.skewReport(rows, "k", 4, "t").collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === ((100L, 11L, 90L, 9L)))
+    assert(r.getLong(5) === 900000L)              // max share
+    assert(r.getLong(6) === 9900000L)             // 9.9x straggler
+    assert(r.getLong(7) === 4L, "salt factor")
+    // uniform: salting not recommended
+    val u = graft.operators.Skew.skewReport(
+      (1L to 100L).toDF("k"), "k", 4, "t").collect()(0)
+    assert(u.getLong(7) === 1L && u.getLong(6) === 1000000L)
+  }
+
+  test("sampleSizeLadder: hand-computed ceiling at a known variance, " +
+      "NULL when the MDE rounds to zero") {
+    import spark.implicits._
+    // values 10,10,20,20 → n=4, mean=15, var = (4·1000−3600)/12 = 33
+    val units = Seq(10L, 10L, 20L, 20L).toDF("y")
+    val got = Analytics.sampleSizeLadder(units, "y", Seq(10, 100))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // δ(10%) = 1: n = ceil(7848879·2·33 / 1e6) = ceil(518.026) = 519
+    assert(got(10) === ((1L, 519L, 4L, 15L, 33L)), got(10).toString)
+    // δ(100%) = 15: n = ceil(518026014 / 225e6) = ceil(2.302) = 3
+    assert(got(100) === ((15L, 3L, 4L, 15L, 33L)))
+    // tiny mean: δ(10%) of mean 3 floors to 0 → undetectable, NULL
+    val tiny = Seq(3L, 3L, 3L, 3L).toDF("y")
+    val t = Analytics.sampleSizeLadder(tiny, "y", Seq(10)).collect()(0)
+    assert(t.getLong(1) === 0L && t.isNullAt(2))
+  }
+
   test("splitConformal: k-th residual picked exactly, empirical " +
       "coverage counted, small calibration set yields unbounded q̂") {
     import spark.implicits._
