@@ -1929,6 +1929,150 @@ object OpsQueries {
       FROM j ORDER BY mde_pct"""),
     doc = "[NS] A/B sample-size ladder (pinned z constants, exact variance, ceil division)")
 
+  /** [NS] — RFM customer segmentation (q262): the classic
+    * recency/frequency/monetary grid — per user: days since last
+    * event, event count, exact spend; each dimension cut into 4 exact
+    * equi-depth bins ([[graft.operators.Curation.withEquiBuckets]] —
+    * three range-sorts over the USER frame, never the event log); one
+    * row per populated (r, f, m) cell with its population and spend
+    * mass. The segmentation every lifecycle-marketing / cohort-weight
+    * pipeline starts from, exact enough to hash. */
+  val q262Rfm = Q(
+    "q262_rfm",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"value".isNotNull)
+        .select($"user_id", unix_micros($"ts").as("t"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val mx = e.agg(max($"t").as("mx"))
+      val pu = e.groupBy($"user_id")
+        .agg(count(lit(1)).as("freq"), sum($"c").as("mon_c"),
+          max($"t").as("ut"))
+        .crossJoin(broadcast(mx))
+        .select($"user_id",
+          expr("(mx - ut) div 86400000000").as("rec_days"),
+          $"freq", $"mon_c")
+      val binned = Seq[(String, Seq[org.apache.spark.sql.Column])](
+        ("r_bin", Seq($"rec_days".asc, $"user_id".asc)),
+        ("f_bin", Seq($"freq".asc, $"user_id".asc)),
+        ("m_bin", Seq($"mon_c".asc, $"user_id".asc)))
+        .foldLeft(pu) { case (acc, (name, order)) =>
+          graft.operators.Curation.withEquiBuckets(acc, order, 4, name)
+        }
+      binned.groupBy($"r_bin", $"f_bin", $"m_bin")
+        .agg(count(lit(1)).as("n_users"), sum($"mon_c").as("spend_c"))
+        .orderBy($"r_bin", $"f_bin", $"m_bin")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+          CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      mx AS (SELECT max(t) AS mx FROM e),
+      pu AS (SELECT user_id,
+          (mx.mx - max(t)) // 86400000000 AS rec_days,
+          CAST(count(*) AS BIGINT) AS freq,
+          CAST(sum(c) AS BIGINT) AS mon_c
+        FROM e, mx GROUP BY user_id, mx.mx),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pu),
+      b AS (SELECT user_id, mon_c,
+          ((row_number() OVER (ORDER BY rec_days, user_id) - 1) * 4)
+            // (SELECT n FROM n) AS r_bin,
+          ((row_number() OVER (ORDER BY freq, user_id) - 1) * 4)
+            // (SELECT n FROM n) AS f_bin,
+          ((row_number() OVER (ORDER BY mon_c, user_id) - 1) * 4)
+            // (SELECT n FROM n) AS m_bin
+        FROM pu)
+      SELECT r_bin, f_bin, m_bin, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(mon_c) AS BIGINT) AS spend_c
+      FROM b GROUP BY r_bin, f_bin, m_bin
+      ORDER BY r_bin, f_bin, m_bin"""),
+    doc = "[NS] RFM segmentation grid (exact equi-depth bins per dimension)")
+
+  /** [NS] — whole-schema FK sweep (q263): every declared FK edge of the
+    * star schema audited in one ledger — child rows and orphan counts
+    * via [[graft.operators.Integrity.fkViolations]]' anti-join, 7 edges
+    * from region←nation down to lineitem→part/supplier/orders. All
+    * zeros on a healthy warehouse — the point is the SWEEP: after any
+    * bulk load or purge (q254), one query certifies referential health
+    * instead of seven ad-hoc checks. */
+  val q263FkSweep = Q(
+    "q263_fk_sweep",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Integrity
+      def edge(name: String, child: org.apache.spark.sql.DataFrame,
+          fk: String, parent: org.apache.spark.sql.DataFrame,
+          pk: String) = {
+        val base = child.filter(col(fk).isNotNull)
+        base.agg(count(lit(1)).as("n_child"))
+          .crossJoin(broadcast(
+            Integrity.fkViolations(child, fk, parent, pk)
+              .agg(count(lit(1)).as("n_orphans"))))
+          .select(lit(name).as("fk_edge"), $"n_child", $"n_orphans")
+      }
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      val c = Tables.customer(s, d); val su = Tables.supplier(s, d)
+      val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      edge("customer.nation", c, "c_nationkey", n, "n_nationkey")
+        .unionByName(edge("lineitem.orders", l, "l_orderkey", o,
+          "o_orderkey"))
+        .unionByName(edge("lineitem.part", l, "l_partkey", p,
+          "p_partkey"))
+        .unionByName(edge("lineitem.supplier", l, "l_suppkey", su,
+          "s_suppkey"))
+        .unionByName(edge("nation.region", n, "n_regionkey", r,
+          "r_regionkey"))
+        .unionByName(edge("orders.customer", o, "o_custkey", c,
+          "c_custkey"))
+        .unionByName(edge("supplier.nation", su, "s_nationkey", n,
+          "n_nationkey"))
+        .orderBy($"fk_edge")
+    },
+    Some("""SELECT 'customer.nation' AS fk_edge,
+        CAST((SELECT count(*) FROM customer
+          WHERE c_nationkey IS NOT NULL) AS BIGINT) AS n_child,
+        CAST((SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL
+          AND c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+          AS BIGINT) AS n_orphans
+      UNION ALL SELECT 'lineitem.orders',
+        CAST((SELECT count(*) FROM lineitem
+          WHERE l_orderkey IS NOT NULL) AS BIGINT),
+        CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          AS BIGINT)
+      UNION ALL SELECT 'lineitem.part',
+        CAST((SELECT count(*) FROM lineitem
+          WHERE l_partkey IS NOT NULL) AS BIGINT),
+        CAST((SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+          AND l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT)
+      UNION ALL SELECT 'lineitem.supplier',
+        CAST((SELECT count(*) FROM lineitem
+          WHERE l_suppkey IS NOT NULL) AS BIGINT),
+        CAST((SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+          AS BIGINT)
+      UNION ALL SELECT 'nation.region',
+        CAST((SELECT count(*) FROM nation
+          WHERE n_regionkey IS NOT NULL) AS BIGINT),
+        CAST((SELECT count(*) FROM nation WHERE n_regionkey IS NOT NULL
+          AND n_regionkey NOT IN (SELECT r_regionkey FROM region))
+          AS BIGINT)
+      UNION ALL SELECT 'orders.customer',
+        CAST((SELECT count(*) FROM orders
+          WHERE o_custkey IS NOT NULL) AS BIGINT),
+        CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+          AS BIGINT)
+      UNION ALL SELECT 'supplier.nation',
+        CAST((SELECT count(*) FROM supplier
+          WHERE s_nationkey IS NOT NULL) AS BIGINT),
+        CAST((SELECT count(*) FROM supplier WHERE s_nationkey IS NOT NULL
+          AND s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+          AS BIGINT)
+      ORDER BY fk_edge"""),
+    doc = "[NS] whole-schema FK orphan sweep (7 edges, one referential-health ledger)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
@@ -1940,5 +2084,6 @@ object OpsQueries {
     q216Auc, q217Brier, q218AvgPrecision, q219ThresholdSweep,
     q223ErrorSamples, q224Journeys, q228TokenDrift, q238JoinAudit,
     q242JoinViewDelta, q243Cuped, q247Benford, q248DiffInDiff,
-    q257Conformal, q260SkewReport, q261SampleSize)
+    q257Conformal, q260SkewReport, q261SampleSize, q262Rfm,
+    q263FkSweep)
 }
