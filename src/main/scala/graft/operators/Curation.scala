@@ -1494,4 +1494,52 @@ object Curation {
         CAST(len(cand) - len(kept) AS BIGINT) AS dropped_lines
       FROM k"""
   }
+
+  /** [NS] — Gopher quality rules (Rae et al. 2021, Appendix A): the
+    * published heuristic gate bundle most pretraining pipelines start
+    * from, as per-document native kernels (split/filter/aggregate HOFs
+    * — no UDF, whole-stage codegen). Five rules, each an exact integer
+    * test so the verdicts hash-match:
+    *  - words:     50 ≤ word count ≤ 100 000
+    *  - word_len:  3.00 ≤ mean word length ≤ 10.00 (centi-chars)
+    *  - symbols:   (# + …) per word < 0.10 (1000·sym < 100·words)
+    *  - alpha:     ≥ 80% of words contain a letter (5·alpha ≥ 4·words)
+    *  - stopwords: ≥ 2 distinct common stopwords present
+    * Returns per-doc counters + one boolean per rule + pass_all —
+    * downstream gates filter on the flags, audits aggregate them
+    * (q264); q27's quality score RANKS, this bundle GATES with the
+    * published thresholds. Empty docs fail the word-count rule rather
+    * than dividing by zero. */
+  def gopherRules(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val stops = "array('the','be','to','of','and','that','have'," +
+      "'with','a','in')"
+    df.select(col(idCol), col(textCol).as("_t"))
+      .withColumn("_w", expr("filter(split(_t, ' '), x -> length(x) > 0)"))
+      .withColumn("n_words", expr("CAST(size(_w) AS BIGINT)"))
+      .withColumn("sum_len", expr("aggregate(_w, CAST(0 AS BIGINT), " +
+        "(a, x) -> a + length(x))"))
+      .withColumn("mean_wl_c", expr(
+        "CASE WHEN n_words > 0 THEN (100 * sum_len) div n_words " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("sym_cnt", expr(
+        "CAST(length(_t) - length(replace(_t, '#', '')) + " +
+          "(length(_t) - length(replace(_t, '...', ''))) div 3 " +
+          "AS BIGINT)"))
+      .withColumn("alpha_words", expr(
+        "CAST(size(filter(_w, x -> x rlike '[a-zA-Z]')) AS BIGINT)"))
+      .withColumn("stop_n", expr(
+        s"CAST(size(array_intersect(array_distinct(_w), $stops)) " +
+          "AS BIGINT)"))
+      .withColumn("pass_words",
+        expr("n_words >= 50 AND n_words <= 100000"))
+      .withColumn("pass_word_len",
+        expr("mean_wl_c >= 300 AND mean_wl_c <= 1000"))
+      .withColumn("pass_symbols", expr("1000 * sym_cnt < 100 * n_words"))
+      .withColumn("pass_alpha", expr("5 * alpha_words >= 4 * n_words"))
+      .withColumn("pass_stopwords", expr("stop_n >= 2"))
+      .withColumn("pass_all", expr("pass_words AND pass_word_len AND " +
+        "pass_symbols AND pass_alpha AND pass_stopwords"))
+      .drop("_t", "_w")
+  }
 }

@@ -1688,6 +1688,68 @@ object CurationQueries {
       FROM j GROUP BY lang ORDER BY lang"""),
     doc = "[NS] per-language tokenizer fertility from the stored BPE artifact")
 
+  /** [NS] — Gopher-rules gate ledger (q264): [[Curation.gopherRules]]
+    * aggregated corpus-wide — per published rule, how many documents
+    * fail it, plus the all-rules pass count. The shape of every
+    * pretraining-filter report (Rae et al. 2021 report exactly this
+    * table for MassiveText); per-rule failure attribution is what turns
+    * "we dropped 40%" into actionable gate tuning. On this fixture the
+    * word-length and stopword rules bind — synthetic vocab is short and
+    * stopword-poor — which is the audit doing its job. */
+  val q264GopherRules = Q(
+    "q264_gopher_rules",
+    (s, d) => {
+      import s.implicits._
+      Curation.gopherRules(Tables.documents(s, d), "doc_id", "text")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(!$"pass_words", 1)).as("f_words"),
+          count(when(!$"pass_word_len", 1)).as("f_word_len"),
+          count(when(!$"pass_symbols", 1)).as("f_symbols"),
+          count(when(!$"pass_alpha", 1)).as("f_alpha"),
+          count(when(!$"pass_stopwords", 1)).as("f_stopwords"),
+          count(when($"pass_all", 1)).as("n_pass_all"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> len(x) > 0) AS l,
+          text FROM documents),
+      m AS (SELECT doc_id,
+          CAST(len(l) AS BIGINT) AS n_words,
+          CAST(coalesce(list_sum(list_transform(l, x -> len(x))), 0)
+            AS BIGINT) AS sum_len,
+          CAST(len(text) - len(replace(text, '#', ''))
+            + (len(text) - len(replace(text, '...', ''))) // 3
+            AS BIGINT) AS sym_cnt,
+          CAST(len(list_filter(l, x -> regexp_matches(x, '[a-zA-Z]')))
+            AS BIGINT) AS alpha_words,
+          CAST(len(list_intersect(list_distinct(l),
+            ['the','be','to','of','and','that','have','with','a','in']))
+            AS BIGINT) AS stop_n
+        FROM p),
+      f AS (SELECT
+          n_words >= 50 AND n_words <= 100000 AS pass_words,
+          CASE WHEN n_words > 0 THEN (100 * sum_len) // n_words
+            ELSE 0 END BETWEEN 300 AND 1000 AS pass_word_len,
+          1000 * sym_cnt < 100 * n_words AS pass_symbols,
+          5 * alpha_words >= 4 * n_words AS pass_alpha,
+          stop_n >= 2 AS pass_stopwords
+        FROM m)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(CASE WHEN NOT pass_words THEN 1 END) AS BIGINT)
+          AS f_words,
+        CAST(count(CASE WHEN NOT pass_word_len THEN 1 END) AS BIGINT)
+          AS f_word_len,
+        CAST(count(CASE WHEN NOT pass_symbols THEN 1 END) AS BIGINT)
+          AS f_symbols,
+        CAST(count(CASE WHEN NOT pass_alpha THEN 1 END) AS BIGINT)
+          AS f_alpha,
+        CAST(count(CASE WHEN NOT pass_stopwords THEN 1 END) AS BIGINT)
+          AS f_stopwords,
+        CAST(count(CASE WHEN pass_words AND pass_word_len AND
+          pass_symbols AND pass_alpha AND pass_stopwords THEN 1 END)
+          AS BIGINT) AS n_pass_all
+      FROM f"""),
+    doc = "[NS] Gopher-rules gate ledger (published thresholds, per-rule failure counts)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -1700,5 +1762,5 @@ object CurationQueries {
     q210PhraseIndexMerge, q212UrlProfile, q213DomainGate, q214LmScore,
     q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge, q222ShardMix,
     q227CorpusLineDedup, q230TokenizerServe, q231FunnelExplain,
-    q245LmBinnedSample, q249TokenizerFertility)
+    q245LmBinnedSample, q249TokenizerFertility, q264GopherRules)
 }

@@ -1374,6 +1374,53 @@ object EventQueries {
       ORDER BY artifact"""),
     doc = "[NS] right-to-be-forgotten ledger (decremental purge ≡ rebuild, real residue recounts)")
 
+  /** [NS] — burstiness / overdispersion audit (q265): per event type,
+    * the variance-to-mean ratio of DAILY counts in exact ppm (the
+    * Poisson index of dispersion — a steady organic stream reads near
+    * 10⁶; campaign spikes, replayed batches and scripted bursts read
+    * far above). Cleared-denominator form 10⁶·(nΣx²−S²) div ((n−1)·S)
+    * — ONE floor division, decimal(38,0) products. The stream-health
+    * complement of q246: q246 finds machine-like USERS, this finds
+    * machine-like DAYS. */
+  val q265Dispersion = Q(
+    "q265_dispersion",
+    (s, d) => {
+      import s.implicits._
+      val d38 = "decimal(38,0)"
+      Tables.events(s, d).filter($"event_type".isNotNull)
+        .groupBy($"event_type", expr("CAST(ts AS DATE)").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum($"x").as("total"),
+          sum(($"x" * $"x").cast(d38)).as("_q"))
+        .select($"event_type", $"n_days",
+          $"total", expr("total div n_days").as("mean_per_day"),
+          expr(s"CASE WHEN n_days > 1 AND total > 0 THEN " +
+            s"CAST(1000000 AS DECIMAL(38,0)) * " +
+            s"(CAST(n_days AS DECIMAL(38,0)) * _q - " +
+            s"CAST(total AS DECIMAL(38,0)) * total) div " +
+            s"((n_days - 1) * CAST(total AS DECIMAL(38,0))) END")
+            .as("dispersion_ppm"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+          CAST(sum(x) AS BIGINT) AS total,
+          CAST(sum(x::HUGEINT * x) AS HUGEINT) AS q
+        FROM dc GROUP BY event_type)
+      SELECT event_type, n_days, total,
+        total // n_days AS mean_per_day,
+        CASE WHEN n_days > 1 AND total > 0 THEN
+          CAST((1000000::HUGEINT * (n_days * q - total::HUGEINT * total))
+            // ((n_days - 1)::HUGEINT * total) AS BIGINT) END
+          AS dispersion_ppm
+      FROM a ORDER BY event_type"""),
+    doc = "[NS] daily-count overdispersion per event type (Poisson index, exact ppm)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
@@ -1383,5 +1430,5 @@ object EventQueries {
     q170Survivorship, q182LatenessAudit, q186NearestJoin,
     q192TemporalSplit, q193LeaveLastOut, q204SeqSupport, q205Hazard,
     q232Pseudonymize, q233TimeToConvert, q246RateAudit,
-    q253TemporalReach, q254ForgetAudit)
+    q253TemporalReach, q254ForgetAudit, q265Dispersion)
 }

@@ -951,6 +951,32 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getLong(2) === 2L && r.getLong(3) === 1L)
   }
 
+  test("gopherRules: each rule binds on its own hand-built failure") {
+    import spark.implicits._
+    val good = "the and " + Seq.fill(58)("word").mkString(" ")
+    val short = "the and tiny"
+    val sym = good + " " + Seq.fill(7)("#").mkString(" ")
+    val numeric = "the and " + Seq.fill(58)("12345").mkString(" ")
+    val longw = "the and " + Seq.fill(58)("x" * 30).mkString(" ")
+    val docs = Seq((1L, good), (2L, short), (3L, sym), (4L, numeric),
+      (5L, longw)).toDF("doc_id", "text")
+    val got = graft.operators.Curation
+      .gopherRules(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(r.fieldIndex("pass_words")),
+        r.getBoolean(r.fieldIndex("pass_word_len")),
+        r.getBoolean(r.fieldIndex("pass_symbols")),
+        r.getBoolean(r.fieldIndex("pass_alpha")),
+        r.getBoolean(r.fieldIndex("pass_stopwords")),
+        r.getBoolean(r.fieldIndex("pass_all")))))
+      .toMap
+    assert(got(1L) === ((true, true, true, true, true, true)), "good")
+    assert(got(2L)._1 === false, "short doc fails word count")
+    assert(got(3L) === ((true, true, false, true, true, false)), "symbols")
+    assert(got(4L) === ((true, true, true, false, true, false)), "alpha")
+    assert(got(5L) === ((true, false, true, true, true, false)), "wordlen")
+  }
+
   test("withEquiBuckets: populations differ by at most 1, buckets " +
       "follow the order, ties split by the tiebreak") {
     import spark.implicits._
