@@ -1421,6 +1421,55 @@ object EventQueries {
       FROM a ORDER BY event_type"""),
     doc = "[NS] daily-count overdispersion per event type (Poisson index, exact ppm)")
 
+  /** [NS] — CUSUM changepoint scan (q266): per event type, the running
+    * cumulative deviation of daily counts from the period's floor-mean,
+    * and the day where |CUSUM| peaks — Page's classic level-shift
+    * detector in exact integers (a regime change makes the cumulative
+    * sum ramp; the peak marks the break). Where q265 asks "is this
+    * stream bursty at all", this asks WHEN it changed — the two
+    * readouts a traffic postmortem opens with. Per-type day window
+    * (parallel across types), argmax by (|cusum| desc, day) rank. */
+  val q266Cusum = Q(
+    "q266_cusum",
+    (s, d) => {
+      import s.implicits._
+      val dc = Tables.events(s, d).filter($"event_type".isNotNull)
+        .groupBy($"event_type", expr("CAST(ts AS DATE)").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wt = Window.partitionBy($"event_type")
+      val wo = Window.partitionBy($"event_type").orderBy($"day")
+      val cs = dc
+        .withColumn("m", expr("sum(x) OVER (PARTITION BY event_type) " +
+          "div count(x) OVER (PARTITION BY event_type)"))
+        .withColumn("cusum", sum($"x" - $"m").over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n_days", count(lit(1)).over(wt))
+        .withColumn("_rk", row_number().over(Window
+          .partitionBy($"event_type")
+          .orderBy(abs($"cusum").desc, $"day")))
+      cs.filter($"_rk" === 1)
+        .select($"event_type", $"day".as("break_day"),
+          $"cusum".as("peak_cusum"), $"n_days")
+        .orderBy($"event_type")
+    },
+    Some("""WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)),
+      m AS (SELECT *, sum(x) OVER (PARTITION BY event_type)
+          // count(x) OVER (PARTITION BY event_type) AS m FROM dc),
+      c AS (SELECT *, CAST(sum(x - m) OVER (PARTITION BY event_type
+          ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS cusum FROM m),
+      r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY abs(cusum) DESC, day) AS rk,
+          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+            AS n_days
+        FROM c)
+      SELECT event_type, day AS break_day, cusum AS peak_cusum, n_days
+      FROM r WHERE rk = 1 ORDER BY event_type"""),
+    doc = "[NS] CUSUM level-shift scan per event type (exact-integer Page detector)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
@@ -1430,5 +1479,5 @@ object EventQueries {
     q170Survivorship, q182LatenessAudit, q186NearestJoin,
     q192TemporalSplit, q193LeaveLastOut, q204SeqSupport, q205Hazard,
     q232Pseudonymize, q233TimeToConvert, q246RateAudit,
-    q253TemporalReach, q254ForgetAudit, q265Dispersion)
+    q253TemporalReach, q254ForgetAudit, q265Dispersion, q266Cusum)
 }

@@ -351,4 +351,35 @@ object PropertySpec extends Properties("graft") {
         b == blocked.exists(d => h == d || h.endsWith("." + d))
       }
     }
+
+  property("[NS] hitsExact: L1 mass never exceeds scale on either axis " +
+      "and scores are non-negative, for random small digraphs") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(1L, 6L),
+      Gen.choose(1L, 6L)))) { es =>
+      val edges = es.filter(e => e._1 != e._2)
+      edges.isEmpty || {
+        val got = graft.operators.Graph
+          .hitsExact(edges.toDF("s", "t"), "s", "t", iters = 2)
+          .collect().map(r => (r.getLong(1), r.getLong(2)))
+        val scale = 1000000000L
+        got.forall(r => r._1 >= 0 && r._2 >= 0) &&
+          got.map(_._1).sum <= scale && got.map(_._2).sum <= scale
+      }
+    }
+
+  property("[NS] dupSpanCoverage: coverage_ppm ∈ [0, 1e6], covered " +
+      "positions only on docs sharing a gram, twins always fully covered") =
+    forAll(Gen.choose(2, 6), Gen.listOfN(4,
+      Gen.listOfN(9, Gen.oneOf("aa", "bb", "cc", "dd")))) { (g, wordss) =>
+      val docs = wordss.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) } ++
+        Seq((90L, wordss.head.mkString(" "))) // planted twin of doc 0
+      val got = graft.operators.Dedup
+        .dupSpanCoverage(docs.toDF("doc_id", "text"), "doc_id", "text", g)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(4)))).toMap
+      got.values.forall(v => v._3 >= 0 && v._3 <= 1000000L) &&
+        got(0L)._3 == 1000000L && got(90L)._3 == 1000000L
+    }
 }
