@@ -229,6 +229,56 @@ object TextIndex {
       textCol: String): (DataFrame, Long) => Unit =
     (batch, epoch) => mergeBatch(spark, batch, idCol, textCol, dir, epoch)
 
+  /** Decremental maintenance — document DELETION from the stored index,
+    * the [[mergeBatch]] inverse and the index half of the
+    * right-to-be-forgotten contract (q254 audits the derived tables;
+    * a forgotten user's documents must also leave the retrieval index,
+    * or search keeps serving them). Cost is O(index + forget-set),
+    * never a corpus re-read: the forgotten docs' rows are anti-joined
+    * out; each term's df drops by the forgotten docs that contained it
+    * (one term-keyed join against the forget rows' term counts — terms
+    * the forget set never touched pass through byte-identical); stats
+    * drop by the forgotten docs' length/count, read from their own
+    * stored rows. A term whose every doc is forgotten vanishes with its
+    * rows — no tombstones. Ids absent from the index are no-ops.
+    * Writes the next generation + pointer flip ([[mergeBatch]]'s
+    * versioned protocol, including epoch replay protection), so a
+    * reader never sees a half-forgotten index. Certified decremental ≡
+    * rebuild by q267's from-scratch oracle. */
+  def removeDocs(spark: SparkSession, ids: DataFrame, idCol: String,
+      dir: String, epoch: Long = -1L): Unit = {
+    import org.apache.spark.sql.types._
+    val (gen, lastEpoch) = current(dir)
+    require(gen >= 0, s"removeDocs: no index at $dir — build() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
+
+    val stored = spark.read.schema(StructType(Seq(
+        StructField("term", StringType), StructField(idCol, LongType),
+        StructField("tf", LongType), StructField("dl", LongType),
+        StructField("df", LongType))))
+      .parquet(s"${genDir(dir, gen)}/postings")
+    val stats = spark.read.schema(StructType(Seq(
+        StructField("_L", LongType), StructField("_N", LongType))))
+      .parquet(s"${genDir(dir, gen)}/stats")
+
+    val rm = ids.select(col(idCol)).distinct().localCheckpoint(true)
+    val removed = stored.join(broadcast(rm), Seq(idCol), "left_semi")
+      .localCheckpoint(true)
+    val rdf = removed.groupBy(col("term")).agg(count(lit(1)).as("rdf"))
+    val newPostings = stored.join(broadcast(rm), Seq(idCol), "left_anti")
+      .join(rdf, Seq("term"), "left") // forget-vocab-sized; AQE picks
+      .select(col("term"), col(idCol), col("tf"), col("dl"),
+        (col("df") - coalesce(col("rdf"), lit(0L))).as("df"))
+    val rstats = removed.groupBy(col(idCol)).agg(max(col("dl")).as("dl"))
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("_rL"),
+        count(lit(1)).as("_rN"))
+    val newStats = stats.crossJoin(broadcast(rstats))
+      .select((col("_L") - col("_rL")).as("_L"),
+        (col("_N") - col("_rN")).as("_N"))
+    writeGen(newPostings, newStats, dir, gen + 1, idCol)
+    advance(dir, gen + 1, epoch.max(lastEpoch))
+  }
+
   // ---- positional index (phrase serving) ----------------------------
 
   def posPostingsPath(dir: String): String = {

@@ -1750,6 +1750,53 @@ object CurationQueries {
       FROM f"""),
     doc = "[NS] Gopher-rules gate ledger (published thresholds, per-rule failure counts)")
 
+  /** [NS] — index document deletion (q267): build the postings on the
+    * FULL corpus, delete the doc_id ≡ 0 (mod 10) documents with
+    * [[graft.operators.TextIndex.removeDocs]] (rows anti-joined out,
+    * df decremented, stats shrunk — O(index), zero corpus re-read),
+    * then serve the q124 BM25 query. The oracle rebuilds FROM SCRATCH
+    * on the remaining 90%: green proves decremental deletion ≡ rebuild
+    * — q254's forget law applied to the retrieval index, where a
+    * leftover posting means search still serves the forgotten user.
+    * The build+remove sequence sits under one fingerprint so bench
+    * repeats replay as no-ops (the q128/q221 convention). */
+  val q267IndexRemove = Q(
+    "q267_index_remove",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val dir = graft.operators.TextIndex.defaultDir(d + "_rm")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#full-rm10") {
+        graft.operators.TextIndex.build(docs, "doc_id", "text", dir)
+        graft.operators.TextIndex.removeDocs(s,
+          docs.filter($"doc_id" % 10 === 0).select($"doc_id"),
+          "doc_id", dir)
+      }
+      graft.operators.TextIndex.serveBm25(s, dir, "doc_id",
+        Seq("spark", "dup", "window", "merge"), 10)
+    },
+    Some("""WITH rem AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+      dl AS (SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+            AS BIGINT) AS dl FROM rem),
+      tot AS (SELECT sum(dl) AS L, count(*) AS N FROM dl),
+      w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM rem),
+      hits AS (SELECT doc_id, term, count(*) AS tf FROM w
+        WHERE term IN ('spark', 'dup', 'window', 'merge') GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+      sc AS (SELECT h.doc_id,
+          (10000 * (2 * (N - df) + 1)) // (2 * df + 1) AS idf_pm,
+          (1000000 * 44 * tf * L) //
+            (20 * tf * L + 6 * L + 18 * dl * N) AS tfc_ppm
+        FROM hits h JOIN dfreq USING (term) JOIN dl USING (doc_id), tot)
+      SELECT doc_id,
+        CAST(sum((idf_pm * tfc_ppm) // 10000) AS BIGINT) AS score_ppm,
+        CAST(count(*) AS BIGINT) AS n_terms
+      FROM sc GROUP BY doc_id
+      ORDER BY score_ppm DESC, doc_id LIMIT 10"""),
+    doc = "[NS] index doc deletion: decremental removeDocs ≡ from-scratch rebuild")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -1762,5 +1809,6 @@ object CurationQueries {
     q210PhraseIndexMerge, q212UrlProfile, q213DomainGate, q214LmScore,
     q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge, q222ShardMix,
     q227CorpusLineDedup, q230TokenizerServe, q231FunnelExplain,
-    q245LmBinnedSample, q249TokenizerFertility, q264GopherRules)
+    q245LmBinnedSample, q249TokenizerFertility, q264GopherRules,
+    q267IndexRemove)
 }

@@ -497,6 +497,41 @@ class CurationSpec extends AnyFunSuite {
     assert(st === Array((8L, 3L))) // L: 2+3+3, N: 2+1
   }
 
+  test("TextIndex.removeDocs: rows anti-joined out, df decremented, " +
+      "fully-forgotten terms vanish, stats shrink, replay is a no-op") {
+    import spark.implicits._
+    val dir = "/tmp/graft_text_index_remove_spec"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val base = Seq((1L, "alpha beta"), (2L, "alpha gamma gamma"),
+      (3L, "beta beta delta")).toDF("doc_id", "text")
+    graft.operators.TextIndex.build(base, "doc_id", "text", dir)
+    graft.operators.TextIndex.removeDocs(spark,
+      Seq(3L, 99L).toDF("doc_id"), "doc_id", dir, epoch = 1L)
+    def post() = spark.read.parquet(
+        graft.operators.TextIndex.postingsPath(dir))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._2))
+    val got = post()
+    assert(got === Array(
+      ("alpha", 1L, 1L, 2L, 2L),  // untouched term: df intact
+      ("alpha", 2L, 1L, 3L, 2L),
+      ("beta", 1L, 1L, 2L, 1L),   // doc 3 forgotten: df 2→1
+      ("gamma", 2L, 2L, 3L, 1L)   // delta vanished with its only doc
+    ), got.mkString("\n"))
+    val st = spark.read.parquet(graft.operators.TextIndex.statsPath(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(st === Array((5L, 2L))) // L: 8−3, N: 3−1 (id 99 a no-op)
+    // replayed epoch must not touch state
+    graft.operators.TextIndex.removeDocs(spark,
+      Seq(1L).toDF("doc_id"), "doc_id", dir, epoch = 1L)
+    assert(post() === got, "replayed epoch altered the index")
+  }
+
   test("TextIndex positional: stored-positions phrase search equals the " +
       "from-scratch path; append-merge ≡ one-pass build; replayed " +
       "epochs are no-ops") {
