@@ -392,4 +392,33 @@ object AnnIndex {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Vector DELETION from the stored index — the ANN half of the
+    * right-to-be-forgotten contract (q254 audits derived tables, q267
+    * purges the text index; a forgotten user's embeddings must leave
+    * the vector store too, or similarity search keeps recalling them).
+    * Quantizers are untouched (centroids/codebooks are corpus
+    * STATISTICS, not user data — the same frozen-quantizer stance as
+    * [[appendBatch]]); the forgotten ids' code rows are anti-joined out
+    * and the codes table rewritten. The rewrite is codes-sized (m bytes
+    * + metadata per vector), never raw-corpus-sized; the scale path is
+    * a partition-selective rewrite of only the `centroid=` directories
+    * containing forgotten ids (dynamic partition overwrite — left as an
+    * optimization because an EMPTIED partition must also have its files
+    * deleted, which dynamic mode alone does not do). Kept rows are
+    * eagerly checkpointed BEFORE the overwrite so the read never races
+    * its own target. Ids absent from the index are no-ops; the append
+    * ledger stays (a replayed already-applied append must remain a
+    * no-op after a removal, not resurrect the batch). Certified
+    * removal ≡ metadata-filter serving by q268's oracle. */
+  def removeVectors(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Unit = {
+    val codes = spark.read.parquet(codesPath(dir))
+    val kept = codes
+      .join(broadcast(ids.select(col(idCol)).distinct()), Seq(idCol),
+        "left_anti")
+      .localCheckpoint(true)
+    kept.write.mode("overwrite").partitionBy("centroid")
+      .parquet(codesPath(dir))
+  }
 }

@@ -1372,6 +1372,39 @@ object EmbeddingQueries {
       FROM exact JOIN ann USING (vec_id)"""),
     doc = "[NS] stored-index ANN serving recall@10 vs exact cosine (exact ppm)")
 
+  /** [NS] — ANN vector deletion (q268): build a fresh index on the full
+    * corpus, delete the vec_id ≡ 0 (mod 10) vectors with [[graft
+    * .operators.AnnIndex.removeVectors]] (codes anti-joined out,
+    * quantizers frozen), then serve the q107 query. Oracle: the
+    * IVF-PQ recomputation with the shortlist restricted to the
+    * REMAINING ids — green proves served-after-removal ≡
+    * filter-at-serve-time on the same index geometry, i.e. the deleted
+    * vectors are unrecallable, not merely down-ranked. Completes the
+    * forget triad (q254 tables, q267 text index, q268 vectors). The
+    * removal runs per invocation (idempotent anti-join); the build is
+    * fingerprint-skipped after first touch. */
+  val q268AnnRemove = Q(
+    "q268_ann_remove",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val dir = graft.operators.AnnIndex.defaultDir(d + "_rmv")
+      graft.operators.AnnIndex.buildIfAbsent(e, "vec_id", "embedding",
+        cents, m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters,
+        dir = dir, corpusTag = d + "#rm-base", metaCols = Seq("label"))
+      graft.operators.AnnIndex.removeVectors(s, dir,
+        e.filter($"vec_id" % 10 === 0).select($"vec_id"), "vec_id")
+      val qv = e.orderBy($"vec_id".desc).limit(1)
+        .select($"vec_id".as("q_id"), vecD($"embedding").as("qv"))
+      graft.operators.AnnIndex.serve(s, dir, e, "vec_id", "embedding",
+        qv, m = pqM, subDim = pqSubDim, nProbe = 2, shortlist = 50,
+        k = 10)
+    },
+    Some(ivfPqOracle("AND a.vec_id % 10 <> 0")),
+    doc = "[NS] ANN vector deletion: removal ≡ remaining-only serving (forget triad)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
@@ -1379,5 +1412,5 @@ object EmbeddingQueries {
     q132JlProject, q150FilteredAnn, q155BatchAnn, q168IndexAppend,
     q169KCenter, q179MmrRerank, q187RetrieveDiversify,
     q235EmbeddingExpectations, q251TopDirection, q252AbttEnergy,
-    q256LabelNoise, q258Int8Recall, q259AnnRecall)
+    q256LabelNoise, q258Int8Recall, q259AnnRecall, q268AnnRemove)
 }

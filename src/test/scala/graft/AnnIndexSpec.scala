@@ -155,4 +155,37 @@ class AnnIndexSpec extends AnyFunSuite {
     val n = spark.read.parquet(AnnIndex.codesPath(dir)).count()
     assert(n == e.count() * m)
   }
+
+  test("removeVectors: forgotten ids leave the codes entirely, " +
+      "survivors' rows are byte-identical, removal is idempotent, " +
+      "serving cannot recall a removed vector") {
+    import spark.implicits._
+    val (e, cents, qv) = fixture()
+    val dir = Files.createTempDirectory("graft_annidx_rm").toString
+    AnnIndex.build(e, "vec_id", "embedding", cents, m, subDim, ksub,
+      iters, dir)
+    val before = spark.read.parquet(AnnIndex.codesPath(dir))
+      .collect().map(_.toString).sorted
+    val rmIds = e.filter($"vec_id" % 7 === 0).select($"vec_id")
+    val rmSet = rmIds.collect().map(_.getLong(0)).toSet
+    AnnIndex.removeVectors(spark, dir, rmIds, "vec_id")
+    val after = spark.read.parquet(AnnIndex.codesPath(dir))
+      .collect()
+    assert(!after.exists(r =>
+      rmSet.contains(r.getAs[Long]("vec_id"))), "removed id survived")
+    // survivors byte-identical: after == before minus removed rows
+    assert(after.map(_.toString).sorted.toSeq ===
+      before.filterNot(s => rmSet.exists(id => s.startsWith(s"[$id,")))
+        .toSeq, "a survivor row changed")
+    // idempotent: removing again is a no-op
+    AnnIndex.removeVectors(spark, dir, rmIds, "vec_id")
+    assert(spark.read.parquet(AnnIndex.codesPath(dir)).count()
+      === after.length.toLong)
+    // serving after removal never returns a removed id
+    val served = AnnIndex.serve(spark, dir, e, "vec_id", "embedding",
+      qv, m, subDim, nProbe = 8, shortlist = 100, k = 20)
+      .collect().map(_.getLong(0))
+    assert(served.nonEmpty && !served.exists(rmSet.contains),
+      served.mkString(","))
+  }
 }
