@@ -1442,4 +1442,40 @@ object Analytics {
         col("theta_ppm"), col("var_reduction_ppm"),
         col("diff_raw_ppm"), col("diff_adj_ppm"))
   }
+
+  /** [NS] — unbiased pass@k (Chen et al. 2021, "Evaluating Large
+    * Language Models Trained on Code", eq. 1): per problem with n
+    * attempts and c successes, pass@k = 1 − C(n−c,k)/C(n,k), the
+    * probability that a random size-k sample of the attempts contains
+    * at least one success — THE code-gen eval metric, and the right
+    * estimator for any sample-k-of-n success probability (retry
+    * budgets, ANN multi-probe hit odds).
+    *
+    * Exact integers: C(n−c,k)/C(n,k) = Π_{i<k}(n−c−i)/Π_{i<k}(n−i);
+    * both products accumulate in decimal(38,0) (k ≤ 12 keeps 10⁹-scale
+    * n inside 38 digits) and divide once with `div` (truncating, like
+    * the DuckDB twin's HUGEINT `//`), so
+    * `pass<k>_ppm = 10⁶ − (10⁶·Πnum) div Πden` hash-matches. When
+    * n−c < k the numerator clamps to zero (a success is guaranteed);
+    * problems with n < k emit NULL (the estimator is undefined).
+    *
+    * One groupBy over the attempts — counts only — then per-row
+    * arithmetic: no window, no second pass, mergeable at any scale. */
+  def passAtK(df: DataFrame, problemCol: String, successCol: Column,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 12),
+      s"k values must be in [1,12]: $ks")
+    def prod(base: String, k: Int): String =
+      (0 until k).map(i =>
+        s"CAST(greatest($base - $i, 0) AS DECIMAL(38,0))").mkString(" * ")
+    val agg = df.groupBy(col(problemCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(successCol, 1L).otherwise(0L)).as("c"))
+    ks.foldLeft(agg) { (acc, k) =>
+      acc.withColumn(s"pass${k}_ppm", expr(
+        s"CASE WHEN n >= $k THEN CAST(1000000 - " +
+          s"(CAST(1000000 AS DECIMAL(38,0)) * ${prod("n - c", k)}) " +
+          s"div (${prod("n", k)}) AS BIGINT) END"))
+    }
+  }
 }

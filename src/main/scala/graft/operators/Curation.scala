@@ -1542,4 +1542,98 @@ object Curation {
         "pass_symbols AND pass_alpha AND pass_stopwords"))
       .drop("_t", "_w")
   }
+
+  /** [NS] — Gopher REPETITION rules (Rae et al. 2021, Appendix A1,
+    * second half): the within-document repetition half of the
+    * MassiveText gate, complementing [[gopherRules]]' quality half.
+    * Machine-generated and template text repeats itself locally —
+    * duplicated lines and a dominant n-gram — long before any
+    * corpus-level dedup ([[dedupCorpusLines]]) can see it. Four
+    * signals, all exact-integer ppm so verdicts hash-match:
+    *  - dup_line_ppm:      10⁶·(lines − distinct lines) div lines
+    *  - dup_line_char_ppm: 10⁶·(chars in repeat line occurrences
+    *                       beyond the first) div total line chars
+    *  - top2_ppm/top3_ppm: 10⁶·(count of the most frequent word
+    *                       2-/3-gram × its non-space char length) div
+    *                       total word chars (tie → lexicographically
+    *                       first gram)
+    * `pass_rep` applies the published thresholds (dup-line < 0.30,
+    * dup-line-char < 0.20, top-2-gram < 0.20, top-3-gram < 0.18).
+    *
+    * Plan shape: line stats are per-row HOFs over `split(text, '\n')`
+    * (no shuffle); the top-gram stats explode word n-grams ONCE
+    * (2- and 3-grams tagged in the same explode), one
+    * groupBy(id, n, gram) + one per-doc window, then an id-keyed join
+    * back — linear in corpus size, no per-row O(words²) HOF scan, so
+    * a 10k-word document costs 10k gram rows, not 10⁸ comparisons.
+    * Docs with < 2 words emit 0 for the gram signals. */
+  def repetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(textCol).as("_t"))
+      .withColumn("_lines", expr(
+        "filter(split(_t, '\n'), x -> length(x) > 0)"))
+      .withColumn("_w", expr("filter(split(_t, '\\\\s+'), " +
+        "x -> length(x) > 0)"))
+    val lineStats = base
+      .withColumn("n_lines", expr("CAST(size(_lines) AS BIGINT)"))
+      .withColumn("_nd", expr("CAST(size(array_distinct(_lines)) " +
+        "AS BIGINT)"))
+      .withColumn("_lc", expr("aggregate(_lines, CAST(0 AS BIGINT), " +
+        "(a, x) -> a + length(x))"))
+      .withColumn("_dc", expr("aggregate(array_distinct(_lines), " +
+        "CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
+      .withColumn("sum_wchars", expr("aggregate(_w, CAST(0 AS BIGINT), " +
+        "(a, x) -> a + length(x))"))
+      .withColumn("dup_line_ppm", expr("CASE WHEN n_lines > 0 THEN " +
+        "(1000000 * (n_lines - _nd)) div n_lines " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("dup_line_char_ppm", expr("CASE WHEN _lc > 0 THEN " +
+        "(1000000 * (_lc - _dc)) div _lc ELSE CAST(0 AS BIGINT) END"))
+      .select(col(idCol), col("n_lines"), col("dup_line_ppm"),
+        col("dup_line_char_ppm"), col("sum_wchars"))
+    val grams = base
+      .withColumn("_g", expr(
+        "concat(" +
+          "CASE WHEN size(_w) >= 2 THEN transform(sequence(2, size(_w)), " +
+          "i -> struct(2 AS n, concat(element_at(_w, i - 1), ' ', " +
+          "element_at(_w, i)) AS g)) " +
+          "ELSE transform(slice(_w, 1, 0), x -> struct(2 AS n, x AS g)) " +
+          "END, " +
+          "CASE WHEN size(_w) >= 3 THEN transform(sequence(3, size(_w)), " +
+          "i -> struct(3 AS n, concat(element_at(_w, i - 2), ' ', " +
+          "element_at(_w, i - 1), ' ', element_at(_w, i)) AS g)) " +
+          "ELSE transform(slice(_w, 1, 0), x -> struct(3 AS n, x AS g)) " +
+          "END)"))
+      .select(col(idCol), explode(col("_g")).as("_e"))
+      .select(col(idCol), col("_e.n").as("_n"), col("_e.g").as("_gr"))
+      .groupBy(col(idCol), col("_n"), col("_gr"))
+      .agg(count(lit(1)).as("_cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("_n"))
+      .orderBy(col("_cnt").desc, col("_gr"))
+    val top = grams
+      .withColumn("_rn", row_number().over(win))
+      .filter(col("_rn") === 1)
+      .withColumn("_gchars",
+        expr("CAST(length(replace(_gr, ' ', '')) AS BIGINT)"))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("_n") === 2, col("_cnt"))).as("_c2"),
+        max(when(col("_n") === 2, col("_gchars"))).as("_l2"),
+        max(when(col("_n") === 3, col("_cnt"))).as("_c3"),
+        max(when(col("_n") === 3, col("_gchars"))).as("_l3"))
+    lineStats.join(top, Seq(idCol), "left")
+      .withColumn("top2_ppm", expr("CASE WHEN _c2 IS NOT NULL AND " +
+        "sum_wchars > 0 THEN (1000000 * _c2 * _l2) div sum_wchars " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("top3_ppm", expr("CASE WHEN _c3 IS NOT NULL AND " +
+        "sum_wchars > 0 THEN (1000000 * _c3 * _l3) div sum_wchars " +
+        "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("pass_rep", expr("dup_line_ppm < 300000 AND " +
+        "dup_line_char_ppm < 200000 AND top2_ppm < 200000 AND " +
+        "top3_ppm < 180000"))
+      .select(col(idCol), col("n_lines"), col("dup_line_ppm"),
+        col("dup_line_char_ppm"), col("top2_ppm"), col("top3_ppm"),
+        col("pass_rep"))
+  }
 }

@@ -693,4 +693,82 @@ object Graph {
         col("_hub").as("hub"))
     } finally edges.unpersist(blocking = false)
   }
+
+  /** [NS] — root-to-node path linearization over a parent-pointer
+    * forest: every node gets the concatenated contents of its ancestor
+    * chain root→…→node, its depth, its root id, and an `is_leaf` flag.
+    * This is SFT conversation assembly: a comment tree (the reference's
+    * `comments.parent` self-FK, schema.sql:41) linearized into
+    * training conversations — each leaf's row IS the full thread, in
+    * order, ready for a token-budget gate. Also the provenance answer
+    * for chunk→parent-document chains.
+    *
+    * Semantics: a parent pointer to a missing id (or to itself) makes
+    * the node a root. Paths concatenate contents with `sep`, root
+    * first. `is_leaf` = no other node points at this one.
+    *
+    * Distribution — pointer DOUBLING, the [[graft.operators.Integrity
+    * .cascadeRecursiveDoubling]] recurrence carrying path strings: the
+    * state row (id, anc, path, depth, root) holds the concatenation of
+    * the first 2^i ancestors; each round joins the state to itself on
+    * `anc = id` and prepends the ancestor row's (already 2^i-long)
+    * path. ceil(log2 maxDepth) self-joins total — a depth-10⁴
+    * provenance chain costs 14 rounds, not 10⁴ — with per-round
+    * localCheckpoint keeping lineage flat. No driver collect; state is
+    * node-partitioned throughout. Fails loudly (require) if any chain
+    * exceeds `maxDepth` after the final round rather than returning a
+    * truncated conversation. Cost note: path bytes grow with depth —
+    * at 100 TB keep `contentCol` to the per-turn text actually needed
+    * (ids/snippets), not whole documents. */
+  def pathLinearize(nodes: DataFrame, idCol: String, parentCol: String,
+      contentCol: String, sep: String = " | ",
+      maxDepth: Int = 64): DataFrame = {
+    val base = nodes.select(col(idCol).as("_id"),
+      col(parentCol).as("_p"), col(contentCol).cast("string").as("_c"))
+    // normalize: parent → null when missing or self (those are roots)
+    val ids = base.select(col("_id").as("_pid"))
+    val e = base.join(ids,
+        base("_p") === col("_pid") && base("_p") =!= base("_id"), "left")
+      .select(col("_id"),
+        when(col("_pid").isNull, lit(null)).otherwise(col("_p")).as("_anc"),
+        col("_c"))
+      .localCheckpoint(true)
+    var state = e.select(col("_id"), col("_anc"), col("_c").as("_path"),
+      lit(1L).as("_depth"),
+      when(col("_anc").isNull, col("_id")).as("_root"))
+      .localCheckpoint(true)
+    var span = 1L
+    var live = !state.filter(col("_anc").isNotNull).isEmpty
+    while (live && span < maxDepth) {
+      val j = state.select(col("_id").as("_jid"), col("_anc").as("_janc"),
+        col("_path").as("_jpath"), col("_depth").as("_jdepth"),
+        col("_root").as("_jroot"))
+      state = state.join(j, state("_anc") === j("_jid"), "left")
+        .select(col("_id"),
+          when(col("_anc").isNull, col("_anc"))
+            .otherwise(col("_janc")).as("_na"),
+          when(col("_anc").isNull, col("_path"))
+            .otherwise(concat(col("_jpath"), lit(sep), col("_path")))
+            .as("_path"),
+          when(col("_anc").isNull, col("_depth"))
+            .otherwise(col("_depth") + col("_jdepth")).as("_depth"),
+          when(col("_anc").isNull, col("_root"))
+            .otherwise(col("_jroot")).as("_root"))
+        .withColumnRenamed("_na", "_anc")
+        .select(col("_id"), col("_anc"), col("_path"), col("_depth"),
+          col("_root"))
+        .localCheckpoint(true)
+      span *= 2
+      live = !state.filter(col("_anc").isNotNull).isEmpty
+    }
+    require(state.filter(col("_anc").isNotNull).isEmpty,
+      s"pathLinearize: ancestor chain deeper than maxDepth=$maxDepth")
+    val parents = e.filter(col("_anc").isNotNull)
+      .select(col("_anc").as("_id")).distinct()
+      .withColumn("_hasChild", lit(true))
+    state.join(parents, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("_root").as("root"),
+        col("_path").as("conversation"), col("_depth").as("n_turns"),
+        col("_hasChild").isNull.as("is_leaf"))
+  }
 }

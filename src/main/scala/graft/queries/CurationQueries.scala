@@ -1797,6 +1797,88 @@ object CurationQueries {
       ORDER BY score_ppm DESC, doc_id LIMIT 10"""),
     doc = "[NS] index doc deletion: decremental removeDocs ≡ from-scratch rebuild")
 
+  /** [NS] — Gopher repetition gate (q269): the within-document
+    * repetition half of the MassiveText filter
+    * ([[graft.operators.Curation.repetitionSignals]]), run over
+    * `documents` re-lined into 2-word lines (the fixture's token soup
+    * has no newlines; 2-word chunks make duplicate-line detection
+    * non-degenerate on a 31-token vocabulary while the n-gram signals
+    * see the original word stream). Per-doc exact-ppm signals + the
+    * published-threshold verdict; q264 gates on quality, this on
+    * repetition — together they are the full Gopher Appendix-A gate. */
+  val q269Repetition = Q(
+    "q269_repetition",
+    (s, d) => {
+      import s.implicits._
+      val chunked = Tables.documents(s, d)
+        .withColumn("_cw", expr(
+          "filter(split(text, ' '), x -> length(x) > 0)"))
+        .withColumn("text2", expr(
+          "array_join(transform(sequence(0, (size(_cw) - 1) div 2), " +
+            "i -> array_join(slice(_cw, i * 2 + 1, 2), ' ')), '\n')"))
+        .select($"doc_id", $"text2")
+      Curation.repetitionSignals(chunked, "doc_id", "text2")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH w0 AS (SELECT doc_id,
+          list_filter(string_split(text, ' '), x -> len(x) > 0) AS cw
+        FROM documents),
+      ln AS (SELECT doc_id, cw,
+          list_transform(generate_series(0, (len(cw) - 1) // 2),
+            i -> array_to_string(list_slice(cw, i * 2 + 1, i * 2 + 2), ' '))
+            AS lines FROM w0),
+      ls AS (SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(list_distinct(lines)) AS BIGINT) AS nd,
+          CAST(coalesce(list_sum(list_transform(lines, x -> len(x))), 0)
+            AS BIGINT) AS lc,
+          CAST(coalesce(list_sum(list_transform(list_distinct(lines),
+            x -> len(x))), 0) AS BIGINT) AS dc,
+          CAST(coalesce(list_sum(list_transform(cw, x -> len(x))), 0)
+            AS BIGINT) AS swc
+        FROM ln),
+      g AS (SELECT doc_id, 2 AS n,
+          unnest(list_transform(generate_series(2, len(cw)),
+            i -> cw[i - 1] || ' ' || cw[i])) AS gram
+        FROM w0 WHERE len(cw) >= 2
+        UNION ALL
+        SELECT doc_id, 3,
+          unnest(list_transform(generate_series(3, len(cw)),
+            i -> cw[i - 2] || ' ' || cw[i - 1] || ' ' || cw[i]))
+        FROM w0 WHERE len(cw) >= 3),
+      c AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt
+        FROM g GROUP BY 1, 2, 3),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+          ORDER BY cnt DESC, gram) AS rn FROM c),
+      t AS (SELECT doc_id,
+          max(CASE WHEN n = 2 THEN cnt END) AS c2,
+          max(CASE WHEN n = 2 THEN
+            CAST(len(replace(gram, ' ', '')) AS BIGINT) END) AS l2,
+          max(CASE WHEN n = 3 THEN cnt END) AS c3,
+          max(CASE WHEN n = 3 THEN
+            CAST(len(replace(gram, ' ', '')) AS BIGINT) END) AS l3
+        FROM r WHERE rn = 1 GROUP BY doc_id),
+      f AS (SELECT ls.doc_id, n_lines,
+          CASE WHEN n_lines > 0
+            THEN (1000000 * (n_lines - nd)) // n_lines
+            ELSE 0 END AS dup_line_ppm,
+          CASE WHEN lc > 0 THEN (1000000 * (lc - dc)) // lc
+            ELSE 0 END AS dup_line_char_ppm,
+          CASE WHEN c2 IS NOT NULL AND swc > 0
+            THEN (1000000 * c2 * l2) // swc ELSE 0 END AS top2_ppm,
+          CASE WHEN c3 IS NOT NULL AND swc > 0
+            THEN (1000000 * c3 * l3) // swc ELSE 0 END AS top3_ppm
+        FROM ls LEFT JOIN t ON ls.doc_id = t.doc_id)
+      SELECT doc_id, n_lines,
+        CAST(dup_line_ppm AS BIGINT) AS dup_line_ppm,
+        CAST(dup_line_char_ppm AS BIGINT) AS dup_line_char_ppm,
+        CAST(top2_ppm AS BIGINT) AS top2_ppm,
+        CAST(top3_ppm AS BIGINT) AS top3_ppm,
+        (dup_line_ppm < 300000 AND dup_line_char_ppm < 200000
+          AND top2_ppm < 200000 AND top3_ppm < 180000) AS pass_rep
+      FROM f ORDER BY doc_id"""),
+    doc = "[NS] Gopher repetition rules: dup-line + top-ngram ppm gate")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -1810,5 +1892,5 @@ object CurationQueries {
     q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge, q222ShardMix,
     q227CorpusLineDedup, q230TokenizerServe, q231FunnelExplain,
     q245LmBinnedSample, q249TokenizerFertility, q264GopherRules,
-    q267IndexRemove)
+    q267IndexRemove, q269Repetition)
 }

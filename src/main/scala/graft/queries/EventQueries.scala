@@ -1470,6 +1470,37 @@ object EventQueries {
       FROM r WHERE rk = 1 ORDER BY event_type"""),
     doc = "[NS] CUSUM level-shift scan per event type (exact-integer Page detector)")
 
+  /** [NS] — unbiased pass@k (q271): every user is a "problem", every
+    * event an attempt, value ≥ 90 a success — the Chen et al. 2021
+    * estimator ([[graft.operators.Analytics.passAtK]]) at k ∈
+    * {1, 5, 10} in exact ppm. pass@1 is the plain success rate; the
+    * k > 1 columns answer "if I sample k attempts, how often does at
+    * least one succeed" — the retry-budget curve. The oracle replays
+    * the clamped factorial-ratio products in HUGEINT. */
+  val q271PassAtK = Q(
+    "q271_pass_at_k",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Analytics.passAtK(Tables.events(s, d),
+          "user_id", $"value" >= 90.0, Seq(1, 5, 10))
+        .orderBy($"user_id")
+    },
+    Some {
+      def prodSql(base: String, k: Int): String =
+        (0 until k).map(i =>
+          s"greatest(($base) - $i, 0)::HUGEINT").mkString(" * ")
+      def passSql(k: Int): String =
+        s"""CASE WHEN n >= $k THEN CAST(1000000 -
+          (1000000::HUGEINT * ${prodSql("n - c", k)})
+          // (${prodSql("n", k)}) AS BIGINT) END AS pass${k}_ppm"""
+      s"""WITH a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+          CAST(count(*) FILTER (WHERE value >= 90) AS BIGINT) AS c
+        FROM events GROUP BY user_id)
+      SELECT user_id, n, c, ${passSql(1)}, ${passSql(5)}, ${passSql(10)}
+      FROM a ORDER BY user_id"""
+    },
+    doc = "[NS] unbiased pass@k per problem (Chen et al. 2021, exact ppm)")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
@@ -1479,5 +1510,6 @@ object EventQueries {
     q170Survivorship, q182LatenessAudit, q186NearestJoin,
     q192TemporalSplit, q193LeaveLastOut, q204SeqSupport, q205Hazard,
     q232Pseudonymize, q233TimeToConvert, q246RateAudit,
-    q253TemporalReach, q254ForgetAudit, q265Dispersion, q266Cusum)
+    q253TemporalReach, q254ForgetAudit, q265Dispersion, q266Cusum,
+    q271PassAtK)
 }

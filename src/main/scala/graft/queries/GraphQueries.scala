@@ -877,8 +877,58 @@ object GraphQueries {
             // (SELECT count(*) FROM ev) AS BIGINT) END AS mrr_ppm"""),
     doc = "[NS] recommender MRR@10 vs leave-last-out (rank-sensitive eval, exact ppm)")
 
+  /** [NS] — thread linearization (q270): the synthetic parent forest
+    * over `orders` (parent = o_orderkey div 2, the q51/q55 tree) walked
+    * by [[Graph.pathLinearize]] — every LEAF with ≥ 3 turns emits its
+    * full root→leaf conversation, the SFT-assembly shape for the
+    * reference's `comments.parent` threads (schema.sql:41). The Spark
+    * side runs pointer doubling (log-depth self-joins); the oracle is
+    * DuckDB's WITH RECURSIVE walking one ancestor per step — two
+    * entirely different plans, so a hash match certifies the doubling
+    * recurrence end-to-end (path order, depth, root, leaf flag). */
+  val q270ThreadLinearize = Q(
+    "q270_thread_linearize",
+    (s, d) => {
+      import s.implicits._
+      val nodes = Tables.orders(s, d).select(
+        $"o_orderkey".as("id"),
+        expr("o_orderkey div 2").as("parent"),
+        concat(lit("m"), $"o_orderkey").as("content"))
+      Graph.pathLinearize(nodes, "id", "parent", "content", " | ", 64)
+        .filter($"is_leaf" && $"n_turns" >= 3)
+        .select($"id".as("leaf_id"), $"root", $"n_turns",
+          length($"conversation").cast("long").as("conv_chars"),
+          $"conversation")
+        .orderBy($"leaf_id")
+    },
+    Some("""WITH RECURSIVE n AS (SELECT o_orderkey AS id,
+          o_orderkey // 2 AS parent, 'm' || o_orderkey AS content
+        FROM orders),
+      e AS (SELECT c.id,
+          CASE WHEN p.id IS NULL THEN NULL ELSE c.parent END AS anc,
+          c.content
+        FROM n c LEFT JOIN n p ON c.parent = p.id AND c.parent <> c.id),
+      walk AS (
+        SELECT id, anc, content AS path, CAST(1 AS BIGINT) AS n_turns,
+          CASE WHEN anc IS NULL THEN id END AS root
+        FROM e
+        UNION ALL
+        SELECT w.id, e2.anc, e2.content || ' | ' || w.path,
+          w.n_turns + 1, CASE WHEN e2.anc IS NULL THEN e2.id END
+        FROM walk w JOIN e e2 ON w.anc = e2.id),
+      fin AS (SELECT id, root, path, n_turns FROM walk
+        WHERE anc IS NULL),
+      leaves AS (SELECT id FROM e WHERE id NOT IN
+        (SELECT anc FROM e WHERE anc IS NOT NULL))
+      SELECT f.id AS leaf_id, f.root, f.n_turns,
+        CAST(len(f.path) AS BIGINT) AS conv_chars, f.path AS conversation
+      FROM fin f JOIN leaves USING (id)
+      WHERE f.n_turns >= 3 ORDER BY leaf_id"""),
+    doc = "[NS] thread linearization: doubling walk ≡ recursive CTE (SFT assembly)")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
     q138Kcore, q161BfsLevels, q163HashWalks, q177CoOccurrence,
     q178Trending, q181Ppr, q183NegSamples, q201RecHitRate,
-    q225LabelProp, q226LinkPred, q241Hits, q244RecMrr)
+    q225LabelProp, q226LinkPred, q241Hits, q244RecMrr,
+    q270ThreadLinearize)
 }

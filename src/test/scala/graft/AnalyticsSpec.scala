@@ -857,4 +857,27 @@ class AnalyticsSpec extends AnyFunSuite {
       "constant covariate: zero theta, zero reduction")
     assert(c.getLong(4) === c.getLong(3), "adjustment must be a no-op")
   }
+
+  test("passAtK: hand-computed estimator, clamp-to-certain, n<k NULL") {
+    import spark.implicits._
+    // p1: n=5 c=2; p2: n=6 c=1; p3: n=4 c=0
+    val attempts =
+      (Seq.fill(2)(("p1", true)) ++ Seq.fill(3)(("p1", false)) ++
+        Seq.fill(1)(("p2", true)) ++ Seq.fill(5)(("p2", false)) ++
+        Seq.fill(4)(("p3", false)))
+        .toDF("problem", "ok")
+    val got = Analytics.passAtK(attempts, "problem", col("ok"),
+        Seq(1, 5, 10))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))))
+      .toMap
+    // p1: pass@1 = 1 - 3/5 = 0.4; pass@5: only 3 failures < 5 picks ->
+    // a success is guaranteed -> exactly 10^6; pass@10: n < 10 -> NULL
+    assert(got("p1") === ((5L, 2L, Some(400000L), Some(1000000L), None)))
+    // p2: pass@5 = 1 - C(5,5)/C(6,5) = 1 - 1/6 -> floor ppm 833334
+    assert(got("p2")._4 === Some(833334L))
+    // p3: no successes -> 0 at every defined k
+    assert(got("p3") === ((4L, 0L, Some(0L), None, None)))
+  }
 }

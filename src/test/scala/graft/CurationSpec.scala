@@ -1034,4 +1034,34 @@ class CurationSpec extends AnyFunSuite {
     val sizes = bins.groupBy(identity).view.mapValues(_.size).toMap
     assert(sizes === Map(0 -> 3, 1 -> 2, 2 -> 3, 3 -> 2))
   }
+
+  test("repetitionSignals: dup-line ppm, top-ngram ppm, ties, and " +
+      "degenerate docs match hand arithmetic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b\na b\na b\nc d"), // template page: repeated lines
+      (2L, "one two three four five six"), // unique words, one line
+      (3L, "hello"), // single word: no n-grams
+      (4L, "")) // empty
+      .toDF("doc_id", "text")
+    val got = Curation.repetitionSignals(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    // doc 1: 4 lines, 2 distinct -> dup 2/4; chars 12 vs 6 dup;
+    // words a b a b a b c d (8 chars): top 2-gram "a b" x3 (glen 2)
+    // -> 750000; 3-grams "a b a" x2 ties "b a b" x2, lexicographic
+    // first wins -> 2*3/8 = 750000; fails the gate
+    assert(got(1L) === ((4L, 500000L, 500000L, 750000L, 750000L, false)))
+    // doc 2: all grams count 1, tie -> lexicographically first
+    // ("five six", 7 chars of 22) = 318181 ppm
+    assert(got(2L)._1 === 1L)
+    assert(got(2L)._2 === 0L)
+    assert(got(2L)._4 === 318181L)
+    // doc 3: no 2-grams -> zero gram signals, passes
+    assert(got(3L) === ((1L, 0L, 0L, 0L, 0L, true)))
+    // doc 4: empty -> all zeros, passes (nothing repeats)
+    assert(got(4L) === ((0L, 0L, 0L, 0L, 0L, true)))
+  }
 }

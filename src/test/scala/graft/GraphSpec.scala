@@ -406,4 +406,51 @@ class GraphSpec extends AnyFunSuite {
     // the hub covering both heavy authorities out-hubs the single-edge one
     assert(got(1L)._2 > got(2L)._2, got.toString)
   }
+
+  // ---- pathLinearize ----
+
+  test("pathLinearize: forest paths, roots, depths, leaf flags") {
+    val spark2 = spark
+    import spark2.implicits._
+    // forest: 1 (parent missing), 2->1, 3->1, 4->2, 5->4; 6 self-loop
+    val nodes = Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 4L),
+      (6L, 6L)).toDF("id", "parent")
+      .withColumn("content", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("c"),
+        org.apache.spark.sql.functions.col("id")))
+    val got = Graph.pathLinearize(nodes, "id", "parent", "content")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got(1L) === ((1L, "c1", 1L, false)))
+    assert(got(3L) === ((1L, "c1 | c3", 2L, true)))
+    assert(got(5L) === ((1L, "c1 | c2 | c4 | c5", 4L, true)))
+    assert(got(6L) === ((6L, "c6", 1L, true)), "self-loop is a root")
+  }
+
+  test("pathLinearize: 20-deep chain resolves in log rounds; " +
+      "exceeding maxDepth fails loudly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val chain = (1L to 20L).map(i => (i, i - 1))
+      .toDF("id", "parent")
+      .withColumn("content", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("m"),
+        org.apache.spark.sql.functions.col("id")))
+    val got = Graph.pathLinearize(chain, "id", "parent", "content",
+        " | ", 32)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got(20L)._3 === 20L)
+    assert(got(20L)._2 === (1L to 20L).map("m" + _).mkString(" | "))
+    assert(got(20L)._4 === true)
+    assert(got(1L) === ((1L, "m1", 1L, false)))
+    intercept[IllegalArgumentException] {
+      Graph.pathLinearize(chain, "id", "parent", "content", " | ", 4)
+        .collect()
+    }
+  }
 }
