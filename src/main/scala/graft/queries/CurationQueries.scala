@@ -1879,6 +1879,90 @@ object CurationQueries {
       FROM f ORDER BY doc_id"""),
     doc = "[NS] Gopher repetition rules: dup-line + top-ngram ppm gate")
 
+  /** [NS] — NDCG@k for the BM25 ranking (q273): the position-discounted
+    * ranking metric (Järvelin & Kekäläinen 2002) over q124's top-10,
+    * with graded relevance = number of distinct query terms the doc
+    * actually contains (0–4). The 1/log₂(i+1) discounts are hardcoded
+    * ppm constants IDENTICAL in both engines (the Benford convention —
+    * transcendentals are pinned, never computed), so every value is
+    * exact integer arithmetic: gain = grade·wᵢ, DCG@k cumulative,
+    * IDCG@k from the grade multiset sorted descending (tie-order
+    * provably cancels), ndcg@k = 10⁶·DCG@k div IDCG@k per position —
+    * the running curve, not just the k=10 scalar. MRR (q244) sees only
+    * the first hit; this grades the whole ranked page. */
+  val q273Ndcg = Q(
+    "q273_ndcg",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val terms = Seq("spark", "dup", "window", "merge")
+      val wts = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L)
+      val docs = Tables.documents(s, d)
+      val cands = Curation.bm25TopK(docs, "doc_id", "text", terms, 10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"score_ppm".desc, $"doc_id")))
+      // 10-row frame read by the ranked and ideal branches — checkpoint
+      // so the corpus-side BM25 runs once
+      val graded = docs.select($"doc_id", $"text")
+        .join(broadcast(cands.select($"doc_id", $"rk")), Seq("doc_id"))
+        .withColumn("grade", expr(
+          "CAST(size(array_intersect(array_distinct(filter(" +
+            "split(text, ' '), x -> length(x) > 0)), " +
+            s"array(${terms.map("'" + _ + "'").mkString(",")}))) " +
+            "AS BIGINT)"))
+        .select($"doc_id", $"rk", $"grade")
+        .localCheckpoint(true)
+      val warr = expr(s"array(${wts.mkString(",")})")
+      val wc = Window.orderBy($"rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = graded
+        .withColumn("gain", $"grade" * element_at(warr, $"rk"))
+        .withColumn("dcg", sum($"gain").over(wc))
+      val ideal = graded
+        .withColumn("pos", row_number().over(
+          Window.orderBy($"grade".desc, $"doc_id")))
+        .withColumn("igain", $"grade" * element_at(warr, $"pos"))
+        .withColumn("idcg", sum($"igain").over(
+          Window.orderBy($"pos").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+        .select($"pos", $"idcg")
+      ranked.join(ideal, $"rk" === $"pos")
+        .select($"rk".cast("long").as("rk"), $"doc_id", $"grade",
+          $"gain", $"dcg", $"idcg",
+          expr("CASE WHEN idcg > 0 THEN (1000000 * dcg) div idcg END")
+            .as("ndcg_ppm"))
+        .orderBy($"rk")
+    },
+    Some(s"""WITH ${bm25CandsSql(Seq("spark", "dup", "window", "merge"),
+        10)},
+      wt(rk, w) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+        (4, 430677), (5, 386853), (6, 356207), (7, 333333),
+        (8, 315465), (9, 301030), (10, 289065)),
+      r AS (SELECT doc_id,
+          row_number() OVER (ORDER BY rel DESC, doc_id) AS rk FROM bm),
+      g AS (SELECT r.doc_id, r.rk,
+          CAST(len(list_intersect(list_distinct(list_filter(
+            string_split(d.text, ' '), x -> len(x) > 0)),
+            ['spark', 'dup', 'window', 'merge'])) AS BIGINT) AS grade
+        FROM r JOIN documents d USING (doc_id)),
+      rg AS (SELECT g.rk, g.doc_id, g.grade,
+          CAST(g.grade * wt.w AS BIGINT) AS gain
+        FROM g JOIN wt ON wt.rk = g.rk),
+      rc AS (SELECT rk, doc_id, grade, gain,
+          CAST(sum(gain) OVER (ORDER BY rk) AS BIGINT) AS dcg FROM rg),
+      ideal AS (SELECT row_number() OVER (ORDER BY grade DESC, doc_id)
+          AS pos, grade FROM g),
+      ic AS (SELECT pos, CAST(sum(grade * wt.w)
+            OVER (ORDER BY pos) AS BIGINT) AS idcg
+        FROM ideal JOIN wt ON wt.rk = ideal.pos)
+      SELECT rc.rk, rc.doc_id, rc.grade, rc.gain, rc.dcg, ic.idcg,
+        CASE WHEN ic.idcg > 0 THEN
+          CAST((1000000 * rc.dcg) // ic.idcg AS BIGINT) END AS ndcg_ppm
+      FROM rc JOIN ic ON ic.pos = rc.rk
+      ORDER BY rc.rk"""),
+    doc = "[NS] NDCG@10 running curve over the BM25 ranking (hardcoded log2 discounts)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -1892,5 +1976,5 @@ object CurationQueries {
     q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge, q222ShardMix,
     q227CorpusLineDedup, q230TokenizerServe, q231FunnelExplain,
     q245LmBinnedSample, q249TokenizerFertility, q264GopherRules,
-    q267IndexRemove, q269Repetition)
+    q267IndexRemove, q269Repetition, q273Ndcg)
 }

@@ -1914,6 +1914,117 @@ object DocQueries {
       ORDER BY wd.doc_id"""),
     doc = "[NS] duplicated-span coverage per doc (merged 8-word spans, exact ppm)")
 
+  /** [NS] — source ablation report (q272): the data-valuation question
+    * "what would the corpus lose if source X were dropped", answered in
+    * ONE pass per signal instead of |sources| re-scans — the algebraic
+    * leave-one-out trick: additive metrics (doc/pass counts) subtract
+    * per-source partials from window totals; the diversity metric
+    * counts word-3-grams EXCLUSIVE to each source (a gram lost iff its
+    * source set is {X}), which one (gram → n_sources) aggregate
+    * answers for every X simultaneously. Per source: quality of the
+    * remaining corpus (Gopher pass ppm without X) and the distinct-gram
+    * mass only X contributes. At 100 TB: two gram-keyed aggregates and
+    * a 10-row window — never one job per ablation candidate. */
+  val q272SourceAblation = Q(
+    "q272_source_ablation",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val perSrc = graft.operators.Curation
+        .gopherRules(docs, "doc_id", "text")
+        .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"pass_all", 1)).as("n_pass"))
+      val grams = docs
+        .withColumn("_w", expr(
+          "filter(split(text, ' '), x -> length(x) > 0)"))
+        .select($"source", explode(expr(
+          "CASE WHEN size(_w) >= 3 THEN transform(sequence(3, size(_w)), " +
+            "i -> concat(element_at(_w, i - 2), ' ', " +
+            "element_at(_w, i - 1), ' ', element_at(_w, i))) " +
+            "ELSE slice(_w, 1, 0) END")).as("gram"))
+        .distinct()
+        .groupBy($"gram")
+        .agg(count(lit(1)).as("_ns"), max($"source").as("_only"))
+        .groupBy(when($"_ns" === 1, $"_only").otherwise(lit("__shared__"))
+          .as("_key"))
+        .agg(count(lit(1)).as("_g"))
+        // ≤ |sources|+1 rows read by two consumers (per-source filter +
+        // the grand total) — checkpoint so the gram pipeline runs once
+        .localCheckpoint(true)
+      val w = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val excl = grams.filter($"_key" =!= "__shared__")
+        .select($"_key".as("source"), $"_g".as("excl_grams"))
+      val gtot = grams.agg(sum($"_g").as("_gtot"))
+      perSrc
+        .withColumn("_ntot", sum($"n_docs").over(w))
+        .withColumn("_ptot", sum($"n_pass").over(w))
+        .join(excl, Seq("source"), "left")
+        .crossJoin(broadcast(gtot))
+        .select($"source", $"n_docs", $"n_pass",
+          expr("CASE WHEN _ntot > n_docs THEN (1000000 * " +
+            "(_ptot - n_pass)) div (_ntot - n_docs) END")
+            .as("pass_wo_ppm"),
+          coalesce($"excl_grams", lit(0L)).as("excl_grams"),
+          expr("CASE WHEN _gtot > 0 THEN (1000000 * " +
+            "coalesce(excl_grams, 0)) div _gtot END")
+            .as("excl_share_ppm"))
+        .orderBy($"source")
+    },
+    Some("""WITH p AS (SELECT doc_id, source,
+          list_filter(string_split(text, ' '), x -> len(x) > 0) AS l,
+          text FROM documents),
+      m AS (SELECT doc_id, source,
+          CAST(len(l) AS BIGINT) AS n_words,
+          CAST(coalesce(list_sum(list_transform(l, x -> len(x))), 0)
+            AS BIGINT) AS sum_len,
+          CAST(len(text) - len(replace(text, '#', ''))
+            + (len(text) - len(replace(text, '...', ''))) // 3
+            AS BIGINT) AS sym_cnt,
+          CAST(len(list_filter(l, x -> regexp_matches(x, '[a-zA-Z]')))
+            AS BIGINT) AS alpha_words,
+          CAST(len(list_intersect(list_distinct(l),
+            ['the','be','to','of','and','that','have','with','a','in']))
+            AS BIGINT) AS stop_n
+        FROM p),
+      f AS (SELECT source,
+          (n_words >= 50 AND n_words <= 100000
+            AND (CASE WHEN n_words > 0 THEN (100 * sum_len) // n_words
+              ELSE 0 END BETWEEN 300 AND 1000)
+            AND 1000 * sym_cnt < 100 * n_words
+            AND 5 * alpha_words >= 4 * n_words
+            AND stop_n >= 2) AS pass_all
+        FROM m),
+      ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(count(CASE WHEN pass_all THEN 1 END) AS BIGINT) AS n_pass
+        FROM f GROUP BY source),
+      g0 AS (SELECT DISTINCT source, unnest(list_transform(
+            generate_series(3, len(l)),
+            i -> l[i - 2] || ' ' || l[i - 1] || ' ' || l[i])) AS gram
+        FROM p WHERE len(l) >= 3),
+      gs AS (SELECT gram, count(*) AS ns, max(source) AS osrc
+        FROM g0 GROUP BY gram),
+      gk AS (SELECT CASE WHEN ns = 1 THEN osrc ELSE '__shared__' END
+          AS gkey, CAST(count(*) AS BIGINT) AS g
+        FROM gs GROUP BY 1),
+      tot AS (SELECT sum(g) AS gtot FROM gk),
+      agg AS (SELECT sum(n_docs) AS ntot, sum(n_pass) AS ptot FROM ps)
+      SELECT ps.source, ps.n_docs, ps.n_pass,
+        CASE WHEN agg.ntot > ps.n_docs THEN
+          CAST((1000000 * (agg.ptot - ps.n_pass))
+            // (agg.ntot - ps.n_docs) AS BIGINT) END AS pass_wo_ppm,
+        CAST(coalesce(gk.g, 0) AS BIGINT) AS excl_grams,
+        CASE WHEN tot.gtot > 0 THEN
+          CAST((1000000 * coalesce(gk.g, 0)) // tot.gtot AS BIGINT) END
+          AS excl_share_ppm
+      FROM ps CROSS JOIN agg CROSS JOIN tot
+        LEFT JOIN gk ON gk.gkey = ps.source
+      ORDER BY ps.source"""),
+    doc = "[NS] source ablation: leave-one-out quality + exclusive n-gram mass, one pass")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -1926,5 +2037,5 @@ object DocQueries {
     q196CohenKappa, q199PatchGrid, q206Snippets, q207VocabGrowth,
     q208ExtractText, q229NoveltyGrade, q236BloomAdvisor,
     q237ExtractionHealth, q240DedupRoi, q250FrameEnergy,
-    q255DupCoverage)
+    q255DupCoverage, q272SourceAblation)
 }

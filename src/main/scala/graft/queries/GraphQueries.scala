@@ -926,9 +926,55 @@ object GraphQueries {
       WHERE f.n_turns >= 3 ORDER BY leaf_id"""),
     doc = "[NS] thread linearization: doubling walk ≡ recursive CTE (SFT assembly)")
 
+  /** [NS] — recommender-model lifecycle serve (q274): q244's MRR@10
+    * eval answered from the STORED co-occurrence model
+    * ([[graft.operators.RecModel]]) — train-once/persist/serve-many,
+    * the seventh stored-artifact family (ANN, dedup, text, LM,
+    * tokenizer, rec). The model (sims + per-user anchors) is built
+    * under a fingerprint so bench repeats never retrain; serving is
+    * stored-anchors ⋈ stored-sims + one rank window — model-sized I/O,
+    * zero interaction-log reads on the recommendation path (the log is
+    * touched only to extract the held-out test items the EVAL needs).
+    * The oracle is q244's verbatim: green proves stored-model serving
+    * ≡ in-query training, the q127/q107 law for the recommender. */
+  val q274RecModelServe = Q(
+    "q274_rec_model_serve",
+    (s, d) => {
+      import s.implicits._
+      val inter = Tables.events(s, d)
+        .withColumn("item", get_json_object($"props", "$.k").cast("long"))
+        .filter($"item".isNotNull)
+      val split = graft.operators.Curation
+        .leaveLastOut(inter, "user_id", "ts", "event_id")
+      val train = split.filter($"split" === "train")
+        .select($"user_id", $"item")
+      val test = split.filter($"split" === "test")
+        .select($"user_id", $"item".as("test_item"))
+      val dir = graft.operators.RecModel.defaultDir(d + "#cooc10")
+      graft.operators.RecModel.buildIfAbsent(train, "user_id", "item",
+        10, 1L, dir, d + "#cooc10-v1")
+      val recs = graft.operators.RecModel.serveTopK(s, dir, "user_id", 10)
+      val anchors = s.read
+        .parquet(graft.operators.RecModel.anchorsPath(dir))
+        .select($"user_id")
+      val evalUsers = test.join(anchors, Seq("user_id"), "left_semi")
+        .localCheckpoint(true)
+      val hitRanks = evalUsers.join(recs, Seq("user_id"))
+        .filter($"test_item" === $"nb")
+        .groupBy($"user_id").agg(min($"rk").as("rank"))
+      evalUsers.agg(count(lit(1)).as("n_eval"))
+        .crossJoin(broadcast(hitRanks.agg(
+          count(lit(1)).as("n_hits"),
+          coalesce(sum(expr("1000000 div rank")), lit(0L)).as("rr_sum"))))
+        .withColumn("mrr_ppm", expr(
+          "case when n_eval > 0 then rr_sum div n_eval end"))
+    },
+    q244RecMrr.oracle,
+    doc = "[NS] stored rec-model serving ≡ in-query training (MRR@10, q244's oracle)")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
     q138Kcore, q161BfsLevels, q163HashWalks, q177CoOccurrence,
     q178Trending, q181Ppr, q183NegSamples, q201RecHitRate,
     q225LabelProp, q226LinkPred, q241Hits, q244RecMrr,
-    q270ThreadLinearize)
+    q270ThreadLinearize, q274RecModelServe)
 }

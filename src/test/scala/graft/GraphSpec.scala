@@ -453,4 +453,36 @@ class GraphSpec extends AnyFunSuite {
         .collect()
     }
   }
+
+  // ---- RecModel lifecycle ----
+
+  test("RecModel: stored serve ranks like coOccurrence, anchors are " +
+      "per-user strongest items, rebuild is a fingerprinted no-op") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.RecModel
+    // u1: items 1,2 ; u2: 1,2,3 ; u3: 2,3 ; u4: 1 (x2, anchor weight)
+    val inter = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 2L), (3L, 3L), (4L, 1L), (4L, 1L)).toDF("user_id", "item")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rec_spec").toString
+    RecModel.buildIfAbsent(inter, "user_id", "item", 10, 1L, dir, "t1")
+    val anchors = spark2.read.parquet(RecModel.anchorsPath(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all weights tie at 1 except u4 -> smallest item wins ties
+    assert(anchors === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    val recs = RecModel.serveTopK(spark2, dir, "user_id", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+      .toMap
+    // pairs: (1,2):2 users, (1,3):1, (2,3):2 -> from anchor 1:
+    // nb 2 (n=2) then nb 3 (n=1); from anchor 2: nb 1 (n=2), nb 3 (n=2)
+    assert(recs((1L, 1)) === 2L && recs((1L, 2)) === 3L)
+    assert(recs((3L, 1)) === 1L && recs((3L, 2)) === 3L)
+    // same tag -> no retrain even with different data handed in
+    RecModel.buildIfAbsent(inter.limit(0), "user_id", "item", 10, 1L,
+      dir, "t1")
+    val again = RecModel.serveTopK(spark2, dir, "user_id", 2)
+      .collect().length
+    assert(again === 8, "fingerprint must have skipped the rebuild")
+  }
 }
