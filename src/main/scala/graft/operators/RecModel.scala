@@ -3,58 +3,101 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Recommender-model LIFECYCLE — train once, persist, serve many: the
-  * [[AnnIndex]]/[[TextIndex]] move applied to the item-item
-  * co-occurrence recommender that q201/q244 train in-query. At scale
-  * the interaction log is the 100 TB object; the MODEL is not — the
-  * degree-capped co-occurrence table is bounded by capM²·|users| pair
-  * generation and collapses to ≤ capM·|items| retained similarities —
-  * so serving must read the stored model and NEVER the log. (Reference
-  * precedent: the archive's precomputed-state-reused probe shape,
-  * `cmds/archive.py:126-129`.)
+/** Recommender-model LIFECYCLE — train once, persist, serve many, fold
+  * deltas in: the [[AnnIndex]]/[[TextIndex]] move applied to the
+  * item-item co-occurrence recommender that q201/q244 train in-query.
+  * At scale the interaction log is the 100 TB object; the MODEL is not
+  * — the degree-capped co-occurrence table is bounded by
+  * capM²·|users| pair generation and collapses to ≤ capM·|items|
+  * retained similarities — so serving must read the stored model and
+  * NEVER the log. (Reference precedent: the archive's
+  * precomputed-state-reused probe shape, `cmds/archive.py:126-129`.)
   *
   *  - [[build]]: one [[Graph.coOccurrence]] pass over (user, item)
-  *    interactions → two stored relations: `sims` (anchor → neighbor
-  *    with n_users, BOTH directions materialized so serving is a single
-  *    equi-join — the denormalize-at-build trade [[TextIndex]] makes
-  *    for df/dl), range-partitioned + sorted by anchor for row-group
-  *    pruning; and `anchors` (user → that user's strongest train item,
-  *    w desc / item asc — the per-user serving state).
-  *  - [[buildIfAbsent]]: fingerprint guard, the build-once half — bench
-  *    repeats and re-verification never retrain.
+  *    interactions → two stored relations as generation 0: `sims`
+  *    (anchor → neighbor with n_users, BOTH directions materialized so
+  *    serving is a single equi-join — the denormalize-at-build trade
+  *    [[TextIndex]] makes for df/dl), range-partitioned + sorted by
+  *    anchor for row-group pruning; and `anchors` (user → strongest
+  *    train item, w desc / item asc — the per-user serving state).
+  *  - [[buildIfAbsent]]: fingerprint guard, the build-once half.
+  *  - [[mergeBatch]]: incremental maintenance under the
+  *    versioned-generation protocol ([[TextIndex.mergeBatch]]'s):
+  *    read generation K, write K+1, atomically advance the pointer; a
+  *    replayed epoch ≤ lastEpoch is a no-op. Contract: the batch's
+  *    USERS are new (disjoint from the trained log) — pair counts are
+  *    user-local (the cap is per user), so co-occurrence over disjoint
+  *    user sets is ADDITIVE: merged n_users = stored + batch via one
+  *    full-outer sum on (anchor, nb), and batch anchors append.
+  *    Model-sized + batch-sized work; the trained log is never
+  *    re-read.
   *  - [[serveTopK]]: stored anchors ⋈ stored sims, one per-user rank
   *    window, top-k — model-sized I/O, zero interaction-log reads.
   */
 object RecModel {
 
-  private val FormatVersion = 1
+  /** Bump when the on-disk layout changes (v2: generation dirs). */
+  private val FormatVersion = 2
+
+  private def genDir(dir: String, gen: Long) = s"$dir/gen=$gen"
+  private def pointerPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_current")
+  private def metaPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_graft_rec_meta.json")
 
   def defaultDir(tag: String): String =
     "/tmp/graft_rec_model/" + tag.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  private def metaPath(dir: String) =
-    java.nio.file.Paths.get(dir, "_graft_rec_meta.json")
-
   private def fingerprint(tag: String): String =
     s"""{"version":$FormatVersion,"model":"$tag"}"""
 
-  def simsPath(dir: String): String = s"$dir/sims"
-  def anchorsPath(dir: String): String = s"$dir/anchors"
+  /** (generation, lastEpoch) from the pointer file; (-1, -1) if none. */
+  def current(dir: String): (Long, Long) = {
+    val p = pointerPath(dir)
+    if (!java.nio.file.Files.exists(p)) (-1L, -1L)
+    else java.nio.file.Files.readString(p).trim.split(",") match {
+      case Array(g, e) => (g.toLong, e.toLong)
+      case _           => (-1L, -1L)
+    }
+  }
 
-  /** Train the co-occurrence model and persist sims + anchors. */
-  def build(interactions: DataFrame, userCol: String, itemCol: String,
-      capM: Int, minCount: Long, dir: String): Unit = {
-    val pairs = Graph.coOccurrence(interactions, userCol, itemCol,
-      capM, minCount)
-    val sym = pairs
-      .select(col("item_a").as("anchor"), col("item_b").as("nb"),
-        col("n_users"))
-      .unionByName(pairs.select(col("item_b").as("anchor"),
-        col("item_a").as("nb"), col("n_users")))
-    sym.repartitionByRange(col("anchor"))
+  private def advance(dir: String, gen: Long, epoch: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, s"_current.tmp.$gen")
+    Files.writeString(tmp, s"$gen,$epoch")
+    Files.move(tmp, pointerPath(dir),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    val stale = new java.io.File(dir).listFiles()
+    if (stale != null) stale.filter(f => f.getName.startsWith("gen=") &&
+        f.getName.stripPrefix("gen=").toLong < gen - 1)
+      .foreach(f => scala.reflect.io.Directory(
+        scala.reflect.io.File(f).toDirectory.path).deleteRecursively())
+  }
+
+  def simsPath(dir: String): String = {
+    val (g, _) = current(dir)
+    s"${genDir(dir, g.max(0L))}/sims"
+  }
+  def anchorsPath(dir: String): String = {
+    val (g, _) = current(dir)
+    s"${genDir(dir, g.max(0L))}/anchors"
+  }
+
+  private def writeGen(sims: DataFrame, anchors: DataFrame, dir: String,
+      gen: Long): Unit = {
+    sims.repartitionByRange(col("anchor"))
       .sortWithinPartitions(col("anchor"), col("n_users").desc,
         col("nb"))
-      .write.mode("overwrite").parquet(simsPath(dir))
+      .write.mode("overwrite").parquet(s"${genDir(dir, gen)}/sims")
+    anchors.write.mode("overwrite")
+      .parquet(s"${genDir(dir, gen)}/anchors")
+  }
+
+  /** Per-user strongest item (w desc, item asc — q201/q244's rule). */
+  private def anchorsOf(interactions: DataFrame, userCol: String,
+      itemCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     interactions
       .groupBy(col(userCol), col(itemCol))
@@ -64,22 +107,78 @@ object RecModel {
           .orderBy(col("_w").desc, col(itemCol).asc)))
       .filter(col("_rn") === 1)
       .select(col(userCol), col(itemCol).as("anchor"))
-      .write.mode("overwrite").parquet(anchorsPath(dir))
+  }
+
+  private def symPairs(interactions: DataFrame, userCol: String,
+      itemCol: String, capM: Int, minCount: Long): DataFrame = {
+    val pairs = Graph.coOccurrence(interactions, userCol, itemCol,
+      capM, minCount)
+    pairs
+      .select(col("item_a").as("anchor"), col("item_b").as("nb"),
+        col("n_users"))
+      .unionByName(pairs.select(col("item_b").as("anchor"),
+        col("item_a").as("nb"), col("n_users")))
+  }
+
+  /** Train the co-occurrence model and persist sims + anchors (gen 0). */
+  def build(interactions: DataFrame, userCol: String, itemCol: String,
+      capM: Int, minCount: Long, dir: String): Unit = {
+    writeGen(symPairs(interactions, userCol, itemCol, capM, minCount),
+      anchorsOf(interactions, userCol, itemCol), dir, 0L)
+    advance(dir, 0L, -1L)
   }
 
   /** [[build]] unless a fingerprint-matching model already exists. */
   def buildIfAbsent(interactions: DataFrame, userCol: String,
       itemCol: String, capM: Int, minCount: Long, dir: String,
-      tag: String): Unit = {
+      tag: String): Unit =
+    withFingerprint(dir, tag) {
+      build(interactions, userCol, itemCol, capM, minCount, dir)
+    }
+
+  /** Run `work` unless `dir`'s fingerprint already records `tag` — the
+    * idempotence guard for build + merge sequences (model state, not a
+    * view; a repeated invocation must not re-apply a merge). */
+  def withFingerprint(dir: String, tag: String)(work: => Unit): Unit = {
     val fp = fingerprint(tag)
     val meta = metaPath(dir)
     val fresh = java.nio.file.Files.exists(meta) &&
       java.nio.file.Files.readString(meta) == fp
     if (!fresh) {
-      build(interactions, userCol, itemCol, capM, minCount, dir)
+      work
       java.nio.file.Files.createDirectories(meta.getParent)
       java.nio.file.Files.writeString(meta, fp)
     }
+  }
+
+  /** Fold a DISJOINT-USER interaction batch into the stored model:
+    * batch pairs sum into stored sims (full-outer on (anchor, nb) —
+    * additivity holds because the cap is user-local), batch anchors
+    * append. Generation K → K+1 with replay protection. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, userCol: String,
+      itemCol: String, capM: Int, minCount: Long, dir: String,
+      epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = current(dir)
+    require(gen >= 0, s"mergeBatch: no model at $dir — build() first")
+    // minCount > 1 drops pairs per-half that would survive jointly —
+    // additivity (merge ≡ rebuild) holds only for the unfiltered model
+    require(minCount == 1L,
+      s"mergeBatch requires minCount=1 (got $minCount): thresholding " +
+        "must happen at serve time for merge ≡ rebuild to hold")
+    if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
+    val stored = spark.read.parquet(s"${genDir(dir, gen)}/sims")
+    val sAnchors = spark.read.parquet(s"${genDir(dir, gen)}/anchors")
+    val bSims = symPairs(batch, userCol, itemCol, capM, minCount)
+      .withColumnRenamed("n_users", "_bn")
+    val mergedSims = stored
+      .join(bSims, Seq("anchor", "nb"), "full_outer")
+      .select(col("anchor"), col("nb"),
+        (coalesce(col("n_users"), lit(0L)) +
+          coalesce(col("_bn"), lit(0L))).as("n_users"))
+    val mergedAnchors = sAnchors
+      .unionByName(anchorsOf(batch, userCol, itemCol))
+    writeGen(mergedSims, mergedAnchors, dir, gen + 1)
+    advance(dir, gen + 1, if (epoch >= 0) epoch else lastEpoch)
   }
 
   /** Stored anchors ⋈ stored sims → per-user top-k recommendations

@@ -972,9 +972,59 @@ object GraphQueries {
     q244RecMrr.oracle,
     doc = "[NS] stored rec-model serving ≡ in-query training (MRR@10, q244's oracle)")
 
+  /** [NS] — incremental rec-model maintenance (q275): train on 80% of
+    * users, [[graft.operators.RecModel.mergeBatch]] the remaining 20%
+    * in (disjoint-user contract — the per-user cap makes pair counts
+    * additive across user sets), then serve the SAME MRR@10 eval. The
+    * oracle is q244's verbatim full-corpus training: green proves
+    * merge ≡ rebuild, the q128/q221 incremental-index law applied to
+    * the recommender — new users fold in at batch+model cost, the
+    * trained log is never re-read. The build+merge sequence sits under
+    * one fingerprint so bench repeats replay as no-ops. */
+  val q275RecModelMerge = Q(
+    "q275_rec_model_merge",
+    (s, d) => {
+      import s.implicits._
+      val inter = Tables.events(s, d)
+        .withColumn("item", get_json_object($"props", "$.k").cast("long"))
+        .filter($"item".isNotNull)
+      val split = graft.operators.Curation
+        .leaveLastOut(inter, "user_id", "ts", "event_id")
+      val train = split.filter($"split" === "train")
+        .select($"user_id", $"item")
+      val test = split.filter($"split" === "test")
+        .select($"user_id", $"item".as("test_item"))
+      val dir = graft.operators.RecModel.defaultDir(d + "#cooc10m")
+      graft.operators.RecModel.withFingerprint(dir, d + "#cooc10m-v1") {
+        graft.operators.RecModel.build(
+          train.filter($"user_id" % 5 =!= 0), "user_id", "item",
+          10, 1L, dir)
+        graft.operators.RecModel.mergeBatch(s,
+          train.filter($"user_id" % 5 === 0), "user_id", "item",
+          10, 1L, dir, epoch = 0L)
+      }
+      val recs = graft.operators.RecModel.serveTopK(s, dir, "user_id", 10)
+      val anchors = s.read
+        .parquet(graft.operators.RecModel.anchorsPath(dir))
+        .select($"user_id")
+      val evalUsers = test.join(anchors, Seq("user_id"), "left_semi")
+        .localCheckpoint(true)
+      val hitRanks = evalUsers.join(recs, Seq("user_id"))
+        .filter($"test_item" === $"nb")
+        .groupBy($"user_id").agg(min($"rk").as("rank"))
+      evalUsers.agg(count(lit(1)).as("n_eval"))
+        .crossJoin(broadcast(hitRanks.agg(
+          count(lit(1)).as("n_hits"),
+          coalesce(sum(expr("1000000 div rank")), lit(0L)).as("rr_sum"))))
+        .withColumn("mrr_ppm", expr(
+          "case when n_eval > 0 then rr_sum div n_eval end"))
+    },
+    q244RecMrr.oracle,
+    doc = "[NS] incremental rec-model merge ≡ full rebuild (disjoint-user additivity)")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
     q138Kcore, q161BfsLevels, q163HashWalks, q177CoOccurrence,
     q178Trending, q181Ppr, q183NegSamples, q201RecHitRate,
     q225LabelProp, q226LinkPred, q241Hits, q244RecMrr,
-    q270ThreadLinearize, q274RecModelServe)
+    q270ThreadLinearize, q274RecModelServe, q275RecModelMerge)
 }

@@ -485,4 +485,42 @@ class GraphSpec extends AnyFunSuite {
       .collect().length
     assert(again === 8, "fingerprint must have skipped the rebuild")
   }
+
+  test("RecModel.mergeBatch: disjoint-user merge equals full rebuild; " +
+      "replayed epoch is a no-op") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.RecModel
+    val half1 = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 3L))
+      .toDF("user_id", "item")
+    val half2 = Seq((3L, 2L), (3L, 3L), (4L, 1L), (4L, 3L))
+      .toDF("user_id", "item")
+    val dirM = java.nio.file.Files
+      .createTempDirectory("graft_rec_merge").toString
+    val dirF = java.nio.file.Files
+      .createTempDirectory("graft_rec_full").toString
+    RecModel.build(half1, "user_id", "item", 10, 1L, dirM)
+    RecModel.mergeBatch(spark2, half2, "user_id", "item", 10, 1L,
+      dirM, epoch = 7L)
+    RecModel.build(half1.unionByName(half2), "user_id", "item",
+      10, 1L, dirF)
+    def dump(dir: String) = RecModel.serveTopK(spark2, dir, "user_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(identity).toSeq
+    assert(dump(dirM) === dump(dirF), "merge must equal rebuild")
+    val simsBefore = spark2.read.parquet(RecModel.simsPath(dirM))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    // replay the same epoch: state must not move
+    RecModel.mergeBatch(spark2, half2, "user_id", "item", 10, 1L,
+      dirM, epoch = 7L)
+    val simsAfter = spark2.read.parquet(RecModel.simsPath(dirM))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    assert(simsAfter === simsBefore, "replayed epoch must be a no-op")
+    intercept[IllegalArgumentException] {
+      RecModel.mergeBatch(spark2, half2, "user_id", "item", 10, 2L,
+        dirM, epoch = 8L)
+    }
+  }
 }
