@@ -181,6 +181,16 @@ object RecModel {
     advance(dir, gen + 1, if (epoch >= 0) epoch else lastEpoch)
   }
 
+  /** foreachBatch adapter: exactly-once model maintenance over
+    * at-least-once streaming delivery — Spark's epochId rides into
+    * [[mergeBatch]]'s replay guard, the [[TextIndex.foreachBatchMerge]]
+    * protocol. Batches must honor the disjoint-user contract (a user's
+    * interactions arrive in one batch — sessionized upstream). */
+  def foreachBatchMerge(spark: SparkSession, dir: String, userCol: String,
+      itemCol: String, capM: Int): (DataFrame, Long) => Unit =
+    (batch, epoch) =>
+      mergeBatch(spark, batch, userCol, itemCol, capM, 1L, dir, epoch)
+
   /** Stored anchors ⋈ stored sims → per-user top-k recommendations
     * (n_users desc, nb asc — the q201/q244 ranking), as
     * (userCol, nb, rk). Model-sized: no interaction-log input. */

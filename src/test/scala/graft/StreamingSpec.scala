@@ -1097,4 +1097,62 @@ class StreamingSpec extends AnyFunSuite {
         bad.take(3).map(k => s"$k: got ${got(k)} want ${truth(k)}"))
     } finally q.stop()
   }
+
+  test("streaming rec-model ingest: foreachBatchMerge folds disjoint-user " +
+      "interaction batches into the versioned model across a restart, " +
+      "replays are no-ops, and serving equals a from-scratch build") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.operators.RecModel
+    import spark.implicits._
+
+    val srcDir = Files.createTempDirectory("rec_src").toString
+    val ckpt = Files.createTempDirectory("rec_ckpt").toString
+    val modDir = Files.createTempDirectory("rec_mod").toString
+    val seed = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L))
+      .toDF("user_id", "item")
+    RecModel.build(seed, "user_id", "item", 10, 1L, modDir)
+
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("item", LongType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(RecModel.foreachBatchMerge(spark, modDir,
+          "user_id", "item", 10))
+        .start()
+      q.awaitTermination()
+    }
+    def row(u: Long, i: Long): String = s"""{"user_id":$u,"item":$i}"""
+
+    Files.write(Paths.get(srcDir, "b1.json"), Seq(
+      row(3L, 1L), row(3L, 2L), row(4L, 2L), row(4L, 3L)
+    ).mkString("\n").getBytes("UTF-8"))
+    runOnce()
+    // full restart with a second file: new epoch, merged on top
+    Files.write(Paths.get(srcDir, "b2.json"), Seq(
+      row(5L, 1L), row(5L, 3L)
+    ).mkString("\n").getBytes("UTF-8"))
+    runOnce()
+
+    // replaying a committed epoch must not touch state
+    val before = RecModel.current(modDir)
+    RecModel.mergeBatch(spark, Seq((9L, 1L)).toDF("user_id", "item"),
+      "user_id", "item", 10, 1L, modDir, epoch = before._2)
+    assert(RecModel.current(modDir) === before,
+      "replayed epoch must be a no-op")
+
+    val all = seed.unionByName(Seq((3L, 1L), (3L, 2L), (4L, 2L),
+      (4L, 3L), (5L, 1L), (5L, 3L)).toDF("user_id", "item"))
+    val scratchDir = Files.createTempDirectory("rec_scratch").toString
+    RecModel.build(all, "user_id", "item", 10, 1L, scratchDir)
+    def dump(dir: String) = RecModel.serveTopK(spark, dir, "user_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(identity).toSeq
+    assert(dump(modDir) === dump(scratchDir),
+      "streamed merges must equal the from-scratch model")
+  }
 }
