@@ -1963,6 +1963,92 @@ object CurationQueries {
       ORDER BY rc.rk"""),
     doc = "[NS] NDCG@10 running curve over the BM25 ranking (hardcoded log2 discounts)")
 
+  /** [NS] — curriculum interleave order (q276): the epoch emission
+    * order that is CURRICULUM within source (easiest first — n_chars
+    * ascending as the difficulty proxy) and BALANCED across sources
+    * (round-robin: all sources' rank-1 docs, then all rank-2, …) — the
+    * schedule curriculum-learning recipes want without letting one
+    * giant source monopolize the warmup. One per-source rank window +
+    * one global TakeOrderedAndProject on (rank, source): emitting the
+    * head of the schedule never globally sorts the corpus. */
+  val q276Curriculum = Q(
+    "q276_curriculum",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select($"doc_id", $"source", $"n_chars")
+        .withColumn("rank_s", row_number().over(
+          Window.partitionBy($"source")
+            .orderBy($"n_chars".asc, $"doc_id".asc)).cast("long"))
+        .orderBy($"rank_s", $"source")
+        .limit(100)
+        .withColumn("pos", row_number().over(
+          Window.orderBy($"rank_s", $"source")).cast("long"))
+        .select($"pos", $"doc_id", $"source", $"rank_s", $"n_chars")
+    },
+    Some("""WITH r AS (SELECT doc_id, source, n_chars,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n_chars, doc_id) AS BIGINT) AS rank_s
+        FROM documents),
+      h AS (SELECT * FROM r ORDER BY rank_s, source LIMIT 100)
+      SELECT CAST(row_number() OVER (ORDER BY rank_s, source) AS BIGINT)
+          AS pos, doc_id, source, rank_s, n_chars
+      FROM h ORDER BY pos"""),
+    doc = "[NS] curriculum-within-source, round-robin-across-sources epoch order")
+
+  /** [NS] — temperature-scaled mixture allocation (q277): the
+    * multilingual/multi-source sampling-rate recipe (α = 0.5 — mT5 §3.2
+    * / UniMax's motivating baseline): source s gets budget share ∝
+    * n_s^α, flattening the head and lifting the tail. Exact integers:
+    * weight = isqrt(n_s·10⁶) (floor-sqrt of an integer < 2^52 is an
+    * exactly-rounded IEEE op — the q250 convention), floor allocation
+    * budget·w div Σw, then largest-remainder top-up (remainder desc,
+    * source asc) so the grants sum to the budget EXACTLY — an off-by-a
+    * -few allocator is the kind that silently drops shards at export.
+    * One 20-row aggregate frame end to end; never a corpus re-scan. */
+  val q277TemperatureMix = Q(
+    "q277_temperature_mix",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budget = 10000L
+      val perSrc = Tables.documents(s, d)
+        .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", expr(
+          "CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT)"))
+      val tot = Window.partitionBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      perSrc
+        .withColumn("_wt", sum($"w").over(tot))
+        .withColumn("grant", expr(s"($budget * w) div _wt"))
+        .withColumn("_rem", expr(s"($budget * w) % _wt"))
+        .withColumn("_short", lit(budget) - sum($"grant").over(tot))
+        .withColumn("_rk", row_number().over(
+          Window.orderBy($"_rem".desc, $"source".asc)).cast("long"))
+        .withColumn("granted",
+          $"grant" + when($"_rk" <= $"_short", 1L).otherwise(0L))
+        .select($"source", $"n_docs", $"w", $"granted")
+        .orderBy($"source")
+    },
+    Some("""WITH ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source),
+      wt AS (SELECT source, n_docs,
+          CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT)
+            AS w FROM ps),
+      t AS (SELECT *, sum(w) OVER () AS wtot FROM wt),
+      g AS (SELECT source, n_docs, w,
+          (10000 * w) // wtot AS base_alloc,
+          (10000 * w) % wtot AS rem FROM t),
+      sh AS (SELECT *, 10000 - sum(base_alloc) OVER () AS deficit,
+          CAST(row_number() OVER (ORDER BY rem DESC, source)
+            AS BIGINT) AS rk FROM g)
+      SELECT source, n_docs, w,
+        CAST(base_alloc + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+          AS BIGINT) AS granted
+      FROM sh ORDER BY source"""),
+    doc = "[NS] temperature-0.5 mixture allocation, exact largest-remainder grants")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -1976,5 +2062,6 @@ object CurationQueries {
     q215CrawlFunnel, q220LmIndexServe, q221LmIndexMerge, q222ShardMix,
     q227CorpusLineDedup, q230TokenizerServe, q231FunnelExplain,
     q245LmBinnedSample, q249TokenizerFertility, q264GopherRules,
-    q267IndexRemove, q269Repetition, q273Ndcg)
+    q267IndexRemove, q269Repetition, q273Ndcg, q276Curriculum,
+    q277TemperatureMix)
 }
