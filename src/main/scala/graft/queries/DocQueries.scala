@@ -2025,6 +2025,102 @@ object DocQueries {
       ORDER BY ps.source"""),
     doc = "[NS] source ablation: leave-one-out quality + exclusive n-gram mass, one pass")
 
+  /** [NS] — MinHash estimator error audit (q279): for every q24 LSH
+    * candidate pair, the SKETCH's similarity estimate (signature
+    * agreement share, 1e6·agree div 8) side by side with the exact
+    * n-gram Jaccard it estimates — the per-pair calibration readout
+    * behind the band-threshold choice (q164 audits which pairs the
+    * bands FIND; this audits what the signature CLAIMS about them).
+    * Work is candidate-bounded: the exact Jaccard runs only on the
+    * ~band-collision pairs, never the quadratic all-pairs space. */
+  val q279MinhashError = Q(
+    "q279_minhash_error",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4)
+      val sig = docs.select($"doc_id",
+        graft.functions.MinHashExpression
+          .minhashSignature($"text", 3, 8).as("_sig"))
+        .filter($"_sig".isNotNull)
+      val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+        .localCheckpoint(true) // read per pair side + the size frame
+      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val shared = pairs
+        .join(sh.select($"doc_id".as("doc_a"), $"gram"), Seq("doc_a"))
+        .join(sh.select($"doc_id".as("doc_b"), $"gram"),
+          Seq("doc_b", "gram"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+      val agree = pairs
+        .join(sig.select($"doc_id".as("doc_a"), $"_sig".as("_sa")),
+          Seq("doc_a"))
+        .join(sig.select($"doc_id".as("doc_b"), $"_sig".as("_sb")),
+          Seq("doc_b"))
+        .withColumn("agree", expr(
+          "CAST(size(filter(sequence(1, 8), " +
+            "i -> element_at(_sa, i) = element_at(_sb, i))) AS BIGINT)"))
+        .select($"doc_a", $"doc_b", $"agree")
+      agree
+        .join(shared, Seq("doc_a", "doc_b"), "left")
+        .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")),
+          Seq("doc_a"))
+        .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")),
+          Seq("doc_b"))
+        .withColumn("shared", coalesce($"shared", lit(0L)))
+        .withColumn("est_ppm", expr("(1000000 * agree) div 8"))
+        .withColumn("jac_ppm", expr(
+          "(1000000 * shared) div (na + nb - shared)"))
+        .withColumn("err_ppm", $"est_ppm" - $"jac_ppm")
+        .select($"doc_a", $"doc_b", $"agree", $"est_ppm", $"shared",
+          $"jac_ppm", $"err_ppm")
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""WITH tg AS ($shinglesSql),
+      sig AS (SELECT doc_id,
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
+        FROM tg GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, s0 AS v0, s1 AS v1 FROM sig UNION ALL
+        SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        SELECT doc_id, 3, s6, s7 FROM sig),
+      prs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y
+        ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+          AND x.doc_id < y.doc_id),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tg
+        GROUP BY doc_id),
+      shd AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS shared
+        FROM prs p JOIN tg a ON a.doc_id = p.doc_a
+          JOIN tg b ON b.doc_id = p.doc_b AND b.gram = a.gram
+        GROUP BY 1, 2),
+      ag AS (SELECT p.doc_a, p.doc_b, CAST(
+          (x.s0 = y.s0)::INT + (x.s1 = y.s1)::INT + (x.s2 = y.s2)::INT
+          + (x.s3 = y.s3)::INT + (x.s4 = y.s4)::INT + (x.s5 = y.s5)::INT
+          + (x.s6 = y.s6)::INT + (x.s7 = y.s7)::INT AS BIGINT) AS agree
+        FROM prs p JOIN sig x ON x.doc_id = p.doc_a
+          JOIN sig y ON y.doc_id = p.doc_b)
+      SELECT a.doc_a, a.doc_b, a.agree,
+        (1000000 * a.agree) // 8 AS est_ppm,
+        coalesce(s.shared, 0) AS shared,
+        (1000000 * coalesce(s.shared, 0))
+          // (za.n + zb.n - coalesce(s.shared, 0)) AS jac_ppm,
+        (1000000 * a.agree) // 8 - (1000000 * coalesce(s.shared, 0))
+          // (za.n + zb.n - coalesce(s.shared, 0)) AS err_ppm
+      FROM ag a LEFT JOIN shd s ON s.doc_a = a.doc_a AND s.doc_b = a.doc_b
+        JOIN sz za ON za.doc_id = a.doc_a
+        JOIN sz zb ON zb.doc_id = a.doc_b
+      ORDER BY a.doc_a, a.doc_b"""),
+    doc = "[NS] MinHash signature estimate vs exact Jaccard per LSH candidate pair")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -2037,5 +2133,5 @@ object DocQueries {
     q196CohenKappa, q199PatchGrid, q206Snippets, q207VocabGrowth,
     q208ExtractText, q229NoveltyGrade, q236BloomAdvisor,
     q237ExtractionHealth, q240DedupRoi, q250FrameEnergy,
-    q255DupCoverage, q272SourceAblation)
+    q255DupCoverage, q272SourceAblation, q279MinhashError)
 }

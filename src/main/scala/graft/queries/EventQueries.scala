@@ -1501,6 +1501,79 @@ object EventQueries {
     },
     doc = "[NS] unbiased pass@k per problem (Chen et al. 2021, exact ppm)")
 
+  /** [NS] — day-of-week seasonality profile (q278): per event type ×
+    * weekday slot, the seasonal index (slot daily-mean vs the type's
+    * overall daily-mean, exact ppm via cleared denominators) plus
+    * burst/drought day counts judged against the SLOT's own mean
+    * (count·D_slot > 2·S_slot / 2·count·D_slot < S_slot) — the seasonal
+    * complement of q265 (dispersion says bursty, q266 says when, this
+    * says which weekday rhythm is NORMAL so Monday peaks stop paging
+    * anyone). Weekday = datediff-mod-7 arithmetic (no engine dayofweek
+    * convention to disagree on). Three (type, day)-keyed aggregates +
+    * one slot-keyed join — bounded by days × types, never event rows. */
+  val q278Seasonality = Q(
+    "q278_seasonality",
+    (s, d) => {
+      import s.implicits._
+      val days = Tables.events(s, d)
+        .select($"event_type",
+          expr("CAST(ts AS DATE)").as("day"))
+        .groupBy($"event_type", $"day")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("dow", expr(
+          "((datediff(day, DATE '1995-01-01') % 7) + 7) % 7"))
+        .localCheckpoint(true)
+      val slot = days.groupBy($"event_type", $"dow")
+        .agg(sum($"c").as("s_slot"), count(lit(1)).as("d_slot"))
+      val tot = days.groupBy($"event_type")
+        .agg(sum($"c").as("s_tot"), count(lit(1)).as("d_tot"))
+      val flags = days.join(slot, Seq("event_type", "dow"))
+        .groupBy($"event_type", $"dow")
+        .agg(
+          sum(when($"c" * $"d_slot" > $"s_slot" * 2, 1L).otherwise(0L))
+            .as("n_burst"),
+          sum(when($"c" * $"d_slot" * 2 < $"s_slot", 1L).otherwise(0L))
+            .as("n_drought"))
+      slot.join(flags, Seq("event_type", "dow"))
+        .join(tot, Seq("event_type"))
+        .select($"event_type", $"dow".cast("long").as("dow"), $"d_slot",
+          $"s_slot",
+          expr("CASE WHEN s_tot * d_slot > 0 THEN (1000000 * s_slot * " +
+            "d_tot) div (s_tot * d_slot) END").as("index_ppm"),
+          $"n_burst", $"n_drought")
+        .orderBy($"event_type", $"dow")
+    },
+    Some("""WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      dd AS (SELECT *, ((date_diff('day', DATE '1995-01-01', day) % 7)
+          + 7) % 7 AS dow FROM dc),
+      slot AS (SELECT event_type, dow, sum(c) AS s_slot,
+          CAST(count(*) AS BIGINT) AS d_slot
+        FROM dd GROUP BY 1, 2),
+      tot AS (SELECT event_type, sum(c) AS s_tot,
+          CAST(count(*) AS BIGINT) AS d_tot
+        FROM dd GROUP BY 1),
+      fl AS (SELECT d.event_type, d.dow,
+          CAST(sum(CASE WHEN d.c * s.d_slot > s.s_slot * 2
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_burst,
+          CAST(sum(CASE WHEN d.c * s.d_slot * 2 < s.s_slot
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_drought
+        FROM dd d JOIN slot s ON s.event_type = d.event_type
+          AND s.dow = d.dow
+        GROUP BY 1, 2)
+      SELECT s.event_type, CAST(s.dow AS BIGINT) AS dow, s.d_slot,
+        CAST(s.s_slot AS BIGINT) AS s_slot,
+        CASE WHEN t.s_tot * s.d_slot > 0 THEN
+          CAST((1000000 * s.s_slot * t.d_tot) // (t.s_tot * s.d_slot)
+            AS BIGINT) END AS index_ppm,
+        f.n_burst, f.n_drought
+      FROM slot s JOIN fl f ON f.event_type = s.event_type
+        AND f.dow = s.dow
+        JOIN tot t ON t.event_type = s.event_type
+      ORDER BY s.event_type, dow"""),
+    doc = "[NS] day-of-week seasonal index + slot-relative burst/drought days")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
@@ -1511,5 +1584,5 @@ object EventQueries {
     q192TemporalSplit, q193LeaveLastOut, q204SeqSupport, q205Hazard,
     q232Pseudonymize, q233TimeToConvert, q246RateAudit,
     q253TemporalReach, q254ForgetAudit, q265Dispersion, q266Cusum,
-    q271PassAtK)
+    q271PassAtK, q278Seasonality)
 }
