@@ -1056,6 +1056,37 @@ object Curation {
           .otherwise(lit(nShards - 1) - col("_rk0") % nShards))
       .drop("_rk0")
 
+  /** Inference-batching padding-waste audit: fixed-size micro-batches
+    * (`batchSize` sequences each, padded to the batch max) cost
+    * `count·max(tok)` compute per batch; the audit prices that waste
+    * for two batch orderings — length-sorted descending vs arrival
+    * (id) order — as (strategy, n_batches, sum_tokens, padded_tokens,
+    * waste_ppm). Length-sorting is the standard serving trick
+    * (homogeneous batches pad least); the delta between the two rows
+    * is the measured win. Distinct from [[packGreedy]]: packing fills
+    * a TOKEN budget for training, this audits fixed-COUNT padded
+    * batches for inference. Plan: each arm is one two-pass global rank
+    * ([[withGlobalRank]] — no single-partition window) + a batch
+    * aggregate + a 1-row fold; batch ids never leave the executors. */
+  def paddingWaste(df: DataFrame, idCol: String, tokCol: String,
+      batchSize: Int): DataFrame = {
+    def arm(order: Seq[Column], strategy: String): DataFrame =
+      withGlobalRank(df.select(col(idCol), col(tokCol)), order, "_rk")
+        .withColumn("_batch", expr(s"_rk div $batchSize"))
+        .groupBy(col("_batch"))
+        .agg(count(lit(1)).as("_c"), max(col(tokCol)).as("_m"),
+          sum(col(tokCol)).as("_s"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("_s")).as("sum_tokens"),
+          sum(expr("_c * _m")).as("padded_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("sum_tokens"), col("padded_tokens"),
+          expr("CASE WHEN padded_tokens > 0 THEN (1000000 * " +
+            "(padded_tokens - sum_tokens)) div padded_tokens END")
+            .as("waste_ppm"))
+    arm(Seq(col(tokCol).desc, col(idCol)), "sorted_desc")
+      .unionByName(arm(Seq(col(idCol)), "arrival"))
+  }
+
   /** The distributed zipWithIndex shape shared by [[packShards]] and
     * [[Analytics.equiDepth]]: 0-based global rank in `order` WITHOUT a
     * single-partition window — range-repartition on the rank keys,

@@ -2049,6 +2049,55 @@ object CurationQueries {
       FROM sh ORDER BY source"""),
     doc = "[NS] temperature-0.5 mixture allocation, exact largest-remainder grants")
 
+  /** [NS] — inference padding-waste audit (q283): serving batches pad
+    * every sequence to the batch max, so batch compute is count·max —
+    * [[graft.operators.Curation.paddingWaste]] prices that waste for
+    * 32-doc micro-batches under the two standard orderings
+    * (length-sorted descending vs arrival order) and the delta is the
+    * measured win of length-bucketed serving. The training-side twin is
+    * q67/q152 (packing fills a TOKEN budget); this is the
+    * fixed-COUNT inference shape. Each arm is one two-pass global rank
+    * + one batch aggregate — no single-partition window anywhere. */
+  val q283PaddingWaste = Q(
+    "q283_padding_waste",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Curation.paddingWaste(
+        Tables.documents(s, d).select($"doc_id",
+          expr("CAST(size(filter(split(text, ' '), " +
+            "x -> length(x) > 0)) AS BIGINT)").as("n_tok")),
+        "doc_id", "n_tok", 32)
+        .orderBy($"strategy")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> len(x) > 0)) AS BIGINT) AS n_tok
+        FROM documents),
+      r1 AS (SELECT n_tok,
+          (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) // 32 AS b
+        FROM t),
+      a1 AS (SELECT b, CAST(count(*) AS BIGINT) AS c, max(n_tok) AS m,
+          sum(n_tok) AS s FROM r1 GROUP BY b),
+      s1 AS (SELECT 'sorted_desc' AS strategy,
+          CAST(count(*) AS BIGINT) AS n_batches,
+          CAST(sum(s) AS BIGINT) AS sum_tokens,
+          CAST(sum(c * m) AS BIGINT) AS padded_tokens FROM a1),
+      r2 AS (SELECT n_tok,
+          (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS b FROM t),
+      a2 AS (SELECT b, CAST(count(*) AS BIGINT) AS c, max(n_tok) AS m,
+          sum(n_tok) AS s FROM r2 GROUP BY b),
+      s2 AS (SELECT 'arrival' AS strategy,
+          CAST(count(*) AS BIGINT) AS n_batches,
+          CAST(sum(s) AS BIGINT) AS sum_tokens,
+          CAST(sum(c * m) AS BIGINT) AS padded_tokens FROM a2),
+      u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      SELECT strategy, n_batches, sum_tokens, padded_tokens,
+        CASE WHEN padded_tokens > 0 THEN CAST((1000000 *
+          (padded_tokens - sum_tokens)) // padded_tokens AS BIGINT)
+        END AS waste_ppm
+      FROM u ORDER BY strategy"""),
+    doc = "[NS] inference micro-batch padding waste: sorted vs arrival ordering")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -2063,5 +2112,5 @@ object CurationQueries {
     q227CorpusLineDedup, q230TokenizerServe, q231FunnelExplain,
     q245LmBinnedSample, q249TokenizerFertility, q264GopherRules,
     q267IndexRemove, q269Repetition, q273Ndcg, q276Curriculum,
-    q277TemperatureMix)
+    q277TemperatureMix, q283PaddingWaste)
 }

@@ -2121,6 +2121,86 @@ object DocQueries {
       ORDER BY a.doc_a, a.doc_b"""),
     doc = "[NS] MinHash signature estimate vs exact Jaccard per LSH candidate pair")
 
+  /** Shared SQL twin of the hashed-importance scorer (q280 in-query and
+    * q284 stored-serve must agree: same model, same scores). */
+  private val importanceSql: String =
+    """WITH tk AS (SELECT doc_id, lang, unnest(list_filter(
+          string_split(text, ' '), x -> len(x) > 0)) AS tok
+        FROM documents),
+      tb AS (SELECT doc_id, lang,
+          CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket,
+          CAST(count(*) AS BIGINT) AS c
+        FROM tk GROUP BY 1, 2, 3),
+      raw AS (SELECT bucket, sum(c) AS cr FROM tb GROUP BY bucket),
+      tgt AS (SELECT bucket, sum(c) AS ct FROM tb WHERE lang = 'en'
+        GROUP BY bucket),
+      tot AS (SELECT r.bucket, r.cr, coalesce(t.ct, 0) AS ct
+        FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket),
+      n AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM tot),
+      lam AS (SELECT bucket, CAST((1000000::HUGEINT * (ct + 1) * (nr + 64))
+          // ((cr + 1)::HUGEINT * (nt + 64)) AS BIGINT) AS lam_ppm
+        FROM tot, n),
+      sc AS (SELECT tb.doc_id, max(tb.lang) AS lang, sum(tb.c) AS n_tok,
+          CAST(sum(tb.c::HUGEINT * l.lam_ppm) // sum(tb.c) AS BIGINT)
+            AS score_ppm
+        FROM tb JOIN lam l ON l.bucket = tb.bucket GROUP BY tb.doc_id)
+      SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok, score_ppm
+      FROM sc ORDER BY score_ppm DESC, doc_id"""
+
+  /** [NS] — hashed n-gram importance scoring (q280): the DSIR shape
+    * (Xie et al. 2023) as exact integers — every doc scored by its mean
+    * per-token bucket importance toward the lang='en' target slice
+    * (>10⁶ target-like, <10⁶ raw-like; see [[graft.operators.Importance]]
+    * for the cleared-denominator estimator). One corpus explode+aggregate
+    * builds per-doc bucket counts; the MODEL is 64 rows (the hashing
+    * trick caps it at B buckets regardless of corpus size) and scoring
+    * is a broadcast join — the data-selection gate that precedes
+    * quality filtering in a targeted pretraining mix. */
+  val q280Importance = Q(
+    "q280_importance",
+    (s, d) => {
+      import s.implicits._
+      val tb = graft.operators.Importance.docBuckets(
+        Tables.documents(s, d), "doc_id", "text", 64,
+        carryCols = Seq("lang"))
+        .localCheckpoint(true) // read by raw, target and scoring arms
+      val lam = graft.operators.Importance
+        .lambdaTable(tb, $"lang" === "en", 64)
+      graft.operators.Importance.score(tb, lam, "doc_id",
+          carryCols = Seq("lang"))
+        .select($"doc_id", $"lang", $"n_tok", $"score_ppm")
+        .orderBy($"score_ppm".desc, $"doc_id")
+    },
+    Some(importanceSql),
+    doc = "[NS] DSIR-shaped hashed importance scoring toward lang=en, exact ppm")
+
+  /** [NS] — stored importance-model serving (q284): [[q280Importance]]'s
+    * lifecycle half. The 64-row lambda table is trained ONCE
+    * ([[graft.operators.Importance.buildModelIfAbsent]], fingerprinted)
+    * and every later batch is scored from the STORED model — at 100 TB
+    * the training corpus is read once ever, and scoring any new shard
+    * costs one explode + one broadcast join against B rows. Same oracle
+    * as q280 verbatim: stored serve must reproduce in-query training. */
+  val q284ImportanceServe = Q(
+    "q284_importance_serve",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.operators.Importance.defaultDir(s"imp64_$d")
+      val tb = graft.operators.Importance.docBuckets(
+        Tables.documents(s, d), "doc_id", "text", 64,
+        carryCols = Seq("lang"))
+        .localCheckpoint(true)
+      graft.operators.Importance.buildModelIfAbsent(
+        tb, $"lang" === "en", 64, dir, tag = s"imp64_$d")
+      graft.operators.Importance.score(tb,
+          graft.operators.Importance.storedLambda(s, dir), "doc_id",
+          carryCols = Seq("lang"))
+        .select($"doc_id", $"lang", $"n_tok", $"score_ppm")
+        .orderBy($"score_ppm".desc, $"doc_id")
+    },
+    Some(importanceSql),
+    doc = "[NS] importance scoring served from the stored 64-row model")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -2133,5 +2213,6 @@ object DocQueries {
     q196CohenKappa, q199PatchGrid, q206Snippets, q207VocabGrowth,
     q208ExtractText, q229NoveltyGrade, q236BloomAdvisor,
     q237ExtractionHealth, q240DedupRoi, q250FrameEnergy,
-    q255DupCoverage, q272SourceAblation, q279MinhashError)
+    q255DupCoverage, q272SourceAblation, q279MinhashError,
+    q280Importance, q284ImportanceServe)
 }

@@ -1574,6 +1574,70 @@ object EventQueries {
       ORDER BY s.event_type, dow"""),
     doc = "[NS] day-of-week seasonal index + slot-relative burst/drought days")
 
+  /** [NS] — market-basket association rules (q281): baskets are
+    * (user, day) sessions, items the event types present; every
+    * directed rule a→b scored with the classic support / confidence /
+    * lift triple in exact ppm (lift's N·n_ab product runs in
+    * decimal(38,0) — at 10⁹+ baskets the long path would overflow).
+    * Complements q138 (co-occurrence finds PAIRS, degree-capped) and
+    * q204 (sequential patterns respect ORDER): this is the unordered
+    * rule-metric readout. Plan: one distinct over (user, day, type) —
+    * basket width is bounded by |event types|, so the self-join's pair
+    * volume is ≤ T² per basket, linear in baskets — then two broadcast
+    * joins against the T-row item-count table. */
+  val q281AssocRules = Q(
+    "q281_assoc_rules",
+    (s, d) => {
+      import s.implicits._
+      val b = Tables.events(s, d)
+        .select($"user_id", expr("CAST(ts AS DATE)").as("day"),
+          $"event_type")
+        .distinct()
+        .localCheckpoint(true) // read by both join sides + both counts
+      val nb = b.select($"user_id", $"day").distinct()
+        .agg(count(lit(1)).as("n_bk"))
+      val ic = b.groupBy($"event_type").agg(count(lit(1)).as("n_i"))
+      val pr = b.as("x")
+        .join(b.as("y"), expr("y.user_id = x.user_id AND y.day = x.day" +
+          " AND y.event_type <> x.event_type"))
+        .groupBy($"x.event_type".as("antecedent"),
+          $"y.event_type".as("consequent"))
+        .agg(count(lit(1)).as("n_ab"))
+      pr
+        .join(broadcast(ic.select($"event_type".as("antecedent"),
+          $"n_i".as("n_a"))), Seq("antecedent"))
+        .join(broadcast(ic.select($"event_type".as("consequent"),
+          $"n_i".as("n_c"))), Seq("consequent"))
+        .crossJoin(broadcast(nb))
+        .select($"antecedent", $"consequent", $"n_ab",
+          expr("(1000000 * n_ab) div n_bk").as("supp_ppm"),
+          expr("(1000000 * n_ab) div n_a").as("conf_ppm"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab * n_bk) div " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_c) AS BIGINT)")
+            .as("lift_ppm"))
+        .orderBy($"lift_ppm".desc, $"antecedent", $"consequent")
+    },
+    Some("""WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+          event_type FROM events),
+      nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bk
+        FROM (SELECT DISTINCT user_id, day FROM b)),
+      ic AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_i
+        FROM b GROUP BY 1),
+      pr AS (SELECT x.event_type AS antecedent,
+          y.event_type AS consequent, CAST(count(*) AS BIGINT) AS n_ab
+        FROM b x JOIN b y ON y.user_id = x.user_id AND y.day = x.day
+          AND y.event_type <> x.event_type
+        GROUP BY 1, 2)
+      SELECT p.antecedent, p.consequent, p.n_ab,
+        CAST((1000000 * p.n_ab) // nb.n_bk AS BIGINT) AS supp_ppm,
+        CAST((1000000 * p.n_ab) // a.n_i AS BIGINT) AS conf_ppm,
+        CAST((1000000::HUGEINT * p.n_ab * nb.n_bk)
+          // (a.n_i::HUGEINT * c.n_i) AS BIGINT) AS lift_ppm
+      FROM pr p JOIN ic a ON a.event_type = p.antecedent
+        JOIN ic c ON c.event_type = p.consequent, nb
+      ORDER BY lift_ppm DESC, antecedent, consequent"""),
+    doc = "[NS] association rules over (user, day) baskets: support/confidence/lift ppm")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
@@ -1584,5 +1648,5 @@ object EventQueries {
     q192TemporalSplit, q193LeaveLastOut, q204SeqSupport, q205Hazard,
     q232Pseudonymize, q233TimeToConvert, q246RateAudit,
     q253TemporalReach, q254ForgetAudit, q265Dispersion, q266Cusum,
-    q271PassAtK, q278Seasonality)
+    q271PassAtK, q278Seasonality, q281AssocRules)
 }

@@ -1064,4 +1064,23 @@ class CurationSpec extends AnyFunSuite {
     // doc 4: empty -> all zeros, passes (nothing repeats)
     assert(got(4L) === ((0L, 0L, 0L, 0L, 0L, true)))
   }
+
+  test("paddingWaste: hand-computed waste for both orderings; " +
+      "sorted batches pad less") {
+    import spark.implicits._
+    // token counts by doc_id order: 5, 3, 9, 2, 7; batches of 2
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 9L), (4L, 2L), (5L, 7L))
+      .toDF("doc_id", "n_tok")
+    val got = Curation.paddingWaste(df, "doc_id", "n_tok", 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // sorted desc: [9,7] [5,3] [2] -> padded 18+10+2 = 30, sum 26,
+    // waste = 1e6*4 div 30 = 133333
+    assert(got("sorted_desc") === ((3L, 26L, 30L, 133333L)))
+    // arrival: [5,3] [9,2] [7] -> padded 10+18+7 = 35, waste = 1e6*9 div 35
+    assert(got("arrival") === ((3L, 26L, 35L, 257142L)))
+    assert(got("sorted_desc")._4 < got("arrival")._4)
+  }
 }
