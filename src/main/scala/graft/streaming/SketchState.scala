@@ -222,4 +222,62 @@ object SketchState {
       beforeBatch: Long = Long.MaxValue): DataFrame =
     graft.operators.Analytics.calibrationReportFromState(
       readCalibrationState(spark, dir, beforeBatch))
+
+  /** [NS] — streaming DATA-SELECTION gate: each micro-batch of
+    * documents is scored from the STORED importance model
+    * ([[graft.operators.Importance.storedLambda]] — trained once
+    * offline, never on the stream; the q280/q284 scorer) and folded
+    * into durable per-band selection state: band = score_ppm div
+    * 100000 (0.1-ratio slabs), (band, n, accepted) with accepted =
+    * score ≥ threshold. Counts are SUMS, so the cross-epoch merge is
+    * exact and the fold equals batch-scoring the union of every epoch
+    * (StreamingSpec pins it across restart + replay). "What share of
+    * the incoming stream is target-like, and is the mix drifting" is
+    * answerable at any epoch from a handful of stored rows — the
+    * streaming complement of the corpus-side q280 readout, and the
+    * gate a 100 TB ingest runs BEFORE paying for quality/dedup on
+    * off-target documents. Versioned replay protocol as above. */
+  def foreachBatchImportance(spark: SparkSession, dir: String,
+      modelDir: String, idCol: String, textCol: String, nBuckets: Int,
+      thresholdPpm: Long): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val lam = graft.operators.Importance.storedLambda(spark, modelDir)
+      val bands = importanceBands(batch, lam, idCol, textCol, nBuckets,
+        thresholdPpm)
+      val prev = readImportanceState(spark, dir, beforeBatch = batchId)
+      val merged = prev.unionByName(bands)
+        .groupBy(col("band"))
+        .agg(sum(col("n")).as("n"), sum(col("accepted")).as("accepted"))
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/v$batchId")
+    }
+
+  /** The per-band (band, n, accepted) aggregate of one scored frame —
+    * shared by the streaming fold and its batch twin. */
+  def importanceBands(docs: DataFrame, lambda: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int, thresholdPpm: Long): DataFrame =
+    graft.operators.Importance.score(
+        graft.operators.Importance.docBuckets(docs, idCol, textCol,
+          nBuckets), lambda, idCol)
+      .select(expr("CAST(score_ppm div 100000 AS INT)").as("band"),
+        (col("score_ppm") >= thresholdPpm).as("_acc"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_acc"), 1L).otherwise(0L)).as("accepted"))
+
+  /** The stored (band, n, accepted) fold at the newest version <
+    * beforeBatch; empty frame when no epoch has landed. */
+  def readImportanceState(spark: SparkSession, dir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val v = latestVersion(spark, dir, beforeBatch)
+    if (v < 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("accepted",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(s"$dir/v$v")
+  }
 }

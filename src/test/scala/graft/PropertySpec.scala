@@ -1,7 +1,8 @@
 package graft
 
 import org.scalacheck.{Gen, Prop, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
+import org.apache.spark.sql.functions.col
 import graft.operators.{Dedup, Integrity, Upsert}
 
 /** SURVEY §5.3 — property-based invariants: upsert idempotence, cascade
@@ -381,5 +382,36 @@ object PropertySpec extends Properties("graft") {
           r.getLong(4)))).toMap
       got.values.forall(v => v._3 >= 0 && v._3 <= 1000000L) &&
         got(0L)._3 == 1000000L && got(90L)._3 == 1000000L
+    }
+
+  private val docGen: Gen[List[(Long, String, String)]] =
+    Gen.listOfN(8, Gen.zip(Gen.choose(0L, 99L),
+      Gen.listOfN(6, Gen.oneOf("the", "cat", "hund", "park", "a", "der"))
+        .map(_.mkString(" ")),
+      Gen.oneOf("en", "de")))
+      .map(_.groupBy(_._1).map { case (k, vs) =>
+        (k, vs.head._2, vs.head._3) }.toList)
+
+  property("[NS] importance lambda + scores invariant under " +
+      "repartitioning; scores bounded by the lambda range") =
+    forAll(docGen, Gen.choose(1, 7)) { (docs, parts) =>
+      docs.nonEmpty ==> {
+        val df = docs.toDF("doc_id", "text", "lang")
+        def run(d: org.apache.spark.sql.DataFrame) = {
+          val tb = graft.operators.Importance.docBuckets(
+            d, "doc_id", "text", 8, carryCols = Seq("lang"))
+          val lam = graft.operators.Importance.lambdaTable(
+            tb, col("lang") === "en", 8)
+          val sc = graft.operators.Importance.score(tb, lam, "doc_id")
+            .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+          val lm = lam.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          (lm, sc)
+        }
+        val (lam1, sc1) = run(df)
+        val (lam2, sc2) = run(df.repartition(parts))
+        val bounded = sc1.values.forall(v =>
+          lam1.values.min <= v && v <= lam1.values.max)
+        lam1 == lam2 && sc1 == sc2 && bounded
+      }
     }
 }

@@ -1155,4 +1155,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(dump(modDir) === dump(scratchDir),
       "streamed merges must equal the from-scratch model")
   }
+
+  test("streaming importance gate: stored-model scoring folds into " +
+      "durable band state across restarts; fold equals the batch twin " +
+      "of the union; a replayed epoch changes nothing") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.SketchState
+    import graft.operators.Importance
+    import spark.implicits._
+
+    val srcDir = Files.createTempDirectory("imp_src").toString
+    val ckpt = Files.createTempDirectory("imp_ckpt").toString
+    val stDir = Files.createTempDirectory("imp_state").toString
+    val modelDir = Files.createTempDirectory("imp_model").toString
+
+    // offline training: the en slice is the target domain
+    val corpus = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "a dog ran in the park", "en"),
+      (3L, "der hund lief im park", "de"),
+      (4L, "die katze sass auf der matte", "de"))
+      .toDF("doc_id", "text", "lang")
+    val tb = Importance.docBuckets(corpus, "doc_id", "text", 16,
+      carryCols = Seq("lang"))
+    Importance.buildModelIfAbsent(tb, $"lang" === "en", 16, modelDir,
+      "spec-model")
+    val lam = Importance.storedLambda(spark, modelDir)
+
+    val epochs = Seq(
+      Seq((10L, "the cat ran in the park"),
+        (11L, "der hund und die katze")),
+      Seq((12L, "a cat sat on a dog and the mat"),
+        (13L, "im park lief der hund")))
+    val hook = SketchState.foreachBatchImportance(spark, stDir, modelDir,
+      "doc_id", "text", 16, thresholdPpm = 1000000L)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(hook)
+        .start()
+      q.awaitTermination()
+    }
+    def state(): Seq[(Int, Long, Long)] =
+      SketchState.readImportanceState(spark, stDir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    def twin(upTo: Int): Seq[(Int, Long, Long)] =
+      SketchState.importanceBands(
+          epochs.take(upTo).flatten.toDF("doc_id", "text"), lam,
+          "doc_id", "text", 16, 1000000L)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    epochs.zipWithIndex.foreach { case (rows, i) =>
+      Files.write(java.nio.file.Paths.get(srcDir, s"b$i.json"),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+      runOnce() // full stop/start between epochs: state must be durable
+      assert(state() === twin(i + 1), s"diverged after epoch $i")
+    }
+    // replay the LAST epoch under its original batchId: the versioned
+    // derivation must overwrite its own version, never double-merge
+    val lastId = SketchState.latestVersion(spark, stDir)
+    hook(epochs.last.toDF("doc_id", "text"), lastId)
+    assert(state() === twin(2), "replayed epoch double-counted")
+    val st = state()
+    assert(st.map(_._2).sum === 4L, s"all four docs banded: $st")
+    assert(st.map(_._3).sum >= 1L && st.map(_._3).sum <= 3L,
+      s"gate must separate en-leaning from de-leaning docs: $st")
+  }
 }
