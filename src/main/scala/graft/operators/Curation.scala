@@ -1574,6 +1574,52 @@ object Curation {
       .drop("_t", "_w")
   }
 
+  /** [NS] — encoding / mojibake QA: the byte-sanity gate every crawl
+    * pipeline runs BEFORE any text heuristic can be trusted (CCNet,
+    * Dolma, and RefinedWeb all drop or re-decode such docs; a quality
+    * scorer fed mojibake quietly mis-bins whole domains). Per-doc
+    * exact-integer signals, no UDF — counting is length-difference
+    * arithmetic over native `replace`/`regexp_replace`, so the plan is
+    * one codegen'd projection (no shuffle, linear scan):
+    *
+    *  - n_chars:    codepoint length of the text
+    *  - repl_chars: U+FFFD replacement characters — a decoder already
+    *    gave up upstream; any occurrence means lost bytes
+    *  - ctl_chars:  C0 control chars other than tab/newline/CR, plus
+    *    DEL — binary junk masquerading as text
+    *  - moji_marks: CP1252-double-decode signatures: lone 'Ã' (U+00C3,
+    *    the first byte of every misdecoded 2-byte UTF-8 sequence) and
+    *    the 'â€' pair (U+00E2 U+20AC — misdecoded punctuation family:
+    *    curly quotes, dashes, ellipsis)
+    *  - moji_ppm:   10⁶·moji_marks div n_chars (0 on empty text)
+    *  - pass_encoding: repl_chars = 0 AND ctl_chars = 0 AND
+    *    moji_ppm < 10000 (1% marker density tolerates legitimate
+    *    'Ã'-bearing text — e.g. Portuguese 'não' is clean text whose
+    *    marker share stays far below the gate on real documents)
+    *
+    * DuckDB twin: identical length-difference arithmetic with
+    * chr(195)/chr(226)||chr(8364) literals and the same control-char
+    * class (regexp_replace ... 'g'). */
+  def encodingAudit(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol).as("_t"))
+      .withColumn("n_chars", expr("CAST(length(_t) AS BIGINT)"))
+      .withColumn("repl_chars", expr(
+        "CAST(length(_t) - length(replace(_t, '�', '')) AS BIGINT)"))
+      .withColumn("ctl_chars",
+        (length(col("_t")) - length(regexp_replace(col("_t"),
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))).cast("long"))
+      .withColumn("moji_marks", expr(
+        "CAST(length(_t) - length(replace(_t, 'Ã', '')) + " +
+          "(length(_t) - length(replace(_t, 'â€', ''))) div 2 " +
+          "AS BIGINT)"))
+      .withColumn("moji_ppm", expr(
+        "CASE WHEN n_chars > 0 THEN (1000000 * moji_marks) div n_chars " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("pass_encoding", expr(
+        "repl_chars = 0 AND ctl_chars = 0 AND moji_ppm < 10000"))
+      .drop("_t")
+
   /** [NS] — Gopher REPETITION rules (Rae et al. 2021, Appendix A1,
     * second half): the within-document repetition half of the
     * MassiveText gate, complementing [[gopherRules]]' quality half.

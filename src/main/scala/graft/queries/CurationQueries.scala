@@ -2098,6 +2098,61 @@ object CurationQueries {
       FROM u ORDER BY strategy"""),
     doc = "[NS] inference micro-batch padding waste: sorted vs arrival ordering")
 
+  /** [NS] — encoding / mojibake QA gate (q282):
+    * [[graft.operators.Curation.encodingAudit]] over `documents` with
+    * deterministic doc_id-keyed corruption injected IN THE QUERY (the
+    * q199 synthetic-pixel convention — the fixture's token soup is
+    * clean ASCII, so both engines append the same junk and the audit
+    * is exercised on every failure mode): every 7th doc gets a
+    * CP1252-double-decode cluster ('Ã©' + 'â€œ'), every 11th a U+FFFD
+    * replacement char, every 13th a BEL control char. Codepoints are
+    * built from chr() in DuckDB and \\u literals in Scala — identical
+    * strings, so lengths/counts hash-match. Per-doc exact counts +
+    * ppm density + the pass verdict; one codegen'd projection. */
+  val q282EncodingAudit = Q(
+    "q282_encoding_audit",
+    (s, d) => {
+      import s.implicits._
+      val corrupted = Tables.documents(s, d)
+        .withColumn("text2", concat($"text",
+          when($"doc_id" % 7 === 0,
+            lit(" Ã©â€œ bad"))
+            .otherwise(lit("")),
+          when($"doc_id" % 11 === 0, lit("\uFFFD")).otherwise(lit("")),
+          when($"doc_id" % 13 === 0, lit("\u0007")).otherwise(lit(""))))
+        .select($"doc_id", $"text2")
+      Curation.encodingAudit(corrupted, "doc_id", "text2")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH c AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(195) || chr(169) ||
+            chr(226) || chr(8364) || chr(339) || ' bad' ELSE '' END ||
+          CASE WHEN doc_id % 11 = 0 THEN chr(65533) ELSE '' END ||
+          CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END AS t
+        FROM documents),
+      m AS (SELECT doc_id,
+          CAST(length(t) AS BIGINT) AS n_chars,
+          CAST(length(t) - length(replace(t, chr(65533), ''))
+            AS BIGINT) AS repl_chars,
+          CAST(length(t) - length(regexp_replace(t,
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
+            AS BIGINT) AS ctl_chars,
+          CAST(length(t) - length(replace(t, chr(195), '')) +
+            (length(t) - length(replace(t, chr(226) || chr(8364), '')))
+              // 2 AS BIGINT) AS moji_marks
+        FROM c),
+      f AS (SELECT doc_id, n_chars, repl_chars, ctl_chars, moji_marks,
+          CAST(CASE WHEN n_chars > 0
+            THEN (1000000 * moji_marks) // n_chars ELSE 0 END
+            AS BIGINT) AS moji_ppm
+        FROM m)
+      SELECT doc_id, n_chars, repl_chars, ctl_chars, moji_marks,
+        moji_ppm,
+        (repl_chars = 0 AND ctl_chars = 0 AND moji_ppm < 10000)
+          AS pass_encoding
+      FROM f ORDER BY doc_id"""),
+    doc = "[NS] encoding QA: U+FFFD / control-char / mojibake-marker gate")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
@@ -2112,5 +2167,5 @@ object CurationQueries {
     q227CorpusLineDedup, q230TokenizerServe, q231FunnelExplain,
     q245LmBinnedSample, q249TokenizerFertility, q264GopherRules,
     q267IndexRemove, q269Repetition, q273Ndcg, q276Curriculum,
-    q277TemperatureMix, q283PaddingWaste)
+    q277TemperatureMix, q282EncodingAudit, q283PaddingWaste)
 }

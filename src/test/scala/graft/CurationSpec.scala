@@ -1083,4 +1083,40 @@ class CurationSpec extends AnyFunSuite {
     assert(got("arrival") === ((3L, 26L, 35L, 257142L)))
     assert(got("sorted_desc")._4 < got("arrival")._4)
   }
+
+  test("encodingAudit: each failure mode binds alone — U+FFFD, control " +
+      "chars, mojibake density; clean and lightly-accented text passes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a perfectly clean document with words"),
+      (2L, "truncated bytes here � and � again"),
+      (3L, "binary junk\u0000embedded\u0007here"),
+      (4L, "tabs\tand\nnewlines\rare fine"),
+      (5L, "Ã©Ã¨Ã¤ â€œheavyâ€ mojibake"),
+      (6L, "não é mojibake: real Portuguese text that is " +
+        "long enough that one stray Ã marker stays under the " +
+        "one percent density gate " + ("padding words " * 8)),
+      (7L, ""))
+      .toDF("doc_id", "text")
+    val got = Curation.encodingAudit(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+
+    // clean doc: all zero, passes
+    assert(got(1L) === ((37L, 0L, 0L, 0L, 0L, true)))
+    // U+FFFD counted exactly, fails on repl alone
+    assert(got(2L)._2 === 2L && got(2L)._3 === 0L && !got(2L)._6)
+    // NUL + BEL counted, fails on ctl alone
+    assert(got(3L)._3 === 2L && got(3L)._2 === 0L && !got(3L)._6)
+    // tab/newline/CR are NOT control failures
+    assert(got(4L)._3 === 0L && got(4L)._6)
+    // heavy mojibake: 3 'Ã' + 2 'â€' = 5 marks over a short string fails
+    // the 1% density gate
+    assert(got(5L)._4 === 5L && got(5L)._5 >= 10000L && !got(5L)._6)
+    // one stray 'Ã' in long legitimate text stays under the gate
+    assert(got(6L)._4 === 1L && got(6L)._5 < 10000L && got(6L)._6)
+    // empty text: zero everything, passes (no division by zero)
+    assert(got(7L) === ((0L, 0L, 0L, 0L, 0L, true)))
+  }
 }
