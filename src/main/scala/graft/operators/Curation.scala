@@ -1620,6 +1620,71 @@ object Curation {
         "repl_chars = 0 AND ctl_chars = 0 AND moji_ppm < 10000"))
       .drop("_t")
 
+  /** [NS] — context-window fit report: the truncation-loss curve that
+    * decides what sequence length a training run actually needs. For
+    * each candidate context length L: how many docs fit whole, how
+    * many get truncated, and what share of corpus tokens is LOST to
+    * truncation (10⁶·Σ max(n_tok−L, 0) div Σ n_tok). The complement
+    * of [[paddingWaste]] (short docs waste pad slots; long docs lose
+    * tail tokens) — together they bracket the packing decision.
+    *
+    * Plan: one scan of the (id, n_tok) frame crossJoin'd against the
+    * BROADCAST |lens|-row candidate table, one groupBy(ctx_len) — at
+    * 100 TB the fact side is read once and the shuffle carries
+    * |lens| × partitions rows. Exact integers throughout. */
+  def contextFitReport(df: DataFrame, idCol: String, tokCol: String,
+      lens: Seq[Long]): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val cand = lens.toDF("ctx_len")
+    df.select(col(idCol), col(tokCol).cast("long").as("_n"))
+      .crossJoin(broadcast(cand))
+      .groupBy(col("ctx_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_n") <= col("ctx_len"), 1L).otherwise(0L))
+          .as("n_fit"),
+        sum(when(col("_n") > col("ctx_len"), 1L).otherwise(0L))
+          .as("n_trunc"),
+        sum(col("_n")).as("tokens_total"),
+        sum(greatest(col("_n") - col("ctx_len"), lit(0L)))
+          .as("tokens_lost"))
+      .withColumn("lost_ppm", expr(
+        "CASE WHEN tokens_total > 0 THEN (1000000 * tokens_lost) div " +
+          "tokens_total ELSE CAST(0 AS BIGINT) END"))
+  }
+
+  /** [NS] — data-constrained epoch advisor (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): given per-source
+    * UNIQUE token supply and the token budget a mixture policy WANTS
+    * from each source, how many epochs does each source repeat — and
+    * which sources cross the published ~4-epoch mark beyond which
+    * repeated tokens stop adding value. Emits per source:
+    *   epochs_ppm        10⁶·wanted div uniq (NULL when uniq = 0)
+    *   repeat_gt4        wanted > 4·uniq
+    *   effective_tokens  min(wanted, 4·uniq) — value-bearing tokens
+    *                     under the 4-epoch cap
+    *   excess_tokens     max(wanted − 4·uniq, 0) — budget the policy
+    *                     should re-route to unsaturated sources
+    * Pure per-row projection over the |sources|-row frame; the heavy
+    * lifting (counting tokens, allocating the budget) happens upstream
+    * where it is one corpus aggregate. */
+  def epochAdvisor(df: DataFrame, srcCol: String, uniqCol: String,
+      wantedCol: String): DataFrame =
+    df.select(col(srcCol),
+        col(uniqCol).cast("long").as("uniq_tokens"),
+        col(wantedCol).cast("long").as("wanted_tokens"))
+      .withColumn("epochs_ppm", expr(
+        "CASE WHEN uniq_tokens > 0 THEN (1000000 * wanted_tokens) div " +
+          "uniq_tokens END"))
+      .withColumn("repeat_gt4",
+        expr("wanted_tokens > 4 * uniq_tokens"))
+      .withColumn("effective_tokens",
+        expr("least(wanted_tokens, 4 * uniq_tokens)"))
+      .withColumn("excess_tokens",
+        expr("greatest(wanted_tokens - 4 * uniq_tokens, " +
+          "CAST(0 AS BIGINT))"))
+
   /** [NS] — Gopher REPETITION rules (Rae et al. 2021, Appendix A1,
     * second half): the within-document repetition half of the
     * MassiveText gate, complementing [[gopherRules]]' quality half.

@@ -2098,6 +2098,113 @@ object CurationQueries {
       FROM u ORDER BY strategy"""),
     doc = "[NS] inference micro-batch padding waste: sorted vs arrival ordering")
 
+  /** [NS] — context-window fit report (q285):
+    * [[graft.operators.Curation.contextFitReport]] over whitespace
+    * token counts of `documents` at four candidate context lengths.
+    * The truncation-loss curve: docs fitting whole, docs truncated,
+    * and the exact ppm of corpus tokens lost at each L — the readout
+    * that picks a training sequence length. One corpus scan ×
+    * broadcast 4-row candidate table, one 4-group aggregate. */
+  val q285ContextFit = Q(
+    "q285_context_fit",
+    (s, d) => {
+      import s.implicits._
+      Curation.contextFitReport(
+        Tables.documents(s, d).select($"doc_id",
+          expr("CAST(size(filter(split(text, ' '), " +
+            "x -> length(x) > 0)) AS BIGINT)").as("n_tok")),
+        "doc_id", "n_tok", Seq(32L, 64L, 128L, 256L))
+        .orderBy($"ctx_len")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> len(x) > 0)) AS BIGINT) AS n
+        FROM documents),
+      l AS (SELECT CAST(unnest([32, 64, 128, 256]) AS BIGINT)
+          AS ctx_len),
+      j AS (SELECT ctx_len, n FROM t CROSS JOIN l),
+      a AS (SELECT ctx_len,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN n <= ctx_len THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fit,
+          CAST(sum(CASE WHEN n > ctx_len THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_trunc,
+          CAST(sum(n) AS BIGINT) AS tokens_total,
+          CAST(sum(greatest(n - ctx_len, 0)) AS BIGINT) AS tokens_lost
+        FROM j GROUP BY ctx_len)
+      SELECT ctx_len, n_docs, n_fit, n_trunc, tokens_total, tokens_lost,
+        CAST(CASE WHEN tokens_total > 0
+          THEN (1000000 * tokens_lost) // tokens_total ELSE 0 END
+          AS BIGINT) AS lost_ppm
+      FROM a ORDER BY ctx_len"""),
+    doc = "[NS] context-length truncation-loss curve over token counts")
+
+  /** [NS] — data-constrained epoch advisor (q286): q277's α=0.5
+    * temperature allocation re-run over per-source TOKEN supply with a
+    * budget of 4× the corpus (the Muennighoff et al. 2023 regime),
+    * then [[graft.operators.Curation.epochAdvisor]] prices each
+    * source's repeat factor and flags the >4-epoch sources whose
+    * upweighted grant outruns their unique data — exactly the failure
+    * mode temperature sampling creates for small sources. Corpus
+    * aggregate + |sources|-row allocator windows (the q277
+    * convention) + a per-row advisor projection. */
+  val q286EpochAdvisor = Q(
+    "q286_epoch_advisor",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val perSrc = Tables.documents(s, d)
+        .groupBy($"source")
+        .agg(expr("CAST(sum(size(filter(split(text, ' '), " +
+          "x -> length(x) > 0))) AS BIGINT)").as("uniq"))
+        .withColumn("w", expr(
+          "CAST(floor(sqrt(CAST(uniq * 1000000 AS DOUBLE))) AS BIGINT)"))
+      val tot = Window.partitionBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val granted = perSrc
+        .withColumn("_wt", sum($"w").over(tot))
+        .withColumn("_b", sum($"uniq").over(tot) * 4L)
+        .withColumn("grant", expr("(_b * w) div _wt"))
+        .withColumn("_rem", expr("(_b * w) % _wt"))
+        .withColumn("_short", $"_b" - sum($"grant").over(tot))
+        .withColumn("_rk", row_number().over(
+          Window.orderBy($"_rem".desc, $"source".asc)).cast("long"))
+        .withColumn("granted",
+          $"grant" + when($"_rk" <= $"_short", 1L).otherwise(0L))
+        .select($"source", $"uniq", $"granted")
+      Curation.epochAdvisor(granted, "source", "uniq", "granted")
+        .orderBy($"source")
+    },
+    Some("""WITH ps AS (SELECT source,
+          CAST(sum(len(list_filter(string_split(text, ' '),
+            x -> len(x) > 0))) AS BIGINT) AS uniq
+        FROM documents GROUP BY source),
+      wt AS (SELECT source, uniq,
+          CAST(floor(sqrt(CAST(uniq * 1000000 AS DOUBLE))) AS BIGINT)
+            AS w FROM ps),
+      t AS (SELECT *, sum(w) OVER () AS wtot,
+          4 * sum(uniq) OVER () AS b FROM wt),
+      g AS (SELECT source, uniq, b,
+          (b * w) // wtot AS alloc, (b * w) % wtot AS rem FROM t),
+      sh AS (SELECT *, b - sum(alloc) OVER () AS deficit,
+          CAST(row_number() OVER (ORDER BY rem DESC, source)
+            AS BIGINT) AS rk FROM g),
+      fin AS (SELECT source, uniq AS uniq_tokens,
+          CAST(alloc + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+            AS BIGINT) AS wanted_tokens
+        FROM sh)
+      SELECT source, uniq_tokens, wanted_tokens,
+        CAST(CASE WHEN uniq_tokens > 0
+          THEN (1000000 * wanted_tokens) // uniq_tokens END
+          AS BIGINT) AS epochs_ppm,
+        wanted_tokens > 4 * uniq_tokens AS repeat_gt4,
+        CAST(least(wanted_tokens, 4 * uniq_tokens) AS BIGINT)
+          AS effective_tokens,
+        CAST(greatest(wanted_tokens - 4 * uniq_tokens, 0) AS BIGINT)
+          AS excess_tokens
+      FROM fin ORDER BY source"""),
+    doc = "[NS] Muennighoff 4-epoch repeat advisor over temperature grants")
+
   /** [NS] — encoding / mojibake QA gate (q282):
     * [[graft.operators.Curation.encodingAudit]] over `documents` with
     * deterministic doc_id-keyed corruption injected IN THE QUERY (the
@@ -2167,5 +2274,6 @@ object CurationQueries {
     q227CorpusLineDedup, q230TokenizerServe, q231FunnelExplain,
     q245LmBinnedSample, q249TokenizerFertility, q264GopherRules,
     q267IndexRemove, q269Repetition, q273Ndcg, q276Curriculum,
-    q277TemperatureMix, q282EncodingAudit, q283PaddingWaste)
+    q277TemperatureMix, q282EncodingAudit, q283PaddingWaste,
+    q285ContextFit, q286EpochAdvisor)
 }

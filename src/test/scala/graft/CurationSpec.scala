@@ -1119,4 +1119,38 @@ class CurationSpec extends AnyFunSuite {
     // empty text: zero everything, passes (no division by zero)
     assert(got(7L) === ((0L, 0L, 0L, 0L, 0L, true)))
   }
+
+  test("contextFitReport: hand-computed fit/truncation/loss at two " +
+      "candidate lengths") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 10L), (3L, 20L)).toDF("doc_id", "n_tok")
+    val got = Curation.contextFitReport(df, "doc_id", "n_tok",
+      Seq(8L, 16L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // L=8: only the 5-token doc fits; lost = 2 + 12 = 14 of 35 tokens
+    assert(got(8L) === ((3L, 1L, 2L, 35L, 14L, 400000L)))
+    // L=16: 5 and 10 fit; lost = 4; 1e6*4 div 35 = 114285
+    assert(got(16L) === ((3L, 2L, 1L, 35L, 4L, 114285L)))
+  }
+
+  test("epochAdvisor: repeat factor, 4-epoch flag, effective/excess " +
+      "split; zero-supply source is NULL-epochs but fully excess") {
+    import spark.implicits._
+    val df = Seq(("a", 10L, 50L), ("b", 100L, 200L), ("c", 0L, 5L))
+      .toDF("source", "uniq", "wanted")
+    val got = Curation.epochAdvisor(df, "source", "uniq", "wanted")
+      .collect()
+      .map(r => r.getString(0) -> ((
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getBoolean(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    // a: 5 epochs — over the cap; 40 tokens carry value, 10 wasted
+    assert(got("a") === ((5000000L, true, 40L, 10L)))
+    // b: 2 epochs — under the cap, everything effective
+    assert(got("b") === ((2000000L, false, 200L, 0L)))
+    // c: no unique supply — epochs undefined, all 5 wanted tokens excess
+    assert(got("c") === ((-1L, true, 0L, 5L)))
+  }
 }
