@@ -90,9 +90,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
-  /** D5 — exact n-gram Jaccard for candidate/all pairs ≥ `minJaccard`:
-    * (doc_a, doc_b, shared, jaccard). Jaccard is an int/int division →
-    * deterministic double. */
   /** Per-doc distinct gram-hash sets as one narrow array column (map-side
     * native expression — no explode/groupBy): (idCol, ghs, n). Docs with
     * no grams are dropped (they join nothing). */
@@ -104,6 +101,9 @@ object Dedup {
       .filter(size(col("ghs")) > 0)
       .withColumn("n", size(col("ghs")).cast("long"))
 
+  /** D5 — exact n-gram Jaccard for candidate/all pairs ≥ `minJaccard`:
+    * (doc_a, doc_b, shared, jaccard). Jaccard is an int/int division →
+    * deterministic double. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     // Count-join form: candidates via shared-gram equi-join, shared counts
@@ -820,6 +820,73 @@ object Dedup {
         levenshtein(col("_ta"), col("_tb"), maxDist).cast("long"))
       .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
+  /** [NS] — LSH (bands × rows) parameter advisor: prices every way to
+    * split `totalHashes` MinHash functions into b bands of r rows ON
+    * THE MEASURED pair-similarity distribution, instead of eyeballing
+    * the textbook S-curve. For a pair with Jaccard s, band collision
+    * probability is 1 − (1 − s^r)^b; both powers are computed as
+    * TRUNCATING ppm folds (acc·x div 10⁶ per step — identical
+    * arithmetic in DuckDB via list_reduce, so values hash-match
+    * exactly; max intermediate 10¹² < 2⁶³). Per config:
+    *   n_true/n_false   pairs at/below `thresholdPpm` exact Jaccard
+    *   recall_ppm       mean capture probability of true pairs
+    *   leak_ppm         mean capture probability of below-threshold
+    *                    pairs (the wasted-verification budget)
+    *   margin_ppm       recall − leak, the config's separating power
+    *   recommended      rank-1 by (margin desc, bands asc) — fewer
+    *                    bands = fewer hash tables at equal margin
+    *
+    * `pairJacs` is any frame with a `jac_ppm` column — in practice the
+    * candidate-bounded exact-Jaccard table (the q279 machinery), so
+    * the advisor costs |candidates| × |configs| rows, never all-pairs.
+    * Caveat inherited from q279: candidate pairs over-represent
+    * similar pairs, so leak_ppm is an upper bound on the true
+    * false-candidate rate — the ranking (margin) is still the right
+    * comparator across configs because the bias is config-independent.
+    */
+  def lshParamAdvisor(pairJacs: DataFrame, totalHashes: Int,
+      thresholdPpm: Long): DataFrame = {
+    val sp = pairJacs.sparkSession
+    import sp.implicits._
+    val configs = (1 to totalHashes)
+      .filter(totalHashes % _ == 0)
+      .map(r => (totalHashes / r, r))
+      .toDF("bands", "rows_per_band")
+    import org.apache.spark.sql.expressions.Window
+    pairJacs.select(col("jac_ppm").cast("long").as("jac_ppm"))
+      .crossJoin(broadcast(configs))
+      .withColumn("_sr", expr(
+        "aggregate(sequence(1, rows_per_band), CAST(1000000 AS BIGINT), " +
+          "(a, i) -> (a * jac_ppm) div 1000000)"))
+      .withColumn("_p", expr(
+        "1000000 - aggregate(sequence(1, bands), " +
+          "CAST(1000000 AS BIGINT), " +
+          "(a, i) -> (a * (1000000 - _sr)) div 1000000)"))
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        sum(when(col("jac_ppm") >= thresholdPpm, 1L).otherwise(0L))
+          .as("n_true"),
+        sum(when(col("jac_ppm") < thresholdPpm, 1L).otherwise(0L))
+          .as("n_false"),
+        sum(when(col("jac_ppm") >= thresholdPpm, col("_p"))
+          .otherwise(0L)).as("_pt"),
+        sum(when(col("jac_ppm") < thresholdPpm, col("_p"))
+          .otherwise(0L)).as("_pf"))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN n_true > 0 THEN _pt div n_true " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("leak_ppm", expr(
+        "CASE WHEN n_false > 0 THEN _pf div n_false " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("margin_ppm", expr("recall_ppm - leak_ppm"))
+      .withColumn("recommended",
+        row_number().over(Window.orderBy(
+          col("margin_ppm").desc, col("bands").asc)) === 1)
+      .select(col("bands"), col("rows_per_band"), col("n_true"),
+        col("n_false"), col("recall_ppm"), col("leak_ppm"),
+        col("margin_ppm"), col("recommended"))
   }
 
   /** Per-document duplicated-span coverage — the Lee et al. 2022

@@ -2121,6 +2121,114 @@ object DocQueries {
       ORDER BY a.doc_a, a.doc_b"""),
     doc = "[NS] MinHash signature estimate vs exact Jaccard per LSH candidate pair")
 
+  /** [NS] — LSH (bands × rows) parameter advisor (q287):
+    * [[graft.operators.Dedup.lshParamAdvisor]] pricing every split of
+    * 8 MinHash functions (8×1, 4×2, 2×4, 1×8) on the MEASURED
+    * candidate-pair Jaccard distribution (the q279 machinery): per
+    * config, mean capture probability of true (≥0.5) pairs vs
+    * below-threshold pairs, margin, and the recommended config — the
+    * empirical answer to "should q24 run 4 bands of 2 or 2 of 4".
+    * S-curve powers are truncating ppm folds, identical in both
+    * engines (Spark `aggregate` HOF ≡ DuckDB `list_reduce`). Work is
+    * candidate-bounded like q279; the advisor itself is |pairs| × 4
+    * rows into a 4-group aggregate. */
+  val q287LshAdvisor = Q(
+    "q287_lsh_advisor",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4)
+      val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+        .localCheckpoint(true)
+      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val shared = pairs
+        .join(sh.select($"doc_id".as("doc_a"), $"gram"), Seq("doc_a"))
+        .join(sh.select($"doc_id".as("doc_b"), $"gram"),
+          Seq("doc_b", "gram"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("shared"))
+      val jacs = pairs
+        .join(shared, Seq("doc_a", "doc_b"), "left")
+        .join(sz.select($"doc_id".as("doc_a"), $"n".as("na")),
+          Seq("doc_a"))
+        .join(sz.select($"doc_id".as("doc_b"), $"n".as("nb")),
+          Seq("doc_b"))
+        .withColumn("shared", coalesce($"shared", lit(0L)))
+        .withColumn("jac_ppm", expr(
+          "(1000000 * shared) div (na + nb - shared)"))
+        .select($"jac_ppm")
+      Dedup.lshParamAdvisor(jacs, totalHashes = 8,
+        thresholdPpm = 500000L)
+        .orderBy($"bands")
+    },
+    Some(s"""WITH tg AS ($shinglesSql),
+      sig AS (SELECT doc_id,
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
+        FROM tg GROUP BY doc_id),
+      bnd AS (
+        SELECT doc_id, 0 AS band, s0 AS v0, s1 AS v1 FROM sig UNION ALL
+        SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        SELECT doc_id, 3, s6, s7 FROM sig),
+      prs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bnd x JOIN bnd y
+        ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+          AND x.doc_id < y.doc_id),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tg
+        GROUP BY doc_id),
+      shd AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS shared
+        FROM prs p JOIN tg a ON a.doc_id = p.doc_a
+          JOIN tg b ON b.doc_id = p.doc_b AND b.gram = a.gram
+        GROUP BY 1, 2),
+      jac AS (SELECT
+          CAST((1000000 * coalesce(s.shared, 0)) //
+            (za.n + zb.n - coalesce(s.shared, 0)) AS BIGINT) AS jac_ppm
+        FROM prs p
+          LEFT JOIN shd s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+          JOIN sz za ON za.doc_id = p.doc_a
+          JOIN sz zb ON zb.doc_id = p.doc_b),
+      cfg AS (SELECT * FROM (VALUES (8, 1), (4, 2), (2, 4), (1, 8))
+        AS t(bands, rows_per_band)),
+      sr AS (SELECT bands, rows_per_band, jac_ppm,
+          list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+            list_transform(generate_series(1, rows_per_band),
+              i -> jac_ppm)),
+            (a, x) -> (a * x) // 1000000) AS s_r
+        FROM jac CROSS JOIN cfg),
+      pc AS (SELECT bands, rows_per_band, jac_ppm,
+          1000000 - list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+            list_transform(generate_series(1, bands),
+              i -> 1000000 - s_r)),
+            (a, x) -> (a * x) // 1000000) AS p_ppm
+        FROM sr),
+      ag AS (SELECT bands, rows_per_band,
+          CAST(sum(CASE WHEN jac_ppm >= 500000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true,
+          CAST(sum(CASE WHEN jac_ppm < 500000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false,
+          sum(CASE WHEN jac_ppm >= 500000 THEN p_ppm ELSE 0 END) AS pt,
+          sum(CASE WHEN jac_ppm < 500000 THEN p_ppm ELSE 0 END) AS pf
+        FROM pc GROUP BY 1, 2),
+      fin AS (SELECT bands, rows_per_band, n_true, n_false,
+          CAST(CASE WHEN n_true > 0 THEN pt // n_true ELSE 0 END
+            AS BIGINT) AS recall_ppm,
+          CAST(CASE WHEN n_false > 0 THEN pf // n_false ELSE 0 END
+            AS BIGINT) AS leak_ppm
+        FROM ag)
+      SELECT bands, rows_per_band, n_true, n_false, recall_ppm,
+        leak_ppm, CAST(recall_ppm - leak_ppm AS BIGINT) AS margin_ppm,
+        (row_number() OVER (ORDER BY recall_ppm - leak_ppm DESC, bands)
+          = 1) AS recommended
+      FROM fin ORDER BY bands"""),
+    doc = "[NS] LSH band/row advisor: measured S-curve capture per config")
+
   /** Shared SQL twin of the hashed-importance scorer (q280 in-query and
     * q284 stored-serve must agree: same model, same scores). */
   private val importanceSql: String =
@@ -2214,5 +2322,5 @@ object DocQueries {
     q208ExtractText, q229NoveltyGrade, q236BloomAdvisor,
     q237ExtractionHealth, q240DedupRoi, q250FrameEnergy,
     q255DupCoverage, q272SourceAblation, q279MinhashError,
-    q280Importance, q284ImportanceServe)
+    q280Importance, q284ImportanceServe, q287LshAdvisor)
 }

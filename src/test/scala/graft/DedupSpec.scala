@@ -407,4 +407,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) === ((10L, 10L, 1L, 1000000L)), got(5L).toString)
     assert(got(6L) === ((10L, 10L, 1L, 1000000L)))
   }
+
+  test("lshParamAdvisor: hand-computed truncating S-curve folds; " +
+      "recall falls with rows-per-band; best margin recommended") {
+    import spark.implicits._
+    // one true pair (0.7 ≥ 0.5) and one false pair (0.2), 4 hashes →
+    // configs (4,1), (2,2), (1,4); every capture prob hand-folded with
+    // acc·x div 1e6 truncation per step
+    val jacs = Seq(700000L, 200000L).toDF("jac_ppm")
+    val got = graft.operators.Dedup.lshParamAdvisor(jacs, 4, 500000L)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7))))
+      .toMap
+    // (4,1): p(0.7) = 1e6 − 0.3⁴-fold = 991900; p(0.2) = 590400
+    assert(got((4, 1)) ===
+      ((1L, 1L, 991900L, 590400L, 401500L, false)))
+    // (2,2): s_r(0.7) = 490000 → p = 739900; s_r(0.2) = 40000 → 78400
+    assert(got((2, 2)) ===
+      ((1L, 1L, 739900L, 78400L, 661500L, true)))
+    // (1,4): p = s_r itself: 240100 vs 1600
+    assert(got((1, 4)) ===
+      ((1L, 1L, 240100L, 1600L, 238500L, false)))
+    // more rows per band → stricter: recall monotone non-increasing
+    assert(got((4, 1))._3 >= got((2, 2))._3 &&
+      got((2, 2))._3 >= got((1, 4))._3)
+  }
 }
