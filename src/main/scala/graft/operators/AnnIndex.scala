@@ -421,4 +421,55 @@ object AnnIndex {
     kept.write.mode("overwrite").partitionBy("centroid")
       .parquet(codesPath(dir))
   }
+
+  /** [NS] — index STALENESS audit: is the stored index's geometry still
+    * representative of current traffic? Retraining is a deliberate
+    * offline decision (see [[appendBatch]]); this is the monitor that
+    * TRIGGERS it. A fresh batch is assigned to the STORED centroids
+    * (broadcast k×d table × one batch scan — zero training jobs) and
+    * its per-centroid population share is compared against the stored
+    * codes' share at build time:
+    *   stored_n / batch_n     per-centroid populations
+    *   stored_ppm / batch_ppm exact shares (10⁶·n div total)
+    *   shift_ppm              batch − stored share
+    *   tvd_ppm                total-variation distance Σ|shift| div 2
+    *                          (same value on every row — the k-row
+    *                          frame is the whole output)
+    *   stale                  tvd_ppm ≥ `thresholdPpm`
+    * When traffic drifts, new vectors pile into few lists: probe
+    * budgets stop covering the true neighbors and list sizes skew —
+    * tvd is exactly the mass that moved. Cost: one batch scan + one
+    * codes aggregate (count DISTINCT id per centroid — codes hold m
+    * rows per vector); everything after is k rows. */
+  def stalenessAudit(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, vecCol: String, thresholdPpm: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(centroidsPath(dir))
+    val stored = spark.read.parquet(codesPath(dir))
+      .groupBy(col("centroid"))
+      .agg(countDistinct(col(idCol)).as("stored_n"))
+    val asg = Similarity.ivfAssign(batch, idCol, vecCol, cents)
+      .groupBy(col("centroid")).agg(count(lit(1)).as("batch_n"))
+    val tot = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    stored.join(asg, Seq("centroid"), "full_outer")
+      .withColumn("stored_n", coalesce(col("stored_n"), lit(0L)))
+      .withColumn("batch_n", coalesce(col("batch_n"), lit(0L)))
+      .withColumn("_st", sum(col("stored_n")).over(tot))
+      .withColumn("_bt", sum(col("batch_n")).over(tot))
+      .withColumn("stored_ppm", expr(
+        "CASE WHEN _st > 0 THEN (1000000 * stored_n) div _st " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("batch_ppm", expr(
+        "CASE WHEN _bt > 0 THEN (1000000 * batch_n) div _bt " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("shift_ppm", expr("batch_ppm - stored_ppm"))
+      .withColumn("_sabs", sum(abs(col("shift_ppm"))).over(tot))
+      .withColumn("tvd_ppm", expr("_sabs div 2"))
+      .withColumn("stale", col("tvd_ppm") >= thresholdPpm)
+      .select(col("centroid").cast("long").as("centroid"),
+        col("stored_n"), col("batch_n"),
+        col("stored_ppm"), col("batch_ppm"), col("shift_ppm"),
+        col("tvd_ppm"), col("stale"))
+  }
 }

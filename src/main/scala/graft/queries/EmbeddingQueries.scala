@@ -703,6 +703,69 @@ object EmbeddingQueries {
     Some(ivfPqOracle("", trainWhere = "WHERE vec_id < 450")),
     doc = "[NS] incremental ANN append: frozen quantizers encode the delta, serving sees base+delta")
 
+  /** [NS] — stored-index STALENESS audit (q288):
+    * [[graft.operators.AnnIndex.stalenessAudit]] against q107's
+    * persisted index (same buildIfAbsent fingerprint, so whichever
+    * query runs first trains — the other reuses). The "recent
+    * traffic" batch (vec_id ≥ 250) is assigned to the STORED
+    * centroids — broadcast k×d table, zero training jobs — and its
+    * per-list population share is compared with the stored codes'
+    * build-time share: per-centroid shift in exact ppm, the
+    * total-variation distance, and the retrain verdict at a 10% TVD
+    * threshold. This is the monitor that turns [[q168IndexAppend]]'s
+    * "retraining is a deliberate offline decision" into a measured
+    * trigger. Oracle recomputes the assignment from scratch (the
+    * from-scratch-is-stronger rationale of the q107 family). */
+  val q288IndexStaleness = Q(
+    "q288_index_staleness",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val dir = graft.operators.AnnIndex.defaultDir(d)
+      graft.operators.AnnIndex.buildIfAbsent(e, "vec_id", "embedding",
+        cents, m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters,
+        dir = dir, corpusTag = d, metaCols = Seq("label"))
+      graft.operators.AnnIndex.stalenessAudit(s, dir,
+        e.filter($"vec_id" >= 250), "vec_id", "embedding",
+        thresholdPpm = 100000L)
+        .orderBy($"centroid")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings),
+      c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        ORDER BY vec_id LIMIT 8),
+      assigned AS (SELECT e.vec_id,
+          first(c.c_id ORDER BY round(${cosSql("e.v", "c.cv")}, 6) DESC,
+            c.c_id ASC) AS centroid
+        FROM e, c GROUP BY e.vec_id),
+      st AS (SELECT centroid, CAST(count(*) AS BIGINT) AS stored_n
+        FROM assigned GROUP BY 1),
+      ba AS (SELECT centroid, CAST(count(*) AS BIGINT) AS batch_n
+        FROM assigned WHERE vec_id >= 250 GROUP BY 1),
+      j AS (SELECT coalesce(st.centroid, ba.centroid) AS centroid,
+          coalesce(stored_n, 0) AS stored_n,
+          coalesce(batch_n, 0) AS batch_n
+        FROM st FULL OUTER JOIN ba ON st.centroid = ba.centroid),
+      t AS (SELECT *, sum(stored_n) OVER () AS stot,
+          sum(batch_n) OVER () AS btot FROM j),
+      sp AS (SELECT centroid, stored_n, batch_n,
+          CAST(CASE WHEN stot > 0 THEN (1000000 * stored_n) // stot
+            ELSE 0 END AS BIGINT) AS stored_ppm,
+          CAST(CASE WHEN btot > 0 THEN (1000000 * batch_n) // btot
+            ELSE 0 END AS BIGINT) AS batch_ppm
+        FROM t),
+      f AS (SELECT *, CAST(batch_ppm - stored_ppm AS BIGINT)
+          AS shift_ppm FROM sp),
+      g AS (SELECT *, CAST(sum(abs(shift_ppm)) OVER () // 2 AS BIGINT)
+          AS tvd_ppm FROM f)
+      SELECT CAST(centroid AS BIGINT) AS centroid, stored_n, batch_n,
+        stored_ppm, batch_ppm, shift_ppm, tvd_ppm,
+        tvd_ppm >= 100000 AS stale
+      FROM g ORDER BY centroid"""),
+    doc = "[NS] ANN staleness: batch-vs-stored list population TVD, retrain trigger")
+
   /** q169's oracle rounds, unrolled: cN selects the farthest point from
     * the first N−1 centers, dN folds its distance into the running
     * min-distance state. Exact integer L2 on the 1e6-scaled components —
@@ -1412,5 +1475,6 @@ object EmbeddingQueries {
     q132JlProject, q150FilteredAnn, q155BatchAnn, q168IndexAppend,
     q169KCenter, q179MmrRerank, q187RetrieveDiversify,
     q235EmbeddingExpectations, q251TopDirection, q252AbttEnergy,
-    q256LabelNoise, q258Int8Recall, q259AnnRecall, q268AnnRemove)
+    q256LabelNoise, q258Int8Recall, q259AnnRecall, q268AnnRemove,
+    q288IndexStaleness)
 }

@@ -188,4 +188,46 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served.nonEmpty && !served.exists(rmSet.contains),
       served.mkString(","))
   }
+
+  test("stalenessAudit: hand-computed shares/TVD on planted clusters; " +
+      "skewed traffic trips the verdict, matching traffic does not") {
+    import spark.implicits._
+    def v(a: Double, b: Double) =
+      Array(a, b, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    // corpus: 4 vectors on the c100 axis, 2 on the c200 axis
+    val corpus = Seq(
+      (1L, v(10, 1)), (2L, v(9, 1)), (3L, v(8, 1)), (4L, v(7, 1)),
+      (5L, v(1, 10)), (6L, v(1, 9)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, v(1, 0)), (200L, v(0, 1)))
+      .toDF("c_id", "cv")
+    val dir = Files.createTempDirectory("graft_annidx_stale").toString
+    AnnIndex.build(corpus, "vec_id", "embedding", cents,
+      m = 2, subDim = 4, ksub = 2, iters = 1, dir)
+
+    // skewed traffic: 1 : 3 against the stored 4 : 2
+    val skewed = Seq((11L, v(20, 1)), (12L, v(1, 20)), (13L, v(1, 19)),
+      (14L, v(1, 18))).toDF("vec_id", "embedding")
+    val got = AnnIndex.stalenessAudit(spark, dir, skewed, "vec_id",
+      "embedding", thresholdPpm = 100000L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getBoolean(7)))).toMap
+    // stored shares 4/6, 2/6; batch 1/4, 3/4; tvd = (416666+416667) div 2
+    assert(got(100L) ===
+      ((4L, 1L, 666666L, 250000L, -416666L, 416666L, true)))
+    assert(got(200L) ===
+      ((2L, 3L, 333333L, 750000L, 416667L, 416666L, true)))
+
+    // matching traffic: same 2 : 1 mix as the stored index
+    val matching = Seq((21L, v(20, 1)), (22L, v(19, 1)),
+      (23L, v(1, 20))).toDF("vec_id", "embedding")
+    val ok = AnnIndex.stalenessAudit(spark, dir, matching, "vec_id",
+      "embedding", thresholdPpm = 100000L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(5), r.getLong(6),
+        r.getBoolean(7)))).toMap
+    // 666666 vs 666666 and 333333 vs 333333: zero shift, not stale
+    assert(ok(100L) === ((0L, 0L, false)))
+    assert(ok(200L) === ((0L, 0L, false)))
+  }
 }
