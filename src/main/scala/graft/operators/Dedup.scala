@@ -889,6 +889,44 @@ object Dedup {
         col("margin_ppm"), col("recommended"))
   }
 
+  /** [NS] — near-dup pair × group contamination matrix: label every
+    * candidate pair with its two documents' group values (a split
+    * assignment, a source, a language — any `groupCol`) normalized to
+    * an unordered (group_a ≤ group_b) cell, and count. Two readouts,
+    * same operator:
+    *  - split leakage (Lee et al. 2022's train/test dup finding): any
+    *    cross-split cell is benchmark contamination a hash split can't
+    *    prevent — near-dups land on both sides of ANY id-keyed split;
+    *  - cross-source duplication: which sources copy from each other,
+    *    the routing signal for where near-dup dedup is worth running
+    *    (the pairwise refinement of q240's per-source ROI).
+    * `cross_group` flags off-diagonal cells; share_ppm is the cell's
+    * exact share of all pairs. The pair set is whatever the caller
+    * feeds — raw band candidates give the dedup gate's OWN linkage
+    * (what the pipeline would act on), a verified-Jaccard frame gives
+    * the stricter reading. Cost: two id-keyed equi-joins of the pair
+    * list against the meta frame + one small-cardinality aggregate —
+    * linear in pairs, never corpus². */
+  def pairGroupMatrix(pairs: DataFrame, meta: DataFrame, idCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    pairs
+      .join(meta.select(col(idCol).as("doc_a"), col(groupCol).as("_ga")),
+        Seq("doc_a"))
+      .join(meta.select(col(idCol).as("doc_b"), col(groupCol).as("_gb")),
+        Seq("doc_b"))
+      .select(least(col("_ga"), col("_gb")).as("group_a"),
+        greatest(col("_ga"), col("_gb")).as("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_group", col("group_a") =!= col("group_b"))
+      .withColumn("_tot", sum(col("n_pairs")).over(tot))
+      .withColumn("share_ppm", expr("(1000000 * n_pairs) div _tot"))
+      .drop("_tot")
+  }
+
   /** Per-document duplicated-span coverage — the Lee et al. 2022
     * ("Deduplicating Training Data Makes Language Models Better")
     * readout at span granularity: what FRACTION of each document's

@@ -2229,6 +2229,105 @@ object DocQueries {
       FROM fin ORDER BY bands"""),
     doc = "[NS] LSH band/row advisor: measured S-curve capture per config")
 
+  /** Shared q289/q290 oracle prefix: the q24 candidate pairs (prs) —
+    * identical CTE text so the two matrix oracles stay in lockstep
+    * with the q24 gate. */
+  private val candidatePairsSql: String =
+    s"""tg AS ($shinglesSql),
+      sig AS (SELECT doc_id,
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
+        FROM tg GROUP BY doc_id),
+      bnd AS (
+        SELECT doc_id, 0 AS band, s0 AS v0, s1 AS v1 FROM sig UNION ALL
+        SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        SELECT doc_id, 3, s6, s7 FROM sig),
+      prs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bnd x JOIN bnd y
+        ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+          AND x.doc_id < y.doc_id)"""
+
+  /** The shared q289/q290 oracle tail over a `lab(group_a, group_b)`
+    * CTE: cell counts, cross flag, exact shares. */
+  private def groupMatrixTailSql: String =
+    """ag AS (SELECT group_a, group_b,
+          CAST(count(*) AS BIGINT) AS n_pairs FROM lab GROUP BY 1, 2),
+      tt AS (SELECT *, sum(n_pairs) OVER () AS tot FROM ag)
+      SELECT group_a, group_b, n_pairs,
+        group_a <> group_b AS cross_group,
+        CAST((1000000 * n_pairs) // tot AS BIGINT) AS share_ppm
+      FROM tt ORDER BY group_a, group_b"""
+
+  /** [NS] — split-leakage audit (q289):
+    * [[graft.operators.Dedup.pairGroupMatrix]] of the q24 LSH
+    * candidate pairs against q56's deterministic hash split. An
+    * id-keyed split CANNOT keep near-duplicates on one side — this
+    * counts exactly how many candidate pairs the dedup gate would link
+    * ACROSS train/val/test (Lee et al. 2022's benchmark-contamination
+    * finding, measured on the pipeline's own split and gate). The
+    * pairs here are the gate's raw candidates — the linkage the
+    * pipeline acts on; q58's decontamination is the remedial stage
+    * this audit budgets. */
+  val q289SplitLeakage = Q(
+    "q289_split_leakage",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4)
+      val meta = graft.operators.Curation.assignSplit(docs, "doc_id")
+        .select($"doc_id", $"split")
+      Dedup.pairGroupMatrix(pairs, meta, "doc_id", "split")
+        .orderBy($"group_a", $"group_b")
+    },
+    Some(s"""WITH $candidatePairsSql,
+      sp AS (SELECT doc_id, CASE
+          WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+            % 100 < 80 THEN 'train'
+          WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+            % 100 < 90 THEN 'val'
+          ELSE 'test' END AS split
+        FROM documents),
+      lab AS (SELECT least(a.split, b.split) AS group_a,
+          greatest(a.split, b.split) AS group_b
+        FROM prs p JOIN sp a ON a.doc_id = p.doc_a
+          JOIN sp b ON b.doc_id = p.doc_b),
+      $groupMatrixTailSql"""),
+    doc = "[NS] near-dup pairs crossing the train/val/test hash split")
+
+  /** [NS] — cross-source duplication matrix (q290): the same
+    * [[graft.operators.Dedup.pairGroupMatrix]] keyed by `source` —
+    * which sources copy from each other. Off-diagonal mass means a
+    * per-source dedup pass would MISS those pairs entirely (they only
+    * appear when sources are deduped jointly), and it names the source
+    * pairs worth routing through the cross-corpus gate — the pairwise
+    * refinement of q240's per-source dedup ROI. */
+  val q290SourceDupMatrix = Q(
+    "q290_source_dup_matrix",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4)
+      Dedup.pairGroupMatrix(pairs,
+        docs.select($"doc_id", $"source"), "doc_id", "source")
+        .orderBy($"group_a", $"group_b")
+    },
+    Some(s"""WITH $candidatePairsSql,
+      lab AS (SELECT least(a.source, b.source) AS group_a,
+          greatest(a.source, b.source) AS group_b
+        FROM prs p JOIN documents a ON a.doc_id = p.doc_a
+          JOIN documents b ON b.doc_id = p.doc_b),
+      $groupMatrixTailSql"""),
+    doc = "[NS] which sources near-duplicate each other: pair matrix by source")
+
   /** Shared SQL twin of the hashed-importance scorer (q280 in-query and
     * q284 stored-serve must agree: same model, same scores). */
   private val importanceSql: String =
@@ -2322,5 +2421,6 @@ object DocQueries {
     q208ExtractText, q229NoveltyGrade, q236BloomAdvisor,
     q237ExtractionHealth, q240DedupRoi, q250FrameEnergy,
     q255DupCoverage, q272SourceAblation, q279MinhashError,
-    q280Importance, q284ImportanceServe, q287LshAdvisor)
+    q280Importance, q284ImportanceServe, q287LshAdvisor,
+    q289SplitLeakage, q290SourceDupMatrix)
 }

@@ -434,4 +434,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got((4, 1))._3 >= got((2, 2))._3 &&
       got((2, 2))._3 >= got((1, 4))._3)
   }
+
+  test("pairGroupMatrix: unordered cells, cross flag, exact shares; " +
+      "label order never splits a cell") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    // 3 is in group y; (1,3) sees (x,y), (2,3) sees... meta joined per
+    // side, so both cross pairs must land in the SAME (x,y) cell
+    val meta = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "g")
+    val got = graft.operators.Dedup
+      .pairGroupMatrix(pairs, meta, "doc_id", "g")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getLong(4))))
+      .toMap
+    assert(got.size === 2)
+    assert(got(("x", "x")) === ((1L, false, 333333L)))
+    assert(got(("x", "y")) === ((2L, true, 666666L)))
+  }
 }
