@@ -1478,4 +1478,43 @@ object Analytics {
           s"div (${prod("n", k)}) AS BIGINT) END"))
     }
   }
+
+  /** [NS] — sample representativeness certificate: does a sample
+    * preserve the corpus's distribution over `keyCol`? Per key:
+    * corpus/sample populations, exact ppm shares, the signed share
+    * shift, the total-variation distance Σ|shift| div 2 (same value on
+    * every row of the small output), and `representative` =
+    * tvd < `thresholdPpm`. Every downstream eval silently assumes its
+    * sample looks like the corpus — this is the check that catches a
+    * balanced or capped sampler being used where a proportional one
+    * was meant (a BALANCED sample of a skewed corpus is flagged BY
+    * DESIGN: that is the certificate working). Cost: one aggregate on
+    * each side + a |keys|-row join; the corpus is read once. */
+  def sampleSkewCertificate(corpus: DataFrame, sample: DataFrame,
+      keyCol: String, thresholdPpm: Long): DataFrame = {
+    val tot = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = corpus.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("corpus_n"))
+    val sm = sample.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("sample_n"))
+    c.join(sm, Seq(keyCol), "full_outer")
+      .withColumn("corpus_n", coalesce(col("corpus_n"), lit(0L)))
+      .withColumn("sample_n", coalesce(col("sample_n"), lit(0L)))
+      .withColumn("_ct", sum(col("corpus_n")).over(tot))
+      .withColumn("_st", sum(col("sample_n")).over(tot))
+      .withColumn("corpus_ppm", expr(
+        "CASE WHEN _ct > 0 THEN (1000000 * corpus_n) div _ct " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("sample_ppm", expr(
+        "CASE WHEN _st > 0 THEN (1000000 * sample_n) div _st " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("shift_ppm", expr("sample_ppm - corpus_ppm"))
+      .withColumn("_sabs", sum(abs(col("shift_ppm"))).over(tot))
+      .withColumn("tvd_ppm", expr("_sabs div 2"))
+      .withColumn("representative", col("tvd_ppm") < thresholdPpm)
+      .select(col(keyCol), col("corpus_n"), col("sample_n"),
+        col("corpus_ppm"), col("sample_ppm"), col("shift_ppm"),
+        col("tvd_ppm"), col("representative"))
+  }
 }

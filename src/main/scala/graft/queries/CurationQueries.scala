@@ -2098,6 +2098,71 @@ object CurationQueries {
       FROM u ORDER BY strategy"""),
     doc = "[NS] inference micro-batch padding waste: sorted vs arrival ordering")
 
+  /** [NS] — sample representativeness certificate (q291):
+    * [[graft.operators.Analytics.sampleSkewCertificate]] judging two
+    * samplers against the corpus lang distribution in one readout: the
+    * 20% hash sample (proportional by construction — certified
+    * representative) and the cap-40 [[Curation.balancedSample]]
+    * (deliberately equalizing a skewed corpus — flagged, which is the
+    * certificate WORKING: a balanced sample used where a proportional
+    * one was meant silently biases every downstream eval). Per
+    * (sampler, lang): populations, exact ppm shares, shift, TVD, and
+    * the verdict at a 10% TVD threshold. */
+  val q291SampleCert = Q(
+    "q291_sample_certificate",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val hashS = docs.filter(Curation.hashBucket($"doc_id", 100) < 20)
+      val balS = Curation.balancedSample(docs, "lang", "doc_id", cap = 40)
+      val certH = graft.operators.Analytics
+        .sampleSkewCertificate(docs, hashS, "lang", 100000L)
+        .withColumn("sampler", lit("hash20"))
+      val certB = graft.operators.Analytics
+        .sampleSkewCertificate(docs, balS, "lang", 100000L)
+        .withColumn("sampler", lit("balanced40"))
+      certH.unionByName(certB)
+        .select($"sampler", $"lang", $"corpus_n", $"sample_n",
+          $"corpus_ppm", $"sample_ppm", $"shift_ppm", $"tvd_ppm",
+          $"representative")
+        .orderBy($"sampler", $"lang")
+    },
+    Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS corpus_n
+        FROM documents GROUP BY 1),
+      hs AS (SELECT lang, CAST(count(*) AS BIGINT) AS sample_n
+        FROM documents
+        WHERE CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+          % 100 < 20 GROUP BY 1),
+      bs AS (SELECT lang, CAST(count(*) AS BIGINT) AS sample_n FROM (
+          SELECT lang, row_number() OVER (PARTITION BY lang
+            ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 40 GROUP BY 1),
+      u AS (
+        SELECT 'hash20' AS sampler, c.lang, corpus_n,
+          coalesce(h.sample_n, 0) AS sample_n
+        FROM c LEFT JOIN hs h USING (lang)
+        UNION ALL
+        SELECT 'balanced40', c.lang, corpus_n, coalesce(b.sample_n, 0)
+        FROM c LEFT JOIN bs b USING (lang)),
+      t AS (SELECT *,
+          sum(corpus_n) OVER (PARTITION BY sampler) AS ctt,
+          sum(sample_n) OVER (PARTITION BY sampler) AS stt FROM u),
+      p AS (SELECT sampler, lang, corpus_n, sample_n,
+          CAST(CASE WHEN ctt > 0 THEN (1000000 * corpus_n) // ctt
+            ELSE 0 END AS BIGINT) AS corpus_ppm,
+          CAST(CASE WHEN stt > 0 THEN (1000000 * sample_n) // stt
+            ELSE 0 END AS BIGINT) AS sample_ppm
+        FROM t),
+      f AS (SELECT *, CAST(sample_ppm - corpus_ppm AS BIGINT)
+          AS shift_ppm FROM p),
+      g AS (SELECT *, CAST(sum(abs(shift_ppm))
+          OVER (PARTITION BY sampler) // 2 AS BIGINT) AS tvd_ppm FROM f)
+      SELECT sampler, lang, corpus_n, sample_n, corpus_ppm, sample_ppm,
+        shift_ppm, tvd_ppm, tvd_ppm < 100000 AS representative
+      FROM g ORDER BY sampler, lang"""),
+    doc = "[NS] sample-vs-corpus TVD certificate: hash passes, balanced flagged")
+
   /** [NS] — context-window fit report (q285):
     * [[graft.operators.Curation.contextFitReport]] over whitespace
     * token counts of `documents` at four candidate context lengths.
@@ -2275,5 +2340,5 @@ object CurationQueries {
     q245LmBinnedSample, q249TokenizerFertility, q264GopherRules,
     q267IndexRemove, q269Repetition, q273Ndcg, q276Curriculum,
     q277TemperatureMix, q282EncodingAudit, q283PaddingWaste,
-    q285ContextFit, q286EpochAdvisor)
+    q285ContextFit, q286EpochAdvisor, q291SampleCert)
 }

@@ -880,4 +880,32 @@ class AnalyticsSpec extends AnyFunSuite {
     // p3: no successes -> 0 at every defined k
     assert(got("p3") === ((4L, 0L, Some(0L), None, None)))
   }
+
+  test("sampleSkewCertificate: proportional sample certifies, skewed " +
+      "sample trips; hand-computed shares and TVD") {
+    import spark.implicits._
+    val corpus = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("id", "k")
+    def cert(sample: org.apache.spark.sql.DataFrame) =
+      graft.operators.Analytics
+        .sampleSkewCertificate(corpus, sample, "k", 100000L)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getBoolean(7))))
+        .toMap
+    // proportional 3:1:1 mirror of 6:2:2 -> zero shift, certified
+    val prop = cert(Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"),
+      (5L, "c")).toDF("id", "k"))
+    assert(prop("a") === ((6L, 3L, 600000L, 600000L, 0L, 0L, true)))
+    assert(prop("b") === ((2L, 1L, 200000L, 200000L, 0L, 0L, true)))
+    // skewed 1:1:2 -> shifts -350000/+50000/+300000, TVD 350000, tripped
+    val skew = cert(Seq((1L, "a"), (4L, "b"), (5L, "c"), (6L, "c"))
+      .toDF("id", "k"))
+    assert(skew("a") ===
+      ((6L, 1L, 600000L, 250000L, -350000L, 350000L, false)))
+    assert(skew("c") ===
+      ((2L, 2L, 200000L, 500000L, 300000L, 350000L, false)))
+  }
 }
