@@ -692,6 +692,100 @@ object OpsQueries {
       FROM o GROUP BY flag ORDER BY flag"""),
     doc = "[NS] bottom-k hash-sample quantiles (mergeable 1-pass group profiling)")
 
+  /** [NS] — KMV quantile ERROR audit (q292): q166's sketched order
+    * statistics side by side with q156-style exact ones over the same
+    * distinct-row multiset, per returnflag — the measured-accuracy row
+    * for the quantile sketch, completing the audit family (q164 LSH
+    * recall, q236 Bloom FP, q258 int8, q259 stored-ANN, q279 MinHash
+    * estimator: every approximation tier carries its own measured
+    * error). err_ppm = 10⁶·|est − exact| div exact. The exact side
+    * sorts per flag ONCE (three partitions); the sketch side is the
+    * one-aggregate 2k-long-state pass — the audit costs what the two
+    * siblings cost, never more. */
+  val q292KmvError = Q(
+    "q292_kmv_error",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .withColumn("price_c",
+          round($"l_extendedprice" * 100).cast("long"))
+        .withColumn("_rid",
+          concat_ws("#", $"l_orderkey", $"l_linenumber", $"price_c"))
+        .withColumnRenamed("l_returnflag", "flag")
+      val est = Analytics.kmvQuantiles(li, Seq("flag"), "_rid", "price_c",
+        k = 64, qsPct = Seq(50, 90, 99))
+      val dis = li.select($"flag", $"l_orderkey", $"l_linenumber",
+        $"price_c").distinct()
+      val w = Window.partitionBy($"flag")
+      val exact = dis
+        .withColumn("_rn", row_number().over(
+          w.orderBy($"price_c", $"l_orderkey", $"l_linenumber")))
+        .withColumn("_n", count(lit(1)).over(w))
+        .groupBy($"flag")
+        .agg(count(lit(1)).as("n_rows"),
+          max(when(expr("_rn = (50 * (_n - 1)) div 100 + 1"),
+            $"price_c")).as("exact50"),
+          max(when(expr("_rn = (90 * (_n - 1)) div 100 + 1"),
+            $"price_c")).as("exact90"),
+          max(when(expr("_rn = (99 * (_n - 1)) div 100 + 1"),
+            $"price_c")).as("exact99"))
+      est.join(exact, Seq("flag"))
+        .select($"flag", $"n_rows", $"n_sample",
+          $"exact50", $"q50".as("est50"),
+          expr("(1000000 * abs(q50 - exact50)) div exact50")
+            .as("err50_ppm"),
+          $"exact90", $"q90".as("est90"),
+          expr("(1000000 * abs(q90 - exact90)) div exact90")
+            .as("err90_ppm"),
+          $"exact99", $"q99".as("est99"),
+          expr("(1000000 * abs(q99 - exact99)) div exact99")
+            .as("err99_ppm"))
+        .orderBy($"flag")
+    },
+    Some("""WITH h AS (SELECT DISTINCT l_returnflag AS flag,
+          CAST('0x' || substr(md5(l_orderkey::VARCHAR || '#' ||
+            l_linenumber::VARCHAR || '#' ||
+            CAST(round(l_extendedprice * 100.0) AS BIGINT)::VARCHAR),
+            1, 15) AS BIGINT) AS hh,
+          CAST(round(l_extendedprice * 100.0) AS BIGINT) AS v
+        FROM lineitem),
+      r AS (SELECT flag, hh, v, row_number()
+          OVER (PARTITION BY flag ORDER BY hh) AS rn FROM h),
+      sk AS (SELECT flag, v FROM r WHERE rn <= 64),
+      o AS (SELECT flag, v,
+          row_number() OVER (PARTITION BY flag ORDER BY v) AS vr,
+          count(*) OVER (PARTITION BY flag) AS ns FROM sk),
+      est AS (SELECT flag, CAST(max(ns) AS BIGINT) AS n_sample,
+          max(CASE WHEN vr = (50*(ns-1))//100 + 1 THEN v END) AS est50,
+          max(CASE WHEN vr = (90*(ns-1))//100 + 1 THEN v END) AS est90,
+          max(CASE WHEN vr = (99*(ns-1))//100 + 1 THEN v END) AS est99
+        FROM o GROUP BY flag),
+      dis AS (SELECT DISTINCT l_returnflag AS flag, l_orderkey,
+          l_linenumber,
+          CAST(round(l_extendedprice * 100.0) AS BIGINT) AS v
+        FROM lineitem),
+      ex0 AS (SELECT flag, v, row_number() OVER (PARTITION BY flag
+            ORDER BY v, l_orderkey, l_linenumber) AS rn,
+          count(*) OVER (PARTITION BY flag) AS n FROM dis),
+      exact AS (SELECT flag, CAST(max(n) AS BIGINT) AS n_rows,
+          max(CASE WHEN rn = (50*(n-1))//100 + 1 THEN v END) AS exact50,
+          max(CASE WHEN rn = (90*(n-1))//100 + 1 THEN v END) AS exact90,
+          max(CASE WHEN rn = (99*(n-1))//100 + 1 THEN v END) AS exact99
+        FROM ex0 GROUP BY flag)
+      SELECT e.flag, n_rows, n_sample,
+        exact50, est50,
+        CAST((1000000 * abs(est50 - exact50)) // exact50 AS BIGINT)
+          AS err50_ppm,
+        exact90, est90,
+        CAST((1000000 * abs(est90 - exact90)) // exact90 AS BIGINT)
+          AS err90_ppm,
+        exact99, est99,
+        CAST((1000000 * abs(est99 - exact99)) // exact99 AS BIGINT)
+          AS err99_ppm
+      FROM exact e JOIN est USING (flag) ORDER BY flag"""),
+    doc = "[NS] KMV quantile sketch vs exact order stats: measured error per percentile")
+
   /** [NS] — robust outlier gate (q167): Hampel filter per event type —
     * |x − median| > 3·MAD ([[graft.operators.Analytics.madOutliers]]).
     * The mean/stddev gate (q82) has breakdown point 0: one wild spike
@@ -2085,5 +2179,5 @@ object OpsQueries {
     q223ErrorSamples, q224Journeys, q228TokenDrift, q238JoinAudit,
     q242JoinViewDelta, q243Cuped, q247Benford, q248DiffInDiff,
     q257Conformal, q260SkewReport, q261SampleSize, q262Rfm,
-    q263FkSweep)
+    q263FkSweep, q292KmvError)
 }
