@@ -1467,15 +1467,30 @@ object Curation {
     // both the frequency aggregate and the verdict join read this —
     // pin it once, or the (possibly expensive — q227 chains extraction)
     // upstream recomputes per branch (bm25TopK's q83 pattern)
-    val lines = df
-      .select(col(idCol),
+    val lines = lineFrame(df, idCol, textCol).localCheckpoint(true)
+    val freq = lines.groupBy(col("_h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+    cleanFromLineFreq(lines, freq, idCol, maxDocs)
+  }
+
+  /** Per-line explode shared by [[dedupCorpusLines]] and the stored
+    * [[LineIndex]] lifecycle: (idCol, _p position, _line, _h = md5). */
+  private[operators] def lineFrame(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("_p", "_line")))
       .filter(length(col("_line")) > 0)
       .withColumn("_h", md5(col("_line")))
-      .localCheckpoint(true)
-    val freq = lines.groupBy(col("_h"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
-    lines.join(freq, Seq("_h"))
+
+  /** The verdict-join tail shared by [[dedupCorpusLines]] (freq from
+    * the same frame — complete, so the left join behaves as the inner
+    * it used to be) and [[LineIndex.serve]] (freq from the STORED
+    * table — a line the index has never seen coalesces to 0 stored
+    * docs and is kept, the right default for fresh content). */
+  private[operators] def cleanFromLineFreq(lines: DataFrame,
+      freq: DataFrame, idCol: String, maxDocs: Long): DataFrame =
+    lines.join(freq, Seq("_h"), "left")
+      .withColumn("_nd", coalesce(col("_nd"), lit(0L)))
       .groupBy(col(idCol))
       .agg(
         array_join(expr(
@@ -1488,7 +1503,6 @@ object Curation {
           .as("dropped_lines"))
       .select(col(idCol), col("clean_text"), col("kept_lines"),
         col("dropped_lines"))
-  }
 
   /** SQL twin of [[extractText]] for the DuckDB oracle: the same kernels
     * over a table expression exposing (idExpr, htmlExpr). Kept beside the

@@ -1150,6 +1150,59 @@ object CurationQueries {
     },
     doc = "[NS] C4-style corpus-level line dedup chained onto extraction")
 
+  /** [NS] — stored line-frequency index serving (q293): the
+    * [[graft.operators.LineIndex]] lifecycle closing the last
+    * recompute-per-run gap in the boilerplate stage. The line
+    * document-frequency table is built ONCE (fingerprinted — bench
+    * repeats and re-verification skip the corpus pass) and q227's
+    * clean is served from the STORED (_h, _nd) rows: the corpus
+    * appears in the plan only as the batch being cleaned, never as a
+    * frequency source. The served batch is a 10% doc slice — the
+    * production shape: an incoming crawl batch cleaned against the
+    * ARCHIVE's frequencies (which its own 50-doc slice could never
+    * reveal — the boilerplate verdicts here are corpus-frequency
+    * verdicts). Serving cost is batch-sized + one narrow stored-table
+    * scan; the corpus-sized frequency pass happens once, at build.
+    * The oracle counts frequencies over the FULL corpus and cleans
+    * the slice — exactly build-on-corpus + serve-on-batch. */
+  val q293LineIndexServe = Q(
+    "q293_line_index_serve",
+    (s, d) => {
+      import s.implicits._
+      val ex = Curation.extractText(
+        DocQueries.crawlPage(Tables.documents(s, d)), "doc_id", "html")
+      val dir = graft.operators.LineIndex.defaultDir(d + "#lines")
+      graft.operators.LineIndex.buildIfAbsent(ex, "doc_id",
+        "clean_text", dir, corpusTag = d + "#lines")
+      graft.operators.LineIndex.serve(s,
+        ex.filter($"doc_id" % 10 === 0), "doc_id", "clean_text",
+        dir, maxDocs = 30L)
+        .orderBy($"doc_id")
+    },
+    Some {
+      val exSql = Curation.extractTextSql("documents", "doc_id",
+        DocQueries.crawlPageHtmlSql, "doc_id")
+      s"""WITH sp AS (SELECT doc_id,
+            string_split(clean_text, chr(10)) AS ln FROM ($exSql) e),
+        l AS (SELECT doc_id, t.p AS p, ln[t.p] AS line
+          FROM sp, unnest(generate_series(1, len(ln))) AS t(p)
+          WHERE length(ln[t.p]) > 0),
+        f AS (SELECT md5(line) AS h, count(DISTINCT doc_id) AS nd
+          FROM l GROUP BY 1),
+        j AS (SELECT doc_id, p, line, nd
+          FROM l JOIN f ON md5(line) = f.h
+          WHERE doc_id % 10 = 0)
+        SELECT doc_id,
+          coalesce(string_agg(CASE WHEN nd <= 30 THEN line END, chr(10)
+            ORDER BY p), '') AS clean_text,
+          CAST(count(CASE WHEN nd <= 30 THEN 1 END) AS BIGINT)
+            AS kept_lines,
+          CAST(count(CASE WHEN nd > 30 THEN 1 END) AS BIGINT)
+            AS dropped_lines
+        FROM j GROUP BY doc_id ORDER BY doc_id"""
+    },
+    doc = "[NS] line-dedup from the STORED frequency table: serve without the corpus")
+
   /** [NS] — composed crawl-ingest funnel (q215): the full pretraining
     * ingest chain in one oracle-checked query — synthesize crawl pages
     * ([[DocQueries.crawlPage]], q208's fixture), EXTRACT
@@ -2340,5 +2393,6 @@ object CurationQueries {
     q245LmBinnedSample, q249TokenizerFertility, q264GopherRules,
     q267IndexRemove, q269Repetition, q273Ndcg, q276Curriculum,
     q277TemperatureMix, q282EncodingAudit, q283PaddingWaste,
-    q285ContextFit, q286EpochAdvisor, q291SampleCert)
+    q285ContextFit, q286EpochAdvisor, q291SampleCert,
+    q293LineIndexServe)
 }

@@ -1153,4 +1153,43 @@ class CurationSpec extends AnyFunSuite {
     // c: no unique supply — epochs undefined, all 5 wanted tokens excess
     assert(got("c") === ((-1L, true, 0L, 5L)))
   }
+
+  test("LineIndex lifecycle: stored serve == in-query dedupCorpusLines; " +
+      "disjoint-batch merge == rebuild; replay no-op; unseen lines kept") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.operators.LineIndex
+    val dir = Files.createTempDirectory("graft_lineidx").toString
+    val a = Seq((1L, "keep1\nboiler"), (2L, "keep2\nboiler"))
+      .toDF("doc_id", "text")
+    LineIndex.build(a, "doc_id", "text", dir)
+
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // built on A, served on A: equals the in-query operator
+    assert(dump(LineIndex.serve(spark, a, "doc_id", "text", dir, 1L)) ===
+      dump(Curation.dedupCorpusLines(a, "doc_id", "text", 1L)))
+
+    // doc-disjoint merge equals a from-scratch rebuild of A ∪ B
+    val b = Seq((3L, "keep3\nboiler")).toDF("doc_id", "text")
+    LineIndex.mergeBatch(spark, b, "doc_id", "text", dir, epoch = 1L)
+    val scratch = Files.createTempDirectory("graft_lineidx_s").toString
+    LineIndex.build(a.unionByName(b), "doc_id", "text", scratch)
+    assert(dump(LineIndex.storedFreq(spark, dir)) ===
+      dump(LineIndex.storedFreq(spark, scratch)),
+      "merged table must equal the rebuilt table")
+
+    // replayed epoch: generation must not advance, table unchanged
+    val genBefore = graft.operators.TextIndex.current(dir)._1
+    LineIndex.mergeBatch(spark, b, "doc_id", "text", dir, epoch = 1L)
+    assert(graft.operators.TextIndex.current(dir)._1 === genBefore,
+      "replayed epoch must be a no-op")
+
+    // serving fresh content: unseen line kept, stored boilerplate dropped
+    val probe = Seq((9L, "fresh\nboiler")).toDF("doc_id", "text")
+    val got = LineIndex.serve(spark, probe, "doc_id", "text", dir, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((9L, "fresh", 1L, 1L)))
+  }
 }
