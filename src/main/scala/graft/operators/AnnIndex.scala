@@ -422,6 +422,60 @@ object AnnIndex {
       .parquet(codesPath(dir))
   }
 
+  /** [NS] — codebook DISTORTION audit: how well do the stored
+    * quantizers still fit the vectors they encode? For every stored
+    * code, the exact 1e6-scaled integer L2 between the vector's
+    * subspace slice and its assigned codeword (no argmin — the STORED
+    * assignment is measured, so the audit is pure deterministic
+    * arithmetic), summed per vector and aggregated per IVF list:
+    *   n_vecs / mean_d2 / max_d2   per-centroid reconstruction error
+    *   global_mean_d2              corpus-wide mean (same every row)
+    *   refit                       mean_d2 > 2 × global mean — the
+    *                               list whose codewords no longer
+    *                               represent its residents
+    * Completes the ANN ops triptych: [[stalenessAudit]] says the
+    * TRAFFIC moved, q259 says what recall costs, this says the
+    * CODEBOOKS rotted — the three reasons to retrain, each measured.
+    * Cost: one corpus scan × broadcast codebooks joined to the stored
+    * codes on (id, sub); everything after is k rows. */
+  def distortionAudit(spark: SparkSession, dir: String,
+      corpus: DataFrame, idCol: String, vecCol: String, m: Int,
+      subDim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cbs = spark.read.parquet(codebooksPath(dir))
+    val codes = spark.read.parquet(codesPath(dir))
+      .select(col(idCol), col("sub"), col("code"), col("centroid"))
+    val subs = corpus.select(col(idCol),
+      posexplode(array((0 until m).map(s =>
+        slice(Similarity.vecD(col(vecCol)), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "sv")))
+    val tot = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    subs.join(codes, Seq(idCol, "sub"))
+      .join(broadcast(cbs.select(col("sub"), col("c_id").as("code"),
+        col("cv"))), Seq("sub", "code"))
+      .withColumn("d2i", expr(
+        "aggregate(zip_with(sv, cv, (a, b) -> " +
+          "(CAST(round(a * 1000000) AS BIGINT) - " +
+          "CAST(round(b * 1000000) AS BIGINT)) * " +
+          "(CAST(round(a * 1000000) AS BIGINT) - " +
+          "CAST(round(b * 1000000) AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .groupBy(col(idCol), col("centroid"))
+      .agg(sum(col("d2i")).as("vd2"))
+      .groupBy(col("centroid"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("vd2")).as("_t"),
+        max(col("vd2")).as("max_d2"))
+      .withColumn("mean_d2", expr("_t div n_vecs"))
+      .withColumn("_gt", sum(col("_t")).over(tot))
+      .withColumn("_gn", sum(col("n_vecs")).over(tot))
+      .withColumn("global_mean_d2", expr("_gt div _gn"))
+      .withColumn("refit", expr("mean_d2 > 2 * global_mean_d2"))
+      .select(col("centroid").cast("long").as("centroid"),
+        col("n_vecs"), col("mean_d2"), col("max_d2"),
+        col("global_mean_d2"), col("refit"))
+  }
+
   /** [NS] — index STALENESS audit: is the stored index's geometry still
     * representative of current traffic? Retraining is a deliberate
     * offline decision (see [[appendBatch]]); this is the monitor that

@@ -95,6 +95,15 @@ object LineIndex {
     TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
   }
 
+  /** [NS] — Structured Streaming ingest hook: each doc-disjoint
+    * micro-batch folds into the stored table via [[mergeBatch]] with
+    * batchId as the epoch, so checkpoint-replayed deliveries are
+    * no-ops (the [[RecModel.foreachBatchMerge]] protocol). */
+  def foreachBatchMerge(spark: SparkSession, dir: String, idCol: String,
+      textCol: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      mergeBatch(spark, batch, idCol, textCol, dir, epoch = batchId)
+
   /** Clean `batch` against the STORED line frequencies only — zero
     * archive scans in the plan; unseen lines are kept. */
   def serve(spark: SparkSession, batch: DataFrame, idCol: String,

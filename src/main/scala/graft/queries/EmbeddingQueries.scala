@@ -766,6 +766,76 @@ object EmbeddingQueries {
       FROM g ORDER BY centroid"""),
     doc = "[NS] ANN staleness: batch-vs-stored list population TVD, retrain trigger")
 
+  /** [NS] — codebook distortion audit (q294):
+    * [[graft.operators.AnnIndex.distortionAudit]] over q107's stored
+    * index — the exact 1e6-scaled integer L2 between every vector's
+    * subspace slices and their STORED codewords (no argmin: the stored
+    * assignment is measured), aggregated per IVF list with the
+    * corpus-wide mean and a refit flag. Completes the ANN ops
+    * triptych: q288 population drift, q259 measured recall, q294
+    * codebook fit. The oracle retrains from scratch (the q96/q107
+    * training CTEs — which q107 certifies equal the stored artifacts)
+    * and replays the same integer distortion arithmetic. */
+  val q294Distortion = Q(
+    "q294_codebook_distortion",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.orderBy($"vec_id").limit(8)
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val dir = graft.operators.AnnIndex.defaultDir(d)
+      graft.operators.AnnIndex.buildIfAbsent(e, "vec_id", "embedding",
+        cents, m = pqM, subDim = pqSubDim, ksub = pqKsub, iters = pqIters,
+        dir = dir, corpusTag = d, metaCols = Seq("label"))
+      graft.operators.AnnIndex.distortionAudit(s, dir, e, "vec_id",
+        "embedding", m = pqM, subDim = pqSubDim)
+        .orderBy($"centroid")
+    },
+    Some {
+      val dSubs = (0 until pqM).map { sub =>
+        val lo = sub * pqSubDim + 1
+        s"""d$sub AS (SELECT k.vec_id, CAST(list_sum(list_transform(
+            range(1, ${pqSubDim + 1}),
+            i -> (CAST(round(es.sv[i] * 1e6) AS BIGINT)
+                - CAST(round(cb.cv[i] * 1e6) AS BIGINT))
+              * (CAST(round(es.sv[i] * 1e6) AS BIGINT)
+                - CAST(round(cb.cv[i] * 1e6) AS BIGINT))))
+            AS BIGINT) AS d2i
+          FROM k$sub k JOIN e$sub es USING (vec_id)
+            JOIN c${sub}_$pqIters cb ON cb.c_id = k.code)"""
+      }.mkString(",\n      ")
+      val dUnion = (0 until pqM).map(sub =>
+        s"SELECT vec_id, d2i FROM d$sub").mkString("\n        UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e
+          ORDER BY vec_id DESC LIMIT 1),
+        dims AS (SELECT unnest(range(1, ${pqSubDim + 1})) AS i),
+        c AS (SELECT vec_id AS c_id, v AS cv FROM e
+          ORDER BY vec_id LIMIT 8),
+        assigned AS (SELECT e.vec_id,
+            first(c.c_id ORDER BY round(${cosSql("e.v", "c.cv")}, 6)
+              DESC, c.c_id ASC) AS centroid
+          FROM e, c GROUP BY e.vec_id),
+        ${(0 until pqM).map(pqSubspaceSql(_, pqSubDim, pqKsub, pqIters))
+          .mkString(",\n        ")},
+        $dSubs,
+        du AS ($dUnion),
+        pv AS (SELECT vec_id, CAST(sum(d2i) AS BIGINT) AS vd2
+          FROM du GROUP BY 1),
+        pc AS (SELECT a.centroid, CAST(count(*) AS BIGINT) AS n_vecs,
+            sum(p.vd2) AS t, CAST(max(p.vd2) AS BIGINT) AS max_d2
+          FROM pv p JOIN assigned a USING (vec_id) GROUP BY 1),
+        g AS (SELECT *, sum(t) OVER () AS gt,
+            sum(n_vecs) OVER () AS gn FROM pc)
+        SELECT CAST(centroid AS BIGINT) AS centroid, n_vecs,
+          CAST(t // n_vecs AS BIGINT) AS mean_d2, max_d2,
+          CAST(gt // gn AS BIGINT) AS global_mean_d2,
+          (t // n_vecs) > 2 * (gt // gn) AS refit
+        FROM g ORDER BY centroid"""
+    },
+    doc = "[NS] PQ reconstruction error per IVF list: the codebook-rot retrain trigger")
+
   /** q169's oracle rounds, unrolled: cN selects the farthest point from
     * the first N−1 centers, dN folds its distance into the running
     * min-distance state. Exact integer L2 on the 1e6-scaled components —
@@ -1476,5 +1546,5 @@ object EmbeddingQueries {
     q169KCenter, q179MmrRerank, q187RetrieveDiversify,
     q235EmbeddingExpectations, q251TopDirection, q252AbttEnergy,
     q256LabelNoise, q258Int8Recall, q259AnnRecall, q268AnnRemove,
-    q288IndexStaleness)
+    q288IndexStaleness, q294Distortion)
 }

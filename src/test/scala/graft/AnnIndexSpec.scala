@@ -230,4 +230,36 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(ok(100L) === ((0L, 0L, false)))
     assert(ok(200L) === ((0L, 0L, false)))
   }
+
+  test("distortionAudit: hand-computed integer reconstruction error; " +
+      "the heterogeneous small list trips refit, the uniform one not") {
+    import spark.implicits._
+    def v(a: Double, b: Double) =
+      Array(a, b, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    // list c100: two far-apart vectors (ids 1, 2 also seed the PQ
+    // init); list c200: eight identical vectors
+    val corpus = (Seq((1L, v(10, 1)), (2L, v(30, 5))) ++
+      (11L to 18L).map(id => (id, v(1, 10))))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, v(1, 0)), (200L, v(0, 1)))
+      .toDF("c_id", "cv")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annidx_dist").toString
+    AnnIndex.build(corpus, "vec_id", "embedding", cents,
+      m = 2, subDim = 4, ksub = 2, iters = 1, dir)
+    val got = AnnIndex.distortionAudit(spark, dir, corpus, "vec_id",
+      "embedding", m = 2, subDim = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    // PQ sub-0 Lloyd: cw1 = mean{(10,1),(1,10)x8} = (2,9,0,0),
+    // cw2 = (30,5,0,0). Encodings: (10,1)->cw1 d2 = (8e6)^2+(8e6)^2 =
+    // 128e12; (30,5)->cw2 exact; (1,10)->cw1 d2 = 2e12. Sub-1 slices
+    // are all zeros -> zero. c100: mean 128e12 div 2, c200: 2e12.
+    // global = 144e12 div 10 = 14.4e12; only c100 exceeds 2x global.
+    assert(got(100L) === ((2L, 64000000000000L, 128000000000000L,
+      14400000000000L, true)), got(100L).toString)
+    assert(got(200L) === ((8L, 2000000000000L, 2000000000000L,
+      14400000000000L, false)), got(200L).toString)
+  }
 }

@@ -670,4 +670,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"scan reads pruned columns:\n$p")
   }
+
+  test("q293 line-index serving: the corpus appears once (the batch " +
+      "being cleaned) and frequencies come from the stored lines " +
+      "table — the archive is never re-counted in-plan") {
+    val p = plan("q293_line_index_serve")
+    val first = p.indexOf("documents.parquet")
+    assert(first >= 0 && p.indexOf("documents.parquet", first + 1) < 0,
+      s"expected only the batch's documents scan:\n$p")
+    assert(p.contains("lines"),
+      s"stored line-frequency table not in the serving plan:\n$p")
+  }
 }

@@ -1156,6 +1156,74 @@ class StreamingSpec extends AnyFunSuite {
       "streamed merges must equal the from-scratch model")
   }
 
+  test("streaming line-index ingest: foreachBatchMerge folds " +
+      "doc-disjoint crawl batches into the stored frequency table " +
+      "across a restart; replays are no-ops; the folded table equals " +
+      "a from-scratch build and serves the same verdicts") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.operators.LineIndex
+    import spark.implicits._
+
+    val srcDir = Files.createTempDirectory("li_src").toString
+    val ckpt = Files.createTempDirectory("li_ckpt").toString
+    val idxDir = Files.createTempDirectory("li_idx").toString
+    val seed = Seq((1L, "alpha\nboiler"), (2L, "beta\nboiler"))
+      .toDF("doc_id", "text")
+    LineIndex.build(seed, "doc_id", "text", idxDir)
+
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(LineIndex.foreachBatchMerge(spark, idxDir,
+          "doc_id", "text"))
+        .start()
+      q.awaitTermination()
+    }
+    def row(id: Long, t: String): String =
+      s"""{"doc_id":$id,"text":"$t"}"""
+
+    Files.write(Paths.get(srcDir, "b1.json"), Seq(
+      row(3L, "gamma\\nboiler"), row(4L, "delta\\nboiler")
+    ).mkString("\n").getBytes("UTF-8"))
+    runOnce()
+    // full restart with a second file: new epoch folds on top
+    Files.write(Paths.get(srcDir, "b2.json"), Seq(
+      row(5L, "epsilon\\nboiler")
+    ).mkString("\n").getBytes("UTF-8"))
+    runOnce()
+
+    // replaying a committed epoch must not touch state
+    val genBefore = graft.operators.TextIndex.current(idxDir)
+    LineIndex.mergeBatch(spark, Seq((9L, "zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", idxDir, epoch = genBefore._2)
+    assert(graft.operators.TextIndex.current(idxDir) === genBefore,
+      "replayed epoch must be a no-op")
+
+    val allDocs = seed.unionByName(Seq((3L, "gamma\nboiler"),
+      (4L, "delta\nboiler"), (5L, "epsilon\nboiler"))
+      .toDF("doc_id", "text"))
+    val scratch = Files.createTempDirectory("li_scratch").toString
+    LineIndex.build(allDocs, "doc_id", "text", scratch)
+    def freq(dir: String) = LineIndex.storedFreq(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(freq(idxDir) === freq(scratch),
+      "streamed folds must equal the from-scratch table")
+    // and the served verdict reflects the streamed state: boiler is in
+    // 5 docs, so with maxDocs = 4 a fresh probe keeps only its own line
+    val got = LineIndex.serve(spark,
+        Seq((10L, "fresh\nboiler")).toDF("doc_id", "text"),
+        "doc_id", "text", idxDir, maxDocs = 4L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq((10L, "fresh", 1L, 1L)))
+  }
+
   test("streaming importance gate: stored-model scoring folds into " +
       "durable band state across restarts; fold equals the batch twin " +
       "of the union; a replayed epoch changes nothing") {
