@@ -1479,6 +1479,56 @@ object Analytics {
     }
   }
 
+  /** [NS] — join-ORDER advisor: [[joinAudit]] predicts one join's
+    * output; this prices both orders of a bridge-table chain
+    * (left ⋈ bridge ⋈ right, e.g. lineitem ⋈ orders ⋈ customer)
+    * WITHOUT running either: from the two key-count tables and one
+    * bridge scan,
+    *   first_join_rows  exact Σ-of-products cardinality of doing that
+    *                    side first (the intermediate a bad order
+    *                    materializes and re-shuffles)
+    *   final_rows       exact three-way output (identical both ways —
+    *                    also the correctness cross-check)
+    *   recommended      the order with the smaller intermediate
+    * All sums in decimal(38,0) (the q238 convention — products
+    * overflow long at 10⁹-row scale). Cost: one aggregate per side
+    * table + one bridge scan against two (usually broadcast) count
+    * frames. This is the estimate a cost-based optimizer makes from
+    * statistics, computed EXACTLY — useful both to pick the order and
+    * to audit what the optimizer chose. */
+  def joinOrderAdvisor(bridge: DataFrame, leftKey: String,
+      rightKey: String, left: DataFrame, leftJoinKey: String,
+      right: DataFrame, rightJoinKey: String): DataFrame = {
+    val lc = left.groupBy(col(leftJoinKey).as("_lk"))
+      .agg(count(lit(1)).as("_lc"))
+    val rc = right.groupBy(col(rightJoinKey).as("_rk"))
+      .agg(count(lit(1)).as("_rc"))
+    val t = bridge.select(col(leftKey).as("_lk"), col(rightKey).as("_rk"))
+      .join(lc, Seq("_lk"), "left")
+      .join(rc, Seq("_rk"), "left")
+      .withColumn("_lc", coalesce(col("_lc"), lit(0L)))
+      .withColumn("_rc", coalesce(col("_rc"), lit(0L)))
+      .agg(
+        sum(col("_lc").cast("decimal(38,0)")).as("_bl"),
+        sum(col("_rc").cast("decimal(38,0)")).as("_br"),
+        sum((col("_lc").cast("decimal(38,0)") *
+          col("_rc").cast("decimal(38,0)"))).as("_fin"))
+    val sp = bridge.sparkSession
+    import sp.implicits._
+    Seq("left_first", "right_first").toDF("plan_name")
+      .crossJoin(broadcast(t))
+      .withColumn("first_join_rows", expr(
+        "CAST(CASE WHEN plan_name = 'left_first' THEN _bl ELSE _br END " +
+          "AS BIGINT)"))
+      .withColumn("final_rows", expr("CAST(_fin AS BIGINT)"))
+      .withColumn("recommended",
+        col("first_join_rows") === min(col("first_join_rows")).over(
+          Window.partitionBy(lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("plan_name"), col("first_join_rows"),
+        col("final_rows"), col("recommended"))
+  }
+
   /** [NS] — sample representativeness certificate: does a sample
     * preserve the corpus's distribution over `keyCol`? Per key:
     * corpus/sample populations, exact ppm shares, the signed share

@@ -786,6 +786,46 @@ object OpsQueries {
       FROM exact e JOIN est USING (flag) ORDER BY flag"""),
     doc = "[NS] KMV quantile sketch vs exact order stats: measured error per percentile")
 
+  /** [NS] — join-order advisor (q295):
+    * [[graft.operators.Analytics.joinOrderAdvisor]] pricing both
+    * orders of lineitem ⋈ orders ⋈ customer from key counts alone —
+    * lineitem-first materializes a |lineitem|-sized intermediate,
+    * customer-first an |orders|-sized one; the advisor computes both
+    * EXACTLY (decimal Σ-of-products, the q238 convention) plus the
+    * identical three-way final count, and recommends the smaller
+    * intermediate. The statistics estimate a cost-based optimizer
+    * makes, computed exactly — and the audit for what AQE chose. */
+  val q295JoinOrder = Q(
+    "q295_join_order",
+    (s, d) => {
+      import s.implicits._
+      Analytics.joinOrderAdvisor(
+        Tables.orders(s, d), "o_orderkey", "o_custkey",
+        Tables.lineitem(s, d), "l_orderkey",
+        Tables.customer(s, d), "c_custkey")
+        .orderBy($"plan_name")
+    },
+    Some("""WITH lc AS (SELECT l_orderkey AS k,
+          CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+      rc AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS c
+        FROM customer GROUP BY 1),
+      j AS (SELECT coalesce(lc.c, 0) AS lcnt, coalesce(rc.c, 0) AS rcnt
+        FROM orders o LEFT JOIN lc ON lc.k = o.o_orderkey
+          LEFT JOIN rc ON rc.k = o.o_custkey),
+      t AS (SELECT CAST(sum(lcnt) AS HUGEINT) AS bl,
+          CAST(sum(rcnt) AS HUGEINT) AS br,
+          CAST(sum(lcnt::HUGEINT * rcnt) AS HUGEINT) AS fin FROM j),
+      u AS (SELECT 'left_first' AS plan_name, bl AS first_join_rows,
+          fin AS final_rows FROM t
+        UNION ALL
+        SELECT 'right_first', br, fin FROM t)
+      SELECT plan_name, CAST(first_join_rows AS BIGINT)
+          AS first_join_rows,
+        CAST(final_rows AS BIGINT) AS final_rows,
+        first_join_rows = min(first_join_rows) OVER () AS recommended
+      FROM u ORDER BY plan_name"""),
+    doc = "[NS] both join orders priced exactly from key counts; smaller intermediate wins")
+
   /** [NS] — robust outlier gate (q167): Hampel filter per event type —
     * |x − median| > 3·MAD ([[graft.operators.Analytics.madOutliers]]).
     * The mean/stddev gate (q82) has breakdown point 0: one wild spike
@@ -2179,5 +2219,5 @@ object OpsQueries {
     q223ErrorSamples, q224Journeys, q228TokenDrift, q238JoinAudit,
     q242JoinViewDelta, q243Cuped, q247Benford, q248DiffInDiff,
     q257Conformal, q260SkewReport, q261SampleSize, q262Rfm,
-    q263FkSweep, q292KmvError)
+    q263FkSweep, q292KmvError, q295JoinOrder)
 }

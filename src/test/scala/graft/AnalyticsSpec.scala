@@ -908,4 +908,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(skew("c") ===
       ((2L, 2L, 200000L, 500000L, 300000L, 350000L, false)))
   }
+
+  test("joinOrderAdvisor: both intermediates and the final count " +
+      "hand-exact; smaller intermediate recommended") {
+    import spark.implicits._
+    // bridge (lk, rk); left matches lk 1->2 rows, 3->1; right matches
+    // rk 10->3 rows. left-first: 2+0+1 = 3; right-first: 3+3+0 = 6;
+    // final: 2*3 + 0*3 + 1*0 = 6.
+    val bridge = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("lk", "rk")
+    val left = Seq((1L, "a"), (1L, "b"), (3L, "c")).toDF("k", "v")
+    val right = Seq((10L, "x"), (10L, "y"), (10L, "z")).toDF("k", "v")
+    val got = graft.operators.Analytics
+      .joinOrderAdvisor(bridge, "lk", "rk", left, "k", right, "k")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got("left_first") === ((3L, 6L, true)))
+    assert(got("right_first") === ((6L, 6L, false)))
+  }
 }
