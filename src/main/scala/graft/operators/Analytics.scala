@@ -1529,6 +1529,38 @@ object Analytics {
         col("final_rows"), col("recommended"))
   }
 
+  /** [NS] — rank-biased overlap curve (Webber et al. 2010): given two
+    * ranked lists as (term, ra) / (term, rb) frames and per-depth ppm
+    * weights (hardcoded, summing to 10⁶ — the Benford convention for
+    * transcendental p-powers), emits per depth d: the lists' top-d
+    * overlap, the weighted agreement term (w·ov) div d, and the
+    * cumulative RBO@d. Identical lists score exactly 10⁶ at full
+    * depth (AnalyticsSpec pins it — the weight-normalization check).
+    * Everything after the inputs is |depths| rows. */
+  def rboCurve(a: DataFrame, b: DataFrame, wts: Seq[Long]): DataFrame = {
+    val sp = a.sparkSession
+    import sp.implicits._
+    val depths = wts.zipWithIndex.map { case (w, i) => (i + 1, w) }
+      .toDF("depth", "w_ppm")
+    val pairs = a.join(b, Seq("term"))
+    depths.join(pairs,
+        col("ra") <= col("depth") && col("rb") <= col("depth"), "left")
+      .groupBy(col("depth"), col("w_ppm"))
+      .agg(count(col("term")).as("overlap"))
+      .withColumn("term_ppm", expr("(w_ppm * overlap) div depth"))
+      .withColumn("rbo_cum_ppm",
+        sum(col("term_ppm")).over(Window.orderBy(col("depth"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("depth"), col("w_ppm"), col("overlap"),
+        col("term_ppm"), col("rbo_cum_ppm"))
+  }
+
+  /** The p=0.9, k=10 RBO depth weights in ppm — p^(d−1) normalized to
+    * sum to exactly 10⁶ (the last weight absorbs the 26 ppm rounding
+    * residue, largest-remainder style). */
+  val rboWeightsP90K10: Seq[Long] = Seq(153538L, 138184L, 124366L,
+    111929L, 100736L, 90663L, 81596L, 73437L, 66093L, 59458L)
+
   /** [NS] — sample representativeness certificate: does a sample
     * preserve the corpus's distribution over `keyCol`? Per key:
     * corpus/sample populations, exact ppm shares, the signed share

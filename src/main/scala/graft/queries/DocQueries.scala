@@ -2328,6 +2328,69 @@ object DocQueries {
       $groupMatrixTailSql"""),
     doc = "[NS] which sources near-duplicate each other: pair matrix by source")
 
+  /** [NS] — ranking-stability audit via rank-biased overlap (q296):
+    * Webber et al. 2010's top-weighted list-similarity between the
+    * top-10 term rankings of two corpus snapshots (even vs odd
+    * doc_ids). q228 measures SHARE drift per token; RBO measures
+    * whether the head of the frequency ranking — the part retrieval
+    * and vocabulary decisions key on — is stable, discounting
+    * disagreement deeper in the list. The p=0.9 depth weights
+    * w_d ∝ p^(d−1), normalized to sum to 10⁶ exactly (last weight
+    * absorbs the 26 ppm rounding residue — the largest-remainder
+    * convention), are HARDCODED identically in both engines (the
+    * Benford rule: transcendentals are pinned, never computed).
+    * Per depth: both lists' overlap, the weighted agreement term
+    * (w·ov) div d, and the cumulative RBO@d curve — the q273 running
+    * readout, applied to ranking drift. One (half, term) count
+    * aggregate feeds everything; after the top-10 windows the frame
+    * is 10 rows. */
+  val q296RboStability = Q(
+    "q296_rbo_stability",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wts = graft.operators.Analytics.rboWeightsP90K10
+      val tf = Tables.documents(s, d)
+        .select(($"doc_id" % 2 === 0).as("half_a"),
+          explode(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+            .as("term"))
+        .groupBy($"half_a", $"term").agg(count(lit(1)).as("cnt"))
+      val ranked = tf
+        .withColumn("rk", row_number().over(Window.partitionBy($"half_a")
+          .orderBy($"cnt".desc, $"term".asc)))
+        .filter($"rk" <= 10)
+      val a = ranked.filter($"half_a").select($"term", $"rk".as("ra"))
+      val b = ranked.filter(!$"half_a").select($"term", $"rk".as("rb"))
+      graft.operators.Analytics.rboCurve(a, b, wts)
+        .orderBy($"depth")
+    },
+    Some("""WITH tf AS (SELECT (doc_id % 2 = 0) AS half_a, term,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+            x -> len(x) > 0)) AS term FROM documents) t
+        GROUP BY 1, 2),
+      rk AS (SELECT half_a, term, row_number() OVER (PARTITION BY half_a
+          ORDER BY cnt DESC, term) AS rk FROM tf),
+      a AS (SELECT term, rk AS ra FROM rk WHERE half_a AND rk <= 10),
+      b AS (SELECT term, rk AS rb FROM rk WHERE NOT half_a AND rk <= 10),
+      pairs AS (SELECT a.term, ra, rb FROM a JOIN b USING (term)),
+      wt AS (SELECT * FROM (VALUES (1, 153538), (2, 138184),
+        (3, 124366), (4, 111929), (5, 100736), (6, 90663), (7, 81596),
+        (8, 73437), (9, 66093), (10, 59458)) AS t(depth, w_ppm)),
+      ov AS (SELECT depth, CAST(w_ppm AS BIGINT) AS w_ppm,
+          CAST(count(p.term) AS BIGINT) AS overlap
+        FROM wt LEFT JOIN pairs p
+          ON p.ra <= wt.depth AND p.rb <= wt.depth
+        GROUP BY 1, 2),
+      f AS (SELECT depth, w_ppm, overlap,
+          CAST((w_ppm * overlap) // depth AS BIGINT) AS term_ppm
+        FROM ov)
+      SELECT depth, w_ppm, overlap, term_ppm,
+        CAST(sum(term_ppm) OVER (ORDER BY depth) AS BIGINT)
+          AS rbo_cum_ppm
+      FROM f ORDER BY depth"""),
+    doc = "[NS] rank-biased overlap of top-term rankings between corpus halves")
+
   /** Shared SQL twin of the hashed-importance scorer (q280 in-query and
     * q284 stored-serve must agree: same model, same scores). */
   private val importanceSql: String =
@@ -2422,5 +2485,5 @@ object DocQueries {
     q237ExtractionHealth, q240DedupRoi, q250FrameEnergy,
     q255DupCoverage, q272SourceAblation, q279MinhashError,
     q280Importance, q284ImportanceServe, q287LshAdvisor,
-    q289SplitLeakage, q290SourceDupMatrix)
+    q289SplitLeakage, q290SourceDupMatrix, q296RboStability)
 }

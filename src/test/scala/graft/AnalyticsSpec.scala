@@ -927,4 +927,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("left_first") === ((3L, 6L, true)))
     assert(got("right_first") === ((6L, 6L, false)))
   }
+
+  test("rboCurve: identical lists score exactly 1e6 at full depth " +
+      "(weights normalized); disjoint lists zero; partial hand case") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    val wts = Analytics.rboWeightsP90K10
+    assert(wts.sum === 1000000L, "weights must sum to exactly 1e6")
+    val ids = (1 to 10).map(i => (s"t$i", i))
+    val a = ids.toDF("term", "ra")
+    val same = Analytics.rboCurve(a, ids.toDF("term", "rb"), wts)
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(same(10) === 1000000L, s"identical lists: $same")
+    val other = (1 to 10).map(i => (s"u$i", i)).toDF("term", "rb")
+    val disj = Analytics.rboCurve(a, other, wts)
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(disj(10) === 0L)
+    // swap ranks 1 and 2 in b: overlap@1 = 0, overlap@d>=2 = d —
+    // rbo@10 = 1e6 - w1 (only depth 1 loses its full weight)
+    val swapped = (Seq(("t1", 2), ("t2", 1)) ++
+      (3 to 10).map(i => (s"t$i", i))).toDF("term", "rb")
+    val sw = Analytics.rboCurve(a, swapped, wts)
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(sw(10) === 1000000L - wts.head, sw.toString)
+  }
 }
