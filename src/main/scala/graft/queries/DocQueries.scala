@@ -2391,6 +2391,153 @@ object DocQueries {
       FROM f ORDER BY depth"""),
     doc = "[NS] rank-biased overlap of top-term rankings between corpus halves")
 
+  /** [NS] — dedup cluster-size profile (q297): the size histogram of
+    * q72's transitive near-dup clusters over the WHOLE corpus
+    * (unpaired docs count as singletons), with the corpus-level
+    * readouts an ops dashboard needs before running keep-best: what
+    * share of documents sit in multi-doc clusters (the dedup upside),
+    * and how big the giant component is (the mega-cluster alarm — a
+    * runaway giant means the banding threshold collapsed and keep-best
+    * would delete half the corpus). Per distinct size: cluster count,
+    * doc count, the global multi-doc ppm and giant size, and the
+    * is_giant flag. Everything after the CC fixpoint is
+    * |distinct sizes| rows. */
+  val q297ClusterProfile = Q(
+    "q297_cluster_profile",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4)
+      val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      val labs = docs.select($"doc_id".as("node"))
+        .join(cc, Seq("node"), "left")
+        .withColumn("rep", coalesce($"rep", $"node"))
+      val sizes = labs.groupBy($"rep").agg(count(lit(1)).as("csize"))
+      val tot = Window.partitionBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      sizes.groupBy($"csize")
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", $"csize" * $"n_clusters")
+        .withColumn("_td", sum($"n_docs").over(tot))
+        .withColumn("_md", sum(when($"csize" > 1, $"n_docs")
+          .otherwise(0L)).over(tot))
+        .withColumn("multi_doc_ppm", expr("(1000000 * _md) div _td"))
+        .withColumn("giant_size", max($"csize").over(tot))
+        .withColumn("is_giant", $"csize" === $"giant_size")
+        .select($"csize".as("cluster_size"), $"n_clusters", $"n_docs",
+          $"multi_doc_ppm", $"giant_size", $"is_giant")
+        .orderBy($"cluster_size")
+    },
+    Some(s"""WITH RECURSIVE tg AS ($shinglesSql),
+      sig AS (SELECT doc_id,
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
+        FROM tg GROUP BY doc_id),
+      bnd AS (
+        SELECT doc_id, 0 AS band, s0 AS v0, s1 AS v1 FROM sig UNION ALL
+        SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        SELECT doc_id, 3, s6, s7 FROM sig),
+      prs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bnd x JOIN bnd y
+        ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+          AND x.doc_id < y.doc_id),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION SELECT doc_b, doc_a FROM prs),
+      reach(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+      lab0 AS (SELECT src AS node, min(dst) AS rep
+        FROM reach GROUP BY src),
+      labs AS (SELECT d.doc_id AS node,
+          coalesce(l.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN lab0 l ON l.node = d.doc_id),
+      sz AS (SELECT rep, CAST(count(*) AS BIGINT) AS csize
+        FROM labs GROUP BY rep),
+      h AS (SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sz GROUP BY csize),
+      g AS (SELECT *, csize * n_clusters AS n_docs FROM h),
+      t AS (SELECT *, sum(n_docs) OVER () AS td,
+          sum(CASE WHEN csize > 1 THEN n_docs ELSE 0 END) OVER () AS md,
+          max(csize) OVER () AS giant FROM g)
+      SELECT csize AS cluster_size, n_clusters,
+        CAST(n_docs AS BIGINT) AS n_docs,
+        CAST((1000000 * md) // td AS BIGINT) AS multi_doc_ppm,
+        CAST(giant AS BIGINT) AS giant_size,
+        csize = giant AS is_giant
+      FROM t ORDER BY cluster_size"""),
+    doc = "[NS] near-dup cluster size histogram + giant-component alarm")
+
+  /** [NS] — hashing-trick collision audit (q298): the capacity check
+    * for q280's 64-bucket importance model. The hashing trick maps the
+    * whole vocabulary into B buckets; signal washes out when a bucket
+    * mixes one dominant token with many rare ones — its lambda becomes
+    * the dominant token's politics applied to every colliding term.
+    * Per bucket: distinct types, total occurrences, the dominant token
+    * and its exact share, the global mean types per bucket, and a
+    * crowded flag (> 2× mean types — the buckets to split first when
+    * raising B). One explode + one (bucket, token) aggregate; the
+    * profile is B rows. */
+  val q298HashCollisions = Q(
+    "q298_hash_collisions",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(explode(expr(
+          "filter(split(text, ' '), x -> length(x) > 0)")).as("tok"))
+        .withColumn("bucket",
+          graft.operators.Curation.hashBucket($"tok", 64))
+        .groupBy($"bucket", $"tok").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"bucket")
+        .orderBy($"cnt".desc, $"tok".asc)
+      val tot = Window.partitionBy(lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      tf.withColumn("rn", row_number().over(w))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_types"), sum($"cnt").as("n_occ"),
+          max(when($"rn" === 1, $"tok")).as("top_tok"),
+          max(when($"rn" === 1, $"cnt")).as("_topc"))
+        .withColumn("top_share_ppm", expr("(1000000 * _topc) div n_occ"))
+        .withColumn("_tt", sum($"n_types").over(tot))
+        .withColumn("_nb", count(lit(1)).over(tot))
+        .withColumn("mean_types", expr("_tt div _nb"))
+        .withColumn("crowded", expr("n_types > 2 * mean_types"))
+        .select($"bucket", $"n_types", $"n_occ", $"top_tok",
+          $"top_share_ppm", $"mean_types", $"crowded")
+        .orderBy($"bucket")
+    },
+    Some("""WITH tf AS (SELECT
+          CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket,
+          tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+            x -> len(x) > 0)) AS tok FROM documents) t
+        GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY bucket
+          ORDER BY cnt DESC, tok) AS rn FROM tf),
+      a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_types,
+          CAST(sum(cnt) AS BIGINT) AS n_occ,
+          max(CASE WHEN rn = 1 THEN tok END) AS top_tok,
+          max(CASE WHEN rn = 1 THEN cnt END) AS topc
+        FROM r GROUP BY bucket),
+      t AS (SELECT *, sum(n_types) OVER () AS tt,
+          count(*) OVER () AS nb FROM a)
+      SELECT bucket, n_types, n_occ, top_tok,
+        CAST((1000000 * topc) // n_occ AS BIGINT) AS top_share_ppm,
+        CAST(tt // nb AS BIGINT) AS mean_types,
+        n_types > 2 * (tt // nb) AS crowded
+      FROM t ORDER BY bucket"""),
+    doc = "[NS] hashing-trick bucket collision profile for the importance model")
+
   /** Shared SQL twin of the hashed-importance scorer (q280 in-query and
     * q284 stored-serve must agree: same model, same scores). */
   private val importanceSql: String =
@@ -2485,5 +2632,6 @@ object DocQueries {
     q237ExtractionHealth, q240DedupRoi, q250FrameEnergy,
     q255DupCoverage, q272SourceAblation, q279MinhashError,
     q280Importance, q284ImportanceServe, q287LshAdvisor,
-    q289SplitLeakage, q290SourceDupMatrix, q296RboStability)
+    q289SplitLeakage, q290SourceDupMatrix, q296RboStability,
+    q297ClusterProfile, q298HashCollisions)
 }
