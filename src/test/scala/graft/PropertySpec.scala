@@ -414,4 +414,63 @@ object PropertySpec extends Properties("graft") {
         lam1 == lam2 && sc1 == sc2 && bounded
       }
     }
+
+  property("[NS] contextFitReport monotone in L: more docs fit and " +
+      "fewer tokens are lost as the context grows; totals constant") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0L, 999L),
+        Gen.choose(0L, 200L)))) { raw =>
+      val docs = raw.groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }
+        .toList
+      docs.nonEmpty ==> {
+        val rep = graft.operators.Curation.contextFitReport(
+          docs.toDF("doc_id", "n_tok"), "doc_id", "n_tok",
+          Seq(16L, 64L, 256L))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(2),
+            r.getLong(4), r.getLong(5)))).toMap.toSeq.sortBy(_._1)
+        val fits = rep.map(_._2._1)
+        val tots = rep.map(_._2._2)
+        val losses = rep.map(_._2._3)
+        fits.zip(fits.tail).forall { case (a, b) => a <= b } &&
+          losses.zip(losses.tail).forall { case (a, b) => a >= b } &&
+          tots.distinct.size == 1
+      }
+    }
+
+  property("[NS] pairGroupMatrix accounting: cell counts sum to the " +
+      "pair count and shares sum to 1e6 up to truncation") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0L, 9L),
+        Gen.choose(0L, 9L))),
+      Gen.listOfN(10, Gen.oneOf("x", "y", "z"))) { (rawPairs, gs) =>
+      val pairs = rawPairs.filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+      pairs.nonEmpty ==> {
+        val meta = (0L to 9L).map(i =>
+          (i, gs(i.toInt))).toDF("doc_id", "g")
+        val cells = graft.operators.Dedup.pairGroupMatrix(
+          pairs.toDF("doc_a", "doc_b"), meta, "doc_id", "g")
+          .collect().map(r => (r.getLong(2), r.getLong(4)))
+        cells.map(_._1).sum == pairs.length.toLong &&
+          cells.map(_._2).sum <= 1000000L &&
+          cells.map(_._2).sum > 1000000L - cells.length
+      }
+    }
+
+  property("[NS] epochAdvisor conservation: effective + excess = " +
+      "wanted; the 4-epoch flag agrees with the exact ppm ratio") =
+    forAll(Gen.listOfN(6, Gen.zip(Gen.alphaLowerStr.map(_.take(3)),
+        Gen.choose(0L, 50L), Gen.choose(0L, 500L)))) { raw =>
+      val rows = raw.groupBy(_._1).map(_._2.head).toList
+      rows.nonEmpty ==> {
+        val got = graft.operators.Curation.epochAdvisor(
+          rows.toDF("s", "u", "w"), "s", "u", "w")
+          .collect().map(r => (r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            r.getBoolean(4), r.getLong(5), r.getLong(6)))
+        got.forall { case (u, w, e, gt4, eff, ex) =>
+          eff + ex == w &&
+            (u == 0L || (gt4 == (e.get > 4000000L) ||
+              (e.get == 4000000L && !gt4)))
+        }
+      }
+    }
 }
