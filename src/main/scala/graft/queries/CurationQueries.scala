@@ -2151,6 +2151,89 @@ object CurationQueries {
       FROM u ORDER BY strategy"""),
     doc = "[NS] inference micro-batch padding waste: sorted vs arrival ordering")
 
+  /** [NS] — corpus accounting statement (q299): the datasheet numbers —
+    * a cumulative gate funnel counted in DOCS and TOKENS (q171/q215
+    * count docs only; budgets are paid in tokens): raw → encoding-clean
+    * ([[graft.operators.Curation.encodingAudit]]'s verdict) → sized
+    * (≥ 50 tokens, the Gopher floor) → unique (exact md5 dedup, min-id
+    * survivor among sized docs). Per stage: doc/token populations and
+    * their exact ppm share of raw. One scan computes every flag; the
+    * dedup stage adds one hash aggregate. */
+  val q299CorpusAccounting = Q(
+    "q299_corpus_accounting",
+    (s, d) => {
+      import s.implicits._
+      val base = Curation.encodingAudit(
+          Tables.documents(s, d).select($"doc_id", $"text"),
+          "doc_id", "text")
+        .join(Tables.documents(s, d).select($"doc_id", $"text"),
+          Seq("doc_id"))
+        .withColumn("n_tok", expr(
+          "CAST(size(filter(split(text, ' '), x -> length(x) > 0)) " +
+            "AS BIGINT)"))
+        .withColumn("sized", $"pass_encoding" && $"n_tok" >= 50)
+        .localCheckpoint(true)
+      val keep = base.filter($"sized")
+        .groupBy(md5($"text").as("_h"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id", lit(true).as("_keep"))
+      val flagged = base.join(keep, Seq("doc_id"), "left")
+      val stages = Seq(
+        ("1_raw", lit(true)),
+        ("2_encoded", col("pass_encoding")),
+        ("3_sized", col("sized")),
+        ("4_unique", coalesce(col("_keep"), lit(false))))
+      val rows = stages.map { case (name, p) =>
+        flagged.agg(
+          sum(when(p, 1L).otherwise(0L)).as("n_docs"),
+          sum(when(p, col("n_tok")).otherwise(0L)).as("n_tokens"),
+          sum(lit(1L)).as("_rd"), sum(col("n_tok")).as("_rt"))
+          .withColumn("stage", lit(name))
+      }.reduce(_ unionByName _)
+      rows
+        .withColumn("doc_ppm", expr("(1000000 * n_docs) div _rd"))
+        .withColumn("token_ppm", expr("(1000000 * n_tokens) div _rt"))
+        .select($"stage", $"n_docs", $"n_tokens", $"doc_ppm",
+          $"token_ppm")
+        .orderBy($"stage")
+    },
+    Some("""WITH b AS (SELECT doc_id, text,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> len(x) > 0)) AS BIGINT) AS n_tok,
+          (length(text) - length(replace(text, chr(65533), '')) = 0
+           AND length(text) - length(regexp_replace(text,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) = 0
+           AND (CASE WHEN length(text) > 0 THEN (1000000 *
+             (length(text) - length(replace(text, chr(195), '')) +
+              (length(text) - length(replace(text,
+                chr(226) || chr(8364), ''))) // 2)) // length(text)
+             ELSE 0 END) < 10000) AS pass_encoding
+        FROM documents),
+      b2 AS (SELECT *, pass_encoding AND n_tok >= 50 AS sized FROM b),
+      k AS (SELECT min(doc_id) AS doc_id FROM b2 WHERE sized
+        GROUP BY md5(text)),
+      f AS (SELECT b2.*, k.doc_id IS NOT NULL AS keep
+        FROM b2 LEFT JOIN k ON k.doc_id = b2.doc_id),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS rd,
+          CAST(sum(n_tok) AS BIGINT) AS rt FROM f),
+      st AS (
+        SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM f
+        UNION ALL SELECT '2_encoded', CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM f
+          WHERE pass_encoding
+        UNION ALL SELECT '3_sized', CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM f
+          WHERE sized
+        UNION ALL SELECT '4_unique', CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM f
+          WHERE keep)
+      SELECT stage, n_docs, n_tokens,
+        CAST((1000000 * n_docs) // rd AS BIGINT) AS doc_ppm,
+        CAST((1000000 * n_tokens) // rt AS BIGINT) AS token_ppm
+      FROM st, tot ORDER BY stage"""),
+    doc = "[NS] gate funnel in docs AND tokens: raw/encoded/sized/unique datasheet")
+
   /** [NS] — sample representativeness certificate (q291):
     * [[graft.operators.Analytics.sampleSkewCertificate]] judging two
     * samplers against the corpus lang distribution in one readout: the
@@ -2394,5 +2477,5 @@ object CurationQueries {
     q267IndexRemove, q269Repetition, q273Ndcg, q276Curriculum,
     q277TemperatureMix, q282EncodingAudit, q283PaddingWaste,
     q285ContextFit, q286EpochAdvisor, q291SampleCert,
-    q293LineIndexServe)
+    q293LineIndexServe, q299CorpusAccounting)
 }

@@ -1638,7 +1638,61 @@ object EventQueries {
       ORDER BY lift_ppm DESC, antecedent, consequent"""),
     doc = "[NS] association rules over (user, day) baskets: support/confidence/lift ppm")
 
+  /** [NS] — session-gap sensitivity ladder (q300): q19 sessionizes at
+    * one fixed 30-minute idle gap; this prices the CHOICE. One per-user
+    * lag pass computes every inter-event gap, then each candidate gap
+    * G ∈ {5 min, 30 min, 2 h} is a FILTERED count over the same frame
+    * (a session starts where the gap is null or exceeds G) — three
+    * readouts, one window, no re-sort. Per G: session count, active
+    * users, exact events-per-session ppm. Session counts are monotone
+    * non-increasing in G by construction — the curve's knee is the
+    * defensible gap. */
+  val q300SessionGapLadder = Q(
+    "q300_session_gap_ladder",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"event_id".asc)
+      val g = Tables.events(s, d)
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("gap_us",
+          unix_micros($"ts") - unix_micros($"prev_ts"))
+        .localCheckpoint(true)
+      val rows = Seq(300L, 1800L, 7200L).map { gapS =>
+        g.agg(
+          sum(when($"prev_ts".isNull || $"gap_us" > gapS * 1000000L, 1L)
+            .otherwise(0L)).as("n_sessions"),
+          countDistinct($"user_id").as("n_users"),
+          count(lit(1)).as("_ne"))
+          .withColumn("gap_s", lit(gapS))
+      }.reduce(_ unionByName _)
+      rows
+        .withColumn("events_per_session_ppm",
+          expr("(1000000 * _ne) div n_sessions"))
+        .select($"gap_s", $"n_sessions", $"n_users",
+          $"events_per_session_ppm")
+        .orderBy($"gap_s")
+    },
+    Some("""WITH g AS (SELECT user_id,
+          epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC)) AS gap_us
+        FROM events),
+      l AS (SELECT CAST(unnest([300, 1800, 7200]) AS BIGINT) AS gap_s),
+      a AS (SELECT gap_s,
+          CAST(sum(CASE WHEN gap_us IS NULL
+            OR gap_us > gap_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_sessions,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+          CAST(count(*) AS BIGINT) AS ne
+        FROM g CROSS JOIN l GROUP BY gap_s)
+      SELECT gap_s, n_sessions, n_users,
+        CAST((1000000 * ne) // n_sessions AS BIGINT)
+          AS events_per_session_ppm
+      FROM a ORDER BY gap_s"""),
+    doc = "[NS] session counts at candidate idle gaps: one lag pass, three readouts")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
+    q300SessionGapLadder,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,
