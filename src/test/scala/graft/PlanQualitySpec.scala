@@ -681,4 +681,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("lines"),
       s"stored line-frequency table not in the serving plan:\n$p")
   }
+
+  test("q288 staleness audit: zero training jobs — one embeddings " +
+      "scan (the batch) assigned against stored centroids, stored " +
+      "codes aggregated, no Lloyd iteration artifacts") {
+    val p = plan("q288_index_staleness")
+    val first = p.indexOf("embeddings.parquet")
+    assert(first >= 0 && p.indexOf("embeddings.parquet", first + 1) < 0,
+      s"expected only the batch's embeddings scan:\n$p")
+    assert(p.contains("codes"),
+      s"stored codes not in the audit plan:\n$p")
+    assert(p.contains("centroids"),
+      s"stored centroids not in the audit plan:\n$p")
+  }
+
+  test("q294 distortion audit: zero training jobs — one embeddings " +
+      "scan against stored codebooks and codes") {
+    val p = plan("q294_codebook_distortion")
+    val first = p.indexOf("embeddings.parquet")
+    assert(first >= 0 && p.indexOf("embeddings.parquet", first + 1) < 0,
+      s"expected only the corpus scan:\n$p")
+    assert(p.contains("codebooks"),
+      s"stored codebooks not in the audit plan:\n$p")
+    assert(p.contains("codes"),
+      s"stored codes not in the audit plan:\n$p")
+  }
 }
