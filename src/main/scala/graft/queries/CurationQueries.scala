@@ -2151,6 +2151,75 @@ object CurationQueries {
       FROM u ORDER BY strategy"""),
     doc = "[NS] inference micro-batch padding waste: sorted vs arrival ordering")
 
+  /** [NS] — correlated (join-consistent) sampling certificate (q301):
+    * sampling a fact table independently of its parent breaks every
+    * join — a 10% orders sample with a 10% lineitem sample keeps only
+    * ~1% of joinable pairs. The correlated sampler keeps a child row
+    * iff its PARENT's key is sampled (membership is the parent's
+    * deterministic hash — the child never needs a join to decide, just
+    * the same hash on its FK), so the sampled universe is closed under
+    * the join. The certificate: parent/child kept counts with exact
+    * ppm rates (child rate ≈ parent rate × fan-out preserved, NOT
+    * rate², and orphan violations — kept children whose parent was
+    * dropped — are structurally ZERO, counted by anti-join). */
+  val q301CorrelatedSample = Q(
+    "q301_correlated_sample",
+    (s, d) => {
+      import s.implicits._
+      val orders = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      def kept(c: org.apache.spark.sql.Column) =
+        Curation.hashBucket(c, 100) < 10
+      // one aggregate pass per table; the orphan certificate runs at
+      // KEY granularity (violations are key-level facts), so the
+      // anti-join touches two small distinct-key sets, not the fact
+      val oAgg = orders.agg(count(lit(1)).as("n_orders"),
+        sum(when(kept($"o_orderkey"), 1L).otherwise(0L))
+          .as("kept_orders"))
+      val lAgg = li.agg(count(lit(1)).as("n_lineitems"),
+        sum(when(kept($"l_orderkey"), 1L).otherwise(0L))
+          .as("kept_lineitems"))
+      val orphanKeys = li.filter(kept($"l_orderkey"))
+        .select($"l_orderkey").distinct()
+        .join(orders.filter(kept($"o_orderkey"))
+          .select($"o_orderkey".as("l_orderkey")), Seq("l_orderkey"),
+          "left_anti")
+      oAgg.crossJoin(lAgg)
+        .crossJoin(orphanKeys.agg(count(lit(1)).as("orphan_keys")))
+        .select(
+          $"n_orders", $"kept_orders",
+          expr("(1000000 * kept_orders) div n_orders")
+            .as("order_rate_ppm"),
+          $"n_lineitems", $"kept_lineitems",
+          expr("(1000000 * kept_lineitems) div n_lineitems")
+            .as("lineitem_rate_ppm"),
+          $"orphan_keys")
+    },
+    Some("""WITH ko AS (SELECT o_orderkey FROM orders
+        WHERE CAST('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8)
+          AS BIGINT) % 100 < 10),
+      kl AS (SELECT l_orderkey FROM lineitem
+        WHERE CAST('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8)
+          AS BIGINT) % 100 < 10),
+      orph AS (SELECT count(*) AS orphan_keys
+        FROM (SELECT DISTINCT l_orderkey FROM kl) k
+        WHERE k.l_orderkey NOT IN (SELECT o_orderkey FROM ko)),
+      t AS (SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+        (SELECT CAST(count(*) AS BIGINT) FROM ko) AS kept_orders,
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitems,
+        (SELECT CAST(count(*) AS BIGINT) FROM kl) AS kept_lineitems,
+        (SELECT CAST(orphan_keys AS BIGINT) FROM orph) AS orphan_keys)
+      SELECT n_orders, kept_orders,
+        CAST((1000000 * kept_orders) // n_orders AS BIGINT)
+          AS order_rate_ppm,
+        n_lineitems, kept_lineitems,
+        CAST((1000000 * kept_lineitems) // n_lineitems AS BIGINT)
+          AS lineitem_rate_ppm,
+        orphan_keys
+      FROM t"""),
+    doc = "[NS] join-consistent sampling: FK-hash membership, zero orphans certified")
+
   /** [NS] — corpus accounting statement (q299): the datasheet numbers —
     * a cumulative gate funnel counted in DOCS and TOKENS (q171/q215
     * count docs only; budgets are paid in tokens): raw → encoding-clean
@@ -2477,5 +2546,5 @@ object CurationQueries {
     q267IndexRemove, q269Repetition, q273Ndcg, q276Curriculum,
     q277TemperatureMix, q282EncodingAudit, q283PaddingWaste,
     q285ContextFit, q286EpochAdvisor, q291SampleCert,
-    q293LineIndexServe, q299CorpusAccounting)
+    q293LineIndexServe, q299CorpusAccounting, q301CorrelatedSample)
 }
