@@ -1529,6 +1529,65 @@ object Analytics {
         col("final_rows"), col("recommended"))
   }
 
+  /** [NS] — distribution SHAPE profile: per group, the two shape
+    * readouts a numeric-column audit needs beyond q134's basic stats,
+    * both exact so they hash-match:
+    *  - bowley_skew_ppm: quartile skewness 10⁶·(q3 + q1 − 2·q2) div
+    *    (q3 − q1) — pure order statistics (the per-group rank pick both
+    *    engines make identically), robust, NULL when q3 = q1;
+    *  - kurt_excess_ppm: moment excess kurtosis 10⁶·n·Σd⁴ div (Σd²)²
+    *    − 3·10⁶, where d = x − (Σx div n) — central sums about the
+    *    TRUNCATED integer mean (a deliberate convention: the ≤1-unit
+    *    mean offset perturbs the ratio at ppb level, and the oracle
+    *    replays the identical arithmetic); power sums in decimal(38,0)
+    *    (d⁴ at 10⁴-unit values × 10⁹ rows needs ~10²⁵). NULL when
+    *    Σd² = 0 (constant group).
+    * Heavy-tailed flag: kurt_excess_ppm > 0. `valCol` must already be
+    * integer-scaled (the ×100 cents convention). Two aggregate passes
+    * (power sums need the mean) + one quartile window — group-parallel
+    * throughout. */
+  def shapeProfile(df: DataFrame, keyCol: String,
+      valCol: String): DataFrame = {
+    val in = df.filter(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol), col(valCol).cast("long").as("_v"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col(keyCol))
+    val quart = in
+      .withColumn("_rn", row_number().over(w.orderBy(col("_v"))))
+      .withColumn("_n", count(lit(1)).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        max(when(expr("_rn = (25 * (_n - 1)) div 100 + 1"), col("_v")))
+          .as("q1"),
+        max(when(expr("_rn = (50 * (_n - 1)) div 100 + 1"), col("_v")))
+          .as("q2"),
+        max(when(expr("_rn = (75 * (_n - 1)) div 100 + 1"), col("_v")))
+          .as("q3"))
+    val mean = in.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("_s1"))
+      .withColumn("_mu", expr("_s1 div n"))
+    val cents = in.join(mean.select(col(keyCol), col("n"), col("_mu")),
+        Seq(keyCol))
+      .withColumn("_d", col("_v") - col("_mu"))
+      .groupBy(col(keyCol), col("n"))
+      .agg(
+        sum(expr("CAST(_d AS DECIMAL(38,0)) * _d")).as("_cs2"),
+        sum(expr("CAST(_d AS DECIMAL(38,0)) * _d * _d * _d")).as("_cs4"))
+    quart.join(cents, Seq(keyCol))
+      .withColumn("bowley_skew_ppm", expr(
+        "CASE WHEN q3 > q1 THEN CAST((1000000 * (q3 + q1 - 2 * q2)) " +
+          "div (q3 - q1) AS BIGINT) END"))
+      .withColumn("kurt_excess_ppm", expr(
+        "CASE WHEN _cs2 > 0 THEN CAST((CAST(1000000 AS DECIMAL(38,0)) " +
+          "* n * _cs4) div (_cs2 * _cs2) - 3000000 AS BIGINT) END"))
+      .withColumn("heavy_tailed", expr(
+        "CASE WHEN kurt_excess_ppm IS NOT NULL " +
+          "THEN kurt_excess_ppm > 0 END"))
+      .select(col(keyCol), col("n"), col("q1"), col("q2"), col("q3"),
+        col("bowley_skew_ppm"), col("kurt_excess_ppm"),
+        col("heavy_tailed"))
+  }
+
   /** [NS] — rank-biased overlap curve (Webber et al. 2010): given two
     * ranked lists as (term, ra) / (term, rb) frames and per-depth ppm
     * weights (hardcoded, summing to 10⁶ — the Benford convention for

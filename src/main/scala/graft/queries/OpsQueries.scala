@@ -826,6 +826,59 @@ object OpsQueries {
       FROM u ORDER BY plan_name"""),
     doc = "[NS] both join orders priced exactly from key counts; smaller intermediate wins")
 
+  /** [NS] — distribution shape profile (q302):
+    * [[graft.operators.Analytics.shapeProfile]] over event values in
+    * exact cents per event type — Bowley quartile skewness (pure order
+    * statistics) and moment excess kurtosis about the truncated
+    * integer mean (decimal power sums), with the heavy-tailed verdict.
+    * q134 profiles location/scale; this profiles SHAPE — the readout
+    * that decides whether the q82 z-score gate (breakdown at heavy
+    * tails) or the q167 MAD gate is the right outlier policy for each
+    * type. */
+  val q302ShapeProfile = Q(
+    "q302_shape_profile",
+    (s, d) => {
+      import s.implicits._
+      Analytics.shapeProfile(
+        Tables.events(s, d)
+          .select($"event_type",
+            round($"value" * 100).cast("long").as("cents")),
+        "event_type", "cents")
+        .orderBy($"event_type")
+    },
+    Some("""WITH v AS (SELECT event_type,
+          CAST(round(value * 100.0) AS BIGINT) AS cv
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      r AS (SELECT event_type, cv,
+          row_number() OVER (PARTITION BY event_type ORDER BY cv) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n FROM v),
+      qt AS (SELECT event_type,
+          max(CASE WHEN rn = (25*(n-1))//100 + 1 THEN cv END) AS q1,
+          max(CASE WHEN rn = (50*(n-1))//100 + 1 THEN cv END) AS q2,
+          max(CASE WHEN rn = (75*(n-1))//100 + 1 THEN cv END) AS q3
+        FROM r GROUP BY event_type),
+      m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          sum(cv) // count(*) AS mu FROM v GROUP BY event_type),
+      cs AS (SELECT v.event_type, m.n,
+          sum((cv - mu)::HUGEINT * (cv - mu)) AS cs2,
+          sum((cv - mu)::HUGEINT * (cv - mu) * (cv - mu) * (cv - mu))
+            AS cs4
+        FROM v JOIN m ON m.event_type = v.event_type
+        GROUP BY v.event_type, m.n)
+      SELECT qt.event_type, n, q1, q2, q3,
+        CAST(CASE WHEN q3 > q1
+          THEN (1000000 * (q3 + q1 - 2 * q2)) // (q3 - q1) END
+          AS BIGINT) AS bowley_skew_ppm,
+        CAST(CASE WHEN cs2 > 0
+          THEN (1000000::HUGEINT * n * cs4) // (cs2 * cs2) - 3000000 END
+          AS BIGINT) AS kurt_excess_ppm,
+        CASE WHEN cs2 > 0
+          THEN (1000000::HUGEINT * n * cs4) // (cs2 * cs2) - 3000000 > 0
+          END AS heavy_tailed
+      FROM qt JOIN cs ON cs.event_type = qt.event_type
+      ORDER BY qt.event_type"""),
+    doc = "[NS] Bowley skew + excess kurtosis per type: the outlier-policy chooser")
+
   /** [NS] — robust outlier gate (q167): Hampel filter per event type —
     * |x − median| > 3·MAD ([[graft.operators.Analytics.madOutliers]]).
     * The mean/stddev gate (q82) has breakdown point 0: one wild spike
@@ -2219,5 +2272,5 @@ object OpsQueries {
     q223ErrorSamples, q224Journeys, q228TokenDrift, q238JoinAudit,
     q242JoinViewDelta, q243Cuped, q247Benford, q248DiffInDiff,
     q257Conformal, q260SkewReport, q261SampleSize, q262Rfm,
-    q263FkSweep, q292KmvError, q295JoinOrder)
+    q263FkSweep, q292KmvError, q295JoinOrder, q302ShapeProfile)
 }

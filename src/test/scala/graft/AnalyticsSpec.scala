@@ -928,6 +928,73 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got("right_first") === ((6L, 6L, false)))
   }
 
+  // ---- shapeProfile ----
+
+  test("shapeProfile: hand-derived Bowley/kurtosis — platykurtic, " +
+      "heavy-tailed, right-skewed, and constant groups; partition-" +
+      "invariant") {
+    import spark.implicits._
+    // u: 0..4        → q=(1,2,3), bowley 0, kurt 1e6·5·34/100−3e6 = −1.3e6
+    // h: 0,0,0,0,100 → q3=q1=0 (bowley NULL), mean 20, Σd²=8000,
+    //                  Σd⁴=41.6e6 → kurt 250000 > 0 (heavy)
+    // s: 0,10,20,60,100 → q=(10,20,60), bowley 1e6·30 div 50 = 600000
+    // c: 5,5,5       → constant: both NULL, verdict NULL
+    val rows =
+      (0 to 4).map(v => ("u", v.toLong)) ++
+      (Seq(0L, 0L, 0L, 0L, 100L)).map(("h", _)) ++
+      Seq(0L, 10L, 20L, 60L, 100L).map(("s", _)) ++
+      Seq.fill(3)(("c", 5L))
+    for (p <- Seq(1, 7)) {
+      val got = Analytics.shapeProfile(
+          rows.toDF("g", "v").repartition(p), "g", "v")
+        .collect().map(r => r.getString(0) -> r).toMap
+      def skew(g: String) =
+        Option(got(g).getAs[java.lang.Long]("bowley_skew_ppm"))
+      def kurt(g: String) =
+        Option(got(g).getAs[java.lang.Long]("kurt_excess_ppm"))
+      assert(skew("u") === Some(0L))
+      assert(kurt("u") === Some(-1300000L), s"p=$p: ${got("u")}")
+      assert(got("u").getAs[Boolean]("heavy_tailed") === false)
+      assert(skew("h") === None) // q3 == q1
+      assert(kurt("h") === Some(250000L))
+      assert(got("h").getAs[Boolean]("heavy_tailed") === true)
+      assert(skew("s") === Some(600000L))
+      assert((got("s").getLong(2), got("s").getLong(3),
+        got("s").getLong(4)) === ((10L, 20L, 60L)))
+      assert(skew("c") === None && kurt("c") === None)
+      assert(got("c").isNullAt(got("c").fieldIndex("heavy_tailed")))
+    }
+  }
+
+  test("shapeProfile: matches an independent BigInt scalar reference " +
+      "on a mixed fixture with nulls excluded") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val rows: Seq[(String, Option[Long])] =
+      (1 to 200).map(i => (s"g${i % 3}",
+        if (i % 17 == 0) None else Some(rng.nextInt(10000).toLong)))
+    val got = Analytics.shapeProfile(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.getAs[java.lang.Long]("bowley_skew_ppm")),
+         Option(r.getAs[java.lang.Long]("kurt_excess_ppm")))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val vs = rows.collect { case (`g`, Some(v)) => v }.sorted
+      val n = vs.length
+      val q1 = vs((25 * (n - 1)) / 100); val q2 = vs((50 * (n - 1)) / 100)
+      val q3 = vs((75 * (n - 1)) / 100)
+      val mu = vs.sum / n
+      val cs2 = vs.map(v => BigInt(v - mu).pow(2)).sum
+      val cs4 = vs.map(v => BigInt(v - mu).pow(4)).sum
+      val expSkew = if (q3 > q1)
+        Some((BigInt(1000000) * (q3 + q1 - 2 * q2) / (q3 - q1)).toLong)
+        else None
+      val expKurt = if (cs2 > 0)
+        Some((BigInt(1000000) * n * cs4 / (cs2 * cs2) - 3000000).toLong)
+        else None
+      assert(got(g) === ((expSkew, expKurt)), s"group $g n=$n")
+    }
+  }
+
   test("rboCurve: identical lists score exactly 1e6 at full depth " +
       "(weights normalized); disjoint lists zero; partial hand case") {
     import spark.implicits._
