@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (ARRAY<FLOAT> → double math):
@@ -118,6 +119,75 @@ object Similarity {
     val dropped = lshSimilarityJoin(df, idCol, vecCol, bits, minCos)
       .select(col("vec_b").as("_drop")).distinct()
     df.join(dropped, col(idCol) === col("_drop"), "left_anti")
+  }
+
+  /** [NS] — margin-based bitext mining (the Artetxe & Schwenk 2019
+    * ratio margin, the CCMatrix/WikiMatrix parallel-corpus miner): for
+    * two embedding sides A and B (two languages in production; any two
+    * disjoint slices here), score every same-LSH-bucket candidate pair
+    * by margin(x,y) = cos(x,y) / ((avgK(x) + avgK(y)) / 2), where
+    * avgK(x) is the mean cosine of x's k best candidates on the other
+    * side — the normalization that demotes "hub" vectors which are
+    * close to EVERYTHING — then keep pairs that are each other's
+    * margin-argmax (mutual best) at margin ≥ `minMarginPpm`.
+    *
+    * Exactness: cosines are rounded once to integer micro-units
+    * (`cos_um` = round(cos·10⁶) as BIGINT); the top-k means are
+    * truncating integer divisions over the ranked window, and the
+    * margin is 2·10⁶·cos_um div (avgA + avgB) — every derived number
+    * is a BIGINT both engines agree on bit-for-bit. Ties in the top-k
+    * window and in the mutual-argmax break on the partner id.
+    *
+    * Scale: candidates ride the sign-bucket equi-join (one shuffle;
+    * pairwise work only within buckets — A×B never materializes), the
+    * per-side averages and argmaxes are rank windows partitioned by
+    * one side's id, and avgK is candidate-bounded — the documented
+    * estimator convention (q279/q287): at 100 TB the bucket join is
+    * swapped for the stored ANN index and the margin arithmetic is
+    * unchanged. Output: (a_id, b_id, cos_um, nn_a_um, nn_b_um,
+    * margin_ppm) for mutual-best pairs. */
+  def marginMining(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int, minCosUm: Long,
+      minMarginPpm: Long): DataFrame = {
+    def side(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id), vecD(col(vecCol)).as(v))
+        .withColumn("bucket", signBucket(col(v), bits))
+        .withColumn(n, sqrt(dot(col(v), col(v))))
+    val scored = side(a, "a_id", "va", "na")
+      .join(side(b, "b_id", "vb", "nb"), Seq("bucket"))
+      .withColumn("_c", when(col("na") * col("nb") === 0.0, lit(0.0))
+        .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .withColumn("cos_um",
+        expr("CAST(round(_c * 1000000) AS BIGINT)"))
+      .filter(col("cos_um") >= minCosUm)
+      .select(col("a_id"), col("b_id"), col("cos_um"))
+      .localCheckpoint(true)
+    val wa = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_um").desc, col("b_id").asc)
+    val wb = Window.partitionBy(col("b_id"))
+      .orderBy(col("cos_um").desc, col("a_id").asc)
+    val avgA = scored.withColumn("_rk", row_number().over(wa))
+      .filter(col("_rk") <= k).groupBy(col("a_id"))
+      .agg(expr("sum(cos_um) div count(*)").as("nn_a_um"))
+    val avgB = scored.withColumn("_rk", row_number().over(wb))
+      .filter(col("_rk") <= k).groupBy(col("b_id"))
+      .agg(expr("sum(cos_um) div count(*)").as("nn_b_um"))
+    val margins = scored.join(avgA, Seq("a_id")).join(avgB, Seq("b_id"))
+      .withColumn("margin_ppm", expr(
+        "CASE WHEN nn_a_um + nn_b_um > 0 THEN " +
+          "(2000000 * cos_um) div (nn_a_um + nn_b_um) END"))
+      .filter(col("margin_ppm").isNotNull)
+    val ma = Window.partitionBy(col("a_id"))
+      .orderBy(col("margin_ppm").desc, col("b_id").asc)
+    val mb = Window.partitionBy(col("b_id"))
+      .orderBy(col("margin_ppm").desc, col("a_id").asc)
+    margins
+      .withColumn("_ra", row_number().over(ma))
+      .withColumn("_rb", row_number().over(mb))
+      .filter(col("_ra") === 1 && col("_rb") === 1 &&
+        col("margin_ppm") >= minMarginPpm)
+      .select(col("a_id"), col("b_id"), col("cos_um"),
+        col("nn_a_um"), col("nn_b_um"), col("margin_ppm"))
   }
 
   /** [NS] — hard-negative mining for contrastive training: for each

@@ -1538,6 +1538,69 @@ object EmbeddingQueries {
     Some(ivfPqOracle("AND a.vec_id % 10 <> 0")),
     doc = "[NS] ANN vector deletion: removal ≡ remaining-only serving (forget triad)")
 
+  /** [NS] — margin-based bitext mining (q303):
+    * [[graft.operators.Similarity.marginMining]] between the label<5
+    * and label≥5 halves of the embedding fixture (standing in for two
+    * language sides): sign-bucket LSH candidates, per-side top-4 mean
+    * cosine in integer micro-units, ratio margin 2·10⁶·cos div
+    * (avgA + avgB), mutual-margin-best pairs at margin ≥ 1.0 — the
+    * Artetxe & Schwenk miner behind CCMatrix/WikiMatrix parallel
+    * corpora. All derived numbers are BIGINTs both engines agree on. */
+  val q303BitextMining = Q(
+    "q303_bitext_mining",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      Similarity.marginMining(
+          e.filter($"label" < 5), e.filter($"label" >= 5),
+          "vec_id", "embedding", k = 4, bits = 4,
+          minCosUm = 0L, minMarginPpm = 1000000L)
+        .orderBy($"a_id")
+    },
+    Some {
+      def bucketSql(v: String) = "(" + (1 to 4).map(i =>
+        s"CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ") + ")"
+      def dotS(a: String, b: String) = String.format(dotSql, a, b)
+      s"""WITH ea0 AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS va
+          FROM embeddings WHERE label < 5),
+        ea AS (SELECT a_id, va, ${bucketSql("va")} AS bucket,
+          sqrt(${dotS("va", "va")}) AS na FROM ea0),
+        eb0 AS (SELECT vec_id AS b_id, embedding::DOUBLE[] AS vb
+          FROM embeddings WHERE label >= 5),
+        eb AS (SELECT b_id, vb, ${bucketSql("vb")} AS bucket,
+          sqrt(${dotS("vb", "vb")}) AS nb FROM eb0),
+        sc0 AS (SELECT a_id, b_id,
+            CAST(round(CASE WHEN na*nb = 0 THEN 0.0
+              ELSE (${dotS("va", "vb")})/(na*nb) END * 1000000) AS BIGINT)
+              AS cos_um
+          FROM ea JOIN eb USING (bucket)),
+        sc AS (SELECT * FROM sc0 WHERE cos_um >= 0),
+        aa AS (SELECT a_id, CAST(sum(cos_um) // count(*) AS BIGINT) AS nn_a_um FROM
+           (SELECT a_id, cos_um, b_id, row_number() OVER
+              (PARTITION BY a_id ORDER BY cos_um DESC, b_id) AS rk
+            FROM sc) t
+           WHERE rk <= 4 GROUP BY a_id),
+        bb AS (SELECT b_id, CAST(sum(cos_um) // count(*) AS BIGINT) AS nn_b_um FROM
+           (SELECT b_id, cos_um, a_id, row_number() OVER
+              (PARTITION BY b_id ORDER BY cos_um DESC, a_id) AS rk
+            FROM sc) t
+           WHERE rk <= 4 GROUP BY b_id),
+        mg AS (SELECT sc.a_id, sc.b_id, cos_um, nn_a_um, nn_b_um,
+            CAST((2000000 * cos_um) // (nn_a_um + nn_b_um) AS BIGINT)
+              AS margin_ppm
+          FROM sc JOIN aa USING (a_id) JOIN bb USING (b_id)
+          WHERE nn_a_um + nn_b_um > 0),
+        mm AS (SELECT *, row_number() OVER
+            (PARTITION BY a_id ORDER BY margin_ppm DESC, b_id) AS ra,
+          row_number() OVER
+            (PARTITION BY b_id ORDER BY margin_ppm DESC, a_id) AS rb
+          FROM mg)
+        SELECT a_id, b_id, cos_um, nn_a_um, nn_b_um, margin_ppm FROM mm
+        WHERE ra = 1 AND rb = 1 AND margin_ppm >= 1000000
+        ORDER BY a_id"""
+    },
+    doc = "[NS] ratio-margin bitext mining: mutual-best pairs, hub-demoting normalization")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
@@ -1546,5 +1609,5 @@ object EmbeddingQueries {
     q169KCenter, q179MmrRerank, q187RetrieveDiversify,
     q235EmbeddingExpectations, q251TopDirection, q252AbttEnergy,
     q256LabelNoise, q258Int8Recall, q259AnnRecall, q268AnnRemove,
-    q288IndexStaleness, q294Distortion)
+    q288IndexStaleness, q294Distortion, q303BitextMining)
 }

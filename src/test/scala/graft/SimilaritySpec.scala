@@ -359,6 +359,52 @@ class SimilaritySpec extends AnyFunSuite {
       s"uncovered point at d² $maxMin > last radius $lastRadius")
   }
 
+  test("marginMining: hub demotion — a1 mines b1 despite the hub having " +
+      "the higher raw cosine; the hub pairs with its own mutual best") {
+    import spark.implicits._
+    // 2-D geometry (padded to 4 dims). The hub is equidistant from both
+    // A vectors (cos 0.894 to each), so its avgK normalizer is high and
+    // its ratio margin to a1 (~1.01) loses to b1's (~1.27) even though
+    // cos(a1,hub)=0.894 > cos(a1,b1)=0.850 — the Artetxe-Schwenk
+    // hub-demotion property, hand-computed in integer micro-units.
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f, 0f, 0f)),
+      (2L, Array(0.6f, 0.8f, 0f, 0f))).toDF("vec_id", "embedding")
+    val b = Seq(
+      (10L, Array(0.894f, 0.447f, 0f, 0f)),   // hub
+      (11L, Array(0.850f, -0.527f, 0f, 0f))). // a1's margin-best
+      toDF("vec_id", "embedding")
+    // bits=1: bucket on the sign of dim 1 only (all positive → one
+    // bucket; b11's negative dim 2 must not exile it)
+    val mined = Similarity.marginMining(a, b, "vec_id", "embedding",
+        k = 2, bits = 1, minCosUm = 0L, minMarginPpm = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mined === Map(1L -> 11L, 2L -> 10L),
+      s"expected a1→b1 (hub demoted) and a2→hub, got $mined")
+  }
+
+  test("marginMining: margin threshold filters sub-parity pairs and " +
+      "output carries exact integer scores") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f, 0f, 0f)),
+      (2L, Array(0.6f, 0.8f, 0f, 0f))).toDF("vec_id", "embedding")
+    val b = Seq(
+      (10L, Array(0.894f, 0.447f, 0f, 0f)),
+      (11L, Array(0.850f, -0.527f, 0f, 0f))).toDF("vec_id", "embedding")
+    // At margin ≥ 1.25e6 only the (a1,b1) pair survives (≈1.27e6);
+    // (a2,hub) ≈ 1.29e6 — both > 1.25e6; raise to 1.28e6 → only a2
+    val hi = Similarity.marginMining(a, b, "vec_id", "embedding",
+        k = 2, bits = 1, minCosUm = 0L, minMarginPpm = 1280000L)
+      .collect()
+    assert(hi.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((2L, 10L)), "only the a2-hub pair clears margin 1.28")
+    val row = hi.head
+    assert(row.getLong(5) >= 1280000L, "margin_ppm must clear the floor")
+    assert(row.getLong(2) > 0 && row.getLong(3) > 0 && row.getLong(4) > 0,
+      "cos_um and both avgK normalizers are positive integers")
+  }
+
   test("topDirection: recovers a planted dominant axis, L1 mass " +
       "bounded by scale, sign pinned by the all-ones start") {
     import spark.implicits._
