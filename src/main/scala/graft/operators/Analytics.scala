@@ -1658,4 +1658,81 @@ object Analytics {
         col("corpus_ppm"), col("sample_ppm"), col("shift_ppm"),
         col("tvd_ppm"), col("representative"))
   }
+
+  /** [NS] — Bradley–Terry preference aggregation (Zermelo 1929; the
+    * minorization–maximization form of Hunter 2004): turn pairwise
+    * win/loss records — RLHF preference pairs, A/B duels, match
+    * results — into per-item strengths. The MM recurrence
+    * s_i ← W_i / Σ_j n_ij/(s_i+s_j), run `iters` rounds from the
+    * uniform start and renormalized to mean 10⁶ each round, done in
+    * EXACT integer ppm: t_ij = n_ij·10¹² div (s_i+s_j) (decimal(38,0)
+    * products), s'_i = W_i·10¹² div Σt, s''_i = s'·N·10⁶ div Σs'.
+    * Truncating div everywhere, so both engines agree bit-for-bit and
+    * partial-aggregation order can't leak in. A winless item fixes at
+    * 0 (its true MLE limit); the one divide-by-zero shape — a pair
+    * whose BOTH sides have reached 0 — contributes t = 0 by the same
+    * CASE guard in both engines.
+    *
+    * Scale: the contest log collapses to one (i, j, n_ij) aggregate up
+    * front (the only corpus-sized pass); each round is |pairs|-sized —
+    * one broadcast-ready join of the pair table against the |items|-row
+    * strength table + one groupBy(i) — and the normalizer is a 1-row
+    * aggregate crossJoined back (broadcast singleton). `iters` is a
+    * bounded constant: strengths move monotonically toward the MLE and
+    * ranking stabilizes in a handful of rounds (the oracle unrolls the
+    * same constant).
+    *
+    * Output: (item, wins, games, strength_ppm, rk) — rk by strength
+    * desc, item asc. */
+  def bradleyTerry(contests: DataFrame, winCol: String, loseCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters must be in [1,16]: $iters")
+    val d = contests.groupBy(col(winCol).as("i"), col(loseCol).as("j"))
+      .agg(count(lit(1)).as("w"))
+    // per-orientation win counts: one row per (i, j) that ever met,
+    // w_ij = i's wins over j (0 rows materialized for the losing seat)
+    val sym = d.union(d.select(col("j"), col("i"), lit(0L)))
+      .groupBy("i", "j").agg(sum(col("w")).as("w_ij"))
+    val nGames = sym.as("a").join(sym.as("b"),
+        col("a.i") === col("b.j") && col("a.j") === col("b.i"))
+      .select(col("a.i").as("i"), col("a.j").as("j"),
+        col("a.w_ij").as("w_ij"),
+        (col("a.w_ij") + col("b.w_ij")).as("n_ij"))
+      .localCheckpoint(true)
+    val wins = nGames.groupBy(col("i"))
+      .agg(sum(col("w_ij")).as("wins"), sum(col("n_ij")).as("games"))
+      .localCheckpoint(true)
+    var s = wins.select(col("i"), lit(1000000L).as("s"))
+    for (_ <- 1 to iters) {
+      val t = nGames
+        .join(s.select(col("i"), col("s").as("s_i")), Seq("i"))
+        .join(s.select(col("i").as("j"), col("s").as("s_j")), Seq("j"))
+        .withColumn("t", expr(
+          "CASE WHEN s_i + s_j > 0 THEN " +
+            "cast(n_ij as decimal(38,0)) * 1000000000000 div (s_i + s_j) " +
+            "ELSE cast(0 as decimal(38,0)) END"))
+        .groupBy(col("i"))
+        .agg(sum(col("t")).as("den"))
+      val raw = wins.join(t, Seq("i"))
+        .withColumn("s_raw", expr(
+          "CASE WHEN den > 0 THEN " +
+            "cast(wins as decimal(38,0)) * 1000000000000 div den " +
+            "ELSE cast(0 as decimal(38,0)) END"))
+        .select(col("i"), col("s_raw"))
+      val norm = raw.agg(sum(col("s_raw")).as("s_tot"),
+        count(lit(1)).as("n_items"))
+      s = raw.crossJoin(broadcast(norm))
+        .withColumn("s", expr(
+          "CASE WHEN s_tot > 0 THEN " +
+            "cast(cast(s_raw as decimal(38,0)) * n_items * 1000000 " +
+            "div s_tot as bigint) ELSE cast(0 as bigint) END"))
+        .select(col("i"), col("s"))
+        .localCheckpoint(true)
+    }
+    val rkw = Window.orderBy(col("strength_ppm").desc, col("item").asc)
+    wins.join(s, Seq("i"))
+      .select(col("i").as("item"), col("wins"), col("games"),
+        col("s").as("strength_ppm"))
+      .withColumn("rk", row_number().over(rkw).cast("long"))
+  }
 }

@@ -1691,8 +1691,88 @@ object EventQueries {
       FROM a ORDER BY gap_s"""),
     doc = "[NS] session counts at candidate idle gaps: one lag pass, three readouts")
 
+  /** [NS] — Bradley–Terry preference aggregation (q304):
+    * [[graft.operators.Analytics.bradleyTerry]] over duels built from
+    * the event stream — consecutive events of one user (ts, event_id
+    * order) where the two types differ and values are unequal form one
+    * decided contest, higher value wins. Three MM rounds from the
+    * uniform start, every derived number an exact integer (see the
+    * operator doc); the oracle unrolls the identical three rounds as
+    * materialized CTEs. The RLHF preference-data shape: this is how
+    * pairwise human judgments become per-model/per-item strengths. */
+  val q304BradleyTerry = Q(
+    "q304_bradley_terry",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val contests = Tables.events(s, d)
+        .withColumn("p_type", lag($"event_type", 1).over(w))
+        .withColumn("p_value", lag($"value", 1).over(w))
+        .filter($"p_type".isNotNull && $"p_type" =!= $"event_type" &&
+          $"value" =!= $"p_value")
+        .select(
+          when($"value" > $"p_value", $"event_type").otherwise($"p_type")
+            .as("win"),
+          when($"value" > $"p_value", $"p_type").otherwise($"event_type")
+            .as("lose"))
+      graft.operators.Analytics.bradleyTerry(contests, "win", "lose",
+          iters = 3)
+        .orderBy($"rk")
+    },
+    Some {
+      def it(k: Int) = {
+        val (p, t, r, sNew) = (s"s${k - 1}", s"t$k", s"r$k", s"s$k")
+        s"""$t AS (SELECT ng.i, sum(CASE WHEN si.s + sj.s > 0
+            THEN (ng.n_ij::HUGEINT * 1000000000000) // (si.s + sj.s)
+            ELSE 0 END) AS den
+          FROM ng JOIN $p si ON ng.i = si.i
+            JOIN $p sj ON ng.j = sj.i GROUP BY ng.i),
+        $r AS MATERIALIZED (SELECT wins.i,
+            CASE WHEN den > 0
+              THEN (wins.wins::HUGEINT * 1000000000000) // den
+            ELSE 0::HUGEINT END AS s_raw
+          FROM wins JOIN $t ON wins.i = $t.i),
+        $sNew AS MATERIALIZED (SELECT i, CASE WHEN s_tot > 0 THEN
+            CAST(s_raw * n_items * 1000000 // s_tot AS BIGINT)
+            ELSE 0::BIGINT END AS s
+          FROM $r, (SELECT sum(s_raw) AS s_tot, count(*) AS n_items
+            FROM $r))"""
+      }
+      s"""WITH ev AS (
+        SELECT event_type, value,
+          lag(event_type) OVER w AS p_type, lag(value) OVER w AS p_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      contests AS (
+        SELECT CASE WHEN value > p_value THEN event_type ELSE p_type END
+            AS win,
+          CASE WHEN value > p_value THEN p_type ELSE event_type END
+            AS lose
+        FROM ev WHERE p_type IS NOT NULL AND p_type <> event_type
+          AND value <> p_value),
+      d AS (SELECT win AS i, lose AS j, count(*)::BIGINT AS w
+        FROM contests GROUP BY 1, 2),
+      sym AS (SELECT i, j, sum(w)::BIGINT AS w_ij FROM
+        (SELECT i, j, w FROM d UNION ALL SELECT j, i, 0 FROM d)
+        GROUP BY 1, 2),
+      ng AS MATERIALIZED (SELECT a.i, a.j, a.w_ij,
+          (a.w_ij + b.w_ij)::BIGINT AS n_ij
+        FROM sym a JOIN sym b ON a.i = b.j AND a.j = b.i),
+      wins AS MATERIALIZED (SELECT i, sum(w_ij)::BIGINT AS wins,
+          sum(n_ij)::BIGINT AS games FROM ng GROUP BY 1),
+      s0 AS (SELECT i, 1000000::BIGINT AS s FROM wins),
+      ${it(1)},
+      ${it(2)},
+      ${it(3)}
+      SELECT wins.i AS item, wins.wins AS wins, wins.games AS games,
+        s3.s AS strength_ppm,
+        row_number() OVER (ORDER BY s3.s DESC, wins.i) AS rk
+      FROM wins JOIN s3 ON wins.i = s3.i ORDER BY rk"""
+    },
+    doc = "[NS] Bradley-Terry MM strengths from pairwise duels, exact integer ppm")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
-    q300SessionGapLadder,
+    q300SessionGapLadder, q304BradleyTerry,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,

@@ -1018,4 +1018,54 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
     assert(sw(10) === 1000000L - wts.head, sw.toString)
   }
+
+  test("bradleyTerry: matches an independent BigInt scalar reference " +
+      "of the MM recurrence; winless item fixes at 0; mass conserved") {
+    import spark.implicits._
+    // A beats B twice, B beats A once, A beats C once, C beats B twice,
+    // and D loses once to C (winless)
+    val duels = Seq(("A", "B"), ("A", "B"), ("B", "A"), ("A", "C"),
+      ("C", "B"), ("C", "B"), ("C", "D")).toDF("win", "lose")
+    val got = Analytics.bradleyTerry(duels, "win", "lose", iters = 3)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+    // scalar reference: identical truncating-integer MM in BigInt
+    val w = Map(("A", "B") -> 2L, ("B", "A") -> 1L, ("A", "C") -> 1L,
+      ("C", "A") -> 0L, ("C", "B") -> 2L, ("B", "C") -> 0L,
+      ("C", "D") -> 1L, ("D", "C") -> 0L)
+    val pairs = w.keySet.toSeq.sorted
+    val items = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    def n(i: String, j: String) = w(i -> j) + w(j -> i)
+    val wins = items.map(i =>
+      i -> pairs.filter(_._1 == i).map(w).sum).toMap
+    val games = items.map(i =>
+      i -> pairs.filter(_._1 == i).map { case (a, b) => n(a, b) }.sum).toMap
+    var s = items.map(_ -> BigInt(1000000)).toMap
+    for (_ <- 1 to 3) {
+      val raw = items.map { i =>
+        val den = pairs.filter(_._1 == i).map { case (_, j) =>
+          if (s(i) + s(j) > 0) BigInt(n(i, j)) * BigInt("1000000000000") /
+            (s(i) + s(j))
+          else BigInt(0) }.sum
+        i -> (if (den > 0) BigInt(wins(i)) * BigInt("1000000000000") / den
+              else BigInt(0))
+      }.toMap
+      val tot = raw.values.sum
+      s = raw.map { case (i, r) =>
+        i -> (if (tot > 0) r * items.size * 1000000 / tot else BigInt(0)) }
+    }
+    items.foreach { i =>
+      assert(got(i) === ((wins(i), games(i), s(i).toLong,
+        got(i)._4)), s"item $i: got ${got(i)}")
+    }
+    assert(got("D")._3 === 0L, "winless item must fix at strength 0")
+    val mass = got.values.toSeq.map(_._3).sum
+    assert(math.abs(mass - items.size * 1000000L) <= items.size,
+      s"renormalized mass must be N*1e6 up to truncation: $mass")
+    // ranking: A (dominant) above B; rk is the dense 1..N order
+    assert(got.values.map(_._4).toSeq.sorted === (1L to items.size).toSeq)
+    assert(got("A")._4 < got("B")._4, "A dominates B head-to-head 2:1")
+  }
 }
