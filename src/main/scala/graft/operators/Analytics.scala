@@ -1735,4 +1735,69 @@ object Analytics {
         col("s").as("strength_ppm"))
       .withColumn("rk", row_number().over(rkw).cast("long"))
   }
+
+  /** [NS] — exact two-sample Kolmogorov–Smirnov statistic: the maximum
+    * vertical distance between the two empirical CDFs, the
+    * distribution-drift test for CONTINUOUS features where the binned
+    * family (chi-square q189, TVD q288/q291, PSI-shaped q228) loses
+    * information to bin edges. D is computed exactly at every distinct
+    * value as |ca·nb − cb·na|·10⁶ div (na·nb) with decimal(38,0)
+    * products (ca/cb = cumulative counts ≤ value), so both engines
+    * agree bit-for-bit and no continuity correction or binning enters.
+    *
+    * Scale: the corpus collapses to one groupBy(value) aggregate; the
+    * cumulative counts use a DISTRIBUTED prefix sum — per-bucket
+    * windows (bucket = floor(value/bucketWidth), partition-parallel)
+    * plus a |buckets|-row offset table cumulated once and broadcast
+    * back — never a single-partition window over the distinct values
+    * (the q140-class mistake for continuous domains). The max and its
+    * argmin location are two aggregates over the checkpointed diff
+    * frame.
+    *
+    * Output: one row (n_a, n_b, d_ppm, at_value, drift) — at_value the
+    * smallest value attaining D; drift = D ≥ thresholdPpm. */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valCol: String,
+      bucketWidth: Double, thresholdPpm: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val tagged = a.select(col(valCol).as("v"), lit(1L).as("ia"),
+        lit(0L).as("ib"))
+      .unionAll(b.select(col(valCol).as("v"), lit(0L).as("ia"),
+        lit(1L).as("ib")))
+      .filter(col("v").isNotNull)
+    val g = tagged.groupBy(col("v"))
+      .agg(sum(col("ia")).as("da"), sum(col("ib")).as("db"))
+      .withColumn("bk", floor(col("v") / lit(bucketWidth)).cast("long"))
+    val inBucket = Window.partitionBy(col("bk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = g.withColumn("la", sum(col("da")).over(inBucket))
+      .withColumn("lb", sum(col("db")).over(inBucket))
+    // |buckets|-row offset table: exclusive prefix over bucket totals
+    val overBuckets = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = g.groupBy(col("bk"))
+      .agg(sum(col("da")).as("ta"), sum(col("db")).as("tb"))
+      .withColumn("oa", sum(col("ta")).over(overBuckets) - col("ta"))
+      .withColumn("ob", sum(col("tb")).over(overBuckets) - col("tb"))
+      .select(col("bk"), col("oa"), col("ob"))
+    val diffs = local.join(broadcast(offsets), Seq("bk"))
+      .withColumn("ca", col("oa") + col("la"))
+      .withColumn("cb", col("ob") + col("lb"))
+      .crossJoin(broadcast(tagged.agg(sum(col("ia")).as("n_a"),
+        sum(col("ib")).as("n_b"))))
+      .withColumn("d", expr(
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+          "cast(abs(cast(ca as decimal(38,0)) * n_b - " +
+          "cast(cb as decimal(38,0)) * n_a) * 1000000 " +
+          "div (cast(n_a as decimal(38,0)) * n_b) as bigint) " +
+          "ELSE cast(0 as bigint) END"))
+      .select(col("v"), col("n_a"), col("n_b"), col("d"))
+      .localCheckpoint(true)
+    val dmax = diffs.agg(max(col("d")).as("d_ppm"))
+    diffs.join(broadcast(dmax), col("d") === col("d_ppm"))
+      .groupBy(col("n_a"), col("n_b"), col("d_ppm"))
+      .agg(min(col("v")).as("at_value"))
+      .withColumn("drift", col("d_ppm") >= thresholdPpm)
+      .select(col("n_a"), col("n_b"), col("d_ppm"), col("at_value"),
+        col("drift"))
+  }
 }

@@ -1771,8 +1771,49 @@ object EventQueries {
     },
     doc = "[NS] Bradley-Terry MM strengths from pairwise duels, exact integer ppm")
 
+  /** [NS] — exact two-sample Kolmogorov–Smirnov drift (q305):
+    * [[graft.operators.Analytics.ksTwoSample]] between the click and
+    * purchase value distributions — the continuous-feature drift test
+    * completing the drift family (chi-square q189 for categories, TVD
+    * q288/q291 for shares, share drift q228): D = max |F_a − F_b| in
+    * exact ppm at every distinct value, cumulative counts via the
+    * bucketed distributed prefix sum (no corpus-sized single-partition
+    * window). The oracle's plain window cumsum is the semantic spec the
+    * distributed plan must reproduce bit-for-bit. */
+  val q305KsDrift = Q(
+    "q305_ks_drift",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      graft.operators.Analytics.ksTwoSample(
+        e.filter($"event_type" === "click"),
+        e.filter($"event_type" === "purchase"),
+        "value", bucketWidth = 10.0, thresholdPpm = 50000L)
+    },
+    Some("""WITH t AS (
+        SELECT value AS v,
+          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END::BIGINT AS ia,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT AS ib
+        FROM events WHERE event_type IN ('click', 'purchase')
+          AND value IS NOT NULL),
+      g AS (SELECT v, sum(ia)::BIGINT AS da, sum(ib)::BIGINT AS db
+        FROM t GROUP BY v),
+      c AS (SELECT v, sum(da) OVER w AS ca, sum(db) OVER w AS cb FROM g
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+      n AS (SELECT sum(ia)::BIGINT AS n_a, sum(ib)::BIGINT AS n_b FROM t),
+      dd AS (SELECT v, n_a, n_b,
+          CAST(abs(ca::HUGEINT * n_b - cb::HUGEINT * n_a) * 1000000
+            // (n_a::HUGEINT * n_b) AS BIGINT) AS d
+        FROM c, n),
+      m AS (SELECT max(d) AS d_ppm FROM dd)
+      SELECT n_a, n_b, d_ppm, min(v) AS at_value,
+        d_ppm >= 50000 AS drift
+      FROM dd JOIN m ON dd.d = m.d_ppm
+      GROUP BY n_a, n_b, d_ppm"""),
+    doc = "[NS] exact two-sample KS statistic via bucketed distributed prefix sum")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
-    q300SessionGapLadder, q304BradleyTerry,
+    q300SessionGapLadder, q304BradleyTerry, q305KsDrift,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,

@@ -1068,4 +1068,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.values.map(_._4).toSeq.sorted === (1L to items.size).toSeq)
     assert(got("A")._4 < got("B")._4, "A dominates B head-to-head 2:1")
   }
+
+  test("ksTwoSample: hand-computed D and argmin location; bucketed " +
+      "prefix sum crosses bucket edges correctly; identical samples = 0") {
+    import spark.implicits._
+    // a = {1,2,3}, b = {2,4}: diffs ppm at v=1..4 are 333333, 166666,
+    // 500000, 0 — D = 500000 attained first at v = 3
+    val a = Seq(1.0, 2.0, 3.0).toDF("x").repartition(3)
+    val b = Seq(2.0, 4.0).toDF("x").repartition(2)
+    // bucketWidth 1.0 puts every distinct value in its OWN bucket, so
+    // the cross-bucket offset path carries all of the cumulation
+    val r = Analytics.ksTwoSample(a, b, "x", bucketWidth = 1.0,
+      thresholdPpm = 400000L).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getDouble(3), row.getBoolean(4)) === ((3L, 2L, 500000L, 3.0,
+      true)))
+    // one wide bucket: the in-bucket window carries the cumulation —
+    // same exact answer
+    val r2 = Analytics.ksTwoSample(a, b, "x", bucketWidth = 100.0,
+      thresholdPpm = 600000L).collect().head
+    assert((r2.getLong(2), r2.getDouble(3), r2.getBoolean(4)) ===
+      ((500000L, 3.0, false)))
+    // identical samples: D = 0 at the smallest value
+    val same = Analytics.ksTwoSample(a, a, "x", 1.0, 1L).collect().head
+    assert((same.getLong(2), same.getDouble(3)) === ((0L, 1.0)))
+  }
 }
