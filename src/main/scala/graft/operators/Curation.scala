@@ -1792,4 +1792,59 @@ object Curation {
         col("dup_line_char_ppm"), col("top2_ppm"), col("top3_ppm"),
         col("pass_rep"))
   }
+
+  /** [NS] — Unicode script-mix audit: per-doc codepoint counts by
+    * script block (Latin incl. its 1-supplement/extended ranges,
+    * Cyrillic, Han, Greek, Arabic), the dominant script's share, and
+    * the OFF-script letter share — the langid complement that catches
+    * what a language TAG can't: code-switched documents, wrong-script
+    * contamination inside a labeled shard, and homoglyph-spoofed text
+    * (Cyrillic 'о' planted in Latin words survives every
+    * ASCII-oblivious heuristic but moves `offscript_ppm`). CCNet-class
+    * pipelines gate on exactly this before trusting per-lang quality
+    * models.
+    *
+    * Counting is length-difference arithmetic over native
+    * regexp_replace (Java ranges here, the same ranges as RE2
+    * `\x{...}` classes in the DuckDB twin; both `length`s count
+    * codepoints) — one codegen'd projection, no shuffle, no UDF.
+    * `mixed` = offscript_ppm ≥ `mixedThresholdPpm` — the non-dominant
+    * letter mass, robust to which script is second. Docs with no
+    * letters at all report dominant 'none', share 0, not-mixed. */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String,
+      mixedThresholdPpm: Long = 50000L): DataFrame = {
+    def cnt(cls: String) =
+      (length(col("_t")) -
+        length(regexp_replace(col("_t"), cls, ""))).cast("long")
+    df.select(col(idCol), col(textCol).as("_t"))
+      .withColumn("n_latin", cnt("[A-Za-zÀ-ɏ]"))
+      .withColumn("n_cyrillic", cnt("[Ѐ-ӿ]"))
+      .withColumn("n_han", cnt("[一-鿿]"))
+      .withColumn("n_greek", cnt("[Ͱ-Ͽ]"))
+      .withColumn("n_arabic", cnt("[؀-ۿ]"))
+      .withColumn("n_letter", expr(
+        "n_latin + n_cyrillic + n_han + n_greek + n_arabic"))
+      .withColumn("dom_script", expr(
+        "CASE WHEN n_letter = 0 THEN 'none' " +
+          "WHEN n_latin >= greatest(n_cyrillic, n_han, n_greek, " +
+          "n_arabic) THEN 'latin' " +
+          "WHEN n_cyrillic >= greatest(n_han, n_greek, n_arabic) " +
+          "THEN 'cyrillic' " +
+          "WHEN n_han >= greatest(n_greek, n_arabic) THEN 'han' " +
+          "WHEN n_greek >= n_arabic THEN 'greek' ELSE 'arabic' END"))
+      .withColumn("dom_n", expr(
+        "greatest(n_latin, n_cyrillic, n_han, n_greek, n_arabic)"))
+      .withColumn("dom_ppm", expr(
+        "CASE WHEN n_letter > 0 THEN (1000000 * dom_n) div n_letter " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("offscript_ppm", expr(
+        "CASE WHEN n_letter > 0 THEN " +
+          "(1000000 * (n_letter - dom_n)) div n_letter " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("mixed", col("offscript_ppm") >= mixedThresholdPpm)
+      .select(col(idCol), col("n_latin"), col("n_cyrillic"),
+        col("n_han"), col("n_greek"), col("n_arabic"), col("n_letter"),
+        col("dom_script"), col("dom_ppm"), col("offscript_ppm"),
+        col("mixed"))
+  }
 }

@@ -2530,7 +2530,61 @@ object CurationQueries {
       FROM f ORDER BY doc_id"""),
     doc = "[NS] encoding QA: U+FFFD / control-char / mojibake-marker gate")
 
+  /** [NS] — Unicode script-mix audit (q306):
+    * [[graft.operators.Curation.scriptMix]] over the documents table —
+    * per-doc codepoint counts by script block, dominant script and its
+    * share, off-script letter mass, mixed flag. The langid complement
+    * (q26 tags a language; this certifies the SCRIPT actually matches)
+    * and the homoglyph/code-switch detector q282's byte-level gate
+    * can't see. Java `[Ѐ-ӿ]`-class ranges here ≡ RE2
+    * `[\x{0400}-\x{04FF}]` in the oracle; both lengths count
+    * codepoints. One codegen'd projection, no shuffle. */
+  val q306ScriptMix = Q(
+    "q306_script_mix",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Curation.scriptMix(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some {
+      def cnt(cls: String, n: String) =
+        s"length(text) - length(regexp_replace(text, '$cls', '', 'g')) AS $n"
+      s"""WITH c AS (SELECT doc_id,
+          ${cnt("[A-Za-z\\x{00C0}-\\x{024F}]", "n_latin")},
+          ${cnt("[\\x{0400}-\\x{04FF}]", "n_cyrillic")},
+          ${cnt("[\\x{4E00}-\\x{9FFF}]", "n_han")},
+          ${cnt("[\\x{0370}-\\x{03FF}]", "n_greek")},
+          ${cnt("[\\x{0600}-\\x{06FF}]", "n_arabic")}
+        FROM documents),
+      t AS (SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek, n_arabic,
+          (n_latin + n_cyrillic + n_han + n_greek + n_arabic) AS n_letter,
+          greatest(n_latin, n_cyrillic, n_han, n_greek, n_arabic) AS dom_n
+        FROM c)
+      SELECT doc_id, n_latin, n_cyrillic, n_han, n_greek, n_arabic,
+        n_letter,
+        CASE WHEN n_letter = 0 THEN 'none'
+          WHEN n_latin >= greatest(n_cyrillic, n_han, n_greek, n_arabic)
+            THEN 'latin'
+          WHEN n_cyrillic >= greatest(n_han, n_greek, n_arabic)
+            THEN 'cyrillic'
+          WHEN n_han >= greatest(n_greek, n_arabic) THEN 'han'
+          WHEN n_greek >= n_arabic THEN 'greek' ELSE 'arabic' END
+          AS dom_script,
+        CASE WHEN n_letter > 0 THEN (1000000 * dom_n) // n_letter
+          ELSE 0 END AS dom_ppm,
+        CASE WHEN n_letter > 0
+          THEN (1000000 * (n_letter - dom_n)) // n_letter
+          ELSE 0 END AS offscript_ppm,
+        CASE WHEN n_letter > 0
+          THEN (1000000 * (n_letter - dom_n)) // n_letter >= 50000
+          ELSE FALSE END AS mixed
+      FROM t ORDER BY doc_id"""
+    },
+    doc = "[NS] Unicode script-mix audit: dominant script, off-script mass, homoglyph/code-switch flag")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
+    q306ScriptMix,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,

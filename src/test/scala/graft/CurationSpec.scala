@@ -1192,4 +1192,44 @@ class CurationSpec extends AnyFunSuite {
         r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq((9L, "fresh", 1L, 1L)))
   }
+
+  test("scriptMix: planted homoglyph trips the mixed flag, dominant " +
+      "script classified per block, letterless doc reports 'none', " +
+      "ties resolve by the documented priority order") {
+    import spark.implicits._
+    val cyrO = "о" // Cyrillic small o — the classic Latin homoglyph
+    val docs = Seq(
+      (1L, "plain latin words only"),
+      // 19 Latin letters + 1 Cyrillic homoglyph = exactly 50000 ppm off
+      (2L, "abcdefghij klmnopqrs" + cyrO),
+      (3L, "你好世界 ok"),       // Han dominant, 2 latin
+      (4L, "12345 .,!? 67890"),                   // no letters at all
+      (5L, "abбв")                      // 2 latin vs 2 cyrillic tie
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Curation.scriptMix(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+
+    assert(r(1L).getAs[String]("dom_script") === "latin")
+    assert(r(1L).getAs[Long]("dom_ppm") === 1000000L)
+    assert(!r(1L).getAs[Boolean]("mixed"))
+
+    assert(r(2L).getAs[Long]("n_latin") === 19L)
+    assert(r(2L).getAs[Long]("n_cyrillic") === 1L)
+    assert(r(2L).getAs[Long]("offscript_ppm") === 50000L)
+    assert(r(2L).getAs[Boolean]("mixed"),
+      "one homoglyph in 20 letters sits exactly at the 5% gate")
+
+    assert(r(3L).getAs[String]("dom_script") === "han")
+    assert(r(3L).getAs[Long]("n_han") === 4L)
+    assert(r(3L).getAs[Long]("n_latin") === 2L)
+
+    assert(r(4L).getAs[String]("dom_script") === "none")
+    assert(r(4L).getAs[Long]("n_letter") === 0L)
+    assert(r(4L).getAs[Long]("dom_ppm") === 0L)
+    assert(!r(4L).getAs[Boolean]("mixed"))
+
+    assert(r(5L).getAs[String]("dom_script") === "latin",
+      "2-2 tie resolves latin-first by the documented CASE order")
+    assert(r(5L).getAs[Long]("offscript_ppm") === 500000L)
+  }
 }
