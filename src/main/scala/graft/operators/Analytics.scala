@@ -1800,4 +1800,56 @@ object Analytics {
       .select(col("n_a"), col("n_b"), col("d_ppm"), col("at_value"),
         col("drift"))
   }
+
+  /** [NS] — Theil–Sen robust trend (Theil 1950/Sen 1968): the median of
+    * all pairwise slopes per group, plus the matching median intercept
+    * — the robust twin of [[trendSlope]] (one wild day shifts an OLS
+    * slope arbitrarily; the pairwise median shrugs off up to ~29%
+    * outliers). Slopes are (y₂−y₁)·10⁶ div (x₂−x₁) with decimal(38,0)
+    * products and signed truncation toward zero (both engines agree);
+    * the median is the deterministic LOWER median (rank ⌈m/2⌉ ordered
+    * by slope, then pair coordinates); intercept = lower median over
+    * points of y·10⁶ − slope·x.
+    *
+    * Scale: pairwise — deliberately QUADRATIC in the per-group series
+    * length. The contract (same as q281's per-basket pairs): feed it
+    * the AGGREGATED series (daily/hourly rollups, |days|-sized groups),
+    * never raw events — robust trends are a property of a metric
+    * series, and the rollup is the one corpus-sized pass. Keys with
+    * fewer than two distinct x values have no pairs and are omitted.
+    *
+    * Output: (key, n_points, n_pairs, slope_ppm, intercept_ppm). */
+  def theilSen(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val pts = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).as("k"), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .localCheckpoint(true)
+    val slopes = pts.as("a").join(pts.as("b"),
+        col("a.k") === col("b.k") && col("a.x") < col("b.x"))
+      .select(col("a.k").as("k"), col("a.x").as("x1"),
+        col("b.x").as("x2"), expr(
+          "cast((cast(`b`.y as decimal(38,0)) - `a`.y) * 1000000 " +
+            "div (`b`.x - `a`.x) as bigint)").as("slope"))
+    val wS = Window.partitionBy(col("k"))
+      .orderBy(col("slope"), col("x1"), col("x2"))
+    val slope = slopes
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .withColumn("_rk", row_number().over(wS))
+      .filter(col("_rk") === expr("(m + 1) div 2"))
+      .select(col("k"), col("m").as("n_pairs"),
+        col("slope").as("slope_ppm"))
+    val wI = Window.partitionBy(col("k"))
+      .orderBy(col("ic"), col("x"))
+    pts.join(slope, Seq("k"))
+      .withColumn("ic", expr(
+        "cast(cast(y as decimal(38,0)) * 1000000 - " +
+          "cast(slope_ppm as decimal(38,0)) * x as bigint)"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .withColumn("_rk", row_number().over(wI))
+      .filter(col("_rk") === expr("(n + 1) div 2"))
+      .select(col("k").as(keyCol), col("n").as("n_points"),
+        col("n_pairs"), col("slope_ppm"), col("ic").as("intercept_ppm"))
+  }
 }

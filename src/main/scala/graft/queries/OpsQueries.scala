@@ -2260,7 +2260,57 @@ object OpsQueries {
       ORDER BY fk_edge"""),
     doc = "[NS] whole-schema FK orphan sweep (7 edges, one referential-health ledger)")
 
+  /** [NS] — Theil–Sen robust trend (q307):
+    * [[graft.operators.Analytics.theilSen]] over the DAILY value series
+    * per event type (exact cents rollup first — the one corpus-sized
+    * pass; the pairwise stage is |days|² per group by contract). The
+    * robust sibling of q189's OLS slope: disagreements between the two
+    * are exactly the "one wild day" cases q189's doc warns about.
+    * Lower-median determinism on both the slope and intercept ranks. */
+  val q307TheilSen = Q(
+    "q307_theil_sen",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).filter($"value".isNotNull)
+      val anchor = ev.agg(min(to_date($"ts")).as("_a"))
+      val xy = ev.crossJoin(broadcast(anchor))
+        .withColumn("x", datediff(to_date($"ts"), $"_a").cast("long"))
+        .groupBy($"event_type", $"x")
+        .agg(sum(round($"value" * 100).cast("long")).as("y"))
+      Analytics.theilSen(xy, "event_type", "x", "y")
+        .orderBy($"event_type")
+    },
+    Some("""WITH a AS (SELECT min(CAST(ts AS DATE)) AS a FROM events),
+      xy AS (SELECT event_type AS k,
+          CAST(date_diff('day', a.a, CAST(ts AS DATE)) AS BIGINT) AS x,
+          CAST(sum(round(value * 100.0)) AS BIGINT) AS y
+        FROM events CROSS JOIN a WHERE value IS NOT NULL
+        GROUP BY 1, 2),
+      sl AS (SELECT p.k, p.x AS x1, q.x AS x2,
+          CAST((q.y::HUGEINT - p.y) * 1000000 // (q.x - p.x) AS BIGINT)
+            AS slope
+        FROM xy p JOIN xy q ON p.k = q.k AND p.x < q.x),
+      sm AS (SELECT k, count(*) OVER (PARTITION BY k) AS m, slope,
+          row_number() OVER (PARTITION BY k ORDER BY slope, x1, x2)
+            AS rk
+        FROM sl),
+      s1 AS (SELECT k, m AS n_pairs, slope AS slope_ppm FROM sm
+        WHERE rk = (m + 1) // 2),
+      ic AS (SELECT xy.k, xy.x,
+          CAST(xy.y::HUGEINT * 1000000 - s1.slope_ppm::HUGEINT * xy.x
+            AS BIGINT) AS ic
+        FROM xy JOIN s1 ON xy.k = s1.k),
+      im AS (SELECT k, ic, count(*) OVER (PARTITION BY k) AS n,
+          row_number() OVER (PARTITION BY k ORDER BY ic, x) AS rk
+        FROM ic)
+      SELECT im.k AS event_type, n AS n_points, s1.n_pairs,
+        s1.slope_ppm, im.ic AS intercept_ppm
+      FROM im JOIN s1 ON im.k = s1.k WHERE rk = (n + 1) // 2
+      ORDER BY event_type"""),
+    doc = "[NS] Theil-Sen pairwise-median slope + intercept, exact lower medians")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
+    q307TheilSen,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,

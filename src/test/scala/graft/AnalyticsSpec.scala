@@ -1095,4 +1095,26 @@ class AnalyticsSpec extends AnyFunSuite {
     val same = Analytics.ksTwoSample(a, a, "x", 1.0, 1L).collect().head
     assert((same.getLong(2), same.getDouble(3)) === ((0L, 1.0)))
   }
+
+  test("theilSen: pairwise lower-median shrugs off the planted outlier, " +
+      "signed slopes truncate toward zero, single-point keys omitted") {
+    import spark.implicits._
+    val pts = Seq(
+      // g: clean slope 10/step with one wild point at x=3 —
+      // slopes ppm sorted: 10e6 ×3, 333333333, 495000000, 980000000;
+      // lower median (rank 3 of 6) stays 10e6; intercepts 0,0,0,970e6
+      ("g", 0L, 0L), ("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 1000L),
+      // h: negative slopes −3e6, −3.5e6 (−7e6 div 2, toward zero),
+      // −4e6 — median −3.5e6; intercepts 10e6, 10.5e6, 10e6 → 10e6
+      ("h", 0L, 10L), ("h", 1L, 7L), ("h", 2L, 3L),
+      ("i", 5L, 5L) // one point: no pairs, omitted
+    ).toDF("k", "x", "y").repartition(4)
+    val r = Analytics.theilSen(pts, "k", "x", "y")
+      .collect().map(row => row.getString(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3),
+          row.getLong(4)))).toMap
+    assert(r.keySet === Set("g", "h"))
+    assert(r("g") === ((4L, 6L, 10000000L, 0L)))
+    assert(r("h") === ((3L, 3L, -3500000L, 10000000L)))
+  }
 }
