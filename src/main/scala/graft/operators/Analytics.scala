@@ -1852,4 +1852,65 @@ object Analytics {
       .select(col("k").as(keyCol), col("n").as("n_points"),
         col("n_pairs"), col("slope_ppm"), col("ic").as("intercept_ppm"))
   }
+
+  /** [NS] — Gini concentration + Lorenz landmarks over a non-negative
+    * mass column: the inequality readout for "is this corpus a few
+    * giant documents / is this mixture a few dominant domains". Uses
+    * the rank identity G = (2·Σrᵢxᵢ − (n+1)·Σx) / (n·Σx) with ascending
+    * 1-based ranks — exact under ties because tied x make Σrx invariant
+    * to rank order within the tie block — emitted in exact ppm with
+    * decimal(38,0) products. Lorenz landmarks: mass share of the bottom
+    * 50% of rows and of the top 10% / top 1% (rank-threshold filtered
+    * sums; floors, so tiny corpora degrade deterministically).
+    *
+    * Scale: ranking is the two-pass [[Curation.withGlobalRank]] (range
+    * partition + per-partition window + broadcast offsets — never a
+    * single-partition window); everything after is one 1-row aggregate
+    * crossJoined back and one conditional-sum pass. `tie` must be a
+    * unique column (rank determinism; the statistic itself is
+    * tie-invariant).
+    *
+    * Output: one row (n, total, gini_ppm, bottom50_ppm, top10_ppm,
+    * top1_ppm). */
+  def giniConcentration(df: DataFrame, valCol: String,
+      tieCol: String): DataFrame = {
+    val vals = df
+      .filter(col(valCol).isNotNull && col(valCol) >= 0)
+      .select(col(valCol).cast("long").as("x"), col(tieCol).as("_tie"))
+    val ranked = Curation.withGlobalRank(vals,
+        Seq(col("x"), col("_tie")), "_r0")
+      .withColumn("r", col("_r0") + 1L)
+    val tot = ranked.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("sx")).as("_sx"),
+        sum(expr("cast(r as decimal(38,0)) * x")).as("_srx"),
+        sum(expr("CASE WHEN r <= n * 50 div 100 THEN " +
+          "cast(x as decimal(38,0)) ELSE cast(0 as decimal(38,0)) END"))
+          .as("_b50"),
+        sum(expr("CASE WHEN r > n - n * 10 div 100 THEN " +
+          "cast(x as decimal(38,0)) ELSE cast(0 as decimal(38,0)) END"))
+          .as("_t10"),
+        sum(expr("CASE WHEN r > n - n div 100 THEN " +
+          "cast(x as decimal(38,0)) ELSE cast(0 as decimal(38,0)) END"))
+          .as("_t1"))
+      .withColumn("gini_ppm", expr(
+        "CASE WHEN n > 0 AND _sx > 0 THEN " +
+          "cast((2 * _srx - (n + 1) * _sx) * 1000000 div (n * _sx) " +
+          "as bigint) ELSE cast(0 as bigint) END"))
+      .withColumn("bottom50_ppm", expr(
+        "CASE WHEN _sx > 0 THEN cast(_b50 * 1000000 div _sx as bigint) " +
+          "ELSE cast(0 as bigint) END"))
+      .withColumn("top10_ppm", expr(
+        "CASE WHEN _sx > 0 THEN cast(_t10 * 1000000 div _sx as bigint) " +
+          "ELSE cast(0 as bigint) END"))
+      .withColumn("top1_ppm", expr(
+        "CASE WHEN _sx > 0 THEN cast(_t1 * 1000000 div _sx as bigint) " +
+          "ELSE cast(0 as bigint) END"))
+      .withColumn("total", expr("cast(_sx as bigint)"))
+      .select(col("n"), col("total"), col("gini_ppm"),
+        col("bottom50_ppm"), col("top10_ppm"), col("top1_ppm"))
+  }
 }

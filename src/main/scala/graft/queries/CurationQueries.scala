@@ -2583,8 +2583,46 @@ object CurationQueries {
     },
     doc = "[NS] Unicode script-mix audit: dominant script, off-script mass, homoglyph/code-switch flag")
 
+  /** [NS] — corpus mass concentration (q308):
+    * [[graft.operators.Analytics.giniConcentration]] over per-doc char
+    * mass — the Gini coefficient and Lorenz landmarks (bottom-50%,
+    * top-10%, top-1% shares) answering "is this corpus a few giant
+    * documents?", the inequality readout behind chunking (q57),
+    * packing (q67) and budget (q73) decisions. Exact rank-identity
+    * arithmetic over the two-pass global rank — no single-partition
+    * window at any size. */
+  val q308GiniConcentration = Q(
+    "q308_gini_concentration",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Analytics.giniConcentration(
+        Tables.documents(s, d), "n_chars", "doc_id")
+    },
+    Some("""WITH v AS (SELECT n_chars::BIGINT AS x, doc_id
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+      r AS (SELECT x, row_number() OVER (ORDER BY x, doc_id) AS r
+        FROM v),
+      t AS (SELECT count(*)::BIGINT AS n, sum(x::HUGEINT) AS sx FROM r),
+      a AS (SELECT max(n) AS n, max(sx) AS sx,
+          sum(r.r::HUGEINT * x) AS srx,
+          sum(CASE WHEN r.r <= n * 50 // 100 THEN x::HUGEINT
+            ELSE 0 END) AS b50,
+          sum(CASE WHEN r.r > n - n * 10 // 100 THEN x::HUGEINT
+            ELSE 0 END) AS t10,
+          sum(CASE WHEN r.r > n - n // 100 THEN x::HUGEINT
+            ELSE 0 END) AS t1
+        FROM r, t)
+      SELECT n, CAST(sx AS BIGINT) AS total,
+        CAST((2 * srx - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+          AS gini_ppm,
+        CAST(b50 * 1000000 // sx AS BIGINT) AS bottom50_ppm,
+        CAST(t10 * 1000000 // sx AS BIGINT) AS top10_ppm,
+        CAST(t1 * 1000000 // sx AS BIGINT) AS top1_ppm
+      FROM a"""),
+    doc = "[NS] Gini + Lorenz landmarks of corpus mass, exact ppm over two-pass ranks")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
-    q306ScriptMix,
+    q306ScriptMix, q308GiniConcentration,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,

@@ -1117,4 +1117,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r("g") === ((4L, 6L, 10000000L, 0L)))
     assert(r("h") === ((3L, 3L, -3500000L, 10000000L)))
   }
+
+  test("giniConcentration: hand-computed Gini and Lorenz landmarks; " +
+      "perfect equality reads 0") {
+    import spark.implicits._
+    // masses 1,1,1,1,6: n=5, Σx=10, Σrx=40 → G=(80-60)/50=0.4;
+    // bottom 50% = ranks 1..2 → 2/10; top-10%/top-1% thresholds floor
+    // to zero rows on n=5
+    val skewed = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 6L))
+      .toDF("id", "mass").repartition(3)
+    val g = Analytics.giniConcentration(skewed, "mass", "id")
+      .collect().head
+    assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3),
+      g.getLong(4), g.getLong(5)) ===
+      ((5L, 10L, 400000L, 200000L, 0L, 0L)))
+    // equal masses: Gini exactly 0, bottom-50% holds exactly half
+    val flat = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L))
+      .toDF("id", "mass")
+    val f = Analytics.giniConcentration(flat, "mass", "id")
+      .collect().head
+    assert((f.getLong(2), f.getLong(3)) === ((0L, 500000L)))
+  }
 }
