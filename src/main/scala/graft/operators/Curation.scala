@@ -1847,4 +1847,51 @@ object Curation {
         col("dom_script"), col("dom_ppm"), col("offscript_ppm"),
         col("mixed"))
   }
+
+  /** [NS] — readability scoring (Flesch 1948 / Kincaid 1975): the
+    * audience-difficulty axis of text quality, orthogonal to the
+    * length/stopword heuristics (q27) and the repetition gates (q269)
+    * — a curriculum (q276) ordered by reading grade is the classic
+    * easy-to-hard schedule, and a "standard prose" band filter drops
+    * both word-salad and legalese that pass every other gate.
+    *
+    * Deterministic counting heuristic, identical in both engines:
+    * sentences = non-overlapping runs of [.!?] (min 1 once text has a
+    * word), words = runs of ASCII letters, syllables = runs of vowels
+    * incl. y (each maximal vowel group ≈ one nucleus — the standard
+    * cheap estimator; no silent-e adjustment, documented). Scores in
+    * exact milli-units with truncating div:
+    * FRE_milli = 206835 − 1015·W div S − 84600·syl div W;
+    * FKG_milli = 390·W div S + 11800·syl div W − 15590. Wordless docs
+    * emit zeros and band 'empty'. One codegen'd projection — counting
+    * is regexp_count arithmetic (len(regexp_extract_all) in the
+    * DuckDB twin), no UDF, no shuffle. */
+  def readability(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol).as("_t"))
+      .withColumn("n_words", expr(
+        "CAST(regexp_count(_t, '[A-Za-z]+') AS BIGINT)"))
+      .withColumn("n_sent", expr(
+        "CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "greatest(CAST(regexp_count(_t, '[.!?]+') AS BIGINT), " +
+          "CAST(1 AS BIGINT)) END"))
+      .withColumn("n_syll", expr(
+        "CAST(regexp_count(_t, '[aeiouyAEIOUY]+') AS BIGINT)"))
+      .withColumn("fre_milli", expr(
+        "CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "206835 - 1015 * n_words div n_sent - " +
+          "84600 * n_syll div n_words END"))
+      .withColumn("fk_grade_milli", expr(
+        "CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "390 * n_words div n_sent + 11800 * n_syll div n_words " +
+          "- 15590 END"))
+      .withColumn("band", expr(
+        "CASE WHEN n_words = 0 THEN 'empty' " +
+          "WHEN fre_milli >= 90000 THEN 'very_easy' " +
+          "WHEN fre_milli >= 70000 THEN 'easy' " +
+          "WHEN fre_milli >= 50000 THEN 'standard' " +
+          "WHEN fre_milli >= 30000 THEN 'difficult' " +
+          "ELSE 'very_difficult' END"))
+      .select(col(idCol), col("n_sent"), col("n_words"), col("n_syll"),
+        col("fre_milli"), col("fk_grade_milli"), col("band"))
 }

@@ -2621,8 +2621,50 @@ object CurationQueries {
       FROM a"""),
     doc = "[NS] Gini + Lorenz landmarks of corpus mass, exact ppm over two-pass ranks")
 
+  /** [NS] — readability scoring (q309):
+    * [[graft.operators.Curation.readability]] over the documents table
+    * — Flesch Reading Ease + Flesch–Kincaid grade in exact
+    * milli-units from deterministic regexp counts (sentences, words,
+    * vowel-group syllables), with the five-band verdict. The
+    * difficulty axis for curriculum ordering (q276) and band
+    * filtering; one codegen'd projection. */
+  val q309Readability = Q(
+    "q309_readability",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Curation.readability(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH c AS (SELECT doc_id,
+        len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_words,
+        len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS raw_sent,
+        len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))::BIGINT
+          AS n_syll
+      FROM documents),
+      t AS (SELECT doc_id, n_words,
+        CASE WHEN n_words = 0 THEN 0
+          ELSE greatest(raw_sent, 1) END AS n_sent, n_syll FROM c),
+      sc AS (SELECT doc_id, n_sent, n_words, n_syll,
+        CASE WHEN n_words = 0 THEN 0 ELSE
+          206835 - 1015 * n_words // n_sent - 84600 * n_syll // n_words
+          END AS fre_milli,
+        CASE WHEN n_words = 0 THEN 0 ELSE
+          390 * n_words // n_sent + 11800 * n_syll // n_words - 15590
+          END AS fk_grade_milli
+      FROM t)
+      SELECT doc_id, n_sent, n_words, n_syll, fre_milli, fk_grade_milli,
+        CASE WHEN n_words = 0 THEN 'empty'
+          WHEN fre_milli >= 90000 THEN 'very_easy'
+          WHEN fre_milli >= 70000 THEN 'easy'
+          WHEN fre_milli >= 50000 THEN 'standard'
+          WHEN fre_milli >= 30000 THEN 'difficult'
+          ELSE 'very_difficult' END AS band
+      FROM sc ORDER BY doc_id"""),
+    doc = "[NS] Flesch/Kincaid readability in exact milli-units, five-band verdict")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
-    q306ScriptMix, q308GiniConcentration,
+    q306ScriptMix, q308GiniConcentration, q309Readability,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,

@@ -1232,4 +1232,30 @@ class CurationSpec extends AnyFunSuite {
       "2-2 tie resolves latin-first by the documented CASE order")
     assert(r(5L).getAs[Long]("offscript_ppm") === 500000L)
   }
+
+  test("readability: hand-computed FRE/FKG in milli-units, unterminated " +
+      "text counts one sentence, wordless doc reads 'empty'") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words, 2 sentences, 6 vowel groups:
+      // FRE = 206835 - 1015*3 - 84600*1 = 119190 (very_easy)
+      // FKG = 390*3 + 11800*1 - 15590 = -2620
+      (1L, "The cat sat. It ran fast!"),
+      // no terminal punctuation: sentences floor to 1; 2 words,
+      // 3 vowel groups: FRE = 206835 - 2030 - 126900 = 77905 (easy)
+      (2L, "hello world"),
+      (3L, "1234 --- 5678")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Curation.readability(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert((r(1L).getLong(1), r(1L).getLong(2), r(1L).getLong(3)) ===
+      ((2L, 6L, 6L)))
+    assert(r(1L).getLong(4) === 119190L)
+    assert(r(1L).getLong(5) === -2620L)
+    assert(r(1L).getString(6) === "very_easy")
+    assert((r(2L).getLong(1), r(2L).getLong(4), r(2L).getString(6)) ===
+      ((1L, 77905L, "easy")))
+    assert((r(3L).getLong(2), r(3L).getLong(4), r(3L).getString(6)) ===
+      ((0L, 0L, "empty")))
+  }
 }
