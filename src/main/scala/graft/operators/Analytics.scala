@@ -1913,4 +1913,72 @@ object Analytics {
       .select(col("n"), col("total"), col("gini_ppm"),
         col("bottom50_ppm"), col("top10_ppm"), col("top1_ppm"))
   }
+
+  /** [NS] — stratified treatment-effect estimate (the
+    * direct-standardization / propensity-stratification shape,
+    * Cochran 1968): per-stratum mean outcome difference between
+    * treated and control, plus the stratum-weighted overall effect —
+    * the Simpson's-paradox-proof ATE next to CUPED (q243, variance)
+    * and diff-in-diff (q248, time confounding); this one handles
+    * COMPOSITION confounding (treatment correlated with a covariate
+    * that also moves the outcome). Emitted rows: one per stratum with
+    * BOTH arms present, a `__naive__` row (the unstratified diff — the
+    * number Simpson's paradox corrupts), and an `__adjusted__` row
+    * (Σ nₛ·diffₛ div N over the two-arm strata). Single-arm strata
+    * are excluded from the adjusted sum and N — documented, exact.
+    *
+    * diff_ppm = (sum_t·n_c − sum_c·n_t)·10⁶ div (n_t·n_c): the mean
+    * difference ×10⁶ with decimal(38,0) cleared denominators;
+    * truncating div at the per-stratum and weighting steps is the
+    * engine's documented ppm convention (both engines agree
+    * bit-for-bit).
+    *
+    * Scale: ONE groupBy(stratum) with conditional aggregates over the
+    * corpus, then |strata|-row arithmetic. Output: (stratum, n_t, n_c,
+    * sum_t, sum_c, diff_ppm) ordered by stratum name (the `__`-prefixed
+    * summary rows sort ahead of lowercase strata). */
+  def stratifiedEffect(df: DataFrame, stratumCol: String,
+      treatCol: String, outcomeCol: String): DataFrame = {
+    val base = df
+      .filter(col(treatCol).isNotNull && col(outcomeCol).isNotNull &&
+        col(stratumCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(treatCol).cast("boolean").as("_tr"),
+        col(outcomeCol).cast("long").as("_y"))
+    val byStratum = base.groupBy(col("stratum"))
+      .agg(
+        sum(when(col("_tr"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("_tr"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("_tr"), col("_y")).otherwise(0L)
+          .cast("decimal(38,0)")).as("_st"),
+        sum(when(!col("_tr"), col("_y")).otherwise(0L)
+          .cast("decimal(38,0)")).as("_sc"))
+      .localCheckpoint(true)
+    def withDiff(d: DataFrame): DataFrame = d
+      .withColumn("diff_ppm", expr(
+        "CASE WHEN n_t > 0 AND n_c > 0 THEN " +
+          "cast((_st * n_c - _sc * n_t) * 1000000 " +
+          "div (cast(n_t as decimal(38,0)) * n_c) as bigint) END"))
+      .withColumn("sum_t", expr("cast(_st as bigint)"))
+      .withColumn("sum_c", expr("cast(_sc as bigint)"))
+      .select(col("stratum"), col("n_t"), col("n_c"), col("sum_t"),
+        col("sum_c"), col("diff_ppm"))
+    val strata = withDiff(byStratum)
+    val naive = withDiff(byStratum
+      .groupBy(lit("__naive__").as("stratum"))
+      .agg(sum(col("n_t")).as("n_t"), sum(col("n_c")).as("n_c"),
+        sum(col("_st")).as("_st"), sum(col("_sc")).as("_sc")))
+    val adjusted = withDiff(byStratum
+        .filter(col("n_t") > 0 && col("n_c") > 0))
+      .groupBy(lit("__adjusted__").as("stratum"))
+      .agg(sum(col("n_t")).as("n_t"), sum(col("n_c")).as("n_c"),
+        sum(col("sum_t")).as("sum_t"), sum(col("sum_c")).as("sum_c"),
+        expr("CASE WHEN sum(n_t + n_c) > 0 THEN " +
+          "cast(sum(cast(n_t + n_c as decimal(38,0)) * diff_ppm) " +
+          "div sum(n_t + n_c) as bigint) END").as("diff_ppm"))
+      .select(col("stratum"), col("n_t"), col("n_c"), col("sum_t"),
+        col("sum_c"), col("diff_ppm"))
+    strata.unionAll(naive).unionAll(adjusted)
+      .orderBy(col("stratum"))
+  }
 }

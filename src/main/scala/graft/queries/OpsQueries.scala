@@ -2309,8 +2309,60 @@ object OpsQueries {
       ORDER BY event_type"""),
     doc = "[NS] Theil-Sen pairwise-median slope + intercept, exact lower medians")
 
+  /** [NS] — stratified treatment effect (q310):
+    * [[graft.operators.Analytics.stratifiedEffect]] on events — arm =
+    * user-id parity (the hash-assignment shape), outcome = value in
+    * cents, strata = event type. Emits each stratum's mean difference,
+    * the `__naive__` pooled diff, and the `__adjusted__`
+    * stratum-weighted ATE — the pair of numbers whose disagreement IS
+    * Simpson's paradox (AnalyticsSpec plants a reversal). */
+  val q310StratifiedEffect = Q(
+    "q310_stratified_effect",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("tr", $"user_id" % 2 === 0)
+        .withColumn("y", round($"value" * 100).cast("long"))
+      Analytics.stratifiedEffect(ev, "event_type", "tr", "y")
+    },
+    Some("""WITH base AS (SELECT event_type AS stratum,
+        (user_id % 2 = 0) AS tr,
+        CAST(round(value * 100.0) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL),
+      g AS (SELECT stratum,
+          sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS n_t,
+          sum(CASE WHEN NOT tr THEN 1 ELSE 0 END)::BIGINT AS n_c,
+          sum(CASE WHEN tr THEN y ELSE 0 END)::HUGEINT AS st,
+          sum(CASE WHEN NOT tr THEN y ELSE 0 END)::HUGEINT AS sc
+        FROM base GROUP BY 1),
+      s AS (SELECT stratum, n_t, n_c, CAST(st AS BIGINT) AS sum_t,
+          CAST(sc AS BIGINT) AS sum_c,
+          CASE WHEN n_t > 0 AND n_c > 0 THEN
+            CAST((st * n_c - sc * n_t) * 1000000
+              // (n_t::HUGEINT * n_c) AS BIGINT) END AS diff_ppm
+        FROM g),
+      nv AS (SELECT '__naive__' AS stratum, sum(n_t)::BIGINT AS n_t,
+          sum(n_c)::BIGINT AS n_c, CAST(sum(st) AS BIGINT) AS sum_t,
+          CAST(sum(sc) AS BIGINT) AS sum_c,
+          CASE WHEN sum(n_t) > 0 AND sum(n_c) > 0 THEN
+            CAST((sum(st) * sum(n_c) - sum(sc) * sum(n_t)) * 1000000
+              // (sum(n_t)::HUGEINT * sum(n_c)) AS BIGINT) END
+            AS diff_ppm
+        FROM g),
+      adj AS (SELECT '__adjusted__' AS stratum, sum(n_t)::BIGINT AS n_t,
+          sum(n_c)::BIGINT AS n_c, sum(sum_t)::BIGINT AS sum_t,
+          sum(sum_c)::BIGINT AS sum_c,
+          CASE WHEN sum(n_t + n_c) > 0 THEN
+            CAST(sum((n_t + n_c)::HUGEINT * diff_ppm)
+              // sum(n_t + n_c) AS BIGINT) END AS diff_ppm
+        FROM s WHERE n_t > 0 AND n_c > 0)
+      SELECT * FROM s UNION ALL SELECT * FROM nv
+      UNION ALL SELECT * FROM adj ORDER BY stratum"""),
+    doc = "[NS] per-stratum, naive, and stratum-weighted treatment effects (Simpson-proof ATE)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
-    q307TheilSen,
+    q307TheilSen, q310StratifiedEffect,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,

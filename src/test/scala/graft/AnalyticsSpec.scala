@@ -1138,4 +1138,31 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().head
     assert((f.getLong(2), f.getLong(3)) === ((0L, 500000L)))
   }
+
+  test("stratifiedEffect: planted Simpson's reversal — +10 within every " +
+      "stratum, -38 naive; single-arm stratum excluded from adjustment") {
+    import spark.implicits._
+    val rows =
+      Seq(("easy", true, 100L)) ++ Seq.fill(4)(("easy", false, 90L)) ++
+      Seq.fill(4)(("hard", true, 20L)) ++ Seq(("hard", false, 10L)) ++
+      Seq.fill(3)(("onlyc", false, 55L)) // control-only stratum
+    val df = rows.toDF("stratum", "tr", "y").repartition(4)
+    val r = Analytics.stratifiedEffect(df, "stratum", "tr", "y")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keySet === Set("easy", "hard", "onlyc", "__naive__",
+      "__adjusted__"))
+    assert(r("easy").getLong(5) === 10000000L)
+    assert(r("hard").getLong(5) === 10000000L)
+    assert(r("onlyc").isNullAt(5), "one-arm stratum has no diff")
+    // naive pools EVERYTHING incl. the control-only stratum: treated
+    // mean 36 vs control mean 535/8 = 66.875 → −30.875 exactly
+    assert(r("__naive__").getLong(5) === -30875000L)
+    assert((r("__naive__").getLong(1), r("__naive__").getLong(2)) ===
+      ((5L, 8L)))
+    // adjusted: (5·10e6 + 5·10e6) div 10 — the reversal undone; counts
+    // exclude the control-only stratum
+    assert(r("__adjusted__").getLong(5) === 10000000L)
+    assert((r("__adjusted__").getLong(1), r("__adjusted__").getLong(2))
+      === ((5L, 5L)))
+  }
 }
