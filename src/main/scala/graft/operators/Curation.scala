@@ -1894,4 +1894,76 @@ object Curation {
           "ELSE 'very_difficult' END"))
       .select(col(idCol), col("n_sent"), col("n_words"), col("n_syll"),
         col("fre_milli"), col("fk_grade_milli"), col("band"))
+
+  /** [NS] — epoch-capped water-filling budget allocation (the UniMax
+    * shape, Chung et al. 2023): split a token budget B across sources
+    * as evenly as possible subject to a per-source repeat cap —
+    * cap_i = supply_i · maxEpochsPpm div 10⁶. The discrete water-fill:
+    * sort by cap ascending, saturate the maximal prefix where
+    * cap_j·(S−j+1) ≤ B − prefcap_{j−1}, split the remainder L = div
+    * evenly over the rest, and hand the integer remainder to the first
+    * `rem` unsaturated sources in sort order — every grant an exact
+    * integer, Σ grants = min(B, Σ caps) by construction. This is the
+    * uniform-first complement of temperature sampling (q277): where
+    * temperature OVERSAMPLES small sources into many epochs (the
+    * q286 Muennighoff flag), UniMax gives every source an equal share
+    * until its epoch cap binds, so no source is repeated past the cap
+    * no matter how small.
+    *
+    * Input is the PRE-AGGREGATED (source, supply) frame — |sources|
+    * rows by contract (the corpus rollup is the caller's one
+    * corpus-sized pass); the windows here run on that bounded frame.
+    *
+    * Output: (source, supply, cap, granted, epochs_ppm, saturated)
+    * where epochs_ppm = granted·10⁶ div supply. */
+  def uniMaxAllocate(df: DataFrame, srcCol: String, supplyCol: String,
+      budget: Long, maxEpochsPpm: Long): DataFrame = {
+    require(budget >= 0 && maxEpochsPpm > 0,
+      s"budget=$budget maxEpochsPpm=$maxEpochsPpm")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(supplyCol).isNotNull && col(supplyCol) > 0)
+      .select(col(srcCol).cast("string").as("source"),
+        col(supplyCol).cast("long").as("supply"))
+      .withColumn("cap", expr(
+        s"cast(cast(supply as decimal(38,0)) * $maxEpochsPpm " +
+          "div 1000000 as bigint)"))
+    val ord = Window.orderBy(col("cap"), col("source"))
+    val all = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = base
+      .withColumn("j", row_number().over(ord).cast("long"))
+      .withColumn("s_n", count(lit(1)).over(all))
+      .withColumn("prefcap", sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sat_cond", expr(
+        s"cast(cap as decimal(38,0)) * (s_n - j + 1) <= " +
+          s"cast($budget as decimal(38,0)) - (prefcap - cap)"))
+      .withColumn("jmax", coalesce(
+        min(when(!col("sat_cond"), col("j"))).over(all) - 1L,
+        col("s_n")))
+      .withColumn("prefcap_jmax", coalesce(
+        max(when(col("j") === col("jmax"), col("prefcap"))).over(all),
+        lit(0L)))
+    ranked
+      .withColumn("rest", col("s_n") - col("jmax"))
+      .withColumn("lvl", expr(
+        s"CASE WHEN rest > 0 THEN ($budget - prefcap_jmax) div rest " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("rem", expr(
+        s"CASE WHEN rest > 0 THEN " +
+          s"$budget - prefcap_jmax - lvl * rest " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("grant_n", expr(
+        "CASE WHEN j <= jmax THEN cap ELSE " +
+          "least(cap, lvl + CASE WHEN j - jmax <= rem THEN 1 " +
+          "ELSE 0 END) END"))
+      .withColumn("epochs_ppm", expr(
+        "cast(cast(grant_n as decimal(38,0)) * 1000000 div supply " +
+          "as bigint)"))
+      .withColumn("saturated", col("j") <= col("jmax"))
+      .select(col("source"), col("supply"), col("cap"),
+        col("grant_n").as("granted"), col("epochs_ppm"),
+        col("saturated"))
+  }
 }

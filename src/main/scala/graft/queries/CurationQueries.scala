@@ -2663,8 +2663,75 @@ object CurationQueries {
       FROM sc ORDER BY doc_id"""),
     doc = "[NS] Flesch/Kincaid readability in exact milli-units, five-band verdict")
 
+  /** [NS] — UniMax budget allocation (q311):
+    * [[graft.operators.Curation.uniMaxAllocate]] over per-lang char
+    * supply with a 1.5×-supply budget and a 2-epoch cap — the
+    * uniform-first mixture allocator that q277's temperature sampling
+    * is the popularity-first alternative to, with q286's epoch flag
+    * built in as the cap. The 1-row total read is pipeline config
+    * (q192's documented convention); the allocator itself runs on the
+    * |langs|-row rollup. */
+  val q311UnimaxAllocation = Q(
+    "q311_unimax_allocation",
+    (s, d) => {
+      import s.implicits._
+      val sup = Tables.documents(s, d)
+        .groupBy($"lang").agg(sum($"n_chars").as("supply"))
+        .filter($"supply" > 0)
+      val total = sup.agg(sum($"supply")).collect()(0).getLong(0)
+      graft.operators.Curation.uniMaxAllocate(sup, "lang", "supply",
+          budget = 3L * total / 2L, maxEpochsPpm = 2000000L)
+        .orderBy($"source")
+    },
+    Some("""WITH sup AS (SELECT lang AS source,
+        sum(n_chars)::BIGINT AS supply
+        FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+      b AS (SELECT CAST(3 * sum(supply) // 2 AS BIGINT) AS budget
+        FROM sup),
+      r0 AS (SELECT source, supply,
+        CAST(supply::HUGEINT * 2000000 // 1000000 AS BIGINT) AS cap
+        FROM sup),
+      r1 AS (SELECT source, supply, cap,
+          row_number() OVER (ORDER BY cap, source) AS j,
+          count(*) OVER () AS s_n,
+          sum(cap) OVER (ORDER BY cap, source ROWS UNBOUNDED PRECEDING)
+            AS prefcap
+        FROM r0),
+      r2 AS (SELECT r1.*, budget, (cap::HUGEINT * (s_n - j + 1) <=
+          budget::HUGEINT - (prefcap - cap)) AS sat_cond
+        FROM r1, b),
+      r3 AS (SELECT r2.*, coalesce(
+          min(CASE WHEN NOT sat_cond THEN j END) OVER () - 1, s_n)
+            AS jmax
+        FROM r2),
+      r4 AS (SELECT r3.*,
+          coalesce(max(CASE WHEN j = jmax THEN prefcap END) OVER (), 0)
+            AS pj,
+          s_n - jmax AS rest
+        FROM r3),
+      r5 AS (SELECT r4.*,
+          CASE WHEN rest > 0 THEN (budget - pj) // rest ELSE 0 END
+            AS lvl
+        FROM r4),
+      r6 AS (SELECT r5.*,
+          CASE WHEN rest > 0 THEN budget - pj - lvl * rest ELSE 0 END
+            AS rem
+        FROM r5),
+      r7 AS (SELECT source, supply, cap, j, jmax,
+          CASE WHEN j <= jmax THEN cap::HUGEINT
+            ELSE least(cap::HUGEINT, lvl +
+              CASE WHEN j - jmax <= rem THEN 1 ELSE 0 END) END
+            AS granted
+        FROM r6)
+      SELECT source, supply, cap, CAST(granted AS BIGINT) AS granted,
+        CAST(granted * 1000000 // supply AS BIGINT) AS epochs_ppm,
+        j <= jmax AS saturated
+      FROM r7 ORDER BY source"""),
+    doc = "[NS] UniMax epoch-capped water-filling allocation, exact integer grants")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q306ScriptMix, q308GiniConcentration, q309Readability,
+    q311UnimaxAllocation,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,

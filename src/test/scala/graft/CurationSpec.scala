@@ -1258,4 +1258,32 @@ class CurationSpec extends AnyFunSuite {
     assert((r(3L).getLong(2), r(3L).getLong(4), r(3L).getString(6)) ===
       ((0L, 0L, "empty")))
   }
+
+  test("uniMaxAllocate: hand-traced water-fill — prefix saturates at " +
+      "its cap, the rest split the level, remainder goes to the first " +
+      "unsaturated source, over-budget grants everyone their cap") {
+    import spark.implicits._
+    // supplies 10/20/100, 2-epoch caps 20/40/200
+    val sup = Seq(("a", 10L), ("b", 20L), ("c", 100L))
+      .toDF("src", "supply")
+    def run(budget: Long) = graft.operators.Curation
+      .uniMaxAllocate(sup, "src", "supply", budget, 2000000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    // budget 90: a saturates (cap 20 ≤ level), b/c split 70 → 35 each
+    val r90 = run(90L)
+    assert(r90("a") === ((20L, 20L, 2000000L, true)))
+    assert(r90("b") === ((40L, 35L, 1750000L, false)))
+    assert(r90("c") === ((200L, 35L, 350000L, false)))
+    assert(r90.values.toSeq.map(_._2).sum === 90L, "budget fully spent")
+    // budget 91: the 1-token remainder goes to b (first unsaturated
+    // in cap order), never c
+    val r91 = run(91L)
+    assert((r91("b")._2, r91("c")._2) === ((36L, 35L)))
+    // budget over total cap: everyone gets exactly their cap
+    val big = run(1000L)
+    assert(big.values.toSeq.map(_._2).sum === 260L)
+    assert(big.forall { case (_, (cap, g, _, sat)) => g === cap && sat })
+  }
 }
