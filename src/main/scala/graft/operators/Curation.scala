@@ -1966,4 +1966,46 @@ object Curation {
         col("grant_n").as("granted"), col("epochs_ppm"),
         col("saturated"))
   }
+
+  /** [NS] — Luhn-validated payment-card detection (ISO/IEC 7812
+    * mod-10): per-doc counts of digit runs, PAN-shaped candidates
+    * (13–19 digits after collapsing space/dash separators), and
+    * candidates passing the Luhn checksum — the PRECISION stage on top
+    * of [[redactPii]]'s shape regexes (a 16-digit order id matches the
+    * shape; only ~10% of random digit strings pass Luhn, and every
+    * real card number does). Counts only — candidate text never
+    * leaves the operator, so the audit output is itself PII-free.
+    *
+    * The checksum is a higher-order-function fold (Spark `aggregate`
+    * over the digit positions ≡ DuckDB `list_reduce`, the q287
+    * convention): from the right, every second digit doubles with the
+    * −9 wraparound, total ≡ 0 (mod 10). One explode_outer per doc
+    * (runs are rare in prose; candidate volume ≪ corpus) + one
+    * groupBy(id) — no UDF anywhere. */
+  def luhnScan(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val luhn =
+      "aggregate(sequence(1, length(_dg)), 0, (acc, i) -> acc + " +
+        "CASE WHEN (length(_dg) - i) % 2 = 1 THEN " +
+        "CASE WHEN 2 * cast(substring(_dg, i, 1) as int) > 9 " +
+        "THEN 2 * cast(substring(_dg, i, 1) as int) - 9 " +
+        "ELSE 2 * cast(substring(_dg, i, 1) as int) END " +
+        "ELSE cast(substring(_dg, i, 1) as int) END) % 10 = 0"
+    df.select(col(idCol), col(textCol).as("_t"))
+      .withColumn("_c", expr(
+        "regexp_extract_all(_t, '[0-9][0-9 -]{11,22}[0-9]', 0)"))
+      .select(col(idCol), explode_outer(col("_c")).as("_cand"))
+      .withColumn("_dg", regexp_replace(col("_cand"), "[ -]", ""))
+      .withColumn("_shape", expr(
+        "_cand IS NOT NULL AND length(_dg) BETWEEN 13 AND 19"))
+      .withColumn("_valid", expr(s"CASE WHEN _shape THEN $luhn " +
+        "ELSE false END"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("_cand").isNotNull, 1L).otherwise(0L))
+          .as("n_digit_runs"),
+        sum(when(col("_shape"), 1L).otherwise(0L)).as("n_pan_shape"),
+        sum(when(col("_valid"), 1L).otherwise(0L)).as("n_luhn_valid"))
+      .withColumn("has_pan", col("n_luhn_valid") > 0L)
+  }
 }

@@ -2729,9 +2729,59 @@ object CurationQueries {
       FROM r7 ORDER BY source"""),
     doc = "[NS] UniMax epoch-capped water-filling allocation, exact integer grants")
 
+  /** [NS] — Luhn PAN audit (q312):
+    * [[graft.operators.Curation.luhnScan]] over the documents table —
+    * digit runs, PAN-shaped candidates, Luhn-valid counts, has_pan
+    * flag. The precision stage above q66's shape redaction: shapes
+    * catch order ids, Luhn catches cards. The checksum fold is
+    * Spark `aggregate` ≡ DuckDB `list_reduce` (q287's HOF
+    * convention); output carries counts only, never candidate text. */
+  val q312LuhnAudit = Q(
+    "q312_luhn_audit",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Curation.luhnScan(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val contrib =
+        """CASE WHEN (length(dg) - i) % 2 = 1 THEN
+             CASE WHEN 2 * (substr(dg, i, 1)::INT) > 9
+               THEN 2 * (substr(dg, i, 1)::INT) - 9
+               ELSE 2 * (substr(dg, i, 1)::INT) END
+             ELSE substr(dg, i, 1)::INT END"""
+      s"""WITH c AS (SELECT doc_id,
+          unnest(regexp_extract_all(text, '[0-9][0-9 -]{11,22}[0-9]'))
+            AS cand
+        FROM documents),
+      n AS (SELECT doc_id, cand,
+          regexp_replace(cand, '[ -]', '', 'g') AS dg FROM c),
+      v AS (SELECT doc_id, cand,
+          (length(dg) BETWEEN 13 AND 19) AS shape,
+          CASE WHEN length(dg) BETWEEN 13 AND 19 THEN
+            list_reduce(list_prepend(0,
+              list_transform(generate_series(1, length(dg)::INT),
+                i -> $contrib)), (a, x) -> a + x) % 10 = 0
+          ELSE FALSE END AS valid
+        FROM n),
+      a AS (SELECT doc_id, count(*)::BIGINT AS n_digit_runs,
+          sum(CASE WHEN shape THEN 1 ELSE 0 END)::BIGINT AS n_pan_shape,
+          sum(CASE WHEN valid THEN 1 ELSE 0 END)::BIGINT
+            AS n_luhn_valid
+        FROM v GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.n_digit_runs, 0) AS n_digit_runs,
+        coalesce(a.n_pan_shape, 0) AS n_pan_shape,
+        coalesce(a.n_luhn_valid, 0) AS n_luhn_valid,
+        coalesce(a.n_luhn_valid, 0) > 0 AS has_pan
+      FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""
+    },
+    doc = "[NS] Luhn mod-10 PAN detection: shape candidates vs checksum-valid, counts only")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q306ScriptMix, q308GiniConcentration, q309Readability,
-    q311UnimaxAllocation,
+    q311UnimaxAllocation, q312LuhnAudit,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,

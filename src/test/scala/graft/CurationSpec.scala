@@ -1286,4 +1286,30 @@ class CurationSpec extends AnyFunSuite {
     assert(big.values.toSeq.map(_._2).sum === 260L)
     assert(big.forall { case (_, (cap, g, _, sat)) => g === cap && sat })
   }
+
+  test("luhnScan: the classic test PAN validates plain and separated, " +
+      "a near-miss digit fails the checksum, short runs fail shape, " +
+      "digitless docs report zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay with 4111111111111111 today"),        // Luhn-valid
+      (2L, "card 4111 1111 1111 1111 on file"),       // separated, valid
+      (3L, "ref 4111111111111112 thanks"),            // checksum fails
+      // 14-char run but only 12 digits once separators collapse:
+      // candidate matched, shape fails
+      (4L, "order 1234 5678 9012 shipped"),
+      (5L, "no digits at all here")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Curation.luhnScan(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4))))
+      .toMap
+    assert(r(1L) === ((1L, 1L, 1L, true)))
+    assert(r(2L) === ((1L, 1L, 1L, true)),
+      "space-separated PAN collapses and validates")
+    assert(r(3L) === ((1L, 1L, 0L, false)),
+      "last-digit twiddle must fail the checksum")
+    assert(r(4L) === ((1L, 0L, 0L, false)))
+    assert(r(5L) === ((0L, 0L, 0L, false)))
+  }
 }
