@@ -1981,4 +1981,35 @@ object Analytics {
     strata.unionAll(naive).unionAll(adjusted)
       .orderBy(col("stratum"))
   }
+
+  /** [NS] — distinct l-diversity audit (Machanavajjhala et al. 2007):
+    * k-anonymity (the [[kAnonymize]] family) stops re-identification
+    * but not the HOMOGENEITY attack — a class of 50 identical rows is
+    * 50-anonymous and still leaks the sensitive value outright. Per QI
+    * equivalence class this emits the class size, the number of
+    * DISTINCT sensitive values, the dominant sensitive value's exact
+    * ppm share (the homogeneity-risk readout behind recursive
+    * (c,l)-diversity), and the pass flag `l_distinct ≥ l`.
+    *
+    * Scale: one groupBy(qi, sensitive) count + one groupBy(qi)
+    * rollup — two map-side-combining exchanges, no window, no
+    * distinct-expand. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(qiCols.nonEmpty && l > 0, s"qiCols=$qiCols l=$l")
+    val cells = df
+      .filter(col(sensitiveCol).isNotNull)
+      .groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    cells.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("_c")).as("n"),
+        count(lit(1)).as("l_distinct"),
+        max(col("_c")).as("_top"))
+      .withColumn("top_share_ppm", expr(
+        "CASE WHEN n > 0 THEN (1000000 * _top) div n " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("pass_l", col("l_distinct") >= l)
+      .select(qiCols.map(col) ++ Seq(col("n"), col("l_distinct"),
+        col("top_share_ppm"), col("pass_l")): _*)
+  }
 }

@@ -2361,8 +2361,35 @@ object OpsQueries {
       UNION ALL SELECT * FROM adj ORDER BY stratum"""),
     doc = "[NS] per-stratum, naive, and stratum-weighted treatment effects (Simpson-proof ATE)")
 
+  /** [NS] — l-diversity audit (q313):
+    * [[graft.operators.Analytics.lDiversity]] over (event_type, day)
+    * classes with user_id as the sensitive attribute — the
+    * homogeneity-attack readout k-anonymity (q194) can't give:
+    * distinct sensitive values per class, dominant-value share, and
+    * the l ≥ 3 verdict. Two map-side-combining exchanges. */
+  val q313LDiversity = Q(
+    "q313_l_diversity",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).withColumn("day", to_date($"ts"))
+      Analytics.lDiversity(ev, Seq("event_type", "day"), "user_id", 3L)
+        .orderBy($"event_type", $"day")
+    },
+    Some("""WITH cells AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        user_id, count(*)::BIGINT AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+      g AS (SELECT event_type, day, sum(c)::BIGINT AS n,
+        count(*)::BIGINT AS l_distinct, max(c) AS top
+      FROM cells GROUP BY 1, 2)
+      SELECT event_type, day, n, l_distinct,
+        CASE WHEN n > 0 THEN (1000000 * top) // n ELSE 0 END
+          AS top_share_ppm,
+        l_distinct >= 3 AS pass_l
+      FROM g ORDER BY event_type, day"""),
+    doc = "[NS] distinct l-diversity per QI class: homogeneity-attack audit")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
-    q307TheilSen, q310StratifiedEffect,
+    q307TheilSen, q310StratifiedEffect, q313LDiversity,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,

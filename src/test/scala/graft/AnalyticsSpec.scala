@@ -1165,4 +1165,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert((r("__adjusted__").getLong(1), r("__adjusted__").getLong(2))
       === ((5L, 5L)))
   }
+
+  test("lDiversity: homogeneous class fails despite size, diverse " +
+      "class passes, dominant share exact, null sensitives dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"), ("A", "z"),
+      ("B", "x"), ("B", "x"), ("B", "x"), ("B", "x"),
+      ("C", null), ("C", "w"), ("C", "v"), ("C", "u"))
+      .toDF("qi", "sens")
+    val r = Analytics.lDiversity(rows, Seq("qi"), "sens", 3L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4))))
+      .toMap
+    assert(r("A") === ((5L, 3L, 600000L, true)))
+    assert(r("B") === ((4L, 1L, 1000000L, false)),
+      "4-anonymous but homogeneous: the attack l-diversity exists for")
+    assert(r("C") === ((3L, 3L, 333333L, true)),
+      "null sensitive rows are excluded from the class")
+  }
 }
