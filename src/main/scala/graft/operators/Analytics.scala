@@ -2012,4 +2012,108 @@ object Analytics {
       .select(qiCols.map(col) ++ Seq(col("n"), col("l_distinct"),
         col("top_share_ppm"), col("pass_l")): _*)
   }
+
+  /** [NS] — Markov removal-effect attribution (Anderl et al. 2014):
+    * the data-driven multi-touch model next to q157's U-shaped
+    * heuristic. Journeys = each user's touch sequence up to the first
+    * conversion (START-prefixed; non-converting journeys absorb in
+    * NULL); transitions become exact-ppm probabilities; conversion
+    * probability from START is the k-round absorbing recurrence
+    * vₜ₊₁(s) = Σ p(s,·)·vₜ(·) div 10⁶ (products summed exactly, ONE
+    * truncating div per state per round); the removal effect of
+    * channel c re-runs the same recurrence with every edge INTO c
+    * redirected to NULL (original probabilities kept — the standard
+    * rerouting), and attribution shares normalize the removals.
+    * Redirection only moves mass from CONV toward NULL, so removal
+    * effects are structurally ≥ 0; `rounds` bounds path length
+    * exactly like the oracle's unrolled CTEs.
+    *
+    * Scale: journeys/edges are two windows + one groupBy over the
+    * event scan; everything after runs on the (|channels|+1) ×
+    * |states|² edge table — broadcast-sized by construction. Output:
+    * (channel, conv_full_ppm, conv_removed_ppm, removal_ppm,
+    * share_ppm) ordered by channel. */
+  def markovAttribution(events: DataFrame, userCol: String,
+      tsCol: String, tieCol: String, typeCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 12, s"rounds in [1,12]: $rounds")
+    require(touchTypes.nonEmpty && !touchTypes.contains(conversionType),
+      s"touchTypes=$touchTypes conversionType=$conversionType")
+    val sp = events.sparkSession
+    import sp.implicits._
+    val ord = Window.partitionBy(col("_u"))
+      .orderBy(col("_ts"), col("_tie"))
+    val kept = events
+      .filter(col(typeCol).isin(conversionType +: touchTypes: _*))
+      .select(col(userCol).as("_u"), col(tsCol).as("_ts"),
+        col(tieCol).as("_tie"),
+        when(col(typeCol) === conversionType, lit("__conv__"))
+          .otherwise(col(typeCol)).as("state"))
+      .withColumn("_prevConv", coalesce(
+        sum(when(col("state") === "__conv__", 1L).otherwise(0L))
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("_prevConv") === 0L)
+      .withColumn("_prev", lag(col("state"), 1).over(ord))
+      .withColumn("_rnDesc", row_number().over(
+        Window.partitionBy(col("_u"))
+          .orderBy(col("_ts").desc, col("_tie").desc)))
+      .localCheckpoint(true)
+    val stepEdges = kept.select(
+      coalesce(col("_prev"), lit("__start__")).as("from"),
+      col("state").as("to"))
+    val termEdges = kept
+      .filter(col("_rnDesc") === 1 && col("state") =!= "__conv__")
+      .select(col("state").as("from"), lit("__null__").as("to"))
+    val probs = stepEdges.unionAll(termEdges)
+      .groupBy(col("from"), col("to")).agg(count(lit(1)).as("c"))
+      .withColumn("tot",
+        sum(col("c")).over(Window.partitionBy(col("from"))))
+      .withColumn("p", expr("(1000000 * c) div tot"))
+      .select(col("from"), col("to"), col("p"))
+    val variants = (touchTypes.sorted :+ "__full__").toDF("variant")
+    val varEdges = probs.crossJoin(broadcast(variants))
+      .withColumn("to", when(col("to") === col("variant"),
+        lit("__null__")).otherwise(col("to")))
+      .select(col("variant"), col("from"), col("to"), col("p"))
+      .localCheckpoint(true)
+    val absorbing = variants
+      .select(col("variant"), lit("__conv__").as("state"),
+        lit(1000000L).as("v"))
+      .unionAll(variants.select(col("variant"),
+        lit("__null__").as("state"), lit(0L).as("v")))
+    var v = absorbing
+    for (_ <- 1 to rounds) {
+      v = varEdges
+        .join(v.select(col("variant"), col("state").as("to"),
+          col("v")), Seq("variant", "to"))
+        .groupBy(col("variant"), col("from"))
+        .agg(expr("cast(sum(cast(p as decimal(38,0)) * v) " +
+          "div 1000000 as bigint)").as("v"))
+        .select(col("variant"), col("from").as("state"), col("v"))
+        .unionAll(absorbing)
+        .localCheckpoint(true)
+    }
+    val conv = v.filter(col("state") === "__start__")
+      .select(col("variant"), col("v"))
+    val full = conv.filter(col("variant") === "__full__")
+      .select(col("v").as("conv_full_ppm"))
+    val removed = conv.filter(col("variant") =!= "__full__")
+      .crossJoin(broadcast(full))
+      .withColumn("removal_ppm", expr(
+        "CASE WHEN conv_full_ppm > 0 THEN " +
+          "1000000 - (1000000 * v) div conv_full_ppm " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("_rtot", sum(col("removal_ppm")).over(
+        Window.partitionBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("share_ppm", expr(
+        "CASE WHEN _rtot > 0 THEN " +
+          "(1000000 * removal_ppm) div _rtot END"))
+    removed.select(col("variant").as("channel"), col("conv_full_ppm"),
+        col("v").as("conv_removed_ppm"), col("removal_ppm"),
+        col("share_ppm"))
+      .orderBy(col("channel"))
+  }
 }

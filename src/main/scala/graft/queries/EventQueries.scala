@@ -1812,8 +1812,89 @@ object EventQueries {
       GROUP BY n_a, n_b, d_ppm"""),
     doc = "[NS] exact two-sample KS statistic via bucketed distributed prefix sum")
 
+  /** [NS] — Markov removal-effect attribution (q314):
+    * [[graft.operators.Analytics.markovAttribution]] with the four
+    * touch channels and purchase as conversion, 6 recurrence rounds —
+    * the data-driven multi-touch model (Anderl et al. 2014) beside
+    * q157's U-shaped heuristic: a channel's credit is how much the
+    * START→conversion probability drops when every edge into it is
+    * rerouted to NULL. The oracle unrolls the identical 6 rounds. */
+  val q314MarkovAttribution = Q(
+    "q314_markov_attribution",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Analytics.markovAttribution(
+        Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", "purchase",
+        Seq("click", "view", "signup", "error"), rounds = 6)
+    },
+    Some {
+      def rnd(k: Int) = {
+        val (p, n) = (s"v${k - 1}", s"v$k")
+        s"""$n AS MATERIALIZED (
+          SELECT ve.variant, ve.f AS state,
+            CAST(sum(ve.p::HUGEINT * $p.v) // 1000000 AS BIGINT) AS v
+          FROM ve JOIN $p ON ve.variant = $p.variant
+            AND ve.t = $p.state
+          GROUP BY 1, 2
+          UNION ALL SELECT * FROM ab)"""
+      }
+      s"""WITH kept0 AS (
+        SELECT user_id AS u, ts, event_id AS tie,
+          CASE WHEN event_type = 'purchase' THEN '__conv__'
+            ELSE event_type END AS state,
+          coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1
+              ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS pc
+        FROM events WHERE event_type IN
+          ('purchase', 'click', 'view', 'signup', 'error')),
+      kept AS MATERIALIZED (
+        SELECT u, ts, tie, state, lag(state) OVER w AS prev,
+          row_number() OVER (PARTITION BY u ORDER BY ts DESC, tie DESC)
+            AS rnd
+        FROM kept0 WHERE pc = 0
+        WINDOW w AS (PARTITION BY u ORDER BY ts, tie)),
+      edges AS (
+        SELECT coalesce(prev, '__start__') AS f, state AS t FROM kept
+        UNION ALL
+        SELECT state AS f, '__null__' AS t FROM kept
+        WHERE rnd = 1 AND state <> '__conv__'),
+      probs AS MATERIALIZED (
+        SELECT f, t, (1000000 * c) // tot AS p FROM (
+          SELECT f, t, count(*)::BIGINT AS c,
+            sum(count(*)) OVER (PARTITION BY f) AS tot
+          FROM edges GROUP BY f, t)),
+      vars AS (SELECT unnest(
+        ['click', 'error', 'signup', 'view', '__full__']) AS variant),
+      ve AS MATERIALIZED (
+        SELECT variant, f,
+          CASE WHEN t = variant THEN '__null__' ELSE t END AS t, p
+        FROM probs CROSS JOIN vars),
+      ab AS (SELECT variant, '__conv__' AS state, 1000000::BIGINT AS v
+        FROM vars
+        UNION ALL SELECT variant, '__null__', 0 FROM vars),
+      v0 AS (SELECT * FROM ab),
+      ${(1 to 6).map(rnd).mkString(",\n")},
+      conv AS (SELECT variant, v FROM v6 WHERE state = '__start__'),
+      full_ AS (SELECT v AS cf FROM conv WHERE variant = '__full__'),
+      rem AS (SELECT variant AS channel, cf AS conv_full_ppm,
+          conv.v AS conv_removed_ppm,
+          CASE WHEN cf > 0 THEN 1000000 - (1000000 * conv.v) // cf
+            ELSE 0 END AS removal_ppm
+        FROM conv, full_ WHERE variant <> '__full__'),
+      rt AS (SELECT sum(removal_ppm)::BIGINT AS rtot FROM rem)
+      SELECT channel, conv_full_ppm, conv_removed_ppm, removal_ppm,
+        CASE WHEN rtot > 0 THEN (1000000 * removal_ppm) // rtot END
+          AS share_ppm
+      FROM rem, rt ORDER BY channel"""
+    },
+    doc = "[NS] Markov removal-effect attribution: rerouted-edge conversion drops, exact ppm")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q300SessionGapLadder, q304BradleyTerry, q305KsDrift,
+    q314MarkovAttribution,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,

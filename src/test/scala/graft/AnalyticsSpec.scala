@@ -1184,4 +1184,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r("C") === ((3L, 3L, 333333L, true)),
       "null sensitive rows are excluded from the class")
   }
+
+  test("markovAttribution: hand-traced 4-journey chain — exact conv " +
+      "probability, removal effects, and the rerouting monotonicity") {
+    import spark.implicits._
+    // journeys: A→conv, A→B→conv, B→(null), A→(null)
+    // probs ppm: START→{A:750000,B:250000}, A→{conv,B,null:333333 ea},
+    // B→{conv,null:500000 ea}; stable by round 3:
+    // v(B)=500000, v(A)=499999, conv_full=499999
+    // remove A: START's A-mass dies → v=250000·500000 div 1e6=125000,
+    //   removal = 1e6 − 125000·1e6 div 499999 = 750000
+    // remove B: v(A)=333333, v=750000·333333 div 1e6 = 249999,
+    //   removal = 1e6 − 249999·1e6 div 499999 = 500002
+    val ev = Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "buy"),
+      (2L, 1L, 3L, "A"), (2L, 2L, 4L, "B"), (2L, 3L, 5L, "buy"),
+      (3L, 1L, 6L, "B"),
+      (4L, 1L, 7L, "A")
+    ).toDF("u", "ts", "tie", "typ").repartition(3)
+    val r = Analytics.markovAttribution(ev, "u", "ts", "tie", "typ",
+        "buy", Seq("A", "B"), rounds = 4)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet === Set("A", "B"))
+    assert(r("A") === ((499999L, 125000L, 750000L)))
+    assert(r("B") === ((499999L, 249999L, 500002L)))
+  }
 }
