@@ -2008,4 +2008,49 @@ object Curation {
         sum(when(col("_valid"), 1L).otherwise(0L)).as("n_luhn_valid"))
       .withColumn("has_pan", col("n_luhn_valid") > 0L)
   }
+
+  /** [NS] — Shapley data valuation of sources under the COVERAGE game
+    * (Shapley 1953): value of a source coalition = number of distinct
+    * units (tokens, URLs, n-grams) it covers. For coverage games the
+    * Shapley value has a closed form — a unit covered by k owners
+    * hands each exactly 1/k of its credit — so the exact game-theoretic
+    * attribution that generically needs 2^n coalition evaluations is
+    * ONE groupBy(unit) + one groupBy(owner) here, in exact micro-units
+    * (10⁶ div k per unit, truncating). This prices "what does source S
+    * uniquely contribute to vocabulary coverage" the way q272's
+    * leave-one-out ablation prices a single removal: Shapley also
+    * splits the credit for units shared by SOME sources, which
+    * leave-one-out reads as worthless.
+    *
+    * Input: (unit, owner) pairs, duplicates fine (deduped here).
+    * Output per owner: n_units covered, uniq_units (k = 1),
+    * coverage_ppm of the universe, shapley_u6 (Σ 10⁶ div k — sums to
+    * ~|universe|·10⁶ minus truncation), shapley_share_ppm. */
+  def shapleyCoverage(df: DataFrame, unitCol: String,
+      ownerCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df
+      .filter(col(unitCol).isNotNull && col(ownerCol).isNotNull)
+      .select(col(unitCol).as("unit"), col(ownerCol).as("owner"))
+      .distinct()
+    val k = pairs.groupBy(col("unit")).agg(count(lit(1)).as("k"))
+    val all = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    pairs.join(k, Seq("unit"))
+      .groupBy(col("owner"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("k") === 1L, 1L).otherwise(0L)).as("uniq_units"),
+        sum(expr("1000000 div k")).as("shapley_u6"))
+      .crossJoin(broadcast(k.agg(count(lit(1)).as("universe"))))
+      .withColumn("coverage_ppm", expr(
+        "CASE WHEN universe > 0 THEN (1000000 * n_units) div universe " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("_stot", sum(col("shapley_u6")).over(all))
+      .withColumn("shapley_share_ppm", expr(
+        "CASE WHEN _stot > 0 THEN (1000000 * shapley_u6) div _stot " +
+          "END"))
+      .select(col("owner"), col("n_units"), col("uniq_units"),
+        col("coverage_ppm"), col("shapley_u6"),
+        col("shapley_share_ppm"))
+  }
 }

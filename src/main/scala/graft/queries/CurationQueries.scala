@@ -2779,9 +2779,45 @@ object CurationQueries {
     },
     doc = "[NS] Luhn mod-10 PAN detection: shape candidates vs checksum-valid, counts only")
 
+  /** [NS] — Shapley source valuation (q315):
+    * [[graft.operators.Curation.shapleyCoverage]] on (token, source)
+    * pairs — the exact Shapley attribution of vocabulary coverage,
+    * computable in two groupBys because coverage games split each
+    * unit's credit 1/k among its k owners. Complements q272's
+    * leave-one-out ablation (which values shared-by-some units at
+    * zero) and q290's pairwise dup matrix. */
+  val q315ShapleyCoverage = Q(
+    "q315_shapley_coverage",
+    (s, d) => {
+      import s.implicits._
+      val pairs = Tables.documents(s, d)
+        .select($"source", explode(split($"text", " ")).as("unit"))
+        .filter($"unit" =!= "")
+      graft.operators.Curation.shapleyCoverage(pairs, "unit", "source")
+        .orderBy($"owner")
+    },
+    Some("""WITH pairs AS (SELECT DISTINCT source AS owner,
+        unnest(string_split(text, ' ')) AS unit FROM documents),
+      p AS (SELECT owner, unit FROM pairs WHERE unit <> ''),
+      k AS (SELECT unit, count(*)::BIGINT AS k FROM p GROUP BY 1),
+      u AS (SELECT count(*)::BIGINT AS universe FROM k),
+      a AS (SELECT owner, count(*)::BIGINT AS n_units,
+          sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)::BIGINT AS uniq_units,
+          sum(1000000 // k)::BIGINT AS shapley_u6
+        FROM p JOIN k USING (unit) GROUP BY owner),
+      t AS (SELECT sum(shapley_u6)::BIGINT AS stot FROM a)
+      SELECT owner, n_units, uniq_units,
+        CASE WHEN universe > 0 THEN (1000000 * n_units) // universe
+          ELSE 0 END AS coverage_ppm,
+        shapley_u6,
+        CASE WHEN stot > 0 THEN (1000000 * shapley_u6) // stot END
+          AS shapley_share_ppm
+      FROM a, u, t ORDER BY owner"""),
+    doc = "[NS] exact Shapley valuation of sources under the coverage game (closed form)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q306ScriptMix, q308GiniConcentration, q309Readability,
-    q311UnimaxAllocation, q312LuhnAudit,
+    q311UnimaxAllocation, q312LuhnAudit, q315ShapleyCoverage,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,

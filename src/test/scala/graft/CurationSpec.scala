@@ -1312,4 +1312,24 @@ class CurationSpec extends AnyFunSuite {
     assert(r(4L) === ((1L, 0L, 0L, false)))
     assert(r(5L) === ((0L, 0L, 0L, false)))
   }
+
+  test("shapleyCoverage: 1/k credit split hand-checked, duplicates " +
+      "deduped, efficiency holds up to per-unit truncation") {
+    import spark.implicits._
+    // units: a∈{A,B}, b∈{A}, c∈{A,B,C}, d∈{C}; (A,a) duplicated
+    val pairs = Seq(("a", "A"), ("a", "A"), ("a", "B"), ("b", "A"),
+      ("c", "A"), ("c", "B"), ("c", "C"), ("d", "C"))
+      .toDF("unit", "owner").repartition(3)
+    val r = graft.operators.Curation
+      .shapleyCoverage(pairs, "unit", "owner")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5)))).toMap
+    assert(r("A") === ((3L, 1L, 750000L, 1833333L, 458333L)))
+    assert(r("B") === ((2L, 0L, 500000L, 833333L, 208333L)))
+    assert(r("C") === ((2L, 1L, 500000L, 1333333L, 333333L)))
+    // efficiency: total credit = universe·1e6 minus one truncated
+    // micro-unit per 3-owner unit
+    assert(r.values.toSeq.map(_._4).sum === 4000000L - 1L)
+  }
 }
