@@ -347,6 +347,27 @@ object Curation {
         EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
+  /** Payment-card SHAPE (13–19 digits allowing space/dash separators) —
+    * [[luhnScan]]'s candidate pattern. Redaction deliberately uses the
+    * shape alone: over-redacting an order id costs a token, leaking a
+    * card costs an incident (the audit side, q312, applies the Luhn
+    * checksum for precision; the redaction side must not). */
+  val PanShapeRe = "[0-9][0-9 -]{11,22}[0-9]"
+
+  /** [[redactPii]] plus PAN-shape redaction — the strict profile for
+    * public releases. Order is fixed and mirrored in the oracle: URLs,
+    * emails, PANs, phones (PAN before phone so a separated card is
+    * never partially eaten as a phone number). Same RE2-compatible,
+    * codegen'd regexp_replace chain. */
+  def redactPiiStrict(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, UrlRe, "<URL>"),
+          EmailRe, "<EMAIL>"),
+        PanShapeRe, "<PAN>"),
+      PhoneRe, "<PHONE>")
+
   /** Decontamination: test docs that share ≥ `minShared` distinct word
     * `n`-grams with at least one train doc. Output one row per flagged
     * test doc: (test_doc, n_partners, max_shared).

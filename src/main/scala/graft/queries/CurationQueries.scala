@@ -2815,9 +2815,86 @@ object CurationQueries {
       FROM a, u, t ORDER BY owner"""),
     doc = "[NS] exact Shapley valuation of sources under the coverage game (closed form)")
 
+  /** [NS] — redaction-effectiveness certificate (q316): apply the
+    * strict profile ([[graft.operators.Curation.redactPiiStrict]]) and
+    * then AUDIT the cleaned text with the same detectors — residual
+    * URL/email/PAN-shape/phone matches plus q312's Luhn pass over the
+    * output. The release gate's proof obligation: "no detector fires
+    * on what we ship" measured, not assumed (placeholders like <PAN>
+    * don't match their own patterns, so a all-zero row is the
+    * certificate). One projection + one aggregate + the bounded Luhn
+    * fold. */
+  val q316RedactionCertificate = Q(
+    "q316_redaction_certificate",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.Curation
+      val cleaned = Tables.documents(s, d)
+        .select($"doc_id", Curation.redactPiiStrict($"text").as("t"))
+        .localCheckpoint(true)
+      val counts = cleaned.agg(
+        count(lit(1)).as("n_docs"),
+        sum(regexp_count($"t", lit(Curation.UrlRe)).cast("long"))
+          .as("urls_left"),
+        sum(regexp_count($"t", lit(Curation.EmailRe)).cast("long"))
+          .as("emails_left"),
+        sum(regexp_count($"t", lit(Curation.PanShapeRe)).cast("long"))
+          .as("pans_left"),
+        sum(regexp_count($"t", lit(Curation.PhoneRe)).cast("long"))
+          .as("phones_left"))
+      val luhn = Curation.luhnScan(cleaned, "doc_id", "t")
+        .agg(sum($"n_luhn_valid").as("luhn_left"))
+      counts.crossJoin(luhn)
+    },
+    Some("""WITH cleaned AS (SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text,
+                'https?://[^ ]+', '<URL>', 'g'),
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+            '[0-9][0-9 -]{11,22}[0-9]', '<PAN>', 'g'),
+          '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g')
+          AS t
+        FROM documents),
+      counts AS (SELECT count(*)::BIGINT AS n_docs,
+        sum(len(regexp_extract_all(t, 'https?://[^ ]+')))::BIGINT
+          AS urls_left,
+        sum(len(regexp_extract_all(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::BIGINT
+          AS emails_left,
+        sum(len(regexp_extract_all(t, '[0-9][0-9 -]{11,22}[0-9]')))
+          ::BIGINT AS pans_left,
+        sum(len(regexp_extract_all(t,
+          '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')))::BIGINT
+          AS phones_left
+        FROM cleaned),
+      lu AS (SELECT doc_id,
+          unnest(regexp_extract_all(t, '[0-9][0-9 -]{11,22}[0-9]'))
+            AS cand
+        FROM cleaned),
+      lv AS (SELECT regexp_replace(cand, '[ -]', '', 'g') AS dg FROM lu),
+      lc AS (SELECT coalesce(sum(CASE WHEN length(dg) BETWEEN 13 AND 19
+          AND list_reduce(list_prepend(0,
+            list_transform(generate_series(1, length(dg)::INT), i ->
+              CASE WHEN (length(dg) - i) % 2 = 1 THEN
+                CASE WHEN 2 * (substr(dg, i, 1)::INT) > 9
+                  THEN 2 * (substr(dg, i, 1)::INT) - 9
+                  ELSE 2 * (substr(dg, i, 1)::INT) END
+                ELSE substr(dg, i, 1)::INT END)),
+            (a, x) -> a + x) % 10 = 0
+          THEN 1 ELSE 0 END), 0)::BIGINT AS luhn_left
+        FROM lv)
+      SELECT n_docs, urls_left, emails_left, pans_left, phones_left,
+        luhn_left
+      FROM counts, lc"""),
+    doc = "[NS] post-redaction residual audit: detectors re-run on the cleaned release")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q306ScriptMix, q308GiniConcentration, q309Readability,
     q311UnimaxAllocation, q312LuhnAudit, q315ShapleyCoverage,
+    q316RedactionCertificate,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,

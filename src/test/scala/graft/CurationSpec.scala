@@ -1332,4 +1332,23 @@ class CurationSpec extends AnyFunSuite {
     // micro-unit per 3-owner unit
     assert(r.values.toSeq.map(_._4).sum === 4000000L - 1L)
   }
+
+  test("redactPiiStrict: every detector class replaced; the detectors " +
+      "find nothing in the output they found in the input") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val raw = Seq((1L,
+      "mail a@b.com visit https://x.io/p?q=1 call 555-123-4567 " +
+        "card 4111 1111 1111 1111 end")).toDF("doc_id", "text")
+    val cleaned = raw.select($"doc_id",
+      Curation.redactPiiStrict($"text").as("text"))
+    val t = cleaned.collect().head.getString(1)
+    assert(t === "mail <EMAIL> visit <URL> call <PHONE> card <PAN> end")
+    // control: the Luhn audit fires on the raw text, is silent after
+    val before = Curation.luhnScan(raw, "doc_id", "text")
+      .collect().head.getLong(3)
+    val after = Curation.luhnScan(cleaned, "doc_id", "text")
+      .collect().head.getLong(3)
+    assert((before, after) === ((1L, 0L)))
+  }
 }
