@@ -190,6 +190,34 @@ object Similarity {
         col("nn_a_um"), col("nn_b_um"), col("margin_ppm"))
   }
 
+  /** [NS] — binary quantization (sign-bit) encoding: each 64-dim
+    * vector compresses to TWO 32-bit masks (bq_lo = dims 1–32,
+    * bq_hi = dims 33–64; bit set iff the coordinate is ≥ 0) — 8 bytes
+    * per vector, a 32× compression over float32. Hamming distance on
+    * the masks (`bit_count(xor)`) approximates angular distance (it IS
+    * SimHash with the identity hyperplanes), so serving is: Hamming
+    * shortlist over the codes, exact re-rank of the survivors — the
+    * third quantization tier beside int8 (q258) and PQ (q96), and the
+    * cheapest: the whole corpus' codes fit where 3% of the floats did.
+    * Two masks instead of one 64-bit value keeps every engine's
+    * integer signed-ness out of the arithmetic. Encoding is one
+    * codegen'd HOF fold per half; requires exactly 64 dims (same
+    * geometry contract as PQ's m·subDim). */
+  def binaryQuantize(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    def mask(off: Int) = expr(
+      s"aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> " +
+        s"acc + CASE WHEN element_at(_v, i + $off + 1) >= 0D " +
+        "THEN shiftleft(cast(1 as bigint), i) " +
+        "ELSE cast(0 as bigint) END)")
+    df.select(col(idCol), vecD(col(vecCol)).as("_v"))
+      .withColumn("_sz", size(col("_v")))
+      .withColumn("bq_lo", when(col("_sz") === 64, mask(0)))
+      .withColumn("bq_hi", when(col("_sz") === 64, mask(32)))
+      .filter(col("bq_lo").isNotNull && col("bq_hi").isNotNull)
+      .select(col(idCol), col("bq_lo"), col("bq_hi"))
+  }
+
   /** [NS] — hard-negative mining for contrastive training: for each
     * anchor (rows passing `anchorFilter`, a predicate over df's own
     * columns), the `k` most-similar SAME-LSH-BUCKET vectors carrying a

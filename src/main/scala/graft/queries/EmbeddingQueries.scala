@@ -1601,7 +1601,84 @@ object EmbeddingQueries {
     },
     doc = "[NS] ratio-margin bitext mining: mutual-best pairs, hub-demoting normalization")
 
+  /** [NS] — binary-quantization serving recall (q317):
+    * [[graft.operators.Similarity.binaryQuantize]] codes (8 bytes per
+    * vector), Hamming top-32 shortlist for the q258-convention query
+    * vector, exact-cosine re-rank to top-10, recall vs the brute-force
+    * top-10 — completing the measured-accuracy row for every
+    * quantization tier: binary (this), int8 (q258), PQ-in-query
+    * (q96), stored ANN (q259). Shortlist 32 of 500 = 6.4% of the
+    * corpus scanned exactly; the Hamming pass is bit_count arithmetic
+    * over two BIGINT masks. */
+  val q317BinaryQuantRecall = Q(
+    "q317_bq_recall",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val ev = e.select($"vec_id", vecD($"embedding").as("v"))
+      val qid = e.agg(max($"vec_id").as("q_id"))
+      val qv = ev.join(broadcast(qid), $"vec_id" === $"q_id")
+        .select($"v".as("qv"))
+      val exact = ev.crossJoin(broadcast(qv)).crossJoin(broadcast(qid))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos", round(cosine($"v", $"qv"), 6))
+        .orderBy($"cos".desc, $"vec_id".asc)
+        .limit(10).select($"vec_id")
+      val codes = Similarity.binaryQuantize(e, "vec_id", "embedding")
+        .localCheckpoint(true)
+      val qcode = codes.join(broadcast(qid), $"vec_id" === $"q_id")
+        .select($"bq_lo".as("q_lo"), $"bq_hi".as("q_hi"))
+      val short = codes.crossJoin(broadcast(qcode))
+        .crossJoin(broadcast(qid))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("hd", expr(
+          "bit_count(bq_lo ^ q_lo) + bit_count(bq_hi ^ q_hi)"))
+        .orderBy($"hd".asc, $"vec_id".asc)
+        .limit(32).select($"vec_id")
+      val rerank = short.join(ev, Seq("vec_id"))
+        .crossJoin(broadcast(qv))
+        .withColumn("cos", round(cosine($"v", $"qv"), 6))
+        .orderBy($"cos".desc, $"vec_id".asc)
+        .limit(10).select($"vec_id")
+      exact.join(rerank, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select($"n_hits",
+          expr("(1000000 * n_hits) div 10").as("recall_ppm"))
+    },
+    Some {
+      def maskSql(off: Int) =
+        s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(0, 31), i ->
+            CASE WHEN v[i + $off + 1] >= 0 THEN (1::BIGINT << i)
+              ELSE 0::BIGINT END)), (a, x) -> a + x)"""
+      s"""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        qid AS (SELECT max(vec_id) AS q_id FROM embeddings),
+        q2 AS (SELECT v AS qv FROM e2, qid WHERE vec_id = q_id),
+        exact AS (SELECT vec_id FROM e2, q2, qid WHERE vec_id <> q_id
+          ORDER BY round(${cosSql("v", "qv")}, 6) DESC, vec_id ASC
+          LIMIT 10),
+        codes AS (SELECT vec_id, ${maskSql(0)} AS bq_lo,
+            ${maskSql(32)} AS bq_hi
+          FROM e2 WHERE len(v) = 64),
+        qc AS (SELECT bq_lo AS q_lo, bq_hi AS q_hi FROM codes, qid
+          WHERE vec_id = q_id),
+        short AS (SELECT vec_id FROM codes, qc, qid
+          WHERE vec_id <> q_id
+          ORDER BY bit_count(xor(bq_lo, q_lo)) +
+            bit_count(xor(bq_hi, q_hi)) ASC, vec_id ASC
+          LIMIT 32),
+        rr AS (SELECT e2.vec_id FROM short JOIN e2 USING (vec_id), q2
+          ORDER BY round(${cosSql("v", "qv")}, 6) DESC, vec_id ASC
+          LIMIT 10)
+        SELECT CAST(count(*) AS BIGINT) AS n_hits,
+          CAST((1000000 * count(*)) // 10 AS BIGINT) AS recall_ppm
+        FROM exact JOIN rr USING (vec_id)"""
+    },
+    doc = "[NS] binary-quantization recall@10: Hamming shortlist + exact re-rank")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
+    q317BinaryQuantRecall,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,

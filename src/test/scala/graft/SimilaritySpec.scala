@@ -405,6 +405,27 @@ class SimilaritySpec extends AnyFunSuite {
       "cos_um and both avgK normalizers are positive integers")
   }
 
+  test("binaryQuantize: known sign patterns give exact masks, zero " +
+      "counts as positive, non-64-dim vectors are dropped") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array.fill(64)(1.0f)),                       // all ones
+      (2L, Array.tabulate(64)(i =>
+        if (i % 2 == 0) 0.5f else -0.5f)),              // alternating
+      (3L, Array.fill(64)(-1.0f)),                      // all negative
+      (4L, Array.tabulate(64)(i => if (i < 32) 0.0f else -1.0f)),
+      (5L, Array.fill(32)(1.0f))                        // wrong size
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.binaryQuantize(vecs, "vec_id", "embedding")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L), "32-dim vector dropped")
+    assert(r(1L) === ((4294967295L, 4294967295L)))
+    assert(r(2L) === ((1431655765L, 1431655765L)), "0x55555555 halves")
+    assert(r(3L) === ((0L, 0L)))
+    assert(r(4L) === ((4294967295L, 0L)), "zero coordinates are ≥ 0")
+  }
+
   test("topDirection: recovers a planted dominant axis, L1 mass " +
       "bounded by scale, sign pinned by the all-ones start") {
     import spark.implicits._
