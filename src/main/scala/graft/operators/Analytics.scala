@@ -1801,6 +1801,62 @@ object Analytics {
         col("drift"))
   }
 
+  /** [NS] — exact Mann–Whitney U (Wilcoxon rank-sum): the rank-test
+    * companion to [[ksTwoSample]] — KS asks "are the distributions
+    * different anywhere", U asks "does one stochastically dominate",
+    * and U/(n_a·n_b) IS the probability of superiority (the AUC of a
+    * one-feature classifier, the q216 quantity measured between two
+    * samples). Computed exactly with ties at half weight by keeping
+    * everything doubled: 2U_A = Σ_v a_v·(2·cb_before(v) + b_v) over
+    * distinct values (decimal(38,0) products) — no midrank fractions
+    * ever materialize. auc_ppm = 2U·10⁶ div (2·n_a·n_b); rank-biserial
+    * effect rbc_ppm = 10⁶ − 2U·10⁶ div (n_a·n_b) (positive when A
+    * tends SMALLER).
+    *
+    * Scale: identical shape to [[ksTwoSample]] — one groupBy(value)
+    * collapse, bucketed distributed prefix sums for the cumulative
+    * B-counts, one final aggregate. Output: one row (n_a, n_b, u2_a,
+    * auc_ppm, rbc_ppm). */
+  def mannWhitney(a: DataFrame, b: DataFrame, valCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val tagged = a.select(col(valCol).as("v"), lit(1L).as("ia"),
+        lit(0L).as("ib"))
+      .unionAll(b.select(col(valCol).as("v"), lit(0L).as("ia"),
+        lit(1L).as("ib")))
+      .filter(col("v").isNotNull)
+    val g = tagged.groupBy(col("v"))
+      .agg(sum(col("ia")).as("da"), sum(col("ib")).as("db"))
+      .withColumn("bk", floor(col("v") / lit(bucketWidth)).cast("long"))
+    val inBucket = Window.partitionBy(col("bk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val overBuckets = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = g.groupBy(col("bk"))
+      .agg(sum(col("db")).as("tb"))
+      .withColumn("ob", sum(col("tb")).over(overBuckets) - col("tb"))
+      .select(col("bk"), col("ob"))
+    g.withColumn("lb", sum(col("db")).over(inBucket))
+      .join(broadcast(offsets), Seq("bk"))
+      .withColumn("cb_before", col("ob") + col("lb") - col("db"))
+      .crossJoin(broadcast(tagged.agg(sum(col("ia")).as("n_a"),
+        sum(col("ib")).as("n_b"))))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(expr("cast(da as decimal(38,0)) * (2 * cb_before + db)"))
+          .as("_u2"))
+      .withColumn("u2_a", expr("cast(_u2 as bigint)"))
+      .withColumn("auc_ppm", expr(
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+          "cast(_u2 * 1000000 div (2 * cast(n_a as decimal(38,0)) " +
+          "* n_b) as bigint) END"))
+      .withColumn("rbc_ppm", expr(
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+          "cast(1000000 - _u2 * 1000000 div " +
+          "(cast(n_a as decimal(38,0)) * n_b) as bigint) END"))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("auc_ppm"),
+        col("rbc_ppm"))
+  }
+
   /** [NS] — Theil–Sen robust trend (Theil 1950/Sen 1968): the median of
     * all pairwise slopes per group, plus the matching median intercept
     * — the robust twin of [[trendSlope]] (one wild day shifts an OLS

@@ -1892,9 +1892,53 @@ object EventQueries {
     },
     doc = "[NS] Markov removal-effect attribution: rerouted-edge conversion drops, exact ppm")
 
+  /** [NS] — exact Mann–Whitney U (q318):
+    * [[graft.operators.Analytics.mannWhitney]] between click and
+    * purchase values — q305's KS asks "different anywhere?", this asks
+    * "does one dominate?" and reads out the probability of superiority
+    * (two-sample AUC) plus the rank-biserial effect, all exact via the
+    * doubled-U trick (ties at half weight, no fractions). Same
+    * bucketed distributed prefix-sum plan as q305. */
+  val q318MannWhitney = Q(
+    "q318_mann_whitney",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.events(s, d)
+      graft.operators.Analytics.mannWhitney(
+        e.filter($"event_type" === "click"),
+        e.filter($"event_type" === "purchase"),
+        "value", bucketWidth = 10.0)
+    },
+    Some("""WITH t AS (
+        SELECT value AS v,
+          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END::BIGINT AS ia,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT
+            AS ib
+        FROM events WHERE event_type IN ('click', 'purchase')
+          AND value IS NOT NULL),
+      g AS (SELECT v, sum(ia)::BIGINT AS da, sum(ib)::BIGINT AS db
+        FROM t GROUP BY v),
+      c AS (SELECT v, da, db, coalesce(sum(db) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cb_before
+        FROM g),
+      n AS (SELECT sum(ia)::BIGINT AS n_a, sum(ib)::BIGINT AS n_b
+        FROM t),
+      u AS (SELECT sum(da::HUGEINT * (2 * cb_before + db)) AS u2
+        FROM c)
+      SELECT n_a, n_b, CAST(u2 AS BIGINT) AS u2_a,
+        CASE WHEN n_a > 0 AND n_b > 0 THEN
+          CAST(u2 * 1000000 // (2 * n_a::HUGEINT * n_b) AS BIGINT) END
+          AS auc_ppm,
+        CASE WHEN n_a > 0 AND n_b > 0 THEN
+          CAST(1000000 - u2 * 1000000 // (n_a::HUGEINT * n_b)
+            AS BIGINT) END AS rbc_ppm
+      FROM u, n"""),
+    doc = "[NS] exact Mann-Whitney U: probability of superiority + rank-biserial, doubled-tie arithmetic")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q300SessionGapLadder, q304BradleyTerry, q305KsDrift,
-    q314MarkovAttribution,
+    q314MarkovAttribution, q318MannWhitney,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,

@@ -1210,4 +1210,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r("A") === ((499999L, 125000L, 750000L)))
     assert(r("B") === ((499999L, 249999L, 500002L)))
   }
+
+  test("mannWhitney: doubled-U with half-weight ties hand-checked, " +
+      "dominance reads ±1e6 rank-biserial, bucket paths agree") {
+    import spark.implicits._
+    def mw(av: Seq[Double], bv: Seq[Double], w: Double = 10.0) =
+      Analytics.mannWhitney(av.toDF("x"), bv.toDF("x"), "x", w)
+        .collect().head
+    // A={1,3,5}, B={2,3,4}: U_A = 0 + 1.5 + 3 = 4.5 → 2U = 9,
+    // auc exactly 1/2, zero effect
+    val r = mw(Seq(1.0, 3.0, 5.0), Seq(2.0, 3.0, 4.0))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((3L, 3L, 9L, 500000L, 0L)))
+    // per-value buckets force the cross-bucket offset path — identical
+    val r1 = mw(Seq(1.0, 3.0, 5.0), Seq(2.0, 3.0, 4.0), w = 1.0)
+    assert(r1.getLong(2) === 9L)
+    // strict dominance in both directions
+    val lo = mw(Seq(1.0, 2.0), Seq(3.0, 4.0))
+    assert((lo.getLong(2), lo.getLong(3), lo.getLong(4)) ===
+      ((0L, 0L, 1000000L)))
+    val hi = mw(Seq(3.0, 4.0), Seq(1.0, 2.0))
+    assert((hi.getLong(2), hi.getLong(3), hi.getLong(4)) ===
+      ((8L, 1000000L, -1000000L)))
+  }
 }
