@@ -280,4 +280,94 @@ object SketchState {
             org.apache.spark.sql.types.LongType))))
     else spark.read.parquet(s"$dir/v$v")
   }
+
+  /** [NS] — streaming DISTRIBUTION-DRIFT monitor: each micro-batch's
+    * (side, value) rows fold into durable per-(side, bucket) counts —
+    * bucket = floor(value / bucketWidth), so state is bounded by the
+    * value range, never by the stream — under the same versioned
+    * replay protocol as every fold above (counts are SUMS; a replayed
+    * epoch re-derives from its predecessor and overwrites its own
+    * version). The live sides are typically a reference population
+    * ingested once and the ongoing traffic; [[driftReport]] then
+    * answers "has the live distribution drifted from the reference"
+    * at ANY epoch from the ≤ 2·|buckets| stored rows — the streaming
+    * face of q305/q318's batch tests, binned because a monitor's
+    * state must be bounded (q305 keeps the exact per-value form for
+    * offline runs). */
+  def foreachBatchDrift(spark: SparkSession, dir: String,
+      sideCol: String, valCol: String,
+      bucketWidth: Double): (DataFrame, Long) => Unit = {
+    require(bucketWidth > 0, s"bucketWidth must be positive")
+    (batch, batchId) => {
+      val b = batch
+        .filter(col(valCol).isNotNull && col(sideCol).isNotNull)
+        .select(col(sideCol).cast("string").as("side"),
+          floor(col(valCol) / lit(bucketWidth)).cast("long").as("bk"))
+        .groupBy(col("side"), col("bk"))
+        .agg(count(lit(1)).as("n"))
+      val prev = readDriftState(spark, dir, beforeBatch = batchId)
+      val merged = prev.unionByName(b)
+        .groupBy(col("side"), col("bk"))
+        .agg(sum(col("n")).as("n"))
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/v$batchId")
+    }
+  }
+
+  /** The stored (side, bk, n) fold at the newest version <
+    * beforeBatch; empty frame when no epoch has landed. */
+  def readDriftState(spark: SparkSession, dir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val v = latestVersion(spark, dir, beforeBatch)
+    if (v < 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("side",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("bk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(s"$dir/v$v")
+  }
+
+  /** Current binned drift between two sides from the stored fold:
+    * one row (n_a, n_b, d_ppm, tvd_ppm) — D is the KS statistic on
+    * the bucketed ECDFs (|ca·n_b − cb·n_a|·10⁶ div (n_a·n_b), exact),
+    * TVD the half-L1 between the bucket share vectors. Windows run on
+    * the ≤ |buckets| stored rows. StreamingSpec pins the fold against
+    * an independent scalar reference across restart and replay. */
+  def driftReport(spark: SparkSession, dir: String, sideA: String,
+      sideB: String, beforeBatch: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = readDriftState(spark, dir, beforeBatch)
+    val wide = st.groupBy(col("bk"))
+      .agg(sum(when(col("side") === sideA, col("n")).otherwise(0L))
+        .as("da"),
+        sum(when(col("side") === sideB, col("n")).otherwise(0L))
+          .as("db"))
+    val ord = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    wide
+      .withColumn("ca", sum(col("da")).over(ord))
+      .withColumn("cb", sum(col("db")).over(ord))
+      .withColumn("n_a", sum(col("da")).over(all))
+      .withColumn("n_b", sum(col("db")).over(all))
+      .withColumn("d", expr(
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+          "cast(abs(cast(ca as decimal(38,0)) * n_b - " +
+          "cast(cb as decimal(38,0)) * n_a) * 1000000 div " +
+          "(cast(n_a as decimal(38,0)) * n_b) as bigint) " +
+          "ELSE cast(0 as bigint) END"))
+      .withColumn("sh", expr(
+        "abs(CASE WHEN n_a > 0 THEN (1000000 * da) div n_a " +
+          "ELSE cast(0 as bigint) END - " +
+          "CASE WHEN n_b > 0 THEN (1000000 * db) div n_b " +
+          "ELSE cast(0 as bigint) END)"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("d")).as("d_ppm"),
+        expr("sum(sh) div 2").as("tvd_ppm"))
+  }
 }

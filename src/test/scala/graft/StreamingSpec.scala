@@ -1297,4 +1297,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.map(_._3).sum >= 1L && st.map(_._3).sum <= 3L,
       s"gate must separate en-leaning from de-leaning docs: $st")
   }
+
+  test("streaming drift monitor: per-(side,bucket) folds across " +
+      "restarts ≡ an independent scalar KS/TVD reference on everything " +
+      "ingested; a replayed epoch does not double-count") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.SketchState
+    import spark.implicits._
+
+    val srcDir = Files.createTempDirectory("drift_src").toString
+    val ckpt = Files.createTempDirectory("drift_ckpt").toString
+    val stDir = Files.createTempDirectory("drift_state").toString
+    // epoch 0: the reference population; epochs 1-2: live traffic
+    // drifting upward
+    val epochs = Seq(
+      Seq(("ref", 1.2), ("ref", 1.7), ("ref", 2.1), ("ref", 2.8),
+        ("ref", 3.4), ("ref", 4.9)),
+      Seq(("live", 2.2), ("live", 3.1), ("live", 3.9)),
+      Seq(("live", 4.4), ("live", 5.8), ("live", 6.1), ("live", 6.9)))
+    val hook = SketchState.foreachBatchDrift(spark, stDir, "side", "v",
+      bucketWidth = 1.0)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("side", StringType),
+          StructField("v", DoubleType))))
+        .json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(hook)
+        .start()
+      q.awaitTermination()
+    }
+    def report(): (Long, Long, Long, Long) = {
+      val r = SketchState.driftReport(spark, stDir, "ref", "live")
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // independent scalar reference: binned counts → truncating-integer
+    // KS and TVD exactly as documented
+    def scalarTwin(upTo: Int): (Long, Long, Long, Long) = {
+      val rows = epochs.take(upTo).flatten
+      val byBk = rows.groupBy { case (_, v) => math.floor(v).toLong }
+      val bks = byBk.keys.toSeq.sorted
+      val da = bks.map(bk => byBk(bk).count(_._1 == "ref").toLong)
+      val db = bks.map(bk => byBk(bk).count(_._1 == "live").toLong)
+      val (na, nb) = (da.sum, db.sum)
+      var (ca, cb, dmax, l1) = (0L, 0L, 0L, 0L)
+      bks.indices.foreach { i =>
+        ca += da(i); cb += db(i)
+        if (na > 0 && nb > 0)
+          dmax = math.max(dmax,
+            (BigInt(ca) * nb - BigInt(cb) * na).abs.toLong * 1000000L /
+              (na * nb))
+        val sa = if (na > 0) 1000000L * da(i) / na else 0L
+        val sb = if (nb > 0) 1000000L * db(i) / nb else 0L
+        l1 += math.abs(sa - sb)
+      }
+      (na, nb, dmax, l1 / 2)
+    }
+    epochs.zipWithIndex.foreach { case (rows, i) =>
+      Files.write(java.nio.file.Paths.get(srcDir, s"b$i.json"),
+        rows.map { case (sd, v) => s"""{"side":"$sd","v":$v}""" }
+          .mkString("\n").getBytes("UTF-8"))
+      runOnce() // full stop/start between epochs: state must be durable
+      assert(report() === scalarTwin(i + 1), s"diverged after epoch $i")
+    }
+    // the upward drift must be visible: live mass sits above ref mass
+    val (_, _, d, tvd) = report()
+    assert(d >= 300000L && tvd >= 300000L,
+      s"planted drift not surfaced: d=$d tvd=$tvd")
+    // replay: re-run the LAST epoch with its original batchId — the
+    // versioned derivation must overwrite, not double-merge
+    val lastId = SketchState.latestVersion(spark, stDir)
+    hook(epochs.last.toDF("side", "v"), lastId)
+    assert(report() === scalarTwin(3), "replayed epoch double-counted")
+  }
 }
