@@ -1677,8 +1677,69 @@ object EmbeddingQueries {
     },
     doc = "[NS] binary-quantization recall@10: Hamming shortlist + exact re-rank")
 
+  /** [NS] — matryoshka truncation recall ladder (q319, Kusupati et al.
+    * 2022): recall@10 of cosine search on the FIRST k dimensions
+    * (k = 8/16/32/64) against the full-width exact top-10 — the
+    * measured-accuracy row for prefix-truncation serving, the fourth
+    * entry in the quantization/compression accuracy family (binary
+    * q317, int8 q258, PQ q96, stored ANN q259). On MRL-trained
+    * embeddings the curve stays high at small k; on these unstructured
+    * fixtures it documents the floor. One scan crossJoined with the
+    * broadcast 4-row dims table; ranking per rung is the audit's
+    * deliberate brute force (serving uses the index paths). */
+  val q319MatryoshkaRecall = Q(
+    "q319_matryoshka_recall",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val ev = e.select($"vec_id", vecD($"embedding").as("v"))
+      val qid = e.agg(max($"vec_id").as("q_id"))
+      val qv = ev.join(broadcast(qid), $"vec_id" === $"q_id")
+        .select($"v".as("qv"))
+      val dims = Seq(8, 16, 32, 64).toDF("dims")
+      val scored = ev.crossJoin(broadcast(qv))
+        .crossJoin(broadcast(qid))
+        .filter($"vec_id" =!= $"q_id")
+        .crossJoin(broadcast(dims))
+        .withColumn("tv", expr("slice(v, 1, dims)"))
+        .withColumn("qtv", expr("slice(qv, 1, dims)"))
+        .withColumn("cos", round(cosine($"tv", $"qtv"), 6))
+      val top = scored
+        .withColumn("rk", row_number().over(Window.partitionBy($"dims")
+          .orderBy($"cos".desc, $"vec_id".asc)))
+        .filter($"rk" <= 10).select($"dims", $"vec_id")
+        .localCheckpoint(true)
+      val exact = top.filter($"dims" === 64)
+        .select($"vec_id".as("evid"))
+      top.join(exact, top("vec_id") === exact("evid"))
+        .groupBy($"dims").agg(count(lit(1)).as("n_hits"))
+        .withColumn("recall_ppm", expr("(1000000 * n_hits) div 10"))
+        .orderBy($"dims")
+    },
+    Some(s"""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        qid AS (SELECT max(vec_id) AS q_id FROM embeddings),
+        q2 AS (SELECT v AS qv FROM e2, qid WHERE vec_id = q_id),
+        dd AS (SELECT unnest([8, 16, 32, 64]) AS dims),
+        sc0 AS (SELECT dims, vec_id, v[1:dims] AS tv, qv[1:dims] AS qtv
+          FROM e2, q2, qid, dd WHERE vec_id <> q_id),
+        sc AS (SELECT dims, vec_id,
+            round(${cosSql("tv", "qtv")}, 6) AS cos
+          FROM sc0),
+        top AS (SELECT dims, vec_id FROM (SELECT dims, vec_id,
+            row_number() OVER (PARTITION BY dims
+              ORDER BY cos DESC, vec_id) AS rk FROM sc)
+          WHERE rk <= 10),
+        ex AS (SELECT vec_id FROM top WHERE dims = 64)
+        SELECT dims, count(*)::BIGINT AS n_hits,
+          CAST((1000000 * count(*)) // 10 AS BIGINT) AS recall_ppm
+        FROM top JOIN ex USING (vec_id)
+        GROUP BY dims ORDER BY dims"""),
+    doc = "[NS] matryoshka prefix-truncation recall@10 ladder vs full-width exact")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
-    q317BinaryQuantRecall,
+    q317BinaryQuantRecall, q319MatryoshkaRecall,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,

@@ -68,6 +68,20 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("q319 matryoshka ladder: full-width rung is exactly its own " +
+      "top-10, every rung bounded, all four rungs present") {
+    val sf2 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q319_matryoshka_recall")(spark, sf2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(rows.keySet === Set(8, 16, 32, 64))
+    assert(rows(64) === ((10L, 1000000L)),
+      "the 64-dim rung IS the reference ranking")
+    rows.values.foreach { case (h, p) =>
+      assert(h >= 0L && h <= 10L && p === h * 100000L)
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val df = fn(spark, sf)
