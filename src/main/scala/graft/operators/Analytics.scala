@@ -2069,6 +2069,68 @@ object Analytics {
         col("top_share_ppm"), col("pass_l")): _*)
   }
 
+  /** [NS] — Neyman-style optimal stratified allocation (Neyman 1934),
+    * under an L1 dispersion measure so every number stays an exact
+    * integer: allocate a sample budget across strata proportionally to
+    * N_h·D_h (population × dispersion) instead of N_h alone — the
+    * estimator-variance-minimizing refinement of proportional
+    * stratified sampling (q71), sized by q261's ladder. D_h is the
+    * mean absolute deviation, computed without fractions via
+    * Σᵢ|N_h·xᵢ − S_h| = N_h²·D_h (two aggregate passes: sums, then
+    * deviations against the broadcast sums); integer weights
+    * w_h = that div N_h. Budget split by largest-remainder rounding
+    * (exactly `sampleSize` allocated, ties by stratum name), then
+    * capped at N_h post-hoc with the `capped` flag — redistribution is
+    * [[graft.operators.Curation.uniMaxAllocate]]'s job if wanted.
+    * Zero-dispersion strata get weight 0: one row from a constant
+    * stratum already determines it, which is exactly Neyman's point.
+    *
+    * Output: (stratum, n_pop, disp_w, n_alloc, alloc_ppm, capped). */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valCol: String, sampleSize: Long): DataFrame = {
+    require(sampleSize >= 0, s"sampleSize=$sampleSize")
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(valCol).cast("long").as("x"))
+    val sums = base.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"))
+    val w = base.join(broadcast(sums), Seq("stratum"))
+      .groupBy(col("stratum"))
+      .agg(max(col("n_pop")).as("n_pop"),
+        sum(expr("abs(cast(n_pop as decimal(38,0)) * x - sx)"))
+          .as("_dev"))
+      .withColumn("disp_w", expr(
+        "CASE WHEN n_pop > 0 THEN cast(_dev div n_pop as bigint) " +
+          "ELSE cast(0 as bigint) END"))
+      .select(col("stratum"), col("n_pop"), col("disp_w"))
+    val all = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val remOrd = Window.orderBy(col("_rem").desc, col("stratum").asc)
+    w.withColumn("_wtot", sum(col("disp_w")).over(all))
+      .withColumn("_base", expr(
+        s"CASE WHEN _wtot > 0 THEN " +
+          s"cast(cast($sampleSize as decimal(38,0)) * disp_w " +
+          "div _wtot as bigint) ELSE cast(0 as bigint) END"))
+      .withColumn("_rem", expr(
+        s"CASE WHEN _wtot > 0 THEN " +
+          s"cast(cast($sampleSize as decimal(38,0)) * disp_w - " +
+          "cast(_base as decimal(38,0)) * _wtot as decimal(38,0)) " +
+          "ELSE cast(0 as decimal(38,0)) END"))
+      .withColumn("_leftover", lit(sampleSize) - sum(col("_base")).over(all))
+      .withColumn("_rk", row_number().over(remOrd).cast("long"))
+      .withColumn("_prop", expr(
+        "_base + CASE WHEN _rk <= _leftover THEN 1 ELSE 0 END"))
+      .withColumn("n_alloc", least(col("_prop"), col("n_pop")))
+      .withColumn("capped", col("_prop") > col("n_pop"))
+      .withColumn("alloc_ppm", expr(
+        s"CASE WHEN $sampleSize > 0 THEN " +
+          s"(1000000 * n_alloc) div $sampleSize " +
+          "ELSE cast(0 as bigint) END"))
+      .select(col("stratum"), col("n_pop"), col("disp_w"),
+        col("n_alloc"), col("alloc_ppm"), col("capped"))
+  }
+
   /** [NS] — Markov removal-effect attribution (Anderl et al. 2014):
     * the data-driven multi-touch model next to q157's U-shaped
     * heuristic. Journeys = each user's touch sequence up to the first

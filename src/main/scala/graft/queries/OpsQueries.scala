@@ -2388,8 +2388,60 @@ object OpsQueries {
       FROM g ORDER BY event_type, day"""),
     doc = "[NS] distinct l-diversity per QI class: homogeneity-attack audit")
 
+  /** [NS] — Neyman allocation (q320):
+    * [[graft.operators.Analytics.neymanAllocation]] of a 500-row
+    * sample budget across event types by value dispersion (exact L1
+    * form) — the variance-minimizing refinement of q71's proportional
+    * stratified sampling: volatile strata get more rows, constant
+    * strata get none. Largest-remainder rounding lands exactly on the
+    * budget; the oracle replays the identical integer arithmetic. */
+  val q320NeymanAllocation = Q(
+    "q320_neyman_allocation",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("y", round($"value" * 100).cast("long"))
+      Analytics.neymanAllocation(ev, "event_type", "y", 500L)
+        .orderBy($"stratum")
+    },
+    Some("""WITH b AS (SELECT event_type AS stratum,
+        CAST(round(value * 100.0) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL),
+      s AS (SELECT stratum, count(*)::BIGINT AS n_pop,
+        sum(x::HUGEINT) AS sx FROM b GROUP BY 1),
+      w AS (SELECT b.stratum, max(n_pop) AS n_pop,
+          CAST(sum(abs(n_pop::HUGEINT * x - sx)) // max(n_pop)
+            AS BIGINT) AS disp_w
+        FROM b JOIN s USING (stratum) GROUP BY b.stratum),
+      t AS (SELECT sum(disp_w)::HUGEINT AS wtot FROM w),
+      a0 AS (SELECT stratum, n_pop, disp_w, wtot,
+          CASE WHEN wtot > 0 THEN
+            CAST((500::HUGEINT * disp_w) // wtot AS BIGINT)
+          ELSE 0 END AS base_n
+        FROM w, t),
+      a AS (SELECT stratum, n_pop, disp_w, base_n,
+          CASE WHEN wtot > 0 THEN
+            (500::HUGEINT * disp_w) - (base_n::HUGEINT * wtot)
+          ELSE 0::HUGEINT END AS rem
+        FROM a0),
+      l AS (SELECT sum(base_n)::BIGINT AS btot FROM a),
+      r AS (SELECT a.*, 500 - btot AS leftover,
+          row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+        FROM a, l),
+      f AS (SELECT stratum, n_pop, disp_w,
+          base_n + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS prop
+        FROM r)
+      SELECT stratum, n_pop, disp_w,
+        least(prop, n_pop) AS n_alloc,
+        CAST((1000000 * least(prop, n_pop)) // 500 AS BIGINT)
+          AS alloc_ppm,
+        prop > n_pop AS capped
+      FROM f ORDER BY stratum"""),
+    doc = "[NS] Neyman optimal stratified allocation: dispersion-weighted, largest-remainder exact")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q307TheilSen, q310StratifiedEffect, q313LDiversity,
+    q320NeymanAllocation,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,

@@ -1233,4 +1233,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert((hi.getLong(2), hi.getLong(3), hi.getLong(4)) ===
       ((8L, 1000000L, -1000000L)))
   }
+
+  test("neymanAllocation: dispersion-weighted grants hand-checked, " +
+      "constant stratum gets zero, cap flags over-asks, remainder " +
+      "tie breaks by stratum name") {
+    import spark.implicits._
+    // flat: 4×{5} → weight 0; wild: {0,100} → weight 100;
+    // mild: {40,60} → weight 20
+    val rows = Seq(("flat", 5L), ("flat", 5L), ("flat", 5L),
+      ("flat", 5L), ("wild", 0L), ("wild", 100L),
+      ("mild", 40L), ("mild", 60L)).toDF("stratum", "y")
+    def run(b: Long) = Analytics.neymanAllocation(rows, "stratum",
+        "y", b)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3),
+          x.getBoolean(5)))).toMap
+    // budget 6: wild asks 5 of a 2-row stratum → capped at 2
+    val r6 = run(6L)
+    assert(r6("flat") === ((4L, 0L, 0L, false)))
+    assert(r6("mild") === ((2L, 20L, 1L, false)))
+    assert(r6("wild") === ((2L, 100L, 2L, true)))
+    // budget 3: bases (wild 2, mild 0), remainders tie at 60 —
+    // the +1 goes to 'mild' (name order), never nondeterministically
+    val r3 = run(3L)
+    assert((r3("wild")._3, r3("mild")._3, r3("flat")._3) ===
+      ((2L, 1L, 0L)))
+  }
 }
