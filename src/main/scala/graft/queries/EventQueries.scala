@@ -1936,9 +1936,68 @@ object EventQueries {
       FROM u, n"""),
     doc = "[NS] exact Mann-Whitney U: probability of superiority + rank-biserial, doubled-tie arithmetic")
 
+  /** [NS] — Kaplan–Meier survival curve (q321): the product-limit
+    * estimator S(d) = Π_{t≤d} (1 − hazard_t) that q205's doc
+    * deliberately left out as "float-territory" — made EXACT with the
+    * q287 truncating ppm power-fold convention: factors are
+    * (10⁶ − hazard_ppm), the running product folds as
+    * acc·f div 10⁶ over the tenure-sorted factor array (Spark
+    * `aggregate` HOF ≡ DuckDB `list_reduce`), so both engines agree
+    * bit-for-bit. Per-row prefix products filter the broadcast
+    * ≤|days|-struct array — bounded by the tenure range, never the
+    * corpus (q205's own at-risk window contract). */
+  val q321KmSurvival = Q(
+    "q321_km_survival",
+    (s, d) => {
+      import s.implicits._
+      val tenure = Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(datediff(max(to_date($"ts")), min(to_date($"ts")))
+          .cast("long").as("tenure"))
+      val w = Window.orderBy($"tenure".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byDay = tenure.groupBy($"tenure")
+        .agg(count(lit(1)).as("churned"))
+        .withColumn("at_risk", sum($"churned").over(w))
+        .withColumn("hazard_ppm",
+          expr("(1000000 * churned) div at_risk"))
+        .localCheckpoint(true)
+      val arr = byDay.agg(sort_array(collect_list(struct(
+        $"tenure".as("t"), (lit(1000000L) - $"hazard_ppm").as("f"))))
+        .as("_arr"))
+      byDay.crossJoin(broadcast(arr))
+        .withColumn("survival_ppm", expr(
+          "aggregate(transform(filter(_arr, x -> x.t <= tenure), " +
+            "x -> x.f), cast(1000000 as bigint), " +
+            "(acc, x) -> (acc * x) div 1000000)"))
+        .select($"tenure", $"churned", $"at_risk", $"hazard_ppm",
+          $"survival_ppm")
+        .orderBy($"tenure")
+    },
+    Some("""WITH t AS (SELECT user_id,
+          CAST(date_diff('day', min(CAST(ts AS DATE)),
+            max(CAST(ts AS DATE))) AS BIGINT) AS tenure
+        FROM events GROUP BY user_id),
+      b AS (SELECT tenure, CAST(count(*) AS BIGINT) AS churned FROM t
+        GROUP BY tenure),
+      c AS (SELECT *, CAST(sum(churned) OVER (ORDER BY tenure DESC
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk FROM b),
+      h AS (SELECT tenure, churned, at_risk,
+        CAST((1000000 * churned) // at_risk AS BIGINT) AS hazard_ppm
+        FROM c),
+      arr AS (SELECT list_sort(list(struct_pack(t := tenure,
+          f := 1000000 - hazard_ppm))) AS a FROM h)
+      SELECT tenure, churned, at_risk, hazard_ppm,
+        list_reduce(list_prepend(1000000::BIGINT,
+          list_transform(list_filter(arr.a, x -> x.t <= tenure),
+            x -> x.f)), (acc, x) -> (acc * x) // 1000000)
+          AS survival_ppm
+      FROM h, arr ORDER BY tenure"""),
+    doc = "[NS] exact Kaplan-Meier survival curve: truncating ppm product fold")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q300SessionGapLadder, q304BradleyTerry, q305KsDrift,
-    q314MarkovAttribution, q318MannWhitney,
+    q314MarkovAttribution, q318MannWhitney, q321KmSurvival,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,

@@ -82,6 +82,22 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("q321 KM survival: the ppm product fold replays exactly from " +
+      "the returned hazards, monotone non-increasing from 1e6") {
+    val sf2 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q321_km_survival")(spark, sf2)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    var acc = 1000000L
+    rows.foreach { case (tenure, hazard, surv) =>
+      acc = acc * (1000000L - hazard) / 1000000L
+      assert(surv === acc, s"fold diverged at tenure $tenure")
+    }
+    assert(rows.map(_._3).toSeq === rows.map(_._3).sorted.reverse.toSeq,
+      "survival must be non-increasing")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val df = fn(spark, sf)
