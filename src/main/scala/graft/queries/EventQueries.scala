@@ -1995,9 +1995,81 @@ object EventQueries {
       FROM h, arr ORDER BY tenure"""),
     doc = "[NS] exact Kaplan-Meier survival curve: truncating ppm product fold")
 
+  /** [NS] — log-rank test (q322, Mantel 1966): do two cohorts churn at
+    * the same rate? At every churn day t the observed-minus-expected
+    * churns for cohort A — d_At − d_t·n_At/n_t — and the
+    * hypergeometric variance term, both as exact truncating-ppm
+    * contributions ((d_At·n_t − d_t·n_At)·10⁶ div n_t etc., decimal
+    * products), summed into one signed statistic. The COMPARISON
+    * member of the survival family: q205 is the table, q321 the
+    * curve, this the test. Cohorts here: user-id parity (the
+    * hash-assignment shape). At-risk counts are per-cohort suffix
+    * sums over the ≤|days| aggregate rows. */
+  val q322LogRank = Q(
+    "q322_log_rank",
+    (s, d) => {
+      import s.implicits._
+      val tenure = Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(datediff(max(to_date($"ts")), min(to_date($"ts")))
+          .cast("long").as("tenure"))
+        .withColumn("grp", when($"user_id" % 2 === 0, "a")
+          .otherwise("b"))
+      val byDay = tenure.groupBy($"tenure")
+        .agg(sum(when($"grp" === "a", 1L).otherwise(0L)).as("d_a"),
+          count(lit(1)).as("d_t"))
+      val w = Window.orderBy($"tenure".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay
+        .withColumn("n_a", sum($"d_a").over(w))
+        .withColumn("n_t", sum($"d_t").over(w))
+        .withColumn("oe", expr(
+          "CASE WHEN n_t > 0 THEN cast((cast(d_a as decimal(38,0)) " +
+            "* n_t - cast(d_t as decimal(38,0)) * n_a) * 1000000 " +
+            "div n_t as bigint) ELSE cast(0 as bigint) END"))
+        .withColumn("vr", expr(
+          "CASE WHEN n_t > 1 THEN cast(cast(d_t as decimal(38,0)) " +
+            "* n_a * (n_t - n_a) * (n_t - d_t) * 1000000 div " +
+            "(cast(n_t as decimal(38,0)) * n_t * (n_t - 1)) " +
+            "as bigint) ELSE cast(0 as bigint) END"))
+        .agg(sum(when($"tenure".isNotNull, $"d_a")).as("churn_a"),
+          sum($"d_t" - $"d_a").as("churn_b"),
+          sum($"oe").as("oe_ppm"), sum($"vr").as("var_ppm"))
+        .select($"churn_a", $"churn_b", $"oe_ppm", $"var_ppm")
+    },
+    Some("""WITH t AS (SELECT user_id,
+          CAST(date_diff('day', min(CAST(ts AS DATE)),
+            max(CAST(ts AS DATE))) AS BIGINT) AS tenure,
+          CASE WHEN min(user_id) % 2 = 0 THEN 'a' ELSE 'b' END AS grp
+        FROM events GROUP BY user_id),
+      b AS (SELECT tenure,
+          sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)::BIGINT AS d_a,
+          count(*)::BIGINT AS d_t
+        FROM t GROUP BY tenure),
+      c AS (SELECT *, CAST(sum(d_a) OVER sw AS BIGINT) AS n_a,
+          CAST(sum(d_t) OVER sw AS BIGINT) AS n_t
+        FROM b WINDOW sw AS (ORDER BY tenure DESC
+          ROWS UNBOUNDED PRECEDING)),
+      s AS (SELECT
+          CASE WHEN n_t > 0 THEN
+            CAST((d_a::HUGEINT * n_t - d_t::HUGEINT * n_a) * 1000000
+              // n_t AS BIGINT) ELSE 0 END AS oe,
+          CASE WHEN n_t > 1 THEN
+            CAST(d_t::HUGEINT * n_a * (n_t - n_a) * (n_t - d_t)
+              * 1000000 // (n_t::HUGEINT * n_t * (n_t - 1)) AS BIGINT)
+          ELSE 0 END AS vr,
+          d_a, d_t
+        FROM c)
+      SELECT sum(d_a)::BIGINT AS churn_a,
+        sum(d_t - d_a)::BIGINT AS churn_b,
+        sum(oe)::BIGINT AS oe_ppm, sum(vr)::BIGINT AS var_ppm
+      FROM s"""),
+    doc = "[NS] log-rank test: exact-ppm observed-minus-expected churn between cohorts")
+
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q300SessionGapLadder, q304BradleyTerry, q305KsDrift,
     q314MarkovAttribution, q318MannWhitney, q321KmSurvival,
+    q322LogRank,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,

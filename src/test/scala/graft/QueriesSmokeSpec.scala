@@ -98,6 +98,37 @@ class QueriesSmokeSpec extends AnyFunSuite {
       "survival must be non-increasing")
   }
 
+  test("q322 log-rank: an independent scalar replay from the raw " +
+      "events reproduces the statistic exactly") {
+    val sf2 = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q322_log_rank")(spark, sf2)
+      .collect().head
+    // scalar reference: per-user tenure + parity cohort, suffix
+    // at-risk counts, truncating BigInt contributions
+    val rows = graft.Tables.events(spark, sf2)
+      .selectExpr("user_id", "CAST(ts AS DATE) AS d").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val tenure = rows.groupBy(_._1).map { case (u, rs) =>
+      val ds = rs.map(_._2)
+      (u, java.time.temporal.ChronoUnit.DAYS.between(
+        ds.min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _)),
+        ds.max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))))
+    }.toSeq
+    val byDay = tenure.groupBy(_._2).map { case (t, us) =>
+      (t, us.count(_._1 % 2 == 0).toLong, us.size.toLong)
+    }.toSeq.sortBy(-_._1)
+    var (na, nt, oe, vr, ca, cb) = (0L, 0L, BigInt(0), BigInt(0), 0L, 0L)
+    byDay.foreach { case (_, da, dt) =>
+      na += da; nt += dt; ca += da; cb += dt - da
+      oe += (BigInt(da) * nt - BigInt(dt) * na) * 1000000 / nt
+      if (nt > 1)
+        vr += BigInt(dt) * na * (nt - na) * (nt - dt) * 1000000 /
+          (BigInt(nt) * nt * (nt - 1))
+    }
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((ca, cb, oe.toLong, vr.toLong)))
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
       val df = fn(spark, sf)
