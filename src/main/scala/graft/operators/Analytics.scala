@@ -1685,10 +1685,19 @@ object Analytics {
     * Output: (item, wins, games, strength_ppm, rk) — rk by strength
     * desc, item asc. */
   def bradleyTerry(contests: DataFrame, winCol: String, loseCol: String,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    bradleyTerryFromCounts(
+      contests.groupBy(col(winCol).as("i"), col(loseCol).as("j"))
+        .agg(count(lit(1)).as("w")), iters)
+
+  /** [[bradleyTerry]] on a PRE-AGGREGATED directed count table
+    * (i, j, w) = "i beat j w times" — the entry point for durable
+    * duel state ([[graft.streaming.SketchState.foreachBatchDuels]]
+    * folds counts across epochs; ratings re-derive from the
+    * |pairs|-row state, never from historical contests). */
+  def bradleyTerryFromCounts(d0: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 16, s"iters must be in [1,16]: $iters")
-    val d = contests.groupBy(col(winCol).as("i"), col(loseCol).as("j"))
-      .agg(count(lit(1)).as("w"))
+    val d = d0.select(col("i"), col("j"), col("w"))
     // per-orientation win counts: one row per (i, j) that ever met,
     // w_ij = i's wins over j (0 rows materialized for the losing seat)
     val sym = d.union(d.select(col("j"), col("i"), lit(0L)))

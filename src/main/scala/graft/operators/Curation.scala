@@ -2030,6 +2030,48 @@ object Curation {
       .withColumn("has_pan", col("n_luhn_valid") > 0L)
   }
 
+  /** [NS] — term-blocklist gate (the C4 "bad words" stage, Raffel et
+    * al. 2020 §2.2): per doc, how many tokens hit a blocked-term list
+    * and whether the doc passes at a hit budget — the content-policy
+    * sibling of the DOMAIN blocklist ([[domainGate]]'s semantics are
+    * host-suffix; this is token-exact, case-insensitive). The list
+    * rides a BROADCAST join against the exploded token stream (the
+    * Aho-Corasick use case collapsed to an equi-join because tokens
+    * are already split) — one scan, blocklist-sized build side, no
+    * per-row regex chain that grows with the list.
+    *
+    * Output: (id, n_tokens, n_blocked, blocked_ppm, pass) with
+    * pass = n_blocked ≤ maxHits; docs with no tokens pass with zeros.
+    * Matching is exact-token (lowercased); phrase patterns belong to
+    * the q126 phrase machinery, not here. */
+  def termBlocklistGate(df: DataFrame, idCol: String, textCol: String,
+      blocked: Seq[String], maxHits: Long): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val bl = blocked.map(_.toLowerCase).distinct.toDF("tok")
+    val toks = df.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = toks
+      .join(broadcast(bl.withColumn("_hit", lit(1L))), Seq("tok"),
+        "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nt"),
+        sum(coalesce(col("_hit"), lit(0L))).as("_nb"))
+    // token-less docs still gate (with zeros) — mirror of the oracle's
+    // LEFT JOIN back to the full id set
+    df.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("_nt"), lit(0L)))
+      .withColumn("n_blocked", coalesce(col("_nb"), lit(0L)))
+      .withColumn("blocked_ppm", expr(
+        "CASE WHEN n_tokens > 0 THEN (1000000 * n_blocked) div n_tokens " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("pass", col("n_blocked") <= maxHits)
+      .select(col(idCol), col("n_tokens"), col("n_blocked"),
+        col("blocked_ppm"), col("pass"))
+  }
+
   /** [NS] — Shapley data valuation of sources under the COVERAGE game
     * (Shapley 1953): value of a source coalition = number of distinct
     * units (tokens, URLs, n-grams) it covers. For coverage games the

@@ -2891,10 +2891,43 @@ object CurationQueries {
       FROM counts, lc"""),
     doc = "[NS] post-redaction residual audit: detectors re-run on the cleaned release")
 
+  /** [NS] — term-blocklist gate (q323):
+    * [[graft.operators.Curation.termBlocklistGate]] with a fixture
+    * blocklist {slow, dup} at budget 2 — the C4 bad-words stage as a
+    * broadcast equi-join over the token stream (never a per-row regex
+    * chain that grows with the list). Content-policy sibling of the
+    * q213 domain gate. */
+  val q323TermBlocklist = Q(
+    "q323_term_blocklist",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Curation.termBlocklistGate(
+          Tables.documents(s, d), "doc_id", "text",
+          Seq("slow", "dup"), maxHits = 2L)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+        unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+      t AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+      a AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+          sum(CASE WHEN tok IN ('slow', 'dup') THEN 1 ELSE 0
+            END)::BIGINT AS n_blocked
+        FROM t GROUP BY doc_id)
+      SELECT d.doc_id,
+        coalesce(a.n_tokens, 0) AS n_tokens,
+        coalesce(a.n_blocked, 0) AS n_blocked,
+        CASE WHEN coalesce(a.n_tokens, 0) > 0
+          THEN (1000000 * a.n_blocked) // a.n_tokens
+          ELSE 0 END AS blocked_ppm,
+        coalesce(a.n_blocked, 0) <= 2 AS pass
+      FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""),
+    doc = "[NS] C4 bad-words gate: broadcast token blocklist join, hit budget verdict")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q306ScriptMix, q308GiniConcentration, q309Readability,
     q311UnimaxAllocation, q312LuhnAudit, q315ShapleyCoverage,
-    q316RedactionCertificate,
+    q316RedactionCertificate, q323TermBlocklist,
     q65MixtureSample, q66Redaction, q67Packing, q71StratifiedSample,
     q73TokenBudget, q92ChunkRebuild, q99SpanDedup, q104OovGate,
     q106TokenIds, q113BpeMerges, q114BpeTokens, q117CdcChunks,

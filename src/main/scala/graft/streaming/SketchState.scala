@@ -331,6 +331,58 @@ object SketchState {
     else spark.read.parquet(s"$dir/v$v")
   }
 
+  /** [NS] — streaming PREFERENCE-RATING state: each micro-batch of
+    * decided duels (RLHF preference pairs, A/B outcomes) folds into a
+    * durable directed count table (i, j, w) — pure SUMS under the
+    * versioned replay protocol, |items|²-bounded — and
+    * [[duelsRatings]] re-derives the exact Bradley–Terry strengths
+    * ([[graft.operators.Analytics.bradleyTerryFromCounts]], q304's
+    * arithmetic) from the state at ANY epoch. Ratings are never
+    * incremental-approximated: the MM recurrence is |pairs|-row cheap,
+    * so the durable thing is the sufficient statistic, not the
+    * rating — the same stance as every sketch fold here. */
+  def foreachBatchDuels(spark: SparkSession, dir: String,
+      winCol: String, loseCol: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val b = batch
+        .filter(col(winCol).isNotNull && col(loseCol).isNotNull)
+        .groupBy(col(winCol).cast("string").as("i"),
+          col(loseCol).cast("string").as("j"))
+        .agg(count(lit(1)).as("w"))
+      val prev = readDuelsState(spark, dir, beforeBatch = batchId)
+      val merged = prev.unionByName(b)
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("w")).as("w"))
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/v$batchId")
+    }
+
+  /** The stored (i, j, w) duel fold at the newest version <
+    * beforeBatch; empty frame when no epoch has landed. */
+  def readDuelsState(spark: SparkSession, dir: String,
+      beforeBatch: Long = Long.MaxValue): DataFrame = {
+    val v = latestVersion(spark, dir, beforeBatch)
+    if (v < 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("i",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("j",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("w",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(s"$dir/v$v")
+  }
+
+  /** Current Bradley–Terry ratings from the stored duel fold —
+    * identical to [[graft.operators.Analytics.bradleyTerry]] over the
+    * union of every epoch ingested so far (StreamingSpec pins the
+    * equivalence across restart and replay). */
+  def duelsRatings(spark: SparkSession, dir: String, iters: Int,
+      beforeBatch: Long = Long.MaxValue): DataFrame =
+    graft.operators.Analytics.bradleyTerryFromCounts(
+      readDuelsState(spark, dir, beforeBatch), iters)
+
   /** Current binned drift between two sides from the stored fold:
     * one row (n_a, n_b, d_ppm, tvd_ppm) — D is the KS statistic on
     * the bucketed ECDFs (|ca·n_b − cb·n_a|·10⁶ div (n_a·n_b), exact),

@@ -1351,4 +1351,27 @@ class CurationSpec extends AnyFunSuite {
       .collect().head.getLong(3)
     assert((before, after) === ((1L, 0L)))
   }
+
+  test("termBlocklistGate: case-insensitive exact-token hits, budget " +
+      "boundary inclusive, token-less doc passes with zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "slow dup slow ok"), // 3 hits of 4 tokens: over budget 2
+      (2L, "fast data"),
+      (3L, ""),
+      (4L, "SLOW Dup"),          // exactly at the budget: passes
+      (5L, "slowly dupx")        // substrings are NOT hits
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Curation.termBlocklistGate(docs, "doc_id",
+        "text", Seq("slow", "dup"), maxHits = 2L)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getBoolean(4))))
+      .toMap
+    assert(r(1L) === ((4L, 3L, 750000L, false)))
+    assert(r(2L) === ((2L, 0L, 0L, true)))
+    assert(r(3L) === ((0L, 0L, 0L, true)))
+    assert(r(4L) === ((2L, 2L, 1000000L, true)))
+    assert(r(5L) === ((2L, 0L, 0L, true)),
+      "exact-token semantics: 'slowly' is not 'slow'")
+  }
 }

@@ -1374,4 +1374,55 @@ class StreamingSpec extends AnyFunSuite {
     hook(epochs.last.toDF("side", "v"), lastId)
     assert(report() === scalarTwin(3), "replayed epoch double-counted")
   }
+
+  test("streaming preference ratings: duel folds across restarts give " +
+      "ratings ≡ batch Bradley-Terry of every duel ingested; a " +
+      "replayed epoch does not double-count") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.SketchState
+    import spark.implicits._
+
+    val srcDir = Files.createTempDirectory("duel_src").toString
+    val ckpt = Files.createTempDirectory("duel_ckpt").toString
+    val stDir = Files.createTempDirectory("duel_state").toString
+    val epochs = Seq(
+      Seq(("A", "B"), ("A", "B"), ("B", "C")),
+      Seq(("C", "A"), ("A", "B"), ("B", "C"), ("C", "D")),
+      Seq(("A", "C"), ("D", "B")))
+    val hook = SketchState.foreachBatchDuels(spark, stDir, "win", "lose")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("win", StringType),
+          StructField("lose", StringType))))
+        .json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(hook)
+        .start()
+      q.awaitTermination()
+    }
+    def ratings(): Seq[(String, Long, Long, Long, Long)] =
+      SketchState.duelsRatings(spark, stDir, iters = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    def batchTwin(upTo: Int): Seq[(String, Long, Long, Long, Long)] =
+      graft.operators.Analytics.bradleyTerry(
+          epochs.take(upTo).flatten.toDF("win", "lose"), "win", "lose",
+          iters = 3)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    epochs.zipWithIndex.foreach { case (rows, i) =>
+      Files.write(java.nio.file.Paths.get(srcDir, s"b$i.json"),
+        rows.map { case (w, l) => s"""{"win":"$w","lose":"$l"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+      runOnce() // full stop/start between epochs: state must be durable
+      assert(ratings() === batchTwin(i + 1), s"diverged after epoch $i")
+    }
+    // replay: re-run the LAST epoch with its original batchId
+    val lastId = SketchState.latestVersion(spark, stDir)
+    hook(epochs.last.toDF("win", "lose"), lastId)
+    assert(ratings() === batchTwin(3), "replayed epoch double-counted")
+  }
 }
