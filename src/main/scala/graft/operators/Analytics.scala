@@ -2140,6 +2140,53 @@ object Analytics {
         col("n_alloc"), col("alloc_ppm"), col("capped"))
   }
 
+  /** [NS] — contribution-bounding advisor (the differential-privacy
+    * preprocessing stage, Wilson et al. 2020 "DP SQL" §5): before any
+    * DP release, each user's contribution to an aggregate must be
+    * CLIPPED to a cap, and the cap is a utility/noise tradeoff — too
+    * high inflates sensitivity (noise), too low discards real mass.
+    * Per group this reports the exact per-user contribution profile:
+    * user count, total and max rows, the exact pct-th percentile of
+    * per-user row counts (lower order statistic at rank
+    * ⌈n·pct/100⌉ — the standard cap candidate), and the mass that cap
+    * would clip, in exact ppm. The privacy-family completion next to
+    * k-anonymity (q194), l-diversity (q313), pseudonymization (q232),
+    * and redaction (q66/q316).
+    *
+    * Scale: one (group, user) aggregate collapses the corpus; the
+    * rank window runs per group over per-USER rows (aggregate-sized),
+    * and the clip pass reuses the same frame. */
+  def contributionBound(df: DataFrame, groupCol: String,
+      userCol: String, pct: Int): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct in [1,100]: $pct")
+    val perUser = df
+      .filter(col(userCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), col(userCol).as("usr"))
+      .agg(count(lit(1)).as("n_u"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("n_u").asc, col("usr").asc)
+    val caps = perUser
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_nu", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .filter(col("_rn") === expr(s"($pct * _nu + 99) div 100"))
+      .select(col("grp"), col("n_u").as("cap_rows"))
+    perUser.join(caps, Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_u")).as("total_rows"),
+        max(col("n_u")).as("max_rows"),
+        max(col("cap_rows")).as("cap_rows"),
+        sum(greatest(col("n_u") - col("cap_rows"), lit(0L)))
+          .as("_clipped"))
+      .withColumn("clipped_ppm", expr(
+        "CASE WHEN total_rows > 0 THEN (1000000 * _clipped) " +
+          "div total_rows ELSE CAST(0 AS BIGINT) END"))
+      .select(col("grp").as(groupCol), col("n_users"),
+        col("total_rows"), col("max_rows"), col("cap_rows"),
+        col("clipped_ppm"))
+  }
+
   /** [NS] — Markov removal-effect attribution (Anderl et al. 2014):
     * the data-driven multi-touch model next to q157's U-shaped
     * heuristic. Journeys = each user's touch sequence up to the first

@@ -2439,9 +2439,43 @@ object OpsQueries {
       FROM f ORDER BY stratum"""),
     doc = "[NS] Neyman optimal stratified allocation: dispersion-weighted, largest-remainder exact")
 
+  /** [NS] — contribution-bounding advisor (q324):
+    * [[graft.operators.Analytics.contributionBound]] per event type at
+    * the 99th percentile — the DP-preprocessing readout: where to clip
+    * per-user contributions and how much mass the clip costs, exactly.
+    * Completes the privacy family (q194 k-anon, q313 l-diversity,
+    * q232 pseudonymization, q316 redaction certificate). */
+  val q324ContributionBound = Q(
+    "q324_contribution_bound",
+    (s, d) => {
+      import s.implicits._
+      Analytics.contributionBound(Tables.events(s, d), "event_type",
+          "user_id", pct = 99)
+        .orderBy($"event_type")
+    },
+    Some("""WITH pu AS (SELECT event_type AS grp, user_id AS usr,
+        count(*)::BIGINT AS n_u
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT grp, usr, n_u,
+          row_number() OVER (PARTITION BY grp
+            ORDER BY n_u ASC, usr ASC) AS rn,
+          count(*) OVER (PARTITION BY grp) AS nu
+        FROM pu),
+      caps AS (SELECT grp, n_u AS cap_rows FROM r
+        WHERE rn = (99 * nu + 99) // 100)
+      SELECT pu.grp AS event_type, count(*)::BIGINT AS n_users,
+        sum(n_u)::BIGINT AS total_rows, max(n_u) AS max_rows,
+        max(cap_rows) AS cap_rows,
+        CASE WHEN sum(n_u) > 0 THEN
+          CAST((1000000 * sum(greatest(n_u - cap_rows, 0)))
+            // sum(n_u) AS BIGINT) ELSE 0 END AS clipped_ppm
+      FROM pu JOIN caps USING (grp)
+      GROUP BY pu.grp ORDER BY event_type"""),
+    doc = "[NS] DP contribution-bounding advisor: exact percentile cap + clipped mass")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q307TheilSen, q310StratifiedEffect, q313LDiversity,
-    q320NeymanAllocation,
+    q320NeymanAllocation, q324ContributionBound,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,

@@ -1259,4 +1259,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert((r3("wild")._3, r3("mild")._3, r3("flat")._3) ===
       ((2L, 1L, 0L)))
   }
+
+  test("contributionBound: exact percentile cap and clipped mass on a " +
+      "hand profile; pct=100 clips nothing") {
+    import spark.implicits._
+    // one group, per-user contributions 1,1,2,3,10 (the heavy user is
+    // exactly what the cap exists for)
+    val rows = (Seq.fill(1)(("g", "u1")) ++ Seq.fill(1)(("g", "u2")) ++
+      Seq.fill(2)(("g", "u3")) ++ Seq.fill(3)(("g", "u4")) ++
+      Seq.fill(10)(("g", "u5"))).toDF("grp", "usr")
+    def run(p: Int) = Analytics.contributionBound(rows, "grp", "usr", p)
+      .collect().head
+    // pct 80: rank ⌈80·5/100⌉ = 4 → cap 3; clip 10→3 loses 7 of 17
+    val r80 = run(80)
+    assert((r80.getLong(1), r80.getLong(2), r80.getLong(3),
+      r80.getLong(4), r80.getLong(5)) ===
+      ((5L, 17L, 10L, 3L, 7000000L / 17L)))
+    val r100 = run(100)
+    assert((r100.getLong(4), r100.getLong(5)) === ((10L, 0L)))
+  }
 }
