@@ -2140,6 +2140,43 @@ object Analytics {
         col("n_alloc"), col("alloc_ppm"), col("capped"))
   }
 
+  /** [NS] — Goodman–Kruskal gamma (1954): rank association between two
+    * rankings of the same keys from concordant/discordant pair counts —
+    * γ = (C − D)/(C + D), EXACT in ppm (no √ of tie-corrected
+    * denominators, which is why gamma and not Kendall's τ-b is the
+    * engine's rank-correlation: τ-b's denominator is irrational). The
+    * classical-statistics complement of the RBO curve (q296): RBO
+    * weights the HEAD, gamma treats all pairs equally and reads
+    * direction (+1 same order, −1 reversed). Quadratic in the list —
+    * the [[theilSen]] contract: feed it top-k rankings, not corpora.
+    * Input: one row per common key with both ranks. Output: one row
+    * (n_keys, n_pairs, concordant, discordant, tied, gamma_ppm). */
+  def goodmanKruskalGamma(df: DataFrame, keyCol: String,
+      raCol: String, rbCol: String): DataFrame = {
+    val m = df.select(col(keyCol).cast("string").as("k"),
+        col(raCol).cast("long").as("ra"),
+        col(rbCol).cast("long").as("rb"))
+      .filter(col("ra").isNotNull && col("rb").isNotNull)
+      .localCheckpoint(true)
+    m.as("x").join(m.as("y"), col("x.k") < col("y.k"))
+      .select((col("x.ra") - col("y.ra")).as("da"),
+        (col("x.rb") - col("y.rb")).as("db"))
+      .crossJoin(broadcast(m.agg(count(lit(1)).as("n_keys"))))
+      .agg(max(col("n_keys")).as("n_keys"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(expr("da * db > 0"), 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(expr("da * db < 0"), 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(expr("da * db = 0"), 1L).otherwise(0L)).as("tied"))
+      .withColumn("gamma_ppm", expr(
+        "CASE WHEN concordant + discordant > 0 THEN " +
+          "cast((cast(concordant as decimal(38,0)) - discordant) " +
+          "* 1000000 div (concordant + discordant) as bigint) END"))
+      .select(col("n_keys"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("tied"), col("gamma_ppm"))
+  }
+
   /** [NS] — contribution-bounding advisor (the differential-privacy
     * preprocessing stage, Wilson et al. 2020 "DP SQL" §5): before any
     * DP release, each user's contribution to an aggregate must be

@@ -2391,6 +2391,60 @@ object DocQueries {
       FROM f ORDER BY depth"""),
     doc = "[NS] rank-biased overlap of top-term rankings between corpus halves")
 
+  /** [NS] — rank association (q325):
+    * [[graft.operators.Analytics.goodmanKruskalGamma]] between the two
+    * corpus halves' top-20 term rankings (q296's snapshots, deeper
+    * list) over the COMMON terms — γ = (C−D)/(C+D) exact in ppm, the
+    * classical direction-reading complement of q296's head-weighted
+    * RBO. Pairs are (common terms)² ≤ 400 by construction. */
+  val q325RankGamma = Q(
+    "q325_rank_gamma",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(($"doc_id" % 2 === 0).as("half_a"),
+          explode(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+            .as("term"))
+        .groupBy($"half_a", $"term").agg(count(lit(1)).as("cnt"))
+      val ranked = tf
+        .withColumn("rk", row_number().over(Window.partitionBy($"half_a")
+          .orderBy($"cnt".desc, $"term".asc)).cast("long"))
+        .filter($"rk" <= 20)
+      val m = ranked.filter($"half_a").select($"term", $"rk".as("ra"))
+        .join(ranked.filter(!$"half_a").select($"term", $"rk".as("rb")),
+          Seq("term"))
+      graft.operators.Analytics.goodmanKruskalGamma(m, "term", "ra",
+        "rb")
+    },
+    Some("""WITH tf AS (SELECT (doc_id % 2 = 0) AS half_a, term,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+            x -> len(x) > 0)) AS term FROM documents) t
+        GROUP BY 1, 2),
+      rk AS (SELECT half_a, term, row_number() OVER (PARTITION BY half_a
+          ORDER BY cnt DESC, term) AS rk FROM tf),
+      m AS (SELECT a.term, a.rk AS ra, b.rk AS rb
+        FROM (SELECT term, rk FROM rk WHERE half_a AND rk <= 20) a
+        JOIN (SELECT term, rk FROM rk WHERE NOT half_a AND rk <= 20) b
+        USING (term)),
+      nk AS (SELECT count(*)::BIGINT AS n_keys FROM m),
+      p AS (SELECT (x.ra - y.ra) AS da, (x.rb - y.rb) AS db
+        FROM m x JOIN m y ON x.term < y.term),
+      agg AS (SELECT count(*)::BIGINT AS n_pairs,
+          sum(CASE WHEN da * db > 0 THEN 1 ELSE 0 END)::BIGINT
+            AS concordant,
+          sum(CASE WHEN da * db < 0 THEN 1 ELSE 0 END)::BIGINT
+            AS discordant,
+          sum(CASE WHEN da * db = 0 THEN 1 ELSE 0 END)::BIGINT AS tied
+        FROM p)
+      SELECT n_keys, n_pairs, concordant, discordant, tied,
+        CASE WHEN concordant + discordant > 0 THEN
+          CAST((concordant::HUGEINT - discordant) * 1000000
+            // (concordant + discordant) AS BIGINT) END AS gamma_ppm
+      FROM agg, nk"""),
+    doc = "[NS] Goodman-Kruskal gamma between top-term rankings, exact ppm")
+
   /** [NS] — dedup cluster-size profile (q297): the size histogram of
     * q72's transitive near-dup clusters over the WHOLE corpus
     * (unpaired docs count as singletons), with the corpus-level
@@ -2633,5 +2687,5 @@ object DocQueries {
     q255DupCoverage, q272SourceAblation, q279MinhashError,
     q280Importance, q284ImportanceServe, q287LshAdvisor,
     q289SplitLeakage, q290SourceDupMatrix, q296RboStability,
-    q297ClusterProfile, q298HashCollisions)
+    q297ClusterProfile, q298HashCollisions, q325RankGamma)
 }

@@ -1278,4 +1278,24 @@ class AnalyticsSpec extends AnyFunSuite {
     val r100 = run(100)
     assert((r100.getLong(4), r100.getLong(5)) === ((10L, 0L)))
   }
+
+  test("goodmanKruskalGamma: ±1e6 at perfect agreement/reversal, " +
+      "hand-counted concordance on one swap, ties counted apart") {
+    import spark.implicits._
+    def g(rb: Seq[Long]) = Analytics.goodmanKruskalGamma(
+      Seq(1L, 2L, 3L, 4L).zip(rb).zipWithIndex
+        .map { case ((ra, rbv), i) => (s"k$i", ra, rbv) }
+        .toDF("k", "ra", "rb"), "k", "ra", "rb").collect().head
+    assert(g(Seq(1L, 2L, 3L, 4L)).getLong(5) === 1000000L)
+    assert(g(Seq(4L, 3L, 2L, 1L)).getLong(5) === -1000000L)
+    // one adjacent swap: C=5, D=1 → γ = 4/6
+    val sw = g(Seq(1L, 3L, 2L, 4L))
+    assert((sw.getLong(1), sw.getLong(2), sw.getLong(3),
+      sw.getLong(5)) === ((6L, 5L, 1L, 666666L)))
+    // a tie in rb is neither concordant nor discordant
+    val tied = g(Seq(1L, 2L, 2L, 4L))
+    assert(tied.getLong(4) === 1L)
+    assert(tied.getLong(5) === 1000000L,
+      "remaining pairs all concordant")
+  }
 }
