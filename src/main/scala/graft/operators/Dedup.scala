@@ -1003,4 +1003,41 @@ object Dedup {
         .localCheckpoint(true) // result only; outlives the g pin
     } finally g.unpersist(blocking = false)
   }
+
+  /** [NS] — sorted-neighborhood blocking (Hernández & Stolfo 1995):
+    * the third candidate-generation strategy in the engine's blocking
+    * taxonomy — classic attribute blocks (q140: pair volume quadratic
+    * in the block), LSH bands (q144: probabilistic, tunable), and this
+    * one: sort the corpus by a composite key and pair each record with
+    * its `w−1` successors — pair volume is EXACTLY n·(w−1) no matter
+    * how skewed the key (the property classic blocking lacks), at the
+    * cost of missing dups the sort key separates (so production runs
+    * multi-pass with rotated keys; each pass is this operator).
+    *
+    * Distribution: the global sort position comes from the two-pass
+    * [[Curation.withGlobalRank]] (range partition + broadcast offsets
+    * — no single-partition window), and the neighbor join is TWO
+    * equi-joins on rank-bucket (bucket = rank div w: same-bucket ∪
+    * next-bucket, distance-filtered) — never a theta-join. Output:
+    * (a_id, b_id, rank_dist) with a before b in sort order. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      sortCols: Seq[Column], w: Int): DataFrame = {
+    require(w >= 2 && w <= 1000, s"window w in [2,1000]: $w")
+    val ranked = Curation.withGlobalRank(
+        df.select(col(idCol).as("_snId") +: sortCols: _*),
+        sortCols, "_rk")
+      .select(col("_snId"), col("_rk"))
+      .withColumn("_bk", expr(s"_rk div $w"))
+      .localCheckpoint(true)
+    val right = ranked.select(col("_snId").as("b_id"),
+      col("_rk").as("_rb"), col("_bk").as("_bkb"))
+    def arm(shift: Int) = ranked
+      .withColumn("_probe", col("_bk") + lit(shift.toLong))
+      .join(right, col("_probe") === col("_bkb"))
+      .filter(col("_rb") - col("_rk") >= 1L &&
+        col("_rb") - col("_rk") <= (w - 1).toLong)
+      .select(col("_snId").as("a_id"), col("b_id"),
+        (col("_rb") - col("_rk")).as("rank_dist"))
+    arm(0).unionAll(arm(1))
+  }
 }

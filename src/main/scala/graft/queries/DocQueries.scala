@@ -2445,6 +2445,41 @@ object DocQueries {
       FROM agg, nk"""),
     doc = "[NS] Goodman-Kruskal gamma between top-term rankings, exact ppm")
 
+  /** [NS] — sorted-neighborhood candidates (q326):
+    * [[graft.operators.Dedup.sortedNeighborhoodPairs]] over documents
+    * sorted by (lang, n_chars, doc_id) with window 5 — per-pair rank
+    * distance, summarized per language pair volume plus the same-lang
+    * share: the skew-proof blocking pass whose pair volume is exactly
+    * n·(w−1) (compare q140's quadratic classic blocks and q144's LSH
+    * bands — the taxonomy's third member, measured under the same
+    * fixture). */
+  val q326SortedNeighborhood = Q(
+    "q326_sorted_neighborhood",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val pairs = graft.operators.Dedup.sortedNeighborhoodPairs(
+        docs, "doc_id", Seq($"lang", $"n_chars", $"doc_id"), w = 5)
+      val langs = docs.select($"doc_id".as("a_id"), $"lang".as("la"))
+      val langsB = docs.select($"doc_id".as("b_id"), $"lang".as("lb"))
+      pairs.join(langs, Seq("a_id")).join(langsB, Seq("b_id"))
+        .groupBy($"la", $"lb")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"rank_dist").as("sum_dist"))
+        .orderBy($"la", $"lb")
+    },
+    Some("""WITH r AS (SELECT doc_id, lang,
+          row_number() OVER (ORDER BY lang, n_chars, doc_id) - 1 AS rk
+        FROM documents),
+      p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          (b.rk - a.rk)::BIGINT AS rank_dist, a.lang AS la,
+          b.lang AS lb
+        FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 4)
+      SELECT la, lb, count(*)::BIGINT AS n_pairs,
+        sum(rank_dist)::BIGINT AS sum_dist
+      FROM p GROUP BY la, lb ORDER BY la, lb"""),
+    doc = "[NS] sorted-neighborhood blocking: skew-proof n*(w-1) candidate volume per language pair")
+
   /** [NS] — dedup cluster-size profile (q297): the size histogram of
     * q72's transitive near-dup clusters over the WHOLE corpus
     * (unpaired docs count as singletons), with the corpus-level
@@ -2687,5 +2722,6 @@ object DocQueries {
     q255DupCoverage, q272SourceAblation, q279MinhashError,
     q280Importance, q284ImportanceServe, q287LshAdvisor,
     q289SplitLeakage, q290SourceDupMatrix, q296RboStability,
-    q297ClusterProfile, q298HashCollisions, q325RankGamma)
+    q297ClusterProfile, q298HashCollisions, q325RankGamma,
+    q326SortedNeighborhood)
 }

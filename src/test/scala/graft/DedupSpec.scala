@@ -452,4 +452,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got(("x", "x")) === ((1L, false, 333333L)))
     assert(got(("x", "y")) === ((2L, true, 666666L)))
   }
+
+  test("sortedNeighborhoodPairs: every record pairs with exactly its " +
+      "w-1 sort successors — including across rank buckets — and pair " +
+      "volume is skew-independent") {
+    import spark.implicits._
+    // sort by value: ids in sort order are 10,20,30,40,50,60
+    val df = Seq((40L, 4L), (10L, 1L), (60L, 6L), (20L, 2L),
+      (50L, 5L), (30L, 3L)).toDF("id", "v").repartition(4)
+    val got = graft.operators.Dedup.sortedNeighborhoodPairs(
+        df, "id", Seq($"v", $"id"), w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val expected = (for {
+      i <- 1 to 6; d <- 1 to 2; if i + d <= 6
+    } yield (i * 10L, (i + d) * 10L, d.toLong)).toSet
+    assert(got === expected,
+      s"missing ${expected -- got}, extra ${got -- expected}")
+    // volume formula: n(w−1) − tail shortfall = 6·2 − (2+1) = 9
+    assert(got.size === 9)
+  }
 }
