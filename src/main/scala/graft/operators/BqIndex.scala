@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [NS] — stored BINARY-QUANTIZATION index: the ninth stored-artifact
+  * lifecycle (ANN, dedup, text, LM, tokenizer, rec, importance, line —
+  * and now the 8-byte vector tier). [[Similarity.binaryQuantize]]'s
+  * sign-bit codes are built ONCE under the shared fingerprint protocol
+  * ([[TextIndex.withFingerprint]] — bench repeats and replays never
+  * re-encode) and persisted as a (vec_id, bq_lo, bq_hi) table 32×
+  * smaller than the float corpus; serving answers Hamming-shortlist +
+  * exact-re-rank queries from the STORED codes — the query's own code
+  * is a stored row, so the serving plan contains ZERO encode work over
+  * the corpus, and the float table is touched only for the
+  * shortlist-sized re-rank (a semi-join, never a scan-wide dot
+  * product).
+  *
+  * 100 TB stance: the code table is the only corpus-sized artifact and
+  * it is 8 bytes/vector; Hamming over it is two bit_count XORs per
+  * row (scan-bound, codegen'd); everything after is shortlist-sized.
+  * Reference precedent: same train-once/serve-many contract as
+  * [[AnnIndex]] — this is the tier below IVF-PQ when even centroids
+  * are too much ceremony. */
+object BqIndex {
+  private def codesPath(dir: String) = s"$dir/codes"
+
+  /** Encode the corpus and overwrite the stored code table
+    * (normalized column names: vec_id, bq_lo, bq_hi). */
+  def build(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String): Unit =
+    Similarity.binaryQuantize(corpus, idCol, vecCol)
+      .withColumnRenamed(idCol, "vec_id")
+      .write.mode("overwrite").parquet(codesPath(dir))
+
+  /** [[build]] unless a fingerprint-matching index already exists. */
+  def buildIfAbsent(spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, vecCol: String, tag: String): Unit =
+    TextIndex.withFingerprint(dir, s"bq:$tag") {
+      build(spark, dir, corpus, idCol, vecCol)
+    }
+
+  /** The stored code table. */
+  def codes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("bq_lo", LongType),
+        StructField("bq_hi", LongType))))
+      .parquet(codesPath(dir))
+  }
+
+  /** Serve top-`k` neighbors of stored vector `queryId`: Hamming
+    * shortlist over the stored codes (the query's code is LOOKED UP,
+    * never recomputed), exact cosine re-rank of the shortlist against
+    * the float table. Output: (vec_id, cos) ordered best-first with
+    * the engine's standard round-6 / id tie-break determinism. */
+  def serve(spark: SparkSession, dir: String, floats: DataFrame,
+      idCol: String, vecCol: String, queryId: Long, shortlist: Int,
+      k: Int): DataFrame = {
+    val c = codes(spark, dir)
+    val qc = c.filter(col("vec_id") === queryId)
+      .select(col("bq_lo").as("q_lo"), col("bq_hi").as("q_hi"))
+    val short = c.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qc))
+      .withColumn("hd", expr(
+        "bit_count(bq_lo ^ q_lo) + bit_count(bq_hi ^ q_hi)"))
+      .orderBy(col("hd").asc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"))
+    val ev = floats.select(col(idCol).as("vec_id"),
+      Similarity.vecD(col(vecCol)).as("v"))
+    val qv = ev.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"))
+    short.join(ev, Seq("vec_id")).crossJoin(broadcast(qv))
+      .withColumn("cos", round(Similarity.cosine(col("v"), col("qv")), 6))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("cos"))
+  }
+}

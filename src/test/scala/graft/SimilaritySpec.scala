@@ -426,6 +426,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(4L) === ((4294967295L, 0L)), "zero coordinates are ≥ 0")
   }
 
+  test("BqIndex lifecycle: rebuild is a fingerprint no-op, serving " +
+      "equals the in-query path, and the serve plan encodes nothing") {
+    import graft.operators.BqIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("bq_idx").toString
+    val e = emb
+    BqIndex.buildIfAbsent(spark, dir, e, "vec_id", "embedding", "t")
+    val files = new java.io.File(s"$dir/codes").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    BqIndex.buildIfAbsent(spark, dir, e, "vec_id", "embedding", "t")
+    val files2 = new java.io.File(s"$dir/codes").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(files === files2, "replayed build must not rewrite codes")
+
+    val qid = e.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    val served = BqIndex.serve(spark, dir, e, "vec_id", "embedding",
+      qid, shortlist = 16, k = 5)
+    // zero encode work in the serving plan: the sign-mask HOF appears
+    // only at build time
+    val plan = served.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("sequence(0, 31"),
+      "serve plan must read stored codes, not re-encode the corpus")
+    // stored-serve ≡ in-query: same Hamming shortlist + re-rank from a
+    // fresh encode
+    val c = graft.operators.Similarity
+      .binaryQuantize(e, "vec_id", "embedding")
+    val qc = c.filter(col("vec_id") === qid)
+      .select(col("bq_lo").as("q_lo"), col("bq_hi").as("q_hi"))
+    val short = c.filter(col("vec_id") =!= qid).crossJoin(qc)
+      .withColumn("hd", expr(
+        "bit_count(bq_lo ^ q_lo) + bit_count(bq_hi ^ q_hi)"))
+      .orderBy(col("hd").asc, col("vec_id").asc).limit(16)
+      .select("vec_id")
+    val ev = e.select(col("vec_id"),
+      graft.operators.Similarity.vecD(col("embedding")).as("v"))
+    val qv = ev.filter(col("vec_id") === qid).select(col("v").as("qv"))
+    val inQuery = short.join(ev, Seq("vec_id")).crossJoin(qv)
+      .withColumn("cos", round(
+        graft.operators.Similarity.cosine(col("v"), col("qv")), 6))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(5)
+      .select(col("vec_id"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val got = served.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq === inQuery.toSeq)
+  }
+
   test("topDirection: recovers a planted dominant axis, L1 mass " +
       "bounded by scale, sign pinned by the all-ones start") {
     import spark.implicits._
