@@ -1866,6 +1866,80 @@ object Analytics {
         col("rbc_ppm"))
   }
 
+  /** [NS] — Kruskal–Wallis H (1952): the k-sample extension of
+    * [[mannWhitney]] — "do ANY of these groups differ in location" on
+    * ranks, no normality assumed. Exact via doubled midranks:
+    * midrank2(v) = 2·c_before(v) + cnt(v) + 1 is an integer, so
+    * 2R_j = Σ cnt_jv·midrank2(v) is exact and
+    * H = 3·Σ(2R_j)²/n_j / (N(N+1)) − 3(N+1), emitted in truncating
+    * ppm with decimal(38,0) products, plus the tie-correction factor
+    * C = 1 − Σ(t³−t)/(N³−N) and H/C. Bound: (2N²)²·10⁶ must fit
+    * decimal(38) → N ≲ 5·10⁷ ranked rows — the audit contract (group
+    * medians at full corpus scale live in q156/q166; KW is the
+    * significance readout, run on the value-collapsed frame whose
+    * size is DISTINCT values × groups).
+    *
+    * Scale: one groupBy(value) + one groupBy(value, group) collapse,
+    * bucketed distributed prefix sums (the [[ksTwoSample]] machinery),
+    * then |groups|-row arithmetic. Output: one row (n_total, n_groups,
+    * h_ppm, tie_c_ppm, h_corrected_ppm). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive")
+    val base = df
+      .filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"), col(valCol).as("v"))
+    val byV = base.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .withColumn("bk", floor(col("v") / lit(bucketWidth)).cast("long"))
+    val inBucket = Window.partitionBy(col("bk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val overBuckets = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = byV.groupBy(col("bk"))
+      .agg(sum(col("cnt")).as("tc"))
+      .withColumn("oc", sum(col("tc")).over(overBuckets) - col("tc"))
+      .select(col("bk"), col("oc"))
+    val mid = byV.withColumn("lc", sum(col("cnt")).over(inBucket))
+      .join(broadcast(offsets), Seq("bk"))
+      .withColumn("mid2", lit(2L) * (col("oc") + col("lc") -
+        col("cnt")) + col("cnt") + lit(1L))
+      .select(col("v"), col("cnt"), col("mid2"))
+      .localCheckpoint(true)
+    val perGroup = base.groupBy(col("v"), col("g"))
+      .agg(count(lit(1)).as("cgv"))
+      .join(mid.select(col("v"), col("mid2")), Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("cgv")).as("n_j"),
+        sum(expr("cast(cgv as decimal(38,0)) * mid2")).as("r2_j"))
+    val tieSum = mid.agg(
+      sum(expr("cast(cnt as decimal(38,0)) * cnt * cnt - cnt"))
+        .as("_t3"), sum(col("cnt")).as("n_total"))
+    perGroup
+      // floor-div kept in decimal via the remainder identity: the
+      // quotient (r2²·10⁶ ≈ 10²⁵ at N = 4·10⁴) overflows LongType,
+      // which is what a bare `div` would return
+      .withColumn("_s", expr(
+        "cast((r2_j * r2_j * 1000000 - " +
+          "(r2_j * r2_j * 1000000) % n_j) / n_j as decimal(38,0))"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("_s")).as("_ss"))
+      .crossJoin(broadcast(tieSum))
+      .withColumn("h_ppm", expr(
+        "CASE WHEN n_total > 1 THEN cast(3 * _ss div " +
+          "(cast(n_total as decimal(38,0)) * (n_total + 1)) " +
+          "- 3 * (n_total + 1) * 1000000 as bigint) " +
+          "ELSE cast(0 as bigint) END"))
+      .withColumn("tie_c_ppm", expr(
+        "CASE WHEN n_total > 1 THEN cast(1000000 - _t3 * 1000000 div " +
+          "(cast(n_total as decimal(38,0)) * n_total * n_total " +
+          "- n_total) as bigint) ELSE cast(1000000 as bigint) END"))
+      .withColumn("h_corrected_ppm", expr(
+        "CASE WHEN tie_c_ppm > 0 THEN " +
+          "cast(cast(h_ppm as decimal(38,0)) * 1000000 div tie_c_ppm " +
+          "as bigint) END"))
+      .select(col("n_total"), col("n_groups"), col("h_ppm"),
+        col("tie_c_ppm"), col("h_corrected_ppm"))
+  }
+
   /** [NS] — Theil–Sen robust trend (Theil 1950/Sen 1968): the median of
     * all pairwise slopes per group, plus the matching median intercept
     * — the robust twin of [[trendSlope]] (one wild day shifts an OLS

@@ -2473,9 +2473,54 @@ object OpsQueries {
       GROUP BY pu.grp ORDER BY event_type"""),
     doc = "[NS] DP contribution-bounding advisor: exact percentile cap + clipped mass")
 
+  /** [NS] — Kruskal–Wallis H (q328):
+    * [[graft.operators.Analytics.kruskalWallis]] of value across the
+    * five event types — "does ANY group differ", the k-sample closure
+    * of the nonparametric family (q305 KS, q318 Mann–Whitney), with
+    * the tie-corrected statistic in exact ppm via doubled midranks. */
+  val q328KruskalWallis = Q(
+    "q328_kruskal_wallis",
+    (s, d) =>
+      Analytics.kruskalWallis(Tables.events(s, d), "event_type",
+        "value", bucketWidth = 10.0),
+    Some("""WITH base AS (SELECT event_type AS g, value AS v
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      byv AS (SELECT v, count(*)::BIGINT AS cnt FROM base GROUP BY v),
+      mid AS (SELECT v, cnt,
+          2 * coalesce(sum(cnt) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + cnt + 1 AS mid2
+        FROM byv),
+      pg AS (SELECT g, sum(cgv)::BIGINT AS n_j,
+          sum(cgv::HUGEINT * mid2) AS r2_j
+        FROM (SELECT v, g, count(*)::BIGINT AS cgv FROM base
+          GROUP BY v, g) c
+        JOIN mid USING (v) GROUP BY g),
+      ts AS (SELECT sum(cnt::HUGEINT * cnt * cnt - cnt) AS t3,
+        sum(cnt)::BIGINT AS n_total FROM mid),
+      agg AS (SELECT count(*)::BIGINT AS n_groups,
+          sum((r2_j * r2_j * 1000000) // n_j) AS ss FROM pg),
+      fin AS (SELECT n_total, n_groups,
+          CASE WHEN n_total > 1 THEN
+            CAST(3 * ss // (n_total::HUGEINT * (n_total + 1))
+              - 3 * (n_total + 1) * 1000000 AS BIGINT)
+          ELSE 0 END AS h_ppm,
+          CASE WHEN n_total > 1 THEN
+            CAST(1000000 - t3 * 1000000 //
+              (n_total::HUGEINT * n_total * n_total - n_total)
+              AS BIGINT)
+          ELSE 1000000 END AS tie_c_ppm
+        FROM agg, ts)
+      SELECT n_total, n_groups, h_ppm, tie_c_ppm,
+        CASE WHEN tie_c_ppm > 0 THEN
+          CAST(h_ppm::HUGEINT * 1000000 // tie_c_ppm AS BIGINT) END
+          AS h_corrected_ppm
+      FROM fin"""),
+    doc = "[NS] Kruskal-Wallis H with tie correction, exact doubled-midrank ppm")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q307TheilSen, q310StratifiedEffect, q313LDiversity,
-    q320NeymanAllocation, q324ContributionBound,
+    q320NeymanAllocation, q324ContributionBound, q328KruskalWallis,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,

@@ -1298,4 +1298,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(tied.getLong(5) === 1000000L,
       "remaining pairs all concordant")
   }
+
+  test("kruskalWallis: hand-computed H on clean separation (2.4) and " +
+      "the tie-corrected case where H/C lands exactly on 1") {
+    import spark.implicits._
+    def kw(rows: Seq[(String, Double)]) = Analytics.kruskalWallis(
+      rows.toDF("g", "v").repartition(3), "g", "v", bucketWidth = 1.0)
+      .collect().head
+    // A={1,2}, B={3,4}: no ties, H = 12/20·29 − 15 = 2.4 exactly
+    val clean = kw(Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)))
+    assert((clean.getLong(0), clean.getLong(1), clean.getLong(2),
+      clean.getLong(3), clean.getLong(4)) ===
+      ((4L, 2L, 2400000L, 1000000L, 2400000L)))
+    // A={1,1}, B={1,2}: triple tie at 1 → H = 0.6, C = 0.6, H/C = 1
+    val tied = kw(Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 2.0)))
+    assert((tied.getLong(2), tied.getLong(3), tied.getLong(4)) ===
+      ((600000L, 600000L, 1000000L)))
+  }
 }
