@@ -40,6 +40,39 @@ object BqIndex {
       build(spark, dir, corpus, idCol, vecCol)
     }
 
+  private def ledgerPath(dir: String) = s"$dir/_batches"
+
+  /** Encode a delta and APPEND its codes to the stored table — the
+    * incremental half of the lifecycle: the base codes never move,
+    * never re-shuffle, and the cost is one scan of the delta (the
+    * [[AnnIndex.appendBatch]] contract at the 8-byte tier; there is
+    * no geometry to drift here — [[Similarity.binaryQuantize]] fixes
+    * 64 dims structurally). Caller guarantees delta ids are disjoint
+    * from the stored ones (same as every append-only fold). */
+  def appendBatch(spark: SparkSession, dir: String, delta: DataFrame,
+      idCol: String, vecCol: String): Unit =
+    Similarity.binaryQuantize(delta, idCol, vecCol)
+      .withColumnRenamed(idCol, "vec_id")
+      .write.mode("append").parquet(codesPath(dir))
+
+  /** [[appendBatch]] exactly once per `batchTag` — the replay-safe
+    * ledgered fold ([[AnnIndex.appendIfAbsent]]'s convention): bench
+    * repeats and redelivered batches are no-ops. */
+  def appendIfAbsent(spark: SparkSession, dir: String, delta: DataFrame,
+      idCol: String, vecCol: String, batchTag: String): Unit = {
+    val ledger = java.nio.file.Paths.get(ledgerPath(dir))
+    val applied: Set[String] =
+      if (java.nio.file.Files.exists(ledger))
+        java.nio.file.Files.readString(ledger).split("\n").toSet
+      else Set.empty
+    if (!applied.contains(batchTag)) {
+      appendBatch(spark, dir, delta, idCol, vecCol)
+      java.nio.file.Files.createDirectories(ledger.getParent)
+      java.nio.file.Files.writeString(ledger,
+        (applied + batchTag).toSeq.sorted.mkString("\n"))
+    }
+  }
+
   /** The stored code table. */
   def codes(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._

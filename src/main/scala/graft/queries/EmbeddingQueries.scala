@@ -1786,8 +1786,35 @@ object EmbeddingQueries {
     },
     doc = "[NS] stored BQ index serving: lookup + Hamming shortlist + shortlist-only re-rank")
 
+  /** [NS] — incremental BQ index maintenance (q329): build the code
+    * table on 90% of the corpus (vec_id % 10 ≠ 0), fold the held-out
+    * 10% in with [[graft.operators.BqIndex.appendIfAbsent]] (ledgered
+    * — bench repeats are no-ops), then serve q327's query. The oracle
+    * is STILL the from-scratch full-corpus SQL: a green row proves
+    * build ∘ append ≡ build on the union (the q128/q112 incremental
+    * law at the 8-byte tier — base codes never rewritten). */
+  val q329BqIndexMerge = Q(
+    "q329_bq_index_merge",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val dir = graft.operators.TextIndex.defaultDir(s"bq90_$d")
+      graft.operators.BqIndex.buildIfAbsent(s, dir,
+        e.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        tag = s"$d:90")
+      graft.operators.BqIndex.appendIfAbsent(s, dir,
+        e.filter($"vec_id" % 10 === 0), "vec_id", "embedding",
+        batchTag = "plus10")
+      val qid = e.agg(max($"vec_id")).collect()(0).getLong(0)
+      graft.operators.BqIndex.serve(s, dir, e, "vec_id", "embedding",
+        queryId = qid, shortlist = 32, k = 10)
+    },
+    q327BqIndexServe.oracle,
+    doc = "[NS] BQ index incremental merge: build+append ≡ full rebuild (served)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q317BinaryQuantRecall, q319MatryoshkaRecall, q327BqIndexServe,
+    q329BqIndexMerge,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,

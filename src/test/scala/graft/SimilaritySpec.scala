@@ -472,6 +472,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq === inQuery.toSeq)
   }
 
+  test("BqIndex append: build on a slice + ledgered append of the rest " +
+      "stores exactly the full-build codes; a replayed batch is a no-op") {
+    import graft.operators.BqIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("bq_app").toString
+    val e = emb
+    BqIndex.build(spark, dir, e.filter(col("vec_id") % 3 =!= 0),
+      "vec_id", "embedding")
+    BqIndex.appendIfAbsent(spark, dir,
+      e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", "b1")
+    def codeSet(d: String) = BqIndex.codes(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = codeSet(dir)
+    val full = java.nio.file.Files
+      .createTempDirectory("bq_full").toString
+    BqIndex.build(spark, full, e, "vec_id", "embedding")
+    assert(merged === codeSet(full),
+      "build + append must equal the full rebuild, code for code")
+    // redelivered batch: the ledger makes it a no-op
+    BqIndex.appendIfAbsent(spark, dir,
+      e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", "b1")
+    assert(codeSet(dir) === merged, "replayed batch double-appended")
+  }
+
   test("topDirection: recovers a planted dominant axis, L1 mass " +
       "bounded by scale, sign pinned by the all-ones start") {
     import spark.implicits._
