@@ -73,6 +73,22 @@ object BqIndex {
     }
   }
 
+  /** Right-to-be-forgotten removal: rewrite the code table without the
+    * given ids (anti-join against the broadcast removal list). The
+    * table is 8 bytes/vector, so the decremental rewrite is the cheap
+    * kind — and unlike tombstones it leaves NOTHING recoverable, which
+    * is the point of the forget contract (q254/q267/q268's law:
+    * remove ≡ rebuild on the remaining set, certified by q330's
+    * remaining-only oracle). */
+  def removeIds(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = {
+    val keep = codes(spark, dir)
+      .join(broadcast(ids.select(col(ids.columns.head).as("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // materialize before overwriting the source
+    keep.write.mode("overwrite").parquet(codesPath(dir))
+  }
+
   /** The stored code table. */
   def codes(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._

@@ -1812,9 +1812,61 @@ object EmbeddingQueries {
     q327BqIndexServe.oracle,
     doc = "[NS] BQ index incremental merge: build+append ≡ full rebuild (served)")
 
+  /** [NS] — BQ index forget certificate (q330): build the full code
+    * table, [[graft.operators.BqIndex.removeIds]] the vec_id % 10 = 0
+    * cohort (the decremental rewrite — nothing recoverable, unlike
+    * tombstones), serve against a remaining-cohort query. The oracle
+    * recomputes from scratch over ONLY the remaining vectors — a green
+    * row proves remove ≡ rebuild-on-the-remaining (the forget triad's
+    * law, q254/q267/q268, extended to the ninth lifecycle). Repeat
+    * invocations are stable: the fingerprinted build runs once and
+    * re-removal of absent ids is a no-op. */
+  val q330BqIndexRemove = Q(
+    "q330_bq_index_remove",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val dir = graft.operators.TextIndex.defaultDir(s"bqfull_$d")
+      graft.operators.BqIndex.buildIfAbsent(s, dir, e, "vec_id",
+        "embedding", tag = s"$d:full")
+      graft.operators.BqIndex.removeIds(s, dir,
+        e.filter($"vec_id" % 10 === 0).select($"vec_id"))
+      val qid = e.filter($"vec_id" % 10 =!= 0)
+        .agg(max($"vec_id")).collect()(0).getLong(0)
+      graft.operators.BqIndex.serve(s, dir,
+        e.filter($"vec_id" % 10 =!= 0), "vec_id", "embedding",
+        queryId = qid, shortlist = 32, k = 10)
+    },
+    Some {
+      def maskSql(off: Int) =
+        s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(0, 31), i ->
+            CASE WHEN v[i + $off + 1] >= 0 THEN (1::BIGINT << i)
+              ELSE 0::BIGINT END)), (a, x) -> a + x)"""
+      s"""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id % 10 <> 0),
+        qid AS (SELECT max(vec_id) AS q_id FROM e2),
+        q2 AS (SELECT v AS qv FROM e2, qid WHERE vec_id = q_id),
+        codes AS (SELECT vec_id, ${maskSql(0)} AS bq_lo,
+            ${maskSql(32)} AS bq_hi
+          FROM e2 WHERE len(v) = 64),
+        qc AS (SELECT bq_lo AS q_lo, bq_hi AS q_hi FROM codes, qid
+          WHERE vec_id = q_id),
+        short AS (SELECT vec_id FROM codes, qc, qid
+          WHERE vec_id <> q_id
+          ORDER BY bit_count(xor(bq_lo, q_lo)) +
+            bit_count(xor(bq_hi, q_hi)) ASC, vec_id ASC
+          LIMIT 32)
+        SELECT e2.vec_id, round(${cosSql("v", "qv")}, 6) AS cos
+        FROM short JOIN e2 USING (vec_id), q2
+        ORDER BY cos DESC, vec_id ASC
+        LIMIT 10"""
+    },
+    doc = "[NS] BQ forget certificate: decremental removal ≡ remaining-only rebuild (served)")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q317BinaryQuantRecall, q319MatryoshkaRecall, q327BqIndexServe,
-    q329BqIndexMerge,
+    q329BqIndexMerge, q330BqIndexRemove,
     q33IvfAssign, q53IvfTopk, q54EmbedDedup, q69Kmeans, q96PqSearch,
     q98SemanticDedup, q100PqCodes, q102IvfPqSearch, q105HardNegatives,
     q107IndexServe, q110StratifiedKmeans, q125Int8Quant, q129Int8TopK,

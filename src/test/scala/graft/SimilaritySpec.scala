@@ -494,6 +494,21 @@ class SimilaritySpec extends AnyFunSuite {
     BqIndex.appendIfAbsent(spark, dir,
       e.filter(col("vec_id") % 3 === 0), "vec_id", "embedding", "b1")
     assert(codeSet(dir) === merged, "replayed batch double-appended")
+    // forget: removal leaves exactly the remaining-only build, and
+    // removing already-absent ids is a no-op
+    import spark.implicits._
+    BqIndex.removeIds(spark, dir,
+      e.filter(col("vec_id") % 3 === 0).select(col("vec_id")))
+    val afterRemove = codeSet(dir)
+    val remainingOnly = java.nio.file.Files
+      .createTempDirectory("bq_rem").toString
+    BqIndex.build(spark, remainingOnly,
+      e.filter(col("vec_id") % 3 =!= 0), "vec_id", "embedding")
+    assert(afterRemove === codeSet(remainingOnly),
+      "remove must equal rebuild on the remaining set")
+    BqIndex.removeIds(spark, dir,
+      e.filter(col("vec_id") % 3 === 0).select(col("vec_id")))
+    assert(codeSet(dir) === afterRemove, "re-removal must be a no-op")
   }
 
   test("topDirection: recovers a planted dominant axis, L1 mass " +
