@@ -1940,6 +1940,58 @@ object Analytics {
         col("tie_c_ppm"), col("h_corrected_ppm"))
   }
 
+  /** [NS] — Wilcoxon signed-rank (1945): the PAIRED member completing
+    * the nonparametric family — KS (q305) and Mann–Whitney (q318)
+    * compare independent samples, Kruskal–Wallis (q328) many; this one
+    * asks "did the SAME units shift" from paired (x, y) observations.
+    * Exact via the same doubled-midrank device: zero differences drop
+    * (the standard convention), |d| ranks come from the bucketed
+    * distributed prefix sums, and the doubled rank sums W2± are exact
+    * integers; the rank-biserial effect (W⁺−W⁻)/(W⁺+W⁻) is emitted in
+    * truncating ppm. Input: one row per pair. Output: one row
+    * (n_pairs, n_zero, w2_plus, w2_minus, rbc_ppm). */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String, yCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive")
+    val d0 = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((col(xCol).cast("long") - col(yCol).cast("long")).as("d"))
+    val base = d0.withColumn("a", abs(col("d")))
+      .withColumn("pos", col("d") > 0)
+      .localCheckpoint(true)
+    val nz = base.filter(col("d") === 0)
+      .agg(count(lit(1)).as("n_zero"))
+    val nonzero = base.filter(col("d") =!= 0)
+    val byA = nonzero.groupBy(col("a"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"))
+      .withColumn("bk", floor(col("a") / lit(bucketWidth)).cast("long"))
+    val inBucket = Window.partitionBy(col("bk")).orderBy(col("a"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val overBuckets = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = byA.groupBy(col("bk"))
+      .agg(sum(col("cnt")).as("tc"))
+      .withColumn("oc", sum(col("tc")).over(overBuckets) - col("tc"))
+      .select(col("bk"), col("oc"))
+    byA.withColumn("lc", sum(col("cnt")).over(inBucket))
+      .join(broadcast(offsets), Seq("bk"))
+      .withColumn("mid2", lit(2L) * (col("oc") + col("lc") -
+        col("cnt")) + col("cnt") + lit(1L))
+      .agg(sum(col("cnt")).as("n_pairs"),
+        sum(expr("cast(cpos as decimal(38,0)) * mid2")).as("_wp"),
+        sum(expr("cast(cnt - cpos as decimal(38,0)) * mid2"))
+          .as("_wm"))
+      .crossJoin(broadcast(nz))
+      .withColumn("w2_plus", expr("cast(_wp as bigint)"))
+      .withColumn("w2_minus", expr("cast(_wm as bigint)"))
+      .withColumn("rbc_ppm", expr(
+        "CASE WHEN _wp + _wm > 0 THEN " +
+          "cast((_wp - _wm) * 1000000 div (_wp + _wm) as bigint) END"))
+      .select(col("n_pairs"), col("n_zero"), col("w2_plus"),
+        col("w2_minus"), col("rbc_ppm"))
+  }
+
   /** [NS] — Theil–Sen robust trend (Theil 1950/Sen 1968): the median of
     * all pairwise slopes per group, plus the matching median intercept
     * — the robust twin of [[trendSlope]] (one wild day shifts an OLS

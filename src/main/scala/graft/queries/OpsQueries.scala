@@ -2518,9 +2518,64 @@ object OpsQueries {
       FROM fin"""),
     doc = "[NS] Kruskal-Wallis H with tie correction, exact doubled-midrank ppm")
 
+  /** [NS] — Wilcoxon signed-rank (q331):
+    * [[graft.operators.Analytics.wilcoxonSignedRank]] on per-user
+    * paired means — each user's truncating mean click cents (x)
+    * against their mean view cents (y), users with both — the PAIRED
+    * "did the same units shift" test closing the nonparametric family
+    * (q305/q318/q328). Zero differences drop by the standard
+    * convention and are reported. */
+  val q331WilcoxonSignedRank = Q(
+    "q331_wilcoxon_signed_rank",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("c", round($"value" * 100).cast("long"))
+        .filter($"value".isNotNull && $"user_id".isNotNull)
+      def side(t: String, n: String) = ev.filter($"event_type" === t)
+        .groupBy($"user_id")
+        .agg(expr("sum(cast(c as decimal(38,0))) div count(*)")
+          .cast("long").as(n))
+      val paired = side("click", "x").join(side("view", "y"),
+        Seq("user_id"))
+      Analytics.wilcoxonSignedRank(paired, "x", "y",
+        bucketWidth = 100.0)
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+        CAST(round(value * 100.0) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      xs AS (SELECT user_id,
+          CAST(sum(c::HUGEINT) // count(*) AS BIGINT) AS x
+        FROM ev WHERE event_type = 'click' GROUP BY user_id),
+      ys AS (SELECT user_id,
+          CAST(sum(c::HUGEINT) // count(*) AS BIGINT) AS y
+        FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      p AS (SELECT x - y AS d FROM xs JOIN ys USING (user_id)),
+      nz AS (SELECT count(*)::BIGINT AS n_zero FROM p WHERE d = 0),
+      bya AS (SELECT abs(d) AS a, count(*)::BIGINT AS cnt,
+          sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS cpos
+        FROM p WHERE d <> 0 GROUP BY abs(d)),
+      mid AS (SELECT a, cnt, cpos,
+          2 * coalesce(sum(cnt) OVER (ORDER BY a
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + cnt + 1 AS mid2
+        FROM bya),
+      agg AS (SELECT sum(cnt)::BIGINT AS n_pairs,
+          sum(cpos::HUGEINT * mid2) AS wp,
+          sum((cnt - cpos)::HUGEINT * mid2) AS wm
+        FROM mid)
+      SELECT n_pairs, n_zero, CAST(wp AS BIGINT) AS w2_plus,
+        CAST(wm AS BIGINT) AS w2_minus,
+        CASE WHEN wp + wm > 0 THEN
+          CAST((wp - wm) * 1000000 // (wp + wm) AS BIGINT) END
+          AS rbc_ppm
+      FROM agg, nz"""),
+    doc = "[NS] Wilcoxon signed-rank on paired per-user means, exact doubled midranks")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q307TheilSen, q310StratifiedEffect, q313LDiversity,
     q320NeymanAllocation, q324ContributionBound, q328KruskalWallis,
+    q331WilcoxonSignedRank,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,

@@ -1315,4 +1315,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert((tied.getLong(2), tied.getLong(3), tied.getLong(4)) ===
       ((600000L, 600000L, 1000000L)))
   }
+
+  test("wilcoxonSignedRank: hand-ranked signed sums, |d| ties share " +
+      "doubled midranks, zero differences drop and are counted") {
+    import spark.implicits._
+    def w(pairs: Seq[(Long, Long)]) = Analytics.wilcoxonSignedRank(
+      pairs.toDF("x", "y").repartition(3), "x", "y", bucketWidth = 1.0)
+      .collect().head
+    // d = +1, −2, +3: ranks 1,2,3 → W2+ = 2+6 = 8, W2− = 4
+    val r = w(Seq((2L, 1L), (1L, 3L), (5L, 2L)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((3L, 0L, 8L, 4L, 333333L)))
+    // d = +1, −1, +2 with one zero pair: tie at |d|=1 shares midrank
+    // 1.5 (mid2 = 3) → W2+ = 3+6 = 9, W2− = 3; zero counted apart
+    val t = w(Seq((2L, 1L), (1L, 2L), (4L, 2L), (7L, 7L)))
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3),
+      t.getLong(4)) === ((3L, 1L, 9L, 3L, 500000L)))
+  }
 }
