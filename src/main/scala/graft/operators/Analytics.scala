@@ -1983,6 +1983,11 @@ object Analytics {
         sum(expr("cast(cnt - cpos as decimal(38,0)) * mid2"))
           .as("_wm"))
       .crossJoin(broadcast(nz))
+      // an all-zero-differences input leaves the ungrouped agg with NULL
+      // sums — report n_pairs=0 / W=0 explicitly, not null
+      .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
+      .withColumn("_wp", coalesce(col("_wp"), expr("cast(0 as decimal(38,0))")))
+      .withColumn("_wm", coalesce(col("_wm"), expr("cast(0 as decimal(38,0))")))
       .withColumn("w2_plus", expr("cast(_wp as bigint)"))
       .withColumn("w2_minus", expr("cast(_wm as bigint)"))
       .withColumn("rbc_ppm", expr(

@@ -189,10 +189,11 @@ object AnnIndex {
         java.nio.file.Files.readString(ledger).split("\n").toSet
       else Set.empty
     if (!applied.contains(batchTag)) {
+      // append-then-ledger: a crash in this window double-appends the
+      // batch on replay (at-least-once, caller dedups by disjoint ids);
+      // the ledger write itself is atomic so it is never torn
       appendBatch(spark, dir, delta, idCol, vecCol, m, subDim, metaCols)
-      java.nio.file.Files.createDirectories(ledger.getParent)
-      java.nio.file.Files.writeString(ledger,
-        (applied + batchTag).toSeq.sorted.mkString("\n"))
+      TextIndex.writeLedger(ledger, applied + batchTag)
     }
   }
 

@@ -97,12 +97,17 @@ object Bloom {
     * archive keys, and a probe key is a Bloom "maybe" iff its distinct
     * positions all land in that set — one explode + two semi-join
     * aggregates, oracle-replayable bit for bit. fp_est uses integer
-    * powers (ones^k·10⁶ div m^k — long-safe for k ≤ 3 at m ≤ 2^17);
+    * powers (ones^k·10⁶ div m^k) computed in decimal(38,0) — a long
+    * numerator wraps silently past ones_bits ≈ 21000 at k = 3, so the
+    * product is widened before the integer division (decimal-safe for
+    * k ≤ 3 at m ≤ 2^17: 10⁶·(2^17)³ ≈ 2.3e21 ≪ 10^38);
     * fp_measured = false positives over NON-member probes. */
   def advisor(archiveKeys: DataFrame, probeKeys: DataFrame,
       archiveKey: String, probeKey: String, mBits: Int,
       k: Int): DataFrame = {
-    require(k >= 1 && k <= 3, s"advisor pow stays long-safe for k <= 3, got $k")
+    require(k >= 1 && k <= 3, s"advisor supports k <= 3, got $k")
+    require(BigInt(1000000) * BigInt(mBits).pow(k) < BigInt(10).pow(38),
+      s"fp_est_ppm numerator must fit decimal(38,0): mBits=$mBits k=$k")
     val aks = archiveKeys.select(col(archiveKey).cast("string").as("_ak"))
       .distinct()
     val ones = aks
@@ -132,9 +137,9 @@ object Bloom {
       .select(lit(mBits.toLong).as("m_bits"), lit(k.toLong).as("k_hashes"),
         col("n_keys"), col("ones_bits"),
         expr(s"(1000000 * ones_bits) div $mBits").as("fill_ppm"),
-        expr(s"(1000000 * ${(0 until k).map(_ => "ones_bits")
-          .mkString(" * ")}) div (${(0 until k).map(_ => s"$mBits")
-          .mkString(" * ")}L)").as("fp_est_ppm"),
+        expr(s"(cast(1000000 as decimal(38,0)) * ${(0 until k)
+          .map(_ => "ones_bits").mkString(" * ")}) div cast(${BigInt(mBits)
+          .pow(k)} as decimal(38,0))").as("fp_est_ppm"),
         col("n_nonmember"), col("n_fp"),
         expr("case when n_nonmember > 0 then " +
           "(1000000 * n_fp) div n_nonmember end").as("fp_measured_ppm"))

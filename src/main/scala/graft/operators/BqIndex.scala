@@ -28,10 +28,17 @@ object BqIndex {
   /** Encode the corpus and overwrite the stored code table
     * (normalized column names: vec_id, bq_lo, bq_hi). */
   def build(spark: SparkSession, dir: String, corpus: DataFrame,
-      idCol: String, vecCol: String): Unit =
+      idCol: String, vecCol: String): Unit = {
     Similarity.binaryQuantize(corpus, idCol, vecCol)
       .withColumnRenamed(idCol, "vec_id")
       .write.mode("overwrite").parquet(codesPath(dir))
+    // a rebuild starts a fresh generation: prior appends are part of the
+    // corpus now (or gone) — drop the applied-batches ledger, else a
+    // post-rebuild delta reusing an old batchTag would silently no-op
+    // (AnnIndex.build's convention)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ledgerPath(dir)))
+  }
 
   /** [[build]] unless a fingerprint-matching index already exists. */
   def buildIfAbsent(spark: SparkSession, dir: String, corpus: DataFrame,
@@ -66,10 +73,11 @@ object BqIndex {
         java.nio.file.Files.readString(ledger).split("\n").toSet
       else Set.empty
     if (!applied.contains(batchTag)) {
+      // append-then-ledger: a crash in this window double-appends the
+      // batch on replay (at-least-once, caller dedups by disjoint ids);
+      // the ledger write itself is atomic so it is never torn
       appendBatch(spark, dir, delta, idCol, vecCol)
-      java.nio.file.Files.createDirectories(ledger.getParent)
-      java.nio.file.Files.writeString(ledger,
-        (applied + batchTag).toSeq.sorted.mkString("\n"))
+      TextIndex.writeLedger(ledger, applied + batchTag)
     }
   }
 

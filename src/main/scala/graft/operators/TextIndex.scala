@@ -68,6 +68,23 @@ object TextIndex {
     }
   }
 
+  /** Atomically (re)write an applied-batches ledger file: temp file +
+    * ATOMIC_MOVE, so a crash mid-write can never leave a torn ledger
+    * (shared by [[AnnIndex.appendIfAbsent]] / [[BqIndex.appendIfAbsent]];
+    * same idiom as [[advance]]). Note the lifecycle-level crash window
+    * those callers document: the parquet append commits BEFORE the
+    * ledger records the batch, so a crash between the two re-appends the
+    * batch on replay — the ledger itself is never torn. */
+  private[operators] def writeLedger(path: java.nio.file.Path,
+      entries: Set[String]): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    Files.writeString(tmp, entries.toSeq.sorted.mkString("\n"))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Atomically advance the pointer: temp file + ATOMIC_MOVE, so readers
     * see either the old generation or the new, never a torn value. */
   private[operators] def advance(dir: String, gen: Long,

@@ -2564,8 +2564,9 @@ object OpsQueries {
           sum(cpos::HUGEINT * mid2) AS wp,
           sum((cnt - cpos)::HUGEINT * mid2) AS wm
         FROM mid)
-      SELECT n_pairs, n_zero, CAST(wp AS BIGINT) AS w2_plus,
-        CAST(wm AS BIGINT) AS w2_minus,
+      SELECT coalesce(n_pairs, 0) AS n_pairs, n_zero,
+        CAST(coalesce(wp, 0) AS BIGINT) AS w2_plus,
+        CAST(coalesce(wm, 0) AS BIGINT) AS w2_minus,
         CASE WHEN wp + wm > 0 THEN
           CAST((wp - wm) * 1000000 // (wp + wm) AS BIGINT) END
           AS rbc_ppm

@@ -1331,5 +1331,11 @@ class AnalyticsSpec extends AnyFunSuite {
     val t = w(Seq((2L, 1L), (1L, 2L), (4L, 2L), (7L, 7L)))
     assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3),
       t.getLong(4)) === ((3L, 1L, 9L, 3L, 500000L)))
+    // ALL differences zero: n_pairs/W must read 0 (not null), zeros
+    // counted, rbc null (undefined when W+ + W− = 0)
+    val z = w(Seq((5L, 5L), (9L, 9L)))
+    assert((z.getLong(0), z.getLong(1), z.getLong(2), z.getLong(3)) ===
+      ((0L, 2L, 0L, 0L)))
+    assert(z.isNullAt(4))
   }
 }
