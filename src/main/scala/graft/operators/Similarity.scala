@@ -162,6 +162,18 @@ object Similarity {
       .filter(col("cos_um") >= minCosUm)
       .select(col("a_id"), col("b_id"), col("cos_um"))
       .localCheckpoint(true)
+    marginTail(scored, k, minMarginPpm)
+  }
+
+  /** The margin arithmetic shared by [[marginMining]] (sign-bucket
+    * candidates) and [[marginMiningServed]] (stored-index candidates):
+    * from a deduplicated candidate table (a_id, b_id, cos_um), the
+    * per-side top-`k` mean cosines, the ratio margin, and the
+    * mutual-margin-best filter — identical numbers regardless of how
+    * candidates were generated. `scored` must already be materialized
+    * (it is read by four window branches). */
+  private def marginTail(scored: DataFrame, k: Int,
+      minMarginPpm: Long): DataFrame = {
     val wa = Window.partitionBy(col("a_id"))
       .orderBy(col("cos_um").desc, col("b_id").asc)
     val wb = Window.partitionBy(col("b_id"))

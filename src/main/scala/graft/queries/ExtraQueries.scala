@@ -563,9 +563,14 @@ object ExtraQueries {
     "q234_layout_advisor",
     (s, d) => {
       import s.implicits._
+      // all three simulated layouts rank the SAME 2-column projection —
+      // materialize it once so each candidate sort reads the resident
+      // rows instead of re-scanning lineitem (3 scans → 1)
       val li = Tables.lineitem(s, d)
         .withColumn("sd", datediff($"l_shipdate".cast("date"),
           lit("1995-01-01").cast("date")).cast("long"))
+        .select($"l_partkey", $"sd")
+        .localCheckpoint(true)
       val (lo, hi, bucket) = (100L, 200L, 4096L)
       def run(sorts: Seq[org.apache.spark.sql.Column], label: String) =
         graft.operators.Layout.pruningEfficiency(li, sorts,
