@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -200,6 +200,61 @@ object Similarity {
         col("margin_ppm") >= minMarginPpm)
       .select(col("a_id"), col("b_id"), col("cos_um"),
         col("nn_a_um"), col("nn_b_um"), col("margin_ppm"))
+  }
+
+  /** [NS] — margin-based bitext mining SERVED from a stored coarse-cell
+    * index: the scale-safe twin of [[marginMining]] — same Artetxe &
+    * Schwenk ratio-margin arithmetic (shared [[marginTail]]), but the
+    * candidate generator is the STORED IVF assignment under `dir`
+    * ([[AnnIndex]] codes) instead of the in-query sign-bucket all-pairs
+    * join: a pair (a, b) is a candidate iff both sides were assigned to
+    * the same stored coarse cell. The serve plan reads the assignment
+    * from parquet — zero Lloyd iterations, zero encode jobs — and the
+    * float table is touched once per side for the candidate-bounded
+    * exact cosines.
+    *
+    * Scale contract (the fix the q303 verdict filed): sign-bucket
+    * candidates are ~|A|·|B|/2^bits — quadratic at any fixed bit
+    * width (measured 10.1× at 10×). Here the CELL COUNT grows with
+    * the corpus (the registered build seeds one centroid per 128
+    * vectors), so expected candidate volume is Σ_cell |A_c|·|B_c| ≈
+    * n·(cell size) — LINEAR at constant cell size, and the build that
+    * pays for it is the fingerprinted train-once artifact, not the
+    * serving plan. Skewed cells split under AQE like any equi-join. */
+  def marginMiningServed(spark: SparkSession, dir: String,
+      a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCosUm: Long, minMarginPpm: Long): DataFrame =
+    marginTail(
+      marginServedCandidates(spark, dir, a, b, idCol, vecCol, minCosUm)
+        // four window branches read the candidates — materialize once
+        .localCheckpoint(true),
+      k, minMarginPpm)
+
+  /** The candidate stage of [[marginMiningServed]], exposed
+    * un-materialized so its plan can be pinned (the localCheckpoint in
+    * the composed operator truncates lineage): stored-cell equi-join +
+    * exact rounded cosines, nothing else. */
+  def marginServedCandidates(spark: SparkSession, dir: String,
+      a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+      minCosUm: Long): DataFrame = {
+    // stored assignment: one (id, cell) row per vector (codes carry one
+    // row per PQ subspace; sub = 0 picks each vector exactly once)
+    val cells = spark.read.parquet(AnnIndex.codesPath(dir))
+      .filter(col("sub") === 0)
+      .select(col(idCol), col("centroid").cast("long").as("_cell"))
+    def side(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol), vecD(col(vecCol)).as(v))
+        .join(cells, Seq(idCol))
+        .withColumn(n, sqrt(dot(col(v), col(v))))
+        .withColumnRenamed(idCol, id)
+    side(a, "a_id", "va", "na")
+      .join(side(b, "b_id", "vb", "nb"), Seq("_cell"))
+      .withColumn("_c", when(col("na") * col("nb") === 0.0, lit(0.0))
+        .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .withColumn("cos_um",
+        expr("CAST(round(_c * 1000000) AS BIGINT)"))
+      .filter(col("cos_um") >= minCosUm)
+      .select(col("a_id"), col("b_id"), col("cos_um"))
   }
 
   /** [NS] — binary quantization (sign-bit) encoding: each 64-dim

@@ -1864,6 +1864,86 @@ object EmbeddingQueries {
     },
     doc = "[NS] BQ forget certificate: decremental removal ≡ remaining-only rebuild (served)")
 
+  /** [NS] — bitext mining SERVED from the stored coarse-cell index
+    * (q332): the scale-safe twin the q303 verdict filed —
+    * [[graft.operators.Similarity.marginMiningServed]] takes its
+    * candidates from a STORED IVF assignment (one seed centroid per
+    * 128 vectors, so the cell count grows with the corpus and
+    * candidate volume stays ~linear at constant cell size) instead of
+    * q303's sign-bucket all-pairs join (~n²/2^bits, measured 10.1× at
+    * 10×). The margin arithmetic is byte-identical (shared tail);
+    * build is the fingerprinted train-once artifact; the serve plan
+    * reads the assignment from parquet — zero Lloyd iterations, zero
+    * encode jobs (plan-pinned in PlanQualitySpec). The oracle
+    * recomputes the assignment AND the margins from scratch — a green
+    * row certifies build+serve end-to-end (the q107 convention). */
+  val q332BitextServed = Q(
+    "q332_bitext_served",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter($"vec_id" % 128 === 0)
+        .select($"vec_id".as("c_id"), vecD($"embedding").as("cv"))
+      val dir = graft.operators.AnnIndex.defaultDir(d + "#cells128")
+      graft.operators.AnnIndex.buildIfAbsent(e, "vec_id", "embedding",
+        cents, m = 1, subDim = 64, ksub = 1, iters = 0,
+        dir = dir, corpusTag = d + "#cells128")
+      Similarity.marginMiningServed(s, dir,
+        e.filter($"label" < 5), e.filter($"label" >= 5),
+        "vec_id", "embedding", k = 4, minCosUm = 0L,
+        minMarginPpm = 1000000L)
+        .orderBy($"a_id")
+    },
+    Some {
+      def dotS(a: String, b: String) = String.format(dotSql, a, b)
+      s"""WITH e2 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        c AS (SELECT vec_id AS c_id, v AS cv FROM e2
+          WHERE vec_id % 128 = 0),
+        asg AS (SELECT e2.vec_id,
+            first(c.c_id ORDER BY round(${cosSql("e2.v", "c.cv")}, 6)
+              DESC, c.c_id ASC) AS cell
+          FROM e2, c GROUP BY e2.vec_id),
+        ea0 AS (SELECT e2.vec_id AS a_id, v AS va, cell FROM e2
+          JOIN asg USING (vec_id) WHERE label < 5),
+        ea AS (SELECT a_id, va, cell, sqrt(${dotS("va", "va")}) AS na
+          FROM ea0),
+        eb0 AS (SELECT e2.vec_id AS b_id, v AS vb, cell FROM e2
+          JOIN asg USING (vec_id) WHERE label >= 5),
+        eb AS (SELECT b_id, vb, cell, sqrt(${dotS("vb", "vb")}) AS nb
+          FROM eb0),
+        sc0 AS (SELECT a_id, b_id,
+            CAST(round(CASE WHEN na*nb = 0 THEN 0.0
+              ELSE (${dotS("va", "vb")})/(na*nb) END * 1000000) AS BIGINT)
+              AS cos_um
+          FROM ea JOIN eb USING (cell)),
+        sc AS (SELECT * FROM sc0 WHERE cos_um >= 0),
+        aa AS (SELECT a_id, CAST(sum(cos_um) // count(*) AS BIGINT) AS nn_a_um FROM
+           (SELECT a_id, cos_um, b_id, row_number() OVER
+              (PARTITION BY a_id ORDER BY cos_um DESC, b_id) AS rk
+            FROM sc) t
+           WHERE rk <= 4 GROUP BY a_id),
+        bb AS (SELECT b_id, CAST(sum(cos_um) // count(*) AS BIGINT) AS nn_b_um FROM
+           (SELECT b_id, cos_um, a_id, row_number() OVER
+              (PARTITION BY b_id ORDER BY cos_um DESC, a_id) AS rk
+            FROM sc) t
+           WHERE rk <= 4 GROUP BY b_id),
+        mg AS (SELECT sc.a_id, sc.b_id, cos_um, nn_a_um, nn_b_um,
+            CAST((2000000 * cos_um) // (nn_a_um + nn_b_um) AS BIGINT)
+              AS margin_ppm
+          FROM sc JOIN aa USING (a_id) JOIN bb USING (b_id)
+          WHERE nn_a_um + nn_b_um > 0),
+        mm AS (SELECT *, row_number() OVER
+            (PARTITION BY a_id ORDER BY margin_ppm DESC, b_id) AS ra,
+          row_number() OVER
+            (PARTITION BY b_id ORDER BY margin_ppm DESC, a_id) AS rb
+          FROM mg)
+        SELECT a_id, b_id, cos_um, nn_a_um, nn_b_um, margin_ppm FROM mm
+        WHERE ra = 1 AND rb = 1 AND margin_ppm >= 1000000
+        ORDER BY a_id"""
+    },
+    doc = "[NS] bitext mining served from the stored coarse-cell index: linear candidate volume")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q317BinaryQuantRecall, q319MatryoshkaRecall, q327BqIndexServe,
     q329BqIndexMerge, q330BqIndexRemove,
@@ -1874,5 +1954,6 @@ object EmbeddingQueries {
     q169KCenter, q179MmrRerank, q187RetrieveDiversify,
     q235EmbeddingExpectations, q251TopDirection, q252AbttEnergy,
     q256LabelNoise, q258Int8Recall, q259AnnRecall, q268AnnRemove,
-    q288IndexStaleness, q294Distortion, q303BitextMining)
+    q288IndexStaleness, q294Distortion, q303BitextMining,
+    q332BitextServed)
 }

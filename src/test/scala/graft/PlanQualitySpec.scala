@@ -497,6 +497,41 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q332 served bitext mining: candidates ride the stored-cell " +
+      "equi-join — the serving plan reads the persisted assignment, no " +
+      "training (no Generate), no cartesian, no corpus-by-corpus " +
+      "nested loop") {
+    // the composed operator checkpoints its candidate table (read by
+    // four window branches), which truncates lineage — pin the
+    // candidate stage's own plan, then the composed tail
+    val e = Tables.embeddings(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val cents = e.filter(col("vec_id") % 128 === 0)
+      .select(col("vec_id").as("c_id"),
+        graft.operators.Similarity.vecD(col("embedding")).as("cv"))
+    val dir = graft.operators.AnnIndex.defaultDir(sf + "#cells128")
+    graft.operators.AnnIndex.buildIfAbsent(e, "vec_id", "embedding",
+      cents, m = 1, subDim = 64, ksub = 1, iters = 0,
+      dir = dir, corpusTag = sf + "#cells128")
+    val cand = graft.operators.Similarity.marginServedCandidates(
+        spark, dir, e.filter(col("label") < 5),
+        e.filter(col("label") >= 5), "vec_id", "embedding", 0L)
+      .queryExecution.explainString(FormattedMode)
+    // the stored assignment parquet is the candidate structure
+    assert(cand.contains("graft_ann_index"),
+      s"candidate stage does not read the stored index:\n$cand")
+    // training/encoding posexplode the corpus — any Generate means the
+    // build smuggled itself into the serve plan
+    assert(!cand.contains("Generate"), s"training in serving plan:\n$cand")
+    assert(!cand.contains("CartesianProduct"), cand)
+    assert(!cand.contains("BroadcastNestedLoopJoin"),
+      s"candidate pairing must be an equi-join on the cell key:\n$cand")
+    val p = plan("q332_bitext_served")
+    assert(!p.contains("Generate"), s"training in composed tail:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q126 phrase search: one generate, two aggregates, ZERO joins — " +
       "the anchor-vote form never pairs rows") {
     val p = plan("q126_phrase_search")

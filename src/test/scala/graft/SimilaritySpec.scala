@@ -405,6 +405,57 @@ class SimilaritySpec extends AnyFunSuite {
       "cos_um and both avgK normalizers are positive integers")
   }
 
+  test("marginMiningServed: one stored cell reproduces marginMining " +
+      "exactly; a splitting cell structure restricts candidates to " +
+      "cell-local pairs") {
+    import spark.implicits._
+    import graft.operators.AnnIndex
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f, 0f, 0f)),
+      (2L, Array(0.6f, 0.8f, 0f, 0f))).toDF("vec_id", "embedding")
+    val b = Seq(
+      (10L, Array(0.894f, 0.447f, 0f, 0f)),   // hub
+      (11L, Array(0.850f, -0.527f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = a.unionByName(b)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // ONE cell (single seed): candidates = all A×B pairs, so the served
+    // result must equal the in-query sign-bucket path byte for byte
+    // (bits=1 also yields one bucket on this all-positive-dim-1 fixture)
+    val oneDir = java.nio.file.Files
+      .createTempDirectory("cells_one").toString
+    val oneSeed = Seq((100L, Array(1.0, 0.0, 0.0, 0.0)))
+      .toDF("c_id", "cv")
+    AnnIndex.buildIfAbsent(corpus, "vec_id", "embedding", oneSeed,
+      m = 1, subDim = 4, ksub = 1, iters = 0, dir = oneDir,
+      corpusTag = "spec#one")
+    val served = Similarity.marginMiningServed(spark, oneDir, a, b,
+      "vec_id", "embedding", k = 2, minCosUm = 0L, minMarginPpm = 0L)
+    val inQuery = Similarity.marginMining(a, b, "vec_id", "embedding",
+      k = 2, bits = 1, minCosUm = 0L, minMarginPpm = 0L)
+    assert(pairs(served) === pairs(inQuery),
+      "served margins must equal the sign-bucket path when the cell " +
+        "structure does not split any candidates")
+    // TWO seeds split the space: a2 lands alone in the (0,1) cell and
+    // loses all candidates; within the (1,0) cell the higher-cosine
+    // partner wins a1's margin-argmax, so the only mutual pair is
+    // (a1, hub) — cell-local candidates, hand-derived
+    val twoDir = java.nio.file.Files
+      .createTempDirectory("cells_two").toString
+    val twoSeeds = Seq(
+      (100L, Array(1.0, 0.0, 0.0, 0.0)),
+      (101L, Array(0.0, 1.0, 0.0, 0.0))).toDF("c_id", "cv")
+    AnnIndex.buildIfAbsent(corpus, "vec_id", "embedding", twoSeeds,
+      m = 1, subDim = 4, ksub = 1, iters = 0, dir = twoDir,
+      corpusTag = "spec#two")
+    val split = Similarity.marginMiningServed(spark, twoDir, a, b,
+        "vec_id", "embedding", k = 2, minCosUm = 0L, minMarginPpm = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(split === Map(1L -> 10L),
+      s"expected the cell-local mutual pair (a1, hub) only, got $split")
+  }
+
   test("binaryQuantize: known sign patterns give exact masks, zero " +
       "counts as positive, non-64-dim vectors are dropped") {
     import spark.implicits._
