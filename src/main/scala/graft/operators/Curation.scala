@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** [NS] Training-data curation operators — the pipeline stages between
@@ -1559,6 +1559,74 @@ object Curation {
         CAST(len(kept) AS BIGINT) AS kept_lines,
         CAST(len(cand) - len(kept) AS BIGINT) AS dropped_lines
       FROM k"""
+  }
+
+  /** [NS] — the ASSEMBLED crawl-ingest pipeline: raw markup pages →
+    * admitted training documents, every stage one of this engine's
+    * already-certified gates, composed in the order a production
+    * pretraining ingest runs them (CCNet/RefinedWeb/Dolma's shape):
+    *
+    *  0. raw          crawl pages as delivered
+    *  1. extracted    [[extractText]] — markup strip + jusText line
+    *                  gate; docs with no surviving line die here
+    *  2. encoding     [[encodingAudit]] — U+FFFD / control / mojibake
+    *  3. gopher       [[gopherRules]] pass_all on the flattened text
+    *  4. line_clean   [[LineIndex.serve]] — boilerplate lines dropped
+    *                  against the STORED archive frequencies; docs
+    *                  reduced to nothing die
+    *  5. dedup        [[DedupIndex.gate]] — exact + band probes
+    *                  against the STORED archive index
+    *  6. admitted     [[Importance.score]] from the STORED model,
+    *                  target-likeness ≥ `minScorePpm`
+    *
+    * Returns the ordered per-stage surviving frames (each carries
+    * `idCol`; stages 4+ carry the line-cleaned `clean_text`). All
+    * three artifact reads are serve-only — the archive corpus appears
+    * NOWHERE in these plans (the stored lifecycles' contract), so a
+    * 100 TB archive prices each batch at O(batch), and the stages are
+    * per-doc — a batch can stream through in micro-batches and admit
+    * exactly what one batch pass admits (StreamingSpec pins this).
+    * The extraction and line-clean results are materialized once:
+    * every later stage and every funnel readout reuses them. */
+  def crawlStages(spark: SparkSession, pages: DataFrame, idCol: String,
+      htmlCol: String, lineDir: String, dedupDir: String,
+      impDir: String, maxLineDocs: Long,
+      minScorePpm: Long): Seq[(String, DataFrame)] = {
+    val raw = pages.select(col(idCol))
+    val ex = extractText(pages, idCol, htmlCol)
+      .filter(length(col("clean_text")) > 0)
+      .localCheckpoint(true)
+    val enc = ex.join(
+      encodingAudit(ex, idCol, "clean_text")
+        .filter(col("pass_encoding")).select(col(idCol)),
+      Seq(idCol))
+    // the gates tokenize on single spaces; the extracted text is
+    // line-joined by \n — flatten for the token-level gates only
+    def flat(df: DataFrame) = df.withColumn("_flat",
+      regexp_replace(col("clean_text"), "\n", " "))
+    val gop = enc.join(
+      gopherRules(flat(enc), idCol, "_flat")
+        .filter(col("pass_all")).select(col(idCol)),
+      Seq(idCol))
+    val cleaned = LineIndex.serve(spark, gop, idCol, "clean_text",
+        lineDir, maxLineDocs)
+      .filter(col("kept_lines") > 0)
+      .select(col(idCol), col("clean_text"))
+      .localCheckpoint(true)
+    val deduped = cleaned.join(
+      DedupIndex.gate(spark, dedupDir, cleaned, idCol, "clean_text")
+        .select(col(idCol)),
+      Seq(idCol))
+    val admitted = deduped.join(
+      Importance.score(
+          Importance.docBuckets(flat(deduped), idCol, "_flat", 64),
+          Importance.storedLambda(spark, impDir), idCol)
+        .filter(col("score_ppm") >= minScorePpm)
+        .select(col(idCol)),
+      Seq(idCol))
+    Seq("raw" -> raw, "extracted" -> ex, "encoding" -> enc,
+      "gopher" -> gop, "line_clean" -> cleaned, "dedup" -> deduped,
+      "admitted" -> admitted)
   }
 
   /** [NS] — Gopher quality rules (Rae et al. 2021, Appendix A): the

@@ -992,14 +992,14 @@ object DocQueries {
     doc = "[NS] first-sight near-dup ingest gate (per-band claims, conjunctive admission)")
 
   /** SQL twin of [[shinglesSql]] over an arbitrary (doc_id, text) rel. */
-  private def shinglesSqlFrom(rel: String): String =
+  private[queries] def shinglesSqlFrom(rel: String): String =
     s"""SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(l) - 1),
       i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS gram
       FROM (SELECT doc_id, string_split(text, ' ') AS l FROM $rel)"""
 
   /** SQL twin of the k=8 MinHash signature over a trigram rel (q24's
     * construction: components 2i/2i+1 = the 60-bit md5 halves). */
-  private def minhashSigSqlFrom(tgRel: String): String =
+  private[queries] def minhashSigSqlFrom(tgRel: String): String =
     "SELECT doc_id,\n" + (0 until 4).flatMap { i =>
       Seq(
         s"min(CAST('0x' || substr(md5('$i:' || gram), 1, 15) AS BIGINT)) AS s${2 * i}",
@@ -1007,7 +1007,7 @@ object DocQueries {
     }.mkString(",\n") + s"\nFROM $tgRel GROUP BY doc_id"
 
   /** SQL twin of [[Dedup.lshBands]] at k=8 / 4 bands over a sig rel. */
-  private def lshBandsSqlFrom(sigRel: String): String =
+  private[queries] def lshBandsSqlFrom(sigRel: String): String =
     (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, s${2 * b} AS v0, s${2 * b + 1} AS v1 FROM $sigRel")
       .mkString(" UNION ALL ")
@@ -1700,7 +1700,7 @@ object DocQueries {
     * script), a nav bar of anchors, an h1 from the text's first 12
     * chars, the body, an entity-bearing rating line, a too-short line,
     * and an anchor-heavy footer — built IDENTICALLY in both engines. */
-  private[queries] def crawlPage(docs: DataFrame): DataFrame =
+  private[graft] def crawlPage(docs: DataFrame): DataFrame =
     docs.withColumn("html", concat(
       lit("<html><head><title>doc</title><style>p{c:1}</style>" +
         "<script>if(a<b){go();}</script></head><body>" +

@@ -1425,4 +1425,73 @@ class StreamingSpec extends AnyFunSuite {
     hook(epochs.last.toDF("win", "lose"), lastId)
     assert(ratings() === batchTwin(3), "replayed epoch double-counted")
   }
+
+  test("streaming crawl pipeline (q333 twin): micro-batched ingest " +
+      "through the stored gates — dedup index folding admitted keys " +
+      "forward — admits exactly the one-shot batch set, across a full " +
+      "restart") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.{Curation, DedupIndex, Importance, LineIndex}
+    import graft.queries.DocQueries
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val arc = docs.filter($"doc_id" % 10 =!= 0)
+    // own artifact dirs: this test MUTATES a dedup index (fold-forward),
+    // so it must never share the gate queries' fingerprinted dirs
+    val lineDir = Files.createTempDirectory("crawl_line").toString
+    val ddBatch = Files.createTempDirectory("crawl_dd_b").toString
+    val ddStream = Files.createTempDirectory("crawl_dd_s").toString
+    val impDir = Files.createTempDirectory("crawl_imp").toString
+    LineIndex.build(
+      Curation.extractText(DocQueries.crawlPage(arc), "doc_id", "html"),
+      "doc_id", "clean_text", lineDir)
+    DedupIndex.build(arc, "doc_id", "text", 3, 8, 4, ddBatch)
+    DedupIndex.build(arc, "doc_id", "text", 3, 8, 4, ddStream)
+    Importance.buildModel(
+      Importance.docBuckets(arc, "doc_id", "text", 64, Seq("lang")),
+      $"lang" === "en", 64, impDir)
+    val pages = DocQueries.crawlPage(docs.filter($"doc_id" % 10 === 0))
+      .select($"doc_id", $"html")
+    def admitted(dd: String, batch: org.apache.spark.sql.DataFrame) =
+      Curation.crawlStages(spark, batch, "doc_id", "html", lineDir,
+        dd, impDir, maxLineDocs = 30L, minScorePpm = 1000000L).last._2
+    val batchSet = admitted(ddBatch, pages)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchSet.nonEmpty, "fixture must admit something")
+    val srcDir = Files.createTempDirectory("crawl_src").toString
+    val ckpt = Files.createTempDirectory("crawl_ckpt").toString
+    val sink = Files.createTempDirectory("crawl_sink").toString +
+      "/admitted"
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("doc_id LONG, html STRING")
+        .json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // commit-before-append (DedupIndex.foreachBatchIngest's rule),
+          // composed with the full gate chain instead of the bare gate
+          val adm = admitted(ddStream, b).localCheckpoint()
+          adm.select($"doc_id").write.mode("append").parquet(sink)
+          DedupIndex.append(adm, "doc_id", "clean_text", 3, 8, 4,
+            ddStream)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    pages.filter($"doc_id" % 20 === 0).coalesce(1)
+      .write.mode("append").json(srcDir)
+    runOnce()
+    // full restart: a NEW query from the same checkpoint picks up only
+    // the second file
+    pages.filter($"doc_id" % 20 =!= 0).coalesce(1)
+      .write.mode("append").json(srcDir)
+    runOnce()
+    val streamed = spark.read.parquet(sink)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed === batchSet,
+      "micro-batched admission must equal the one-shot batch set")
+  }
 }
