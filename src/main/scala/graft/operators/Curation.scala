@@ -1464,6 +1464,96 @@ object Curation {
       .select(col(idCol), col("n_bigrams"), col("mean_p_ppm"))
   }
 
+  /** [NS] Trigram "stupid backoff" document scorer (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the smoothing
+    * scheme built FOR distributed corpus-count LMs, which is exactly
+    * this engine's shape): each probe trigram scores
+    *
+    *   S(w3|w1,w2) = c(w1w2w3)/c(w1w2·)            when the trigram is seen
+    *               = 0.4 · c'(w2w3)/c'(w2·)         else, bigram backoff
+    *               = 0.4² · c'(w3)/N                else, unigram backoff
+    *               = 0                               never-seen word
+    *
+    * in exact truncating ppm (10⁶·c div ctx, 400000·c div ctx,
+    * 160000·c div N — 0.4 is the published backoff factor). The
+    * lower-order counts c' are the INTERNAL-POSITION marginals of the
+    * trigram table itself (Σ over the leading word), so the stored
+    * model stays SINGLE-SOURCED: a merge only ever touches (w1,w2,w3)
+    * count rows and no lower order can drift out of sync — the
+    * document-boundary bigrams this under-counts are a deliberate,
+    * documented trade (negligible at corpus scale, exactly
+    * reproducible at any scale). Scores are ranking scores, not
+    * probabilities — Brants' point; the gate thresholds them the same
+    * way. Upgrades the q214 bigram gate: gibberish now dies three
+    * levels deep instead of scoring 0-vs-0 ties, and the per-doc
+    * backoff-level hit counts (n_hit3/n_hit2/n_hit1) expose HOW a doc
+    * scored — the fertility-style readout for the LM gate.
+    *
+    * Output: (idCol, n_trigrams, n_hit3, n_hit2, n_hit1, mean_s_ppm);
+    * docs with < 3 tokens have no trigrams and are absent. */
+  def trigramLmScore(train: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    sbScoreFromModel(probe,
+      trigramFrame(train, idCol, textCol)
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c3")),
+      idCol, textCol)
+
+  /** Per-doc trigram explode shared by the in-query scorer and the
+    * stored lifecycle ([[LmIndex.serveTrigram]]): (idCol, w1, w2, w3),
+    * one row per ADJACENT token triple. */
+  private[operators] def trigramFrame(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = df
+    .select(col(idCol), split(col(textCol), " ").as("_l"))
+    .filter(size(col("_l")) >= 3)
+    .select(col(idCol), explode(expr(
+      "transform(sequence(1, size(_l) - 2), i -> " +
+        "struct(element_at(_l, i) as w1, element_at(_l, i + 1) as w2, " +
+        "element_at(_l, i + 2) as w3))"))
+      .as("_t"))
+    .select(col(idCol), col("_t.w1").as("w1"), col("_t.w2").as("w2"),
+      col("_t.w3").as("w3"))
+
+  /** The stupid-backoff scoring tail shared by [[trigramLmScore]]
+    * (in-query model) and [[LmIndex.serveTrigram]] (stored model):
+    * `model` = (w1, w2, w3, c3); every lower order derives from the
+    * model itself (model-sized aggregates, never a corpus scan). */
+  private[operators] def sbScoreFromModel(probe: DataFrame,
+      model: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ctx12 = model.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c12"))
+    val tri = model.join(ctx12, Seq("w1", "w2"))
+      .withColumn("s3_ppm", expr("(1000000 * c3) div c12"))
+      .select(col("w1"), col("w2"), col("w3"), col("s3_ppm"))
+    val b2 = model.groupBy(col("w2"), col("w3"))
+      .agg(sum(col("c3")).as("c23"))
+      .join(model.groupBy(col("w2")).agg(sum(col("c3")).as("c2")),
+        Seq("w2"))
+      .withColumn("s2_ppm", expr("(400000 * c23) div c2"))
+      .select(col("w2"), col("w3"), col("s2_ppm"))
+    val u1 = model.groupBy(col("w3")).agg(sum(col("c3")).as("c3u"))
+      .crossJoin(broadcast(model.agg(sum(col("c3")).as("n"))))
+      .withColumn("s1_ppm", expr("(160000 * c3u) div n"))
+      .select(col("w3"), col("s1_ppm"))
+    trigramFrame(probe, idCol, textCol)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(b2, Seq("w2", "w3"), "left")
+      .join(u1, Seq("w3"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("s3_ppm").isNotNull, 1L).otherwise(0L))
+          .as("n_hit3"),
+        sum(when(col("s3_ppm").isNull && col("s2_ppm").isNotNull, 1L)
+          .otherwise(0L)).as("n_hit2"),
+        sum(when(col("s3_ppm").isNull && col("s2_ppm").isNull &&
+          col("s1_ppm").isNotNull, 1L).otherwise(0L)).as("n_hit1"),
+        sum(coalesce(col("s3_ppm"), col("s2_ppm"), col("s1_ppm"),
+          lit(0L))).as("_s"))
+      .withColumn("mean_s_ppm", expr("_s div n_trigrams"))
+      .select(col(idCol), col("n_trigrams"), col("n_hit3"),
+        col("n_hit2"), col("n_hit1"), col("mean_s_ppm"))
+  }
+
   /** [NS] Corpus-level line deduplication — the C4 "remove boilerplate
     * by global repetition" stage (Raffel et al. 2020 drop three-sentence
     * spans occurring more than once; the line-granular variant is what

@@ -103,4 +103,83 @@ object LmIndex {
       textCol: String, dir: String): DataFrame =
     Curation.lmScoreFromModel(probe, storedModel(spark, dir),
       idCol, textCol)
+
+  // ---- trigram tier (stupid backoff, Curation.trigramLmScore) ----
+  // Same lifecycle at order 3: the stored table is (w1, w2, w3, c3)
+  // and stays single-sourced — every backoff level derives from it at
+  // serve time, so the merge law (counts are sums) survives verbatim.
+  // A trigram model lives in its OWN dir (own pointer + fingerprint);
+  // the two orders never share a generation.
+
+  def trigramPath(dir: String): String = {
+    val (g, _) = TextIndex.current(dir)
+    s"${TextIndex.genDir(dir, g.max(0L))}/trigrams"
+  }
+
+  private def writeGen3(model: DataFrame, dir: String, gen: Long): Unit =
+    model.repartitionByRange(col("w1"))
+      .sortWithinPartitions(col("w1"), col("w2"), col("w3"))
+      .write.mode("overwrite")
+      .parquet(s"${TextIndex.genDir(dir, gen)}/trigrams")
+
+  /** One train-corpus pass → (w1, w2, w3, c3) as generation 0. */
+  def buildTrigram(train: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    writeGen3(Curation.trigramFrame(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3")),
+      dir, 0L)
+    TextIndex.advance(dir, 0L, -1L)
+  }
+
+  /** [[buildTrigram]] unless a fingerprint-matching model exists. */
+  def buildTrigramIfAbsent(train: DataFrame, idCol: String,
+      textCol: String, dir: String, corpusTag: String): Unit =
+    TextIndex.withFingerprint(dir, corpusTag) {
+      buildTrigram(train, idCol, textCol, dir)
+    }
+
+  private def storedTrigram(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("w1", StringType), StructField("w2", StringType),
+        StructField("w3", StringType), StructField("c3", LongType))))
+      .parquet(trigramPath(dir))
+  }
+
+  /** Fold a NEW train-document batch into the stored trigram model —
+    * [[mergeBatch]]'s law one order up: counts are sums, untouched
+    * rows pass through byte-identical, replayed epochs are no-ops. */
+  def mergeTrigramBatch(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, dir: String,
+      epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = TextIndex.current(dir)
+    require(gen >= 0,
+      s"LmIndex.mergeTrigramBatch: no model at $dir — buildTrigram() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return
+    val bc = Curation.trigramFrame(batch, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("bc3"))
+      .localCheckpoint(true)
+    val stored = storedTrigram(spark, dir)
+    val merged = stored
+      .join(bc, Seq("w1", "w2", "w3"), "left")
+      .select(col("w1"), col("w2"), col("w3"),
+        (col("c3") + coalesce(col("bc3"), lit(0L))).as("c3"))
+      .unionByName(bc
+        .join(stored.select(col("w1"), col("w2"), col("w3"),
+          lit(1).as("_seen")), Seq("w1", "w2", "w3"), "left_anti")
+        .select(col("w1"), col("w2"), col("w3"), col("bc3").as("c3")))
+    writeGen3(merged, dir, gen + 1)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+  }
+
+  /** Score `probe` from the STORED trigram model only — zero
+    * train-corpus scans; identical to [[Curation.trigramLmScore]] over
+    * the same train set by shared-tail construction. */
+  def serveTrigram(spark: SparkSession, probe: DataFrame, idCol: String,
+      textCol: String, dir: String): DataFrame =
+    Curation.sbScoreFromModel(probe, storedTrigram(spark, dir),
+      idCol, textCol)
 }

@@ -1062,6 +1062,111 @@ object CurationQueries {
     q214LmScore.oracle,
     doc = "[NS] incremental LM count merge == from-scratch build (twin-certified)")
 
+  /** [NS] — trigram stupid-backoff LM scoring (q334, Brants et al.
+    * 2007): [[graft.operators.Curation.trigramLmScore]] on the q214
+    * train/probe split — the quality-gate upgrade the crawl block's
+    * CCNet precedent calls for: seen trigram → exact conditional ppm,
+    * else 0.4·bigram backoff, else 0.4²·unigram backoff (lower orders
+    * derived from the trigram table itself), plus the per-doc
+    * backoff-level hit counts that show HOW each doc scored. */
+  val q334TrigramLm = Q(
+    "q334_trigram_lm",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Curation.trigramLmScore(
+          docs.filter($"doc_id" % 10 =!= 0),
+          docs.filter($"doc_id" % 10 === 0), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id % 10 <> 0),
+      tg AS (SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+        FROM tr, unnest(range(1, len(l) - 1)) AS t(i)),
+      t3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+        FROM tg GROUP BY 1, 2, 3),
+      c12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12
+        FROM t3 GROUP BY 1, 2),
+      tri AS (SELECT w1, w2, w3, (1000000 * c3) // c12 AS s3
+        FROM t3 JOIN c12 USING (w1, w2)),
+      b23 AS (SELECT w2, w3, CAST(sum(c3) AS BIGINT) AS c23
+        FROM t3 GROUP BY 1, 2),
+      cc2 AS (SELECT w2, CAST(sum(c3) AS BIGINT) AS c2
+        FROM t3 GROUP BY 1),
+      b2 AS (SELECT w2, w3, (400000 * c23) // c2 AS s2
+        FROM b23 JOIN cc2 USING (w2)),
+      uu AS (SELECT w3, CAST(sum(c3) AS BIGINT) AS c3u
+        FROM t3 GROUP BY 1),
+      nn AS (SELECT CAST(sum(c3) AS BIGINT) AS n FROM t3),
+      u1 AS (SELECT w3, (160000 * c3u) // n AS s1 FROM uu, nn),
+      pr AS (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id % 10 = 0),
+      pt AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+        FROM pr, unnest(range(1, len(l) - 1)) AS t(i)),
+      j AS (SELECT doc_id, s3, s2, s1 FROM pt
+        LEFT JOIN tri USING (w1, w2, w3)
+        LEFT JOIN b2 USING (w2, w3)
+        LEFT JOIN u1 USING (w3)),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+          CAST(count(CASE WHEN s3 IS NOT NULL THEN 1 END) AS BIGINT)
+            AS n_hit3,
+          CAST(count(CASE WHEN s3 IS NULL AND s2 IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_hit2,
+          CAST(count(CASE WHEN s3 IS NULL AND s2 IS NULL AND
+            s1 IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit1,
+          CAST(sum(coalesce(s3, s2, s1, 0)) AS BIGINT) AS s
+        FROM j GROUP BY doc_id)
+      SELECT doc_id, n_trigrams, n_hit3, n_hit2, n_hit1,
+        CAST(s // n_trigrams AS BIGINT) AS mean_s_ppm
+      FROM sc ORDER BY doc_id"""),
+    doc = "[NS] trigram stupid-backoff LM gate (exact ppm, backoff-level readout)")
+
+  /** [NS] — trigram-LM lifecycle serve (q335): the q220 move at order
+    * 3 — [[graft.operators.LmIndex.buildTrigramIfAbsent]] persists the
+    * (w1,w2,w3,c3) table once; scoring reads ONLY the stored model
+    * (every backoff level derives from it at serve time — the train
+    * corpus appears nowhere in the plan, PlanQualitySpec-gated).
+    * Oracle: q334's from-scratch SQL. */
+  val q335TrigramIndexServe = Q(
+    "q335_trigram_index_serve",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.operators.LmIndex.defaultDir(d + "_tri")
+      graft.operators.LmIndex.buildTrigramIfAbsent(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        dir, corpusTag = d + "#tri")
+      graft.operators.LmIndex.serveTrigram(s,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", dir)
+        .orderBy(col("doc_id"))
+    },
+    q334TrigramLm.oracle,
+    doc = "[NS] trigram-LM lifecycle: stupid-backoff scoring from the persisted count table")
+
+  /** [NS] — trigram-LM incremental merge (q336): build on 80% of the
+    * train corpus, fold the rest in with
+    * [[graft.operators.LmIndex.mergeTrigramBatch]] (counts are sums;
+    * untouched rows pass through byte-identical), serve the probe.
+    * Same from-scratch oracle — green proves build∘merge ≡ rebuild at
+    * order 3 (q221's law one order up). */
+  val q336TrigramIndexMerge = Q(
+    "q336_trigram_index_merge",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val dir = graft.operators.LmIndex.defaultDir(d + "_tri_incr")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#tri80+merge") {
+        graft.operators.LmIndex.buildTrigram(
+          train.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", dir)
+        graft.operators.LmIndex.mergeTrigramBatch(s,
+          train.filter(col("doc_id") % 5 === 4), "doc_id", "text", dir)
+      }
+      graft.operators.LmIndex.serveTrigram(s,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", dir)
+        .orderBy(col("doc_id"))
+    },
+    q334TrigramLm.oracle,
+    doc = "[NS] incremental trigram merge == from-scratch build (twin-certified)")
+
   /** [NS] — shard mixing audit (q222): after [[graft.operators
     * .Curation.packShards]] balances shard SIZES, this audits what the
     * packing did to shard COMPOSITION — per shard: doc count, char
@@ -3153,5 +3258,6 @@ object CurationQueries {
     q277TemperatureMix, q282EncodingAudit, q283PaddingWaste,
     q285ContextFit, q286EpochAdvisor, q291SampleCert,
     q293LineIndexServe, q299CorpusAccounting, q301CorrelatedSample,
-    q333CrawlE2e)
+    q333CrawlE2e, q334TrigramLm, q335TrigramIndexServe,
+    q336TrigramIndexMerge)
 }

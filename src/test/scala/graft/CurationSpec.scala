@@ -608,6 +608,77 @@ class CurationSpec extends AnyFunSuite {
       spark, probe, "doc_id", "text", dir)) === scratch)
   }
 
+  test("trigramLmScore: hand-computed stupid backoff — seen trigram, " +
+      "bigram backoff, unigram backoff, never-seen word, short docs " +
+      "absent") {
+    import spark.implicits._
+    // train counts: trigrams {a b c:2, b c d:1, c d a:1}; derived
+    // marginals: c12(a,b)=2, c12(b,c)=1, c12(c,d)=1; c23(b,c)=2,
+    // c23(c,d)=1, c23(d,a)=1; c2(b)=2, c2(c)=1, c2(d)=1; unigrams
+    // c3u(c)=2, c3u(d)=1, c3u(a)=1, N=4
+    val train = Seq(
+      (1L, "a b c d a"),  // trigrams: abc, bcd, cda
+      (2L, "a b c")       // trigram: abc
+    ).toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "a b c"),     // seen trigram: s3 = 1e6*2 div 2 = 1000000
+      (11L, "x b c"),     // unseen tri, bigram backoff (b,c):
+                          //   s2 = 400000*2 div 2 = 400000
+      (12L, "x y c"),     // unigram backoff on c: 160000*2 div 4 = 80000
+      (13L, "x y z"),     // never seen anywhere: 0
+      (14L, "a b")        // < 3 tokens: absent
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Curation.trigramLmScore(
+        train, probe, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (10L, 1L, 1L, 0L, 0L, 1000000L),
+      (11L, 1L, 0L, 1L, 0L, 400000L),
+      (12L, 1L, 0L, 0L, 1L, 80000L),
+      (13L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("LmIndex trigram tier: stored-model scoring equals the " +
+      "in-query path; merge ∘ build ≡ build on the union; replayed " +
+      "epochs no-op") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = "/tmp/graft_lm3_spec"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val train = docs.filter($"doc_id" % 10 =!= 0)
+    val probe = docs.filter($"doc_id" % 10 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+        .sortBy(_._1).toSeq
+    graft.operators.LmIndex.buildTrigram(
+      train.filter($"doc_id" % 5 =!= 4), "doc_id", "text", dir)
+    graft.operators.LmIndex.mergeTrigramBatch(spark,
+      train.filter($"doc_id" % 5 === 4), "doc_id", "text", dir,
+      epoch = 1L)
+    val served = rows(graft.operators.LmIndex.serveTrigram(
+      spark, probe, "doc_id", "text", dir))
+    val scratch = rows(graft.operators.Curation.trigramLmScore(
+      train, probe, "doc_id", "text"))
+    assert(served === scratch)
+    assert(served.nonEmpty)
+    val nRows = spark.read.parquet(
+      graft.operators.LmIndex.trigramPath(dir)).count()
+    graft.operators.LmIndex.mergeTrigramBatch(spark,
+      train.filter($"doc_id" % 5 === 4), "doc_id", "text", dir,
+      epoch = 1L)
+    assert(spark.read.parquet(
+      graft.operators.LmIndex.trigramPath(dir)).count() === nRows)
+    assert(rows(graft.operators.LmIndex.serveTrigram(
+      spark, probe, "doc_id", "text", dir)) === scratch)
+  }
+
   test("curationExplain: verdicts partition the corpus and their " +
       "totals equal the funnel's stage deltas exactly") {
     import spark.implicits._

@@ -672,6 +672,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"stored bigram model not in the serving plan:\n$p")
   }
 
+  test("q335 trigram-LM serving: the train corpus appears nowhere — " +
+      "exactly one documents scan (the probe batch) plus the stored " +
+      "trigram table feeding every backoff level") {
+    val p = plan("q335_trigram_index_serve")
+    val first = p.indexOf("documents.parquet")
+    assert(first >= 0 && p.indexOf("documents.parquet", first + 1) < 0,
+      s"expected only the probe's documents scan:\n$p")
+    assert(p.contains("trigrams"),
+      s"stored trigram model not in the serving plan:\n$p")
+  }
+
   test("q209 phrase serving: zero corpus scans — the plan reads ONLY " +
       "stored positional postings with the phrase terms pushed to the " +
       "parquet reader") {
