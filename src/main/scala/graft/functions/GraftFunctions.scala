@@ -87,7 +87,24 @@ object GraftFunctions {
         constInt("graft_winnow", args, 2))),
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      (args: Seq[Expression]) => NfcNormalize(arg0("graft_nfc", args))))
+      (args: Seq[Expression]) => NfcNormalize(arg0("graft_nfc", args))),
+    (FunctionIdentifier("graft_ac_counts"),
+      new ExpressionInfo(classOf[AcPhraseCounts].getName,
+        "graft_ac_counts"),
+      // graft_ac_counts(text, 'phrase one|phrase two|...') — the phrase
+      // set is config, so it arrives as one constant '|'-joined literal
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_ac_counts expects 2 arguments, got ${args.length}")
+        val phrases = args(1) match {
+          case e if e.foldable && e.eval() != null =>
+            e.eval().toString.split("\\|").toSeq
+          case other => throw new IllegalArgumentException(
+            "graft_ac_counts argument 2 must be a constant " +
+              s"'|'-joined phrase list, got $other")
+        }
+        AcPhraseCounts(args(0), phrases)
+      }))
 
   /** Register on an existing session (idempotent). Includes the §2.10
     * custom Aggregators (`graft_minhash_union`, `graft_top3`,

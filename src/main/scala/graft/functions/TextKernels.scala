@@ -285,4 +285,16 @@ object TextKernels {
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
+
+  /** One Aho–Corasick pass over the case-folded token stream: per-phrase
+    * match counts (all occurrences, overlapping included) in phrase-list
+    * order. The automaton arrives as a codegen reference object — built
+    * once per plan, reused for every row. */
+  def acPhraseCounts(input: UTF8String, auto: AcAutomaton): ArrayData = {
+    val toks = input.toString.toLowerCase(java.util.Locale.ROOT)
+      .split(" ", -1)
+    val counts = new Array[Long](auto.nPhrases)
+    auto.countInto(toks, counts)
+    new GenericArrayData(counts)
+  }
 }

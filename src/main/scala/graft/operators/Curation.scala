@@ -2230,6 +2230,35 @@ object Curation {
         col("blocked_ppm"), col("pass"))
   }
 
+  /** [NS] — multi-PHRASE blocklist gate: the q323 single-token gate
+    * completed for real content policies, whose blocklists are phrase
+    * lists. One [[graft.functions.AcExpression.acPhraseCounts]]
+    * Aho–Corasick pass per document prices the row at
+    * O(tokens + matches) REGARDLESS of phrase count — no per-phrase
+    * scan, no regex alternation chain growing with the policy — and the
+    * per-phrase count array folds into the gate columns with codegen'd
+    * HOFs (no second text pass, no join, no shuffle but the none this
+    * projection needs). Token-boundary semantics and case folding live
+    * in the automaton (phrase tokens match whole tokens only);
+    * overlapping occurrences all count, matching the oracle's
+    * token-subsequence positions. Output: (idCol, n_hits,
+    * n_phrases_hit, pass) with pass = n_hits ≤ maxHits (inclusive
+    * budget, the q323 convention). */
+  def phraseBlocklistGate(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[String], maxHits: Long): DataFrame = {
+    require(phrases.nonEmpty, "empty phrase blocklist")
+    df.select(col(idCol),
+        graft.functions.AcExpression.acPhraseCounts(col(textCol),
+          phrases).as("_pc"))
+      .withColumn("n_hits", expr(
+        "aggregate(_pc, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("n_phrases_hit", expr(
+        "CAST(size(filter(_pc, x -> x > 0)) AS BIGINT)"))
+      .withColumn("pass", col("n_hits") <= maxHits)
+      .select(col(idCol), col("n_hits"), col("n_phrases_hit"),
+        col("pass"))
+  }
+
   /** [NS] — Shapley data valuation of sources under the COVERAGE game
     * (Shapley 1953): value of a source coalition = number of distinct
     * units (tokens, URLs, n-grams) it covers. For coverage games the

@@ -1167,6 +1167,50 @@ object CurationQueries {
     q334TrigramLm.oracle,
     doc = "[NS] incremental trigram merge == from-scratch build (twin-certified)")
 
+  /** [NS] — Aho–Corasick multi-phrase blocklist gate (q337):
+    * [[graft.operators.Curation.phraseBlocklistGate]] — the q323
+    * content-policy gate completed for PHRASE blocklists: one
+    * automaton pass per document (O(tokens + matches) regardless of
+    * phrase count), token-boundary semantics, case folded, overlapping
+    * occurrences all counted. The blocklist mixes 1/2/3-token phrases
+    * plus one absent phrase; the oracle replays every phrase as exact
+    * token-subsequence positions over the lowercased token list. */
+  val q337PhraseBlocklist = {
+    val phrases = Seq("Slow Key", "slow hash batch", "dup",
+      "fast gibberish")
+    def phraseCountSql(p: String): String = {
+      val toks = p.toLowerCase.split(" ")
+      val cond = toks.zipWithIndex.map { case (t, j) =>
+        val idx = if (j == 0) "i" else s"i+$j"
+        s"tk[$idx] = '$t'"
+      }.mkString(" AND ")
+      s"CAST(len(list_filter(range(1, len(tk) + 1), i -> $cond)) AS BIGINT)"
+    }
+    Q(
+      "q337_phrase_blocklist",
+      (s, d) => {
+        import s.implicits._
+        Curation.phraseBlocklistGate(Tables.documents(s, d), "doc_id",
+            "text", phrases, maxHits = 2L)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+            string_split(lower(text), ' ') AS tk FROM documents),
+        m AS (SELECT doc_id,
+            ${phrases.zipWithIndex.map { case (p, i) =>
+              s"${phraseCountSql(p)} AS c$i" }.mkString(",\n            ")}
+          FROM t)
+        SELECT doc_id,
+          ${phrases.indices.map(i => s"c$i").mkString(" + ")} AS n_hits,
+          CAST(${phrases.indices
+            .map(i => s"CASE WHEN c$i > 0 THEN 1 ELSE 0 END")
+            .mkString(" + ")} AS BIGINT) AS n_phrases_hit,
+          (${phrases.indices.map(i => s"c$i").mkString(" + ")}) <= 2
+            AS pass
+        FROM m ORDER BY doc_id"""),
+      doc = "[NS] Aho-Corasick phrase blocklist: one pass, token-boundary, case-folded")
+  }
+
   /** [NS] — shard mixing audit (q222): after [[graft.operators
     * .Curation.packShards]] balances shard SIZES, this audits what the
     * packing did to shard COMPOSITION — per shard: doc count, char
@@ -3259,5 +3303,5 @@ object CurationQueries {
     q285ContextFit, q286EpochAdvisor, q291SampleCert,
     q293LineIndexServe, q299CorpusAccounting, q301CorrelatedSample,
     q333CrawlE2e, q334TrigramLm, q335TrigramIndexServe,
-    q336TrigramIndexMerge)
+    q336TrigramIndexMerge, q337PhraseBlocklist)
 }

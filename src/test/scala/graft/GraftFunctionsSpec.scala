@@ -188,4 +188,45 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[String](0)
     assert(s === Seq.empty)
   }
+
+  test("graft_ac_counts: Aho-Corasick phrase counts — token boundaries, " +
+      "case folding, overlapping matches, shared prefixes via fail links") {
+    GraftFunctions.register(spark)
+    def counts(text: String, phrases: String): Seq[Long] =
+      spark.sql(s"SELECT graft_ac_counts('$text', '$phrases') AS c")
+        .collect()(0).getSeq[Long](0)
+    // token-boundary: 'low key' must NOT match inside 'slow key'
+    assert(counts("the slow key turns", "low key|slow key") ===
+      Seq(0L, 1L))
+    // case folding on both sides (phrase config and document text)
+    assert(counts("BAD Word here", "bad word") === Seq(1L))
+    // overlapping matches all count: 'a a' in 'a a a' occurs twice
+    assert(counts("a a a", "a a") === Seq(2L))
+    // fail links: after matching 'a b', the automaton must still catch
+    // 'b c' (suffix continuation), and a 1-token phrase nested inside a
+    // longer one counts independently
+    assert(counts("a b c d", "a b|b c|c") === Seq(1L, 1L, 1L))
+    assert(counts("x a a a y", "a|a a a") === Seq(3L, 1L))
+    // absent phrase → 0; empty text → all zeros
+    assert(counts("nothing to see", "free money now") === Seq(0L))
+    assert(counts("", "a|b c") === Seq(0L, 0L))
+  }
+
+  test("phraseBlocklistGate: gate columns fold the count array — " +
+      "inclusive budget, pass/block verdicts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text with nothing listed"),
+      (2L, "slow key appears once only"),
+      (3L, "slow key slow key slow key")).toDF("doc_id", "text")
+    val got = graft.operators.Curation.phraseBlocklistGate(
+        docs, "doc_id", "text", Seq("Slow Key", "free money"),
+        maxHits = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, true),
+      (2L, 1L, 1L, true),   // inclusive budget: 1 <= 2 passes
+      (3L, 3L, 1L, false))) // 3 > 2 blocks
+  }
 }

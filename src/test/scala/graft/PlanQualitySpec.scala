@@ -683,6 +683,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"stored trigram model not in the serving plan:\n$p")
   }
 
+  test("q337 phrase blocklist: ONE corpus scan, zero joins — the " +
+      "whole policy matches in a single codegen'd automaton pass") {
+    val p = plan("q337_phrase_blocklist")
+    val first = p.indexOf("documents.parquet")
+    assert(first >= 0 && p.indexOf("documents.parquet", first + 1) < 0,
+      s"expected exactly one corpus scan:\n$p")
+    assert(!p.contains("Join"),
+      s"phrase gate grew a join (per-phrase scans?):\n$p")
+    assert(!p.contains("Generate"),
+      s"phrase gate exploded tokens (second text pass?):\n$p")
+    // codegen markers only render in the executed plan ("*(n) Op" —
+    // the hot-scalar-paths test's device)
+    val df = SparkEntry.queries("q337_phrase_blocklist")(spark, sf)
+    df.collect()
+    val ex = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the text-sized work (the AC scan itself) must be inside a codegen
+    // stage; the downstream fold over the |phrases|-element count array
+    // uses HOFs (CodegenFallback in Spark) — array-sized, acceptable
+    val acLine = ex.linesIterator
+      .find(_.contains("graft_ac_counts")).getOrElse("")
+    assert(acLine.contains("*("),
+      s"the AC scan projection fell out of codegen:\n$ex")
+  }
+
   test("q209 phrase serving: zero corpus scans — the plan reads ONLY " +
       "stored positional postings with the phrase terms pushed to the " +
       "parquet reader") {
