@@ -1997,6 +1997,181 @@ object Analytics {
         col("w2_minus"), col("rbc_ppm"))
   }
 
+  /** [NS] — McNemar's test (McNemar 1947): the PAIRED-BINARY member of
+    * the nonparametric family — "did the same units flip between two
+    * conditions" (model A vs model B on the same prompts; clicked in
+    * period 1 vs period 2). Only the discordant cells carry signal:
+    * b = x∧¬y, c = ¬x∧y; the statistic is exact truncating ppm
+    * chi2_ppm = 10⁶·(b−c)² div (b+c), NULL when b+c = 0 (no
+    * discordance — nothing to test). The full 2×2 table rides along.
+    * One aggregate over the pair frame; rows with a NULL side are
+    * excluded (not a vote). Products run in decimal(38,0) so the
+    * squared discordance cannot wrap at any corpus size. */
+  def mcnemar(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col(xCol) && col(yCol), 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col(xCol) && !col(yCol), 1L).otherwise(0L))
+          .as("n_only_x"),
+        sum(when(!col(xCol) && col(yCol), 1L).otherwise(0L))
+          .as("n_only_y"),
+        sum(when(!col(xCol) && !col(yCol), 1L).otherwise(0L))
+          .as("n_neither"))
+      .select(
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        coalesce(col("n_only_x"), lit(0L)).as("n_only_x"),
+        coalesce(col("n_only_y"), lit(0L)).as("n_only_y"),
+        coalesce(col("n_neither"), lit(0L)).as("n_neither"))
+      .withColumn("chi2_ppm", expr(
+        "CASE WHEN n_only_x + n_only_y > 0 THEN CAST(" +
+          "cast(1000000 as decimal(38,0)) * (n_only_x - n_only_y) * " +
+          "(n_only_x - n_only_y) div (n_only_x + n_only_y) " +
+          "AS BIGINT) END"))
+
+  /** [NS] — Friedman test (Friedman 1937): the k-sample PAIRED member
+    * completing the nonparametric 2×2 — Mann–Whitney (2, unpaired),
+    * Kruskal–Wallis (k, unpaired), Wilcoxon signed-rank (2, paired),
+    * and now "does ANY treatment differ when every block sees all k
+    * treatments". Cell value = the block×treatment truncating integer
+    * mean; blocks missing a treatment drop (complete-block design,
+    * reported via n_blocks); within-block ties share exact DOUBLED
+    * midranks (the q305/q318/q328/q331 device), so every rank sum is
+    * an integer. Q rides the cleared-denominator identity
+    *   Q = 3·Σ_j R2_j² / (n·k·(k+1)) − 3·n·(k+1)
+    * (R2 = doubled ranks make Σ R_j² = Σ R2_j²/4 exact) as one
+    * truncating ppm number; Σ R2_j² runs in decimal(38,0). Output:
+    * one row per treatment (treatment, r2_sum, n_blocks, k, q_ppm —
+    * the statistic constant across rows, q328's readout convention).
+    *
+    * Scale: one (block, treatment) aggregate over the corpus, then
+    * windows partitioned BY BLOCK (k rows each — never a corpus-sized
+    * single partition) and a k-row final join. */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val cell = df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valCol).isNotNull)
+      .groupBy(col(blockCol).as("_b"), col(treatCol).as("_t"))
+      .agg(expr(s"sum(cast($valCol as decimal(38,0))) div count(*)")
+        .cast("long").as("_v"))
+    val kdf = cell.agg(countDistinct(col("_t")).cast("long").as("k"))
+    val full = cell
+      .withColumn("_nb",
+        count(lit(1)).over(Window.partitionBy(col("_b"))))
+      .crossJoin(broadcast(kdf))
+      .filter(col("_nb") === col("k"))
+    val ranked = full
+      .withColumn("_r", rank().over(
+        Window.partitionBy(col("_b")).orderBy(col("_v"))).cast("long"))
+      .withColumn("_ties", count(lit(1)).over(
+        Window.partitionBy(col("_b"), col("_v"))))
+      .withColumn("_r2", expr("2 * (_r - 1) + _ties + 1"))
+    val perT = ranked.groupBy(col("_t").as("treatment"))
+      .agg(sum(col("_r2")).as("r2_sum"),
+        count(lit(1)).as("n_blocks"))
+    val tot = perT.agg(
+      sum(expr("cast(r2_sum as decimal(38,0)) * r2_sum")).as("_ss"),
+      max(col("n_blocks")).as("_n"))
+    perT.crossJoin(broadcast(tot)).crossJoin(broadcast(kdf))
+      .withColumn("q_ppm", expr(
+        "CASE WHEN _n > 0 AND k > 1 THEN CAST(" +
+          "(cast(3000000 as decimal(38,0)) * _ss) div " +
+          "(cast(_n as decimal(38,0)) * k * (k + 1)) " +
+          "- 3000000 * _n * (k + 1) AS BIGINT) END"))
+      .select(col("treatment"), col("r2_sum"), col("n_blocks"),
+        col("k"), col("q_ppm"))
+  }
+
+  /** [NS] — Cochran's Q (Cochran 1950): the k-treatment PAIRED-BINARY
+    * test — [[mcnemar]] generalized the way [[friedman]] generalizes
+    * the signed-rank: "does ANY of k binary conditions differ when
+    * every block sees all k" (k model variants pass/fail on the same
+    * prompts). With C_j = per-treatment success counts, R_i = per-block
+    * success counts, T = ΣR_i, the cleared-denominator identity
+    *   Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)
+    * is emitted as exact truncating ppm (NULL when the denominator is
+    * 0 — every block all-0 or all-1, nothing to test; such blocks
+    * cancel identically in both terms, so they may stay). Products in
+    * decimal(38,0). Output: one row per treatment (treatment, c_j,
+    * n_blocks, k, q_ppm) — the [[friedman]] readout convention. */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+      flagCol: String): DataFrame = {
+    val cell = df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(flagCol).isNotNull)
+      .groupBy(col(blockCol).as("_b"), col(treatCol).as("_t"))
+      .agg(max(when(col(flagCol), 1L).otherwise(0L)).as("_x"))
+    val kdf = cell.agg(countDistinct(col("_t")).cast("long").as("k"))
+    val full = cell
+      .withColumn("_nb",
+        count(lit(1)).over(Window.partitionBy(col("_b"))))
+      .crossJoin(broadcast(kdf))
+      .filter(col("_nb") === col("k"))
+    val rows = full.groupBy(col("_b"), col("k"))
+      .agg(sum(col("_x")).as("_r"))
+    val rAgg = rows.agg(sum(col("_r")).as("_tt"),
+      sum(expr("cast(_r as decimal(38,0)) * _r")).as("_rr"),
+      count(lit(1)).as("_n"))
+    val perT = full.groupBy(col("_t").as("treatment"))
+      .agg(sum(col("_x")).as("c_j"), count(lit(1)).as("n_blocks"))
+    val cAgg = perT.agg(
+      sum(expr("cast(c_j as decimal(38,0)) * c_j")).as("_cc"))
+    perT.crossJoin(broadcast(rAgg)).crossJoin(broadcast(cAgg))
+      .crossJoin(broadcast(kdf))
+      .withColumn("q_ppm", expr(
+        "CASE WHEN k * _tt - _rr <> 0 THEN CAST(" +
+          "(cast(1000000 as decimal(38,0)) * (k - 1) * " +
+          "(k * _cc - cast(_tt as decimal(38,0)) * _tt)) div " +
+          "(k * cast(_tt as decimal(38,0)) - _rr) AS BIGINT) END"))
+      .select(col("treatment"), col("c_j"), col("n_blocks"), col("k"),
+        col("q_ppm"))
+  }
+
+  /** [NS] — Fleiss' kappa (Fleiss 1971): inter-annotator agreement for
+    * n raters per item over categorical labels — the >2-rater
+    * generalization the RLHF labeling floor actually needs (q196's
+    * Cohen kappa stops at 2). Input: one row per (item, rating);
+    * every item must carry exactly `n` ratings (caller slices — the
+    * q-fixture takes each item's first n events deterministically).
+    * With c_j = total ratings of category j, T = N·n, S = Σ n_ij²:
+    *   κ = [ (S − T)·T − (n−1)·Σ c_j² ] / [ (n−1)·(T² − Σ c_j²) ]
+    * — the single-fraction form of (P̄−P_e)/(1−P_e) with all
+    * denominators cleared, emitted as signed truncating ppm (both
+    * engines truncate toward zero). All products in decimal(38,0).
+    * Output: one row (n_items, n_raters, kappa_ppm, pbar_ppm, pe_ppm)
+    * where the two intermediate agreements are also exact ppm. */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      ratingCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"fleissKappa needs n >= 2 raters, got $n")
+    val cells = df
+      .groupBy(col(itemCol).as("_i"), col(ratingCol).as("_j"))
+      .agg(count(lit(1)).as("_nij"))
+    val s = cells.agg(
+      sum(expr("cast(_nij as decimal(38,0)) * _nij")).as("_s"),
+      countDistinct(col("_i")).as("_items"),
+      sum(col("_nij")).as("_t"))
+    val cj = cells.groupBy(col("_j")).agg(sum(col("_nij")).as("_cj"))
+      .agg(sum(expr("cast(_cj as decimal(38,0)) * _cj")).as("_cj2"))
+    s.crossJoin(broadcast(cj))
+      .withColumn("pbar_ppm", expr(
+        s"CASE WHEN _t > 0 THEN CAST((cast(1000000 as decimal(38,0)) * " +
+          s"(_s - _t)) div (cast(_t as decimal(38,0)) * ${n - 1}) " +
+          "AS BIGINT) END"))
+      .withColumn("pe_ppm", expr(
+        "CASE WHEN _t > 0 THEN CAST((cast(1000000 as decimal(38,0)) * " +
+          "_cj2) div (cast(_t as decimal(38,0)) * _t) AS BIGINT) END"))
+      .withColumn("kappa_ppm", expr(
+        s"CASE WHEN _t > 0 AND cast(_t as decimal(38,0)) * _t <> _cj2 " +
+          s"THEN CAST((cast(1000000 as decimal(38,0)) * " +
+          s"((_s - _t) * _t - ${n - 1} * _cj2)) div " +
+          s"(${n - 1} * (cast(_t as decimal(38,0)) * _t - _cj2)) " +
+          "AS BIGINT) END"))
+      .select(col("_items").as("n_items"), lit(n.toLong).as("n_raters"),
+        col("kappa_ppm"), col("pbar_ppm"), col("pe_ppm"))
+  }
+
   /** [NS] — Theil–Sen robust trend (Theil 1950/Sen 1968): the median of
     * all pairwise slopes per group, plus the matching median intercept
     * — the robust twin of [[trendSlope]] (one wild day shifts an OLS

@@ -2573,10 +2573,204 @@ object OpsQueries {
       FROM agg, nz"""),
     doc = "[NS] Wilcoxon signed-rank on paired per-user means, exact doubled midranks")
 
+  /** [NS] — McNemar's paired-binary test (q338):
+    * [[graft.operators.Analytics.mcnemar]] on per-user click behavior
+    * across two halves of the month (clicked in days 1–15 vs days
+    * 16–31) — "did the same users flip", the readout an A/B rollout
+    * or a model swap on fixed prompts needs. Only discordant users
+    * carry signal; the 2×2 table rides along. */
+  val q338Mcnemar = Q(
+    "q338_mcnemar",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"ts".isNotNull)
+      val pairs = ev.groupBy($"user_id")
+        .agg(
+          (max(when($"event_type" === "click" &&
+            dayofmonth($"ts") <= 15, 1).otherwise(0)) === 1).as("x"),
+          (max(when($"event_type" === "click" &&
+            dayofmonth($"ts") >= 16, 1).otherwise(0)) === 1).as("y"))
+      Analytics.mcnemar(pairs, "x", "y")
+    },
+    Some("""WITH p AS (SELECT user_id,
+          max(CASE WHEN event_type = 'click' AND day(ts) <= 15
+            THEN 1 ELSE 0 END) = 1 AS x,
+          max(CASE WHEN event_type = 'click' AND day(ts) >= 16
+            THEN 1 ELSE 0 END) = 1 AS y
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+          CAST(count(CASE WHEN x AND y THEN 1 END) AS BIGINT)
+            AS n_both,
+          CAST(count(CASE WHEN x AND NOT y THEN 1 END) AS BIGINT)
+            AS n_only_x,
+          CAST(count(CASE WHEN NOT x AND y THEN 1 END) AS BIGINT)
+            AS n_only_y,
+          CAST(count(CASE WHEN NOT x AND NOT y THEN 1 END) AS BIGINT)
+            AS n_neither
+        FROM p)
+      SELECT n_pairs, n_both, n_only_x, n_only_y, n_neither,
+        CASE WHEN n_only_x + n_only_y > 0 THEN
+          CAST((1000000::HUGEINT * (n_only_x - n_only_y) *
+            (n_only_x - n_only_y)) // (n_only_x + n_only_y) AS BIGINT)
+        END AS chi2_ppm
+      FROM agg"""),
+    doc = "[NS] McNemar paired-binary test: discordant-cell chi-square, exact ppm")
+
+  /** [NS] — Friedman test (q339):
+    * [[graft.operators.Analytics.friedman]] on per-user mean cents by
+    * event type — blocks = users seeing ALL five event types,
+    * treatments = event types, exact doubled midranks — the k-sample
+    * PAIRED member completing the nonparametric 2×2 (q318 MW, q328
+    * KW, q331 Wilcoxon). */
+  val q339Friedman = Q(
+    "q339_friedman",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("c", round($"value" * 100).cast("long"))
+        .filter($"user_id".isNotNull && $"event_type".isNotNull &&
+          $"value".isNotNull)
+      Analytics.friedman(ev, "user_id", "event_type", "c")
+        .orderBy($"treatment")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+          CAST(round(value * 100.0) AS BIGINT) AS c
+        FROM events WHERE user_id IS NOT NULL AND
+          event_type IS NOT NULL AND value IS NOT NULL),
+      cell AS (SELECT user_id AS b, event_type AS t,
+          CAST(sum(c::HUGEINT) // count(*) AS BIGINT) AS v
+        FROM ev GROUP BY 1, 2),
+      kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cell),
+      fb AS (SELECT b FROM cell GROUP BY b
+        HAVING count(*) = (SELECT k FROM kk)),
+      fc AS (SELECT cell.* FROM cell JOIN fb USING (b)),
+      rk AS (SELECT b, t, v,
+          rank() OVER (PARTITION BY b ORDER BY v) AS r,
+          count(*) OVER (PARTITION BY b, v) AS ties
+        FROM fc),
+      r2 AS (SELECT b, t, 2 * (r - 1) + ties + 1 AS r2 FROM rk),
+      pt AS (SELECT t AS treatment, CAST(sum(r2) AS BIGINT) AS r2_sum,
+          CAST(count(*) AS BIGINT) AS n_blocks
+        FROM r2 GROUP BY 1),
+      tt AS (SELECT sum(r2_sum::HUGEINT * r2_sum) AS ss,
+          max(n_blocks) AS n FROM pt)
+      SELECT treatment, r2_sum, n_blocks, k,
+        CASE WHEN n > 0 AND k > 1 THEN
+          CAST((3000000::HUGEINT * ss) // (n::HUGEINT * k * (k + 1))
+            - 3000000::HUGEINT * n * (k + 1) AS BIGINT)
+        END AS q_ppm
+      FROM pt, tt, kk ORDER BY treatment"""),
+    doc = "[NS] Friedman k-sample paired test, exact doubled midranks per block")
+
+  /** [NS] — Fleiss' kappa (q340):
+    * [[graft.operators.Analytics.fleissKappa]] with items = users and
+    * each item's three "annotations" = the event types of its first
+    * three events (deterministic (ts, event_id) order) — the >2-rater
+    * agreement floor for an RLHF labeling operation (q196's Cohen
+    * kappa stops at two raters). Single-fraction cleared-denominator
+    * kappa in signed truncating ppm. */
+  val q340FleissKappa = Q(
+    "q340_fleiss_kappa",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"event_type".isNotNull)
+      val first3 = ev
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+        .filter($"_rn" <= 3)
+      val eligible = first3.groupBy($"user_id")
+        .agg(count(lit(1)).as("_c")).filter($"_c" === 3)
+        .select($"user_id")
+      Analytics.fleissKappa(first3.join(eligible, Seq("user_id")),
+        "user_id", "event_type", n = 3)
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, ts, event_id
+        FROM events WHERE user_id IS NOT NULL AND
+          event_type IS NOT NULL),
+      rn AS (SELECT user_id, event_type, row_number() OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM ev),
+      f3 AS (SELECT user_id, event_type FROM rn WHERE rn <= 3),
+      ok AS (SELECT user_id FROM f3 GROUP BY user_id
+        HAVING count(*) = 3),
+      r AS (SELECT f3.user_id, f3.event_type FROM f3
+        JOIN ok USING (user_id)),
+      cells AS (SELECT user_id, event_type,
+          CAST(count(*) AS BIGINT) AS nij
+        FROM r GROUP BY 1, 2),
+      st AS (SELECT sum(nij::HUGEINT * nij) AS s,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS items,
+          CAST(sum(nij) AS BIGINT) AS t
+        FROM cells),
+      cj AS (SELECT sum(c2) AS cj2 FROM (SELECT
+          sum(nij)::HUGEINT * sum(nij) AS c2
+        FROM cells GROUP BY event_type))
+      SELECT items AS n_items, CAST(3 AS BIGINT) AS n_raters,
+        CASE WHEN t > 0 AND t::HUGEINT * t <> cj2 THEN
+          CAST((1000000::HUGEINT * ((s - t) * t - 2 * cj2)) //
+            (2 * (t::HUGEINT * t - cj2)) AS BIGINT) END AS kappa_ppm,
+        CASE WHEN t > 0 THEN
+          CAST((1000000::HUGEINT * (s - t)) // (t::HUGEINT * 2)
+            AS BIGINT) END AS pbar_ppm,
+        CASE WHEN t > 0 THEN
+          CAST((1000000::HUGEINT * cj2) // (t::HUGEINT * t)
+            AS BIGINT) END AS pe_ppm
+      FROM st, cj"""),
+    doc = "[NS] Fleiss' kappa: n-rater categorical agreement, cleared-denominator exact ppm")
+
+  /** [NS] — Cochran's Q (q341):
+    * [[graft.operators.Analytics.cochranQ]] on per-user binary
+    * "high-value event" flags by event type (value ≥ 50, users
+    * observed under all five types) — the k-treatment paired-binary
+    * member that squares the nonparametric grid: q318 MW (2,
+    * unpaired), q328 KW (k, unpaired), q331 Wilcoxon (2, paired),
+    * q339 Friedman (k, paired), q338 McNemar (2, paired-binary), and
+    * this (k, paired-binary). */
+  val q341CochranQ = Q(
+    "q341_cochran_q",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter($"user_id".isNotNull && $"event_type".isNotNull &&
+          $"value".isNotNull)
+        .withColumn("hi", $"value" >= 50.0)
+      Analytics.cochranQ(ev, "user_id", "event_type", "hi")
+        .orderBy($"treatment")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+          value >= 50.0 AS hi
+        FROM events WHERE user_id IS NOT NULL AND
+          event_type IS NOT NULL AND value IS NOT NULL),
+      cell AS (SELECT user_id AS b, event_type AS t,
+          CAST(max(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM ev GROUP BY 1, 2),
+      kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cell),
+      fb AS (SELECT b FROM cell GROUP BY b
+        HAVING count(*) = (SELECT k FROM kk)),
+      fc AS (SELECT cell.* FROM cell JOIN fb USING (b)),
+      rw AS (SELECT b, CAST(sum(x) AS BIGINT) AS r FROM fc GROUP BY b),
+      ra AS (SELECT CAST(sum(r) AS BIGINT) AS tt,
+          sum(r::HUGEINT * r) AS rr FROM rw),
+      pt AS (SELECT t AS treatment, CAST(sum(x) AS BIGINT) AS c_j,
+          CAST(count(*) AS BIGINT) AS n_blocks
+        FROM fc GROUP BY 1),
+      ca AS (SELECT sum(c_j::HUGEINT * c_j) AS cc FROM pt)
+      SELECT treatment, c_j, n_blocks, k,
+        CASE WHEN k * tt - rr <> 0 THEN
+          CAST((1000000::HUGEINT * (k - 1) *
+            (k * cc - tt::HUGEINT * tt)) //
+            (k * tt::HUGEINT - rr) AS BIGINT) END AS q_ppm
+      FROM pt, ra, ca, kk ORDER BY treatment"""),
+    doc = "[NS] Cochran's Q: k-treatment paired-binary test, cleared-denominator exact ppm")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q307TheilSen, q310StratifiedEffect, q313LDiversity,
     q320NeymanAllocation, q324ContributionBound, q328KruskalWallis,
-    q331WilcoxonSignedRank,
+    q331WilcoxonSignedRank, q338Mcnemar, q339Friedman, q340FleissKappa, q341CochranQ,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,

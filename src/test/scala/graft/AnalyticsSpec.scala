@@ -1338,4 +1338,99 @@ class AnalyticsSpec extends AnyFunSuite {
       ((0L, 2L, 0L, 0L)))
     assert(z.isNullAt(4))
   }
+
+  test("mcnemar: hand 2x2 table, discordant-only chi-square, " +
+      "all-concordant and empty inputs report null statistic") {
+    import spark.implicits._
+    def m(pairs: Seq[(Boolean, Boolean)]) = Analytics.mcnemar(
+      pairs.toDF("x", "y").repartition(3), "x", "y").collect().head
+    // both=1, only_x=2, only_y=1, neither=1 → chi2 = 1e6·(2−1)²/3
+    val r = m(Seq((true, true), (true, false), (true, false),
+      (false, true), (false, false)))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) === ((5L, 1L, 2L, 1L, 1L, 333333L)))
+    // all concordant: no discordance → statistic undefined
+    val c = m(Seq((true, true), (false, false)))
+    assert((c.getLong(0), c.getLong(1), c.getLong(4)) === ((2L, 1L, 1L)))
+    assert(c.isNullAt(5))
+    // empty input: zeros, null statistic
+    val e = m(Seq.empty)
+    assert((e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3),
+      e.getLong(4)) === ((0L, 0L, 0L, 0L, 0L)))
+    assert(e.isNullAt(5))
+  }
+
+  test("friedman: clean separation gives the classical Q, in-block " +
+      "ties share doubled midranks, incomplete blocks drop") {
+    import spark.implicits._
+    def f(rows: Seq[(Long, String, Long)]) = Analytics.friedman(
+        rows.toDF("b", "t", "v").repartition(3), "b", "t", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // 2 complete blocks, C > B > A in both → R2 = 4/8/12,
+    // Q = 3e6·224/24 − 3e6·8 = 4e6 (classical Q = 4); a third block
+    // missing treatment C must drop entirely
+    val r = f(Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "A", 11L), (2L, "B", 21L), (2L, "C", 31L),
+      (3L, "A", 99L), (3L, "B", 98L)))
+    assert(r === Seq(
+      ("A", 4L, 2L, 3L, 4000000L),
+      ("B", 8L, 2L, 3L, 4000000L),
+      ("C", 12L, 2L, 3L, 4000000L)))
+    // an all-tied block hands every treatment doubled midrank 4
+    // (positions 1..3 → mean 2); with the ordered block, sums differ
+    val t = f(Seq(
+      (1L, "A", 5L), (1L, "B", 5L), (1L, "C", 5L),
+      (2L, "A", 1L), (2L, "B", 2L), (2L, "C", 3L)))
+    assert(t.map(x => (x._1, x._2)) ===
+      Seq(("A", 6L), ("B", 8L), ("C", 10L)))
+  }
+
+  test("cochranQ: hand-worked 3-block/3-treatment table; degenerate " +
+      "all-0/all-1 blocks cancel and a uniform table reports null") {
+    import spark.implicits._
+    def q(rows: Seq[(Long, String, Boolean)]) = Analytics.cochranQ(
+        rows.toDF("b", "t", "f").repartition(3), "b", "t", "f")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(_._1).toSeq
+    // C=(3,2,1), T=6, ΣR²=14, ΣC²=14 → Q = 2·(42−36)/(18−14) = 3
+    val base = Seq(
+      (1L, "A", true), (1L, "B", true), (1L, "C", false),
+      (2L, "A", true), (2L, "B", false), (2L, "C", false),
+      (3L, "A", true), (3L, "B", true), (3L, "C", true))
+    assert(q(base) === Seq(
+      ("A", 3L, 3L, 3L, Some(3000000L)),
+      ("B", 2L, 3L, 3L, Some(3000000L)),
+      ("C", 1L, 3L, 3L, Some(3000000L))))
+    // an extra all-0 block cancels in both terms: Q unchanged
+    val padded = base ++ Seq((4L, "A", false), (4L, "B", false),
+      (4L, "C", false))
+    assert(q(padded).map(_._5) === Seq(Some(3000000L), Some(3000000L),
+      Some(3000000L)))
+    // uniform table (every block all-1): denominator 0 → null
+    val uni = Seq((1L, "A", true), (1L, "B", true),
+      (2L, "A", true), (2L, "B", true))
+    assert(q(uni).map(_._5) === Seq(None, None))
+  }
+
+  test("fleissKappa: the hand-worked 2-item/3-rater table, and " +
+      "perfect agreement reports null kappa (Pe = 1)") {
+    import spark.implicits._
+    def k(rows: Seq[(Long, String)]) = Analytics.fleissKappa(
+      rows.toDF("item", "rating").repartition(3), "item", "rating",
+      n = 3).collect().head
+    // item 1: a,a,a; item 2: a,b,b → S=14, T=6, Σc²=20:
+    // P̄ = 8/12 → 666666, Pe = 20/36 → 555555, κ = 8/32 → 250000
+    val r = k(Seq((1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "b"), (2L, "b")))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((2L, 3L, 250000L, 666666L, 555555L)))
+    // unanimous single category: Pe = 1, kappa undefined → null
+    val u = k(Seq((1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "a")))
+    assert(u.isNullAt(2))
+    assert(u.getLong(3) === 1000000L)
+  }
 }

@@ -21,6 +21,16 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  test("README's registered-query count matches the registry (the " +
+      "recurring count-drift item, made structurally impossible)") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val m = "(\\d+) registered queries".r.findFirstMatchIn(readme)
+    assert(m.isDefined, "README must state the registered-query count")
+    assert(m.get.group(1).toInt === SparkEntry.queries.size,
+      "README query count drifted from the registry — sync README.md")
+  }
+
   test("q46 HLL approx distinct lands within tolerance on every group") {
     val sf2 = "/root/testdata/sf0.01"
     val rows = SparkEntry.queries("q46_hll_distinct")(spark, sf2).collect()
