@@ -81,6 +81,17 @@ object BqIndex {
     }
   }
 
+  /** Structured Streaming ingest hook: each id-disjoint micro-batch of
+    * new vectors folds into the stored code table via
+    * [[appendIfAbsent]] with the batchId as the ledger tag, so
+    * checkpoint-replayed deliveries are no-ops — the
+    * [[LineIndex.foreachBatchMerge]] protocol at the 8-byte tier. */
+  def foreachBatchAppend(spark: SparkSession, dir: String,
+      idCol: String, vecCol: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      appendIfAbsent(spark, dir, batch, idCol, vecCol,
+        batchTag = s"epoch$batchId")
+
   /** Right-to-be-forgotten removal: rewrite the code table without the
     * given ids (anti-join against the broadcast removal list). The
     * table is 8 bytes/vector, so the decremental rewrite is the cheap

@@ -1554,6 +1554,85 @@ object Curation {
         col("n_hit2"), col("n_hit1"), col("mean_s_ppm"))
   }
 
+  /** [NS] Interpolated Kneser–Ney trigram scorer (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form) — the OTHER published
+    * smoothing tier on the same stored (w1,w2,w3,c3) table:
+    * [[trigramLmScore]]'s stupid backoff is the distributed-scale
+    * ranking score (Brants 2007); this is the proper probability,
+    * exact-integer with absolute discount D = 3/4 carried as the
+    * rational 3/4 (cleared denominators — no float ever):
+    *
+    *   p(w3|w1,w2) = (4·c3−3)·10⁶ div (4·c12)
+    *                 + λ₁₂·p_cont(w3|w2) div 10⁶,
+    *   λ₁₂ = 3·10⁶·T₃(w1,w2) div (4·c12)
+    *
+    * with the bigram level built from CONTINUATION counts of the
+    * trigram table itself (the KN device: N1+(·,w2,w3) types, not raw
+    * counts) and the unigram level the continuation-type distribution.
+    * Unseen trigram under a seen context → the λ·p_cont term alone;
+    * unseen context → full weight on the lower level (λ = 1). Every
+    * division is a truncating integer div in a FIXED order, so both
+    * engines agree bit-for-bit; the distribution property
+    * Σ_w3 p ≈ 10⁶ (up to accumulated truncation) is pinned in spec.
+    * Output: (idCol, n_trigrams, mean_p_ppm) — docs with < 3 tokens
+    * absent. */
+  def knTrigramScore(train: DataFrame, probe: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    knScoreFromModel(probe,
+      trigramFrame(train, idCol, textCol)
+        .groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c3")),
+      idCol, textCol)
+
+  /** The Kneser–Ney scoring tail shared by [[knTrigramScore]] (in-query
+    * model) and [[LmIndex.serveTrigramKn]] (stored model): `model` =
+    * (w1, w2, w3, c3); all three levels derive from the model itself. */
+  private[operators] def knScoreFromModel(probe: DataFrame,
+      model: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // top level: context totals + continuation-type counts
+    val ctx12 = model.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("t3"))
+    val tri = model.select(col("w1"), col("w2"), col("w3"), col("c3"))
+    // middle level (KN continuation): n1p2(w2,w3) = #distinct w1;
+    // per-context totals and type counts
+    val cont2 = model.groupBy(col("w2"), col("w3"))
+      .agg(countDistinct(col("w1")).as("n1p2"))
+    val ctx2 = cont2.groupBy(col("w2"))
+      .agg(sum(col("n1p2")).as("n1p2dot"), count(lit(1)).as("t2"))
+    // bottom level: p1(w3) = #distinct left-neighbors of w3 in the
+    // continuation-bigram set over the set's size
+    val bigSet = model.select(col("w2"), col("w3")).distinct()
+    val uniN = bigSet.agg(count(lit(1)).as("n1dot"))
+    val uni = bigSet.groupBy(col("w3"))
+      .agg(count(lit(1)).as("n1"))
+      .crossJoin(broadcast(uniN))
+      .withColumn("p1_ppm", expr("(1000000 * n1) div n1dot"))
+      .select(col("w3"), col("p1_ppm"))
+    trigramFrame(probe, idCol, textCol)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(cont2, Seq("w2", "w3"), "left")
+      .join(ctx2, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .withColumn("_p1", coalesce(col("p1_ppm"), lit(0L)))
+      .withColumn("_p2", expr(
+        "CASE WHEN n1p2dot IS NULL THEN _p1 ELSE " +
+          "(CASE WHEN n1p2 IS NOT NULL THEN " +
+          "((4 * n1p2 - 3) * 1000000) div (4 * n1p2dot) " +
+          "ELSE CAST(0 AS BIGINT) END) + " +
+          "(((3000000 * t2) div (4 * n1p2dot)) * _p1) div 1000000 END"))
+      .withColumn("_p", expr(
+        "CASE WHEN c12 IS NULL THEN _p2 ELSE " +
+          "(CASE WHEN c3 IS NOT NULL THEN " +
+          "((4 * c3 - 3) * 1000000) div (4 * c12) " +
+          "ELSE CAST(0 AS BIGINT) END) + " +
+          "(((3000000 * t3) div (4 * c12)) * _p2) div 1000000 END"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("_p")).as("_s"))
+      .withColumn("mean_p_ppm", expr("_s div n_trigrams"))
+      .select(col(idCol), col("n_trigrams"), col("mean_p_ppm"))
+  }
+
   /** [NS] Corpus-level line deduplication — the C4 "remove boilerplate
     * by global repetition" stage (Raffel et al. 2020 drop three-sentence
     * spans occurring more than once; the line-granular variant is what

@@ -182,4 +182,23 @@ object LmIndex {
       textCol: String, dir: String): DataFrame =
     Curation.sbScoreFromModel(probe, storedTrigram(spark, dir),
       idCol, textCol)
+
+  /** Interpolated Kneser–Ney scoring from the SAME stored trigram
+    * table — the proper-probability tier beside [[serveTrigram]]'s
+    * stupid-backoff ranking score; identical to
+    * [[Curation.knTrigramScore]] by shared-tail construction. */
+  def serveTrigramKn(spark: SparkSession, probe: DataFrame,
+      idCol: String, textCol: String, dir: String): DataFrame =
+    Curation.knScoreFromModel(probe, storedTrigram(spark, dir),
+      idCol, textCol)
+
+  /** Structured Streaming ingest hook for the trigram tier: each
+    * doc-disjoint micro-batch folds via [[mergeTrigramBatch]] with
+    * batchId as the epoch, so checkpoint-replayed deliveries are
+    * no-ops ([[LineIndex.foreachBatchMerge]]'s protocol). */
+  def foreachBatchMergeTrigram(spark: SparkSession, dir: String,
+      idCol: String, textCol: String): (DataFrame, Long) => Unit =
+    (batch, batchId) =>
+      mergeTrigramBatch(spark, batch, idCol, textCol, dir,
+        epoch = batchId)
 }

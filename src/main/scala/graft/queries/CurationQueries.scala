@@ -1167,6 +1167,99 @@ object CurationQueries {
     q334TrigramLm.oracle,
     doc = "[NS] incremental trigram merge == from-scratch build (twin-certified)")
 
+  /** [NS] — interpolated Kneser–Ney trigram scoring (q342, Kneser &
+    * Ney 1995 / Chen & Goodman 1999):
+    * [[graft.operators.Curation.knTrigramScore]] on the q214/q334
+    * train/probe split — the proper-probability smoothing tier beside
+    * q334's stupid-backoff ranking score, on the SAME count table:
+    * absolute discount 3/4 carried as a rational, continuation-count
+    * lower orders, fixed-order truncating divisions both engines
+    * replay bit-for-bit. */
+  val q342KnTrigram = Q(
+    "q342_kn_trigram",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Curation.knTrigramScore(
+          docs.filter($"doc_id" % 10 =!= 0),
+          docs.filter($"doc_id" % 10 === 0), "doc_id", "text")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id % 10 <> 0),
+      tg AS (SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+        FROM tr, unnest(range(1, len(l) - 1)) AS t(i)),
+      t3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+        FROM tg GROUP BY 1, 2, 3),
+      c12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12,
+          CAST(count(*) AS BIGINT) AS t3n
+        FROM t3 GROUP BY 1, 2),
+      cont2 AS (SELECT w2, w3,
+          CAST(count(DISTINCT w1) AS BIGINT) AS n1p2
+        FROM t3 GROUP BY 1, 2),
+      ctx2 AS (SELECT w2, CAST(sum(n1p2) AS BIGINT) AS n1p2dot,
+          CAST(count(*) AS BIGINT) AS t2
+        FROM cont2 GROUP BY 1),
+      bs AS (SELECT DISTINCT w2, w3 FROM t3),
+      un AS (SELECT CAST(count(*) AS BIGINT) AS n1dot FROM bs),
+      uni AS (SELECT w3,
+          (1000000 * CAST(count(*) AS BIGINT)) // n1dot AS p1
+        FROM bs, un GROUP BY w3, n1dot),
+      pr AS (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id % 10 = 0),
+      pt AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+        FROM pr, unnest(range(1, len(l) - 1)) AS t(i)),
+      j AS (SELECT pt.doc_id, t3.c3, c12.c12, c12.t3n, cont2.n1p2,
+          ctx2.n1p2dot, ctx2.t2, coalesce(uni.p1, 0) AS p1
+        FROM pt LEFT JOIN t3 USING (w1, w2, w3)
+        LEFT JOIN c12 USING (w1, w2)
+        LEFT JOIN cont2 USING (w2, w3)
+        LEFT JOIN ctx2 USING (w2)
+        LEFT JOIN uni USING (w3)),
+      l2 AS (SELECT doc_id, c3, c12, t3n,
+          CASE WHEN n1p2dot IS NULL THEN p1 ELSE
+            (CASE WHEN n1p2 IS NOT NULL THEN
+              ((4 * n1p2 - 3) * 1000000) // (4 * n1p2dot)
+              ELSE 0 END)
+            + (((3000000 * t2) // (4 * n1p2dot)) * p1) // 1000000
+          END AS p2
+        FROM j),
+      l3 AS (SELECT doc_id,
+          CASE WHEN c12 IS NULL THEN p2 ELSE
+            (CASE WHEN c3 IS NOT NULL THEN
+              ((4 * c3 - 3) * 1000000) // (4 * c12)
+              ELSE 0 END)
+            + (((3000000 * t3n) // (4 * c12)) * p2) // 1000000
+          END AS p
+        FROM l2),
+      sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+          CAST(sum(p) AS BIGINT) AS s
+        FROM l3 GROUP BY doc_id)
+      SELECT doc_id, n_trigrams,
+        CAST(s // n_trigrams AS BIGINT) AS mean_p_ppm
+      FROM sc ORDER BY doc_id"""),
+    doc = "[NS] interpolated Kneser-Ney trigram probability, exact rational discount 3/4")
+
+  /** [NS] — Kneser–Ney serving from the stored trigram table (q343):
+    * [[graft.operators.LmIndex.serveTrigramKn]] reads ONLY the q335
+    * artifact — one stored table serves BOTH smoothing tiers (stupid
+    * backoff for ranking, KN for calibrated probability), the
+    * single-sourced-store payoff. Oracle: q342's from-scratch SQL. */
+  val q343KnTrigramServe = Q(
+    "q343_kn_trigram_serve",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.operators.LmIndex.defaultDir(d + "_tri")
+      graft.operators.LmIndex.buildTrigramIfAbsent(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        dir, corpusTag = d + "#tri")
+      graft.operators.LmIndex.serveTrigramKn(s,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", dir)
+        .orderBy(col("doc_id"))
+    },
+    q342KnTrigram.oracle,
+    doc = "[NS] Kneser-Ney served from the shared stored trigram table (two tiers, one artifact)")
+
   /** [NS] — Aho–Corasick multi-phrase blocklist gate (q337):
     * [[graft.operators.Curation.phraseBlocklistGate]] — the q323
     * content-policy gate completed for PHRASE blocklists: one
@@ -3303,5 +3396,6 @@ object CurationQueries {
     q285ContextFit, q286EpochAdvisor, q291SampleCert,
     q293LineIndexServe, q299CorpusAccounting, q301CorrelatedSample,
     q333CrawlE2e, q334TrigramLm, q335TrigramIndexServe,
-    q336TrigramIndexMerge, q337PhraseBlocklist)
+    q336TrigramIndexMerge, q337PhraseBlocklist, q342KnTrigram,
+    q343KnTrigramServe)
 }

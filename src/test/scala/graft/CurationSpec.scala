@@ -639,6 +639,30 @@ class CurationSpec extends AnyFunSuite {
       (13L, 1L, 0L, 0L, 0L, 0L)))
   }
 
+  test("knTrigramScore: hand-worked interpolated Kneser-Ney — seen " +
+      "trigram, context-only backoff, unseen-context fallback, and " +
+      "the distribution property (sum over the vocab ≈ 1e6, " +
+      "truncation-tight)") {
+    import spark.implicits._
+    // model trigrams: abc:2, bcd:1, cda:1 → hand-derived (see q342):
+    // p(c|a,b)=812499, p(a|a,b)=p(d|a,b)=93749, p(b|a,b)=0;
+    // unseen context z z → full fallback to p1: p(c|z,z)=333333
+    val train = Seq((1L, "a b c d a"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val probe = Seq((10L, "a b c"), (11L, "a b a"), (12L, "a b d"),
+      (13L, "a b b"), (14L, "z z c")).toDF("doc_id", "text")
+    val got = graft.operators.Curation.knTrigramScore(
+        train, probe, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(10L -> 812499L, 11L -> 93749L, 12L -> 93749L,
+      13L -> 0L, 14L -> 333333L))
+    // distribution: the four vocab continuations of context (a,b) sum
+    // to 1e6 minus accumulated truncation (< 1 per division chain)
+    val mass = Seq(10L, 11L, 12L, 13L).map(got).sum
+    assert(mass <= 1000000L && mass >= 1000000L - 8L,
+      s"KN mass over the vocab drifted: $mass")
+  }
+
   test("LmIndex trigram tier: stored-model scoring equals the " +
       "in-query path; merge ∘ build ≡ build on the union; replayed " +
       "epochs no-op") {

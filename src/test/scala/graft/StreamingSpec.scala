@@ -1426,6 +1426,103 @@ class StreamingSpec extends AnyFunSuite {
     assert(ratings() === batchTwin(3), "replayed epoch double-counted")
   }
 
+  test("streaming BQ-index ingest: foreachBatchAppend folds " +
+      "id-disjoint vector batches into the stored code table across a " +
+      "restart; replays are no-ops; the folded table equals a " +
+      "from-scratch build") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.BqIndex
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val srcDir = Files.createTempDirectory("bqs_src").toString
+    val ckpt = Files.createTempDirectory("bqs_ckpt").toString
+    val idxDir = Files.createTempDirectory("bqs_idx").toString
+    BqIndex.build(spark, idxDir, e.filter($"vec_id" % 3 === 0),
+      "vec_id", "embedding")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(BqIndex.foreachBatchAppend(spark, idxDir,
+          "vec_id", "embedding"))
+        .start()
+      q.awaitTermination()
+    }
+    e.filter($"vec_id" % 3 === 1).select($"vec_id", $"embedding")
+      .coalesce(1).write.mode("append").json(srcDir)
+    runOnce()
+    e.filter($"vec_id" % 3 === 2).select($"vec_id", $"embedding")
+      .coalesce(1).write.mode("append").json(srcDir)
+    runOnce() // full restart from the same checkpoint
+    def codeSet(d: String) = BqIndex.codes(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = Files.createTempDirectory("bqs_scr").toString
+    BqIndex.build(spark, scratch, e, "vec_id", "embedding")
+    assert(codeSet(idxDir) === codeSet(scratch),
+      "streamed folds must equal the from-scratch build")
+    // replayed epoch (same ledger tag) must be a no-op
+    BqIndex.appendIfAbsent(spark, idxDir,
+      e.filter($"vec_id" % 3 === 2), "vec_id", "embedding",
+      batchTag = "epoch1")
+    assert(codeSet(idxDir) === codeSet(scratch),
+      "replayed epoch double-appended")
+  }
+
+  test("streaming trigram-LM ingest: foreachBatchMergeTrigram folds " +
+      "doc batches across a restart; replays no-op; the folded table " +
+      "serves BOTH smoothing tiers identically to a from-scratch model") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.LmIndex
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("lm3_src").toString
+    val ckpt = Files.createTempDirectory("lm3_ckpt").toString
+    val idxDir = Files.createTempDirectory("lm3_idx").toString
+    val seed = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    LmIndex.buildTrigram(seed, "doc_id", "text", idxDir)
+    val schema = "doc_id LONG, text STRING"
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(LmIndex.foreachBatchMergeTrigram(spark, idxDir,
+          "doc_id", "text"))
+        .start()
+      q.awaitTermination()
+    }
+    Files.write(Paths.get(srcDir, "b1.json"),
+      """{"doc_id":2,"text":"b c d e"}""".getBytes("UTF-8"))
+    runOnce()
+    Files.write(Paths.get(srcDir, "b2.json"),
+      """{"doc_id":3,"text":"a b c e"}""".getBytes("UTF-8"))
+    runOnce() // full restart
+    val union = seed.unionByName(Seq((2L, "b c d e"), (3L, "a b c e"))
+      .toDF("doc_id", "text"))
+    val probe = Seq((10L, "a b c d e")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(LmIndex.serveTrigram(spark, probe, "doc_id", "text",
+        idxDir)) ===
+      rows(graft.operators.Curation.trigramLmScore(union, probe,
+        "doc_id", "text")),
+      "stupid-backoff serve diverged from the from-scratch twin")
+    assert(rows(LmIndex.serveTrigramKn(spark, probe, "doc_id", "text",
+        idxDir)) ===
+      rows(graft.operators.Curation.knTrigramScore(union, probe,
+        "doc_id", "text")),
+      "KN serve diverged from the from-scratch twin")
+    // replaying the last committed epoch must not touch state
+    val before = graft.operators.TextIndex.current(idxDir)
+    LmIndex.mergeTrigramBatch(spark,
+      Seq((9L, "q r s")).toDF("doc_id", "text"), "doc_id", "text",
+      idxDir, epoch = before._2)
+    assert(graft.operators.TextIndex.current(idxDir) === before,
+      "replayed epoch must be a no-op")
+  }
+
   test("streaming crawl pipeline (q333 twin): micro-batched ingest " +
       "through the stored gates — dedup index folding admitted keys " +
       "forward — admits exactly the one-shot batch set, across a full " +
