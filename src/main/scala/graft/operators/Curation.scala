@@ -1759,8 +1759,9 @@ object Curation {
     * every later stage and every funnel readout reuses them. */
   def crawlStages(spark: SparkSession, pages: DataFrame, idCol: String,
       htmlCol: String, lineDir: String, dedupDir: String,
-      impDir: String, maxLineDocs: Long,
-      minScorePpm: Long): Seq[(String, DataFrame)] = {
+      impDir: String, maxLineDocs: Long, minScorePpm: Long,
+      lmDir: Option[String] = None,
+      minLmPpm: Long = 0L): Seq[(String, DataFrame)] = {
     val raw = pages.select(col(idCol))
     val ex = extractText(pages, idCol, htmlCol)
       .filter(length(col("clean_text")) > 0)
@@ -1777,7 +1778,18 @@ object Curation {
       gopherRules(flat(enc), idCol, "_flat")
         .filter(col("pass_all")).select(col(idCol)),
       Seq(idCol))
-    val cleaned = LineIndex.serve(spark, gop, idCol, "clean_text",
+    // optional LM-fluency stage (the CCNet gate): trigram stupid-backoff
+    // score from the STORED LmIndex trigram table trained on the
+    // archive's extracted pages — docs scoring under the floor die;
+    // docs with no trigrams cannot demonstrate fluency and die too
+    val lmStage = lmDir.map { dirLm =>
+      "lm_fluency" -> gop.join(
+        LmIndex.serveTrigram(spark, flat(gop), idCol, "_flat", dirLm)
+          .filter(col("mean_s_ppm") >= minLmPpm).select(col(idCol)),
+        Seq(idCol))
+    }
+    val afterLm = lmStage.map(_._2).getOrElse(gop)
+    val cleaned = LineIndex.serve(spark, afterLm, idCol, "clean_text",
         lineDir, maxLineDocs)
       .filter(col("kept_lines") > 0)
       .select(col(idCol), col("clean_text"))
@@ -1794,8 +1806,9 @@ object Curation {
         .select(col(idCol)),
       Seq(idCol))
     Seq("raw" -> raw, "extracted" -> ex, "encoding" -> enc,
-      "gopher" -> gop, "line_clean" -> cleaned, "dedup" -> deduped,
-      "admitted" -> admitted)
+      "gopher" -> gop) ++ lmStage.toSeq ++
+      Seq("line_clean" -> cleaned, "dedup" -> deduped,
+        "admitted" -> admitted)
   }
 
   /** [NS] — Gopher quality rules (Rae et al. 2021, Appendix A): the

@@ -3375,6 +3375,252 @@ object CurationQueries {
     },
     doc = "[NS] assembled crawl-ingest engine: markup -> admitted docs, xor-certified per stage")
 
+  /** [NS] — the crawl engine WITH the LM-fluency gate (q344): q333's
+    * assembled chain extended with the CCNet-position stage — trigram
+    * stupid-backoff scores from the STORED LmIndex (trained once on
+    * the archive's extracted pages) gate the batch between gopher and
+    * line-clean at a 90 000 ppm floor (the fixture's median — below-median fluency dies). Eight stages, each xor-
+    * certified; all four stored artifacts (LM, line, dedup,
+    * importance) serve-only. The oracle recomputes everything,
+    * including the LM and its backoff levels, from scratch. */
+  val q344CrawlLmFunnel = Q(
+    "q344_crawl_lm_funnel",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val arc = docs.filter($"doc_id" % 10 =!= 0)
+      val tag = d + "#crawlE2E"
+      val lineDir = graft.operators.LineIndex.defaultDir(tag)
+      graft.operators.LineIndex.buildIfAbsent(
+        Curation.extractText(DocQueries.crawlPage(arc), "doc_id",
+          "html"),
+        "doc_id", "clean_text", lineDir, corpusTag = tag)
+      val dedupDir = graft.operators.DedupIndex.defaultDir(tag)
+      graft.operators.DedupIndex.buildIfAbsent(arc, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, dir = dedupDir, corpusTag = tag)
+      val impDir = graft.operators.Importance.defaultDir(tag)
+      graft.operators.Importance.buildModelIfAbsent(
+        graft.operators.Importance.docBuckets(arc, "doc_id", "text",
+          64, carryCols = Seq("lang")),
+        $"lang" === "en", 64, impDir, tag = tag)
+      val lmDir = graft.operators.LmIndex.defaultDir(tag + "_lm")
+      graft.operators.LmIndex.buildTrigramIfAbsent(
+        Curation.extractText(DocQueries.crawlPage(arc), "doc_id",
+            "html")
+          .withColumn("_flat",
+            regexp_replace($"clean_text", "\n", " ")),
+        "doc_id", "_flat", lmDir, corpusTag = tag + "_lm")
+      val stages = Curation.crawlStages(s,
+        DocQueries.crawlPage(docs.filter($"doc_id" % 10 === 0)),
+        "doc_id", "html", lineDir, dedupDir, impDir,
+        maxLineDocs = 30L, minScorePpm = 1000000L,
+        lmDir = Some(lmDir), minLmPpm = 90000L)
+      val xorE = "coalesce(bit_xor(cast(conv(substring(md5(cast(" +
+        "doc_id as string)), 1, 15), 16, 10) AS BIGINT)), " +
+        "CAST(0 AS BIGINT))"
+      stages.zipWithIndex.map { case ((nm, df), i) =>
+        df.agg(count(lit(1)).as("n_docs"), expr(xorE).as("ids_xor"))
+          .select(lit(i.toLong).as("stage_ord"), lit(nm).as("stage"),
+            $"n_docs", $"ids_xor")
+      }.reduce(_ unionByName _).orderBy($"stage_ord")
+    },
+    Some {
+      val exB = Curation.extractTextSql(
+        "(SELECT * FROM documents WHERE doc_id % 10 = 0)", "doc_id",
+        DocQueries.crawlPageHtmlSql, "doc_id")
+      val exA = Curation.extractTextSql(
+        "(SELECT * FROM documents WHERE doc_id % 10 <> 0)", "doc_id",
+        DocQueries.crawlPageHtmlSql, "doc_id")
+      def xorSql(rel: String) =
+        s"""coalesce(bit_xor(CAST('0x' || substr(md5(doc_id::VARCHAR),
+          1, 15) AS BIGINT)), 0)"""
+      s"""WITH arc AS (SELECT doc_id, lang, text FROM documents
+          WHERE doc_id % 10 <> 0),
+        b0 AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+        ex AS ($exB),
+        s1 AS (SELECT doc_id, clean_text FROM ex
+          WHERE length(clean_text) > 0),
+        encm AS (SELECT doc_id,
+            CAST(length(clean_text) AS BIGINT) AS n_chars,
+            CAST(length(clean_text) -
+              length(replace(clean_text, chr(65533), '')) AS BIGINT)
+              AS repl_chars,
+            CAST(length(clean_text) - length(regexp_replace(clean_text,
+              '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+              AS BIGINT) AS ctl_chars,
+            CAST(length(clean_text) -
+              length(replace(clean_text, chr(195), '')) +
+              (length(clean_text) - length(replace(clean_text,
+                chr(226) || chr(8364), ''))) // 2 AS BIGINT)
+              AS moji_marks
+          FROM s1),
+        s2 AS (SELECT s1.doc_id, s1.clean_text
+          FROM s1 JOIN encm USING (doc_id)
+          WHERE repl_chars = 0 AND ctl_chars = 0 AND
+            (CASE WHEN n_chars > 0 THEN (1000000 * moji_marks) // n_chars
+              ELSE 0 END) < 10000),
+        gm AS (SELECT doc_id,
+            list_filter(string_split(replace(clean_text, chr(10), ' '),
+              ' '), x -> len(x) > 0) AS l,
+            replace(clean_text, chr(10), ' ') AS ft
+          FROM s2),
+        gf AS (SELECT doc_id,
+            CAST(len(l) AS BIGINT) AS n_words,
+            CAST(coalesce(list_sum(list_transform(l, x -> len(x))), 0)
+              AS BIGINT) AS sum_len,
+            CAST(len(ft) - len(replace(ft, '#', ''))
+              + (len(ft) - len(replace(ft, '...', ''))) // 3
+              AS BIGINT) AS sym_cnt,
+            CAST(len(list_filter(l, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS alpha_words,
+            CAST(len(list_intersect(list_distinct(l),
+              ['the','be','to','of','and','that','have','with','a','in']))
+              AS BIGINT) AS stop_n
+          FROM gm),
+        s3 AS (SELECT s2.doc_id, s2.clean_text
+          FROM s2 JOIN gf USING (doc_id)
+          WHERE n_words >= 50 AND n_words <= 100000
+            AND (CASE WHEN n_words > 0 THEN (100 * sum_len) // n_words
+              ELSE 0 END) BETWEEN 300 AND 1000
+            AND 1000 * sym_cnt < 100 * n_words
+            AND 5 * alpha_words >= 4 * n_words AND stop_n >= 2),
+        exA AS ($exA),
+        lmtr AS (SELECT doc_id, string_split(
+            replace(clean_text, chr(10), ' '), ' ') AS l FROM exA),
+        lmtg AS (SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+          FROM lmtr, unnest(range(1, len(l) - 1)) AS t(i)),
+        lmt3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+          FROM lmtg GROUP BY 1, 2, 3),
+        lmc12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12
+          FROM lmt3 GROUP BY 1, 2),
+        lmtri AS (SELECT w1, w2, w3, (1000000 * c3) // c12 AS sc3
+          FROM lmt3 JOIN lmc12 USING (w1, w2)),
+        lmb23 AS (SELECT w2, w3, CAST(sum(c3) AS BIGINT) AS c23
+          FROM lmt3 GROUP BY 1, 2),
+        lmcc2 AS (SELECT w2, CAST(sum(c3) AS BIGINT) AS c2
+          FROM lmt3 GROUP BY 1),
+        lmb2 AS (SELECT w2, w3, (400000 * c23) // c2 AS sc2
+          FROM lmb23 JOIN lmcc2 USING (w2)),
+        lmuu AS (SELECT w3, CAST(sum(c3) AS BIGINT) AS c3u
+          FROM lmt3 GROUP BY 1),
+        lmnn AS (SELECT CAST(sum(c3) AS BIGINT) AS n FROM lmt3),
+        lmu1 AS (SELECT w3, (160000 * c3u) // n AS sc1
+          FROM lmuu, lmnn),
+        s3f AS (SELECT doc_id, string_split(
+            replace(clean_text, chr(10), ' '), ' ') AS l FROM s3),
+        s3t AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+          FROM s3f, unnest(range(1, len(l) - 1)) AS t(i)),
+        s3sc AS (SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS nt,
+            CAST(sum(coalesce(sc3, sc2, sc1, 0)) AS BIGINT) AS sv
+          FROM s3t
+          LEFT JOIN lmtri USING (w1, w2, w3)
+          LEFT JOIN lmb2 USING (w2, w3)
+          LEFT JOIN lmu1 USING (w3)
+          GROUP BY doc_id),
+        s3l AS (SELECT s3.doc_id, s3.clean_text
+          FROM s3 JOIN s3sc USING (doc_id)
+          WHERE CAST(sv // nt AS BIGINT) >= 90000),
+        lfA AS (SELECT md5(line) AS h, count(DISTINCT doc_id) AS nd
+          FROM (SELECT doc_id, ln[t.p] AS line FROM
+              (SELECT doc_id, string_split(clean_text, chr(10)) AS ln
+                FROM exA) sp,
+              unnest(generate_series(1, len(ln))) AS t(p)
+            WHERE length(ln[t.p]) > 0)
+          GROUP BY 1),
+        bl AS (SELECT doc_id, t.p AS p, ln[t.p] AS line FROM
+            (SELECT doc_id, string_split(clean_text, chr(10)) AS ln
+              FROM s3l) sp,
+            unnest(generate_series(1, len(ln))) AS t(p)
+          WHERE length(ln[t.p]) > 0),
+        blf AS (SELECT bl.doc_id, bl.p, bl.line,
+            coalesce(lfA.nd, 0) AS nd
+          FROM bl LEFT JOIN lfA ON md5(bl.line) = lfA.h),
+        s4 AS (SELECT doc_id,
+            string_agg(CASE WHEN nd <= 30 THEN line END, chr(10)
+              ORDER BY p, line) AS text
+          FROM blf GROUP BY doc_id
+          HAVING count(CASE WHEN nd <= 30 THEN 1 END) > 0),
+        inc0 AS (SELECT doc_id, text FROM (SELECT doc_id, text,
+            min(doc_id) OVER (PARTITION BY md5(text)) AS w FROM s4)
+          WHERE doc_id = w),
+        inc1 AS (SELECT doc_id, text FROM inc0
+          WHERE md5(text) NOT IN (SELECT md5(text) FROM arc)),
+        tgI AS (${DocQueries.shinglesSqlFrom("inc1")}),
+        sigI AS (${DocQueries.minhashSigSqlFrom("tgI")}),
+        bI AS (${DocQueries.lshBandsSqlFrom("sigI")}),
+        tgA AS (${DocQueries.shinglesSqlFrom("arc")}),
+        sigA AS (${DocQueries.minhashSigSqlFrom("tgA")}),
+        bA AS (${DocQueries.lshBandsSqlFrom("sigA")}),
+        hit AS (SELECT DISTINCT i.doc_id FROM bI i JOIN bA a
+          ON i.band = a.band AND i.v0 = a.v0 AND i.v1 = a.v1),
+        inc2 AS (SELECT doc_id FROM inc1
+          WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+        ib2 AS (SELECT * FROM bI
+          WHERE doc_id IN (SELECT doc_id FROM inc2)),
+        cl AS (SELECT band, v0, v1, min(doc_id) AS w FROM ib2
+          GROUP BY 1, 2, 3),
+        st AS (SELECT i.doc_id, count(*) AS nb,
+            sum(CASE WHEN c.w = i.doc_id THEN 1 ELSE 0 END) AS nw
+          FROM ib2 i JOIN cl c
+            ON i.band = c.band AND i.v0 = c.v0 AND i.v1 = c.v1
+          GROUP BY i.doc_id),
+        ok AS (SELECT doc_id FROM st WHERE nb = nw
+          UNION SELECT doc_id FROM inc2
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM bI)),
+        s5 AS (SELECT s4.doc_id, s4.text FROM s4
+          WHERE doc_id IN (SELECT doc_id FROM inc2)
+            AND doc_id IN (SELECT doc_id FROM ok)),
+        tkA AS (SELECT doc_id, lang, unnest(list_filter(
+            string_split(text, ' '), x -> len(x) > 0)) AS tok FROM arc),
+        tbA AS (SELECT doc_id, lang,
+            CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64
+              AS bucket,
+            CAST(count(*) AS BIGINT) AS c
+          FROM tkA GROUP BY 1, 2, 3),
+        rawb AS (SELECT bucket, sum(c) AS cr FROM tbA GROUP BY bucket),
+        tgtb AS (SELECT bucket, sum(c) AS ct FROM tbA
+          WHERE lang = 'en' GROUP BY bucket),
+        totb AS (SELECT r.bucket, r.cr, coalesce(t.ct, 0) AS ct
+          FROM rawb r LEFT JOIN tgtb t ON t.bucket = r.bucket),
+        nb2 AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM totb),
+        lam AS (SELECT bucket,
+            CAST((1000000::HUGEINT * (ct + 1) * (nr + 64))
+              // ((cr + 1)::HUGEINT * (nt + 64)) AS BIGINT) AS lam_ppm
+          FROM totb, nb2),
+        tkB AS (SELECT doc_id, unnest(list_filter(string_split(
+            replace(text, chr(10), ' '), ' '), x -> len(x) > 0)) AS tok
+          FROM s5),
+        tbB AS (SELECT doc_id,
+            CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64
+              AS bucket,
+            CAST(count(*) AS BIGINT) AS c
+          FROM tkB GROUP BY 1, 2),
+        s6 AS (SELECT tbB.doc_id FROM tbB
+          JOIN lam l ON l.bucket = tbB.bucket
+          GROUP BY tbB.doc_id
+          HAVING CAST(sum(tbB.c::HUGEINT * l.lam_ppm) // sum(tbB.c)
+            AS BIGINT) >= 1000000)
+        SELECT * FROM (
+          SELECT CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage,
+            CAST(count(*) AS BIGINT) AS n_docs, ${xorSql("b0")} AS ids_xor
+            FROM b0
+          UNION ALL SELECT 1, 'extracted', count(*), ${xorSql("s1")}
+            FROM s1
+          UNION ALL SELECT 2, 'encoding', count(*), ${xorSql("s2")}
+            FROM s2
+          UNION ALL SELECT 3, 'gopher', count(*), ${xorSql("s3")} FROM s3
+          UNION ALL SELECT 4, 'lm_fluency', count(*), ${xorSql("s3l")}
+            FROM s3l
+          UNION ALL SELECT 5, 'line_clean', count(*), ${xorSql("s4")}
+            FROM s4
+          UNION ALL SELECT 6, 'dedup', count(*), ${xorSql("s5")} FROM s5
+          UNION ALL SELECT 7, 'admitted', count(*), ${xorSql("s6")}
+            FROM s6
+        ) ORDER BY stage_ord"""
+    },
+    doc = "[NS] crawl engine with the stored-LM fluency gate: 8 stages, xor-certified")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q306ScriptMix, q308GiniConcentration, q309Readability,
     q311UnimaxAllocation, q312LuhnAudit, q315ShapleyCoverage,
@@ -3397,5 +3643,5 @@ object CurationQueries {
     q293LineIndexServe, q299CorpusAccounting, q301CorrelatedSample,
     q333CrawlE2e, q334TrigramLm, q335TrigramIndexServe,
     q336TrigramIndexMerge, q337PhraseBlocklist, q342KnTrigram,
-    q343KnTrigramServe)
+    q343KnTrigramServe, q344CrawlLmFunnel)
 }

@@ -473,4 +473,28 @@ object PropertySpec extends Properties("graft") {
         }
       }
     }
+
+  // Aho–Corasick vs the obvious quadratic matcher: on random token
+  // streams and random phrase sets (shared prefixes, nested phrases,
+  // repeats), per-phrase counts must agree exactly — the automaton's
+  // fail links and output closure carry the whole burden here. Pure
+  // JVM (no Spark job), so this property can afford many runs.
+  private val acVocab = Gen.oneOf("a", "b", "c", "ab")
+  private val acCase = forAll(
+    Gen.listOfN(40, acVocab),
+    Gen.nonEmptyListOf(Gen.choose(1, 3)
+      .flatMap(n => Gen.listOfN(n, acVocab).map(_.mkString(" "))))
+      .map(_.distinct.take(6))) { (tokens, phrases) =>
+    val auto = graft.functions.AcAutomaton.build(phrases)
+    val counts = new Array[Long](phrases.length)
+    auto.countInto(tokens.toArray, counts)
+    val naive = phrases.map { p =>
+      val pt = p.split(" ")
+      (0 to tokens.length - pt.length).count(i =>
+        pt.indices.forall(j => tokens(i + j) == pt(j))).toLong
+    }
+    counts.toSeq == naive
+  }
+  property("AcAutomaton counts == naive all-positions matcher " +
+    "(fail links, output closure, overlaps)") = acCase
 }
