@@ -683,6 +683,26 @@ class PlanQualitySpec extends AnyFunSuite {
       s"stored trigram model not in the serving plan:\n$p")
   }
 
+  test("q339/q341 paired k-sample tests: every window is partitioned " +
+      "BY BLOCK — no corpus-sized single partition anywhere") {
+    Seq("q339_friedman", "q341_cochran_q").foreach { q =>
+      val p = plan(q)
+      // 1-row global aggregates legitimately combine via
+      // SinglePartition; the dangerous shape is a WINDOW with an empty
+      // partition spec (whole-corpus sort on one task). Formatted
+      // Window details print Arguments: [exprs], [partition], [order] —
+      // an empty partition spec renders as ", [], [".
+      val windows = p.split("\n\n").filter(b =>
+        b.linesIterator.nextOption.exists(_.matches("\\(\\d+\\) Window.*")))
+      assert(windows.nonEmpty, s"$q plan lost its rank windows:\n$p")
+      windows.foreach { b =>
+        assert(!b.contains(", [], ["),
+          s"$q has an unpartitioned (single-task) window:\n$b")
+      }
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
   test("q337 phrase blocklist: ONE corpus scan, zero joins — the " +
       "whole policy matches in a single codegen'd automaton pass") {
     val p = plan("q337_phrase_blocklist")

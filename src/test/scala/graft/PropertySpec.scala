@@ -497,4 +497,69 @@ object PropertySpec extends Properties("graft") {
   }
   property("AcAutomaton counts == naive all-positions matcher " +
     "(fail links, output closure, overlaps)") = acCase
+
+  // Friedman on random complete blocks with heavy ties vs an
+  // independent BigInt reference of the doubled-midrank Q identity.
+  private val friedmanBlocks: Gen[List[(Long, String, Long)]] = for {
+    n <- Gen.choose(3, 6)
+    vals <- Gen.listOfN(n * 3, Gen.choose(0L, 4L)) // small range → ties
+  } yield vals.grouped(3).zipWithIndex.flatMap { case (vs, b) =>
+    vs.zip(Seq("A", "B", "C")).map { case (v, t) => (b.toLong, t, v) }
+  }.toList
+
+  property("friedman == BigInt doubled-midrank reference on random " +
+    "tied complete blocks") = forAll(friedmanBlocks) { rows =>
+    val got = graft.operators.Analytics.friedman(
+        rows.toDF("b", "t", "v").repartition(3), "b", "t", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4))).toMap
+    // reference: per block, doubled midrank of each value; Q from the
+    // cleared-denominator identity
+    val k = 3
+    val r2sums = rows.groupBy(_._1).values.toSeq.foldLeft(
+      Map.empty[String, Long].withDefaultValue(0L)) { (acc, block) =>
+      val vs = block.map(_._3)
+      block.foldLeft(acc) { case (a, (_, t, v)) =>
+        val less = vs.count(_ < v)
+        val ties = vs.count(_ == v)
+        a.updated(t, a(t) + (2 * less + ties + 1))
+      }
+    }
+    val n = BigInt(rows.map(_._1).distinct.size)
+    val ss = r2sums.values.map(x => BigInt(x) * x).sum
+    val q = (BigInt(3000000) * ss) / (n * k * (k + 1)) -
+      BigInt(3000000) * n * (k + 1)
+    Seq("A", "B", "C").forall { t =>
+      got(t)._1 == r2sums(t) && got(t)._2 == q.toLong
+    }
+  }
+
+  // Cochran's Q vs the textbook definition computed in BigInt.
+  private val cochranBlocks: Gen[List[(Long, String, Boolean)]] = for {
+    n <- Gen.choose(3, 7)
+    bits <- Gen.listOfN(n * 3, Gen.oneOf(true, false))
+  } yield bits.grouped(3).zipWithIndex.flatMap { case (vs, b) =>
+    vs.zip(Seq("A", "B", "C")).map { case (v, t) => (b.toLong, t, v) }
+  }.toList
+
+  property("cochranQ == BigInt cleared-denominator reference on " +
+    "random binary blocks (incl. degenerate)") =
+    forAll(cochranBlocks) { rows =>
+      val got = graft.operators.Analytics.cochranQ(
+          rows.toDF("b", "t", "f").repartition(3), "b", "t", "f")
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+      val k = 3
+      val cj = Seq("A", "B", "C").map(t =>
+        BigInt(rows.count(r => r._2 == t && r._3)))
+      val ri = rows.groupBy(_._1).values.map(b =>
+        BigInt(b.count(_._3)))
+      val t = ri.sum
+      val den = k * t - ri.map(x => x * x).sum
+      val expect =
+        if (den == 0) None
+        else Some(((BigInt(1000000) * (k - 1) *
+          (k * cj.map(x => x * x).sum - t * t)) / den).toLong)
+      Seq("A", "B", "C").forall(tr => got(tr) == expect)
+    }
 }
