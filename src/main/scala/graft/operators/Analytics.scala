@@ -2048,8 +2048,11 @@ object Analytics {
     * Scale: one (block, treatment) aggregate over the corpus, then
     * windows partitioned BY BLOCK (k rows each — never a corpus-sized
     * single partition) and a k-row final join. */
-  def friedman(df: DataFrame, blockCol: String, treatCol: String,
-      valCol: String): DataFrame = {
+  /** Complete blocks of truncating-integer cell means, with exact
+    * DOUBLED within-block midranks — the shared front half of
+    * [[friedman]] and [[pageTrend]]: (_b, _t, _v, k, _r2). */
+  private def rankedCompleteBlocks(df: DataFrame, blockCol: String,
+      treatCol: String, valCol: String): DataFrame = {
     val cell = df
       .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
         col(valCol).isNotNull)
@@ -2057,17 +2060,22 @@ object Analytics {
       .agg(expr(s"sum(cast($valCol as decimal(38,0))) div count(*)")
         .cast("long").as("_v"))
     val kdf = cell.agg(countDistinct(col("_t")).cast("long").as("k"))
-    val full = cell
+    cell
       .withColumn("_nb",
         count(lit(1)).over(Window.partitionBy(col("_b"))))
       .crossJoin(broadcast(kdf))
       .filter(col("_nb") === col("k"))
-    val ranked = full
       .withColumn("_r", rank().over(
         Window.partitionBy(col("_b")).orderBy(col("_v"))).cast("long"))
       .withColumn("_ties", count(lit(1)).over(
         Window.partitionBy(col("_b"), col("_v"))))
       .withColumn("_r2", expr("2 * (_r - 1) + _ties + 1"))
+  }
+
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val ranked = rankedCompleteBlocks(df, blockCol, treatCol, valCol)
+    val kdf = ranked.select(col("k")).distinct()
     val perT = ranked.groupBy(col("_t").as("treatment"))
       .agg(sum(col("_r2")).as("r2_sum"),
         count(lit(1)).as("n_blocks"))
@@ -2082,6 +2090,103 @@ object Analytics {
           "- 3000000 * _n * (k + 1) AS BIGINT) END"))
       .select(col("treatment"), col("r2_sum"), col("n_blocks"),
         col("k"), col("q_ppm"))
+  }
+
+  /** [NS] — Page's trend test (Page 1963): [[friedman]] pointed at an
+    * A-PRIORI treatment ORDER — "do the treatments trend the way the
+    * hypothesis says", the ordered-alternative reading Friedman's
+    * any-difference Q cannot give. Same complete blocks and exact
+    * doubled midranks; the statistic is the weighted rank sum
+    * L2 = Σ_j j·R2_j (doubled L) against its exact null expectation
+    * E[L2] = n·k·(k+1)²/2 (always an integer); trend_agrees = L2 >
+    * E[L2]. `order` fixes the hypothesized ranks 1..k — treatments
+    * outside it drop. Output: one row per treatment (treatment, j,
+    * r2_sum, n_blocks, k, l2, e_l2, trend_agrees), statistic columns
+    * constant across rows ([[friedman]]'s readout convention). */
+  def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String, order: Seq[String]): DataFrame = {
+    require(order.nonEmpty && order.distinct.size == order.size,
+      "pageTrend needs a non-empty duplicate-free treatment order")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val ord = order.zipWithIndex.map { case (t, i) => (t, i + 1L) }
+      .toDF("_t", "j")
+    val ranked = rankedCompleteBlocks(
+      df.join(broadcast(ord.select(col("_t").as(treatCol))), treatCol),
+      blockCol, treatCol, valCol)
+    val perT = ranked.join(broadcast(ord), Seq("_t"))
+      .groupBy(col("_t").as("treatment"), col("j"))
+      .agg(sum(col("_r2")).as("r2_sum"), count(lit(1)).as("n_blocks"))
+    val kdf = ranked.select(col("k")).distinct()
+    val tot = perT.agg(
+      sum(expr("cast(j as decimal(38,0)) * r2_sum")).as("_l2"),
+      max(col("n_blocks")).as("_n"))
+    perT.crossJoin(broadcast(tot)).crossJoin(broadcast(kdf))
+      .withColumn("l2", expr("CAST(_l2 AS BIGINT)"))
+      .withColumn("e_l2", expr(
+        "CAST(cast(_n as decimal(38,0)) * k * (k + 1) * (k + 1) " +
+          "div 2 AS BIGINT)"))
+      .withColumn("trend_agrees", col("l2") > col("e_l2"))
+      .select(col("treatment"), col("j"), col("r2_sum"),
+        col("n_blocks"), col("k"), col("l2"), col("e_l2"),
+        col("trend_agrees"))
+  }
+
+  /** [NS] — Jonckheere–Terpstra (Jonckheere 1954 / Terpstra 1952): the
+    * ordered-alternative k-sample UNPAIRED test — q328's
+    * Kruskal–Wallis asks "does any group differ"; this asks "do the
+    * groups trend in the hypothesized order", as the sum of pairwise
+    * Mann–Whitney U's over ordered group pairs. Exact via DOUBLED U
+    * (2·wins + ties — integers under any tie pattern):
+    * J2 = Σ_{hi>lo} Σ_v c_hi(v)·(2·cumless_lo(v) + ties_lo(v)), computed
+    * value-collapsed (never row-pairs): per-group value histograms,
+    * one per-group prefix-sum window over the |values|-sized grid,
+    * and a histogram×grid join. Null expectation E[J2] =
+    * (N² − Σ n_g²)/2 exactly. Output: one row
+    * (n_total, k, j2, e_j2, trend_agrees). */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      valCol: String, order: Seq[String]): DataFrame = {
+    require(order.size >= 2 && order.distinct.size == order.size,
+      "jonckheereTerpstra needs >= 2 ordered distinct groups")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val ord = order.zipWithIndex.map { case (g, i) => (g, i + 1L) }
+      .toDF("_g", "_o")
+    val hist = df
+      .filter(col(groupCol).isNotNull && col(valCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        col(valCol).cast("long").as("_v"))
+      .join(broadcast(ord), Seq("_g"))
+      .groupBy(col("_g"), col("_o"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val allv = hist.select(col("_v")).distinct()
+    val grid = allv.crossJoin(broadcast(ord))
+      .join(hist.select(col("_g"), col("_v"), col("_c")),
+        Seq("_g", "_v"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+      .withColumn("_less", coalesce(
+        sum(col("_c")).over(Window.partitionBy(col("_g"))
+          .orderBy(col("_v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val j2 = hist.as("i")
+      .join(grid.as("j"), col("i._v") === col("j._v") &&
+        col("i._o") > col("j._o"))
+      .agg(coalesce(sum(expr(
+        "cast(`i`.`_c` as decimal(38,0)) * " +
+          "(2 * `j`.`_less` + `j`.`_c`)")),
+        expr("cast(0 as decimal(38,0))")).as("_j2"))
+    val sizes = hist.groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_n"))
+      .agg(sum(col("_n")).as("_nt"),
+        sum(expr("cast(_n as decimal(38,0)) * _n")).as("_nn"),
+        count(lit(1)).as("_k"))
+    sizes.crossJoin(broadcast(j2))
+      .select(col("_nt").as("n_total"), col("_k").as("k"),
+        expr("CAST(_j2 AS BIGINT)").as("j2"),
+        expr("CAST((cast(_nt as decimal(38,0)) * _nt - _nn) div 2 " +
+          "AS BIGINT)").as("e_j2"))
+      .withColumn("trend_agrees", col("j2") > col("e_j2"))
   }
 
   /** [NS] — Cochran's Q (Cochran 1950): the k-treatment PAIRED-BINARY

@@ -2767,10 +2767,109 @@ object OpsQueries {
       FROM pt, ra, ca, kk ORDER BY treatment"""),
     doc = "[NS] Cochran's Q: k-treatment paired-binary test, cleared-denominator exact ppm")
 
+  /** [NS] — Page's trend test (q345):
+    * [[graft.operators.Analytics.pageTrend]] on the q339 blocks with
+    * the alphabetical event-type order as the a-priori hypothesis —
+    * the ordered-alternative PAIRED member: Friedman's Q says "some
+    * treatment differs", Page's L says whether they trend in the
+    * hypothesized order. Exact doubled ranks, exact integer E[L2]. */
+  val q345PageTrend = Q(
+    "q345_page_trend",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("c", round($"value" * 100).cast("long"))
+        .filter($"user_id".isNotNull && $"event_type".isNotNull &&
+          $"value".isNotNull)
+      Analytics.pageTrend(ev, "user_id", "event_type", "c",
+        order = Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy($"treatment")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+          CAST(round(value * 100.0) AS BIGINT) AS c
+        FROM events WHERE user_id IS NOT NULL AND
+          event_type IS NOT NULL AND value IS NOT NULL),
+      ord AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+          ('purchase', 3), ('signup', 4), ('view', 5)) o(t, j)),
+      cell AS (SELECT user_id AS b, event_type AS t,
+          CAST(sum(c::HUGEINT) // count(*) AS BIGINT) AS v
+        FROM ev WHERE event_type IN (SELECT t FROM ord)
+        GROUP BY 1, 2),
+      kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cell),
+      fb AS (SELECT b FROM cell GROUP BY b
+        HAVING count(*) = (SELECT k FROM kk)),
+      fc AS (SELECT cell.* FROM cell JOIN fb USING (b)),
+      rk AS (SELECT b, t, v,
+          rank() OVER (PARTITION BY b ORDER BY v) AS r,
+          count(*) OVER (PARTITION BY b, v) AS ties
+        FROM fc),
+      r2 AS (SELECT b, t, 2 * (r - 1) + ties + 1 AS r2 FROM rk),
+      pt AS (SELECT r2.t AS treatment, CAST(ord.j AS BIGINT) AS j,
+          CAST(sum(r2.r2) AS BIGINT) AS r2_sum,
+          CAST(count(*) AS BIGINT) AS n_blocks
+        FROM r2 JOIN ord ON ord.t = r2.t GROUP BY 1, 2),
+      tt AS (SELECT sum(j::HUGEINT * r2_sum) AS l2,
+          max(n_blocks) AS n FROM pt)
+      SELECT treatment, j, r2_sum, n_blocks, k,
+        CAST(l2 AS BIGINT) AS l2,
+        CAST((n::HUGEINT * k * (k + 1) * (k + 1)) // 2 AS BIGINT)
+          AS e_l2,
+        l2 > (n::HUGEINT * k * (k + 1) * (k + 1)) // 2 AS trend_agrees
+      FROM pt, tt, kk ORDER BY treatment"""),
+    doc = "[NS] Page's L trend test: ordered-alternative Friedman, exact doubled ranks")
+
+  /** [NS] — Jonckheere–Terpstra (q346):
+    * [[graft.operators.Analytics.jonckheereTerpstra]] on per-event
+    * cents by event type under the alphabetical order — the
+    * ordered-alternative UNPAIRED member (q328's KW asks "any
+    * difference"); doubled pairwise Mann–Whitney U's summed over
+    * ordered group pairs, value-collapsed (histograms + one prefix
+    * window — never row-pairs), exact integer null expectation. */
+  val q346Jonckheere = Q(
+    "q346_jonckheere",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .withColumn("c", round($"value" * 100).cast("long"))
+        .filter($"event_type".isNotNull && $"value".isNotNull)
+      Analytics.jonckheereTerpstra(ev, "event_type", "c",
+        order = Seq("click", "error", "purchase", "signup", "view"))
+    },
+    Some("""WITH ord AS (SELECT * FROM (VALUES ('click', 1),
+          ('error', 2), ('purchase', 3), ('signup', 4), ('view', 5))
+          o(g, o)),
+      ev AS (SELECT event_type AS g,
+          CAST(round(value * 100.0) AS BIGINT) AS v
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      hist AS (SELECT g, o, v, CAST(count(*) AS BIGINT) AS c
+        FROM ev JOIN ord USING (g) GROUP BY 1, 2, 3),
+      allv AS (SELECT DISTINCT v FROM hist),
+      grid AS (SELECT ord.g, ord.o, allv.v,
+          coalesce(h.c, 0) AS c
+        FROM allv CROSS JOIN ord
+        LEFT JOIN hist h ON h.g = ord.g AND h.v = allv.v),
+      pre AS (SELECT g, o, v, c,
+          coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS lessc
+        FROM grid),
+      jj AS (SELECT coalesce(sum(i.c::HUGEINT *
+            (2 * j.lessc + j.c)), 0) AS j2
+        FROM hist i JOIN pre j ON i.v = j.v AND i.o > j.o),
+      sz AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+          sum(n::HUGEINT * n) AS nn, CAST(count(*) AS BIGINT) AS k
+        FROM (SELECT g, sum(c) AS n FROM hist GROUP BY g))
+      SELECT nt AS n_total, k, CAST(j2 AS BIGINT) AS j2,
+        CAST((nt::HUGEINT * nt - nn) // 2 AS BIGINT) AS e_j2,
+        j2 > (nt::HUGEINT * nt - nn) // 2 AS trend_agrees
+      FROM sz, jj"""),
+    doc = "[NS] Jonckheere-Terpstra ordered k-sample trend, doubled U, value-collapsed")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q307TheilSen, q310StratifiedEffect, q313LDiversity,
     q320NeymanAllocation, q324ContributionBound, q328KruskalWallis,
-    q331WilcoxonSignedRank, q338Mcnemar, q339Friedman, q340FleissKappa, q341CochranQ,
+    q331WilcoxonSignedRank, q338Mcnemar, q339Friedman, q340FleissKappa, q341CochranQ, q345PageTrend,
+    q346Jonckheere,
     q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,

@@ -1415,6 +1415,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(q(uni).map(_._5) === Seq(None, None))
   }
 
+  test("pageTrend: hand-worked L2 against the exact null expectation; " +
+      "forward and reversed hypotheses are mirror images summing to " +
+      "2E[L2]") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "A", 11L), (2L, "B", 21L), (2L, "C", 31L))
+    def run(order: Seq[String]) = Analytics.pageTrend(
+        rows.toDF("b", "t", "v").repartition(3), "b", "t", "v", order)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(5),
+        r.getLong(6), r.getBoolean(7))).sortBy(_._1).toSeq
+    // R2 = (4, 8, 12); forward order: L2 = 4+16+36 = 56 > E = 48
+    val f = run(Seq("A", "B", "C"))
+    assert(f.map(x => (x._1, x._2)) === Seq(("A", 1L), ("B", 2L),
+      ("C", 3L)))
+    assert(f.forall(x => x._3 === 56L && x._4 === 48L && x._5))
+    // reversed: L2 = 12+16+12 = 40 < 48, and 56 + 40 = 2·48
+    val r = run(Seq("C", "B", "A"))
+    assert(r.forall(x => x._3 === 40L && x._4 === 48L && !x._5))
+  }
+
+  test("jonckheereTerpstra: hand-worked doubled-U sum with ties; " +
+      "forward + reversed orders account for every cross pair twice") {
+    import spark.implicits._
+    val rows = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L),
+      ("C", 4L))
+    def run(order: Seq[String]) = {
+      val r = Analytics.jonckheereTerpstra(
+        rows.toDF("g", "v").repartition(3), "g", "v", order)
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))
+    }
+    // U2(A,B)=7 (one tie), U2(A,C)=4, U2(B,C)=4 → J2=15; E=(25−9)/2=8
+    assert(run(Seq("A", "B", "C")) === ((5L, 3L, 15L, 8L, true)))
+    // reversal: every cross pair contributes 2 in total across the two
+    // directions → J2_fwd + J2_rev = 2·Σ_{i<j} n_i·n_j = 16
+    val rev = run(Seq("C", "B", "A"))
+    assert(rev._3 === 1L && !rev._5)
+  }
+
   test("fleissKappa: the hand-worked 2-item/3-rater table, and " +
       "perfect agreement reports null kappa (Pe = 1)") {
     import spark.implicits._
