@@ -95,6 +95,36 @@ object LineIndex {
     TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
   }
 
+  /** Right-to-be-forgotten removal: distinct-doc line counts are sums
+    * under doc-disjointness, so forgetting documents is the exact
+    * inverse of [[mergeBatch]] — subtract the removed docs' per-line
+    * document counts, drop rows that reach zero. The batch must be a
+    * subset of what was indexed (guarded); `epoch` arms the replay
+    * no-op guard (subtraction is not idempotent without it). The
+    * forget law (decremental ≡ rebuild-on-the-remaining) extended to
+    * the line-frequency artifact. */
+  def removeBatch(spark: SparkSession, batch: DataFrame, idCol: String,
+      textCol: String, dir: String, epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = TextIndex.current(dir)
+    require(gen >= 0,
+      s"LineIndex.removeBatch: no index at $dir — build() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return
+    val bc = Curation.lineFrame(batch, idCol, textCol)
+      .groupBy(col("_h")).agg(countDistinct(col(idCol)).as("_bnd"))
+      .localCheckpoint(true)
+    val stored = storedFreq(spark, dir)
+    val merged = stored
+      .join(bc, Seq("_h"), "left")
+      .select(col("_h"),
+        (col("_nd") - coalesce(col("_bnd"), lit(0L))).as("_nd"))
+    val bad = merged.filter(col("_nd") < 0).count()
+    require(bad == 0,
+      s"LineIndex.removeBatch: $bad line counts would go negative — " +
+        "the removal batch is not a subset of the indexed corpus")
+    writeGen(merged.filter(col("_nd") > 0), dir, gen + 1)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+  }
+
   /** [NS] — Structured Streaming ingest hook: each doc-disjoint
     * micro-batch folds into the stored table via [[mergeBatch]] with
     * batchId as the epoch, so checkpoint-replayed deliveries are

@@ -192,6 +192,41 @@ object LmIndex {
     Curation.knScoreFromModel(probe, storedTrigram(spark, dir),
       idCol, textCol)
 
+  /** Right-to-be-forgotten removal for the trigram tier: counts are
+    * sums, so forgetting documents is the EXACT inverse of
+    * [[mergeTrigramBatch]] — subtract the removed docs' trigram counts
+    * and drop rows that reach zero. Requires the batch to be a subset
+    * of what was trained (a count would go negative otherwise — the
+    * require guards it); `epoch` ≥ 0 arms the replayed-delivery no-op
+    * guard (removal is NOT idempotent without it: a replay would
+    * subtract twice). Extends the forget law (q254/q267/q268/q330:
+    * decremental ≡ rebuild-on-the-remaining) to count-table models. */
+  def removeTrigramBatch(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, dir: String,
+      epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = TextIndex.current(dir)
+    require(gen >= 0,
+      s"LmIndex.removeTrigramBatch: no model at $dir — buildTrigram() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return
+    val bc = Curation.trigramFrame(batch, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("bc3"))
+      .localCheckpoint(true)
+    val stored = storedTrigram(spark, dir)
+    val merged = stored
+      .join(bc, Seq("w1", "w2", "w3"), "left")
+      .select(col("w1"), col("w2"), col("w3"),
+        (col("c3") - coalesce(col("bc3"), lit(0L))).as("c3"))
+    // a negative count means the batch was NOT a training subset —
+    // fail loudly rather than persist a corrupt model
+    val bad = merged.filter(col("c3") < 0).count()
+    require(bad == 0,
+      s"removeTrigramBatch: $bad trigram counts would go negative — " +
+        "the removal batch is not a subset of the trained corpus")
+    writeGen3(merged.filter(col("c3") > 0), dir, gen + 1)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+  }
+
   /** Structured Streaming ingest hook for the trigram tier: each
     * doc-disjoint micro-batch folds via [[mergeTrigramBatch]] with
     * batchId as the epoch, so checkpoint-replayed deliveries are

@@ -1260,6 +1260,86 @@ object CurationQueries {
     q342KnTrigram.oracle,
     doc = "[NS] Kneser-Ney served from the shared stored trigram table (two tiers, one artifact)")
 
+  /** [NS] — trigram-LM forget certificate (q347):
+    * [[graft.operators.LmIndex.removeTrigramBatch]] — build the
+    * trigram model on the full train corpus, FORGET the doc_id ≡ 4
+    * (mod 5) slice (counts are sums, so removal subtracts the slice's
+    * counts and drops zeros — the exact inverse of q336's merge),
+    * then serve. The oracle rebuilds from scratch on the REMAINING
+    * train docs only: a green row proves decremental forget ≡ rebuild
+    * — the q254/q267/q268/q330 law extended to count-table models
+    * (machine unlearning for the quality gate's LM). */
+  val q347TrigramForget = Q(
+    "q347_trigram_forget",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val dir = graft.operators.LmIndex.defaultDir(d + "_tri_forget")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#tri+forget") {
+        graft.operators.LmIndex.buildTrigram(train, "doc_id", "text",
+          dir)
+        graft.operators.LmIndex.removeTrigramBatch(s,
+          train.filter(col("doc_id") % 5 === 4), "doc_id", "text", dir)
+      }
+      graft.operators.LmIndex.serveTrigram(s,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", dir)
+        .orderBy(col("doc_id"))
+    },
+    q334TrigramLm.oracle.map(_.replace(
+      "WHERE doc_id % 10 <> 0",
+      "WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 4")),
+    doc = "[NS] trigram-LM forget: decremental count removal == remaining-only rebuild (served)")
+
+  /** [NS] — line-index forget certificate (q348):
+    * [[graft.operators.LineIndex.removeBatch]] — the q293 frequency
+    * table built on the full extracted corpus, the doc_id ≡ 3 (mod 7)
+    * documents FORGOTTEN (distinct-doc counts subtract under the
+    * doc-disjointness contract), then a remaining-cohort batch is
+    * cleaned against the decremented table. Oracle: frequencies
+    * recomputed over the REMAINING docs only — forget ≡ rebuild at
+    * the line-frequency artifact. */
+  val q348LineIndexForget = Q(
+    "q348_line_index_forget",
+    (s, d) => {
+      import s.implicits._
+      val ex = Curation.extractText(
+        DocQueries.crawlPage(Tables.documents(s, d)), "doc_id", "html")
+      val dir = graft.operators.LineIndex.defaultDir(d + "#lines_forget")
+      graft.operators.TextIndex.withFingerprint(dir,
+        d + "#lines+forget") {
+        graft.operators.LineIndex.build(ex, "doc_id", "clean_text", dir)
+        graft.operators.LineIndex.removeBatch(s,
+          ex.filter($"doc_id" % 7 === 3), "doc_id", "clean_text", dir)
+      }
+      graft.operators.LineIndex.serve(s,
+        ex.filter($"doc_id" % 10 === 0 && $"doc_id" % 7 =!= 3),
+        "doc_id", "clean_text", dir, maxDocs = 30L)
+        .orderBy($"doc_id")
+    },
+    Some {
+      val exSql = Curation.extractTextSql("documents", "doc_id",
+        DocQueries.crawlPageHtmlSql, "doc_id")
+      s"""WITH sp AS (SELECT doc_id,
+            string_split(clean_text, chr(10)) AS ln FROM ($exSql) e),
+        l AS (SELECT doc_id, t.p AS p, ln[t.p] AS line
+          FROM sp, unnest(generate_series(1, len(ln))) AS t(p)
+          WHERE length(ln[t.p]) > 0),
+        f AS (SELECT md5(line) AS h, count(DISTINCT doc_id) AS nd
+          FROM l WHERE doc_id % 7 <> 3 GROUP BY 1),
+        j AS (SELECT doc_id, p, line, nd
+          FROM l JOIN f ON md5(line) = f.h
+          WHERE doc_id % 10 = 0 AND doc_id % 7 <> 3)
+        SELECT doc_id,
+          coalesce(string_agg(CASE WHEN nd <= 30 THEN line END, chr(10)
+            ORDER BY p), '') AS clean_text,
+          CAST(count(CASE WHEN nd <= 30 THEN 1 END) AS BIGINT)
+            AS kept_lines,
+          CAST(count(CASE WHEN nd > 30 THEN 1 END) AS BIGINT)
+            AS dropped_lines
+        FROM j GROUP BY doc_id ORDER BY doc_id"""
+    },
+    doc = "[NS] line-index forget: decremental doc-count removal == remaining-only rebuild (served)")
+
   /** [NS] — Aho–Corasick multi-phrase blocklist gate (q337):
     * [[graft.operators.Curation.phraseBlocklistGate]] — the q323
     * content-policy gate completed for PHRASE blocklists: one
@@ -3643,5 +3723,6 @@ object CurationQueries {
     q293LineIndexServe, q299CorpusAccounting, q301CorrelatedSample,
     q333CrawlE2e, q334TrigramLm, q335TrigramIndexServe,
     q336TrigramIndexMerge, q337PhraseBlocklist, q342KnTrigram,
-    q343KnTrigramServe, q344CrawlLmFunnel)
+    q343KnTrigramServe, q344CrawlLmFunnel, q347TrigramForget,
+    q348LineIndexForget)
 }

@@ -703,6 +703,76 @@ class CurationSpec extends AnyFunSuite {
       spark, probe, "doc_id", "text", dir)) === scratch)
   }
 
+  test("LmIndex trigram forget: decremental removal equals a " +
+      "remaining-only rebuild code-for-code; replays no-op; " +
+      "over-removal fails loudly instead of persisting a corrupt model") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files
+      .createTempDirectory("lm3_forget").toString
+    val train = docs.filter($"doc_id" % 10 =!= 0)
+    val probe = docs.filter($"doc_id" % 10 === 0)
+    graft.operators.LmIndex.buildTrigram(train, "doc_id", "text", dir)
+    graft.operators.LmIndex.removeTrigramBatch(spark,
+      train.filter($"doc_id" % 5 === 4), "doc_id", "text", dir,
+      epoch = 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(graft.operators.LmIndex.serveTrigram(spark, probe,
+        "doc_id", "text", dir)) ===
+      rows(graft.operators.Curation.trigramLmScore(
+        train.filter($"doc_id" % 5 =!= 4), probe, "doc_id", "text")),
+      "forget must equal the remaining-only rebuild")
+    // replayed removal epoch: state untouched
+    val before = graft.operators.TextIndex.current(dir)
+    graft.operators.LmIndex.removeTrigramBatch(spark,
+      train.filter($"doc_id" % 5 === 4), "doc_id", "text", dir,
+      epoch = 1L)
+    assert(graft.operators.TextIndex.current(dir) === before)
+    // over-removal: subtracting more copies than the model holds
+    val tiny = java.nio.file.Files
+      .createTempDirectory("lm3_guard").toString
+    graft.operators.LmIndex.buildTrigram(
+      Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", tiny)
+    graft.operators.LmIndex.removeTrigramBatch(spark,
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", tiny)
+    intercept[IllegalArgumentException] {
+      graft.operators.LmIndex.removeTrigramBatch(spark,
+        Seq((2L, "a b c"), (5L, "a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", tiny)
+    }
+  }
+
+  test("LineIndex forget: decremental doc-count removal equals a " +
+      "remaining-only rebuild; replays no-op; over-removal guarded") {
+    import spark.implicits._
+    import graft.operators.LineIndex
+    val all4 = Seq((1L, "alpha\nboiler"), (2L, "beta\nboiler"),
+      (3L, "gamma\nboiler"), (4L, "delta\nboiler"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("li_forget").toString
+    LineIndex.build(all4, "doc_id", "text", dir)
+    LineIndex.removeBatch(spark,
+      all4.filter($"doc_id" <= 2), "doc_id", "text", dir, epoch = 1L)
+    def freq(d: String) = LineIndex.storedFreq(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    val scratch = java.nio.file.Files
+      .createTempDirectory("li_forget_s").toString
+    LineIndex.build(all4.filter($"doc_id" > 2), "doc_id", "text",
+      scratch)
+    assert(freq(dir) === freq(scratch),
+      "forget must equal the remaining-only rebuild")
+    val before = graft.operators.TextIndex.current(dir)
+    LineIndex.removeBatch(spark, all4.filter($"doc_id" <= 2),
+      "doc_id", "text", dir, epoch = 1L)
+    assert(graft.operators.TextIndex.current(dir) === before)
+    intercept[IllegalArgumentException] {
+      LineIndex.removeBatch(spark, all4, "doc_id", "text", dir)
+    }
+  }
+
   test("curationExplain: verdicts partition the corpus and their " +
       "totals equal the funnel's stage deltas exactly") {
     import spark.implicits._
