@@ -1523,10 +1523,10 @@ class StreamingSpec extends AnyFunSuite {
       "replayed epoch must be a no-op")
   }
 
-  test("streaming crawl pipeline (q333 twin): micro-batched ingest " +
-      "through the stored gates — dedup index folding admitted keys " +
-      "forward — admits exactly the one-shot batch set, across a full " +
-      "restart") {
+  test("streaming crawl pipeline (q333/q344 twin): micro-batched " +
+      "ingest through all four stored gates (incl. the LM fluency " +
+      "stage) — dedup index folding admitted keys forward — admits " +
+      "exactly the one-shot batch set, across a full restart") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
     import graft.operators.{Curation, DedupIndex, Importance, LineIndex}
@@ -1541,19 +1541,26 @@ class StreamingSpec extends AnyFunSuite {
     val ddBatch = Files.createTempDirectory("crawl_dd_b").toString
     val ddStream = Files.createTempDirectory("crawl_dd_s").toString
     val impDir = Files.createTempDirectory("crawl_imp").toString
-    LineIndex.build(
-      Curation.extractText(DocQueries.crawlPage(arc), "doc_id", "html"),
-      "doc_id", "clean_text", lineDir)
+    val lmDir = Files.createTempDirectory("crawl_lm").toString
+    val arcPages = Curation.extractText(
+      DocQueries.crawlPage(arc), "doc_id", "html")
+    LineIndex.build(arcPages, "doc_id", "clean_text", lineDir)
     DedupIndex.build(arc, "doc_id", "text", 3, 8, 4, ddBatch)
     DedupIndex.build(arc, "doc_id", "text", 3, 8, 4, ddStream)
     Importance.buildModel(
       Importance.docBuckets(arc, "doc_id", "text", 64, Seq("lang")),
       $"lang" === "en", 64, impDir)
+    // the q344 composition: the stored-LM fluency stage rides too
+    graft.operators.LmIndex.buildTrigram(
+      arcPages.withColumn("_flat",
+        regexp_replace($"clean_text", "\n", " ")),
+      "doc_id", "_flat", lmDir)
     val pages = DocQueries.crawlPage(docs.filter($"doc_id" % 10 === 0))
       .select($"doc_id", $"html")
     def admitted(dd: String, batch: org.apache.spark.sql.DataFrame) =
       Curation.crawlStages(spark, batch, "doc_id", "html", lineDir,
-        dd, impDir, maxLineDocs = 30L, minScorePpm = 1000000L).last._2
+        dd, impDir, maxLineDocs = 30L, minScorePpm = 1000000L,
+        lmDir = Some(lmDir), minLmPpm = 90000L).last._2
     val batchSet = admitted(ddBatch, pages)
       .select($"doc_id").as[Long].collect().toSet
     assert(batchSet.nonEmpty, "fixture must admit something")
