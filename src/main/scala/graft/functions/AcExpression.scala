@@ -92,10 +92,19 @@ final class AcAutomaton(phraseTokens: Array[Array[String]])
 }
 
 object AcAutomaton {
-  /** Build from raw phrases: case-fold, split on single spaces. */
+  /** Build from raw phrases: case-fold, split on single spaces. An
+    * empty token (leading/trailing/consecutive spaces in a phrase) is
+    * rejected loudly — it would match the empty tokens that consecutive
+    * spaces in documents produce, turning a config typo into phantom
+    * blocklist hits. */
   def build(phrases: Seq[String]): AcAutomaton =
-    new AcAutomaton(phrases.map(_.toLowerCase(java.util.Locale.ROOT)
-      .split(" ", -1)).toArray)
+    new AcAutomaton(phrases.map { p =>
+      val toks = p.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+      require(toks.forall(_.nonEmpty),
+        s"blocklist phrase '$p' contains an empty token " +
+          "(leading/trailing/consecutive spaces)")
+      toks
+    }.toArray)
 }
 
 /** Per-row AC scan: ARRAY<BIGINT> of per-phrase match counts in the

@@ -98,11 +98,17 @@ object GraftFunctions {
           s"graft_ac_counts expects 2 arguments, got ${args.length}")
         val phrases = args(1) match {
           case e if e.foldable && e.eval() != null =>
-            e.eval().toString.split("\\|").toSeq
+            // -1 limit keeps trailing empty segments visible so the
+            // blank-phrase check below rejects them instead of silently
+            // dropping them ('a|b|' would otherwise pass as 2 phrases)
+            e.eval().toString.split("\\|", -1).toSeq
           case other => throw new IllegalArgumentException(
             "graft_ac_counts argument 2 must be a constant " +
               s"'|'-joined phrase list, got $other")
         }
+        require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty),
+          "graft_ac_counts: blank phrase segment in '|'-joined list " +
+            s"'${args(1).eval()}'")
         AcPhraseCounts(args(0), phrases)
       }))
 

@@ -2123,9 +2123,16 @@ object Analytics {
       max(col("n_blocks")).as("_n"))
     perT.crossJoin(broadcast(tot)).crossJoin(broadcast(kdf))
       .withColumn("l2", expr("CAST(_l2 AS BIGINT)"))
+      // guard: E[L2] = n·k·(k+1)²/2 assumes the hypothesized ranks are
+      // exactly 1..k — if a treatment named in `order` has NO data rows,
+      // k (counted from data) shrinks while j keeps its original
+      // position, silently skewing the expectation. Fail loudly instead.
       .withColumn("e_l2", expr(
-        "CAST(cast(_n as decimal(38,0)) * k * (k + 1) * (k + 1) " +
-          "div 2 AS BIGINT)"))
+        s"CASE WHEN k = ${order.size}L THEN " +
+          "CAST(cast(_n as decimal(38,0)) * k * (k + 1) * (k + 1) " +
+          "div 2 AS BIGINT) ELSE raise_error(concat(" +
+          "'pageTrend: only ', cast(k as string), " +
+          s"' of ${order.size} ordered treatments present in data')) END"))
       .withColumn("trend_agrees", col("l2") > col("e_l2"))
       .select(col("treatment"), col("j"), col("r2_sum"),
         col("n_blocks"), col("k"), col("l2"), col("e_l2"),
@@ -2259,16 +2266,28 @@ object Analytics {
       sum(col("_nij")).as("_t"))
     val cj = cells.groupBy(col("_j")).agg(sum(col("_nij")).as("_cj"))
       .agg(sum(expr("cast(_cj as decimal(38,0)) * _cj")).as("_cj2"))
-    s.crossJoin(broadcast(cj))
+    // guard: the formula is only valid when EVERY item carries exactly
+    // n ratings (the stated contract) — an unsliced input would produce
+    // a silently wrong kappa, so fail loudly on the first violation
+    val itemChk = cells.groupBy(col("_i")).agg(sum(col("_nij")).as("_ni"))
+      .agg(min(col("_ni")).as("_nmin"), max(col("_ni")).as("_nmax"))
+    val guard = s"_t > 0 AND (_nmin <> ${n}L OR _nmax <> ${n}L)"
+    val guardErr = "raise_error(concat('fleissKappa: every item must " +
+      s"carry exactly $n ratings; observed per-item min=', " +
+      "cast(_nmin as string), ' max=', cast(_nmax as string)))"
+    s.crossJoin(broadcast(cj)).crossJoin(broadcast(itemChk))
       .withColumn("pbar_ppm", expr(
-        s"CASE WHEN _t > 0 THEN CAST((cast(1000000 as decimal(38,0)) * " +
+        s"CASE WHEN $guard THEN $guardErr " +
+          s"WHEN _t > 0 THEN CAST((cast(1000000 as decimal(38,0)) * " +
           s"(_s - _t)) div (cast(_t as decimal(38,0)) * ${n - 1}) " +
           "AS BIGINT) END"))
       .withColumn("pe_ppm", expr(
-        "CASE WHEN _t > 0 THEN CAST((cast(1000000 as decimal(38,0)) * " +
+        s"CASE WHEN $guard THEN $guardErr " +
+          "WHEN _t > 0 THEN CAST((cast(1000000 as decimal(38,0)) * " +
           "_cj2) div (cast(_t as decimal(38,0)) * _t) AS BIGINT) END"))
       .withColumn("kappa_ppm", expr(
-        s"CASE WHEN _t > 0 AND cast(_t as decimal(38,0)) * _t <> _cj2 " +
+        s"CASE WHEN $guard THEN $guardErr " +
+          s"WHEN _t > 0 AND cast(_t as decimal(38,0)) * _t <> _cj2 " +
           s"THEN CAST((cast(1000000 as decimal(38,0)) * " +
           s"((_s - _t) * _t - ${n - 1} * _cj2)) div " +
           s"(${n - 1} * (cast(_t as decimal(38,0)) * _t - _cj2)) " +

@@ -1522,18 +1522,25 @@ object Curation {
       model: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ctx12 = model.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c3")).as("c12"))
+    // ppm numerators in decimal(38,0): 10⁶ × a corpus-scale count wraps
+    // long at counts ≈ 9.2e12 — stop-word trigrams at web-corpus scale
+    // reach that range (the Bloom.advisor overflow class); the quotient
+    // itself is ppm-sized, so `div`'s LongType result is safe
     val tri = model.join(ctx12, Seq("w1", "w2"))
-      .withColumn("s3_ppm", expr("(1000000 * c3) div c12"))
+      .withColumn("s3_ppm",
+        expr("(1000000 * cast(c3 as decimal(38,0))) div c12"))
       .select(col("w1"), col("w2"), col("w3"), col("s3_ppm"))
     val b2 = model.groupBy(col("w2"), col("w3"))
       .agg(sum(col("c3")).as("c23"))
       .join(model.groupBy(col("w2")).agg(sum(col("c3")).as("c2")),
         Seq("w2"))
-      .withColumn("s2_ppm", expr("(400000 * c23) div c2"))
+      .withColumn("s2_ppm",
+        expr("(400000 * cast(c23 as decimal(38,0))) div c2"))
       .select(col("w2"), col("w3"), col("s2_ppm"))
     val u1 = model.groupBy(col("w3")).agg(sum(col("c3")).as("c3u"))
       .crossJoin(broadcast(model.agg(sum(col("c3")).as("n"))))
-      .withColumn("s1_ppm", expr("(160000 * c3u) div n"))
+      .withColumn("s1_ppm",
+        expr("(160000 * cast(c3u as decimal(38,0))) div n"))
       .select(col("w3"), col("s1_ppm"))
     trigramFrame(probe, idCol, textCol)
       .join(tri, Seq("w1", "w2", "w3"), "left")
@@ -1606,7 +1613,8 @@ object Curation {
     val uni = bigSet.groupBy(col("w3"))
       .agg(count(lit(1)).as("n1"))
       .crossJoin(broadcast(uniN))
-      .withColumn("p1_ppm", expr("(1000000 * n1) div n1dot"))
+      .withColumn("p1_ppm",
+        expr("(1000000 * cast(n1 as decimal(38,0))) div n1dot"))
       .select(col("w3"), col("p1_ppm"))
     trigramFrame(probe, idCol, textCol)
       .join(tri, Seq("w1", "w2", "w3"), "left")
@@ -1615,18 +1623,27 @@ object Curation {
       .join(ctx2, Seq("w2"), "left")
       .join(uni, Seq("w3"), "left")
       .withColumn("_p1", coalesce(col("p1_ppm"), lit(0L)))
+      // discount numerators in decimal(38,0): (4·count − 3)·10⁶ wraps
+      // long at counts ≈ 2.3e12 (see [[sbScoreFromModel]]'s note); the
+      // λ·p products stay long — both factors are ppm-bounded
       .withColumn("_p2", expr(
         "CASE WHEN n1p2dot IS NULL THEN _p1 ELSE " +
           "(CASE WHEN n1p2 IS NOT NULL THEN " +
-          "((4 * n1p2 - 3) * 1000000) div (4 * n1p2dot) " +
+          "((4 * cast(n1p2 as decimal(38,0)) - 3) * 1000000) " +
+          "div (4 * cast(n1p2dot as decimal(38,0))) " +
           "ELSE CAST(0 AS BIGINT) END) + " +
-          "(((3000000 * t2) div (4 * n1p2dot)) * _p1) div 1000000 END"))
+          "(((3000000 * cast(t2 as decimal(38,0))) " +
+          "div (4 * cast(n1p2dot as decimal(38,0)))) * _p1) " +
+          "div 1000000 END"))
       .withColumn("_p", expr(
         "CASE WHEN c12 IS NULL THEN _p2 ELSE " +
           "(CASE WHEN c3 IS NOT NULL THEN " +
-          "((4 * c3 - 3) * 1000000) div (4 * c12) " +
+          "((4 * cast(c3 as decimal(38,0)) - 3) * 1000000) " +
+          "div (4 * cast(c12 as decimal(38,0))) " +
           "ELSE CAST(0 AS BIGINT) END) + " +
-          "(((3000000 * t3) div (4 * c12)) * _p2) div 1000000 END"))
+          "(((3000000 * cast(t3 as decimal(38,0))) " +
+          "div (4 * cast(c12 as decimal(38,0)))) * _p2) " +
+          "div 1000000 END"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("_p")).as("_s"))
       .withColumn("mean_p_ppm", expr("_s div n_trigrams"))

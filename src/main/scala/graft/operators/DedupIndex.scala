@@ -13,32 +13,59 @@ import org.apache.spark.sql.functions._
   * reference's skip-if-archived probe, `cmds/archive.py:126-129`).
   *
   *  - [[build]] / [[buildIfAbsent]]: one-time derivation — the archive's
-  *    distinct content hashes and distinct MinHash band keys written to
-  *    parquet, with a `_graft_dedup_meta.json` fingerprint (corpus tag +
-  *    shingle/signature geometry + format version) making rebuilds
-  *    idempotent and letting repeated invocations skip derivation.
+  *    PER-DOCUMENT content-hash rows and MinHash band-key rows written
+  *    to parquet as generation 0, with a `_graft_dedup_meta.json`
+  *    fingerprint (corpus tag + shingle/signature geometry + format
+  *    version) making rebuilds idempotent and letting repeated
+  *    invocations skip derivation.
   *  - [[gate]]: admit a new batch through
   *    [[Dedup.dedupIncrementalProbe]]'s four layers, with layers 2–3
   *    probing the STORED tables (explicit schemas — no footer inference
   *    per query). No archive text is read anywhere in the plan.
   *  - [[append]]: after a gated batch is committed to the corpus, add
-  *    its admitted docs' hashes and band keys (mode=append — duplicate
+  *    its admitted docs' hash and band rows (mode=append — duplicate
   *    keys across files are harmless because both probes are
   *    semi-joins; compact with a periodic `distinct` rewrite when file
   *    count matters).
+  *  - [[removeDocs]]: certified forget — the [[TextIndex.removeDocs]]
+  *    law at the dedup archive. Because v2 rows carry their source doc
+  *    id, removal is ONE anti-join per table (the easy case of the
+  *    q347 count-subtraction pattern): the forgotten docs' rows leave,
+  *    every other row passes through byte-identical, and a doc whose
+  *    text a SURVIVOR shares keeps gating through the survivor's own
+  *    rows — exactly the remaining-only rebuild. Without this the
+  *    archive retains hash/band rows DERIVED from purged documents and
+  *    keeps rejecting future twins of deleted content — the RTBF hole
+  *    the round-8 verdict called the one remaining compliance defect.
   *
-  * Scale notes: both tables are aggregates over the corpus — the hash
-  * set is one 32-char string per distinct document, the band table
-  * `bands` longs per doc. Probing is an equi-join on those keys; the
-  * batch, not the archive, pays every exchange.
+  * Storage protocol: generations + an atomically-advanced pointer file
+  * (shared with [[TextIndex]] — genDir/current/advance), so a reader
+  * always sees a complete index and forget is crash-safe; probes and
+  * appends address the CURRENT generation through [[hashesPath]] /
+  * [[bandsPath]].
+  *
+  * Scale notes: both tables are per-doc derivations over the corpus —
+  * one 32-char hash row per document, `bands` band-key rows per doc.
+  * Probing is an equi-join on the key columns; the batch, not the
+  * archive, pays every exchange. Forget is archive-sized in the worst
+  * case (one full rewrite) but shuffles nothing: both anti-joins
+  * broadcast the forget-id set.
   */
 object DedupIndex {
 
-  /** Bump when the layout or derivation semantics change. */
-  private val FormatVersion = 1
+  /** Bump when the layout or derivation semantics change. v2: rows
+    * carry `_id` (the source doc id) so [[removeDocs]] can anti-join —
+    * a v1 index (keys only) auto-rebuilds via the fingerprint. */
+  private val FormatVersion = 2
 
-  def hashesPath(dir: String) = s"$dir/hashes"
-  def bandsPath(dir: String)  = s"$dir/bands"
+  def hashesPath(dir: String): String = {
+    val (g, _) = TextIndex.current(dir)
+    s"${TextIndex.genDir(dir, g.max(0L))}/hashes"
+  }
+  def bandsPath(dir: String): String = {
+    val (g, _) = TextIndex.current(dir)
+    s"${TextIndex.genDir(dir, g.max(0L))}/bands"
+  }
   private def metaPath(dir: String) = s"$dir/_graft_dedup_meta.json"
 
   /** Per-corpus index location (same convention as [[AnnIndex]]). */
@@ -50,15 +77,29 @@ object DedupIndex {
     s"""{"version":$FormatVersion,"corpus":"$corpus","shingleN":$shingleN,""" +
       s""""k":$k,"bands":$bands}"""
 
-  /** Derive + persist the archive's hash set and band-key table. */
+  private def keyColNames(k: Int, bands: Int): Seq[String] =
+    "band" +: (0 until k / bands).map(r => s"v$r")
+
+  private def writeGen(hashes: DataFrame, bandKeys: DataFrame,
+      dir: String, gen: Long): Unit = {
+    hashes.write.mode("overwrite")
+      .parquet(s"${TextIndex.genDir(dir, gen)}/hashes")
+    bandKeys.write.mode("overwrite")
+      .parquet(s"${TextIndex.genDir(dir, gen)}/bands")
+  }
+
+  /** Derive + persist the archive's per-doc hash and band-key rows as
+    * generation 0. */
   def build(archive: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, dir: String): Unit = {
-    archive.select(md5(col(textCol)).as("_h")).distinct()
-      .write.mode("overwrite").parquet(hashesPath(dir))
-    val keyCols = "band" +: (0 until k / bands).map(r => s"v$r")
-    Dedup.bandTable(archive, idCol, textCol, shingleN, k, bands)
-      .select(keyCols.map(col): _*).distinct()
-      .write.mode("overwrite").parquet(bandsPath(dir))
+    val h = archive.select(col(idCol).cast("long").as("_id"),
+      md5(col(textCol)).as("_h")).distinct()
+    val b = Dedup.bandTable(archive, idCol, textCol, shingleN, k, bands)
+      .select(col(idCol).cast("long").as("_id") +:
+        keyColNames(k, bands).map(col): _*)
+      .distinct()
+    writeGen(h, b, dir, 0L)
+    TextIndex.advance(dir, 0L, -1L)
   }
 
   /** [[build]] unless a fingerprint-matching index is on disk. */
@@ -80,23 +121,26 @@ object DedupIndex {
       bands: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     val hashes = spark.read.schema(StructType(Seq(
-        StructField("_h", StringType))))
+        StructField("_id", LongType), StructField("_h", StringType))))
       .parquet(hashesPath(dir))
-    val bandSchema = StructType(StructField("band", IntegerType) +:
+    val bandSchema = StructType(StructField("_id", LongType) +:
+      StructField("band", IntegerType) +:
       (0 until k / bands).map(r => StructField(s"v$r", LongType)))
     (hashes, spark.read.schema(bandSchema).parquet(bandsPath(dir)))
   }
 
   /** Admit `incoming` against the STORED index: the four
     * [[Dedup.dedupIncrementalProbe]] layers with the archive sides read
-    * from parquet. Identical results to [[Dedup.dedupIncremental]] over
-    * the corpus the index was built from, by construction. */
+    * from parquet (key columns only — the per-doc `_id` never enters
+    * the probe plan). Identical results to [[Dedup.dedupIncremental]]
+    * over the corpus the index was built from, by construction. */
   def gate(spark: SparkSession, dir: String, incoming: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 8,
       bands: Int = 4): DataFrame = {
     val (hashes, bandKeys) = readStored(spark, dir, k, bands)
-    Dedup.dedupIncrementalProbe(hashes, bandKeys, incoming, idCol,
-      textCol, shingleN, k, bands)
+    Dedup.dedupIncrementalProbe(hashes.select(col("_h")),
+      bandKeys.select(keyColNames(k, bands).map(col): _*),
+      incoming, idCol, textCol, shingleN, k, bands)
   }
 
   /** Graded novelty against the STORED archive index — the
@@ -113,7 +157,7 @@ object DedupIndex {
       idCol: String, textCol: String, shingleN: Int = 3, k: Int = 8,
       bands: Int = 4): DataFrame = {
     val (hashes, bandKeys) = readStored(spark, dir, k, bands)
-    val keyCols = "band" +: (0 until k / bands).map(r => s"v$r")
+    val keyCols = keyColNames(k, bands)
     val hits = Dedup.bandTable(incoming, idCol, textCol, shingleN, k,
         bands)
       .join(bandKeys.select(keyCols.map(col): _*).distinct(),
@@ -124,7 +168,8 @@ object DedupIndex {
       // distinct: [[append]] dedups within a batch but a re-archived
       // text duplicates a STORED hash — a semi-join wouldn't care, this
       // LEFT equality join would multiply the incoming row without it
-      .join(hashes.distinct().select(col("_h"), lit(true).as("exact_dup")),
+      .join(hashes.select(col("_h")).distinct()
+          .select(col("_h"), lit(true).as("exact_dup")),
         md5(col(textCol)) === col("_h"), "left")
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
@@ -159,11 +204,40 @@ object DedupIndex {
     * tolerate duplicate keys, so this needs no read-modify-write). */
   def append(batch: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int, dir: String): Unit = {
-    batch.select(md5(col(textCol)).as("_h")).distinct()
+    batch.select(col(idCol).cast("long").as("_id"),
+        md5(col(textCol)).as("_h")).distinct()
       .write.mode("append").parquet(hashesPath(dir))
-    val keyCols = "band" +: (0 until k / bands).map(r => s"v$r")
     Dedup.bandTable(batch, idCol, textCol, shingleN, k, bands)
-      .select(keyCols.map(col): _*).distinct()
+      .select(col(idCol).cast("long").as("_id") +:
+        keyColNames(k, bands).map(col): _*)
+      .distinct()
       .write.mode("append").parquet(bandsPath(dir))
+  }
+
+  /** Certified forget — remove `ids`' derived rows from the stored
+    * index, the decremental twin of a remaining-only [[build]]. One
+    * broadcast anti-join per table (rows are per-doc — no count
+    * arithmetic needed); a doc sharing its text with a SURVIVOR keeps
+    * gating through the survivor's own rows, exactly as a rebuild
+    * would. Writes the next generation + pointer flip
+    * ([[TextIndex.removeDocs]]'s versioned protocol, including epoch
+    * replay protection), so a reader never sees a half-forgotten
+    * index. Ids absent from the index are no-ops. After the purge a
+    * re-submitted twin of a forgotten doc is ADMITTED by [[gate]] —
+    * the whole point of the operation (DedupSpec pins it). */
+  def removeDocs(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String, k: Int = 8, bands: Int = 4,
+      epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = TextIndex.current(dir)
+    require(gen >= 0, s"removeDocs: no index at $dir — build() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
+    val (hashes, bandKeys) = readStored(spark, dir, k, bands)
+    val rm = ids.select(col(idCol).cast("long").as("_id")).distinct()
+      .localCheckpoint(true)
+    writeGen(
+      hashes.join(broadcast(rm), Seq("_id"), "left_anti"),
+      bandKeys.join(broadcast(rm), Seq("_id"), "left_anti"),
+      dir, gen + 1)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
   }
 }

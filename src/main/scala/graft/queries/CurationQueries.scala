@@ -1087,18 +1087,18 @@ object CurationQueries {
         FROM tg GROUP BY 1, 2, 3),
       c12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12
         FROM t3 GROUP BY 1, 2),
-      tri AS (SELECT w1, w2, w3, (1000000 * c3) // c12 AS s3
+      tri AS (SELECT w1, w2, w3, (1000000 * CAST(c3 AS HUGEINT)) // c12 AS s3
         FROM t3 JOIN c12 USING (w1, w2)),
       b23 AS (SELECT w2, w3, CAST(sum(c3) AS BIGINT) AS c23
         FROM t3 GROUP BY 1, 2),
       cc2 AS (SELECT w2, CAST(sum(c3) AS BIGINT) AS c2
         FROM t3 GROUP BY 1),
-      b2 AS (SELECT w2, w3, (400000 * c23) // c2 AS s2
+      b2 AS (SELECT w2, w3, (400000 * CAST(c23 AS HUGEINT)) // c2 AS s2
         FROM b23 JOIN cc2 USING (w2)),
       uu AS (SELECT w3, CAST(sum(c3) AS BIGINT) AS c3u
         FROM t3 GROUP BY 1),
       nn AS (SELECT CAST(sum(c3) AS BIGINT) AS n FROM t3),
-      u1 AS (SELECT w3, (160000 * c3u) // n AS s1 FROM uu, nn),
+      u1 AS (SELECT w3, (160000 * CAST(c3u AS HUGEINT)) // n AS s1 FROM uu, nn),
       pr AS (SELECT doc_id, string_split(text, ' ') AS l
         FROM documents WHERE doc_id % 10 = 0),
       pt AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
@@ -1203,7 +1203,7 @@ object CurationQueries {
       bs AS (SELECT DISTINCT w2, w3 FROM t3),
       un AS (SELECT CAST(count(*) AS BIGINT) AS n1dot FROM bs),
       uni AS (SELECT w3,
-          (1000000 * CAST(count(*) AS BIGINT)) // n1dot AS p1
+          (1000000 * CAST(count(*) AS HUGEINT)) // n1dot AS p1
         FROM bs, un GROUP BY w3, n1dot),
       pr AS (SELECT doc_id, string_split(text, ' ') AS l
         FROM documents WHERE doc_id % 10 = 0),
@@ -1219,17 +1219,17 @@ object CurationQueries {
       l2 AS (SELECT doc_id, c3, c12, t3n,
           CASE WHEN n1p2dot IS NULL THEN p1 ELSE
             (CASE WHEN n1p2 IS NOT NULL THEN
-              ((4 * n1p2 - 3) * 1000000) // (4 * n1p2dot)
+              ((4 * CAST(n1p2 AS HUGEINT) - 3) * 1000000) // (4 * CAST(n1p2dot AS HUGEINT))
               ELSE 0 END)
-            + (((3000000 * t2) // (4 * n1p2dot)) * p1) // 1000000
+            + (((3000000 * CAST(t2 AS HUGEINT)) // (4 * CAST(n1p2dot AS HUGEINT))) * p1) // 1000000
           END AS p2
         FROM j),
       l3 AS (SELECT doc_id,
           CASE WHEN c12 IS NULL THEN p2 ELSE
             (CASE WHEN c3 IS NOT NULL THEN
-              ((4 * c3 - 3) * 1000000) // (4 * c12)
+              ((4 * CAST(c3 AS HUGEINT) - 3) * 1000000) // (4 * CAST(c12 AS HUGEINT))
               ELSE 0 END)
-            + (((3000000 * t3n) // (4 * c12)) * p2) // 1000000
+            + (((3000000 * CAST(t3n AS HUGEINT)) // (4 * CAST(c12 AS HUGEINT))) * p2) // 1000000
           END AS p
         FROM l2),
       sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
@@ -3573,18 +3573,18 @@ object CurationQueries {
           FROM lmtg GROUP BY 1, 2, 3),
         lmc12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12
           FROM lmt3 GROUP BY 1, 2),
-        lmtri AS (SELECT w1, w2, w3, (1000000 * c3) // c12 AS sc3
+        lmtri AS (SELECT w1, w2, w3, (1000000 * CAST(c3 AS HUGEINT)) // c12 AS sc3
           FROM lmt3 JOIN lmc12 USING (w1, w2)),
         lmb23 AS (SELECT w2, w3, CAST(sum(c3) AS BIGINT) AS c23
           FROM lmt3 GROUP BY 1, 2),
         lmcc2 AS (SELECT w2, CAST(sum(c3) AS BIGINT) AS c2
           FROM lmt3 GROUP BY 1),
-        lmb2 AS (SELECT w2, w3, (400000 * c23) // c2 AS sc2
+        lmb2 AS (SELECT w2, w3, (400000 * CAST(c23 AS HUGEINT)) // c2 AS sc2
           FROM lmb23 JOIN lmcc2 USING (w2)),
         lmuu AS (SELECT w3, CAST(sum(c3) AS BIGINT) AS c3u
           FROM lmt3 GROUP BY 1),
         lmnn AS (SELECT CAST(sum(c3) AS BIGINT) AS n FROM lmt3),
-        lmu1 AS (SELECT w3, (160000 * c3u) // n AS sc1
+        lmu1 AS (SELECT w3, (160000 * CAST(c3u AS HUGEINT)) // n AS sc1
           FROM lmuu, lmnn),
         s3f AS (SELECT doc_id, string_split(
             replace(clean_text, chr(10), ' '), ' ') AS l FROM s3),

@@ -1084,6 +1084,39 @@ object DocQueries {
     q111DedupIncremental.oracle,
     doc = "[NS] dedup lifecycle: gate a batch from the persisted hash/band index")
 
+  /** D5 [NS] — dedup-index forget certificate (q349):
+    * [[graft.operators.DedupIndex.removeDocs]] — build the archive's
+    * hash/band index on the FULL doc_id % 5 != 0 archive, FORGET the
+    * doc_id ≡ 3 (mod 7) slice (per-doc rows anti-join out — the easy
+    * case of the q347 pattern), then gate the % 5 = 0 batch against
+    * the decremented index. The oracle replays q111's four layers
+    * against the REMAINING archive only: a green row proves
+    * decremental forget ≡ remaining-only rebuild at the dedup archive
+    * — closing the one stored artifact that had no certified forget
+    * (the round-8 verdict's compliance hole: purged docs' band/hash
+    * rows must stop gating future twins of deleted content). */
+  val q349DedupIndexForget = Q(
+    "q349_dedup_index_forget",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val arc = docs.filter(col("doc_id") % 5 =!= 0)
+      val dir = graft.operators.DedupIndex.defaultDir(d + "#forget")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#dedup+forget") {
+        graft.operators.DedupIndex.build(arc, "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, dir = dir)
+        graft.operators.DedupIndex.removeDocs(s, dir,
+          arc.filter(col("doc_id") % 7 === 3), "doc_id")
+      }
+      graft.operators.DedupIndex.gate(s, dir,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    q111DedupIncremental.oracle.map(_.replace(
+      "arc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0)",
+      "arc AS (SELECT doc_id, text FROM documents " +
+        "WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3)")),
+    doc = "[NS] dedup-index forget: per-doc anti-join removal == remaining-only rebuild")
+
   /** D5 [NS] — graded novelty from the stored dedup index (q229):
     * [[graft.operators.DedupIndex.noveltyGrade]] — the q112 gate's
     * binary admit/reject widened to a review-priority score: per batch
@@ -2723,5 +2756,5 @@ object DocQueries {
     q280Importance, q284ImportanceServe, q287LshAdvisor,
     q289SplitLeakage, q290SourceDupMatrix, q296RboStability,
     q297ClusterProfile, q298HashCollisions, q325RankGamma,
-    q326SortedNeighborhood)
+    q326SortedNeighborhood, q349DedupIndexForget)
 }

@@ -1434,6 +1434,12 @@ class AnalyticsSpec extends AnyFunSuite {
     // reversed: L2 = 12+16+12 = 40 < 48, and 56 + 40 = 2·48
     val r = run(Seq("C", "B", "A"))
     assert(r.forall(x => x._3 === 40L && x._4 === 48L && !x._5))
+    // a treatment named in the order with NO data rows must fail
+    // loudly — k from the data would shrink while j keeps its original
+    // position, silently skewing E[L2] (e.g. weights {1,3} vs 1..2)
+    val e = intercept[Exception] { run(Seq("A", "B", "C", "D")) }
+    assert(e.getMessage.contains("pageTrend") ||
+      Option(e.getCause).exists(_.getMessage.contains("pageTrend")))
   }
 
   test("jonckheereTerpstra: hand-worked doubled-U sum with ties; " +
@@ -1473,5 +1479,12 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, "a"), (2L, "a"), (2L, "a")))
     assert(u.isNullAt(2))
     assert(u.getLong(3) === 1000000L)
+    // the exactly-n-ratings-per-item contract is ENFORCED, not assumed:
+    // an unsliced input (item 2 has only 2 ratings) fails loudly
+    // instead of producing a silently wrong kappa
+    val e = intercept[Exception] { k(Seq((1L, "a"), (1L, "a"),
+      (1L, "b"), (2L, "a"), (2L, "b"))) }
+    assert(e.getMessage.contains("fleissKappa") ||
+      Option(e.getCause).exists(_.getMessage.contains("fleissKappa")))
   }
 }

@@ -207,6 +207,69 @@ class DedupSpec extends AnyFunSuite {
     assert(second.contains(21L), "genuinely new doc must survive")
   }
 
+  test("DedupIndex.removeDocs: a purged doc's twin is ADMITTED after the " +
+      "forget (the RTBF point); a survivor's shared text keeps gating; " +
+      "replayed epochs are no-ops") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    val shared = "identical text held by two distinct archive documents ok"
+    val archive = Seq(
+      // this sentence's "yet"→"now" twin is a KNOWN band collision
+      // (the lifecycle test above relies on the same pair)
+      (1L, "fresh material nothing in the archive has ever mentioned yet"),
+      (2L, shared),
+      (3L, shared),
+      (4L, "completely unrelated words about spark catalyst planning")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_forget").toString
+    DedupIndex.build(archive, "doc_id", "text", 3, 8, 4, dir)
+
+    // twin of doc 1 (near) and of doc 2/3 (exact): both rejected pre-purge
+    val twins = Seq(
+      (10L, "fresh material nothing in the archive has ever mentioned now"),
+      (11L, shared)).toDF("doc_id", "text")
+    val pre = DedupIndex.gate(spark, dir, twins, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(pre === Set.empty[Long])
+
+    // purge docs 1 and 2 (epoch 0)
+    DedupIndex.removeDocs(spark, dir,
+      Seq(1L, 2L).toDF("doc_id"), "doc_id", epoch = 0L)
+    val post = DedupIndex.gate(spark, dir, twins, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // doc 1 fully forgotten → its twin is now ADMITTED (the whole point:
+    // the archive no longer retains anything derived from the purged doc)
+    assert(post.contains(10L),
+      "twin of a fully forgotten doc must be admitted after the purge")
+    // doc 3 SURVIVES with the same text as purged doc 2 → its rows still
+    // gate the exact twin, exactly as a remaining-only rebuild would
+    assert(!post.contains(11L),
+      "text shared with a surviving doc must keep gating")
+
+    // decremental ≡ remaining-only rebuild, row for row, both tables
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("graft_dedup_forget_rb").toString
+    DedupIndex.build(archive.filter(!$"doc_id".isin(1L, 2L)),
+      "doc_id", "text", 3, 8, 4, rebuilt)
+    def rows(d: String) = (
+      spark.read.parquet(DedupIndex.hashesPath(d))
+        .collect().map(_.toSeq).toSet,
+      spark.read.parquet(DedupIndex.bandsPath(d))
+        .collect().map(_.toSeq).toSet)
+    assert(rows(dir) === rows(rebuilt))
+
+    // replayed epoch (≤ last applied) must not touch state
+    val before = rows(dir)
+    DedupIndex.removeDocs(spark, dir,
+      Seq(3L).toDF("doc_id"), "doc_id", epoch = 0L)
+    assert(rows(dir) === before, "replayed epoch must be a no-op")
+    // ids absent from the index are harmless no-ops on content
+    DedupIndex.removeDocs(spark, dir,
+      Seq(999L).toDF("doc_id"), "doc_id", epoch = 1L)
+    assert(rows(dir) === before)
+  }
+
   test("keepBest: one survivor per transitive cluster, best score wins, " +
       "singletons ride through") {
     import spark.implicits._

@@ -210,6 +210,24 @@ class GraftFunctionsSpec extends AnyFunSuite {
     // absent phrase → 0; empty text → all zeros
     assert(counts("nothing to see", "free money now") === Seq(0L))
     assert(counts("", "a|b c") === Seq(0L, 0L))
+    // malformed phrase lists are rejected LOUDLY at registration, not
+    // silently mangled: a trailing '|' would drop a segment, an
+    // interior '||' would build an empty-token phrase that matches the
+    // empty tokens consecutive document spaces produce
+    for (bad <- Seq("a|", "a||b", "|a", " |a")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_ac_counts('x', '$bad')").collect()
+      }
+      assert(e.getMessage.contains("blank phrase") ||
+        Option(e.getCause).exists(_.getMessage.contains("blank phrase")),
+        s"for '$bad': ${e.getMessage}")
+    }
+    // a phrase with consecutive interior spaces (empty token) is
+    // rejected by the automaton builder itself
+    val e2 = intercept[Exception] {
+      graft.functions.AcAutomaton.build(Seq("a  b"))
+    }
+    assert(e2.getMessage.contains("empty token"))
   }
 
   test("phraseBlocklistGate: gate columns fold the count array — " +
