@@ -86,16 +86,53 @@ object Importance {
   private def metaPath(dir: String) =
     java.nio.file.Paths.get(dir, "_graft_importance_meta.json")
 
+  /** v2: the stored artifact is the COUNT table (bucket, cr, ct, nb) —
+    * counts are sums, so document forget is exact subtraction
+    * ([[removeBatch]]); lam_ppm is a RATIO and derives at read time
+    * from the counts, byte-identical to [[lambdaTable]]'s formula. */
   private def fingerprint(tag: String, nBuckets: Int): String =
-    s"""{"version":1,"buckets":$nBuckets,"model":"$tag"}"""
+    s"""{"version":2,"buckets":$nBuckets,"model":"$tag"}"""
 
-  /** Persist the B-row lambda table (coalesced to one file — it is
-    * model-sized by construction) plus its fingerprint. */
+  def countsPath(dir: String): String = {
+    val (g, _) = TextIndex.current(dir)
+    s"${TextIndex.genDir(dir, g.max(0L))}/counts"
+  }
+
+  /** The stored per-bucket count table: target count `ct`, raw count
+    * `cr`, and the bucket-count constant `nb` carried as a column so
+    * the smoothing geometry travels with the data. */
+  def storedCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("bucket", LongType), StructField("cr", LongType),
+        StructField("ct", LongType), StructField("nb", LongType))))
+      .parquet(countsPath(dir))
+  }
+
+  /** The raw/target per-bucket count rows [[buildModel]] persists —
+    * [[lambdaTable]]'s `totals` stage with the geometry column. */
+  private def countTable(buckets: DataFrame, targetPred: Column,
+      nBuckets: Int): DataFrame = {
+    val raw = buckets.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
+    val tgt = buckets.filter(targetPred)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
+    raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket").cast("long").as("bucket"), col("cr"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        lit(nBuckets.toLong).as("nb"))
+  }
+
+  private def writeCounts(counts: DataFrame, dir: String,
+      gen: Long): Unit =
+    counts.coalesce(1).write.mode("overwrite")
+      .parquet(s"${TextIndex.genDir(dir, gen)}/counts")
+
+  /** Persist the B-row count table as generation 0 (coalesced to one
+    * file — it is model-sized by construction). */
   def buildModel(buckets: DataFrame, targetPred: Column, nBuckets: Int,
       dir: String): Unit = {
-    lambdaTable(buckets, targetPred, nBuckets)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/lambda")
+    writeCounts(countTable(buckets, targetPred, nBuckets), dir, 0L)
+    TextIndex.advance(dir, 0L, -1L)
   }
 
   /** [[buildModel]] unless `dir` already holds a model built with the
@@ -114,7 +151,61 @@ object Importance {
     }
   }
 
-  /** The stored model — B rows, broadcast by [[score]]. */
-  def storedLambda(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lambda")
+  /** The stored model — B rows, broadcast by [[score]]. lam_ppm
+    * derives from the stored counts with [[lambdaTable]]'s exact
+    * formula (two model-sized aggregates — never a corpus read), so
+    * v2's count-table layout is invisible to every scoring caller. */
+  def storedLambda(spark: SparkSession, dir: String): DataFrame = {
+    val counts = storedCounts(spark, dir)
+    counts.crossJoin(broadcast(
+        counts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))))
+      .select(col("bucket"), expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * (ct + 1) * (nr + nb))
+            div (CAST(cr + 1 AS DECIMAL(38,0)) * (nt + nb)) AS BIGINT)""")
+        .as("lam_ppm"))
+  }
+
+  /** Right-to-be-forgotten removal: subtract the forgotten documents'
+    * per-bucket token counts (raw always, target where `targetPred`
+    * matched) from the stored count table — the exact inverse of the
+    * build's aggregation, so decremental forget ≡ remaining-only
+    * rebuild ([[LmIndex.removeTrigramBatch]]'s law at the importance
+    * model). `buckets` is [[docBuckets]] over EXACTLY the forgotten
+    * docs' original rows (with the carry columns `targetPred` needs);
+    * a full-outer join catches both violation directions — a count
+    * going negative OR a batch bucket the model never saw — and fails
+    * loudly rather than persist a corrupt model. Buckets whose raw
+    * count reaches zero drop (rebuild parity). Generation + pointer
+    * flip with epoch replay protection (subtraction is not idempotent
+    * without it). */
+  def removeBatch(spark: SparkSession, buckets: DataFrame,
+      targetPred: Column, dir: String, epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = TextIndex.current(dir)
+    require(gen >= 0, s"removeBatch: no model at $dir — buildModel() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
+    val braw = buckets.groupBy(col("bucket")).agg(sum(col("c")).as("_br"))
+    val btgt = buckets.filter(targetPred)
+      .groupBy(col("bucket")).agg(sum(col("c")).as("_bt"))
+    val bsub = braw.join(btgt, Seq("bucket"), "left")
+      .select(col("bucket").cast("long").as("bucket"), col("_br"),
+        coalesce(col("_bt"), lit(0L)).as("_bt"))
+      .localCheckpoint(true)
+    val merged = storedCounts(spark, dir)
+      .join(bsub, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (coalesce(col("cr"), lit(0L)) - coalesce(col("_br"), lit(0L)))
+          .as("cr"),
+        (coalesce(col("ct"), lit(0L)) - coalesce(col("_bt"), lit(0L)))
+          .as("ct"),
+        col("nb"))
+      .localCheckpoint(true)
+    val bad = merged.filter(col("cr") < 0 || col("ct") < 0 ||
+      col("nb").isNull).count()
+    require(bad == 0,
+      s"Importance.removeBatch: $bad bucket counts would go negative " +
+        "(or hit buckets the model never saw) — the removal batch is " +
+        "not a subset of the trained corpus")
+    writeCounts(merged.filter(col("cr") > 0), dir, gen + 1)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+  }
 }

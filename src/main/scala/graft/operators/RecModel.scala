@@ -181,6 +181,52 @@ object RecModel {
     advance(dir, gen + 1, if (epoch >= 0) epoch else lastEpoch)
   }
 
+  /** Right-to-be-forgotten removal: forget USERS from the stored model
+    * — the exact inverse of [[mergeBatch]], possible for the same
+    * reason the merge is: the degree cap is user-local, so pair counts
+    * are ADDITIVE over disjoint user sets and a user set's contribution
+    * subtracts exactly ([[LmIndex.removeTrigramBatch]]'s count-table
+    * law at the recommender). `batch` must be EXACTLY the forgotten
+    * users' trained interactions (the subset contract): their symmetric
+    * pair counts subtract from stored sims (rows reaching zero drop),
+    * their anchor rows anti-join out. A full-outer join catches both
+    * violation directions — a count going negative OR a batch pair the
+    * model never saw — and fails loudly rather than persist a corrupt
+    * model. Without this the model keeps recommending FROM the purged
+    * users' tastes: their co-occurrence mass stays in every neighbor
+    * list — the q349 compliance argument at the model layer.
+    * Generation + pointer flip with epoch replay protection. */
+  def removeBatch(spark: SparkSession, batch: DataFrame, userCol: String,
+      itemCol: String, capM: Int, minCount: Long, dir: String,
+      epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = current(dir)
+    require(gen >= 0, s"removeBatch: no model at $dir — build() first")
+    require(minCount == 1L,
+      s"removeBatch requires minCount=1 (got $minCount): subtraction " +
+        "is exact only for the unfiltered model (mergeBatch's contract)")
+    if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
+    val stored = spark.read.parquet(s"${genDir(dir, gen)}/sims")
+    val sAnchors = spark.read.parquet(s"${genDir(dir, gen)}/anchors")
+    val bSims = symPairs(batch, userCol, itemCol, capM, minCount)
+      .withColumnRenamed("n_users", "_bn")
+      .localCheckpoint(true)
+    val merged = stored
+      .join(bSims, Seq("anchor", "nb"), "full_outer")
+      .select(col("anchor"), col("nb"),
+        (coalesce(col("n_users"), lit(0L)) -
+          coalesce(col("_bn"), lit(0L))).as("n_users"))
+      .localCheckpoint(true)
+    val bad = merged.filter(col("n_users") < 0).count()
+    require(bad == 0,
+      s"RecModel.removeBatch: $bad pair counts would go negative — " +
+        "the removal batch is not a subset of the trained interactions")
+    val newAnchors = sAnchors.join(
+      broadcast(batch.select(col(userCol)).distinct()),
+      Seq(userCol), "left_anti")
+    writeGen(merged.filter(col("n_users") > 0), newAnchors, dir, gen + 1)
+    advance(dir, gen + 1, epoch.max(lastEpoch))
+  }
+
   /** foreachBatch adapter: exactly-once model maintenance over
     * at-least-once streaming delivery — Spark's epochId rides into
     * [[mergeBatch]]'s replay guard, the [[TextIndex.foreachBatchMerge]]

@@ -26,6 +26,20 @@ import org.apache.spark.sql.functions._
   * state — "incrementally updating" a tokenizer silently re-tokenizes
   * history, so retraining is a deliberate offline decision (the
   * [[AnnIndex]] codebook argument, stronger).
+  *
+  * REBUILD-ONLY forget policy (the documented exemption from the
+  * decremental-forget law every count/per-doc artifact here satisfies
+  * — q347/q348/q349 and siblings): BPE merge rules are NOT
+  * decrementable. Each round's winning pair depends on the counts
+  * AFTER all earlier merges applied, so removing one document's
+  * contribution can flip an early round's argmax and invalidate every
+  * later rule — there is no local inverse, the artifact is an argmax
+  * chain, not a sum. A right-to-be-forgotten request against the
+  * tokenizer's training corpus therefore requires [[build]] on the
+  * remaining corpus (cheap: the artifact is config-sized and training
+  * is bounded by `rounds` corpus passes), and
+  * [[graft.operators.Forget]] handles the tokenizer by exactly that
+  * rebuild — never by subtraction.
   */
 object TokenizerIndex {
 

@@ -1340,6 +1340,138 @@ object CurationQueries {
     },
     doc = "[NS] line-index forget: decremental doc-count removal == remaining-only rebuild (served)")
 
+  /** [NS] — cross-artifact RTBF orchestrator (q350):
+    * [[graft.operators.Forget.purgeDocs]] — SIX stored artifact
+    * classes (inverted text index, dedup hash/band archive, trigram
+    * LM, line-frequency table, importance count model, BQ code table)
+    * built on one shared fixture, then the doc_id ≡ 3 (mod 7) slice
+    * purged EVERYWHERE through the single entry point, and
+    * [[graft.operators.Forget.certificate]] read back: one row per
+    * artifact (n_rows, count mass, order-independent 60-bit key xor)
+    * from STORED STATE ONLY. The oracle recomputes all six digests
+    * from the REMAINING corpus from scratch — a green row proves
+    * every store equals its remaining-only rebuild, i.e. the one-call
+    * purge composes the six individual forget certificates
+    * (q267/q347/q348/q349/q352/q330's laws) without a user having to
+    * know six entry points. TokenizerIndex is deliberately absent —
+    * BPE merge rules are an argmax chain with no local inverse; its
+    * documented policy is rebuild-on-remaining. */
+  val q350RtbfOrchestrator = Q(
+    "q350_rtbf_orchestrator",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.{Forget, TextIndex, DedupIndex, LmIndex,
+        LineIndex, Importance, BqIndex}
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val textDir = TextIndex.defaultDir(d + "#rtbf_text")
+      val dedupDir = DedupIndex.defaultDir(d + "#rtbf_dedup")
+      val triDir = LmIndex.defaultDir(d + "#rtbf_tri")
+      val lineDir = LineIndex.defaultDir(d + "#rtbf_line")
+      val impDir = Importance.defaultDir(d + "#rtbf_imp")
+      val bqDir = TextIndex.defaultDir(s"bq_rtbf_$d")
+      val targets = Seq(
+        Forget.TextTarget(textDir, "doc_id"),
+        Forget.DedupTarget(dedupDir),
+        Forget.TrigramTarget(triDir, "text"),
+        Forget.LineTarget(lineDir, "text"),
+        Forget.ImportanceTarget(impDir, "text", 64,
+          col("lang") === "en", Seq("lang")),
+        Forget.BqTarget(bqDir))
+      TextIndex.withFingerprint(
+          TextIndex.defaultDir(d + "#rtbf_guard"), d + "#rtbf-v1") {
+        TextIndex.build(docs, "doc_id", "text", textDir)
+        DedupIndex.build(docs, "doc_id", "text", 3, 8, 4, dedupDir)
+        LmIndex.buildTrigram(docs, "doc_id", "text", triDir)
+        LineIndex.build(docs, "doc_id", "text", lineDir)
+        Importance.buildModel(
+          Importance.docBuckets(docs, "doc_id", "text", 64,
+            Seq("lang")),
+          col("lang") === "en", 64, impDir)
+        BqIndex.build(s, bqDir, emb, "vec_id", "embedding")
+        Forget.purgeDocs(s, docs.filter($"doc_id" % 7 === 3),
+          "doc_id", targets, epoch = 0L)
+      }
+      Forget.certificate(s, targets).orderBy($"artifact")
+    },
+    Some(s"""WITH rem AS (SELECT doc_id, text, lang FROM documents
+          WHERE doc_id % 7 <> 3),
+      tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+          x -> len(x) > 0)) AS term FROM rem),
+      hits AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+      textc AS (SELECT 'text_index' AS artifact,
+        CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_rows,
+        CAST((SELECT sum(tf) FROM hits) AS BIGINT) AS mass,
+        CAST(coalesce((SELECT bit_xor(CAST('0x' ||
+            substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT))
+          FROM (SELECT DISTINCT doc_id FROM hits)), 0) AS BIGINT)
+          AS key_xor),
+      dh AS (SELECT DISTINCT doc_id, md5(text) AS h FROM rem),
+      tgD AS (${DocQueries.shinglesSqlFrom("rem")}),
+      sigD AS (${DocQueries.minhashSigSqlFrom("tgD")}),
+      bD AS (${DocQueries.lshBandsSqlFrom("sigD")}),
+      bdist AS (SELECT DISTINCT doc_id, band, v0, v1 FROM bD),
+      dedupc AS (SELECT 'dedup_index' AS artifact,
+        CAST((SELECT count(*) FROM dh) AS BIGINT) AS n_rows,
+        CAST((SELECT count(*) FROM bdist) AS BIGINT) AS mass,
+        CAST(coalesce((SELECT bit_xor(CAST('0x' ||
+            substr(md5(doc_id::VARCHAR), 1, 15) AS BIGINT))
+          FROM (SELECT DISTINCT doc_id FROM dh)), 0) AS BIGINT)
+          AS key_xor),
+      tr3 AS (SELECT doc_id, string_split(text, ' ') AS l FROM rem),
+      tg3 AS (SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+        FROM tr3, unnest(range(1, len(l) - 1)) AS t(i)),
+      t3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+        FROM tg3 GROUP BY 1, 2, 3),
+      tric AS (SELECT 'trigram_lm' AS artifact,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(coalesce(sum(c3), 0) AS BIGINT) AS mass,
+        CAST(coalesce(bit_xor(CAST('0x' || substr(md5(
+            w1 || ' ' || w2 || ' ' || w3), 1, 15) AS BIGINT)), 0)
+          AS BIGINT) AS key_xor FROM t3),
+      lf AS (SELECT md5(ln[t.p]) AS h,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ln
+          FROM rem) sp,
+          unnest(generate_series(1, len(ln))) AS t(p)
+        WHERE length(ln[t.p]) > 0 GROUP BY 1),
+      linec AS (SELECT 'line_index' AS artifact,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(coalesce(sum(nd), 0) AS BIGINT) AS mass,
+        CAST(coalesce(bit_xor(CAST('0x' || substr(md5(h), 1, 15)
+          AS BIGINT)), 0) AS BIGINT) AS key_xor FROM lf),
+      tkI AS (SELECT doc_id, lang, unnest(list_filter(
+          string_split(text, ' '), x -> len(x) > 0)) AS tok FROM rem),
+      tbI AS (SELECT doc_id, lang,
+          CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket,
+          CAST(count(*) AS BIGINT) AS c
+        FROM tkI GROUP BY 1, 2, 3),
+      rawI AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM tbI
+        GROUP BY 1),
+      tgtI AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS ct FROM tbI
+        WHERE lang = 'en' GROUP BY 1),
+      cnts AS (SELECT r.bucket, r.cr, coalesce(t.ct, 0) AS ct
+        FROM rawI r LEFT JOIN tgtI t USING (bucket)),
+      impc AS (SELECT 'importance' AS artifact,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(coalesce(sum(cr), 0) AS BIGINT) AS mass,
+        CAST(coalesce(bit_xor(CAST('0x' || substr(md5(
+            bucket || ':' || cr || ':' || ct), 1, 15) AS BIGINT)), 0)
+          AS BIGINT) AS key_xor FROM cnts),
+      bqc AS (SELECT 'bq_index' AS artifact,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS mass,
+        CAST(coalesce(bit_xor(CAST('0x' ||
+            substr(md5(vec_id::VARCHAR), 1, 15) AS BIGINT)), 0)
+          AS BIGINT) AS key_xor
+        FROM embeddings WHERE vec_id % 7 <> 3)
+      SELECT * FROM textc UNION ALL SELECT * FROM dedupc
+      UNION ALL SELECT * FROM tric UNION ALL SELECT * FROM linec
+      UNION ALL SELECT * FROM impc UNION ALL SELECT * FROM bqc
+      ORDER BY artifact"""),
+    doc = "[NS] one-call RTBF purge across six stored artifact classes, xor-certified vs remaining-only rebuilds")
+
   /** [NS] — Aho–Corasick multi-phrase blocklist gate (q337):
     * [[graft.operators.Curation.phraseBlocklistGate]] — the q323
     * content-policy gate completed for PHRASE blocklists: one
@@ -3724,5 +3856,5 @@ object CurationQueries {
     q333CrawlE2e, q334TrigramLm, q335TrigramIndexServe,
     q336TrigramIndexMerge, q337PhraseBlocklist, q342KnTrigram,
     q343KnTrigramServe, q344CrawlLmFunnel, q347TrigramForget,
-    q348LineIndexForget)
+    q348LineIndexForget, q350RtbfOrchestrator)
 }

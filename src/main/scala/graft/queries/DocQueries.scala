@@ -2740,6 +2740,48 @@ object DocQueries {
     Some(importanceSql),
     doc = "[NS] importance scoring served from the stored 64-row model")
 
+  /** [NS] — importance-model forget certificate (q352):
+    * [[graft.operators.Importance.removeBatch]] — the v2 layout stores
+    * the per-bucket COUNT table (lam_ppm is a ratio and cannot be
+    * decremented; counts are sums and can — the q347 move applied to
+    * the DSIR model), so forgetting documents subtracts their bucket
+    * counts exactly. Build on the FULL corpus, FORGET the doc_id ≡ 3
+    * (mod 7) slice, then score every doc from the stored model. The
+    * oracle trains on the REMAINING docs only (scoring side unchanged):
+    * green proves decremental forget ≡ remaining-only rebuild at the
+    * importance model — a purged doc's tokens must stop steering the
+    * data-selection gate. */
+  val q352ImportanceForget = Q(
+    "q352_importance_forget",
+    (s, d) => {
+      import s.implicits._
+      val dir = graft.operators.Importance.defaultDir(s"imp64f_$d")
+      val tb = graft.operators.Importance.docBuckets(
+        Tables.documents(s, d), "doc_id", "text", 64,
+        carryCols = Seq("lang"))
+        .localCheckpoint(true)
+      graft.operators.TextIndex.withFingerprint(dir, s"imp64f_$d#v1") {
+        graft.operators.Importance.buildModel(tb, $"lang" === "en", 64,
+          dir)
+        graft.operators.Importance.removeBatch(s,
+          tb.filter($"doc_id" % 7 === 3), $"lang" === "en", dir,
+          epoch = 0L)
+      }
+      graft.operators.Importance.score(tb,
+          graft.operators.Importance.storedLambda(s, dir), "doc_id",
+          carryCols = Seq("lang"))
+        .select($"doc_id", $"lang", $"n_tok", $"score_ppm")
+        .orderBy($"score_ppm".desc, $"doc_id")
+    },
+    Some(importanceSql
+      .replace("raw AS (SELECT bucket, sum(c) AS cr FROM tb GROUP BY bucket)",
+        "raw AS (SELECT bucket, sum(c) AS cr FROM tb " +
+          "WHERE doc_id % 7 <> 3 GROUP BY bucket)")
+      .replace("tgt AS (SELECT bucket, sum(c) AS ct FROM tb WHERE lang = 'en'",
+        "tgt AS (SELECT bucket, sum(c) AS ct FROM tb " +
+          "WHERE lang = 'en' AND doc_id % 7 <> 3")),
+    doc = "[NS] importance forget: bucket-count subtraction == remaining-only rebuild")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -2756,5 +2798,5 @@ object DocQueries {
     q280Importance, q284ImportanceServe, q287LshAdvisor,
     q289SplitLeakage, q290SourceDupMatrix, q296RboStability,
     q297ClusterProfile, q298HashCollisions, q325RankGamma,
-    q326SortedNeighborhood, q349DedupIndexForget)
+    q326SortedNeighborhood, q349DedupIndexForget, q352ImportanceForget)
 }

@@ -1022,9 +1022,64 @@ object GraphQueries {
     q244RecMrr.oracle,
     doc = "[NS] incremental rec-model merge ≡ full rebuild (disjoint-user additivity)")
 
+  /** [NS] — rec-model forget certificate (q351):
+    * [[graft.operators.RecModel.removeBatch]] — train the
+    * co-occurrence model on the FULL train split, FORGET the
+    * user_id ≡ 0 (mod 5) users (their symmetric pair counts subtract
+    * — additive over disjoint user sets because the degree cap is
+    * user-local, q275's merge law inverted — and their anchor rows
+    * anti-join out), then serve the same MRR@10 eval. The oracle is
+    * q244's trained on the REMAINING users only: green proves
+    * decremental forget ≡ remaining-only rebuild at the recommender —
+    * without it the model keeps recommending from purged users'
+    * tastes (their co-occurrence mass stays in every neighbor list). */
+  val q351RecModelForget = Q(
+    "q351_rec_model_forget",
+    (s, d) => {
+      import s.implicits._
+      val inter = Tables.events(s, d)
+        .withColumn("item", get_json_object($"props", "$.k").cast("long"))
+        .filter($"item".isNotNull)
+      val split = graft.operators.Curation
+        .leaveLastOut(inter, "user_id", "ts", "event_id")
+      val train = split.filter($"split" === "train")
+        .select($"user_id", $"item")
+      val test = split.filter($"split" === "test")
+        .select($"user_id", $"item".as("test_item"))
+      val dir = graft.operators.RecModel.defaultDir(d + "#cooc10f")
+      graft.operators.RecModel.withFingerprint(dir, d + "#cooc10f-v1") {
+        graft.operators.RecModel.build(train, "user_id", "item",
+          10, 1L, dir)
+        graft.operators.RecModel.removeBatch(s,
+          train.filter($"user_id" % 5 === 0), "user_id", "item",
+          10, 1L, dir, epoch = 0L)
+      }
+      val recs = graft.operators.RecModel.serveTopK(s, dir, "user_id", 10)
+      val anchors = s.read
+        .parquet(graft.operators.RecModel.anchorsPath(dir))
+        .select($"user_id")
+      val evalUsers = test.join(anchors, Seq("user_id"), "left_semi")
+        .localCheckpoint(true)
+      val hitRanks = evalUsers.join(recs, Seq("user_id"))
+        .filter($"test_item" === $"nb")
+        .groupBy($"user_id").agg(min($"rk").as("rank"))
+      evalUsers.agg(count(lit(1)).as("n_eval"))
+        .crossJoin(broadcast(hitRanks.agg(
+          count(lit(1)).as("n_hits"),
+          coalesce(sum(expr("1000000 div rank")), lit(0L)).as("rr_sum"))))
+        .withColumn("mrr_ppm", expr(
+          "case when n_eval > 0 then rr_sum div n_eval end"))
+    },
+    q244RecMrr.oracle.map(_.replace(
+      "train AS (SELECT user_id, item FROM sp WHERE rn > 1)",
+      "train AS (SELECT user_id, item FROM sp WHERE rn > 1 " +
+        "AND user_id % 5 <> 0)")),
+    doc = "[NS] rec-model forget: pair-count subtraction + anchor purge == remaining-only rebuild")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
     q138Kcore, q161BfsLevels, q163HashWalks, q177CoOccurrence,
     q178Trending, q181Ppr, q183NegSamples, q201RecHitRate,
     q225LabelProp, q226LinkPred, q241Hits, q244RecMrr,
-    q270ThreadLinearize, q274RecModelServe, q275RecModelMerge)
+    q270ThreadLinearize, q274RecModelServe, q275RecModelMerge,
+    q351RecModelForget)
 }

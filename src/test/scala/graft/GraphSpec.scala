@@ -523,4 +523,49 @@ class GraphSpec extends AnyFunSuite {
         dirM, epoch = 8L)
     }
   }
+
+  test("RecModel.removeBatch: user forget equals remaining-only rebuild " +
+      "(sims AND anchors); non-subset batch fails loudly; replayed " +
+      "epoch is a no-op") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.operators.RecModel
+    val keep = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (2L, 3L))
+      .toDF("user_id", "item")
+    val gone = Seq((3L, 2L), (3L, 3L), (4L, 1L), (4L, 3L))
+      .toDF("user_id", "item")
+    val dirM = java.nio.file.Files
+      .createTempDirectory("graft_rec_forget").toString
+    val dirR = java.nio.file.Files
+      .createTempDirectory("graft_rec_forget_rb").toString
+    RecModel.build(keep.unionByName(gone), "user_id", "item", 10, 1L,
+      dirM)
+    RecModel.removeBatch(spark2, gone, "user_id", "item", 10, 1L,
+      dirM, epoch = 3L)
+    RecModel.build(keep, "user_id", "item", 10, 1L, dirR)
+    def sims(dir: String) = spark2.read.parquet(RecModel.simsPath(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    def anchors(dir: String) = spark2.read
+      .parquet(RecModel.anchorsPath(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+      .toSeq
+    assert(sims(dirM) === sims(dirR), "forget must equal rebuild (sims)")
+    assert(anchors(dirM) === anchors(dirR),
+      "purged users' anchors must leave with them")
+    assert(!anchors(dirM).exists(a => a._1 === 3L || a._1 === 4L))
+    // replayed epoch: state must not move
+    val before = sims(dirM)
+    RecModel.removeBatch(spark2, gone, "user_id", "item", 10, 1L,
+      dirM, epoch = 3L)
+    assert(sims(dirM) === before, "replayed epoch must be a no-op")
+    // a batch with pairs the model never trained on is not a training
+    // subset — the full-outer guard sees the negative count and fires
+    val alien = Seq((9L, 7L), (9L, 8L)).toDF("user_id", "item")
+    val e = intercept[IllegalArgumentException] {
+      RecModel.removeBatch(spark2, alien, "user_id", "item", 10, 1L,
+        dirM, epoch = 4L)
+    }
+    assert(e.getMessage.contains("not a subset"))
+  }
 }

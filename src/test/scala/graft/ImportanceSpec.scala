@@ -66,15 +66,49 @@ class ImportanceSpec extends AnyFunSuite {
       carryCols = Seq("lang"), bucketOf = lenBucket)
     Importance.buildModelIfAbsent(tb, $"lang" === "en", 4, dir, "t1")
     val first = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(dir, "lambda"))
+      java.nio.file.Paths.get(Importance.countsPath(dir)))
     // replayed build with the same tag must not touch the model
     Importance.buildModelIfAbsent(tb, $"lang" === "en", 4, dir, "t1")
     assert(java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(dir, "lambda")) === first)
+      java.nio.file.Paths.get(Importance.countsPath(dir))) === first)
     val stored = Importance.storedLambda(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val inQuery = Importance.lambdaTable(tb, $"lang" === "en", 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stored === inQuery)
+  }
+
+  test("removeBatch: decremental forget == remaining-only rebuild; " +
+      "non-subset batch fails loudly; replayed epoch is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_imp_forget").toString
+    val tb = Importance.docBuckets(corpus, "doc_id", "text", 4,
+      carryCols = Seq("lang"), bucketOf = lenBucket)
+      .localCheckpoint(true)
+    Importance.buildModel(tb, $"lang" === "en", 4, dir)
+    // forget doc 2 (the raw doc): its bucket counts subtract exactly
+    Importance.removeBatch(spark, tb.filter($"doc_id" === 2L),
+      $"lang" === "en", dir, epoch = 0L)
+    val got = Importance.storedLambda(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rebuilt = Importance.lambdaTable(
+      Importance.docBuckets(corpus.filter($"doc_id" =!= 2L), "doc_id",
+        "text", 4, carryCols = Seq("lang"), bucketOf = lenBucket),
+      $"lang" === "en", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === rebuilt, "forget must equal the remaining-only rebuild")
+    // replayed epoch: same subtraction re-delivered must not re-apply
+    Importance.removeBatch(spark, tb.filter($"doc_id" === 2L),
+      $"lang" === "en", dir, epoch = 0L)
+    assert(Importance.storedLambda(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === got)
+    // removing doc 2 AGAIN (fresh epoch) is not a training subset any
+    // more — counts would go negative; the guard must fire
+    val e = intercept[IllegalArgumentException] {
+      Importance.removeBatch(spark, tb.filter($"doc_id" === 2L),
+        $"lang" === "en", dir, epoch = 1L)
+    }
+    assert(e.getMessage.contains("not a subset"))
   }
 }
