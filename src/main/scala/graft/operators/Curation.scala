@@ -1778,7 +1778,8 @@ object Curation {
       htmlCol: String, lineDir: String, dedupDir: String,
       impDir: String, maxLineDocs: Long, minScorePpm: Long,
       lmDir: Option[String] = None,
-      minLmPpm: Long = 0L): Seq[(String, DataFrame)] = {
+      minLmPpm: Long = 0L,
+      lmSmoothing: String = "sb"): Seq[(String, DataFrame)] = {
     val raw = pages.select(col(idCol))
     val ex = extractText(pages, idCol, htmlCol)
       .filter(length(col("clean_text")) > 0)
@@ -1795,14 +1796,28 @@ object Curation {
       gopherRules(flat(enc), idCol, "_flat")
         .filter(col("pass_all")).select(col(idCol)),
       Seq(idCol))
-    // optional LM-fluency stage (the CCNet gate): trigram stupid-backoff
-    // score from the STORED LmIndex trigram table trained on the
-    // archive's extracted pages — docs scoring under the floor die;
-    // docs with no trigrams cannot demonstrate fluency and die too
+    // optional LM-fluency stage (the CCNet gate): trigram score from
+    // the STORED LmIndex table trained on the archive's extracted
+    // pages — docs scoring under the floor die; docs with no trigrams
+    // cannot demonstrate fluency and die too. `lmSmoothing` picks the
+    // tier, both served from the SAME stored (w1,w2,w3,c3) artifact:
+    // "sb" = stupid backoff (Brants 2007 — the distributed-scale
+    // ranking score, q344), "kn" = interpolated Kneser–Ney (the
+    // calibrated probability, q342/q343) — a one-parameter swap
+    // because the single-sourced store serves both tiers.
     val lmStage = lmDir.map { dirLm =>
+      val scored = lmSmoothing match {
+        case "sb" => LmIndex
+          .serveTrigram(spark, flat(gop), idCol, "_flat", dirLm)
+          .withColumnRenamed("mean_s_ppm", "_lm")
+        case "kn" => LmIndex
+          .serveTrigramKn(spark, flat(gop), idCol, "_flat", dirLm)
+          .withColumnRenamed("mean_p_ppm", "_lm")
+        case other => throw new IllegalArgumentException(
+          s"crawlStages: unknown lmSmoothing '$other' (sb | kn)")
+      }
       "lm_fluency" -> gop.join(
-        LmIndex.serveTrigram(spark, flat(gop), idCol, "_flat", dirLm)
-          .filter(col("mean_s_ppm") >= minLmPpm).select(col(idCol)),
+        scored.filter(col("_lm") >= minLmPpm).select(col(idCol)),
         Seq(idCol))
     }
     val afterLm = lmStage.map(_._2).getOrElse(gop)

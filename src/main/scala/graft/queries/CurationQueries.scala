@@ -3833,6 +3833,125 @@ object CurationQueries {
     },
     doc = "[NS] crawl engine with the stored-LM fluency gate: 8 stages, xor-certified")
 
+  /** [NS] — the crawl engine with the KNESER–NEY fluency gate (q353):
+    * q344 with `lmSmoothing = "kn"` — the SAME stored (w1,w2,w3,c3)
+    * artifact serves the calibrated-probability tier instead of the
+    * stupid-backoff ranking score, a one-parameter swap in
+    * [[graft.operators.Curation.crawlStages]] (the single-sourced-store
+    * payoff: q342/q343's smoothing rides into the assembled engine
+    * with zero new state). Floor 98 000 ppm = the fixture median of
+    * the gopher survivors' KN scores (33 → 18 pass at sf0.01 — real
+    * attrition, the below-median-fluency-dies reading q344 uses for
+    * sb). The oracle is q344's from-scratch SQL with the sb
+    * model+scoring CTE block spliced out for the interpolated-KN
+    * recurrence (continuation counts, rational 3/4 discount,
+    * fixed-order truncating divisions) — everything else
+    * byte-identical. */
+  val q353CrawlKnFunnel = Q(
+    "q353_crawl_kn_funnel",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val arc = docs.filter($"doc_id" % 10 =!= 0)
+      val tag = d + "#crawlE2E"
+      val lineDir = graft.operators.LineIndex.defaultDir(tag)
+      graft.operators.LineIndex.buildIfAbsent(
+        Curation.extractText(DocQueries.crawlPage(arc), "doc_id",
+          "html"),
+        "doc_id", "clean_text", lineDir, corpusTag = tag)
+      val dedupDir = graft.operators.DedupIndex.defaultDir(tag)
+      graft.operators.DedupIndex.buildIfAbsent(arc, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, dir = dedupDir, corpusTag = tag)
+      val impDir = graft.operators.Importance.defaultDir(tag)
+      graft.operators.Importance.buildModelIfAbsent(
+        graft.operators.Importance.docBuckets(arc, "doc_id", "text",
+          64, carryCols = Seq("lang")),
+        $"lang" === "en", 64, impDir, tag = tag)
+      val lmDir = graft.operators.LmIndex.defaultDir(tag + "_lm")
+      graft.operators.LmIndex.buildTrigramIfAbsent(
+        Curation.extractText(DocQueries.crawlPage(arc), "doc_id",
+            "html")
+          .withColumn("_flat",
+            regexp_replace($"clean_text", "\n", " ")),
+        "doc_id", "_flat", lmDir, corpusTag = tag + "_lm")
+      val stages = Curation.crawlStages(s,
+        DocQueries.crawlPage(docs.filter($"doc_id" % 10 === 0)),
+        "doc_id", "html", lineDir, dedupDir, impDir,
+        maxLineDocs = 30L, minScorePpm = 1000000L,
+        lmDir = Some(lmDir), minLmPpm = 98000L, lmSmoothing = "kn")
+      val xorE = "coalesce(bit_xor(cast(conv(substring(md5(cast(" +
+        "doc_id as string)), 1, 15), 16, 10) AS BIGINT)), " +
+        "CAST(0 AS BIGINT))"
+      stages.zipWithIndex.map { case ((nm, df), i) =>
+        df.agg(count(lit(1)).as("n_docs"), expr(xorE).as("ids_xor"))
+          .select(lit(i.toLong).as("stage_ord"), lit(nm).as("stage"),
+            $"n_docs", $"ids_xor")
+      }.reduce(_ unionByName _).orderBy($"stage_ord")
+    },
+    q344CrawlLmFunnel.oracle.map { src =>
+      // splice the sb model + scoring CTE block (lmc12 .. s3l) out for
+      // the interpolated-KN recurrence; index-based so the surgery
+      // fails loudly if q344's oracle drifts
+      val a = src.indexOf("lmc12 AS")
+      val b = src.indexOf("lfA AS")
+      require(a >= 0 && b > a, "q353: q344 oracle splice markers missing")
+      src.substring(0, a) + """lmc12 AS (SELECT w1, w2,
+            CAST(sum(c3) AS BIGINT) AS c12,
+            CAST(count(*) AS BIGINT) AS t3n
+          FROM lmt3 GROUP BY 1, 2),
+        lmcont2 AS (SELECT w2, w3,
+            CAST(count(DISTINCT w1) AS BIGINT) AS n1p2
+          FROM lmt3 GROUP BY 1, 2),
+        lmctx2 AS (SELECT w2, CAST(sum(n1p2) AS BIGINT) AS n1p2dot,
+            CAST(count(*) AS BIGINT) AS t2
+          FROM lmcont2 GROUP BY 1),
+        lmbs AS (SELECT DISTINCT w2, w3 FROM lmt3),
+        lmun AS (SELECT CAST(count(*) AS BIGINT) AS n1dot FROM lmbs),
+        lmuni AS (SELECT w3,
+            (1000000 * CAST(count(*) AS HUGEINT)) // n1dot AS p1
+          FROM lmbs, lmun GROUP BY w3, n1dot),
+        s3f AS (SELECT doc_id, string_split(
+            replace(clean_text, chr(10), ' '), ' ') AS l FROM s3),
+        s3t AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+          FROM s3f, unnest(range(1, len(l) - 1)) AS t(i)),
+        s3j AS (SELECT s3t.doc_id, lmt3.c3, lmc12.c12, lmc12.t3n,
+            lmcont2.n1p2, lmctx2.n1p2dot, lmctx2.t2,
+            coalesce(lmuni.p1, 0) AS p1
+          FROM s3t LEFT JOIN lmt3 USING (w1, w2, w3)
+          LEFT JOIN lmc12 USING (w1, w2)
+          LEFT JOIN lmcont2 USING (w2, w3)
+          LEFT JOIN lmctx2 USING (w2)
+          LEFT JOIN lmuni USING (w3)),
+        s3p2 AS (SELECT doc_id, c3, c12, t3n,
+            CASE WHEN n1p2dot IS NULL THEN p1 ELSE
+              (CASE WHEN n1p2 IS NOT NULL THEN
+                ((4 * CAST(n1p2 AS HUGEINT) - 3) * 1000000)
+                  // (4 * CAST(n1p2dot AS HUGEINT))
+                ELSE 0 END)
+              + (((3000000 * CAST(t2 AS HUGEINT))
+                  // (4 * CAST(n1p2dot AS HUGEINT))) * p1) // 1000000
+            END AS p2
+          FROM s3j),
+        s3p AS (SELECT doc_id,
+            CASE WHEN c12 IS NULL THEN p2 ELSE
+              (CASE WHEN c3 IS NOT NULL THEN
+                ((4 * CAST(c3 AS HUGEINT) - 3) * 1000000)
+                  // (4 * CAST(c12 AS HUGEINT))
+                ELSE 0 END)
+              + (((3000000 * CAST(t3n AS HUGEINT))
+                  // (4 * CAST(c12 AS HUGEINT))) * p2) // 1000000
+            END AS p
+          FROM s3p2),
+        s3sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+            CAST(sum(p) AS BIGINT) AS sv
+          FROM s3p GROUP BY doc_id),
+        s3l AS (SELECT s3.doc_id, s3.clean_text
+          FROM s3 JOIN s3sc USING (doc_id)
+          WHERE CAST(sv // nt AS BIGINT) >= 98000),
+        """ + src.substring(b)
+    },
+    doc = "[NS] crawl engine with the Kneser-Ney fluency tier (same stored table, one-parameter swap)")
+
   val all: Seq[Q] = Seq(q56HashSplit, q57Chunking, q58Decontam,
     q306ScriptMix, q308GiniConcentration, q309Readability,
     q311UnimaxAllocation, q312LuhnAudit, q315ShapleyCoverage,
@@ -3856,5 +3975,5 @@ object CurationQueries {
     q333CrawlE2e, q334TrigramLm, q335TrigramIndexServe,
     q336TrigramIndexMerge, q337PhraseBlocklist, q342KnTrigram,
     q343KnTrigramServe, q344CrawlLmFunnel, q347TrigramForget,
-    q348LineIndexForget, q350RtbfOrchestrator)
+    q348LineIndexForget, q350RtbfOrchestrator, q353CrawlKnFunnel)
 }

@@ -683,6 +683,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"stored trigram model not in the serving plan:\n$p")
   }
 
+  test("q343 Kneser-Ney serving: the SHARED stored trigram table feeds " +
+      "the KN derivation too — the train corpus appears nowhere (the " +
+      "q335 gate extended to the second smoothing tier)") {
+    val p = plan("q343_kn_trigram_serve")
+    val first = p.indexOf("documents.parquet")
+    assert(first >= 0 && p.indexOf("documents.parquet", first + 1) < 0,
+      s"expected only the probe's documents scan:\n$p")
+    assert(p.contains("trigrams"),
+      s"stored trigram model not in the serving plan:\n$p")
+    // the probe's own trigram explode is legitimate (and shares the
+    // HOF shape a train pass would use), so the load-bearing assertion
+    // is the single documents scan above: every KN level (context
+    // totals, continuation counts, unigram types) must derive from the
+    // stored table, never a second corpus read
+  }
+
   test("q339/q341 paired k-sample tests: every window is partitioned " +
       "BY BLOCK — no corpus-sized single partition anywhere") {
     Seq("q339_friedman", "q341_cochran_q").foreach { q =>

@@ -1523,10 +1523,10 @@ class StreamingSpec extends AnyFunSuite {
       "replayed epoch must be a no-op")
   }
 
-  test("streaming crawl pipeline (q333/q344 twin): micro-batched " +
-      "ingest through all four stored gates (incl. the LM fluency " +
-      "stage) — dedup index folding admitted keys forward — admits " +
-      "exactly the one-shot batch set, across a full restart") {
+  /** The q333/q344/q353 streaming twin, parameterized by the fluency
+    * tier — both smoothings ride the SAME stored trigram table, so the
+    * twin is one helper, not two tests' worth of duplicated plumbing. */
+  private def crawlTwin(smoothing: String, floor: Long): Unit = {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
     import graft.operators.{Curation, DedupIndex, Importance, LineIndex}
@@ -1560,7 +1560,8 @@ class StreamingSpec extends AnyFunSuite {
     def admitted(dd: String, batch: org.apache.spark.sql.DataFrame) =
       Curation.crawlStages(spark, batch, "doc_id", "html", lineDir,
         dd, impDir, maxLineDocs = 30L, minScorePpm = 1000000L,
-        lmDir = Some(lmDir), minLmPpm = 90000L).last._2
+        lmDir = Some(lmDir), minLmPpm = floor,
+        lmSmoothing = smoothing).last._2
     val batchSet = admitted(ddBatch, pages)
       .select($"doc_id").as[Long].collect().toSet
     assert(batchSet.nonEmpty, "fixture must admit something")
@@ -1597,5 +1598,18 @@ class StreamingSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSet
     assert(streamed === batchSet,
       "micro-batched admission must equal the one-shot batch set")
+  }
+
+  test("streaming crawl pipeline (q333/q344 twin): micro-batched " +
+      "ingest through all four stored gates (incl. the LM fluency " +
+      "stage) — dedup index folding admitted keys forward — admits " +
+      "exactly the one-shot batch set, across a full restart") {
+    crawlTwin("sb", 90000L)
+  }
+
+  test("streaming crawl pipeline, Kneser-Ney tier (q353 twin): the " +
+      "same parameterized twin with the calibrated-probability gate — " +
+      "one smoothing parameter, zero duplicated plumbing") {
+    crawlTwin("kn", 98000L)
   }
 }
