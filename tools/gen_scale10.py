@@ -21,11 +21,16 @@ Deterministic (seed derived per shard). Run once:
     python3 tools/gen_scale10.py
 """
 import random
+import sys
 import duckdb
 
+# gen_scale10.py [shards] [outdir] — defaults reproduce the classic
+# 10x fixture; `python3 tools/gen_scale10.py 30 tools/scale30` builds
+# the second measured decade (same disjoint-shard construction, so
+# linear scaling stays the correct null hypothesis at any multiple)
 SRC = "/root/testdata/sf0.1"
-OUT = "tools/scale10"
-SHARDS = 10
+SHARDS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = sys.argv[2] if len(sys.argv) > 2 else "tools/scale10"
 OFF = 1_000_000
 
 con = duckdb.connect()
