@@ -63,6 +63,13 @@ object Forget {
   /** Binary-quantization code table at `dir` (vec_id keyed). */
   final case class BqTarget(dir: String)
       extends Target { val name = "bq_index" }
+  /** Aggregate materialized view at `dir` ([[AggView]]): a purge is a
+    * CDC batch of ALL-RETRACTION rows — the forgotten frame must be
+    * the entities' ORIGINAL fact rows (the count-artifact subset
+    * contract), and Σ-delta state absorbs them exactly, groups
+    * reaching zero leaving the state. */
+  final case class AggViewTarget(dir: String, keyCols: Seq[String],
+      valueScaled: Column) extends Target { val name = "agg_view" }
 
   /** Purge the `forgotten` docs from every target. `forgotten` must be
     * the docs' ORIGINAL rows (id + text + carry columns) — the count
@@ -96,8 +103,25 @@ object Forget {
           ids.select(col(idCol).as(vid)), vid)
       case BqTarget(dir) =>
         BqIndex.removeIds(spark, dir, ids)
+      case AggViewTarget(dir, keys, v) =>
+        AggView.mergeCdc(spark, f.withColumn("_op", lit("D")), keys, v,
+          "_op", dir, epoch)
     }
   }
+
+  /** Streaming purge intake — right-to-be-forgotten requests arrive as
+    * a STREAM in production (the deletion queue), so the orchestrator
+    * has a foreachBatch adapter like every other durable lifecycle
+    * here: each micro-batch of forgotten-doc rows fans out through
+    * [[purgeDocs]] with the Spark epochId as the replay fence, so an
+    * at-least-once redelivery after a restart is a no-op on every
+    * guarded artifact and an identical rewrite on the idempotent ones
+    * (exactly-once purge over at-least-once delivery — the
+    * [[TextIndex.foreachBatchMerge]] protocol pointed at deletion).
+    * Usage: `.writeStream.foreachBatch(Forget.foreachBatchPurge(...))`. */
+  def foreachBatchPurge(spark: SparkSession, idCol: String,
+      targets: Seq[Target]): (DataFrame, Long) => Unit =
+    (batch, epoch) => purgeDocs(spark, batch, idCol, targets, epoch)
 
   /** The house 60-bit order-independent digest (q66/q188/q333). */
   private def xor60(sqlExpr: String): String =
@@ -164,5 +188,10 @@ object Forget {
         val c = BqIndex.codes(spark, dir)
         row(spark, "bq_index", c, count(lit(1)),
           "cast(vec_id as string)")
+      case AggViewTarget(dir, keys, _) =>
+        val s = AggView.serve(spark, dir)
+        row(spark, "agg_view", s, sum(col("cnt")),
+          "concat_ws(':', " + (keys ++ Seq("cnt", "vsum"))
+            .map(k => s"cast($k as string)").mkString(", ") + ")")
     }.reduce(_.unionByName(_))
 }

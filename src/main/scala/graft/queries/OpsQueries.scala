@@ -184,6 +184,44 @@ object OpsQueries {
       FROM g ORDER BY user_id, event_type"""),
     doc = "[NS] incremental agg matview: CDC fold == from-scratch (twin-certified)")
 
+  /** [NS] — matview forget via the RTBF orchestrator (q354): the
+    * summary table joins the purge fan-out — [[graft.operators.Forget
+    * .AggViewTarget]] turns the forgotten entities' ORIGINAL fact rows
+    * into an all-retraction CDC batch, and Σ-delta state absorbs it
+    * exactly (q139's maintenance law read as deletion: groups reaching
+    * zero leave the state). Build the (user, event_type) view on ALL
+    * events, purge the user_id ≡ 4 (mod 9) users through
+    * [[graft.operators.Forget.purgeDocs]], serve. Oracle rebuilds from
+    * the remaining users only — a green row proves the orchestrated
+    * retraction ≡ remaining-only rebuild at the eighth artifact class,
+    * and that a purged user's activity leaves the REPORTING layer, not
+    * just the indexes (dashboards keep leaking aggregates otherwise). */
+  val q354AggViewForget = Q(
+    "q354_agg_view_forget",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val scaled = round($"value" * 100.0, 0).cast("long")
+      val keys = Seq("user_id", "event_type")
+      val dir = graft.operators.AggView.defaultDir(d + "_ev_forget")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#full+purge") {
+        graft.operators.AggView.build(ev, keys, scaled, dir)
+        graft.operators.Forget.purgeDocs(s,
+          ev.filter($"user_id" % 9 === 4), "event_id",
+          Seq(graft.operators.Forget.AggViewTarget(dir, keys, scaled)),
+          epoch = 0L)
+      }
+      graft.operators.AggView.serve(s, dir)
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""WITH g AS (SELECT user_id, event_type,
+        CAST(count(*) AS BIGINT) AS cnt,
+        CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS vsum
+      FROM events WHERE user_id % 9 <> 4 GROUP BY 1, 2)
+      SELECT user_id, event_type, cnt, vsum FROM g
+      ORDER BY user_id, event_type"""),
+    doc = "[NS] matview forget: orchestrated all-retraction purge == remaining-only rebuild")
+
   /** [NS] — blocked fuzzy-match join (entity resolution): doc pairs in
     * the same (lang, length-band) block within 40 edits. The block key
     * makes the self-join an equi-join (never a cross product); a length
@@ -2870,7 +2908,8 @@ object OpsQueries {
     q320NeymanAllocation, q324ContributionBound, q328KruskalWallis,
     q331WilcoxonSignedRank, q338Mcnemar, q339Friedman, q340FleissKappa, q341CochranQ, q345PageTrend,
     q346Jonckheere,
-    q139MatviewCdc, q140FuzzyJoin, q142Expectations, q143DecayScore,
+    q139MatviewCdc, q354AggViewForget, q140FuzzyJoin, q142Expectations,
+    q143DecayScore,
     q147SnapshotDiff, q148KmvDistinct, q149KmvJaccard, q154KmvWindow,
     q156EquiDepth, q165PrioritySample, q166KmvQuantiles, q167MadOutliers,
     q172TargetEncode, q173WeightedMedian, q174HeavyExact, q175DiffCdc,

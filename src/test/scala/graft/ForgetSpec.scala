@@ -112,4 +112,73 @@ class ForgetSpec extends AnyFunSuite {
     Forget.purgeDocs(spark, gone, "doc_id", targetsA, epoch = 0L)
     assert(cert(targetsA) === a, "replayed purge must not move state")
   }
+
+  test("foreachBatchPurge: streamed deletion requests purge exactly " +
+      "once across a full restart — final state equals the one-shot " +
+      "purge of all requests") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    import graft.operators._
+
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "beta gamma delta epsilon zeta eta", "en"),
+      (3L, "one two three four five six", "de"),
+      (4L, "seven eight nine ten eleven twelve", "en"),
+      (5L, "totally different words here now too", "de")
+    ).toDF("doc_id", "text", "lang")
+
+    def buildThree(): (String, String, String) = {
+      val (t, dd, tri) = (tmp("fs_text"), tmp("fs_dedup"), tmp("fs_tri"))
+      TextIndex.build(docs, "doc_id", "text", t)
+      DedupIndex.build(docs, "doc_id", "text", 3, 8, 4, dd)
+      LmIndex.buildTrigram(docs, "doc_id", "text", tri)
+      (t, dd, tri)
+    }
+    def targetsOf(t: String, dd: String, tri: String) = Seq(
+      Forget.TextTarget(t, "doc_id"),
+      Forget.DedupTarget(dd),
+      Forget.TrigramTarget(tri, "text"))
+
+    val (ta, dda, tria) = buildThree() // streamed
+    val (tb, ddb, trib) = buildThree() // one-shot twin
+    val targetsA = targetsOf(ta, dda, tria)
+
+    val srcDir = tmp("fs_src")
+    val ckpt = tmp("fs_ckpt")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING")
+        .json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(Forget.foreachBatchPurge(spark, "doc_id",
+          targetsA))
+        .start()
+      q.awaitTermination()
+    }
+    // epoch 1: purge doc 2; FULL restart; epoch 2: purge doc 4
+    docs.filter($"doc_id" === 2L).coalesce(1)
+      .write.mode("append").json(srcDir)
+    runOnce()
+    docs.filter($"doc_id" === 4L).coalesce(1)
+      .write.mode("append").json(srcDir)
+    runOnce()
+
+    Forget.purgeDocs(spark, docs.filter($"doc_id".isin(2L, 4L)),
+      "doc_id", targetsOf(tb, ddb, trib), epoch = 0L)
+
+    def cert(ts: Seq[Forget.Target]) =
+      Forget.certificate(spark, ts).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+    assert(cert(targetsA) === cert(targetsOf(tb, ddb, trib)),
+      "streamed purge must equal the one-shot purge of all requests")
+    // a rerun with no new files replays nothing — state must not move
+    val before = cert(targetsA)
+    runOnce()
+    assert(cert(targetsA) === before,
+      "an empty replay must not move state")
+  }
 }
