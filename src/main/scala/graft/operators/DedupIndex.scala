@@ -214,6 +214,25 @@ object DedupIndex {
       .write.mode("append").parquet(bandsPath(dir))
   }
 
+  /** Housekeeping rewrite — [[append]] is append-only, so a long-lived
+    * index accumulates duplicate key rows (a re-admitted twin's keys)
+    * and small files: harmless to the semi-join probes, costly to
+    * scan. Compaction rewrites the current generation as one distinct
+    * copy under the generation protocol — a PURE PHYSICAL rewrite,
+    * gate results byte-identical before and after (DedupSpec pins it),
+    * with the same crash-safety as every other pointer flip. Run it on
+    * file-count pressure, not on a schedule. */
+  def compact(spark: SparkSession, dir: String, k: Int = 8,
+      bands: Int = 4, epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = TextIndex.current(dir)
+    require(gen >= 0, s"compact: no index at $dir — build() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
+    val (hashes, bandKeys) = readStored(spark, dir, k, bands)
+    writeGen(hashes.distinct().localCheckpoint(true),
+      bandKeys.distinct().localCheckpoint(true), dir, gen + 1)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+  }
+
   /** Certified forget — remove `ids`' derived rows from the stored
     * index, the decremental twin of a remaining-only [[build]]. One
     * broadcast anti-join per table (rows are per-doc — no count

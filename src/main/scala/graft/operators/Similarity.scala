@@ -81,6 +81,65 @@ object Similarity {
     concat((1 to bits).map(i =>
       when(element_at(vec, i) >= 0.0, "1").otherwise("0")): _*)
 
+  /** [NS] Multi-probe sign-bucket ANN (Lv et al. 2007's multi-probe
+    * LSH, on the coordinate-hyperplane family): single-bucket probing
+    * misses a true neighbor whenever ANY of the `bits` signs disagrees
+    * — and the classic fixes both hurt at scale (more hash tables
+    * multiply index memory; fewer bits blow candidate volume up).
+    * Multi-probe buys the recall with QUERY-side work instead: each
+    * query probes its own bucket PLUS the `bits` buckets at Hamming
+    * distance 1, which for this family are exactly "the neighbor whose
+    * i-th coordinate sign differs" — the perturbation sequence needs no
+    * scoring because all 1-flips are equally likely under the family.
+    *
+    * Plan shape: the probe keys EXPLODE query-side ((bits+1) rows per
+    * query) and equi-join the corpus bucket column — one shuffle, NO
+    * extra corpus scan, no fan-out on the big side; a candidate is
+    * found exactly once (its bucket matches exactly one probe key).
+    * Exact rounded-cosine top-k (micro-units, id tie-break) over the
+    * candidates. Output: (q_id, c_id, cos_um, rk), rk ≤ k.
+    *
+    * Scale: candidate volume is (bits+1)·n²/2^bits in expectation —
+    * the single-probe volume times (bits+1), traded deliberately for
+    * the recall q356 measures; the corpus side shuffles once on the
+    * bucket key like every bucketed family here, and skewed buckets
+    * split under AQE. */
+  def multiProbeTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, bits: Int, k: Int,
+      probeFlips: Int = -1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // probeFlips: how many 1-bit-flip probes to issue besides the own
+    // bucket (0 = classic single-probe; default = all `bits` flips)
+    val pf = if (probeFlips < 0) bits else probeFlips
+    require(pf <= bits, s"probeFlips $pf > bits $bits")
+    // bits = 0 degenerates to ONE bucket = exact brute force — the
+    // recall audit's truth arm, sharing this exact arithmetic path
+    def bkt(v: Column) = if (bits == 0) lit("") else signBucket(v, bits)
+    val c = corpus.select(col(idCol).as("c_id"),
+        vecD(col(vecCol)).as("cv"))
+      .withColumn("bucket", bkt(col("cv")))
+      .withColumn("nc", sqrt(dot(col("cv"), col("cv"))))
+    val probes = queries.select(col(idCol).as("q_id"),
+        vecD(col(vecCol)).as("qv"))
+      .withColumn("_b0", bkt(col("qv")))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+      .select(col("q_id"), col("qv"), col("nq"), explode(expr(
+        s"transform(sequence(0, $pf), j -> CASE WHEN j = 0 THEN _b0 " +
+          "ELSE concat(substring(_b0, 1, j - 1), " +
+          "CASE WHEN substring(_b0, j, 1) = '1' THEN '0' ELSE '1' END, " +
+          s"substring(_b0, j + 1, $bits)) END)")).as("bucket"))
+    probes.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("_c", when(col("nq") * col("nc") === 0.0, lit(0.0))
+        .otherwise(dot(col("qv"), col("cv")) / (col("nq") * col("nc"))))
+      .withColumn("cos_um", expr("CAST(round(_c * 1000000) AS BIGINT)"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_um").desc, col("c_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos_um"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** LSH-bucketed similarity join: same-bucket pairs with cosine ≥
     * `minCos`. One shuffle on the bucket key; quadratic only within
     * buckets (2^bits-way partition of the pair space). */

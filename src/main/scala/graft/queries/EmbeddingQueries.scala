@@ -1944,6 +1944,129 @@ object EmbeddingQueries {
     },
     doc = "[NS] bitext mining served from the stored coarse-cell index: linear candidate volume")
 
+  /** DuckDB twin of [[Similarity.signBucket]] over the DOUBLE cast. */
+  private def bucketSql(v: String, bits: Int): String =
+    (1 to bits).map(i =>
+      s"(CASE WHEN $v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  /** Shared oracle CTE block for q355/q356: corpus buckets `b`, query
+    * side `q` (vec_id % 50 = 0), probe keys `pr` (own bucket + all
+    * `bits` 1-bit flips). */
+  private def multiProbeCtes(bits: Int): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      b AS (SELECT vec_id, v, ${bucketSql("v", bits)} AS bucket,
+          sqrt(${String.format(dotSql, "v", "v")}) AS nrm FROM e),
+      q AS (SELECT vec_id AS q_id, v AS qv, bucket AS b0, nrm AS nq
+        FROM b WHERE vec_id % 50 = 0),
+      pr AS (SELECT q_id, qv, nq, CASE WHEN j = 0 THEN b0 ELSE
+          substring(b0, 1, j - 1) ||
+          (CASE WHEN substring(b0, j, 1) = '1' THEN '0' ELSE '1' END) ||
+          substring(b0, j + 1, $bits) END AS bucket
+        FROM q, unnest(range(0, ${bits + 1})) AS t(j))"""
+
+  private def cosUmSql(qv: String, v: String, nq: String,
+      nrm: String): String =
+    s"CAST(round(CASE WHEN $nq * $nrm = 0 THEN 0.0 ELSE " +
+      s"(${String.format(dotSql, qv, v)}) / ($nq * $nrm) END * 1000000) " +
+      "AS BIGINT)"
+
+  /** [NS] — multi-probe sign-bucket ANN (q355, Lv et al. 2007):
+    * [[Similarity.multiProbeTopK]] — each query probes its own sign
+    * bucket PLUS the `bits` buckets at Hamming distance 1 (for the
+    * coordinate-hyperplane family, exactly "the neighbor whose i-th
+    * sign differs"), buying recall with (bits+1)× query-side probe
+    * keys instead of more index memory (more tables) or exploded
+    * candidate volume (fewer bits). One equi-join shuffle; a candidate
+    * matches exactly one probe key, so no dedup stage is needed.
+    * Exact rounded-cosine top-5 per query, id tie-break. */
+  val q355MultiProbeAnn = Q(
+    "q355_multiprobe_ann",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      Similarity.multiProbeTopK(e, e.filter($"vec_id" % 50 === 0),
+          "vec_id", "embedding", bits = 8, k = 5)
+        .orderBy($"q_id", $"rk")
+    },
+    Some(s"""WITH ${multiProbeCtes(8)},
+      cand AS (SELECT q_id, b.vec_id AS c_id,
+          ${cosUmSql("qv", "v", "nq", "nrm")} AS cos_um
+        FROM pr JOIN b ON b.bucket = pr.bucket AND b.vec_id <> pr.q_id),
+      rk AS (SELECT q_id, c_id, cos_um, row_number() OVER
+          (PARTITION BY q_id ORDER BY cos_um DESC, c_id) AS rk
+        FROM cand)
+      SELECT q_id, c_id, cos_um, CAST(rk AS BIGINT) AS rk
+      FROM rk WHERE rk <= 5 ORDER BY q_id, rk"""),
+    doc = "[NS] multi-probe sign-bucket ANN: own bucket + all 1-bit flips, exact top-5")
+
+  /** [NS] — multi-probe recall audit (q356): the tradeoff q355 buys,
+    * MEASURED — single-probe vs multi-probe top-5 against brute-force
+    * truth over the same rounded-cosine arithmetic (the truth arm is
+    * [[Similarity.multiProbeTopK]] at bits = 0: one bucket = exact
+    * scan, so all three arms share one code path and rounding
+    * convention — the q107-class oracle argument). Output one row:
+    * (n_queries, k, hits_single, hits_multi, recall_single_ppm,
+    * recall_multi_ppm). At 100 TB this is the operator's dial: recall
+    * rises with probe count at linear candidate cost, no index
+    * rebuild. */
+  val q356MultiProbeRecall = Q(
+    "q356_multiprobe_recall",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter($"vec_id" % 50 === 0)
+      def arm(bits: Int, flips: Int) = Similarity.multiProbeTopK(
+        e, qs, "vec_id", "embedding", bits, k = 5, probeFlips = flips)
+      val truth = arm(0, 0).select($"q_id", $"c_id")
+        .localCheckpoint(true)
+      val hs = arm(8, 0).select($"q_id", $"c_id")
+        .join(truth, Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_single"))
+      val hm = arm(8, 8).select($"q_id", $"c_id")
+        .join(truth, Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).as("hits_multi"))
+      qs.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(broadcast(hs)).crossJoin(broadcast(hm))
+        .select($"n_queries", lit(5L).as("k"), $"hits_single",
+          $"hits_multi",
+          expr("(1000000 * hits_single) div (5 * n_queries)")
+            .as("recall_single_ppm"),
+          expr("(1000000 * hits_multi) div (5 * n_queries)")
+            .as("recall_multi_ppm"))
+    },
+    Some(s"""WITH ${multiProbeCtes(8)},
+      tc AS (SELECT q_id, b.vec_id AS c_id,
+          ${cosUmSql("qv", "v", "nq", "nrm")} AS cos_um
+        FROM q, b WHERE b.vec_id <> q.q_id),
+      tt AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+          OVER (PARTITION BY q_id ORDER BY cos_um DESC, c_id) AS rk
+        FROM tc) WHERE rk <= 5),
+      sc AS (SELECT q_id, b.vec_id AS c_id,
+          ${cosUmSql("qv", "v", "nq", "nrm")} AS cos_um
+        FROM q JOIN b ON b.bucket = q.b0 AND b.vec_id <> q.q_id),
+      st AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+          OVER (PARTITION BY q_id ORDER BY cos_um DESC, c_id) AS rk
+        FROM sc) WHERE rk <= 5),
+      mc AS (SELECT q_id, b.vec_id AS c_id,
+          ${cosUmSql("qv", "v", "nq", "nrm")} AS cos_um
+        FROM pr JOIN b ON b.bucket = pr.bucket AND b.vec_id <> pr.q_id),
+      mt AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number()
+          OVER (PARTITION BY q_id ORDER BY cos_um DESC, c_id) AS rk
+        FROM mc) WHERE rk <= 5)
+      SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n_queries,
+        CAST(5 AS BIGINT) AS k,
+        CAST((SELECT count(*) FROM st JOIN tt USING (q_id, c_id))
+          AS BIGINT) AS hits_single,
+        CAST((SELECT count(*) FROM mt JOIN tt USING (q_id, c_id))
+          AS BIGINT) AS hits_multi,
+        CAST((1000000 * (SELECT count(*) FROM st JOIN tt
+          USING (q_id, c_id))) // (5 * (SELECT count(*) FROM q))
+          AS BIGINT) AS recall_single_ppm,
+        CAST((1000000 * (SELECT count(*) FROM mt JOIN tt
+          USING (q_id, c_id))) // (5 * (SELECT count(*) FROM q))
+          AS BIGINT) AS recall_multi_ppm"""),
+    doc = "[NS] multi-probe recall audit: single vs multi probe vs brute truth, one shared arithmetic path")
+
   val all: Seq[Q] = Seq(q30CosineTopk, q31SimilarityJoin, q32LshBuckets,
     q317BinaryQuantRecall, q319MatryoshkaRecall, q327BqIndexServe,
     q329BqIndexMerge, q330BqIndexRemove,
@@ -1955,5 +2078,5 @@ object EmbeddingQueries {
     q235EmbeddingExpectations, q251TopDirection, q252AbttEnergy,
     q256LabelNoise, q258Int8Recall, q259AnnRecall, q268AnnRemove,
     q288IndexStaleness, q294Distortion, q303BitextMining,
-    q332BitextServed)
+    q332BitextServed, q355MultiProbeAnn, q356MultiProbeRecall)
 }

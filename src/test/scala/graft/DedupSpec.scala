@@ -270,6 +270,44 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(dir) === before)
   }
 
+  test("DedupIndex.compact: a pure physical rewrite — duplicate " +
+      "appended key rows collapse, gate results byte-identical") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    val archive = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated words about spark catalyst planning")
+    ).toDF("doc_id", "text")
+    val extra = Seq(
+      (3L, "a third topic entirely with its own distinct vocabulary here")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_compact").toString
+    DedupIndex.build(archive, "doc_id", "text", 3, 8, 4, dir)
+    // append the same batch twice: append-only design duplicates rows
+    DedupIndex.append(extra, "doc_id", "text", 3, 8, 4, dir)
+    DedupIndex.append(extra, "doc_id", "text", 3, 8, 4, dir)
+    val probe = Seq(
+      (10L, "a third topic entirely with its own distinct vocabulary here"),
+      (11L, "never before seen material with fresh tokens all around us")
+    ).toDF("doc_id", "text")
+    def gateIds() = DedupIndex.gate(spark, dir, probe, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    def hashRows() = spark.read
+      .parquet(DedupIndex.hashesPath(dir)).count()
+    val (gBefore, nBefore) = (gateIds(), hashRows())
+    assert(nBefore === 4L, "double append must have duplicated doc 3")
+    DedupIndex.compact(spark, dir, epoch = 5L)
+    assert(hashRows() === 3L, "compaction must collapse duplicates")
+    assert(gateIds() === gBefore,
+      "compaction must not change gate semantics")
+    assert(gBefore === Set(11L))
+    // replayed epoch: no-op (no new generation)
+    val gen = graft.operators.TextIndex.current(dir)._1
+    DedupIndex.compact(spark, dir, epoch = 5L)
+    assert(graft.operators.TextIndex.current(dir)._1 === gen)
+  }
+
   test("keepBest: one survivor per transitive cluster, best score wins, " +
       "singletons ride through") {
     import spark.implicits._

@@ -583,4 +583,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"dominant axis must carry the mass: $v")
     assert(v.values.map(math.abs).sum <= 1000000L)
   }
+
+  test("multiProbeTopK: 1-flip neighbors reachable, 2-flip not; " +
+      "probeFlips=0 is classic single-probe; bits=0 is exact brute " +
+      "force in the same arithmetic path") {
+    import spark.implicits._
+    // buckets over the first 3 signs: q = 111
+    val corpus = Seq(
+      (1L, Array(1f, 1f, 1f, 0.5f)),   // 111 — own bucket
+      (2L, Array(1f, 1f, -1f, 0.5f)),  // 110 — Hamming 1 from q
+      (3L, Array(1f, -1f, -1f, 0.5f)), // 100 — Hamming 2: unreachable
+      (4L, Array(1f, 1f, 1f, -0.9f))   // 111 — own bucket
+    ).toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding")
+    def ids(bits: Int, flips: Int) = Similarity.multiProbeTopK(
+        corpus, q, "vec_id", "embedding", bits, k = 4,
+        probeFlips = flips)
+      .select("c_id").as[Long].collect().toSet
+    assert(ids(3, 0) === Set(1L, 4L), "single-probe: own bucket only")
+    assert(ids(3, 3) === Set(1L, 2L, 4L),
+      "multi-probe reaches every 1-flip bucket but not Hamming 2")
+    assert(ids(0, 0) === Set(1L, 2L, 3L, 4L),
+      "bits=0 degenerates to the exact scan")
+    // exact ranking on the brute arm: cos(q,·) orders 1 > 4 > 2 > 3
+    val brute = Similarity.multiProbeTopK(corpus, q, "vec_id",
+        "embedding", bits = 0, k = 4)
+      .orderBy($"rk").select("c_id").as[Long].collect().toSeq
+    assert(brute === Seq(1L, 4L, 2L, 3L))
+  }
 }
