@@ -146,4 +146,50 @@ object BqIndex {
       .limit(k)
       .select(col("vec_id"), col("cos"))
   }
+
+  /** Bucket-pruned serving — [[serve]]'s Hamming shortlist SCANS the
+    * whole code table (8 bytes/vector: cheap, but still O(corpus) per
+    * query). Multi-probe pruning ([[Similarity.multiProbeTopK]]'s move
+    * at the stored tier, Lv et al. 2007) makes the shortlist stage
+    * sub-linear: the low `bits` sign bits of `bq_lo` are a coarse
+    * bucket, and candidates are the codes in the query's bucket OR any
+    * 1-flip neighbor — (bits+1)/2^bits of the table in expectation —
+    * Hamming-ranked, then the exact re-rank runs on the shortlist
+    * exactly as [[serve]] does. The probe keys explode QUERY-side into
+    * one equi-join against the bucket column (never a corpus-side
+    * fan-out, never a full-table ordering). Recall < 1 by construction
+    * (a true neighbor whose prefix differs in ≥ 2 signs is
+    * unreachable) — the q356-measured dial; `bits` trades candidate
+    * volume against it. */
+  def serveMultiProbe(spark: SparkSession, dir: String,
+      floats: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      bits: Int, shortlist: Int, k: Int): DataFrame = {
+    require(bits >= 1 && bits <= 32, s"bits must be in [1,32]: $bits")
+    val mask = (1L << bits) - 1
+    val c = codes(spark, dir)
+    val qc = c.filter(col("vec_id") === queryId)
+      .select(col("bq_lo").as("q_lo"), col("bq_hi").as("q_hi"))
+    val probes = qc.select(col("q_lo"), col("q_hi"), explode(expr(
+      s"transform(sequence(0, $bits), j -> CASE WHEN j = 0 " +
+        s"THEN q_lo & $mask " +
+        s"ELSE (q_lo & $mask) ^ shiftleft(cast(1 as bigint), j - 1) " +
+        "END)")).as("_bkt"))
+    val short = c.withColumn("_bkt", expr(s"bq_lo & $mask"))
+      .join(broadcast(probes), Seq("_bkt"))
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("hd", expr(
+        "bit_count(bq_lo ^ q_lo) + bit_count(bq_hi ^ q_hi)"))
+      .orderBy(col("hd").asc, col("vec_id").asc)
+      .limit(shortlist)
+      .select(col("vec_id"))
+    val ev = floats.select(col(idCol).as("vec_id"),
+      Similarity.vecD(col(vecCol)).as("v"))
+    val qv = ev.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"))
+    short.join(ev, Seq("vec_id")).crossJoin(broadcast(qv))
+      .withColumn("cos", round(Similarity.cosine(col("v"), col("qv")), 6))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("cos"))
+  }
 }

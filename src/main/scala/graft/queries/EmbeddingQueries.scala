@@ -1786,6 +1786,57 @@ object EmbeddingQueries {
     },
     doc = "[NS] stored BQ index serving: lookup + Hamming shortlist + shortlist-only re-rank")
 
+  /** [NS] — bucket-pruned BQ serving (q357):
+    * [[graft.operators.BqIndex.serveMultiProbe]] — q327's Hamming
+    * shortlist stops scanning the whole code table: the low 8 sign
+    * bits of `bq_lo` bucket the codes, the query probes its own bucket
+    * plus all 8 one-flip neighbors (q355's multi-probe move at the
+    * stored tier — 9/256 of the table in expectation), and only that
+    * slice is Hamming-ranked before the exact re-rank. The oracle
+    * constructs the SAME candidate set differently — a ≤1 prefix-
+    * Hamming predicate instead of exploded probe keys — so a hash
+    * match certifies the probe-key join is exactly the neighborhood it
+    * claims. Same fingerprinted artifact as q327 (no second build). */
+  val q357BqMultiProbeServe = Q(
+    "q357_bq_multiprobe_serve",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val dir = graft.operators.TextIndex.defaultDir(s"bq_$d")
+      graft.operators.BqIndex.buildIfAbsent(s, dir, e, "vec_id",
+        "embedding", tag = d)
+      val qid = e.agg(max($"vec_id")).collect()(0).getLong(0)
+      graft.operators.BqIndex.serveMultiProbe(s, dir, e, "vec_id",
+        "embedding", queryId = qid, bits = 8, shortlist = 32, k = 10)
+    },
+    Some {
+      def maskSql(off: Int) =
+        s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(0, 31), i ->
+            CASE WHEN v[i + $off + 1] >= 0 THEN (1::BIGINT << i)
+              ELSE 0::BIGINT END)), (a, x) -> a + x)"""
+      s"""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        qid AS (SELECT max(vec_id) AS q_id FROM embeddings),
+        q2 AS (SELECT v AS qv FROM e2, qid WHERE vec_id = q_id),
+        codes AS (SELECT vec_id, ${maskSql(0)} AS bq_lo,
+            ${maskSql(32)} AS bq_hi
+          FROM e2 WHERE len(v) = 64),
+        qc AS (SELECT bq_lo AS q_lo, bq_hi AS q_hi FROM codes, qid
+          WHERE vec_id = q_id),
+        short AS (SELECT vec_id FROM codes, qc, qid
+          WHERE vec_id <> q_id
+            AND bit_count(xor(bq_lo & 255, q_lo & 255)) <= 1
+          ORDER BY bit_count(xor(bq_lo, q_lo)) +
+            bit_count(xor(bq_hi, q_hi)) ASC, vec_id ASC
+          LIMIT 32)
+        SELECT e2.vec_id, round(${cosSql("v", "qv")}, 6) AS cos
+        FROM short JOIN e2 USING (vec_id), q2
+        ORDER BY cos DESC, vec_id ASC
+        LIMIT 10"""
+    },
+    doc = "[NS] bucket-pruned BQ serving: multi-probe prefix buckets replace the full-table Hamming scan")
+
   /** [NS] — incremental BQ index maintenance (q329): build the code
     * table on 90% of the corpus (vec_id % 10 ≠ 0), fold the held-out
     * 10% in with [[graft.operators.BqIndex.appendIfAbsent]] (ledgered
@@ -2078,5 +2129,6 @@ object EmbeddingQueries {
     q235EmbeddingExpectations, q251TopDirection, q252AbttEnergy,
     q256LabelNoise, q258Int8Recall, q259AnnRecall, q268AnnRemove,
     q288IndexStaleness, q294Distortion, q303BitextMining,
-    q332BitextServed, q355MultiProbeAnn, q356MultiProbeRecall)
+    q332BitextServed, q355MultiProbeAnn, q356MultiProbeRecall,
+    q357BqMultiProbeServe)
 }

@@ -699,6 +699,19 @@ class PlanQualitySpec extends AnyFunSuite {
     // stored table, never a second corpus read
   }
 
+  test("q357 bucket-pruned BQ serving: the shortlist rides the probe " +
+      "equi-join on the bucket key — the ONLY nested-loop join is the " +
+      "k-row re-rank broadcast (q327's full-table cross shape is gone)") {
+    val p = plan("q357_bq_multiprobe_serve")
+    assert(p.contains("_bkt"),
+      s"bucket join key missing — shortlist not probe-pruned:\n$p")
+    // count NODES, not mentions: formatted plans print each operator
+    // twice (tree line + "(N) Op" detail header)
+    val nlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 1,
+      s"expected at most the re-rank nested loop, found $nlj:\n$p")
+  }
+
   test("q339/q341 paired k-sample tests: every window is partitioned " +
       "BY BLOCK — no corpus-sized single partition anywhere") {
     Seq("q339_friedman", "q341_cochran_q").foreach { q =>
