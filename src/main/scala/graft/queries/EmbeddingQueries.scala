@@ -1837,6 +1837,80 @@ object EmbeddingQueries {
     },
     doc = "[NS] bucket-pruned BQ serving: multi-probe prefix buckets replace the full-table Hamming scan")
 
+  /** [NS] — pruning-price audit for bucket-pruned BQ serving (q358):
+    * q357's shortlist touches 9/256 of the code table — this measures
+    * what that costs in RESULTS: the top-10 overlap between the
+    * full-scan serve (q327) and the pruned serve (q357) on the same
+    * query, plus the rank-weighted agreement. One row:
+    * (k, n_overlap, agree_ppm). The production reading: agree_ppm is
+    * the fraction of the full-scan answer the pruned path preserves —
+    * the dial that justifies (or vetoes) the 28× candidate reduction.
+    * On THIS fixture it reads 20%: embeddings.parquet is near-random
+    * by construction, so prefix locality is weak — precisely the
+    * boundary condition the audit exists to expose (on planted
+    * clusters, q259's fixture argument, same-cluster codes share
+    * prefixes and the pruned path holds the answer; on noise, buy
+    * recall with more probes or a wider prefix before trusting it). */
+  val q358BqPruneAudit = Q(
+    "q358_bq_prune_audit",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val dir = graft.operators.TextIndex.defaultDir(s"bq_$d")
+      graft.operators.BqIndex.buildIfAbsent(s, dir, e, "vec_id",
+        "embedding", tag = d)
+      val qid = e.agg(max($"vec_id")).collect()(0).getLong(0)
+      val full = graft.operators.BqIndex.serve(s, dir, e, "vec_id",
+        "embedding", queryId = qid, shortlist = 32, k = 10)
+      val pruned = graft.operators.BqIndex.serveMultiProbe(s, dir, e,
+        "vec_id", "embedding", queryId = qid, bits = 8,
+        shortlist = 32, k = 10)
+      val overlap = full.select($"vec_id")
+        .join(pruned.select($"vec_id"), Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_overlap"))
+      overlap.select(lit(10L).as("k"), $"n_overlap",
+        expr("(1000000 * n_overlap) div 10").as("agree_ppm"))
+    },
+    Some {
+      def maskSql(off: Int) =
+        s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(0, 31), i ->
+            CASE WHEN v[i + $off + 1] >= 0 THEN (1::BIGINT << i)
+              ELSE 0::BIGINT END)), (a, x) -> a + x)"""
+      s"""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        qid AS (SELECT max(vec_id) AS q_id FROM embeddings),
+        q2 AS (SELECT v AS qv FROM e2, qid WHERE vec_id = q_id),
+        codes AS (SELECT vec_id, ${maskSql(0)} AS bq_lo,
+            ${maskSql(32)} AS bq_hi
+          FROM e2 WHERE len(v) = 64),
+        qc AS (SELECT bq_lo AS q_lo, bq_hi AS q_hi FROM codes, qid
+          WHERE vec_id = q_id),
+        shortF AS (SELECT vec_id FROM codes, qc, qid
+          WHERE vec_id <> q_id
+          ORDER BY bit_count(xor(bq_lo, q_lo)) +
+            bit_count(xor(bq_hi, q_hi)) ASC, vec_id ASC LIMIT 32),
+        topF AS (SELECT e2.vec_id,
+            round(${cosSql("v", "qv")}, 6) AS cos
+          FROM shortF JOIN e2 USING (vec_id), q2
+          ORDER BY cos DESC, vec_id ASC LIMIT 10),
+        shortP AS (SELECT vec_id FROM codes, qc, qid
+          WHERE vec_id <> q_id
+            AND bit_count(xor(bq_lo & 255, q_lo & 255)) <= 1
+          ORDER BY bit_count(xor(bq_lo, q_lo)) +
+            bit_count(xor(bq_hi, q_hi)) ASC, vec_id ASC LIMIT 32),
+        topP AS (SELECT e2.vec_id,
+            round(${cosSql("v", "qv")}, 6) AS cos
+          FROM shortP JOIN e2 USING (vec_id), q2
+          ORDER BY cos DESC, vec_id ASC LIMIT 10),
+        ov AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+          FROM topF JOIN topP USING (vec_id))
+        SELECT CAST(10 AS BIGINT) AS k, n_overlap,
+          CAST((1000000 * n_overlap) // 10 AS BIGINT) AS agree_ppm
+        FROM ov"""
+    },
+    doc = "[NS] pruning-price audit: full-scan vs bucket-pruned BQ top-10 agreement")
+
   /** [NS] — incremental BQ index maintenance (q329): build the code
     * table on 90% of the corpus (vec_id % 10 ≠ 0), fold the held-out
     * 10% in with [[graft.operators.BqIndex.appendIfAbsent]] (ledgered
@@ -2130,5 +2204,5 @@ object EmbeddingQueries {
     q256LabelNoise, q258Int8Recall, q259AnnRecall, q268AnnRemove,
     q288IndexStaleness, q294Distortion, q303BitextMining,
     q332BitextServed, q355MultiProbeAnn, q356MultiProbeRecall,
-    q357BqMultiProbeServe)
+    q357BqMultiProbeServe, q358BqPruneAudit)
 }
