@@ -2757,4 +2757,60 @@ object Analytics {
         col("share_ppm"))
       .orderBy(col("channel"))
   }
+
+  /** [NS] — exact central moments per group: the distribution-SHAPE
+    * monitor mean/variance drift checks can't give (a quality-score
+    * distribution can keep its mean and grow a tail — kurtosis sees
+    * it, the mean doesn't). Everything is cleared-denominator exact
+    * integer arithmetic on the INTEGER value column: with S1 = Σv and
+    * per-row t = n·v − S1 (so t = n·(v − μ) exactly, no rational
+    * mean ever materializes),
+    *
+    *   D2 = Σt² = n²·Σ(v−μ)²,  D3 = Σt³ = n³·Σ(v−μ)³,  D4 = Σt⁴
+    *
+    * and the outputs are fixed-order truncating ratios both engines
+    * replay bit-for-bit:
+    *   mean_ppm       = 10⁶·S1 div n
+    *   var_ppm        = 10⁶·D2 div n³          (= 10⁶·m2)
+    *   skew_ratio_ppm = 10⁶·D3 div (D2·n)      (= 10⁶·m3/m2 — value
+    *                    units; the SIGN is the asymmetry direction,
+    *                    the standardized g1 would need a square root)
+    *   kurt_ppm       = (10⁶·n·(D4 div D2)) div D2  (= 10⁶·n·m4/m2²,
+    *                    Pearson kurtosis; normal ≈ 3·10⁶ — TWO-STEP
+    *                    truncating division in a FIXED order both
+    *                    engines replay; dividing D4 by D2 FIRST keeps
+    *                    every intermediate inside decimal(38,0) even
+    *                    at 30×-fixture group sizes, at a ≤1-unit
+    *                    truncation on a ~10¹⁵-scale quotient)
+    * Products run in decimal(38,0); groups need n ≥ 2 and D2 > 0
+    * (constant groups emit NULL shape columns rather than divide by
+    * zero). One aggregate pass + one broadcast join back — no window,
+    * no second shuffle on the fact side beyond the group key. */
+  def momentsExact(df: DataFrame, keyCol: String,
+      valCol: String): DataFrame = {
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("_k"), col(valCol).cast("long").as("_v"))
+    val tot = base.groupBy(col("_k"))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("_s1"))
+    val d = base.join(tot, Seq("_k"))
+      .withColumn("_t", expr("cast(n as decimal(38,0)) * _v - _s1"))
+    d.groupBy(col("_k"), col("n"), col("_s1"))
+      .agg(sum(expr("_t * _t")).as("_d2"),
+        sum(expr("_t * _t * _t")).as("_d3"),
+        sum(expr("_t * _t * _t * _t")).as("_d4"))
+      .withColumn("mean_ppm", expr(
+        "CAST((1000000 * cast(_s1 as decimal(38,0))) div n AS BIGINT)"))
+      .withColumn("var_ppm", expr(
+        "CAST((1000000 * _d2) div (cast(n as decimal(38,0)) * n * n) " +
+          "AS BIGINT)"))
+      .withColumn("skew_ratio_ppm", expr(
+        "CASE WHEN _d2 > 0 THEN CAST((1000000 * _d3) div (_d2 * n) " +
+          "AS BIGINT) END"))
+      .withColumn("kurt_ppm", expr(
+        "CASE WHEN _d2 > 0 THEN CAST(((1000000 * " +
+          "cast(n as decimal(38,0))) * (_d4 div _d2)) div _d2 " +
+          "AS BIGINT) END"))
+      .select(col("_k").as(keyCol), col("n"), col("mean_ppm"),
+        col("var_ppm"), col("skew_ratio_ppm"), col("kurt_ppm"))
+  }
 }

@@ -1812,6 +1812,52 @@ object EventQueries {
       GROUP BY n_a, n_b, d_ppm"""),
     doc = "[NS] exact two-sample KS statistic via bucketed distributed prefix sum")
 
+  /** [NS] — exact central-moment distribution monitor (q359):
+    * [[graft.operators.Analytics.momentsExact]] per event type — the
+    * SHAPE readout the drift family lacked: q305's KS says two
+    * distributions differ, mean/var monitors miss a growing tail;
+    * skew direction and Pearson kurtosis SEE it. All cleared-
+    * denominator exact integers: per-row t = n·v − S1 (= n·(v−μ)
+    * exactly — the rational mean never materializes), power sums
+    * D2/D3/D4 in decimal(38,0), fixed-order truncating ratios both
+    * engines replay bit-for-bit (kurtosis divides D4 by D2 FIRST so
+    * intermediates hold at 30×-fixture group sizes). Values rounded
+    * to integers ONCE up front (round() parity is q139-proven). */
+  val q359MomentsExact = Q(
+    "q359_moments_exact",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Analytics.momentsExact(
+          Tables.events(s, d).filter($"value".isNotNull)
+            .withColumn("v_i", round($"value").cast("long")),
+          "event_type", "v_i")
+        .orderBy($"event_type")
+    },
+    Some("""WITH b AS (SELECT event_type,
+          CAST(round(value) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(v) AS BIGINT) AS s1 FROM b GROUP BY 1),
+      d AS (SELECT b.event_type, t.n, t.s1,
+          CAST(t.n AS HUGEINT) * v - s1 AS tt
+        FROM b JOIN t USING (event_type)),
+      m AS (SELECT event_type, n, s1,
+          sum(tt * tt) AS d2, sum(tt * tt * tt) AS d3,
+          sum(tt * tt * tt * tt) AS d4
+        FROM d GROUP BY 1, 2, 3)
+      SELECT event_type, n,
+        CAST((1000000 * CAST(s1 AS HUGEINT)) // n AS BIGINT) AS mean_ppm,
+        CAST((1000000 * d2) // (CAST(n AS HUGEINT) * n * n) AS BIGINT)
+          AS var_ppm,
+        CASE WHEN d2 > 0 THEN
+          CAST((1000000 * d3) // (d2 * n) AS BIGINT) END
+          AS skew_ratio_ppm,
+        CASE WHEN d2 > 0 THEN
+          CAST(((1000000 * CAST(n AS HUGEINT)) * (d4 // d2)) // d2
+            AS BIGINT) END AS kurt_ppm
+      FROM m ORDER BY event_type"""),
+    doc = "[NS] exact central moments per group: mean/var/skew-direction/kurtosis in fixed-order ppm")
+
   /** [NS] — Markov removal-effect attribution (q314):
     * [[graft.operators.Analytics.markovAttribution]] with the four
     * touch channels and purchase as conversion, 6 recurrence rounds —
@@ -2069,7 +2115,7 @@ object EventQueries {
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q300SessionGapLadder, q304BradleyTerry, q305KsDrift,
     q314MarkovAttribution, q318MannWhitney, q321KmSurvival,
-    q322LogRank,
+    q322LogRank, q359MomentsExact,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,

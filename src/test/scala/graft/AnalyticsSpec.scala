@@ -1487,4 +1487,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("fleissKappa") ||
       Option(e.getCause).exists(_.getMessage.contains("fleissKappa")))
   }
+
+  test("momentsExact: hand-worked 4-point group (mean 3, m2 3.5, " +
+      "m3/m2 = 18/14, Pearson kurtosis exactly 2.0); constant group " +
+      "reports zero variance and null shape") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 6L),
+      ("c", 5L), ("c", 5L)).toDF("g", "v").repartition(3)
+    val got = Analytics.momentsExact(rows, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    // t = 4v-12 = [-8,-4,0,12]; D2=224, D3=1152, D4=25088
+    assert(a.getLong(1) === 4L)
+    assert(a.getLong(2) === 3000000L)              // mean
+    assert(a.getLong(3) === 3500000L)              // m2 = 224/64
+    assert(a.getLong(4) === 1285714L)              // 1e6*1152 div 896
+    assert(a.getLong(5) === 2000000L)              // 4*25088/224^2 = 2.0
+    val c = got("c")
+    assert(c.getLong(1) === 2L && c.getLong(2) === 5000000L)
+    assert(c.getLong(3) === 0L)
+    assert(c.isNullAt(4) && c.isNullAt(5),
+      "constant group: shape undefined, not divide-by-zero")
+  }
 }
