@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [NS] Stored distribution-moment state — [[Analytics.momentsExact]]
+  * as a LIFECYCLE: the per-group RAW power sums (n, S1..S4) are pure
+  * sums, so they are the textbook commutative-monoid state — batches
+  * MERGE by addition, forget SUBTRACTS exactly (the q347 count-table
+  * law at the statistics layer), and the central moments derive at
+  * serve time from the algebraic identities
+  *
+  *   D2 = n·(n·S2 − S1²)
+  *   D3 = n·(n²·S3 − 3n·S1·S2 + 2·S1³)
+  *   D4 = n·(n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴)
+  *
+  * which equal [[Analytics.momentsExact]]'s Σ(n·v − S1)^k sums as
+  * EXACT integers — so [[serve]] reproduces the in-query operator
+  * bit-for-bit (twin certification, the q127/q284 law), while the
+  * stored artifact is |groups| rows of six longs. At 100 TB this is
+  * the drift monitor's production shape: the event stream folds into
+  * six numbers per group, a purged user's rows subtract back out, and
+  * no serve ever re-reads history.
+  *
+  * Storage rides [[TextIndex]]'s generation/atomic-pointer protocol
+  * (crash-safe rewrites, epoch replay fences — subtraction and
+  * addition are NOT idempotent without them).
+  */
+object MomentsState {
+
+  def defaultDir(tag: String): String =
+    "/tmp/graft_moments/" + tag.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  def tablePath(dir: String): String = {
+    val (g, _) = TextIndex.current(dir)
+    s"${TextIndex.genDir(dir, g.max(0L))}/sums"
+  }
+
+  def storedSums(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("_k", StringType), StructField("n", LongType),
+        StructField("s1", LongType), StructField("s2", LongType),
+        StructField("s3", LongType), StructField("s4", LongType))))
+      .parquet(tablePath(dir))
+  }
+
+  /** The raw power-sum rows of a batch — the monoid element. Values
+    * must already be integers (callers round ONCE up front, the q359
+    * convention); powers stay in long: v⁴ ≤ 10⁸ at the value scale
+    * this engine uses, so Σv⁴ holds to ~10¹⁰ rows per group. */
+  private def sums(df: DataFrame, keyCol: String,
+      valCol: String): DataFrame =
+    df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).cast("string").as("_k"),
+        col(valCol).cast("long").as("_v"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("s1"),
+        sum(expr("_v * _v")).as("s2"),
+        sum(expr("_v * _v * _v")).as("s3"),
+        sum(expr("_v * _v * _v * _v")).as("s4"))
+
+  private def writeGen(state: DataFrame, dir: String, gen: Long): Unit =
+    state.coalesce(1).write.mode("overwrite")
+      .parquet(s"${TextIndex.genDir(dir, gen)}/sums")
+
+  /** One pass → generation 0. */
+  def build(df: DataFrame, keyCol: String, valCol: String,
+      dir: String): Unit = {
+    writeGen(sums(df, keyCol, valCol), dir, 0L)
+    TextIndex.advance(dir, 0L, -1L)
+  }
+
+  /** Fold a NEW batch in: sums add (no disjointness contract needed —
+    * addition is correct for any split of the fact rows). Epoch ≥ 0
+    * arms the replay fence. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, keyCol: String,
+      valCol: String, dir: String, epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = TextIndex.current(dir)
+    require(gen >= 0, s"mergeBatch: no state at $dir — build() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
+    val merged = storedSums(spark, dir)
+      .unionByName(sums(batch, keyCol, valCol))
+      .groupBy(col("_k"))
+      .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).as("s2"), sum(col("s3")).as("s3"),
+        sum(col("s4")).as("s4"))
+    writeGen(merged, dir, gen + 1)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+  }
+
+  /** Right-to-be-forgotten removal: subtract the forgotten rows' power
+    * sums — the exact inverse of [[mergeBatch]]. The batch must be the
+    * forgotten entities' ORIGINAL fact rows (the subset contract);
+    * a count or an even-power sum going negative proves it was not and
+    * fails loudly (odd-power sums may legitimately be negative only
+    * when values can be — the guard checks n, S2, S4). Groups reaching
+    * n = 0 leave the state. */
+  def removeBatch(spark: SparkSession, batch: DataFrame, keyCol: String,
+      valCol: String, dir: String, epoch: Long = -1L): Unit = {
+    val (gen, lastEpoch) = TextIndex.current(dir)
+    require(gen >= 0, s"removeBatch: no state at $dir — build() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
+    val b = sums(batch, keyCol, valCol)
+      .select(col("_k"), col("n").as("_bn"), col("s1").as("_b1"),
+        col("s2").as("_b2"), col("s3").as("_b3"), col("s4").as("_b4"))
+      .localCheckpoint(true)
+    val merged = storedSums(spark, dir)
+      .join(b, Seq("_k"), "full_outer")
+      .select(col("_k"),
+        (coalesce(col("n"), lit(0L)) - coalesce(col("_bn"), lit(0L)))
+          .as("n"),
+        (coalesce(col("s1"), lit(0L)) - coalesce(col("_b1"), lit(0L)))
+          .as("s1"),
+        (coalesce(col("s2"), lit(0L)) - coalesce(col("_b2"), lit(0L)))
+          .as("s2"),
+        (coalesce(col("s3"), lit(0L)) - coalesce(col("_b3"), lit(0L)))
+          .as("s3"),
+        (coalesce(col("s4"), lit(0L)) - coalesce(col("_b4"), lit(0L)))
+          .as("s4"))
+      .localCheckpoint(true)
+    val bad = merged.filter(col("n") < 0 || col("s2") < 0 ||
+      col("s4") < 0).count()
+    require(bad == 0,
+      s"MomentsState.removeBatch: $bad groups would go negative — " +
+        "the removal batch is not a subset of the folded facts")
+    writeGen(merged.filter(col("n") > 0), dir, gen + 1)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+  }
+
+  /** Streaming fold: exactly-once moment maintenance over
+    * at-least-once delivery (epochId rides the pointer fence). */
+  def foreachBatchMerge(spark: SparkSession, dir: String,
+      keyCol: String, valCol: String): (DataFrame, Long) => Unit =
+    (batch, epoch) => mergeBatch(spark, batch, keyCol, valCol, dir,
+      epoch)
+
+  /** Derive the [[Analytics.momentsExact]] readout from STORED sums —
+    * byte-identical by the D-identities in the object doc, same fixed
+    * division order, same NULL-shape convention for constant groups.
+    * Output: (keyCol, n, mean_ppm, var_ppm, skew_ratio_ppm, kurt_ppm).
+    * State-sized: no fact row is ever read. */
+  def serve(spark: SparkSession, dir: String,
+      keyCol: String): DataFrame =
+    storedSums(spark, dir)
+      .withColumn("_dd2", expr(
+        "cast(n as decimal(38,0)) * (cast(n as decimal(38,0)) * s2 " +
+          "- cast(s1 as decimal(38,0)) * s1)"))
+      .withColumn("_dd3", expr(
+        "cast(n as decimal(38,0)) * (cast(n as decimal(38,0)) * n * s3 " +
+          "- 3 * cast(n as decimal(38,0)) * s1 * s2 " +
+          "+ 2 * cast(s1 as decimal(38,0)) * s1 * s1)"))
+      .withColumn("_dd4", expr(
+        "cast(n as decimal(38,0)) * " +
+          "(cast(n as decimal(38,0)) * n * n * s4 " +
+          "- 4 * cast(n as decimal(38,0)) * n * s1 * s3 " +
+          "+ 6 * cast(n as decimal(38,0)) * s1 * s1 * s2 " +
+          "- 3 * cast(s1 as decimal(38,0)) * s1 * s1 * s1)"))
+      .withColumn("mean_ppm", expr(
+        "CAST((1000000 * cast(s1 as decimal(38,0))) div n AS BIGINT)"))
+      .withColumn("var_ppm", expr(
+        "CAST((1000000 * _dd2) div (cast(n as decimal(38,0)) * n * n) " +
+          "AS BIGINT)"))
+      .withColumn("skew_ratio_ppm", expr(
+        "CASE WHEN _dd2 > 0 THEN CAST((1000000 * _dd3) div (_dd2 * n) " +
+          "AS BIGINT) END"))
+      .withColumn("kurt_ppm", expr(
+        "CASE WHEN _dd2 > 0 THEN CAST(((1000000 * " +
+          "cast(n as decimal(38,0))) * (_dd4 div _dd2)) div _dd2 " +
+          "AS BIGINT) END"))
+      .select(col("_k").as(keyCol), col("n"), col("mean_ppm"),
+        col("var_ppm"), col("skew_ratio_ppm"), col("kurt_ppm"))
+}

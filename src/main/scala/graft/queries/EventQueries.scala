@@ -1858,6 +1858,64 @@ object EventQueries {
       FROM m ORDER BY event_type"""),
     doc = "[NS] exact central moments per group: mean/var/skew-direction/kurtosis in fixed-order ppm")
 
+  /** [NS] — stored moments lifecycle, merge half (q360):
+    * [[graft.operators.MomentsState]] — q359's raw power sums
+    * (n, S1..S4) persisted per group as the drift monitor's durable
+    * state: build on the even event ids, MERGE the odd half in (sums
+    * add — no disjointness contract needed), then serve central
+    * moments derived from the STORED sums via the exact D-identities.
+    * The oracle is q359's full-corpus SQL verbatim: a green row proves
+    * build ∘ merge ≡ build AND stored-serve ≡ the in-query operator
+    * bit-for-bit (the q127 twin law at the statistics layer). */
+  val q360MomentsMerge = Q(
+    "q360_moments_merge",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).filter($"value".isNotNull)
+        .withColumn("v_i", round($"value").cast("long"))
+      val dir = graft.operators.MomentsState.defaultDir(d + "#mom")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#mom-v1") {
+        graft.operators.MomentsState.build(
+          ev.filter($"event_id" % 2 === 0), "event_type", "v_i", dir)
+        graft.operators.MomentsState.mergeBatch(s,
+          ev.filter($"event_id" % 2 === 1), "event_type", "v_i", dir,
+          epoch = 0L)
+      }
+      graft.operators.MomentsState.serve(s, dir, "event_type")
+        .orderBy($"event_type")
+    },
+    q359MomentsExact.oracle,
+    doc = "[NS] stored moments: build+merge == build, serve from sums == in-query operator")
+
+  /** [NS] — stored moments forget certificate (q361): the q347
+    * subtraction law at the statistics layer — power sums are pure
+    * sums, so forgetting an entity's fact rows is the EXACT inverse of
+    * folding them in. Build on ALL events, REMOVE the user_id ≡ 4
+    * (mod 9) users' rows, serve. The oracle recomputes q359 over the
+    * remaining users only: decremental forget ≡ remaining-only rebuild
+    * — a purged user's activity leaves the drift monitor too, closing
+    * the q354 reporting-layer argument for distribution SHAPE state. */
+  val q361MomentsForget = Q(
+    "q361_moments_forget",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).filter($"value".isNotNull)
+        .withColumn("v_i", round($"value").cast("long"))
+      val dir = graft.operators.MomentsState.defaultDir(d + "#momf")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#momf-v1") {
+        graft.operators.MomentsState.build(ev, "event_type", "v_i", dir)
+        graft.operators.MomentsState.removeBatch(s,
+          ev.filter($"user_id" % 9 === 4), "event_type", "v_i", dir,
+          epoch = 0L)
+      }
+      graft.operators.MomentsState.serve(s, dir, "event_type")
+        .orderBy($"event_type")
+    },
+    q359MomentsExact.oracle.map(_.replace(
+      "FROM events WHERE value IS NOT NULL",
+      "FROM events WHERE value IS NOT NULL AND user_id % 9 <> 4")),
+    doc = "[NS] stored moments forget: power-sum subtraction == remaining-only rebuild (served)")
+
   /** [NS] — Markov removal-effect attribution (q314):
     * [[graft.operators.Analytics.markovAttribution]] with the four
     * touch channels and purchase as conversion, 6 recurrence rounds —
@@ -2115,7 +2173,7 @@ object EventQueries {
   val all: Seq[Q] = Seq(q15EventDedup, q16DateFuncs, q17JsonExtract,
     q300SessionGapLadder, q304BradleyTerry, q305KsDrift,
     q314MarkovAttribution, q318MannWhitney, q321KmSurvival,
-    q322LogRank, q359MomentsExact,
+    q322LogRank, q359MomentsExact, q360MomentsMerge, q361MomentsForget,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,

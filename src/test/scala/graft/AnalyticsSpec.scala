@@ -1509,4 +1509,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(c.isNullAt(4) && c.isNullAt(5),
       "constant group: shape undefined, not divide-by-zero")
   }
+
+  test("MomentsState lifecycle: merge == rebuild and serve == the " +
+      "in-query operator bit-for-bit; forget == remaining-only " +
+      "rebuild; replays no-op; non-subset batch fails loudly") {
+    import spark.implicits._
+    import graft.operators.MomentsState
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft_moments_spec").toString
+    val half1 = Seq(("a", 1L), ("a", 2L), ("b", 7L)).toDF("g", "v")
+    val half2 = Seq(("a", 3L), ("a", 6L), ("b", 7L)).toDF("g", "v")
+    val full = half1.unionByName(half2)
+    val dirM = tmp(); val dirF = tmp()
+    MomentsState.build(half1, "g", "v", dirM)
+    MomentsState.mergeBatch(spark, half2, "g", "v", dirM, epoch = 0L)
+    MomentsState.build(full, "g", "v", dirF)
+    def sums(d: String) = MomentsState.storedSums(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(sums(dirM) === sums(dirF), "merge must equal rebuild")
+    // serve from stored sums == the in-query operator, every column
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toSeq).toSet
+    assert(rows(MomentsState.serve(spark, dirM, "g")) ===
+      rows(Analytics.momentsExact(full, "g", "v")),
+      "stored serve must reproduce momentsExact bit-for-bit")
+    // forget half2: back to exactly half1's state
+    MomentsState.removeBatch(spark, half2, "g", "v", dirM, epoch = 1L)
+    val h1 = tmp(); MomentsState.build(half1, "g", "v", h1)
+    assert(sums(dirM) === sums(h1), "forget must equal remaining rebuild")
+    // replayed epoch: no-op
+    MomentsState.removeBatch(spark, half2, "g", "v", dirM, epoch = 1L)
+    assert(sums(dirM) === sums(h1), "replayed epoch must be a no-op")
+    // a batch with a key the state never folded is not a subset
+    val e = intercept[IllegalArgumentException] {
+      MomentsState.removeBatch(spark, Seq(("z", 1L)).toDF("g", "v"),
+        "g", "v", dirM, epoch = 2L)
+    }
+    assert(e.getMessage.contains("not a subset"))
+  }
 }
