@@ -1916,6 +1916,85 @@ object EventQueries {
       "FROM events WHERE value IS NOT NULL AND user_id % 9 <> 4")),
     doc = "[NS] stored moments forget: power-sum subtraction == remaining-only rebuild (served)")
 
+  /** [NS] — distribution-shape drift profile (q362): every event
+    * type's moments read AGAINST the global distribution — the monitor
+    * readout on top of q359's statistics: Δmean, the variance RATIO,
+    * and the kurtosis gap, each exact ppm, plus a shape_shift verdict
+    * at the documented thresholds (variance ratio outside
+    * [0.8, 1.25] or |Δkurtosis| > 1.0) — the segment-level screen
+    * that catches a cohort whose scores kept their mean but changed
+    * shape. Two [[graft.operators.Analytics.momentsExact]] passes
+    * (per-type + global) and one broadcast join; no new shuffle
+    * shape. */
+  val q362MomentsDrift = Q(
+    "q362_moments_drift",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).filter($"value".isNotNull)
+        .withColumn("v_i", round($"value").cast("long"))
+      val per = graft.operators.Analytics.momentsExact(
+        ev, "event_type", "v_i")
+      val glob = graft.operators.Analytics.momentsExact(
+          ev.withColumn("_all", lit("all")), "_all", "v_i")
+        .select($"mean_ppm".as("g_mean"), $"var_ppm".as("g_var"),
+          $"kurt_ppm".as("g_kurt"))
+      per.crossJoin(broadcast(glob))
+        .withColumn("d_mean_ppm", expr("mean_ppm - g_mean"))
+        .withColumn("var_ratio_ppm", expr(
+          "CASE WHEN g_var > 0 THEN CAST((1000000 * " +
+            "cast(var_ppm as decimal(38,0))) div g_var AS BIGINT) END"))
+        .withColumn("kurt_diff_ppm", expr("kurt_ppm - g_kurt"))
+        .withColumn("shape_shift", expr(
+          "var_ratio_ppm < 800000 OR var_ratio_ppm > 1250000 " +
+            "OR abs(kurt_diff_ppm) > 1000000"))
+        .select($"event_type", $"n", $"d_mean_ppm", $"var_ratio_ppm",
+          $"kurt_diff_ppm", $"shape_shift")
+        .orderBy($"event_type")
+    },
+    Some("""WITH b AS (SELECT event_type,
+          CAST(round(value) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL),
+      t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(v) AS BIGINT) AS s1 FROM b GROUP BY 1),
+      dd AS (SELECT b.event_type, t.n, t.s1,
+          CAST(t.n AS HUGEINT) * v - s1 AS tt
+        FROM b JOIN t USING (event_type)),
+      m AS (SELECT event_type, n, s1,
+          sum(tt * tt) AS d2, sum(tt * tt * tt * tt) AS d4
+        FROM dd GROUP BY 1, 2, 3),
+      p AS (SELECT event_type, n,
+          CAST((1000000 * CAST(s1 AS HUGEINT)) // n AS BIGINT) AS mean_ppm,
+          CAST((1000000 * d2) // (CAST(n AS HUGEINT) * n * n) AS BIGINT)
+            AS var_ppm,
+          CASE WHEN d2 > 0 THEN
+            CAST(((1000000 * CAST(n AS HUGEINT)) * (d4 // d2)) // d2
+              AS BIGINT) END AS kurt_ppm
+        FROM m),
+      gt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(v) AS BIGINT) AS s1 FROM b),
+      gd AS (SELECT gt.n, gt.s1, CAST(gt.n AS HUGEINT) * v - s1 AS tt
+        FROM b, gt),
+      gm AS (SELECT n, s1, sum(tt * tt) AS d2,
+          sum(tt * tt * tt * tt) AS d4 FROM gd GROUP BY 1, 2),
+      g AS (SELECT
+          CAST((1000000 * CAST(s1 AS HUGEINT)) // n AS BIGINT) AS g_mean,
+          CAST((1000000 * d2) // (CAST(n AS HUGEINT) * n * n) AS BIGINT)
+            AS g_var,
+          CASE WHEN d2 > 0 THEN
+            CAST(((1000000 * CAST(n AS HUGEINT)) * (d4 // d2)) // d2
+              AS BIGINT) END AS g_kurt
+        FROM gm)
+      SELECT event_type, n,
+        mean_ppm - g_mean AS d_mean_ppm,
+        CASE WHEN g_var > 0 THEN
+          CAST((1000000 * CAST(var_ppm AS HUGEINT)) // g_var AS BIGINT)
+          END AS var_ratio_ppm,
+        kurt_ppm - g_kurt AS kurt_diff_ppm,
+        var_ratio_ppm < 800000 OR var_ratio_ppm > 1250000
+          OR abs(kurt_ppm - g_kurt) > 1000000 AS shape_shift
+      FROM p, g ORDER BY event_type"""),
+    doc = "[NS] per-segment shape drift vs the global distribution (mean/variance-ratio/kurtosis gaps, exact ppm)")
+
   /** [NS] — Markov removal-effect attribution (q314):
     * [[graft.operators.Analytics.markovAttribution]] with the four
     * touch channels and purchase as conversion, 6 recurrence rounds —
@@ -2174,6 +2253,7 @@ object EventQueries {
     q300SessionGapLadder, q304BradleyTerry, q305KsDrift,
     q314MarkovAttribution, q318MannWhitney, q321KmSurvival,
     q322LogRank, q359MomentsExact, q360MomentsMerge, q361MomentsForget,
+    q362MomentsDrift,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,

@@ -1523,6 +1523,49 @@ class StreamingSpec extends AnyFunSuite {
       "replayed epoch must be a no-op")
   }
 
+  test("streaming moments ingest: foreachBatchMerge folds event " +
+      "batches across a restart; replays no-op; the folded sums serve " +
+      "the exact momentsExact readout of the full union") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.MomentsState
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("mom_src").toString
+    val ckpt = Files.createTempDirectory("mom_ckpt").toString
+    val dir = Files.createTempDirectory("mom_state").toString
+    val seed = Seq(("a", 1L), ("a", 2L), ("b", 7L)).toDF("g", "v")
+    MomentsState.build(seed, "g", "v", dir)
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("g STRING, v LONG").json(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(MomentsState.foreachBatchMerge(spark, dir,
+          "g", "v"))
+        .start()
+      q.awaitTermination()
+    }
+    Files.write(Paths.get(srcDir, "b1.json"),
+      "{\"g\":\"a\",\"v\":3}\n{\"g\":\"b\",\"v\":7}".getBytes("UTF-8"))
+    runOnce()
+    Files.write(Paths.get(srcDir, "b2.json"),
+      "{\"g\":\"a\",\"v\":6}".getBytes("UTF-8"))
+    runOnce() // full restart: only the new file folds
+    val union = seed.unionByName(
+      Seq(("a", 3L), ("b", 7L), ("a", 6L)).toDF("g", "v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toSeq).toSet
+    assert(rows(MomentsState.serve(spark, dir, "g")) ===
+      rows(graft.operators.Analytics.momentsExact(union, "g", "v")),
+      "streamed sums must serve the exact full-union readout")
+    // replaying the last committed epoch must not touch state
+    val before = graft.operators.TextIndex.current(dir)
+    MomentsState.mergeBatch(spark, Seq(("z", 9L)).toDF("g", "v"),
+      "g", "v", dir, epoch = before._2)
+    assert(graft.operators.TextIndex.current(dir) === before,
+      "replayed epoch must be a no-op")
+  }
+
   /** The q333/q344/q353 streaming twin, parameterized by the fluency
     * tier — both smoothings ride the SAME stored trigram table, so the
     * twin is one helper, not two tests' worth of duplicated plumbing. */
