@@ -27,33 +27,23 @@ import org.apache.spark.sql.functions._
 object AggView {
 
   private def genDir(dir: String, gen: Long) = s"$dir/gen=$gen"
-  private def pointerPath(dir: String) =
-    java.nio.file.Paths.get(dir, "_current")
 
   /** (generation, lastEpoch) from the pointer file; (-1, -1) if none —
-    * the [[TextIndex.current]] versioned-generation protocol: a crash
-    * mid-merge leaves the pointer at K (half-written K+1 invisible), a
-    * replayed streaming epoch ≤ lastEpoch is a no-op. */
-  def current(dir: String): (Long, Long) = {
-    val p = pointerPath(dir)
-    if (!java.nio.file.Files.exists(p)) (-1L, -1L)
-    else java.nio.file.Files.readString(p).trim.split(",") match {
-      case Array(g, e) => (g.toLong, e.toLong)
-      case Array(g)    => (g.toLong, -1L) // pre-epoch pointer format
-      case _           => (-1L, -1L)
-    }
-  }
+    * SHARED with [[TextIndex.current]]: same `_current` file, same
+    * versioned-generation protocol (crash mid-merge leaves the pointer
+    * at K, half-written K+1 invisible; replayed streaming epoch ≤ the
+    * writer's fence is a no-op), and as of round 10 the same TAGGED
+    * per-writer fences ([[TextIndex.fenceOf]]) so an ingest CDC stream
+    * and a purge stream on one view never collide on epoch counters. */
+  def current(dir: String): (Long, Long) = TextIndex.current(dir)
 
   def currentGen(dir: String): Long = current(dir)._1
 
-  private def advance(dir: String, gen: Long, epoch: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    Files.createDirectories(Paths.get(dir))
-    val tmp = Paths.get(dir, s"_current.tmp.$gen")
-    Files.writeString(tmp, s"$gen,$epoch")
-    Files.move(tmp, pointerPath(dir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def advance(dir: String, gen: Long, epoch: Long,
+      fenceTag: String): Unit =
+    // pointer flip WITHOUT generation GC: unlike the index stores,
+    // this one keeps every generation readable ([[serveAt]])
+    TextIndex.writePointer(dir, gen, epoch, fenceTag)
 
   /** Same per-corpus location contract as [[TextIndex.defaultDir]]. */
   def defaultDir(tag: String): String =
@@ -74,7 +64,7 @@ object AggView {
   def build(df: DataFrame, keyCols: Seq[String], valueScaled: Column,
       dir: String): Unit = {
     writeGen(partials(df, keyCols, valueScaled), dir, 0L, keyCols)
-    advance(dir, 0L, -1L)
+    advance(dir, 0L, -1L, "")
   }
 
   /** Fold a CDC delta into the stored state: `opCol` is 'I' (insert) or
@@ -85,8 +75,9 @@ object AggView {
     * history. */
   def mergeCdc(spark: SparkSession, delta: DataFrame, keyCols: Seq[String],
       valueScaled: Column, opCol: String, dir: String,
-      epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = current(dir)
+      epoch: Long = -1L, fenceTag: String = ""): Unit = {
+    val (gen, _) = current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0, s"no built view at $dir — call build first")
     // replay fence: at-least-once foreachBatch may re-deliver an epoch
     // after a restart; state already includes it — merging twice would
@@ -107,7 +98,7 @@ object AggView {
       .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"))
       .filter(col("cnt") =!= 0L)
     writeGen(merged, dir, gen + 1L, keyCols)
-    advance(dir, gen + 1L, math.max(epoch, lastEpoch))
+    advance(dir, gen + 1L, math.max(epoch, lastEpoch), fenceTag)
   }
 
   /** Streaming maintenance: each micro-batch of CDC rows folds into the

@@ -100,6 +100,13 @@ object DedupIndex {
       .distinct()
     writeGen(h, b, dir, 0L)
     TextIndex.advance(dir, 0L, -1L)
+    // record the build geometry even for untagged builds, so the
+    // rewrite guard (requireGeometry) always has the fingerprint;
+    // buildIfAbsent overwrites this with its corpus-tagged version
+    val meta = java.nio.file.Paths.get(metaPath(dir))
+    java.nio.file.Files.createDirectories(meta.getParent)
+    java.nio.file.Files.writeString(meta,
+      fingerprint("(untagged)", shingleN, k, bands))
   }
 
   /** [[build]] unless a fingerprint-matching index is on disk. */
@@ -223,14 +230,16 @@ object DedupIndex {
     * with the same crash-safety as every other pointer flip. Run it on
     * file-count pressure, not on a schedule. */
   def compact(spark: SparkSession, dir: String, k: Int = 8,
-      bands: Int = 4, epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = TextIndex.current(dir)
+      bands: Int = 4, epoch: Long = -1L, fenceTag: String = ""): Unit = {
+    val (gen, _) = TextIndex.current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0, s"compact: no index at $dir — build() first")
     if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
+    requireGeometry(spark, dir, k, bands, "compact")
     val (hashes, bandKeys) = readStored(spark, dir, k, bands)
     writeGen(hashes.distinct().localCheckpoint(true),
       bandKeys.distinct().localCheckpoint(true), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
   }
 
   /** Certified forget — remove `ids`' derived rows from the stored
@@ -246,10 +255,12 @@ object DedupIndex {
     * the whole point of the operation (DedupSpec pins it). */
   def removeDocs(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String, k: Int = 8, bands: Int = 4,
-      epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = TextIndex.current(dir)
+      epoch: Long = -1L, fenceTag: String = ""): Unit = {
+    val (gen, _) = TextIndex.current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0, s"removeDocs: no index at $dir — build() first")
     if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
+    requireGeometry(spark, dir, k, bands, "removeDocs")
     val (hashes, bandKeys) = readStored(spark, dir, k, bands)
     val rm = ids.select(col(idCol).cast("long").as("_id")).distinct()
       .localCheckpoint(true)
@@ -257,6 +268,43 @@ object DedupIndex {
       hashes.join(broadcast(rm), Seq("_id"), "left_anti"),
       bandKeys.join(broadcast(rm), Seq("_id"), "left_anti"),
       dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
+  }
+
+  /** Loud geometry guard for the REWRITING entry points ([[removeDocs]]
+    * / [[compact]]): [[readStored]]'s explicit schema would silently
+    * read missing vN columns as null (and drop extras) if the caller's
+    * k/bands disagree with what the index was built with — and a
+    * rewrite would then PERSIST the truncated table as the next
+    * generation. Validated two ways: the `_graft_dedup_meta.json`
+    * fingerprint when present (build/buildIfAbsent write it), and the
+    * stored band table's own parquet footer always — so a legacy index
+    * without meta is still protected. Probe-only paths (gate,
+    * noveltyGrade) don't rewrite, so a mismatch there fails visibly in
+    * results rather than corrupting state. */
+  private def requireGeometry(spark: SparkSession, dir: String, k: Int,
+      bands: Int, op: String): Unit = {
+    val meta = java.nio.file.Paths.get(metaPath(dir))
+    if (java.nio.file.Files.exists(meta)) {
+      val s = java.nio.file.Files.readString(meta)
+      def num(key: String): Option[Int] =
+        s""""$key":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      (num("k"), num("bands")) match {
+        case (Some(mk), Some(mb)) =>
+          require(mk == k && mb == bands,
+            s"DedupIndex.$op: index at $dir was built with k=$mk, " +
+              s"bands=$mb but the caller passed k=$k, bands=$bands — " +
+              "refusing to rewrite the stored table with the wrong " +
+              "geometry")
+        case _ => // unparseable meta: fall through to the footer check
+      }
+    }
+    val stored = spark.read.parquet(bandsPath(dir)).schema.fieldNames
+    val expected = "_id" +: keyColNames(k, bands)
+    require(stored.sorted.sameElements(expected.sorted),
+      s"DedupIndex.$op: stored band table at $dir has columns " +
+        s"[${stored.mkString(", ")}] but k=$k, bands=$bands implies " +
+        s"[${expected.mkString(", ")}] — geometry mismatch, refusing " +
+        "to rewrite")
   }
 }

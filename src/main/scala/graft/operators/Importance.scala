@@ -179,8 +179,10 @@ object Importance {
     * flip with epoch replay protection (subtraction is not idempotent
     * without it). */
   def removeBatch(spark: SparkSession, buckets: DataFrame,
-      targetPred: Column, dir: String, epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = TextIndex.current(dir)
+      targetPred: Column, dir: String, epoch: Long = -1L,
+      fenceTag: String = ""): Unit = {
+    val (gen, _) = TextIndex.current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0, s"removeBatch: no model at $dir — buildModel() first")
     if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
     val braw = buckets.groupBy(col("bucket")).agg(sum(col("c")).as("_br"))
@@ -206,6 +208,6 @@ object Importance {
         "(or hit buckets the model never saw) — the removal batch is " +
         "not a subset of the trained corpus")
     writeCounts(merged.filter(col("cr") > 0), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
   }
 }

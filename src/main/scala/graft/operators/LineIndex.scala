@@ -74,8 +74,10 @@ object LineIndex {
     * lines pass through byte-identical and colliding lines add.
     * `epoch` ≥ 0 arms the replayed-delivery no-op guard. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, idCol: String,
-      textCol: String, dir: String, epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = TextIndex.current(dir)
+      textCol: String, dir: String, epoch: Long = -1L,
+      fenceTag: String = ""): Unit = {
+    val (gen, _) = TextIndex.current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0,
       s"LineIndex.mergeBatch: no index at $dir — build() first")
     if (epoch >= 0 && epoch <= lastEpoch) return
@@ -92,7 +94,7 @@ object LineIndex {
           Seq("_h"), "left_anti")
         .select(col("_h"), col("_bnd").as("_nd")))
     writeGen(merged, dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
   }
 
   /** Right-to-be-forgotten removal: distinct-doc line counts are sums
@@ -104,8 +106,10 @@ object LineIndex {
     * forget law (decremental ≡ rebuild-on-the-remaining) extended to
     * the line-frequency artifact. */
   def removeBatch(spark: SparkSession, batch: DataFrame, idCol: String,
-      textCol: String, dir: String, epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = TextIndex.current(dir)
+      textCol: String, dir: String, epoch: Long = -1L,
+      fenceTag: String = ""): Unit = {
+    val (gen, _) = TextIndex.current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0,
       s"LineIndex.removeBatch: no index at $dir — build() first")
     if (epoch >= 0 && epoch <= lastEpoch) return
@@ -122,7 +126,7 @@ object LineIndex {
       s"LineIndex.removeBatch: $bad line counts would go negative — " +
         "the removal batch is not a subset of the indexed corpus")
     writeGen(merged.filter(col("_nd") > 0), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
   }
 
   /** [NS] — Structured Streaming ingest hook: each doc-disjoint

@@ -76,8 +76,10 @@ object LmIndex {
     * gives the replayed-delivery no-op guard ([[TextIndex.mergeBatch]]'s
     * protocol). */
   def mergeBatch(spark: SparkSession, batch: DataFrame, idCol: String,
-      textCol: String, dir: String, epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = TextIndex.current(dir)
+      textCol: String, dir: String, epoch: Long = -1L,
+      fenceTag: String = ""): Unit = {
+    val (gen, _) = TextIndex.current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0, s"LmIndex.mergeBatch: no model at $dir — build() first")
     if (epoch >= 0 && epoch <= lastEpoch) return
     val bc = Curation.bigramFrame(batch, idCol, textCol)
@@ -93,7 +95,7 @@ object LmIndex {
           Seq("w1", "w2"), "left_anti")
         .select(col("w1"), col("w2"), col("bc2").as("c2")))
     writeGen(merged, dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
   }
 
   /** Score `probe` from the STORED model only — zero train-corpus scans
@@ -153,8 +155,9 @@ object LmIndex {
     * rows pass through byte-identical, replayed epochs are no-ops. */
   def mergeTrigramBatch(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, dir: String,
-      epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = TextIndex.current(dir)
+      epoch: Long = -1L, fenceTag: String = ""): Unit = {
+    val (gen, _) = TextIndex.current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0,
       s"LmIndex.mergeTrigramBatch: no model at $dir — buildTrigram() first")
     if (epoch >= 0 && epoch <= lastEpoch) return
@@ -172,7 +175,7 @@ object LmIndex {
           lit(1).as("_seen")), Seq("w1", "w2", "w3"), "left_anti")
         .select(col("w1"), col("w2"), col("w3"), col("bc3").as("c3")))
     writeGen3(merged, dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
   }
 
   /** Score `probe` from the STORED trigram model only — zero
@@ -203,8 +206,9 @@ object LmIndex {
     * decremental ≡ rebuild-on-the-remaining) to count-table models. */
   def removeTrigramBatch(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, dir: String,
-      epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = TextIndex.current(dir)
+      epoch: Long = -1L, fenceTag: String = ""): Unit = {
+    val (gen, _) = TextIndex.current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0,
       s"LmIndex.removeTrigramBatch: no model at $dir — buildTrigram() first")
     if (epoch >= 0 && epoch <= lastEpoch) return
@@ -224,7 +228,7 @@ object LmIndex {
       s"removeTrigramBatch: $bad trigram counts would go negative — " +
         "the removal batch is not a subset of the trained corpus")
     writeGen3(merged.filter(col("c3") > 0), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
   }
 
   /** Structured Streaming ingest hook for the trigram tier: each

@@ -58,14 +58,45 @@ object TextIndex {
   private def pointerPath(dir: String) = java.nio.file.Paths.get(dir, "_current")
   private def metaPath(dir: String) = java.nio.file.Paths.get(dir, "_graft_index_meta.json")
 
-  /** (generation, lastEpoch) from the pointer file; (-1, -1) if none. */
+  /** (generation, lastEpoch) from the pointer file; (-1, -1) if none.
+    * `lastEpoch` here is the DEFAULT (untagged) replay fence — see
+    * [[fenceOf]] for per-writer tagged fences. */
   def current(dir: String): (Long, Long) = {
+    val (g, e, _) = currentAll(dir)
+    (g, e)
+  }
+
+  /** (generation, default fence, tagged fences) from the pointer file.
+    * Format: `gen,epoch[,tag=epoch...]` — field 2 is the untagged
+    * fence (every pre-round-10 pointer), extra fields are per-writer
+    * fences. All fences flip ATOMICALLY with the generation, which is
+    * what makes replay protection crash-safe (a ledger written beside
+    * the data has a double-apply window; the pointer does not). */
+  private[operators] def currentAll(
+      dir: String): (Long, Long, Map[String, Long]) = {
     val p = pointerPath(dir)
-    if (!java.nio.file.Files.exists(p)) (-1L, -1L)
-    else java.nio.file.Files.readString(p).trim.split(",") match {
-      case Array(g, e) => (g.toLong, e.toLong)
-      case _           => (-1L, -1L)
+    if (!java.nio.file.Files.exists(p)) (-1L, -1L, Map.empty)
+    else {
+      val f = java.nio.file.Files.readString(p).trim.split(",")
+      if (f.length < 2) (-1L, -1L, Map.empty)
+      else (f(0).toLong, f(1).toLong,
+        f.drop(2).iterator.map(_.split("=", 2)).collect {
+          case Array(t, e) => t -> e.toLong
+        }.toMap)
     }
+  }
+
+  /** The replay fence for `tag`; "" addresses the default (untagged)
+    * scalar. Distinct epoch-bearing WRITERS on one artifact — an
+    * ingest stream and a deletion stream, say — MUST use distinct
+    * tags: Spark epochIds are per-checkpoint counters, so a deletion
+    * stream restarting at epoch 0 against an artifact whose default
+    * fence an ingest stream advanced to 5 would otherwise silently
+    * no-op every purge (and a high-epoch purge would drop later
+    * ingest merges). */
+  private[operators] def fenceOf(dir: String, tag: String): Long = {
+    val (_, e0, tags) = currentAll(dir)
+    if (tag.isEmpty) e0 else tags.getOrElse(tag, -1L)
   }
 
   /** Atomically (re)write an applied-batches ledger file: temp file +
@@ -86,16 +117,19 @@ object TextIndex {
   }
 
   /** Atomically advance the pointer: temp file + ATOMIC_MOVE, so readers
-    * see either the old generation or the new, never a torn value. */
+    * see either the old generation or the new, never a torn value.
+    * Advances the DEFAULT fence; other tags' fences are preserved. */
   private[operators] def advance(dir: String, gen: Long,
-      epoch: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    Files.createDirectories(Paths.get(dir))
-    val tmp = Paths.get(dir, s"_current.tmp.$gen")
-    Files.writeString(tmp, s"$gen,$epoch")
-    Files.move(tmp, pointerPath(dir),
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+      epoch: Long): Unit = advance(dir, gen, epoch, "")
+
+  /** [[advance]] for a TAGGED writer: sets `tag`'s fence to `epoch`
+    * and carries every other fence (and, for tagged writers, the
+    * default fence) through unchanged — so an ingest stream and a
+    * purge stream maintaining the same artifact each replay against
+    * their OWN epoch counter (see [[fenceOf]]). */
+  private[operators] def advance(dir: String, gen: Long,
+      epoch: Long, tag: String): Unit = {
+    writePointer(dir, gen, epoch, tag)
     // best-effort GC: generations older than the previous one are
     // unreachable (the pointer is the only entry point)
     val stale = new java.io.File(dir).listFiles()
@@ -103,6 +137,28 @@ object TextIndex {
         f.getName.stripPrefix("gen=").toLong < gen - 1)
       .foreach(f => scala.reflect.io.Directory(
         scala.reflect.io.File(f).toDirectory.path).deleteRecursively())
+  }
+
+  /** The atomic pointer flip alone, no generation GC — for stores that
+    * keep every generation readable ([[AggView.serveAt]] time travel). */
+  private[operators] def writePointer(dir: String, gen: Long,
+      epoch: Long, tag: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(!tag.contains(",") && !tag.contains("=") &&
+      !tag.exists(_.isWhitespace),
+      s"fence tag must be free of ',', '=' and whitespace: '$tag'")
+    val (_, e0, tags) = currentAll(dir)
+    val (ne0, ntags) =
+      if (tag.isEmpty) (epoch, tags) else (e0, tags + (tag -> epoch))
+    val body = (Seq(s"$gen", s"$ne0") ++
+      ntags.toSeq.sortBy(_._1).map { case (t, e) => s"$t=$e" })
+      .mkString(",")
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, s"_current.tmp.$gen")
+    Files.writeString(tmp, body)
+    Files.move(tmp, pointerPath(dir),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   def postingsPath(dir: String): String = {
@@ -191,9 +247,11 @@ object TextIndex {
     * pointer's lastEpoch is a committed delivery replayed by the stream
     * runner and returns without touching state. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, idCol: String,
-      textCol: String, dir: String, epoch: Long = -1L): Unit = {
+      textCol: String, dir: String, epoch: Long = -1L,
+      fenceTag: String = ""): Unit = {
     import org.apache.spark.sql.types._
-    val (gen, lastEpoch) = current(dir)
+    val (gen, _) = current(dir)
+    val lastEpoch = fenceOf(dir, fenceTag)
     require(gen >= 0, s"mergeBatch: no index at $dir — build() first")
     if (epoch >= 0 && epoch <= lastEpoch) return // replayed epoch: no-op
 
@@ -236,7 +294,7 @@ object TextIndex {
         (col("_N") + col("_bN")).as("_N"))
 
     writeGen(mergedPostings, mergedStats, dir, gen + 1, idCol)
-    advance(dir, gen + 1, epoch.max(lastEpoch))
+    advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
   }
 
   /** foreachBatch adapter: streamed document batches fold into the index
@@ -263,9 +321,10 @@ object TextIndex {
     * reader never sees a half-forgotten index. Certified decremental ≡
     * rebuild by q267's from-scratch oracle. */
   def removeDocs(spark: SparkSession, ids: DataFrame, idCol: String,
-      dir: String, epoch: Long = -1L): Unit = {
+      dir: String, epoch: Long = -1L, fenceTag: String = ""): Unit = {
     import org.apache.spark.sql.types._
-    val (gen, lastEpoch) = current(dir)
+    val (gen, _) = current(dir)
+    val lastEpoch = fenceOf(dir, fenceTag)
     require(gen >= 0, s"removeDocs: no index at $dir — build() first")
     if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
 
@@ -293,7 +352,7 @@ object TextIndex {
       .select((col("_L") - col("_rL")).as("_L"),
         (col("_N") - col("_rN")).as("_N"))
     writeGen(newPostings, newStats, dir, gen + 1, idCol)
-    advance(dir, gen + 1, epoch.max(lastEpoch))
+    advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
   }
 
   // ---- positional index (phrase serving) ----------------------------
@@ -340,8 +399,9 @@ object TextIndex {
     * advances). */
   def mergePositionalBatch(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, dir: String,
-      epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = current(dir)
+      epoch: Long = -1L, fenceTag: String = ""): Unit = {
+    val (gen, _) = current(dir)
+    val lastEpoch = fenceOf(dir, fenceTag)
     require(gen >= 0,
       s"mergePositionalBatch: no index at $dir — buildPositional() first")
     if (epoch >= 0 && epoch <= lastEpoch) return
@@ -352,7 +412,7 @@ object TextIndex {
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col(idCol), col("pos"))
       .write.mode("append").parquet(s"${genDir(dir, gen)}/pospostings")
-    advance(dir, gen, epoch.max(lastEpoch))
+    advance(dir, gen, epoch.max(lastEpoch), fenceTag)
   }
 
   /** Exact phrase search from the STORED positional index —

@@ -37,9 +37,12 @@ import org.apache.spark.sql.functions._
   * chain, not a sum. A right-to-be-forgotten request against the
   * tokenizer's training corpus therefore requires [[build]] on the
   * remaining corpus (cheap: the artifact is config-sized and training
-  * is bounded by `rounds` corpus passes), and
-  * [[graft.operators.Forget]] handles the tokenizer by exactly that
-  * rebuild — never by subtraction.
+  * is bounded by `rounds` corpus passes). That rebuild is the
+  * CALLER's responsibility and is intentionally OUTSIDE
+  * [[graft.operators.Forget]]'s fan-out — the orchestrator composes
+  * local inverses, and this artifact has none, so registering it
+  * would disguise a full retrain as a decremental purge (matching
+  * Forget's own doc: the tokenizer is deliberately not a target).
   */
 object TokenizerIndex {
 

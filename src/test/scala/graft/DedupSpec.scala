@@ -573,4 +573,45 @@ class DedupSpec extends AnyFunSuite {
     // volume formula: n(w−1) − tail shortfall = 6·2 − (2+1) = 9
     assert(got.size === 9)
   }
+
+  test("DedupIndex geometry guard: removeDocs/compact with the wrong " +
+      "k/bands fail loudly (meta fingerprint + band-table footer) " +
+      "instead of silently persisting a truncated rewrite; the right " +
+      "geometry still rewrites") {
+    import spark.implicits._
+    import graft.operators.DedupIndex
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "totally different words here now too"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("dedup_geom").toString
+    DedupIndex.build(docs, "doc_id", "text", 3, 8, 4, dir)
+    // wrong k: readStored's explicit schema would read v2..v3 as null
+    // and a rewrite would persist the damage — must refuse instead
+    val e1 = intercept[IllegalArgumentException] {
+      DedupIndex.removeDocs(spark, dir, Seq(1L).toDF("doc_id"),
+        "doc_id", k = 16, bands = 4)
+    }
+    assert(e1.getMessage.contains("built with k=8"))
+    val e2 = intercept[IllegalArgumentException] {
+      DedupIndex.compact(spark, dir, k = 8, bands = 2)
+    }
+    assert(e2.getMessage.contains("built with k=8"))
+    // a legacy index without the meta file is still protected by the
+    // parquet-footer column check
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "_graft_dedup_meta.json"))
+    val e3 = intercept[IllegalArgumentException] {
+      DedupIndex.removeDocs(spark, dir, Seq(1L).toDF("doc_id"),
+        "doc_id", k = 16, bands = 4)
+    }
+    assert(e3.getMessage.contains("geometry mismatch"))
+    // the true geometry still rewrites (and actually forgets)
+    DedupIndex.removeDocs(spark, dir, Seq(1L).toDF("doc_id"),
+      "doc_id", k = 8, bands = 4)
+    val left = spark.read.parquet(DedupIndex.hashesPath(dir))
+      .select($"_id").as[Long].collect().toSet
+    assert(left === Set(2L, 3L))
+  }
 }
