@@ -2813,4 +2813,38 @@ object Analytics {
       .select(col("_k").as(keyCol), col("n"), col("mean_ppm"),
         col("var_ppm"), col("skew_ratio_ppm"), col("kurt_ppm"))
   }
+
+  /** [NS] — the q362 shape-drift profile as a reusable operator: every
+    * group's moments read AGAINST the global distribution — Δmean, the
+    * variance RATIO, and the kurtosis gap, each exact ppm, plus a
+    * shape_shift verdict at the documented thresholds (variance ratio
+    * outside [0.8, 1.25] or |Δkurtosis| > 1.0). Two [[momentsExact]]
+    * passes and one broadcast join; [[MomentsState.serveProfile]] is
+    * the stored-state twin (same join arithmetic, zero fact reads). */
+  def shapeDriftProfile(df: DataFrame, keyCol: String,
+      valCol: String): DataFrame = {
+    val per = momentsExact(df, keyCol, valCol)
+    val glob = momentsExact(df.withColumn("_all", lit("all")), "_all",
+        valCol)
+      .select(col("mean_ppm").as("g_mean"), col("var_ppm").as("g_var"),
+        col("kurt_ppm").as("g_kurt"))
+    shapeProfileJoin(per, glob, keyCol)
+  }
+
+  /** The profile arithmetic shared by [[shapeDriftProfile]] and
+    * [[MomentsState.serveProfile]] — one expression tree, so the
+    * stored-state readout is bit-for-bit the in-query operator's. */
+  private[operators] def shapeProfileJoin(per: DataFrame,
+      glob: DataFrame, keyCol: String): DataFrame =
+    per.crossJoin(broadcast(glob))
+      .withColumn("d_mean_ppm", expr("mean_ppm - g_mean"))
+      .withColumn("var_ratio_ppm", expr(
+        "CASE WHEN g_var > 0 THEN CAST((1000000 * " +
+          "cast(var_ppm as decimal(38,0))) div g_var AS BIGINT) END"))
+      .withColumn("kurt_diff_ppm", expr("kurt_ppm - g_kurt"))
+      .withColumn("shape_shift", expr(
+        "var_ratio_ppm < 800000 OR var_ratio_ppm > 1250000 " +
+          "OR abs(kurt_diff_ppm) > 1000000"))
+      .select(col(keyCol), col("n"), col("d_mean_ppm"),
+        col("var_ratio_ppm"), col("kurt_diff_ppm"), col("shape_shift"))
 }

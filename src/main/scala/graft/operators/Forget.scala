@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * button a real RTBF request needs. Individual forget certificates
   * exist per stored lifecycle (tables q254, text q267, ANN q268, BQ
   * q330, trigram LM q347, line index q348, dedup q349, recommender
-  * q351, importance q352), but a purge request is "these ids,
+  * q351, importance q352, moments q361), but a purge request is "these ids,
   * EVERYWHERE": before this object a user had to know every entry
   * point and call each in the right shape ([[LmIndex]] and
   * [[LineIndex]] need the forgotten docs' TEXT for count subtraction;
@@ -20,12 +20,25 @@ import org.apache.spark.sql.functions._
   * gets ONE table proving what each store now holds.
   *
   * Epoch semantics: the count-subtraction artifacts (trigram, line,
-  * importance) and the per-doc generation artifacts (text, dedup) ride
-  * their own pointer's replay guard — a replayed `epoch` is a no-op
-  * everywhere at once. The plain anti-join artifacts (ANN, BQ) are
-  * idempotent by construction and need no guard. A crash mid-fan-out
-  * is safe to re-run for the same reason: completed artifacts replay
-  * as no-ops (guarded) or as identical rewrites (idempotent).
+  * importance, moments) and the per-doc generation artifacts (text,
+  * dedup) ride their own pointer's replay guard — a replayed `epoch`
+  * is a no-op everywhere at once. The plain anti-join artifacts (ANN,
+  * BQ) are idempotent by construction and need no guard. A crash
+  * mid-fan-out is safe to re-run for the same reason: completed
+  * artifacts replay as no-ops (guarded) or as identical rewrites
+  * (idempotent).
+  *
+  * Fence NAMESPACING (round-10 fix): purge epochs ride a TAGGED fence
+  * (`fenceTag`, default "purge") on each artifact's pointer, DISJOINT
+  * from the default fence the artifact's ingest stream advances via
+  * its foreachBatchMerge. Spark epochIds are per-checkpoint counters,
+  * so without the namespace a deletion stream restarting at epoch 0
+  * against an artifact whose ingest stream had reached epoch 5 would
+  * silently no-op every purge (an RTBF request dropped with no
+  * error), and a high-epoch purge would silently drop later ingest
+  * merges. With tags, each writer replays against its own counter;
+  * run multiple deletion streams against one artifact only with
+  * distinct `streamTag`s on [[foreachBatchPurge]].
   *
   * [[TokenizerIndex]] is deliberately NOT a target: BPE merge rules
   * are an argmax chain, not a sum — no local inverse exists, so its
@@ -70,6 +83,16 @@ object Forget {
     * reaching zero leaving the state. */
   final case class AggViewTarget(dir: String, keyCols: Seq[String],
       valueScaled: Column) extends Target { val name = "agg_view" }
+  /** Stored moment state at `dir` ([[MomentsState]]): the drift
+    * monitor's power sums subtract the forgotten entities' fact rows
+    * exactly (same subset contract as the other count artifacts —
+    * the forgotten frame must carry `keyCol` and `valCol`). Without
+    * this registration a purged user's STATISTICS survive an
+    * orchestrated RTBF purge unless the caller knows to call
+    * [[MomentsState.removeBatch]] separately — exactly the
+    * know-every-entry-point failure this object exists to kill. */
+  final case class MomentsTarget(dir: String, keyCol: String,
+      valCol: String) extends Target { val name = "moments" }
 
   /** Purge the `forgotten` docs from every target. `forgotten` must be
     * the docs' ORIGINAL rows (id + text + carry columns) — the count
@@ -79,7 +102,8 @@ object Forget {
     * the fixture convention that a purged entity's document and
     * embedding share one id; ids absent from a store are no-ops. */
   def purgeDocs(spark: SparkSession, forgotten: DataFrame,
-      idCol: String, targets: Seq[Target], epoch: Long = -1L): Unit = {
+      idCol: String, targets: Seq[Target], epoch: Long = -1L,
+      fenceTag: String = "purge"): Unit = {
     // one eager materialization: every artifact must subtract the SAME
     // rows even if the input plan is nondeterministic under retry
     val f = forgotten.localCheckpoint(true)
@@ -87,17 +111,20 @@ object Forget {
     targets.foreach {
       case TextTarget(dir, tid) =>
         TextIndex.removeDocs(spark, ids.select(col(idCol).as(tid)),
-          tid, dir, epoch)
+          tid, dir, epoch, fenceTag)
       case DedupTarget(dir, k, b) =>
-        DedupIndex.removeDocs(spark, dir, ids, idCol, k, b, epoch)
+        DedupIndex.removeDocs(spark, dir, ids, idCol, k, b, epoch,
+          fenceTag)
       case TrigramTarget(dir, tc) =>
-        LmIndex.removeTrigramBatch(spark, f, idCol, tc, dir, epoch)
+        LmIndex.removeTrigramBatch(spark, f, idCol, tc, dir, epoch,
+          fenceTag)
       case LineTarget(dir, tc) =>
-        LineIndex.removeBatch(spark, f, idCol, tc, dir, epoch)
+        LineIndex.removeBatch(spark, f, idCol, tc, dir, epoch,
+          fenceTag)
       case ImportanceTarget(dir, tc, b, pred, carry) =>
         Importance.removeBatch(spark,
           Importance.docBuckets(f, idCol, tc, b, carry), pred, dir,
-          epoch)
+          epoch, fenceTag)
       case AnnTarget(dir, vid) =>
         AnnIndex.removeVectors(spark, dir,
           ids.select(col(idCol).as(vid)), vid)
@@ -105,7 +132,10 @@ object Forget {
         BqIndex.removeIds(spark, dir, ids)
       case AggViewTarget(dir, keys, v) =>
         AggView.mergeCdc(spark, f.withColumn("_op", lit("D")), keys, v,
-          "_op", dir, epoch)
+          "_op", dir, epoch, fenceTag)
+      case MomentsTarget(dir, kc, vc) =>
+        MomentsState.removeBatch(spark, f, kc, vc, dir, epoch,
+          fenceTag)
     }
   }
 
@@ -118,10 +148,15 @@ object Forget {
     * guarded artifact and an identical rewrite on the idempotent ones
     * (exactly-once purge over at-least-once delivery — the
     * [[TextIndex.foreachBatchMerge]] protocol pointed at deletion).
+    * The purge epochs ride the `streamTag` fence, NOT the default one
+    * an ingest stream advances (see the object doc on namespacing) —
+    * give each concurrent deletion stream its own tag.
     * Usage: `.writeStream.foreachBatch(Forget.foreachBatchPurge(...))`. */
   def foreachBatchPurge(spark: SparkSession, idCol: String,
-      targets: Seq[Target]): (DataFrame, Long) => Unit =
-    (batch, epoch) => purgeDocs(spark, batch, idCol, targets, epoch)
+      targets: Seq[Target],
+      streamTag: String = "purge"): (DataFrame, Long) => Unit =
+    (batch, epoch) => purgeDocs(spark, batch, idCol, targets, epoch,
+      fenceTag = streamTag)
 
   /** The house 60-bit order-independent digest (q66/q188/q333). */
   private def xor60(sqlExpr: String): String =
@@ -193,5 +228,12 @@ object Forget {
         row(spark, "agg_view", s, sum(col("cnt")),
           "concat_ws(':', " + (keys ++ Seq("cnt", "vsum"))
             .map(k => s"cast($k as string)").mkString(", ") + ")")
+      case MomentsTarget(dir, _, _) =>
+        // group rows / Σn (the folded fact-row count) / xor over the
+        // full (key, n, S1..S4) row — sums included, so a corrupted
+        // subtraction can't hide behind a surviving key set
+        row(spark, "moments", MomentsState.storedSums(spark, dir),
+          sum(col("n")),
+          "concat_ws(':', _k, n, s1, s2, s3, s4)")
     }.reduce(_.unionByName(_))
 }

@@ -17,10 +17,24 @@ import org.apache.spark.sql.functions._
   * which equal [[Analytics.momentsExact]]'s Σ(n·v − S1)^k sums as
   * EXACT integers — so [[serve]] reproduces the in-query operator
   * bit-for-bit (twin certification, the q127/q284 law), while the
-  * stored artifact is |groups| rows of six longs. At 100 TB this is
+  * stored artifact is |groups| rows of six numbers. S2–S4 are stored
+  * as decimal(38,0) — the SAME width [[Analytics.momentsExact]] uses
+  * for its power sums — because v⁴ wraps a long at |v| ≈ 55k (two
+  * rows of a web-scale metric in the millions would silently corrupt
+  * a long-typed state, and a wrapped value can land positive and
+  * evade the negative-sum removal guard); decimal holds Σv⁴ to 10³⁸,
+  * i.e. |v| up to ~10⁷ at 10¹⁰ rows per group. At 100 TB this is
   * the drift monitor's production shape: the event stream folds into
   * six numbers per group, a purged user's rows subtract back out, and
   * no serve ever re-reads history.
+  *
+  * Key normalization contract: [[sums]] casts the group key to STRING
+  * (`_k`), so [[serve]] returns the key column as StringType even when
+  * the input key was numeric — the bit-for-bit twin claim against
+  * [[Analytics.momentsExact]] (which preserves the input key type)
+  * holds for the VALUES and for string-keyed groups' keys; a
+  * numeric-keyed caller compares after casting the operator's key to
+  * string (or re-casts the served key).
   *
   * Storage rides [[TextIndex]]'s generation/atomic-pointer protocol
   * (crash-safe rewrites, epoch replay fences — subtraction and
@@ -40,15 +54,18 @@ object MomentsState {
     import org.apache.spark.sql.types._
     spark.read.schema(StructType(Seq(
         StructField("_k", StringType), StructField("n", LongType),
-        StructField("s1", LongType), StructField("s2", LongType),
-        StructField("s3", LongType), StructField("s4", LongType))))
+        StructField("s1", LongType),
+        StructField("s2", DecimalType(38, 0)),
+        StructField("s3", DecimalType(38, 0)),
+        StructField("s4", DecimalType(38, 0)))))
       .parquet(tablePath(dir))
   }
 
   /** The raw power-sum rows of a batch — the monoid element. Values
     * must already be integers (callers round ONCE up front, the q359
-    * convention); powers stay in long: v⁴ ≤ 10⁸ at the value scale
-    * this engine uses, so Σv⁴ holds to ~10¹⁰ rows per group. */
+    * convention); the power sums accumulate in decimal(38,0) exactly
+    * like [[Analytics.momentsExact]]'s — long products wrap silently
+    * at |v| ≈ 55k (see the object doc). */
   private def sums(df: DataFrame, keyCol: String,
       valCol: String): DataFrame =
     df.filter(col(valCol).isNotNull)
@@ -56,9 +73,12 @@ object MomentsState {
         col(valCol).cast("long").as("_v"))
       .groupBy(col("_k"))
       .agg(count(lit(1)).as("n"), sum(col("_v")).as("s1"),
-        sum(expr("_v * _v")).as("s2"),
-        sum(expr("_v * _v * _v")).as("s3"),
-        sum(expr("_v * _v * _v * _v")).as("s4"))
+        sum(expr("cast(_v as decimal(38,0)) * _v"))
+          .cast("decimal(38,0)").as("s2"),
+        sum(expr("cast(_v as decimal(38,0)) * _v * _v"))
+          .cast("decimal(38,0)").as("s3"),
+        sum(expr("cast(_v as decimal(38,0)) * _v * _v * _v"))
+          .cast("decimal(38,0)").as("s4"))
 
   private def writeGen(state: DataFrame, dir: String, gen: Long): Unit =
     state.coalesce(1).write.mode("overwrite")
@@ -75,18 +95,21 @@ object MomentsState {
     * addition is correct for any split of the fact rows). Epoch ≥ 0
     * arms the replay fence. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, keyCol: String,
-      valCol: String, dir: String, epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = TextIndex.current(dir)
+      valCol: String, dir: String, epoch: Long = -1L,
+      fenceTag: String = ""): Unit = {
+    val (gen, _) = TextIndex.current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0, s"mergeBatch: no state at $dir — build() first")
     if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
     val merged = storedSums(spark, dir)
       .unionByName(sums(batch, keyCol, valCol))
       .groupBy(col("_k"))
       .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
-        sum(col("s2")).as("s2"), sum(col("s3")).as("s3"),
-        sum(col("s4")).as("s4"))
+        sum(col("s2")).cast("decimal(38,0)").as("s2"),
+        sum(col("s3")).cast("decimal(38,0)").as("s3"),
+        sum(col("s4")).cast("decimal(38,0)").as("s4"))
     writeGen(merged, dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
   }
 
   /** Right-to-be-forgotten removal: subtract the forgotten rows' power
@@ -97,8 +120,10 @@ object MomentsState {
     * when values can be — the guard checks n, S2, S4). Groups reaching
     * n = 0 leave the state. */
   def removeBatch(spark: SparkSession, batch: DataFrame, keyCol: String,
-      valCol: String, dir: String, epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = TextIndex.current(dir)
+      valCol: String, dir: String, epoch: Long = -1L,
+      fenceTag: String = ""): Unit = {
+    val (gen, _) = TextIndex.current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0, s"removeBatch: no state at $dir — build() first")
     if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
     val b = sums(batch, keyCol, valCol)
@@ -113,11 +138,11 @@ object MomentsState {
         (coalesce(col("s1"), lit(0L)) - coalesce(col("_b1"), lit(0L)))
           .as("s1"),
         (coalesce(col("s2"), lit(0L)) - coalesce(col("_b2"), lit(0L)))
-          .as("s2"),
+          .cast("decimal(38,0)").as("s2"),
         (coalesce(col("s3"), lit(0L)) - coalesce(col("_b3"), lit(0L)))
-          .as("s3"),
+          .cast("decimal(38,0)").as("s3"),
         (coalesce(col("s4"), lit(0L)) - coalesce(col("_b4"), lit(0L)))
-          .as("s4"))
+          .cast("decimal(38,0)").as("s4"))
       .localCheckpoint(true)
     val bad = merged.filter(col("n") < 0 || col("s2") < 0 ||
       col("s4") < 0).count()
@@ -125,7 +150,7 @@ object MomentsState {
       s"MomentsState.removeBatch: $bad groups would go negative — " +
         "the removal batch is not a subset of the folded facts")
     writeGen(merged.filter(col("n") > 0), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch))
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
   }
 
   /** Streaming fold: exactly-once moment maintenance over
@@ -142,7 +167,10 @@ object MomentsState {
     * State-sized: no fact row is ever read. */
   def serve(spark: SparkSession, dir: String,
       keyCol: String): DataFrame =
-    storedSums(spark, dir)
+    derive(storedSums(spark, dir), keyCol)
+
+  private def derive(sums: DataFrame, keyCol: String): DataFrame =
+    sums
       .withColumn("_dd2", expr(
         "cast(n as decimal(38,0)) * (cast(n as decimal(38,0)) * s2 " +
           "- cast(s1 as decimal(38,0)) * s1)"))
@@ -170,4 +198,30 @@ object MomentsState {
           "AS BIGINT) END"))
       .select(col("_k").as(keyCol), col("n"), col("mean_ppm"),
         col("var_ppm"), col("skew_ratio_ppm"), col("kurt_ppm"))
+
+  /** [NS] The q362 shape-drift profile served ENTIRELY from stored
+    * state — the monitor closes its loop without re-reading a single
+    * fact row: power sums are ADDITIVE, so the GLOBAL distribution's
+    * sums are the column sums of the per-group state, and both sides
+    * of the profile derive through the same D-identities and the same
+    * join arithmetic as the in-query twin
+    * ([[Analytics.shapeDriftProfile]] — shared expression tree, so
+    * equality is bit-for-bit; StreamingSpec pins streamed-state
+    * profile ≡ the batch operator on the full union). Output:
+    * (keyCol, n, d_mean_ppm, var_ratio_ppm, kurt_diff_ppm,
+    * shape_shift). */
+  def serveProfile(spark: SparkSession, dir: String,
+      keyCol: String): DataFrame = {
+    val st = storedSums(spark, dir)
+    val per = derive(st, keyCol)
+    val gsums = st.agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+        sum(col("s2")).cast("decimal(38,0)").as("s2"),
+        sum(col("s3")).cast("decimal(38,0)").as("s3"),
+        sum(col("s4")).cast("decimal(38,0)").as("s4"))
+      .withColumn("_k", lit("all"))
+    val glob = derive(gsums, "_g")
+      .select(col("mean_ppm").as("g_mean"), col("var_ppm").as("g_var"),
+        col("kurt_ppm").as("g_kurt"))
+    Analytics.shapeProfileJoin(per, glob, keyCol)
+  }
 }

@@ -1874,7 +1874,7 @@ object EventQueries {
       val ev = Tables.events(s, d).filter($"value".isNotNull)
         .withColumn("v_i", round($"value").cast("long"))
       val dir = graft.operators.MomentsState.defaultDir(d + "#mom")
-      graft.operators.TextIndex.withFingerprint(dir, d + "#mom-v1") {
+      graft.operators.TextIndex.withFingerprint(dir, d + "#mom-v2") {
         graft.operators.MomentsState.build(
           ev.filter($"event_id" % 2 === 0), "event_type", "v_i", dir)
         graft.operators.MomentsState.mergeBatch(s,
@@ -1902,7 +1902,7 @@ object EventQueries {
       val ev = Tables.events(s, d).filter($"value".isNotNull)
         .withColumn("v_i", round($"value").cast("long"))
       val dir = graft.operators.MomentsState.defaultDir(d + "#momf")
-      graft.operators.TextIndex.withFingerprint(dir, d + "#momf-v1") {
+      graft.operators.TextIndex.withFingerprint(dir, d + "#momf-v2") {
         graft.operators.MomentsState.build(ev, "event_type", "v_i", dir)
         graft.operators.MomentsState.removeBatch(s,
           ev.filter($"user_id" % 9 === 4), "event_type", "v_i", dir,
@@ -1932,23 +1932,8 @@ object EventQueries {
       import s.implicits._
       val ev = Tables.events(s, d).filter($"value".isNotNull)
         .withColumn("v_i", round($"value").cast("long"))
-      val per = graft.operators.Analytics.momentsExact(
-        ev, "event_type", "v_i")
-      val glob = graft.operators.Analytics.momentsExact(
-          ev.withColumn("_all", lit("all")), "_all", "v_i")
-        .select($"mean_ppm".as("g_mean"), $"var_ppm".as("g_var"),
-          $"kurt_ppm".as("g_kurt"))
-      per.crossJoin(broadcast(glob))
-        .withColumn("d_mean_ppm", expr("mean_ppm - g_mean"))
-        .withColumn("var_ratio_ppm", expr(
-          "CASE WHEN g_var > 0 THEN CAST((1000000 * " +
-            "cast(var_ppm as decimal(38,0))) div g_var AS BIGINT) END"))
-        .withColumn("kurt_diff_ppm", expr("kurt_ppm - g_kurt"))
-        .withColumn("shape_shift", expr(
-          "var_ratio_ppm < 800000 OR var_ratio_ppm > 1250000 " +
-            "OR abs(kurt_diff_ppm) > 1000000"))
-        .select($"event_type", $"n", $"d_mean_ppm", $"var_ratio_ppm",
-          $"kurt_diff_ppm", $"shape_shift")
+      graft.operators.Analytics.shapeDriftProfile(
+          ev, "event_type", "v_i")
         .orderBy($"event_type")
     },
     Some("""WITH b AS (SELECT event_type,
@@ -1994,6 +1979,62 @@ object EventQueries {
           OR abs(kurt_ppm - g_kurt) > 1000000 AS shape_shift
       FROM p, g ORDER BY event_type"""),
     doc = "[NS] per-segment shape drift vs the global distribution (mean/variance-ratio/kurtosis gaps, exact ppm)")
+
+  /** [NS] — moments state under the RTBF orchestrator (q363): the
+    * drift monitor's stored power sums registered as a
+    * [[graft.operators.Forget.MomentsTarget]], so ONE
+    * [[graft.operators.Forget.purgeDocs]] call removes a forgotten
+    * cohort's statistics along with every other artifact — before this
+    * a purged user's per-language length distribution SURVIVED an
+    * orchestrated purge unless the caller knew to call
+    * [[graft.operators.MomentsState.removeBatch]] separately (the
+    * know-every-entry-point failure q350 exists to kill, closed for
+    * the statistics layer). Build per-lang doc-length moments on ALL
+    * documents, purge the doc_id ≡ 3 (mod 7) cohort THROUGH the
+    * orchestrator, serve. Oracle: q359's exact-moment SQL over the
+    * REMAINING documents only — orchestrated forget ≡ remaining-only
+    * rebuild, certified on every served column. */
+  val q363RtbfMoments = Q(
+    "q363_rtbf_moments",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .withColumn("len_i", length($"text").cast("long"))
+      val dir = graft.operators.MomentsState.defaultDir(d + "#momrtbf")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#momrtbf-v1") {
+        graft.operators.MomentsState.build(docs, "lang", "len_i", dir)
+        graft.operators.Forget.purgeDocs(s,
+          docs.filter($"doc_id" % 7 === 3), "doc_id",
+          Seq(graft.operators.Forget.MomentsTarget(dir, "lang",
+            "len_i")),
+          epoch = 0L)
+      }
+      graft.operators.MomentsState.serve(s, dir, "lang")
+        .orderBy($"lang")
+    },
+    Some("""WITH b AS (SELECT lang, CAST(length(text) AS BIGINT) AS v
+        FROM documents WHERE doc_id % 7 <> 3 AND text IS NOT NULL),
+      t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(v) AS BIGINT) AS s1 FROM b GROUP BY 1),
+      d AS (SELECT b.lang, t.n, t.s1,
+          CAST(t.n AS HUGEINT) * v - s1 AS tt
+        FROM b JOIN t USING (lang)),
+      m AS (SELECT lang, n, s1,
+          sum(tt * tt) AS d2, sum(tt * tt * tt) AS d3,
+          sum(tt * tt * tt * tt) AS d4
+        FROM d GROUP BY 1, 2, 3)
+      SELECT lang, n,
+        CAST((1000000 * CAST(s1 AS HUGEINT)) // n AS BIGINT) AS mean_ppm,
+        CAST((1000000 * d2) // (CAST(n AS HUGEINT) * n * n) AS BIGINT)
+          AS var_ppm,
+        CASE WHEN d2 > 0 THEN
+          CAST((1000000 * d3) // (d2 * n) AS BIGINT) END
+          AS skew_ratio_ppm,
+        CASE WHEN d2 > 0 THEN
+          CAST(((1000000 * CAST(n AS HUGEINT)) * (d4 // d2)) // d2
+            AS BIGINT) END AS kurt_ppm
+      FROM m ORDER BY lang"""),
+    doc = "[NS] RTBF-orchestrated moments purge: one purgeDocs call removes a cohort's statistics (forget == remaining-only rebuild, served)")
 
   /** [NS] — Markov removal-effect attribution (q314):
     * [[graft.operators.Analytics.markovAttribution]] with the four
@@ -2253,7 +2294,7 @@ object EventQueries {
     q300SessionGapLadder, q304BradleyTerry, q305KsDrift,
     q314MarkovAttribution, q318MannWhitney, q321KmSurvival,
     q322LogRank, q359MomentsExact, q360MomentsMerge, q361MomentsForget,
-    q362MomentsDrift,
+    q362MomentsDrift, q363RtbfMoments,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,

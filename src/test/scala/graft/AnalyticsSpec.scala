@@ -1548,4 +1548,45 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not a subset"))
   }
+
+  test("MomentsState at web-scale values (|v| ~ 1e6): the stored " +
+      "power sums hold in decimal(38,0) where the old LongType " +
+      "schema wrapped at |v| ~ 55k — serve still equals the " +
+      "in-query operator bit-for-bit and forget stays exact") {
+    import spark.implicits._
+    import graft.operators.MomentsState
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft_moments_wide").toString
+    // v^4 ~ 1e24-8e25 per row: a SINGLE row exceeds Long.MaxValue
+    // (9.2e18) — two rows of any web-scale metric in the millions
+    // would have wrapped the long-typed state silently
+    val wide = Seq(("a", 1000000L), ("a", 2000003L), ("a", -1500007L),
+      ("a", 3000011L), ("b", 60000L), ("b", -60001L), ("b", 60002L))
+      .toDF("g", "v")
+    val dir = tmp()
+    MomentsState.build(wide, "g", "v", dir)
+    val s4a = MomentsState.storedSums(spark, dir)
+      .filter(col("_k") === "a").collect()(0).getDecimal(5)
+    assert(s4a.toBigInteger.compareTo(
+      java.math.BigInteger.valueOf(Long.MaxValue)) > 0,
+      "stored S4 must exceed long capacity — proof the decimal " +
+        "schema holds what the old bound could not")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toSeq).toSet
+    assert(rows(MomentsState.serve(spark, dir, "g")) ===
+      rows(Analytics.momentsExact(wide, "g", "v")),
+      "wide-value serve must reproduce momentsExact bit-for-bit")
+    // forget the two largest-magnitude rows: subtraction stays exact
+    // above long range, and the negative-S4 subset guard still sees
+    // true (unwrapped) signs
+    val gone = wide.filter($"v" > 1999999L)
+    MomentsState.removeBatch(spark, gone, "g", "v", dir, epoch = 0L)
+    val remain = wide.filter($"v" <= 1999999L)
+    val dirR = tmp(); MomentsState.build(remain, "g", "v", dirR)
+    def sums(d: String) = MomentsState.storedSums(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(sums(dir) === sums(dirR),
+      "wide-value forget must equal the remaining-only rebuild")
+  }
 }

@@ -3,10 +3,13 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-/** Cross-artifact RTBF orchestrator (q350): one purgeDocs call must
-  * equal the individual per-artifact removers row for row (certificate
-  * comparison over SEVEN artifact classes incl. ANN), and a replayed
-  * epoch must leave every store untouched. */
+/** Cross-artifact RTBF orchestrator (q350/q363): one purgeDocs call
+  * must equal the individual per-artifact removers row for row
+  * (certificate comparison over EIGHT artifact classes incl. ANN and
+  * the moments state), a replayed epoch must leave every store
+  * untouched, and purge epochs must ride their OWN tagged fence so a
+  * deletion stream never collides with an ingest stream's epoch
+  * counter on the same artifact. */
 class ForgetSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -14,17 +17,17 @@ class ForgetSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(tag).toString
 
   test("purgeDocs composite == the individual removers (certificates " +
-      "identical across 7 artifact classes); replayed epoch is a no-op") {
+      "identical across 8 artifact classes); replayed epoch is a no-op") {
     import spark.implicits._
     import graft.operators._
 
     val docs = Seq(
-      (1L, "alpha beta gamma delta epsilon", "en"),
-      (2L, "beta gamma delta epsilon zeta eta", "en"),
-      (3L, "one two three four five six", "de"),
-      (4L, "alpha beta gamma delta epsilon", "en"), // exact twin of 1
-      (5L, "totally different words here now too", "de")
-    ).toDF("doc_id", "text", "lang")
+      (1L, "alpha beta gamma delta epsilon", "en", 11L),
+      (2L, "beta gamma delta epsilon zeta eta", "en", 23L),
+      (3L, "one two three four five six", "de", 5L),
+      (4L, "alpha beta gamma delta epsilon", "en", 17L), // exact twin of 1
+      (5L, "totally different words here now too", "de", 2L)
+    ).toDF("doc_id", "text", "lang", "score")
     // binaryQuantize's contract is exactly-64-dim vectors
     val emb = (1L to 5L).map(i => (i, Array.tabulate(64)(j =>
       (((i * 31 + j * 17) % 13) - 6).toFloat / 10f)))
@@ -40,10 +43,10 @@ class ForgetSpec extends AnyFunSuite {
     val ids = gone.select($"doc_id")
 
     def buildAll(): (String, String, String, String, String, String,
-        String) = {
-      val (t, dd, tri, ln, imp, bq, ann) = (tmp("f_text"), tmp("f_dedup"),
-        tmp("f_tri"), tmp("f_line"), tmp("f_imp"), tmp("f_bq"),
-        tmp("f_ann"))
+        String, String) = {
+      val (t, dd, tri, ln, imp, bq, ann, mom) = (tmp("f_text"),
+        tmp("f_dedup"), tmp("f_tri"), tmp("f_line"), tmp("f_imp"),
+        tmp("f_bq"), tmp("f_ann"), tmp("f_mom"))
       TextIndex.build(docs, "doc_id", "text", t)
       DedupIndex.build(docs, "doc_id", "text", 3, 8, 4, dd)
       LmIndex.buildTrigram(docs, "doc_id", "text", tri)
@@ -54,10 +57,12 @@ class ForgetSpec extends AnyFunSuite {
       BqIndex.build(spark, bq, emb, "vec_id", "embedding")
       annCodes.write.mode("overwrite").partitionBy("centroid")
         .parquet(AnnIndex.codesPath(ann))
-      (t, dd, tri, ln, imp, bq, ann)
+      MomentsState.build(docs, "lang", "score", mom)
+      (t, dd, tri, ln, imp, bq, ann, mom)
     }
     def targetsOf(t: String, dd: String, tri: String, ln: String,
-        imp: String, bq: String, ann: String): Seq[Forget.Target] = Seq(
+        imp: String, bq: String, ann: String,
+        mom: String): Seq[Forget.Target] = Seq(
       Forget.TextTarget(t, "doc_id"),
       Forget.DedupTarget(dd),
       Forget.TrigramTarget(tri, "text"),
@@ -65,15 +70,16 @@ class ForgetSpec extends AnyFunSuite {
       Forget.ImportanceTarget(imp, "text", 8, col("lang") === "en",
         Seq("lang")),
       Forget.BqTarget(bq),
-      Forget.AnnTarget(ann, "vec_id"))
+      Forget.AnnTarget(ann, "vec_id"),
+      Forget.MomentsTarget(mom, "lang", "score"))
 
     // A: one orchestrated purge
-    val (ta, dda, tria, lna, impa, bqa, anna) = buildAll()
-    val targetsA = targetsOf(ta, dda, tria, lna, impa, bqa, anna)
+    val (ta, dda, tria, lna, impa, bqa, anna, moma) = buildAll()
+    val targetsA = targetsOf(ta, dda, tria, lna, impa, bqa, anna, moma)
     Forget.purgeDocs(spark, gone, "doc_id", targetsA, epoch = 0L)
 
-    // B: the seven individual entry points, called by hand
-    val (tb, ddb, trib, lnb, impb, bqb, annb) = buildAll()
+    // B: the eight individual entry points, called by hand
+    val (tb, ddb, trib, lnb, impb, bqb, annb, momb) = buildAll()
     TextIndex.removeDocs(spark, ids, "doc_id", tb, epoch = 0L)
     DedupIndex.removeDocs(spark, ddb, ids, "doc_id", epoch = 0L)
     LmIndex.removeTrigramBatch(spark, gone, "doc_id", "text", trib,
@@ -86,14 +92,21 @@ class ForgetSpec extends AnyFunSuite {
     BqIndex.removeIds(spark, bqb, ids)
     AnnIndex.removeVectors(spark, annb,
       ids.select($"doc_id".as("vec_id")), "vec_id")
+    MomentsState.removeBatch(spark, gone, "lang", "score", momb,
+      epoch = 0L)
 
     def cert(ts: Seq[Forget.Target]) =
       Forget.certificate(spark, ts).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).sortBy(_._1).toSeq
     val a = cert(targetsA)
-    val b = cert(targetsOf(tb, ddb, trib, lnb, impb, bqb, annb))
+    val b = cert(targetsOf(tb, ddb, trib, lnb, impb, bqb, annb, momb))
     assert(a === b, "composite purge must equal the individual removers")
+    // the moments artifact: survivors are docs {1,3,5} -> en keeps only
+    // doc 1 (n=1), de keeps docs 3,5 (n=2) -> 2 group rows, mass 3
+    val momRow = a.find(_._1 == "moments").get
+    assert(momRow._2 === 2L && momRow._3 === 3L,
+      "purged cohort's statistics must leave the moments state")
 
     // sanity on the certified content: every per-doc artifact's id xor
     // is the xor over the SURVIVORS {1, 3, 5}
@@ -111,6 +124,59 @@ class ForgetSpec extends AnyFunSuite {
     // rewrite identically — the certificate must not move
     Forget.purgeDocs(spark, gone, "doc_id", targetsA, epoch = 0L)
     assert(cert(targetsA) === a, "replayed purge must not move state")
+  }
+
+  test("fence namespacing: purge epochs ride their own tagged fence — " +
+      "a deletion stream restarting at epoch 0 still purges an " +
+      "artifact whose ingest stream reached epoch 5, its replay " +
+      "no-ops on its own tag, and a high-epoch purge does not block " +
+      "later ingest merges") {
+    import spark.implicits._
+    import graft.operators._
+
+    val base = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val dir = tmp("fence_text")
+    TextIndex.build(base, "doc_id", "text", dir)
+    // the documented production shape: an ingest stream advanced the
+    // DEFAULT fence on this artifact to 5
+    TextIndex.mergeBatch(spark,
+      Seq((3L, "eta theta iota")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, epoch = 5L)
+    def docsIn: Set[Long] = spark.read
+      .parquet(TextIndex.postingsPath(dir))
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(docsIn === Set(1L, 2L, 3L))
+
+    // deletion stream's checkpoint starts at epoch 0: under the old
+    // shared scalar fence this purge silently no-oped (0 <= 5) — the
+    // RTBF request was DROPPED with no error
+    Forget.purgeDocs(spark, base.filter($"doc_id" === 1L), "doc_id",
+      Seq(Forget.TextTarget(dir, "doc_id")), epoch = 100L)
+    assert(docsIn === Set(2L, 3L),
+      "purge must land despite the ingest fence being ahead")
+
+    // the purge's HIGH epoch (100) lives on the purge tag only — a
+    // later ingest merge at epoch 6 must still apply (the old scalar
+    // would have silently dropped it: 6 <= 100)
+    TextIndex.mergeBatch(spark,
+      Seq((4L, "kappa lambda mu")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, epoch = 6L)
+    assert(docsIn === Set(2L, 3L, 4L),
+      "ingest after a high-epoch purge must still apply")
+
+    // replay of the purge epoch on its own tag: no-op
+    Forget.purgeDocs(spark, base.filter($"doc_id" === 2L), "doc_id",
+      Seq(Forget.TextTarget(dir, "doc_id")), epoch = 100L)
+    assert(docsIn === Set(2L, 3L, 4L),
+      "replayed purge epoch must no-op on the purge tag")
+
+    // a SECOND deletion stream with its own tag replays independently
+    Forget.purgeDocs(spark, base.filter($"doc_id" === 2L), "doc_id",
+      Seq(Forget.TextTarget(dir, "doc_id")), epoch = 0L,
+      fenceTag = "purge:legal")
+    assert(docsIn === Set(3L, 4L),
+      "a distinct stream tag must carry its own epoch counter")
   }
 
   test("foreachBatchPurge: streamed deletion requests purge exactly " +

@@ -1558,6 +1558,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(MomentsState.serve(spark, dir, "g")) ===
       rows(graft.operators.Analytics.momentsExact(union, "g", "v")),
       "streamed sums must serve the exact full-union readout")
+    // the q362 shape-drift PROFILE from the STREAMED state: global
+    // sums are the column sums of the per-group state, so the whole
+    // monitor readout — Δmean, variance ratio, kurtosis gap, verdict —
+    // derives from stored sums alone and must equal the batch operator
+    // on the full union, column for column
+    assert(rows(MomentsState.serveProfile(spark, dir, "g")) ===
+      rows(graft.operators.Analytics.shapeDriftProfile(union, "g",
+        "v")),
+      "q362's profile served from streamed state must equal the " +
+        "batch shapeDriftProfile of the full union")
     // replaying the last committed epoch must not touch state
     val before = graft.operators.TextIndex.current(dir)
     MomentsState.mergeBatch(spark, Seq(("z", 9L)).toDF("g", "v"),
