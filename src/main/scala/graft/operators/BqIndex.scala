@@ -160,7 +160,17 @@ object BqIndex {
     * fan-out, never a full-table ordering). Recall < 1 by construction
     * (a true neighbor whose prefix differs in ≥ 2 signs is
     * unreachable) — the q356-measured dial; `bits` trades candidate
-    * volume against it. */
+    * volume against it.
+    *
+    * ACCURACY CONTRACT: the pruning is trustworthy only when
+    * same-neighborhood codes share sign prefixes — clustered
+    * embeddings (q364's planted arm measures 100% top-10 agreement
+    * with [[serve]]) — and degrades badly on prefix-unstructured
+    * data (q358 measures 20% on the near-random fixture). Run
+    * [[auditPruning]] on a representative query sample before
+    * switching a workload off the full-scan path, or serve through
+    * [[serveAudited]], which does exactly that and falls back
+    * automatically. */
   def serveMultiProbe(spark: SparkSession, dir: String,
       floats: DataFrame, idCol: String, vecCol: String, queryId: Long,
       bits: Int, shortlist: Int, k: Int): DataFrame = {
@@ -191,5 +201,70 @@ object BqIndex {
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
       .select(col("vec_id"), col("cos"))
+  }
+
+  /** Pruning-price audit — the q358 measurement packaged as the API a
+    * user runs BEFORE switching a workload from [[serve]] to
+    * [[serveMultiProbe]]: for each sample query id, the top-`k`
+    * overlap between the full-scan serve and the bucket-pruned serve
+    * on the SAME stored index, as (queryId, nOverlap, agreePpm)
+    * triples. Driver-side loop by design: the audit is sample-sized
+    * (each iteration is one distributed serve pair), and its verdict
+    * is a per-index decision, not per-query work. Interpretation: the
+    * mean ppm is the fraction of the exact-shortlist answer the
+    * pruned path preserves — ≥ 90% on clustered data (q364's planted
+    * arm), ~20% on prefix-unstructured noise (q358); below your
+    * tolerance, keep the full scan or widen the probe set. */
+  def auditPruning(spark: SparkSession, dir: String, floats: DataFrame,
+      idCol: String, vecCol: String, queryIds: Seq[Long], bits: Int,
+      shortlist: Int, k: Int): Seq[(Long, Long, Long)] = {
+    require(queryIds.nonEmpty, "auditPruning: empty query sample")
+    queryIds.map { qid =>
+      val full = serve(spark, dir, floats, idCol, vecCol, qid,
+        shortlist, k).select(col("vec_id"))
+      val pruned = serveMultiProbe(spark, dir, floats, idCol, vecCol,
+        qid, bits, shortlist, k).select(col("vec_id"))
+      val n = full.join(pruned, Seq("vec_id"), "left_semi").count()
+      (qid, n, 1000000L * n / k)
+    }
+  }
+
+  private def auditPath(dir: String, bits: Int, shortlist: Int, k: Int) =
+    java.nio.file.Paths.get(dir, s"_prune_audit_b${bits}_s${shortlist}_k$k")
+
+  /** Guard-railed serving — the escalation policy the pruning dial
+    * needs: runs [[auditPruning]] over `auditIds` ONCE per
+    * (bits, shortlist, k) config (the verdict is cached in the index
+    * dir with the atomic-write ledger idiom; bench repeats and
+    * concurrent servers read the recorded number), then serves the
+    * bucket-pruned plan only when the measured mean agreement ≥
+    * `minAgreePpm` — otherwise falls back to the full-scan [[serve]].
+    * A user who flips q327 to the pruned path on prefix-unstructured
+    * embeddings therefore gets the RIGHT answers plus a recorded
+    * verdict, never a silent 20% (q365 certifies the fallback against
+    * the full-scan oracle; SimilaritySpec pins both branches). The
+    * cached verdict describes the audited index CONTENTS — delete the
+    * `_prune_audit_*` file after a material append/remove to re-audit
+    * (same staleness contract as any offline model card). */
+  def serveAudited(spark: SparkSession, dir: String, floats: DataFrame,
+      idCol: String, vecCol: String, queryId: Long, bits: Int,
+      shortlist: Int, k: Int, minAgreePpm: Long,
+      auditIds: Seq[Long]): DataFrame = {
+    import java.nio.file.Files
+    val p = auditPath(dir, bits, shortlist, k)
+    val ppm: Long =
+      if (Files.exists(p)) Files.readString(p).trim.toLong
+      else {
+        val rows = auditPruning(spark, dir, floats, idCol, vecCol,
+          auditIds, bits, shortlist, k)
+        val mean = rows.map(_._3).sum / rows.size
+        TextIndex.writeLedger(p, Set(mean.toString))
+        mean
+      }
+    if (ppm >= minAgreePpm)
+      serveMultiProbe(spark, dir, floats, idCol, vecCol, queryId, bits,
+        shortlist, k)
+    else
+      serve(spark, dir, floats, idCol, vecCol, queryId, shortlist, k)
   }
 }

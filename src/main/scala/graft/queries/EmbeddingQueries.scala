@@ -1911,6 +1911,147 @@ object EmbeddingQueries {
     },
     doc = "[NS] pruning-price audit: full-scan vs bucket-pruned BQ top-10 agreement")
 
+  /** [NS] — the pruning dial's TWO measured endpoints (q364): q358
+    * reads 20% top-10 agreement on the near-random fixture — honest,
+    * but it left the pruned path with no demonstrated GOOD regime.
+    * This query measures both side by side on the same stored-serve
+    * machinery: the `noise` arm is q358's reading (embeddings.parquet,
+    * prefix locality weak by construction), and the `clustered` arm is
+    * the q259-convention planted fixture — every vector is its cluster
+    * center (vec_id mod 8) under a per-dimension POSITIVE
+    * multiplicative perturbation, so same-cluster sign patterns (and
+    * therefore BQ codes) are IDENTICAL by construction, which is
+    * exactly the structure real embedding clusters have at the sign
+    * level. Expected readings: clustered = 100% (the query's bucket
+    * holds its whole cluster; full-scan and pruned shortlists
+    * coincide), noise = 20% — Lv et al.'s trade measured at both ends,
+    * so a user can tell which regime their corpus is in by running
+    * [[graft.operators.BqIndex.auditPruning]] (q365 wires the verdict
+    * into serving). Output: (fixture, k, n_overlap, agree_ppm). */
+  val q364BqPruneRegimes = Q(
+    "q364_bq_prune_regimes",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val noiseDir = graft.operators.TextIndex.defaultDir(s"bq_$d")
+      graft.operators.BqIndex.buildIfAbsent(s, noiseDir, e, "vec_id",
+        "embedding", tag = d)
+      val cents = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("_c"), vecD($"embedding").as("cv"))
+      val planted = e.select($"vec_id", ($"vec_id" % 8).as("_c"))
+        .join(broadcast(cents), Seq("_c"))
+        .select($"vec_id", expr(
+          "transform(sequence(1, size(cv)), i -> element_at(cv, i) * " +
+            "(1.0D + (cast((vec_id * 7 + i) % 5 as double) + 1.0D) " +
+            "/ 1000.0D))").as("embedding"))
+      val plDir = graft.operators.TextIndex.defaultDir(s"bqpl_$d")
+      graft.operators.BqIndex.buildIfAbsent(s, plDir, planted,
+        "vec_id", "embedding", tag = s"$d:planted")
+      val qid = e.agg(max($"vec_id")).collect()(0).getLong(0)
+      def arm(name: String, dir: String, floats: DataFrame) = {
+        val full = graft.operators.BqIndex.serve(s, dir, floats,
+          "vec_id", "embedding", queryId = qid, shortlist = 32, k = 10)
+        val pruned = graft.operators.BqIndex.serveMultiProbe(s, dir,
+          floats, "vec_id", "embedding", queryId = qid, bits = 8,
+          shortlist = 32, k = 10)
+        full.select($"vec_id")
+          .join(pruned.select($"vec_id"), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit(name).as("fixture"), lit(10L).as("k"),
+            $"n_overlap",
+            expr("(1000000 * n_overlap) div 10").as("agree_ppm"))
+      }
+      arm("clustered", plDir, planted)
+        .unionByName(arm("noise", noiseDir, e))
+        .orderBy($"fixture")
+    },
+    Some {
+      def maskSql(src: String, off: Int) =
+        s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(0, 31), i ->
+            CASE WHEN $src[i + $off + 1] >= 0 THEN (1::BIGINT << i)
+              ELSE 0::BIGINT END)), (a, x) -> a + x)"""
+      def armSql(tag: String, vecs: String) =
+        s"""codes$tag AS (SELECT vec_id, ${maskSql("v", 0)} AS bq_lo,
+            ${maskSql("v", 32)} AS bq_hi
+          FROM $vecs WHERE len(v) = 64),
+        qc$tag AS (SELECT bq_lo AS q_lo, bq_hi AS q_hi
+          FROM codes$tag, qid WHERE vec_id = q_id),
+        q2$tag AS (SELECT v AS qv FROM $vecs, qid WHERE vec_id = q_id),
+        shortF$tag AS (SELECT vec_id FROM codes$tag, qc$tag, qid
+          WHERE vec_id <> q_id
+          ORDER BY bit_count(xor(bq_lo, q_lo)) +
+            bit_count(xor(bq_hi, q_hi)) ASC, vec_id ASC LIMIT 32),
+        topF$tag AS (SELECT t.vec_id,
+            round(${cosSql("v", "qv")}, 6) AS cos
+          FROM shortF$tag s JOIN $vecs t ON s.vec_id = t.vec_id,
+            q2$tag
+          ORDER BY cos DESC, t.vec_id ASC LIMIT 10),
+        shortP$tag AS (SELECT vec_id FROM codes$tag, qc$tag, qid
+          WHERE vec_id <> q_id
+            AND bit_count(xor(bq_lo & 255, q_lo & 255)) <= 1
+          ORDER BY bit_count(xor(bq_lo, q_lo)) +
+            bit_count(xor(bq_hi, q_hi)) ASC, vec_id ASC LIMIT 32),
+        topP$tag AS (SELECT t.vec_id,
+            round(${cosSql("v", "qv")}, 6) AS cos
+          FROM shortP$tag s JOIN $vecs t ON s.vec_id = t.vec_id,
+            q2$tag
+          ORDER BY cos DESC, t.vec_id ASC LIMIT 10),
+        ov$tag AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+          FROM topF$tag JOIN topP$tag USING (vec_id))"""
+      s"""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        qid AS (SELECT max(vec_id) AS q_id FROM embeddings),
+        cents AS (SELECT vec_id AS c, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 8),
+        pl AS (SELECT m.vec_id,
+            list_transform(generate_series(1, len(c.cv)), i ->
+              c.cv[i] * (1.0 + ((m.vec_id * 7 + i) % 5 + 1) / 1000.0))
+            AS v
+          FROM embeddings m JOIN cents c ON m.vec_id % 8 = c.c),
+        ${armSql("N", "e2")},
+        ${armSql("P", "pl")}
+        SELECT 'clustered' AS fixture, CAST(10 AS BIGINT) AS k,
+          n_overlap,
+          CAST((1000000 * n_overlap) // 10 AS BIGINT) AS agree_ppm
+        FROM ovP
+        UNION ALL
+        SELECT 'noise', CAST(10 AS BIGINT), n_overlap,
+          CAST((1000000 * n_overlap) // 10 AS BIGINT)
+        FROM ovN
+        ORDER BY fixture"""
+    },
+    doc = "[NS] pruning dial endpoints: planted-cluster fixture (100% agreement) beside the noise fixture (20%) on the same stored BQ machinery")
+
+  /** [NS] — guard-railed BQ serving (q365):
+    * [[graft.operators.BqIndex.serveAudited]] — the escalation policy
+    * q358 demanded: the serve runs the pruning audit over a 3-query
+    * sample ONCE (verdict cached in the index dir), and serves the
+    * bucket-pruned plan only when measured agreement ≥ 90%. On THIS
+    * fixture (near-random embeddings — the q358/q364 noise regime) the
+    * audit reads far below the bar, so the guarded serve FALLS BACK to
+    * the full Hamming scan: the oracle is q327's full-scan SQL, and a
+    * green hash certifies the fallback fired — a user who switches
+    * q327 → the guarded pruned path on unstructured embeddings gets
+    * the right answers and a recorded verdict, never a silent 20%. */
+  val q365BqGuardedServe = Q(
+    "q365_bq_guarded_serve",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val dir = graft.operators.TextIndex.defaultDir(s"bq_$d")
+      graft.operators.BqIndex.buildIfAbsent(s, dir, e, "vec_id",
+        "embedding", tag = d)
+      val qid = e.agg(max($"vec_id")).collect()(0).getLong(0)
+      val auditIds = e.orderBy($"vec_id".asc).limit(3)
+        .select($"vec_id").as[Long].collect().toSeq
+      graft.operators.BqIndex.serveAudited(s, dir, e, "vec_id",
+        "embedding", queryId = qid, bits = 8, shortlist = 32, k = 10,
+        minAgreePpm = 900000L, auditIds = auditIds)
+    },
+    q327BqIndexServe.oracle,
+    doc = "[NS] guarded BQ serving: audited fallback to the full scan on the low-agreement regime (hash == the full-scan oracle)")
+
   /** [NS] — incremental BQ index maintenance (q329): build the code
     * table on 90% of the corpus (vec_id % 10 ≠ 0), fold the held-out
     * 10% in with [[graft.operators.BqIndex.appendIfAbsent]] (ledgered
@@ -2204,5 +2345,6 @@ object EmbeddingQueries {
     q256LabelNoise, q258Int8Recall, q259AnnRecall, q268AnnRemove,
     q288IndexStaleness, q294Distortion, q303BitextMining,
     q332BitextServed, q355MultiProbeAnn, q356MultiProbeRecall,
-    q357BqMultiProbeServe, q358BqPruneAudit)
+    q357BqMultiProbeServe, q358BqPruneAudit, q364BqPruneRegimes,
+    q365BqGuardedServe)
 }

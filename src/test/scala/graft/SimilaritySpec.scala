@@ -562,6 +562,76 @@ class SimilaritySpec extends AnyFunSuite {
     assert(codeSet(dir) === afterRemove, "re-removal must be a no-op")
   }
 
+  test("BqIndex.serveAudited: the audit verdict gates the plan — on a " +
+      "prefix-hostile fixture the serve FALLS BACK to the full scan " +
+      "(returning the true neighbor the pruned path cannot reach), on " +
+      "a shared-prefix fixture it takes the pruned path; the verdict " +
+      "is cached once per config") {
+    import spark.implicits._
+    import graft.operators.BqIndex
+    def vec(f: Int => Float) = Array.tabulate(64)(f)
+    def tmp(t: String) =
+      java.nio.file.Files.createTempDirectory(t).toString
+
+    // hostile: the true neighbor A flips TWO prefix signs (bucket
+    // Hamming 2 — unreachable by 1-flip probes), the reachable decoys
+    // are strictly worse: C flips 3 signs total (1 in the prefix),
+    // B shares the prefix but flips the whole upper half
+    val q = (10L, vec(_ => 1f))
+    val a = (2L, vec(i => if (i <= 1) -0.01f else 1f))        // hd 2
+    val b = (3L, vec(i => if (i >= 32) -1f else 1f))          // hd 32
+    val c = (4L, vec(i => if (i == 0 || i == 40 || i == 41) -1f else 1f)) // hd 3
+    val hostile = Seq(q, a, b, c).toDF("vec_id", "embedding")
+    val hDir = tmp("bq_hostile")
+    BqIndex.build(spark, hDir, hostile, "vec_id", "embedding")
+    val full = BqIndex.serve(spark, hDir, hostile, "vec_id",
+      "embedding", queryId = 10L, shortlist = 1, k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = BqIndex.serveMultiProbe(spark, hDir, hostile,
+      "vec_id", "embedding", queryId = 10L, bits = 8, shortlist = 1,
+      k = 1).collect().map(_.getLong(0)).toSeq
+    assert(full === Seq(2L) && pruned === Seq(4L),
+      "fixture must make the pruned path actually wrong")
+    val audited = BqIndex.serveAudited(spark, hDir, hostile, "vec_id",
+      "embedding", queryId = 10L, bits = 8, shortlist = 1, k = 1,
+      minAgreePpm = 900000L, auditIds = Seq(10L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(audited === Seq(2L),
+      "low measured agreement must fall back to the full scan")
+    val hVerdict = java.nio.file.Files.readString(java.nio.file.Paths
+      .get(hDir, "_prune_audit_b8_s1_k1")).trim.toLong
+    assert(hVerdict === 0L, "the hostile audit verdict is recorded")
+
+    // shared-prefix (clustered regime): every vector keeps the query's
+    // first-8 signs, so pruned candidates == all candidates
+    val good = Seq(
+      (1L, vec(_ => 1f)),
+      (2L, vec(i => if (i == 60) -1f else 1f)),                // hd 1
+      (3L, vec(i => if (i >= 50 && i <= 59) -1f else 1f)))     // hd 10
+      .toDF("vec_id", "embedding")
+    val gDir = tmp("bq_good")
+    BqIndex.build(spark, gDir, good, "vec_id", "embedding")
+    val gAudited = BqIndex.serveAudited(spark, gDir, good, "vec_id",
+      "embedding", queryId = 1L, bits = 8, shortlist = 2, k = 1,
+      minAgreePpm = 900000L, auditIds = Seq(1L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(gAudited === Seq(2L))
+    val gVerdict = java.nio.file.Files.readString(java.nio.file.Paths
+      .get(gDir, "_prune_audit_b8_s2_k1")).trim.toLong
+    assert(gVerdict === 1000000L,
+      "shared-prefix fixture must measure full agreement -> pruned path")
+    // the verdict is READ, not recomputed, on later serves: force it
+    // to 0 and check the serve leaves it untouched (a re-audit would
+    // rewrite it to 1000000)
+    val gPath = java.nio.file.Paths.get(gDir, "_prune_audit_b8_s2_k1")
+    java.nio.file.Files.writeString(gPath, "0")
+    BqIndex.serveAudited(spark, gDir, good, "vec_id",
+      "embedding", queryId = 1L, bits = 8, shortlist = 2, k = 1,
+      minAgreePpm = 900000L, auditIds = Seq(1L)).collect()
+    assert(java.nio.file.Files.readString(gPath).trim === "0",
+      "cached verdict must be read, never recomputed per serve")
+  }
+
   test("topDirection: recovers a planted dominant axis, L1 mass " +
       "bounded by scale, sign pinned by the all-ones start") {
     import spark.implicits._
