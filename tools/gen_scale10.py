@@ -31,6 +31,14 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 SHARDS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 OUT = sys.argv[2] if len(sys.argv) > 2 else "tools/scale10"
+# optional comma-separated table filter (argv[3]) — the 100x decade
+# needs only documents+embeddings (the FLAT stored-serve families),
+# so `python3 tools/gen_scale10.py 100 tools/scale100
+# documents,embeddings` skips the 60M-row lineitem multiplier
+TABLES = (set(sys.argv[3].split(","))
+          if len(sys.argv) > 3
+          else {"documents", "embeddings", "orders", "lineitem",
+                "events"})
 OFF = 1_000_000
 
 con = duckdb.connect()
@@ -47,9 +55,10 @@ for j in range(SHARDS):
           t -> t || '_{j}'), ' ') AS text,
         lang, source, n_chars
       FROM read_parquet('{SRC}/documents.parquet')""")
-con.execute(f"""
-  COPY ({' UNION ALL '.join(doc_parts)})
-  TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
+if "documents" in TABLES:
+    con.execute(f"""
+      COPY ({' UNION ALL '.join(doc_parts)})
+      TO '{OUT}/documents.parquet' (FORMAT PARQUET)""")
 
 # embeddings: signed dim-permutation per shard
 emb_parts = []
@@ -66,9 +75,10 @@ for j in range(SHARDS):
       SELECT vec_id + {j * OFF} AS vec_id,
         [{elems}]::FLOAT[] AS embedding, label
       FROM read_parquet('{SRC}/embeddings.parquet')""")
-con.execute(f"""
-  COPY ({' UNION ALL '.join(emb_parts)})
-  TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
+if "embeddings" in TABLES:
+    con.execute(f"""
+      COPY ({' UNION ALL '.join(emb_parts)})
+      TO '{OUT}/embeddings.parquet' (FORMAT PARQUET)""")
 
 # orders: disjoint key-space copies (custkey offset per shard keeps
 # per-priority distinct-customer density constant -- the KMV families'
@@ -80,9 +90,10 @@ for j in range(SHARDS):
         o_custkey + {j * OFF} AS o_custkey,
         * EXCLUDE (o_orderkey, o_custkey)
       FROM read_parquet('{SRC}/orders.parquet')""")
-con.execute(f"""
-  COPY ({' UNION ALL '.join(ord_parts)})
-  TO '{OUT}/orders.parquet' (FORMAT PARQUET)""")
+if "orders" in TABLES:
+    con.execute(f"""
+      COPY ({' UNION ALL '.join(ord_parts)})
+      TO '{OUT}/orders.parquet' (FORMAT PARQUET)""")
 
 # lineitem: disjoint key-space copies (the ANALYZE/equi-depth family's
 # value distribution is copied verbatim -- rank math sees 10x rows of
@@ -95,9 +106,10 @@ for j in range(SHARDS):
         l_suppkey + {j * OFF} AS l_suppkey,
         * EXCLUDE (l_orderkey, l_partkey, l_suppkey)
       FROM read_parquet('{SRC}/lineitem.parquet')""")
-con.execute(f"""
-  COPY ({' UNION ALL '.join(li_parts)})
-  TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)""")
+if "lineitem" in TABLES:
+    con.execute(f"""
+      COPY ({' UNION ALL '.join(li_parts)})
+      TO '{OUT}/lineitem.parquet' (FORMAT PARQUET)""")
 
 # events: disjoint user populations, timestamps untouched (per-user
 # interval structure bit-preserved for the SCD2/session families)
@@ -108,11 +120,12 @@ for j in range(SHARDS):
         user_id + {j * OFF} AS user_id,
         * EXCLUDE (event_id, user_id)
       FROM read_parquet('{SRC}/events.parquet')""")
-con.execute(f"""
-  COPY ({' UNION ALL '.join(ev_parts)})
-  TO '{OUT}/events.parquet' (FORMAT PARQUET)""")
+if "events" in TABLES:
+    con.execute(f"""
+      COPY ({' UNION ALL '.join(ev_parts)})
+      TO '{OUT}/events.parquet' (FORMAT PARQUET)""")
 
-for t in ("documents", "embeddings", "orders", "lineitem", "events"):
+for t in sorted(TABLES):
     n = con.execute(
         f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')"
     ).fetchone()[0]
