@@ -173,17 +173,36 @@ object BqIndex {
     * automatically. */
   def serveMultiProbe(spark: SparkSession, dir: String,
       floats: DataFrame, idCol: String, vecCol: String, queryId: Long,
-      bits: Int, shortlist: Int, k: Int): DataFrame = {
+      bits: Int, shortlist: Int, k: Int, flips: Int = 1): DataFrame = {
     require(bits >= 1 && bits <= 32, s"bits must be in [1,32]: $bits")
+    require(flips == 1 || flips == 2,
+      s"flips must be 1 or 2 (the measured escalation rungs): $flips")
     val mask = (1L << bits) - 1
     val c = codes(spark, dir)
     val qc = c.filter(col("vec_id") === queryId)
       .select(col("bq_lo").as("q_lo"), col("bq_hi").as("q_hi"))
-    val probes = qc.select(col("q_lo"), col("q_hi"), explode(expr(
+    // probe set = every prefix pattern within Hamming ≤ `flips` of the
+    // query's — the escalation dial: flips=1 probes (bits+1)/2^bits of
+    // the table in expectation, flips=2 adds the C(bits,2) pair-flip
+    // buckets (q367 measures what each rung buys in agreement)
+    val flip1 =
       s"transform(sequence(0, $bits), j -> CASE WHEN j = 0 " +
         s"THEN q_lo & $mask " +
         s"ELSE (q_lo & $mask) ^ shiftleft(cast(1 as bigint), j - 1) " +
-        "END)")).as("_bkt"))
+        "END)"
+    // pair index p encodes (j1, j2) = (p div bits, p mod bits), kept
+    // when j1 < j2 — avoids a nested sequence whose inner range would
+    // run DESCENDING at the boundary (Spark's sequence(a, b) with
+    // a > b counts down, not empty)
+    val flip2 =
+      s"transform(filter(sequence(0, ${bits * bits - 1}), " +
+        s"p -> p div $bits < p % $bits), " +
+        s"p -> (q_lo & $mask) " +
+        s"^ shiftleft(cast(1 as bigint), p div $bits) " +
+        s"^ shiftleft(cast(1 as bigint), p % $bits))"
+    val probeArr = if (flips >= 2) s"concat($flip1, $flip2)" else flip1
+    val probes = qc.select(col("q_lo"), col("q_hi"),
+      explode(expr(probeArr)).as("_bkt"))
     val short = c.withColumn("_bkt", expr(s"bq_lo & $mask"))
       .join(broadcast(probes), Seq("_bkt"))
       .filter(col("vec_id") =!= queryId)
@@ -217,20 +236,24 @@ object BqIndex {
     * tolerance, keep the full scan or widen the probe set. */
   def auditPruning(spark: SparkSession, dir: String, floats: DataFrame,
       idCol: String, vecCol: String, queryIds: Seq[Long], bits: Int,
-      shortlist: Int, k: Int): Seq[(Long, Long, Long)] = {
+      shortlist: Int, k: Int,
+      flips: Int = 1): Seq[(Long, Long, Long)] = {
     require(queryIds.nonEmpty, "auditPruning: empty query sample")
     queryIds.map { qid =>
       val full = serve(spark, dir, floats, idCol, vecCol, qid,
         shortlist, k).select(col("vec_id"))
       val pruned = serveMultiProbe(spark, dir, floats, idCol, vecCol,
-        qid, bits, shortlist, k).select(col("vec_id"))
+        qid, bits, shortlist, k, flips).select(col("vec_id"))
       val n = full.join(pruned, Seq("vec_id"), "left_semi").count()
       (qid, n, 1000000L * n / k)
     }
   }
 
-  private def auditPath(dir: String, bits: Int, shortlist: Int, k: Int) =
-    java.nio.file.Paths.get(dir, s"_prune_audit_b${bits}_s${shortlist}_k$k")
+  private def auditPath(dir: String, bits: Int, shortlist: Int, k: Int,
+      flips: Int) =
+    java.nio.file.Paths.get(dir,
+      if (flips == 1) s"_prune_audit_b${bits}_s${shortlist}_k$k"
+      else s"_prune_audit_b${bits}_f${flips}_s${shortlist}_k$k")
 
   /** Guard-railed serving — the escalation policy the pruning dial
     * needs: runs [[auditPruning]] over `auditIds` ONCE per
@@ -251,20 +274,27 @@ object BqIndex {
       shortlist: Int, k: Int, minAgreePpm: Long,
       auditIds: Seq[Long]): DataFrame = {
     import java.nio.file.Files
-    val p = auditPath(dir, bits, shortlist, k)
-    val ppm: Long =
+    def verdict(flips: Int): Long = {
+      val p = auditPath(dir, bits, shortlist, k, flips)
       if (Files.exists(p)) Files.readString(p).trim.toLong
       else {
         val rows = auditPruning(spark, dir, floats, idCol, vecCol,
-          auditIds, bits, shortlist, k)
+          auditIds, bits, shortlist, k, flips)
         val mean = rows.map(_._3).sum / rows.size
         TextIndex.writeLedger(p, Set(mean.toString))
         mean
       }
-    if (ppm >= minAgreePpm)
-      serveMultiProbe(spark, dir, floats, idCol, vecCol, queryId, bits,
-        shortlist, k)
-    else
-      serve(spark, dir, floats, idCol, vecCol, queryId, shortlist, k)
+    }
+    // escalation ladder: cheapest rung that MEASURES above the bar
+    // wins; rung 2 is audited only if rung 1 fails (lazily — a corpus
+    // whose 1-flip agreement passes never pays the wider audit), and
+    // the full scan is the always-correct floor
+    Seq(1, 2).find(f => verdict(f) >= minAgreePpm) match {
+      case Some(f) =>
+        serveMultiProbe(spark, dir, floats, idCol, vecCol, queryId,
+          bits, shortlist, k, f)
+      case None =>
+        serve(spark, dir, floats, idCol, vecCol, queryId, shortlist, k)
+    }
   }
 }

@@ -2025,15 +2025,17 @@ object EmbeddingQueries {
 
   /** [NS] — guard-railed BQ serving (q365):
     * [[graft.operators.BqIndex.serveAudited]] — the escalation policy
-    * q358 demanded: the serve runs the pruning audit over a 3-query
-    * sample ONCE (verdict cached in the index dir), and serves the
-    * bucket-pruned plan only when measured agreement ≥ 90%. On THIS
-    * fixture (near-random embeddings — the q358/q364 noise regime) the
-    * audit reads far below the bar, so the guarded serve FALLS BACK to
-    * the full Hamming scan: the oracle is q327's full-scan SQL, and a
-    * green hash certifies the fallback fired — a user who switches
-    * q327 → the guarded pruned path on unstructured embeddings gets
-    * the right answers and a recorded verdict, never a silent 20%. */
+    * q358 demanded: the serve audits each probe rung over a 3-query
+    * sample ONCE (verdicts cached in the index dir, rung 2 audited
+    * lazily only when rung 1 fails), takes the cheapest rung whose
+    * measured agreement ≥ 90%, and falls back to the full Hamming
+    * scan when none passes. On THIS fixture (near-random embeddings —
+    * the q358/q364 noise regime) BOTH rungs read far below the bar
+    * (q367 measures them at 20%/50%), so the guarded serve lands on
+    * the full scan: the oracle is q327's full-scan SQL, and a green
+    * hash certifies the floor fired — a user who switches q327 → the
+    * guarded pruned path on unstructured embeddings gets the right
+    * answers and recorded verdicts, never a silent 20%. */
   val q365BqGuardedServe = Q(
     "q365_bq_guarded_serve",
     (s, d) => {
@@ -2051,6 +2053,88 @@ object EmbeddingQueries {
     },
     q327BqIndexServe.oracle,
     doc = "[NS] guarded BQ serving: audited fallback to the full scan on the low-agreement regime (hash == the full-scan oracle)")
+
+  /** [NS] — the probe-escalation dial, measured (q367): what each
+    * rung of [[graft.operators.BqIndex.serveAudited]]'s ladder BUYS on
+    * the hard (noise) regime — top-10 agreement with the full scan at
+    * flips = 1 (9/256 of the table probed) and flips = 2 (+28
+    * pair-flip buckets, 37/256). The q356 probe-count/recall trade
+    * (Lv et al. 2007) at the stored tier: more probes buy agreement
+    * at a measured price, and the audit tells you when the rung is
+    * enough — or (as here, on near-random codes) when only the full
+    * scan is. Output: (flips, k, n_overlap, agree_ppm). */
+  val q367BqProbeEscalation = Q(
+    "q367_bq_probe_escalation",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val dir = graft.operators.TextIndex.defaultDir(s"bq_$d")
+      graft.operators.BqIndex.buildIfAbsent(s, dir, e, "vec_id",
+        "embedding", tag = d)
+      val qid = e.agg(max($"vec_id")).collect()(0).getLong(0)
+      val full = graft.operators.BqIndex.serve(s, dir, e, "vec_id",
+        "embedding", queryId = qid, shortlist = 32, k = 10)
+      def arm(flips: Int) = {
+        val pruned = graft.operators.BqIndex.serveMultiProbe(s, dir,
+          e, "vec_id", "embedding", queryId = qid, bits = 8,
+          shortlist = 32, k = 10, flips = flips)
+        full.select($"vec_id")
+          .join(pruned.select($"vec_id"), Seq("vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit(flips.toLong).as("flips"), lit(10L).as("k"),
+            $"n_overlap",
+            expr("(1000000 * n_overlap) div 10").as("agree_ppm"))
+      }
+      arm(1).unionByName(arm(2)).orderBy($"flips")
+    },
+    Some {
+      def maskSql(off: Int) =
+        s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(0, 31), i ->
+            CASE WHEN v[i + $off + 1] >= 0 THEN (1::BIGINT << i)
+              ELSE 0::BIGINT END)), (a, x) -> a + x)"""
+      def armSql(f: Int) =
+        s"""short$f AS (SELECT vec_id FROM codes, qc, qid
+          WHERE vec_id <> q_id
+            AND bit_count(xor(bq_lo & 255, q_lo & 255)) <= $f
+          ORDER BY bit_count(xor(bq_lo, q_lo)) +
+            bit_count(xor(bq_hi, q_hi)) ASC, vec_id ASC LIMIT 32),
+        top$f AS (SELECT e2.vec_id,
+            round(${cosSql("v", "qv")}, 6) AS cos
+          FROM short$f JOIN e2 USING (vec_id), q2
+          ORDER BY cos DESC, vec_id ASC LIMIT 10),
+        ov$f AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+          FROM topF JOIN top$f USING (vec_id))"""
+      s"""WITH e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings),
+        qid AS (SELECT max(vec_id) AS q_id FROM embeddings),
+        q2 AS (SELECT v AS qv FROM e2, qid WHERE vec_id = q_id),
+        codes AS (SELECT vec_id, ${maskSql(0)} AS bq_lo,
+            ${maskSql(32)} AS bq_hi
+          FROM e2 WHERE len(v) = 64),
+        qc AS (SELECT bq_lo AS q_lo, bq_hi AS q_hi FROM codes, qid
+          WHERE vec_id = q_id),
+        shortF AS (SELECT vec_id FROM codes, qc, qid
+          WHERE vec_id <> q_id
+          ORDER BY bit_count(xor(bq_lo, q_lo)) +
+            bit_count(xor(bq_hi, q_hi)) ASC, vec_id ASC LIMIT 32),
+        topF AS (SELECT e2.vec_id,
+            round(${cosSql("v", "qv")}, 6) AS cos
+          FROM shortF JOIN e2 USING (vec_id), q2
+          ORDER BY cos DESC, vec_id ASC LIMIT 10),
+        ${armSql(1)},
+        ${armSql(2)}
+        SELECT CAST(1 AS BIGINT) AS flips, CAST(10 AS BIGINT) AS k,
+          n_overlap,
+          CAST((1000000 * n_overlap) // 10 AS BIGINT) AS agree_ppm
+        FROM ov1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(10 AS BIGINT), n_overlap,
+          CAST((1000000 * n_overlap) // 10 AS BIGINT)
+        FROM ov2
+        ORDER BY flips"""
+    },
+    doc = "[NS] probe-escalation dial: agreement bought per rung (flips=1 vs flips=2) on the noise regime, vs the full scan")
 
   /** [NS] — incremental BQ index maintenance (q329): build the code
     * table on 90% of the corpus (vec_id % 10 ≠ 0), fold the held-out
@@ -2346,5 +2430,5 @@ object EmbeddingQueries {
     q288IndexStaleness, q294Distortion, q303BitextMining,
     q332BitextServed, q355MultiProbeAnn, q356MultiProbeRecall,
     q357BqMultiProbeServe, q358BqPruneAudit, q364BqPruneRegimes,
-    q365BqGuardedServe)
+    q365BqGuardedServe, q367BqProbeEscalation)
 }

@@ -2036,6 +2036,33 @@ object EventQueries {
       FROM m ORDER BY lang"""),
     doc = "[NS] RTBF-orchestrated moments purge: one purgeDocs call removes a cohort's statistics (forget == remaining-only rebuild, served)")
 
+  /** [NS] — the shape-drift profile served from STORED state (q366):
+    * [[graft.operators.MomentsState.serveProfile]] — q362's monitor
+    * readout (Δmean, variance ratio, kurtosis gap, verdict) derived
+    * ENTIRELY from the persisted power sums: the per-group side is the
+    * q360 serve, and the GLOBAL side is the column sums of the same
+    * state (power sums are additive — no global fold is ever stored,
+    * no fact row is ever read). The oracle is q362's full from-scratch
+    * SQL verbatim: a green row proves the stored monitor closes its
+    * own loop — fold the stream, forget the purged, read the drift
+    * profile, all from |groups| rows of state. */
+  val q366MomentsProfileServed = Q(
+    "q366_moments_profile_served",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).filter($"value".isNotNull)
+        .withColumn("v_i", round($"value").cast("long"))
+      val dir = graft.operators.MomentsState.defaultDir(d + "#momp")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#momp-v1") {
+        graft.operators.MomentsState.build(ev, "event_type", "v_i",
+          dir)
+      }
+      graft.operators.MomentsState.serveProfile(s, dir, "event_type")
+        .orderBy($"event_type")
+    },
+    q362MomentsDrift.oracle,
+    doc = "[NS] shape-drift profile served from stored power sums only (global = column sums of the state; q362's oracle verbatim)")
+
   /** [NS] — Markov removal-effect attribution (q314):
     * [[graft.operators.Analytics.markovAttribution]] with the four
     * touch channels and purchase as conversion, 6 recurrence rounds —
@@ -2294,7 +2321,7 @@ object EventQueries {
     q300SessionGapLadder, q304BradleyTerry, q305KsDrift,
     q314MarkovAttribution, q318MannWhitney, q321KmSurvival,
     q322LogRank, q359MomentsExact, q360MomentsMerge, q361MomentsForget,
-    q362MomentsDrift, q363RtbfMoments,
+    q362MomentsDrift, q363RtbfMoments, q366MomentsProfileServed,
     q18WindowLag, q19Sessionize, q20TumblingWindow, q21AsofJoin,
     q64RangeJoin, q77Funnel, q79CohortRetention, q80Scd2Islands,
     q153Scd2Apply,

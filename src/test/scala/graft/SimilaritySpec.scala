@@ -562,45 +562,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(codeSet(dir) === afterRemove, "re-removal must be a no-op")
   }
 
-  test("BqIndex.serveAudited: the audit verdict gates the plan — on a " +
-      "prefix-hostile fixture the serve FALLS BACK to the full scan " +
-      "(returning the true neighbor the pruned path cannot reach), on " +
-      "a shared-prefix fixture it takes the pruned path; the verdict " +
-      "is cached once per config") {
+  test("BqIndex.serveAudited: the audit ladder picks the cheapest " +
+      "rung that measures above the bar — 1-flip on shared-prefix " +
+      "data, ESCALATION to 2-flip when the true neighbor sits two " +
+      "prefix flips away, the full scan when even that can't reach " +
+      "it; verdicts cached lazily per rung") {
     import spark.implicits._
     import graft.operators.BqIndex
     def vec(f: Int => Float) = Array.tabulate(64)(f)
     def tmp(t: String) =
       java.nio.file.Files.createTempDirectory(t).toString
+    def verdictOf(dir: String, name: String): Long =
+      java.nio.file.Files.readString(java.nio.file.Paths
+        .get(dir, name)).trim.toLong
 
-    // hostile: the true neighbor A flips TWO prefix signs (bucket
-    // Hamming 2 — unreachable by 1-flip probes), the reachable decoys
-    // are strictly worse: C flips 3 signs total (1 in the prefix),
-    // B shares the prefix but flips the whole upper half
+    // RUNG-2 regime: the true neighbor A flips TWO prefix signs
+    // (unreachable by 1-flip probes, reachable by 2-flip), the
+    // reachable-decoys are strictly worse: C flips 3 signs total
+    // (1 in the prefix), B shares the prefix but flips the upper half
     val q = (10L, vec(_ => 1f))
-    val a = (2L, vec(i => if (i <= 1) -0.01f else 1f))        // hd 2
+    val a2 = (2L, vec(i => if (i <= 1) -0.01f else 1f))       // hd 2
     val b = (3L, vec(i => if (i >= 32) -1f else 1f))          // hd 32
     val c = (4L, vec(i => if (i == 0 || i == 40 || i == 41) -1f else 1f)) // hd 3
-    val hostile = Seq(q, a, b, c).toDF("vec_id", "embedding")
-    val hDir = tmp("bq_hostile")
-    BqIndex.build(spark, hDir, hostile, "vec_id", "embedding")
-    val full = BqIndex.serve(spark, hDir, hostile, "vec_id",
+    val esc = Seq(q, a2, b, c).toDF("vec_id", "embedding")
+    val eDir = tmp("bq_escal")
+    BqIndex.build(spark, eDir, esc, "vec_id", "embedding")
+    val full = BqIndex.serve(spark, eDir, esc, "vec_id",
       "embedding", queryId = 10L, shortlist = 1, k = 1)
       .collect().map(_.getLong(0)).toSeq
-    val pruned = BqIndex.serveMultiProbe(spark, hDir, hostile,
+    val pruned1 = BqIndex.serveMultiProbe(spark, eDir, esc,
       "vec_id", "embedding", queryId = 10L, bits = 8, shortlist = 1,
       k = 1).collect().map(_.getLong(0)).toSeq
-    assert(full === Seq(2L) && pruned === Seq(4L),
-      "fixture must make the pruned path actually wrong")
+    assert(full === Seq(2L) && pruned1 === Seq(4L),
+      "fixture must make the 1-flip path actually wrong")
+    val escServed = BqIndex.serveAudited(spark, eDir, esc, "vec_id",
+      "embedding", queryId = 10L, bits = 8, shortlist = 1, k = 1,
+      minAgreePpm = 900000L, auditIds = Seq(10L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(escServed === Seq(2L),
+      "rung-2 escalation must recover the true neighbor")
+    assert(verdictOf(eDir, "_prune_audit_b8_s1_k1") === 0L,
+      "rung-1 verdict recorded as failing")
+    assert(verdictOf(eDir, "_prune_audit_b8_f2_s1_k1") === 1000000L,
+      "rung-2 verdict recorded as passing — the serve took that rung")
+
+    // FULL-FALLBACK regime: A flips THREE prefix signs — no rung
+    // reaches it, only the full scan returns the true neighbor
+    val a3 = (2L, vec(i => if (i <= 2) -0.01f else 1f))       // hd 3
+    val c4 = (4L, vec(i =>
+      if (i == 0 || i == 40 || i == 41 || i == 42) -1f else 1f)) // hd 4
+    val hostile = Seq(q, a3, b, c4).toDF("vec_id", "embedding")
+    val hDir = tmp("bq_hostile")
+    BqIndex.build(spark, hDir, hostile, "vec_id", "embedding")
     val audited = BqIndex.serveAudited(spark, hDir, hostile, "vec_id",
       "embedding", queryId = 10L, bits = 8, shortlist = 1, k = 1,
       minAgreePpm = 900000L, auditIds = Seq(10L))
       .collect().map(_.getLong(0)).toSeq
     assert(audited === Seq(2L),
-      "low measured agreement must fall back to the full scan")
-    val hVerdict = java.nio.file.Files.readString(java.nio.file.Paths
-      .get(hDir, "_prune_audit_b8_s1_k1")).trim.toLong
-    assert(hVerdict === 0L, "the hostile audit verdict is recorded")
+      "both rungs below the bar must fall back to the full scan")
+    assert(verdictOf(hDir, "_prune_audit_b8_s1_k1") === 0L &&
+      verdictOf(hDir, "_prune_audit_b8_f2_s1_k1") === 0L,
+      "both failing verdicts recorded")
 
     // shared-prefix (clustered regime): every vector keeps the query's
     // first-8 signs, so pruned candidates == all candidates
@@ -616,10 +638,11 @@ class SimilaritySpec extends AnyFunSuite {
       minAgreePpm = 900000L, auditIds = Seq(1L))
       .collect().map(_.getLong(0)).toSeq
     assert(gAudited === Seq(2L))
-    val gVerdict = java.nio.file.Files.readString(java.nio.file.Paths
-      .get(gDir, "_prune_audit_b8_s2_k1")).trim.toLong
-    assert(gVerdict === 1000000L,
-      "shared-prefix fixture must measure full agreement -> pruned path")
+    assert(verdictOf(gDir, "_prune_audit_b8_s2_k1") === 1000000L,
+      "shared-prefix fixture must measure full agreement -> rung 1")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths
+      .get(gDir, "_prune_audit_b8_f2_s2_k1")),
+      "rung 2 must never be audited when rung 1 passes (lazy ladder)")
     // the verdict is READ, not recomputed, on later serves: force it
     // to 0 and check the serve leaves it untouched (a re-audit would
     // rewrite it to 1000000)
