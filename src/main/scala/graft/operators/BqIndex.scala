@@ -38,6 +38,17 @@ object BqIndex {
     // (AnnIndex.build's convention)
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(ledgerPath(dir)))
+    dropAuditVerdicts(dir)
+  }
+
+  /** Cached [[serveAudited]] verdicts describe the audited index
+    * CONTENTS — every mutation of the code table drops them, so the
+    * next guarded serve re-audits instead of trusting a stale number
+    * (the model-card-staleness failure, closed structurally). */
+  private def dropAuditVerdicts(dir: String): Unit = {
+    val fs = new java.io.File(dir).listFiles()
+    if (fs != null) fs.filter(_.getName.startsWith("_prune_audit_"))
+      .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
   }
 
   /** [[build]] unless a fingerprint-matching index already exists. */
@@ -57,10 +68,12 @@ object BqIndex {
     * 64 dims structurally). Caller guarantees delta ids are disjoint
     * from the stored ones (same as every append-only fold). */
   def appendBatch(spark: SparkSession, dir: String, delta: DataFrame,
-      idCol: String, vecCol: String): Unit =
+      idCol: String, vecCol: String): Unit = {
     Similarity.binaryQuantize(delta, idCol, vecCol)
       .withColumnRenamed(idCol, "vec_id")
       .write.mode("append").parquet(codesPath(dir))
+    dropAuditVerdicts(dir)
+  }
 
   /** [[appendBatch]] exactly once per `batchTag` — the replay-safe
     * ledgered fold ([[AnnIndex.appendIfAbsent]]'s convention): bench
@@ -106,6 +119,7 @@ object BqIndex {
         Seq("vec_id"), "left_anti")
       .localCheckpoint(true) // materialize before overwriting the source
     keep.write.mode("overwrite").parquet(codesPath(dir))
+    dropAuditVerdicts(dir)
   }
 
   /** The stored code table. */
@@ -255,20 +269,23 @@ object BqIndex {
       if (flips == 1) s"_prune_audit_b${bits}_s${shortlist}_k$k"
       else s"_prune_audit_b${bits}_f${flips}_s${shortlist}_k$k")
 
-  /** Guard-railed serving — the escalation policy the pruning dial
-    * needs: runs [[auditPruning]] over `auditIds` ONCE per
-    * (bits, shortlist, k) config (the verdict is cached in the index
-    * dir with the atomic-write ledger idiom; bench repeats and
-    * concurrent servers read the recorded number), then serves the
-    * bucket-pruned plan only when the measured mean agreement ≥
-    * `minAgreePpm` — otherwise falls back to the full-scan [[serve]].
-    * A user who flips q327 to the pruned path on prefix-unstructured
-    * embeddings therefore gets the RIGHT answers plus a recorded
-    * verdict, never a silent 20% (q365 certifies the fallback against
-    * the full-scan oracle; SimilaritySpec pins both branches). The
-    * cached verdict describes the audited index CONTENTS — delete the
-    * `_prune_audit_*` file after a material append/remove to re-audit
-    * (same staleness contract as any offline model card). */
+  /** Guard-railed serving — the escalation LADDER the pruning dial
+    * needs: audit the 1-flip rung over `auditIds` ONCE per
+    * (bits, shortlist, k) config, escalate to the 2-flip rung only if
+    * it fails (lazily — a corpus whose cheap rung passes never pays
+    * the wider audit; q367 prices both rungs), serve the cheapest rung
+    * whose measured mean agreement ≥ `minAgreePpm`, and fall back to
+    * the always-correct full-scan [[serve]] when none passes. One
+    * verdict file per rung, cached in the index dir with the
+    * atomic-write ledger idiom (bench repeats and concurrent servers
+    * read the recorded numbers). A user who flips q327 to the pruned
+    * path on prefix-unstructured embeddings therefore gets the RIGHT
+    * answers plus recorded verdicts, never a silent 20% (q365
+    * certifies the floor against the full-scan oracle; SimilaritySpec
+    * pins all three regimes). The cached verdicts describe the
+    * audited index CONTENTS, and every build/append/remove DROPS them
+    * automatically — a mutated index re-audits on its next guarded
+    * serve instead of trusting a stale number. */
   def serveAudited(spark: SparkSession, dir: String, floats: DataFrame,
       idCol: String, vecCol: String, queryId: Long, bits: Int,
       shortlist: Int, k: Int, minAgreePpm: Long,

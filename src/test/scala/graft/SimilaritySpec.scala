@@ -653,6 +653,13 @@ class SimilaritySpec extends AnyFunSuite {
       minAgreePpm = 900000L, auditIds = Seq(1L)).collect()
     assert(java.nio.file.Files.readString(gPath).trim === "0",
       "cached verdict must be read, never recomputed per serve")
+    // ...until the index CONTENTS change: any mutation drops the
+    // cached verdicts, so the next guarded serve re-audits
+    BqIndex.appendBatch(spark, gDir,
+      Seq((9L, vec(_ => 1f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(!java.nio.file.Files.exists(gPath),
+      "an index mutation must drop the cached audit verdicts")
   }
 
   test("topDirection: recovers a planted dominant axis, L1 mass " +
