@@ -106,10 +106,11 @@ object AggView {
     * at-least-once delivery. Usage:
     * `.writeStream.foreachBatch(AggView.foreachBatchCdc(...))`. */
   def foreachBatchCdc(spark: SparkSession, keyCols: Seq[String],
-      valueScaled: Column, opCol: String,
-      dir: String): (DataFrame, Long) => Unit =
+      valueScaled: Column, opCol: String, dir: String,
+      streamTag: String = ""): (DataFrame, Long) => Unit =
     (batch, epoch) =>
-      mergeCdc(spark, batch, keyCols, valueScaled, opCol, dir, epoch)
+      mergeCdc(spark, batch, keyCols, valueScaled, opCol, dir, epoch,
+        streamTag)
 
   /** Read the current generation — the serving plan is a bare scan of
     * pre-aggregated state (group-key predicates push to the files the

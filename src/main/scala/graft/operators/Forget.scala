@@ -93,6 +93,15 @@ object Forget {
     * know-every-entry-point failure this object exists to kill. */
   final case class MomentsTarget(dir: String, keyCol: String,
       valCol: String) extends Target { val name = "moments" }
+  /** Stored co-occurrence recommender at `dir` ([[RecModel]]): the
+    * forgotten USERS' trained interactions subtract their pair counts
+    * exactly (the cap is user-local, so counts are additive over
+    * disjoint user sets) and their anchor rows anti-join out — without
+    * this the model keeps recommending FROM purged users' tastes. The
+    * forgotten frame must carry `userCol` and `itemCol` (the users'
+    * ORIGINAL trained interaction rows — the subset contract). */
+  final case class RecTarget(dir: String, userCol: String,
+      itemCol: String, capM: Int) extends Target { val name = "rec_model" }
 
   /** Purge the `forgotten` docs from every target. `forgotten` must be
     * the docs' ORIGINAL rows (id + text + carry columns) — the count
@@ -135,6 +144,9 @@ object Forget {
           "_op", dir, epoch, fenceTag)
       case MomentsTarget(dir, kc, vc) =>
         MomentsState.removeBatch(spark, f, kc, vc, dir, epoch,
+          fenceTag)
+      case RecTarget(dir, uc, ic, capM) =>
+        RecModel.removeBatch(spark, f, uc, ic, capM, 1L, dir, epoch,
           fenceTag)
     }
   }
@@ -235,5 +247,24 @@ object Forget {
         row(spark, "moments", MomentsState.storedSums(spark, dir),
           sum(col("n")),
           "concat_ws(':', _k, n, s1, s2, s3, s4)")
+      case RecTarget(dir, uc, _, _) =>
+        // sims rows / Σn_users / xor over the full sims rows UNION the
+        // anchor rows — both stored relations certified in one digest,
+        // so neither a bad count subtraction nor a surviving anchor
+        // can hide
+        val sims = spark.read.parquet(RecModel.simsPath(dir))
+        val anchors = spark.read.parquet(RecModel.anchorsPath(dir))
+        val keyed = sims
+          .select(expr("concat_ws(':', 's', anchor, nb, n_users)")
+            .as("_key"))
+          .unionByName(anchors.select(
+            expr(s"concat_ws(':', 'a', $uc, anchor)").as("_key")))
+        sims.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("n_users")), lit(0L)).cast("long")
+              .as("mass"))
+          .crossJoin(broadcast(keyed.agg(
+            coalesce(expr(xor60("_key")), lit(0L)).as("key_xor"))))
+          .select(lit("rec_model").as("artifact"), col("n_rows"),
+            col("mass"), col("key_xor"))
     }.reduce(_.unionByName(_))
 }

@@ -134,9 +134,10 @@ object LineIndex {
     * batchId as the epoch, so checkpoint-replayed deliveries are
     * no-ops (the [[RecModel.foreachBatchMerge]] protocol). */
   def foreachBatchMerge(spark: SparkSession, dir: String, idCol: String,
-      textCol: String): (DataFrame, Long) => Unit =
+      textCol: String, streamTag: String = ""): (DataFrame, Long) => Unit =
     (batch, batchId) =>
-      mergeBatch(spark, batch, idCol, textCol, dir, epoch = batchId)
+      mergeBatch(spark, batch, idCol, textCol, dir, epoch = batchId,
+        fenceTag = streamTag)
 
   /** Clean `batch` against the STORED line frequencies only — zero
     * archive scans in the plan; unseen lines are kept. */

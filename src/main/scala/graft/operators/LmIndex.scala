@@ -236,8 +236,9 @@ object LmIndex {
     * batchId as the epoch, so checkpoint-replayed deliveries are
     * no-ops ([[LineIndex.foreachBatchMerge]]'s protocol). */
   def foreachBatchMergeTrigram(spark: SparkSession, dir: String,
-      idCol: String, textCol: String): (DataFrame, Long) => Unit =
+      idCol: String, textCol: String,
+      streamTag: String = ""): (DataFrame, Long) => Unit =
     (batch, batchId) =>
       mergeTrigramBatch(spark, batch, idCol, textCol, dir,
-        epoch = batchId)
+        epoch = batchId, fenceTag = streamTag)
 }

@@ -154,11 +154,18 @@ object MomentsState {
   }
 
   /** Streaming fold: exactly-once moment maintenance over
-    * at-least-once delivery (epochId rides the pointer fence). */
+    * at-least-once delivery (epochId rides the pointer fence).
+    * `streamTag` names this WRITER's replay fence — REQUIRED to be
+    * distinct per stream when more than one ingest stream maintains
+    * the same artifact (Spark epochIds are per-checkpoint counters;
+    * see [[TextIndex.fenceOf]]); the default keeps the classic
+    * single-writer shape.
+    */
   def foreachBatchMerge(spark: SparkSession, dir: String,
-      keyCol: String, valCol: String): (DataFrame, Long) => Unit =
+      keyCol: String, valCol: String,
+      streamTag: String = ""): (DataFrame, Long) => Unit =
     (batch, epoch) => mergeBatch(spark, batch, keyCol, valCol, dir,
-      epoch)
+      epoch, streamTag)
 
   /** Derive the [[Analytics.momentsExact]] readout from STORED sums —
     * byte-identical by the D-identities in the object doc, same fixed

@@ -40,8 +40,6 @@ object RecModel {
   private val FormatVersion = 2
 
   private def genDir(dir: String, gen: Long) = s"$dir/gen=$gen"
-  private def pointerPath(dir: String) =
-    java.nio.file.Paths.get(dir, "_current")
   private def metaPath(dir: String) =
     java.nio.file.Paths.get(dir, "_graft_rec_meta.json")
 
@@ -51,30 +49,17 @@ object RecModel {
   private def fingerprint(tag: String): String =
     s"""{"version":$FormatVersion,"model":"$tag"}"""
 
-  /** (generation, lastEpoch) from the pointer file; (-1, -1) if none. */
-  def current(dir: String): (Long, Long) = {
-    val p = pointerPath(dir)
-    if (!java.nio.file.Files.exists(p)) (-1L, -1L)
-    else java.nio.file.Files.readString(p).trim.split(",") match {
-      case Array(g, e) => (g.toLong, e.toLong)
-      case _           => (-1L, -1L)
-    }
-  }
+  /** (generation, lastEpoch) from the pointer file; (-1, -1) if none —
+    * SHARED with [[TextIndex.current]] as of round 10: same `_current`
+    * file and, through the tag overload of advance, the same
+    * per-writer replay fences (an ingest stream and a purge stream on
+    * one model never collide on epoch counters — see
+    * [[TextIndex.fenceOf]]). */
+  def current(dir: String): (Long, Long) = TextIndex.current(dir)
 
-  private def advance(dir: String, gen: Long, epoch: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    Files.createDirectories(Paths.get(dir))
-    val tmp = Paths.get(dir, s"_current.tmp.$gen")
-    Files.writeString(tmp, s"$gen,$epoch")
-    Files.move(tmp, pointerPath(dir),
-      StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    val stale = new java.io.File(dir).listFiles()
-    if (stale != null) stale.filter(f => f.getName.startsWith("gen=") &&
-        f.getName.stripPrefix("gen=").toLong < gen - 1)
-      .foreach(f => scala.reflect.io.Directory(
-        scala.reflect.io.File(f).toDirectory.path).deleteRecursively())
-  }
+  private def advance(dir: String, gen: Long, epoch: Long,
+      fenceTag: String = ""): Unit =
+    TextIndex.advance(dir, gen, epoch, fenceTag)
 
   def simsPath(dir: String): String = {
     val (g, _) = current(dir)
@@ -157,8 +142,9 @@ object RecModel {
     * append. Generation K → K+1 with replay protection. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, userCol: String,
       itemCol: String, capM: Int, minCount: Long, dir: String,
-      epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = current(dir)
+      epoch: Long = -1L, fenceTag: String = ""): Unit = {
+    val (gen, _) = current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0, s"mergeBatch: no model at $dir — build() first")
     // minCount > 1 drops pairs per-half that would survive jointly —
     // additivity (merge ≡ rebuild) holds only for the unfiltered model
@@ -178,7 +164,8 @@ object RecModel {
     val mergedAnchors = sAnchors
       .unionByName(anchorsOf(batch, userCol, itemCol))
     writeGen(mergedSims, mergedAnchors, dir, gen + 1)
-    advance(dir, gen + 1, if (epoch >= 0) epoch else lastEpoch)
+    advance(dir, gen + 1, if (epoch >= 0) epoch else lastEpoch,
+      fenceTag)
   }
 
   /** Right-to-be-forgotten removal: forget USERS from the stored model
@@ -198,8 +185,9 @@ object RecModel {
     * Generation + pointer flip with epoch replay protection. */
   def removeBatch(spark: SparkSession, batch: DataFrame, userCol: String,
       itemCol: String, capM: Int, minCount: Long, dir: String,
-      epoch: Long = -1L): Unit = {
-    val (gen, lastEpoch) = current(dir)
+      epoch: Long = -1L, fenceTag: String = ""): Unit = {
+    val (gen, _) = current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
     require(gen >= 0, s"removeBatch: no model at $dir — build() first")
     require(minCount == 1L,
       s"removeBatch requires minCount=1 (got $minCount): subtraction " +
@@ -224,7 +212,7 @@ object RecModel {
       broadcast(batch.select(col(userCol)).distinct()),
       Seq(userCol), "left_anti")
     writeGen(merged.filter(col("n_users") > 0), newAnchors, dir, gen + 1)
-    advance(dir, gen + 1, epoch.max(lastEpoch))
+    advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
   }
 
   /** foreachBatch adapter: exactly-once model maintenance over
@@ -233,9 +221,11 @@ object RecModel {
     * protocol. Batches must honor the disjoint-user contract (a user's
     * interactions arrive in one batch — sessionized upstream). */
   def foreachBatchMerge(spark: SparkSession, dir: String, userCol: String,
-      itemCol: String, capM: Int): (DataFrame, Long) => Unit =
+      itemCol: String, capM: Int,
+      streamTag: String = ""): (DataFrame, Long) => Unit =
     (batch, epoch) =>
-      mergeBatch(spark, batch, userCol, itemCol, capM, 1L, dir, epoch)
+      mergeBatch(spark, batch, userCol, itemCol, capM, 1L, dir, epoch,
+        streamTag)
 
   /** Stored anchors ⋈ stored sims → per-user top-k recommendations
     * (n_users desc, nb asc — the q201/q244 ranking), as

@@ -299,10 +299,16 @@ object TextIndex {
 
   /** foreachBatch adapter: streamed document batches fold into the index
     * exactly once (the epoch id rides the pointer — see [[mergeBatch]]).
+    * `streamTag` names this WRITER's replay fence — REQUIRED to be
+    * distinct per stream when more than one ingest stream maintains
+    * the same artifact (Spark epochIds are per-checkpoint counters;
+    * see [[TextIndex.fenceOf]]); the default keeps the classic
+    * single-writer shape.
     * Usage: `.writeStream.foreachBatch(TextIndex.foreachBatchMerge(...))`. */
   def foreachBatchMerge(spark: SparkSession, dir: String, idCol: String,
-      textCol: String): (DataFrame, Long) => Unit =
-    (batch, epoch) => mergeBatch(spark, batch, idCol, textCol, dir, epoch)
+      textCol: String, streamTag: String = ""): (DataFrame, Long) => Unit =
+    (batch, epoch) => mergeBatch(spark, batch, idCol, textCol, dir,
+      epoch, streamTag)
 
   /** Decremental maintenance — document DELETION from the stored index,
     * the [[mergeBatch]] inverse and the index half of the

@@ -1076,10 +1076,64 @@ object GraphQueries {
         "AND user_id % 5 <> 0)")),
     doc = "[NS] rec-model forget: pair-count subtraction + anchor purge == remaining-only rebuild")
 
+  /** [NS] — recommender under the RTBF orchestrator (q368): q351's
+    * forget routed through ONE [[graft.operators.Forget.purgeDocs]]
+    * call via the new [[graft.operators.Forget.RecTarget]] — before
+    * this a purged user's TASTES kept shaping every neighbor list
+    * unless the caller knew to invoke RecModel.removeBatch separately
+    * (the know-every-entry-point failure, closed for the model layer
+    * the way q363 closed it for statistics). Build on the full train
+    * split, purge the user_id ≡ 0 (mod 5) cohort's interactions
+    * through the orchestrator (purge epochs on the tagged fence),
+    * serve + MRR-evaluate. Oracle: q351's remaining-users rebuild
+    * verbatim — orchestrated forget ≡ the individual remover ≡ the
+    * remaining-only rebuild. */
+  val q368RtbfRecModel = Q(
+    "q368_rtbf_rec_model",
+    (s, d) => {
+      import s.implicits._
+      val inter = Tables.events(s, d)
+        .withColumn("item", get_json_object($"props", "$.k").cast("long"))
+        .filter($"item".isNotNull)
+      val split = graft.operators.Curation
+        .leaveLastOut(inter, "user_id", "ts", "event_id")
+      val train = split.filter($"split" === "train")
+        .select($"user_id", $"item")
+      val test = split.filter($"split" === "test")
+        .select($"user_id", $"item".as("test_item"))
+      val dir = graft.operators.RecModel.defaultDir(d + "#cooc10o")
+      graft.operators.RecModel.withFingerprint(dir, d + "#cooc10o-v1") {
+        graft.operators.RecModel.build(train, "user_id", "item",
+          10, 1L, dir)
+        graft.operators.Forget.purgeDocs(s,
+          train.filter($"user_id" % 5 === 0), "user_id",
+          Seq(graft.operators.Forget.RecTarget(dir, "user_id", "item",
+            10)),
+          epoch = 0L)
+      }
+      val recs = graft.operators.RecModel.serveTopK(s, dir, "user_id", 10)
+      val anchors = s.read
+        .parquet(graft.operators.RecModel.anchorsPath(dir))
+        .select($"user_id")
+      val evalUsers = test.join(anchors, Seq("user_id"), "left_semi")
+        .localCheckpoint(true)
+      val hitRanks = evalUsers.join(recs, Seq("user_id"))
+        .filter($"test_item" === $"nb")
+        .groupBy($"user_id").agg(min($"rk").as("rank"))
+      evalUsers.agg(count(lit(1)).as("n_eval"))
+        .crossJoin(broadcast(hitRanks.agg(
+          count(lit(1)).as("n_hits"),
+          coalesce(sum(expr("1000000 div rank")), lit(0L)).as("rr_sum"))))
+        .withColumn("mrr_ppm", expr(
+          "case when n_eval > 0 then rr_sum div n_eval end"))
+    },
+    q351RecModelForget.oracle,
+    doc = "[NS] RTBF-orchestrated recommender purge: one purgeDocs call removes a cohort's tastes (forget == remaining-only rebuild, MRR-served)")
+
   val all: Seq[Q] = Seq(q130Pagerank, q131Triangles, q133Textrank,
     q138Kcore, q161BfsLevels, q163HashWalks, q177CoOccurrence,
     q178Trending, q181Ppr, q183NegSamples, q201RecHitRate,
     q225LabelProp, q226LinkPred, q241Hits, q244RecMrr,
     q270ThreadLinearize, q274RecModelServe, q275RecModelMerge,
-    q351RecModelForget)
+    q351RecModelForget, q368RtbfRecModel)
 }

@@ -3,13 +3,13 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-/** Cross-artifact RTBF orchestrator (q350/q363): one purgeDocs call
-  * must equal the individual per-artifact removers row for row
-  * (certificate comparison over EIGHT artifact classes incl. ANN and
-  * the moments state), a replayed epoch must leave every store
-  * untouched, and purge epochs must ride their OWN tagged fence so a
-  * deletion stream never collides with an ingest stream's epoch
-  * counter on the same artifact. */
+/** Cross-artifact RTBF orchestrator (q350/q363/q368): one purgeDocs
+  * call must equal the individual per-artifact removers row for row
+  * (certificate comparison over NINE artifact classes incl. ANN, the
+  * moments state, and the recommender), a replayed epoch must leave
+  * every store untouched, and purge epochs must ride their OWN tagged
+  * fence so a deletion stream never collides with an ingest stream's
+  * epoch counter on the same artifact. */
 class ForgetSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -17,7 +17,7 @@ class ForgetSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(tag).toString
 
   test("purgeDocs composite == the individual removers (certificates " +
-      "identical across 8 artifact classes); replayed epoch is a no-op") {
+      "identical across 9 artifact classes); replayed epoch is a no-op") {
     import spark.implicits._
     import graft.operators._
 
@@ -43,10 +43,10 @@ class ForgetSpec extends AnyFunSuite {
     val ids = gone.select($"doc_id")
 
     def buildAll(): (String, String, String, String, String, String,
-        String, String) = {
-      val (t, dd, tri, ln, imp, bq, ann, mom) = (tmp("f_text"),
+        String, String, String) = {
+      val (t, dd, tri, ln, imp, bq, ann, mom, rec) = (tmp("f_text"),
         tmp("f_dedup"), tmp("f_tri"), tmp("f_line"), tmp("f_imp"),
-        tmp("f_bq"), tmp("f_ann"), tmp("f_mom"))
+        tmp("f_bq"), tmp("f_ann"), tmp("f_mom"), tmp("f_rec"))
       TextIndex.build(docs, "doc_id", "text", t)
       DedupIndex.build(docs, "doc_id", "text", 3, 8, 4, dd)
       LmIndex.buildTrigram(docs, "doc_id", "text", tri)
@@ -58,11 +58,16 @@ class ForgetSpec extends AnyFunSuite {
       annCodes.write.mode("overwrite").partitionBy("centroid")
         .parquet(AnnIndex.codesPath(ann))
       MomentsState.build(docs, "lang", "score", mom)
-      (t, dd, tri, ln, imp, bq, ann, mom)
+      // rec fixture: each doc id is a "user" with its score as the one
+      // trained item — degenerate pairs (none), but the anchor purge
+      // and the subset contract are fully exercised; q368 covers the
+      // multi-interaction shape on real events
+      RecModel.build(docs, "doc_id", "score", 8, 1L, rec)
+      (t, dd, tri, ln, imp, bq, ann, mom, rec)
     }
     def targetsOf(t: String, dd: String, tri: String, ln: String,
         imp: String, bq: String, ann: String,
-        mom: String): Seq[Forget.Target] = Seq(
+        mom: String, rec: String): Seq[Forget.Target] = Seq(
       Forget.TextTarget(t, "doc_id"),
       Forget.DedupTarget(dd),
       Forget.TrigramTarget(tri, "text"),
@@ -71,15 +76,17 @@ class ForgetSpec extends AnyFunSuite {
         Seq("lang")),
       Forget.BqTarget(bq),
       Forget.AnnTarget(ann, "vec_id"),
-      Forget.MomentsTarget(mom, "lang", "score"))
+      Forget.MomentsTarget(mom, "lang", "score"),
+      Forget.RecTarget(rec, "doc_id", "score", 8))
 
     // A: one orchestrated purge
-    val (ta, dda, tria, lna, impa, bqa, anna, moma) = buildAll()
-    val targetsA = targetsOf(ta, dda, tria, lna, impa, bqa, anna, moma)
+    val (ta, dda, tria, lna, impa, bqa, anna, moma, reca) = buildAll()
+    val targetsA = targetsOf(ta, dda, tria, lna, impa, bqa, anna,
+      moma, reca)
     Forget.purgeDocs(spark, gone, "doc_id", targetsA, epoch = 0L)
 
-    // B: the eight individual entry points, called by hand
-    val (tb, ddb, trib, lnb, impb, bqb, annb, momb) = buildAll()
+    // B: the nine individual entry points, called by hand
+    val (tb, ddb, trib, lnb, impb, bqb, annb, momb, recb) = buildAll()
     TextIndex.removeDocs(spark, ids, "doc_id", tb, epoch = 0L)
     DedupIndex.removeDocs(spark, ddb, ids, "doc_id", epoch = 0L)
     LmIndex.removeTrigramBatch(spark, gone, "doc_id", "text", trib,
@@ -94,13 +101,16 @@ class ForgetSpec extends AnyFunSuite {
       ids.select($"doc_id".as("vec_id")), "vec_id")
     MomentsState.removeBatch(spark, gone, "lang", "score", momb,
       epoch = 0L)
+    RecModel.removeBatch(spark, gone, "doc_id", "score", 8, 1L, recb,
+      epoch = 0L)
 
     def cert(ts: Seq[Forget.Target]) =
       Forget.certificate(spark, ts).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).sortBy(_._1).toSeq
     val a = cert(targetsA)
-    val b = cert(targetsOf(tb, ddb, trib, lnb, impb, bqb, annb, momb))
+    val b = cert(targetsOf(tb, ddb, trib, lnb, impb, bqb, annb, momb,
+      recb))
     assert(a === b, "composite purge must equal the individual removers")
     // the moments artifact: survivors are docs {1,3,5} -> en keeps only
     // doc 1 (n=1), de keeps docs 3,5 (n=2) -> 2 group rows, mass 3

@@ -1576,6 +1576,62 @@ class StreamingSpec extends AnyFunSuite {
       "replayed epoch must be a no-op")
   }
 
+  test("TWO ingest streams on one artifact: distinct streamTags give " +
+      "each checkpoint its own epoch counter — both streams' epoch-0 " +
+      "batches land (the shared scalar fence silently dropped the " +
+      "second), restarts replay per stream, and the final state " +
+      "equals the batch fold of the union") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.MomentsState
+    import spark.implicits._
+    val srcA = Files.createTempDirectory("mom2_srcA").toString
+    val srcB = Files.createTempDirectory("mom2_srcB").toString
+    val ckptA = Files.createTempDirectory("mom2_ckptA").toString
+    val ckptB = Files.createTempDirectory("mom2_ckptB").toString
+    val dir = Files.createTempDirectory("mom2_state").toString
+    val seed = Seq(("a", 1L), ("b", 7L)).toDF("g", "v")
+    MomentsState.build(seed, "g", "v", dir)
+    def runOnce(src: String, ckpt: String, tag: String): Unit = {
+      val q = spark.readStream.schema("g STRING, v LONG").json(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch(MomentsState.foreachBatchMerge(spark, dir,
+          "g", "v", streamTag = tag))
+        .start()
+      q.awaitTermination()
+    }
+    // both streams deliver their FIRST batch as Spark epoch 0 — under
+    // the old shared scalar fence, whichever ran second silently
+    // no-oped; tagged fences make both land
+    Files.write(Paths.get(srcA, "a1.json"),
+      "{\"g\":\"a\",\"v\":2}".getBytes("UTF-8"))
+    runOnce(srcA, ckptA, "src_a")
+    Files.write(Paths.get(srcB, "b1.json"),
+      "{\"g\":\"a\",\"v\":3}\n{\"g\":\"b\",\"v\":7}".getBytes("UTF-8"))
+    runOnce(srcB, ckptB, "src_b")
+    // full restarts, one more file each — per-stream replay fences
+    Files.write(Paths.get(srcA, "a2.json"),
+      "{\"g\":\"a\",\"v\":6}".getBytes("UTF-8"))
+    runOnce(srcA, ckptA, "src_a")
+    Files.write(Paths.get(srcB, "b2.json"),
+      "{\"g\":\"b\",\"v\":9}".getBytes("UTF-8"))
+    runOnce(srcB, ckptB, "src_b")
+    val union = seed.unionByName(Seq(("a", 2L), ("a", 3L), ("b", 7L),
+      ("a", 6L), ("b", 9L)).toDF("g", "v"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toSeq).toSet
+    assert(rows(MomentsState.serve(spark, dir, "g")) ===
+      rows(graft.operators.Analytics.momentsExact(union, "g", "v")),
+      "two tagged ingest streams must fold every batch exactly once")
+    // idle re-runs replay nothing on either stream
+    runOnce(srcA, ckptA, "src_a"); runOnce(srcB, ckptB, "src_b")
+    assert(rows(MomentsState.serve(spark, dir, "g")) ===
+      rows(graft.operators.Analytics.momentsExact(union, "g", "v")),
+      "empty replays must not move state")
+  }
+
   /** The q333/q344/q353 streaming twin, parameterized by the fluency
     * tier — both smoothings ride the SAME stored trigram table, so the
     * twin is one helper, not two tests' worth of duplicated plumbing. */
