@@ -712,6 +712,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected at most the re-rank nested loop, found $nlj:\n$p")
   }
 
+  test("q367 probe escalation: BOTH rungs keep the bucket equi-join " +
+      "shape — the flips=2 pair-probe set explodes QUERY-side " +
+      "(sequence over the C(bits,2) pair index) and never degrades " +
+      "to a corpus-side fan-out or cartesian") {
+    val p = plan("q367_bq_probe_escalation")
+    // the probe arrays' sequence(...) literals constant-fold to
+    // UnsafeArrayData, so gate on the structural shapes instead
+    assert(p.contains("Left keys [1]: [_bkt"),
+      s"bucket EQUI-join missing — shortlists not probe-pruned:\n$p")
+    assert(p.contains("explode(transform("),
+      s"flips=1 query-side probe explode missing:\n$p")
+    assert(p.contains("explode(concat(transform(") &&
+      p.contains("filter(") && p.contains("div 8)"),
+      s"flips=2 pair-probe explode (concat + pair-index filter) " +
+        s"missing:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"escalation must not introduce a cartesian:\n$p")
+  }
+
   test("q339/q341 paired k-sample tests: every window is partitioned " +
       "BY BLOCK — no corpus-sized single partition anywhere") {
     Seq("q339_friedman", "q341_cochran_q").foreach { q =>
