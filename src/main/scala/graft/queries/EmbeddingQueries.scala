@@ -2136,6 +2136,72 @@ object EmbeddingQueries {
     },
     doc = "[NS] probe-escalation dial: agreement bought per rung (flips=1 vs flips=2) on the noise regime, vs the full scan")
 
+  /** [NS] — guard-railed BQ serving, the GOOD regime (q369): q365
+    * certifies [[graft.operators.BqIndex.serveAudited]]'s full-scan
+    * floor on noise; this certifies the other end of the ladder — on
+    * the q364 planted-cluster fixture the rung-1 audit measures 100%
+    * agreement, so the guarded serve takes the CHEAP pruned path
+    * (9/256 of the table probed) — and because same-cluster codes are
+    * identical, that pruned answer IS the full-scan answer, which is
+    * exactly what the oracle recomputes from scratch. Green proves the
+    * ladder picks the right rung in the regime where pruning is
+    * trustworthy, with the verdict cached for every later serve. */
+  val q369BqGuardedClustered = Q(
+    "q369_bq_guarded_serve_clustered",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("_c"), vecD($"embedding").as("cv"))
+      val planted = e.select($"vec_id", ($"vec_id" % 8).as("_c"))
+        .join(broadcast(cents), Seq("_c"))
+        .select($"vec_id", expr(
+          "transform(sequence(1, size(cv)), i -> element_at(cv, i) * " +
+            "(1.0D + (cast((vec_id * 7 + i) % 5 as double) + 1.0D) " +
+            "/ 1000.0D))").as("embedding"))
+      val plDir = graft.operators.TextIndex.defaultDir(s"bqpl_$d")
+      graft.operators.BqIndex.buildIfAbsent(s, plDir, planted,
+        "vec_id", "embedding", tag = s"$d:planted")
+      val qid = e.agg(max($"vec_id")).collect()(0).getLong(0)
+      val auditIds = e.orderBy($"vec_id".asc).limit(3)
+        .select($"vec_id").as[Long].collect().toSeq
+      graft.operators.BqIndex.serveAudited(s, plDir, planted,
+        "vec_id", "embedding", queryId = qid, bits = 8,
+        shortlist = 32, k = 10, minAgreePpm = 900000L,
+        auditIds = auditIds)
+    },
+    Some {
+      def maskSql(off: Int) =
+        s"""list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(0, 31), i ->
+            CASE WHEN v[i + $off + 1] >= 0 THEN (1::BIGINT << i)
+              ELSE 0::BIGINT END)), (a, x) -> a + x)"""
+      s"""WITH qid AS (SELECT max(vec_id) AS q_id FROM embeddings),
+        cents AS (SELECT vec_id AS c, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 8),
+        pl AS (SELECT m.vec_id,
+            list_transform(generate_series(1, len(c.cv)), i ->
+              c.cv[i] * (1.0 + ((m.vec_id * 7 + i) % 5 + 1) / 1000.0))
+            AS v
+          FROM embeddings m JOIN cents c ON m.vec_id % 8 = c.c),
+        q2 AS (SELECT v AS qv FROM pl, qid WHERE vec_id = q_id),
+        codes AS (SELECT vec_id, ${maskSql(0)} AS bq_lo,
+            ${maskSql(32)} AS bq_hi
+          FROM pl WHERE len(v) = 64),
+        qc AS (SELECT bq_lo AS q_lo, bq_hi AS q_hi FROM codes, qid
+          WHERE vec_id = q_id),
+        short AS (SELECT vec_id FROM codes, qc, qid
+          WHERE vec_id <> q_id
+          ORDER BY bit_count(xor(bq_lo, q_lo)) +
+            bit_count(xor(bq_hi, q_hi)) ASC, vec_id ASC
+          LIMIT 32)
+        SELECT pl.vec_id, round(${cosSql("v", "qv")}, 6) AS cos
+        FROM short JOIN pl USING (vec_id), q2
+        ORDER BY cos DESC, vec_id ASC
+        LIMIT 10"""
+    },
+    doc = "[NS] guarded BQ serving, good regime: rung-1 audit passes on planted clusters, the pruned path serves, and its answer hash-equals the full-scan oracle")
+
   /** [NS] — incremental BQ index maintenance (q329): build the code
     * table on 90% of the corpus (vec_id % 10 ≠ 0), fold the held-out
     * 10% in with [[graft.operators.BqIndex.appendIfAbsent]] (ledgered
@@ -2430,5 +2496,6 @@ object EmbeddingQueries {
     q288IndexStaleness, q294Distortion, q303BitextMining,
     q332BitextServed, q355MultiProbeAnn, q356MultiProbeRecall,
     q357BqMultiProbeServe, q358BqPruneAudit, q364BqPruneRegimes,
-    q365BqGuardedServe, q367BqProbeEscalation)
+    q365BqGuardedServe, q367BqProbeEscalation,
+    q369BqGuardedClustered)
 }
