@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Deduplication operators for training-data pipelines (SURVEY §2.8 D1-D5):
   * exact content-hash dedup, n-gram Jaccard, MinHash+LSH banding, SimHash.
@@ -89,6 +90,7 @@ object Dedup {
     a.join(b, keyCols).filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
+
 
   /** Per-doc distinct gram-hash sets as one narrow array column (map-side
     * native expression — no explode/groupBy): (idCol, ghs, n). Docs with
@@ -431,7 +433,9 @@ object Dedup {
       var rounds = 0
       while (changed > 0 && rounds < maxRounds) {
         val obs = org.apache.spark.sql.Observation()
+        val prevLabels = labels
         labels = hashMinNext(edges, labels, obs)
+        Bridge.dropCheckpoint(prevLabels) // superseded; new labels eager
         changed = obs.get("changed").asInstanceOf[Long]
         rounds += 1
       }
@@ -477,7 +481,9 @@ object Dedup {
       var rounds = 0
       while (changed > 0 && rounds < maxRounds) {
         val obs = org.apache.spark.sql.Observation()
+        val prevLabels = labels
         labels = doublingNext(edges, labels, obs)
+        Bridge.dropCheckpoint(prevLabels) // superseded; new labels eager
         changed = obs.get("changed").asInstanceOf[Long]
         rounds += 1
       }
@@ -514,9 +520,11 @@ object Dedup {
       var doubling = false
       while (changed > 0 && rounds < maxRounds) {
         val obs = org.apache.spark.sql.Observation()
+        val prevLabels = labels
         labels =
           if (doubling) doublingNext(edges, labels, obs)
           else hashMinNext(edges, labels, obs)
+        Bridge.dropCheckpoint(prevLabels) // superseded; new labels eager
         changed = obs.get("changed").asInstanceOf[Long]
         if (!doubling && changed > 0) {
           // prev == MaxValue marks round 1 (no decay to measure yet);

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.storage.StorageLevel
 
 /** [NS] Distributed graph analytics over edge lists — the graph-shaped
@@ -87,6 +88,7 @@ object Graph {
       // dangling-sum aggregate + broadcast entirely when there are none
       val hasDangling = ranks.filter(col("_od") === 0).limit(1).count() > 0
       for (_ <- 1 to iters) {
+        val prevRanks = ranks
         val contrib = edges
           .join(ranks.select(col("_n").as("_src"), col("_pr")), "_src")
           .select(col("_dst"), expr("_pr div _od").as("_c"))
@@ -107,6 +109,10 @@ object Graph {
               s" + ($dampPct * (coalesce(_contrib, CAST(0 AS BIGINT))" +
               s" + _dang div _nn)) div 100").as("_pr"))
           .localCheckpoint(true)
+        // the new checkpoint is materialized — the superseded one would
+        // otherwise sit in storage until the ContextCleaner ran (r10 q181
+        // adjudication: late-session storage pressure from exactly this)
+        Bridge.dropCheckpoint(prevRanks)
       }
       ranks.select(col("_n").as("node"), col("_od").as("od"),
         col("_pr").as("pr"))
@@ -234,17 +240,21 @@ object Graph {
       r += 1
       val deg = edges.groupBy(col("_u")).agg(count(lit(1)).as("_d"))
       val keep = deg.filter(col("_d") >= k).localCheckpoint(true)
+      if (survivors != null) Bridge.dropCheckpoint(survivors) // superseded
       survivors = keep
       val n = keep.count()
       if (n == prevNodes) prevNodes = 0 // fixpoint: rounds are identities now
       else if (r < maxRounds) {
         prevNodes = n
+        val prevEdges = edges
         edges = edges
           .join(keep.select(col("_u")), Seq("_u"), "left_semi")
           .join(keep.select(col("_u").as("_v")), Seq("_v"), "left_semi")
           .localCheckpoint(true)
+        Bridge.dropCheckpoint(prevEdges)
       }
     }
+    Bridge.dropCheckpoint(edges) // result reads survivors only
     survivors.select(col("_u").as("node"), col("_d").as("deg"))
   }
 
@@ -272,6 +282,7 @@ object Graph {
     var dist = sources.toDF("_u")
       .distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = dist.select(col("_u"))
+    var prevNext: DataFrame = null
     var r = 0
     var frontierSize = frontier.count()
     while (r < maxRounds && frontierSize > 0) {
@@ -281,10 +292,16 @@ object Graph {
         .join(dist.select(col("_u")), Seq("_u"), "left_anti")
         .withColumn("dist", lit(r.toLong))
         .localCheckpoint(true)
+      if (prevNext != null) Bridge.dropCheckpoint(prevNext) // frontier consumed
+      val prevDist = dist
       dist = dist.unionByName(next).localCheckpoint(true)
+      Bridge.dropCheckpoint(prevDist)
+      prevNext = next
       frontier = next.select(col("_u"))
       frontierSize = next.count()
     }
+    if (prevNext != null) Bridge.dropCheckpoint(prevNext)
+    Bridge.dropCheckpoint(edges) // result reads dist only
     dist.select(col("_u").as("node"), col("dist"))
   }
 
@@ -385,6 +402,7 @@ object Graph {
         .localCheckpoint(true)
       val hasDangling = ranks.filter(col("_od") === 0).limit(1).count() > 0
       for (_ <- 1 to iters) {
+        val prevRanks = ranks
         val contrib = edges
           .join(ranks.select(col("_n").as("_src"), col("_pr")), "_src")
           .select(col("_dst"), expr("_pr div _od").as("_c"))
@@ -405,6 +423,7 @@ object Graph {
               s" + ($dampPct * (coalesce(_contrib, CAST(0 AS BIGINT))" +
               s" + _seed * (_dang div _ns))) div 100").as("_pr"))
           .localCheckpoint(true)
+        Bridge.dropCheckpoint(prevRanks) // superseded; new ranks materialized
       }
       ranks.select(col("_n").as("node"), col("_od").as("od"),
         col("_seed").as("is_seed"), col("_pr").as("pr"))
@@ -556,6 +575,7 @@ object Graph {
         .withColumn("label", col("node"))
         .localCheckpoint(true)
       for (_ <- 1 to rounds) {
+        val prev = labels
         labels = edges
           .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
           .groupBy(col("src"), col("label"))
@@ -565,6 +585,7 @@ object Graph {
             .as("_w"))
           .select(col("src").as("node"), (-col("_w._nl")).as("label"))
           .localCheckpoint(true)
+        Bridge.dropCheckpoint(prev) // superseded; new labels materialized
       }
       labels
     } finally edges.unpersist(blocking = false)
@@ -667,6 +688,7 @@ object Graph {
         lit(scale).as("_auth"), lit(scale).as("_hub"))
         .localCheckpoint(true)
       for (_ <- 1 to iters) {
+        val prevScores = scores
         val rawAuth = nodes.join(
           edges.join(scores.select(col("_n").as("_src"), col("_hub")),
               "_src")
@@ -688,6 +710,8 @@ object Graph {
           .select(col("_n"), coalesce(col("_rh"), lit(0L)).as("_rh"))
         val hub = normalize(rawHub, "_rh", "_hub")
         scores = auth.join(hub, Seq("_n")).localCheckpoint(true)
+        Bridge.dropCheckpoint(auth)        // folded into the new scores
+        Bridge.dropCheckpoint(prevScores)  // superseded
       }
       scores.select(col("_n").as("node"), col("_auth").as("auth"),
         col("_hub").as("hub"))
@@ -740,6 +764,7 @@ object Graph {
     var span = 1L
     var live = !state.filter(col("_anc").isNotNull).isEmpty
     while (live && span < maxDepth) {
+      val prevState = state
       val j = state.select(col("_id").as("_jid"), col("_anc").as("_janc"),
         col("_path").as("_jpath"), col("_depth").as("_jdepth"),
         col("_root").as("_jroot"))
@@ -758,6 +783,7 @@ object Graph {
         .select(col("_id"), col("_anc"), col("_path"), col("_depth"),
           col("_root"))
         .localCheckpoint(true)
+      Bridge.dropCheckpoint(prevState) // superseded; new state materialized
       span *= 2
       live = !state.filter(col("_anc").isNotNull).isEmpty
     }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Referential-integrity algebra — Spark has no FKs, so the reference's
   * SQLite constraint semantics (schema.sql:1,14,25-26,39-41,67,91) become
@@ -73,12 +74,19 @@ object Integrity {
             "left_semi")
           .select("_k")
           .join(deleted, Seq("_k"), "left_anti"))
+        // round 1's frontier IS deleted (the seed checkpoint) — guard the
+        // drop by identity so the live accumulator is never unpersisted
+        if (!(frontier eq deleted)) Bridge.dropCheckpoint(frontier)
         frontier = next
         frontierN = n
-        if (n > 0)
+        if (n > 0) {
+          val prevDeleted = deleted
           deleted = deleted.unionByName(next).localCheckpoint(true)
+          Bridge.dropCheckpoint(prevDeleted) // superseded; union eager
+        }
         depth += 1
       }
+      if (!(frontier eq deleted)) Bridge.dropCheckpoint(frontier)
       deleted.select(col("_k").as(pk))
     } finally edges.unpersist(blocking = false)
   }
@@ -125,10 +133,12 @@ object Integrity {
     while (live && span < maxDepth) {
       val j = state.select(col("_k").as("_jk"), col("_ptr").as("_jptr"),
         col("_hit").as("_jhit"))
+      val prevState = state
       state = state.join(j, state("_ptr") === j("_jk"), "left")
         .select(col("_k"), col("_jptr").as("_ptr"),
           (col("_hit") || coalesce(col("_jhit"), lit(false))).as("_hit"))
         .localCheckpoint(true)
+      Bridge.dropCheckpoint(prevState) // superseded; new state eager
       span *= 2
       // done when nothing can still flip: every row is hit or chain-ended.
       // Deliberately a separate isEmpty, NOT an observe() on the checkpoint:

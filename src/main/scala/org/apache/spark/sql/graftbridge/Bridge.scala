@@ -20,6 +20,26 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
 
+  /** Unpersist the RDD behind an eager `localCheckpoint(true)` frame.
+    *
+    * `Dataset.unpersist()` only clears CacheManager entries (`.persist`/
+    * `.cache`); a local checkpoint persists its RDD directly, so a
+    * superseded per-iteration checkpoint in a fixpoint loop otherwise
+    * lingers until the non-deterministic ContextCleaner gets to it —
+    * storage pressure late in a long multi-query session then depends on
+    * GC timing (the round-10 q181 adjudication's identified mechanism).
+    * The checkpointed Dataset's plan root is a LogicalRDD holding the
+    * persisted RDD; no-op on any other plan shape. Safe on frames other
+    * live frames were DERIVED from (derivation happened eagerly at their
+    * own checkpoint), NOT on frames still lazily referenced. */
+  def dropCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** DataFrame from a LogicalPlan (Dataset.ofRows is private[sql]) — used
     * by specs to execute a plan after applying an optimizer rule by hand. */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
