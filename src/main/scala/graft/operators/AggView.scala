@@ -40,10 +40,11 @@ object AggView {
   def currentGen(dir: String): Long = current(dir)._1
 
   private def advance(dir: String, gen: Long, epoch: Long,
-      fenceTag: String): Unit =
+      fenceTag: String,
+      basedOnGen: Long = TextIndex.Unguarded): Unit =
     // pointer flip WITHOUT generation GC: unlike the index stores,
     // this one keeps every generation readable ([[serveAt]])
-    TextIndex.writePointer(dir, gen, epoch, fenceTag)
+    TextIndex.writePointer(dir, gen, epoch, fenceTag, basedOnGen)
 
   /** Same per-corpus location contract as [[TextIndex.defaultDir]]. */
   def defaultDir(tag: String): String =
@@ -98,7 +99,8 @@ object AggView {
       .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"))
       .filter(col("cnt") =!= 0L)
     writeGen(merged, dir, gen + 1L, keyCols)
-    advance(dir, gen + 1L, math.max(epoch, lastEpoch), fenceTag)
+    advance(dir, gen + 1L, math.max(epoch, lastEpoch), fenceTag,
+      basedOnGen = gen)
   }
 
   /** Streaming maintenance: each micro-batch of CDC rows folds into the

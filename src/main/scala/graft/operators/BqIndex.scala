@@ -263,11 +263,23 @@ object BqIndex {
     }
   }
 
+  /** The cached-verdict key: config AND audit sample. Keying only on
+    * (bits, shortlist, k, flips) let two workloads sharing one index
+    * dir with different audit samples silently reuse the first
+    * caller's verdict — an unrepresentative 3-query sample permanently
+    * pinned the rung choice until the next index mutation (r10
+    * ADVICE). The sample digest makes each distinct `auditIds` set its
+    * own verdict file; mutation still drops them all. */
   private def auditPath(dir: String, bits: Int, shortlist: Int, k: Int,
-      flips: Int) =
+      flips: Int, auditIds: Seq[Long]) = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(auditIds.sorted.distinct.mkString(",")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(5).map(b => f"$b%02x").mkString
     java.nio.file.Paths.get(dir,
-      if (flips == 1) s"_prune_audit_b${bits}_s${shortlist}_k$k"
-      else s"_prune_audit_b${bits}_f${flips}_s${shortlist}_k$k")
+      if (flips == 1) s"_prune_audit_b${bits}_s${shortlist}_k${k}_a$digest"
+      else s"_prune_audit_b${bits}_f${flips}_s${shortlist}_k${k}_a$digest")
+  }
 
   /** Guard-railed serving — the escalation LADDER the pruning dial
     * needs: audit the 1-flip rung over `auditIds` ONCE per
@@ -292,13 +304,16 @@ object BqIndex {
       auditIds: Seq[Long]): DataFrame = {
     import java.nio.file.Files
     def verdict(flips: Int): Long = {
-      val p = auditPath(dir, bits, shortlist, k, flips)
-      if (Files.exists(p)) Files.readString(p).trim.toLong
+      val p = auditPath(dir, bits, shortlist, k, flips, auditIds)
+      // verdict file body: "<meanPpm>,n=<sample size>" — n makes a
+      // stale-thin audit visible post-hoc (r10 verdict item #3); the
+      // pre-r11 bare-mean form parses through the same first field
+      if (Files.exists(p)) Files.readString(p).trim.split(",")(0).toLong
       else {
         val rows = auditPruning(spark, dir, floats, idCol, vecCol,
           auditIds, bits, shortlist, k, flips)
         val mean = rows.map(_._3).sum / rows.size
-        TextIndex.writeLedger(p, Set(mean.toString))
+        TextIndex.writeLedger(p, Set(s"$mean,n=${rows.size}"))
         mean
       }
     }

@@ -239,7 +239,8 @@ object DedupIndex {
     val (hashes, bandKeys) = readStored(spark, dir, k, bands)
     writeGen(hashes.distinct().localCheckpoint(true),
       bandKeys.distinct().localCheckpoint(true), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+      basedOnGen = gen)
   }
 
   /** Certified forget — remove `ids`' derived rows from the stored
@@ -268,7 +269,8 @@ object DedupIndex {
       hashes.join(broadcast(rm), Seq("_id"), "left_anti"),
       bandKeys.join(broadcast(rm), Seq("_id"), "left_anti"),
       dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+      basedOnGen = gen)
   }
 
   /** Loud geometry guard for the REWRITING entry points ([[removeDocs]]

@@ -208,6 +208,7 @@ object Importance {
         "(or hit buckets the model never saw) — the removal batch is " +
         "not a subset of the trained corpus")
     writeCounts(merged.filter(col("cr") > 0), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+      basedOnGen = gen)
   }
 }

@@ -94,7 +94,8 @@ object LineIndex {
           Seq("_h"), "left_anti")
         .select(col("_h"), col("_bnd").as("_nd")))
     writeGen(merged, dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+      basedOnGen = gen)
   }
 
   /** Right-to-be-forgotten removal: distinct-doc line counts are sums
@@ -126,7 +127,8 @@ object LineIndex {
       s"LineIndex.removeBatch: $bad line counts would go negative — " +
         "the removal batch is not a subset of the indexed corpus")
     writeGen(merged.filter(col("_nd") > 0), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+      basedOnGen = gen)
   }
 
   /** [NS] — Structured Streaming ingest hook: each doc-disjoint

@@ -52,13 +52,34 @@ object MomentsState {
 
   def storedSums(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.read.schema(StructType(Seq(
-        StructField("_k", StringType), StructField("n", LongType),
-        StructField("s1", LongType),
-        StructField("s2", DecimalType(38, 0)),
-        StructField("s3", DecimalType(38, 0)),
-        StructField("s4", DecimalType(38, 0)))))
-      .parquet(tablePath(dir))
+    val path = tablePath(dir)
+    // Legacy detection (r10 ADVICE, same move as DedupIndex's geometry
+    // guard): pre-round-10 stores wrote s2–s4 as INT64; forcing the
+    // decimal schema onto that footer fails at SCAN time with a parquet
+    // type-mismatch nobody can act on. Read the footer's own schema
+    // first and upcast legacy longs on read — the next writeGen then
+    // persists the decimal(38,0) layout, migrating the store in place.
+    val physical = spark.read.parquet(path).schema
+    val legacy = physical.find(_.name == "s2")
+      .exists(_.dataType == LongType)
+    if (legacy)
+      spark.read.schema(StructType(Seq(
+          StructField("_k", StringType), StructField("n", LongType),
+          StructField("s1", LongType), StructField("s2", LongType),
+          StructField("s3", LongType), StructField("s4", LongType))))
+        .parquet(path)
+        .select(col("_k"), col("n"), col("s1"),
+          col("s2").cast("decimal(38,0)").as("s2"),
+          col("s3").cast("decimal(38,0)").as("s3"),
+          col("s4").cast("decimal(38,0)").as("s4"))
+    else
+      spark.read.schema(StructType(Seq(
+          StructField("_k", StringType), StructField("n", LongType),
+          StructField("s1", LongType),
+          StructField("s2", DecimalType(38, 0)),
+          StructField("s3", DecimalType(38, 0)),
+          StructField("s4", DecimalType(38, 0)))))
+        .parquet(path)
   }
 
   /** The raw power-sum rows of a batch — the monoid element. Values
@@ -109,7 +130,8 @@ object MomentsState {
         sum(col("s3")).cast("decimal(38,0)").as("s3"),
         sum(col("s4")).cast("decimal(38,0)").as("s4"))
     writeGen(merged, dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+      basedOnGen = gen)
   }
 
   /** Right-to-be-forgotten removal: subtract the forgotten rows' power
@@ -150,7 +172,8 @@ object MomentsState {
       s"MomentsState.removeBatch: $bad groups would go negative — " +
         "the removal batch is not a subset of the folded facts")
     writeGen(merged.filter(col("n") > 0), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
+    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+      basedOnGen = gen)
   }
 
   /** Streaming fold: exactly-once moment maintenance over

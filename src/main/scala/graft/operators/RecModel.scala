@@ -58,8 +58,9 @@ object RecModel {
   def current(dir: String): (Long, Long) = TextIndex.current(dir)
 
   private def advance(dir: String, gen: Long, epoch: Long,
-      fenceTag: String = ""): Unit =
-    TextIndex.advance(dir, gen, epoch, fenceTag)
+      fenceTag: String = "",
+      basedOnGen: Long = TextIndex.Unguarded): Unit =
+    TextIndex.advance(dir, gen, epoch, fenceTag, basedOnGen)
 
   def simsPath(dir: String): String = {
     val (g, _) = current(dir)
@@ -165,7 +166,7 @@ object RecModel {
       .unionByName(anchorsOf(batch, userCol, itemCol))
     writeGen(mergedSims, mergedAnchors, dir, gen + 1)
     advance(dir, gen + 1, if (epoch >= 0) epoch else lastEpoch,
-      fenceTag)
+      fenceTag, basedOnGen = gen)
   }
 
   /** Right-to-be-forgotten removal: forget USERS from the stored model
@@ -212,7 +213,8 @@ object RecModel {
       broadcast(batch.select(col(userCol)).distinct()),
       Seq(userCol), "left_anti")
     writeGen(merged.filter(col("n_users") > 0), newAnchors, dir, gen + 1)
-    advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
+    advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+      basedOnGen = gen)
   }
 
   /** foreachBatch adapter: exactly-once model maintenance over

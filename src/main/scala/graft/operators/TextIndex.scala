@@ -77,12 +77,20 @@ object TextIndex {
     val p = pointerPath(dir)
     if (!java.nio.file.Files.exists(p)) (-1L, -1L, Map.empty)
     else {
-      val f = java.nio.file.Files.readString(p).trim.split(",")
-      if (f.length < 2) (-1L, -1L, Map.empty)
-      else (f(0).toLong, f(1).toLong,
-        f.drop(2).iterator.map(_.split("=", 2)).collect {
-          case Array(t, e) => t -> e.toLong
-        }.toMap)
+      java.nio.file.Files.readString(p).trim.split(",") match {
+        // pre-epoch single-field pointer (round ≤ 4 AggView stores wrote
+        // bare "gen"): gen with the default no-fence sentinel — dropping
+        // this case made a legacy store read as UNBUILT (gen -1), so
+        // serve silently fell back to generation 0 (r10 ADVICE)
+        case Array(g) if g.nonEmpty && g.forall(c => c.isDigit || c == '-') =>
+          (g.toLong, -1L, Map.empty)
+        case f if f.length >= 2 =>
+          (f(0).toLong, f(1).toLong,
+            f.drop(2).iterator.map(_.split("=", 2)).collect {
+              case Array(t, e) => t -> e.toLong
+            }.toMap)
+        case _ => (-1L, -1L, Map.empty)
+      }
     }
   }
 
@@ -126,10 +134,16 @@ object TextIndex {
     * and carries every other fence (and, for tagged writers, the
     * default fence) through unchanged — so an ingest stream and a
     * purge stream maintaining the same artifact each replay against
-    * their OWN epoch counter (see [[fenceOf]]). */
+    * their OWN epoch counter (see [[fenceOf]]).
+    *
+    * `basedOnGen` is the lost-update guard (r10 ADVICE): pass the
+    * generation the mutation READ at its start and the flip aborts
+    * loudly if another writer advanced the pointer in between — see
+    * [[writePointer]] for the full concurrency contract. */
   private[operators] def advance(dir: String, gen: Long,
-      epoch: Long, tag: String): Unit = {
-    writePointer(dir, gen, epoch, tag)
+      epoch: Long, tag: String,
+      basedOnGen: Long = Unguarded): Unit = {
+    writePointer(dir, gen, epoch, tag, basedOnGen)
     // best-effort GC: generations older than the previous one are
     // unreachable (the pointer is the only entry point)
     val stale = new java.io.File(dir).listFiles()
@@ -139,21 +153,72 @@ object TextIndex {
         scala.reflect.io.File(f).toDirectory.path).deleteRecursively())
   }
 
+  /** Sentinel for an UNGUARDED pointer write (builds/rebuilds, which
+    * replace whatever is there by design). */
+  private[operators] val Unguarded: Long = Long.MinValue
+
+  /** Per-dir JVM monitors for the pointer critical section — foreachBatch
+    * writers run on stream execution threads inside ONE JVM, so the
+    * cross-process file lock below never sees them contend. */
+  private val ptrMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** JVM monitor + cross-process file lock around a pointer read/verify/
+    * flip — makes the compare-and-swap below atomic against every other
+    * GUARDED writer on `dir`. */
+  private def withPointerLock[T](dir: String)(f: => T): T = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val mon = ptrMonitors.computeIfAbsent(dir, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(Paths.get(dir))
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(dir, "_ptr.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try f finally l.release()
+      } finally ch.close()
+    }
+  }
+
   /** The atomic pointer flip alone, no generation GC — for stores that
-    * keep every generation readable ([[AggView.serveAt]] time travel). */
+    * keep every generation readable ([[AggView.serveAt]] time travel).
+    *
+    * Concurrency contract (r10 ADVICE adjudication): ATOMIC_MOVE
+    * protects READERS from torn pointers; it never protected two
+    * WRITERS from losing an update (both read gen K, both write K+1 —
+    * one generation's data and fences silently vanish, and worse, both
+    * raced on the gen=K+1 data directory before the flip). Epoch-bearing
+    * writers on one artifact must therefore be EXTERNALLY SERIALIZED —
+    * the round-10 tagged fences fix replay-counter collisions between
+    * serialized streams, not write-write races. `basedOnGen` turns a
+    * violation from silent loss into a loud failure: under a per-dir
+    * lock (JVM monitor + file lock) the pointer is re-read and the flip
+    * aborts with ConcurrentModificationException when the current
+    * generation no longer matches what the mutation was derived from —
+    * the caller must then treat the artifact's new generation data as
+    * suspect (the data dir may have been co-written) and re-derive. */
   private[operators] def writePointer(dir: String, gen: Long,
-      epoch: Long, tag: String): Unit = {
+      epoch: Long, tag: String,
+      basedOnGen: Long = Unguarded): Unit = withPointerLock(dir) {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     require(!tag.contains(",") && !tag.contains("=") &&
       !tag.exists(_.isWhitespace),
       s"fence tag must be free of ',', '=' and whitespace: '$tag'")
-    val (_, e0, tags) = currentAll(dir)
+    val (curGen, e0, tags) = currentAll(dir)
+    if (basedOnGen != Unguarded && curGen != basedOnGen)
+      throw new java.util.ConcurrentModificationException(
+        s"pointer flip for $dir aborted: mutation was derived from " +
+          s"gen=$basedOnGen but the store is now at gen=$curGen — a " +
+          "concurrent writer advanced this artifact (writers must be " +
+          "serialized per artifact; fence tags only protect replay " +
+          "counters). Re-derive the mutation from the current " +
+          "generation; treat any gen data this mutation wrote as suspect.")
     val (ne0, ntags) =
       if (tag.isEmpty) (epoch, tags) else (e0, tags + (tag -> epoch))
     val body = (Seq(s"$gen", s"$ne0") ++
       ntags.toSeq.sortBy(_._1).map { case (t, e) => s"$t=$e" })
       .mkString(",")
-    Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, s"_current.tmp.$gen")
     Files.writeString(tmp, body)
     Files.move(tmp, pointerPath(dir),
@@ -294,7 +359,7 @@ object TextIndex {
         (col("_N") + col("_bN")).as("_N"))
 
     writeGen(mergedPostings, mergedStats, dir, gen + 1, idCol)
-    advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
+    advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag, basedOnGen = gen)
   }
 
   /** foreachBatch adapter: streamed document batches fold into the index
@@ -358,7 +423,7 @@ object TextIndex {
       .select((col("_L") - col("_rL")).as("_L"),
         (col("_N") - col("_rN")).as("_N"))
     writeGen(newPostings, newStats, dir, gen + 1, idCol)
-    advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag)
+    advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag, basedOnGen = gen)
   }
 
   // ---- positional index (phrase serving) ----------------------------
@@ -418,7 +483,7 @@ object TextIndex {
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col(idCol), col("pos"))
       .write.mode("append").parquet(s"${genDir(dir, gen)}/pospostings")
-    advance(dir, gen, epoch.max(lastEpoch), fenceTag)
+    advance(dir, gen, epoch.max(lastEpoch), fenceTag, basedOnGen = gen)
   }
 
   /** Exact phrase search from the STORED positional index —

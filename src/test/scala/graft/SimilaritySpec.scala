@@ -572,9 +572,17 @@ class SimilaritySpec extends AnyFunSuite {
     def vec(f: Int => Float) = Array.tabulate(64)(f)
     def tmp(t: String) =
       java.nio.file.Files.createTempDirectory(t).toString
-    def verdictOf(dir: String, name: String): Long =
+    // verdict filenames carry a digest of the audit sample (r11: two
+    // workloads with different samples must not share a verdict), and
+    // bodies carry the sample size as ",n=<size>"
+    def auditName(base: String, ids: Seq[Long]): String =
+      base + "_a" + java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.sorted.distinct.mkString(",")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(5).map(b => f"$b%02x").mkString
+    def verdictOf(dir: String, name: String, ids: Seq[Long] = Seq(10L)): Long =
       java.nio.file.Files.readString(java.nio.file.Paths
-        .get(dir, name)).trim.toLong
+        .get(dir, auditName(name, ids))).trim.split(",")(0).toLong
 
     // RUNG-2 regime: the true neighbor A flips TWO prefix signs
     // (unreachable by 1-flip probes, reachable by 2-flip), the
@@ -605,6 +613,19 @@ class SimilaritySpec extends AnyFunSuite {
       "rung-1 verdict recorded as failing")
     assert(verdictOf(eDir, "_prune_audit_b8_f2_s1_k1") === 1000000L,
       "rung-2 verdict recorded as passing — the serve took that rung")
+    // the verdict body records the audit sample size (a stale-thin
+    // audit is visible post-hoc), and a DIFFERENT audit sample writes
+    // its own verdict file instead of silently reusing the first
+    // caller's rung choice (r10 ADVICE)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(eDir,
+      auditName("_prune_audit_b8_s1_k1", Seq(10L)))).trim
+      .endsWith(",n=1"), "verdict body must record the sample size")
+    BqIndex.serveAudited(spark, eDir, esc, "vec_id", "embedding",
+      queryId = 10L, bits = 8, shortlist = 1, k = 1,
+      minAgreePpm = 900000L, auditIds = Seq(2L, 10L)).collect()
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(eDir,
+      auditName("_prune_audit_b8_s1_k1", Seq(2L, 10L)))),
+      "a different audit sample must write its own verdict file")
 
     // FULL-FALLBACK regime: A flips THREE prefix signs — no rung
     // reaches it, only the full scan returns the true neighbor
@@ -638,15 +659,16 @@ class SimilaritySpec extends AnyFunSuite {
       minAgreePpm = 900000L, auditIds = Seq(1L))
       .collect().map(_.getLong(0)).toSeq
     assert(gAudited === Seq(2L))
-    assert(verdictOf(gDir, "_prune_audit_b8_s2_k1") === 1000000L,
+    assert(verdictOf(gDir, "_prune_audit_b8_s2_k1", Seq(1L)) === 1000000L,
       "shared-prefix fixture must measure full agreement -> rung 1")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths
-      .get(gDir, "_prune_audit_b8_f2_s2_k1")),
+      .get(gDir, auditName("_prune_audit_b8_f2_s2_k1", Seq(1L)))),
       "rung 2 must never be audited when rung 1 passes (lazy ladder)")
     // the verdict is READ, not recomputed, on later serves: force it
     // to 0 and check the serve leaves it untouched (a re-audit would
     // rewrite it to 1000000)
-    val gPath = java.nio.file.Paths.get(gDir, "_prune_audit_b8_s2_k1")
+    val gPath = java.nio.file.Paths.get(gDir,
+      auditName("_prune_audit_b8_s2_k1", Seq(1L)))
     java.nio.file.Files.writeString(gPath, "0")
     BqIndex.serveAudited(spark, gDir, good, "vec_id",
       "embedding", queryId = 1L, bits = 8, shortlist = 2, k = 1,

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Round-11 pointer-protocol hardening (r10 ADVICE):
+  *  1. the lost-update guard — a pointer flip derived from a stale
+  *     generation aborts loudly instead of silently dropping the
+  *     concurrent writer's generation and fences;
+  *  2. the legacy single-field pointer parse — a pre-epoch AggView
+  *     store ("gen" with no fence field) reads as (gen, -1), not as
+  *     unbuilt;
+  *  3. the legacy long-typed MomentsState footer — read through an
+  *     upcast instead of failing at scan time, migrating on next write.
+  */
+class PointerProtocolSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(t: String) =
+    java.nio.file.Files.createTempDirectory(t).toString
+
+  test("guarded pointer flip aborts on a stale basedOnGen") {
+    val dir = tmp("ptr_guard")
+    TextIndex.advance(dir, 0L, -1L) // build
+    // writer derived from gen 0 advances — fine
+    TextIndex.advance(dir, 1L, 3L, "", basedOnGen = 0L)
+    assert(TextIndex.current(dir) === ((1L, 3L)))
+    // a second writer ALSO derived from gen 0 must fail loudly — the
+    // pre-r11 behavior silently rewrote the pointer, dropping writer
+    // A's generation data and fence advance
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TextIndex.advance(dir, 1L, 7L, "", basedOnGen = 0L)
+    }
+    assert(e.getMessage.contains("gen=0") && e.getMessage.contains("gen=1"))
+    // the winning writer's state is untouched
+    assert(TextIndex.current(dir) === ((1L, 3L)))
+    // an up-to-date writer proceeds
+    TextIndex.advance(dir, 2L, 4L, "", basedOnGen = 1L)
+    assert(TextIndex.current(dir) === ((2L, 4L)))
+    // unguarded (build/rebuild) writes still replace unconditionally
+    TextIndex.advance(dir, 0L, -1L)
+    assert(TextIndex.current(dir)._1 === 0L)
+  }
+
+  test("guarded flip preserves other writers' tagged fences") {
+    val dir = tmp("ptr_guard_tags")
+    TextIndex.advance(dir, 0L, -1L)
+    TextIndex.advance(dir, 1L, 5L, "purge", basedOnGen = 0L)
+    TextIndex.advance(dir, 2L, 9L, "", basedOnGen = 1L)
+    assert(TextIndex.fenceOf(dir, "purge") === 5L)
+    assert(TextIndex.fenceOf(dir, "") === 9L)
+  }
+
+  test("mutators pass their read generation: replayed mergeBatch chain " +
+      "stays serialized, stale-gen merge is rejected") {
+    import spark.implicits._
+    val dir = tmp("ptr_guard_merge")
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val b1 = Seq((3L, "delta")).toDF("doc_id", "text")
+    TextIndex.mergeBatch(spark, b1, "doc_id", "text", dir, epoch = 1L)
+    assert(TextIndex.current(dir) === ((1L, 1L)))
+    // direct stale flip (what a concurrent merge's final step would do)
+    intercept[java.util.ConcurrentModificationException] {
+      TextIndex.writePointer(dir, 1L, 2L, "", basedOnGen = 0L)
+    }
+  }
+
+  test("legacy single-field pointer parses as (gen, -1), not unbuilt") {
+    val dir = tmp("ptr_legacy")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_current"), "3")
+    assert(TextIndex.current(dir) === ((3L, -1L)))
+    assert(AggView.current(dir) === ((3L, -1L)))
+    // an empty/garbage pointer still reads as missing
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_current"), "")
+    assert(TextIndex.current(dir) === ((-1L, -1L)))
+  }
+
+  test("legacy long-typed MomentsState footer upcasts on read and " +
+      "migrates to decimal on the next merge") {
+    import spark.implicits._
+    val dir = tmp("moments_legacy")
+    // hand-write a pre-round-10 store: s2-s4 as INT64 in the footer
+    Seq(("a", 2L, 3L, 5L, 9L, 17L), ("b", 1L, 4L, 16L, 64L, 256L))
+      .toDF("_k", "n", "s1", "s2", "s3", "s4")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${TextIndex.genDir(dir, 0L)}/sums")
+    TextIndex.advance(dir, 0L, -1L)
+    // pre-fix this read failed at scan time with a parquet type error
+    val st = MomentsState.storedSums(spark, dir)
+    assert(st.schema("s2").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    val a = st.filter(col("_k") === "a").collect()(0)
+    assert(a.getAs[java.math.BigDecimal]("s4").longValueExact() === 17L)
+    // a merge reads the legacy footer and writes the decimal layout
+    MomentsState.mergeBatch(spark,
+      Seq(("a", 2L)).toDF("k", "v"), "k", "v", dir)
+    val migrated = spark.read.parquet(MomentsState.tablePath(dir)).schema
+    assert(migrated("s2").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 0),
+      "next writeGen must persist the decimal layout")
+    val a2 = MomentsState.storedSums(spark, dir)
+      .filter(col("_k") === "a").collect()(0)
+    assert(a2.getLong(1) === 3L && a2.getLong(2) === 5L) // n, s1
+    assert(a2.getAs[java.math.BigDecimal]("s4").longValueExact() === 33L)
+  }
+}
