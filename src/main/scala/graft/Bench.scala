@@ -136,6 +136,24 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
+    // bench_out.json is CLOBBERED by every run (including SPARK_GRAFT_ONLY
+    // profiling one-offs), and the driver's BENCH_rN tail truncates to
+    // ~150 of the per-query medians — the round-10 q181 adjudication had
+    // to trust that the mutable file happened to be the official run.
+    // Archive every FULL-registry run to a unique path so per-query data
+    // survives per round (the driver's own official run self-archives).
+    if (only.isEmpty) {
+      try {
+        val dir = java.nio.file.Paths.get("bench_archive")
+        java.nio.file.Files.createDirectories(dir)
+        val sfName = sfDir.replaceAll(".*/", "")
+        java.nio.file.Files.writeString(dir.resolve(
+          s"bench_full_${sfName}_${System.currentTimeMillis}.json"),
+          durable + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] archive write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
     // FINAL stdout line, after Spark shutdown so no executor log can trail
     // it: a grep-able marker carrying a COMPACT copy of the JSON. The

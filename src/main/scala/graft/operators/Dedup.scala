@@ -91,6 +91,60 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** D5 skew path — LSH banding edges with HOT-BUCKET STAR CONTRACTION
+    * (round-11; the measured answer to the planted-hot-family stress of
+    * `tools/gen_skew.py`). Buckets with ≤ `hotThreshold` members emit
+    * every pair, exactly as [[minhashLshCandidates]]; a bucket with
+    * m > hotThreshold members emits its m−1 STAR edges through the
+    * bucket's minimum id instead of its m(m−1)/2 pairs.
+    *
+    * Why this is lossless for dedup: within one bucket the all-pairs
+    * clique and the hub star connect the SAME member set, so connected
+    * components over star edges are IDENTICAL to components over
+    * all-pairs edges — q371 pins that claim against q72's from-scratch
+    * all-pairs WITH RECURSIVE oracle. What the star deliberately does
+    * NOT preserve is the pair LIST: a downstream pairwise verifier sees
+    * only hub spokes for hot buckets (the cluster-representative
+    * verification trade production dedup pipelines take on heavy
+    * families); use [[minhashLshCandidates]] when the full pair set is
+    * the product.
+    *
+    * Scale mechanics: one groupBy over the band table for (size, hub)
+    * per bucket, then the self-join runs ONLY over small-bucket rows —
+    * the hot band key's shuffle volume drops from quadratic to linear,
+    * which is what survives a corpus where 20% of documents share one
+    * near-dup family (the "curse of the last reducer" cure; same
+    * degree-capping move as [[Graph.triangleCounts]]'s orientation).
+    * AQE reuses the band-key exchange between the stats aggregate and
+    * the join. */
+  def minhashLshStarEdges(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+      hotThreshold: Int = 64): DataFrame = {
+    require(hotThreshold >= 1, s"hotThreshold >= 1, got $hotThreshold")
+    val rows = k / bands
+    val sig = df.select(col(idCol),
+      graft.functions.MinHashExpression
+        .minhashSignature(col(textCol), shingleN, k).as("_sig"))
+      .filter(col("_sig").isNotNull)
+      .select(col(idCol) +: (0 until k).map(i =>
+        element_at(col("_sig"), i + 1).as(s"s$i")): _*)
+    val bds = lshBands(sig, idCol, k, bands).localCheckpoint()
+    val keyCols = "band" +: (0 until rows).map(r => s"v$r")
+    val stats = bds.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_m"), min(col(idCol)).as("_hub"))
+    val tagged = bds.join(stats, keyCols)
+    val small = tagged.filter(col("_m") <= hotThreshold)
+    val smallPairs = small
+      .select(keyCols.map(col) :+ col(idCol).as("doc_a"): _*)
+      .join(small.select(keyCols.map(col) :+ col(idCol).as("doc_b"): _*),
+        keyCols)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val hotSpokes = tagged
+      .filter(col("_m") > hotThreshold && col(idCol) =!= col("_hub"))
+      .select(col("_hub").as("doc_a"), col(idCol).as("doc_b"))
+    smallPairs.unionByName(hotSpokes).distinct()
+  }
 
   /** Per-doc distinct gram-hash sets as one narrow array column (map-side
     * native expression — no explode/groupBy): (idCol, ghs, n). Docs with

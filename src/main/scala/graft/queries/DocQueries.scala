@@ -2782,6 +2782,77 @@ object DocQueries {
           "WHERE lang = 'en' AND doc_id % 7 <> 3")),
     doc = "[NS] importance forget: bucket-count subtraction == remaining-only rebuild")
 
+  /** D5 skew path [NS] — LSH banding edges with hot-bucket STAR
+    * contraction ([[graft.operators.Dedup.minhashLshStarEdges]]):
+    * buckets over the threshold emit hub spokes (linear) instead of all
+    * pairs (quadratic) — the measured cure for a planted heavy near-dup
+    * family concentrating one band key (tools/gen_skew.py; the band
+    * join's "curse of the last reducer"). hotThreshold = 2 makes the
+    * star path REAL on this corpus (the sf0.01 band table has four
+    * 3-member buckets → 2 spokes each instead of 3 pairs); the oracle
+    * replays the same small-pairs ∪ hot-spokes algebra from scratch. */
+  val q370LshSkewStar = Q(
+    "q370_lsh_skew_star",
+    (s, d) =>
+      Dedup.minhashLshStarEdges(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, hotThreshold = 2)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH tg AS ($shinglesSql),
+      sig AS (SELECT doc_id,
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
+        FROM tg GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, s0 AS v0, s1 AS v1 FROM sig UNION ALL
+        SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        SELECT doc_id, 3, s6, s7 FROM sig),
+      st AS (SELECT band, v0, v1, count(*) AS m, min(doc_id) AS hub
+        FROM bands GROUP BY 1, 2, 3),
+      tagged AS (SELECT b.doc_id, b.band, b.v0, b.v1, st.m, st.hub
+        FROM bands b JOIN st USING (band, v0, v1)),
+      small_pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM tagged x JOIN tagged y
+        ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+          AND x.doc_id < y.doc_id
+        WHERE x.m <= 2),
+      spokes AS (SELECT DISTINCT hub AS doc_a, doc_id AS doc_b
+        FROM tagged WHERE m > 2 AND doc_id <> hub)
+      SELECT doc_a, doc_b FROM small_pairs
+      UNION SELECT doc_a, doc_b FROM spokes
+      ORDER BY doc_a, doc_b"""),
+    doc = "[NS] skew-safe LSH edges: hot buckets contract to hub stars")
+
+  /** D5 skew path closure [NS] — the LOSSLESSNESS certificate: connected
+    * components over q370's star-contracted edges, checked against
+    * q72's oracle — which recomputes the closure over the FULL all-pairs
+    * band join from scratch. A green row is the theorem made a test:
+    * within one bucket the clique and the hub star connect the same
+    * member set, so star contraction changes the edge count (linear vs
+    * quadratic on hot buckets) but NEVER the components — the
+    * transitive-dedup survivors are identical while the skewed shuffle
+    * disappears. */
+  val q371DedupComponentsStar = Q(
+    "q371_dedup_components_star",
+    (s, d) => {
+      import s.implicits._
+      val edges = Dedup.minhashLshStarEdges(Tables.documents(s, d),
+        "doc_id", "text", shingleN = 3, k = 8, bands = 4,
+        hotThreshold = 2)
+      Dedup.connectedComponents(edges, "doc_a", "doc_b")
+        .groupBy($"rep")
+        .agg(count(lit(1)).as("n_docs"), max($"node").as("max_doc"))
+        .orderBy($"rep")
+    },
+    q72DedupComponents.oracle,
+    doc = "[NS] star-contracted CC == all-pairs CC (q72's oracle, verbatim)")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -2798,5 +2869,6 @@ object DocQueries {
     q280Importance, q284ImportanceServe, q287LshAdvisor,
     q289SplitLeakage, q290SourceDupMatrix, q296RboStability,
     q297ClusterProfile, q298HashCollisions, q325RankGamma,
-    q326SortedNeighborhood, q349DedupIndexForget, q352ImportanceForget)
+    q326SortedNeighborhood, q349DedupIndexForget, q352ImportanceForget,
+    q370LshSkewStar, q371DedupComponentsStar)
 }

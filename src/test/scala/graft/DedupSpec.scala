@@ -614,4 +614,46 @@ class DedupSpec extends AnyFunSuite {
       .select($"_id").as[Long].collect().toSet
     assert(left === Set(2L, 3L))
   }
+
+  test("minhashLshStarEdges: hot buckets contract to linear hub stars, " +
+      "small buckets stay all-pairs, components are UNCHANGED") {
+    import spark.implicits._
+    // planted hot family: 40 near-dups of one 60-token template (each
+    // doc swaps one rotating token), plus 30 distinct background docs —
+    // the gen_skew.py shape at spec scale
+    val tmpl = (0 until 60).map(i => s"hot$i")
+    val hot = (0 until 40).map { i =>
+      val toks = tmpl.updated(i % 60, s"u$i")
+      (100L + i, toks.mkString(" "))
+    }
+    val bg = (0 until 30).map(i =>
+      (500L + i, (0 until 30).map(j => s"bg${i}_$j").mkString(" ")))
+    val docs = (hot ++ bg).toDF("doc_id", "text")
+    val allPairs = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val star = Dedup.minhashLshStarEdges(docs, "doc_id", "text",
+        hotThreshold = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot family collides on most band keys: all-pairs is
+    // quadratic (~40*39/2), the star is linear (~39 spokes + noise)
+    assert(allPairs.size > 500,
+      s"fixture must produce a quadratic pair set, got ${allPairs.size}")
+    assert(star.size < 120,
+      s"star contraction must be linear in the hot family, got ${star.size}")
+    assert(star.subsetOf(allPairs),
+      "every star edge is one of the all-pairs edges (hub is a member)")
+    // the theorem: components over star edges == components over pairs
+    def comps(edges: Set[(Long, Long)]): Map[Long, Long] =
+      Dedup.connectedComponents(edges.toSeq.toDF("doc_a", "doc_b"),
+        "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(star) === comps(allPairs),
+      "star contraction must never change the transitive components")
+    // threshold above every bucket size: star degenerates to all-pairs
+    val wide = Dedup.minhashLshStarEdges(docs, "doc_id", "text",
+        hotThreshold = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide === allPairs,
+      "an unreachable threshold must reproduce the classic pair set")
+  }
 }
