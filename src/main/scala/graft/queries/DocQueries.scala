@@ -2523,15 +2523,26 @@ object DocQueries {
     * would delete half the corpus). Per distinct size: cluster count,
     * doc count, the global multi-doc ppm and giant size, and the
     * is_giant flag. Everything after the CC fixpoint is
-    * |distinct sizes| rows. */
+    * |distinct sizes| rows.
+    *
+    * Round 11: the profile's edges come from the STAR-contracted band
+    * join ([[graft.operators.Dedup.minhashLshStarEdges]], production
+    * threshold 64) — components are provably identical (q371), so the
+    * oracle below stays the all-pairs closure, but the ALARM now
+    * survives the very condition it exists to detect: on the planted
+    * 20%-hot-family fixture the all-pairs form read 283 s at 10× and
+    * blew past a 15-minute cap at 30×, while the star form reads in
+    * seconds (measured, ARCHITECTURE.md round-11 skew campaign). An
+    * alarm that explodes on the mega-cluster it is alarming about is
+    * not an alarm. */
   val q297ClusterProfile = Q(
     "q297_cluster_profile",
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text",
-        shingleN = 3, k = 8, bands = 4)
+      val pairs = Dedup.minhashLshStarEdges(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, hotThreshold = 64)
       val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       val labs = docs.select($"doc_id".as("node"))
         .join(cc, Seq("node"), "left")
