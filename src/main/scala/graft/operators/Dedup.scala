@@ -146,6 +146,42 @@ object Dedup {
     smallPairs.unionByName(hotSpokes).distinct()
   }
 
+  /** D5 skew instrument — the band-bucket size PROFILE that prices a
+    * corpus's band join BEFORE running it: per distinct bucket size m,
+    * the bucket count, the pair volume the all-pairs join would shuffle
+    * (m(m−1)/2 per bucket), the edge volume the star contraction would
+    * ([[minhashLshStarEdges]]: m−1 when m > hotThreshold, else the
+    * pairs), and the is_hot flag. One groupBy over the band table plus
+    * a histogram aggregate — vocabulary-sized, never pair-sized, so the
+    * instrument itself is safe on exactly the corpora it exists to
+    * warn about (contrast q297's pre-round-11 form). Reading: a heavy
+    * tail row with pairs_all ≫ edges_star is the planted-family
+    * signature; route components/profiles through the star path. */
+  def lshBucketProfile(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+      hotThreshold: Int = 64): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(col(idCol),
+      graft.functions.MinHashExpression
+        .minhashSignature(col(textCol), shingleN, k).as("_sig"))
+      .filter(col("_sig").isNotNull)
+      .select(col(idCol) +: (0 until k).map(i =>
+        element_at(col("_sig"), i + 1).as(s"s$i")): _*)
+    val keyCols = "band" +: (0 until rows).map(r => s"v$r")
+    lshBands(sig, idCol, k, bands)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_buckets"))
+      // `div`, not `/`: Spark's / on longs is a DOUBLE divide; the pair
+      // counts are exact integers (m(m−1) is even)
+      .select(col("m").as("bucket_size"), col("n_buckets"),
+        expr("m * (m - 1) div 2 * n_buckets").as("pairs_all"),
+        expr(s"CASE WHEN m > $hotThreshold THEN (m - 1) * n_buckets " +
+          "ELSE m * (m - 1) div 2 * n_buckets END").as("edges_star"),
+        (col("m") > hotThreshold).as("is_hot"))
+  }
+
   /** Per-doc distinct gram-hash sets as one narrow array column (map-side
     * native expression — no explode/groupBy): (idCol, ghs, n). Docs with
     * no grams are dropped (they join nothing). */

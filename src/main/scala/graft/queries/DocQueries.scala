@@ -2864,6 +2864,46 @@ object DocQueries {
     q72DedupComponents.oracle,
     doc = "[NS] star-contracted CC == all-pairs CC (q72's oracle, verbatim)")
 
+  /** D5 skew instrument [NS] — the band-bucket size profile
+    * ([[graft.operators.Dedup.lshBucketProfile]]): prices a corpus's
+    * band join BEFORE running it — per bucket size, the pair volume the
+    * all-pairs join would shuffle vs the edges the star contraction
+    * would, with the hot flag. Vocabulary-sized aggregates only, so the
+    * instrument is safe on exactly the corpora it warns about (the
+    * round-11 skew campaign's DNF arms). hotThreshold = 2 here so the
+    * hot arithmetic is exercised on this corpus's 3-member buckets. */
+  val q372LshBucketProfile = Q(
+    "q372_lsh_bucket_profile",
+    (s, d) =>
+      Dedup.lshBucketProfile(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, hotThreshold = 2)
+        .orderBy(col("bucket_size")),
+    Some(s"""WITH tg AS ($shinglesSql),
+      sig AS (SELECT doc_id,
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
+        FROM tg GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band, s0 AS v0, s1 AS v1 FROM sig UNION ALL
+        SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        SELECT doc_id, 3, s6, s7 FROM sig),
+      bk AS (SELECT band, v0, v1, count(*) AS m FROM bands
+        GROUP BY 1, 2, 3)
+      SELECT m AS bucket_size, count(*) AS n_buckets,
+        (m * (m - 1) // 2 * count(*))::BIGINT AS pairs_all,
+        (CASE WHEN m > 2 THEN (m - 1) * count(*)
+          ELSE m * (m - 1) // 2 * count(*) END)::BIGINT AS edges_star,
+        m > 2 AS is_hot
+      FROM bk GROUP BY m ORDER BY bucket_size"""),
+    doc = "[NS] band-bucket profile: price the band join before running it")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -2881,5 +2921,5 @@ object DocQueries {
     q289SplitLeakage, q290SourceDupMatrix, q296RboStability,
     q297ClusterProfile, q298HashCollisions, q325RankGamma,
     q326SortedNeighborhood, q349DedupIndexForget, q352ImportanceForget,
-    q370LshSkewStar, q371DedupComponentsStar)
+    q370LshSkewStar, q371DedupComponentsStar, q372LshBucketProfile)
 }
