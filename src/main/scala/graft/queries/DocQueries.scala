@@ -2904,6 +2904,85 @@ object DocQueries {
       FROM bk GROUP BY m ORDER BY bucket_size"""),
     doc = "[NS] band-bucket profile: price the band join before running it")
 
+  /** [NS] — fuzzy near-miss candidates over DEDUP SURVIVORS: the
+    * composition a skewed corpus forces. q144's pair-list product
+    * cannot be star-contracted (the pairs ARE the product), so on a
+    * corpus with a heavy near-dup family the banded fuzzy join cliffs
+    * (DNF > 900 s at 10× skew — ARCHITECTURE round-11 campaign). The
+    * production ordering is CHEAP DEDUP FIRST: star-contracted banding
+    * → connected components → keep each component's representative
+    * (+ all singletons) → run the expensive pairwise stage over the
+    * survivors, where the hot family has collapsed to ONE doc. Output:
+    * the survivors' SimHash-banded near-miss pairs (hamming ≤ 3) with
+    * their exact edit distance — the "below the dedup threshold,
+    * review me" band (963 rows on this corpus; the collapsed near-dup
+    * pairs are gone BY the dedup, which is the point). The oracle
+    * recomputes the whole chain — all-pairs closure (components
+    * identical to the star's, q371), representative selection, SimHash
+    * banding, levenshtein — from scratch. */
+  val q373FuzzyOverSurvivors = Q(
+    "q373_fuzzy_over_survivors",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashLshStarEdges(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, hotThreshold = 2)
+      val cc = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      val reps = docs
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+          "left")
+        .filter($"rep".isNull || $"rep" === $"doc_id")
+        .select($"doc_id", $"text")
+        .localCheckpoint() // read by the band join AND both text joins
+      val t = reps.select($"doc_id", $"text")
+      Dedup.simhashHammingPairs(reps, "doc_id", "text")
+        .join(t.select($"doc_id".as("doc_a"), $"text".as("_ta")),
+          Seq("doc_a"))
+        .join(t.select($"doc_id".as("doc_b"), $"text".as("_tb")),
+          Seq("doc_b"))
+        .select($"doc_a", $"doc_b", $"hamming",
+          levenshtein($"_ta", $"_tb").cast("long").as("dist"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""WITH RECURSIVE tg AS ($shinglesSql),
+      sig AS (SELECT doc_id,
+        min(CAST('0x' || substr(md5('0:' || gram), 1, 15) AS BIGINT)) AS s0,
+        min(CAST('0x' || substr(md5('0:' || gram), 17, 15) AS BIGINT)) AS s1,
+        min(CAST('0x' || substr(md5('1:' || gram), 1, 15) AS BIGINT)) AS s2,
+        min(CAST('0x' || substr(md5('1:' || gram), 17, 15) AS BIGINT)) AS s3,
+        min(CAST('0x' || substr(md5('2:' || gram), 1, 15) AS BIGINT)) AS s4,
+        min(CAST('0x' || substr(md5('2:' || gram), 17, 15) AS BIGINT)) AS s5,
+        min(CAST('0x' || substr(md5('3:' || gram), 1, 15) AS BIGINT)) AS s6,
+        min(CAST('0x' || substr(md5('3:' || gram), 17, 15) AS BIGINT)) AS s7
+        FROM tg GROUP BY doc_id),
+      bnds AS (
+        SELECT doc_id, 0 AS band, s0 AS v0, s1 AS v1 FROM sig UNION ALL
+        SELECT doc_id, 1, s2, s3 FROM sig UNION ALL
+        SELECT doc_id, 2, s4, s5 FROM sig UNION ALL
+        SELECT doc_id, 3, s6, s7 FROM sig),
+      prs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bnds x JOIN bnds y
+        ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+          AND x.doc_id < y.doc_id),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION SELECT doc_b, doc_a FROM prs),
+      reach(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+      labels AS (SELECT src AS node, min(dst) AS rep
+        FROM reach GROUP BY src),
+      repdocs AS (SELECT dd.doc_id, dd.text
+        FROM documents dd LEFT JOIN labels ON labels.node = dd.doc_id
+        WHERE labels.rep IS NULL OR labels.rep = dd.doc_id),
+      ${simhashPairsCtes.replace("FROM documents", "FROM repdocs")}
+      SELECT hp.doc_a, hp.doc_b, hp.hamming,
+        CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+      FROM hp JOIN repdocs ta ON ta.doc_id = hp.doc_a
+        JOIN repdocs tb ON tb.doc_id = hp.doc_b
+      ORDER BY doc_a, doc_b"""),
+    doc = "[NS] cheap dedup first: near-miss review band over survivors")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -2921,5 +3000,6 @@ object DocQueries {
     q289SplitLeakage, q290SourceDupMatrix, q296RboStability,
     q297ClusterProfile, q298HashCollisions, q325RankGamma,
     q326SortedNeighborhood, q349DedupIndexForget, q352ImportanceForget,
-    q370LshSkewStar, q371DedupComponentsStar, q372LshBucketProfile)
+    q370LshSkewStar, q371DedupComponentsStar, q372LshBucketProfile,
+    q373FuzzyOverSurvivors)
 }
