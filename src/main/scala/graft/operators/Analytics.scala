@@ -1713,6 +1713,7 @@ object Analytics {
       .localCheckpoint(true)
     var s = wins.select(col("i"), lit(1000000L).as("s"))
     for (_ <- 1 to iters) {
+      val prevS = s
       val t = nGames
         .join(s.select(col("i"), col("s").as("s_i")), Seq("i"))
         .join(s.select(col("i").as("j"), col("s").as("s_j")), Seq("j"))
@@ -1737,6 +1738,8 @@ object Analytics {
             "div s_tot as bigint) ELSE cast(0 as bigint) END"))
         .select(col("i"), col("s"))
         .localCheckpoint(true)
+      // no-op on round 1 (the init frame is not a checkpoint)
+      org.apache.spark.sql.graftbridge.Bridge.dropCheckpoint(prevS)
     }
     val rkw = Window.orderBy(col("strength_ppm").desc, col("item").asc)
     wins.join(s, Seq("i"))
@@ -2726,6 +2729,7 @@ object Analytics {
         lit("__null__").as("state"), lit(0L).as("v")))
     var v = absorbing
     for (_ <- 1 to rounds) {
+      val prevV = v
       v = varEdges
         .join(v.select(col("variant"), col("state").as("to"),
           col("v")), Seq("variant", "to"))
@@ -2735,6 +2739,7 @@ object Analytics {
         .select(col("variant"), col("from").as("state"), col("v"))
         .unionAll(absorbing)
         .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.Bridge.dropCheckpoint(prevV)
     }
     val conv = v.filter(col("state") === "__start__")
       .select(col("variant"), col("v"))

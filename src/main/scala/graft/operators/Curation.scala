@@ -835,12 +835,16 @@ object Curation {
             Window.partitionBy(col("w"), col("grp")))) % 2 === 0)
           .otherwise(lit(false)))
         .withColumn("cons", coalesce(lag(col("mg"), 1).over(wn), lit(false)))
+      val prevPos = pos
       pos = m.filter(!col("cons"))
         .select(col("w"), col("freq"),
           (row_number().over(wn) - 1).as("i"),
           when(col("mg"), concat(col("sym"), col("ns")))
             .otherwise(col("sym")).as("sym"))
         .localCheckpoint()
+      // drop the superseded symbol table; each round's 1-row `best`
+      // stays persisted deliberately — `rules` reads it lazily at return
+      org.apache.spark.sql.graftbridge.Bridge.dropCheckpoint(prevPos)
     }
     (rules.orderBy(col("merge_rank")), pos)
   }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Similarity search over embedding columns (ARRAY<FLOAT> → double math):
   * brute-force cosine (baseline), sign-bucket LSH, IVF-style centroid
@@ -444,6 +445,7 @@ object Similarity {
             .select(col(idCol).as("c_id"), col("v").as("cv")))
         .localCheckpoint(true)
       for (_ <- 1 to iters) {
+        val prevCents = cents
         val assigned = ivfAssign(e, idCol, "v", cents)
           .select(col(idCol), col("centroid"))
           .join(e, Seq(idCol))
@@ -457,6 +459,7 @@ object Similarity {
             _.getField("nx")).as("cv"))
           .select(col("centroid").as("c_id"), col("cv"))
           .localCheckpoint(true)
+        Bridge.dropCheckpoint(prevCents) // superseded; new cents eager
       }
       cents
     } finally e.unpersist(blocking = false)
@@ -713,6 +716,7 @@ object Similarity {
           col("sv2").as("cv2"))
         .localCheckpoint(true)
       for (_ <- 1 to iters) {
+        val prevCents = cents
         // argmin over the sub's codewords; sv rides the agg (identical for
         // all candidate rows of one (id, sub) group) so the mean stage
         // needs NO join back against subs
@@ -734,6 +738,7 @@ object Similarity {
           .select(col("sub"), col("centroid").as("c_id"), col("cv"),
             dot(col("cv"), col("cv")).as("cv2"))
           .localCheckpoint(true)
+        Bridge.dropCheckpoint(prevCents) // superseded; new cents eager
       }
       cents.select(col("sub"), col("c_id"), col("cv"))
     } finally subs.unpersist(blocking = false)

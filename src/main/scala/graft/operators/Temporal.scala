@@ -198,6 +198,7 @@ object Temporal {
         .withColumn("_at", lit(0L))
         .localCheckpoint(true)
       for (_ <- 1 to rounds) {
+        val prevArr = arr
         val prop = und
           .join(arr.select(col("_n").as("_u"), col("_at")), "_u")
           .filter(col("_ct") >= col("_at"))
@@ -210,6 +211,7 @@ object Temporal {
               "WHEN _cand IS NULL THEN _at " +
               "ELSE least(_at, _cand) END").as("_at"))
           .localCheckpoint(true)
+        org.apache.spark.sql.graftbridge.Bridge.dropCheckpoint(prevArr)
       }
       arr.select(col("_n").as("node"), col("_at").as("arrival_us"))
     } finally und.unpersist(blocking = false)

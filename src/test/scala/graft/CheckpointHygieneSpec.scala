@@ -96,6 +96,37 @@ class CheckpointHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans / pqTrain drop superseded per-iteration centroids") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => ((i % 6) * 10 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val d1 = rddDelta(graft.operators.Similarity.kmeans(
+      vecs, "vec_id", "embedding", k = 4, iters = 6))
+    assert(d1 <= 1, s"kmeans leaked $d1 (want <= 1)")
+    val d2 = rddDelta(graft.operators.Similarity.pqTrain(
+      vecs, "vec_id", "embedding", m = 2, subDim = 4, ksub = 4,
+      iters = 6))
+    // subs + the final centroids stay referenced by the returned select
+    assert(d2 <= 2, s"pqTrain leaked $d2 (want <= 2)")
+  }
+
+  test("timeRespectingReach / bradleyTerry drop superseded rounds") {
+    import spark.implicits._
+    val contacts = (0L until 30L).map(i =>
+      (i, (i + 1) % 30, 100L + i)).toDF("a", "b", "ts")
+    val seeds = Seq(0L).toDF("node")
+    val d1 = rddDelta(graft.operators.Temporal.timeRespectingReach(
+      contacts, "a", "b", "ts", seeds, rounds = 8))
+    assert(d1 <= 1, s"timeRespectingReach leaked $d1 (want <= 1)")
+    val duels = (0 until 40).map(i =>
+      (s"p${i % 5}", s"p${(i + 1 + i % 3) % 5}")).toDF("w", "l")
+    val d2 = rddDelta(graft.operators.Analytics.bradleyTerry(
+      duels, "w", "l", iters = 6))
+    // wins + the final strengths stay referenced by the returned join
+    assert(d2 <= 2, s"bradleyTerry leaked $d2 (want <= 2)")
+  }
+
   test("cascadeRecursive (level-wise and doubling) drop superseded state") {
     import spark.implicits._
     val rows = (0L to 40L).map(i =>
