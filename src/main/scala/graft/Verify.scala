@@ -22,12 +22,17 @@ object Verify {
     // the driver sets no env vars, so the official dump is always full
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    var dumped = 0
+    var failed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+      } catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -46,6 +51,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Tamper-evident completion record (round 11's CORRECTNESS artifact
+    // came back `{}` with no trail — see ARCHITECTURE.md "Round-11
+    // correctness-artifact anomaly"). The sentinel + final stdout marker
+    // make "Verify never finished" machinely distinguishable from "ran
+    // and dumped N queries": consumers must treat a dump without `_done`
+    // (or with dumped==0) as a failed run, never as an empty registry.
+    val done = s"""{"dumped":$dumped,"failed":$failed,""" +
+      s""""oracle_n":${SparkEntry.oracleSql.size},"out":${q(outDir)}}"""
+    Files.writeString(Paths.get(s"$outDir/_done"), done)
     spark.stop()
+    // printed AFTER Spark shutdown, mirroring Bench's BENCH_MIN contract
+    println(s"VERIFY_DONE:$done")
+    if (dumped == 0) sys.exit(3)
   }
 }

@@ -24,12 +24,34 @@ def norm(v):
 
 
 def main():
-    import duckdb
+    import duckdb, os
+    # Completion-sentinel gate (round 11: the driver artifact was `{}`
+    # with no trail). A dump without `_done`, with zero dumped queries,
+    # or with a missing/empty oracle_sql.json is a FAILED VERIFY RUN,
+    # never an empty registry — refuse to score it.
+    sent_path = f"{OUT}/_done"
+    if not os.path.exists(sent_path):
+        print(f"ABORT: no completion sentinel at {sent_path} — "
+              "graft.Verify did not finish; dump is untrustworthy")
+        sys.exit(3)
+    sentinel = json.load(open(sent_path))
+    if sentinel.get("dumped", 0) == 0:
+        print(f"ABORT: sentinel records zero dumped queries: {sentinel}")
+        sys.exit(3)
+    if not os.path.exists(f"{OUT}/oracle_sql.json") or \
+            os.path.getsize(f"{OUT}/oracle_sql.json") < 3:
+        print(f"ABORT: oracle_sql.json missing/empty in {OUT}")
+        sys.exit(3)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    if not oracle:
+        print(f"ABORT: oracle_sql.json parsed to an empty object in {OUT}")
+        sys.exit(3)
+    print(f"sentinel: dumped={sentinel['dumped']} "
+          f"failed={sentinel.get('failed')} oracle_n={sentinel.get('oracle_n')}")
     ok = fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -108,4 +130,9 @@ if __name__ == "__main__":
         for line in (r.stdout + r.stderr).splitlines():
             if "[verify]" in line:
                 print(line)
+        if "VERIFY_DONE:" not in r.stdout:
+            print("ABORT: graft.Verify exited 0 but never printed its "
+                  "VERIFY_DONE marker — dump is untrustworthy")
+            print(tail)
+            sys.exit(3)
     main()
