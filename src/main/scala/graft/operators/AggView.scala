@@ -98,9 +98,11 @@ object AggView {
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"))
       .filter(col("cnt") =!= 0L)
-    writeGen(merged, dir, gen + 1L, keyCols)
-    advance(dir, gen + 1L, math.max(epoch, lastEpoch), fenceTag,
-      basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGen(merged, dir, gen + 1L, keyCols)
+      advance(dir, gen + 1L, math.max(epoch, lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 
   /** Streaming maintenance: each micro-batch of CDC rows folds into the

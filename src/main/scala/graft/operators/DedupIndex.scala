@@ -237,10 +237,12 @@ object DedupIndex {
     if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
     requireGeometry(spark, dir, k, bands, "compact")
     val (hashes, bandKeys) = readStored(spark, dir, k, bands)
-    writeGen(hashes.distinct().localCheckpoint(true),
-      bandKeys.distinct().localCheckpoint(true), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
-      basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGen(hashes.distinct().localCheckpoint(true),
+        bandKeys.distinct().localCheckpoint(true), dir, gen + 1)
+      TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 
   /** Certified forget — remove `ids`' derived rows from the stored
@@ -265,12 +267,14 @@ object DedupIndex {
     val (hashes, bandKeys) = readStored(spark, dir, k, bands)
     val rm = ids.select(col(idCol).cast("long").as("_id")).distinct()
       .localCheckpoint(true)
-    writeGen(
-      hashes.join(broadcast(rm), Seq("_id"), "left_anti"),
-      bandKeys.join(broadcast(rm), Seq("_id"), "left_anti"),
-      dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
-      basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGen(
+        hashes.join(broadcast(rm), Seq("_id"), "left_anti"),
+        bandKeys.join(broadcast(rm), Seq("_id"), "left_anti"),
+        dir, gen + 1)
+      TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 
   /** Loud geometry guard for the REWRITING entry points ([[removeDocs]]

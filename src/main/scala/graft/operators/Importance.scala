@@ -207,8 +207,10 @@ object Importance {
       s"Importance.removeBatch: $bad bucket counts would go negative " +
         "(or hit buckets the model never saw) — the removal batch is " +
         "not a subset of the trained corpus")
-    writeCounts(merged.filter(col("cr") > 0), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
-      basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeCounts(merged.filter(col("cr") > 0), dir, gen + 1)
+      TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 }

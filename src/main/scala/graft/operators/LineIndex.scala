@@ -93,9 +93,11 @@ object LineIndex {
         .join(stored.select(col("_h"), lit(1).as("_seen")),
           Seq("_h"), "left_anti")
         .select(col("_h"), col("_bnd").as("_nd")))
-    writeGen(merged, dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
-      basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGen(merged, dir, gen + 1)
+      TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 
   /** Right-to-be-forgotten removal: distinct-doc line counts are sums
@@ -126,9 +128,11 @@ object LineIndex {
     require(bad == 0,
       s"LineIndex.removeBatch: $bad line counts would go negative — " +
         "the removal batch is not a subset of the indexed corpus")
-    writeGen(merged.filter(col("_nd") > 0), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
-      basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGen(merged.filter(col("_nd") > 0), dir, gen + 1)
+      TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 
   /** [NS] — Structured Streaming ingest hook: each doc-disjoint

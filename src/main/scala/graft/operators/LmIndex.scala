@@ -94,9 +94,11 @@ object LmIndex {
         .join(stored.select(col("w1"), col("w2"), lit(1).as("_seen")),
           Seq("w1", "w2"), "left_anti")
         .select(col("w1"), col("w2"), col("bc2").as("c2")))
-    writeGen(merged, dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
-      basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGen(merged, dir, gen + 1)
+      TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 
   /** Score `probe` from the STORED model only — zero train-corpus scans
@@ -175,9 +177,11 @@ object LmIndex {
         .join(stored.select(col("w1"), col("w2"), col("w3"),
           lit(1).as("_seen")), Seq("w1", "w2", "w3"), "left_anti")
         .select(col("w1"), col("w2"), col("w3"), col("bc3").as("c3")))
-    writeGen3(merged, dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
-      basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGen3(merged, dir, gen + 1)
+      TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 
   /** Score `probe` from the STORED trigram model only — zero
@@ -229,9 +233,11 @@ object LmIndex {
     require(bad == 0,
       s"removeTrigramBatch: $bad trigram counts would go negative — " +
         "the removal batch is not a subset of the trained corpus")
-    writeGen3(merged.filter(col("c3") > 0), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
-      basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGen3(merged.filter(col("c3") > 0), dir, gen + 1)
+      TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 
   /** Structured Streaming ingest hook for the trigram tier: each

@@ -50,6 +50,16 @@ object MomentsState {
     s"${TextIndex.genDir(dir, g.max(0L))}/sums"
   }
 
+  /** Legacy-layout verdicts, keyed by GENERATION path (r11 ADVICE): a
+    * generation dir is written exactly once and then only ever replaced
+    * by a pointer flip to a NEW path, so the verdict is immutable — the
+    * schema-inference footer read runs once per generation per JVM
+    * instead of on every serve/merge. (One generation is also one
+    * [[writeGen]] `coalesce(1)` file, so "sample one footer" and "read
+    * them all" are the same thing here.) */
+  private val legacyVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def storedSums(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val path = tablePath(dir)
@@ -59,9 +69,9 @@ object MomentsState {
     // type-mismatch nobody can act on. Read the footer's own schema
     // first and upcast legacy longs on read — the next writeGen then
     // persists the decimal(38,0) layout, migrating the store in place.
-    val physical = spark.read.parquet(path).schema
-    val legacy = physical.find(_.name == "s2")
-      .exists(_.dataType == LongType)
+    val legacy: Boolean = legacyVerdicts.computeIfAbsent(path, p =>
+      spark.read.parquet(p).schema.find(_.name == "s2")
+        .exists(_.dataType == LongType))
     if (legacy)
       spark.read.schema(StructType(Seq(
           StructField("_k", StringType), StructField("n", LongType),
@@ -129,9 +139,11 @@ object MomentsState {
         sum(col("s2")).cast("decimal(38,0)").as("s2"),
         sum(col("s3")).cast("decimal(38,0)").as("s3"),
         sum(col("s4")).cast("decimal(38,0)").as("s4"))
-    writeGen(merged, dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
-      basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGen(merged, dir, gen + 1)
+      TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 
   /** Right-to-be-forgotten removal: subtract the forgotten rows' power
@@ -171,9 +183,11 @@ object MomentsState {
     require(bad == 0,
       s"MomentsState.removeBatch: $bad groups would go negative — " +
         "the removal batch is not a subset of the folded facts")
-    writeGen(merged.filter(col("n") > 0), dir, gen + 1)
-    TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
-      basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGen(merged.filter(col("n") > 0), dir, gen + 1)
+      TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 
   /** Streaming fold: exactly-once moment maintenance over

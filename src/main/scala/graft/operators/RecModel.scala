@@ -164,9 +164,11 @@ object RecModel {
           coalesce(col("_bn"), lit(0L))).as("n_users"))
     val mergedAnchors = sAnchors
       .unionByName(anchorsOf(batch, userCol, itemCol))
-    writeGen(mergedSims, mergedAnchors, dir, gen + 1)
-    advance(dir, gen + 1, if (epoch >= 0) epoch else lastEpoch,
-      fenceTag, basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGen(mergedSims, mergedAnchors, dir, gen + 1)
+      advance(dir, gen + 1, if (epoch >= 0) epoch else lastEpoch,
+        fenceTag, basedOnGen = gen)
+    }
   }
 
   /** Right-to-be-forgotten removal: forget USERS from the stored model
@@ -212,9 +214,11 @@ object RecModel {
     val newAnchors = sAnchors.join(
       broadcast(batch.select(col(userCol)).distinct()),
       Seq(userCol), "left_anti")
-    writeGen(merged.filter(col("n_users") > 0), newAnchors, dir, gen + 1)
-    advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
-      basedOnGen = gen)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGen(merged.filter(col("n_users") > 0), newAnchors, dir, gen + 1)
+      advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 
   /** foreachBatch adapter: exactly-once model maintenance over

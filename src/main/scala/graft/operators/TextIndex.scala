@@ -82,7 +82,10 @@ object TextIndex {
         // bare "gen"): gen with the default no-fence sentinel — dropping
         // this case made a legacy store read as UNBUILT (gen -1), so
         // serve silently fell back to generation 0 (r10 ADVICE)
-        case Array(g) if g.nonEmpty && g.forall(c => c.isDigit || c == '-') =>
+        // strict integer shape (r11 ADVICE): the earlier char-set guard
+        // accepted "1-2" / "-" and then threw from toLong — garbage
+        // pointers must degrade to the (-1,-1) unbuilt sentinel instead
+        case Array(g) if g.matches("-?\\d+") =>
           (g.toLong, -1L, Map.empty)
         case f if f.length >= 2 =>
           (f(0).toLong, f(1).toLong,
@@ -157,18 +160,67 @@ object TextIndex {
     * replace whatever is there by design). */
   private[operators] val Unguarded: Long = Long.MinValue
 
+  /** Canonical monitor/claim key for an artifact dir (r11 ADVICE): two
+    * spellings of one directory (trailing slash, relative vs absolute)
+    * must share a monitor, or the second thread trips FileChannel.lock's
+    * JVM-wide OverlappingFileLockException instead of blocking. */
+  private def normDir(dir: String): String =
+    java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+
   /** Per-dir JVM monitors for the pointer critical section — foreachBatch
     * writers run on stream execution threads inside ONE JVM, so the
-    * cross-process file lock below never sees them contend. */
+    * cross-process file lock below never sees them contend. Keyed on the
+    * NORMALIZED path (see [[normDir]]); one Object per distinct artifact
+    * dir the JVM ever touches (bounded by the artifact count, not the
+    * mutation count). */
   private val ptrMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** In-flight mutation claims: normalized dir → the target generation a
+    * guarded mutation is currently deriving/writing (see [[withGenClaim]]). */
+  private val genClaims =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Run a guarded mutation's write phase (gen-data write + pointer flip)
+    * holding an in-JVM CLAIM on `basedOnGen + 1`.
+    *
+    * Closes the r11 ADVICE window: the CAS in [[writePointer]] aborts
+    * only at FLIP time, after the loser already wrote into the same
+    * gen+1 data directory the winner flipped to — the loser failed
+    * loudly, but the winner's store was silently co-written. Claiming
+    * the generation BEFORE any data byte lands makes the second mutator
+    * fail up front, so the winner's data dir is never shared. The claim
+    * is in-JVM by design: unserialized concurrent writers realistically
+    * ARE threads of one JVM (foreachBatch streams); a cross-process
+    * violation of the documented writers-serialized contract still
+    * fails loudly at flip time via the CAS. */
+  private[operators] def withGenClaim[T](dir: String, basedOnGen: Long)(
+      body: => T): T = {
+    val key = normDir(dir)
+    val target = java.lang.Long.valueOf(basedOnGen + 1)
+    val prev = genClaims.putIfAbsent(key, target)
+    if (prev != null)
+      throw new java.util.ConcurrentModificationException(
+        s"mutation on $dir aborted BEFORE writing: another mutation in " +
+          s"this JVM is already in flight (target gen=$prev). Writers " +
+          "must be serialized per artifact; nothing was written.")
+    try {
+      val (curGen, _, _) = currentAll(dir)
+      if (curGen != basedOnGen)
+        throw new java.util.ConcurrentModificationException(
+          s"mutation on $dir aborted BEFORE writing: derived from " +
+            s"gen=$basedOnGen but the store is now at gen=$curGen — " +
+            "re-derive from the current generation; nothing was written.")
+      body
+    } finally genClaims.remove(key, target)
+  }
 
   /** JVM monitor + cross-process file lock around a pointer read/verify/
     * flip — makes the compare-and-swap below atomic against every other
     * GUARDED writer on `dir`. */
   private def withPointerLock[T](dir: String)(f: => T): T = {
     import java.nio.file.{Files, Paths, StandardOpenOption}
-    val mon = ptrMonitors.computeIfAbsent(dir, _ => new Object)
+    val mon = ptrMonitors.computeIfAbsent(normDir(dir), _ => new Object)
     mon.synchronized {
       Files.createDirectories(Paths.get(dir))
       val ch = java.nio.channels.FileChannel.open(
@@ -358,8 +410,10 @@ object TextIndex {
       .select((col("_L") + col("_bL")).as("_L"),
         (col("_N") + col("_bN")).as("_N"))
 
-    writeGen(mergedPostings, mergedStats, dir, gen + 1, idCol)
-    advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag, basedOnGen = gen)
+    withGenClaim(dir, gen) {
+      writeGen(mergedPostings, mergedStats, dir, gen + 1, idCol)
+      advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag, basedOnGen = gen)
+    }
   }
 
   /** foreachBatch adapter: streamed document batches fold into the index
@@ -422,8 +476,10 @@ object TextIndex {
     val newStats = stats.crossJoin(broadcast(rstats))
       .select((col("_L") - col("_rL")).as("_L"),
         (col("_N") - col("_rN")).as("_N"))
-    writeGen(newPostings, newStats, dir, gen + 1, idCol)
-    advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag, basedOnGen = gen)
+    withGenClaim(dir, gen) {
+      writeGen(newPostings, newStats, dir, gen + 1, idCol)
+      advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag, basedOnGen = gen)
+    }
   }
 
   // ---- positional index (phrase serving) ----------------------------
@@ -483,6 +539,10 @@ object TextIndex {
       .repartitionByRange(col("term"))
       .sortWithinPartitions(col("term"), col(idCol), col("pos"))
       .write.mode("append").parquet(s"${genDir(dir, gen)}/pospostings")
+    // deliberately NOT withGenClaim: this is a same-generation APPEND
+    // (unique part files, no gen+1 dir to co-write) + a fence-only flip;
+    // concurrent appenders with distinct fence tags are legal here, and
+    // the CAS still catches a generation move under our feet
     advance(dir, gen, epoch.max(lastEpoch), fenceTag, basedOnGen = gen)
   }
 

@@ -81,6 +81,145 @@ class PointerProtocolSpec extends AnyFunSuite {
     assert(TextIndex.current(dir) === ((-1L, -1L)))
   }
 
+  test("garbage pointer bodies degrade to the unbuilt sentinel, " +
+      "never throw (r11 ADVICE)") {
+    val dir = tmp("ptr_garbage")
+    val p = java.nio.file.Paths.get(dir, "_current")
+    for (garbage <- Seq("1-2", "-", "--3", "x", "3x"))
+      withClue(s"pointer body '$garbage': ") {
+        java.nio.file.Files.writeString(p, garbage)
+        assert(TextIndex.current(dir) === ((-1L, -1L)))
+      }
+    // negative gen (a legal legacy shape) still parses
+    java.nio.file.Files.writeString(p, "-1")
+    assert(TextIndex.current(dir) === ((-1L, -1L)))
+    java.nio.file.Files.writeString(p, "7")
+    assert(TextIndex.current(dir) === ((7L, -1L)))
+  }
+
+  test("path aliases of one dir share a monitor: concurrent guarded " +
+      "flips through different spellings serialize (r11 ADVICE)") {
+    val dir = tmp("ptr_alias")
+    TextIndex.advance(dir, 0L, -1L)
+    // pre-fix: 'dir' and 'dir/' got DIFFERENT JVM monitors, so two
+    // threads reached FileChannel.lock concurrently and the second got
+    // a JVM-wide OverlappingFileLockException instead of blocking
+    val spellings = Seq(dir, dir + "/", dir + "/./")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val flips = new java.util.concurrent.atomic.AtomicLong(0)
+    val threads = spellings.zipWithIndex.map { case (d, i) =>
+      new Thread(() => {
+        var done = 0
+        while (done < 10) {
+          val (g, _) = TextIndex.current(d)
+          try {
+            TextIndex.advance(d, g + 1, done.toLong, s"t$i",
+              basedOnGen = g)
+            done += 1; flips.incrementAndGet()
+          } catch {
+            case _: java.util.ConcurrentModificationException => // retry
+            case t: Throwable => errs.add(t); done = 10
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"unexpected failure (pre-fix: " +
+      s"OverlappingFileLockException): ${errs.peek()}")
+    assert(flips.get() === 30L)
+    assert(TextIndex.current(dir)._1 === 30L)
+  }
+
+  test("withGenClaim rejects a stale generation BEFORE the body runs") {
+    val dir = tmp("ptr_claim_stale")
+    TextIndex.advance(dir, 0L, -1L)
+    TextIndex.advance(dir, 1L, 1L, "", basedOnGen = 0L)
+    var ran = false
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TextIndex.withGenClaim(dir, 0L) { ran = true }
+    }
+    assert(!ran, "body must never run for a stale claim — pre-r12 the " +
+      "loser only failed AFTER co-writing the winner's gen+1 data dir")
+    assert(e.getMessage.contains("BEFORE writing"))
+    // an up-to-date claim runs and releases
+    var ok = false
+    TextIndex.withGenClaim(dir, 1L) { ok = true }
+    assert(ok)
+  }
+
+  test("withGenClaim: second in-flight mutation aborts up front; claim " +
+      "is released on success AND on failure") {
+    val dir = tmp("ptr_claim_race")
+    TextIndex.advance(dir, 0L, -1L)
+    val inBody = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      TextIndex.withGenClaim(dir, 0L) {
+        inBody.countDown()
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        TextIndex.advance(dir, 1L, 1L, "", basedOnGen = 0L)
+      }
+    })
+    holder.start()
+    assert(inBody.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // while the first mutation is in flight, a second claimant fails
+    // immediately — nothing written, no shared data dir
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TextIndex.withGenClaim(dir, 0L) {
+        fail("loser's body must not run")
+      }
+    }
+    assert(e.getMessage.contains("in flight"))
+    release.countDown(); holder.join(30000)
+    assert(TextIndex.current(dir) === ((1L, 1L)))
+    // claim released by the winner: a fresh mutation claims fine
+    TextIndex.withGenClaim(dir, 1L) {
+      TextIndex.advance(dir, 2L, 2L, "", basedOnGen = 1L)
+    }
+    // ...and a FAILED body also releases its claim
+    intercept[RuntimeException] {
+      TextIndex.withGenClaim(dir, 2L) { throw new RuntimeException("boom") }
+    }
+    TextIndex.withGenClaim(dir, 2L) {
+      TextIndex.advance(dir, 3L, 3L, "", basedOnGen = 2L)
+    }
+    assert(TextIndex.current(dir)._1 === 3L)
+  }
+
+  test("racing mergeBatch mutations: exactly one writes, the loser " +
+      "aborts without touching the winner's generation dir") {
+    import spark.implicits._
+    val dir = tmp("ptr_claim_merge")
+    TextIndex.build(Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    val b1 = Seq((3L, "delta")).toDF("doc_id", "text")
+    val b2 = Seq((4L, "epsilon")).toDF("doc_id", "text")
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val ts = Seq(b1, b2).map(b => new Thread(() => {
+      start.await()
+      try {
+        TextIndex.mergeBatch(spark, b, "doc_id", "text", dir)
+        outcomes.add("ok")
+      } catch {
+        case _: java.util.ConcurrentModificationException =>
+          outcomes.add("aborted")
+      }
+    }))
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(120000))
+    val res = outcomes.toArray(Array.empty[String]).toSeq.sorted
+    // both may win if they happened to serialize; at most one aborts,
+    // and an abort means NOTHING of the loser's reached the store
+    assert(res.count(_ == "ok") >= 1 && res.size === 2)
+    val (gen, _) = TextIndex.current(dir)
+    assert(gen.toInt === res.count(_ == "ok"))
+    val n = spark.read.parquet(TextIndex.postingsPath(dir))
+      .select("doc_id").distinct().count()
+    assert(n === 2L + res.count(_ == "ok"),
+      "the store must contain exactly the winners' docs — a co-written " +
+        "generation dir would surface extra or missing docs")
+  }
+
   test("legacy long-typed MomentsState footer upcasts on read and " +
       "migrates to decimal on the next merge") {
     import spark.implicits._
