@@ -182,6 +182,109 @@ object Dedup {
         (col("m") > hotThreshold).as("is_hot"))
   }
 
+  /** D5 skew instrument — the GROUP-PAIR slice of the band-join volume,
+    * computed bucket-arithmetically (q372's move applied to
+    * [[pairGroupMatrix]]'s question): per unordered group pair, how
+    * many pair-slots the all-pairs band join would shuffle between
+    * members of those groups. Per bucket, per group g with cnt_g
+    * members: the diagonal contributes cnt_g·(cnt_g−1)/2, a cross cell
+    * cnt_a·cnt_b — exact integer arithmetic on per-bucket GROUP COUNTS,
+    * so a hot bucket costs |groups-in-bucket|² tiny rows instead of m²
+    * materialized pairs. Same reading as q372's `pairs_all`: this is
+    * the band-join VOLUME (a pair sharing b buckets counts b times),
+    * the pre-flight pricing currency — [[pairGroupMatrix]] over
+    * [[minhashLshCandidates]] is the distinct-pair record when the
+    * corpus is known un-skewed. Output mirrors [[pairGroupMatrix]]:
+    * (group_a, group_b, pair_volume, cross_group, share_ppm). */
+  def lshGroupPairVolume(df: DataFrame, idCol: String, textCol: String,
+      meta: DataFrame, groupCol: String,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = k / bands
+    val sig = df.select(col(idCol),
+      graft.functions.MinHashExpression
+        .minhashSignature(col(textCol), shingleN, k).as("_sig"))
+      .filter(col("_sig").isNotNull)
+      .select(col(idCol) +: (0 until k).map(i =>
+        element_at(col("_sig"), i + 1).as(s"s$i")): _*)
+    val keyCols = "band" +: (0 until rows).map(r => s"v$r")
+    // per (bucket, group) member counts — the whole corpus collapses to
+    // ≤ |buckets|·|groups| rows before anything pair-shaped happens
+    val gc = lshBands(sig, idCol, k, bands)
+      .join(meta.select(col(idCol), col(groupCol).as("_g")), Seq(idCol))
+      .groupBy(keyCols.map(col) :+ col("_g"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // both sides of the tiny self-join below
+    val a = gc.select(keyCols.map(col) :+ col("_g").as("_ga") :+
+      col("_c").as("_ca"): _*)
+    val b = gc.select(keyCols.map(col) :+ col("_g").as("_gb") :+
+      col("_c").as("_cb"): _*)
+    val tot = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    a.join(b, keyCols)
+      .filter(col("_ga") <= col("_gb"))
+      .select(col("_ga").as("group_a"), col("_gb").as("group_b"),
+        when(col("_ga") === col("_gb"),
+          expr("_ca * (_ca - 1) div 2"))
+          .otherwise(col("_ca") * col("_cb")).as("_v"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(sum(col("_v")).as("pair_volume"))
+      .filter(col("pair_volume") > 0L)
+      .withColumn("cross_group", col("group_a") =!= col("group_b"))
+      .withColumn("_tot", sum(col("pair_volume")).over(tot))
+      .withColumn("share_ppm", expr("(1000000 * pair_volume) div _tot"))
+      .drop("_tot")
+  }
+
+  /** D5 skew advisor — pick the star-contraction threshold from the
+    * measured [[lshBucketProfile]] instead of a hand-set constant (the
+    * q287 band/row-advisor move applied to the hot-bucket cure): the
+    * LARGEST threshold whose total edge volume
+    * `Σ_{m≤t} pairs(m) + Σ_{m>t} (m−1)·buckets(m)` stays within
+    * `budgetPairs`. Larger t = more exact pairs survive (higher
+    * fidelity for pair-consuming stages); the budget caps what the
+    * band join is allowed to shuffle. Cost is monotone in t, so only
+    * the distinct observed bucket sizes need scoring — the whole
+    * computation is |distinct sizes| rows of window arithmetic on the
+    * profile. When even full contraction (t = 1, every multi-member
+    * bucket a star) exceeds the budget, returns t = 1 with
+    * `within_budget = false` — the loud "your budget is smaller than
+    * the linear floor" verdict. One row:
+    * (advised_threshold, edge_volume, budget, within_budget,
+    * pairs_volume_full, edges_volume_floor). */
+  def advisedHotThreshold(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+      budgetPairs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prof = lshBucketProfile(df, idCol, textCol, shingleN, k, bands)
+      .select(col("bucket_size"), col("pairs_all"),
+        expr("(bucket_size - 1) * n_buckets").as("_spokes"))
+    val cum = Window.orderBy(col("bucket_size")).rowsBetween(
+      Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    prof
+      .withColumn("_tot_spokes", sum(col("_spokes")).over(tot))
+      .withColumn("_tot_pairs", sum(col("pairs_all")).over(tot))
+      // cost of threshold t = bucket_size: buckets ≤ t keep exact
+      // pairs, buckets > t contract to their spokes
+      .withColumn("_cost", sum(col("pairs_all")).over(cum) +
+        col("_tot_spokes") - sum(col("_spokes")).over(cum))
+      .agg(
+        max(when(col("_cost") <= budgetPairs, col("bucket_size")))
+          .as("_t"),
+        max(when(col("_cost") <= budgetPairs, col("_cost"))).as("_c"),
+        max(col("_tot_pairs")).as("pairs_volume_full"),
+        max(col("_tot_spokes")).as("edges_volume_floor"))
+      .select(
+        coalesce(col("_t"), lit(1L)).as("advised_threshold"),
+        coalesce(col("_c"), col("edges_volume_floor")).as("edge_volume"),
+        lit(budgetPairs).as("budget"),
+        coalesce(col("_c") <= budgetPairs,
+          col("edges_volume_floor") <= budgetPairs).as("within_budget"),
+        col("pairs_volume_full"), col("edges_volume_floor"))
+  }
+
   /** Per-doc distinct gram-hash sets as one narrow array column (map-side
     * native expression — no explode/groupBy): (idCol, ghs, n). Docs with
     * no grams are dropped (they join nothing). */

@@ -1299,8 +1299,15 @@ object DocQueries {
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text",
-        shingleN = 3, k = 8, bands = 4)
+      // Round 12: STAR-contracted band join (production threshold 64).
+      // keepBest consumes the pairs only through its CC closure, and
+      // within a bucket the clique and the hub star have identical
+      // components (q371's certified theorem) — so `rep`, `n_dups`, and
+      // the winner are unchanged while the hot-bucket shuffle drops
+      // from quadratic to linear (the q144-class DNF the round-11 skew
+      // campaign measured no longer reaches this production path).
+      val pairs = Dedup.minhashLshStarEdges(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, hotThreshold = 64)
       Dedup.keepBest(docs.select($"doc_id", $"text"), pairs, "doc_id",
           length($"text").cast("long"))
         .select($"doc_id", $"n_dups", length($"text").cast("long").as("len"))
@@ -1438,8 +1445,17 @@ object DocQueries {
     "q145_cc_incremental",
     (s, d) => {
       import s.implicits._
-      val pairs = Dedup.minhashLshCandidates(Tables.documents(s, d),
-          "doc_id", "text", shingleN = 3, k = 8, bands = 4)
+      // Round 12: the edge feed is the STAR-contracted band join
+      // (production threshold 64). The archive/delta SPLIT of the edge
+      // list differs from the all-pairs split (a hot bucket's two old
+      // members may now connect through a new hub instead of directly),
+      // so labels0 is a different — but valid — intermediate state; the
+      // FINAL closure folds every delta edge back in, and CC over the
+      // full star edge set equals CC over the full all-pairs set
+      // (q371's theorem). Same oracle, linear hot-bucket shuffle.
+      val pairs = Dedup.minhashLshStarEdges(Tables.documents(s, d),
+          "doc_id", "text", shingleN = 3, k = 8, bands = 4,
+          hotThreshold = 64)
         .localCheckpoint() // split into archive/delta below — one compute
       val oldPair = $"doc_a" % 3 =!= 0 && $"doc_b" % 3 =!= 0
       val labels0 = Dedup.connectedComponents(pairs.filter(oldPair),
@@ -2983,6 +2999,180 @@ object DocQueries {
       ORDER BY doc_a, doc_b"""),
     doc = "[NS] cheap dedup first: near-miss review band over survivors")
 
+  /** Shared q374/q375 oracle middle: per-(bucket, group) member counts
+    * over a `gm(doc_id, g)` CTE, then the exact per-cell pair-slot
+    * arithmetic (diagonal m(m−1)/2, cross m_a·m_b) — the bucket algebra
+    * recomputed from scratch in SQL (dual construction vs
+    * [[graft.operators.Dedup.lshGroupPairVolume]]). */
+  private def groupVolumeTailSql: String =
+    """gcnt AS (SELECT b.band, b.v0, b.v1, gm.g, count(*) AS c
+        FROM bnd b JOIN gm ON gm.doc_id = b.doc_id GROUP BY 1, 2, 3, 4),
+      cells AS (SELECT x.g AS group_a, y.g AS group_b,
+          CASE WHEN x.g = y.g THEN x.c * (x.c - 1) // 2
+            ELSE x.c * y.c END AS v
+        FROM gcnt x JOIN gcnt y
+        ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+          AND x.g <= y.g),
+      ag AS (SELECT group_a, group_b, CAST(sum(v) AS BIGINT) AS pair_volume
+        FROM cells GROUP BY 1, 2 HAVING sum(v) > 0),
+      tt AS (SELECT *, sum(pair_volume) OVER () AS tot FROM ag)
+      SELECT group_a, group_b, pair_volume,
+        group_a <> group_b AS cross_group,
+        CAST((1000000 * pair_volume) // tot AS BIGINT) AS share_ppm
+      FROM tt ORDER BY group_a, group_b"""
+
+  /** The deterministic hash-split CTE (q56/q289's split law verbatim),
+    * shaped as the `gm(doc_id, g)` input of [[groupVolumeTailSql]]. */
+  private val splitGroupSql: String =
+    """gm AS (SELECT doc_id, CASE
+        WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+          % 100 < 80 THEN 'train'
+        WHEN CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+          % 100 < 90 THEN 'val'
+        ELSE 'test' END AS g
+      FROM documents)"""
+
+  /** [NS] — split-leakage VOLUME, bucket-arithmetic (the skew-safe
+    * sibling q289 cannot be: its n_pairs product is pair-determined, so
+    * star contraction would change it — this computes the same
+    * question's pricing currency without ever materializing a pair).
+    * [[graft.operators.Dedup.lshGroupPairVolume]] against the hash
+    * split: per split pair, the pair-slots the all-pairs band join
+    * would shuffle (q372's `pairs_all`, sliced by group). On the
+    * planted-hot-family fixture this stays |buckets|·|groups|-sized
+    * where q289's exact count rides the measured all-pairs cliff. */
+  val q374SplitLeakageVolume = Q(
+    "q374_split_leakage_volume",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val meta = graft.operators.Curation.assignSplit(docs, "doc_id")
+        .select($"doc_id", $"split")
+      Dedup.lshGroupPairVolume(docs, "doc_id", "text", meta, "split",
+          shingleN = 3, k = 8, bands = 4)
+        .orderBy($"group_a", $"group_b")
+    },
+    Some(s"""WITH $candidatePairsSql,
+      $splitGroupSql,
+      $groupVolumeTailSql"""),
+    doc = "[NS] split-leakage band-join volume, bucket arithmetic (skew-safe)")
+
+  /** [NS] — cross-source duplication VOLUME, bucket-arithmetic: the
+    * r11-verdict-prescribed skew story for q290 (whose per-pair counts
+    * are the exact record and pair-determined by design). Same
+    * group-pair pricing as q374, keyed by `source` — which source
+    * pairs the joint band join would spend its shuffle on, linear on
+    * corpora where q290's all-pairs form is the measured DNF. */
+  val q375SourceDupVolume = Q(
+    "q375_source_dup_volume",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      Dedup.lshGroupPairVolume(docs, "doc_id", "text",
+          docs.select($"doc_id", $"source"), "source",
+          shingleN = 3, k = 8, bands = 4)
+        .orderBy($"group_a", $"group_b")
+    },
+    Some(s"""WITH $candidatePairsSql,
+      gm AS (SELECT doc_id, source AS g FROM documents),
+      $groupVolumeTailSql"""),
+    doc = "[NS] cross-source dup band-join volume, bucket arithmetic (skew-safe)")
+
+  /** [NS] — COMPONENT-level split leakage: the decision-grade audit
+    * that IS star-safe (what q289's pair counts approximate): a
+    * near-dup component spanning train and test leaks regardless of
+    * how many candidate pairs link it, and decontamination (q58) acts
+    * on components, not pairs. CC over the star-contracted edges,
+    * every doc labeled (singletons are their own component), then per
+    * distinct SPLIT-SET signature: component count, doc count, leaked
+    * flag. Exact under any skew by q371's theorem — the oracle runs
+    * the all-pairs WITH RECURSIVE closure and must land on identical
+    * components. */
+  val q376SplitLeakageComponents = Q(
+    "q376_split_leakage_components",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashLshStarEdges(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, hotThreshold = 64)
+      val cc = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      val meta = graft.operators.Curation.assignSplit(docs, "doc_id")
+        .select($"doc_id", $"split")
+      meta.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+          "left")
+        .withColumn("rep", coalesce($"rep", $"doc_id"))
+        .groupBy($"rep")
+        .agg(concat_ws(",", sort_array(collect_set($"split")))
+          .as("splits"), count(lit(1)).as("n_docs"))
+        .groupBy($"splits")
+        .agg(count(lit(1)).as("n_components"), sum($"n_docs").as("n_docs"))
+        .withColumn("leaked", $"splits".contains(","))
+        .orderBy($"splits")
+    },
+    Some(s"""WITH RECURSIVE $candidatePairsSql,
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION SELECT doc_b, doc_a FROM prs),
+      reach(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+      labels AS (SELECT src AS node, min(dst) AS rep
+        FROM reach GROUP BY src),
+      $splitGroupSql,
+      labs AS (SELECT gm.doc_id, gm.g AS split,
+          coalesce(l.rep, gm.doc_id) AS rep
+        FROM gm LEFT JOIN labels l ON l.node = gm.doc_id),
+      ds AS (SELECT rep, split FROM labs GROUP BY 1, 2),
+      sk AS (SELECT rep, string_agg(split, ',' ORDER BY split) AS splits
+        FROM ds GROUP BY rep),
+      cnt AS (SELECT rep, count(*) AS n_docs FROM labs GROUP BY rep)
+      SELECT sk.splits, CAST(count(*) AS BIGINT) AS n_components,
+        CAST(sum(cnt.n_docs) AS BIGINT) AS n_docs,
+        sk.splits LIKE '%,%' AS leaked
+      FROM sk JOIN cnt ON cnt.rep = sk.rep
+      GROUP BY sk.splits ORDER BY splits"""),
+    doc = "[NS] component-level split leakage (star-safe exact audit)")
+
+  /** [NS] — the star-threshold ADVISOR
+    * ([[graft.operators.Dedup.advisedHotThreshold]]): closes the loop
+    * q372 opened — instead of a hand-picked hotThreshold = 64, read
+    * the bucket profile and pick the largest threshold whose total
+    * edge volume (exact pairs for buckets ≤ t, hub spokes above) fits
+    * a shuffle budget; the q287 advisor move applied to the hot-bucket
+    * cure. Budget 95 on this corpus sits between cost(t=2) = 94 and
+    * cost(t=3) = 98 = the full pair volume, so the selection is real:
+    * advised t = 2 contracts exactly the four 3-member buckets. The
+    * oracle recomputes histogram, cumulative costs, and argmax from
+    * scratch. */
+  val q377StarThresholdAdvisor = Q(
+    "q377_star_threshold_advisor",
+    (s, d) =>
+      Dedup.advisedHotThreshold(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, budgetPairs = 95L),
+    Some(s"""WITH $candidatePairsSql,
+      bk AS (SELECT band, v0, v1, count(*) AS m FROM bnd GROUP BY 1, 2, 3),
+      h AS (SELECT m, count(*) AS nb FROM bk GROUP BY m),
+      c AS (SELECT m,
+          sum(m * (m - 1) // 2 * nb) OVER (ORDER BY m) AS cum_pairs,
+          sum((m - 1) * nb) OVER (ORDER BY m) AS cum_spokes,
+          sum((m - 1) * nb) OVER () AS tot_spokes,
+          sum(m * (m - 1) // 2 * nb) OVER () AS tot_pairs
+        FROM h),
+      cst AS (SELECT m, cum_pairs + tot_spokes - cum_spokes AS cost,
+          tot_spokes, tot_pairs FROM c)
+      SELECT
+        CAST(coalesce(max(CASE WHEN cost <= 95 THEN m END), 1)
+          AS BIGINT) AS advised_threshold,
+        CAST(coalesce(max(CASE WHEN cost <= 95 THEN cost END),
+          max(tot_spokes)) AS BIGINT) AS edge_volume,
+        CAST(95 AS BIGINT) AS budget,
+        coalesce(max(CASE WHEN cost <= 95 THEN cost END),
+          max(tot_spokes)) <= 95 AS within_budget,
+        CAST(max(tot_pairs) AS BIGINT) AS pairs_volume_full,
+        CAST(max(tot_spokes) AS BIGINT) AS edges_volume_floor
+      FROM cst"""),
+    doc = "[NS] self-tuning star threshold from the measured bucket profile")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -3001,5 +3191,6 @@ object DocQueries {
     q297ClusterProfile, q298HashCollisions, q325RankGamma,
     q326SortedNeighborhood, q349DedupIndexForget, q352ImportanceForget,
     q370LshSkewStar, q371DedupComponentsStar, q372LshBucketProfile,
-    q373FuzzyOverSurvivors)
+    q373FuzzyOverSurvivors, q374SplitLeakageVolume, q375SourceDupVolume,
+    q376SplitLeakageComponents, q377StarThresholdAdvisor)
 }

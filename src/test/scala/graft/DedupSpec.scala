@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, sum}
 import graft.operators.Dedup
 
 /** D5 — the two Jaccard implementations (count-join vs PPJoin prefix
@@ -655,5 +656,97 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(wide === allPairs,
       "an unreachable threshold must reproduce the classic pair set")
+  }
+
+  test("advisedHotThreshold: largest budget-feasible threshold on a " +
+      "planted-hot-family corpus; loud floor verdict; no-op on big budget") {
+    import spark.implicits._
+    // same skew shape as the star test: one ~40-member hot family
+    val tmpl = (0 until 60).map(i => s"hot$i")
+    val hot = (0 until 40).map { i =>
+      (100L + i, tmpl.updated(i % 60, s"u$i").mkString(" "))
+    }
+    val bg = (0 until 30).map(i =>
+      (500L + i, (0 until 30).map(j => s"bg${i}_$j").mkString(" ")))
+    val docs = (hot ++ bg).toDF("doc_id", "text")
+    val prof = Dedup.lshBucketProfile(docs, "doc_id", "text").collect()
+    val totPairs = prof.map(_.getAs[Long]("pairs_all")).sum
+    val maxBucket = prof.map(_.getAs[Long]("bucket_size")).max
+    assert(totPairs > 500, s"fixture must be quadratic, got $totPairs")
+
+    // tight budget: the hot buckets MUST be contracted — advised
+    // threshold lands below the hot family size and the resulting
+    // star edge set stays within the priced volume
+    val tight = Dedup.advisedHotThreshold(docs, "doc_id", "text",
+      budgetPairs = 200L).collect()(0)
+    val tightT = tight.getAs[Long]("advised_threshold")
+    val tightVol = tight.getAs[Long]("edge_volume")
+    assert(tightT < maxBucket,
+      s"a 200-pair budget must contract the ~40-member buckets, " +
+        s"advised t=$tightT (max bucket $maxBucket)")
+    assert(tightVol <= 200L && tight.getAs[Boolean]("within_budget"))
+    val starEdges = Dedup.minhashLshStarEdges(docs, "doc_id", "text",
+      hotThreshold = tightT.toInt).count()
+    assert(starEdges <= tightVol,
+      "distinct star edges can never exceed the priced per-bucket volume")
+    // the theorem holds at the ADVISED threshold too
+    val ccStar = Dedup.connectedComponents(
+      Dedup.minhashLshStarEdges(docs, "doc_id", "text",
+        hotThreshold = tightT.toInt), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccAll = Dedup.connectedComponents(
+      Dedup.minhashLshCandidates(docs, "doc_id", "text"),
+      "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccStar === ccAll)
+
+    // generous budget: nothing to contract — threshold = max bucket
+    // size, volume = the full pair volume
+    val wide = Dedup.advisedHotThreshold(docs, "doc_id", "text",
+      budgetPairs = totPairs + 1L).collect()(0)
+    assert(wide.getAs[Long]("advised_threshold") === maxBucket)
+    assert(wide.getAs[Long]("edge_volume") === totPairs)
+    assert(wide.getAs[Long]("pairs_volume_full") === totPairs)
+
+    // budget below the linear floor: t=1 with the loud false verdict
+    val impossible = Dedup.advisedHotThreshold(docs, "doc_id", "text",
+      budgetPairs = 1L).collect()(0)
+    assert(impossible.getAs[Long]("advised_threshold") === 1L)
+    assert(!impossible.getAs[Boolean]("within_budget"))
+    assert(impossible.getAs[Long]("edge_volume") ===
+      impossible.getAs[Long]("edges_volume_floor"))
+  }
+
+  test("lshGroupPairVolume: bucket arithmetic reproduces the profile's " +
+      "total volume, sliced by group, without materializing a pair") {
+    import spark.implicits._
+    val tmpl = (0 until 60).map(i => s"hot$i")
+    val hot = (0 until 40).map { i =>
+      (100L + i, tmpl.updated(i % 60, s"u$i").mkString(" "))
+    }
+    val bg = (0 until 30).map(i =>
+      (500L + i, (0 until 30).map(j => s"bg${i}_$j").mkString(" ")))
+    val docs = (hot ++ bg).toDF("doc_id", "text")
+    val meta = docs.select(col("doc_id"),
+      (col("doc_id") % 3).cast("string").as("g"))
+    val vol = Dedup.lshGroupPairVolume(docs, "doc_id", "text", meta, "g")
+      .collect()
+    val profTotal = Dedup.lshBucketProfile(docs, "doc_id", "text")
+      .agg(sum(col("pairs_all"))).collect()(0).getLong(0)
+    // slicing by group must conserve the total band-join volume
+    assert(vol.map(_.getAs[Long]("pair_volume")).sum === profTotal)
+    // volume is an upper bound on distinct pairs (a pair sharing b
+    // buckets counts b times)
+    val distinctPairs = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+      .count()
+    assert(profTotal >= distinctPairs)
+    // ppm shares: integer-floor parts of one million
+    val ppm = vol.map(_.getAs[Long]("share_ppm")).sum
+    assert(ppm <= 1000000L && ppm > 1000000L - vol.length)
+    // every cell is canonically ordered and flagged
+    assert(vol.forall(r => r.getAs[String]("group_a") <=
+      r.getAs[String]("group_b")))
+    assert(vol.forall(r => (r.getAs[String]("group_a") !=
+      r.getAs[String]("group_b")) === r.getAs[Boolean]("cross_group")))
   }
 }
