@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [NS] Stable data placement — rendezvous (highest-random-weight)
+  * hashing (Thaler & Ravishankar 1996; the public algorithm behind
+  * Ceph/Cassandra-style placement and cache routing).
+  *
+  * The 100 TB problem this solves: a corpus sharded by `id % n` moves
+  * (n−1)/n of ALL its bytes when n changes — reshuffling a petabyte to
+  * add one shard. Under HRW every id independently picks the shard
+  * maximizing hash(id, shard), so growing n→m relocates exactly the
+  * rows whose new max landed on a NEW shard (expected (m−n)/m), and a
+  * row never moves between two surviving shards — the minimal-disruption
+  * property, which [[reshardCertificate]] verifies exactly (the
+  * `illegal_moves` column is a theorem made a count: it must be 0).
+  *
+  * Plan shape: assignment is one codegen'd projection (n md5 calls +
+  * an argmax over the array — no shuffle, no lookup table, no driver
+  * state); every audit below is that projection plus one bounded-key
+  * aggregate. Nothing here materializes per-shard data.
+  *
+  * Engine-portable by construction: scores are md5 hex strings, and a
+  * fixed-length lowercase hex compare IS the numeric compare of the
+  * 128-bit value, so any engine with md5 replays the placement
+  * byte-identically (the DuckDB oracles recompute it from scratch).
+  */
+object Shard {
+
+  /** The n HRW score strings for one id: md5("<id>:<s>") per shard s. */
+  private def hrwScores(id: Column, nShards: Int): Column =
+    array((0 until nShards).map(s =>
+      md5(concat(id.cast("string"), lit(s":$s")))): _*)
+
+  /** Assign each row its HRW shard in [0, nShards) as `outCol` (long).
+    * Pure per-row arithmetic: the placement function is the code, not a
+    * stored table — two jobs that agree on (idCol, nShards) agree on
+    * placement with zero coordination. */
+  def rendezvousAssign(df: DataFrame, idCol: String, nShards: Int,
+      outCol: String = "shard"): DataFrame = {
+    require(nShards >= 1 && nShards <= 1024,
+      s"nShards=$nShards out of range (HRW scoring is O(n) per row)")
+    df.withColumn("_hrw", hrwScores(col(idCol), nShards))
+      .withColumn(outCol,
+        (expr("array_position(_hrw, array_max(_hrw))") - 1L).cast("long"))
+      .drop("_hrw")
+  }
+
+  /** Movement matrix for a reshard nFrom→nTo: one row per
+    * (shard_from, shard_to) with the exact row count — the migration
+    * manifest (which shard pairs actually ship data, and how much). */
+  def reshardMatrix(df: DataFrame, idCol: String, nFrom: Int,
+      nTo: Int): DataFrame =
+    rendezvousAssign(rendezvousAssign(df, idCol, nFrom, "shard_from"),
+        idCol, nTo, "shard_to")
+      .groupBy(col("shard_from"), col("shard_to"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** One-row reshard certificate for nFrom→nTo:
+    * (n_total, n_moved, moved_ppm, expected_moved_ppm, illegal_moves).
+    * `expected_moved_ppm` is HRW's theoretical movement floor
+    * |m−n|/max(m,n) — ANY placement must move at least the rows the
+    * shard-count delta implies; `illegal_moves` counts rows that moved
+    * BETWEEN two shards present in both configurations, which the HRW
+    * argmax makes impossible (the relative order of surviving shards'
+    * scores never changes) — a nonzero value means the placement
+    * function drifted, not that data chose to move. */
+  def reshardCertificate(df: DataFrame, idCol: String, nFrom: Int,
+      nTo: Int): DataFrame = {
+    val minN = math.min(nFrom, nTo)
+    val maxN = math.max(nFrom, nTo)
+    val moved = col("shard_from") =!= col("shard_to")
+    rendezvousAssign(rendezvousAssign(df, idCol, nFrom, "shard_from"),
+        idCol, nTo, "shard_to")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(moved, 1L).otherwise(0L)).as("n_moved"),
+        sum(when(moved && col("shard_from") < minN &&
+          col("shard_to") < minN, 1L).otherwise(0L)).as("illegal_moves"))
+      .select(col("n_total"), col("n_moved"),
+        expr("(1000000 * n_moved) div n_total").as("moved_ppm"),
+        lit(1000000L * (maxN - minN) / maxN).as("expected_moved_ppm"),
+        col("illegal_moves"))
+  }
+
+  /** Placement-strategy comparison over a component-labeled corpus
+    * (`labeled` carries idCol + repCol, e.g. near-dup CC output with
+    * singletons self-labeled): route by document id vs by component
+    * representative. Two rows (strategy ∈ {by_doc, by_component}), each
+    * with n_docs, n_components, n_spanning_components, n_shards_used,
+    * max/min shard load.
+    *
+    * The decision this prices: `by_doc` balances best but splits
+    * near-dup components across shards — every FUTURE dedup pass over
+    * the sharded corpus needs a global shuffle to re-link them.
+    * `by_component` hashes the representative instead, so components
+    * land whole (n_spanning_components = 0 structurally) and dedup
+    * becomes shard-local / embarrassingly parallel at 100 TB — paid for
+    * with whatever imbalance the component size distribution carries
+    * (the max_shard_docs delta between the two rows IS that price). */
+  def colocationCompare(labeled: DataFrame, idCol: String,
+      repCol: String, nShards: Int): DataFrame = {
+    val byDoc = rendezvousAssign(labeled, idCol, nShards)
+    val byComp = rendezvousAssign(labeled, repCol, nShards)
+    def audit(df: DataFrame, label: String): DataFrame = {
+      val perComp = df.groupBy(col(repCol))
+        .agg(countDistinct(col("shard")).as("_ns"),
+          count(lit(1)).as("_nd"))
+      val comps = perComp.agg(count(lit(1)).as("n_components"),
+        sum(when(col("_ns") > 1, 1L).otherwise(0L))
+          .as("n_spanning_components"),
+        sum(col("_nd")).as("n_docs"))
+      val loads = df.groupBy(col("shard")).agg(count(lit(1)).as("_n"))
+        .agg(count(lit(1)).as("n_shards_used"),
+          max(col("_n")).as("max_shard_docs"),
+          min(col("_n")).as("min_shard_docs"))
+      comps.crossJoin(loads).select(lit(label).as("strategy"),
+        col("n_docs"), col("n_components"), col("n_spanning_components"),
+        col("n_shards_used"), col("max_shard_docs"), col("min_shard_docs"))
+    }
+    audit(byDoc, "by_doc").unionByName(audit(byComp, "by_component"))
+  }
+}

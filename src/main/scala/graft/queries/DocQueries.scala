@@ -3173,6 +3173,73 @@ object DocQueries {
       FROM cst"""),
     doc = "[NS] self-tuning star threshold from the measured bucket profile")
 
+  /** [NS] — component-colocated shard placement
+    * ([[graft.operators.Shard.colocationCompare]]): near-dup CC labels
+    * (star edges, q371's certified path) routed to 8 shards two ways —
+    * by document id vs by component representative — and audited side
+    * by side. `by_doc` splits components across shards, so every future
+    * dedup pass over the sharded corpus needs a global re-link shuffle;
+    * `by_component` lands components whole (n_spanning_components = 0
+    * structurally), making dedup shard-local at 100 TB; the
+    * max_shard_docs delta between the rows is the balance price of that
+    * colocation. Oracle: all-pairs WITH RECURSIVE closure + the HRW
+    * argmax recomputed from scratch for both strategies. */
+  val q380ColocatedShards = Q(
+    "q380_colocated_shards",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashLshStarEdges(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, hotThreshold = 64)
+      val cc = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      val labeled = docs.select($"doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+          "left")
+        .withColumn("rep", coalesce($"rep", $"doc_id"))
+      graft.operators.Shard.colocationCompare(labeled, "doc_id", "rep", 8)
+        .orderBy($"strategy")
+    },
+    Some(s"""WITH RECURSIVE $candidatePairsSql,
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION SELECT doc_b, doc_a FROM prs),
+      reach(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+      labels AS (SELECT src AS node, min(dst) AS rep
+        FROM reach GROUP BY src),
+      labs AS (SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+      sh AS (SELECT range AS s FROM range(0, 8)),
+      hb AS (SELECT doc_id, rep, s,
+          md5(doc_id::VARCHAR || ':' || s::VARCHAR) AS hd,
+          md5(rep::VARCHAR || ':' || s::VARCHAR) AS hr
+        FROM labs CROSS JOIN sh),
+      a AS (SELECT doc_id, rep, arg_max(s, hd) AS sd,
+          arg_max(s, hr) AS sc
+        FROM hb GROUP BY doc_id, rep),
+      u AS (SELECT 'by_doc' AS strategy, rep, sd AS shard FROM a
+        UNION ALL SELECT 'by_component', rep, sc FROM a),
+      pc AS (SELECT strategy, rep, count(DISTINCT shard) AS ns,
+          count(*) AS nd
+        FROM u GROUP BY 1, 2),
+      cs AS (SELECT strategy, CAST(count(*) AS BIGINT) AS n_components,
+          CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_spanning_components,
+          CAST(sum(nd) AS BIGINT) AS n_docs
+        FROM pc GROUP BY 1),
+      ld AS (SELECT strategy, shard, count(*) AS n FROM u GROUP BY 1, 2),
+      la AS (SELECT strategy, CAST(count(*) AS BIGINT) AS n_shards_used,
+          CAST(max(n) AS BIGINT) AS max_shard_docs,
+          CAST(min(n) AS BIGINT) AS min_shard_docs
+        FROM ld GROUP BY 1)
+      SELECT cs.strategy AS strategy, n_docs, n_components,
+        n_spanning_components, n_shards_used, max_shard_docs,
+        min_shard_docs
+      FROM cs JOIN la ON la.strategy = cs.strategy
+      ORDER BY cs.strategy"""),
+    doc = "[NS] near-dup-component-colocated HRW sharding vs by-doc, priced")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -3192,5 +3259,6 @@ object DocQueries {
     q326SortedNeighborhood, q349DedupIndexForget, q352ImportanceForget,
     q370LshSkewStar, q371DedupComponentsStar, q372LshBucketProfile,
     q373FuzzyOverSurvivors, q374SplitLeakageVolume, q375SourceDupVolume,
-    q376SplitLeakageComponents, q377StarThresholdAdvisor)
+    q376SplitLeakageComponents, q377StarThresholdAdvisor,
+    q380ColocatedShards)
 }

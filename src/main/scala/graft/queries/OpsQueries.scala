@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{AggView, Analytics, Layout, Skew}
+import graft.operators.{AggView, Analytics, Layout, Shard, Skew}
 import QueryDsl.{exactSum, exactSumSql}
 
 /** [NS] Corpus-operations queries — the table-management side of running
@@ -2903,7 +2903,73 @@ object OpsQueries {
       FROM sz, jj"""),
     doc = "[NS] Jonckheere-Terpstra ordered k-sample trend, doubled U, value-collapsed")
 
+  /** [NS] — rendezvous-hash shard balance
+    * ([[graft.operators.Shard.rendezvousAssign]]): the corpus routed to
+    * 8 shards by HRW argmax, audited per shard (docs, char mass, doc
+    * share in exact ppm). The placement is pure per-row arithmetic —
+    * no lookup table, no shuffle beyond the 8-key audit aggregate —
+    * and the oracle recomputes every md5 argmax from scratch, so this
+    * row certifies the placement FUNCTION, not a snapshot of it. */
+  val q378HrwShardBalance = Q(
+    "q378_hrw_shard_balance",
+    (s, d) => {
+      import s.implicits._
+      Shard.rendezvousAssign(Tables.documents(s, d), "doc_id", 8)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("n_chars"))
+        .withColumn("share_ppm",
+          expr("(1000000 * n_docs) div sum(n_docs) over ()"))
+        .orderBy($"shard")
+    },
+    Some("""WITH sh AS (SELECT range AS s FROM range(0, 8)),
+      h AS (SELECT doc_id, n_chars, s,
+          md5(doc_id::VARCHAR || ':' || s::VARCHAR) AS hv
+        FROM documents CROSS JOIN sh),
+      a AS (SELECT doc_id, arg_max(s, hv) AS shard, min(n_chars) AS nc
+        FROM h GROUP BY doc_id),
+      g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(nc) AS BIGINT) AS n_chars
+        FROM a GROUP BY shard)
+      SELECT shard, n_docs, n_chars,
+        CAST((1000000 * n_docs) // sum(n_docs) OVER () AS BIGINT)
+          AS share_ppm
+      FROM g ORDER BY shard"""),
+    doc = "[NS] rendezvous-hash shard assignment + balance audit")
+
+  /** [NS] — minimal-movement reshard certificate
+    * ([[graft.operators.Shard.reshardCertificate]]): growing 8→10
+    * shards under HRW. `expected_moved_ppm` = 2/10 of the corpus (the
+    * floor any placement must pay for the capacity change);
+    * `illegal_moves` counts rows that moved between two SURVIVING
+    * shards — zero by the HRW argmax theorem, and this query makes the
+    * theorem a counted certificate. The modulo-hash alternative would
+    * read moved_ppm ≈ 900000 here; HRW reads ≈ 200000. */
+  val q379ReshardCertificate = Q(
+    "q379_reshard_certificate",
+    (s, d) => Shard.reshardCertificate(
+      Tables.documents(s, d), "doc_id", 8, 10),
+    Some("""WITH sh AS (SELECT range AS s FROM range(0, 10)),
+      h AS (SELECT doc_id, s,
+          md5(doc_id::VARCHAR || ':' || s::VARCHAR) AS hv
+        FROM documents CROSS JOIN sh),
+      a8 AS (SELECT doc_id, arg_max(s, hv) AS f FROM h WHERE s < 8
+        GROUP BY doc_id),
+      a10 AS (SELECT doc_id, arg_max(s, hv) AS t FROM h GROUP BY doc_id),
+      j AS (SELECT f, t FROM a8 JOIN a10 USING (doc_id))
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(CASE WHEN f <> t THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved,
+        CAST((1000000 * sum(CASE WHEN f <> t THEN 1 ELSE 0 END))
+          // count(*) AS BIGINT) AS moved_ppm,
+        CAST(200000 AS BIGINT) AS expected_moved_ppm,
+        CAST(sum(CASE WHEN f <> t AND f < 8 AND t < 8 THEN 1 ELSE 0 END)
+          AS BIGINT) AS illegal_moves
+      FROM j"""),
+    doc = "[NS] HRW reshard 8->10: minimal-movement certificate")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
+    q378HrwShardBalance, q379ReshardCertificate,
     q307TheilSen, q310StratifiedEffect, q313LDiversity,
     q320NeymanAllocation, q324ContributionBound, q328KruskalWallis,
     q331WilcoxonSignedRank, q338Mcnemar, q339Friedman, q340FleissKappa, q341CochranQ, q345PageTrend,

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Rendezvous (HRW) placement: assignment agrees with a from-scratch
+  * reference, the minimal-disruption theorem holds as an exact count in
+  * BOTH reshard directions, and component colocation lands components
+  * whole while conserving totals. */
+class ShardSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids(n: Int) = (1L to n.toLong).toDF("id")
+
+  /** Reference HRW in plain Scala: argmax over md5 hex of "id:s". */
+  private def refShard(id: Long, n: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until n).maxBy { s =>
+      md.reset()
+      md.digest(s"$id:$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+  }
+
+  test("assignment matches the from-scratch reference on every id") {
+    val got = Shard.rendezvousAssign(ids(500), "id", 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 500L).foreach { id =>
+      assert(got(id) === refShard(id, 7).toLong, s"id=$id")
+    }
+  }
+
+  test("growth reshard: zero illegal moves, movement near the floor") {
+    val r = Shard.reshardCertificate(ids(2000), "id", 8, 10).collect()(0)
+    assert(r.getAs[Long]("n_total") === 2000L)
+    assert(r.getAs[Long]("illegal_moves") === 0L,
+      "a row moved between two surviving shards — HRW argmax broken")
+    assert(r.getAs[Long]("expected_moved_ppm") === 200000L)
+    val ppm = r.getAs[Long]("moved_ppm")
+    // binomial(2000, 0.2): ±5 sd band ≈ ±45k ppm
+    assert(ppm > 155000L && ppm < 245000L, s"moved_ppm=$ppm")
+  }
+
+  test("shrink reshard: survivors keep every row they had") {
+    val cert = Shard.reshardCertificate(ids(2000), "id", 10, 8)
+      .collect()(0)
+    assert(cert.getAs[Long]("illegal_moves") === 0L)
+    // matrix view: every moved row originates on a removed shard
+    val m = Shard.reshardMatrix(ids(2000), "id", 10, 8).collect()
+    m.filter(r => r.getLong(0) != r.getLong(1)).foreach { r =>
+      assert(r.getLong(0) >= 8L,
+        s"row moved off surviving shard ${r.getLong(0)}")
+    }
+    assert(m.map(_.getAs[Long]("n_rows")).sum === 2000L)
+  }
+
+  test("colocation: components land whole, totals conserved") {
+    // 3 components of 40 docs each (ids dense enough that by_doc
+    // provably splits them over 8 shards) + 80 singletons
+    val labeled = ((1L to 120L).map(i => (i, (i - 1) / 40 * 1000)) ++
+      (201L to 280L).map(i => (i, i))).toDF("doc_id", "rep")
+    val rows = Shard.colocationCompare(labeled, "doc_id", "rep", 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val byDoc = rows("by_doc"); val byComp = rows("by_component")
+    assert(byComp.getAs[Long]("n_spanning_components") === 0L)
+    assert(byDoc.getAs[Long]("n_spanning_components") >= 3L,
+      "40-doc components must span shards under by-doc routing")
+    Seq("n_docs", "n_components").foreach { c =>
+      assert(byDoc.getAs[Long](c) === byComp.getAs[Long](c))
+    }
+    assert(byDoc.getAs[Long]("n_docs") === 200L)
+    assert(byDoc.getAs[Long]("n_components") === 83L)
+  }
+}
