@@ -83,6 +83,86 @@ object Shard {
         col("illegal_moves"))
   }
 
+  /** Weighted HRW via virtual nodes: shard s with weight w_s owns w_s
+    * vnodes "s#0".."s#(w_s−1)", each scored independently; a row lands
+    * on the shard owning its max-scoring vnode, so expected load is
+    * proportional to weight — heterogeneous capacity (storage tiers,
+    * mixed hardware) without losing the minimal-disruption property:
+    * raising one shard's weight adds vnodes whose wins can only pull
+    * rows TO that shard, and weight 0 drains a shard by moving exactly
+    * its own rows (every other row's winning vnode still stands). Same
+    * plan shape as [[rendezvousAssign]]: one projection, Σw md5 calls,
+    * an argmax, and a literal vnode→shard lookup array. */
+  def rendezvousAssignWeighted(df: DataFrame, idCol: String,
+      weights: Seq[Int], outCol: String = "shard"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ >= 0) &&
+      weights.sum >= 1 && weights.sum <= 1024,
+      s"bad weights $weights (need Σw in [1,1024], none negative)")
+    val scores = for { s <- weights.indices; v <- 0 until weights(s) }
+      yield md5(concat(col(idCol).cast("string"), lit(s":$s#$v")))
+    val owners = weights.indices.flatMap(s => Seq.fill(weights(s))(s))
+    df.withColumn("_hrw", array(scores: _*))
+      .withColumn(outCol, expr(
+        s"element_at(array(${owners.mkString(",")}), " +
+          "cast(array_position(_hrw, array_max(_hrw)) as int))")
+        .cast("long"))
+      .drop("_hrw")
+  }
+
+  /** One-row certificate for a capacity change `before`→`after` (same
+    * shard count, per-shard weights change in ONE direction — all ≥ or
+    * all ≤; a mixed change has no closed movement floor). Columns as
+    * [[reshardCertificate]]: `expected_moved_ppm` = |ΣΔw|/Σw_max (the
+    * vnode-share floor), `illegal_moves` counts movers that violate
+    * the direction theorem — under growth a mover must LAND on an
+    * up-weighted shard (only new vnodes win anything new); under
+    * shrink a mover must ORIGINATE on a down-weighted shard (every
+    * other row's winning vnode survived). Zero on both is the
+    * weighted minimal-disruption property, counted.
+    *
+    * The floor is NOT simply |ΣΔw|/Σw_max: a new vnode winning for a
+    * shard that ALREADY held the row is not a move. Exactly: under
+    * growth a row moves to s iff its after-max lands on one of s's Δw_s
+    * new vnodes (Δw_s/va) AND its before-max was not already s
+    * ((vb−w_s)/vb, independent — the before-max is the max of the
+    * surviving vnodes); summed over gaining shards. Shrink is the
+    * mirror. [[reshardCertificate]]'s (m−n)/m is the w_s = 0 special
+    * case. */
+  def reweightCertificate(df: DataFrame, idCol: String,
+      before: Seq[Int], after: Seq[Int]): DataFrame = {
+    require(before.size == after.size,
+      "reweight keeps the shard count; use reshardCertificate to grow it")
+    val growth = before.zip(after).forall { case (b, a) => a >= b }
+    val shrink = before.zip(after).forall { case (b, a) => a <= b }
+    require(growth || shrink,
+      s"mixed reweight $before -> $after has no closed movement floor")
+    val (vb, va) = (before.sum.toLong, after.sum.toLong)
+    val expPpm = if (growth)
+      1000000L * before.indices.map(s =>
+        (after(s) - before(s)).toLong * (vb - before(s))).sum / (va * vb)
+    else
+      1000000L * before.indices.map(s =>
+        (before(s) - after(s)).toLong * (va - after(s))).sum / (vb * va)
+    val changed = before.indices
+      .map(s => if (after(s) != before(s)) 1 else 0)
+    val moved = col("shard_from") =!= col("shard_to")
+    // growth: mover must land on a gained shard; shrink: mover must
+    // originate on a shrunk one
+    val endCol = if (growth) "shard_to" else "shard_from"
+    val illegal = moved && expr(
+      s"element_at(array(${changed.mkString(",")}), " +
+        s"cast($endCol as int) + 1)") === 0
+    rendezvousAssignWeighted(
+        rendezvousAssignWeighted(df, idCol, before, "shard_from"),
+        idCol, after, "shard_to")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(moved, 1L).otherwise(0L)).as("n_moved"),
+        sum(when(illegal, 1L).otherwise(0L)).as("illegal_moves"))
+      .select(col("n_total"), col("n_moved"),
+        expr("(1000000 * n_moved) div n_total").as("moved_ppm"),
+        lit(expPpm).as("expected_moved_ppm"), col("illegal_moves"))
+  }
+
   /** Placement-strategy comparison over a component-labeled corpus
     * (`labeled` carries idCol + repCol, e.g. near-dup CC output with
     * singletons self-labeled): route by document id vs by component

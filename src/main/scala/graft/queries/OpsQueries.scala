@@ -2968,8 +2968,89 @@ object OpsQueries {
       FROM j"""),
     doc = "[NS] HRW reshard 8->10: minimal-movement certificate")
 
+  /** [NS] — weighted HRW balance
+    * ([[graft.operators.Shard.rendezvousAssignWeighted]]): shards with
+    * capacities (1,2,3,2) — heterogeneous hardware/storage tiers — get
+    * load proportional to weight via virtual nodes (shard s owns w_s
+    * independently-scored vnodes). Per shard: docs, char mass, the
+    * weight's entitlement in ppm vs the measured share in ppm — the
+    * proportionality audit. The placement stays one codegen'd
+    * projection (Σw md5 calls + argmax + a literal vnode→shard
+    * lookup). */
+  val q381WeightedShardBalance = Q(
+    "q381_weighted_shard_balance",
+    (s, d) => {
+      import s.implicits._
+      Shard.rendezvousAssignWeighted(Tables.documents(s, d), "doc_id",
+          Seq(1, 2, 3, 2))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars"))
+        .withColumn("weight",
+          expr("element_at(array(1L,2L,3L,2L), cast(shard as int) + 1)"))
+        .withColumn("weight_ppm", expr("(1000000 * weight) div 8"))
+        .withColumn("share_ppm",
+          expr("(1000000 * n_docs) div sum(n_docs) over ()"))
+        .orderBy($"shard")
+    },
+    Some("""WITH vn(s, v) AS (VALUES (0,0),(1,0),(1,1),(2,0),(2,1),
+        (2,2),(3,0),(3,1)),
+      h AS (SELECT doc_id, n_chars, s,
+          md5(doc_id::VARCHAR || ':' || s::VARCHAR || '#' || v::VARCHAR)
+            AS hv
+        FROM documents CROSS JOIN vn),
+      a AS (SELECT doc_id, arg_max(s, hv) AS shard, min(n_chars) AS nc
+        FROM h GROUP BY doc_id),
+      g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(nc) AS BIGINT) AS n_chars
+        FROM a GROUP BY shard),
+      w(ws, weight) AS (VALUES (0, 1), (1, 2), (2, 3), (3, 2))
+      SELECT CAST(g.shard AS BIGINT) AS shard, n_docs, n_chars,
+        CAST(weight AS BIGINT) AS weight,
+        CAST((1000000 * weight) // 8 AS BIGINT) AS weight_ppm,
+        CAST((1000000 * n_docs) // sum(n_docs) OVER () AS BIGINT)
+          AS share_ppm
+      FROM g JOIN w ON w.ws = g.shard ORDER BY g.shard"""),
+    doc = "[NS] weighted HRW (vnodes): load proportional to capacity")
+
+  /** [NS] — capacity-upgrade certificate
+    * ([[graft.operators.Shard.reweightCertificate]]): shard 3's weight
+    * 2→4 (new hardware) under weighted HRW. Movement floor = new-vnode
+    * wins that actually change shard: (2/10)·(6/8) = 150000 ppm — a
+    * new vnode winning a row shard 3 already held is NOT a move, which
+    * the naive 2/10 floor overcounts (measured: the corpus reads
+    * ~152000); `illegal_moves` counts movers NOT landing on the
+    * up-weighted shard — zero because only shard 3's new vnodes can
+    * win anything new. The q379 theorem extended to capacity changes:
+    * at 100 TB, upgrading one node's disks ships only the rows that
+    * node is entitled to gain. */
+  val q382ReweightCertificate = Q(
+    "q382_reweight_certificate",
+    (s, d) => Shard.reweightCertificate(Tables.documents(s, d),
+      "doc_id", Seq(1, 2, 3, 2), Seq(1, 2, 3, 4)),
+    Some("""WITH vn(s, v) AS (VALUES (0,0),(1,0),(1,1),(2,0),(2,1),
+        (2,2),(3,0),(3,1),(3,2),(3,3)),
+      h AS (SELECT doc_id, s, v,
+          md5(doc_id::VARCHAR || ':' || s::VARCHAR || '#' || v::VARCHAR)
+            AS hv
+        FROM documents CROSS JOIN vn),
+      b AS (SELECT doc_id, arg_max(s, hv) AS f FROM h
+        WHERE NOT (s = 3 AND v >= 2) GROUP BY doc_id),
+      a2 AS (SELECT doc_id, arg_max(s, hv) AS t FROM h GROUP BY doc_id),
+      j AS (SELECT f, t FROM b JOIN a2 USING (doc_id))
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(CASE WHEN f <> t THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_moved,
+        CAST((1000000 * sum(CASE WHEN f <> t THEN 1 ELSE 0 END))
+          // count(*) AS BIGINT) AS moved_ppm,
+        CAST(150000 AS BIGINT) AS expected_moved_ppm,
+        CAST(sum(CASE WHEN f <> t AND t <> 3 THEN 1 ELSE 0 END)
+          AS BIGINT) AS illegal_moves
+      FROM j"""),
+    doc = "[NS] weighted HRW capacity upgrade: targeted-movement certificate")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q378HrwShardBalance, q379ReshardCertificate,
+    q381WeightedShardBalance, q382ReweightCertificate,
     q307TheilSen, q310StratifiedEffect, q313LDiversity,
     q320NeymanAllocation, q324ContributionBound, q328KruskalWallis,
     q331WilcoxonSignedRank, q338Mcnemar, q339Friedman, q340FleissKappa, q341CochranQ, q345PageTrend,

@@ -56,6 +56,59 @@ class ShardSpec extends AnyFunSuite {
     assert(m.map(_.getAs[Long]("n_rows")).sum === 2000L)
   }
 
+  /** Reference weighted HRW: argmax over vnodes "id:s#v". */
+  private def refShardW(id: Long, weights: Seq[Int]): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val scored = for { s <- weights.indices; v <- 0 until weights(s) }
+      yield {
+        md.reset()
+        (md.digest(s"$id:$s#$v".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString, s)
+      }
+    scored.maxBy(_._1)._2
+  }
+
+  test("weighted assignment matches the reference; load tracks weight") {
+    val w = Seq(1, 3)
+    val got = Shard.rendezvousAssignWeighted(ids(2000), "id", w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 2000L).foreach { id =>
+      assert(got(id) === refShardW(id, w).toLong, s"id=$id")
+    }
+    // weight 3 of 4 ⇒ expected share 0.75; binomial ±5 sd ≈ ±0.05
+    val share1 = got.values.count(_ == 1L).toDouble / 2000
+    assert(share1 > 0.70 && share1 < 0.80, s"shard1 share=$share1")
+  }
+
+  test("capacity upgrade: movers land only on the up-weighted shard") {
+    val r = Shard.reweightCertificate(ids(2000), "id",
+      Seq(1, 2, 3, 2), Seq(1, 2, 3, 4)).collect()(0)
+    assert(r.getAs[Long]("illegal_moves") === 0L)
+    // exact floor: new-vnode wins that change shard = (2/10)·(6/8)
+    assert(r.getAs[Long]("expected_moved_ppm") === 150000L)
+    val ppm = r.getAs[Long]("moved_ppm")
+    // binomial(2000, 0.15): ±5 sd ≈ ±40k ppm
+    assert(ppm > 110000L && ppm < 190000L, s"moved_ppm=$ppm")
+  }
+
+  test("drain via weight 0: exactly the drained shard's rows move") {
+    val before = Seq(2, 2, 2); val after = Seq(2, 0, 2)
+    val r = Shard.reweightCertificate(ids(2000), "id", before, after)
+      .collect()(0)
+    assert(r.getAs[Long]("illegal_moves") === 0L,
+      "a row moved off a shard whose weight did not change")
+    // every pre-drain shard-1 row moved, and ONLY those rows
+    val pre = Shard.rendezvousAssignWeighted(ids(2000), "id", before)
+      .collect().count(_.getLong(1) == 1L).toLong
+    assert(r.getAs[Long]("n_moved") === pre)
+  }
+
+  test("mixed reweight is refused (no closed movement floor)") {
+    intercept[IllegalArgumentException] {
+      Shard.reweightCertificate(ids(10), "id", Seq(2, 2), Seq(1, 3))
+    }
+  }
+
   test("colocation: components land whole, totals conserved") {
     // 3 components of 40 docs each (ids dense enough that by_doc
     // provably splits them over 8 shards) + 80 singletons
