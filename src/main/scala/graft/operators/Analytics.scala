@@ -2852,4 +2852,224 @@ object Analytics {
           "OR abs(kurt_diff_ppm) > 1000000"))
       .select(col(keyCol), col("n"), col("d_mean_ppm"),
         col("var_ratio_ppm"), col("kurt_diff_ppm"), col("shape_shift"))
+
+  /** [NS] — CBO selectivity audit: what an equi-depth histogram (the
+    * statistic every cost-based optimizer keeps) would ESTIMATE for a
+    * range predicate, next to the measured truth. Estimate rule: a
+    * histogram bucket overlapping [lo,hi] contributes its row count
+    * scaled by the overlap fraction of its inclusive integer span —
+    * the textbook uniform-within-bucket interpolation — computed in
+    * exact micro-rows (`(c · 10⁶ · overlap) div span`) so both engines
+    * agree bit-for-bit. One row out: (n_rows, n_buckets, est_rows,
+    * est_ppm, actual_rows, actual_ppm, err_ppm signed).
+    *
+    * Why it earns a slot at 100 TB: the histogram pass is one rank
+    * sort + one bounded aggregate and then prices EVERY future range
+    * predicate for free, but its error is workload-dependent — this
+    * audit measures that error on the real corpus instead of trusting
+    * the uniformity assumption. Long arithmetic holds to ~10⁹ rows ×
+    * 10⁶ scaling; past that lift the micro-row sums to decimal(38,0)
+    * (the repo convention for count-like sums). */
+  def selectivityAudit(df: DataFrame, valueCol: String,
+      tiebreak: Seq[String], buckets: Int, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"bad range [$lo,$hi]")
+    val est = histEstMicro(equiDepth(df, valueCol, tiebreak, buckets),
+      lo, hi)
+    val actual = df.agg(sum(when(col(valueCol).between(lo, hi), 1L)
+      .otherwise(0L)).as("actual_rows"))
+    est.crossJoin(actual)
+      .select(col("_n_stats").as("n_rows"), col("n_buckets"),
+        expr("_est_micro div 1000000").as("est_rows"),
+        expr("_est_micro div _n_stats").as("est_ppm"),
+        col("actual_rows"),
+        expr("(1000000 * actual_rows) div _n_stats").as("actual_ppm"),
+        expr("_est_micro div _n_stats - " +
+          "(1000000 * actual_rows) div _n_stats").as("err_ppm"))
+  }
+
+  /** Shared interpolation tail: micro-row estimate of [lo,hi] from an
+    * [[equiDepth]] histogram frame. Integer `div` throughout (Column./
+    * is double division — floor of a double would silently diverge from
+    * the oracle's exact `//` once the products pass 2^53). */
+  private def histEstMicro(h: DataFrame, lo: Long, hi: Long): DataFrame =
+    h.withColumn("_ovlo", greatest(col("lo").cast("long"), lit(lo)))
+      .withColumn("_ovhi", least(col("hi").cast("long"), lit(hi)))
+      .withColumn("_em", expr(
+        "CASE WHEN _ovhi >= _ovlo THEN (n_rows * 1000000 * " +
+          "(_ovhi - _ovlo + 1)) div (cast(hi as bigint) - " +
+          "cast(lo as bigint) + 1) ELSE 0 END"))
+      .agg(sum(col("n_rows")).as("_n_stats"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("_em")).as("_est_micro"))
+
+  /** [NS] — STALE-stats audit: [[selectivityAudit]] with the histogram
+    * built on an OLD snapshot and the truth measured on the current
+    * corpus — the production failure mode where plans regress because
+    * nobody re-ran ANALYZE after a year of ingest. The estimate
+    * (old-histogram selectivity × current row count) is what the
+    * optimizer would actually use; err_ppm is what the staleness
+    * costs. A time-range predicate over newly-ingested data is the
+    * worst case: the old histogram's top bucket barely overlaps it, so
+    * the estimate collapses toward zero while the truth grows with
+    * every ingested day. */
+  def selectivityAuditStale(statsDf: DataFrame, truthDf: DataFrame,
+      valueCol: String, tiebreak: Seq[String], buckets: Int,
+      lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"bad range [$lo,$hi]")
+    val est = histEstMicro(
+      equiDepth(statsDf, valueCol, tiebreak, buckets), lo, hi)
+    val truth = truthDf.agg(count(lit(1)).as("n_rows"),
+      sum(when(col(valueCol).between(lo, hi), 1L).otherwise(0L))
+        .as("actual_rows"))
+    est.crossJoin(truth)
+      .select(col("_n_stats").as("n_stats"), col("n_rows"),
+        expr("_est_micro div _n_stats").as("est_ppm"),
+        expr("((_est_micro div _n_stats) * n_rows) div 1000000")
+          .as("est_rows"),
+        col("actual_rows"),
+        expr("(1000000 * actual_rows) div n_rows").as("actual_ppm"),
+        expr("_est_micro div _n_stats - " +
+          "(1000000 * actual_rows) div n_rows").as("err_ppm"))
+  }
+
+  /** [NS] — sample-NDV audit: the Chao1 species-richness estimator
+    * (Chao 1984, the standard bias-corrected form
+    * d + f1·(f1−1)/(2·(f2+1))) computed from a deterministic md5 row
+    * sample, next to the exact NDV. Estimating NDV from a sample is
+    * provably hard (Charikar et al. 2000 — any estimator has
+    * unbounded worst-case ratio), which is exactly why the estimate
+    * ships with its measured error instead of a trust-me bound. The
+    * sample predicate is a pure row-hash (`md5(id) mod 10⁶ <
+    * samplePpm`), so both engines draw the identical sample and the
+    * audit is deterministic. */
+  def ndvEstimateAudit(df: DataFrame, keyCol: String,
+      idCols: Seq[String], samplePpm: Int): DataFrame = {
+    require(samplePpm >= 1 && samplePpm <= 1000000,
+      s"samplePpm=$samplePpm out of (0, 10^6]")
+    val idExpr = concat_ws(":", idCols.map(c => col(c).cast("string")): _*)
+    val samp = df.filter(
+      conv(substring(md5(idExpr), 1, 8), 16, 10).cast("long")
+        % 1000000 < samplePpm)
+    val kc = samp.groupBy(col(keyCol)).agg(count(lit(1)).as("_c"))
+    val fs = kc.agg(count(lit(1)).as("d_sample"),
+      sum(when(col("_c") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("_c") === 2, 1L).otherwise(0L)).as("f2"),
+      sum(col("_c")).as("sample_rows"))
+    val exact = df.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col(keyCol)).as("ndv_exact"))
+    fs.crossJoin(exact)
+      .select(col("n_rows"), col("sample_rows"), col("d_sample"),
+        col("f1"), col("f2"),
+        expr("d_sample + (f1 * (f1 - 1)) div (2 * (f2 + 1))")
+          .as("ndv_est"),
+        col("ndv_exact"),
+        expr("(1000000 * (d_sample + (f1 * (f1 - 1)) div " +
+          "(2 * (f2 + 1)))) div ndv_exact").as("est_over_exact_ppm"))
+  }
+
+  /** [NS] — CMS join-size estimate audit: the AMS/CMS inner-product
+    * estimator (Cormode & Muthukrishnan 2005 §4.2) — per depth row,
+    * Σ_cells cnt_L·cnt_R, minimized over depths — next to the exact
+    * join size. The estimate NEVER undercounts (collisions only add
+    * mass), and `guarantee_holds` makes that theorem a checked column.
+    * This is the join-size oracle a planner can afford on every
+    * candidate join at 100 TB: two d×w sketches (mergeable, maintained
+    * incrementally by q135's running shape) replace any contact with
+    * the join inputs at planning time. */
+  def cmsJoinSizeAudit(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, depth: Int,
+      width: Int): DataFrame = {
+    val sl = cmsSketch(left, leftKey, depth, width)
+      .withColumnRenamed("cnt", "_cl")
+    val sr = cmsSketch(right, rightKey, depth, width)
+      .withColumnRenamed("cnt", "_cr")
+    val perDepth = sl.join(sr, Seq("h", "cell"))
+      .groupBy(col("h"))
+      .agg(sum(col("_cl").cast("decimal(38,0)") *
+        col("_cr").cast("decimal(38,0)")).as("_ip"))
+    // a depth with NO colliding cells is a zero inner product — it must
+    // participate in the min, not vanish from it
+    val depths = left.sparkSession.range(depth).toDF("h")
+      .select(col("h").cast("int").as("h"))
+    val est = depths.join(perDepth, Seq("h"), "left")
+      .agg(min(coalesce(col("_ip"), lit(0).cast("decimal(38,0)")))
+        .as("_est"))
+    val lc = left.groupBy(col(leftKey).as("_k"))
+      .agg(count(lit(1)).as("_cl"))
+    val rc = right.groupBy(col(rightKey).as("_k"))
+      .agg(count(lit(1)).as("_cr"))
+    val actual = lc.join(rc, Seq("_k"))
+      .agg(coalesce(sum(col("_cl").cast("decimal(38,0)") *
+        col("_cr").cast("decimal(38,0)")), lit(0)).as("_act"))
+    est.crossJoin(actual)
+      .select(expr("CAST(_est AS BIGINT)").as("est_rows"),
+        expr("CAST(_act AS BIGINT)").as("actual_rows"),
+        expr("CAST(_est - _act AS BIGINT)").as("overcount"),
+        expr("CASE WHEN _act > 0 THEN CAST((1000000 * _est) div _act " +
+          "AS BIGINT) END").as("est_over_actual_ppm"),
+        expr("_est >= _act").as("guarantee_holds"))
+  }
+
+  /** [NS] — System R join-cardinality audit: the classic NDV estimate
+    * |L⋈R| ≈ |L|·|R| / max(ndv_L, ndv_R) (Selinger 1979) vs the exact
+    * join size Σ_k c_L(k)·c_R(k) — computed from per-key counts, the
+    * join itself is never materialized, so auditing a 10¹²-row join
+    * output costs two aggregates and a key-sized equi-join. The gap is
+    * the skew the uniform-frequency assumption can't see: on a
+    * self-join of a skewed fact table the estimate undercounts by
+    * exactly the concentration the AQE skew-join handling exists for —
+    * this instrument prices that BEFORE the shuffle is planned.
+    * Decimal(38,0) sums (c² of a hot key overflows longs at scale);
+    * outputs cast back to BIGINT for the oracle hash. */
+  def joinCardinalityAudit(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("_k"))
+      .agg(count(lit(1)).as("_cl"))
+    val rc = right.groupBy(col(rightKey).as("_k"))
+      .agg(count(lit(1)).as("_cr"))
+    val actual = lc.join(rc, Seq("_k"))
+      .agg(coalesce(sum(col("_cl").cast("decimal(38,0)") *
+        col("_cr").cast("decimal(38,0)")), lit(0)).as("_act"))
+    val ls = left.agg(count(lit(1)).as("n_left"),
+      countDistinct(col(leftKey)).as("ndv_left"))
+    val rs = right.agg(count(lit(1)).as("n_right"),
+      countDistinct(col(rightKey)).as("ndv_right"))
+    ls.crossJoin(rs).crossJoin(actual)
+      .select(col("n_left"), col("n_right"), col("ndv_left"),
+        col("ndv_right"),
+        expr("""CAST((cast(n_left as decimal(38,0)) * n_right)
+          div greatest(ndv_left, ndv_right) AS BIGINT)""")
+          .as("est_rows"),
+        expr("CAST(_act AS BIGINT)").as("actual_rows"),
+        expr("""CASE WHEN _act > 0 THEN
+          CAST((1000000 * (cast(n_left as decimal(38,0)) * n_right
+            div greatest(ndv_left, ndv_right)))
+          div _act AS BIGINT) END""").as("est_over_actual_ppm"))
+  }
+
+  /** [NS] — independence-assumption audit: every CBO prices a
+    * conjunction as P(A)·P(B); correlated columns (ship vs receipt
+    * date, price vs quantity) break that silently, and the broken
+    * estimate picks the wrong join order three operators downstream.
+    * One scan, one aggregate row: each predicate's measured ppm, the
+    * independence estimate `a_ppm·b_ppm div 10⁶`, the measured
+    * conjunction, and the correlation lift
+    * `10⁶·n_ab·n div (n_a·n_b)` (1 000 000 = independent, above =
+    * positively correlated — the factor the estimate is wrong by). */
+  def independenceAudit(df: DataFrame, predA: Column,
+      predB: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(when(predA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(predB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(predA && predB, 1L).otherwise(0L)).as("n_ab"))
+      .select(col("n_rows"), col("n_a"), col("n_b"), col("n_ab"),
+        expr("(1000000 * n_a) div n_rows").as("a_ppm"),
+        expr("(1000000 * n_b) div n_rows").as("b_ppm"),
+        expr("((1000000 * n_a) div n_rows) * ((1000000 * n_b) " +
+          "div n_rows) div 1000000").as("indep_est_ppm"),
+        expr("(1000000 * n_ab) div n_rows").as("actual_ppm"),
+        expr("CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+          "CAST((1000000 * cast(n_ab as decimal(38,0)) * n_rows) " +
+          "div (cast(n_a as decimal(38,0)) * n_b) AS BIGINT) END")
+          .as("lift_ppm"))
 }

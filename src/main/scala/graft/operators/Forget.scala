@@ -93,6 +93,14 @@ object Forget {
     * know-every-entry-point failure this object exists to kill. */
   final case class MomentsTarget(dir: String, keyCol: String,
       valCol: String) extends Target { val name = "moments" }
+  /** Stored ANALYZE statistics at `dir` ([[StatsIndex]]): the planner's
+    * CMS cells subtract the forgotten entities' fact rows exactly (the
+    * same subset contract — the forgotten frame must carry `keyCol`'s
+    * ORIGINAL rows). Without this registration a purged user's traffic
+    * keeps shaping frequency and join-size ESTIMATES after every other
+    * artifact forgot them — statistics are also derived data. */
+  final case class StatsTarget(dir: String, keyCol: String, depth: Int,
+      width: Int) extends Target { val name = "stats_index" }
   /** Stored co-occurrence recommender at `dir` ([[RecModel]]): the
     * forgotten USERS' trained interactions subtract their pair counts
     * exactly (the cap is user-local, so counts are additive over
@@ -144,6 +152,9 @@ object Forget {
           "_op", dir, epoch, fenceTag)
       case MomentsTarget(dir, kc, vc) =>
         MomentsState.removeBatch(spark, f, kc, vc, dir, epoch,
+          fenceTag)
+      case StatsTarget(dir, kc, depth, width) =>
+        StatsIndex.removeBatch(spark, f, kc, dir, depth, width, epoch,
           fenceTag)
       case RecTarget(dir, uc, ic, capM) =>
         RecModel.removeBatch(spark, f, uc, ic, capM, 1L, dir, epoch,
@@ -247,6 +258,12 @@ object Forget {
         row(spark, "moments", MomentsState.storedSums(spark, dir),
           sum(col("n")),
           "concat_ws(':', _k, n, s1, s2, s3, s4)")
+      case StatsTarget(dir, _, _, _) =>
+        // cell rows / Σcnt (the folded fact-row mass, depth× counted) /
+        // xor over the full (h, cell, cnt) row — counts included, so a
+        // corrupted decrement can't hide behind a surviving cell set
+        row(spark, "stats_index", StatsIndex.storedCells(spark, dir),
+          sum(col("cnt")), "concat_ws(':', h, cell, cnt)")
       case RecTarget(dir, uc, _, _) =>
         // sims rows / Σn_users / xor over the full sims rows UNION the
         // anchor rows — both stored relations certified in one digest,

@@ -3048,9 +3048,418 @@ object OpsQueries {
       FROM j"""),
     doc = "[NS] weighted HRW capacity upgrade: targeted-movement certificate")
 
+  /** [NS] — CBO selectivity audit
+    * ([[graft.operators.Analytics.selectivityAudit]]): the equi-depth
+    * histogram (q156's ANALYZE pass) used the way an optimizer uses
+    * it — estimate a range predicate's selectivity by
+    * uniform-within-bucket interpolation — next to the measured truth,
+    * in one row with the signed error in ppm. The histogram prices
+    * every future range predicate for one rank sort; this audit
+    * measures what that pricing is worth on the real corpus instead of
+    * trusting the uniformity assumption. Exact micro-row arithmetic
+    * (`(c·10⁶·overlap) div span`), replayed verbatim by the oracle. */
+  val q383SelectivityAudit = Q(
+    "q383_selectivity_audit",
+    (s, d) => Analytics.selectivityAudit(Tables.lineitem(s, d),
+      "l_partkey", Seq("l_orderkey", "l_linenumber"), 16, 100L, 300L),
+    Some("""WITH r AS (SELECT l_partkey AS v,
+          row_number() OVER (ORDER BY l_partkey, l_orderkey,
+            l_linenumber) - 1 AS rk
+        FROM lineitem),
+      nn AS (SELECT count(*) AS n FROM lineitem),
+      hb AS (SELECT (rk * 16) // nn.n AS bucket, count(*) AS c,
+          min(v) AS blo, max(v) AS bhi
+        FROM r, nn GROUP BY 1),
+      e AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_buckets,
+          sum(CASE WHEN least(bhi, 300) >= greatest(blo, 100)
+            THEN (c * 1000000 * (least(bhi, 300) - greatest(blo, 100)
+              + 1)) // (bhi - blo + 1)
+            ELSE 0 END) AS em
+        FROM hb),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        FROM lineitem WHERE l_partkey BETWEEN 100 AND 300)
+      SELECT n_rows, n_buckets,
+        CAST(em // 1000000 AS BIGINT) AS est_rows,
+        CAST(em // n_rows AS BIGINT) AS est_ppm,
+        actual_rows,
+        CAST((1000000 * actual_rows) // n_rows AS BIGINT) AS actual_ppm,
+        CAST(em // n_rows - (1000000 * actual_rows) // n_rows
+          AS BIGINT) AS err_ppm
+      FROM e, a"""),
+    doc = "[NS] equi-depth-histogram selectivity estimate vs measured truth")
+
+  /** [NS] — System R join-cardinality audit
+    * ([[graft.operators.Analytics.joinCardinalityAudit]]): the
+    * textbook NDV estimate \|L\|·\|R\|/max(ndv) vs the exact join size
+    * Σ c_L(k)·c_R(k), on the self-join of `documents` over `lang` —
+    * the skewed-key case the uniform-frequency assumption undercounts
+    * (est_over_actual_ppm ≈ 740000 here: the estimate sees only 74% of
+    * the real output). The exact side is computed from per-key counts;
+    * the join is never materialized, so auditing an arbitrarily large
+    * join output costs two aggregates and a key-sized equi-join. */
+  val q384JoinCardAudit = Q(
+    "q384_join_card_audit",
+    (s, d) => Analytics.joinCardinalityAudit(
+      Tables.documents(s, d), "lang", Tables.documents(s, d), "lang"),
+    Some("""WITH c AS (SELECT lang, count(*) AS cc FROM documents
+        GROUP BY 1),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(count(DISTINCT lang) AS BIGINT) AS ndv FROM documents),
+      a AS (SELECT sum(cc::HUGEINT * cc) AS act FROM c)
+      SELECT n AS n_left, n AS n_right, ndv AS ndv_left,
+        ndv AS ndv_right,
+        CAST((n::HUGEINT * n) // greatest(ndv, ndv) AS BIGINT)
+          AS est_rows,
+        CAST(act AS BIGINT) AS actual_rows,
+        CAST((1000000 * ((n::HUGEINT * n) // greatest(ndv, ndv)))
+          // act AS BIGINT) AS est_over_actual_ppm
+      FROM t, a"""),
+    doc = "[NS] NDV join-size estimate vs exact, skew gap priced")
+
+  /** [NS] — independence-assumption audit
+    * ([[graft.operators.Analytics.independenceAudit]]): every CBO
+    * prices `A AND B` as P(A)·P(B); on `documents` the pair
+    * n_chars ≥ 300 / length(text) ≥ 200 is perfectly nested (n_chars
+    * IS the text length), so the measured conjunction exceeds the
+    * independence estimate by lift ≈ 1.42 — the correlated-columns
+    * trap that picks a wrong join order three operators downstream,
+    * measured in one scan and one aggregate row. */
+  val q385IndependenceAudit = Q(
+    "q385_independence_audit",
+    (s, d) => Analytics.independenceAudit(Tables.documents(s, d),
+      col("n_chars") >= 300, length(col("text")) >= 200),
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(sum(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN n_chars >= 300 AND length(text) >= 200
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_ab,
+        CAST((1000000 * sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END))
+          // count(*) AS BIGINT) AS a_ppm,
+        CAST((1000000 * sum(CASE WHEN length(text) >= 200 THEN 1
+          ELSE 0 END)) // count(*) AS BIGINT) AS b_ppm,
+        CAST(((1000000 * sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0
+            END)) // count(*))
+          * ((1000000 * sum(CASE WHEN length(text) >= 200 THEN 1 ELSE 0
+            END)) // count(*)) // 1000000 AS BIGINT) AS indep_est_ppm,
+        CAST((1000000 * sum(CASE WHEN n_chars >= 300 AND length(text)
+          >= 200 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+          AS actual_ppm,
+        CAST(CASE WHEN sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+            > 0 AND sum(CASE WHEN length(text) >= 200 THEN 1 ELSE 0
+            END) > 0 THEN
+          (1000000 * sum(CASE WHEN n_chars >= 300 AND length(text) >=
+            200 THEN 1 ELSE 0 END)::HUGEINT * count(*))
+          // (sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::HUGEINT
+            * sum(CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END))
+          END AS BIGINT) AS lift_ppm
+      FROM documents"""),
+    doc = "[NS] conjunction selectivity: independence estimate vs measured")
+
+  /** [NS] — stale-statistics audit
+    * ([[graft.operators.Analytics.selectivityAuditStale]]): the q383
+    * estimate with the histogram built on the pre-1997 snapshot and
+    * the truth measured on the full corpus — the production regression
+    * where nobody re-ran ANALYZE after ingest moved on. The 1997
+    * ship-year predicate lies entirely beyond the stale histogram's
+    * top bucket, so the optimizer's estimate collapses to 0 rows while
+    * the corpus actually holds a year of them (err_ppm ≈ −120000): the
+    * measured case for histogram-refresh triggers (q176's drift
+    * monitor is the upstream signal). */
+  val q386StaleStatsAudit = Q(
+    "q386_stale_stats_audit",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).withColumn("v",
+        datediff($"l_shipdate".cast("date"),
+          lit("1995-01-01").cast("date")).cast("long"))
+      Analytics.selectivityAuditStale(li.filter($"v" < 731), li, "v",
+        Seq("l_orderkey", "l_linenumber"), 16, 731L, 1095L)
+    },
+    Some("""WITH base AS (SELECT date_diff('day', DATE '1995-01-01',
+          CAST(l_shipdate AS DATE)) AS v, l_orderkey, l_linenumber
+        FROM lineitem),
+      st AS (SELECT * FROM base WHERE v < 731),
+      r AS (SELECT v, row_number() OVER (ORDER BY v, l_orderkey,
+          l_linenumber) - 1 AS rk FROM st),
+      nn AS (SELECT count(*) AS n FROM st),
+      hb AS (SELECT (rk * 16) // nn.n AS bucket, count(*) AS c,
+          min(v) AS blo, max(v) AS bhi
+        FROM r, nn GROUP BY 1),
+      e AS (SELECT CAST(sum(c) AS BIGINT) AS n_stats,
+          sum(CASE WHEN least(bhi, 1095) >= greatest(blo, 731)
+            THEN (c * 1000000 * (least(bhi, 1095) - greatest(blo, 731)
+              + 1)) // (bhi - blo + 1)
+            ELSE 0 END) AS em
+        FROM hb),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN v BETWEEN 731 AND 1095 THEN 1 ELSE 0 END)
+            AS BIGINT) AS actual_rows
+        FROM base)
+      SELECT n_stats, n_rows,
+        CAST(em // n_stats AS BIGINT) AS est_ppm,
+        CAST(((em // n_stats) * n_rows) // 1000000 AS BIGINT)
+          AS est_rows,
+        actual_rows,
+        CAST((1000000 * actual_rows) // n_rows AS BIGINT) AS actual_ppm,
+        CAST(em // n_stats - (1000000 * actual_rows) // n_rows
+          AS BIGINT) AS err_ppm
+      FROM e, t"""),
+    doc = "[NS] stale ANALYZE stats: pre-1997 histogram vs 1997 predicate truth")
+
+  /** [NS] — sample-NDV audit
+    * ([[graft.operators.Analytics.ndvEstimateAudit]]): Chao1
+    * species-richness estimate of l_partkey's NDV from a deterministic
+    * 20% md5 row sample, vs the exact COUNT(DISTINCT). Sample-based
+    * NDV is how every engine's ANALYZE prices DISTINCT/GROUP BY
+    * memory, and it is provably unreliable in the worst case (Charikar
+    * et al. 2000) — so the estimate ships WITH its measured error on
+    * this corpus instead of a trust-me bound. Both engines draw the
+    * byte-identical sample (md5 row hash mod 10⁶). */
+  val q387NdvSampleAudit = Q(
+    "q387_ndv_sample_audit",
+    (s, d) => Analytics.ndvEstimateAudit(Tables.lineitem(s, d),
+      "l_partkey", Seq("l_orderkey", "l_linenumber"), 200000),
+    Some("""WITH samp AS (SELECT l_partkey FROM lineitem
+        WHERE CAST('0x' || substr(md5(l_orderkey::VARCHAR || ':' ||
+          l_linenumber::VARCHAR), 1, 8) AS BIGINT) % 1000000 < 200000),
+      kc AS (SELECT l_partkey, count(*) AS c FROM samp GROUP BY 1),
+      fs AS (SELECT CAST(count(*) AS BIGINT) AS d_sample,
+          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+          CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+          CAST(sum(c) AS BIGINT) AS sample_rows
+        FROM kc),
+      ex AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(count(DISTINCT l_partkey) AS BIGINT) AS ndv_exact
+        FROM lineitem)
+      SELECT n_rows, sample_rows, d_sample, f1, f2,
+        CAST(d_sample + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+          AS ndv_est,
+        ndv_exact,
+        CAST((1000000 * (d_sample + (f1 * (f1 - 1)) // (2 * (f2 + 1))))
+          // ndv_exact AS BIGINT) AS est_over_exact_ppm
+      FROM fs, ex"""),
+    doc = "[NS] Chao1 sample-NDV estimate vs exact distinct count")
+
+  /** [NS] — CMS join-size estimate audit
+    * ([[graft.operators.Analytics.cmsJoinSizeAudit]]): the AMS/CMS
+    * inner-product estimator — per sketch depth Σ_cells cnt_L·cnt_R,
+    * min over depths — vs the exact Σ_k c_L(k)·c_R(k), on the events
+    * self-join over user_id. Two mergeable d×w sketches (q135's
+    * running shape) answer "how big is this join" for ANY candidate
+    * join at planning time without touching the inputs; the estimate
+    * can only overcount (collisions add mass), and `guarantee_holds`
+    * makes that theorem a checked column. */
+  val q388CmsJoinSize = Q(
+    "q388_cms_join_size",
+    (s, d) => Analytics.cmsJoinSizeAudit(Tables.events(s, d), "user_id",
+      Tables.events(s, d), "user_id", 4, 256),
+    Some("""WITH hs AS (SELECT unnest(range(4)) AS h),
+      sk AS (SELECT h, CAST('0x' || substr(md5(h::VARCHAR || ':' ||
+            user_id::VARCHAR), 1, 8) AS BIGINT) % 256 AS cell,
+          count(*) AS cnt
+        FROM events CROSS JOIN hs GROUP BY 1, 2),
+      ip AS (SELECT h, sum(cnt::HUGEINT * cnt) AS v FROM sk GROUP BY h),
+      est AS (SELECT min(v) AS e FROM ip),
+      c AS (SELECT user_id, count(*) AS cc FROM events GROUP BY 1),
+      a AS (SELECT sum(cc::HUGEINT * cc) AS act FROM c)
+      SELECT CAST(e AS BIGINT) AS est_rows,
+        CAST(act AS BIGINT) AS actual_rows,
+        CAST(e - act AS BIGINT) AS overcount,
+        CAST((1000000 * e) // act AS BIGINT) AS est_over_actual_ppm,
+        e >= act AS guarantee_holds
+      FROM est, a"""),
+    doc = "[NS] CMS inner-product join-size estimate vs exact, never-undercount certified")
+
+  /** [NS] — stored statistics artifact, serve path
+    * ([[graft.operators.StatsIndex]]): the events table's ANALYZE
+    * sketch built ONCE (fingerprinted — repeats skip the scan), then
+    * q388's join sizing served from the STORED d×w cells — the events
+    * table appears nowhere in the serve plan. The oracle recomputes
+    * sketch + inner product from scratch, certifying stored ≡
+    * in-query. At 100 TB this is planning-time join sizing for any
+    * candidate join from two 4×256-row tables. */
+  val q389StatsIndexServe = Q(
+    "q389_stats_index_serve",
+    (s, d) => {
+      val dir = graft.operators.StatsIndex.defaultDir(d + "#stats_serve")
+      graft.operators.StatsIndex.buildIfAbsent(Tables.events(s, d),
+        "user_id", dir, 4, 256, d + "#stats_serve")
+      graft.operators.StatsIndex.servedJoinSize(s, dir, dir, 4, 256)
+    },
+    Some("""WITH hs AS (SELECT unnest(range(4)) AS h),
+      sk AS (SELECT h, CAST('0x' || substr(md5(h::VARCHAR || ':' ||
+            user_id::VARCHAR), 1, 8) AS BIGINT) % 256 AS cell,
+          count(*) AS cnt
+        FROM events CROSS JOIN hs GROUP BY 1, 2),
+      ip AS (SELECT h, sum(cnt::HUGEINT * cnt) AS v FROM sk GROUP BY h),
+      est AS (SELECT min(v) AS e FROM ip),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM events)
+      SELECT CAST(e AS BIGINT) AS est_rows, nn AS n_left, nn AS n_right
+      FROM est, n"""),
+    doc = "[NS] stored-ANALYZE join sizing: zero corpus scans in the serve plan")
+
+  /** [NS] — stored statistics incremental merge: the sketch built on
+    * half the events (even event_id), the other half folded in by
+    * cell sum ([[graft.operators.StatsIndex.mergeBatch]] — batch-sized,
+    * never a re-scan of the archive), then top-20 user frequencies
+    * served from the merged cells. Oracle: the full-corpus sketch
+    * estimates from scratch — merge ≡ rebuild at the statistics
+    * artifact, the law that makes nightly re-ANALYZE unnecessary. */
+  val q390StatsIndexMerge = Q(
+    "q390_stats_index_merge",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val dir = graft.operators.StatsIndex.defaultDir(d + "#stats_merge")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#stats_merge") {
+        graft.operators.StatsIndex.build(
+          ev.filter($"event_id" % 2 === 0), "user_id", dir, 4, 256)
+        graft.operators.StatsIndex.mergeBatch(s,
+          ev.filter($"event_id" % 2 === 1), "user_id", dir, 4, 256)
+      }
+      val probes = ev.groupBy($"user_id")
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy($"true_cnt".desc, $"user_id").limit(20)
+      graft.operators.StatsIndex.servedFreq(s, probes, "user_id",
+          dir, 4, 256)
+        .withColumn("overcount", $"est" - $"true_cnt")
+        .orderBy($"user_id")
+    },
+    Some("""WITH tf AS (SELECT user_id, CAST(count(*) AS BIGINT)
+          AS true_cnt FROM events GROUP BY user_id),
+      probes AS (SELECT user_id, true_cnt FROM tf
+        ORDER BY true_cnt DESC, user_id LIMIT 20),
+      hs AS (SELECT unnest(range(4)) AS h),
+      sk AS (SELECT h, CAST('0x' || substr(md5(h::VARCHAR || ':' ||
+            user_id::VARCHAR), 1, 8) AS BIGINT) % 256 AS cell,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM events CROSS JOIN hs GROUP BY 1, 2),
+      pc AS (SELECT p.user_id, p.true_cnt, hs.h,
+          CAST('0x' || substr(md5(hs.h::VARCHAR || ':' ||
+            p.user_id::VARCHAR), 1, 8) AS BIGINT) % 256 AS cell
+        FROM probes p CROSS JOIN hs)
+      SELECT pc.user_id AS user_id, pc.true_cnt,
+        min(coalesce(s.cnt, 0)) AS est,
+        min(coalesce(s.cnt, 0)) - pc.true_cnt AS overcount
+      FROM pc LEFT JOIN sk s ON s.h = pc.h AND s.cell = pc.cell
+      GROUP BY pc.user_id, pc.true_cnt
+      ORDER BY user_id"""),
+    doc = "[NS] stored-ANALYZE incremental merge == full rebuild (served)")
+
+  /** [NS] — stored statistics forget certificate: sketch built on ALL
+    * events, the user_id ≡ 0 (mod 9) cohort's rows FORGOTTEN
+    * ([[graft.operators.StatsIndex.removeBatch]] — exact cell
+    * decrement under the subset guard), then remaining-user
+    * frequencies served from the decremented cells. Oracle: the
+    * sketch recomputed over the REMAINING rows only — forget ≡
+    * rebuild at the statistics artifact, so a purged user's traffic
+    * stops shaping the planner's estimates too (the RTBF long tail:
+    * statistics are also derived data). */
+  val q391StatsIndexForget = Q(
+    "q391_stats_index_forget",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val dir = graft.operators.StatsIndex.defaultDir(d + "#stats_forget")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#stats_forget") {
+        graft.operators.StatsIndex.build(ev, "user_id", dir, 4, 256)
+        graft.operators.StatsIndex.removeBatch(s,
+          ev.filter($"user_id" % 9 === 0), "user_id", dir, 4, 256)
+      }
+      val remaining = ev.filter($"user_id" % 9 =!= 0)
+      val probes = remaining.groupBy($"user_id")
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy($"true_cnt".desc, $"user_id").limit(20)
+      graft.operators.StatsIndex.servedFreq(s, probes, "user_id",
+          dir, 4, 256)
+        .withColumn("overcount", $"est" - $"true_cnt")
+        .orderBy($"user_id")
+    },
+    Some("""WITH rem AS (SELECT * FROM events WHERE user_id % 9 <> 0),
+      tf AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM rem GROUP BY user_id),
+      probes AS (SELECT user_id, true_cnt FROM tf
+        ORDER BY true_cnt DESC, user_id LIMIT 20),
+      hs AS (SELECT unnest(range(4)) AS h),
+      sk AS (SELECT h, CAST('0x' || substr(md5(h::VARCHAR || ':' ||
+            user_id::VARCHAR), 1, 8) AS BIGINT) % 256 AS cell,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM rem CROSS JOIN hs GROUP BY 1, 2),
+      pc AS (SELECT p.user_id, p.true_cnt, hs.h,
+          CAST('0x' || substr(md5(hs.h::VARCHAR || ':' ||
+            p.user_id::VARCHAR), 1, 8) AS BIGINT) % 256 AS cell
+        FROM probes p CROSS JOIN hs)
+      SELECT pc.user_id AS user_id, pc.true_cnt,
+        min(coalesce(s.cnt, 0)) AS est,
+        min(coalesce(s.cnt, 0)) - pc.true_cnt AS overcount
+      FROM pc LEFT JOIN sk s ON s.h = pc.h AND s.cell = pc.cell
+      GROUP BY pc.user_id, pc.true_cnt
+      ORDER BY user_id"""),
+    doc = "[NS] stored-ANALYZE forget: cell decrement == remaining-only rebuild (served)")
+
+  /** [NS] — statistics in the RTBF fan-out
+    * ([[graft.operators.Forget.StatsTarget]]): the planner's sketch
+    * built on all events, a user cohort purged THROUGH the one-call
+    * orchestrator (`Forget.purgeDocs`), frequencies served from the
+    * decremented cells. Before this registration a purged user's
+    * traffic kept shaping frequency and join-size ESTIMATES after
+    * every other artifact forgot them — statistics are also derived
+    * data, and the orchestrator now knows it (the 10th target class).
+    * Oracle: the sketch recomputed over remaining rows from scratch. */
+  val q392StatsRtbf = Q(
+    "q392_stats_rtbf",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val dir = graft.operators.StatsIndex.defaultDir(d + "#stats_rtbf")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#stats_rtbf") {
+        graft.operators.StatsIndex.build(ev, "user_id", dir, 4, 256)
+        graft.operators.Forget.purgeDocs(s,
+          ev.filter($"user_id" % 11 === 3), "user_id",
+          Seq(graft.operators.Forget.StatsTarget(dir, "user_id",
+            4, 256)), epoch = 0L)
+      }
+      val remaining = ev.filter($"user_id" % 11 =!= 3)
+      val probes = remaining.groupBy($"user_id")
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy($"true_cnt".desc, $"user_id").limit(20)
+      graft.operators.StatsIndex.servedFreq(s, probes, "user_id",
+          dir, 4, 256)
+        .withColumn("overcount", $"est" - $"true_cnt")
+        .orderBy($"user_id")
+    },
+    Some("""WITH rem AS (SELECT * FROM events WHERE user_id % 11 <> 3),
+      tf AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM rem GROUP BY user_id),
+      probes AS (SELECT user_id, true_cnt FROM tf
+        ORDER BY true_cnt DESC, user_id LIMIT 20),
+      hs AS (SELECT unnest(range(4)) AS h),
+      sk AS (SELECT h, CAST('0x' || substr(md5(h::VARCHAR || ':' ||
+            user_id::VARCHAR), 1, 8) AS BIGINT) % 256 AS cell,
+          CAST(count(*) AS BIGINT) AS cnt
+        FROM rem CROSS JOIN hs GROUP BY 1, 2),
+      pc AS (SELECT p.user_id, p.true_cnt, hs.h,
+          CAST('0x' || substr(md5(hs.h::VARCHAR || ':' ||
+            p.user_id::VARCHAR), 1, 8) AS BIGINT) % 256 AS cell
+        FROM probes p CROSS JOIN hs)
+      SELECT pc.user_id AS user_id, pc.true_cnt,
+        min(coalesce(s.cnt, 0)) AS est,
+        min(coalesce(s.cnt, 0)) - pc.true_cnt AS overcount
+      FROM pc LEFT JOIN sk s ON s.h = pc.h AND s.cell = pc.cell
+      GROUP BY pc.user_id, pc.true_cnt
+      ORDER BY user_id"""),
+    doc = "[NS] stats artifact purged through the RTBF orchestrator (10th target)")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q378HrwShardBalance, q379ReshardCertificate,
     q381WeightedShardBalance, q382ReweightCertificate,
+    q383SelectivityAudit, q384JoinCardAudit, q385IndependenceAudit,
+    q386StaleStatsAudit, q387NdvSampleAudit, q388CmsJoinSize,
+    q389StatsIndexServe, q390StatsIndexMerge, q391StatsIndexForget,
+    q392StatsRtbf,
     q307TheilSen, q310StratifiedEffect, q313LDiversity,
     q320NeymanAllocation, q324ContributionBound, q328KruskalWallis,
     q331WilcoxonSignedRank, q338Mcnemar, q339Friedman, q340FleissKappa, q341CochranQ, q345PageTrend,

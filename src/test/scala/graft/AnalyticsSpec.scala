@@ -1589,4 +1589,152 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(sums(dir) === sums(dirR),
       "wide-value forget must equal the remaining-only rebuild")
   }
+
+  // ---- CBO statistics audits ----
+
+  test("selectivityAudit: exact on aligned uniform buckets") {
+    import spark.implicits._
+    // 1..100, 10 buckets of exactly 10 consecutive ints: bucket spans
+    // align with the data, so interpolation is exact and err_ppm = 0
+    val df = (1L to 100L).toDF("v")
+    val r = Analytics.selectivityAudit(df, "v", Seq("v"), 10, 11L, 30L)
+      .collect()(0)
+    assert(r.getAs[Long]("n_rows") === 100L)
+    assert(r.getAs[Long]("n_buckets") === 10L)
+    assert(r.getAs[Long]("est_rows") === 20L)
+    assert(r.getAs[Long]("actual_rows") === 20L)
+    assert(r.getAs[Long]("err_ppm") === 0L)
+  }
+
+  test("selectivityAudit: within-bucket skew drives a signed error") {
+    import spark.implicits._
+    // one bucket spanning [1,100] holds 9 rows at 1 and one at 100;
+    // uniform interpolation prices [90,100] at 10 of 100 slots ⇒
+    // 10% of 10 rows = 1 row estimated, but actually 1 row too —
+    // pick [2,99] instead: est = 98% of 10 ≈ 9 rows, actual 0
+    val df = (Seq.fill(9)(1L) ++ Seq(100L)).toDF("v")
+    val r = Analytics.selectivityAudit(df, "v", Seq("v"), 1, 2L, 99L)
+      .collect()(0)
+    assert(r.getAs[Long]("actual_rows") === 0L)
+    assert(r.getAs[Long]("est_rows") === 9L)
+    assert(r.getAs[Long]("err_ppm") === 980000L)
+  }
+
+  test("joinCardinalityAudit: hand-counted skew gap") {
+    import spark.implicits._
+    val left = Seq("a", "a", "a", "b").toDF("k")
+    val right = Seq("a", "b", "b").toDF("k")
+    val r = Analytics.joinCardinalityAudit(left, "k", right, "k")
+      .collect()(0)
+    assert(r.getAs[Long]("n_left") === 4L)
+    assert(r.getAs[Long]("n_right") === 3L)
+    assert(r.getAs[Long]("ndv_left") === 2L)
+    assert(r.getAs[Long]("ndv_right") === 2L)
+    assert(r.getAs[Long]("est_rows") === 6L)    // 4·3 / 2
+    assert(r.getAs[Long]("actual_rows") === 5L) // 3·1 + 1·2
+    assert(r.getAs[Long]("est_over_actual_ppm") === 1200000L)
+  }
+
+  test("joinCardinalityAudit: disjoint keys — estimate blind, actual 0") {
+    import spark.implicits._
+    val r = Analytics.joinCardinalityAudit(
+      Seq("a", "b").toDF("k"), "k", Seq("c", "d").toDF("k"), "k")
+      .collect()(0)
+    assert(r.getAs[Long]("actual_rows") === 0L)
+    assert(r.getAs[Long]("est_rows") === 2L) // the NDV rule can't see it
+  }
+
+  test("independenceAudit: independent pair reads lift 1e6, nested pair n/n_b") {
+    import spark.implicits._
+    // balanced 2×2: A and B independent by construction
+    val ind = Seq((1, 1), (1, 0), (0, 1), (0, 0)).toDF("a", "b")
+    val r1 = Analytics.independenceAudit(ind,
+      col("a") === 1, col("b") === 1).collect()(0)
+    assert(r1.getAs[Long]("indep_est_ppm") === 250000L)
+    assert(r1.getAs[Long]("actual_ppm") === 250000L)
+    assert(r1.getAs[Long]("lift_ppm") === 1000000L)
+    // nested: A ⊆ B with P(A)=1/4, P(B)=1/2 ⇒ lift = 1/P(B) = 2
+    val nest = Seq((1, 1), (0, 1), (0, 0), (0, 0)).toDF("a", "b")
+    val r2 = Analytics.independenceAudit(nest,
+      col("a") === 1, col("b") === 1).collect()(0)
+    assert(r2.getAs[Long]("indep_est_ppm") === 125000L)
+    assert(r2.getAs[Long]("actual_ppm") === 250000L)
+    assert(r2.getAs[Long]("lift_ppm") === 2000000L)
+    // empty predicate: lift is NULL, not a division error
+    val r3 = Analytics.independenceAudit(nest,
+      col("a") === 9, col("b") === 1).collect()(0)
+    assert(r3.isNullAt(r3.fieldIndex("lift_ppm")))
+  }
+
+  test("selectivityAuditStale: unseen range estimates zero, prefix range exact") {
+    import spark.implicits._
+    val truth = (1L to 200L).toDF("v")
+    val stats = truth.filter(col("v") <= 100)
+    // predicate entirely beyond the stale histogram: est 0, truth 100
+    val r = Analytics.selectivityAuditStale(stats, truth, "v",
+      Seq("v"), 10, 101L, 200L).collect()(0)
+    assert(r.getAs[Long]("n_stats") === 100L)
+    assert(r.getAs[Long]("n_rows") === 200L)
+    assert(r.getAs[Long]("est_rows") === 0L)
+    assert(r.getAs[Long]("actual_rows") === 100L)
+    assert(r.getAs[Long]("err_ppm") === -500000L)
+    // predicate inside the stale histogram: interpolation still exact
+    val r2 = Analytics.selectivityAuditStale(stats, truth, "v",
+      Seq("v"), 10, 91L, 100L).collect()(0)
+    assert(r2.getAs[Long]("est_ppm") === 100000L) // 10 of 100 stats rows
+    assert(r2.getAs[Long]("est_rows") === 20L)    // scaled to 200 truth
+    assert(r2.getAs[Long]("actual_rows") === 10L) // truth added no 91..100
+    assert(r2.getAs[Long]("err_ppm") === 50000L)
+  }
+
+  test("ndvEstimateAudit: full sample with no singletons is exact") {
+    import spark.implicits._
+    // every key appears 3 times ⇒ f1 = f2 = 0 ⇒ Chao1 = d = exact
+    val df = (1L to 30L).map(i => (i, s"k${i % 10}"))
+      .toDF("id", "k")
+    val r = Analytics.ndvEstimateAudit(df, "k", Seq("id"), 1000000)
+      .collect()(0)
+    assert(r.getAs[Long]("sample_rows") === 30L)
+    assert(r.getAs[Long]("f1") === 0L && r.getAs[Long]("f2") === 0L)
+    assert(r.getAs[Long]("ndv_est") === 10L)
+    assert(r.getAs[Long]("ndv_exact") === 10L)
+    assert(r.getAs[Long]("est_over_exact_ppm") === 1000000L)
+  }
+
+  test("ndvEstimateAudit: the md5 sample is deterministic") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"k${i % 97}")).toDF("id", "k")
+    val a = Analytics.ndvEstimateAudit(df, "k", Seq("id"), 300000)
+      .collect()(0)
+    val b = Analytics.ndvEstimateAudit(df, "k", Seq("id"), 300000)
+      .collect()(0)
+    assert(a.toSeq === b.toSeq)
+    assert(a.getAs[Long]("sample_rows") > 0L)
+    assert(a.getAs[Long]("ndv_est") >= a.getAs[Long]("d_sample"))
+  }
+
+  test("cmsJoinSizeAudit: single key exact, guarantee holds, empty join NULL-safe") {
+    import spark.implicits._
+    // one key: no collision is possible at any width ⇒ est exact
+    val l = Seq.fill(4)("a").toDF("k")
+    val r1 = Analytics.cmsJoinSizeAudit(l, "k", l, "k", 4, 16)
+      .collect()(0)
+    assert(r1.getAs[Long]("est_rows") === 16L)
+    assert(r1.getAs[Long]("actual_rows") === 16L)
+    assert(r1.getAs[Boolean]("guarantee_holds"))
+    // skewed multi-key self-join: never undercounts
+    val e = (Seq.fill(9)("hot") ++ Seq("c1", "c2", "c3")).toDF("k")
+    val r2 = Analytics.cmsJoinSizeAudit(e, "k", e, "k", 4, 8)
+      .collect()(0)
+    assert(r2.getAs[Long]("actual_rows") === 84L) // 81 + 3
+    assert(r2.getAs[Long]("est_rows") >= 84L)
+    assert(r2.getAs[Boolean]("guarantee_holds"))
+    // disjoint keys: actual 0, ratio NULL, no division error
+    val r3 = Analytics.cmsJoinSizeAudit(
+      Seq("x").toDF("k"), "k", Seq("y").toDF("k"), "k", 4, 16)
+      .collect()(0)
+    assert(r3.getAs[Long]("actual_rows") === 0L)
+    assert(r3.isNullAt(r3.fieldIndex("est_over_actual_ppm")))
+    assert(r3.getAs[Boolean]("guarantee_holds"))
+  }
 }

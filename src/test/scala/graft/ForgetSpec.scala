@@ -17,7 +17,7 @@ class ForgetSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory(tag).toString
 
   test("purgeDocs composite == the individual removers (certificates " +
-      "identical across 9 artifact classes); replayed epoch is a no-op") {
+      "identical across 10 artifact classes); replayed epoch is a no-op") {
     import spark.implicits._
     import graft.operators._
 
@@ -43,10 +43,11 @@ class ForgetSpec extends AnyFunSuite {
     val ids = gone.select($"doc_id")
 
     def buildAll(): (String, String, String, String, String, String,
-        String, String, String) = {
-      val (t, dd, tri, ln, imp, bq, ann, mom, rec) = (tmp("f_text"),
+        String, String, String, String) = {
+      val (t, dd, tri, ln, imp, bq, ann, mom, rec, sts) = (tmp("f_text"),
         tmp("f_dedup"), tmp("f_tri"), tmp("f_line"), tmp("f_imp"),
-        tmp("f_bq"), tmp("f_ann"), tmp("f_mom"), tmp("f_rec"))
+        tmp("f_bq"), tmp("f_ann"), tmp("f_mom"), tmp("f_rec"),
+        tmp("f_stats"))
       TextIndex.build(docs, "doc_id", "text", t)
       DedupIndex.build(docs, "doc_id", "text", 3, 8, 4, dd)
       LmIndex.buildTrigram(docs, "doc_id", "text", tri)
@@ -63,11 +64,12 @@ class ForgetSpec extends AnyFunSuite {
       // and the subset contract are fully exercised; q368 covers the
       // multi-interaction shape on real events
       RecModel.build(docs, "doc_id", "score", 8, 1L, rec)
-      (t, dd, tri, ln, imp, bq, ann, mom, rec)
+      StatsIndex.build(docs, "lang", sts, 4, 16)
+      (t, dd, tri, ln, imp, bq, ann, mom, rec, sts)
     }
     def targetsOf(t: String, dd: String, tri: String, ln: String,
         imp: String, bq: String, ann: String,
-        mom: String, rec: String): Seq[Forget.Target] = Seq(
+        mom: String, rec: String, sts: String): Seq[Forget.Target] = Seq(
       Forget.TextTarget(t, "doc_id"),
       Forget.DedupTarget(dd),
       Forget.TrigramTarget(tri, "text"),
@@ -77,16 +79,19 @@ class ForgetSpec extends AnyFunSuite {
       Forget.BqTarget(bq),
       Forget.AnnTarget(ann, "vec_id"),
       Forget.MomentsTarget(mom, "lang", "score"),
-      Forget.RecTarget(rec, "doc_id", "score", 8))
+      Forget.RecTarget(rec, "doc_id", "score", 8),
+      Forget.StatsTarget(sts, "lang", 4, 16))
 
     // A: one orchestrated purge
-    val (ta, dda, tria, lna, impa, bqa, anna, moma, reca) = buildAll()
+    val (ta, dda, tria, lna, impa, bqa, anna, moma, reca, stsa) =
+      buildAll()
     val targetsA = targetsOf(ta, dda, tria, lna, impa, bqa, anna,
-      moma, reca)
+      moma, reca, stsa)
     Forget.purgeDocs(spark, gone, "doc_id", targetsA, epoch = 0L)
 
-    // B: the nine individual entry points, called by hand
-    val (tb, ddb, trib, lnb, impb, bqb, annb, momb, recb) = buildAll()
+    // B: the ten individual entry points, called by hand
+    val (tb, ddb, trib, lnb, impb, bqb, annb, momb, recb, stsb) =
+      buildAll()
     TextIndex.removeDocs(spark, ids, "doc_id", tb, epoch = 0L)
     DedupIndex.removeDocs(spark, ddb, ids, "doc_id", epoch = 0L)
     LmIndex.removeTrigramBatch(spark, gone, "doc_id", "text", trib,
@@ -103,6 +108,8 @@ class ForgetSpec extends AnyFunSuite {
       epoch = 0L)
     RecModel.removeBatch(spark, gone, "doc_id", "score", 8, 1L, recb,
       epoch = 0L)
+    StatsIndex.removeBatch(spark, gone, "lang", stsb, 4, 16,
+      epoch = 0L)
 
     def cert(ts: Seq[Forget.Target]) =
       Forget.certificate(spark, ts).collect()
@@ -110,13 +117,17 @@ class ForgetSpec extends AnyFunSuite {
           r.getLong(3))).sortBy(_._1).toSeq
     val a = cert(targetsA)
     val b = cert(targetsOf(tb, ddb, trib, lnb, impb, bqb, annb, momb,
-      recb))
+      recb, stsb))
     assert(a === b, "composite purge must equal the individual removers")
     // the moments artifact: survivors are docs {1,3,5} -> en keeps only
     // doc 1 (n=1), de keeps docs 3,5 (n=2) -> 2 group rows, mass 3
     val momRow = a.find(_._1 == "moments").get
     assert(momRow._2 === 2L && momRow._3 === 3L,
       "purged cohort's statistics must leave the moments state")
+    // the ANALYZE artifact: 3 surviving rows (en:1, de:2) × 4 depths
+    val stsRow = a.find(_._1 == "stats_index").get
+    assert(stsRow._3 === 12L,
+      "purged rows must leave the planner's CMS cells")
 
     // sanity on the certified content: every per-doc artifact's id xor
     // is the xor over the SURVIVORS {1, 3, 5}
