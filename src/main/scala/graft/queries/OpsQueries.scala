@@ -3453,13 +3453,102 @@ object OpsQueries {
       ORDER BY user_id"""),
     doc = "[NS] stats artifact purged through the RTBF orchestrator (10th target)")
 
+  /** One edge of the q393 oracle: uniquely-named CTE block computing
+    * the CMS inner-product estimate (missing depths count as 0 via the
+    * hs left join) and the exact per-key-count join size. */
+  private def edgeSql(i: Int, edge: String, lt: String, lk: String,
+      rt: String, rk: String): (String, String) = {
+    def sk(side: String, t: String, k: String) =
+      s"""sk$i$side AS (SELECT h, CAST('0x' || substr(md5(h::VARCHAR ||
+        ':' || $k::VARCHAR), 1, 8) AS BIGINT) % 256 AS cell,
+        count(*) AS cnt FROM $t CROSS JOIN hs GROUP BY 1, 2)"""
+    val ctes = s"""${sk("l", lt, lk)},
+      ${sk("r", rt, rk)},
+      ip$i AS (SELECT l.h AS h, sum(l.cnt::HUGEINT * r.cnt) AS v
+        FROM sk${i}l l JOIN sk${i}r r ON l.h = r.h AND l.cell = r.cell
+        GROUP BY l.h),
+      est$i AS (SELECT min(coalesce(ip$i.v, 0)) AS e
+        FROM hs LEFT JOIN ip$i ON ip$i.h = hs.h),
+      c${i}l AS (SELECT $lk AS k, count(*) AS c FROM $lt GROUP BY 1),
+      c${i}r AS (SELECT $rk AS k, count(*) AS c FROM $rt GROUP BY 1),
+      a$i AS (SELECT coalesce(sum(l.c::HUGEINT * r.c), 0) AS act
+        FROM c${i}l l JOIN c${i}r r ON l.k = r.k)"""
+    val arm = s"""SELECT '$edge' AS edge, CAST(e AS BIGINT) AS est_rows,
+      CAST(act AS BIGINT) AS actual_rows,
+      CAST(e - act AS BIGINT) AS overcount,
+      CASE WHEN act > 0 THEN CAST((1000000 * e) // act AS BIGINT) END
+        AS est_over_actual_ppm,
+      e >= act AS guarantee_holds
+      FROM est$i, a$i"""
+    (ctes, arm)
+  }
+
+  /** [NS] — the join-graph DRY RUN: every FK edge of the star schema
+    * priced by the CMS inner-product estimator next to its exact join
+    * size — the table a cost-based planner consults before choosing a
+    * join order, produced without executing any of the seven joins
+    * (per-key counts and 4×256 sketches only). `guarantee_holds` must
+    * read true on every row; the per-edge est/actual ratio is the
+    * collision inflation the sketch geometry costs on THIS schema —
+    * measured, so widening the sketch is a data-driven decision. */
+  val q393JoinGraphDryrun = Q(
+    "q393_join_graph_dryrun",
+    (s, d) => {
+      val edges = Seq(
+        ("1_nation_region", Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey"),
+        ("2_customer_nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        ("3_supplier_nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        ("4_orders_customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        ("5_lineitem_orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        ("6_lineitem_part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        ("7_lineitem_supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+      edges.map { case (name, l, lk, r, rk) =>
+        Analytics.cmsJoinSizeAudit(l, lk, r, rk, 4, 256)
+          .select(lit(name).as("edge"), col("est_rows"),
+            col("actual_rows"), col("overcount"),
+            col("est_over_actual_ppm"), col("guarantee_holds"))
+      }.reduce(_.unionByName(_)).orderBy(col("edge"))
+    },
+    Some {
+      val edges = Seq(
+        (1, "1_nation_region", "nation", "n_regionkey", "region",
+          "r_regionkey"),
+        (2, "2_customer_nation", "customer", "c_nationkey", "nation",
+          "n_nationkey"),
+        (3, "3_supplier_nation", "supplier", "s_nationkey", "nation",
+          "n_nationkey"),
+        (4, "4_orders_customer", "orders", "o_custkey", "customer",
+          "c_custkey"),
+        (5, "5_lineitem_orders", "lineitem", "l_orderkey", "orders",
+          "o_orderkey"),
+        (6, "6_lineitem_part", "lineitem", "l_partkey", "part",
+          "p_partkey"),
+        (7, "7_lineitem_supplier", "lineitem", "l_suppkey", "supplier",
+          "s_suppkey"))
+      val parts = edges.map { case (i, e, lt, lk, rt, rk) =>
+        edgeSql(i, e, lt, lk, rt, rk)
+      }
+      s"""WITH hs AS (SELECT unnest(range(4)) AS h),
+        ${parts.map(_._1).mkString(",\n")}
+        ${parts.map(_._2).mkString("\nUNION ALL\n")}
+        ORDER BY edge"""
+    },
+    doc = "[NS] all 7 FK edges priced from sketches vs exact - the planner's dry run")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q378HrwShardBalance, q379ReshardCertificate,
     q381WeightedShardBalance, q382ReweightCertificate,
     q383SelectivityAudit, q384JoinCardAudit, q385IndependenceAudit,
     q386StaleStatsAudit, q387NdvSampleAudit, q388CmsJoinSize,
     q389StatsIndexServe, q390StatsIndexMerge, q391StatsIndexForget,
-    q392StatsRtbf,
+    q392StatsRtbf, q393JoinGraphDryrun,
     q307TheilSen, q310StratifiedEffect, q313LDiversity,
     q320NeymanAllocation, q324ContributionBound, q328KruskalWallis,
     q331WilcoxonSignedRank, q338Mcnemar, q339Friedman, q340FleissKappa, q341CochranQ, q345PageTrend,
