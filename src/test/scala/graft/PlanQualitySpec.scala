@@ -845,4 +845,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("codes"),
       s"stored codes not in the audit plan:\n$p")
   }
+
+  test("q378 HRW placement: pure projection — pruned 2-column scan, " +
+      "no join, one aggregate exchange") {
+    val p = plan("q378_hrw_shard_balance")
+    // the placement function is per-row arithmetic: no lookup table
+    // means no join of ANY kind in the plan
+    assert(!p.contains("Join"), s"placement must not join:\n$p")
+    // column pruning: documents is read as (doc_id, n_chars) only —
+    // the wide text column never leaves the reader
+    assert(p.matches(
+      "(?s).*ReadSchema: struct<doc_id:bigint,n_chars:bigint>.*"),
+      s"scan not pruned to (doc_id, n_chars):\n$p")
+  }
+
+  test("q389 stored-ANALYZE serve: the join-size estimate reads the " +
+      "stored cells only — the described table is NOT in the plan") {
+    val p = plan("q389_stats_index_serve")
+    assert(p.contains("graft_stats_index"),
+      s"stored cells not in the serve plan:\n$p")
+    assert(!p.contains("events.parquet"),
+      s"serve plan touches the described table:\n$p")
+  }
 }
