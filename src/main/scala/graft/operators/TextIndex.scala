@@ -181,21 +181,54 @@ object TextIndex {
   private val genClaims =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** This JVM's claim identity — a fresh UUID per process, so a claim
+    * file left by a CRASHED writer can never be mistaken for our own
+    * (pids recycle; UUIDs do not). */
+  private val claimWriterId = java.util.UUID.randomUUID().toString
+
+  private def claimPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_claim")
+
+  /** A foreign claim older than this is treated as a crashed writer's
+    * leftover and overwritten (the crashed process can never resume —
+    * its in-JVM claim died with it; its flip would fail the CAS anyway).
+    * Overridable for tests via -Dgraft.genclaim.stale.ms. */
+  private def claimStaleMs: Long =
+    sys.props.get("graft.genclaim.stale.ms").map(_.toLong)
+      .getOrElse(15L * 60L * 1000L)
+
+  /** Best-effort parse of a claim file: (writerId, targetGen, wallMs). */
+  private def readClaim(
+      p: java.nio.file.Path): Option[(String, Long, Long)] =
+    try {
+      java.nio.file.Files.readString(p).trim.split("\n") match {
+        case Array(w, g, t) if g.matches("-?\\d+") && t.matches("\\d+") =>
+          Some((w, g.toLong, t.toLong))
+        case _ => None // torn/garbage claim: treat as stale, overwrite
+      }
+    } catch { case _: java.io.IOException => None }
+
   /** Run a guarded mutation's write phase (gen-data write + pointer flip)
-    * holding an in-JVM CLAIM on `basedOnGen + 1`.
+    * holding a CLAIM on `basedOnGen + 1` — in-JVM via [[genClaims]] AND
+    * cross-process via a `_claim` file written under the same per-dir
+    * `FileChannel` lock the pointer flip takes.
     *
     * Closes the r11 ADVICE window: the CAS in [[writePointer]] aborts
     * only at FLIP time, after the loser already wrote into the same
     * gen+1 data directory the winner flipped to — the loser failed
     * loudly, but the winner's store was silently co-written. Claiming
     * the generation BEFORE any data byte lands makes the second mutator
-    * fail up front, so the winner's data dir is never shared. The claim
-    * is in-JVM by design: unserialized concurrent writers realistically
-    * ARE threads of one JVM (foreachBatch streams); a cross-process
-    * violation of the documented writers-serialized contract still
-    * fails loudly at flip time via the CAS. */
+    * fail up front, so the winner's data dir is never shared. Round 13
+    * (r12 verdict): the claim is also cross-JVM — under the pointer
+    * lock we verify the generation, refuse if a LIVE foreign claim file
+    * is present, and write our own; a racing mutator in another process
+    * now aborts before writing, same as an in-JVM racer. A claim left
+    * by a crashed writer goes stale after [[claimStaleMs]] and is
+    * overwritten (the crash's half-written gen dir was never flipped
+    * to, so it is invisible and simply rewritten). */
   private[operators] def withGenClaim[T](dir: String, basedOnGen: Long)(
       body: => T): T = {
+    import java.nio.file.{Files, StandardCopyOption}
     val key = normDir(dir)
     val target = java.lang.Long.valueOf(basedOnGen + 1)
     val prev = genClaims.putIfAbsent(key, target)
@@ -204,15 +237,43 @@ object TextIndex {
         s"mutation on $dir aborted BEFORE writing: another mutation in " +
           s"this JVM is already in flight (target gen=$prev). Writers " +
           "must be serialized per artifact; nothing was written.")
+    var claimed = false
     try {
-      val (curGen, _, _) = currentAll(dir)
-      if (curGen != basedOnGen)
-        throw new java.util.ConcurrentModificationException(
-          s"mutation on $dir aborted BEFORE writing: derived from " +
-            s"gen=$basedOnGen but the store is now at gen=$curGen — " +
-            "re-derive from the current generation; nothing was written.")
+      withPointerLock(dir) {
+        val (curGen, _, _) = currentAll(dir)
+        if (curGen != basedOnGen)
+          throw new java.util.ConcurrentModificationException(
+            s"mutation on $dir aborted BEFORE writing: derived from " +
+              s"gen=$basedOnGen but the store is now at gen=$curGen — " +
+              "re-derive from the current generation; nothing was written.")
+        val cp = claimPath(dir)
+        if (Files.exists(cp)) readClaim(cp) match {
+          case Some((w, g, t)) if w != claimWriterId &&
+              System.currentTimeMillis() - t < claimStaleMs =>
+            throw new java.util.ConcurrentModificationException(
+              s"mutation on $dir aborted BEFORE writing: a mutation in " +
+                s"ANOTHER process holds the claim (writer=$w target " +
+                s"gen=$g). Writers must be serialized per artifact; " +
+                "nothing was written.")
+          case _ => // stale, torn, or (impossibly) our own: overwrite
+        }
+        val tmp = cp.resolveSibling("_claim.tmp")
+        Files.writeString(tmp,
+          s"$claimWriterId\n${basedOnGen + 1}\n${System.currentTimeMillis()}")
+        Files.move(tmp, cp, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        claimed = true
+      }
       body
-    } finally genClaims.remove(key, target)
+    } finally {
+      if (claimed) withPointerLock(dir) {
+        val cp = claimPath(dir)
+        // remove only OUR claim — a stale takeover may have replaced it
+        if (readClaim(cp).exists(_._1 == claimWriterId))
+          Files.deleteIfExists(cp)
+      }
+      genClaims.remove(key, target)
+    }
   }
 
   /** JVM monitor + cross-process file lock around a pointer read/verify/

@@ -220,6 +220,63 @@ class PointerProtocolSpec extends AnyFunSuite {
         "generation dir would surface extra or missing docs")
   }
 
+  test("cross-process claim: a LIVE foreign claim file aborts the " +
+      "mutation BEFORE the body runs (r12 verdict)") {
+    val dir = tmp("ptr_claim_foreign")
+    TextIndex.advance(dir, 0L, -1L)
+    // simulate a mutator in ANOTHER JVM: a fresh claim file with a
+    // writer id that is not ours (UUIDs never collide with ours)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_claim"),
+      s"foreign-jvm-writer\n1\n${System.currentTimeMillis()}")
+    var ran = false
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TextIndex.withGenClaim(dir, 0L) { ran = true }
+    }
+    assert(!ran, "pre-r13 a second-JVM racer passed the in-JVM claim " +
+      "and co-wrote the winner's gen+1 dir, failing only at flip time")
+    assert(e.getMessage.contains("ANOTHER process"))
+    // the foreign claim is NOT ours — the abort must leave it in place
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_claim")))
+  }
+
+  test("cross-process claim: a STALE foreign claim (crashed writer) is " +
+      "overwritten; success and failure both release our claim file") {
+    val dir = tmp("ptr_claim_stale_foreign")
+    TextIndex.advance(dir, 0L, -1L)
+    val cp = java.nio.file.Paths.get(dir, "_claim")
+    // a claim older than the stale window = a crashed writer's leftover
+    java.nio.file.Files.writeString(cp,
+      s"crashed-jvm-writer\n1\n${System.currentTimeMillis() - 16L * 60L * 1000L}")
+    var ran = false
+    TextIndex.withGenClaim(dir, 0L) {
+      ran = true
+      // while the body runs, the claim file is OURS
+      val held = java.nio.file.Files.readString(cp)
+      assert(!held.startsWith("crashed-jvm-writer"))
+      TextIndex.advance(dir, 1L, 1L, "", basedOnGen = 0L)
+    }
+    assert(ran)
+    assert(!java.nio.file.Files.exists(cp),
+      "a successful mutation must remove its claim file")
+    // torn/garbage claim bodies also count as stale, never throw
+    java.nio.file.Files.writeString(cp, "not a claim")
+    TextIndex.withGenClaim(dir, 1L) {
+      TextIndex.advance(dir, 2L, 2L, "", basedOnGen = 1L)
+    }
+    assert(!java.nio.file.Files.exists(cp))
+    // a FAILED body also releases the claim file
+    intercept[RuntimeException] {
+      TextIndex.withGenClaim(dir, 2L) { throw new RuntimeException("boom") }
+    }
+    assert(!java.nio.file.Files.exists(cp))
+    TextIndex.withGenClaim(dir, 2L) {
+      TextIndex.advance(dir, 3L, 3L, "", basedOnGen = 2L)
+    }
+    assert(TextIndex.current(dir)._1 === 3L)
+  }
+
   test("legacy long-typed MomentsState footer upcasts on read and " +
       "migrates to decimal on the next merge") {
     import spark.implicits._
