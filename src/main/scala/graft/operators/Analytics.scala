@@ -1529,6 +1529,40 @@ object Analytics {
         col("final_rows"), col("recommended"))
   }
 
+  /** [NS] — join-order pick CERTIFIED: [[joinOrderAdvisor]]'s decision
+    * made twice per plan — once from the AMS/CMS sketch estimator
+    * ([[cmsJoinSizeAudit]]'s inner product, exactly what
+    * [[StatsIndex.joinOrderFromSketches]] serves from stored cells)
+    * and once from the exact Σ-of-products — each pricing issuing its
+    * own recommendation side by side. `agree` is the certification
+    * column: the sketch never undercounts an edge, but collision
+    * inflation is per-edge, so a near-tie between intermediates can
+    * flip the pick; a false `agree` row is not an error, it is the
+    * measured cost of deciding from d·w cells instead of full key
+    * counts, priced by the est/exact columns on the same row. Cost:
+    * two sketch+key-count audits — no candidate join is executed. */
+  def joinOrderSketchAudit(bridge: DataFrame, leftKey: String,
+      rightKey: String, left: DataFrame, leftJoinKey: String,
+      right: DataFrame, rightJoinKey: String, depth: Int,
+      width: Int): DataFrame = {
+    def arm(name: String, bk: String, side: DataFrame, sk: String) =
+      cmsJoinSizeAudit(bridge.select(col(bk)), bk,
+          side.select(col(sk)), sk, depth, width)
+        .select(lit(name).as("plan_name"),
+          col("est_rows").as("est_first_join_rows"),
+          col("actual_rows").as("exact_first_join_rows"))
+    val w = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    arm("left_first", leftKey, left, leftJoinKey)
+      .unionByName(arm("right_first", rightKey, right, rightJoinKey))
+      .withColumn("sketch_recommended", col("est_first_join_rows") ===
+        min(col("est_first_join_rows")).over(w))
+      .withColumn("exact_recommended", col("exact_first_join_rows") ===
+        min(col("exact_first_join_rows")).over(w))
+      .withColumn("agree",
+        col("sketch_recommended") === col("exact_recommended"))
+  }
+
   /** [NS] — distribution SHAPE profile: per group, the two shape
     * readouts a numeric-column audit needs beyond q134's basic stats,
     * both exact so they hash-match:
@@ -2890,13 +2924,17 @@ object Analytics {
   /** Shared interpolation tail: micro-row estimate of [lo,hi] from an
     * [[equiDepth]] histogram frame. Integer `div` throughout (Column./
     * is double division — floor of a double would silently diverge from
-    * the oracle's exact `//` once the products pass 2^53). */
+    * the oracle's exact `//` once the products pass 2^53). The
+    * per-bucket product n_rows·10⁶·overlap accumulates in
+    * decimal(38,0) (the repo convention for count-like sums) — ~10⁹-row
+    * buckets times wide integer spans overflow long BEFORE the div;
+    * the quotient itself is ≤ n_rows·10⁶ and lands back in bigint. */
   private def histEstMicro(h: DataFrame, lo: Long, hi: Long): DataFrame =
     h.withColumn("_ovlo", greatest(col("lo").cast("long"), lit(lo)))
       .withColumn("_ovhi", least(col("hi").cast("long"), lit(hi)))
       .withColumn("_em", expr(
-        "CASE WHEN _ovhi >= _ovlo THEN (n_rows * 1000000 * " +
-          "(_ovhi - _ovlo + 1)) div (cast(hi as bigint) - " +
+        "CASE WHEN _ovhi >= _ovlo THEN (cast(n_rows as decimal(38,0)) " +
+          "* 1000000 * (_ovhi - _ovlo + 1)) div (cast(hi as bigint) - " +
           "cast(lo as bigint) + 1) ELSE 0 END"))
       .agg(sum(col("n_rows")).as("_n_stats"),
         count(lit(1)).as("n_buckets"),

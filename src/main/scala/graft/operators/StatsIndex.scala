@@ -142,11 +142,15 @@ object StatsIndex {
       .select(col("h"), col("cell"),
         (coalesce(col("cnt"), lit(0L)) - coalesce(col("_bc"), lit(0L)))
           .as("cnt"))
-    val bad = merged.filter(col("cnt") < 0).count()
-    require(bad == 0,
-      s"StatsIndex.removeBatch: $bad cells would go negative — the " +
-        "removal batch is not a subset of the sketched rows")
     TextIndex.withGenClaim(dir, gen) {
+      // subset guard runs INSIDE the claim (r12 ADVICE): the guard's
+      // read of the stored cells and the write below are then pinned to
+      // the same claimed generation — a concurrent mutation between
+      // guard and write is refused up front, not first at flip time
+      val bad = merged.filter(col("cnt") < 0).count()
+      require(bad == 0,
+        s"StatsIndex.removeBatch: $bad cells would go negative — the " +
+          "removal batch is not a subset of the sketched rows")
       writeGen(merged.filter(col("cnt") > 0), dir, gen + 1)
       TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
         basedOnGen = gen)
@@ -202,4 +206,36 @@ object StatsIndex {
   def storedRowCount(spark: SparkSession, dir: String): DataFrame =
     storedCells(spark, dir).filter(col("h") === 0)
       .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_rows"))
+
+  /** [NS] — the CBO loop CLOSED at the serve tier: a join-ORDER
+    * decision made from STORED sketch cells alone.
+    * [[Analytics.joinOrderAdvisor]] (q295) prices the two orders of
+    * left ⋈ bridge ⋈ right exactly, but from full per-key counts — at
+    * 100 TB that is contact with every join input at planning time.
+    * This advisor makes the same choice from FOUR stored d×w artifacts
+    * (the bridge keyed by each of its join keys, plus each side table
+    * keyed by its own): per order, the intermediate |bridge ⋈ side| is
+    * the AMS/CMS inner product of two stored sketches
+    * ([[servedJoinSize]] — never undercounts an edge), and the smaller
+    * estimate is `recommended`. The serve plan reads 4·d·w stored rows
+    * and touches NO base table (plan-gated, q389's convention);
+    * collision inflation is per-edge, so a near-tie can flip the pick —
+    * [[Analytics.joinOrderSketchAudit]] (q395) certifies the pick
+    * against the exact pricing on the star schema, and a divergence
+    * there IS the finding. */
+  def joinOrderFromSketches(spark: SparkSession, dirBridgeLeft: String,
+      dirLeft: String, dirBridgeRight: String, dirRight: String,
+      depth: Int, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def arm(name: String, dirB: String, dirS: String) =
+      servedJoinSize(spark, dirB, dirS, depth, width)
+        .select(lit(name).as("plan_name"),
+          col("est_rows").as("est_first_join_rows"))
+    val w = Window.partitionBy(lit(1)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    arm("left_first", dirBridgeLeft, dirLeft)
+      .unionByName(arm("right_first", dirBridgeRight, dirRight))
+      .withColumn("recommended", col("est_first_join_rows") ===
+        min(col("est_first_join_rows")).over(w))
+  }
 }

@@ -3262,7 +3262,8 @@ object OpsQueries {
           count(*) AS cnt
         FROM events CROSS JOIN hs GROUP BY 1, 2),
       ip AS (SELECT h, sum(cnt::HUGEINT * cnt) AS v FROM sk GROUP BY h),
-      est AS (SELECT min(v) AS e FROM ip),
+      est AS (SELECT min(coalesce(ip.v, 0)) AS e
+        FROM hs LEFT JOIN ip ON ip.h = hs.h),
       c AS (SELECT user_id, count(*) AS cc FROM events GROUP BY 1),
       a AS (SELECT sum(cc::HUGEINT * cc) AS act FROM c)
       SELECT CAST(e AS BIGINT) AS est_rows,
@@ -3295,7 +3296,8 @@ object OpsQueries {
           count(*) AS cnt
         FROM events CROSS JOIN hs GROUP BY 1, 2),
       ip AS (SELECT h, sum(cnt::HUGEINT * cnt) AS v FROM sk GROUP BY h),
-      est AS (SELECT min(v) AS e FROM ip),
+      est AS (SELECT min(coalesce(ip.v, 0)) AS e
+        FROM hs LEFT JOIN ip ON ip.h = hs.h),
       n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM events)
       SELECT CAST(e AS BIGINT) AS est_rows, nn AS n_left, nn AS n_right
       FROM est, n"""),
@@ -3542,13 +3544,125 @@ object OpsQueries {
     },
     doc = "[NS] all 7 FK edges priced from sketches vs exact - the planner's dry run")
 
+  /** Shared CTE block for the q394/q395 oracles: sketch one (table,
+    * key) pair's CMS cells and the pair's inner-product estimate
+    * (missing depths zero-filled via the hs left join). */
+  private def sketchPairSql(i: Int, lt: String, lk: String, rt: String,
+      rk: String): String = {
+    def sk(side: String, t: String, k: String) =
+      s"""sk$i$side AS (SELECT h, CAST('0x' || substr(md5(h::VARCHAR ||
+        ':' || $k::VARCHAR), 1, 8) AS BIGINT) % 256 AS cell,
+        count(*) AS cnt FROM $t CROSS JOIN hs GROUP BY 1, 2)"""
+    s"""${sk("l", lt, lk)},
+      ${sk("r", rt, rk)},
+      ip$i AS (SELECT l.h AS h, sum(l.cnt::HUGEINT * r.cnt) AS v
+        FROM sk${i}l l JOIN sk${i}r r ON l.h = r.h AND l.cell = r.cell
+        GROUP BY l.h),
+      est$i AS (SELECT min(coalesce(ip$i.v, 0)) AS e
+        FROM hs LEFT JOIN ip$i ON ip$i.h = hs.h)"""
+  }
+
+  /** [NS] — the CBO loop CLOSED, serve tier
+    * ([[graft.operators.StatsIndex.joinOrderFromSketches]]): the q295
+    * join-order decision for lineitem ⋈ orders ⋈ customer made from
+    * FOUR STORED d×w statistics artifacts — orders sketched by each of
+    * its join keys, lineitem by l_orderkey, customer by c_custkey —
+    * with NO base table in the serve plan (plan-gated, q389's
+    * convention). Per order, the intermediate is the AMS/CMS inner
+    * product of two stored sketches; the smaller estimate is the
+    * recommendation. This is what q383–q393 built the estimates FOR:
+    * at 100 TB the order choice costs 4·d·w stored rows instead of a
+    * per-key count pass over every input. Oracle: both inner products
+    * recomputed from the base tables from scratch. */
+  val q394SketchJoinOrder = Q(
+    "q394_sketch_join_order",
+    (s, d) => {
+      import s.implicits._
+      def art(tag: String, df: org.apache.spark.sql.DataFrame,
+          key: String): String = {
+        val dir = graft.operators.StatsIndex.defaultDir(d + tag)
+        graft.operators.StatsIndex.buildIfAbsent(df, key, dir, 4, 256,
+          d + tag)
+        dir
+      }
+      val bl = art("#sjo_o_ok", Tables.orders(s, d), "o_orderkey")
+      val lf = art("#sjo_l_ok", Tables.lineitem(s, d), "l_orderkey")
+      val br = art("#sjo_o_ck", Tables.orders(s, d), "o_custkey")
+      val rt = art("#sjo_c_ck", Tables.customer(s, d), "c_custkey")
+      graft.operators.StatsIndex.joinOrderFromSketches(s, bl, lf, br, rt,
+          4, 256)
+        .orderBy($"plan_name")
+    },
+    Some(s"""WITH hs AS (SELECT unnest(range(4)) AS h),
+      ${sketchPairSql(1, "orders", "o_orderkey", "lineitem",
+        "l_orderkey")},
+      ${sketchPairSql(2, "orders", "o_custkey", "customer",
+        "c_custkey")},
+      u AS (SELECT 'left_first' AS plan_name, e FROM est1
+        UNION ALL SELECT 'right_first', e FROM est2)
+      SELECT plan_name, CAST(e AS BIGINT) AS est_first_join_rows,
+        e = min(e) OVER () AS recommended
+      FROM u ORDER BY plan_name"""),
+    doc = "[NS] join order chosen from stored sketch cells alone - the CBO loop closed")
+
+  /** [NS] — the sketch-driven pick CERTIFIED
+    * ([[graft.operators.Analytics.joinOrderSketchAudit]]): q394's
+    * estimator and q295's exact pricing recommending side by side on
+    * the same chain. `agree` must read true on both rows for the
+    * stored-statistics advisor to be trusted on this schema — a false
+    * row would be the measured cost of deciding from d·w cells
+    * (collision inflation flipping a near-tie), priced by the
+    * est/exact columns. On the star schema the intermediates differ by
+    * |lineitem| vs |orders| — far from a tie — so the sketch pick must
+    * match. Oracle: sketches, inner products, and exact Σ-of-products
+    * all recomputed from scratch. */
+  val q395SketchOrderCertified = Q(
+    "q395_sketch_order_certified",
+    (s, d) => {
+      import s.implicits._
+      Analytics.joinOrderSketchAudit(
+        Tables.orders(s, d), "o_orderkey", "o_custkey",
+        Tables.lineitem(s, d), "l_orderkey",
+        Tables.customer(s, d), "c_custkey", 4, 256)
+        .orderBy($"plan_name")
+    },
+    Some(s"""WITH hs AS (SELECT unnest(range(4)) AS h),
+      ${sketchPairSql(1, "orders", "o_orderkey", "lineitem",
+        "l_orderkey")},
+      ${sketchPairSql(2, "orders", "o_custkey", "customer",
+        "c_custkey")},
+      c1l AS (SELECT o_orderkey AS k, count(*) AS c FROM orders
+        GROUP BY 1),
+      c1r AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+        GROUP BY 1),
+      a1 AS (SELECT coalesce(sum(l.c::HUGEINT * r.c), 0) AS act
+        FROM c1l l JOIN c1r r ON l.k = r.k),
+      c2l AS (SELECT o_custkey AS k, count(*) AS c FROM orders
+        GROUP BY 1),
+      c2r AS (SELECT c_custkey AS k, count(*) AS c FROM customer
+        GROUP BY 1),
+      a2 AS (SELECT coalesce(sum(l.c::HUGEINT * r.c), 0) AS act
+        FROM c2l l JOIN c2r r ON l.k = r.k),
+      u AS (SELECT 'left_first' AS plan_name, est1.e AS e, a1.act AS act
+          FROM est1, a1
+        UNION ALL
+        SELECT 'right_first', est2.e, a2.act FROM est2, a2)
+      SELECT plan_name, CAST(e AS BIGINT) AS est_first_join_rows,
+        CAST(act AS BIGINT) AS exact_first_join_rows,
+        e = min(e) OVER () AS sketch_recommended,
+        act = min(act) OVER () AS exact_recommended,
+        (e = min(e) OVER ()) = (act = min(act) OVER ()) AS agree
+      FROM u ORDER BY plan_name"""),
+    doc = "[NS] sketch join-order pick certified against the exact advisor")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q378HrwShardBalance, q379ReshardCertificate,
     q381WeightedShardBalance, q382ReweightCertificate,
     q383SelectivityAudit, q384JoinCardAudit, q385IndependenceAudit,
     q386StaleStatsAudit, q387NdvSampleAudit, q388CmsJoinSize,
     q389StatsIndexServe, q390StatsIndexMerge, q391StatsIndexForget,
-    q392StatsRtbf, q393JoinGraphDryrun,
+    q392StatsRtbf, q393JoinGraphDryrun, q394SketchJoinOrder,
+    q395SketchOrderCertified,
     q307TheilSen, q310StratifiedEffect, q313LDiversity,
     q320NeymanAllocation, q324ContributionBound, q328KruskalWallis,
     q331WilcoxonSignedRank, q338Mcnemar, q339Friedman, q340FleissKappa, q341CochranQ, q345PageTrend,

@@ -867,4 +867,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("events.parquet"),
       s"serve plan touches the described table:\n$p")
   }
+
+  test("q394 sketch join order: the ORDER DECISION reads stored cells " +
+      "only — no base table of the chain is in the serve plan") {
+    val p = plan("q394_sketch_join_order")
+    assert(p.contains("graft_stats_index"),
+      s"stored cells not in the serve plan:\n$p")
+    for (t <- Seq("orders.parquet", "lineitem.parquet",
+        "customer.parquet"))
+      assert(!p.contains(t),
+        s"the join-order decision must cost 4 d×w artifacts, not a " +
+          s"scan of $t:\n$p")
+  }
 }

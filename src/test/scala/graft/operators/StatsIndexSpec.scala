@@ -103,4 +103,66 @@ class StatsIndexSpec extends AnyFunSuite {
     // and the estimate still never undercounts the exact size (5)
     assert(served.getAs[Long]("est_rows") >= 5L)
   }
+
+  test("the CBO loop closed: on a skewed chain the naive NDV estimate " +
+      "picks the WRONG join order, the sketch advisor picks the exact " +
+      "one, and the stored serve equals the in-query pricing") {
+    // bridge: lk is skewed (key 1 held by 100 of 200 rows, keys 2..101
+    // once each — NDV 101 looks harmless), rk uniform 1..200
+    val bridge = (0 until 200).map { i =>
+      (if (i < 100) 1L else (i - 98).toLong, (i + 1).toLong)
+    }.toDF("lk", "rk")
+    // left: 50 rows ALL on the bridge's hot key — tiny table, huge join
+    val left = Seq.fill(50)(1L).toDF("lkey")
+    // right: 150 uniform keys — bigger table, small join
+    val right = (1 to 150).map(_.toLong).toDF("rkey")
+
+    // the naive System R pricing (|L|·|R| div max ndv) prefers
+    // left-first: skew is exactly what the uniformity assumption
+    // cannot see
+    def naive(bk: String, side: org.apache.spark.sql.DataFrame,
+        sk: String) =
+      Analytics.joinCardinalityAudit(bridge, bk, side, sk)
+        .collect()(0)
+    val nl = naive("lk", left, "lkey")
+    val nr = naive("rk", right, "rkey")
+    assert(nl.getAs[Long]("est_rows") < nr.getAs[Long]("est_rows"),
+      "fixture must make the naive NDV estimate prefer left_first")
+    assert(nl.getAs[Long]("actual_rows") === 5000L)
+    assert(nr.getAs[Long]("actual_rows") === 150L,
+      "…while the exact intermediates prefer right_first")
+
+    // the sketch advisor sees the skew (the hot key's mass lands in one
+    // cell, so the inner product carries it) and picks right_first,
+    // agreeing with the exact advisor on both rows
+    val audit = Analytics.joinOrderSketchAudit(bridge, "lk", "rk",
+        left, "lkey", right, "rkey", 4, 64)
+      .collect().map(r => r.getAs[String]("plan_name") -> r).toMap
+    assert(audit("right_first").getAs[Boolean]("sketch_recommended"))
+    assert(!audit("left_first").getAs[Boolean]("sketch_recommended"))
+    assert(audit("right_first").getAs[Boolean]("exact_recommended"))
+    assert(audit.values.forall(_.getAs[Boolean]("agree")))
+    assert(audit("left_first").getAs[Long]("est_first_join_rows")
+      >= 5000L, "CMS never undercounts the hot edge")
+
+    // serve tier: the same decision from four STORED artifacts equals
+    // the in-query pricing estimate-for-estimate
+    def art(tag: String, df: org.apache.spark.sql.DataFrame,
+        key: String): String = {
+      val dir = tmp(tag)
+      StatsIndex.build(df, key, dir, 4, 64)
+      dir
+    }
+    val served = StatsIndex.joinOrderFromSketches(spark,
+        art("sjo_bl", bridge, "lk"), art("sjo_lf", left, "lkey"),
+        art("sjo_br", bridge, "rk"), art("sjo_rt", right, "rkey"),
+        4, 64)
+      .collect().map(r => r.getAs[String]("plan_name") -> r).toMap
+    for (p <- Seq("left_first", "right_first"))
+      assert(served(p).getAs[Long]("est_first_join_rows") ===
+        audit(p).getAs[Long]("est_first_join_rows"),
+        s"stored serve must equal in-query pricing for $p")
+    assert(served("right_first").getAs[Boolean]("recommended"))
+    assert(!served("left_first").getAs[Boolean]("recommended"))
+  }
 }
