@@ -182,22 +182,78 @@ object Shard {
       repCol: String, nShards: Int): DataFrame = {
     val byDoc = rendezvousAssign(labeled, idCol, nShards)
     val byComp = rendezvousAssign(labeled, repCol, nShards)
-    def audit(df: DataFrame, label: String): DataFrame = {
-      val perComp = df.groupBy(col(repCol))
-        .agg(countDistinct(col("shard")).as("_ns"),
-          count(lit(1)).as("_nd"))
-      val comps = perComp.agg(count(lit(1)).as("n_components"),
-        sum(when(col("_ns") > 1, 1L).otherwise(0L))
-          .as("n_spanning_components"),
-        sum(col("_nd")).as("n_docs"))
-      val loads = df.groupBy(col("shard")).agg(count(lit(1)).as("_n"))
-        .agg(count(lit(1)).as("n_shards_used"),
-          max(col("_n")).as("max_shard_docs"),
-          min(col("_n")).as("min_shard_docs"))
-      comps.crossJoin(loads).select(lit(label).as("strategy"),
-        col("n_docs"), col("n_components"), col("n_spanning_components"),
-        col("n_shards_used"), col("max_shard_docs"), col("min_shard_docs"))
-    }
-    audit(byDoc, "by_doc").unionByName(audit(byComp, "by_component"))
+    audit(byDoc, repCol, "by_doc")
+      .unionByName(audit(byComp, repCol, "by_component"))
+  }
+
+  private def audit(df: DataFrame, repCol: String,
+      label: String): DataFrame = {
+    val perComp = df.groupBy(col(repCol))
+      .agg(countDistinct(col("shard")).as("_ns"),
+        count(lit(1)).as("_nd"))
+    val comps = perComp.agg(count(lit(1)).as("n_components"),
+      sum(when(col("_ns") > 1, 1L).otherwise(0L))
+        .as("n_spanning_components"),
+      sum(col("_nd")).as("n_docs"))
+    val loads = df.groupBy(col("shard")).agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("n_shards_used"),
+        max(col("_n")).as("max_shard_docs"),
+        min(col("_n")).as("min_shard_docs"))
+    comps.crossJoin(loads).select(lit(label).as("strategy"),
+      col("n_docs"), col("n_components"), col("n_spanning_components"),
+      col("n_shards_used"), col("max_shard_docs"), col("min_shard_docs"))
+  }
+
+  /** Size-CAPPED component colocation: route each doc by its component
+    * representative UNLESS the component holds more than
+    * `maxComponentDocs` docs — those fall back to by-doc routing, and
+    * the count of such components is REPORTED (`n_capped_components`)
+    * instead of silently unbalancing a shard.
+    *
+    * The regime this exists for (r12 verdict): the skew campaign's
+    * corpus family carries mega-components — at skew100 one near-dup
+    * family holds 20% of the corpus, and pure `by_component` routing
+    * puts all of it on ONE shard (the honest number q380 never
+    * measured). The cap bounds any component's contribution to a shard
+    * at `maxComponentDocs`, so max_shard_docs stays within
+    * corpus/nShards + cap-sized slack; the price is that capped
+    * components span shards again (their dedup re-link goes back to a
+    * global shuffle — but only for THOSE components, counted, not for
+    * the corpus). Cap = Long.MaxValue reduces to `by_component`
+    * exactly (spec-pinned: same hash input, same argmax).
+    *
+    * Same plan shape as [[rendezvousAssign]] plus ONE aggregate and
+    * one shuffle join on the rep key to learn component sizes — at
+    * 100 TB the size table is |components| rows and the join is the
+    * same co-partitioning the CC labeling already produced. */
+  def colocationCappedAssign(labeled: DataFrame, idCol: String,
+      repCol: String, nShards: Int, maxComponentDocs: Long,
+      outCol: String = "shard"): DataFrame = {
+    require(maxComponentDocs >= 1L,
+      s"maxComponentDocs=$maxComponentDocs must be >= 1")
+    val sizes = labeled.groupBy(col(repCol))
+      .agg(count(lit(1)).as("_csize"))
+    val routed = labeled.join(sizes, Seq(repCol))
+      .withColumn("_capped", col("_csize") > maxComponentDocs)
+      .withColumn("_rkey",
+        when(col("_capped"), col(idCol).cast("string"))
+          .otherwise(col(repCol).cast("string")))
+    rendezvousAssign(routed, "_rkey", nShards, outCol)
+      .drop("_rkey", "_csize")
+  }
+
+  /** One-row audit of [[colocationCappedAssign]] — the
+    * [[colocationCompare]] columns plus `n_capped_components` (the
+    * components that fell back to by-doc routing; every spanning
+    * component must be one of these, so n_spanning_components ≤
+    * n_capped_components structurally). */
+  def colocationCapped(labeled: DataFrame, idCol: String,
+      repCol: String, nShards: Int, maxComponentDocs: Long): DataFrame = {
+    val a = colocationCappedAssign(labeled, idCol, repCol, nShards,
+      maxComponentDocs)
+    val capped = a.groupBy(col(repCol))
+      .agg(max(when(col("_capped"), 1L).otherwise(0L)).as("_ov"))
+      .agg(coalesce(sum(col("_ov")), lit(0L)).as("n_capped_components"))
+    audit(a, repCol, "by_component_capped").crossJoin(capped)
   }
 }

@@ -3240,6 +3240,75 @@ object DocQueries {
       ORDER BY cs.strategy"""),
     doc = "[NS] near-dup-component-colocated HRW sharding vs by-doc, priced")
 
+  /** [NS] — size-CAPPED component colocation
+    * ([[graft.operators.Shard.colocationCapped]]): q380's
+    * `by_component` routing with the policy the skew campaign's corpus
+    * family demands — a component holding more than the cap falls back
+    * to by-doc routing and is REPORTED in `n_capped_components`
+    * instead of silently landing 20% of the corpus on one shard (the
+    * skew100 mega-component regime; measured in ARCHITECTURE.md's
+    * round-13 table). Cap = ∞ reduces to q380's by_component exactly
+    * (ShardSpec-pinned); every spanning component is a capped one, so
+    * n_spanning ≤ n_capped structurally. Oracle: closure, component
+    * sizes, conditional routing key, and the HRW argmax recomputed
+    * from scratch. */
+  val q396ColocationCapped = Q(
+    "q396_colocation_capped",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val edges = Dedup.minhashLshStarEdges(docs, "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, hotThreshold = 64)
+      val cc = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      val labeled = docs.select($"doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"),
+          "left")
+        .withColumn("rep", coalesce($"rep", $"doc_id"))
+      graft.operators.Shard.colocationCapped(labeled, "doc_id", "rep",
+        8, 2L)
+    },
+    Some(s"""WITH RECURSIVE $candidatePairsSql,
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        UNION SELECT doc_b, doc_a FROM prs),
+      reach(src, dst) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+      labels AS (SELECT src AS node, min(dst) AS rep
+        FROM reach GROUP BY src),
+      labs AS (SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+      siz AS (SELECT rep, count(*) AS csize FROM labs GROUP BY rep),
+      rk AS (SELECT labs.doc_id, labs.rep, siz.csize > 2 AS capped,
+          CASE WHEN siz.csize > 2 THEN labs.doc_id::VARCHAR
+            ELSE labs.rep::VARCHAR END AS rkey
+        FROM labs JOIN siz ON siz.rep = labs.rep),
+      sh AS (SELECT range AS s FROM range(0, 8)),
+      hb AS (SELECT doc_id, rep, capped, s,
+          md5(rkey || ':' || s::VARCHAR) AS hx
+        FROM rk CROSS JOIN sh),
+      a AS (SELECT doc_id, rep, capped, arg_max(s, hx) AS shard
+        FROM hb GROUP BY doc_id, rep, capped),
+      pc AS (SELECT rep, count(DISTINCT shard) AS ns, count(*) AS nd,
+          max(CASE WHEN capped THEN 1 ELSE 0 END) AS ov
+        FROM a GROUP BY rep),
+      cs AS (SELECT CAST(count(*) AS BIGINT) AS n_components,
+          CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_spanning_components,
+          CAST(sum(nd) AS BIGINT) AS n_docs,
+          CAST(sum(ov) AS BIGINT) AS n_capped_components
+        FROM pc),
+      ld AS (SELECT shard, count(*) AS n FROM a GROUP BY shard),
+      la AS (SELECT CAST(count(*) AS BIGINT) AS n_shards_used,
+          CAST(max(n) AS BIGINT) AS max_shard_docs,
+          CAST(min(n) AS BIGINT) AS min_shard_docs
+        FROM ld)
+      SELECT 'by_component_capped' AS strategy, n_docs, n_components,
+        n_spanning_components, n_shards_used, max_shard_docs,
+        min_shard_docs, n_capped_components
+      FROM cs, la"""),
+    doc = "[NS] capped component colocation: mega-components fall back by-doc, reported")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -3260,5 +3329,5 @@ object DocQueries {
     q370LshSkewStar, q371DedupComponentsStar, q372LshBucketProfile,
     q373FuzzyOverSurvivors, q374SplitLeakageVolume, q375SourceDupVolume,
     q376SplitLeakageComponents, q377StarThresholdAdvisor,
-    q380ColocatedShards)
+    q380ColocatedShards, q396ColocationCapped)
 }

@@ -126,4 +126,57 @@ class ShardSpec extends AnyFunSuite {
     assert(byDoc.getAs[Long]("n_docs") === 200L)
     assert(byDoc.getAs[Long]("n_components") === 83L)
   }
+
+  test("capped colocation: the mega-component falls back to by-doc " +
+      "routing and is REPORTED; small components still land whole; " +
+      "cap = MaxValue reduces to by_component exactly") {
+    // the skew-campaign shape: one planted 120-doc mega-component, 10
+    // pairs, 70 singletons — 4 shards, so pure by_component puts 60%
+    // of the corpus on one shard
+    val labeled = ((1L to 120L).map(i => (i, 5000L)) ++
+      (201L to 220L).map(i => (i, (i - 201L) / 2 * 10 + 300L)) ++
+      (401L to 470L).map(i => (i, i))).toDF("doc_id", "rep")
+    val capped = Shard.colocationCapped(labeled, "doc_id", "rep", 4, 10L)
+      .collect()(0)
+    assert(capped.getAs[Long]("n_docs") === 210L)
+    assert(capped.getAs[Long]("n_components") === 81L)
+    assert(capped.getAs[Long]("n_capped_components") === 1L,
+      "exactly the 120-doc component is over the cap — and reported")
+    // the mega-component's docs spread by doc id: it must span shards,
+    // and every spanning component must be a capped one
+    assert(capped.getAs[Long]("n_spanning_components") >= 1L)
+    assert(capped.getAs[Long]("n_spanning_components") <=
+      capped.getAs[Long]("n_capped_components"))
+    // the balance payoff: no shard holds the whole mega-component
+    // (by_component would put all 120 + colocated small comps on one)
+    assert(capped.getAs[Long]("max_shard_docs") < 120L,
+      "cap must break the mega-component's single-shard pile-up")
+    // assignment level: small components route by rep (identical to
+    // pure component routing), mega docs route by doc id
+    val a = Shard.colocationCappedAssign(labeled, "doc_id", "rep", 4,
+        10L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shard"), r.getAs[Boolean]("_capped"))).toMap
+    val byRep = Shard.rendezvousAssign(labeled, "rep", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("shard")).toMap
+    val byDoc = Shard.rendezvousAssign(labeled, "doc_id", 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("shard")).toMap
+    labeled.collect().foreach { r =>
+      val id = r.getLong(0)
+      if (id <= 120L) assert(a(id) === ((byDoc(id), true)), s"doc $id")
+      else assert(a(id) === ((byRep(id), false)), s"doc $id")
+    }
+    // cap = MaxValue: all seven audit columns equal q380's by_component
+    val uncapped = Shard.colocationCapped(labeled, "doc_id", "rep", 4,
+      Long.MaxValue).collect()(0)
+    val byComp = Shard.colocationCompare(labeled, "doc_id", "rep", 4)
+      .collect().map(r => r.getString(0) -> r).toMap.apply("by_component")
+    for (c <- Seq("n_docs", "n_components", "n_spanning_components",
+        "n_shards_used", "max_shard_docs", "min_shard_docs"))
+      assert(uncapped.getAs[Long](c) === byComp.getAs[Long](c),
+        s"cap=MaxValue must reduce to by_component on $c")
+    assert(uncapped.getAs[Long]("n_capped_components") === 0L)
+  }
 }
