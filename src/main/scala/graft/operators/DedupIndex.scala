@@ -313,4 +313,217 @@ object DedupIndex {
         s"[${expected.mkString(", ")}] — geometry mismatch, refusing " +
         "to rewrite")
   }
+
+  // ------------------------------------------------------------------
+  // SHARDED layout (round 13): placement applied to a stored artifact.
+  //
+  // The flat layout scans every index file per probe; at 100 TB the
+  // band table is the big derived relation, and a probe only ever
+  // touches rows whose PROBE KEY it shares. Sharding each table by the
+  // HRW hash of its own probe key — `_h` for hashes, the (band, v0..)
+  // tuple for bands — turns that into physical partition pruning: the
+  // incoming batch's keys name the only shard directories the probe
+  // plan may read (equal key ⇒ equal shard, so pruning is lossless for
+  // the semi-join probes), and a single-doc probe reads ≤ bands + 1 of
+  // them (plan-gated: PartitionFilters on the scans). Resharding n→m is
+  // [[Shard]]'s movement theorem applied to REAL artifact files: only
+  // the certificate's n_moved rows change partition, so only they ship
+  // (illegal_moves = 0 certified per table — no row moves between two
+  // surviving shards).
+  //
+  // Sharded generations store tables under hashes_sh/bands_sh (+ a
+  // per-generation _shards file that flips atomically with the
+  // pointer), so the flat-layout entry points fail loudly on a sharded
+  // store instead of silently rewriting it unpartitioned.
+  // ------------------------------------------------------------------
+
+  def hashesShPath(dir: String): String = {
+    val (g, _) = TextIndex.current(dir)
+    s"${TextIndex.genDir(dir, g.max(0L))}/hashes_sh"
+  }
+  def bandsShPath(dir: String): String = {
+    val (g, _) = TextIndex.current(dir)
+    s"${TextIndex.genDir(dir, g.max(0L))}/bands_sh"
+  }
+
+  /** Shard count of the CURRENT generation (written beside its tables,
+    * so it flips atomically with the pointer). */
+  def storedShards(dir: String): Int = {
+    val (g, _) = TextIndex.current(dir)
+    val p = java.nio.file.Paths.get(
+      TextIndex.genDir(dir, g.max(0L)), "_shards")
+    require(java.nio.file.Files.exists(p),
+      s"DedupIndex: no sharded index at $dir — buildSharded() first")
+    java.nio.file.Files.readString(p).trim.toInt
+  }
+
+  /** The band table's HRW routing key: the probe-key tuple as one
+    * string ("band:v0:v1…") — NOT `_id`, because probes join on the
+    * key columns; routing by key is what makes pruning lossless. */
+  private def bandShardKey(k: Int, bands: Int): org.apache.spark.sql.Column =
+    concat_ws(":", keyColNames(k, bands).map(col): _*)
+
+  private def writeGenSharded(hashes: DataFrame, bandKeys: DataFrame,
+      dir: String, gen: Long, nShards: Int): Unit = {
+    hashes.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"${TextIndex.genDir(dir, gen)}/hashes_sh")
+    bandKeys.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"${TextIndex.genDir(dir, gen)}/bands_sh")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      TextIndex.genDir(dir, gen), "_shards"), nShards.toString)
+  }
+
+  /** [[build]]'s sharded twin: same derived rows, each table written
+    * hive-partitioned by the HRW shard of its own probe key. */
+  def buildSharded(archive: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, dir: String,
+      nShards: Int): Unit = {
+    val h = Shard.rendezvousAssign(
+      archive.select(col(idCol).cast("long").as("_id"),
+        md5(col(textCol)).as("_h")).distinct(), "_h", nShards)
+    val b = Dedup.bandTable(archive, idCol, textCol, shingleN, k, bands)
+      .select(col(idCol).cast("long").as("_id") +:
+        keyColNames(k, bands).map(col): _*)
+      .distinct()
+      .withColumn("_sk", bandShardKey(k, bands))
+    val bs = Shard.rendezvousAssign(b, "_sk", nShards).drop("_sk")
+    writeGenSharded(h, bs, dir, 0L, nShards)
+    TextIndex.advance(dir, 0L, -1L)
+    val meta = java.nio.file.Paths.get(metaPath(dir))
+    java.nio.file.Files.createDirectories(meta.getParent)
+    java.nio.file.Files.writeString(meta,
+      fingerprint("(untagged)", shingleN, k, bands) + s"+shards")
+  }
+
+  /** [[buildSharded]] unless a fingerprint-matching sharded index is on
+    * disk (the fingerprint carries the shard count — a different
+    * nShards is a different physical design and rebuilds). */
+  def buildShardedIfAbsent(archive: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int, bands: Int, dir: String,
+      nShards: Int, corpusTag: String): Unit = {
+    val fp = fingerprint(corpusTag, shingleN, k, bands) +
+      s"+shards:$nShards"
+    val meta = java.nio.file.Paths.get(metaPath(dir))
+    val fresh = java.nio.file.Files.exists(meta) &&
+      java.nio.file.Files.readString(meta) == fp
+    if (!fresh) {
+      buildSharded(archive, idCol, textCol, shingleN, k, bands, dir,
+        nShards)
+      java.nio.file.Files.writeString(meta, fp)
+    }
+  }
+
+  /** [[gate]] against the SHARDED index: the incoming batch's derived
+    * keys are routed through the same HRW projection, the distinct
+    * shard ids collected (≤ min(nShards, batch keys) values — a
+    * driver-known bounded set, ≤ bands + 1 for a single-doc probe),
+    * and each stored table is read with `shard IN (…)` so partition
+    * pruning drops every other shard's files from the plan. Lossless:
+    * an archive row outside the incoming keys' shards cannot equal any
+    * incoming key (same key ⇒ same shard), and the semi-join probes
+    * never need non-matching rows. Admissions are identical to the
+    * flat [[gate]] by construction (spec-pinned). */
+  def gateSharded(spark: SparkSession, dir: String, incoming: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, k: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val (hashes, bandKeys) = prunedStored(spark, dir, incoming, idCol,
+      textCol, shingleN, k, bands)
+    Dedup.dedupIncrementalProbe(hashes.select(col("_h")),
+      bandKeys.select(keyColNames(k, bands).map(col): _*),
+      incoming, idCol, textCol, shingleN, k, bands)
+  }
+
+  /** The sharded gate's pruned archive reads, exposed so the plan gate
+    * can inspect them directly (the probe's internal localCheckpoints
+    * hide these scans from the end-to-end plan): each table read with
+    * `shard IN (incoming's own shards)` — literal values, so partition
+    * pruning happens at file-listing time. */
+  private[operators] def prunedStored(spark: SparkSession, dir: String,
+      incoming: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val nShards = storedShards(dir)
+    val hShards = Shard.rendezvousAssign(
+        incoming.select(md5(col(textCol)).as("_h")).distinct(),
+        "_h", nShards)
+      .select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val bShards = Shard.rendezvousAssign(
+        Dedup.bandTable(incoming, idCol, textCol, shingleN, k, bands)
+          .select(keyColNames(k, bands).map(col): _*).distinct()
+          .withColumn("_sk", bandShardKey(k, bands)),
+        "_sk", nShards)
+      .select(col("shard")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val hashes = spark.read.schema(StructType(Seq(
+        StructField("_id", LongType), StructField("_h", StringType),
+        StructField("shard", LongType))))
+      .parquet(hashesShPath(dir))
+      .filter(col("shard").isin(hShards: _*))
+    val bandSchema = StructType(StructField("_id", LongType) +:
+      StructField("band", IntegerType) +:
+      (0 until k / bands).map(r => StructField(s"v$r", LongType)) :+
+      StructField("shard", LongType))
+    val bandKeys = spark.read.schema(bandSchema)
+      .parquet(bandsShPath(dir))
+      .filter(col("shard").isin(bShards: _*))
+    (hashes, bandKeys)
+  }
+
+  /** Reshard the stored index nFrom→nTo under the generation protocol,
+    * returning the per-table movement CERTIFICATE on the real artifact
+    * rows: (table_name, n_total, n_moved, moved_ppm,
+    * expected_moved_ppm, illegal_moves). `illegal_moves` must be 0 —
+    * no row may move between two surviving shards (the HRW theorem,
+    * counted on files instead of a synthetic id column) — so a
+    * migration plan ships exactly n_moved rows: every unmoved row
+    * already sits in a correctly-named partition of the new
+    * generation. */
+  def reshardSharded(spark: SparkSession, dir: String, nTo: Int,
+      k: Int = 8, bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types._
+    val (gen, _) = TextIndex.current(dir)
+    require(gen >= 0, s"reshardSharded: no index at $dir")
+    val nFrom = storedShards(dir)
+    val minN = math.min(nFrom, nTo).toLong
+    val maxN = math.max(nFrom, nTo).toLong
+    val hashes = spark.read.schema(StructType(Seq(
+        StructField("_id", LongType), StructField("_h", StringType),
+        StructField("shard", LongType))))
+      .parquet(hashesShPath(dir))
+      .withColumnRenamed("shard", "shard_from")
+    val bandSchema = StructType(StructField("_id", LongType) +:
+      StructField("band", IntegerType) +:
+      (0 until k / bands).map(r => StructField(s"v$r", LongType)) :+
+      StructField("shard", LongType))
+    val bandKeys = spark.read.schema(bandSchema)
+      .parquet(bandsShPath(dir))
+      .withColumnRenamed("shard", "shard_from")
+    val h2 = Shard.rendezvousAssign(hashes, "_h", nTo)
+      .localCheckpoint(true)
+    val b2 = Shard.rendezvousAssign(
+        bandKeys.withColumn("_sk", bandShardKey(k, bands)), "_sk", nTo)
+      .drop("_sk").localCheckpoint(true)
+    def cert(df: DataFrame, name: String): DataFrame = {
+      val moved = col("shard_from") =!= col("shard")
+      df.agg(count(lit(1)).as("n_total"),
+          sum(when(moved, 1L).otherwise(0L)).as("n_moved"),
+          sum(when(moved && col("shard_from") < minN &&
+            col("shard") < minN, 1L).otherwise(0L)).as("illegal_moves"))
+        .select(lit(name).as("table_name"), col("n_total"),
+          col("n_moved"),
+          expr("(1000000 * n_moved) div n_total").as("moved_ppm"),
+          lit(1000000L * (maxN - minN) / maxN).as("expected_moved_ppm"),
+          col("illegal_moves"))
+    }
+    val certificate = cert(h2, "hashes")
+      .unionByName(cert(b2, "bands"))
+      .localCheckpoint(true)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGenSharded(h2.drop("shard_from"), b2.drop("shard_from"),
+        dir, gen + 1, nTo)
+      TextIndex.advance(dir, gen + 1, -1L, "", basedOnGen = gen)
+    }
+    certificate.orderBy(col("table_name"))
+  }
 }

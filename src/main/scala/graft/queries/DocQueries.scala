@@ -3309,6 +3309,111 @@ object DocQueries {
       FROM cs, la"""),
     doc = "[NS] capped component colocation: mega-components fall back by-doc, reported")
 
+  /** D5 [NS] — SHARDED dedup-index gate
+    * ([[graft.operators.DedupIndex.buildSharded]]/[[graft.operators.DedupIndex.gateSharded]]):
+    * q112's lifecycle with the placement family applied to the stored
+    * artifact itself — each index table hive-partitioned by the HRW
+    * shard of its own PROBE key (`_h` for hashes, the band-key tuple
+    * for bands), so the incoming batch's keys name the only shard
+    * directories the probe plan reads (`shard IN (…)` partition
+    * pruning; a single-doc probe touches ≤ bands + 1 of them,
+    * spec-pinned on the plan). Pruning is lossless for the semi-join
+    * probes — equal key ⇒ equal shard — so admissions are identical to
+    * the flat gate, and the oracle is q111's from-scratch recomputation
+    * unchanged: the strongest possible check that physical layout
+    * changed nothing semantic. */
+  val q397ShardedIndexGate = Q(
+    "q397_sharded_index_gate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.operators.DedupIndex.defaultDir(d + "#sharded")
+      graft.operators.DedupIndex.buildShardedIfAbsent(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 4, dir = dir, nShards = 8,
+        corpusTag = d + "#sharded")
+      graft.operators.DedupIndex.gateSharded(s, dir,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    q111DedupIncremental.oracle,
+    doc = "[NS] dedup gate from the HRW-sharded stored index: pruned probes, same admissions")
+
+  /** D5 [NS] — sharded-index RESHARD certificate
+    * ([[graft.operators.DedupIndex.reshardSharded]]): the q379
+    * movement theorem on REAL artifact files — the stored hash and
+    * band tables resharded 8→10 under the generation protocol, with
+    * the per-table certificate computed from the actual stored rows:
+    * `illegal_moves` must be 0 (no row moves between two surviving
+    * shards), so a migration plan ships exactly `n_moved` rows and
+    * every unmoved row already sits in a correctly-named partition of
+    * the new generation. Oracle: the archive's hash and band-key
+    * relations re-derived from scratch, both HRW assignments replayed
+    * per row, movers counted in SQL. */
+  val q398ShardedReshard = Q(
+    "q398_sharded_reshard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = graft.operators.DedupIndex.defaultDir(d + "#reshard")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#reshard13") {
+        graft.operators.DedupIndex.buildSharded(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, dir = dir, nShards = 8)
+      }
+      // deterministic replay: reshard FROM the 8-shard generation. A
+      // bench/verify rerun finds the store already resharded (gen ≥ 1,
+      // nShards 10) — rebuild the 8-shard gen 0 only then, under the
+      // same fingerprint guard semantics (withFingerprint keyed on the
+      // reshard INPUT, not the output).
+      if (graft.operators.DedupIndex.storedShards(dir) != 8)
+        graft.operators.DedupIndex.buildSharded(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, dir = dir, nShards = 8)
+      graft.operators.DedupIndex.reshardSharded(s, dir, nTo = 10)
+    },
+    Some(s"""WITH arc AS (SELECT doc_id, text FROM documents
+        WHERE doc_id % 5 <> 0),
+      tgA AS (${shinglesSqlFrom("arc")}),
+      sigA AS (${minhashSigSqlFrom("tgA")}),
+      bA AS (${lshBandsSqlFrom("sigA")}),
+      b AS (SELECT DISTINCT doc_id, band, v0, v1 FROM bA),
+      hrows AS (SELECT DISTINCT doc_id, md5(text) AS h FROM arc),
+      shf AS (SELECT range AS s FROM range(0, 8)),
+      sht AS (SELECT range AS s FROM range(0, 10)),
+      bf AS (SELECT doc_id, band, v0, v1, arg_max(s,
+          md5(band::VARCHAR || ':' || v0::VARCHAR || ':' ||
+            v1::VARCHAR || ':' || s::VARCHAR)) AS sf
+        FROM b CROSS JOIN shf GROUP BY doc_id, band, v0, v1),
+      bt AS (SELECT doc_id, band, v0, v1, arg_max(s,
+          md5(band::VARCHAR || ':' || v0::VARCHAR || ':' ||
+            v1::VARCHAR || ':' || s::VARCHAR)) AS st
+        FROM b CROSS JOIN sht GROUP BY doc_id, band, v0, v1),
+      bc AS (SELECT 'bands' AS table_name,
+          CAST(count(*) AS BIGINT) AS n_total,
+          CAST(sum(CASE WHEN sf <> st THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_moved,
+          CAST(sum(CASE WHEN sf <> st AND sf < 8 AND st < 8
+            THEN 1 ELSE 0 END) AS BIGINT) AS illegal_moves
+        FROM bf JOIN bt USING (doc_id, band, v0, v1)),
+      hf AS (SELECT doc_id, h,
+          arg_max(s, md5(h || ':' || s::VARCHAR)) AS sf
+        FROM hrows CROSS JOIN shf GROUP BY doc_id, h),
+      ht AS (SELECT doc_id, h,
+          arg_max(s, md5(h || ':' || s::VARCHAR)) AS st
+        FROM hrows CROSS JOIN sht GROUP BY doc_id, h),
+      hc AS (SELECT 'hashes' AS table_name,
+          CAST(count(*) AS BIGINT) AS n_total,
+          CAST(sum(CASE WHEN sf <> st THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_moved,
+          CAST(sum(CASE WHEN sf <> st AND sf < 8 AND st < 8
+            THEN 1 ELSE 0 END) AS BIGINT) AS illegal_moves
+        FROM hf JOIN ht USING (doc_id, h)),
+      u AS (SELECT * FROM bc UNION ALL SELECT * FROM hc)
+      SELECT table_name, n_total, n_moved,
+        CAST((1000000 * n_moved) // n_total AS BIGINT) AS moved_ppm,
+        CAST(200000 AS BIGINT) AS expected_moved_ppm, illegal_moves
+      FROM u ORDER BY table_name"""),
+    doc = "[NS] reshard certificate on real artifact files: ships exactly n_moved rows")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -3329,5 +3434,6 @@ object DocQueries {
     q370LshSkewStar, q371DedupComponentsStar, q372LshBucketProfile,
     q373FuzzyOverSurvivors, q374SplitLeakageVolume, q375SourceDupVolume,
     q376SplitLeakageComponents, q377StarThresholdAdvisor,
-    q380ColocatedShards, q396ColocationCapped)
+    q380ColocatedShards, q396ColocationCapped, q397ShardedIndexGate,
+    q398ShardedReshard)
 }
