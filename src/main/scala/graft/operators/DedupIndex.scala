@@ -433,6 +433,22 @@ object DedupIndex {
       incoming, idCol, textCol, shingleN, k, bands)
   }
 
+  /** The sharded tables of the CURRENT generation, shard column
+    * included (explicit schemas, the [[readStored]] convention). */
+  private def readStoredSharded(spark: SparkSession, dir: String,
+      k: Int, bands: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val hashes = spark.read.schema(StructType(Seq(
+        StructField("_id", LongType), StructField("_h", StringType),
+        StructField("shard", LongType))))
+      .parquet(hashesShPath(dir))
+    val bandSchema = StructType(StructField("_id", LongType) +:
+      StructField("band", IntegerType) +:
+      (0 until k / bands).map(r => StructField(s"v$r", LongType)) :+
+      StructField("shard", LongType))
+    (hashes, spark.read.schema(bandSchema).parquet(bandsShPath(dir)))
+  }
+
   /** The sharded gate's pruned archive reads, exposed so the plan gate
     * can inspect them directly (the probe's internal localCheckpoints
     * hide these scans from the end-to-end plan): each table read with
@@ -441,7 +457,6 @@ object DedupIndex {
   private[operators] def prunedStored(spark: SparkSession, dir: String,
       incoming: DataFrame, idCol: String, textCol: String,
       shingleN: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.types._
     val nShards = storedShards(dir)
     val hShards = Shard.rendezvousAssign(
         incoming.select(md5(col(textCol)).as("_h")).distinct(),
@@ -455,19 +470,62 @@ object DedupIndex {
         "_sk", nShards)
       .select(col("shard")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val hashes = spark.read.schema(StructType(Seq(
-        StructField("_id", LongType), StructField("_h", StringType),
-        StructField("shard", LongType))))
+    val (hashes, bandKeys) = readStoredSharded(spark, dir, k, bands)
+    (hashes.filter(col("shard").isin(hShards: _*)),
+      bandKeys.filter(col("shard").isin(bShards: _*)))
+  }
+
+  /** [[append]]'s sharded twin: the committed batch's derived rows are
+    * routed through the same HRW projection as the build and appended
+    * INTO their shard partitions (append-only; duplicate keys across
+    * files stay harmless to the semi-join probes). New files land only
+    * in the partitions the batch's keys name — an append touches
+    * exactly the shards it writes. */
+  def appendSharded(batch: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, bands: Int, dir: String): Unit = {
+    val nShards = storedShards(dir)
+    Shard.rendezvousAssign(
+        batch.select(col(idCol).cast("long").as("_id"),
+          md5(col(textCol)).as("_h")).distinct(), "_h", nShards)
+      .write.mode("append").partitionBy("shard")
       .parquet(hashesShPath(dir))
-      .filter(col("shard").isin(hShards: _*))
-    val bandSchema = StructType(StructField("_id", LongType) +:
-      StructField("band", IntegerType) +:
-      (0 until k / bands).map(r => StructField(s"v$r", LongType)) :+
-      StructField("shard", LongType))
-    val bandKeys = spark.read.schema(bandSchema)
+    Shard.rendezvousAssign(
+        Dedup.bandTable(batch, idCol, textCol, shingleN, k, bands)
+          .select(col(idCol).cast("long").as("_id") +:
+            keyColNames(k, bands).map(col): _*)
+          .distinct()
+          .withColumn("_sk", bandShardKey(k, bands)), "_sk", nShards)
+      .drop("_sk")
+      .write.mode("append").partitionBy("shard")
       .parquet(bandsShPath(dir))
-      .filter(col("shard").isin(bShards: _*))
-    (hashes, bandKeys)
+  }
+
+  /** [[removeDocs]]' sharded twin: certified forget on the sharded
+    * store — one broadcast anti-join per table, rows keep the shard
+    * they had (the routing key did not change), written as the next
+    * generation under the same claim + CAS + replay-fence protocol.
+    * A purged doc's twin is ADMITTED by [[gateSharded]] afterwards;
+    * a survivor's shared text keeps gating through its own rows. */
+  def removeDocsSharded(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String, k: Int = 8, bands: Int = 4,
+      epoch: Long = -1L, fenceTag: String = ""): Unit = {
+    val (gen, _) = TextIndex.current(dir)
+    val lastEpoch = TextIndex.fenceOf(dir, fenceTag)
+    require(gen >= 0,
+      s"removeDocsSharded: no index at $dir — buildSharded() first")
+    if (epoch >= 0 && epoch <= lastEpoch) return // replayed: no-op
+    val nShards = storedShards(dir)
+    val (hashes, bandKeys) = readStoredSharded(spark, dir, k, bands)
+    val rm = ids.select(col(idCol).cast("long").as("_id")).distinct()
+      .localCheckpoint(true)
+    TextIndex.withGenClaim(dir, gen) {
+      writeGenSharded(
+        hashes.join(broadcast(rm), Seq("_id"), "left_anti"),
+        bandKeys.join(broadcast(rm), Seq("_id"), "left_anti"),
+        dir, gen + 1, nShards)
+      TextIndex.advance(dir, gen + 1, epoch.max(lastEpoch), fenceTag,
+        basedOnGen = gen)
+    }
   }
 
   /** Reshard the stored index nFrom→nTo under the generation protocol,
@@ -481,24 +539,14 @@ object DedupIndex {
     * generation. */
   def reshardSharded(spark: SparkSession, dir: String, nTo: Int,
       k: Int = 8, bands: Int = 4): DataFrame = {
-    import org.apache.spark.sql.types._
     val (gen, _) = TextIndex.current(dir)
     require(gen >= 0, s"reshardSharded: no index at $dir")
     val nFrom = storedShards(dir)
     val minN = math.min(nFrom, nTo).toLong
     val maxN = math.max(nFrom, nTo).toLong
-    val hashes = spark.read.schema(StructType(Seq(
-        StructField("_id", LongType), StructField("_h", StringType),
-        StructField("shard", LongType))))
-      .parquet(hashesShPath(dir))
-      .withColumnRenamed("shard", "shard_from")
-    val bandSchema = StructType(StructField("_id", LongType) +:
-      StructField("band", IntegerType) +:
-      (0 until k / bands).map(r => StructField(s"v$r", LongType)) :+
-      StructField("shard", LongType))
-    val bandKeys = spark.read.schema(bandSchema)
-      .parquet(bandsShPath(dir))
-      .withColumnRenamed("shard", "shard_from")
+    val (hashes0, bandKeys0) = readStoredSharded(spark, dir, k, bands)
+    val hashes = hashes0.withColumnRenamed("shard", "shard_from")
+    val bandKeys = bandKeys0.withColumnRenamed("shard", "shard_from")
     val h2 = Shard.rendezvousAssign(hashes, "_h", nTo)
       .localCheckpoint(true)
     val b2 = Shard.rendezvousAssign(

@@ -3414,6 +3414,36 @@ object DocQueries {
       FROM u ORDER BY table_name"""),
     doc = "[NS] reshard certificate on real artifact files: ships exactly n_moved rows")
 
+  /** D5 [NS] — sharded-index certified forget
+    * ([[graft.operators.DedupIndex.removeDocsSharded]]): q349's RTBF
+    * law on the SHARDED store — the purged docs' hash/band rows
+    * anti-join out of every shard partition (rows keep their shard:
+    * the routing key did not change), written as the next generation
+    * under the claim + CAS + replay-fence protocol, then the batch
+    * gated through the pruned probes. Same remaining-only oracle as
+    * q349: physical layout must not change what forget means. */
+  val q399ShardedForget = Q(
+    "q399_sharded_forget",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val arc = docs.filter(col("doc_id") % 5 =!= 0)
+      val dir = graft.operators.DedupIndex.defaultDir(d + "#shforget")
+      graft.operators.TextIndex.withFingerprint(dir, d + "#shforget13") {
+        graft.operators.DedupIndex.buildSharded(arc, "doc_id", "text",
+          shingleN = 3, k = 8, bands = 4, dir = dir, nShards = 8)
+        graft.operators.DedupIndex.removeDocsSharded(s, dir,
+          arc.filter(col("doc_id") % 7 === 3), "doc_id")
+      }
+      graft.operators.DedupIndex.gateSharded(s, dir,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    q111DedupIncremental.oracle.map(_.replace(
+      "arc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0)",
+      "arc AS (SELECT doc_id, text FROM documents " +
+        "WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3)")),
+    doc = "[NS] sharded-index forget: per-doc anti-join removal == remaining-only rebuild")
+
   val all: Seq[Q] = Seq(q22ExactDedup, q23NgramJaccard, q24MinhashLsh,
     q25Simhash, q26LangId, q27QualityScore, q28TokenCount, q29Fingerprint,
     q49Winnowing, q52JaccardPrefix, q68MinhashUnion, q70Repetition,
@@ -3435,5 +3465,5 @@ object DocQueries {
     q373FuzzyOverSurvivors, q374SplitLeakageVolume, q375SourceDupVolume,
     q376SplitLeakageComponents, q377StarThresholdAdvisor,
     q380ColocatedShards, q396ColocationCapped, q397ShardedIndexGate,
-    q398ShardedReshard)
+    q398ShardedReshard, q399ShardedForget)
 }

@@ -84,6 +84,55 @@ class ShardedIndexSpec extends AnyFunSuite {
       .count() === 1L)
   }
 
+  test("appendSharded: an admitted batch's keys fold into the shard " +
+      "partitions so its twins drop next batch (the flat append law)") {
+    val sh = tmp("dedup_sh_append")
+    DedupIndex.buildSharded(archive, "doc_id", "text", 3, 8, 4, sh, 8)
+    val admitted = batch.filter($"doc_id" === 11L)
+    DedupIndex.appendSharded(admitted, "doc_id", "text", 3, 8, 4, sh)
+    val next = Seq(
+      (20L, "fresh material nothing in the archive has ever mentioned yet"),
+      (21L, "a third topic entirely with its own distinct vocabulary here")
+    ).toDF("doc_id", "text")
+    val got = DedupIndex.gateSharded(spark, sh, next, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!got.contains(20L),
+      "exact twin of the appended doc must drop via the sharded probe")
+    assert(got.contains(21L), "genuinely new doc must survive")
+    // appended rows landed in correctly-named partitions: re-reading
+    // with the doc's own shard filter finds its hash row
+    val (hashes, _) = DedupIndex.prunedStored(spark, sh, admitted,
+      "doc_id", "text", 3, 8, 4)
+    assert(hashes.filter($"_id" === 11L).count() === 1L)
+  }
+
+  test("removeDocsSharded: a purged doc's twin is ADMITTED afterwards; " +
+      "a survivor's shared text keeps gating; replays no-op") {
+    val sh = tmp("dedup_sh_forget")
+    // docs 1 and 4 share text; purge 1 only — 4 must keep gating twins
+    DedupIndex.buildSharded(archive, "doc_id", "text", 3, 8, 4, sh, 8)
+    val twins = Seq(
+      (30L, "the quick brown fox jumps over the lazy dog again and again"),
+      (31L, "completely unrelated words about spark catalyst planning")
+    ).toDF("doc_id", "text")
+    val pre = DedupIndex.gateSharded(spark, sh, twins, "doc_id", "text")
+      .count()
+    assert(pre === 0L, "both twins blocked before the purge")
+    DedupIndex.removeDocsSharded(spark, sh,
+      Seq(1L, 2L).toDF("doc_id"), "doc_id", epoch = 1L, fenceTag = "rtbf")
+    val post = DedupIndex.gateSharded(spark, sh, twins, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!post.contains(30L),
+      "survivor doc 4 shares the text — its twin must keep dropping")
+    assert(post.contains(31L),
+      "doc 2's text is fully purged — its twin must be ADMITTED")
+    // replayed epoch: no-op (generation unchanged)
+    val gen = TextIndex.current(sh)
+    DedupIndex.removeDocsSharded(spark, sh,
+      Seq(4L).toDF("doc_id"), "doc_id", epoch = 1L, fenceTag = "rtbf")
+    assert(TextIndex.current(sh) === gen)
+  }
+
   test("reshardSharded 8 -> 10: zero illegal moves per table, movement " +
       "near the HRW floor, gate unchanged across the flip") {
     val sh = tmp("dedup_sh_reshard")
