@@ -223,6 +223,38 @@ object StatsIndex {
     * [[Analytics.joinOrderSketchAudit]] (q395) certifies the pick
     * against the exact pricing on the star schema, and a divergence
     * there IS the finding. */
+  /** [NS] — the stored estimates choosing a PHYSICAL plan: broadcast
+    * vs shuffle for an equi-join, decided from two stored artifacts'
+    * derived row counts ([[storedRowCount]] — one 1-row aggregate over
+    * d·w cells per side, a planning-time read with zero contact with
+    * either input). If a side's stored count is ≤ `broadcastMaxRows`,
+    * that side gets the `broadcast` hint (ties prefer the smaller);
+    * otherwise the join is left to the shuffle path. This is the
+    * decision Spark's own AQE makes from runtime statistics — made
+    * BEFORE execution from the ANALYZE artifact instead, which is what
+    * a CBO does with stored statistics at planning time; at 100 TB the
+    * difference is a pre-planned broadcast instead of a shuffle whose
+    * first stage discovers the small side the expensive way. The
+    * result is semantically identical either way (spec-pinned); the
+    * HINT is the product, and the spec plan-gates that it follows the
+    * stored counts in both directions. */
+  def broadcastAdvisedJoin(spark: SparkSession, left: DataFrame,
+      right: DataFrame, joinKeys: Seq[(String, String)], dirL: String,
+      dirR: String, broadcastMaxRows: Long): DataFrame = {
+    require(joinKeys.nonEmpty, "need at least one equi-join key pair")
+    def n(dir: String): Long =
+      storedRowCount(spark, dir).collect()(0).getLong(0)
+    val (nl, nr) = (n(dirL), n(dirR))
+    val cond = joinKeys.map { case (lk, rk) =>
+      left(lk) === right(rk)
+    }.reduce(_ && _)
+    val canL = nl <= broadcastMaxRows
+    val canR = nr <= broadcastMaxRows
+    if (canR && (!canL || nr <= nl)) left.join(broadcast(right), cond)
+    else if (canL) broadcast(left).join(right, cond)
+    else left.join(right, cond)
+  }
+
   def joinOrderFromSketches(spark: SparkSession, dirBridgeLeft: String,
       dirLeft: String, dirBridgeRight: String, dirRight: String,
       depth: Int, width: Int): DataFrame = {

@@ -3655,6 +3655,43 @@ object OpsQueries {
       FROM u ORDER BY plan_name"""),
     doc = "[NS] sketch join-order pick certified against the exact advisor")
 
+  /** [NS] — stored estimates choosing a PHYSICAL plan
+    * ([[graft.operators.StatsIndex.broadcastAdvisedJoin]]): the
+    * customer ⋈ nation join planned from two STORED statistics
+    * artifacts' derived row counts — nation's 25 stored-count rows sit
+    * under the 1000-row budget, so the join carries a pre-planned
+    * `broadcast(nation)` hint (PlanQualitySpec pins BroadcastHashJoin
+    * in the plan; StatsIndexSpec pins BOTH directions with Spark's own
+    * auto-broadcast disabled, so the hint — not the optimizer's size
+    * guess — is what decides). This is the q389 serve step feeding an
+    * actual plan decision: what AQE learns at runtime, decided at
+    * planning time from the ANALYZE artifact. Results are identical
+    * either way; the oracle checks the join's semantics. */
+  val q400BroadcastAdvisedJoin = Q(
+    "q400_broadcast_advised_join",
+    (s, d) => {
+      import s.implicits._
+      def art(tag: String, df: org.apache.spark.sql.DataFrame,
+          key: String): String = {
+        val dir = graft.operators.StatsIndex.defaultDir(d + tag)
+        graft.operators.StatsIndex.buildIfAbsent(df, key, dir, 4, 256,
+          d + tag)
+        dir
+      }
+      val dl = art("#baj_c", Tables.customer(s, d), "c_nationkey")
+      val dr = art("#baj_n", Tables.nation(s, d), "n_nationkey")
+      graft.operators.StatsIndex.broadcastAdvisedJoin(s,
+          Tables.customer(s, d), Tables.nation(s, d),
+          Seq(("c_nationkey", "n_nationkey")), dl, dr,
+          broadcastMaxRows = 1000L)
+        .groupBy($"n_name").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"n_name")
+    },
+    Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY n_name ORDER BY n_name"""),
+    doc = "[NS] broadcast decision made from stored ANALYZE row counts at planning time")
+
   val all: Seq[Q] = Seq(q134Profile, q135Cms, q136Skyline, q137Compaction,
     q378HrwShardBalance, q379ReshardCertificate,
     q381WeightedShardBalance, q382ReweightCertificate,
@@ -3662,7 +3699,7 @@ object OpsQueries {
     q386StaleStatsAudit, q387NdvSampleAudit, q388CmsJoinSize,
     q389StatsIndexServe, q390StatsIndexMerge, q391StatsIndexForget,
     q392StatsRtbf, q393JoinGraphDryrun, q394SketchJoinOrder,
-    q395SketchOrderCertified,
+    q395SketchOrderCertified, q400BroadcastAdvisedJoin,
     q307TheilSen, q310StratifiedEffect, q313LDiversity,
     q320NeymanAllocation, q324ContributionBound, q328KruskalWallis,
     q331WilcoxonSignedRank, q338Mcnemar, q339Friedman, q340FleissKappa, q341CochranQ, q345PageTrend,

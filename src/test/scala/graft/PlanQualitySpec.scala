@@ -868,6 +868,13 @@ class PlanQualitySpec extends AnyFunSuite {
       s"serve plan touches the described table:\n$p")
   }
 
+  test("q400 broadcast-advised join: the stored-count hint lands as a " +
+      "BroadcastHashJoin with the dimension side built") {
+    val p = plan("q400_broadcast_advised_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the stored 25-row nation count must pre-plan a broadcast:\n$p")
+  }
+
   test("q394 sketch join order: the ORDER DECISION reads stored cells " +
       "only — no base table of the chain is in the serve plan") {
     val p = plan("q394_sketch_join_order")

@@ -165,4 +165,35 @@ class StatsIndexSpec extends AnyFunSuite {
     assert(served("right_first").getAs[Boolean]("recommended"))
     assert(!served("left_first").getAs[Boolean]("recommended"))
   }
+
+  test("broadcastAdvisedJoin: the stored row counts decide the hint in " +
+      "both directions, with Spark's own auto-broadcast disabled") {
+    val big = (1L to 5000L).map(i => (i, i % 40)).toDF("id", "k")
+    val small = (0L until 40L).map(i => (i, s"g$i")).toDF("k2", "name")
+    val dirBig = tmp("baj_big"); val dirSmall = tmp("baj_small")
+    StatsIndex.build(big, "k", dirBig, 4, 64)
+    StatsIndex.build(small, "k2", dirSmall, 4, 64)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // small side under budget -> broadcast hint on it
+      val hinted = StatsIndex.broadcastAdvisedJoin(spark, big, small,
+        Seq(("k", "k2")), dirBig, dirSmall, broadcastMaxRows = 100L)
+      assert(hinted.count() === 5000L)
+      val p1 = hinted.queryExecution.executedPlan.toString
+      assert(p1.contains("BroadcastHashJoin"),
+        s"stored count 40 <= 100 must produce a broadcast plan:\n$p1")
+      // neither side under budget -> no hint, shuffle join
+      val plain = StatsIndex.broadcastAdvisedJoin(spark, big, small,
+        Seq(("k", "k2")), dirBig, dirSmall, broadcastMaxRows = 10L)
+      assert(plain.count() === 5000L)
+      val p2 = plain.queryExecution.executedPlan.toString
+      assert(!p2.contains("BroadcastHashJoin"),
+        s"no stored count fits 10 rows - must fall to shuffle:\n$p2")
+      // results identical either way (the hint is physical only)
+      val a = hinted.select("id", "name").collect().map(_.toString).sorted
+      val b = plain.select("id", "name").collect().map(_.toString).sorted
+      assert(a.toSeq === b.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
