@@ -38,11 +38,37 @@ object Tables {
     if (!residentMode) loadCold(spark, sfDir, name)
     else residentCache.getOrElseUpdate((sfDir, name), {
       val before = spark.sparkContext.getPersistentRDDs.keySet
-      val df = loadCold(spark, sfDir, name).localCheckpoint(true)
+      val df = loadCold(spark, sfDir, name)
+        .repartition(residentPartitions(spark, sfDir, name))
+        .localCheckpoint(true)
       (spark.sparkContext.getPersistentRDDs.keySet -- before)
         .foreach(id => residentRddIds.add(id))
       df
     })
+
+  /** Resident-pin partition count, derived from input size (optimization
+    * guide §2: partitioning must adapt to data and cluster, never a
+    * constant tuned for one mode). The parquet file-split planner sizes
+    * splits for SCAN cost (openCost 4 MB floors tiny files into 1–3
+    * splits), which is right for a one-pass read but starves every
+    * DOWNSTREAM narrow chain pinned behind it: a resident table that
+    * checkpoints with the scan's 1–3 partitions serializes all per-row
+    * compute (edit-distance DP, PQ/cosine math, shingling) onto 1–3 of
+    * the session's cores for every query in the session — measured r13:
+    * q140_fuzzy_join ran 3 tasks / 0 shuffle / 5.5 s; q96_pq_search 19
+    * single-task stages. A cluster-resident table is naturally spread
+    * across executors; this reproduces that posture locally. ~32 KB of
+    * zstd parquet ≈ one task's worth of downstream work at bench scale;
+    * the cap is the session's own parallelism, so the value scales with
+    * the cluster, not with a hard-coded core count. */
+  private def residentPartitions(spark: SparkSession, sfDir: String,
+      name: String): Int = {
+    val f = new java.io.File(s"$sfDir/$name.parquet")
+    val bytes =
+      if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
+    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      bytes / (32L * 1024))).toInt
+  }
 
   private def loadCold(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {
