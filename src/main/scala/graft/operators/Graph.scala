@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.storage.StorageLevel
@@ -78,15 +78,41 @@ object Graph {
       .join(outdeg.select(col("_src").as("_n"), col("_od")), Seq("_n"), "left")
       .select(col("_n"), coalesce(col("_od"), lit(0L)).as("_od"))
     try {
-      val nRow = nodes.agg(count(lit(1)).as("_nn"))
-      var ranks = nodes.crossJoin(broadcast(nRow))
-        .select(col("_n"), col("_od"),
-          expr(s"$scale div _nn").as("_pr"))
-        .localCheckpoint(true)
-      // symmetric / well-formed graphs have no dangling nodes; probe once
-      // (the checkpointed ranks are tiny) and skip the per-iteration
-      // dangling-sum aggregate + broadcast entirely when there are none
-      val hasDangling = ranks.filter(col("_od") === 0).limit(1).count() > 0
+      // N is a 1-row aggregate consumed only as a scalar: read it ONCE
+      // to the driver (the audited 1-row-collect category) instead of
+      // re-broadcasting a crossJoin(nRow) whose lineage re-runs the
+      // union-distinct node derivation EVERY iteration (guide §2.4:
+      // remove repeated shuffles; measured r13: q130 ran 51 jobs, most
+      // of them per-iteration re-aggregations of loop-invariant scalars)
+      val ranks0 = nodes.localCheckpoint(true)
+      // N and the dangling probe are loop-invariant scalars over the
+      // checkpointed node set: ONE combined 1-row collect (the audited
+      // category) instead of a count + a probe + a per-iteration
+      // crossJoin(broadcast(nRow)) whose lineage re-ran the
+      // union-distinct node derivation every round (guide §2.4; measured
+      // r13: q130 spent most of its 51 jobs on exactly these)
+      val scal = ranks0.agg(count(lit(1)).as("_nn"),
+        max(when(col("_od") === 0, 1).otherwise(0)).as("_hd")).collect()(0)
+      val nn = math.max(scal.getLong(0), 1L) // empty graph → empty result;
+      // the clamp only keeps the scalar arithmetic defined on that path
+      val hasDangling = !scal.isNullAt(1) && scal.getInt(1) == 1
+      val base = scale / nn // floor div, positive longs — as `div`
+      var ranks = ranks0.select(col("_n"), col("_od"),
+        lit(base).as("_pr"))
+      val teleTerm = (telePct * base) / 100 // loop-invariant scalar
+      // Dangling-free graphs with small iteration counts unroll into ONE
+      // lazy plan closed by a single checkpoint: ranks_{i} is referenced
+      // twice by ranks_{i+1} (contrib arm + join arm), but the repeated
+      // subtrees are canonically identical, so Exchange reuse executes
+      // each shuffle once — the whole fixpoint is one action instead of
+      // iters checkpoint actions (guide §2.4 / §1.2: remove passes
+      // before tuning them; measured r13: q133 32→29 jobs). With
+      // dangling mass the per-iteration scalar defeats the reuse
+      // (measured: the lazy broadcast-agg variant ran q130 at 59 jobs
+      // vs 39 checkpointed), so that path keeps per-iteration
+      // checkpoints and reads the 1-row dangling sum off the in-memory
+      // previous ranks (the audited 1-row-collect category).
+      val lazyUnroll = !hasDangling && iters <= 4
       for (_ <- 1 to iters) {
         val prevRanks = ranks
         val contrib = edges
@@ -94,28 +120,34 @@ object Graph {
           .select(col("_dst"), expr("_pr div _od").as("_c"))
           .groupBy(col("_dst"))
           .agg(sum(col("_c")).as("_contrib"))
-        val joined = ranks.select(col("_n"), col("_od"))
+        val dangDivN =
+          if (!hasDangling) 0L
+          else {
+            val d = ranks.filter(col("_od") === 0)
+              .agg(coalesce(sum(col("_pr")), lit(0L))).collect()(0).getLong(0)
+            d / nn // floor div, non-negative operands — as `div`
+          }
+        ranks = ranks.select(col("_n"), col("_od"))
           .join(contrib.select(col("_dst").as("_n"), col("_contrib")),
             Seq("_n"), "left")
-          .crossJoin(broadcast(nRow))
-        val withDang =
-          if (!hasDangling) joined.withColumn("_dang", lit(0L))
-          else joined.crossJoin(broadcast(
-            ranks.filter(col("_od") === 0)
-              .agg(coalesce(sum(col("_pr")), lit(0L)).as("_dang"))))
-        ranks = withDang
           .select(col("_n"), col("_od"),
-            expr(s"($telePct * ($scale div _nn)) div 100" +
-              s" + ($dampPct * (coalesce(_contrib, CAST(0 AS BIGINT))" +
-              s" + _dang div _nn)) div 100").as("_pr"))
-          .localCheckpoint(true)
-        // the new checkpoint is materialized — the superseded one would
-        // otherwise sit in storage until the ContextCleaner ran (r10 q181
-        // adjudication: late-session storage pressure from exactly this)
-        Bridge.dropCheckpoint(prevRanks)
+            expr(s"CAST($teleTerm AS BIGINT) + " +
+              s"($dampPct * (coalesce(_contrib, CAST(0 AS BIGINT))" +
+              s" + CAST($dangDivN AS BIGINT))) div 100").as("_pr"))
+        if (!lazyUnroll) {
+          ranks = ranks.localCheckpoint(true)
+          // the new checkpoint is materialized — the superseded one would
+          // otherwise sit in storage until the ContextCleaner ran (r10
+          // q181 adjudication: late-session storage pressure from this)
+          Bridge.dropCheckpoint(prevRanks)
+        }
       }
-      ranks.select(col("_n").as("node"), col("_od").as("od"),
-        col("_pr").as("pr"))
+      // materialize before `finally` drops the edge pins
+      val out = ranks.select(col("_n").as("node"), col("_od").as("od"),
+        col("_pr").as("pr")).localCheckpoint(true)
+      if (!lazyUnroll) Bridge.dropCheckpoint(ranks) // folded into `out`
+      Bridge.dropCheckpoint(ranks0)
+      out
     } finally {
       edges0.unpersist(blocking = false)
       edges.unpersist(blocking = false)
@@ -395,12 +427,22 @@ object Graph {
       .select(col("_n"), coalesce(col("_od"), lit(0L)).as("_od"),
         coalesce(col("_seed"), lit(0L)).as("_seed"))
     try {
-      val sRow = nodes.agg(sum(col("_seed")).as("_ns"))
-      var ranks = nodes.crossJoin(broadcast(sRow))
-        .select(col("_n"), col("_od"), col("_seed"),
-          expr(s"_seed * ($scale div _ns)").as("_pr"))
-        .localCheckpoint(true)
-      val hasDangling = ranks.filter(col("_od") === 0).limit(1).count() > 0
+      // seed count is a loop-invariant 1-row scalar: read it ONCE (the
+      // audited 1-row-collect category) — the crossJoin(broadcast(sRow))
+      // it replaces re-ran the node-set derivation every iteration
+      // (guide §2.4; measured r13: q181 ran 59 jobs before this)
+      val nodes0 = nodes.localCheckpoint(true)
+      // loop-invariant scalars in ONE 1-row collect (see pageRankExact)
+      val scal = nodes0.agg(sum(col("_seed")).as("_ns"),
+        max(when(col("_od") === 0, 1).otherwise(0)).as("_hd")).collect()(0)
+      val ns = if (scal.isNullAt(0)) 0L else scal.getLong(0)
+      require(ns > 0, "personalizedPageRank: empty seed set")
+      val hasDangling = !scal.isNullAt(1) && scal.getInt(1) == 1
+      val seedBase = scale / ns // floor div, positive longs — as `div`
+      val teleTerm = (telePct * seedBase) / 100
+      var ranks = nodes0.select(col("_n"), col("_od"), col("_seed"),
+        (col("_seed") * lit(seedBase)).as("_pr"))
+      val lazyUnroll = !hasDangling && iters <= 4 // see pageRankExact
       for (_ <- 1 to iters) {
         val prevRanks = ranks
         val contrib = edges
@@ -408,25 +450,31 @@ object Graph {
           .select(col("_dst"), expr("_pr div _od").as("_c"))
           .groupBy(col("_dst"))
           .agg(sum(col("_c")).as("_contrib"))
-        val joined = ranks.select(col("_n"), col("_od"), col("_seed"))
+        val dangDivNs =
+          if (!hasDangling) 0L
+          else {
+            val d = ranks.filter(col("_od") === 0)
+              .agg(coalesce(sum(col("_pr")), lit(0L))).collect()(0).getLong(0)
+            d / ns // floor div, non-negative operands — as `div`
+          }
+        ranks = ranks.select(col("_n"), col("_od"), col("_seed"))
           .join(contrib.select(col("_dst").as("_n"), col("_contrib")),
             Seq("_n"), "left")
-          .crossJoin(broadcast(sRow))
-        val withDang =
-          if (!hasDangling) joined.withColumn("_dang", lit(0L))
-          else joined.crossJoin(broadcast(
-            ranks.filter(col("_od") === 0)
-              .agg(coalesce(sum(col("_pr")), lit(0L)).as("_dang"))))
-        ranks = withDang
           .select(col("_n"), col("_od"), col("_seed"),
-            expr(s"_seed * (($telePct * ($scale div _ns)) div 100)" +
+            expr(s"_seed * CAST($teleTerm AS BIGINT)" +
               s" + ($dampPct * (coalesce(_contrib, CAST(0 AS BIGINT))" +
-              s" + _seed * (_dang div _ns))) div 100").as("_pr"))
-          .localCheckpoint(true)
-        Bridge.dropCheckpoint(prevRanks) // superseded; new ranks materialized
+              s" + _seed * CAST($dangDivNs AS BIGINT))) div 100").as("_pr"))
+        if (!lazyUnroll) {
+          ranks = ranks.localCheckpoint(true)
+          Bridge.dropCheckpoint(prevRanks) // superseded; new ranks eager
+        }
       }
-      ranks.select(col("_n").as("node"), col("_od").as("od"),
-        col("_seed").as("is_seed"), col("_pr").as("pr"))
+      // materialize before `finally` drops the edge pins
+      val out = ranks.select(col("_n").as("node"), col("_od").as("od"),
+        col("_seed").as("is_seed"), col("_pr").as("pr")).localCheckpoint(true)
+      if (!lazyUnroll) Bridge.dropCheckpoint(ranks) // folded into `out`
+      Bridge.dropCheckpoint(nodes0)
+      out
     } finally {
       edges0.unpersist(blocking = false)
       edges.unpersist(blocking = false)
@@ -671,45 +719,61 @@ object Graph {
         .union(edges.select(col("_dst").as("_n")))
         .distinct()
         .localCheckpoint(true)
-      // L1-normalize a raw score column against its broadcast total;
-      // decimal(38,0) product, integral divide back to long
-      def normalize(raw: DataFrame, rawCol: String,
-          outCol: String): DataFrame = {
-        val tot = raw.agg(
-          sum(col(rawCol)).cast("decimal(38,0)").as("_tot"))
-        raw.crossJoin(broadcast(tot))
-          .select(col("_n"),
-            expr(s"CASE WHEN _tot = 0 THEN CAST(0 AS BIGINT) " +
-              s"ELSE CAST($scale AS DECIMAL(38,0)) * " +
-              s"CAST($rawCol AS DECIMAL(38,0)) div _tot END")
-              .as(outCol))
-      }
+      // L1-normalize a raw score column against its total. The total is
+      // a loop-variant 1-row scalar consumed only as a literal: collect
+      // it from the CHECKPOINTED grouped sums (audited 1-row-collect
+      // category) instead of crossJoin(broadcast(tot)), whose lineage
+      // re-ran the whole half-step aggregation a second time per
+      // iteration (guide §2.4). Zeros added by the left join to the
+      // node set cannot change the total, so summing the grouped rows
+      // before the join is exact.
+      def normLit(tot: java.math.BigDecimal, rawCol: String,
+          outCol: String): Column =
+        if (tot.signum() == 0) lit(0L).as(outCol)
+        else expr(s"CAST($scale AS DECIMAL(38,0)) * " +
+          s"CAST($rawCol AS DECIMAL(38,0)) div CAST('${tot.toPlainString}'" +
+          s" AS DECIMAL(38,0))").as(outCol)
       var scores = nodes.select(col("_n"),
         lit(scale).as("_auth"), lit(scale).as("_hub"))
         .localCheckpoint(true)
       for (_ <- 1 to iters) {
         val prevScores = scores
-        val rawAuth = nodes.join(
-          edges.join(scores.select(col("_n").as("_src"), col("_hub")),
-              "_src")
-            .groupBy(col("_dst"))
-            .agg(sum(col("_hub")).as("_ra"))
-            .select(col("_dst").as("_n"), col("_ra")),
-          Seq("_n"), "left")
-          .select(col("_n"), coalesce(col("_ra"), lit(0L)).as("_ra"))
+        // grouped in-edge sums: checkpoint once — feeds both the total
+        // and the normalized join, so the shuffle runs exactly once
+        val gAuth = edges
+          .join(scores.select(col("_n").as("_src"), col("_hub")), "_src")
+          .groupBy(col("_dst"))
+          .agg(sum(col("_hub")).as("_ra"))
+          .select(col("_dst").as("_n"), col("_ra"))
+          .localCheckpoint(true)
+        val totA = gAuth.agg(coalesce(
+            sum(col("_ra")).cast("decimal(38,0)"),
+            lit(0).cast("decimal(38,0)")))
+          .collect()(0).getDecimal(0)
         // auth(t) feeds both the hub half-step and the final join —
-        // checkpoint so the normalize agg runs once per iteration
-        val auth = normalize(rawAuth, "_ra", "_auth").localCheckpoint(true)
-        val rawHub = nodes.join(
-          edges.join(auth.select(col("_n").as("_dst"), col("_auth")),
-              "_dst")
-            .groupBy(col("_src"))
-            .agg(sum(col("_auth")).as("_rh"))
-            .select(col("_src").as("_n"), col("_rh")),
-          Seq("_n"), "left")
+        // checkpoint so each consumer reads the materialized rows (the
+        // lazy variant re-derived it per consumer and measured SLOWER:
+        // 4.3–4.7 s vs 3.6 s on q241)
+        val auth = nodes.join(gAuth, Seq("_n"), "left")
+          .select(col("_n"), coalesce(col("_ra"), lit(0L)).as("_ra"))
+          .select(col("_n"), normLit(totA, "_ra", "_auth"))
+          .localCheckpoint(true)
+        Bridge.dropCheckpoint(gAuth)
+        val gHub = edges
+          .join(auth.select(col("_n").as("_dst"), col("_auth")), "_dst")
+          .groupBy(col("_src"))
+          .agg(sum(col("_auth")).as("_rh"))
+          .select(col("_src").as("_n"), col("_rh"))
+          .localCheckpoint(true)
+        val totH = gHub.agg(coalesce(
+            sum(col("_rh")).cast("decimal(38,0)"),
+            lit(0).cast("decimal(38,0)")))
+          .collect()(0).getDecimal(0)
+        val hub = nodes.join(gHub, Seq("_n"), "left")
           .select(col("_n"), coalesce(col("_rh"), lit(0L)).as("_rh"))
-        val hub = normalize(rawHub, "_rh", "_hub")
+          .select(col("_n"), normLit(totH, "_rh", "_hub"))
         scores = auth.join(hub, Seq("_n")).localCheckpoint(true)
+        Bridge.dropCheckpoint(gHub)
         Bridge.dropCheckpoint(auth)        // folded into the new scores
         Bridge.dropCheckpoint(prevScores)  // superseded
       }
