@@ -45,9 +45,13 @@ object Profile {
     val tasks = new AtomicInteger(0)
     val shufRead = new AtomicLong(0L)
     val shufWrite = new AtomicLong(0L)
+    val sites = sys.env.get("SPARK_GRAFT_PROFILE_SITES").contains("1")
     val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (sites) println(s"  JOB ${j.jobId} " +
+          j.stageInfos.map(_.name).mkString(" | "))
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {

@@ -777,6 +777,11 @@ object Graph {
         Bridge.dropCheckpoint(auth)        // folded into the new scores
         Bridge.dropCheckpoint(prevScores)  // superseded
       }
+      // the returned frame reads only the final scores checkpoint — the
+      // node-set checkpoint was loop-only state (pre-r13 it lingered
+      // until the ContextCleaner got to it, which is why the hygiene
+      // test for this op was order-dependent)
+      Bridge.dropCheckpoint(nodes)
       scores.select(col("_n").as("node"), col("_auth").as("auth"),
         col("_hub").as("hub"))
     } finally edges.unpersist(blocking = false)

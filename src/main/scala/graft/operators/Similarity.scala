@@ -386,28 +386,76 @@ object Similarity {
       .select(col("anchor"), col("neg"), col("cos"), col("rk"))
   }
 
+  /** Collect a codebook-sized centroid table (c_id LONG, cv
+    * ARRAY<DOUBLE>) with its norms — the norms are computed by the SAME
+    * Spark expressions the join path used, so every double is
+    * bit-identical — and return the rows sorted by c_id. Codebooks are
+    * bounded-small by construction (PQ/IVF's entire point: 100 TB of
+    * vectors share a few KB of codewords), so this is the audited
+    * driver-known-size collect category, the way a serving process
+    * holds its coarse quantizer in process memory (faiss-style). */
+  private def collectCands(centroids: DataFrame): Array[(Long,
+      Array[Double], Double)] =
+    centroids
+      .withColumn("ncv", sqrt(dot(col("cv"), col("cv"))))
+      .select(col("c_id").cast("long"), vecD(col("cv")), col("ncv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** Max-cosine assignment of `v` against inlined candidates: ONE
+    * array_max over a transform of the candidate literal — struct
+    * ordering (cos, −c_id) is exactly the old `max(struct(cos, neg_c))`
+    * aggregate, so ties still break to the smaller c_id and every
+    * double rides the same expression tree ([[cosine]]'s zero-norm → 0
+    * and round-6 included). Returns struct(cos, neg_c). `nv` must be
+    * the caller-hoisted ‖v‖ column. */
+  private def bestCentroid(v: Column, nv: Column,
+      cands: Array[(Long, Array[Double], Double)]): Column = {
+    val candArr = array(cands.map { case (id, cv, ncv) =>
+      struct(lit(id).as("c_id"), lit(cv).as("cv"), lit(ncv).as("ncv"))
+    }.toIndexedSeq: _*)
+    array_max(transform(candArr, c => {
+      val den = nv * c.getField("ncv")
+      struct(round(when(den === 0.0, lit(0.0))
+          .otherwise(dot(v, c.getField("cv")) / den), 6).as("cos"),
+        (-c.getField("c_id")).as("neg_c"))
+    }))
+  }
+
   /** IVF-style assignment: nearest (max-cosine) centroid per vector.
-    * `centroids` = (c_id, cv ARRAY<DOUBLE>), broadcast. Ties → smaller
-    * c_id. Output: (idCol, centroid, cos).
+    * `centroids` = (c_id, cv ARRAY<DOUBLE>). Ties → smaller c_id.
+    * Output: (idCol, centroid, cos), plus pass-through of the input
+    * columns when `keepCols` (the composed searches filter the corpus
+    * right after assignment — carrying the columns kills the join back
+    * on idCol that used to re-shuffle the corpus).
     *
-    * Self-dots hoisted out of the candidate product: ‖v‖ once per row
-    * and ‖cv‖ once per centroid instead of per (row, centroid) pairing —
-    * with k centroids that's 3k dots per row down to k. The division
-    * tree (dot / (√a · √b), zero-norm → 0) is unchanged, so the doubles
-    * stay bitwise identical to [[cosine]] and every oracle. */
+    * Plan shape (guide §2.4/§3): the candidate table inlines as ONE
+    * array literal and assignment is a pure per-row map — no broadcast
+    * join, no argmax exchange. The division tree (dot / (√a · √b),
+    * zero-norm → 0) is unchanged, so the doubles stay bitwise identical
+    * to [[cosine]] and every oracle. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val den = col("nv") * col("ncv")
-    val scored = df.select(col(idCol), vecD(col(vecCol)).as("v"))
-      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
-      .crossJoin(broadcast(
-        centroids.withColumn("ncv", sqrt(dot(col("cv"), col("cv"))))))
-      .withColumn("cos", round(when(den === 0.0, lit(0.0))
-        .otherwise(dot(col("v"), col("cv")) / den), 6))
-    scored.groupBy(col(idCol))
-      .agg(max(struct(col("cos"), (-col("c_id")).as("neg_c"))).as("m"))
-      .select(col(idCol), (-col("m.neg_c")).as("centroid"),
-        col("m.cos").as("cos"))
+      centroids: DataFrame, keepCols: Boolean = false): DataFrame = {
+    val cands = collectCands(centroids)
+    if (cands.isEmpty) {
+      // empty centroid table assigns nothing (the old join produced an
+      // empty frame); preserve that and the output schema
+      val base = if (keepCols) df else df.select(col(idCol))
+      return base
+        .withColumn("centroid", lit(null).cast("long"))
+        .withColumn("cos", lit(null).cast("double"))
+        .filter(lit(false))
+    }
+    val v = vecD(col(vecCol))
+    val withBest = df
+      .withColumn("_nv", sqrt(dot(v, v)))
+      .withColumn("_best", bestCentroid(v, col("_nv"), cands))
+      .withColumn("centroid", -col("_best.neg_c"))
+      .withColumn("cos", col("_best.cos"))
+      .drop("_nv", "_best")
+    if (keepCols) withBest
+    else withBest.select(col(idCol), col("centroid"), col("cos"))
   }
 
   /** Lloyd's k-means over an embedding column, Spark-first: per iteration
@@ -425,13 +473,16 @@ object Similarity {
     * the plan would otherwise nest `iters` deep. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, init: Option[DataFrame] = None): DataFrame = {
+    val spark = df.sparkSession
     // persist, not localCheckpoint: the vector corpus is re-read every
     // iteration but persist keeps the lineage (executor loss = recompute,
-    // not job failure) and the blocks are released in `finally` — the
-    // per-iteration cents are eager k-row checkpoints, so the returned
-    // table no longer reads e
+    // not job failure) and the blocks are released in `finally`
     val e = df.select(col(idCol), vecD(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def localCents(rows: Array[(Long, Array[Double])]): DataFrame =
+      spark.createDataFrame(rows.toIndexedSeq
+          .map { case (id, cv) => (id, cv.toSeq) })
+        .toDF("c_id", "cv")
     try {
       // `init` (c_id, cv) overrides the min-id seed set: when ids
       // correlate with content (sharded / time-ordered corpora, e.g. the
@@ -440,28 +491,57 @@ object Similarity {
       // [[stratifiedSeeds]]) is the deployment-side fix. The DEFAULT stays
       // min-id: it is the deterministic contract the q69/q98 oracles
       // replay in SQL.
-      var cents = init.getOrElse(
+      //
+      // The k×d centroid table lives on the DRIVER between rounds (the
+      // audited codebook-sized collect; MLlib holds it the same way) and
+      // inlines into each round's assignment expression, so one Lloyd
+      // round = ONE map + aggregate job with a single exchange — the
+      // old shape paid a broadcast join, an argmax exchange, a join
+      // back on idCol, and TWO mean exchanges per round (guide §2.4).
+      var cents: Array[(Long, Array[Double])] = init.getOrElse(
           e.orderBy(col(idCol)).limit(k)
             .select(col(idCol).as("c_id"), col("v").as("cv")))
-        .localCheckpoint(true)
-      for (_ <- 1 to iters) {
-        val prevCents = cents
-        val assigned = ivfAssign(e, idCol, "v", cents)
-          .select(col(idCol), col("centroid"))
-          .join(e, Seq(idCol))
-        cents = assigned
-          .select(col("centroid"), posexplode(col("v")).as(Seq("i", "x")))
-          .groupBy(col("centroid"), col("i"))
-          .agg((sum(round(col("x") * 1e6).cast("long")).cast("double") /
-            count(lit(1)) / 1e6).as("nx"))
-          .groupBy(col("centroid"))
-          .agg(transform(array_sort(collect_list(struct(col("i"), col("nx")))),
-            _.getField("nx")).as("cv"))
-          .select(col("centroid").as("c_id"), col("cv"))
-          .localCheckpoint(true)
-        Bridge.dropCheckpoint(prevCents) // superseded; new cents eager
+        .select(col("c_id").cast("long"), vecD(col("cv")))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      for (_ <- 1 to iters if cents.nonEmpty) {
+        val d = cents.head._2.length
+        // norms via the same Spark expression tree as the old broadcast
+        // path (bit parity): hoist ‖v‖ per row, assign, then the exact
+        // scaled-integer mean — per-dimension long sums + one count in
+        // ONE aggregation (the old two-level groupBy computed the same
+        // per-(centroid, dim) sum/count pair and then re-shuffled to
+        // assemble the array; the per-dim arithmetic here is identical:
+        // sum(round(x·10⁶) as long) cast double / count / 10⁶)
+        // ncv replicated in driver code as EXACTLY sqrt(dot(cv, cv)):
+        // same left-to-right fold from 0.0 as the native DotProduct
+        // kernel, so the inlined norm is bit-identical to the old
+        // broadcast column
+        def ncvOf(cv: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+          math.sqrt(s)
+        }
+        val withNorm = e.withColumn("_nv", sqrt(dot(col("v"), col("v"))))
+        val assigned = withNorm.withColumn("_best",
+            bestCentroid(col("v"), col("_nv"),
+              cents.map { case (id, cv) => (id, cv, ncvOf(cv)) }))
+          .select((-col("_best.neg_c")).as("centroid"), col("v"))
+        val sums = (0 until d).map(i =>
+          sum(expr(s"CAST(round(v[$i] * 1e6) AS BIGINT)")).as(s"_s$i"))
+        val agg = assigned.groupBy(col("centroid"))
+          .agg(count(lit(1)).as("_cnt"), sums: _*)
+          .select(col("centroid") +: col("_cnt") +:
+            (0 until d).map(i => col(s"_s$i")): _*)
+          .collect()
+        cents = agg.map { r =>
+          val cnt = r.getLong(1)
+          (r.getLong(0),
+            Array.tabulate(d)(i => r.getLong(i + 2).toDouble / cnt / 1e6))
+        }.sortBy(_._1)
       }
-      cents
+      localCents(cents)
     } finally e.unpersist(blocking = false)
   }
 
@@ -615,15 +695,16 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, minCos: Double): DataFrame = {
     val cents = kmeans(df, idCol, vecCol, k, iters)
-    val assigned = ivfAssign(df, idCol, vecCol, cents)
-      .select(col(idCol), col("centroid"))
     // both sides of the centroid self-join read this; pin it once with
     // persist (lineage kept — recoverable on executor loss, unlike a
     // localCheckpoint of the full vector corpus) and release it in
     // `finally` after the SMALL drop set (ids only) is eagerly
-    // materialized — the crossCorpusLeakage pattern
-    val e = df.select(col(idCol), vecD(col(vecCol)).as("v"))
-      .join(assigned, Seq(idCol))
+    // materialized — the crossCorpusLeakage pattern. Assignment is a
+    // per-row map now (ivfAssign keepCols) — no join back on idCol.
+    val e = ivfAssign(
+        df.select(col(idCol), vecD(col(vecCol)).as("v")),
+        idCol, "v", cents, keepCols = true)
+      .drop("cos")
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -685,24 +766,65 @@ object Similarity {
     * `sub` simply riding the grouping keys. The per-subspace driver loop
     * this replaces paid m·iters sequential mini-jobs — pure scheduling
     * overhead (16× subspaces meant ~16× wall time, not 16× data). */
+  /** Per-subspace codebook rows as a driver array indexed by sub:
+    * (c_id, cv, cv2[, tdot]) sorted by c_id within each sub. cv2 (and
+    * the optional distance-table entry) are computed by the SAME Spark
+    * expressions the broadcast-join path used before collection, so
+    * every double/long is bit-identical. Codebook-sized (m·ksub rows)
+    * — the audited driver-known collect category. */
+  private def collectSubCands(codebooks: DataFrame, m: Int,
+      extra: Option[Column] = None): Array[Array[(Long, Array[Double],
+      Double, Long)]] = {
+    val base = codebooks
+      .withColumn("cv2", dot(col("cv"), col("cv")))
+      .withColumn("_x", extra.getOrElse(lit(0L)))
+      .select(col("sub").cast("int"), col("c_id").cast("long"),
+        vecD(col("cv")), col("cv2"), col("_x"))
+      .collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Double](2).toArray,
+        r.getDouble(3), r.getLong(4))))
+    Array.tabulate(m)(s =>
+      base.filter(_._1 == s).map(_._2).sortBy(_._1))
+  }
+
+  /** L2 argmin of a subspace slice against its sub's inlined codewords:
+    * element_at picks the sub's candidate array out of ONE nested
+    * literal, and array_min over struct(d2, c_id[, tdot]) is exactly
+    * the old `min(struct(...))` aggregate — same [[l2sqHoisted]]
+    * distance tree, same smaller-c_id tie-break — as a pure per-row
+    * map: no broadcast join, no argmin exchange (guide §2.4). */
+  private def bestCodeword(sv: Column, sv2: Column, sub: Column,
+      subCands: Array[Array[(Long, Array[Double], Double, Long)]],
+      withTdot: Boolean): Column = {
+    val nested = array(subCands.map { cands =>
+      array(cands.map { case (id, cv, cv2, td) =>
+        val fields = Seq(lit(id).as("c_id"), lit(cv).as("cv"),
+          lit(cv2).as("cv2")) ++
+          (if (withTdot) Seq(lit(td).as("tdot")) else Nil)
+        struct(fields: _*)
+      }.toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+    array_min(transform(element_at(nested, sub + lit(1)), c => {
+      val d2 = l2sqHoisted(sv2, c.getField("cv2"), sv, c.getField("cv"))
+      val fields = Seq(d2.as("d2"), c.getField("c_id").as("c_id")) ++
+        (if (withTdot) Seq(c.getField("tdot").as("tdot")) else Nil)
+      struct(fields: _*)
+    }))
+  }
+
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int,
       subDim: Int, ksub: Int, iters: Int): DataFrame = {
     require(m > 0 && subDim > 0 && ksub > 0 && iters >= 0,
       s"pqTrain: m=$m subDim=$subDim ksub=$ksub iters=$iters " +
         "(m·subDim must equal the vector dimension; a short final slice " +
         "silently quantizes a truncated subspace)")
-    // self-dots hoisted: ‖sv‖² once per (row, sub), ‖cv‖² once per
-    // codeword — every candidate pairing pays only the cross-term dot.
-    // localCheckpoint, measured against persist(MEMORY_AND_DISK) at the
-    // gate config (local[32], sf0.1, SPARK_GRAFT_ONLY=q96, n=5 medians):
-    // localCheckpoint 3.46 s (runs 3.29–3.72 steady-state) vs persist
-    // 3.68 s (3.49–3.86) — persist's lineage-carrying first action pays
-    // recompute scheduling every iteration, a consistent ~6% tax. The
-    // recoverability trade is now priced: persist survives executor loss
-    // (checkpoint blocks have no recompute path and fail the job), and a
-    // deployment that values that over 6% should flip this back.
-    // Released in `finally`: every per-iteration `cents` is an EAGER
-    // k-row checkpoint, so nothing returned still reads subs.
+    val spark = df.sparkSession
+    // self-dots hoisted: ‖sv‖² once per (row, sub); checkpoint measured
+    // faster than persist here (see git history). The m·ksub codebook
+    // lives on the DRIVER between rounds and inlines into each round's
+    // argmin expression, so one Lloyd round = ONE map + aggregate job
+    // with a single exchange — the old shape paid a broadcast join, an
+    // argmin exchange and TWO mean exchanges per round (guide §2.4).
     val subs = df.select(col(idCol), posexplode(array((0 until m).map(s =>
         slice(dimChecked(vecD(col(vecCol)), m, subDim),
           s * subDim + 1, subDim)): _*))
@@ -711,36 +833,43 @@ object Similarity {
       .localCheckpoint()
     try {
       val initIds = df.select(col(idCol)).orderBy(col(idCol)).limit(ksub)
-      var cents = subs.join(broadcast(initIds), Seq(idCol))
-        .select(col("sub"), col(idCol).as("c_id"), col("sv").as("cv"),
-          col("sv2").as("cv2"))
-        .localCheckpoint(true)
+      // (sub, c_id, cv) rows on the driver; cv2 recomputed per round by
+      // the same Spark `dot` used before (bit parity)
+      var cents: Array[(Int, Long, Array[Double])] =
+        subs.join(broadcast(initIds), Seq(idCol))
+          .select(col("sub").cast("int"), col(idCol).cast("long"),
+            col("sv"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      def centsDf(rows: Array[(Int, Long, Array[Double])]): DataFrame =
+        spark.createDataFrame(rows.toIndexedSeq
+            .map { case (s, id, cv) => (s, id, cv.toSeq) })
+          .toDF("sub", "c_id", "cv")
       for (_ <- 1 to iters) {
-        val prevCents = cents
-        // argmin over the sub's codewords; sv rides the agg (identical for
-        // all candidate rows of one (id, sub) group) so the mean stage
-        // needs NO join back against subs
-        val assigned = subs.join(broadcast(cents), Seq("sub"))
-          .withColumn("d2",
-            l2sqHoisted(col("sv2"), col("cv2"), col("sv"), col("cv")))
-          .groupBy(col(idCol), col("sub"))
-          .agg(min(struct(col("d2"), col("c_id"))).as("mn"),
-            first(col("sv")).as("sv"))
-        cents = assigned
-          .select(col("sub"), col("mn.c_id").as("centroid"),
-            posexplode(col("sv")).as(Seq("i", "x")))
-          .groupBy(col("sub"), col("centroid"), col("i"))
-          .agg((sum(round(col("x") * 1e6).cast("long")).cast("double") /
-            count(lit(1)) / 1e6).as("nx"))
-          .groupBy(col("sub"), col("centroid"))
-          .agg(transform(array_sort(collect_list(struct(col("i"), col("nx")))),
-            _.getField("nx")).as("cv"))
-          .select(col("sub"), col("centroid").as("c_id"), col("cv"),
-            dot(col("cv"), col("cv")).as("cv2"))
-          .localCheckpoint(true)
-        Bridge.dropCheckpoint(prevCents) // superseded; new cents eager
+        val subCands = collectSubCands(centsDf(cents), m)
+        val assigned = subs.withColumn("_best",
+            bestCodeword(col("sv"), col("sv2"), col("sub"), subCands,
+              withTdot = false))
+          .select(col("sub"), col("_best.c_id").as("centroid"), col("sv"))
+        // exact scaled-integer mean, per-dimension long sums + one count
+        // in ONE aggregation — per-dim arithmetic identical to the old
+        // two-level groupBy: sum(round(x·10⁶) as long) cast double /
+        // count / 10⁶
+        val sums = (0 until subDim).map(i =>
+          sum(expr(s"CAST(round(sv[$i] * 1e6) AS BIGINT)")).as(s"_s$i"))
+        val agg = assigned.groupBy(col("sub"), col("centroid"))
+          .agg(count(lit(1)).as("_cnt"), sums: _*)
+          .select(col("sub") +: col("centroid") +: col("_cnt") +:
+            (0 until subDim).map(i => col(s"_s$i")): _*)
+          .collect()
+        cents = agg.map { r =>
+          val cnt = r.getLong(2)
+          (r.getInt(0), r.getLong(1),
+            Array.tabulate(subDim)(i =>
+              r.getLong(i + 3).toDouble / cnt / 1e6))
+        }
       }
-      cents.select(col("sub"), col("c_id"), col("cv"))
+      centsDf(cents)
     } finally subs.unpersist(blocking = false)
   }
 
@@ -749,20 +878,21 @@ object Similarity {
     * payload at scale is the codes (m bytes/vector), never the floats.
     * One broadcast join + one combining exchange on (idCol, sub). */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      codebooks: DataFrame, m: Int, subDim: Int): DataFrame =
+      codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
+    // codebook inlined (collectSubCands) → encoding is a pure per-row
+    // map: zero joins, zero exchanges — at scale the encode pass is a
+    // single map over the corpus, the faiss posture (guide §2.4)
+    val subCands = collectSubCands(codebooks, m)
     df.select(col(idCol), posexplode(array((0 until m).map(s =>
         slice(dimChecked(vecD(col(vecCol)), m, subDim),
           s * subDim + 1, subDim)): _*))
         .as(Seq("sub", "sv")))
       .withColumn("sv2", dot(col("sv"), col("sv")))
-      .join(broadcast(codebooks
-        .withColumn("cv2", dot(col("cv"), col("cv")))), Seq("sub"))
-      .withColumn("d2",
-        l2sqHoisted(col("sv2"), col("cv2"), col("sv"), col("cv")))
-      .groupBy(col(idCol), col("sub"))
-      .agg(min(struct(col("d2"), col("c_id"))).as("m"))
-      .select(col(idCol), col("sub"), col("m.c_id").as("code"),
-        col("m.d2").as("d2"))
+      .withColumn("_best", bestCodeword(col("sv"), col("sv2"), col("sub"),
+        subCands, withTdot = false))
+      .select(col(idCol), col("sub"), col("_best.c_id").as("code"),
+        col("_best.d2").as("d2"))
+  }
 
   /** PQ asymmetric top-k search — the 100 TB embedding-search path:
     * score(q, x) ≈ Σ_s ⟨q_s, codeword(x, s)⟩ read from an m×ksub
@@ -785,40 +915,43 @@ object Similarity {
   def pqSearch(df: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, queryVec: DataFrame, m: Int, subDim: Int,
       shortlist: Int, k: Int): DataFrame = {
-    // distance table joined onto the codebook rows: (sub, c_id, cv, tdot)
+    // distance table joined onto the codebook rows (same expressions as
+    // ever — slice/round/scale all inside Spark for bit parity), then
+    // collected: m·ksub rows + the 1-row query — the audited
+    // driver-known collect category. The table inlines into a per-row
+    // argmin map, so the corpus pays ONE combining exchange on idCol
+    // (sum of the m chosen table entries) and nothing else; the
+    // shortlist stays a TakeOrderedAndProject and floats still touch
+    // only the re-rank (guide §2.4/§3).
     val cbd = codebooks.crossJoin(queryVec)
       .withColumn("qs", slice(col("qv"), col("sub") * subDim + 1,
         lit(subDim)))
       .withColumn("tdot", round(round(dot(col("qs"), col("cv")), 6) * 1e6)
         .cast("long"))
-      .withColumn("cv2", dot(col("cv"), col("cv")))
-      .select(col("sub"), col("c_id"), col("cv"), col("cv2"), col("tdot"))
+      .select(col("sub"), col("c_id"), col("cv"), col("tdot"))
+    val subCands = collectSubCands(cbd, m, extra = Some(col("tdot")))
+    val qRow = queryVec.select(col("q_id").cast("long"),
+      vecD(col("qv"))).collect()(0)
+    val (qId, qv) = (qRow.getLong(0), qRow.getSeq[Double](1).toArray)
     val subs = df.select(col(idCol), posexplode(array((0 until m).map(s =>
         slice(dimChecked(vecD(col(vecCol)), m, subDim),
           s * subDim + 1, subDim)): _*))
         .as(Seq("sub", "sv")))
       .withColumn("sv2", dot(col("sv"), col("sv")))
-    val mins = (0 until m).map(s =>
-      min(when(col("sub") === s,
-        struct(col("d2"), col("c_id"), col("tdot")))).as(s"m$s"))
-    val scored = subs.join(broadcast(cbd), Seq("sub"))
-      .withColumn("d2",
-        l2sqHoisted(col("sv2"), col("cv2"), col("sv"), col("cv")))
+    val scored = subs
+      .withColumn("_best", bestCodeword(col("sv"), col("sv2"), col("sub"),
+        subCands, withTdot = true))
       .groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        (0 until m).map(s => col(s"m$s.tdot")).reduce(_ + _).as("ascore"))
+      .agg(sum(col("_best.tdot")).as("ascore"))
     val short = scored
-      .crossJoin(broadcast(queryVec.select(col("q_id"))))
-      .filter(col(idCol) =!= col("q_id"))
+      .filter(col(idCol) =!= lit(qId))
       .select(col(idCol), col("ascore"))
       .orderBy(col("ascore").desc, col(idCol).asc)
       .limit(shortlist)
     val passThrough = df.columns.filterNot(_ == vecCol).map(col(_))
     df.join(broadcast(short), Seq(idCol))
-      .crossJoin(broadcast(queryVec))
       .withColumn("approx", col("ascore").cast("double") / 1e6)
-      .withColumn("cos", round(cosine(vecD(col(vecCol)), col("qv")), 6))
+      .withColumn("cos", round(cosine(vecD(col(vecCol)), lit(qv)), 6))
       .select((passThrough ++ Seq(col("approx"), col("cos"))).toIndexedSeq: _*)
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
@@ -856,11 +989,12 @@ object Similarity {
       .orderBy(col("qc").desc, col("c_id").asc)
       .limit(nProbe)
       .select(col("c_id"))
-    val assigned = ivfAssign(df, idCol, vecCol, centroids)
-      .select(col(idCol), col("centroid"))
-    val probedCorpus = df.join(assigned, Seq(idCol))
+    // assignment is a per-row map now (keepCols) — the old join back on
+    // idCol re-shuffled the corpus for nothing (guide §2.4)
+    val probedCorpus = ivfAssign(df, idCol, vecCol, centroids,
+        keepCols = true)
       .join(broadcast(probed), col("centroid") === col("c_id"), "left_semi")
-      .drop("centroid")
+      .drop("centroid", "cos")
     pqSearch(probedCorpus, idCol, vecCol, codebooks, queryVec,
       m, subDim, shortlist, k)
   }
@@ -918,10 +1052,10 @@ object Similarity {
       .orderBy(col("qc").desc, col("c_id").asc)
       .limit(nProbe)
       .select(col("c_id"))
-    val assigned = ivfAssign(df, idCol, vecCol, centroids)
-      .select(col(idCol), col("centroid"))
     val passThrough = df.columns.filterNot(_ == vecCol).map(col(_))
-    df.join(assigned, Seq(idCol))
+    // assignment is a per-row map now (keepCols) — no join back on idCol
+    ivfAssign(df, idCol, vecCol, centroids, keepCols = true)
+      .drop("cos")
       .join(broadcast(probed), col("centroid") === col("c_id"), "left_semi")
       .crossJoin(broadcast(queryVec))
       .filter(col(idCol) =!= col("q_id"))
