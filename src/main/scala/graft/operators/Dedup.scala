@@ -455,7 +455,17 @@ object Dedup {
   def lshFuzzyPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int, maxBits: Int = 3): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // candidates leave the band join partitioned by (band, key): the hot
+    // buckets that produce most pairs land together, so the edit-distance
+    // DP below runs on a handful of cores — and AQE cannot split them
+    // (skew handling is byte-sized; these partitions are tiny in bytes,
+    // heavy in CPU). Spread the verification stage by pair key before
+    // attaching texts (guide §2.5: a narrow-row exchange buys an even
+    // CPU-bound stage); explicit partition count (cluster-derived, not a
+    // constant) so AQE's byte-based coalescing doesn't re-collapse it.
     val cand = simhashHammingPairs(df, idCol, textCol, maxBits)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
     val t = df.select(col(idCol), col(textCol))
     cand
       .join(t.select(col(idCol).as("doc_a"), col(textCol).as("_ta")),

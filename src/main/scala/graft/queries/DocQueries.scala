@@ -2951,7 +2951,11 @@ object DocQueries {
         .select($"doc_id", $"text")
         .localCheckpoint() // read by the band join AND both text joins
       val t = reps.select($"doc_id", $"text")
+      // spread the edit-distance stage by pair key (the lshFuzzyPairs
+      // r13 fix): band-join output clusters CPU-heavy pairs on few cores
       Dedup.simhashHammingPairs(reps, "doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism,
+          $"doc_a", $"doc_b")
         .join(t.select($"doc_id".as("doc_a"), $"text".as("_ta")),
           Seq("doc_a"))
         .join(t.select($"doc_id".as("doc_b"), $"text".as("_tb")),
