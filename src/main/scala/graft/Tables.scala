@@ -38,36 +38,70 @@ object Tables {
     if (!residentMode) loadCold(spark, sfDir, name)
     else residentCache.getOrElseUpdate((sfDir, name), {
       val before = spark.sparkContext.getPersistentRDDs.keySet
-      val df = loadCold(spark, sfDir, name)
-        .repartition(residentPartitions(spark, sfDir, name))
+      val p = residentPartitions(spark, sfDir, name)
+      val cold = loadCold(spark, sfDir, name)
+      val df = (if (p > 0) cold.repartition(p) else cold)
         .localCheckpoint(true)
       (spark.sparkContext.getPersistentRDDs.keySet -- before)
         .foreach(id => residentRddIds.add(id))
       df
     })
 
+  /** Tables whose downstream cost is dominated by per-row PAYLOAD compute
+    * (edit-distance DP, shingling, tokenization over `text`; PQ/cosine
+    * arithmetic over vectors) rather than by scan/shuffle — orders of
+    * magnitude more CPU per input byte than the relational star tables,
+    * whose per-row work is comparisons and sums that AQE-sized shuffles
+    * already parallelize. */
+  private val payloadTables = Set("documents", "embeddings")
+
   /** Resident-pin partition count, derived from input size (optimization
     * guide §2: partitioning must adapt to data and cluster, never a
-    * constant tuned for one mode). The parquet file-split planner sizes
-    * splits for SCAN cost (openCost 4 MB floors tiny files into 1–3
-    * splits), which is right for a one-pass read but starves every
-    * DOWNSTREAM narrow chain pinned behind it: a resident table that
-    * checkpoints with the scan's 1–3 partitions serializes all per-row
-    * compute (edit-distance DP, PQ/cosine math, shingling) onto 1–3 of
-    * the session's cores for every query in the session — measured r13:
-    * q140_fuzzy_join ran 3 tasks / 0 shuffle / 5.5 s; q96_pq_search 19
-    * single-task stages. A cluster-resident table is naturally spread
-    * across executors; this reproduces that posture locally. ~32 KB of
-    * zstd parquet ≈ one task's worth of downstream work at bench scale;
-    * the cap is the session's own parallelism, so the value scales with
-    * the cluster, not with a hard-coded core count. */
+    * constant tuned for one mode). 0 = keep the scan planner's layout.
+    *
+    * Two tiers, adjudicated by the r14 full-registry A/B (see
+    * OPTIMIZATION_r14.md "Resident layout adjudication"):
+    *
+    *   - PAYLOAD tables ([[payloadTables]]): the parquet split planner
+    *     sizes splits for SCAN cost (openCost 4 MB floors tiny files into
+    *     1–3 splits), which starves every downstream narrow chain of
+    *     per-row compute — measured r13: q140_fuzzy_join ran 3 tasks /
+    *     0 shuffle / 5.5 s; q96_pq_search 19 single-task stages. These
+    *     spread to min(defaultParallelism, bytes/32KB): ~32 KB of zstd
+    *     parquet ≈ one task's worth of downstream payload work, capped by
+    *     the session's own parallelism so the value scales with the
+    *     cluster, never a hard-coded core count.
+    *   - RELATIONAL tables keep the scan layout. Spreading them too
+    *     (r13 behavior, all tables bytes/32KB) made 243/400 queries >10%
+    *     slower (+55 s, r13 verdict item 1): every stage of every
+    *     multi-stage relational query scheduled up-to-32 tasks for
+    *     kilobytes of useful work, while the compute wins lived entirely
+    *     on the payload tables. Their joins/aggregations are re-sized at
+    *     every exchange by AQE anyway.
+    *
+    * SPARK_GRAFT_RESIDENT_LAYOUT overrides for A/B reproduction:
+    * `compute` (the default above), `spread` (r13: all bytes/32KB),
+    * `scan` (pre-r13: no repartition), `divN` (all bytes/(N KB)). */
   private def residentPartitions(spark: SparkSession, sfDir: String,
       name: String): Int = {
-    val f = new java.io.File(s"$sfDir/$name.parquet")
-    val bytes =
-      if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
-    math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
-      bytes / (32L * 1024))).toInt
+    val policy = sys.env.getOrElse("SPARK_GRAFT_RESIDENT_LAYOUT", "compute")
+    def spreadBy(divKb: Long): Int = {
+      val f = new java.io.File(s"$sfDir/$name.parquet")
+      val bytes =
+        if (f.isDirectory) f.listFiles.map(_.length).sum else f.length
+      // non-local sfDir / failed stat → size unknown: fall back to the
+      // session's parallelism rather than silently pinning 1 partition
+      if (bytes <= 0L) spark.sparkContext.defaultParallelism
+      else math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        bytes / (divKb * 1024))).toInt
+    }
+    policy match {
+      case "spread" => spreadBy(32L)
+      case "scan"   => 0
+      case s if s.startsWith("div") => spreadBy(s.drop(3).toLong)
+      case _ => if (payloadTables.contains(name)) spreadBy(32L) else 0
+    }
   }
 
   private def loadCold(spark: SparkSession, sfDir: String,
