@@ -240,6 +240,9 @@ object Curation {
         try {
           val rare = tg.groupBy(col("gh")).agg(count(lit(1)).as("tdf"))
             .filter(col("tdf") <= dfMax).select(col("gh"))
+          // leaky doc-ids are read by `clean` (count readout) AND by the
+          // budget chain below — materialize the rare-gram decontam join
+          // once (ids only; guide §2.4), not once per consumer
           val leaky = grams(test, "test_doc")
             .join(rare, Seq("gh"), "left_semi")
             .join(tg, Seq("gh"))
@@ -247,6 +250,7 @@ object Curation {
             .agg(count(lit(1)).as("shared"))
             .filter(col("shared") >= minShared)
             .select(col("t_doc").as("doc_id")).distinct()
+            .localCheckpoint(true)
           val clean = train.join(leaky, Seq("doc_id"), "left_anti")
           val wb = Window.partitionBy(col("source")).orderBy(col("doc_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1788,10 +1792,19 @@ object Curation {
     val ex = extractText(pages, idCol, htmlCol)
       .filter(length(col("clean_text")) > 0)
       .localCheckpoint(true)
+    // Every stage frame below is eagerly checkpointed: each one is read
+    // by the NEXT gate AND by its own funnel readout (the per-stage
+    // count/xor aggregates the q333/q344/q353 queries emit), and
+    // several also feed the line-clean materialization — without the
+    // checkpoint the shared spine recomputes per consumer (measured
+    // r14: encodingAudit ran 4×, gopherRules 3×, the stored-LM scorer
+    // 2× inside one q353 run — 80 scheduler jobs for an 8-row result).
+    // One materialization per stage, batch-sized rows (guide §2.4).
     val enc = ex.join(
       encodingAudit(ex, idCol, "clean_text")
         .filter(col("pass_encoding")).select(col(idCol)),
       Seq(idCol))
+      .localCheckpoint(true)
     // the gates tokenize on single spaces; the extracted text is
     // line-joined by \n — flatten for the token-level gates only
     def flat(df: DataFrame) = df.withColumn("_flat",
@@ -1800,6 +1813,7 @@ object Curation {
       gopherRules(flat(enc), idCol, "_flat")
         .filter(col("pass_all")).select(col(idCol)),
       Seq(idCol))
+      .localCheckpoint(true)
     // optional LM-fluency stage (the CCNet gate): trigram score from
     // the STORED LmIndex table trained on the archive's extracted
     // pages — docs scoring under the floor die; docs with no trigrams
@@ -1823,6 +1837,7 @@ object Curation {
       "lm_fluency" -> gop.join(
         scored.filter(col("_lm") >= minLmPpm).select(col(idCol)),
         Seq(idCol))
+        .localCheckpoint(true) // stored-LM scoring runs once, not per consumer
     }
     val afterLm = lmStage.map(_._2).getOrElse(gop)
     val cleaned = LineIndex.serve(spark, afterLm, idCol, "clean_text",
@@ -1834,6 +1849,7 @@ object Curation {
       DedupIndex.gate(spark, dedupDir, cleaned, idCol, "clean_text")
         .select(col(idCol)),
       Seq(idCol))
+      .localCheckpoint(true) // stored-index probing runs once, not per consumer
     val admitted = deduped.join(
       Importance.score(
           Importance.docBuckets(flat(deduped), idCol, "_flat", 64),
