@@ -554,18 +554,20 @@ object GraphQueries {
       val inter = Tables.events(s, d)
         .withColumn("item", get_json_object($"props", "$.k").cast("long"))
         .filter($"item".isNotNull)
+      // the leave-last-out window over the full event scan runs ONCE:
+      // the split assignment is checkpointed and train/test/anchors all
+      // derive from the materialized rows (pre-r14 each consuming branch
+      // re-ran the JSON parse + window — measured 3× per run)
       val split = graft.operators.Curation
         .leaveLastOut(inter, "user_id", "ts", "event_id")
+        .select($"user_id", $"item", $"split")
+        .localCheckpoint(true)
       val train = split.filter($"split" === "train")
-      // test and anchors are |users|-sized and read by several branches
-      // below (eval count, hit join, recs) — eager-checkpoint them so the
-      // leave-last-out window over the full event scan runs once per
-      // frame instead of once per consuming branch
+        .select($"user_id", $"item")
       val test = split.filter($"split" === "test")
         .select($"user_id", $"item".as("test_item"))
-        .localCheckpoint(true)
-      val pairs = Graph.coOccurrence(train.select($"user_id", $"item"),
-        "user_id", "item", capM = 10, minCount = 1L)
+      val pairs = Graph.coOccurrence(train, "user_id", "item",
+        capM = 10, minCount = 1L)
       val anchors = train.groupBy($"user_id", $"item")
         .agg(count(lit(1)).as("cnt"))
         .withColumn("_rn", row_number().over(Window.partitionBy($"user_id")
@@ -582,12 +584,15 @@ object GraphQueries {
           .orderBy($"n_users".desc, $"nb")))
         .filter($"_rk" <= 3)
         .select($"user_id", $"nb")
-      val evalUsers = test.join(anchors, Seq("user_id"), "left_semi")
-      val hits = evalUsers.join(recs,
-        evalUsers("user_id") === recs("user_id") &&
-          $"test_item" === $"nb", "left_semi")
-      evalUsers.agg(count(lit(1)).as("n_eval"))
-        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      // one readout aggregate instead of two + a broadcast cross-join:
+      // per eval user the recs list holds DISTINCT items (pairs are
+      // grouped, neigh directions disjoint), so the left join matches at
+      // most one row and count(matched) ≡ the old semi-join user count
+      val evalRows = test.join(anchors, Seq("user_id"), "left_semi")
+      evalRows
+        .join(recs.select($"user_id", $"nb".as("test_item"),
+          lit(1L).as("_hit")), Seq("user_id", "test_item"), "left")
+        .agg(count(lit(1)).as("n_eval"), count($"_hit").as("n_hits"))
         .withColumn("hr_ppm", expr(
           "case when n_eval > 0 then (1000000 * n_hits) div n_eval end"))
     },
@@ -801,14 +806,19 @@ object GraphQueries {
       val inter = Tables.events(s, d)
         .withColumn("item", get_json_object($"props", "$.k").cast("long"))
         .filter($"item".isNotNull)
+      // one leave-last-out pass + one readout aggregate — see q201 (the
+      // recs list is per-user DISTINCT, so the left join matches ≤ 1 row
+      // and min(rk) ≡ the matched rk)
       val split = graft.operators.Curation
         .leaveLastOut(inter, "user_id", "ts", "event_id")
+        .select($"user_id", $"item", $"split")
+        .localCheckpoint(true)
       val train = split.filter($"split" === "train")
+        .select($"user_id", $"item")
       val test = split.filter($"split" === "test")
         .select($"user_id", $"item".as("test_item"))
-        .localCheckpoint(true)
-      val pairs = Graph.coOccurrence(train.select($"user_id", $"item"),
-        "user_id", "item", capM = 10, minCount = 1L)
+      val pairs = Graph.coOccurrence(train, "user_id", "item",
+        capM = 10, minCount = 1L)
       val anchors = train.groupBy($"user_id", $"item")
         .agg(count(lit(1)).as("cnt"))
         .withColumn("_rn", row_number().over(Window.partitionBy($"user_id")
@@ -825,15 +835,13 @@ object GraphQueries {
           .orderBy($"n_users".desc, $"nb")))
         .filter($"rk" <= 10)
         .select($"user_id", $"nb", $"rk")
-      val evalUsers = test.join(anchors, Seq("user_id"), "left_semi")
-        .localCheckpoint(true)
-      val hitRanks = evalUsers.join(recs, Seq("user_id"))
-        .filter($"test_item" === $"nb")
-        .groupBy($"user_id").agg(min($"rk").as("rank"))
-      evalUsers.agg(count(lit(1)).as("n_eval"))
-        .crossJoin(broadcast(hitRanks.agg(
-          count(lit(1)).as("n_hits"),
-          coalesce(sum(expr("1000000 div rank")), lit(0L)).as("rr_sum"))))
+      val evalRows = test.join(anchors, Seq("user_id"), "left_semi")
+      evalRows
+        .join(recs.select($"user_id", $"nb".as("test_item"), $"rk"),
+          Seq("user_id", "test_item"), "left")
+        .agg(count(lit(1)).as("n_eval"),
+          count($"rk").as("n_hits"),
+          coalesce(sum(expr("1000000 div rk")), lit(0L)).as("rr_sum"))
         .withColumn("mrr_ppm", expr(
           "case when n_eval > 0 then rr_sum div n_eval end"))
     },
