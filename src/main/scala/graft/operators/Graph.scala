@@ -859,18 +859,32 @@ object Graph {
         when(col("_pid").isNull, lit(null)).otherwise(col("_p")).as("_anc"),
         col("_c"))
       .localCheckpoint(true)
-    var state = e.select(col("_id"), col("_anc"), col("_c").as("_path"),
-      lit(1L).as("_depth"),
-      when(col("_anc").isNull, col("_id")).as("_root"))
-      .localCheckpoint(true)
+    // the live-count (rows whose chain is still unresolved) rides every
+    // checkpoint action as an `observe` metric — the per-round isEmpty
+    // probe job and the final require's re-probe are both folded into
+    // the actions the loop already runs (guide §2.4; the predicate is
+    // two null checks per row, so the metric pass costs nothing next to
+    // the doubling join itself)
+    def ckptLive(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val chk = df.observe(obs,
+        coalesce(sum(when(col("_anc").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("_live"))
+        .localCheckpoint(true)
+      (chk, obs.get("_live").asInstanceOf[Long])
+    }
+    var (state, liveN) = ckptLive(
+      e.select(col("_id"), col("_anc"), col("_c").as("_path"),
+        lit(1L).as("_depth"),
+        when(col("_anc").isNull, col("_id")).as("_root")))
     var span = 1L
-    var live = !state.filter(col("_anc").isNotNull).isEmpty
-    while (live && span < maxDepth) {
+    while (liveN > 0 && span < maxDepth) {
       val prevState = state
       val j = state.select(col("_id").as("_jid"), col("_anc").as("_janc"),
         col("_path").as("_jpath"), col("_depth").as("_jdepth"),
         col("_root").as("_jroot"))
-      state = state.join(j, state("_anc") === j("_jid"), "left")
+      val (next, n) = ckptLive(state.join(j, state("_anc") === j("_jid"),
+          "left")
         .select(col("_id"),
           when(col("_anc").isNull, col("_anc"))
             .otherwise(col("_janc")).as("_na"),
@@ -883,13 +897,13 @@ object Graph {
             .otherwise(col("_jroot")).as("_root"))
         .withColumnRenamed("_na", "_anc")
         .select(col("_id"), col("_anc"), col("_path"), col("_depth"),
-          col("_root"))
-        .localCheckpoint(true)
+          col("_root")))
+      state = next
+      liveN = n
       Bridge.dropCheckpoint(prevState) // superseded; new state materialized
       span *= 2
-      live = !state.filter(col("_anc").isNotNull).isEmpty
     }
-    require(state.filter(col("_anc").isNotNull).isEmpty,
+    require(liveN == 0,
       s"pathLinearize: ancestor chain deeper than maxDepth=$maxDepth")
     val parents = e.filter(col("_anc").isNotNull)
       .select(col("_anc").as("_id")).distinct()
